@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Histogram transforms — the bucket-series family
+  * (app/vmselect/promql/transform.go:991 transformHistogramQuantile,
+  * :950 histogram_quantiles, :651 histogram_share, :829 histogram_avg,
+  * :386 histogram_stddev/stdvar). Histograms in the reference are FAMILIES
+  * OF SERIES carrying an `le` (upper-bound) label — a data convention, not
+  * a type (SURVEY §1.1).
+  *
+  * Input shape here: (groupKeys…, t, le double, value double) where value
+  * is the CUMULATIVE count for bucket upper bound `le` (+Inf allowed).
+  * The quantile is the classic Prometheus linear interpolation inside the
+  * first bucket whose cumulative count reaches phi·total.
+  *
+  * Physical plan: one collect_list of (le, count) per (group, t) — bucket
+  * fan-in is bounded (≤ a few dozen buckets per series), so the array is
+  * tiny and the whole op is a single hash aggregation, scale-safe.
+  */
+object HistogramQ {
+
+  /** sorted array<struct<le,c>> with cumulative-count repair (counts must
+    * be non-decreasing in le — transform.go:1126 fixBrokenBuckets).
+    */
+  private def bucketArr: Column = {
+    val raw = array_sort(collect_list(struct(col("le").as("le"), col("value").as("c"))))
+    // running max over the array to repair any non-monotonic buckets
+    aggregate(
+      raw,
+      expr("cast(array() as array<struct<le:double, c:double>>)"),
+      (acc, x) => {
+        val prev = element_at(acc, -1)
+        val c = when(size(acc) === 0, x.getField("c"))
+          .otherwise(greatest(x.getField("c"), prev.getField("c")))
+        concat(acc, array(struct(x.getField("le").as("le"), c.as("c"))))
+      })
+  }
+
+  private def interpolateQuantile(arr: Column, phi: Double): Column = {
+    val total = element_at(arr, -1).getField("c")
+    val target = lit(phi) * total
+    // first bucket with cumulative >= target, via a fold carrying
+    // (found_le, prev_le, prev_c)
+    val st = aggregate(
+      arr,
+      struct(lit(Double.NaN).as("res"), lit(0.0).as("plo"), lit(0.0).as("pc")),
+      (s, x) => {
+        val hit = isnan(s.getField("res")) && x.getField("c") >= target
+        val inBucket = x.getField("c") - s.getField("pc")
+        val frac = when(inBucket > 0, (target - s.getField("pc")) / inBucket).otherwise(lit(0.0))
+        val v = s.getField("plo") + (x.getField("le") - s.getField("plo")) * frac
+        struct(
+          when(hit, v).otherwise(s.getField("res")).as("res"),
+          x.getField("le").as("plo"),
+          x.getField("c").as("pc"))
+      })
+    when(total > 0, st.getField("res"))
+  }
+
+  /** histogram_quantile(phi, buckets) — transform.go:991 */
+  def quantile(buckets: DataFrame, groupKeys: Seq[String], phi: Double): DataFrame =
+    buckets
+      .groupBy((groupKeys :+ "t").map(col): _*)
+      .agg(bucketArr.as("_b"))
+      .withColumn("value", interpolateQuantile(col("_b"), phi))
+      .drop("_b")
+      .filter(col("value").isNotNull && !isnan(col("value")))
+
+  /** histogram_share(le, buckets) — fraction of observations ≤ le
+    * (transform.go:651), with linear interpolation inside the bucket.
+    */
+  def share(buckets: DataFrame, groupKeys: Seq[String], leBound: Double): DataFrame =
+    buckets
+      .groupBy((groupKeys :+ "t").map(col): _*)
+      .agg(bucketArr.as("_b"))
+      .withColumn("value", {
+        val arr = col("_b")
+        val total = element_at(arr, -1).getField("c")
+        val st = aggregate(
+          arr,
+          struct(lit(Double.NaN).as("res"), lit(0.0).as("plo"), lit(0.0).as("pc")),
+          (s, x) => {
+            val hit = isnan(s.getField("res")) && x.getField("le") >= leBound
+            val width = x.getField("le") - s.getField("plo")
+            val frac = when(width > 0, (lit(leBound) - s.getField("plo")) / width).otherwise(lit(1.0))
+            val cAt = s.getField("pc") + (x.getField("c") - s.getField("pc")) * least(frac, lit(1.0))
+            struct(
+              when(hit, cAt).otherwise(s.getField("res")).as("res"),
+              x.getField("le").as("plo"),
+              x.getField("c").as("pc"))
+          })
+        when(total > 0,
+          coalesce(st.getField("res"), total) / total)
+      })
+      .drop("_b")
+
+  /** histogram_avg — mean estimated from bucket midpoints
+    * (transform.go:829; the reference averages bucket midpoint × count).
+    */
+  def histAvg(buckets: DataFrame, groupKeys: Seq[String]): DataFrame =
+    buckets
+      .groupBy((groupKeys :+ "t").map(col): _*)
+      .agg(bucketArr.as("_b"))
+      .withColumn("value", {
+        val d = diffCounts(col("_b"))
+        val wsum = aggregate(d, lit(0.0), (a, x) => a + x.getField("mid") * x.getField("n"))
+        val n = aggregate(d, lit(0.0), (a, x) => a + x.getField("n"))
+        when(n > 0, wsum / n)
+      })
+      .drop("_b")
+
+  /** per-bucket (midpoint, count) deltas from the cumulative array */
+  private def diffCounts(arr: Column): Column =
+    zip_with(
+      arr,
+      concat(array(struct(lit(0.0).as("le"), lit(0.0).as("c"))), slice(arr, lit(1), size(arr) - 1)),
+      (b, a) =>
+        struct(
+          ((b.getField("le") + a.getField("le")) / 2).as("mid"),
+          (b.getField("c") - a.getField("c")).as("n")))
+
+  /** prometheus_buckets — convert VM `vmrange` log-buckets into cumulative
+    * Prometheus `le` buckets (transform.go:502): per (group, t), order by
+    * bucket bound and emit running-sum counts.
+    */
+  def prometheusBuckets(vmr: DataFrame, groupKeys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window
+      .partitionBy((groupKeys :+ "t").map(col): _*)
+      .orderBy(col("le"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // vmrange bucket id k covers (10^(k/18), 10^((k+1)/18)] — upper bound:
+    vmr
+      .withColumn("le", pow(lit(10.0), (col("vmrange") + 1).cast(DoubleType) / 18.0))
+      .withColumn("value", sum("value").over(w))
+      .drop("vmrange")
+  }
+}

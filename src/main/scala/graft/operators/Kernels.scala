@@ -1,0 +1,329 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** A rollup kernel computes one scalar per (series, grid-timestamp) group
+  * from the raw samples in the lookback window — the Spark re-expression of
+  * the reference rollup-function table
+  * (app/vmselect/promql/rollup.go:24-108 registration,
+  * rollup.go:701-823 window loop).
+  *
+  * Two physical shapes:
+  *  - [[Algebraic]]: a plain (combination of) Spark aggregate expressions —
+  *    partial+final HashAggregate, whole-stage codegen, no row buffering.
+  *    Used for every order-insensitive function, mirroring the reference's
+  *    incremental aggregations (aggr_incremental.go:18-66).
+  *  - [[OverArray]]: for order-sensitive kernels (rate/changes/idelta/…)
+  *    the group's samples are collected once into a ts-sorted
+  *    array<struct<ts,v>> and the kernel is a higher-order-function
+  *    expression over that array — still codegen'd, still one aggregation
+  *    pass shared by all array kernels in the same rollup call (the same
+  *    sharing the reference gets from rollupFuncArg, rollup.go:523-556).
+  */
+sealed trait Kernel
+final case class Algebraic(expr: Column) extends Kernel
+final case class OverArray(post: Column => Column) extends Kernel
+
+object Kernels {
+  private val v = col("value")
+  private val ts = col("ts")
+  private val D = DoubleType
+
+  // ---- helpers over the sorted array<struct<ts:long, v:double>> ----------
+
+  /** values in timestamp order */
+  def tsVals(arr: Column): Column = transform(arr, _.getField("v"))
+
+  /** values in ascending value order */
+  def sortedVals(arr: Column): Column = array_sort(tsVals(arr))
+
+  /** adjacent-pair deltas: struct(dv, dtMs, av, bv, bts) for each
+    * consecutive (a, b) sample pair — the shared primitive behind the
+    * counter/turning-point family (rollup.go:1859 rollupDelta,
+    * 2106 rollupChanges, 921 removeCounterResets).
+    */
+  def diffs(arr: Column): Column =
+    zip_with(
+      slice(arr, lit(2), size(arr) - 1),
+      slice(arr, lit(1), size(arr) - 1),
+      (b, a) =>
+        struct(
+          (b.getField("v") - a.getField("v")).as("dv"),
+          (b.getField("ts") - a.getField("ts")).as("dtms"),
+          a.getField("v").as("av"),
+          b.getField("v").as("bv"),
+          b.getField("ts").as("bts")))
+
+  private def fold(arr: Column, f: (Column, Column) => Column): Column =
+    aggregate(arr, lit(0.0), f)
+
+  /** linear-interpolated quantile over an ascending double array — matches
+    * Spark `percentile` / DuckDB `quantile_cont` (index = phi*(n-1)).
+    */
+  def arrQuantile(sorted: Column, phi: Double): Column = {
+    val n = size(sorted)
+    val pos = lit(phi) * (n - lit(1)).cast(D) // 0-based fractional index
+    val lo = floor(pos).cast("int")
+    val frac = pos - lo.cast(D)
+    val vlo = element_at(sorted, lo + 1)
+    val vhi = element_at(sorted, least(lo + lit(2), n))
+    vlo + (vhi - vlo) * frac
+  }
+
+  def arrMedian(sorted: Column): Column = arrQuantile(sorted, 0.5)
+
+  // ---- algebraic kernels (rollup.go anchors in comments) -----------------
+
+  val avg: Kernel = Algebraic(avg_(v)) // rollup.go:1541 rollupAvg
+  val min: Kernel = Algebraic(org.apache.spark.sql.functions.min(v)) // :1561
+  val max: Kernel = Algebraic(org.apache.spark.sql.functions.max(v)) // :1580
+  val sum: Kernel = Algebraic(org.apache.spark.sql.functions.sum(v)) // :1690
+  val count: Kernel = Algebraic(org.apache.spark.sql.functions.count(v).cast(D)) // :1771
+  val sum2: Kernel = Algebraic(org.apache.spark.sql.functions.sum(v * v)) // :1795
+  val stddev: Kernel = Algebraic(stddev_pop(v)) // rollup.go:1799 (population)
+  val stdvar: Kernel = Algebraic(var_pop(v)) // rollup.go:1803
+  val median: Kernel = Algebraic(percentile(v, lit(0.5))) // rollup.go:1450
+  def quantile(phi: Double): Kernel = Algebraic(percentile(v, lit(phi))) // :1450
+  val geomean: Kernel = Algebraic(exp(avg_(log(v)))) // rollup.go:1707 rollupGeomean
+  val distinct: Kernel = Algebraic(size(collect_set(v)).cast(D)) // :2403
+  val range: Kernel = // rollup.go:1721 rollupRange = max - min
+    Algebraic(org.apache.spark.sql.functions.max(v) - org.apache.spark.sql.functions.min(v))
+
+  // first/last with deterministic tie-breaks via lexicographic struct order
+  val first: Kernel = Algebraic(min_(struct(ts, v)).getField("value")) // rollup.go:2375 rollupFirst
+  val last: Kernel = Algebraic(max_(struct(ts, v)).getField("value")) // rollup.go:2383 rollupLast
+  val tfirst: Kernel = Algebraic(min_(ts).cast(D) / 1000.0) // rollup.go:1596 (seconds)
+  val tlast: Kernel = Algebraic(max_(ts).cast(D) / 1000.0) // rollup.go:1652
+
+  /** timestamp (s) of the minimum value; LAST occurrence on ties —
+    * rollup.go:1603-1621 ("Get the last timestamp for the minimum value").
+    */
+  val tmin: Kernel = OverArray { arr =>
+    val vmin = array_min(tsVals(arr))
+    array_max(transform(filter(arr, x => x.getField("v") === vmin), _.getField("ts"))).cast(D) / 1000.0
+  }
+
+  /** timestamp (s) of the maximum value; LAST occurrence — rollup.go:1623 */
+  val tmax: Kernel = OverArray { arr =>
+    val vmax = array_max(tsVals(arr))
+    array_max(transform(filter(arr, x => x.getField("v") === vmax), _.getField("ts"))).cast(D) / 1000.0
+  }
+
+  // filtered counts/sums/shares — rollup.go:1181-1307
+  def countEq(x: Double): Kernel = Algebraic(sum_(when(v === x, 1).otherwise(0)).cast(D))
+  def countNe(x: Double): Kernel = Algebraic(sum_(when(v =!= x, 1).otherwise(0)).cast(D))
+  def countLe(x: Double): Kernel = Algebraic(sum_(when(v <= x, 1).otherwise(0)).cast(D))
+  def countGt(x: Double): Kernel = Algebraic(sum_(when(v > x, 1).otherwise(0)).cast(D))
+  def sumEq(x: Double): Kernel = Algebraic(sum_(when(v === x, v).otherwise(0.0)))
+  def sumLe(x: Double): Kernel = Algebraic(sum_(when(v <= x, v).otherwise(0.0)))
+  def sumGt(x: Double): Kernel = Algebraic(sum_(when(v > x, v).otherwise(0.0)))
+  def shareEq(x: Double): Kernel =
+    Algebraic(sum_(when(v === x, 1.0).otherwise(0.0)) / count_(v))
+  def shareLe(x: Double): Kernel =
+    Algebraic(sum_(when(v <= x, 1.0).otherwise(0.0)) / count_(v))
+  def shareGt(x: Double): Kernel =
+    Algebraic(sum_(when(v > x, 1.0).otherwise(0.0)) / count_(v))
+
+  // time-gap statistics — rollup.go:2040 rollupLifetime, :2067 rollupLag,
+  // :871-919 scrape-interval estimation (simplified to mean gap)
+  val lifetime: Kernel = Algebraic((max_(ts) - min_(ts)).cast(D) / 1000.0)
+  val lag: Kernel = Algebraic((col("t") - max_(ts)).cast(D) / 1000.0)
+  val scrapeInterval: Kernel = Algebraic(
+    when(count_(v) > 1, (max_(ts) - min_(ts)).cast(D) / 1000.0 / (count_(v) - 1).cast(D)))
+
+  /** sum / window-seconds — rollup.go:1707-1719 rollupRateOverSum */
+  def rateOverSum(windowMs: Long): Kernel =
+    Algebraic(sum_(v) / lit(windowMs / 1000.0))
+
+  /** (last - mean) / stddev — rollup.go:2361 rollupZScoreOverTime (the
+    * staleness guard on scrape interval is omitted: grid gap-handling is
+    * done upstream by the bucketizer's window filter).
+    */
+  val zscore: Kernel = Algebraic {
+    val sd = stddev_pop(v)
+    when(sd > 0, (max_(struct(ts, v)).getField("value") - avg_(v)) / sd).otherwise(0.0)
+  }
+
+  /** least-squares slope per second — rollup.go:1099 linearRegression.
+    * x is centered on the grid timestamp: epoch-seconds x (~1.7e9) loses
+    * ~7 digits to cancellation in the slope/intercept normal equations.
+    */
+  val deriv: Kernel = Algebraic(
+    when(count_(v) > 1, regr_slope(v, (ts - col("t")).cast(D) / 1000.0)))
+
+  /** linear prediction at t + offsetSec — rollup.go:1080 rollupPredictLinear */
+  def predictLinear(offsetSec: Double): Kernel = Algebraic {
+    val x = (ts - col("t")).cast(D) / 1000.0 // centered, see deriv
+    when(
+      count_(v) > 1,
+      regr_intercept(v, x) + regr_slope(v, x) * lit(offsetSec))
+  }
+
+  // Hoeffding bounds — rollup.go:1323-1381
+  def hoeffdingLower(phi: Double): Kernel = Algebraic(
+    avg_(v) - (max_(v) - min_(v)) * sqrt(lit(math.log(1.0 / (1 - phi))) / (count_(v) * 2).cast(D)))
+  def hoeffdingUpper(phi: Double): Kernel = Algebraic(
+    avg_(v) + (max_(v) - min_(v)) * sqrt(lit(math.log(1.0 / (1 - phi))) / (count_(v) * 2).cast(D)))
+
+  /** last value if outside Tukey fences [q25-1.5·iqr, q75+1.5·iqr], else
+    * null — rollup.go:1427 rollupOutlierIQR.
+    */
+  val outlierIqr: Kernel = Algebraic {
+    val q25 = percentile(v, lit(0.25))
+    val q75 = percentile(v, lit(0.75))
+    val iqr = lit(1.5) * (q75 - q25)
+    val lastV = max_(struct(ts, v)).getField("value")
+    when(count_(v) >= 2 && (lastV < q25 - iqr || lastV > q75 + iqr), lastV)
+  }
+
+  val present: Kernel = Algebraic(lit(1.0)) // rollup.go:1762 rollupPresent
+
+  // ---- order-sensitive kernels (array form) -------------------------------
+
+  /** last - first inside the window (windowed form of rollup.go:1859
+    * rollupDelta; the reference's cross-window prevValue handling is a
+    * documented deviation — gap semantics live in the bucketizer).
+    */
+  val delta: Kernel = OverArray { arr =>
+    element_at(arr, -1).getField("v") - element_at(arr, 1).getField("v")
+  }
+
+  /** last - second-to-last — rollup.go:1934 rollupIdelta */
+  val idelta: Kernel = OverArray { arr =>
+    when(size(arr) >= 2,
+      element_at(arr, -1).getField("v") - element_at(arr, -2).getField("v"))
+  }
+
+  /** counter increase with reset correction: sum of adjacent deltas where a
+    * negative delta (counter reset) contributes the new raw value —
+    * rollup.go:921-958 removeCounterResets + rollup.go:1859 rollupDelta.
+    */
+  val increase: Kernel = OverArray { arr =>
+    fold(diffs(arr), (acc, d) =>
+      acc + when(d.getField("dv") >= 0, d.getField("dv")).otherwise(d.getField("bv")))
+  }
+
+  /** increase / window-seconds — MetricsQL no-extrapolation rate
+    * (docs/victoriametrics/MetricsQL.md: rate = average per-second increase)
+    */
+  def rate(windowMs: Long): Kernel = OverArray { arr =>
+    fold(diffs(arr), (acc, d) =>
+      acc + when(d.getField("dv") >= 0, d.getField("dv")).otherwise(d.getField("bv"))) /
+      lit(windowMs / 1000.0)
+  }
+
+  /** instant rate over last two samples, reset-aware — rollup.go:1965 */
+  val irate: Kernel = OverArray { arr =>
+    val a = element_at(arr, -2)
+    val b = element_at(arr, -1)
+    val dt = (b.getField("ts") - a.getField("ts")).cast(D) / 1000.0
+    val dv = when(b.getField("v") >= a.getField("v"), b.getField("v") - a.getField("v"))
+      .otherwise(b.getField("v"))
+    when(size(arr) >= 2 && dt > 0, dv / dt)
+  }
+
+  /** instant derivative over last two samples, no reset handling —
+    * rollup.go:1991 rollupIderiv (simplified to the two-point slope).
+    */
+  val ideriv: Kernel = OverArray { arr =>
+    val a = element_at(arr, -2)
+    val b = element_at(arr, -1)
+    val dt = (b.getField("ts") - a.getField("ts")).cast(D) / 1000.0
+    when(size(arr) >= 2 && dt > 0, (b.getField("v") - a.getField("v")) / dt)
+  }
+
+  /** (last-first)/(tlast-tfirst) — rollup.go:1954 rollupDerivFast */
+  val derivFast: Kernel = OverArray { arr =>
+    val dt = (element_at(arr, -1).getField("ts") - element_at(arr, 1).getField("ts")).cast(D) / 1000.0
+    when(dt > 0,
+      (element_at(arr, -1).getField("v") - element_at(arr, 1).getField("v")) / dt)
+  }
+
+  /** count of adjacent value changes — rollup.go:2106 rollupChanges */
+  val changes: Kernel = OverArray { arr =>
+    size(filter(diffs(arr), _.getField("dv") =!= 0)).cast(D)
+  }
+
+  /** counts of increases / decreases — rollup.go:2139,2160 */
+  val increasesOverTime: Kernel = OverArray { arr =>
+    size(filter(diffs(arr), _.getField("dv") > 0)).cast(D)
+  }
+  val decreasesOverTime: Kernel = OverArray { arr =>
+    size(filter(diffs(arr), _.getField("dv") < 0)).cast(D)
+  }
+
+  /** count of counter resets — rollup.go:2174 rollupResets */
+  val resets: Kernel = OverArray { arr =>
+    size(filter(diffs(arr), _.getField("dv") < 0)).cast(D)
+  }
+
+  /** sum of positive / of negative excursions — rollup.go:2017,1998 */
+  val ascentOverTime: Kernel = OverArray { arr =>
+    fold(diffs(arr), (acc, d) =>
+      acc + when(d.getField("dv") > 0, d.getField("dv")).otherwise(0.0))
+  }
+  val descentOverTime: Kernel = OverArray { arr =>
+    fold(diffs(arr), (acc, d) =>
+      acc + when(d.getField("dv") < 0, -d.getField("dv")).otherwise(0.0))
+  }
+
+  /** left-Riemann integral: sum a.v · dt — rollup.go:2417 rollupIntegrate */
+  val integrate: Kernel = OverArray { arr =>
+    fold(diffs(arr), (acc, d) =>
+      acc + d.getField("av") * d.getField("dtms").cast(D) / 1000.0)
+  }
+
+  /** sum of inter-sample gaps ≤ maxGapSec — rollup.go:1151 duration_over_time */
+  def durationOverTime(maxGapSec: Double): Kernel = OverArray { arr =>
+    fold(diffs(arr), (acc, d) => {
+      val dt = d.getField("dtms").cast(D) / 1000.0
+      acc + when(dt <= maxGapSec, dt).otherwise(0.0)
+    })
+  }
+
+  /** timestamp (s) of the last value change; first sample ts if constant —
+    * rollup.go:2186 rollupTlastChange.
+    */
+  val tlastChange: Kernel = OverArray { arr =>
+    val changed = filter(diffs(arr), _.getField("dv") =!= 0)
+    when(size(changed) > 0, array_max(transform(changed, _.getField("bts"))).cast(D) / 1000.0)
+      .otherwise(element_at(arr, 1).getField("ts").cast(D) / 1000.0)
+  }
+
+  /** median absolute deviation — rollup.go:1469 rollupMAD */
+  val mad: Kernel = OverArray { arr =>
+    val vs = sortedVals(arr)
+    val med = arrMedian(vs)
+    arrMedian(array_sort(transform(vs, x => abs(x - med))))
+  }
+
+  /** most frequent value; smallest wins ties (reference iterates ascending
+    * keeping strict improvements — rollup.go:2301 rollupModeOverTime).
+    */
+  val mode: Kernel = OverArray { arr =>
+    val vs = sortedVals(arr)
+    val st = aggregate(
+      vs,
+      struct(lit(Double.NaN).as("best"), lit(0L).as("bestCnt"),
+        lit(Double.NaN).as("cur"), lit(0L).as("curCnt")),
+      (s, x) => {
+        val cnt = when(x === s.getField("cur"), s.getField("curCnt") + 1).otherwise(lit(1L))
+        val better = cnt > s.getField("bestCnt")
+        struct(
+          when(better, x).otherwise(s.getField("best")).as("best"),
+          when(better, cnt).otherwise(s.getField("bestCnt")).as("bestCnt"),
+          x.as("cur"),
+          cnt.as("curCnt"))
+      })
+    st.getField("best")
+  }
+
+  // renamed private aliases to dodge the Column/functions name clash
+  private def avg_(c: Column) = org.apache.spark.sql.functions.avg(c)
+  private def sum_(c: Column) = org.apache.spark.sql.functions.sum(c)
+  private def min_(c: Column) = org.apache.spark.sql.functions.min(c)
+  private def max_(c: Column) = org.apache.spark.sql.functions.max(c)
+  private def count_(c: Column) = org.apache.spark.sql.functions.count(c)
+}

@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.core.{Grid, GridSpec}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Rollup executor: grid-aligned windowed aggregation over raw samples —
+  * the Spark form of the reference's rollup evaluation
+  * (app/vmselect/promql/eval.go:1717 evalRollupFuncWithMetricExpr +
+  * rollup.go:701-823 doInternal).
+  *
+  * Physical strategy (scale-first): map-side explode of each sample into
+  * its ceil(window/step) owning grid buckets ([[Grid.bucketize]]), then ONE
+  * hash aggregation by (series columns, t). All algebraic kernels ride the
+  * partial+final HashAggregate (map-side combine). Order-sensitive kernels
+  * share a single ts-sorted collect_list per group. No range join, no
+  * window-function total sort — both collapse at 100 TB; this doesn't.
+  */
+object Rollup {
+
+  /** Compute one or more named kernels in a single pass.
+    * Input: samples with `ts` (epoch ms) + `value` + key columns.
+    * Output: keys ++ (t, <one column per kernel>).
+    */
+  def rollupMulti(
+      samples: DataFrame,
+      keys: Seq[String],
+      grid: GridSpec,
+      windowMs: Long,
+      kernels: Seq[(String, Kernel)]): DataFrame = {
+    val b = Grid.bucketize(samples, grid, windowMs)
+    val needArr = kernels.exists(_._2.isInstanceOf[OverArray])
+    val arrExpr =
+      array_sort(collect_list(struct(col("ts").as("ts"), col("value").as("v")))).as("_arr")
+    val aggExprs: Seq[Column] =
+      kernels.collect { case (n, Algebraic(e)) => e.as(n) } ++
+        (if (needArr) Seq(arrExpr) else Nil)
+    var out = b
+      .groupBy((keys.map(col) :+ col("t")): _*)
+      .agg(aggExprs.head, aggExprs.tail: _*)
+    kernels.foreach {
+      case (n, OverArray(f)) => out = out.withColumn(n, f(col("_arr")))
+      case _                 =>
+    }
+    if (needArr) out = out.drop("_arr")
+    // stable column order: keys, t, kernels
+    out.select((keys.map(col) :+ col("t")) ++ kernels.map(k => col(k._1)): _*)
+  }
+
+  def rollup(
+      samples: DataFrame,
+      keys: Seq[String],
+      grid: GridSpec,
+      windowMs: Long,
+      kernel: Kernel,
+      out: String = "value"): DataFrame =
+    rollupMulti(samples, keys, grid, windowMs, Seq(out -> kernel))
+
+  /** rollup_candlestick — open/close/low/high fanned out as a `rollup` tag
+    * (rollup.go:374-516 getRollupConfigs fan-out; candlestick semantics
+    * rollup.go:2430-2495). One aggregation pass + stack, not four jobs.
+    */
+  def candlestick(samples: DataFrame, keys: Seq[String], grid: GridSpec, windowMs: Long): DataFrame = {
+    val wide = rollupMulti(samples, keys, grid, windowMs, Seq(
+      "open" -> Kernels.first,
+      "close" -> Kernels.last,
+      "low" -> Kernels.min,
+      "high" -> Kernels.max))
+    wide.select(
+      (keys.map(col) :+ col("t")) :+
+        expr("stack(4, 'open', open, 'close', close, 'low', low, 'high', high) as (rollup, value)"): _*)
+  }
+
+  /** aggr_over_time(("f1","f2",…)) — several rollups at once, fanned out as
+    * a `rollup` tag (rollup.go:146-197 aggr_over_time).
+    */
+  def aggrOverTime(
+      samples: DataFrame,
+      keys: Seq[String],
+      grid: GridSpec,
+      windowMs: Long,
+      fns: Seq[(String, Kernel)]): DataFrame = {
+    val wide = rollupMulti(samples, keys, grid, windowMs, fns)
+    val stackArgs = fns.map(f => s"'${f._1}', `${f._1}`").mkString(", ")
+    wide.select(
+      (keys.map(col) :+ col("t")) :+
+        expr(s"stack(${fns.size}, $stackArgs) as (rollup, value)"): _*)
+  }
+
+  /** quantiles_over_time("phi", phi1, …, phiN) — one output series per phi,
+    * tagged by the phi label (rollup.go:1383 newRollupQuantiles).
+    */
+  def quantilesOverTime(
+      samples: DataFrame,
+      keys: Seq[String],
+      grid: GridSpec,
+      windowMs: Long,
+      phis: Seq[Double]): DataFrame =
+    aggrOverTime(samples, keys, grid, windowMs,
+      phis.map(p => s"$p" -> Kernels.quantile(p)))
+      .withColumnRenamed("rollup", "phi")
+
+  /** count_values_over_time — per-window histogram of exact values, one
+    * series per distinct value (rollup.go:2284 via newRollupCountValues).
+    */
+  def countValuesOverTime(samples: DataFrame, keys: Seq[String], grid: GridSpec, windowMs: Long): DataFrame =
+    Grid.bucketize(samples, grid, windowMs)
+      .groupBy((keys.map(col) :+ col("t") :+ col("value")): _*)
+      .agg(count(lit(1)).cast(DoubleType).as("cnt"))
+
+  /** histogram_over_time — VictoriaMetrics log-bucketed (vmrange) histogram
+    * of the window's samples, one series per bucket
+    * (rollup.go:1526 rollupHistogram; bucket scheme
+    * lib/histogram/histogram.go: 18 log10 sub-buckets per decade).
+    * Bucket id here: floor(18·log10(v)) — same shape, simplified bounds.
+    */
+  def histogramOverTime(samples: DataFrame, keys: Seq[String], grid: GridSpec, windowMs: Long): DataFrame =
+    Grid.bucketize(samples, grid, windowMs)
+      .withColumn("vmrange", floor(log10(col("value")) * 18))
+      .groupBy((keys.map(col) :+ col("t") :+ col("vmrange")): _*)
+      .agg(count(lit(1)).cast(DoubleType).as("value"))
+
+  /** present_over_time / absent_over_time — presence tests per grid point
+    * (rollup.go:1755,1762; absent series synthesis eval.go:1017-1031).
+    * `absent` emits 1.0 exactly at grid points where NO series matched:
+    * dense grid anti-joined against observed buckets.
+    */
+  def presentOverTime(samples: DataFrame, keys: Seq[String], grid: GridSpec, windowMs: Long): DataFrame =
+    Grid.bucketize(samples, grid, windowMs)
+      .groupBy((keys.map(col) :+ col("t")): _*)
+      .agg(lit(1.0).as("value"))
+
+  def absentOverTime(samples: DataFrame, grid: GridSpec, windowMs: Long): DataFrame = {
+    val present = Grid.bucketize(samples, grid, windowMs).select("t").distinct()
+    Grid.gridDf(samples, grid)
+      .join(present, Seq("t"), "left_anti")
+      .withColumn("value", lit(1.0))
+  }
+
+  /** default_rollup — what a bare series selector means: the last sample
+    * value at-or-before each grid point, looking back at most
+    * `stalenessMs` (rollup.go:38 default_rollup + the 5-minute silence
+    * interval eval.go:1919-1925).
+    */
+  def defaultRollup(samples: DataFrame, keys: Seq[String], grid: GridSpec, stalenessMs: Long): DataFrame =
+    rollup(samples, keys, grid, stalenessMs, Kernels.last)
+}

@@ -1,0 +1,184 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Deduplication operators for training-data pipelines over `documents`.
+  *
+  * Scale notes (the whole point of these designs):
+  *  - exact: hash groupBy — one shuffle on a 64-bit hash, no text moves
+  *    beyond the winner-select.
+  *  - MinHash+LSH: shingle → K minhashes → B bands; candidate pairs come
+  *    from an equi-join on (band, bandHash) — NEVER an all-pairs cross
+  *    join. Cost is O(docs·K + collisions), the standard web-scale design
+  *    (Broder '97; Leskovec MMDS ch.3).
+  *  - SimHash: 64-bit signature; near-dups = equal signature (or equal in
+  *    ≥1 of 4 16-bit blocks for hamming≤3-style banding).
+  *  - n-gram Jaccard: exact verification on LSH candidates, or standalone
+  *    via shingle-inverted-index join (word-level postings), still no
+  *    cross join.
+  *  - embedding cosine: see Similarity.scala (brute-force for verify, LSH
+  *    buckets for the scale path).
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per identical text. The groupBy key
+    * is xxhash64(text) so the shuffle moves (hash, id) pairs, not bodies;
+    * a final semi-join recovers winning rows.
+    */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val winners = docs
+      .select(col(idCol), xxhash64(col(textCol)).as("_h"))
+      .groupBy("_h")
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** K permutation-style minhashes of the shingle set. Each "permutation"
+    * is xxhash64(shingle, seed_i) minimized over the set — the standard
+    * hash-trick replacement for true permutations.
+    */
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
+    val sh = TextAnalysis.shingles(text, shingleN)
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
+    }: _*)
+  }
+
+  /** LSH banding: split the K-minhash signature into B bands of R rows
+    * (K = B·R); docs sharing any (band, bandHash) are candidates.
+    * Returns candidate pairs (id_a < id_b), deduplicated across bands.
+    */
+  def minhashCandidates(
+      docs: DataFrame,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = docs.select(col(idCol).as("id"), minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
+    val banded = sig.select(
+      col("id"),
+      explode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r)).cast("string")).as("bh"))))
+        .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash near-dup dedup end-to-end: candidates → exact Jaccard verify
+    * at `threshold` → connected "keep smallest id" winner per dup cluster
+    * (single-link via min over direct neighbors — exact for the common
+    * pair/clique case; a full connected-components pass is iterative and
+    * planned as the streaming-compaction job).
+    */
+  def minhashDedup(
+      docs: DataFrame,
+      threshold: Double = 0.7,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      shingleN: Int = 3): DataFrame = {
+    val cand = minhashCandidates(docs, numHashes, bands, shingleN)
+    val verified = jaccardVerify(docs, cand, shingleN).filter(col("jaccard") >= threshold)
+    val losers = verified.select(col("id_b").as("doc_id")).distinct()
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** exact n-gram Jaccard for candidate pairs (id_a, id_b) */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), TextAnalysis.shingles(col("text"), shingleN).as("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast(DoubleType))
+      .withColumn(
+        "jaccard",
+        col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")).cast(DoubleType))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Standalone n-gram Jaccard near-dup pairs via an inverted shingle
+    * index: explode shingles, self-join postings (no cross join — only
+    * docs sharing a shingle meet), count shared shingles, compute Jaccard.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      threshold: Double,
+      shingleN: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
+    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    val postings = sh.select(col("id"), explode(col("sh")).as("s"))
+    val inter = postings.as("a")
+      .join(postings.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).cast(DoubleType).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of the token stream (Charikar '02): per-token hash
+    * votes per bit position, signature bit = sign of the vote sum.
+    */
+  def simhash(text: Column): Column = {
+    val toks = TextAnalysis.wsTokens(text)
+    val hashes = transform(toks, w => xxhash64(w))
+    // fold 64 bit-positions: for each bit, sum(+1/-1) over token hashes
+    val bits = transform(sequence(lit(0), lit(63)), bit => {
+      val votes = aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(h.bitwiseAND(call_function("shiftleft", lit(1L), bit)) =!= 0, 1L).otherwise(-1L))
+      when(votes > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))
+    })
+    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidates: equal 16-bit block in any of 4 blocks
+    * (pigeonhole: hamming distance ≤ 3 guarantees one equal block).
+    */
+  def simhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val blocked = sig.select(
+      col("id"), col("sig"),
+      explode(
+        transform(sequence(lit(0), lit(3)), b =>
+          struct(b.as("blk"),
+            call_function("shiftrightunsigned", col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))))
+        .as("bb"))
+      .select(col("id"), col("sig"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+    blocked.as("a")
+      .join(blocked.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+  }
+
+  /** Storage-side sample dedup — keep last (max value on ties) sample per
+    * series per interval (lib/storage/dedup.go:30-70,
+    * lib/streamaggr/dedup.go): `-dedup.minScrapeInterval` semantics.
+    */
+  def dedupSamples(samples: DataFrame, keys: Seq[String], intervalMs: Long): DataFrame = {
+    val bucket = expr(s"((ts + ${intervalMs - 1}L) div ${intervalMs}L) * ${intervalMs}L")
+    samples
+      .withColumn("_bkt", bucket)
+      .groupBy((keys.map(col) :+ col("_bkt")): _*)
+      .agg(max(struct(col("ts"), col("value"))).as("_w"))
+      .select((keys.map(col) :+ col("_w.ts").as("ts") :+ col("_w.value").as("value")): _*)
+  }
+}
