@@ -135,6 +135,157 @@ object SparkEntry {
         "GROUP BY b.name, b.t ORDER BY name, t")))
 
   // =====================================================================
+  // §2.2 order-sensitive rollups — daily tumbling grid by (name, user_id);
+  // oracle uses lag()/list() window forms of the same adjacent-pair math
+  // =====================================================================
+  /** daily-bucket CTE with per-group lag(value)/lag(tms) */
+  private def sqlDLag(agg: String): String =
+    s"WITH b AS ($BD), d AS (SELECT name, user_id, t, tms, value, " +
+      "lag(value) OVER (PARTITION BY name, user_id, t ORDER BY tms, value) AS pv, " +
+      "lag(tms) OVER (PARTITION BY name, user_id, t ORDER BY tms, value) AS ptms FROM b) " +
+      s"SELECT name, user_id, t, round($agg, 6) AS value FROM d " +
+      "GROUP BY name, user_id, t ORDER BY name, user_id, t"
+
+  /** daily-bucket CTE with ts-ordered value/tms lists (1-based indexing) */
+  private def sqlDList(valueExpr: String): String =
+    s"WITH b AS ($BD), l AS (SELECT name, user_id, t, " +
+      "list(value ORDER BY tms, value) AS vs, list(tms ORDER BY tms, value) AS ts " +
+      "FROM b GROUP BY name, user_id, t) " +
+      s"SELECT name, user_id, t, round($valueExpr, 6) AS value FROM l " +
+      "ORDER BY name, user_id, t"
+
+  /** hourly rollup by name with an arbitrary lookback window (sliding) */
+  private def roHW(kernel: Kernel, windowMs: Long): (SparkSession, String) => DataFrame =
+    (s, dir) =>
+      Rollup.rollup(ev(s, dir), Seq("name"), gridH, windowMs, kernel)
+        .select(col("name"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "t")
+
+  /** sliding-window oracle: grid × samples range join (the declarative
+    * formulation; Spark side uses the map-side bucket explode instead)
+    */
+  private def sqlSlidingH(windowMs: Long, agg: String): String =
+    s"WITH g AS (SELECT unnest(generate_series($START, $END, $H)) AS t), " +
+      "b AS (SELECT event_type AS name, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
+      s"j AS (SELECT name, t, tms, value FROM g JOIN b ON b.tms > g.t - $windowMs AND b.tms <= g.t) " +
+      s"SELECT name, t, round($agg, 6) AS value FROM j GROUP BY name, t ORDER BY name, t"
+
+  private val increaseSql =
+    "sum(CASE WHEN pv IS NULL THEN 0 WHEN value >= pv THEN value - pv ELSE value END)"
+
+  private val rollupQueries2: Seq[Q] = Seq(
+    Q("ro_delta", roD(Kernels.delta),
+      Some(sqlD("last(value ORDER BY tms, value) - first(value ORDER BY tms, value)"))),
+    Q("ro_idelta", roD(Kernels.idelta),
+      Some(sqlDList("CASE WHEN len(vs) >= 2 THEN vs[len(vs)] - vs[len(vs)-1] END"))),
+    Q("ro_increase", roD(Kernels.increase), Some(sqlDLag(increaseSql))),
+    Q("ro_rate", roD(Kernels.rate(D)), Some(sqlDLag(s"$increaseSql / 86400.0"))),
+    Q("ro_irate", roD(Kernels.irate),
+      Some(sqlDList("CASE WHEN len(vs) >= 2 AND ts[len(ts)] > ts[len(ts)-1] THEN " +
+        "(CASE WHEN vs[len(vs)] >= vs[len(vs)-1] THEN vs[len(vs)] - vs[len(vs)-1] ELSE vs[len(vs)] END)" +
+        " / ((ts[len(ts)] - ts[len(ts)-1])/1000.0) END"))),
+    Q("ro_ideriv", roD(Kernels.ideriv),
+      Some(sqlDList("CASE WHEN len(vs) >= 2 AND ts[len(ts)] > ts[len(ts)-1] THEN " +
+        "(vs[len(vs)] - vs[len(vs)-1]) / ((ts[len(ts)] - ts[len(ts)-1])/1000.0) END"))),
+    Q("ro_deriv_fast", roD(Kernels.derivFast),
+      Some(sqlD("CASE WHEN max(tms) > min(tms) THEN " +
+        "(last(value ORDER BY tms, value) - first(value ORDER BY tms, value))" +
+        " / ((max(tms) - min(tms))/1000.0) END"))),
+    Q("ro_changes", roD(Kernels.changes),
+      Some(sqlDLag("sum(CASE WHEN pv IS NOT NULL AND value != pv THEN 1 ELSE 0 END)::DOUBLE"))),
+    Q("ro_increases_over_time", roD(Kernels.increasesOverTime),
+      Some(sqlDLag("sum(CASE WHEN pv IS NOT NULL AND value > pv THEN 1 ELSE 0 END)::DOUBLE"))),
+    Q("ro_decreases_over_time", roD(Kernels.decreasesOverTime),
+      Some(sqlDLag("sum(CASE WHEN pv IS NOT NULL AND value < pv THEN 1 ELSE 0 END)::DOUBLE"))),
+    Q("ro_resets", roD(Kernels.resets),
+      Some(sqlDLag("sum(CASE WHEN pv IS NOT NULL AND value < pv THEN 1 ELSE 0 END)::DOUBLE"))),
+    Q("ro_ascent_over_time", roD(Kernels.ascentOverTime),
+      Some(sqlDLag("sum(CASE WHEN pv IS NOT NULL AND value > pv THEN value - pv ELSE 0 END)"))),
+    Q("ro_descent_over_time", roD(Kernels.descentOverTime),
+      Some(sqlDLag("sum(CASE WHEN pv IS NOT NULL AND value < pv THEN pv - value ELSE 0 END)"))),
+    Q("ro_integrate", roD(Kernels.integrate),
+      Some(sqlDLag("sum(CASE WHEN ptms IS NOT NULL THEN pv * ((tms - ptms)/1000.0) ELSE 0 END)"))),
+    Q("ro_duration_over_time", roD(Kernels.durationOverTime(21600)),
+      Some(sqlDLag("sum(CASE WHEN ptms IS NOT NULL AND tms - ptms <= 21600000 " +
+        "THEN (tms - ptms)/1000.0 ELSE 0 END)"))),
+    Q("ro_tlast_change", roD(Kernels.tlastChange),
+      Some(sqlDLag("coalesce(max(CASE WHEN pv IS NOT NULL AND value != pv THEN tms END), min(tms))/1000.0"))),
+    // sliding lookback (window > step): 6h window on the hourly grid
+    Q("ro_sliding_max", roHW(Kernels.max, 6 * H), Some(sqlSlidingH(6 * H, "max(value)"))),
+    Q("ro_sliding_avg", roHW(Kernels.avg, 6 * H), Some(sqlSlidingH(6 * H, "avg(value)"))),
+    Q("ro_sliding_increase", roHW(Kernels.increase, 6 * H), Some(
+      s"WITH g AS (SELECT unnest(generate_series($START, $END, $H)) AS t), " +
+        "b AS (SELECT event_type AS name, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
+        s"j AS (SELECT name, t, tms, value FROM g JOIN b ON b.tms > g.t - ${6 * H} AND b.tms <= g.t), " +
+        "d AS (SELECT name, t, value, lag(value) OVER (PARTITION BY name, t ORDER BY tms, value) AS pv FROM j) " +
+        s"SELECT name, t, round($increaseSql, 6) AS value FROM d GROUP BY name, t ORDER BY name, t")),
+    // fan-out rollups
+    Q("ro_candlestick", (s, dir) =>
+      Rollup.candlestick(ev(s, dir), Seq("name"), gridH, H)
+        .select(col("name"), col("t"), col("rollup"), r6(col("value")).as("value"))
+        .orderBy("name", "t", "rollup"),
+      Some(s"WITH b AS ($BH), w AS (SELECT name, t, " +
+        "first(value ORDER BY tms, value) AS open, last(value ORDER BY tms, value) AS close, " +
+        "min(value) AS low, max(value) AS high FROM b GROUP BY name, t) " +
+        "SELECT name, t, r AS rollup, round(v, 6) AS value FROM (" +
+        "SELECT name, t, 'open' AS r, open AS v FROM w UNION ALL " +
+        "SELECT name, t, 'close', close FROM w UNION ALL " +
+        "SELECT name, t, 'low', low FROM w UNION ALL " +
+        "SELECT name, t, 'high', high FROM w) ORDER BY name, t, rollup")),
+    Q("ro_aggr_over_time", (s, dir) =>
+      Rollup.aggrOverTime(ev(s, dir), Seq("name"), gridH, H,
+        Seq("avg" -> Kernels.avg, "max" -> Kernels.max))
+        .select(col("name"), col("t"), col("rollup"), r6(col("value")).as("value"))
+        .orderBy("name", "t", "rollup"),
+      Some(s"WITH b AS ($BH), w AS (SELECT name, t, avg(value) AS a, max(value) AS m FROM b GROUP BY name, t) " +
+        "SELECT name, t, r AS rollup, round(v, 6) AS value FROM (" +
+        "SELECT name, t, 'avg' AS r, a AS v FROM w UNION ALL " +
+        "SELECT name, t, 'max', m FROM w) ORDER BY name, t, rollup")),
+    Q("ro_quantiles_over_time", (s, dir) =>
+      Rollup.quantilesOverTime(ev(s, dir), Seq("name"), gridH, H, Seq(0.5, 0.9))
+        .select(col("name"), col("t"), col("phi"), r6(col("value")).as("value"))
+        .orderBy("name", "t", "phi"),
+      Some(s"WITH b AS ($BH), w AS (SELECT name, t, quantile_cont(value, 0.5) AS q5, " +
+        "quantile_cont(value, 0.9) AS q9 FROM b GROUP BY name, t) " +
+        "SELECT name, t, phi, round(v, 6) AS value FROM (" +
+        "SELECT name, t, '0.5' AS phi, q5 AS v FROM w UNION ALL " +
+        "SELECT name, t, '0.9', q9 FROM w) ORDER BY name, t, phi")),
+    Q("ro_count_values_over_time", (s, dir) =>
+      Rollup.countValuesOverTime(ev(s, dir), Seq("name"), gridH, H)
+        .select(col("name"), col("t"), r6(col("value")).as("value"), col("cnt"))
+        .orderBy("name", "t", "value"),
+      Some(s"WITH b AS ($BH) SELECT name, t, round(value, 6) AS value, count(*)::DOUBLE AS cnt " +
+        "FROM b GROUP BY name, t, value ORDER BY name, t, value")),
+    Q("ro_histogram_over_time", (s, dir) =>
+      Rollup.histogramOverTime(ev(s, dir), Seq("name"), gridH, H)
+        .select(col("name"), col("t"), col("vmrange"), col("value"))
+        .orderBy("name", "t", "vmrange"),
+      Some(s"WITH b AS ($BH) SELECT name, t, floor(log10(value) * 18)::BIGINT AS vmrange, " +
+        "count(*)::DOUBLE AS value FROM b GROUP BY name, t, vmrange ORDER BY name, t, vmrange")),
+    Q("ro_present_over_time", (s, dir) =>
+      Rollup.presentOverTime(ev(s, dir), Seq("name"), gridH, H)
+        .select(col("name"), col("t"), col("value"))
+        .orderBy("name", "t"),
+      Some(s"WITH b AS ($BH) SELECT DISTINCT name, t, 1.0 AS value FROM b ORDER BY name, t")),
+    Q("ro_absent_over_time", (s, dir) =>
+      Rollup.absentOverTime(
+        ev(s, dir).filter(col("name") === "error" && col("user_id") === 3), gridH, H)
+        .select(col("t"), col("value"))
+        .orderBy("t"),
+      Some(s"SELECT t, 1.0 AS value FROM (SELECT unnest(generate_series($START, $END, $H)) AS t) g " +
+        "WHERE NOT EXISTS (SELECT 1 FROM events e WHERE e.event_type = 'error' AND e.user_id = 3 " +
+        s"AND epoch_ms(e.ts::TIMESTAMP) > g.t - $H AND epoch_ms(e.ts::TIMESTAMP) <= g.t) ORDER BY t")),
+    Q("ro_default_rollup", (s, dir) =>
+      Rollup.defaultRollup(ev(s, dir), Seq("name", "user_id"), gridH, 2 * H)
+        .select(col("name"), col("user_id"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t"),
+      Some(s"WITH g AS (SELECT unnest(generate_series($START, $END, $H)) AS t), " +
+        "b AS (SELECT event_type AS name, user_id, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
+        s"j AS (SELECT name, user_id, t, tms, value FROM g JOIN b ON b.tms > g.t - ${2 * H} AND b.tms <= g.t) " +
+        "SELECT name, user_id, t, round(last(value ORDER BY tms, value), 6) AS value FROM j " +
+        "GROUP BY name, user_id, t ORDER BY name, user_id, t")))
+
+  // =====================================================================
   private val relationalQueries: Seq[Q] = Seq(
     // TPC-H Q1-shaped pricing summary: scan + filter + groupBy agg
     Q("q1_agg", (s, dir) => {
@@ -157,7 +308,7 @@ object SparkEntry {
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")))
 
   // =====================================================================
-  private val defs: Seq[Q] = rollupQueries ++ relationalQueries
+  private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ relationalQueries
 
   /** Flagship: sum(rate(events[1d])) by (name) on the hourly grid —
     * the M1 end-to-end slice from SURVEY §7.2: per-(name,user) counter

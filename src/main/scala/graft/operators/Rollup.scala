@@ -81,8 +81,11 @@ object Rollup {
       grid: GridSpec,
       windowMs: Long,
       fns: Seq[(String, Kernel)]): DataFrame = {
-    val wide = rollupMulti(samples, keys, grid, windowMs, fns)
-    val stackArgs = fns.map(f => s"'${f._1}', `${f._1}`").mkString(", ")
+    // internal column names are index-based: fn labels (e.g. "0.5" for a
+    // quantile phi) are not always valid identifiers even backtick-quoted
+    val safe = fns.zipWithIndex.map { case ((label, k), i) => (label, s"_k$i", k) }
+    val wide = rollupMulti(samples, keys, grid, windowMs, safe.map(s => s._2 -> s._3))
+    val stackArgs = safe.map(s => s"'${s._1}', `${s._2}`").mkString(", ")
     wide.select(
       (keys.map(col) :+ col("t")) :+
         expr(s"stack(${fns.size}, $stackArgs) as (rollup, value)"): _*)
