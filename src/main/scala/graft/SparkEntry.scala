@@ -28,7 +28,14 @@ object SparkEntry {
   private val gridH = GridSpec(START, END, H)
   private val gridD = GridSpec(START, END, D)
 
-  private def r6(c: Column): Column = round(c, 6)
+  /** Deterministic rounding: the 1e-9 bias (identical in the oracle SQL)
+    * keeps engine float-summation noise (~1e-13) from straddling a
+    * half-rounding boundary — without it a true value ending in …5e-7
+    * rounds differently depending on partial-sum order (and thus on the
+    * executor/CPU count).
+    */
+  private def r6(c: Column): Column = round(c + lit(1e-9), 6)
+  private def r4(c: Column): Column = round(c + lit(1e-9), 4)
 
   private def ev(s: SparkSession, dir: String): DataFrame = Samples.eventsFlat(s, dir)
 
@@ -54,11 +61,11 @@ object SparkEntry {
       "epoch_ms(ts::TIMESTAMP) AS tms, value FROM events"
 
   private def sqlH(agg: String): String =
-    s"WITH b AS ($BH) SELECT name, t, round($agg, 6) AS value FROM b " +
+    s"WITH b AS ($BH) SELECT name, t, round(1e-9 + $agg, 6) AS value FROM b " +
       "GROUP BY name, t ORDER BY name, t"
 
   private def sqlD(agg: String): String =
-    s"WITH b AS ($BD) SELECT name, user_id, t, round($agg, 6) AS value FROM b " +
+    s"WITH b AS ($BD) SELECT name, user_id, t, round(1e-9 + $agg, 6) AS value FROM b " +
       "GROUP BY name, user_id, t ORDER BY name, user_id, t"
 
   private case class Q(
@@ -117,20 +124,20 @@ object SparkEntry {
         "THEN last(value ORDER BY tms, value) END"))),
     Q("ro_tmin", roH(Kernels.tmin), Some(
       s"WITH b AS ($BH), m AS (SELECT name, t, tms, value, min(value) OVER (PARTITION BY name, t) AS mv FROM b) " +
-        "SELECT name, t, round(max(CASE WHEN value = mv THEN tms END)/1000.0, 6) AS value " +
+        "SELECT name, t, round(1e-9 + max(CASE WHEN value = mv THEN tms END)/1000.0, 6) AS value " +
         "FROM m GROUP BY name, t ORDER BY name, t")),
     Q("ro_tmax", roH(Kernels.tmax), Some(
       s"WITH b AS ($BH), m AS (SELECT name, t, tms, value, max(value) OVER (PARTITION BY name, t) AS mv FROM b) " +
-        "SELECT name, t, round(max(CASE WHEN value = mv THEN tms END)/1000.0, 6) AS value " +
+        "SELECT name, t, round(1e-9 + max(CASE WHEN value = mv THEN tms END)/1000.0, 6) AS value " +
         "FROM m GROUP BY name, t ORDER BY name, t")),
     Q("ro_mode", roH(Kernels.mode), Some(
       s"WITH b AS ($BH), c AS (SELECT name, t, value, count(*) AS cnt FROM b GROUP BY name, t, value) " +
-        "SELECT name, t, round(value, 6) AS value FROM c " +
+        "SELECT name, t, round(1e-9 + value, 6) AS value FROM c " +
         "QUALIFY row_number() OVER (PARTITION BY name, t ORDER BY cnt DESC, value ASC) = 1 " +
         "ORDER BY name, t")),
     Q("ro_mad", roH(Kernels.mad), Some(
       s"WITH b AS ($BH), m AS (SELECT name, t, quantile_cont(value, 0.5) AS med FROM b GROUP BY name, t) " +
-        "SELECT b.name AS name, b.t AS t, round(quantile_cont(abs(b.value - m.med), 0.5), 6) AS value " +
+        "SELECT b.name AS name, b.t AS t, round(1e-9 + quantile_cont(abs(b.value - m.med), 0.5), 6) AS value " +
         "FROM b JOIN m ON b.name = m.name AND b.t = m.t " +
         "GROUP BY b.name, b.t ORDER BY name, t")))
 
@@ -143,7 +150,7 @@ object SparkEntry {
     s"WITH b AS ($BD), d AS (SELECT name, user_id, t, tms, value, " +
       "lag(value) OVER (PARTITION BY name, user_id, t ORDER BY tms, value) AS pv, " +
       "lag(tms) OVER (PARTITION BY name, user_id, t ORDER BY tms, value) AS ptms FROM b) " +
-      s"SELECT name, user_id, t, round($agg, 6) AS value FROM d " +
+      s"SELECT name, user_id, t, round(1e-9 + $agg, 6) AS value FROM d " +
       "GROUP BY name, user_id, t ORDER BY name, user_id, t"
 
   /** daily-bucket CTE with ts-ordered value/tms lists (1-based indexing) */
@@ -151,7 +158,7 @@ object SparkEntry {
     s"WITH b AS ($BD), l AS (SELECT name, user_id, t, " +
       "list(value ORDER BY tms, value) AS vs, list(tms ORDER BY tms, value) AS ts " +
       "FROM b GROUP BY name, user_id, t) " +
-      s"SELECT name, user_id, t, round($valueExpr, 6) AS value FROM l " +
+      s"SELECT name, user_id, t, round(1e-9 + $valueExpr, 6) AS value FROM l " +
       "ORDER BY name, user_id, t"
 
   /** hourly rollup by name with an arbitrary lookback window (sliding) */
@@ -168,7 +175,7 @@ object SparkEntry {
     s"WITH g AS (SELECT unnest(generate_series($START, $END, $H)) AS t), " +
       "b AS (SELECT event_type AS name, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
       s"j AS (SELECT name, t, tms, value FROM g JOIN b ON b.tms > g.t - $windowMs AND b.tms <= g.t) " +
-      s"SELECT name, t, round($agg, 6) AS value FROM j GROUP BY name, t ORDER BY name, t"
+      s"SELECT name, t, round(1e-9 + $agg, 6) AS value FROM j GROUP BY name, t ORDER BY name, t"
 
   private val increaseSql =
     "sum(CASE WHEN pv IS NULL THEN 0 WHEN value >= pv THEN value - pv ELSE value END)"
@@ -218,7 +225,7 @@ object SparkEntry {
         "b AS (SELECT event_type AS name, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
         s"j AS (SELECT name, t, tms, value FROM g JOIN b ON b.tms > g.t - ${6 * H} AND b.tms <= g.t), " +
         "d AS (SELECT name, t, value, lag(value) OVER (PARTITION BY name, t ORDER BY tms, value) AS pv FROM j) " +
-        s"SELECT name, t, round($increaseSql, 6) AS value FROM d GROUP BY name, t ORDER BY name, t")),
+        s"SELECT name, t, round(1e-9 + $increaseSql, 6) AS value FROM d GROUP BY name, t ORDER BY name, t")),
     // fan-out rollups
     Q("ro_candlestick", (s, dir) =>
       Rollup.candlestick(ev(s, dir), Seq("name"), gridH, H)
@@ -227,7 +234,7 @@ object SparkEntry {
       Some(s"WITH b AS ($BH), w AS (SELECT name, t, " +
         "first(value ORDER BY tms, value) AS open, last(value ORDER BY tms, value) AS close, " +
         "min(value) AS low, max(value) AS high FROM b GROUP BY name, t) " +
-        "SELECT name, t, r AS rollup, round(v, 6) AS value FROM (" +
+        "SELECT name, t, r AS rollup, round(1e-9 + v, 6) AS value FROM (" +
         "SELECT name, t, 'open' AS r, open AS v FROM w UNION ALL " +
         "SELECT name, t, 'close', close FROM w UNION ALL " +
         "SELECT name, t, 'low', low FROM w UNION ALL " +
@@ -238,7 +245,7 @@ object SparkEntry {
         .select(col("name"), col("t"), col("rollup"), r6(col("value")).as("value"))
         .orderBy("name", "t", "rollup"),
       Some(s"WITH b AS ($BH), w AS (SELECT name, t, avg(value) AS a, max(value) AS m FROM b GROUP BY name, t) " +
-        "SELECT name, t, r AS rollup, round(v, 6) AS value FROM (" +
+        "SELECT name, t, r AS rollup, round(1e-9 + v, 6) AS value FROM (" +
         "SELECT name, t, 'avg' AS r, a AS v FROM w UNION ALL " +
         "SELECT name, t, 'max', m FROM w) ORDER BY name, t, rollup")),
     Q("ro_quantiles_over_time", (s, dir) =>
@@ -247,14 +254,14 @@ object SparkEntry {
         .orderBy("name", "t", "phi"),
       Some(s"WITH b AS ($BH), w AS (SELECT name, t, quantile_cont(value, 0.5) AS q5, " +
         "quantile_cont(value, 0.9) AS q9 FROM b GROUP BY name, t) " +
-        "SELECT name, t, phi, round(v, 6) AS value FROM (" +
+        "SELECT name, t, phi, round(1e-9 + v, 6) AS value FROM (" +
         "SELECT name, t, '0.5' AS phi, q5 AS v FROM w UNION ALL " +
         "SELECT name, t, '0.9', q9 FROM w) ORDER BY name, t, phi")),
     Q("ro_count_values_over_time", (s, dir) =>
       Rollup.countValuesOverTime(ev(s, dir), Seq("name"), gridH, H)
         .select(col("name"), col("t"), r6(col("value")).as("value"), col("cnt"))
         .orderBy("name", "t", "value"),
-      Some(s"WITH b AS ($BH) SELECT name, t, round(value, 6) AS value, count(*)::DOUBLE AS cnt " +
+      Some(s"WITH b AS ($BH) SELECT name, t, round(1e-9 + value, 6) AS value, count(*)::DOUBLE AS cnt " +
         "FROM b GROUP BY name, t, value ORDER BY name, t, value")),
     Q("ro_histogram_over_time", (s, dir) =>
       Rollup.histogramOverTime(ev(s, dir), Seq("name"), gridH, H)
@@ -282,8 +289,406 @@ object SparkEntry {
       Some(s"WITH g AS (SELECT unnest(generate_series($START, $END, $H)) AS t), " +
         "b AS (SELECT event_type AS name, user_id, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
         s"j AS (SELECT name, user_id, t, tms, value FROM g JOIN b ON b.tms > g.t - ${2 * H} AND b.tms <= g.t) " +
-        "SELECT name, user_id, t, round(last(value ORDER BY tms, value), 6) AS value FROM j " +
+        "SELECT name, user_id, t, round(1e-9 + last(value ORDER BY tms, value), 6) AS value FROM j " +
         "GROUP BY name, user_id, t ORDER BY name, user_id, t")))
+
+  // =====================================================================
+  // §2.3 transform functions — inputs are round-6 hourly/daily grids so
+  // both engines transform bit-identical values
+  // =====================================================================
+  /** hourly avg grid by name (rounded) — the transform-family input */
+  private def gHavg(s: SparkSession, dir: String): DataFrame =
+    Rollup.rollup(ev(s, dir), Seq("name"), gridH, H, Kernels.avg)
+      .select(col("name"), col("t"), r6(col("value")).as("value"))
+
+  /** daily per-user avg grid (rounded) — the aggregate-family input */
+  private def gDavg(s: SparkSession, dir: String): DataFrame =
+    Rollup.rollup(ev(s, dir), Seq("name", "user_id"), gridD, D, Kernels.avg)
+      .select(col("name"), col("user_id"), col("t"), r6(col("value")).as("value"))
+
+  private val GH =
+    s"WITH b AS ($BH), gdf AS (SELECT name, t, round(1e-9 + avg(value), 6) AS value FROM b GROUP BY name, t)"
+  private val GD =
+    s"WITH b AS ($BD), gdf AS (SELECT name, user_id, t, round(1e-9 + avg(value), 6) AS value " +
+      "FROM b GROUP BY name, user_id, t)"
+  private val WR =
+    "(PARTITION BY name ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+  private val WW =
+    "(PARTITION BY name ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+
+  private def trOut(df: DataFrame): DataFrame =
+    df.select(col("name"), col("t"), r6(col("value")).as("value")).orderBy("name", "t")
+
+  private val transformQueries: Seq[Q] = Seq(
+    // pointwise math catalog (transform.go:25-130) in one projection
+    Q("tr_math", (s, dir) =>
+      gHavg(s, dir).select(
+        col("name"), col("t"),
+        r6(abs(col("value") - 100)).as("abs_v"),
+        ceil(col("value")).cast("double").as("ceil_v"),
+        floor(col("value")).cast("double").as("floor_v"),
+        r6(sqrt(col("value"))).as("sqrt_v"),
+        r6(log(col("value"))).as("ln_v"),
+        r6(log2(col("value"))).as("log2_v"),
+        r6(log10(col("value"))).as("log10_v"),
+        r6(exp(col("value") / 100)).as("exp_v"),
+        signum(col("value") - 100).as("sgn_v"),
+        round(col("value") + lit(1e-9), 0).as("round_v"),
+        r6(Transform.clamp(col("value"), 50, 150)).as("clamp_v"))
+        .orderBy("name", "t"),
+      Some(s"$GH SELECT name, t, round(1e-9 + abs(value - 100), 6) AS abs_v, ceil(value) AS ceil_v, " +
+        "floor(value) AS floor_v, round(1e-9 + sqrt(value), 6) AS sqrt_v, round(1e-9 + ln(value), 6) AS ln_v, " +
+        "round(1e-9 + log2(value), 6) AS log2_v, round(1e-9 + log10(value), 6) AS log10_v, " +
+        "round(1e-9 + exp(value / 100), 6) AS exp_v, sign(value - 100)::DOUBLE AS sgn_v, " +
+        "round(1e-9 + value, 0) AS round_v, round(1e-9 + least(greatest(value, 50), 150), 6) AS clamp_v " +
+        "FROM gdf ORDER BY name, t")),
+    Q("tr_trig", (s, dir) =>
+      gHavg(s, dir).select(
+        col("name"), col("t"),
+        r6(sin(col("value"))).as("sin_v"),
+        r6(cos(col("value"))).as("cos_v"),
+        r6(atan(col("value"))).as("atan_v"),
+        r6(asin(col("value") % 1.0)).as("asin_v"),
+        r6(acos(col("value") % 1.0)).as("acos_v"),
+        r6(degrees(col("value"))).as("deg_v"),
+        r6(radians(col("value"))).as("rad_v"),
+        r6((exp(col("value") / 500) - exp(-col("value") / 500)) / 2).as("sinh_v"))
+        .orderBy("name", "t"),
+      Some(s"$GH SELECT name, t, round(1e-9 + sin(value), 6) AS sin_v, round(1e-9 + cos(value), 6) AS cos_v, " +
+        "round(1e-9 + atan(value), 6) AS atan_v, round(1e-9 + asin(value % 1.0), 6) AS asin_v, " +
+        "round(1e-9 + acos(value % 1.0), 6) AS acos_v, round(1e-9 + degrees(value), 6) AS deg_v, " +
+        "round(1e-9 + radians(value), 6) AS rad_v, " +
+        "round(1e-9 + (exp(value / 500) - exp(-value / 500)) / 2, 6) AS sinh_v " +
+        "FROM gdf ORDER BY name, t")),
+    Q("tr_datetime", (s, dir) =>
+      gHavg(s, dir).select(
+        col("name"), col("t"),
+        Transform.dayOfMonth(col("t")).as("dom_v"),
+        Transform.dayOfWeek(col("t")).as("dow_v"),
+        Transform.dayOfYear(col("t")).as("doy_v"),
+        Transform.daysInMonth(col("t")).as("dim_v"),
+        Transform.hourOf(col("t")).as("hour_v"),
+        Transform.monthOf(col("t")).as("month_v"),
+        Transform.yearOf(col("t")).as("year_v"))
+        .orderBy("name", "t"),
+      Some(s"$GH SELECT name, t, day(make_timestamp(t * 1000))::DOUBLE AS dom_v, " +
+        "dayofweek(make_timestamp(t * 1000))::DOUBLE AS dow_v, " +
+        "dayofyear(make_timestamp(t * 1000))::DOUBLE AS doy_v, " +
+        "day(last_day(make_timestamp(t * 1000)))::DOUBLE AS dim_v, " +
+        "hour(make_timestamp(t * 1000))::DOUBLE AS hour_v, " +
+        "month(make_timestamp(t * 1000))::DOUBLE AS month_v, " +
+        "year(make_timestamp(t * 1000))::DOUBLE AS year_v " +
+        "FROM gdf ORDER BY name, t")),
+    Q("tr_bitmap", (s, dir) => {
+      val iv = floor(col("value")).cast("long")
+      gHavg(s, dir).select(
+        col("name"), col("t"),
+        iv.bitwiseAND(lit(255L)).cast("double").as("and_v"),
+        iv.bitwiseOR(lit(255L)).cast("double").as("or_v"),
+        iv.bitwiseXOR(lit(255L)).cast("double").as("xor_v"))
+        .orderBy("name", "t")
+    }, Some(s"$GH SELECT name, t, (floor(value)::BIGINT & 255)::DOUBLE AS and_v, " +
+      "(floor(value)::BIGINT | 255)::DOUBLE AS or_v, " +
+      "xor(floor(value)::BIGINT, 255)::DOUBLE AS xor_v FROM gdf ORDER BY name, t")),
+    Q("tr_running_sum", (s, dir) => trOut(Transform.runningSum(gHavg(s, dir), Seq("name"))),
+      Some(s"$GH SELECT name, t, round(1e-9 + sum(value) OVER $WR, 6) AS value FROM gdf ORDER BY name, t")),
+    // running/derived averages round to 4: the 6th decimal can sit on a
+    // half-ulp boundary that engine summation order flips
+    Q("tr_running_avg", (s, dir) =>
+      Transform.runningAvg(gHavg(s, dir), Seq("name"))
+        .select(col("name"), col("t"), r4(col("value")).as("value")).orderBy("name", "t"),
+      Some(s"$GH SELECT name, t, round(1e-9 + avg(value) OVER $WR, 4) AS value FROM gdf ORDER BY name, t")),
+    Q("tr_running_min", (s, dir) => trOut(Transform.runningMin(gHavg(s, dir), Seq("name"))),
+      Some(s"$GH SELECT name, t, round(1e-9 + min(value) OVER $WR, 6) AS value FROM gdf ORDER BY name, t")),
+    Q("tr_running_max", (s, dir) => trOut(Transform.runningMax(gHavg(s, dir), Seq("name"))),
+      Some(s"$GH SELECT name, t, round(1e-9 + max(value) OVER $WR, 6) AS value FROM gdf ORDER BY name, t")),
+    Q("tr_range_stats", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("name")
+      gHavg(s, dir).select(
+        col("name"), col("t"),
+        r6(avg("value").over(w)).as("range_avg"),
+        r6(sum("value").over(w)).as("range_sum"),
+        r6(min("value").over(w)).as("range_min"),
+        r6(max("value").over(w)).as("range_max"))
+        .orderBy("name", "t")
+    }, Some(s"$GH SELECT name, t, round(1e-9 + avg(value) OVER $WW, 6) AS range_avg, " +
+      s"round(1e-9 + sum(value) OVER $WW, 6) AS range_sum, round(1e-9 + min(value) OVER $WW, 6) AS range_min, " +
+      s"round(1e-9 + max(value) OVER $WW, 6) AS range_max FROM gdf ORDER BY name, t")),
+    Q("tr_range_first_last", (s, dir) => {
+      val f = Transform.rangeFirst(gHavg(s, dir), Seq("name")).withColumnRenamed("value", "first_v")
+      // recompute last on the original grid: rangeFirst replaced `value`
+      val g = gHavg(s, dir)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("name").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      g.select(
+        col("name"), col("t"),
+        r6(first("value").over(w)).as("first_v"),
+        r6(last("value").over(w)).as("last_v"))
+        .orderBy("name", "t")
+    }, Some(s"$GH SELECT name, t, round(1e-9 + first_value(value) OVER $WW, 6) AS first_v, " +
+      s"round(1e-9 + last_value(value) OVER $WW, 6) AS last_v FROM gdf ORDER BY name, t")),
+    Q("tr_range_normalize", (s, dir) => trOut(Transform.rangeNormalize(gHavg(s, dir), Seq("name"))),
+      Some(s"$GH SELECT name, t, round(1e-9 + CASE WHEN max(value) OVER $WW > min(value) OVER $WW THEN " +
+        s"(value - min(value) OVER $WW) / (max(value) OVER $WW - min(value) OVER $WW) END, 6) AS value " +
+        "FROM gdf ORDER BY name, t")),
+    Q("tr_range_zscore", (s, dir) => trOut(Transform.rangeZscore(gHavg(s, dir), Seq("name"))),
+      Some(s"$GH SELECT name, t, round(1e-9 + CASE WHEN stddev_pop(value) OVER $WW > 0 THEN " +
+        s"(value - avg(value) OVER $WW) / stddev_pop(value) OVER $WW END, 6) AS value " +
+        "FROM gdf ORDER BY name, t")),
+    Q("tr_range_quantile", (s, dir) => trOut(Transform.rangeQuantile(gHavg(s, dir), Seq("name"), 0.75)),
+      Some(s"$GH SELECT name, t, round(1e-9 + quantile_cont(value, 0.75) OVER $WW, 6) AS value " +
+        "FROM gdf ORDER BY name, t")),
+    Q("tr_range_linreg", (s, dir) => trOut(Transform.rangeLinearRegression(gHavg(s, dir), Seq("name"))),
+      Some(s"$GH, gx AS (SELECT name, t, value, " +
+        "(t - min(t) OVER (PARTITION BY name)) / 1000.0 AS x FROM gdf) " +
+        "SELECT name, t, round(1e-9 + regr_intercept(value, x) OVER w + regr_slope(value, x) OVER w * x, 6) AS value " +
+        "FROM gx WINDOW w AS (PARTITION BY name ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY name, t")),
+    Q("tr_remove_resets", (s, dir) => trOut(Transform.removeResets(gHavg(s, dir), Seq("name"))),
+      Some(s"$GH, d AS (SELECT name, t, value, lag(value) OVER (PARTITION BY name ORDER BY t) AS pv FROM gdf), " +
+        "c AS (SELECT name, t, CASE WHEN pv IS NULL THEN value WHEN value >= pv THEN value - pv ELSE value END AS dv FROM d) " +
+        s"SELECT name, t, round(1e-9 + sum(dv) OVER $WR, 6) AS value FROM c ORDER BY name, t")),
+    Q("tr_keep_last_value", (s, dir) =>
+      Transform.keepLastValue(gHavg(s, dir), Seq("name"), gridH)
+        .select(col("name"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "t"),
+      Some(s"$GH, names AS (SELECT DISTINCT name FROM gdf), " +
+        s"g AS (SELECT names.name, gs.t FROM names, (SELECT unnest(generate_series($START, $END, $H)) AS t) gs), " +
+        "d AS (SELECT g.name AS name, g.t AS t, gdf.value AS v FROM g LEFT JOIN gdf ON g.name = gdf.name AND g.t = gdf.t) " +
+        s"SELECT name, t, round(1e-9 + last_value(v IGNORE NULLS) OVER $WR, 6) AS value FROM d ORDER BY name, t")),
+    Q("tr_interpolate", (s, dir) =>
+      Transform.interpolate(gHavg(s, dir), Seq("name"), gridH)
+        .select(col("name"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "t"),
+      Some(s"$GH, names AS (SELECT DISTINCT name FROM gdf), " +
+        s"g AS (SELECT names.name, gs.t FROM names, (SELECT unnest(generate_series($START, $END, $H)) AS t) gs), " +
+        "d AS (SELECT g.name AS name, g.t AS t, gdf.value AS v FROM g LEFT JOIN gdf ON g.name = gdf.name AND g.t = gdf.t), " +
+        "e AS (SELECT name, t, v, " +
+        "last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wb AS pt, " +
+        "last_value(v IGNORE NULLS) OVER wb AS pvv, " +
+        "first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS) OVER wf AS nt, " +
+        "first_value(v IGNORE NULLS) OVER wf AS nv FROM d " +
+        "WINDOW wb AS (PARTITION BY name ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), " +
+        "wf AS (PARTITION BY name ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) " +
+        "SELECT name, t, round(1e-9 + CASE WHEN v IS NOT NULL THEN v " +
+        "WHEN pvv IS NOT NULL AND nv IS NOT NULL THEN pvv + (nv - pvv) * (t - pt) / (nt - pt) " +
+        "WHEN pvv IS NOT NULL THEN pvv ELSE nv END, 6) AS value FROM e ORDER BY name, t")),
+    Q("tr_limit_offset", (s, dir) =>
+      Transform.limitOffset(gDavg(s, dir), Seq("name", "user_id"), 3, 2)
+        .select(col("name"), col("user_id"), col("t"), col("value"))
+        .orderBy("name", "user_id", "t"),
+      Some(s"$GD, w AS (SELECT DISTINCT name, user_id FROM gdf ORDER BY name, user_id LIMIT 3 OFFSET 2) " +
+        "SELECT gdf.name AS name, gdf.user_id AS user_id, t, value FROM gdf " +
+        "JOIN w USING (name, user_id) ORDER BY name, user_id, t")),
+    // label ops on the schemaless tags map (§2.3 label family / §2.8 relabel)
+    Q("tr_series_key", (s, dir) => {
+      val tagged = Labels.labelSet(Samples.fromEvents(s, dir), "env" -> "prod")
+      tagged.select(Samples.seriesKey(col("name"), col("tags")).as("sk")).distinct().orderBy("sk")
+    }, Some("SELECT DISTINCT event_type || '{env=prod,user_id=' || user_id::VARCHAR || '}' AS sk " +
+      "FROM events ORDER BY sk")),
+    Q("tr_label_replace", (s, dir) => {
+      val relabeled = Labels.labelReplace(Samples.fromEvents(s, dir), "host", "u$1", "user_id", "(.*)")
+      relabeled.select(col("name"), col("tags").getItem("host").as("host")).distinct()
+        .orderBy("name", "host")
+    }, Some("SELECT DISTINCT event_type AS name, 'u' || user_id::VARCHAR AS host FROM events " +
+      "ORDER BY name, host")))
+
+  // =====================================================================
+  // §2.4 aggregate functions — across series (users) per grid point
+  // =====================================================================
+  private val aggrQueries: Seq[Q] = Seq(
+    Q("ag_basic", (s, dir) =>
+      gDavg(s, dir).groupBy("name", "t").agg(
+        r4(sum("value")).as("sum_v"),
+        r6(min("value")).as("min_v"),
+        r6(max("value")).as("max_v"),
+        r4(avg("value")).as("avg_v"),
+        count("value").cast("double").as("count_v"),
+        r4(stddev_pop(col("value"))).as("stddev_v"),
+        r4(var_pop(col("value"))).as("stdvar_v"),
+        r4(sum(col("value") * col("value"))).as("sum2_v"),
+        r4(exp(avg(log(col("value"))))).as("geomean_v"),
+        size(collect_set(col("value"))).cast("double").as("distinct_v"),
+        r6(percentile(col("value"), lit(0.5))).as("median_v"),
+        r6(percentile(col("value"), lit(0.9))).as("q90_v"))
+        .orderBy("name", "t"),
+      Some(s"$GD SELECT name, t, round(1e-9 + sum(value), 4) AS sum_v, round(1e-9 + min(value), 6) AS min_v, " +
+        "round(1e-9 + max(value), 6) AS max_v, round(1e-9 + avg(value), 4) AS avg_v, count(value)::DOUBLE AS count_v, " +
+        "round(1e-9 + stddev_pop(value), 4) AS stddev_v, round(1e-9 + var_pop(value), 4) AS stdvar_v, " +
+        "round(1e-9 + sum(value*value), 4) AS sum2_v, round(1e-9 + exp(avg(ln(value))), 4) AS geomean_v, " +
+        "count(DISTINCT value)::DOUBLE AS distinct_v, round(1e-9 + quantile_cont(value, 0.5), 6) AS median_v, " +
+        "round(1e-9 + quantile_cont(value, 0.9), 6) AS q90_v FROM gdf GROUP BY name, t ORDER BY name, t")),
+    Q("ag_mode", (s, dir) =>
+      Aggr.modeA(gDavg(s, dir).drop("user_id"), Seq("name")).orderBy("name", "t"),
+      Some(s"$GD, c AS (SELECT name, t, value, count(*) AS cnt FROM gdf GROUP BY name, t, value) " +
+        "SELECT name, t, value FROM c " +
+        "QUALIFY row_number() OVER (PARTITION BY name, t ORDER BY cnt DESC, value ASC) = 1 " +
+        "ORDER BY name, t")),
+    Q("ag_count_values", (s, dir) =>
+      Aggr.countValues(gDavg(s, dir).drop("user_id"), Seq("name"))
+        .select(col("name"), col("t"), col("value_label"), col("value"))
+        .orderBy("name", "t", "value_label"),
+      Some(s"$GD SELECT name, t, value AS value_label, count(*)::DOUBLE AS value FROM gdf " +
+        "GROUP BY name, t, value_label ORDER BY name, t, value_label")),
+    Q("ag_share", (s, dir) =>
+      Aggr.share(gDavg(s, dir), Seq("name", "user_id"), Seq("name"))
+        .select(col("name"), col("user_id"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t"),
+      Some(s"$GD SELECT name, user_id, t, round(1e-9 + value / sum(value) OVER (PARTITION BY name, t), 6) AS value " +
+        "FROM gdf ORDER BY name, user_id, t")),
+    Q("ag_zscore", (s, dir) =>
+      Aggr.zscoreA(gDavg(s, dir), Seq("name"))
+        .select(col("name"), col("user_id"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t"),
+      Some(s"$GD SELECT name, user_id, t, round(1e-9 + CASE WHEN stddev_pop(value) OVER w > 0 THEN " +
+        "(value - avg(value) OVER w) / stddev_pop(value) OVER w END, 6) AS value FROM gdf " +
+        "WINDOW w AS (PARTITION BY name, t) ORDER BY name, user_id, t")),
+    Q("ag_topk", (s, dir) =>
+      Aggr.topk(gDavg(s, dir), Seq("user_id"), Seq("name"), 3)
+        .select(col("name"), col("user_id"), col("t"), col("value"))
+        .orderBy("name", "user_id", "t"),
+      Some(s"$GD SELECT name, user_id, t, value FROM gdf " +
+        "QUALIFY row_number() OVER (PARTITION BY name, t ORDER BY value DESC, user_id ASC) <= 3 " +
+        "ORDER BY name, user_id, t")),
+    Q("ag_bottomk", (s, dir) =>
+      Aggr.bottomk(gDavg(s, dir), Seq("user_id"), Seq("name"), 3)
+        .select(col("name"), col("user_id"), col("t"), col("value"))
+        .orderBy("name", "user_id", "t"),
+      Some(s"$GD SELECT name, user_id, t, value FROM gdf " +
+        "QUALIFY row_number() OVER (PARTITION BY name, t ORDER BY value ASC, user_id ASC) <= 3 " +
+        "ORDER BY name, user_id, t")),
+    Q("ag_topk_avg", (s, dir) =>
+      Aggr.topkStat(gDavg(s, dir), Seq("name", "user_id"), Seq("name"), 3, avg(col("value")))
+        .select(col("name"), col("user_id"), col("t"), col("value"))
+        .orderBy("name", "user_id", "t"),
+      Some(s"$GD, w AS (SELECT name, user_id FROM (SELECT name, user_id, avg(value) AS s FROM gdf GROUP BY name, user_id) " +
+        "QUALIFY row_number() OVER (PARTITION BY name ORDER BY s DESC, name ASC, user_id ASC) <= 3) " +
+        "SELECT gdf.name AS name, gdf.user_id AS user_id, t, value FROM gdf JOIN w USING (name, user_id) " +
+        "ORDER BY name, user_id, t")),
+    Q("ag_outliers_iqr", (s, dir) =>
+      Aggr.outliersIqr(gDavg(s, dir), Seq("name", "user_id"), Seq("name"))
+        .select(col("name"), col("user_id"), col("t"), col("value"))
+        .orderBy("name", "user_id", "t"),
+      Some(s"$GD, st AS (SELECT name, user_id, quantile_cont(value, 0.5) AS med FROM gdf GROUP BY name, user_id), " +
+        "f AS (SELECT name, quantile_cont(med, 0.25) AS q25, quantile_cont(med, 0.75) AS q75 FROM st GROUP BY name), " +
+        "o AS (SELECT st.name, st.user_id FROM st JOIN f ON st.name = f.name " +
+        "WHERE st.med < f.q25 - (f.q75 - f.q25) * 1.5 OR st.med > f.q75 + (f.q75 - f.q25) * 1.5) " +
+        "SELECT gdf.name AS name, gdf.user_id AS user_id, t, value FROM gdf " +
+        "JOIN o ON gdf.name = o.name AND gdf.user_id = o.user_id ORDER BY name, user_id, t")),
+    Q("ag_histogram", (s, dir) =>
+      Aggr.histogram(gDavg(s, dir), Seq("name"))
+        .select(col("name"), col("t"), col("vmrange"), col("value"))
+        .orderBy("name", "t", "vmrange"),
+      Some(s"$GD SELECT name, t, floor(log10(value) * 18)::BIGINT AS vmrange, count(*)::DOUBLE AS value " +
+        "FROM gdf GROUP BY name, t, vmrange ORDER BY name, t, vmrange")),
+    // limitk is hash-ordered (aggr.go:1108) — hash differs from DuckDB's,
+    // so it gets the weaker rows-only check
+    Q("ag_limitk", (s, dir) =>
+      Aggr.limitk(gDavg(s, dir), Seq("name", "user_id"), Seq("name"), 5)
+        .orderBy("name", "user_id", "t"),
+      None))
+
+  // =====================================================================
+  // §2.5 binary operators — vector matching between purchase and click
+  // =====================================================================
+  /** hourly rounded grids for two selectors, matched on t */
+  private def selH(s: SparkSession, dir: String, nm: String): DataFrame =
+    gHavg(s, dir).filter(col("name") === nm).drop("name")
+  private def selD(s: SparkSession, dir: String, nm: String): DataFrame =
+    gDavg(s, dir).filter(col("name") === nm).drop("name")
+
+  private val AB =
+    s"$GH, a AS (SELECT t, value AS lv FROM gdf WHERE name = 'purchase'), " +
+      "bb AS (SELECT t, value AS rv FROM gdf WHERE name = 'click')"
+  private val ABD =
+    s"$GD, a AS (SELECT user_id, t, value AS lv FROM gdf WHERE name = 'purchase'), " +
+      "bb AS (SELECT user_id, t, value AS rv FROM gdf WHERE name = 'click')"
+
+  private val binopQueries: Seq[Q] = Seq(
+    Q("bi_arith", (s, dir) => {
+      val m = BinOp.matched(selH(s, dir, "purchase"), selH(s, dir, "click"), Seq.empty)
+      m.select(
+        col("t"),
+        r4(col("lv") + col("rv")).as("add_v"),
+        r4(col("lv") - col("rv")).as("sub_v"),
+        r4(col("lv") * col("rv")).as("mul_v"),
+        r4(col("lv") / col("rv")).as("div_v"),
+        r4(col("lv") % col("rv")).as("mod_v"),
+        r4(pow(col("lv") / 100, col("rv") / 100)).as("pow_v"),
+        r4(atan2(col("lv"), col("rv"))).as("atan2_v"))
+        .orderBy("t")
+    }, Some(s"$AB SELECT t, round(1e-9 + lv + rv, 4) AS add_v, round(1e-9 + lv - rv, 4) AS sub_v, " +
+      "round(1e-9 + lv * rv, 4) AS mul_v, round(1e-9 + lv / rv, 4) AS div_v, round(1e-9 + fmod(lv, rv), 4) AS mod_v, " +
+      "round(1e-9 + pow(lv / 100, rv / 100), 4) AS pow_v, round(1e-9 + atan2(lv, rv), 4) AS atan2_v " +
+      "FROM a JOIN bb USING (t) ORDER BY t")),
+    Q("bi_cmp_filter", (s, dir) =>
+      BinOp.cmpFilter(selH(s, dir, "purchase"), selH(s, dir, "click"), Seq.empty, _ > _)
+        .select(col("t"), col("value")).orderBy("t"),
+      Some(s"$AB SELECT t, lv AS value FROM a JOIN bb USING (t) WHERE lv > rv ORDER BY t")),
+    Q("bi_cmp_bool", (s, dir) => {
+      val m = BinOp.matched(selH(s, dir, "purchase"), selH(s, dir, "click"), Seq.empty)
+      m.select(
+        col("t"),
+        (col("lv") === col("rv")).cast("double").as("eq_v"),
+        (col("lv") =!= col("rv")).cast("double").as("ne_v"),
+        (col("lv") > col("rv")).cast("double").as("gt_v"),
+        (col("lv") < col("rv")).cast("double").as("lt_v"),
+        (col("lv") >= col("rv")).cast("double").as("ge_v"),
+        (col("lv") <= col("rv")).cast("double").as("le_v"))
+        .orderBy("t")
+    }, Some(s"$AB SELECT t, (lv = rv)::INT::DOUBLE AS eq_v, (lv != rv)::INT::DOUBLE AS ne_v, " +
+      "(lv > rv)::INT::DOUBLE AS gt_v, (lv < rv)::INT::DOUBLE AS lt_v, " +
+      "(lv >= rv)::INT::DOUBLE AS ge_v, (lv <= rv)::INT::DOUBLE AS le_v " +
+      "FROM a JOIN bb USING (t) ORDER BY t")),
+    Q("bi_and", (s, dir) =>
+      BinOp.and(selD(s, dir, "purchase"), selD(s, dir, "click"), Seq("user_id"))
+        .select(col("user_id"), col("t"), col("value")).orderBy("user_id", "t"),
+      Some(s"$ABD SELECT user_id, t, lv AS value FROM a " +
+        "WHERE EXISTS (SELECT 1 FROM bb WHERE bb.user_id = a.user_id AND bb.t = a.t) " +
+        "ORDER BY user_id, t")),
+    Q("bi_unless", (s, dir) =>
+      BinOp.unless(selD(s, dir, "purchase"), selD(s, dir, "click"), Seq("user_id"))
+        .select(col("user_id"), col("t"), col("value")).orderBy("user_id", "t"),
+      Some(s"$ABD SELECT user_id, t, lv AS value FROM a " +
+        "WHERE NOT EXISTS (SELECT 1 FROM bb WHERE bb.user_id = a.user_id AND bb.t = a.t) " +
+        "ORDER BY user_id, t")),
+    Q("bi_or", (s, dir) =>
+      BinOp.or(selD(s, dir, "purchase"), selD(s, dir, "click"), Seq("user_id"))
+        .select(col("user_id"), col("t"), col("value")).orderBy("user_id", "t"),
+      Some(s"$ABD SELECT user_id, t, lv AS value FROM a " +
+        "UNION ALL SELECT user_id, t, rv AS value FROM bb " +
+        "WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.user_id = bb.user_id AND a.t = bb.t) " +
+        "ORDER BY user_id, t")),
+    Q("bi_default", (s, dir) =>
+      BinOp.default(selD(s, dir, "purchase"), selD(s, dir, "click"), Seq("user_id"))
+        .select(col("user_id"), col("t"), col("value")).orderBy("user_id", "t"),
+      Some(s"$ABD SELECT coalesce(a.user_id, bb.user_id) AS user_id, coalesce(a.t, bb.t) AS t, " +
+        "coalesce(lv, rv) AS value FROM a FULL OUTER JOIN bb ON a.user_id = bb.user_id AND a.t = bb.t " +
+        "ORDER BY user_id, t")),
+    Q("bi_group_left", (s, dir) => {
+      val perUser = selD(s, dir, "purchase")
+      val totals = gDavg(s, dir).filter(col("name") === "purchase")
+        .groupBy("t").agg(r6(sum("value")).as("value"))
+      BinOp.groupLeft(perUser, totals, Seq.empty, Seq.empty, (l, r) => r6(l / r))
+        .select(col("user_id"), col("t"), col("value")).orderBy("user_id", "t")
+    }, Some(s"$GD, a AS (SELECT user_id, t, value AS lv FROM gdf WHERE name = 'purchase'), " +
+      "tot AS (SELECT t, round(1e-9 + sum(value), 6) AS rv FROM gdf WHERE name = 'purchase' GROUP BY t) " +
+      "SELECT user_id, t, round(1e-9 + lv / rv, 6) AS value FROM a JOIN tot USING (t) ORDER BY user_id, t")),
+    Q("bi_fill", (s, dir) =>
+      BinOp.withFill(selD(s, dir, "purchase"), selD(s, dir, "click"), Seq("user_id"),
+        Some(0.0), Some(0.0), (l, r) => r6(l + r))
+        .select(col("user_id"), col("t"), col("value")).orderBy("user_id", "t"),
+      Some(s"$ABD SELECT coalesce(a.user_id, bb.user_id) AS user_id, coalesce(a.t, bb.t) AS t, " +
+        "round(1e-9 + coalesce(lv, 0) + coalesce(rv, 0), 6) AS value FROM a FULL OUTER JOIN bb " +
+        "ON a.user_id = bb.user_id AND a.t = bb.t ORDER BY user_id, t")),
+    Q("bi_in", (s, dir) =>
+      selH(s, dir, "purchase")
+        .filter((floor(col("value")).cast("long") % 10).isin(1L, 2L, 3L))
+        .select(col("t"), col("value")).orderBy("t"),
+      Some(s"$GH SELECT t, value FROM gdf WHERE name = 'purchase' " +
+        "AND (floor(value)::BIGINT % 10) IN (1, 2, 3) ORDER BY t")))
 
   // =====================================================================
   private val relationalQueries: Seq[Q] = Seq(
@@ -300,15 +705,15 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }, Some(
-      "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 6) AS sum_qty, " +
-        "round(sum(l_extendedprice), 6) AS sum_base_price, " +
-        "round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price, " +
-        "round(avg(l_quantity), 6) AS avg_qty, count(*) AS count_order " +
+      "SELECT l_returnflag, l_linestatus, round(1e-9 + sum(l_quantity), 6) AS sum_qty, " +
+        "round(1e-9 + sum(l_extendedprice), 6) AS sum_base_price, " +
+        "round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price, " +
+        "round(1e-9 + avg(l_quantity), 6) AS avg_qty, count(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
         "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")))
 
   // =====================================================================
-  private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ relationalQueries
+  private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ transformQueries ++ aggrQueries ++ binopQueries ++ relationalQueries
 
   /** Flagship: sum(rate(events[1d])) by (name) on the hourly grid —
     * the M1 end-to-end slice from SURVEY §7.2: per-(name,user) counter

@@ -112,13 +112,21 @@ object Transform {
   def rangeQuantile(df: DataFrame, keys: Seq[String], phi: Double): DataFrame =
     df.withColumn("value", percentile(col("value"), lit(phi)).over(wholeW(keys)))
 
-  /** range_linear_regression: per-series trend line — transform.go:1255 */
+  /** range_linear_regression: per-series trend line — transform.go:1255.
+    * x is centered on the series' first grid point (epoch-seconds x loses
+    * precision to cancellation in the normal equations).
+    */
   def rangeLinearRegression(df: DataFrame, keys: Seq[String]): DataFrame = {
     val w = wholeW(keys)
-    val x = col("t").cast(DoubleType) / 1000.0
-    val slope = regr_slope(col("value"), x).over(w)
-    val icept = regr_intercept(col("value"), x).over(w)
-    df.withColumn("value", icept + slope * x)
+    // x materialized first: window expressions cannot nest
+    val withX = df.withColumn(
+      "_x", (col("t") - min("t").over(series(keys))).cast(DoubleType) / 1000.0)
+    withX
+      .withColumn(
+        "value",
+        regr_intercept(col("value"), col("_x")).over(w) +
+          regr_slope(col("value"), col("_x")).over(w) * col("_x"))
+      .drop("_x")
   }
 
   /** remove_resets — running counter-reset removal (transform.go:108,
@@ -160,7 +168,6 @@ object Transform {
     val dense = Grid.gridDf(df, grid).crossJoin(dims).join(df, keys :+ "t", "left")
     val back = series(keys).orderBy(col("t")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = series(keys).orderBy(col("t")).rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val pv = last(struct(col("t"), col("value")), ignoreNulls = false) // struct null iff value null? use conditional
     val prevS = last(when(col("value").isNotNull, struct(col("t").as("t"), col("value").as("v"))), ignoreNulls = true).over(back)
     val nextS = first(when(col("value").isNotNull, struct(col("t").as("t"), col("value").as("v"))), ignoreNulls = true).over(fwd)
     dense.withColumn(
