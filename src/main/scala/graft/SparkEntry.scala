@@ -691,6 +691,210 @@ object SparkEntry {
         "AND (floor(value)::BIGINT % 10) IN (1, 2, 3) ORDER BY t")))
 
   // =====================================================================
+  // §2.3 histogram family — buckets are families of series with an `le`
+  // label (SURVEY §1.1); quantile = Prometheus bucket interpolation
+  // =====================================================================
+  /** cumulative le-buckets from events: vmrange counts → prometheus_buckets */
+  private def buckets(s: SparkSession, dir: String): DataFrame =
+    HistogramQ.prometheusBuckets(
+      Rollup.histogramOverTime(ev(s, dir), Seq("name"), gridH, H), Seq("name"))
+
+  /** shared oracle CTE: cumulative buckets with lagged bounds */
+  private val HB =
+    s"WITH b AS ($BH), h AS (SELECT name, t, floor(log10(value) * 18)::BIGINT AS k, " +
+      "count(*)::DOUBLE AS c FROM b GROUP BY name, t, k), " +
+      "cb AS (SELECT name, t, pow(10, (k + 1) / 18.0) AS le, " +
+      "sum(c) OVER (PARTITION BY name, t ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h), " +
+      "tot AS (SELECT name, t, max(cum) AS total FROM cb GROUP BY name, t), " +
+      "j AS (SELECT cb.name AS name, cb.t AS t, le, cum, " +
+      "coalesce(lag(le) OVER (PARTITION BY cb.name, cb.t ORDER BY le), 0) AS plo, " +
+      "coalesce(lag(cum) OVER (PARTITION BY cb.name, cb.t ORDER BY le), 0) AS pc, total " +
+      "FROM cb JOIN tot ON cb.name = tot.name AND cb.t = tot.t)"
+
+  private val histoQueries: Seq[Q] = Seq(
+    Q("h_quantile", (s, dir) =>
+      HistogramQ.quantile(buckets(s, dir), Seq("name"), 0.95)
+        .select(col("name"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "t"),
+      Some(s"$HB SELECT name, t, round(1e-9 + plo + (le - plo) * " +
+        "CASE WHEN cum > pc THEN (0.95 * total - pc) / (cum - pc) ELSE 0 END, 6) AS value " +
+        "FROM j WHERE cum >= 0.95 * total AND pc < 0.95 * total ORDER BY name, t")),
+    Q("h_share", (s, dir) =>
+      HistogramQ.share(buckets(s, dir), Seq("name"), 100.0)
+        .select(col("name"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "t"),
+      Some(s"$HB, q AS (SELECT name, t, pc + (cum - pc) * " +
+        "least(CASE WHEN le > plo THEN (100.0 - plo) / (le - plo) ELSE 1 END, 1) AS cAt " +
+        "FROM j WHERE le >= 100.0 AND plo < 100.0) " +
+        "SELECT tot.name AS name, tot.t AS t, round(1e-9 + coalesce(q.cAt, tot.total) / tot.total, 6) AS value " +
+        "FROM tot LEFT JOIN q ON tot.name = q.name AND tot.t = q.t ORDER BY name, t")),
+    Q("h_avg", (s, dir) =>
+      HistogramQ.histAvg(buckets(s, dir), Seq("name"))
+        .select(col("name"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "t"),
+      Some(s"$HB SELECT name, t, round(1e-9 + sum((le + plo) / 2 * (cum - pc)) / sum(cum - pc), 6) AS value " +
+        "FROM j GROUP BY name, t ORDER BY name, t")))
+
+  // =====================================================================
+  // §2.9 metadata APIs — series/labels/cardinality
+  // =====================================================================
+  private val metaQueries: Seq[Q] = Seq(
+    // /api/v1/series: distinct series matching filters in a time range
+    Q("meta_series", (s, dir) =>
+      ev(s, dir)
+        .filter(col("name").rlike("^(click|view)$") &&
+          col("ts") > lit(START) && col("ts") <= lit(START + 15 * D))
+        .select("name", "user_id").distinct().orderBy("name", "user_id"),
+      Some("SELECT DISTINCT event_type AS name, user_id FROM events " +
+        "WHERE regexp_matches(event_type, '^(click|view)$') " +
+        s"AND epoch_ms(ts::TIMESTAMP) > $START AND epoch_ms(ts::TIMESTAMP) <= ${START + 15 * D} " +
+        "ORDER BY name, user_id")),
+    // /api/v1/label/<n>/values
+    Q("meta_label_values", (s, dir) =>
+      ev(s, dir).filter(col("name") === "error").select("user_id").distinct().orderBy("user_id"),
+      Some("SELECT DISTINCT user_id FROM events WHERE event_type = 'error' ORDER BY user_id")),
+    // /api/v1/series/count
+    Q("meta_series_count", (s, dir) =>
+      ev(s, dir).agg(countDistinct(col("name"), col("user_id")).as("cnt")),
+      Some("SELECT count(DISTINCT (event_type, user_id)) AS cnt FROM events")),
+    // /api/v1/status/tsdb: per-name series cardinality, descending
+    Q("meta_tsdb_status", (s, dir) =>
+      ev(s, dir).groupBy("name").agg(countDistinct(col("user_id")).as("series_count"))
+        .orderBy(col("series_count").desc, col("name")),
+      Some("SELECT event_type AS name, count(DISTINCT user_id) AS series_count FROM events " +
+        "GROUP BY name ORDER BY series_count DESC, name")))
+
+  // =====================================================================
+  // training-data pipeline ops over documents/embeddings
+  // =====================================================================
+  private def docs(s: SparkSession, dir: String): DataFrame = Samples.table(s, dir, "documents")
+  private def embs(s: SparkSession, dir: String): DataFrame = Samples.table(s, dir, "embeddings")
+
+  private val SQL_TOKS = """string_split_regex(trim(text), '\s+')"""
+
+  private val pipelineQueries: Seq[Q] = Seq(
+    Q("doc_tokens", (s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        graft.pipeline.TextAnalysis.tokenCount(col("text")).as("n_ws"),
+        graft.pipeline.TextAnalysis.bpeTokens(col("text")).as("n_bpe"))
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, len($SQL_TOKS) AS n_ws, " +
+        """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_bpe """ +
+        "FROM documents ORDER BY doc_id")),
+    Q("doc_quality", (s, dir) =>
+      graft.pipeline.TextAnalysis.qualityFeatures(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("mean_word_len")).as("mean_word_len"),
+          r6(col("punct_ratio")).as("punct_ratio"),
+          r6(col("stopword_ratio")).as("stopword_ratio"))
+        .orderBy("doc_id"),
+      Some(s"WITH w AS (SELECT doc_id, text, $SQL_TOKS AS toks FROM documents) " +
+        "SELECT doc_id, len(toks) AS n_tokens, " +
+        """round(1e-9 + length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks), 6) AS mean_word_len, """ +
+        """round(1e-9 + CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g')))::DOUBLE / length(text) ELSE 0 END, 6) AS punct_ratio, """ +
+        "round(1e-9 + len(list_filter(toks, x -> lower(x) IN (" +
+        graft.pipeline.TextAnalysis.stopwords.map(w => s"'$w'").mkString(",") +
+        ")))::DOUBLE / len(toks), 6) AS stopword_ratio FROM w ORDER BY doc_id")),
+    Q("doc_langid", (s, dir) =>
+      graft.pipeline.TextAnalysis.detectLang(docs(s, dir))
+        .select(col("doc_id"), col("detected_lang")).orderBy("doc_id"),
+      Some {
+        val m = graft.pipeline.TextAnalysis.langMarkers
+        def cnt(lang: String) =
+          s"len(list_filter(toks, x -> x IN (${m(lang).map(w => s"'$w'").mkString(",")})))"
+        s"WITH w AS (SELECT doc_id, list_transform($SQL_TOKS, x -> lower(x)) AS toks FROM documents), " +
+          s"c AS (SELECT doc_id, ${cnt("de")} AS de, ${cnt("en")} AS en, ${cnt("es")} AS es, " +
+          s"${cnt("fr")} AS fr, ${cnt("zh")} AS zh FROM w) " +
+          "SELECT doc_id, CASE WHEN de = 0 AND en = 0 AND es = 0 AND fr = 0 AND zh = 0 THEN 'und' " +
+          "WHEN de >= en AND de >= es AND de >= fr AND de >= zh THEN 'de' " +
+          "WHEN en >= es AND en >= fr AND en >= zh THEN 'en' " +
+          "WHEN es >= fr AND es >= zh THEN 'es' WHEN fr >= zh THEN 'fr' ELSE 'zh' END AS detected_lang " +
+          "FROM c ORDER BY doc_id"
+      }),
+    Q("doc_lang_dist", (s, dir) =>
+      docs(s, dir).groupBy("lang").agg(count(lit(1)).as("n")).orderBy("lang"),
+      Some("SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang")),
+    Q("doc_exact_dedup", (s, dir) =>
+      graft.pipeline.Dedup.exact(docs(s, dir)).select("doc_id").orderBy("doc_id"),
+      Some("SELECT doc_id FROM (SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn " +
+        "FROM documents) WHERE rn = 1 ORDER BY doc_id")),
+    Q("doc_ngram_pairs", (s, dir) =>
+      graft.pipeline.Dedup.ngramJaccardPairs(docs(s, dir), 0.6)
+        .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("id_a", "id_b"),
+      Some(s"WITH w AS (SELECT doc_id, $SQL_TOKS AS toks FROM documents), " +
+        "s AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN " +
+        "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]) " +
+        "ELSE [array_to_string(toks, ' ')] END AS sh FROM w), " +
+        "sz AS (SELECT doc_id, len(sh) AS n FROM s), " +
+        "p AS (SELECT doc_id, unnest(sh) AS g FROM s), " +
+        "i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS inter FROM p a " +
+        "JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
+        "SELECT id_a, id_b, round(1e-9 + j, 6) AS jaccard FROM (" +
+        "SELECT id_a, id_b, inter / (sa.n + sb.n - inter) AS j FROM i " +
+        "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) " +
+        "WHERE j >= 0.6 ORDER BY id_a, id_b")),
+    // MinHash/SimHash are hash-function-dependent → rows-only gate;
+    // ScalaTest asserts recall against the exact-Jaccard pairs
+    Q("doc_minhash_dedup", (s, dir) =>
+      graft.pipeline.Dedup.minhashDedup(docs(s, dir), 0.6).select("doc_id").orderBy("doc_id"),
+      None),
+    Q("doc_simhash_cands", (s, dir) =>
+      graft.pipeline.Dedup.simhashCandidates(docs(s, dir))
+        .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b"),
+      None),
+    Q("doc_fingerprint", (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id"),
+      None),
+    Q("emb_topk", (s, dir) =>
+      graft.pipeline.Similarity.bruteForceTopK(
+        embs(s, dir), embs(s, dir).filter(col("vec_id") < 10), 5)
+        .select(col("q_id"), col("c_id"), r6(col("cosine")).as("cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank"),
+      Some("WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10), " +
+        "r AS (SELECT q.vec_id AS q_id, c.vec_id AS c_id, " +
+        "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rank " +
+        "FROM q JOIN embeddings c ON q.vec_id != c.vec_id) " +
+        "SELECT q_id, c_id, round(1e-9 + cos, 6) AS cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank")),
+    Q("emb_brute_pairs", (s, dir) =>
+      graft.pipeline.Similarity.bruteForceNearDupPairs(embs(s, dir), 0.45)
+        .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
+        .orderBy("id_a", "id_b"),
+      Some("SELECT a.vec_id AS id_a, b.vec_id AS id_b, " +
+        "round(1e-9 + list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine " +
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45 " +
+        "ORDER BY id_a, id_b")),
+    Q("emb_lsh_topk", (s, dir) =>
+      graft.pipeline.Similarity.lshTopK(embs(s, dir), embs(s, dir).filter(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rank"),
+      None),
+    // storage-side sample dedup (-dedup.minScrapeInterval semantics)
+    Q("ev_dedup_samples", (s, dir) =>
+      graft.pipeline.Dedup.dedupSamples(ev(s, dir), Seq("name", "user_id"), 6 * H)
+        .select(col("name"), col("user_id"), col("ts"), col("value"))
+        .orderBy("name", "user_id", "ts"),
+      Some(s"SELECT name, user_id, tms AS ts, value FROM (SELECT event_type AS name, user_id, " +
+        s"epoch_ms(ts::TIMESTAMP) AS tms, value, row_number() OVER (PARTITION BY event_type, user_id, " +
+        s"((epoch_ms(ts::TIMESTAMP) + ${6 * H - 1}) // ${6 * H}) * ${6 * H} " +
+        "ORDER BY tms DESC, value DESC) AS rn FROM events) WHERE rn = 1 ORDER BY name, user_id, ts")),
+    // multimodal plumbing (stubbed decode) — rows-only
+    Q("mm_image_features", (s, dir) =>
+      graft.pipeline.Multimodal.imageFeatures(
+        graft.pipeline.Multimodal.mediaFromDocuments(s, dir)).toDF().orderBy("media_id"),
+      None),
+    Q("mm_frames", (s, dir) =>
+      graft.pipeline.Multimodal.sampleFrames(
+        graft.pipeline.Multimodal.mediaFromDocuments(s, dir), 64, 4)
+        .toDF().select("media_id", "frame_no").orderBy("media_id", "frame_no"),
+      None))
+
+  // =====================================================================
   private val relationalQueries: Seq[Q] = Seq(
     // TPC-H Q1-shaped pricing summary: scan + filter + groupBy agg
     Q("q1_agg", (s, dir) => {
@@ -710,10 +914,61 @@ object SparkEntry {
         "round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price, " +
         "round(1e-9 + avg(l_quantity), 6) AS avg_qty, count(*) AS count_order " +
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' " +
-        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")))
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus")),
+    // TPC-H Q3-shaped: 3-way join, revenue by market segment × month.
+    // customer is tiny → broadcast; only the lineitem↔orders join shuffles.
+    Q("q3_join_agg", (s, dir) => {
+      val li = Samples.table(s, dir, "lineitem")
+      val o = Samples.table(s, dir, "orders")
+      val c = Samples.table(s, dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"),
+          year(col("o_orderdate")).as("o_year"), month(col("o_orderdate")).as("o_month"))
+        .agg(r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment", "o_year", "o_month")
+    }, Some(
+      "SELECT c_mktsegment, year(o_orderdate) AS o_year, month(o_orderdate) AS o_month, " +
+        "round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 6) AS revenue, count(*) AS n " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment, o_year, o_month ORDER BY c_mktsegment, o_year, o_month")),
+    // TPC-H Q5-shaped: snowflake dims (supplier→nation→region broadcast)
+    Q("q5_region_revenue", (s, dir) => {
+      val li = Samples.table(s, dir, "lineitem")
+      val sup = Samples.table(s, dir, "supplier")
+      val nat = Samples.table(s, dir, "nation")
+      val reg = Samples.table(s, dir, "region")
+      val dims = sup.join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("r_name"))
+      li.join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("r_name")
+        .agg(r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy("r_name")
+    }, Some(
+      "SELECT r_name, round(1e-9 + sum(l_extendedprice * (1 - l_discount)), 6) AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name")),
+    // broadcast dim join + agg by brand
+    Q("q_part_brand", (s, dir) => {
+      val li = Samples.table(s, dir, "lineitem")
+      val p = Samples.table(s, dir, "part")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(r6(sum("l_quantity")).as("sum_qty"),
+          r6(avg("l_extendedprice")).as("avg_price"))
+        .orderBy("p_brand")
+    }, Some(
+      "SELECT p_brand, round(1e-9 + sum(l_quantity), 6) AS sum_qty, " +
+        "round(1e-9 + avg(l_extendedprice), 6) AS avg_price " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand ORDER BY p_brand")))
 
   // =====================================================================
-  private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ transformQueries ++ aggrQueries ++ binopQueries ++ relationalQueries
+  private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ transformQueries ++ aggrQueries ++ binopQueries ++ histoQueries ++ metaQueries ++ pipelineQueries ++ relationalQueries
 
   /** Flagship: sum(rate(events[1d])) by (name) on the hourly grid —
     * the M1 end-to-end slice from SURVEY §7.2: per-(name,user) counter

@@ -92,8 +92,10 @@ object HistogramQ {
               x.getField("le").as("plo"),
               x.getField("c").as("pc"))
           })
+        // NaN (not NULL) is the fold's "no bucket ≥ bound" sentinel:
+        // everything is below the bound → share = 1
         when(total > 0,
-          coalesce(st.getField("res"), total) / total)
+          when(isnan(st.getField("res")), total).otherwise(st.getField("res")) / total)
       })
       .drop("_b")
 

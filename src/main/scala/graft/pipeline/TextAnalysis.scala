@@ -92,7 +92,12 @@ object TextAnalysis {
     aggregate(
       wsTokens(text),
       lit(0L),
-      (acc, w) => acc * lit(1000003L) + xxhash64(w))
+      // rotate-left(5) ⊕ tokenhash: order-sensitive and wrap-safe (a
+      // multiplicative hash overflows under ANSI arithmetic)
+      (acc, w) =>
+        call_function("shiftleft", acc, lit(5))
+          .bitwiseOR(call_function("shiftrightunsigned", acc, lit(59)))
+          .bitwiseXOR(xxhash64(w)))
 
   /** n-gram (shingle) set of the token stream — the input to Jaccard /
     * MinHash dedup.
