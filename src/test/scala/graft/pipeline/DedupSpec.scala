@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.core.Samples
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Samples.table(spark, sfDir, "documents").cache()
+
+  test("exact dedup is idempotent and keeps one row per distinct text") {
+    val d1 = Dedup.exact(docs)
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(d1.count() === distinctTexts)
+    assert(Dedup.exact(d1).count() === distinctTexts)
+  }
+
+  test("minhash LSH candidates recall >= 90% of true Jaccard>=0.8 pairs") {
+    val truth = Dedup
+      .ngramJaccardPairs(docs, 0.8)
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val cands = Dedup
+      .minhashCandidates(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(truth.nonEmpty, "test data must contain near-duplicate pairs")
+    val recalled = truth.count(cands.contains)
+    assert(
+      recalled.toDouble / truth.size >= 0.9,
+      s"LSH recalled $recalled of ${truth.size} true pairs")
+  }
+
+  test("minhashDedup keeps all docs with no near-duplicate") {
+    val verified = Dedup
+      .jaccardVerify(docs, Dedup.minhashCandidates(docs))
+      .filter(col("jaccard") >= 0.6)
+    val losers = verified.select(col("id_b")).distinct().count()
+    val kept = Dedup.minhashDedup(docs, 0.6).count()
+    assert(kept === docs.count() - losers)
+  }
+
+  test("simhash candidates: equal signatures have hamming 0, all pairs ordered") {
+    val c = Dedup.simhashCandidates(docs).collect()
+    assert(c.forall(r => r.getLong(0) < r.getLong(1)))
+    // pigeonhole guarantee: every pair with hamming<=3 that shares a block
+    // is found with hamming computed consistently
+    assert(c.forall(r => r.getInt(r.fieldIndex("hamming")) >= 0))
+  }
+
+  test("dedupSamples keeps the latest (max-value-on-tie) sample per interval") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1000L, 1.0), ("a", 2000L, 2.0), ("a", 2000L, 5.0), // tie on ts → max value
+      ("a", 11000L, 3.0),
+      ("b", 500L, 9.0)
+    ).toDF("name", "ts", "value")
+    val out = Dedup
+      .dedupSamples(df, Seq("name"), 10000L)
+      .orderBy("name", "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("a", 2000L, 5.0), ("a", 11000L, 3.0), ("b", 500L, 9.0)))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.core.Samples
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  private lazy val docs = Samples.table(spark, sfDir, "documents").cache()
+
+  test("text fingerprint is deterministic and order-sensitive") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "quick the brown fox"), // same tokens, different order
+      (3L, "the quick brown fox")
+    ).toDF("doc_id", "text")
+    val fps = df
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(fps(1L) === fps(3L), "identical text must hash identically")
+    assert(fps(1L) !== fps(2L), "token order must change the fingerprint")
+  }
+
+  test("langid detects marker-bearing text and falls back to 'und'") {
+    // the parquet `lang` column is random metadata (its text is synthetic
+    // jargon), so assert on crafted sentences instead
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the cat and the dog are in the house", "en"),
+      (2L, "le chat et le chien sont dans la maison et les oiseaux", "fr"),
+      (3L, "el gato y el perro en la casa con los pájaros", "es"),
+      (4L, "der Hund und die Katze sind nicht im Haus", "de"),
+      (5L, "qqqq zzzz xxxx", "und")
+    ).toDF("doc_id", "text", "expected")
+    val out = TextAnalysis
+      .detectLang(df)
+      .select(col("doc_id"), col("detected_lang"), col("expected"))
+      .collect()
+    out.foreach(r =>
+      assert(
+        r.getString(1) === r.getString(2),
+        s"doc ${r.getLong(0)}: got ${r.getString(1)}"))
+  }
+
+  test("multimodal image features: deterministic, one row per media row") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir).cache()
+    val f1 = Multimodal.imageFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.imageFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.length === media.count())
+    assert(f1.map(_.phash).toSeq === f2.map(_.phash).toSeq)
+    assert(f1.forall(f => f.width >= 64 && f.width < 128 && f.channels == 3))
+  }
+
+  test("frame sampling emits every nth chunk, partition-local") {
+    val media = Multimodal.mediaFromDocuments(spark, sfDir)
+    val one = media.filter(col("media_id") === media.select(min("media_id")).first().getLong(0))
+    val row = one.collect().head
+    val expected = row.bytes.grouped(64).zipWithIndex.count(_._2 % 4 == 0)
+    val frames = Multimodal.sampleFrames(one, 64, 4).collect()
+    assert(frames.length === expected)
+    assert(frames.forall(_.bytes.length <= 64))
+  }
+
+  test("embedding cosine top-k ranks the self-similar vector first on a toy set") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity
+      .bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0L), 1)
+      .collect()
+    assert(top.length === 1)
+    assert(top.head.getAs[Long]("c_id") === 1L, "nearest neighbour of e_x must be the 0.9/0.1 vector")
+  }
+}
