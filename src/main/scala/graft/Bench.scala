@@ -19,14 +19,21 @@ object Bench {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_DRIVER_MEM", "16g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Headline set only: the emitted JSON line must stay small enough to
+    // survive the driver's bounded stdout tail (round 1 emitted all ~120
+    // queries on one ~4.5 KB line and the driver recorded parsed:null).
+    val all = SparkEntry.queries
+    val names =
+      if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) all.keys.toSeq.sorted
+      else SparkEntry.benchNames.filter(all.contains)
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      name -> math.round((System.nanoTime() - t0) / 1e6) / 1e3 // ms precision
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = if (results.nonEmpty) math.round(results.map(_._2).sum * 1e3) / 1e3 else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

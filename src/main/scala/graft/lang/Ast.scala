@@ -44,16 +44,35 @@ object MetricExpr {
     MetricExpr(Seq(LabelFilter("__name__", name, isNegative = false, isRegexp = false) +: extra))
 }
 
-/** `expr[window:step] offset o @ at` — window/step/offset in millis; None
-  * window means "inherit step" (auto-adjust, rollup.go:738-756). Subquery
-  * when `step` is set. Offset may be negative.
+/** Unresolved duration: raw text ("5m", "1h30m", "3i", "-5m", "300").
+  * `i` units are step multiples, so resolution must happen at eval time
+  * against the actual query step — the reference keeps DurationExpr as a
+  * string for exactly this reason (metricsql parser.go:1734-1782,
+  * Duration(step) resolution). Bare numbers are seconds.
+  */
+final case class Dur(text: String) {
+  def ms(stepMs: Long): Long = Lexer.durationMs(text, stepMs)
+}
+
+/** `@` modifier target: a fixed epoch-seconds timestamp, or the query's
+  * start()/end() (resolved at eval time). A dedicated ADT rather than
+  * sentinel numbers: negative epoch timestamps are legitimate values.
+  */
+sealed trait AtSpec
+final case class AtTimestamp(sec: Double) extends AtSpec
+case object AtStart extends AtSpec
+case object AtEnd extends AtSpec
+
+/** `expr[window:step] offset o @ at` — durations kept unresolved (see
+  * [[Dur]]); None window means "inherit step" (auto-adjust,
+  * rollup.go:738-756). Subquery when `step` is set. Offset may be negative.
   */
 final case class RollupExpr(
     expr: Expr,
-    windowMs: Option[Long],
-    stepMs: Option[Long],
-    offsetMs: Option[Long],
-    atSec: Option[Double],
+    window: Option[Dur],
+    step: Option[Dur],
+    offset: Option[Dur],
+    at: Option[AtSpec],
     inheritStep: Boolean = false,
     keepMetricNames: Boolean = false) extends Expr
 

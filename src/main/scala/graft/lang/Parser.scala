@@ -25,10 +25,11 @@ object Parser {
     "topk_min", "topk_max", "topk_avg", "topk_last", "topk_median",
     "bottomk_min", "bottomk_max", "bottomk_avg", "bottomk_last", "bottomk_median")
 
-  private val keywords: Set[String] = Set(
-    "and", "or", "unless", "if", "ifnot", "default", "by", "without", "on",
-    "ignoring", "group_left", "group_right", "bool", "offset", "limit",
-    "keep_metric_names", "with", "atan2")
+  /** Reserved binary-op words — rejected as bare metric names, like the
+    * reference (metricsql lexer.go isReservedBinaryOpIdent usage).
+    */
+  private val reservedOps: Set[String] =
+    Set("and", "or", "unless", "if", "ifnot", "default", "atan2")
 
   def parse(input: String): Expr = {
     val p = new P(Lexer.tokenize(input), input)
@@ -37,10 +38,14 @@ object Parser {
     Folder.fold(e)
   }
 
-  /** Parser state: token cursor + WITH scopes (name → (params, body)). */
+  /** Parser state: token cursor + WITH scopes (name → (params, body)).
+    * Scopes are mutable maps so each WITH binding becomes visible while
+    * parsing SUBSEQUENT bindings of the same list (parser.go:1193-1206
+    * expandWithExprExt exposes all prior withArgExprs the same way).
+    */
   private final class P(tokens: Vector[Token], input: String) {
     private var pos = 0
-    private val scopes = mutable.Stack[Map[String, WithArg]]()
+    private val scopes = mutable.Stack[mutable.Map[String, WithArg]]()
 
     private def cur: Token = tokens(pos)
     private def advance(): Token = { val t = cur; pos += 1; t }
@@ -105,11 +110,11 @@ object Parser {
 
     // rollup suffixes: [w], [w:s], offset d, @ t, keep_metric_names
     private def parsePostfix(e0: Expr): Expr = {
-      var e = e0
-      var windowMs: Option[Long] = None
-      var stepMs: Option[Long] = None
-      var offsetMs: Option[Long] = None
-      var atSec: Option[Double] = None
+      val e = e0
+      var window: Option[Dur] = None
+      var step: Option[Dur] = None
+      var offset: Option[Dur] = None
+      var at: Option[AtSpec] = None
       var sawRollup = false
       var inherit = false
       var keepNames = false
@@ -119,23 +124,22 @@ object Parser {
           advance()
           sawRollup = true
           if (cur.kind == Punct && cur.text == ":") { inherit = true }
-          else windowMs = Some(parseDurationToken())
+          else window = Some(parseDurationToken())
           if (cur.kind == Punct && cur.text == ":") {
             advance()
-            if (!(cur.kind == Punct && cur.text == "]")) stepMs = Some(parseDurationToken())
+            if (!(cur.kind == Punct && cur.text == "]")) step = Some(parseDurationToken())
             else inherit = true
           }
           expectPunct("]")
         } else if (isKw(cur, "offset")) {
           advance(); sawRollup = true
-          offsetMs = Some(parseSignedDurationToken())
+          offset = Some(parseSignedDurationToken())
         } else if (cur.kind == Punct && cur.text == "@") {
           advance(); sawRollup = true
-          val at = Folder.fold(parseUnary())
-          at match {
-            case NumberExpr(v) => atSec = Some(v)
-            case FuncExpr("start", Seq(), _) => atSec = Some(-1) // sentinel: eval resolves
-            case FuncExpr("end", Seq(), _) => atSec = Some(-2)
+          at = Folder.fold(parseUnary()) match {
+            case NumberExpr(v) => Some(AtTimestamp(v))
+            case FuncExpr("start", Seq(), _) => Some(AtStart)
+            case FuncExpr("end", Seq(), _) => Some(AtEnd)
             case other => throw new ParseError(s"unsupported @ modifier: $other", cur.pos)
           }
         } else if (isKw(cur, "keep_metric_names")) {
@@ -143,26 +147,26 @@ object Parser {
         } else continue = false
       }
       if (sawRollup || keepNames)
-        RollupExpr(e, windowMs, stepMs, offsetMs, atSec, inherit, keepNames)
+        RollupExpr(e, window, step, offset, at, inherit, keepNames)
       else e
     }
 
-    private def parseDurationToken(): Long = {
+    private def parseDurationToken(): Dur = {
       val t = advance()
       t.kind match {
-        case Duration => Lexer.durationMs(t.text, stepMsPlaceholder)
-        case Number => math.round(parseNumber(t.text) * 1000) // bare number = seconds
+        case Duration => Dur(t.text)
+        case Number => Dur(t.text) // bare number = seconds
         case Ident =>
           lookup(t.text) match {
-            case Some(WithArg(_, Seq(), NumberExpr(v))) => math.round(v * 1000)
+            case Some(WithArg(_, Seq(), NumberExpr(v))) => Dur(v.toString)
             case _ => throw new ParseError(s"expected duration, got '${t.text}'", t.pos)
           }
         case _ => throw new ParseError(s"expected duration, got '${t.text}'", t.pos)
       }
     }
 
-    private def parseSignedDurationToken(): Long = {
-      if (cur.kind == Op && cur.text == "-") { advance(); -parseDurationToken() }
+    private def parseSignedDurationToken(): Dur = {
+      if (cur.kind == Op && cur.text == "-") { advance(); Dur("-" + parseDurationToken().text) }
       else parseDurationToken()
     }
 
@@ -174,14 +178,14 @@ object Parser {
         case Str => advance(); StringExpr(Lexer.unquote(t.text))
         case Punct if t.text == "(" => parseParens()
         case Punct if t.text == "{" => parseMetricExpr(None)
-        case Punct if t.text == "+" => advance(); parseUnary()
         case Ident if isKw(t, "with") => parseWith()
         case Ident =>
           val name = t.text
           val lower = name.toLowerCase
-          if (lower == "inf" || lower == "+inf") { advance(); NumberExpr(Double.PositiveInfinity) }
-          else if (lower == "-inf") { advance(); NumberExpr(Double.NegativeInfinity) }
+          if (lower == "inf") { advance(); NumberExpr(Double.PositiveInfinity) }
           else if (lower == "nan") { advance(); NumberExpr(Double.NaN) }
+          else if (reservedOps.contains(lower)) // `and`, `or`, … are not metric names
+            throw new ParseError(s"unexpected reserved word '$name'", t.pos)
           else {
             advance()
             if (cur.kind == Punct && cur.text == "(") {
@@ -312,15 +316,20 @@ object Parser {
       MetricExpr(orGroups.toSeq.map(g => nameF.toSeq ++ g))
     }
 
-    // ---- WITH templates: parse bindings, push scope, parse body ----
+    // ---- WITH templates: scope is pushed BEFORE the binding loop so each
+    // binding can reference earlier ones in the same list
+    // (`WITH (a = 1, b = a * 2) b` — parser.go:1193-1206).
     private def parseWith(): Expr = {
       advance() // 'with'
       expectPunct("(")
       val bindings = mutable.Map[String, WithArg]()
+      scopes.push(bindings)
       var continue = !(cur.kind == Punct && cur.text == ")")
       while (continue) {
         val nameTok = advance()
         if (nameTok.kind != Ident) throw new ParseError("WITH binding needs a name", nameTok.pos)
+        if (bindings.contains(nameTok.text))
+          throw new ParseError(s"duplicate WITH binding '${nameTok.text}'", nameTok.pos)
         val params: Seq[String] =
           if (cur.kind == Punct && cur.text == "(") parseLabelList() else Nil
         if (!(cur.kind == Op && cur.text == "=")) throw new ParseError("expected '=' in WITH", cur.pos)
@@ -333,7 +342,6 @@ object Parser {
         else continue = false
       }
       expectPunct(")")
-      scopes.push(bindings.toMap)
       val body = parseExpr(0)
       scopes.pop()
       body

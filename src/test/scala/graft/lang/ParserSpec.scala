@@ -36,14 +36,22 @@ class ParserSpec extends AnyFunSuite {
   test("rollup windows, offset, at, subquery") {
     val e = Parser.parse("rate(m[5m] offset 1h)").asInstanceOf[FuncExpr]
     val r = e.args.head.asInstanceOf[RollupExpr]
-    assert(r.windowMs.contains(300000L) && r.offsetMs.contains(3600000L))
+    assert(r.window.map(_.ms(1000)).contains(300000L) && r.offset.map(_.ms(1000)).contains(3600000L))
     val sq = Parser.parse("max_over_time(rate(m[5m])[30m:1m])").asInstanceOf[FuncExpr]
     val rr = sq.args.head.asInstanceOf[RollupExpr]
-    assert(rr.windowMs.contains(1800000L) && rr.stepMs.contains(60000L))
+    assert(rr.window.map(_.ms(1000)).contains(1800000L) && rr.step.map(_.ms(1000)).contains(60000L))
     val at = Parser.parse("m @ 1700000000").asInstanceOf[RollupExpr]
-    assert(at.atSec.contains(1.7e9))
+    assert(at.at.contains(AtTimestamp(1.7e9)))
+    assert(Parser.parse("m @ start()").asInstanceOf[RollupExpr].at.contains(AtStart))
+    assert(Parser.parse("m @ end()").asInstanceOf[RollupExpr].at.contains(AtEnd))
+    // `@ -1` is a legitimate negative epoch timestamp, not a sentinel
+    assert(Parser.parse("m @ -1").asInstanceOf[RollupExpr].at.contains(AtTimestamp(-1)))
     val neg = Parser.parse("m offset -5m").asInstanceOf[RollupExpr]
-    assert(neg.offsetMs.contains(-300000L))
+    assert(neg.offset.map(_.ms(1000)).contains(-300000L))
+    // step-multiple durations resolve against the ACTUAL step at eval time
+    val im = Parser.parse("m[5i]").asInstanceOf[RollupExpr]
+    assert(im.window.map(_.ms(30000)).contains(150000L))
+    assert(im.window.map(_.ms(60000)).contains(300000L))
   }
 
   test("aggregates with modifiers") {
@@ -85,6 +93,9 @@ class ParserSpec extends AnyFunSuite {
     // filter template merged into a selector conjunction
     val ft = Parser.parse("""WITH (cf = {job="api"}) m{cf, code="200"}""").asInstanceOf[MetricExpr]
     assert(ft.filterss.head.map(_.label) == Seq("__name__", "job", "code"))
+    // bindings may reference earlier bindings in the same list
+    assert(Parser.parse("WITH (a = 2, b = a * 3) b") == NumberExpr(6))
+    intercept[ParseError](Parser.parse("WITH (a = 1, a = 2) a"))
   }
 
   test("union lists and parens") {
@@ -104,5 +115,6 @@ class ParserSpec extends AnyFunSuite {
     intercept[ParseError](Parser.parse("sum("))
     intercept[ParseError](Parser.parse("m{a=}"))
     intercept[RuntimeException](Parser.parse("m[5m"))
+    intercept[ParseError](Parser.parse("and")) // reserved binop word
   }
 }
