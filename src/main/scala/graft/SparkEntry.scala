@@ -968,7 +968,128 @@ object SparkEntry {
         "GROUP BY p_brand ORDER BY p_brand")))
 
   // =====================================================================
-  private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ transformQueries ++ aggrQueries ++ binopQueries ++ histoQueries ++ metaQueries ++ pipelineQueries ++ relationalQueries
+  // MetricsQL end-to-end: text → Parser → Eval → DataFrame (the full
+  // engine path, exec.go:36 Exec equivalent). Same oracle data as the
+  // operator-level queries, so the SQL mirrors the §2.2-§2.5 forms.
+  // =====================================================================
+  /** run a MetricsQL query through the engine on the samples mapping of
+    * the events table; staleness lookback 2h (matches ro_default_rollup).
+    */
+  private def eng(q: String, grid: GridSpec = gridH)(
+      proj: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => proj(Engine.query(Samples.fromEvents(s, dir), q, grid, 2 * H))
+
+  private val uid = col("tags").getItem("user_id").cast("bigint").as("user_id")
+
+  private val evalQueries: Seq[Q] = Seq(
+    Q("eval_avg1h", eng("avg_over_time(click[1h])") { df =>
+      df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BH) SELECT name, user_id::BIGINT AS user_id, t, " +
+      "round(1e-9 + avg(value), 6) AS value FROM b WHERE name = 'click' " +
+      "GROUP BY name, user_id, t ORDER BY user_id, t")),
+    Q("eval_default", eng("click") { df =>
+      df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("user_id", "t")
+    }, Some(s"WITH g AS (SELECT unnest(generate_series($START, $END, $H)) AS t), " +
+      "b AS (SELECT event_type AS name, user_id, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events " +
+      "WHERE event_type = 'click'), " +
+      s"j AS (SELECT name, user_id, t, tms, value FROM g JOIN b ON b.tms > g.t - ${2 * H} AND b.tms <= g.t) " +
+      "SELECT name, user_id::BIGINT AS user_id, t, round(1e-9 + last(value ORDER BY tms, value), 6) AS value " +
+      "FROM j GROUP BY name, user_id, t ORDER BY user_id, t")),
+    Q("eval_rate", eng("rate(click[1d])", gridD) { df =>
+      df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BD), d AS (SELECT user_id, t, tms, value, " +
+      "lag(value) OVER (PARTITION BY user_id, t ORDER BY tms, value) AS pv FROM b WHERE name = 'click') " +
+      s"SELECT user_id::BIGINT AS user_id, t, round(1e-9 + $increaseSql / 86400.0, 6) AS value FROM d " +
+      "GROUP BY user_id, t ORDER BY user_id, t")),
+    Q("eval_sum_rate_by", eng("sum(rate(click[1d])) by (user_id)", gridD) { df =>
+      df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BD), d AS (SELECT user_id, t, tms, value, " +
+      "lag(value) OVER (PARTITION BY user_id, t ORDER BY tms, value) AS pv FROM b WHERE name = 'click') " +
+      s"SELECT user_id::BIGINT AS user_id, t, round(1e-9 + $increaseSql / 86400.0, 6) AS value FROM d " +
+      "GROUP BY user_id, t ORDER BY user_id, t")),
+    Q("eval_sum", eng("sum(avg_over_time(click[1h]))") { df =>
+      df.select(col("t"), r4(col("value")).as("value")).orderBy("t")
+    }, Some(s"WITH b AS ($BH), a AS (SELECT user_id, t, avg(value) AS v FROM b " +
+      "WHERE name = 'click' GROUP BY user_id, t) " +
+      "SELECT t, round(1e-9 + sum(v), 4) AS value FROM a GROUP BY t ORDER BY t")),
+    Q("eval_quantile", eng("quantile(0.9, avg_over_time(click[1h]))") { df =>
+      df.select(col("t"), r6(col("value")).as("value")).orderBy("t")
+    }, Some(s"WITH b AS ($BH), a AS (SELECT user_id, t, avg(value) AS v FROM b " +
+      "WHERE name = 'click' GROUP BY user_id, t) " +
+      "SELECT t, round(1e-9 + quantile_cont(v, 0.9), 6) AS value FROM a GROUP BY t ORDER BY t")),
+    Q("eval_topk", eng("topk(2, avg_over_time(click[1h]))") { df =>
+      df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("t", "user_id")
+    }, Some(s"WITH b AS ($BH), a AS (SELECT name, user_id, t, avg(value) AS v FROM b " +
+      "WHERE name = 'click' GROUP BY name, user_id, t) " +
+      "SELECT name, user_id::BIGINT AS user_id, t, round(1e-9 + v, 6) AS value FROM a " +
+      "QUALIFY row_number() OVER (PARTITION BY t ORDER BY v DESC, user_id::VARCHAR ASC) <= 2 " +
+      "ORDER BY t, user_id")),
+    Q("eval_div_on", eng("avg_over_time(purchase[1h]) / on(user_id) avg_over_time(click[1h])") { df =>
+      df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BH), " +
+      "p AS (SELECT user_id, t, avg(value) AS pv FROM b WHERE name = 'purchase' GROUP BY user_id, t), " +
+      "c AS (SELECT user_id, t, avg(value) AS cv FROM b WHERE name = 'click' GROUP BY user_id, t) " +
+      "SELECT user_id::BIGINT AS user_id, t, round(1e-9 + pv / cv, 6) AS value " +
+      "FROM p JOIN c USING (user_id, t) ORDER BY user_id, t")),
+    Q("eval_cmp_filter", eng("avg_over_time(click[1h]) > 100") { df =>
+      df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BH), a AS (SELECT name, user_id, t, avg(value) AS v FROM b " +
+      "WHERE name = 'click' GROUP BY name, user_id, t) " +
+      "SELECT name, user_id::BIGINT AS user_id, t, round(1e-9 + v, 6) AS value FROM a " +
+      "WHERE v > 100 ORDER BY user_id, t")),
+    Q("eval_arith_scalar", eng("avg_over_time(click[1h]) * 2 + 10") { df =>
+      df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BH) SELECT user_id::BIGINT AS user_id, t, " +
+      "round(1e-9 + avg(value) * 2 + 10, 6) AS value FROM b WHERE name = 'click' " +
+      "GROUP BY user_id, t ORDER BY user_id, t")),
+    Q("eval_unless", eng("avg_over_time(purchase[1h]) unless avg_over_time(click[1h])") { df =>
+      df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BH), " +
+      "p AS (SELECT name, user_id, t, avg(value) AS v FROM b WHERE name = 'purchase' GROUP BY name, user_id, t), " +
+      "c AS (SELECT user_id, t FROM b WHERE name = 'click' GROUP BY user_id, t) " +
+      "SELECT name, user_id::BIGINT AS user_id, t, round(1e-9 + v, 6) AS value FROM p " +
+      "WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id AND c.t = p.t) " +
+      "ORDER BY user_id, t")),
+    Q("eval_offset", eng("avg_over_time(click[1h] offset 1d)") { df =>
+      df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("user_id", "t")
+    }, Some(s"WITH b AS (SELECT event_type AS name, user_id, " +
+      s"((epoch_ms(ts::TIMESTAMP) + $D + ${H - 1}) // $H) * $H AS t, value FROM events " +
+      "WHERE event_type = 'click') " +
+      "SELECT name, user_id::BIGINT AS user_id, t, round(1e-9 + avg(value), 6) AS value FROM b " +
+      s"WHERE t BETWEEN $START AND $END GROUP BY name, user_id, t ORDER BY user_id, t")),
+    Q("eval_subquery", eng("max_over_time(avg_over_time(click[1h])[6h:1h])") { df =>
+      df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BH), a AS (SELECT name, user_id, t, avg(value) AS v FROM b " +
+      "WHERE name = 'click' GROUP BY name, user_id, t), " +
+      s"g AS (SELECT unnest(generate_series($START, $END, $H)) AS gt), " +
+      s"j AS (SELECT name, user_id, gt, v FROM g JOIN a ON a.t > g.gt - ${6 * H} AND a.t <= g.gt) " +
+      "SELECT name, user_id::BIGINT AS user_id, gt AS t, round(1e-9 + max(v), 6) AS value FROM j " +
+      "GROUP BY name, user_id, gt ORDER BY user_id, t")),
+    Q("eval_with_label_replace", eng(
+      """WITH (f(m) = avg_over_time(m[1h])) label_replace(f(click), "host", "u$1", "user_id", "(.*)")""") { df =>
+      df.select(col("name"), col("tags").getItem("host").as("host"), col("t"),
+        r6(col("value")).as("value")).orderBy("host", "t")
+    }, Some(s"WITH b AS ($BH) SELECT name, 'u' || user_id::VARCHAR AS host, t, " +
+      "round(1e-9 + avg(value), 6) AS value FROM b WHERE name = 'click' " +
+      "GROUP BY name, host, t ORDER BY host, t")),
+    Q("eval_at", eng(s"avg_over_time(click[1h] @ ${(START + D) / 1000})") { df =>
+      df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BH), a AS (SELECT name, user_id, round(1e-9 + avg(value), 6) AS value " +
+      s"FROM b WHERE name = 'click' AND t = ${START + D} GROUP BY name, user_id), " +
+      s"g AS (SELECT unnest(generate_series($START, $END, $H)) AS t) " +
+      "SELECT name, user_id::BIGINT AS user_id, t, value FROM a CROSS JOIN g " +
+      "ORDER BY user_id, t")))
+
+  // =====================================================================
+  private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ transformQueries ++ aggrQueries ++ binopQueries ++ histoQueries ++ metaQueries ++ pipelineQueries ++ relationalQueries ++ evalQueries
 
   /** Flagship: sum(rate(events[1d])) by (name) on the hourly grid —
     * the M1 end-to-end slice from SURVEY §7.2: per-(name,user) counter

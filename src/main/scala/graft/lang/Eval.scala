@@ -1,0 +1,900 @@
+package graft.lang
+
+import graft.core.{Grid, GridSpec}
+import graft.operators.{Kernel, Kernels, Rollup}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType, StructField, StructType}
+
+/** MetricsQL evaluator: AST → DataFrame program.
+  *
+  * The Spark re-expression of the reference's tree interpreter
+  * (app/vmselect/promql/eval.go:279-346 evalExprInternal dispatch): each
+  * node family lowers to declarative DataFrame operations and Catalyst
+  * plans the physical execution — where the reference hand-schedules
+  * worker pools over columnar arrays, we emit groupBy/join/window plans.
+  *
+  * Series representation ("grid frame"): rows (name, tags, t, value) where
+  * `tags` is the schemaless label map (never containing __name__), `t` the
+  * grid timestamp (epoch ms) and missing grid points are missing rows
+  * (reference: NaN at grid point, removed at the end by removeEmptySeries
+  * exec.go:193-214).
+  *
+  * Spark cannot group or join on MapType, so series identity is a
+  * CANONICAL STRING of the sorted tag entries
+  * (to_json(array_sort(map_entries(tags)))) — the same canonicalization
+  * the reference applies by keeping MetricName tags sorted
+  * (lib/storage/metric_name.go:137-143). The string is generated
+  * map-side, rides the shuffle as a normal column, and is parsed back to a
+  * map with from_json after grouping.
+  */
+object Eval {
+
+  /** Evaluation config: result grid + staleness lookback for bare
+    * selectors (eval.go:1919-1925 maxSilenceInterval).
+    */
+  final case class EvalConfig(grid: GridSpec, lookbackMs: Long = 300000L)
+
+  /** An evaluated expression: a series set, a scalar, or a string. */
+  sealed trait Value
+  final case class Series(df: DataFrame) extends Value
+  final case class Scalar(v: Double) extends Value
+  final case class StrVal(s: String) extends Value
+
+  private val tagsSchema = ArrayType(StructType(Seq(
+    StructField("key", StringType), StructField("value", StringType))))
+
+  /** canonical string of a tags map (sorted entries) */
+  private def tagKey(tags: Column): Column = to_json(array_sort(map_entries(tags)))
+
+  /** canonical map back from the tagKey string */
+  private def tagsOf(tk: Column): Column =
+    map_from_entries(from_json(tk, tagsSchema))
+
+  /** full series key incl. metric name */
+  private def skey(name: Column, tags: Column): Column =
+    concat_ws("", coalesce(name, lit("")), tagKey(tags))
+
+  /** anchored regex, like the reference (lib/storage/tag_filters.go:160) */
+  private def anchored(re: String): String = "^(?:" + re + ")$"
+
+  // =====================================================================
+  // function tables
+  // =====================================================================
+
+  /** rollup functions: name → (windowMs, scalar args before/after the
+    * rollup arg) → Kernel (rollup.go:24-108 registration table).
+    */
+  private def rollupKernel(name: String, windowMs: Long, args: Seq[Double]): Option[Kernel] =
+    name match {
+      case "avg_over_time" => Some(Kernels.avg)
+      case "min_over_time" => Some(Kernels.min)
+      case "max_over_time" => Some(Kernels.max)
+      case "sum_over_time" => Some(Kernels.sum)
+      case "count_over_time" => Some(Kernels.count)
+      case "sum2_over_time" => Some(Kernels.sum2)
+      case "stddev_over_time" => Some(Kernels.stddev)
+      case "stdvar_over_time" => Some(Kernels.stdvar)
+      case "median_over_time" => Some(Kernels.median)
+      case "quantile_over_time" => Some(Kernels.quantile(args.head))
+      case "geomean_over_time" => Some(Kernels.geomean)
+      case "distinct_over_time" => Some(Kernels.distinct)
+      case "range_over_time" => Some(Kernels.range)
+      case "first_over_time" => Some(Kernels.first)
+      case "last_over_time" => Some(Kernels.last)
+      case "tfirst_over_time" => Some(Kernels.tfirst)
+      case "tlast_over_time" => Some(Kernels.tlast)
+      case "tmin_over_time" => Some(Kernels.tmin)
+      case "tmax_over_time" => Some(Kernels.tmax)
+      case "count_eq_over_time" => Some(Kernels.countEq(args.head))
+      case "count_ne_over_time" => Some(Kernels.countNe(args.head))
+      case "count_le_over_time" => Some(Kernels.countLe(args.head))
+      case "count_gt_over_time" => Some(Kernels.countGt(args.head))
+      case "sum_eq_over_time" => Some(Kernels.sumEq(args.head))
+      case "sum_le_over_time" => Some(Kernels.sumLe(args.head))
+      case "sum_gt_over_time" => Some(Kernels.sumGt(args.head))
+      case "share_eq_over_time" => Some(Kernels.shareEq(args.head))
+      case "share_le_over_time" => Some(Kernels.shareLe(args.head))
+      case "share_gt_over_time" => Some(Kernels.shareGt(args.head))
+      case "lifetime" => Some(Kernels.lifetime)
+      case "lag" => Some(Kernels.lag)
+      case "scrape_interval" => Some(Kernels.scrapeInterval)
+      case "rate_over_sum" => Some(Kernels.rateOverSum(windowMs))
+      case "zscore_over_time" => Some(Kernels.zscore)
+      case "deriv" => Some(Kernels.deriv)
+      case "deriv_fast" => Some(Kernels.derivFast)
+      case "predict_linear" => Some(Kernels.predictLinear(args.head))
+      case "hoeffding_bound_lower" => Some(Kernels.hoeffdingLower(args.head))
+      case "hoeffding_bound_upper" => Some(Kernels.hoeffdingUpper(args.head))
+      case "outlier_iqr_over_time" => Some(Kernels.outlierIqr)
+      case "present_over_time" => Some(Kernels.present)
+      case "mad_over_time" => Some(Kernels.mad)
+      case "mode_over_time" => Some(Kernels.mode)
+      case "delta" => Some(Kernels.delta)
+      case "idelta" => Some(Kernels.idelta)
+      case "increase" | "increase_pure" => Some(Kernels.increase)
+      case "rate" => Some(Kernels.rate(windowMs))
+      case "irate" => Some(Kernels.irate)
+      case "ideriv" => Some(Kernels.ideriv)
+      case "changes" => Some(Kernels.changes)
+      case "increases_over_time" => Some(Kernels.increasesOverTime)
+      case "decreases_over_time" => Some(Kernels.decreasesOverTime)
+      case "resets" => Some(Kernels.resets)
+      case "ascent_over_time" => Some(Kernels.ascentOverTime)
+      case "descent_over_time" => Some(Kernels.descentOverTime)
+      case "integrate" => Some(Kernels.integrate)
+      case "duration_over_time" => Some(Kernels.durationOverTime(args.head))
+      case "tlast_change_over_time" => Some(Kernels.tlastChange)
+      case "default_rollup" => Some(Kernels.last)
+      case "timestamp" => Some(Kernels.tlast)
+      case _ => None
+    }
+
+  private val isRollupFn: Set[String] = Set(
+    "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
+    "count_over_time", "sum2_over_time", "stddev_over_time", "stdvar_over_time",
+    "median_over_time", "quantile_over_time", "geomean_over_time",
+    "distinct_over_time", "range_over_time", "first_over_time", "last_over_time",
+    "tfirst_over_time", "tlast_over_time", "tmin_over_time", "tmax_over_time",
+    "count_eq_over_time", "count_ne_over_time", "count_le_over_time",
+    "count_gt_over_time", "sum_eq_over_time", "sum_le_over_time",
+    "sum_gt_over_time", "share_eq_over_time", "share_le_over_time",
+    "share_gt_over_time", "lifetime", "lag", "scrape_interval", "rate_over_sum",
+    "zscore_over_time", "deriv", "deriv_fast", "predict_linear",
+    "hoeffding_bound_lower", "hoeffding_bound_upper", "outlier_iqr_over_time",
+    "present_over_time", "mad_over_time", "mode_over_time", "delta", "idelta",
+    "increase", "increase_pure", "rate", "irate", "ideriv", "changes",
+    "increases_over_time", "decreases_over_time", "resets", "ascent_over_time",
+    "descent_over_time", "integrate", "duration_over_time",
+    "tlast_change_over_time", "default_rollup", "timestamp")
+
+  /** rollup fns that keep the metric name (rollup.go:267-287) */
+  private val rollupKeepsName: Set[String] = Set(
+    "avg_over_time", "default_rollup", "first_over_time", "geomean_over_time",
+    "hoeffding_bound_lower", "hoeffding_bound_upper", "last_over_time",
+    "max_over_time", "min_over_time", "median_over_time", "mode_over_time",
+    "predict_linear", "quantile_over_time", "rollup", "rollup_candlestick",
+    "timestamp", "timestamp_with_name")
+
+  /** one-arg pointwise transforms: value → value (transform.go:25-130) */
+  private val mathFns: Map[String, Column => Column] = Map(
+    "abs" -> abs,
+    "ceil" -> (c => ceil(c).cast(DoubleType)),
+    "floor" -> (c => floor(c).cast(DoubleType)),
+    "exp" -> exp,
+    "ln" -> log,
+    "log2" -> log2,
+    "log10" -> log10,
+    "sqrt" -> sqrt,
+    "sin" -> sin,
+    "cos" -> cos,
+    "tan" -> tan,
+    "asin" -> asin,
+    "acos" -> acos,
+    "atan" -> atan,
+    "sinh" -> sinh,
+    "cosh" -> cosh,
+    "tanh" -> tanh,
+    "asinh" -> asinh,
+    "acosh" -> acosh,
+    "atanh" -> atanh,
+    "deg" -> degrees,
+    "rad" -> radians,
+    "sgn" -> (c => signum(c)))
+
+  /** transform fns that keep the metric name (transform.go:141-170) */
+  private val transformKeepsName: Set[String] = Set(
+    "ceil", "clamp", "clamp_max", "clamp_min", "floor", "interpolate",
+    "keep_last_value", "keep_next_value", "round", "running_avg",
+    "running_max", "running_min", "running_sum", "range_avg", "range_first",
+    "range_last", "range_linear_regression", "range_mad", "range_max",
+    "range_median", "range_min", "range_normalize", "range_quantile",
+    "range_stddev", "range_stdvar", "range_sum", "range_zscore",
+    "remove_resets", "smooth_exponential", "timezone_offset")
+
+  // =====================================================================
+
+  /** Evaluate a parsed MetricsQL expression over a samples DataFrame
+    * (name, tags, ts, value) on the configured grid. Returns the grid
+    * frame (name, tags, t, value).
+    */
+  def eval(samples: DataFrame, expr: Expr, cfg: EvalConfig): DataFrame =
+    toSeries(samples, new Ev(samples, cfg).eval(expr), cfg)
+
+  /** materialize scalars on the grid; pass series through */
+  private def toSeries(samples: DataFrame, v: Value, cfg: EvalConfig): DataFrame = v match {
+    case Series(df) => df
+    case Scalar(x) =>
+      Grid.gridDf(samples, cfg.grid)
+        .select(
+          lit(null).cast(StringType).as("name"),
+          map().cast("map<string,string>").as("tags"),
+          col("t"),
+          lit(x).cast(DoubleType).as("value"))
+    case StrVal(s) => throw new IllegalArgumentException(s"string result '$s' is not a series")
+  }
+
+  private final class Ev(samples: DataFrame, cfg: EvalConfig) {
+    private val step = cfg.grid.stepMs
+
+    def eval(e: Expr): Value = e match {
+      case NumberExpr(v) => Scalar(v)
+      case StringExpr(s) => StrVal(s)
+      case m: MetricExpr => // bare selector = default_rollup (rollup.go:38)
+        evalRollupLeaf("default_rollup", RollupExpr(m, None, None, None, None), Nil)
+      case r: RollupExpr => // bare rollup without fn = default_rollup too
+        evalRollupLeaf("default_rollup", r, Nil)
+      case ParensExpr(es) => evalUnion(es)
+      case a: AggrFuncExpr => evalAggr(a)
+      case b: BinaryOpExpr => evalBinop(b)
+      case f: FuncExpr if isRollupFn(f.name) => evalRollupCall(f)
+      case f: FuncExpr => evalTransform(f)
+    }
+
+    def series(e: Expr): DataFrame = toSeries(samples, eval(e), cfg)
+
+    private def scalarArg(e: Expr): Double = eval(e) match {
+      case Scalar(v) => v
+      case other => throw new IllegalArgumentException(s"expected scalar arg, got $other")
+    }
+    private def strArg(e: Expr): String = eval(e) match {
+      case StrVal(s) => s
+      case other => throw new IllegalArgumentException(s"expected string arg, got $other")
+    }
+
+    // ------------------------------------------------------------------
+    // selectors
+    // ------------------------------------------------------------------
+
+    /** label-filter predicate over (name, tags) — absent tag matches as ""
+      * like the reference (empty label == missing label).
+      */
+    private def filterPredicate(fss: Seq[Seq[LabelFilter]]): Column = {
+      def one(f: LabelFilter): Column = {
+        val target =
+          if (f.label == "__name__") coalesce(col("name"), lit(""))
+          else coalesce(col("tags").getItem(f.label), lit(""))
+        val pos =
+          if (f.isRegexp) target.rlike(anchored(f.value))
+          else target === f.value
+        if (f.isNegative) !pos else pos
+      }
+      fss.map(_.map(one).reduceOption(_ && _).getOrElse(lit(true)))
+        .reduceOption(_ || _).getOrElse(lit(true))
+    }
+
+    // ------------------------------------------------------------------
+    // rollups
+    // ------------------------------------------------------------------
+
+    private def evalRollupCall(f: FuncExpr): Value = {
+      // locate the rollup argument; remaining args must be scalars
+      val idx = f.args.indexWhere {
+        case _: RollupExpr | _: MetricExpr => true
+        case _ => false
+      }
+      val (re, extraArgs) =
+        if (idx >= 0) {
+          val r = f.args(idx) match {
+            case r: RollupExpr => r
+            case m: MetricExpr => RollupExpr(m, None, None, None, None) // implicit [step]
+            case _ => throw new IllegalStateException("unreachable")
+          }
+          (r, f.args.patch(idx, Nil, 1).map(scalarArg))
+        } else
+          // rollup over a non-selector arg without [window]: implicit subquery
+          (RollupExpr(f.args.head, None, None, None, None), f.args.tail.map(scalarArg))
+      evalRollupLeaf(f.name, re, extraArgs, f.keepMetricNames)
+    }
+
+    private def evalRollupLeaf(
+        fn: String,
+        re: RollupExpr,
+        extraArgs: Seq[Double],
+        keepNames: Boolean = false): Value = {
+      val windowMs = re.window.map(_.ms(step)).getOrElse {
+        // no [d]: window = step, widened to the staleness lookback for
+        // last-value semantics (rollup.go:738-756 window auto-adjust)
+        if (fn == "default_rollup") math.max(step, cfg.lookbackMs) else step
+      }
+      val offsetMs = re.offset.map(_.ms(step)).getOrElse(0L)
+      val kernel = rollupKernel(fn, windowMs, extraArgs).getOrElse(
+        throw new IllegalArgumentException(s"unsupported rollup function '$fn'"))
+
+      // the grid this rollup evaluates on: the query grid, or a single
+      // point for @ (eval once, replicate — eval.go instant-at semantics)
+      val atMs: Option[Long] = re.at.map {
+        case AtTimestamp(sec) => math.round(sec * 1000)
+        case AtStart => cfg.grid.startMs
+        case AtEnd => cfg.grid.endMs
+      }
+      val rollGrid = atMs
+        .map(a => GridSpec(a, a, step))
+        .getOrElse(cfg.grid)
+
+      // raw samples (selector leaf) or inner-grid rows (subquery)
+      val raw: DataFrame = re.expr match {
+        case m: MetricExpr =>
+          samples.filter(filterPredicate(m.filterss))
+        case inner =>
+          // subquery: evaluate inner expr on a finer grid extended back by
+          // the window (eval.go:1033-1102 evalRollupFuncWithSubquery)
+          val innerStep = re.step.map(_.ms(step)).getOrElse(step)
+          val innerStart = rollGrid.startMs - ((windowMs + innerStep - 1) / innerStep) * innerStep
+          val innerCfg = cfg.copy(grid = GridSpec(innerStart, rollGrid.endMs, innerStep))
+          new Ev(samples, innerCfg).series(inner)
+            .select(col("name"), col("tags"), col("t").as("ts"), col("value"))
+      }
+      val shifted = if (offsetMs != 0) raw.withColumn("ts", col("ts") + lit(offsetMs)) else raw
+
+      // group per full series: canonical tag string + name ride the
+      // aggregation; tags map restored after
+      val keyed = shifted.withColumn("_tk", tagKey(col("tags")))
+      var out = Rollup
+        .rollup(keyed, Seq("name", "_tk"), rollGrid, windowMs, kernel)
+        .filter(col("value").isNotNull)
+
+      // @: replicate the single evaluated point across the query grid
+      atMs.foreach { _ =>
+        out = out.drop("t").crossJoin(Grid.gridDf(samples, cfg.grid))
+      }
+
+      val keep = keepNames || re.keepMetricNames || rollupKeepsName(fn)
+      val named = if (keep) col("name") else lit(null).cast(StringType)
+      Series(out.select(
+        named.as("name"), tagsOf(col("_tk")).as("tags"), col("t"), col("value")))
+    }
+
+    // ------------------------------------------------------------------
+    // aggregates
+    // ------------------------------------------------------------------
+
+    private def evalAggr(a: AggrFuncExpr): Value = {
+      val df = series(a.args.last)
+      // group tags per by/without (aggr.go:96 removeGroupTags)
+      val gtags: Column = a.modifier match {
+        case Some(By(ls)) =>
+          map_filter(col("tags"), (k, _) => k.isInCollection(ls))
+        case Some(Without(ls)) =>
+          map_filter(col("tags"), (k, _) => !k.isInCollection(ls))
+        case None => map().cast("map<string,string>")
+      }
+
+      def grouped(aggExpr: Column): Value = {
+        val g = df.withColumn("_tk", tagKey(gtags))
+          .groupBy(col("_tk"), col("t"))
+          .agg(aggExpr.as("value"))
+          .filter(col("value").isNotNull)
+        Series(g.select(
+          lit(null).cast(StringType).as("name"),
+          tagsOf(col("_tk")).as("tags"), col("t"), col("value")))
+      }
+
+      // per-series rank ops keep input series unchanged (aggr.go:646)
+      def ranked(k: Int, ord: Column): Value = {
+        val withKeys = df
+          .withColumn("_tk", tagKey(gtags))
+          .withColumn("_sk", skey(col("name"), col("tags")))
+        val w = Window.partitionBy(col("_tk"), col("t")).orderBy(ord, col("_sk").asc)
+        Series(withKeys
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") <= k)
+          .select(col("name"), col("tags"), col("t"), col("value")))
+      }
+
+      val v = col("value")
+      a.name match {
+        case "sum" => grouped(sum(v))
+        case "min" => grouped(min(v))
+        case "max" => grouped(max(v))
+        case "avg" => grouped(avg(v))
+        case "count" => grouped(count(v).cast(DoubleType))
+        case "stddev" => grouped(stddev_pop(v))
+        case "stdvar" => grouped(var_pop(v))
+        case "sum2" => grouped(sum(v * v))
+        case "geomean" => grouped(exp(avg(log(v))))
+        case "distinct" => grouped(size(collect_set(v)).cast(DoubleType))
+        case "median" => grouped(percentile(v, lit(0.5)))
+        case "quantile" => grouped(percentile(v, lit(scalarArg(a.args.head))))
+        case "group" => grouped(lit(1.0))
+        case "any" => grouped(min_by(v, skey(col("name"), col("tags"))))
+        case "mode" =>
+          // smallest most-frequent value (aggr.go:446)
+          val counts = df.withColumn("_tk", tagKey(gtags))
+            .groupBy(col("_tk"), col("t"), v).agg(count(lit(1)).as("_c"))
+          val w = Window.partitionBy(col("_tk"), col("t"))
+            .orderBy(col("_c").desc, v.asc)
+          Series(counts.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+            .select(lit(null).cast(StringType).as("name"),
+              tagsOf(col("_tk")).as("tags"), col("t"), col("value")))
+        case "count_values" =>
+          val label = strArg(a.args.head)
+          val g = df.withColumn("_tk", tagKey(gtags))
+            .groupBy(col("_tk"), col("t"), v.as("_val"))
+            .agg(count(lit(1)).cast(DoubleType).as("value"))
+          Series(g.select(
+            lit(null).cast(StringType).as("name"),
+            map_concat(tagsOf(col("_tk")),
+              map(lit(label), col("_val").cast(StringType))).as("tags"),
+            col("t"), col("value")))
+        case "share" =>
+          val w = Window.partitionBy(tagKey(gtags), col("t"))
+          Series(df.withColumn("value", v / sum(v).over(w)))
+        case "zscore" =>
+          val w = Window.partitionBy(tagKey(gtags), col("t"))
+          val sd = stddev_pop(v).over(w)
+          Series(df.withColumn("value",
+            when(sd > 0, (v - avg(v).over(w)) / sd)).filter(col("value").isNotNull))
+        case "topk" => ranked(scalarArg(a.args.head).toInt, v.desc)
+        case "bottomk" => ranked(scalarArg(a.args.head).toInt, v.asc)
+        case "limitk" =>
+          val k = scalarArg(a.args.head).toInt
+          val withKeys = df
+            .withColumn("_tk", tagKey(gtags))
+            .withColumn("_sk", skey(col("name"), col("tags")))
+          val winners = withKeys.select(col("_tk"), col("_sk")).distinct()
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(col("_tk")).orderBy(xxhash64(col("_sk")), col("_sk"))))
+            .filter(col("_rn") <= k).select(col("_sk"))
+          Series(withKeys.join(broadcast(winners), Seq("_sk"), "left_semi")
+            .select(col("name"), col("tags"), col("t"), col("value")))
+        case n if n.startsWith("topk_") || n.startsWith("bottomk_") =>
+          // whole-series top/bottom-k by a series statistic (aggr.go:677)
+          val k = scalarArg(a.args.head).toInt
+          val stat: Column = n.split("_")(1) match {
+            case "avg" => avg(v)
+            case "min" => min(v)
+            case "max" => max(v)
+            case "median" => percentile(v, lit(0.5))
+            case "last" => max_by(v, col("t"))
+            case other => throw new IllegalArgumentException(s"unknown stat '$other'")
+          }
+          val desc = n.startsWith("topk_")
+          val withKeys = df
+            .withColumn("_tk", tagKey(gtags))
+            .withColumn("_sk", skey(col("name"), col("tags")))
+          val ranked0 = withKeys.groupBy(col("_tk"), col("_sk")).agg(stat.as("_s"))
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(col("_tk"))
+                .orderBy(if (desc) col("_s").desc else col("_s").asc, col("_sk").asc)))
+            .filter(col("_rn") <= k).select(col("_sk"))
+          Series(withKeys.join(broadcast(ranked0), Seq("_sk"), "left_semi")
+            .select(col("name"), col("tags"), col("t"), col("value")))
+        case other => throw new IllegalArgumentException(s"unsupported aggregate '$other'")
+      }
+    }
+
+    // ------------------------------------------------------------------
+    // binary operators
+    // ------------------------------------------------------------------
+
+    private def evalBinop(b: BinaryOpExpr): Value = {
+      (eval(b.left), eval(b.right)) match {
+        case (Scalar(l), Scalar(r)) =>
+          val v = BinaryOp.applyScalar(b.op, l, r)
+          Scalar(
+            if (BinaryOp.comparisons(b.op) && !b.boolModifier)
+              (if (v != 0) l else Double.NaN)
+            else v)
+        case (Series(df), Scalar(x)) => Scalar2Series(df, lit(x), b, scalarOnRight = true)
+        case (Scalar(x), Series(df)) => Scalar2Series(df, lit(x), b, scalarOnRight = false)
+        case (Series(l), Series(r)) => vectorMatch(l, r, b)
+        case (l, r) =>
+          throw new IllegalArgumentException(s"unsupported binop operands: $l ${b.op} $r")
+      }
+    }
+
+    /** scalar-vector fast path (binary_op.go:273-297) */
+    private def Scalar2Series(df: DataFrame, x: Column, b: BinaryOpExpr,
+        scalarOnRight: Boolean): Value = {
+      val v = col("value")
+      val (l, r) = if (scalarOnRight) (v, x) else (x, v)
+      val out =
+        if (BinaryOp.comparisons(b.op)) {
+          val cond = cmpColumn(b.op, l, r)
+          if (b.boolModifier)
+            df.withColumn("value", cond.cast(DoubleType))
+              .withColumn("name", lit(null).cast(StringType))
+          else df.filter(cond) // keep original values, name survives
+        } else
+          df.withColumn("value", arithColumn(b.op, l, r))
+            .withColumn("name",
+              if (b.keepMetricNames) col("name") else lit(null).cast(StringType))
+      Series(out)
+    }
+
+    private def arithColumn(op: String, l: Column, r: Column): Column = op match {
+      case "+" => l + r
+      case "-" => l - r
+      case "*" => l * r
+      case "/" => l / r
+      case "%" => l % r
+      case "^" => pow(l, r)
+      case "atan2" => atan2(l, r)
+      case other => throw new IllegalArgumentException(s"not arithmetic: '$other'")
+    }
+
+    private def cmpColumn(op: String, l: Column, r: Column): Column = op match {
+      case "==" => l === r
+      case "!=" => l =!= r
+      case ">" => l > r
+      case "<" => l < r
+      case ">=" => l >= r
+      case "<=" => l <= r
+      case other => throw new IllegalArgumentException(s"not a comparison: '$other'")
+    }
+
+    /** vector matching (binary_op.go:271-519): join key = full tag set, or
+      * on()/ignoring() subset; group_left/right = many-to-one.
+      */
+    private def vectorMatch(l0: DataFrame, r0: DataFrame, b: BinaryOpExpr): Value = {
+      val matchTags: Column => Column = b.groupModifier match {
+        case Some(On(ls)) => t => map_filter(t, (k, _) => k.isInCollection(ls))
+        case Some(Ignoring(ls)) => t => map_filter(t, (k, _) => !k.isInCollection(ls))
+        case None => identity
+      }
+      val l = l0.withColumn("_mk", tagKey(matchTags(col("tags"))))
+      val r = r0.withColumn("_mk", tagKey(matchTags(col("tags"))))
+
+      def lOnly = Seq(col("name"), col("tags"), col("t"), col("value"))
+
+      b.op match {
+        case "and" | "if" =>
+          // left points whose (mk, t) exists on the right (binary_op.go:535)
+          Series(l.join(r.select("_mk", "t").distinct(), Seq("_mk", "t"), "left_semi")
+            .select(lOnly: _*))
+        case "unless" | "ifnot" =>
+          Series(l.join(r.select("_mk", "t").distinct(), Seq("_mk", "t"), "left_anti")
+            .select(lOnly: _*))
+        case "or" =>
+          // union preferring left per (mk, t) (binary_op.go:588)
+          val rOnly = r.join(l.select("_mk", "t").distinct(), Seq("_mk", "t"), "left_anti")
+          Series(l.select(lOnly: _*).unionByName(rOnly.select(lOnly: _*)))
+        case "default" =>
+          // left, with gaps of EXISTING left series filled from the right
+          // per (mk, t) — right series the left never had stay dropped
+          // (binary_op.go:568 binaryOpDefault fills per matched key)
+          val rOnly = r
+            .join(l.select("_mk", "t").distinct(), Seq("_mk", "t"), "left_anti")
+            .join(l.select("_mk").distinct(), Seq("_mk"), "left_semi")
+          Series(l.select(lOnly: _*).unionByName(rOnly.select(lOnly: _*)))
+        case op =>
+          // arithmetic / comparison: equi-join on (mk, t)
+          val (many, one, leftIsMany) = b.joinModifier match {
+            case Some(GroupRight(_)) => (r, l, false)
+            case _ => (l, r, true)
+          }
+          val extra = b.joinModifier.map(_.labels).getOrElse(Nil)
+          val oneSide = one.select(
+            col("_mk"), col("t"), col("value").as("_ov"),
+            map_filter(col("tags"), (k, _) => k.isInCollection(extra)).as("_otags"))
+          val joined = many
+            .withColumnRenamed("value", "_mv")
+            .join(oneSide, Seq("_mk", "t"))
+          val (lv, rv) =
+            if (leftIsMany) (col("_mv"), col("_ov")) else (col("_ov"), col("_mv"))
+          // result tags: the many side's tags (on() reduces to key labels
+          // when no join modifier), plus group_left/right extra labels
+          val baseTags = (b.groupModifier, b.joinModifier) match {
+            case (Some(On(_)), None) => tagsOf(col("_mk"))
+            case _ => col("tags")
+          }
+          val outTags =
+            if (extra.nonEmpty) map_concat(baseTags, col("_otags")) else baseTags
+          val out =
+            if (BinaryOp.comparisons(op)) {
+              val cond = cmpColumn(op, lv, rv)
+              if (b.boolModifier)
+                joined.withColumn("value", cond.cast(DoubleType))
+                  .withColumn("name", lit(null).cast(StringType))
+              else
+                joined.filter(cond)
+                  .withColumn("value", if (leftIsMany) col("_mv") else col("_ov"))
+            } else
+              joined
+                .withColumn("value", arithColumn(op, lv, rv))
+                .withColumn("name",
+                  if (b.keepMetricNames) col("name") else lit(null).cast(StringType))
+          Series(out.select(col("name"), outTags.as("tags"), col("t"), col("value")))
+      }
+    }
+
+    // ------------------------------------------------------------------
+    // transforms
+    // ------------------------------------------------------------------
+
+    private def evalUnion(es: Seq[Expr]): Value = {
+      // union(q1,…,qN): first series wins per series key (transform.go:1742)
+      val dfs = es.map(series(_).withColumn("_sk", skey(col("name"), col("tags"))))
+      val tagged = dfs.zipWithIndex.map { case (df, i) => df.withColumn("_pri", lit(i)) }
+      val all = tagged.reduce(_ unionByName _)
+      val firstOwner = all.groupBy("_sk").agg(min("_pri").as("_pri"))
+      Series(all.join(firstOwner, Seq("_sk", "_pri"), "left_semi")
+        .select(col("name"), col("tags"), col("t"), col("value")))
+    }
+
+    private def evalTransform(f: FuncExpr): Value = {
+      val name = f.name
+      def df: DataFrame = series(f.args.head)
+      def keepName(out: DataFrame): DataFrame =
+        if (f.keepMetricNames || transformKeepsName(name)) out
+        else out.withColumn("name", lit(null).cast(StringType))
+
+      def runW = Window
+        .partitionBy(skey(col("name"), col("tags"))).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def allW = Window
+        .partitionBy(skey(col("name"), col("tags")))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+
+      name match {
+        case n if mathFns.contains(n) =>
+          Series(keepName(df.withColumn("value", mathFns(n)(col("value")))))
+        case "round" =>
+          val nearest = if (f.args.size > 1) scalarArg(f.args(1)) else 1.0
+          Series(keepName(df.withColumn("value",
+            round(col("value") / nearest) * nearest)))
+        case "clamp" =>
+          val (lo, hi) = (scalarArg(f.args(1)), scalarArg(f.args(2)))
+          Series(keepName(df.withColumn("value",
+            least(greatest(col("value"), lit(lo)), lit(hi)))))
+        case "clamp_min" =>
+          Series(keepName(df.withColumn("value", greatest(col("value"), lit(scalarArg(f.args(1)))))))
+        case "clamp_max" =>
+          Series(keepName(df.withColumn("value", least(col("value"), lit(scalarArg(f.args(1)))))))
+        case "running_sum" => Series(df.withColumn("value", sum("value").over(runW)))
+        case "running_avg" => Series(df.withColumn("value", avg("value").over(runW)))
+        case "running_min" => Series(df.withColumn("value", min("value").over(runW)))
+        case "running_max" => Series(df.withColumn("value", max("value").over(runW)))
+        case "range_sum" => Series(df.withColumn("value", sum("value").over(allW)))
+        case "range_avg" => Series(df.withColumn("value", avg("value").over(allW)))
+        case "range_min" => Series(df.withColumn("value", min("value").over(allW)))
+        case "range_max" => Series(df.withColumn("value", max("value").over(allW)))
+        case "range_first" => Series(df.withColumn("value", min_by(col("value"), col("t")).over(allW)))
+        case "range_last" => Series(df.withColumn("value", max_by(col("value"), col("t")).over(allW)))
+        case "range_quantile" =>
+          val phi = scalarArg(f.args.head)
+          Series(series(f.args(1)).withColumn("value",
+            percentile(col("value"), lit(phi)).over(allW)))
+        case "scalar" =>
+          // single-series → per-point value with no labels (transform.go:2392)
+          Series(df.select(lit(null).cast(StringType).as("name"),
+            map().cast("map<string,string>").as("tags"), col("t"), col("value")))
+        case "vector" => eval(f.args.head) match {
+          case s @ Series(_) => s
+          case Scalar(x) => Series(toSeries(samples, Scalar(x), cfg))
+          case other => throw new IllegalArgumentException(s"vector() of $other")
+        }
+        case "time" =>
+          Series(Grid.gridDf(samples, cfg.grid).select(
+            lit(null).cast(StringType).as("name"),
+            map().cast("map<string,string>").as("tags"),
+            col("t"), (col("t").cast(DoubleType) / 1000.0).as("value")))
+        case "start" => Scalar(cfg.grid.startMs / 1000.0)
+        case "end" => Scalar(cfg.grid.endMs / 1000.0)
+        case "step" => Scalar(cfg.grid.stepMs / 1000.0)
+        case "pi" => Scalar(math.Pi)
+        case "absent" =>
+          val present = df.select("t").distinct()
+          Series(Grid.gridDf(samples, cfg.grid).join(present, Seq("t"), "left_anti")
+            .select(lit(null).cast(StringType).as("name"),
+              map().cast("map<string,string>").as("tags"), col("t"), lit(1.0).as("value")))
+        case "union" => evalUnion(f.args)
+        case "drop_empty_series" => Series(df)
+        case "label_set" =>
+          // label_set(q, "l1", "v1", …) (transform.go:1806)
+          val pairs = f.args.tail.map(strArg).grouped(2).map(p => (p(0), p(1))).toSeq
+          val add = map(pairs.flatMap(p => Seq(lit(p._1), lit(p._2))): _*)
+          Series(df.withColumn("tags", map_concat(
+            map_filter(col("tags"), (k, _) => !k.isInCollection(pairs.map(_._1))), add)))
+        case "label_del" =>
+          val ls = f.args.tail.map(strArg)
+          Series(df.withColumn("tags", map_filter(col("tags"), (k, _) => !k.isInCollection(ls))))
+        case "label_keep" =>
+          val ls = f.args.tail.map(strArg)
+          Series(df.withColumn("tags", map_filter(col("tags"), (k, _) => k.isInCollection(ls))))
+        case "label_copy" | "label_move" =>
+          // label_copy(q, "src", "dst", …) (transform.go:1853; move deletes src)
+          val pairs = f.args.tail.map(strArg).grouped(2).map(p => (p(0), p(1))).toSeq
+          var out = df
+          pairs.foreach { case (src, dst) =>
+            val sv = col("tags").getItem(src)
+            out = out.withColumn("tags",
+              when(sv.isNotNull, map_concat(
+                map_filter(col("tags"), (k, _) =>
+                  !(k === dst) && (if (name == "label_move") !(k === src) else lit(true))),
+                map(lit(dst), sv))).otherwise(col("tags")))
+          }
+          Series(out)
+        case "label_join" =>
+          // label_join(q, "dst", "sep", "src1", …) (transform.go:1896)
+          val dst = strArg(f.args(1))
+          val sep = strArg(f.args(2))
+          val srcs = f.args.drop(3).map(strArg)
+          val joined = concat_ws(sep, srcs.map(s => coalesce(col("tags").getItem(s), lit(""))): _*)
+          Series(df.withColumn("tags", map_concat(
+            map_filter(col("tags"), (k, _) => !(k === dst)), map(lit(dst), joined))))
+        case "label_replace" =>
+          // label_replace(q, "dst", "repl", "src", "regex") (transform.go:1919)
+          val dst = strArg(f.args(1))
+          val repl = strArg(f.args(2))
+          val src = strArg(f.args(3))
+          val regex = strArg(f.args(4))
+          val sv = coalesce(
+            if (src == "__name__") col("name") else col("tags").getItem(src), lit(""))
+          val matches = sv.rlike(anchored(regex))
+          val newV = regexp_replace(sv, anchored(regex), repl)
+          if (dst == "__name__")
+            Series(df.withColumn("name", when(matches, newV).otherwise(col("name"))))
+          else
+            Series(df.withColumn("tags",
+              when(matches, map_concat(
+                map_filter(col("tags"), (k, _) => !(k === dst)), map(lit(dst), newV)))
+                .otherwise(col("tags"))))
+        case "label_value" =>
+          // numeric value of a label (transform.go:2000)
+          val label = strArg(f.args(1))
+          Series(df.withColumn("value", col("tags").getItem(label).cast(DoubleType))
+            .filter(col("value").isNotNull))
+        case "label_lowercase" =>
+          val ls = f.args.tail.map(strArg)
+          Series(df.withColumn("tags", transform_values(col("tags"),
+            (k, v) => when(k.isInCollection(ls), lower(v)).otherwise(v))))
+        case "label_uppercase" =>
+          val ls = f.args.tail.map(strArg)
+          Series(df.withColumn("tags", transform_values(col("tags"),
+            (k, v) => when(k.isInCollection(ls), upper(v)).otherwise(v))))
+        case "label_match" =>
+          val label = strArg(f.args(1))
+          val re = strArg(f.args(2))
+          Series(df.filter(coalesce(col("tags").getItem(label), lit("")).rlike(anchored(re))))
+        case "label_mismatch" =>
+          val label = strArg(f.args(1))
+          val re = strArg(f.args(2))
+          Series(df.filter(!coalesce(col("tags").getItem(label), lit("")).rlike(anchored(re))))
+        case "labels_equal" =>
+          // keep series where all given labels have identical values
+          val ls = f.args.tail.map(strArg)
+          val eq = ls.tail.map(l => coalesce(col("tags").getItem(l), lit("")) ===
+            coalesce(col("tags").getItem(ls.head), lit(""))).reduceOption(_ && _).getOrElse(lit(true))
+          Series(df.filter(eq))
+        case "sort" | "sort_desc" =>
+          // ordering of the final series set (exec.go:104-130): impose a
+          // deterministic row order; series-level sort key = avg value
+          val w = Window.partitionBy(skey(col("name"), col("tags")))
+          val s = df.withColumn("_avg", avg("value").over(w))
+          val sorted = if (name == "sort") s.orderBy(col("_avg").asc, col("t").asc)
+            else s.orderBy(col("_avg").desc, col("t").asc)
+          Series(sorted.drop("_avg"))
+        case "sort_by_label" | "sort_by_label_desc" =>
+          val ls = f.args.tail.map(strArg)
+          val keys = ls.map(l => coalesce(col("tags").getItem(l), lit("")))
+          val ordered = if (name == "sort_by_label") keys.map(_.asc) else keys.map(_.desc)
+          Series(df.orderBy(ordered :+ col("t").asc: _*))
+        case "limit_offset" =>
+          // limit_offset(limit, offset, q) (transform.go:2292): whole-series
+          val limit = scalarArg(f.args.head).toInt
+          val offset = scalarArg(f.args(1)).toInt
+          val q = series(f.args(2)).withColumn("_sk", skey(col("name"), col("tags")))
+          val wins = q.select("_sk").distinct()
+            .withColumn("_rn", row_number().over(Window.orderBy(col("_sk"))))
+            .filter(col("_rn") > offset && col("_rn") <= offset + limit)
+            .select("_sk")
+          Series(q.join(broadcast(wins), Seq("_sk"), "left_semi")
+            .select(col("name"), col("tags"), col("t"), col("value")))
+        case "day_of_month" | "day_of_week" | "day_of_year" | "days_in_month" |
+            "hour" | "minute" | "month" | "year" =>
+          // of arg values as epoch seconds, or of the grid when no arg
+          val base = if (f.args.isEmpty)
+            Series(toSeries(samples, Scalar(0), cfg)).df
+              .withColumn("value", col("t").cast(DoubleType) / 1000.0)
+          else df
+          val tsCol = timestamp_seconds(col("value"))
+          val out = name match {
+            case "day_of_month" => dayofmonth(tsCol)
+            case "day_of_week" => dayofweek(tsCol) - 1 // reference: 0=Sunday
+            case "day_of_year" => dayofyear(tsCol)
+            case "days_in_month" => dayofmonth(last_day(tsCol))
+            case "hour" => hour(tsCol)
+            case "minute" => minute(tsCol)
+            case "month" => month(tsCol)
+            case "year" => year(tsCol)
+          }
+          Series(base.withColumn("value", out.cast(DoubleType))
+            .withColumn("name", lit(null).cast(StringType)))
+        case "remove_resets" =>
+          val w = Window.partitionBy(skey(col("name"), col("tags"))).orderBy(col("t"))
+          val prev = lag(col("value"), 1).over(w)
+          val d = when(prev.isNull, col("value"))
+            .when(col("value") >= prev, col("value") - prev)
+            .otherwise(col("value"))
+          Series(df.withColumn("_d", d).withColumn("value", sum("_d").over(runW)).drop("_d"))
+        case "keep_last_value" =>
+          // fill grid gaps with the last seen value (transform.go:1231)
+          Series(gapFill(df, fillNext = false))
+        case "keep_next_value" =>
+          Series(gapFill(df, fillNext = true))
+        case "interpolate" =>
+          Series(interpolate(df))
+        case "smooth_exponential" =>
+          // v'_i = sf·v_i + (1-sf)·v'_{i-1} (transform.go:1599) — exact
+          // recursion: collect each series's points once, run the fold as a
+          // higher-order array expression, explode back. Per-series arrays
+          // are grid-bounded (numPoints), not data-bounded.
+          val sf = scalarArg(f.args(1))
+          val pts = df.withColumn("_tk", tagKey(col("tags")))
+            .groupBy(col("name"), col("_tk"))
+            .agg(array_sort(collect_list(struct(col("t"), col("value")))).as("_pts"))
+          val smoothed = aggregate(
+            col("_pts"),
+            array().cast("array<struct<t:bigint,value:double>>"),
+            (acc, p) => {
+              val prev = element_at(acc, -1).getField("value")
+              val sm = when(size(acc) === 0, p.getField("value"))
+                .otherwise(lit(sf) * p.getField("value") + lit(1 - sf) * prev)
+              concat(acc, array(struct(p.getField("t").as("t"), sm.as("value"))))
+            })
+          Series(pts
+            .withColumn("_p", explode(smoothed))
+            .select(col("name"), tagsOf(col("_tk")).as("tags"),
+              col("_p.t").as("t"), col("_p.value").as("value")))
+        case other =>
+          throw new IllegalArgumentException(s"unsupported transform '$other'")
+      }
+    }
+
+    /** dense-grid gap fill: carry last (or next) value into missing grid
+      * points per series (transform.go:1231 keep_last_value / 1278 next).
+      */
+    private def gapFill(df: DataFrame, fillNext: Boolean): DataFrame = {
+      // distinct series via the canonical key (maps can't be set-op'd)
+      val skeys = df
+        .withColumn("_sk", skey(col("name"), col("tags")))
+        .groupBy("_sk").agg(first("name").as("name"), first("tags").as("tags"))
+      val grid = Grid.gridDf(df, cfg.grid)
+      val dense = skeys.crossJoin(grid)
+      val keyed = df.withColumn("_sk", skey(col("name"), col("tags")))
+        .select(col("_sk"), col("t"), col("value"))
+      val joined = dense.join(keyed, Seq("_sk", "t"), "left")
+      val w0 = Window.partitionBy(col("_sk")).orderBy(if (fillNext) col("t").desc else col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      joined
+        .withColumn("value", last(col("value"), ignoreNulls = true).over(w0))
+        .filter(col("value").isNotNull)
+        .select(col("name"), col("tags"), col("t"), col("value"))
+    }
+
+    /** linear interpolation across grid gaps (transform.go:1681) */
+    private def interpolate(df: DataFrame): DataFrame = {
+      val skeys = df
+        .withColumn("_sk", skey(col("name"), col("tags")))
+        .groupBy("_sk").agg(first("name").as("name"), first("tags").as("tags"))
+      val grid = Grid.gridDf(df, cfg.grid)
+      val dense = skeys.crossJoin(grid)
+      val keyed = df.withColumn("_sk", skey(col("name"), col("tags")))
+        .select(col("_sk"), col("t"), col("value"))
+      val joined = dense.join(keyed, Seq("_sk", "t"), "left")
+      val wb = Window.partitionBy(col("_sk")).orderBy(col("t").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy(col("_sk")).orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pv = last(col("value"), ignoreNulls = true).over(wb)
+      val pt = last(when(col("value").isNotNull, col("t")), ignoreNulls = true).over(wb)
+      val nv = last(col("value"), ignoreNulls = true).over(wf)
+      val nt = last(when(col("value").isNotNull, col("t")), ignoreNulls = true).over(wf)
+      joined
+        .withColumn("_pv", pv).withColumn("_pt", pt)
+        .withColumn("_nv", nv).withColumn("_nt", nt)
+        .withColumn("value",
+          when(col("value").isNotNull, col("value"))
+            .when(col("_pv").isNotNull && col("_nv").isNotNull,
+              col("_pv") + (col("_nv") - col("_pv")) *
+                (col("t") - col("_pt")).cast(DoubleType) / (col("_nt") - col("_pt")).cast(DoubleType))
+            .when(col("_pv").isNotNull, col("_pv"))
+            .otherwise(col("_nv")))
+        .filter(col("value").isNotNull)
+        .select(col("name"), col("tags"), col("t"), col("value"))
+    }
+  }
+}

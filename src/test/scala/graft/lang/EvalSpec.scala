@@ -1,0 +1,209 @@
+package graft.lang
+
+import graft.{Engine, SparkSpec}
+import graft.core.GridSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end evaluator tests on a tiny hand-computed sample set — the
+  * role of the reference's golden query corpus
+  * (app/vmselect/promql/exec_test.go: full queries through Exec on a fixed
+  * grid with exact expected values).
+  */
+class EvalSpec extends SparkSpec {
+
+  private val M = 60000L // one minute
+  private val grid = GridSpec(M, 10 * M, M) // t = 1m..10m
+
+  /** samples: two metrics × two instances, one sample per minute at t-30s.
+    * m{inst=a}: value = minute index (1,2,…,10)  — a rising gauge
+    * m{inst=b}: counter 10,20,30,40,50, reset to 5, then 15,25,35,45
+    * n{inst=a}: constant 100, only minutes 1..5
+    */
+  private lazy val samples: DataFrame = {
+    val rows = (1 to 10).flatMap { i =>
+      val ts = i * M - 30000
+      val b = if (i <= 5) i * 10.0 else (i - 6) * 10.0 + 5.0
+      Seq(("m", Map("inst" -> "a"), ts, i.toDouble), ("m", Map("inst" -> "b"), ts, b)) ++
+        (if (i <= 5) Seq(("n", Map("inst" -> "a"), ts, 100.0)) else Nil)
+    }
+    val s = spark
+    import s.implicits._
+    rows.toDF("name", "tags", "ts", "value")
+  }
+
+  private def run(q: String, lookbackMs: Long = 300000L): Map[(String, Long), Double] =
+    Engine.query(samples, q, grid, lookbackMs)
+      .select(
+        concat(coalesce(col("name"), lit("")), lit("|"),
+          coalesce(col("tags").getItem("inst"), lit(""))).as("k"),
+        col("t"), col("value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+
+  test("bare selector = default_rollup (last value in lookback)") {
+    val r = run("""m{inst="a"}""")
+    assert(r(("m|a", M)) == 1.0)
+    assert(r(("m|a", 10 * M)) == 10.0)
+    assert(r.size == 10) // name kept, one series
+  }
+
+  test("selector with negative / regex filters") {
+    assert(run("""m{inst!="b"}""").keySet.map(_._1) == Set("m|a"))
+    assert(run("""{__name__=~"m|n"}""").keySet.map(_._1) == Set("m|a", "m|b", "n|a"))
+    // absent label matches empty string
+    assert(run("""m{missing=""}""").size == 20)
+  }
+
+  test("avg_over_time / sum_over_time tumbling windows") {
+    val r = run("avg_over_time(m[1m])")
+    assert(r(("m|a", 3 * M)) == 3.0) // single sample per window
+    val s = run("sum_over_time(m[2m])")
+    assert(s(("|a", 2 * M)) == 3.0) // samples at 1,2 in (0,2m]; name dropped
+  }
+
+  test("rate/increase with counter reset") {
+    // window 5m at t=10m for inst=b covers samples 15,25,35,45 plus prev…
+    // increase over (5m,10m]: samples b(6..10)=5,15,25,35,45 → +40
+    val r = run("increase(m[5m])")
+    assert(r(("|b", 10 * M)) == 40.0)
+    // reset window (1m..6m]: 20,30,40,50,5 → 10+10+10+5 = 35
+    assert(r(("|b", 6 * M)) == 35.0)
+    val rate = run("rate(m[5m])")
+    assert(math.abs(rate(("|b", 10 * M)) - 40.0 / 300.0) < 1e-12)
+  }
+
+  test("offset shifts the window") {
+    val r = run("avg_over_time(m[1m] offset 2m)")
+    assert(r(("m|a", 5 * M)) == 3.0) // value from t=3m
+  }
+
+  test("@ modifier pins evaluation time") {
+    val r = run("avg_over_time(m[1m] @ 180)") // 3m in seconds
+    assert(r(("m|a", M)) == 3.0 && r(("m|a", 10 * M)) == 3.0)
+    assert(r.count(_._1._1 == "m|a") == 10) // replicated across grid
+  }
+
+  test("aggregation sum/avg by and without") {
+    val r = run("sum(avg_over_time(m[1m]))")
+    assert(r(("|", 5 * M)) == 5.0 + 50.0)
+    val by = run("sum(avg_over_time(m[1m])) by (inst)")
+    assert(by(("|a", 5 * M)) == 5.0)
+    val wo = run("sum(avg_over_time(m[1m])) without (inst)")
+    assert(wo(("|", 5 * M)) == 55.0)
+  }
+
+  test("topk keeps winning series unchanged") {
+    val r = run("topk(1, avg_over_time(m[1m]))")
+    assert(r(("m|b", 5 * M)) == 50.0)
+    assert(!r.contains(("m|a", 5 * M))) // a loses at t=5m
+    assert(r(("m|a", 6 * M)) == 6.0) // b reset to 5 < 6
+  }
+
+  test("quantile / median across series") {
+    val r = run("median(avg_over_time(m[1m]))")
+    assert(r(("|", 4 * M)) == (4.0 + 40.0) / 2)
+  }
+
+  test("scalar arithmetic and comparison filter") {
+    val r = run("avg_over_time(m[1m]) * 2 + 1")
+    assert(r(("|a", 3 * M)) == 7.0)
+    val f = run("avg_over_time(m[1m]) > 20")
+    assert(f.keySet.forall(_._1 == "m|b") && f.values.forall(_ > 20))
+    val b = run("avg_over_time(m[1m]) >= bool 10")
+    assert(b(("|a", 3 * M)) == 0.0 && b(("|b", 3 * M)) == 1.0)
+  }
+
+  test("vector matching: arithmetic on matching labels") {
+    val r = run("""avg_over_time(n[1m]) / on(inst) avg_over_time(m[1m])""")
+    assert(r(("|a", 4 * M)) == 25.0) // 100/4
+    assert(r.size == 5) // only minutes 1..5 where n exists, inst=a only
+  }
+
+  test("group_left carries extra labels from the one side") {
+    val r = run("""avg_over_time(m[1m]) * on(inst) group_left n""")
+    // m{inst=a} × n{inst=a} (n default-rollup) — b has no n match
+    assert(r(("|a", 2 * M)) == 200.0)
+    assert(r.keySet.forall(_._1 == "|a"))
+  }
+
+  test("and / unless / or / default set ops") {
+    val and = run("""avg_over_time(m[1m]) and avg_over_time(n[1m])""")
+    assert(and.keySet.map(_._1) == Set("m|a") && and.size == 5)
+    val unless = run("""avg_over_time(m[1m]) unless avg_over_time(n[1m])""")
+    assert(unless.count(_._1._1 == "m|a") == 5) // minutes 6..10
+    assert(unless.count(_._1._1 == "m|b") == 10)
+    val or = run("""avg_over_time(n[1m]) or avg_over_time(m[1m])""")
+    assert(or(("n|a", 3 * M)) == 100.0) // left wins
+    assert(or(("m|a", 7 * M)) == 7.0) // right fills
+    // default: only fills gaps of series the left already has
+    val d = run("""avg_over_time(n[1m]) default avg_over_time(m[1m])""")
+    assert(d(("n|a", 3 * M)) == 100.0)
+    assert(d(("m|a", 7 * M)) == 7.0) // gap of inst=a filled
+    assert(!d.exists(_._1._1.endsWith("|b"))) // left never had inst=b
+  }
+
+  test("subquery: max_over_time of an inner grid") {
+    val r = run("max_over_time(avg_over_time(m[1m])[3m:1m])")
+    // at t=10m: inner points at 8,9,10m for b = 25,35,45 → 45
+    // (max_over_time keeps the metric name, rollup.go:267-287)
+    assert(r(("m|b", 10 * M)) == 45.0)
+    // at t=3m: inner 1,2,3m for a = 1,2,3 → 3
+    assert(r(("m|a", 3 * M)) == 3.0)
+  }
+
+  test("WITH template + label_replace") {
+    val r = run("""WITH (f(q) = avg_over_time(q[1m])) label_replace(f(m), "host", "x$1", "inst", "(.*)")""")
+    val df = Engine.query(
+      samples,
+      """WITH (f(q) = avg_over_time(q[1m])) label_replace(f(m), "host", "x$1", "inst", "(.*)")""",
+      grid)
+    val hosts = df.select(col("tags").getItem("host")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(hosts == Set("xa", "xb"))
+  }
+
+  test("transforms: abs/clamp/round keep-name rules") {
+    val r = run("abs(avg_over_time(m[1m]) - 100)")
+    assert(r(("|a", 2 * M)) == 98.0)
+    val c = run("clamp(avg_over_time(m[1m]), 3, 8)")
+    assert(c(("m|a", M)) == 3.0 && c(("m|a", 10 * M)) == 8.0)
+  }
+
+  test("running / range transforms") {
+    val r = run("running_sum(avg_over_time(m[1m]))")
+    assert(r(("m|a", 3 * M)) == 6.0)
+    val rng = run("range_max(avg_over_time(m[1m]))")
+    assert(rng(("m|a", M)) == 10.0)
+  }
+
+  test("keep_last_value / interpolate fill grid gaps") {
+    val k = run("keep_last_value(avg_over_time(n[1m]))")
+    assert(k(("n|a", 9 * M)) == 100.0) // carried beyond minute 5
+    val i = run("interpolate(avg_over_time(n[1m]))")
+    assert(i(("n|a", 8 * M)) == 100.0)
+  }
+
+  test("absent and scalar/vector") {
+    val a = run("""absent(avg_over_time(zzz[1m]))""")
+    assert(a.size == 10 && a.values.forall(_ == 1.0))
+    val v = run("vector(7)")
+    assert(v.size == 10 && v.values.forall(_ == 7.0))
+    val t = run("time()")
+    assert(t(("|", 2 * M)) == 120.0)
+  }
+
+  test("union dedups by series key, first wins") {
+    val u = run("union(avg_over_time(m[1m]), avg_over_time(m[2m]))")
+    assert(u(("m|a", 2 * M)) == 2.0) // from the first arg
+  }
+
+  test("limitk and count") {
+    val c = run("count(avg_over_time(m[1m]))")
+    assert(c(("|", 3 * M)) == 2.0)
+    val lk = Engine.query(samples, "limitk(1, avg_over_time(m[1m]))", grid)
+      .select(col("tags").getItem("inst")).distinct().collect()
+    assert(lk.length == 1)
+  }
+}
