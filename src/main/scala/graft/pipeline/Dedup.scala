@@ -39,13 +39,19 @@ object Dedup {
 
   /** K permutation-style minhashes of the shingle set. Each "permutation"
     * is xxhash64(shingle, seed_i) minimized over the set — the standard
-    * hash-trick replacement for true permutations.
+    * hash-trick replacement for true permutations. Computed in a SINGLE
+    * fold over the shingle array (one zip_with of K running minima per
+    * shingle), not K separate array scans.
     */
-  def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
-    val sh = TextAnalysis.shingles(text, shingleN)
-    array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }: _*)
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column =
+    minhashOfShingles(TextAnalysis.shingles(text, shingleN), numHashes)
+
+  def minhashOfShingles(sh: Column, numHashes: Int): Column = {
+    val seeds = sequence(lit(0), lit(numHashes - 1))
+    aggregate(
+      sh,
+      transform(seeds, _ => lit(Long.MaxValue)),
+      (acc, s) => zip_with(acc, transform(seeds, i => xxhash64(s, i)), least(_, _)))
   }
 
   /** LSH banding: split the K-minhash signature into B bands of R rows
@@ -60,8 +66,18 @@ object Dedup {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    val sh = docs.select(col(idCol).as("id"),
+      TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
+    candidatesFromShingles(sh, numHashes, bands)
+  }
+
+  /** candidate pairs from a precomputed (id, sh) shingle frame; `sh` is
+    * persisted so the text→shingle→minhash work runs once, not once per
+    * self-join branch.
+    */
+  private def candidatesFromShingles(sh0: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
-    val sig = docs.select(col(idCol).as("id"), minhashSignature(col(textCol), numHashes, shingleN).as("sig"))
+    val sig = sh0.select(col("id"), minhashOfShingles(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
       col("id"),
       explode(
@@ -69,6 +85,7 @@ object Dedup {
           struct(b.as("band"), xxhash64(slice(col("sig"), b * r + 1, lit(r)).cast("string")).as("bh"))))
         .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .persist()
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
@@ -88,8 +105,16 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleN: Int = 3): DataFrame = {
-    val cand = minhashCandidates(docs, numHashes, bands, shingleN)
-    val verified = jaccardVerify(docs, cand, shingleN).filter(col("jaccard") >= threshold)
+    // shingle once, reuse for both signature generation and exact verify
+    val sh = docs.select(col("doc_id").as("id"),
+      TextAnalysis.shingles(col("text"), shingleN).as("sh")).persist()
+    val cand = candidatesFromShingles(sh, numHashes, bands)
+    val verified = cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast(DoubleType))
+      .filter(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")).cast(DoubleType)
+        >= threshold)
     val losers = verified.select(col("id_b").as("doc_id")).distinct()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }

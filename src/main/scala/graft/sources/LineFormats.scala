@@ -1,0 +1,240 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingestion line-format parsers (SURVEY §2.0): each maps a DataFrame of
+  * raw protocol lines (column `line: string`) to the canonical samples
+  * schema (name, tags, ts, value) — ts in epoch millis.
+  *
+  * These are the batch/streaming-shared decode stages for the reference's
+  * ingestion protocols (lib/protoparser/{prometheus,influx,graphite,
+  * opentsdb,vmimport,csvimport}); all pure column expressions, so they run
+  * map-side with no shuffle and attach unchanged to `readStream` sources.
+  * Malformed lines yield null name/value and are dropped, mirroring the
+  * reference's per-line error tolerance.
+  */
+object LineFormats {
+
+  private val S = StringType
+
+  /** parse `k1="v1",k2="v2"` prometheus label bodies into a map
+    * (escape subset: \\" \\\\ \\n).
+    */
+  private def promLabels(body: Column): Column = {
+    val entries = regexp_extract_all(
+      body, lit("""([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)""""), lit(0))
+    map_from_entries(
+      transform(entries, e =>
+        struct(
+          regexp_extract(e, """([a-zA-Z_][a-zA-Z0-9_]*)=""", 1).as("key"),
+          unescape(regexp_extract(e, """="((?:[^"\\]|\\.)*)"""", 1)).as("value"))))
+  }
+
+  private def unescape(c: Column): Column =
+    regexp_replace(
+      regexp_replace(regexp_replace(c, """\\n""", "\n"), """\\"""", "\""),
+      """\\\\""", """\\""")
+
+  /** numeric literal incl. prometheus +Inf/-Inf/NaN */
+  private def promDouble(c: Column): Column =
+    when(c === "+Inf" || c === "Inf", lit(Double.PositiveInfinity))
+      .when(c === "-Inf", lit(Double.NegativeInfinity))
+      .when(c === "NaN", lit(Double.NaN))
+      .otherwise(c.cast(DoubleType))
+
+  /** Prometheus text exposition format
+    * (lib/protoparser/prometheus/parser.go): lines
+    * `name{l="v",…} value [timestamp_ms]`; # comments skipped; missing
+    * timestamp → `defaultTsMs` (scrape time).
+    */
+  def prometheusText(lines: DataFrame, defaultTsMs: Long): DataFrame = {
+    val re = """^([a-zA-Z_:][a-zA-Z0-9_:.]*)(?:\{(.*)\})?\s+(\S+)(?:\s+(-?\d+))?\s*$"""
+    lines
+      .filter(!col("line").startsWith("#") && length(trim(col("line"))) > 0)
+      .select(
+        regexp_extract(col("line"), re, 1).as("name"),
+        promLabels(regexp_extract(col("line"), re, 2)).as("tags"),
+        when(regexp_extract(col("line"), re, 4) === "", lit(defaultTsMs))
+          .otherwise(regexp_extract(col("line"), re, 4).cast(LongType)).as("ts"),
+        promDouble(regexp_extract(col("line"), re, 3)).as("value"))
+      .filter(col("name") =!= "" && col("value").isNotNull)
+  }
+
+  /** Influx line protocol (lib/protoparser/influx):
+    * `measurement[,tag=v…] field=v[,field2=v2…] [timestamp_ns]`.
+    * Each field fans out to its own series named `measurement_field`
+    * (the reference's default `{measurement}{separator}{field}` naming).
+    */
+  def influxLine(lines: DataFrame, defaultTsMs: Long): DataFrame = {
+    val re = """^(\S+)\s+(\S+)(?:\s+(\d+))?\s*$"""
+    val parsed = lines
+      .filter(length(trim(col("line"))) > 0 && !col("line").startsWith("#"))
+      .select(
+        regexp_extract(col("line"), re, 1).as("head"),
+        regexp_extract(col("line"), re, 2).as("fields"),
+        regexp_extract(col("line"), re, 3).as("tsRaw"))
+      .filter(col("head") =!= "")
+      .select(
+        split(col("head"), ",").getItem(0).as("measurement"),
+        when(col("head").contains(","),
+          str_to_map(regexp_replace(col("head"), "^[^,]*,", ""), lit(","), lit("=")))
+          .otherwise(map().cast("map<string,string>")).as("tags"),
+        str_to_map(col("fields"), lit(","), lit("=")).as("fmap"),
+        when(col("tsRaw") === "", lit(defaultTsMs))
+          .otherwise((col("tsRaw").cast(DecimalType(24, 0)) / 1000000).cast(LongType)).as("ts"))
+    parsed
+      .select(col("measurement"), col("tags"), col("ts"),
+        explode(col("fmap")).as(Seq("field", "raw")))
+      .select(
+        concat(col("measurement"), lit("_"), col("field")).as("name"),
+        col("tags"), col("ts"),
+        // integers carry an `i` suffix; strings are quoted (dropped by cast)
+        regexp_replace(col("raw"), "i$", "").cast(DoubleType).as("value"))
+      .filter(col("value").isNotNull)
+  }
+
+  /** Graphite plaintext (lib/protoparser/graphite):
+    * `metric.path[;tag=v…] value timestamp_s`.
+    */
+  def graphiteLine(lines: DataFrame): DataFrame = {
+    val re = """^(\S+)\s+(\S+)\s+(\d+)\s*$"""
+    lines
+      .filter(length(trim(col("line"))) > 0)
+      .select(
+        regexp_extract(col("line"), re, 1).as("path"),
+        regexp_extract(col("line"), re, 2).as("raw"),
+        regexp_extract(col("line"), re, 3).as("tsS"))
+      .filter(col("path") =!= "")
+      .select(
+        split(col("path"), ";").getItem(0).as("name"),
+        when(col("path").contains(";"),
+          str_to_map(regexp_replace(col("path"), "^[^;]*;", ""), lit(";"), lit("=")))
+          .otherwise(map().cast("map<string,string>")).as("tags"),
+        (col("tsS").cast(LongType) * 1000).as("ts"),
+        promDouble(col("raw")).as("value"))
+      .filter(col("value").isNotNull)
+  }
+
+  /** OpenTSDB telnet put (lib/protoparser/opentsdb):
+    * `put metric timestamp_s value tag=v [tag=v …]`.
+    */
+  def openTsdbLine(lines: DataFrame): DataFrame = {
+    val parts = split(trim(col("line")), "\\s+")
+    lines
+      .filter(trim(col("line")).startsWith("put "))
+      .select(
+        element_at(parts, 2).as("name"),
+        element_at(parts, 3).cast(LongType).as("tsS"),
+        element_at(parts, 4).cast(DoubleType).as("value"),
+        slice(parts, lit(5), greatest(size(parts) - 4, lit(0))).as("tagParts"))
+      .select(
+        col("name"),
+        map_from_entries(transform(col("tagParts"), p =>
+          struct(
+            split(p, "=").getItem(0).as("key"),
+            split(p, "=").getItem(1).as("value")))).as("tags"),
+        // seconds or millis, disambiguated by magnitude like the reference
+        when(col("tsS") < 10000000000L, col("tsS") * 1000).otherwise(col("tsS")).as("ts"),
+        col("value"))
+      .filter(col("name").isNotNull && col("value").isNotNull)
+  }
+
+  /** VM JSON-lines import format (/api/v1/import,
+    * lib/protoparser/vmimport): one JSON object per line with parallel
+    * values/timestamps arrays:
+    * {"metric":{"__name__":"m","l":"v"},"values":[…],"timestamps":[…]}.
+    */
+  def jsonImport(lines: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("metric", MapType(S, S)),
+      StructField("values", ArrayType(DoubleType)),
+      StructField("timestamps", ArrayType(LongType))))
+    lines
+      .select(from_json(col("line"), schema).as("j"))
+      .filter(col("j").isNotNull && col("j.metric").isNotNull)
+      .select(
+        col("j.metric").getItem("__name__").as("name"),
+        map_filter(col("j.metric"), (k, _) => k =!= "__name__").as("tags"),
+        explode(arrays_zip(col("j.timestamps"), col("j.values"))).as("p"))
+      .select(col("name"), col("tags"),
+        col("p").getField("timestamps").as("ts"),
+        col("p").getField("values").as("value"))
+      .filter(col("value").isNotNull)
+  }
+
+  /** CSV import (/api/v1/import/csv, lib/protoparser/csvimport): the
+    * column→role mapping is the user-supplied format string; here the
+    * caller names the metric/time columns and which columns are labels.
+    */
+  def csvImport(
+      csv: DataFrame,
+      timeCol: String,
+      valueCols: Seq[String],
+      labelCols: Seq[String]): DataFrame = {
+    val tags = map_from_arrays(
+      array(labelCols.map(lit): _*),
+      array(labelCols.map(c => col(c).cast(S)): _*))
+    val stacked = valueCols.map { vc =>
+      csv.select(
+        lit(vc).as("name"),
+        tags.as("tags"),
+        col(timeCol).cast(LongType).as("ts"),
+        col(vc).cast(DoubleType).as("value"))
+    }
+    stacked.reduce(_ unionByName _).filter(col("value").isNotNull)
+  }
+
+  // ------------------------------------------------------------------
+  // exports (SURVEY §2.0: /api/v1/export JSON-lines / prom text)
+  // ------------------------------------------------------------------
+
+  /** export samples as VM JSON-lines: one object per series with sorted
+    * parallel arrays (app/vmselect/prometheus/prometheus.go:323
+    * ExportHandler format). Returns a one-column (`line`) DataFrame.
+    */
+  def exportJsonLines(samples: DataFrame): DataFrame = {
+    val metric = map_concat(
+      when(col("name").isNotNull, map(lit("__name__"), col("name")))
+        .otherwise(map().cast("map<string,string>")),
+      col("tags"))
+    samples
+      .withColumn("_m", to_json(map_entries(metric))) // group key: canonical entries
+      .withColumn("_metric", metric)
+      .groupBy("_m")
+      .agg(
+        first("_metric").as("metric"),
+        array_sort(collect_list(struct(col("ts"), col("value")))).as("pts"))
+      .select(to_json(struct(
+        col("metric"),
+        transform(col("pts"), _.getField("value")).as("values"),
+        transform(col("pts"), _.getField("ts")).as("timestamps"))).as("line"))
+  }
+
+  /** export as Prometheus text lines: `name{l="v",…} value ts` */
+  def exportPromText(samples: DataFrame): DataFrame =
+    samples.select(concat(
+      coalesce(col("name"), lit("")),
+      when(size(map_entries(col("tags"))) > 0, concat(
+        lit("{"),
+        array_join(transform(array_sort(map_entries(col("tags"))),
+          e => concat(e.getField("key"), lit("=\""), e.getField("value"), lit("\""))), ","),
+        lit("}"))).otherwise(lit("")),
+      lit(" "), col("value").cast(S), lit(" "), col("ts").cast(S)).as("line"))
+
+  /** /federate: the latest sample per series in the window, as prom text
+    * (app/vmselect/prometheus/prometheus.go:113).
+    */
+  def federate(samples: DataFrame): DataFrame = {
+    val keyed = samples.withColumn("_sk",
+      concat(coalesce(col("name"), lit("")), to_json(array_sort(map_entries(col("tags"))))))
+    val latest = keyed
+      .groupBy("_sk")
+      .agg(
+        first("name").as("name"), first("tags").as("tags"),
+        max(struct(col("ts"), col("value"))).as("_w"))
+      .select(col("name"), col("tags"), col("_w.ts").as("ts"), col("_w.value").as("value"))
+    exportPromText(latest)
+  }
+}

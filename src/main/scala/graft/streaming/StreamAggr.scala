@@ -1,0 +1,212 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+/** Stream aggregation (SURVEY §2.7, lib/streamaggr/streamaggr.go):
+  * aggregate raw samples into coarser series per fixed interval BEFORE
+  * storage. Two forms with identical semantics:
+  *
+  *  - [[aggregateBatch]]: the batch/compaction form — tumbling
+  *    interval-aligned windows via one hash aggregation (used for
+  *    backfill and for the oracle-checked correctness gate).
+  *  - [[aggregate]]: the Structured Streaming form — event-time windows
+  *    with a watermark (the Spark-idiomatic equivalent of the reference's
+  *    wall-clock flush + ignore_old_samples, streamaggr.go:124-167).
+  *  - [[statefulTotal]]: the counter-carrying `total`/`increase` outputs,
+  *    which need per-series state across windows
+  *    (lib/streamaggr/total.go) — flatMapGroupsWithState keeping
+  *    (lastValue, runningTotal) per series.
+  *
+  * Output series naming follows the reference synthesis
+  * `name:interval[_by_labels]_output` (streamaggr.go:115-122).
+  */
+object StreamAggr {
+
+  /** grouping: Left(by-labels) keeps only those, Right(without) drops
+    * those; None aggregates everything into one output series per name.
+    */
+  final case class Config(
+      intervalMs: Long,
+      by: Seq[String] = Nil,
+      without: Seq[String] = Nil,
+      outputs: Seq[String] = Seq("sum_samples"))
+
+  private def intervalText(ms: Long): String =
+    if (ms % 3600000 == 0) s"${ms / 3600000}h"
+    else if (ms % 60000 == 0) s"${ms / 60000}m"
+    else if (ms % 1000 == 0) s"${ms / 1000}s"
+    else s"${ms}ms"
+
+  private def outName(cfg: Config, output: String): Column = {
+    val suffix = ":" + intervalText(cfg.intervalMs) +
+      (if (cfg.by.nonEmpty) "_by_" + cfg.by.sorted.mkString("_") else "") +
+      "_" + output
+    concat(coalesce(col("name"), lit("")), lit(suffix))
+  }
+
+  private def groupTags(cfg: Config): Column =
+    if (cfg.by.nonEmpty)
+      map_filter(col("tags"), (k, _) => k.isInCollection(cfg.by))
+    else if (cfg.without.nonEmpty)
+      map_filter(col("tags"), (k, _) => !k.isInCollection(cfg.without))
+    else map().cast("map<string,string>")
+
+  /** the 12 stateless outputs (per-file impls lib/streamaggr/{avg,count_
+    * samples,count_series,last,max,min,quantiles,std,sum_samples,
+    * unique_samples}.go) as one aggregation pass.
+    */
+  private def outputExpr(output: String): Column = {
+    val v = col("value")
+    output match {
+      case "avg" => avg(v)
+      case "count_samples" => count(v).cast(DoubleType)
+      case "count_series" => size(collect_set(col("_sk"))).cast(DoubleType)
+      case "last" => max_by(v, struct(col("ts"), v))
+      case "max" => max(v)
+      case "min" => min(v)
+      case "sum_samples" => sum(v)
+      case "stddev" => stddev_pop(v)
+      case "stdvar" => var_pop(v)
+      case "unique_samples" => size(collect_set(v)).cast(DoubleType)
+      case q if q.startsWith("quantile:") => percentile(v, lit(q.stripPrefix("quantile:").toDouble))
+      case other => throw new IllegalArgumentException(s"unsupported output '$other'")
+    }
+  }
+
+  /** Batch form: (name, tags, ts, value) → (name, tags, t, value) where t
+    * is the interval-aligned flush timestamp (window end) and `name`
+    * carries the output suffix.
+    */
+  def aggregateBatch(samples: DataFrame, cfg: Config): DataFrame = {
+    val i = cfg.intervalMs
+    val keyed = samples
+      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
+        to_json(array_sort(map_entries(col("tags"))))))
+      .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
+      .withColumn("t", expr(s"((ts + ${i - 1}L) div ${i}L) * ${i}L"))
+    val aggs = cfg.outputs.zipWithIndex.map { case (o, ix) => outputExpr(o).as(s"_o$ix") }
+    val wide = keyed
+      .groupBy(col("name"), col("_gt"), col("t"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cfg.outputs.zipWithIndex
+      .map { case (o, ix) => s"'$o', _o$ix" }.mkString(", ")
+    wide
+      .select(col("name"), col("_gt"), col("t"),
+        expr(s"stack(${cfg.outputs.size}, $stackArgs) as (_out, value)"))
+      .select(
+        concat(outName(cfg, ""), col("_out")).as("name"),
+        map_from_entries(from_json(col("_gt"),
+          lit("array<struct<key:string,value:string>>"))).as("tags"),
+        col("t"), col("value"))
+      .filter(col("value").isNotNull)
+  }
+
+  /** Streaming form: event-time tumbling windows + watermark. Input needs
+    * an event-time column `eventTime` (TimestampType); late data beyond
+    * `watermarkDelay` is dropped (the reference's ignore_old_samples,
+    * streamaggr.go:124-136).
+    */
+  def aggregate(
+      stream: DataFrame,
+      cfg: Config,
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    val keyed = stream
+      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
+        to_json(array_sort(map_entries(col("tags"))))))
+      .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
+      .withWatermark("eventTime", watermarkDelay)
+    val aggs = cfg.outputs.zipWithIndex.map { case (o, ix) => outputExpr(o).as(s"_o$ix") }
+    val wide = keyed
+      .withColumn("ts", unix_millis(col("eventTime")))
+      .groupBy(
+        window(col("eventTime"), s"${cfg.intervalMs} milliseconds").as("w"),
+        col("name"), col("_gt"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cfg.outputs.zipWithIndex
+      .map { case (o, ix) => s"'$o', _o$ix" }.mkString(", ")
+    wide
+      .select(col("name"), col("_gt"), col("w"),
+        expr(s"stack(${cfg.outputs.size}, $stackArgs) as (_out, value)"))
+      .select(
+        concat(outName(cfg, ""), col("_out")).as("name"),
+        map_from_entries(from_json(col("_gt"),
+          lit("array<struct<key:string,value:string>>"))).as("tags"),
+        unix_millis(col("w.end")).as("t"),
+        col("value"))
+      .filter(col("value").isNotNull)
+  }
+
+  // ------------------------------------------------------------------
+  // stateful counter outputs (total / increase) — lib/streamaggr/total.go
+  // ------------------------------------------------------------------
+
+  final case class SeriesSample(sk: String, ts: Long, value: Double)
+  final case class TotalState(lastValue: Double, total: Double)
+  final case class TotalOut(sk: String, total: Double)
+
+  /** per-series running `total`: counter increases accumulated across all
+    * samples ever seen, reset-aware (total.go keeps per-series last value;
+    * staleness expiry maps to state timeout — omitted here, the state is
+    * one (double, double) per series).
+    */
+  def statefulTotal(
+      stream: Dataset[SeriesSample]): Dataset[TotalOut] = {
+    import stream.sparkSession.implicits._
+    stream
+      .groupByKey(_.sk)
+      .flatMapGroupsWithState[TotalState, TotalOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (sk, rows, state: GroupState[TotalState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts, r.value))
+          var st = state.getOption.getOrElse(TotalState(Double.NaN, 0.0))
+          sorted.foreach { r =>
+            val inc =
+              if (st.lastValue.isNaN) 0.0 // first sample initializes
+              else if (r.value >= st.lastValue) r.value - st.lastValue
+              else r.value // counter reset: new raw value is the increase
+            st = TotalState(r.value, st.total + inc)
+          }
+          state.update(st)
+          Iterator.single(TotalOut(sk, st.total))
+      }
+  }
+
+  /** batch equivalent of `total`: per-series per-window increase
+    * (reset-aware, carrying the previous window's last sample), summed
+    * across the group's series, then accumulated over windows.
+    */
+  def totalBatch(samples: DataFrame, cfg: Config): DataFrame = {
+    val i = cfg.intervalMs
+    val keyed = samples
+      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
+        to_json(array_sort(map_entries(col("tags"))))))
+      .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
+    // per-series adjacent increase over the FULL sample stream, then
+    // bucket each increase into the window of its later sample — identical
+    // to maintaining lastValue state across windows
+    val w = Window.partitionBy(col("_sk")).orderBy(col("ts"), col("value"))
+    val withInc = keyed
+      .withColumn("_pv", lag(col("value"), 1).over(w))
+      .withColumn("_inc",
+        when(col("_pv").isNull, 0.0)
+          .when(col("value") >= col("_pv"), col("value") - col("_pv"))
+          .otherwise(col("value")))
+      .withColumn("t", expr(s"((ts + ${i - 1}L) div ${i}L) * ${i}L"))
+    val perWindow = withInc
+      .groupBy(col("name"), col("_gt"), col("t"))
+      .agg(sum(col("_inc")).as("_winc"))
+    val cum = Window.partitionBy(col("name"), col("_gt")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perWindow
+      .withColumn("value", sum(col("_winc")).over(cum))
+      .select(
+        outName(cfg, "total").as("name"),
+        map_from_entries(from_json(col("_gt"),
+          lit("array<struct<key:string,value:string>>"))).as("tags"),
+        col("t"), col("value"))
+  }
+}
