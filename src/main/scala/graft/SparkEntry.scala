@@ -1089,7 +1089,88 @@ object SparkEntry {
       "ORDER BY user_id, t")))
 
   // =====================================================================
-  private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ transformQueries ++ aggrQueries ++ binopQueries ++ histoQueries ++ metaQueries ++ pipelineQueries ++ relationalQueries ++ evalQueries
+  // §2.0 sources/sinks + §2.7 stream aggregation + §2.8 relabeling
+  // =====================================================================
+  private val sourcesQueries: Seq[Q] = Seq(
+    // export → parse round trips: the sink format feeds its own source and
+    // the aggregate of the round-tripped samples must equal the raw table
+    Q("src_prom_roundtrip", (s, dir) => {
+      val samples = Samples.fromEvents(s, dir)
+      val back = graft.sources.LineFormats.prometheusText(
+        graft.sources.LineFormats.exportPromText(samples), 0L)
+      back.groupBy("name").agg(
+        count(lit(1)).as("n"),
+        r6(sum("value")).as("sum_v")).orderBy("name")
+    }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v " +
+      "FROM events GROUP BY name ORDER BY name")),
+    Q("src_json_roundtrip", (s, dir) => {
+      val samples = Samples.fromEvents(s, dir)
+      val back = graft.sources.LineFormats.jsonImport(
+        graft.sources.LineFormats.exportJsonLines(samples))
+      back.groupBy("name").agg(
+        count(lit(1)).as("n"),
+        r6(sum("value")).as("sum_v")).orderBy("name")
+    }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v " +
+      "FROM events GROUP BY name ORDER BY name")),
+    Q("st_aggregate", (s, dir) => {
+      val cfg = graft.streaming.StreamAggr.Config(
+        6 * H, by = Seq("user_id"),
+        outputs = Seq("sum_samples", "count_samples", "avg", "max", "min"))
+      graft.streaming.StreamAggr.aggregateBatch(Samples.fromEvents(s, dir), cfg)
+        .select(col("name"), col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t")
+    }, Some {
+      val bkt = s"((epoch_ms(ts::TIMESTAMP) + ${6 * H - 1}) // ${6 * H}) * ${6 * H}"
+      s"WITH b AS (SELECT event_type AS nm, user_id, $bkt AS t, value FROM events), " +
+        "w AS (SELECT nm, user_id, t, sum(value) AS s, count(*)::DOUBLE AS c, avg(value) AS a, " +
+        "max(value) AS mx, min(value) AS mn FROM b GROUP BY nm, user_id, t) " +
+        "SELECT nm || ':6h_by_user_id_' || o AS name, user_id::BIGINT AS user_id, t, " +
+        "round(1e-9 + v, 6) AS value FROM (" +
+        "SELECT nm, user_id, t, 'sum_samples' AS o, s AS v FROM w UNION ALL " +
+        "SELECT nm, user_id, t, 'count_samples', c FROM w UNION ALL " +
+        "SELECT nm, user_id, t, 'avg', a FROM w UNION ALL " +
+        "SELECT nm, user_id, t, 'max', mx FROM w UNION ALL " +
+        "SELECT nm, user_id, t, 'min', mn FROM w) ORDER BY name, user_id, t"
+    }),
+    Q("st_total", (s, dir) => {
+      val cfg = graft.streaming.StreamAggr.Config(D, by = Seq("user_id"))
+      graft.streaming.StreamAggr.totalBatch(Samples.fromEvents(s, dir), cfg)
+        .select(col("name"), col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t")
+    }, Some {
+      val bkt = s"((tms + ${D - 1}) // $D) * $D"
+      "WITH b AS (SELECT event_type AS nm, user_id, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
+        "d AS (SELECT nm, user_id, tms, value, " +
+        "lag(value) OVER (PARTITION BY nm, user_id ORDER BY tms, value) AS pv FROM b), " +
+        s"i AS (SELECT nm, user_id, $bkt AS t, " +
+        "sum(CASE WHEN pv IS NULL THEN 0 WHEN value >= pv THEN value - pv ELSE value END) AS winc " +
+        "FROM d GROUP BY nm, user_id, t) " +
+        "SELECT nm || ':24h_by_user_id_total' AS name, user_id::BIGINT AS user_id, t, " +
+        "round(1e-9 + sum(winc) OVER (PARTITION BY nm, user_id ORDER BY t " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value " +
+        "FROM i ORDER BY name, user_id, t"
+    }),
+    Q("rl_relabel", (s, dir) => {
+      import graft.sources.Relabel
+      val out = Relabel.apply(Samples.fromEvents(s, dir), Seq(
+        Relabel.Rule("keep_metrics", regex = "click|view"),
+        Relabel.Rule("replace", sourceLabels = Seq("user_id"),
+          targetLabel = "host", regex = "(.*)", replacement = "u$1"),
+        Relabel.Rule("labelmap", regex = "user_id", replacement = "uid"),
+        Relabel.Rule("labeldrop", regex = "user_id")))
+      out.groupBy(col("name"), col("tags").getItem("host").as("host"),
+          col("tags").getItem("uid").cast("bigint").as("uid"))
+        .agg(count(lit(1)).as("n"), r6(sum("value")).as("sum_v"))
+        .orderBy("name", "host")
+    }, Some("SELECT event_type AS name, 'u' || user_id::VARCHAR AS host, user_id::BIGINT AS uid, " +
+      "count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v FROM events " +
+      "WHERE event_type IN ('click', 'view') " +
+      "GROUP BY name, host, uid ORDER BY name, host")))
+
+  // =====================================================================
+  private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ transformQueries ++ aggrQueries ++ binopQueries ++ histoQueries ++ metaQueries ++ pipelineQueries ++ relationalQueries ++ evalQueries ++ sourcesQueries
 
   /** Flagship: sum(rate(events[1d])) by (name) on the hourly grid —
     * the M1 end-to-end slice from SURVEY §7.2: per-(name,user) counter

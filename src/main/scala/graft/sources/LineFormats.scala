@@ -37,12 +37,20 @@ object LineFormats {
       regexp_replace(regexp_replace(c, """\\n""", "\n"), """\\"""", "\""),
       """\\\\""", """\\""")
 
+  private val numRe = """^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"""
+
+  /** numeric cast that yields null (not an ANSI error) on junk input —
+    * malformed protocol lines must drop, not abort the batch.
+    */
+  private def tryDouble(c: Column): Column =
+    when(c.rlike(numRe), c.cast(DoubleType))
+
   /** numeric literal incl. prometheus +Inf/-Inf/NaN */
   private def promDouble(c: Column): Column =
     when(c === "+Inf" || c === "Inf", lit(Double.PositiveInfinity))
       .when(c === "-Inf", lit(Double.NegativeInfinity))
       .when(c === "NaN", lit(Double.NaN))
-      .otherwise(c.cast(DoubleType))
+      .otherwise(tryDouble(c))
 
   /** Prometheus text exposition format
     * (lib/protoparser/prometheus/parser.go): lines
@@ -91,7 +99,7 @@ object LineFormats {
         concat(col("measurement"), lit("_"), col("field")).as("name"),
         col("tags"), col("ts"),
         // integers carry an `i` suffix; strings are quoted (dropped by cast)
-        regexp_replace(col("raw"), "i$", "").cast(DoubleType).as("value"))
+        tryDouble(regexp_replace(col("raw"), "i$", "")).as("value"))
       .filter(col("value").isNotNull)
   }
 
@@ -126,8 +134,8 @@ object LineFormats {
       .filter(trim(col("line")).startsWith("put "))
       .select(
         element_at(parts, 2).as("name"),
-        element_at(parts, 3).cast(LongType).as("tsS"),
-        element_at(parts, 4).cast(DoubleType).as("value"),
+        when(element_at(parts, 3).rlike("^\\d+$"), element_at(parts, 3).cast(LongType)).as("tsS"),
+        tryDouble(element_at(parts, 4)).as("value"),
         slice(parts, lit(5), greatest(size(parts) - 4, lit(0))).as("tagParts"))
       .select(
         col("name"),

@@ -1,0 +1,150 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+
+  private def lines(ls: String*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ls.toDF("line")
+  }
+
+  private def one(df: DataFrame): (String, Map[String, String], Long, Double) = {
+    val r = df.collect().head
+    (r.getString(0), r.getMap[String, String](1).toMap, r.getLong(2), r.getDouble(3))
+  }
+
+  test("prometheus text: labels, escapes, timestamps, comments") {
+    val df = LineFormats.prometheusText(lines(
+      "# HELP http_requests_total comment",
+      """http_requests_total{method="post",code="200"} 1027 1395066363000""",
+      """msg{txt="a\"b"} 3.5""",
+      "no_labels 42",
+      "bad line with no value x"), defaultTsMs = 777L)
+    val rows = df.orderBy("name").collect()
+    assert(rows.length == 3)
+    val byName = df.collect().map(r => r.getString(0) ->
+      ((r.getMap[String, String](1).toMap, r.getLong(2), r.getDouble(3)))).toMap
+    assert(byName("http_requests_total") ==
+      ((Map("method" -> "post", "code" -> "200"), 1395066363000L, 1027.0)))
+    assert(byName("msg")._1 == Map("txt" -> "a\"b"))
+    assert(byName("no_labels") == ((Map.empty, 777L, 42.0)))
+  }
+
+  test("influx line protocol: tags, multi-field fan-out, ns timestamp") {
+    val df = LineFormats.influxLine(lines(
+      "cpu,host=a,region=us usage_idle=90.5,usage_user=7 1465839830100400200",
+      "mem value=3i"), defaultTsMs = 99L)
+    val rows = df.collect().map(r => r.getString(0) ->
+      ((r.getMap[String, String](1).toMap, r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows("cpu_usage_idle") ==
+      ((Map("host" -> "a", "region" -> "us"), 1465839830100L, 90.5)))
+    assert(rows("cpu_usage_user")._3 == 7.0)
+    assert(rows("mem_value") == ((Map.empty, 99L, 3.0)))
+  }
+
+  test("graphite plaintext with tag support") {
+    val df = LineFormats.graphiteLine(lines(
+      "foo.bar.baz;dc=east;host=h1 10.5 1609459200",
+      "plain.metric 1 1609459260"))
+    val rows = df.collect().map(r => r.getString(0) ->
+      ((r.getMap[String, String](1).toMap, r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows("foo.bar.baz") ==
+      ((Map("dc" -> "east", "host" -> "h1"), 1609459200000L, 10.5)))
+    assert(rows("plain.metric") == ((Map.empty, 1609459260000L, 1.0)))
+  }
+
+  test("opentsdb telnet put") {
+    val (n, tags, ts, v) = one(LineFormats.openTsdbLine(lines(
+      "put sys.cpu.user 1356998400 42.5 host=web01 cpu=0")))
+    assert(n == "sys.cpu.user" && tags == Map("host" -> "web01", "cpu" -> "0"))
+    assert(ts == 1356998400000L && v == 42.5)
+  }
+
+  test("json-lines import explodes parallel arrays") {
+    val df = LineFormats.jsonImport(lines(
+      """{"metric":{"__name__":"up","job":"api"},"values":[1,0],"timestamps":[100,200]}"""))
+    val rows = df.orderBy("ts").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "up" &&
+      rows(0).getMap[String, String](1).toMap == Map("job" -> "api"))
+    assert(rows(0).getLong(2) == 100L && rows(0).getDouble(3) == 1.0)
+    assert(rows(1).getDouble(3) == 0.0)
+  }
+
+  test("csv import stacks value columns") {
+    val s = spark
+    import s.implicits._
+    val csv = Seq((1000L, "h1", 1.5, 7.0)).toDF("ts", "host", "temp", "load")
+    val df = LineFormats.csvImport(csv, "ts", Seq("temp", "load"), Seq("host"))
+    val rows = df.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(rows == Map("temp" -> 1.5, "load" -> 7.0))
+  }
+
+  test("prom-text export round-trips through the parser") {
+    val df = LineFormats.prometheusText(lines(
+      """m{a="1"} 5 100""", """m{a="2"} 7 100"""), 0L)
+    val reparsed = LineFormats.prometheusText(LineFormats.exportPromText(df), 0L)
+    assert(reparsed.agg(sum("value")).collect().head.getDouble(0) == 12.0)
+    assert(reparsed.count() == 2)
+  }
+
+  test("json-lines export groups a series into parallel arrays") {
+    val df = LineFormats.prometheusText(lines(
+      """m{a="1"} 5 100""", """m{a="1"} 6 200""", """m{a="2"} 7 100"""), 0L)
+    val out = LineFormats.exportJsonLines(df)
+    assert(out.count() == 2) // one line per series
+    val back = LineFormats.jsonImport(out)
+    assert(back.count() == 3)
+    assert(back.agg(sum("value")).collect().head.getDouble(0) == 18.0)
+  }
+
+  test("federate emits the latest sample per series") {
+    val df = LineFormats.prometheusText(lines(
+      """m{a="1"} 5 100""", """m{a="1"} 6 200""", """m{a="2"} 7 100"""), 0L)
+    val fed = LineFormats.prometheusText(LineFormats.federate(df), 0L)
+    val vals = fed.collect().map(r => r.getMap[String, String](1)("a") -> r.getDouble(3)).toMap
+    assert(vals == Map("1" -> 6.0, "2" -> 7.0))
+  }
+
+  test("relabel: replace, keep, labeldrop, hashmod, labelmap") {
+    val samples = LineFormats.prometheusText(lines(
+      """http_total{job="api-prod",instance="i1"} 1 100""",
+      """http_total{job="api-dev",instance="i2"} 1 100""",
+      """other{job="x"} 1 100"""), 0L)
+    val rules = Seq(
+      Relabel.Rule("keep", sourceLabels = Seq("job"), regex = "api-.*"),
+      Relabel.Rule("replace", sourceLabels = Seq("job"), regex = "api-(.*)",
+        targetLabel = "env", replacement = "$1"),
+      Relabel.Rule("labeldrop", regex = "instance"))
+    val out = Relabel.apply(samples, rules)
+    val envs = out.collect().map(r => r.getMap[String, String](1).toMap).toSet
+    assert(envs == Set(Map("job" -> "api-prod", "env" -> "prod"),
+      Map("job" -> "api-dev", "env" -> "dev")))
+
+    val hashed = Relabel.apply(samples,
+      Seq(Relabel.Rule("hashmod", sourceLabels = Seq("job"), targetLabel = "shard", modulus = 4)))
+    assert(hashed.collect().forall { r =>
+      val s = r.getMap[String, String](1)("shard").toInt; s >= 0 && s < 4
+    })
+
+    val mapped = Relabel.apply(samples,
+      Seq(Relabel.Rule("labelmap", regex = "job", replacement = "job_copy")))
+    assert(mapped.collect().forall(r =>
+      r.getMap[String, String](1).get("job_copy") == r.getMap[String, String](1).get("job")))
+  }
+
+  test("relabel: metric name is the __name__ pseudo-label") {
+    val samples = LineFormats.prometheusText(lines("""a_total{x="1"} 1 100"""), 0L)
+    val out = Relabel.apply(samples, Seq(
+      Relabel.Rule("replace", sourceLabels = Seq("__name__"), regex = "(.*)_total",
+        targetLabel = "__name__", replacement = "$1")))
+    assert(out.collect().head.getString(0) == "a")
+    val dropped = Relabel.apply(samples,
+      Seq(Relabel.Rule("drop_metrics", regex = "a_.*")))
+    assert(dropped.count() == 0)
+  }
+}

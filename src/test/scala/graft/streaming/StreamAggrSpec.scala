@@ -1,0 +1,95 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamAggrSpec extends SparkSpec {
+
+  private def samples(rows: (String, Map[String, String], Long, Double)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("name", "tags", "ts", "value")
+  }
+
+  private val in = samples(
+    ("m", Map("host" -> "a", "dc" -> "e"), 500L, 1.0),
+    ("m", Map("host" -> "a", "dc" -> "e"), 900L, 3.0),
+    ("m", Map("host" -> "b", "dc" -> "e"), 800L, 5.0),
+    ("m", Map("host" -> "a", "dc" -> "e"), 1500L, 7.0))
+
+  test("batch aggregation: outputs, naming, by-grouping") {
+    val out = StreamAggr.aggregateBatch(in,
+      StreamAggr.Config(1000L, by = Seq("dc"),
+        outputs = Seq("sum_samples", "count_samples", "count_series", "last", "max")))
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+    // window (0,1000]: sums 1+3+5=9, 3 samples, 2 series, last=3 (ts 900), max 5
+    assert(rows.contains(("m:1s_by_dc_sum_samples", 1000L, 9.0)))
+    assert(rows.contains(("m:1s_by_dc_count_samples", 1000L, 3.0)))
+    assert(rows.contains(("m:1s_by_dc_count_series", 1000L, 2.0)))
+    assert(rows.contains(("m:1s_by_dc_last", 1000L, 3.0)))
+    assert(rows.contains(("m:1s_by_dc_max", 1000L, 5.0)))
+    assert(rows.contains(("m:1s_by_dc_sum_samples", 2000L, 7.0)))
+    val tags = out.filter(col("name").endsWith("sum_samples"))
+      .select(col("tags")).collect().head.getMap[String, String](0).toMap
+    assert(tags == Map("dc" -> "e")) // only by-labels survive
+  }
+
+  test("batch total accumulates reset-aware increases across windows") {
+    val counter = samples(
+      ("c", Map("i" -> "x"), 100L, 10.0),
+      ("c", Map("i" -> "x"), 800L, 25.0), // +15
+      ("c", Map("i" -> "x"), 1500L, 5.0), // reset → +5
+      ("c", Map("i" -> "x"), 1900L, 11.0), // +6
+      ("c", Map("i" -> "x"), 2500L, 20.0)) // +9
+    val out = StreamAggr.totalBatch(counter, StreamAggr.Config(1000L))
+      .orderBy("t").collect().map(r => (r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((1000L, 15.0), (2000L, 26.0), (3000L, 35.0)))
+  }
+
+  test("streaming aggregation over event-time windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val stream = mem.toDF().toDF("name", "ts", "value")
+      .withColumn("tags", map(lit("host"), lit("h")))
+      .withColumn("eventTime", timestamp_millis(col("ts")))
+    val out = StreamAggr.aggregate(stream,
+      StreamAggr.Config(1000L, by = Seq("host"), outputs = Seq("sum_samples", "max")))
+    val query = out.writeStream.format("memory").queryName("sa_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(("m", 100L, 1.0), ("m", 600L, 2.0), ("m", 1200L, 10.0))
+      query.processAllAvailable()
+      val rows = spark.table("sa_out").collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("m:1s_by_host_sum_samples", 1000L, 3.0)))
+      assert(rows.contains(("m:1s_by_host_max", 2000L, 10.0)))
+    } finally query.stop()
+  }
+
+  test("stateful total carries counter state across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[StreamAggr.SeriesSample]
+    val out = StreamAggr.statefulTotal(mem.toDS())
+    val query = out.writeStream.format("memory").queryName("total_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(StreamAggr.SeriesSample("c", 100L, 10.0),
+        StreamAggr.SeriesSample("c", 200L, 25.0)) // +15
+      query.processAllAvailable()
+      mem.addData(StreamAggr.SeriesSample("c", 300L, 5.0), // reset → +5
+        StreamAggr.SeriesSample("c", 400L, 12.0)) // +7
+      query.processAllAvailable()
+      val totals = spark.table("total_out").collect()
+        .map(r => r.getDouble(1))
+      assert(totals.contains(15.0)) // after batch 1
+      assert(totals.contains(27.0)) // after batch 2: state carried
+    } finally query.stop()
+  }
+}
