@@ -293,6 +293,57 @@ object SparkEntry {
         "GROUP BY name, user_id, t ORDER BY name, user_id, t")))
 
   // =====================================================================
+  // §2.2 remaining rollups: filtered-count variants on floored values
+  // (doubles never collide on equality otherwise), Hoeffding lower bound,
+  // staleness counting, holt_winters, and the min/max/avg `rollup` fan-out
+  // =====================================================================
+  /** hourly rollup by name over FLOORED values (for eq/ne variants) */
+  private def roHF(kernel: Kernel): (SparkSession, String) => DataFrame = (s, dir) =>
+    Rollup.rollup(ev(s, dir).withColumn("value", floor(col("value"))), Seq("name"), gridH, H, kernel)
+      .select(col("name"), col("t"), r6(col("value")).as("value"))
+      .orderBy("name", "t")
+
+  private val BHF =
+    s"SELECT event_type AS name, ((epoch_ms(ts::TIMESTAMP) + ${H - 1}) // $H) * $H AS t, " +
+      "floor(value) AS value FROM events"
+
+  private def sqlHF(agg: String): String =
+    s"WITH b AS ($BHF) SELECT name, t, round(1e-9 + $agg, 6) AS value FROM b " +
+      "GROUP BY name, t ORDER BY name, t"
+
+  private val rollupQueries3: Seq[Q] = Seq(
+    Q("ro_count_eq", roHF(Kernels.countEq(100)),
+      Some(sqlHF("sum(CASE WHEN value = 100 THEN 1 ELSE 0 END)::DOUBLE"))),
+    Q("ro_count_ne", roHF(Kernels.countNe(100)),
+      Some(sqlHF("sum(CASE WHEN value != 100 THEN 1 ELSE 0 END)::DOUBLE"))),
+    Q("ro_sum_eq", roHF(Kernels.sumEq(100)),
+      Some(sqlHF("sum(CASE WHEN value = 100 THEN value ELSE 0 END)"))),
+    Q("ro_sum_le", roHF(Kernels.sumLe(100)),
+      Some(sqlHF("sum(CASE WHEN value <= 100 THEN value ELSE 0 END)"))),
+    Q("ro_share_eq", roHF(Kernels.shareEq(100)),
+      Some(sqlHF("sum(CASE WHEN value = 100 THEN 1.0 ELSE 0.0 END)/count(value)"))),
+    Q("ro_share_le", roHF(Kernels.shareLe(100)),
+      Some(sqlHF("sum(CASE WHEN value <= 100 THEN 1.0 ELSE 0.0 END)/count(value)"))),
+    Q("ro_hoeffding_lower", roH(Kernels.hoeffdingLower(0.9)),
+      Some(sqlH("avg(value) - (max(value)-min(value)) * sqrt(ln(1.0/(1-0.9))/(2*count(value)))"))),
+    Q("ro_stale_samples", roH(Kernels.staleSamples),
+      Some(sqlH("sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END)::DOUBLE"))),
+    // recursive smoothing has no closed SQL form → rows-only gate +
+    // KernelSpec golden recursion check
+    Q("ro_holt_winters", roH(Kernels.holtWinters(0.3, 0.3)), None),
+    Q("ro_rollup", (s, dir) =>
+      Rollup.aggrOverTime(ev(s, dir), Seq("name"), gridH, H,
+        Seq("min" -> Kernels.min, "max" -> Kernels.max, "avg" -> Kernels.avg))
+        .select(col("name"), col("t"), col("rollup"), r6(col("value")).as("value"))
+        .orderBy("name", "t", "rollup"),
+      Some(s"WITH b AS ($BH), w AS (SELECT name, t, min(value) AS mn, max(value) AS mx, " +
+        "avg(value) AS av FROM b GROUP BY name, t) " +
+        "SELECT name, t, r AS rollup, round(1e-9 + v, 6) AS value FROM (" +
+        "SELECT name, t, 'min' AS r, mn AS v FROM w UNION ALL " +
+        "SELECT name, t, 'max', mx FROM w UNION ALL " +
+        "SELECT name, t, 'avg', av FROM w) ORDER BY name, t, rollup")))
+
+  // =====================================================================
   // §2.3 transform functions — inputs are round-6 hourly/daily grids so
   // both engines transform bit-identical values
   // =====================================================================
@@ -493,7 +544,34 @@ object SparkEntry {
       relabeled.select(col("name"), col("tags").getItem("host").as("host")).distinct()
         .orderBy("name", "host")
     }, Some("SELECT DISTINCT event_type AS name, 'u' || user_id::VARCHAR AS host FROM events " +
-      "ORDER BY name, host")))
+      "ORDER BY name, host")),
+    Q("tr_range_mad", (s, dir) => trOut(Transform.rangeMad(gHavg(s, dir), Seq("name"))),
+      Some(s"$GH, m AS (SELECT name, t, value, quantile_cont(value, 0.5) OVER $WW AS med FROM gdf), " +
+        "d AS (SELECT name, t, abs(value - med) AS dev FROM m) " +
+        s"SELECT name, t, round(1e-9 + quantile_cont(dev, 0.5) OVER $WW, 6) AS value FROM d " +
+        "ORDER BY name, t")),
+    Q("tr_trim_zscore", (s, dir) => trOut(Transform.rangeTrimZscore(gHavg(s, dir), Seq("name"), 1.5)),
+      Some(s"$GH, z AS (SELECT name, t, value, CASE WHEN stddev_pop(value) OVER $WW > 0 THEN " +
+        s"abs(value - avg(value) OVER $WW) / stddev_pop(value) OVER $WW ELSE 0 END AS zs FROM gdf) " +
+        "SELECT name, t, round(1e-9 + value, 6) AS value FROM z WHERE zs <= 1.5 ORDER BY name, t")),
+    Q("tr_trim_outliers", (s, dir) => trOut(Transform.rangeTrimOutliers(gHavg(s, dir), Seq("name"), 2.0)),
+      Some(s"$GH, m AS (SELECT name, t, value, abs(value - quantile_cont(value, 0.5) OVER $WW) AS dev FROM gdf), " +
+        s"d AS (SELECT name, t, value, dev, quantile_cont(dev, 0.5) OVER $WW AS mad FROM m) " +
+        "SELECT name, t, round(1e-9 + value, 6) AS value FROM d WHERE dev <= 2.0 * mad ORDER BY name, t")),
+    Q("tr_trim_spikes", (s, dir) => trOut(Transform.rangeTrimSpikes(gHavg(s, dir), Seq("name"), 0.1)),
+      Some(s"$GH, m AS (SELECT name, t, value, abs(value - quantile_cont(value, 0.5) OVER $WW) AS dev FROM gdf), " +
+        s"d AS (SELECT name, t, value, dev, quantile_cont(dev, 0.9) OVER $WW AS cut FROM m) " +
+        "SELECT name, t, round(1e-9 + value, 6) AS value FROM d WHERE dev <= cut ORDER BY name, t")),
+    Q("tr_timezone_offset", (s, dir) =>
+      gHavg(s, dir).select(
+        col("name"), col("t"),
+        Transform.timezoneOffset(col("t"), "Europe/Berlin").as("berlin"),
+        Transform.timezoneOffset(col("t"), "America/New_York").as("ny"))
+        .orderBy("name", "t"),
+      Some(s"$GH SELECT name, t, " +
+        "epoch(make_timestamp(t*1000)::TIMESTAMP) - epoch(timezone('Europe/Berlin', make_timestamp(t*1000))) AS berlin, " +
+        "epoch(make_timestamp(t*1000)::TIMESTAMP) - epoch(timezone('America/New_York', make_timestamp(t*1000))) AS ny " +
+        "FROM gdf ORDER BY name, t")))
 
   // =====================================================================
   // §2.4 aggregate functions — across series (users) per grid point
@@ -588,7 +666,55 @@ object SparkEntry {
     Q("ag_limitk", (s, dir) =>
       Aggr.limitk(gDavg(s, dir), Seq("name", "user_id"), Seq("name"), 5)
         .orderBy("name", "user_id", "t"),
-      None))
+      None),
+    Q("ag_mad", (s, dir) =>
+      Aggr.madA(gDavg(s, dir).drop("user_id"), Seq("name"))
+        .select(col("name"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "t"),
+      Some(s"$GD, m AS (SELECT name, t, abs(value - quantile_cont(value, 0.5) OVER " +
+        "(PARTITION BY name, t)) AS dev FROM gdf) " +
+        "SELECT name, t, round(1e-9 + quantile_cont(dev, 0.5), 6) AS value FROM m " +
+        "GROUP BY name, t ORDER BY name, t")),
+    Q("ag_outliers_mad", (s, dir) =>
+      Aggr.outliersMad(gDavg(s, dir), Seq("name", "user_id"), Seq("name"), 1.0)
+        .select(col("name"), col("user_id"), col("t"), col("value"))
+        .orderBy("name", "user_id", "t"),
+      Some(s"$GD, st AS (SELECT name, user_id, quantile_cont(value, 0.5) AS med FROM gdf GROUP BY name, user_id), " +
+        "g AS (SELECT name, quantile_cont(med, 0.5) AS gmed FROM st GROUP BY name), " +
+        "d AS (SELECT st.name, st.user_id, abs(med - gmed) AS dev FROM st JOIN g ON st.name = g.name), " +
+        "md AS (SELECT name, quantile_cont(dev, 0.5) AS mad FROM d GROUP BY name), " +
+        "o AS (SELECT d.name, d.user_id FROM d JOIN md ON d.name = md.name WHERE d.dev > 1.0 * md.mad) " +
+        "SELECT gdf.name AS name, gdf.user_id AS user_id, t, value FROM gdf " +
+        "JOIN o ON gdf.name = o.name AND gdf.user_id = o.user_id ORDER BY name, user_id, t")),
+    Q("ag_outliersk", (s, dir) =>
+      Aggr.outliersk(gDavg(s, dir), Seq("name", "user_id"), Seq("name"), 2)
+        .select(col("name"), col("user_id"), col("t"), col("value"))
+        .orderBy("name", "user_id", "t"),
+      Some(s"$GD, gm AS (SELECT name, t, quantile_cont(value, 0.5) AS gmed FROM gdf GROUP BY name, t), " +
+        "dv AS (SELECT gdf.name, gdf.user_id, max(abs(value - gmed)) AS dev FROM gdf " +
+        "JOIN gm ON gdf.name = gm.name AND gdf.t = gm.t GROUP BY gdf.name, gdf.user_id), " +
+        "w AS (SELECT name, user_id FROM dv " +
+        "QUALIFY row_number() OVER (PARTITION BY name ORDER BY dev DESC, name ASC, user_id ASC) <= 2) " +
+        "SELECT gdf.name AS name, gdf.user_id AS user_id, t, value FROM gdf " +
+        "JOIN w USING (name, user_id) ORDER BY name, user_id, t")),
+    Q("ag_any", (s, dir) =>
+      gDavg(s, dir).groupBy("name", "t").agg(min_by(col("value"), col("user_id")).as("value"))
+        .select(col("name"), col("t"), col("value")).orderBy("name", "t"),
+      Some(s"$GD SELECT name, t, first(value ORDER BY user_id) AS value FROM gdf " +
+        "GROUP BY name, t ORDER BY name, t")),
+    Q("ag_group", (s, dir) =>
+      Aggr.groupA(gDavg(s, dir).drop("user_id"), Seq("name"))
+        .select(col("name"), col("t"), col("value")).orderBy("name", "t"),
+      Some(s"$GD SELECT DISTINCT name, t, 1.0 AS value FROM gdf ORDER BY name, t")),
+    Q("ag_quantiles", (s, dir) =>
+      Aggr.quantilesA(gDavg(s, dir).drop("user_id"), Seq("name"), Seq(0.25, 0.9))
+        .select(col("name"), col("t"), col("phi"), r6(col("value")).as("value"))
+        .orderBy("name", "t", "phi"),
+      Some(s"$GD, w AS (SELECT name, t, quantile_cont(value, 0.25) AS q25, " +
+        "quantile_cont(value, 0.9) AS q9 FROM gdf GROUP BY name, t) " +
+        "SELECT name, t, phi, round(1e-9 + v, 6) AS value FROM (" +
+        "SELECT name, t, '0.25' AS phi, q25 AS v FROM w UNION ALL " +
+        "SELECT name, t, '0.9', q9 FROM w) ORDER BY name, t, phi")))
 
   // =====================================================================
   // §2.5 binary operators — vector matching between purchase and click
@@ -733,7 +859,36 @@ object SparkEntry {
         .select(col("name"), col("t"), r6(col("value")).as("value"))
         .orderBy("name", "t"),
       Some(s"$HB SELECT name, t, round(1e-9 + sum((le + plo) / 2 * (cum - pc)) / sum(cum - pc), 6) AS value " +
-        "FROM j GROUP BY name, t ORDER BY name, t")))
+        "FROM j GROUP BY name, t ORDER BY name, t")),
+    Q("h_quantiles", (s, dir) =>
+      HistogramQ.histQuantiles(buckets(s, dir), Seq("name"), Seq(0.5, 0.95))
+        .select(col("name"), col("t"), col("phi"), r6(col("value")).as("value"))
+        .orderBy("name", "t", "phi"),
+      Some {
+        def q(phi: String) =
+          s"SELECT name, t, '$phi' AS phi, plo + (le - plo) * " +
+            s"CASE WHEN cum > pc THEN ($phi * total - pc) / (cum - pc) ELSE 0 END AS v " +
+            s"FROM j WHERE cum >= $phi * total AND pc < $phi * total"
+        s"$HB SELECT name, t, phi, round(1e-9 + v, 6) AS value FROM (${q("0.5")} UNION ALL ${q("0.95")}) " +
+          "ORDER BY name, t, phi"
+      }),
+    Q("h_stddev", (s, dir) =>
+      HistogramQ.histStddev(buckets(s, dir), Seq("name"))
+        .select(col("name"), col("t"), r4(col("value")).as("value"))
+        .orderBy("name", "t"),
+      Some(s"$HB, mm AS (SELECT name, t, sum((le + plo) / 2 * (cum - pc)) / sum(cum - pc) AS m1, " +
+        "sum((le + plo) / 2 * (le + plo) / 2 * (cum - pc)) / sum(cum - pc) AS m2 " +
+        "FROM j GROUP BY name, t) " +
+        "SELECT name, t, round(1e-9 + sqrt(greatest(m2 - m1 * m1, 0)), 4) AS value FROM mm " +
+        "ORDER BY name, t")),
+    Q("h_stdvar", (s, dir) =>
+      HistogramQ.histStdvar(buckets(s, dir), Seq("name"))
+        .select(col("name"), col("t"), r4(col("value")).as("value"))
+        .orderBy("name", "t"),
+      Some(s"$HB, mm AS (SELECT name, t, sum((le + plo) / 2 * (cum - pc)) / sum(cum - pc) AS m1, " +
+        "sum((le + plo) / 2 * (le + plo) / 2 * (cum - pc)) / sum(cum - pc) AS m2 " +
+        "FROM j GROUP BY name, t) " +
+        "SELECT name, t, round(1e-9 + m2 - m1 * m1, 4) AS value FROM mm ORDER BY name, t")))
 
   // =====================================================================
   // §2.9 metadata APIs — series/labels/cardinality
@@ -1170,7 +1325,7 @@ object SparkEntry {
       "GROUP BY name, host, uid ORDER BY name, host")))
 
   // =====================================================================
-  private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ transformQueries ++ aggrQueries ++ binopQueries ++ histoQueries ++ metaQueries ++ pipelineQueries ++ relationalQueries ++ evalQueries ++ sourcesQueries
+  private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ rollupQueries3 ++ transformQueries ++ aggrQueries ++ binopQueries ++ histoQueries ++ metaQueries ++ pipelineQueries ++ relationalQueries ++ evalQueries ++ sourcesQueries
 
   /** Flagship: sum(rate(events[1d])) by (name) on the hourly grid —
     * the M1 end-to-end slice from SURVEY §7.2: per-(name,user) counter

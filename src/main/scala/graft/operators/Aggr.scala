@@ -173,6 +173,51 @@ object Aggr {
     df.join(broadcast(dev), seriesCols, "left_semi")
   }
 
+  /** mad(q) — cross-series median absolute deviation per point
+    * (aggr.go:942): median over series of |v − median(v)|.
+    */
+  def madA(df: DataFrame, by: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(gcols(by): _*)
+    val med = percentile(col("value"), lit(0.5)).over(w)
+    df.withColumn("_dev", abs(col("value") - med))
+      .groupBy(gcols(by): _*)
+      .agg(percentile(col("_dev"), lit(0.5)).as("value"))
+  }
+
+  /** outliers_mad(tol, q) — keep whole series whose median deviates from
+    * the group median of medians by more than tol·MAD (aggr.go:1004).
+    */
+  def outliersMad(df: DataFrame, seriesCols: Seq[String], by: Seq[String], tol: Double): DataFrame = {
+    val stats = df.groupBy(seriesCols.map(col): _*)
+      .agg(percentile(col("value"), lit(0.5)).as("_med"))
+    val gmed = stats
+      .groupBy(by.map(col): _*)
+      .agg(percentile(col("_med"), lit(0.5)).as("_gmed"))
+    val withDev = stats.join(broadcast(gmed), by)
+      .withColumn("_dev", abs(col("_med") - col("_gmed")))
+    val mad = withDev
+      .groupBy(by.map(col): _*)
+      .agg(percentile(col("_dev"), lit(0.5)).as("_mad"))
+    val outliers = withDev.join(broadcast(mad), by)
+      .filter(col("_dev") > lit(tol) * col("_mad"))
+      .select(seriesCols.map(col): _*)
+    df.join(broadcast(outliers), seriesCols, "left_semi")
+  }
+
+  /** quantiles("label", phi…, q) — several per-point quantiles at once,
+    * one output series per phi (aggr.go:1162).
+    */
+  def quantilesA(df: DataFrame, by: Seq[String], phis: Seq[Double]): DataFrame = {
+    val aggs = phis.zipWithIndex.map { case (p, i) =>
+      percentile(col("value"), lit(p)).as(s"_q$i")
+    }
+    val stackArgs = phis.zipWithIndex.map { case (p, i) => s"'$p', _q$i" }.mkString(", ")
+    df.groupBy(gcols(by): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select((gcols(by) :+
+        expr(s"stack(${phis.size}, $stackArgs) as (phi, value)")): _*)
+  }
+
   /** histogram(q) — VM log-bucket histogram across series per point
     * (aggr.go:256 aggrFuncHistogram; bucket scheme as in
     * Rollup.histogramOverTime).

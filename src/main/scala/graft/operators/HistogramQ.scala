@@ -114,6 +114,52 @@ object HistogramQ {
       })
       .drop("_b")
 
+  /** histogram_quantiles("phi_label", phi1, …, buckets) — one series per
+    * phi, tagged by the phi value (transform.go:950).
+    */
+  def histQuantiles(buckets: DataFrame, groupKeys: Seq[String], phis: Seq[Double]): DataFrame = {
+    val base = buckets
+      .groupBy((groupKeys :+ "t").map(col): _*)
+      .agg(bucketArr.as("_b"))
+    val qs = phis.zipWithIndex.map { case (p, i) =>
+      base.withColumn("phi", lit(p.toString))
+        .withColumn("value", interpolateQuantile(col("_b"), p))
+    }
+    qs.reduce(_ unionByName _)
+      .drop("_b")
+      .filter(col("value").isNotNull && !isnan(col("value")))
+  }
+
+  /** histogram_stddev / histogram_stdvar — spread estimated from bucket
+    * midpoints (transform.go:386): var = E[mid²] − E[mid]².
+    */
+  def histStdvar(buckets: DataFrame, groupKeys: Seq[String]): DataFrame =
+    withMoments(buckets, groupKeys)
+      .withColumn("value", col("_m2") - col("_m1") * col("_m1"))
+      .drop("_m1", "_m2")
+
+  def histStddev(buckets: DataFrame, groupKeys: Seq[String]): DataFrame =
+    withMoments(buckets, groupKeys)
+      .withColumn("value", sqrt(greatest(col("_m2") - col("_m1") * col("_m1"), lit(0.0))))
+      .drop("_m1", "_m2")
+
+  private def withMoments(buckets: DataFrame, groupKeys: Seq[String]): DataFrame =
+    buckets
+      .groupBy((groupKeys :+ "t").map(col): _*)
+      .agg(bucketArr.as("_b"))
+      .withColumn("_m1", {
+        val d = diffCounts(col("_b"))
+        val n = aggregate(d, lit(0.0), (a, x) => a + x.getField("n"))
+        aggregate(d, lit(0.0), (a, x) => a + x.getField("mid") * x.getField("n")) / n
+      })
+      .withColumn("_m2", {
+        val d = diffCounts(col("_b"))
+        val n = aggregate(d, lit(0.0), (a, x) => a + x.getField("n"))
+        aggregate(d, lit(0.0),
+          (a, x) => a + x.getField("mid") * x.getField("mid") * x.getField("n")) / n
+      })
+      .drop("_b")
+
   /** per-bucket (midpoint, count) deltas from the cumulative array */
   private def diffCounts(arr: Column): Column =
     zip_with(

@@ -299,6 +299,37 @@ object Kernels {
     arrMedian(array_sort(transform(vs, x => abs(x - med))))
   }
 
+  /** count of staleness markers in the window — rollup.go:1779
+    * rollupStaleSamples (staleness is modeled as NaN sample values,
+    * SURVEY §1.2 NaN taxonomy).
+    */
+  val staleSamples: Kernel = Algebraic(
+    sum_(when(isnan(v), 1).otherwise(0)).cast(D))
+
+  /** Holt-Winters double exponential smoothing over the window's samples
+    * (rollup.go:1030 rollupHoltWinters): s_i = sf·v_i + (1-sf)(s_{i-1} +
+    * b_{i-1}); b_i = tf·(s_i - s_{i-1}) + (1-tf)·b_{i-1}; returns the last
+    * smoothed value. Exact recursion as an ordered-array fold.
+    */
+  def holtWinters(sf: Double, tf: Double): Kernel = OverArray { arr =>
+    val vs = tsVals(arr)
+    val st = aggregate(
+      vs,
+      struct(lit(Double.NaN).as("s"), lit(Double.NaN).as("b"), lit(0).as("i")),
+      (acc, x) => {
+        val i = acc.getField("i")
+        val s0 = acc.getField("s")
+        val b0 = acc.getField("b")
+        val s1 = when(i === 0, x)
+          .otherwise(lit(sf) * x + lit(1 - sf) * (s0 + when(isnan(b0), 0.0).otherwise(b0)))
+        val b1 = when(i === 0, lit(Double.NaN))
+          .when(i === 1, s1 - s0)
+          .otherwise(lit(tf) * (s1 - s0) + lit(1 - tf) * b0)
+        struct(s1.as("s"), b1.as("b"), (i + 1).as("i"))
+      })
+    when(size(vs) >= 2, st.getField("s"))
+  }
+
   /** most frequent value; smallest wins ties (reference iterates ascending
     * keeping strict improvements — rollup.go:2301 rollupModeOverTime).
     */

@@ -205,6 +205,60 @@ object Transform {
       .select((keys.map(col) :+ col("_e.t").as("t") :+ col("_e.v").as("value")): _*)
   }
 
+  /** range_mad — per-series median absolute deviation broadcast to every
+    * point (transform.go:1268).
+    */
+  def rangeMad(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = wholeW(keys)
+    val med = percentile(col("value"), lit(0.5)).over(w)
+    val withDev = df.withColumn("_dev", abs(col("value") - med))
+    withDev
+      .withColumn("value", percentile(col("_dev"), lit(0.5)).over(wholeW(keys)))
+      .drop("_dev")
+  }
+
+  /** range_trim_zscore(z, q) — drop points with |zscore| > z per series
+    * (transform.go:1551).
+    */
+  def rangeTrimZscore(df: DataFrame, keys: Seq[String], z: Double): DataFrame = {
+    val w = wholeW(keys)
+    val sd = stddev_pop(col("value")).over(w)
+    val zs = when(sd > 0, abs(col("value") - avg(col("value")).over(w)) / sd).otherwise(0.0)
+    df.withColumn("_z", zs).filter(col("_z") <= z).drop("_z")
+  }
+
+  /** range_trim_outliers(k, q) — drop points with |v − median| > k·MAD
+    * per series (transform.go:1528).
+    */
+  def rangeTrimOutliers(df: DataFrame, keys: Seq[String], k: Double): DataFrame = {
+    val w = wholeW(keys)
+    val med = percentile(col("value"), lit(0.5)).over(w)
+    val withDev = df.withColumn("_med", med).withColumn("_dev", abs(col("value") - med))
+    withDev
+      .withColumn("_mad", percentile(col("_dev"), lit(0.5)).over(wholeW(keys)))
+      .filter(col("_dev") <= lit(k) * col("_mad"))
+      .drop("_med", "_dev", "_mad")
+  }
+
+  /** range_trim_spikes(phi, q) — trim the outermost phi fraction of points
+    * by |v − median| per series (transform.go:1573).
+    */
+  def rangeTrimSpikes(df: DataFrame, keys: Seq[String], phi: Double): DataFrame = {
+    val w = wholeW(keys)
+    val med = percentile(col("value"), lit(0.5)).over(w)
+    val withDev = df.withColumn("_dev", abs(col("value") - med))
+    withDev
+      .withColumn("_cut", percentile(col("_dev"), lit(1.0 - phi)).over(wholeW(keys)))
+      .filter(col("_dev") <= col("_cut"))
+      .drop("_dev", "_cut")
+  }
+
+  /** timezone_offset(tz) — UTC offset (seconds) of the zone at each grid
+    * timestamp (transform.go:2763).
+    */
+  def timezoneOffset(t: Column, tz: String): Column =
+    ((unix_millis(to_utc_timestamp(timestamp_millis(t), tz)) - t) / -1000L).cast(DoubleType)
+
   /** limit_offset(limit, offset, q) — transform.go:2292: keep `limit`
     * series after skipping `offset`, ordered by series key.
     */

@@ -84,4 +84,20 @@ class KernelSpec extends SparkSpec {
   test("tlast_change falls back to first sample ts for a constant series") {
     assert(run(Kernels.tlastChange, (1000L, 4.0), (5000L, 4.0)) === Some(1.0))
   }
+
+  test("holt_winters follows the double-smoothing recursion") {
+    // hand-computed, sf=0.5 tf=0.5, values 10, 20, 30:
+    // s1=10; s2=.5·20+.5·(10+b?)=…; b init = s2-s1
+    // i=1: s=10, b=NaN→0 treated; i=2: s=.5·20+.5·(10+0)=15, b=s2-s1=5
+    // i=3: s=.5·30+.5·(15+5)=25, b=.5·(25-15)+.5·5=7.5 → last s = 25
+    assert(run(Kernels.holtWinters(0.5, 0.5),
+      (1000L, 10.0), (3000L, 20.0), (5000L, 30.0)) === Some(25.0))
+    // fewer than 2 samples → null
+    assert(run(Kernels.holtWinters(0.5, 0.5), (1000L, 10.0)).isEmpty)
+  }
+
+  test("stale_samples counts NaN markers only") {
+    assert(run(Kernels.staleSamples,
+      (1000L, 1.0), (3000L, Double.NaN), (5000L, Double.NaN)) === Some(2.0))
+  }
 }
