@@ -26,6 +26,13 @@ object Bench {
     val names =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) all.keys.toSeq.sorted
       else SparkEntry.benchNames.filter(all.contains)
+    // untimed warmup: session/codegen init + parquet footer reads, so the
+    // first measured query reflects the engine, not JVM cold start
+    try {
+      spark.range(1000).selectExpr("sum(id)").count()
+      Seq("lineitem", "orders", "events", "documents", "embeddings")
+        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    } catch { case _: Throwable => }
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }

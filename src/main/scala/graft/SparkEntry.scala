@@ -1234,6 +1234,22 @@ object SparkEntry {
     }, Some(s"WITH b AS ($BH) SELECT name, 'u' || user_id::VARCHAR AS host, t, " +
       "round(1e-9 + avg(value), 6) AS value FROM b WHERE name = 'click' " +
       "GROUP BY name, host, t ORDER BY host, t")),
+    Q("eval_hist_quantile", eng(
+      "histogram_quantile(0.95, prometheus_buckets(histogram(avg_over_time(click[1h]))))") { df =>
+      df.select(col("t"), r6(col("value")).as("value")).orderBy("t")
+    }, Some(s"WITH b AS ($BH), " +
+      "a AS (SELECT user_id, t, avg(value) AS v FROM b WHERE name = 'click' GROUP BY user_id, t), " +
+      "h AS (SELECT t, floor(log10(v) * 18)::BIGINT AS k, count(*)::DOUBLE AS c FROM a GROUP BY t, k), " +
+      "cb AS (SELECT t, pow(10, (k + 1) / 18.0) AS le, " +
+      "sum(c) OVER (PARTITION BY t ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h), " +
+      "tot AS (SELECT t, max(cum) AS total FROM cb GROUP BY t), " +
+      "j AS (SELECT cb.t AS t, le, cum, " +
+      "coalesce(lag(le) OVER (PARTITION BY cb.t ORDER BY le), 0) AS plo, " +
+      "coalesce(lag(cum) OVER (PARTITION BY cb.t ORDER BY le), 0) AS pc, total " +
+      "FROM cb JOIN tot ON cb.t = tot.t) " +
+      "SELECT t, round(1e-9 + plo + (le - plo) * " +
+      "CASE WHEN cum > pc THEN (0.95 * total - pc) / (cum - pc) ELSE 0 END, 6) AS value " +
+      "FROM j WHERE cum >= 0.95 * total AND pc < 0.95 * total ORDER BY t")),
     Q("eval_at", eng(s"avg_over_time(click[1h] @ ${(START + D) / 1000})") { df =>
       df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
         .orderBy("user_id", "t")

@@ -439,6 +439,81 @@ object Eval {
             .filter(col("_rn") <= k).select(col("_sk"))
           Series(withKeys.join(broadcast(winners), Seq("_sk"), "left_semi")
             .select(col("name"), col("tags"), col("t"), col("value")))
+        case "mad" =>
+          // cross-series MAD per point (aggr.go:942)
+          val w = Window.partitionBy(tagKey(gtags), col("t"))
+          val med = percentile(v, lit(0.5)).over(w)
+          val g = df.withColumn("_dev", abs(v - med))
+            .withColumn("_tk", tagKey(gtags))
+            .groupBy(col("_tk"), col("t"))
+            .agg(percentile(col("_dev"), lit(0.5)).as("value"))
+          Series(g.select(lit(null).cast(StringType).as("name"),
+            tagsOf(col("_tk")).as("tags"), col("t"), col("value")))
+        case "quantiles" =>
+          // quantiles("label", phi…, q) — one series per phi (aggr.go:1162)
+          val label = strArg(a.args.head)
+          val phis = a.args.drop(1).dropRight(1).map(scalarArg)
+          val aggs = phis.zipWithIndex.map { case (p, i) => percentile(v, lit(p)).as(s"_q$i") }
+          val stackArgs = phis.zipWithIndex.map { case (p, i) => s"'$p', _q$i" }.mkString(", ")
+          val g = df.withColumn("_tk", tagKey(gtags))
+            .groupBy(col("_tk"), col("t"))
+            .agg(aggs.head, aggs.tail: _*)
+            .select(col("_tk"), col("t"),
+              expr(s"stack(${phis.size}, $stackArgs) as (_phi, value)"))
+          Series(g.select(lit(null).cast(StringType).as("name"),
+            map_concat(tagsOf(col("_tk")), map(lit(label), col("_phi"))).as("tags"),
+            col("t"), col("value")))
+        case "histogram" =>
+          // cross-series vmrange histogram per point (aggr.go:256)
+          val g = df.withColumn("_tk", tagKey(gtags))
+            .withColumn("_vmr", floor(log10(v) * 18))
+            .groupBy(col("_tk"), col("t"), col("_vmr"))
+            .agg(count(lit(1)).cast(DoubleType).as("value"))
+          Series(g.select(lit(null).cast(StringType).as("name"),
+            map_concat(tagsOf(col("_tk")),
+              map(lit("vmrange"), col("_vmr").cast(StringType))).as("tags"),
+            col("t"), col("value")))
+        case "outliers_iqr" | "outliers_mad" | "outliersk" =>
+          // whole-series outlier filters (aggr.go:952,1004,1040)
+          val withKeys = df
+            .withColumn("_tk", tagKey(gtags))
+            .withColumn("_sk", skey(col("name"), col("tags")))
+          val stats = withKeys.groupBy(col("_tk"), col("_sk"))
+            .agg(percentile(v, lit(0.5)).as("_med"))
+          val winners: DataFrame = a.name match {
+            case "outliers_iqr" =>
+              val fences = stats.groupBy(col("_tk")).agg(
+                percentile(col("_med"), lit(0.25)).as("_q25"),
+                percentile(col("_med"), lit(0.75)).as("_q75"))
+              stats.join(broadcast(fences), Seq("_tk"))
+                .filter(col("_med") < col("_q25") - (col("_q75") - col("_q25")) * 1.5 ||
+                  col("_med") > col("_q75") + (col("_q75") - col("_q25")) * 1.5)
+                .select(col("_sk"))
+            case "outliers_mad" =>
+              val tol = scalarArg(a.args.head)
+              val gmed = stats.groupBy(col("_tk"))
+                .agg(percentile(col("_med"), lit(0.5)).as("_gmed"))
+              val dev = stats.join(broadcast(gmed), Seq("_tk"))
+                .withColumn("_dev", abs(col("_med") - col("_gmed")))
+              val mad = dev.groupBy(col("_tk"))
+                .agg(percentile(col("_dev"), lit(0.5)).as("_mad"))
+              dev.join(broadcast(mad), Seq("_tk"))
+                .filter(col("_dev") > lit(tol) * col("_mad"))
+                .select(col("_sk"))
+            case _ => // outliersk: top-k series by max |v − per-point group median|
+              val k = scalarArg(a.args.head).toInt
+              val gmed = withKeys.groupBy(col("_tk"), col("t"))
+                .agg(percentile(v, lit(0.5)).as("_gmed"))
+              withKeys.join(gmed, Seq("_tk", "t"))
+                .groupBy(col("_tk"), col("_sk"))
+                .agg(max(abs(v - col("_gmed"))).as("_dev"))
+                .withColumn("_rn", row_number().over(
+                  Window.partitionBy(col("_tk")).orderBy(col("_dev").desc, col("_sk").asc)))
+                .filter(col("_rn") <= k)
+                .select(col("_sk"))
+          }
+          Series(withKeys.join(broadcast(winners), Seq("_sk"), "left_semi")
+            .select(col("name"), col("tags"), col("t"), col("value")))
         case n if n.startsWith("topk_") || n.startsWith("bottomk_") =>
           // whole-series top/bottom-k by a series statistic (aggr.go:677)
           val k = scalarArg(a.args.head).toInt
@@ -817,6 +892,119 @@ object Eval {
           Series(gapFill(df, fillNext = true))
         case "interpolate" =>
           Series(interpolate(df))
+        case "prometheus_buckets" =>
+          // vmrange log-buckets → cumulative le buckets (transform.go:502)
+          val in = df
+            .withColumn("vmrange",
+              col("tags").getItem("vmrange").cast("long"))
+            .filter(col("vmrange").isNotNull)
+            .withColumn("_tk",
+              tagKey(map_filter(col("tags"), (k, _) => k =!= "vmrange")))
+          val out = graft.operators.HistogramQ.prometheusBuckets(
+            in.select(col("name"), col("_tk"), col("t"), col("vmrange"), col("value")),
+            Seq("name", "_tk"))
+          Series(out.select(col("name"),
+            map_concat(tagsOf(col("_tk")),
+              map(lit("le"), col("le").cast(StringType))).as("tags"),
+            col("t"), col("value")))
+        case "histogram_quantile" | "histogram_share" | "histogram_avg" |
+            "histogram_stddev" | "histogram_stdvar" =>
+          // bucket families carry an `le` label (SURVEY §1.1); group by
+          // tags-minus-le
+          val arg = if (name == "histogram_quantile" || name == "histogram_share") 1 else 0
+          val in = series(f.args(arg))
+            .withColumn("le", col("tags").getItem("le").cast(DoubleType))
+            .filter(col("le").isNotNull)
+            .withColumn("_tk", tagKey(map_filter(col("tags"), (k, _) => k =!= "le")))
+            .select(col("name"), col("_tk"), col("t"), col("le"), col("value"))
+          val out = name match {
+            case "histogram_quantile" =>
+              graft.operators.HistogramQ.quantile(in, Seq("name", "_tk"), scalarArg(f.args.head))
+            case "histogram_share" =>
+              graft.operators.HistogramQ.share(in, Seq("name", "_tk"), scalarArg(f.args.head))
+            case "histogram_avg" =>
+              graft.operators.HistogramQ.histAvg(in, Seq("name", "_tk"))
+            case "histogram_stddev" =>
+              graft.operators.HistogramQ.histStddev(in, Seq("name", "_tk"))
+            case _ =>
+              graft.operators.HistogramQ.histStdvar(in, Seq("name", "_tk"))
+          }
+          Series(out.select(lit(null).cast(StringType).as("name"),
+            tagsOf(col("_tk")).as("tags"), col("t"), col("value")))
+        case "drop_common_labels" =>
+          // drop labels that carry the same value on EVERY series
+          // (transform.go:2096). Label space is metadata-scale: the
+          // distinct (key,value,series) profile aggregates to the driver.
+          val keyed = df.withColumn("_sk", skey(col("name"), col("tags")))
+          val nSeries = keyed.select("_sk").distinct().count()
+          val common = keyed
+            .select(col("_sk"), explode(col("tags")).as(Seq("k", "v")))
+            .distinct()
+            .groupBy("k")
+            .agg(countDistinct("v").as("nv"), countDistinct("_sk").as("ns"))
+            .filter(col("nv") === 1 && col("ns") === nSeries)
+            .collect().map(_.getString(0)).toSeq
+          if (common.isEmpty) Series(df)
+          else Series(df.withColumn("tags",
+            map_filter(col("tags"), (k, _) => !k.isInCollection(common))))
+        case "sort_by_label_numeric" | "sort_by_label_numeric_desc" =>
+          val ls = f.args.tail.map(strArg)
+          val keys = ls.map(l => coalesce(col("tags").getItem(l).cast(DoubleType), lit(0.0)))
+          val ordered =
+            if (name == "sort_by_label_numeric") keys.map(_.asc) else keys.map(_.desc)
+          Series(df.orderBy(ordered :+ col("t").asc: _*))
+        case "bitmap_and" =>
+          Series(keepName(df.withColumn("value",
+            col("value").cast("long").bitwiseAND(lit(scalarArg(f.args(1)).toLong)).cast(DoubleType))))
+        case "bitmap_or" =>
+          Series(keepName(df.withColumn("value",
+            col("value").cast("long").bitwiseOR(lit(scalarArg(f.args(1)).toLong)).cast(DoubleType))))
+        case "bitmap_xor" =>
+          Series(keepName(df.withColumn("value",
+            col("value").cast("long").bitwiseXOR(lit(scalarArg(f.args(1)).toLong)).cast(DoubleType))))
+        case "timezone_offset" =>
+          val tz = strArg(f.args.head)
+          Series(Grid.gridDf(samples, cfg.grid).select(
+            lit(null).cast(StringType).as("name"),
+            map().cast("map<string,string>").as("tags"),
+            col("t"),
+            graft.operators.Transform.timezoneOffset(col("t"), tz).as("value")))
+        case "range_mad" =>
+          val w = allW
+          val med = percentile(col("value"), lit(0.5)).over(w)
+          val withDev = df.withColumn("_dev", abs(col("value") - med))
+          Series(withDev
+            .withColumn("value", percentile(col("_dev"), lit(0.5)).over(allW))
+            .drop("_dev"))
+        case "range_trim_zscore" =>
+          val z = scalarArg(f.args.head)
+          val q = series(f.args(1))
+          val w = Window.partitionBy(skey(col("name"), col("tags")))
+          val sd = stddev_pop(col("value")).over(w)
+          val zs = when(sd > 0, abs(col("value") - avg(col("value")).over(w)) / sd).otherwise(0.0)
+          Series(q.withColumn("_z", zs).filter(col("_z") <= z).drop("_z"))
+        case "range_trim_outliers" =>
+          val k = scalarArg(f.args.head)
+          val q = series(f.args(1))
+          val w = Window.partitionBy(skey(col("name"), col("tags")))
+          val med = percentile(col("value"), lit(0.5)).over(w)
+          val withDev = q.withColumn("_dev", abs(col("value") - med))
+          Series(withDev
+            .withColumn("_mad", percentile(col("_dev"), lit(0.5))
+              .over(Window.partitionBy(skey(col("name"), col("tags")))))
+            .filter(col("_dev") <= lit(k) * col("_mad"))
+            .drop("_dev", "_mad"))
+        case "range_trim_spikes" =>
+          val phi = scalarArg(f.args.head)
+          val q = series(f.args(1))
+          val w = Window.partitionBy(skey(col("name"), col("tags")))
+          val med = percentile(col("value"), lit(0.5)).over(w)
+          val withDev = q.withColumn("_dev", abs(col("value") - med))
+          Series(withDev
+            .withColumn("_cut", percentile(col("_dev"), lit(1.0 - phi))
+              .over(Window.partitionBy(skey(col("name"), col("tags")))))
+            .filter(col("_dev") <= col("_cut"))
+            .drop("_dev", "_cut"))
         case "smooth_exponential" =>
           // v'_i = sf·v_i + (1-sf)·v'_{i-1} (transform.go:1599) — exact
           // recursion: collect each series's points once, run the fold as a

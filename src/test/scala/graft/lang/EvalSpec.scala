@@ -199,6 +199,56 @@ class EvalSpec extends SparkSpec {
     assert(u(("m|a", 2 * M)) == 2.0) // from the first arg
   }
 
+  test("aggregate quantiles fans out one series per phi") {
+    val df = Engine.query(samples, """quantiles("q", 0.5, 1.0, avg_over_time(m[1m]))""", grid)
+    val r = df.collect().map(row =>
+      (row.getMap[String, String](1)("q"), row.getLong(2)) -> row.getDouble(3)).toMap
+    assert(r(("0.5", 5 * M)) == (5.0 + 50.0) / 2)
+    assert(r(("1.0", 5 * M)) == 50.0)
+  }
+
+  test("histogram → prometheus_buckets → histogram_quantile pipeline") {
+    // histogram of per-point values {i, i·10-ish} → buckets → quantile
+    val df = Engine.query(samples,
+      "histogram_quantile(1.0, prometheus_buckets(histogram(avg_over_time(m[1m]))))", grid)
+    val r = df.collect().map(row => row.getLong(2) -> row.getDouble(3)).toMap
+    // at t=5m values are 5 and 50: the 1.0-quantile is the upper bound of
+    // 50's vmrange bucket: 10^(ceil(18·log10(50))/18)
+    val expected = math.pow(10, math.floor(math.log10(50.0) * 18 + 1) / 18.0)
+    assert(math.abs(r(5 * M) - expected) < 1e-9)
+  }
+
+  test("drop_common_labels removes only all-series-identical labels") {
+    val df = Engine.query(samples,
+      """drop_common_labels(label_set(avg_over_time(m[1m]), "env", "prod"))""", grid)
+    val tagSets = df.collect().map(_.getMap[String, String](1).toMap).toSet
+    assert(tagSets == Set(Map("inst" -> "a"), Map("inst" -> "b"))) // env dropped, inst kept
+  }
+
+  test("outliersk keeps k series; two-series deviations tie → stable key order") {
+    // with exactly two series the per-point group median is their midpoint,
+    // so both deviate equally; the deterministic tie-break keeps the
+    // smaller series key
+    val r = run("outliersk(1, avg_over_time(m[1m]))")
+    assert(r.keySet.map(_._1) == Set("m|a"))
+    // adding constant-100 n|a: its deviation from the per-point median
+    // (90 at t=1m) is the largest → it is the outlier kept
+    val r3 = run("outliersk(1, union(avg_over_time(m[1m]), avg_over_time(n[1m])))")
+    assert(r3.keySet.map(_._1) == Set("n|a"))
+  }
+
+  test("range_trim_zscore drops high-z points") {
+    val r = run("range_trim_zscore(1.2, avg_over_time(m[1m]))")
+    assert(r.size < 20 && r.nonEmpty)
+  }
+
+  test("bitmap and timezone transforms") {
+    val b = run("bitmap_and(avg_over_time(m[1m]), 3)")
+    assert(b(("|a", 6 * M)) == (6L & 3L).toDouble) // name dropped by default
+    val tz = run("""timezone_offset("Europe/Berlin")""")
+    assert(tz.values.toSet == Set(3600.0)) // CET in winter... epoch 0 era is +1h
+  }
+
   test("limitk and count") {
     val c = run("count(avg_over_time(m[1m]))")
     assert(c(("|", 3 * M)) == 2.0)
