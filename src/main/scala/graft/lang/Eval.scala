@@ -147,7 +147,9 @@ object Eval {
     "increase", "increase_pure", "rate", "irate", "ideriv", "changes",
     "increases_over_time", "decreases_over_time", "resets", "ascent_over_time",
     "descent_over_time", "integrate", "duration_over_time",
-    "tlast_change_over_time", "default_rollup", "timestamp")
+    "tlast_change_over_time", "default_rollup", "timestamp",
+    "rollup", "rollup_candlestick", "aggr_over_time", "quantiles_over_time",
+    "histogram_over_time", "count_values_over_time")
 
   /** rollup fns that keep the metric name (rollup.go:267-287) */
   private val rollupKeepsName: Set[String] = Set(
@@ -268,7 +270,66 @@ object Eval {
     // rollups
     // ------------------------------------------------------------------
 
+    /** multi-output rollups: one aggregation pass fanned out into several
+      * series distinguished by an extra label (rollup.go:374-516
+      * getRollupConfigs fan-out; SURVEY §2.10 generator pattern).
+      */
+    private def evalMultiRollup(f: FuncExpr): Value = {
+      def findRollup(args: Seq[Expr]): RollupExpr = args.collectFirst {
+        case r: RollupExpr => r
+        case m: MetricExpr => RollupExpr(m, None, None, None, None)
+      }.getOrElse(throw new IllegalArgumentException(s"${f.name} needs a series arg"))
+      val re = findRollup(f.args)
+      val (keyed, rollGrid, atMs, windowMs) = rollupInput(f.name, re)
+      val keys = Seq("name", "_tk")
+
+      val (out, label) = f.name match {
+        case "rollup_candlestick" =>
+          (Rollup.candlestick(keyed, keys, rollGrid, windowMs), "rollup")
+        case "rollup" =>
+          (Rollup.aggrOverTime(keyed, keys, rollGrid, windowMs,
+            Seq("min" -> Kernels.min, "max" -> Kernels.max, "avg" -> Kernels.avg)), "rollup")
+        case "aggr_over_time" =>
+          // aggr_over_time(("f1","f2",…), m[d]) — fn-name list arg
+          val fns = f.args.head match {
+            case ParensExpr(es) => es.map { case StringExpr(s) => s
+              case other => throw new IllegalArgumentException(s"bad aggr_over_time fn: $other") }
+            case StringExpr(s) => Seq(s)
+            case other => throw new IllegalArgumentException(s"bad aggr_over_time arg: $other")
+          }
+          val kernels = fns.map(n => n -> rollupKernel(n, windowMs, Nil).getOrElse(
+            throw new IllegalArgumentException(s"unknown rollup fn '$n'")))
+          (Rollup.aggrOverTime(keyed, keys, rollGrid, windowMs, kernels), "rollup")
+        case "quantiles_over_time" =>
+          // quantiles_over_time("phiLabel", phi1, …, m[d])
+          val phis = f.args.drop(1).dropRight(1).map(scalarArg)
+          val lbl = strArg(f.args.head)
+          (Rollup.quantilesOverTime(keyed, keys, rollGrid, windowMs, phis)
+            .withColumnRenamed("phi", "rollup"), lbl)
+        case "histogram_over_time" =>
+          (Rollup.histogramOverTime(keyed, keys, rollGrid, windowMs)
+            .withColumn("rollup", col("vmrange").cast(StringType)).drop("vmrange"), "vmrange")
+        case "count_values_over_time" =>
+          val lbl = strArg(f.args.head)
+          (Rollup.countValuesOverTime(keyed, keys, rollGrid, windowMs)
+            .withColumn("rollup", col("value").cast(StringType))
+            .withColumn("value", col("cnt")).drop("cnt"), lbl)
+        case other => throw new IllegalArgumentException(s"not a multi-rollup: '$other'")
+      }
+      val keep = re.keepMetricNames || f.keepMetricNames || rollupKeepsName(f.name)
+      val named = if (keep) col("name") else lit(null).cast(StringType)
+      Series(replicateAt(out, atMs).select(
+        named.as("name"),
+        map_concat(tagsOf(col("_tk")), map(lit(label), col("rollup"))).as("tags"),
+        col("t"), col("value")))
+    }
+
+    private val multiRollups = Set(
+      "rollup", "rollup_candlestick", "aggr_over_time", "quantiles_over_time",
+      "histogram_over_time", "count_values_over_time")
+
     private def evalRollupCall(f: FuncExpr): Value = {
+      if (multiRollups(f.name)) return evalMultiRollup(f)
       // locate the rollup argument; remaining args must be scalars
       val idx = f.args.indexWhere {
         case _: RollupExpr | _: MetricExpr => true
@@ -288,20 +349,19 @@ object Eval {
       evalRollupLeaf(f.name, re, extraArgs, f.keepMetricNames)
     }
 
-    private def evalRollupLeaf(
+    /** shared rollup plumbing: resolve window/offset/@, build the keyed
+      * raw-sample frame (selector leaf or subquery inner grid), and the
+      * grid to evaluate on. Used by single- and multi-output rollups.
+      */
+    private def rollupInput(
         fn: String,
-        re: RollupExpr,
-        extraArgs: Seq[Double],
-        keepNames: Boolean = false): Value = {
+        re: RollupExpr): (DataFrame, GridSpec, Option[Long], Long) = {
       val windowMs = re.window.map(_.ms(step)).getOrElse {
         // no [d]: window = step, widened to the staleness lookback for
         // last-value semantics (rollup.go:738-756 window auto-adjust)
         if (fn == "default_rollup") math.max(step, cfg.lookbackMs) else step
       }
       val offsetMs = re.offset.map(_.ms(step)).getOrElse(0L)
-      val kernel = rollupKernel(fn, windowMs, extraArgs).getOrElse(
-        throw new IllegalArgumentException(s"unsupported rollup function '$fn'"))
-
       // the grid this rollup evaluates on: the query grid, or a single
       // point for @ (eval once, replicate — eval.go instant-at semantics)
       val atMs: Option[Long] = re.at.map {
@@ -327,19 +387,28 @@ object Eval {
             .select(col("name"), col("tags"), col("t").as("ts"), col("value"))
       }
       val shifted = if (offsetMs != 0) raw.withColumn("ts", col("ts") + lit(offsetMs)) else raw
-
       // group per full series: canonical tag string + name ride the
       // aggregation; tags map restored after
-      val keyed = shifted.withColumn("_tk", tagKey(col("tags")))
-      var out = Rollup
-        .rollup(keyed, Seq("name", "_tk"), rollGrid, windowMs, kernel)
-        .filter(col("value").isNotNull)
+      (shifted.withColumn("_tk", tagKey(col("tags"))), rollGrid, atMs, windowMs)
+    }
 
-      // @: replicate the single evaluated point across the query grid
-      atMs.foreach { _ =>
-        out = out.drop("t").crossJoin(Grid.gridDf(samples, cfg.grid))
-      }
+    /** replicate @-pinned single-point results across the query grid */
+    private def replicateAt(out: DataFrame, atMs: Option[Long]): DataFrame =
+      atMs.map(_ => out.drop("t").crossJoin(Grid.gridDf(samples, cfg.grid))).getOrElse(out)
 
+    private def evalRollupLeaf(
+        fn: String,
+        re: RollupExpr,
+        extraArgs: Seq[Double],
+        keepNames: Boolean = false): Value = {
+      val (keyed, rollGrid, atMs, windowMs) = rollupInput(fn, re)
+      val kernel = rollupKernel(fn, windowMs, extraArgs).getOrElse(
+        throw new IllegalArgumentException(s"unsupported rollup function '$fn'"))
+      val out = replicateAt(
+        Rollup
+          .rollup(keyed, Seq("name", "_tk"), rollGrid, windowMs, kernel)
+          .filter(col("value").isNotNull),
+        atMs)
       val keep = keepNames || re.keepMetricNames || rollupKeepsName(fn)
       val named = if (keep) col("name") else lit(null).cast(StringType)
       Series(out.select(

@@ -249,6 +249,29 @@ class EvalSpec extends SparkSpec {
     assert(tz.values.toSet == Set(3600.0)) // CET in winter... epoch 0 era is +1h
   }
 
+  test("multi-output rollups fan out with a distinguishing label") {
+    val df = Engine.query(samples, "rollup_candlestick(m[1m])", grid)
+    val r = df.collect().map(row =>
+      (row.getMap[String, String](1)("rollup"),
+        row.getMap[String, String](1)("inst"), row.getLong(2)) -> row.getDouble(3)).toMap
+    // single sample per 1m window → open=close=low=high
+    assert(r(("open", "a", 3 * M)) == 3.0 && r(("high", "a", 3 * M)) == 3.0)
+    val q = Engine.query(samples,
+      """quantiles_over_time("phi", 0.5, 1.0, m[3m])""", grid)
+    val qr = q.collect().map(row =>
+      (row.getMap[String, String](1)("phi"),
+        row.getMap[String, String](1)("inst"), row.getLong(2)) -> row.getDouble(3)).toMap
+    assert(qr(("1.0", "a", 3 * M)) == 3.0) // max of 1,2,3
+    assert(qr(("0.5", "a", 3 * M)) == 2.0)
+    val a = Engine.query(samples,
+      """aggr_over_time(("min_over_time","max_over_time"), m[3m])""", grid)
+    val ar = a.collect().map(row =>
+      (row.getMap[String, String](1)("rollup"),
+        row.getMap[String, String](1)("inst"), row.getLong(2)) -> row.getDouble(3)).toMap
+    assert(ar(("min_over_time", "a", 3 * M)) == 1.0)
+    assert(ar(("max_over_time", "a", 3 * M)) == 3.0)
+  }
+
   test("limitk and count") {
     val c = run("count(avg_over_time(m[1m]))")
     assert(c(("|", 3 * M)) == 2.0)

@@ -71,6 +71,33 @@ class StreamAggrSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("ingest end-to-end: prometheus text stream → parse → window aggregate") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[String]
+    val parsed = graft.sources.LineFormats.prometheusText(mem.toDF().toDF("line"), 0L)
+      .withColumn("eventTime", timestamp_millis(col("ts")))
+    val out = StreamAggr.aggregate(parsed,
+      StreamAggr.Config(1000L, by = Seq("job"), outputs = Seq("sum_samples")))
+    val query = out.writeStream.format("memory").queryName("ingest_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        """http_total{job="api"} 5 100""",
+        """http_total{job="api"} 7 600""",
+        """http_total{job="web"} 11 700""",
+        "# comment ignored",
+        "garbage line")
+      query.processAllAvailable()
+      val rows = spark.table("ingest_out").collect().map(r =>
+        (r.getString(0), r.getMap[String, String](1)("job"), r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("http_total:1s_by_job_sum_samples", "api", 12.0),
+        ("http_total:1s_by_job_sum_samples", "web", 11.0)))
+    } finally query.stop()
+  }
+
   test("stateful total carries counter state across micro-batches") {
     val s = spark
     import s.implicits._
