@@ -1,0 +1,105 @@
+package graft.api
+
+import graft.Engine
+import graft.core.GridSpec
+import graft.lang.{Eval, MetricExpr, Parser}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The Prometheus-compatible API surface (SURVEY §2.9, routes
+  * app/vmselect/main.go:201-431) as DataFrame programs — the HTTP layer
+  * proper is deployment glue; these are the handlers' query semantics.
+  * Input `samples` is the canonical frame (name, tags, ts, value).
+  */
+object Api {
+
+  /** /api/v1/query_range — the workhork (prometheus.go:925):
+    * full MetricsQL evaluation on the (start, end, step) grid.
+    */
+  def queryRange(samples: DataFrame, q: String,
+      startMs: Long, endMs: Long, stepMs: Long,
+      lookbackMs: Long = 300000L): DataFrame =
+    Engine.query(samples, q, GridSpec(startMs, endMs, stepMs), lookbackMs)
+
+  /** /api/v1/query — instant evaluation at one timestamp
+    * (prometheus.go:767): a single-point grid.
+    */
+  def query(samples: DataFrame, q: String, atMs: Long, stepMs: Long = 60000L,
+      lookbackMs: Long = 300000L): DataFrame =
+    Engine.query(samples, q, GridSpec(atMs, atMs, stepMs), lookbackMs)
+
+  private def selectorFilter(selector: String): DataFrame => DataFrame = { df =>
+    Parser.parse(selector) match {
+      case m: MetricExpr =>
+        // reuse the evaluator's anchored-filter semantics via Eval's path:
+        // a bare selector filter is (name/tags) predicates only
+        def one(f: graft.lang.LabelFilter): Column = {
+          val target =
+            if (f.label == "__name__") coalesce(col("name"), lit(""))
+            else coalesce(col("tags").getItem(f.label), lit(""))
+          val pos =
+            if (f.isRegexp) target.rlike("^(?:" + f.value + ")$")
+            else target === f.value
+          if (f.isNegative) !pos else pos
+        }
+        val pred = m.filterss
+          .map(_.map(one).reduceOption(_ && _).getOrElse(lit(true)))
+          .reduceOption(_ || _).getOrElse(lit(true))
+        df.filter(pred)
+      case other => throw new IllegalArgumentException(s"not a selector: $other")
+    }
+  }
+
+  private def skey: Column = concat(coalesce(col("name"), lit("")),
+    to_json(array_sort(map_entries(col("tags")))))
+
+  /** /api/v1/series — distinct series matching filters in range
+    * (prometheus.go:727).
+    */
+  def series(samples: DataFrame, selector: String, fromMs: Long, toMs: Long): DataFrame =
+    selectorFilter(selector)(
+      samples.filter(col("ts") >= fromMs && col("ts") <= toMs))
+      .withColumn("_sk", skey)
+      .groupBy("_sk").agg(first("name").as("name"), first("tags").as("tags"))
+      .select("name", "tags")
+
+  /** /api/v1/labels — distinct label names (prometheus.go:643) */
+  def labels(samples: DataFrame): DataFrame =
+    samples.select(explode(map_keys(col("tags"))).as("label"))
+      .union(samples.select(lit("__name__")))
+      .distinct().orderBy("label")
+
+  /** /api/v1/label/<n>/values (prometheus.go:538) */
+  def labelValues(samples: DataFrame, label: String): DataFrame = {
+    val v = if (label == "__name__") col("name") else col("tags").getItem(label)
+    samples.select(v.as("value")).filter(col("value").isNotNull)
+      .distinct().orderBy("value")
+  }
+
+  /** /api/v1/series/count (prometheus.go:704) */
+  def seriesCount(samples: DataFrame): DataFrame =
+    samples.agg(countDistinct(skey).as("count"))
+
+  /** /api/v1/status/tsdb — cardinality stats (prometheus.go:582):
+    * per-name series counts + top label=value pairs by series count.
+    */
+  def tsdbStatus(samples: DataFrame, topN: Int = 10): DataFrame = {
+    val keyed = samples.withColumn("_sk", skey)
+    keyed.groupBy(col("name"))
+      .agg(countDistinct(col("_sk")).as("series_count"))
+      .orderBy(col("series_count").desc, col("name"))
+      .limit(topN)
+  }
+
+  /** /api/v1/export (prometheus.go:323) — JSON-lines of raw samples */
+  def export(samples: DataFrame, selector: String, fromMs: Long, toMs: Long): DataFrame =
+    graft.sources.LineFormats.exportJsonLines(
+      selectorFilter(selector)(samples.filter(col("ts") >= fromMs && col("ts") <= toMs)))
+
+  /** raw-sample range query: `query=metric[5m]` at an instant exports the
+    * raw samples in the window (SURVEY §3.2).
+    */
+  def rawRange(samples: DataFrame, selector: String, atMs: Long, windowMs: Long): DataFrame =
+    selectorFilter(selector)(
+      samples.filter(col("ts") > atMs - windowMs && col("ts") <= atMs))
+}

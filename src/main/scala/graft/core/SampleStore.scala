@@ -1,0 +1,78 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The Parquet sample store (SURVEY §1.2): samples at rest are
+  * date-partitioned Parquet — the reference's monthly LSM partitions
+  * (lib/storage/partition.go:28-40) map to `PARTITIONED BY (date)` with
+  * partition pruning replacing the time-range index, and Parquet
+  * encodings replacing the custom block codecs (lib/encoding).
+  *
+  * Retention is partition drop (`partition.go:1580-1599` retention
+  * deadline → WHERE date >= deadline); query-time dedup is the
+  * `-dedup.minScrapeInterval` expression from pipeline.Dedup.
+  */
+object SampleStore {
+
+  /** write samples (name, tags, ts, value) date-partitioned */
+  def write(samples: DataFrame, path: String, mode: SaveMode = SaveMode.Append): Unit =
+    samples
+      .withColumn("date", to_date(timestamp_millis(col("ts"))))
+      .write
+      .mode(mode)
+      .partitionBy("date")
+      .parquet(path)
+
+  /** read back; time-range predicates prune date partitions */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("date")
+
+  /** read a time range — the date predicate is derived from the ts range
+    * so Catalyst prunes partitions BEFORE reading footers.
+    */
+  def readRange(spark: SparkSession, path: String, fromMs: Long, toMs: Long): DataFrame =
+    spark.read.parquet(path)
+      .filter(
+        col("date") >= to_date(timestamp_millis(lit(fromMs))) &&
+          col("date") <= to_date(timestamp_millis(lit(toMs))))
+      .filter(col("ts") >= fromMs && col("ts") <= toMs)
+      .drop("date")
+
+  /** retention enforcement = drop partitions older than the deadline by
+    * rewriting the kept range (on real deployments: partition DROP).
+    */
+  /** open-ended range bound safe for micros conversion (year 3000) */
+  private val MaxTsMs = 32503680000000L
+
+  def applyRetention(spark: SparkSession, path: String, outPath: String, keepFromMs: Long): Unit =
+    write(readRange(spark, path, keepFromMs, MaxTsMs), outPath, SaveMode.Overwrite)
+
+  /** compaction job: retention filter + interval dedup (keep last, max on
+    * ties — lib/storage/dedup.go:30-70) rewritten in place of background
+    * LSM merges (partition.go:535-601).
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      outPath: String,
+      keepFromMs: Long,
+      dedupIntervalMs: Long): Unit = {
+    val kept = readRange(spark, path, keepFromMs, MaxTsMs)
+      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
+        to_json(array_sort(map_entries(col("tags"))))))
+    val deduped = graft.pipeline.Dedup
+      .dedupSamples(kept, Seq("_sk"), dedupIntervalMs)
+      .join(kept.select("_sk", "name", "tags").dropDuplicates("_sk"), Seq("_sk"))
+      .select("name", "tags", "ts", "value")
+    write(deduped, outPath, SaveMode.Overwrite)
+  }
+
+  /** delete series matching a predicate (the /api/v1/admin/tsdb/
+    * delete_series semantics, prometheus.go:509) — anti-filter rewrite on
+    * the Parquet store (tombstones don't exist in Parquet).
+    */
+  def deleteSeries(spark: SparkSession, path: String, outPath: String,
+      predicate: org.apache.spark.sql.Column): Unit =
+    write(read(spark, path).filter(!predicate), outPath, SaveMode.Overwrite)
+}

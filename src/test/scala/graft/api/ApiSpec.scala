@@ -1,0 +1,70 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.core.SampleStore
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ApiSpec extends SparkSpec {
+
+  private lazy val samples: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      ("up", Map("job" -> "api", "inst" -> "a"), 1000L, 1.0),
+      ("up", Map("job" -> "api", "inst" -> "b"), 1000L, 0.0),
+      ("up", Map("job" -> "web", "inst" -> "c"), 2000L, 1.0),
+      ("errs", Map("job" -> "api"), 86400000L * 40, 3.0))
+      .toDF("name", "tags", "ts", "value")
+  }
+
+  test("series / labels / labelValues / seriesCount / tsdbStatus") {
+    val ser = Api.series(samples, """up{job="api"}""", 0L, 10000L)
+    assert(ser.count() == 2)
+    assert(Api.labels(samples).collect().map(_.getString(0)).toSet ==
+      Set("__name__", "job", "inst"))
+    assert(Api.labelValues(samples, "job").collect().map(_.getString(0)).toSet ==
+      Set("api", "web"))
+    assert(Api.labelValues(samples, "__name__").collect().map(_.getString(0)).toSet ==
+      Set("up", "errs"))
+    assert(Api.seriesCount(samples).collect().head.getLong(0) == 4L)
+    val top = Api.tsdbStatus(samples).collect()
+    assert(top.head.getString(0) == "up" && top.head.getLong(1) == 3L)
+  }
+
+  test("instant query and raw range export") {
+    val inst = Api.query(samples, """up{job="api"}""", 1000L)
+    assert(inst.count() == 2)
+    val raw = Api.rawRange(samples, "up", 2000L, 1500L)
+    assert(raw.count() == 3)
+    val exported = Api.export(samples, "up", 0L, 10000L)
+    assert(exported.count() == 3) // one JSON line per series
+  }
+
+  test("sample store: date partitioning, pruning, retention, compaction, delete") {
+    val dir = Files.createTempDirectory("store").toString
+    SampleStore.write(samples, dir, SaveMode.Overwrite)
+    // partition layout on disk
+    val parts = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("date="))
+    assert(parts.length == 2) // 1970-01-01 and the +40d partition
+    // range read prunes to one partition and filters rows
+    val ranged = SampleStore.readRange(spark, dir, 0L, 10000L)
+    assert(ranged.count() == 3)
+    val plan = ranged.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("date"))
+    // retention drops the old partition
+    val kept = Files.createTempDirectory("kept").toString
+    SampleStore.applyRetention(spark, dir, kept, 86400000L * 30)
+    assert(SampleStore.read(spark, kept).count() == 1)
+    // compaction dedups per interval (two 'up' api samples at 1000 in one bucket)
+    val compacted = Files.createTempDirectory("compact").toString
+    SampleStore.compact(spark, dir, compacted, 0L, 10000L)
+    val c = SampleStore.read(spark, compacted)
+    assert(c.count() == 4) // distinct series keep one sample each here
+    // delete_series = anti-filter rewrite
+    val deleted = Files.createTempDirectory("deleted").toString
+    SampleStore.deleteSeries(spark, dir, deleted, col("name") === "errs")
+    assert(SampleStore.read(spark, deleted).filter(col("name") === "errs").count() == 0)
+  }
+}
