@@ -32,6 +32,16 @@ object Similarity {
     when(n > 0, d / n).otherwise(lit(0.0))
   }
 
+  /** unit-normalized copy (zeros stay zero) — computed ONCE per vector on
+    * the scan side so the n² pair stage is a bare dot product instead of
+    * re-deriving both norms per pair.
+    */
+  def normalized(vec: Column): Column = {
+    val n = norm(vec)
+    when(n > 0, transform(vec, x => x.cast(DoubleType) / n))
+      .otherwise(transform(vec, x => x.cast(DoubleType) * 0.0))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding self-matches by id). Queries are broadcast; the
     * corpus is scanned once. Rank window partitioned per query.
@@ -42,11 +52,11 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("c_id"), col(vecCol).as("c_vec"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"), normalized(col(vecCol)).as("q_vec")))
+    val c = corpus.select(col(idCol).as("c_id"), normalized(col(vecCol)).as("c_vec"))
     q.crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", dot(col("q_vec"), col("c_vec")))
       .withColumn(
         "rank",
         row_number().over(
@@ -86,14 +96,14 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(
-      col(idCol).as("c_id"), col(vecCol).as("c_vec"),
+      col(idCol).as("c_id"), normalized(col(vecCol)).as("c_vec"),
       lshSignature(col(vecCol), nBits).as("bkt"))
     val q = queries.select(
-      col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      col(idCol).as("q_id"), normalized(col(vecCol)).as("q_vec"),
       lshSignature(col(vecCol), nBits).as("bkt"))
     q.join(c, "bkt")
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cosine", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("cosine", dot(col("q_vec"), col("c_vec")))
       .withColumn(
         "rank",
         row_number().over(
@@ -112,11 +122,11 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
+      col(idCol).as("id"), normalized(col(vecCol)).as("vec"),
       lshSignature(col(vecCol), nBits).as("bkt"))
     c.as("a")
       .join(c.as("b"), col("a.bkt") === col("b.bkt") && col("a.id") < col("b.id"))
-      .withColumn("cosine", cosine(col("a.vec"), col("b.vec")))
+      .withColumn("cosine", dot(col("a.vec"), col("b.vec")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
@@ -129,10 +139,10 @@ object Similarity {
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val c = corpus.select(col(idCol).as("id"), normalized(col(vecCol)).as("vec"))
     c.as("a")
       .join(c.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cosine", cosine(col("a.vec"), col("b.vec")))
+      .withColumn("cosine", dot(col("a.vec"), col("b.vec")))
       .filter(col("cosine") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
   }
