@@ -32,9 +32,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType, StructFiel
 object Eval {
 
   /** Evaluation config: result grid + staleness lookback for bare
-    * selectors (eval.go:1919-1925 maxSilenceInterval).
+    * selectors (eval.go:1919-1925 maxSilenceInterval). `pushdownCap`
+    * bounds the adaptive binop label-value pushdown (O3, the analogue of
+    * -search.maxBinaryOpPushdownLabelValues, eval.go:52); 0 disables.
     */
-  final case class EvalConfig(grid: GridSpec, lookbackMs: Long = 300000L)
+  final case class EvalConfig(
+      grid: GridSpec,
+      lookbackMs: Long = 300000L,
+      pushdownCap: Int = 100)
 
   /** An evaluated expression: a series set, a scalar, or a string. */
   sealed trait Value
@@ -613,8 +618,87 @@ object Eval {
     // binary operators
     // ------------------------------------------------------------------
 
+    /** ops where the right side only matters at the left side's match
+      * keys — eligible for O3 pushdown / O4 short-circuit. `or`, `default`
+      * and `ifnot` need the full right side regardless of the left.
+      */
+    private def rightRestrictable(op: String): Boolean =
+      op != "or" && op != "default" && op != "ifnot"
+
+    /** O3: inject label filters into an expression's selector leaves,
+      * refusing when a node could change the label's meaning — the same
+      * safety rules as the reference's common-filter propagation
+      * (metricsql optimizer.go:16-360 + runtime pushdown eval.go:670-744).
+      */
+    private def pushFilters(e: Expr, fs: Seq[LabelFilter]): Option[Expr] = e match {
+      case m: MetricExpr => Some(MetricExpr(m.filterss.map(_ ++ fs)))
+      case r: RollupExpr => pushFilters(r.expr, fs).map(x => r.copy(expr = x))
+      case f: FuncExpr if isRollupFn(f.name) || mathFns.contains(f.name) ||
+          Set("round", "clamp", "clamp_min", "clamp_max").contains(f.name) =>
+        val pushed = f.args.map {
+          case s: Expr if s.isInstanceOf[MetricExpr] || s.isInstanceOf[RollupExpr] ||
+              s.isInstanceOf[FuncExpr] || s.isInstanceOf[AggrFuncExpr] ||
+              s.isInstanceOf[BinaryOpExpr] => pushFilters(s, fs)
+          case other => Some(other) // scalar/string args pass through
+        }
+        if (pushed.forall(_.isDefined)) Some(f.copy(args = pushed.map(_.get))) else None
+      case a: AggrFuncExpr =>
+        // safe only when the aggregation provably keeps the filter labels
+        val keeps = a.modifier match {
+          case Some(By(ls)) => fs.forall(f => ls.contains(f.label))
+          case Some(Without(ls)) => fs.forall(f => !ls.contains(f.label))
+          case None => false
+        }
+        if (!keeps) None
+        else pushFilters(a.args.last, fs)
+          .map(x => a.copy(args = a.args.init :+ x))
+      case bin: BinaryOpExpr =>
+        (pushFilters(bin.left, fs), pushFilters(bin.right, fs)) match {
+          case (Some(l), Some(r)) => Some(bin.copy(left = l, right = r))
+          case _ => None
+        }
+      case n: NumberExpr => Some(n)
+      case s: StringExpr => Some(s)
+      case _ => None
+    }
+
+    /** evaluate the right side of a binop, optionally restricted by the
+      * left side's observed on-label values (O3, eval.go:445-596) or
+      * skipped entirely when the left is empty (O4, eval.go:526-531).
+      */
+    private def evalRightAdaptive(leftDf: DataFrame, b: BinaryOpExpr): Value = {
+      val onLabels: Seq[String] = b.groupModifier match {
+        case Some(On(ls)) => ls
+        case _ => Nil
+      }
+      if (cfg.pushdownCap <= 0 || !rightRestrictable(b.op)) return eval(b.right)
+      val persisted = leftDf.persist()
+      if (persisted.isEmpty) // O4: nothing can match
+        return Series(persisted.filter(lit(false)))
+      if (onLabels.isEmpty) return eval(b.right)
+      val valueSets = onLabels.map { l =>
+        persisted.select(coalesce(col("tags").getItem(l), lit("")).as("v"))
+          .distinct().limit(cfg.pushdownCap + 1)
+          .collect().map(_.getString(0)).toSeq
+      }
+      if (valueSets.exists(_.size > cfg.pushdownCap)) return eval(b.right)
+      val fs = onLabels.zip(valueSets).map { case (l, vs) =>
+        LabelFilter(l, vs.map(java.util.regex.Pattern.quote).mkString("|"),
+          isNegative = false, isRegexp = true)
+      }
+      pushFilters(b.right, fs) match {
+        case Some(rewritten) => eval(rewritten)
+        case None => eval(b.right)
+      }
+    }
+
     private def evalBinop(b: BinaryOpExpr): Value = {
-      (eval(b.left), eval(b.right)) match {
+      val leftV = eval(b.left)
+      val rightV = leftV match {
+        case Series(ld) => evalRightAdaptive(ld, b)
+        case _ => eval(b.right)
+      }
+      (leftV, rightV) match {
         case (Scalar(l), Scalar(r)) =>
           val v = BinaryOp.applyScalar(b.op, l, r)
           Scalar(

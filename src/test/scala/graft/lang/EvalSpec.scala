@@ -272,6 +272,36 @@ class EvalSpec extends SparkSpec {
     assert(ar(("max_over_time", "a", 3 * M)) == 3.0)
   }
 
+  test("adaptive binop pushdown (O3/O4) preserves results") {
+    import graft.core.GridSpec
+    val q = """avg_over_time(n[1m]) / on(inst) avg_over_time(m[1m])"""
+    def results(cap: Int): Set[(String, Long, Double)] =
+      Eval.eval(samples, Parser.parse(q), Eval.EvalConfig(grid, 300000L, pushdownCap = cap))
+        .collect().map(r => (
+          r.getMap[String, String](1).getOrElse("inst", ""), r.getLong(2), r.getDouble(3))).toSet
+    assert(results(100) == results(0)) // pushdown on == off
+    assert(results(100).nonEmpty)
+    // O4: empty left short-circuits the right side entirely
+    val empty = run("""avg_over_time(zzz[1m]) * on(inst) avg_over_time(m[1m])""")
+    assert(empty.isEmpty)
+    // unsafe pushdown targets (aggregation dropping the on-label) still
+    // evaluate correctly via the fallback
+    val agg = run("""avg_over_time(n[1m]) / on(inst) sum(avg_over_time(m[1m])) by (inst)""")
+    assert(agg(("|a", 3 * M)) == 100.0 / 3.0)
+  }
+
+  test("query-result memoization returns the persisted frame on repeat") {
+    Engine.clearCache()
+    val a = Engine.queryCached(samples, "avg_over_time(m[1m])", grid)
+    val b = Engine.queryCached(samples, "avg_over_time(m[1m])", grid)
+    assert(a eq b) // same cached DataFrame object
+    assert(a.storageLevel.useMemory) // persisted
+    val c = Engine.queryCached(samples, "avg_over_time(m[2m])", grid)
+    assert(!(a eq c)) // different query → different entry
+    Engine.clearCache()
+    assert(!a.storageLevel.useMemory) // unpersisted on clear
+  }
+
   test("limitk and count") {
     val c = run("count(avg_over_time(m[1m]))")
     assert(c(("|", 3 * M)) == 2.0)
