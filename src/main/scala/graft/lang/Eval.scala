@@ -254,16 +254,36 @@ object Eval {
     // selectors
     // ------------------------------------------------------------------
 
+    /** graphite glob → regex: `*` = any chars within a dot-group,
+      * `{a,b}` = alternation (exec.go:23-26 __graphite__ selection).
+      */
+    private def graphiteToRegex(glob: String): String = {
+      val sb = new StringBuilder
+      var inBrace = false
+      glob.foreach {
+        case '*' => sb.append("[^.]*")
+        case '.' => sb.append("\\.")
+        case '{' => inBrace = true; sb.append("(?:")
+        case ',' if inBrace => sb.append("|")
+        case '}' if inBrace => inBrace = false; sb.append(")")
+        case c if "\\^$()+?".contains(c) => sb.append("\\").append(c)
+        case c => sb.append(c)
+      }
+      sb.toString
+    }
+
     /** label-filter predicate over (name, tags) — absent tag matches as ""
       * like the reference (empty label == missing label).
       */
     private def filterPredicate(fss: Seq[Seq[LabelFilter]]): Column = {
       def one(f: LabelFilter): Column = {
         val target =
-          if (f.label == "__name__") coalesce(col("name"), lit(""))
+          if (f.label == "__name__" || f.label == "__graphite__")
+            coalesce(col("name"), lit(""))
           else coalesce(col("tags").getItem(f.label), lit(""))
         val pos =
-          if (f.isRegexp) target.rlike(anchored(f.value))
+          if (f.label == "__graphite__") target.rlike(anchored(graphiteToRegex(f.value)))
+          else if (f.isRegexp) target.rlike(anchored(f.value))
           else target === f.value
         if (f.isNegative) !pos else pos
       }
@@ -458,6 +478,36 @@ object Eval {
       }
 
       val v = col("value")
+      val result = evalAggrCore(a, gtags, grouped, ranked, v)
+      // `limit N` modifier: at most N output series per group, chosen
+      // hash-stably (aggr.go:110 aggrFuncExt limit)
+      if (a.limit <= 0) result
+      else result match {
+        case Series(out) =>
+          val withKeys = out
+            .withColumn("_gk", tagKey(map_filter(col("tags"), (k, _) => a.modifier match {
+              case Some(By(ls)) => k.isInCollection(ls)
+              case Some(Without(ls)) => !k.isInCollection(ls)
+              case None => lit(false)
+            })))
+            .withColumn("_sk2", skey(col("name"), col("tags")))
+          val wins = withKeys.select("_gk", "_sk2").distinct()
+            .withColumn("_rn", row_number().over(
+              Window.partitionBy(col("_gk")).orderBy(xxhash64(col("_sk2")), col("_sk2"))))
+            .filter(col("_rn") <= a.limit).select("_sk2")
+          Series(withKeys.join(broadcast(wins), Seq("_sk2"), "left_semi")
+            .select(col("name"), col("tags"), col("t"), col("value")))
+        case other => other
+      }
+    }
+
+    private def evalAggrCore(
+        a: AggrFuncExpr,
+        gtags: Column,
+        grouped: Column => Value,
+        ranked: (Int, Column) => Value,
+        v: Column): Value = {
+      def df: DataFrame = series(a.args.last)
       a.name match {
         case "sum" => grouped(sum(v))
         case "min" => grouped(min(v))
@@ -1100,6 +1150,14 @@ object Eval {
           if (common.isEmpty) Series(df)
           else Series(df.withColumn("tags",
             map_filter(col("tags"), (k, _) => !k.isInCollection(common))))
+        case "label_graphite_group" =>
+          // label_graphite_group(q, n1, …) — metric name := selected
+          // dot-groups of the graphite path, 0-based (transform.go:2023)
+          val groups = f.args.tail.map(scalarArg(_).toInt)
+          val parts = split(coalesce(col("name"), lit("")), "\\.")
+          val picked = concat_ws(".",
+            groups.map(g => coalesce(element_at(parts, g + 1), lit(""))): _*)
+          Series(df.withColumn("name", picked))
         case "sort_by_label_numeric" | "sort_by_label_numeric_desc" =>
           val ls = f.args.tail.map(strArg)
           val keys = ls.map(l => coalesce(col("tags").getItem(l).cast(DoubleType), lit(0.0)))

@@ -302,6 +302,33 @@ class EvalSpec extends SparkSpec {
     assert(!a.storageLevel.useMemory) // unpersisted on clear
   }
 
+  test("graphite selector, graphite groups, aggregate limit modifier") {
+    val s = spark
+    import s.implicits._
+    val g = Seq(
+      ("foo.web.req", Map("inst" -> "a"), 30000L, 1.0),
+      ("foo.db.req", Map("inst" -> "a"), 30000L, 2.0),
+      ("bar.web.req", Map("inst" -> "a"), 30000L, 3.0))
+      .toDF("name", "tags", "ts", "value")
+    val sel = Engine.query(g, """{__graphite__="foo.*.req"}""", GridSpec(M, M, M))
+    assert(sel.select("name").collect().map(_.getString(0)).toSet ==
+      Set("foo.web.req", "foo.db.req"))
+    val grp = Engine.query(g,
+      """label_graphite_group({__graphite__="foo.*.req"}, 0, 1)""", GridSpec(M, M, M))
+    assert(grp.select("name").collect().map(_.getString(0)).toSet ==
+      Set("foo.web", "foo.db"))
+    // limit modifier bounds output series PER GROUP: by(inst) groups each
+    // series alone, so limit 1 keeps both…
+    val lim = Engine.query(samples, "sum(avg_over_time(m[1m])) by (inst) limit 1", grid)
+    assert(lim.select(col("tags").getItem("inst")).distinct().count() == 2)
+    // …while a fan-out aggregate in ONE group is capped
+    val noLim = Engine.query(samples, """count_values("v", ceil(avg_over_time(m[1m])))""", grid)
+    assert(noLim.select(col("tags").getItem("v")).distinct().count() > 3)
+    val capped = Engine.query(samples,
+      """count_values("v", ceil(avg_over_time(m[1m]))) limit 3""", grid)
+    assert(capped.select(col("tags").getItem("v")).distinct().count() == 3)
+  }
+
   test("limitk and count") {
     val c = run("count(avg_over_time(m[1m]))")
     assert(c(("|", 3 * M)) == 2.0)
