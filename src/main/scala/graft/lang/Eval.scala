@@ -1134,6 +1134,19 @@ object Eval {
           }
           Series(out.select(lit(null).cast(StringType).as("name"),
             tagsOf(col("_tk")).as("tags"), col("t"), col("value")))
+        case "buckets_limit" =>
+          // buckets_limit(limit, buckets) — transform.go:386
+          val in = series(f.args(1))
+            .withColumn("le", col("tags").getItem("le").cast(DoubleType))
+            .filter(col("le").isNotNull)
+            .withColumn("_tk", tagKey(map_filter(col("tags"), (k, _) => k =!= "le")))
+            .select(col("name"), col("_tk"), col("t"), col("le"), col("value"))
+          val out = graft.operators.HistogramQ.bucketsLimit(
+            in, Seq("name", "_tk"), scalarArg(f.args.head).toInt)
+          Series(out.select(col("name"),
+            map_concat(tagsOf(col("_tk")),
+              map(lit("le"), col("le").cast(StringType))).as("tags"),
+            col("t"), col("value")))
         case "drop_common_labels" =>
           // drop labels that carry the same value on EVERY series
           // (transform.go:2096). Label space is metadata-scale: the

@@ -160,6 +160,55 @@ object HistogramQ {
       })
       .drop("_b")
 
+  /** buckets_limit(limit, buckets) — reduce each bucket family to ≤ limit
+    * buckets (transform.go:386 transformBucketsLimit): per-bucket "hits"
+    * = summed count deltas over time; consecutively-empty edge buckets
+    * drop first; then the adjacent pair with the fewest combined hits
+    * merges repeatedly, always preserving the first and last bucket. The
+    * merge loop runs as a UDF over the per-group (le, hits) array —
+    * bucket fan-in is bounded (≤ dozens), so this is metadata-scale work.
+    */
+  def bucketsLimit(buckets: DataFrame, groupKeys: Seq[String], limit0: Int): DataFrame = {
+    require(limit0 > 0, "limit must be > 0")
+    val limit = math.max(limit0, 3) // keep ends for min/max accuracy
+    import org.apache.spark.sql.expressions.Window
+    val perT = Window.partitionBy((groupKeys :+ "t").map(col): _*).orderBy(col("le"))
+    val withDelta = buckets.withColumn(
+      "_d", col("value") - coalesce(lag(col("value"), 1).over(perT), lit(0.0)))
+    val hits = withDelta
+      .groupBy((groupKeys :+ "le").map(col): _*)
+      .agg(sum(col("_d")).as("_hits"))
+    val grouped = hits
+      .groupBy(groupKeys.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("le"), col("_hits")))).as("_arr"))
+    val keep = udf { (arr: Seq[org.apache.spark.sql.Row]) =>
+      var g = arr.map(r => (r.getDouble(0), r.getDouble(1))).toVector
+      val eps = 1e-9
+      def isEmpty(h: Double) = !h.isNaN && math.abs(h) < eps
+      var l = 0
+      var r = g.size - 1
+      while (r - l + 1 > limit && isEmpty(g(r)._2)) r -= 1
+      while (r - l + 1 > limit && isEmpty(g(l)._2)) l += 1
+      g = g.slice(l, r + 1)
+      while (g.size > limit) {
+        var minIdx = 1
+        var minHits = g(1)._2 + g(2)._2
+        var i = 1
+        while (i <= g.size - 3) {
+          val mh = g(i)._2 + g(i + 1)._2
+          if (mh < minHits) { minIdx = i; minHits = mh }
+          i += 1
+        }
+        g = g.patch(minIdx + 1, Seq((g(minIdx + 1)._1, g(minIdx + 1)._2 + g(minIdx)._2)), 1)
+          .patch(minIdx, Nil, 1)
+      }
+      g.map(_._1)
+    }
+    val keptLes = grouped.select(
+      (groupKeys.map(col) :+ explode(keep(col("_arr"))).as("le")): _*)
+    buckets.join(keptLes, groupKeys :+ "le", "left_semi")
+  }
+
   /** per-bucket (midpoint, count) deltas from the cumulative array */
   private def diffCounts(arr: Column): Column =
     zip_with(

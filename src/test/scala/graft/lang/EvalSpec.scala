@@ -329,6 +329,19 @@ class EvalSpec extends SparkSpec {
     assert(capped.select(col("tags").getItem("v")).distinct().count() == 3)
   }
 
+  test("buckets_limit merges low-hit buckets, keeping ends") {
+    val s = spark
+    import s.implicits._
+    // one series family, 6 cumulative le-buckets, hits 10,1,1,1,1,10
+    val rows = Seq(1.0 -> 10.0, 2.0 -> 11.0, 3.0 -> 12.0, 4.0 -> 13.0, 5.0 -> 14.0, 6.0 -> 24.0)
+      .map { case (le, c) => ("h", Map("le" -> le.toString), 30000L, c) }
+    val g = rows.toDF("name", "tags", "ts", "value")
+    val out = Engine.query(g, "buckets_limit(4, h)", GridSpec(M, M, M))
+    val les = out.collect().map(_.getMap[String, String](1)("le").toDouble).sorted
+    assert(les.length == 4)
+    assert(les.head == 1.0 && les.last == 6.0) // ends preserved
+  }
+
   test("limitk and count") {
     val c = run("count(avg_over_time(m[1m]))")
     assert(c(("|", 3 * M)) == 2.0)
