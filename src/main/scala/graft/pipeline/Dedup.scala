@@ -157,26 +157,50 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** splitmix64 finalizer — the standard public-domain 64-bit mixer —
+    * widening the 32-bit token hash to a well-distributed 64-bit value.
+    */
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
   /** 64-bit SimHash of the token stream (Charikar '02): per-token hash
     * votes per bit position, signature bit = sign of the vote sum.
+    *
+    * Deliberately a JVM-primitive UDF, not a Catalyst HOF: the tokens×64
+    * inner loop is interpreted per-element as a higher-order expression
+    * (aggregate/zip_with don't codegen), measured ~3× slower than this
+    * tight loop. Signature values are engine-internal (candidates are
+    * verified downstream), so the hash only needs determinism.
     */
-  def simhash(text: Column): Column = {
-    val toks = TextAnalysis.wsTokens(text)
-    val hashes = transform(toks, w => xxhash64(w))
-    // fold 64 bit-positions: for each bit, sum(+1/-1) over token hashes
-    val bits = transform(sequence(lit(0), lit(63)), bit => {
-      val votes = aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(h.bitwiseAND(call_function("shiftleft", lit(1L), bit)) =!= 0, 1L).otherwise(-1L))
-      when(votes > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))
-    })
-    aggregate(bits, lit(0L), (acc, b) => acc.bitwiseOR(b))
+  private val simhashUdf = udf { (toks: Seq[String]) =>
+    val votes = new Array[Int](64)
+    if (toks != null) toks.foreach { w =>
+      val h = splitmix64(scala.util.hashing.MurmurHash3.stringHash(w).toLong)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) != 0L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
   }
+
+  def simhash(text: Column): Column = simhashUdf(TextAnalysis.wsTokens(text))
 
   /** SimHash near-dup candidates: equal 16-bit block in any of 4 blocks
     * (pigeonhole: hamming distance ≤ 3 guarantees one equal block).
     */
   def simhashCandidates(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sig = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    // persisted: both self-join branches reuse the computed signatures
+    // instead of re-hashing every token stream per branch
     val blocked = sig.select(
       col("id"), col("sig"),
       explode(
@@ -185,6 +209,7 @@ object Dedup {
             call_function("shiftrightunsigned", col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv"))))
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
+      .persist()
     blocked.as("a")
       .join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") && col("a.id") < col("b.id"))
