@@ -306,7 +306,7 @@ object Eval {
       }.getOrElse(throw new IllegalArgumentException(s"${f.name} needs a series arg"))
       val re = findRollup(f.args)
       val (keyed, rollGrid, atMs, windowMs) = rollupInput(f.name, re)
-      val keys = Seq("name", "_tk")
+      val keys = Seq("name", "_h1", "_h2")
 
       val (out, label) = f.name match {
         case "rollup_candlestick" =>
@@ -343,10 +343,11 @@ object Eval {
       }
       val keep = re.keepMetricNames || f.keepMetricNames || rollupKeepsName(f.name)
       val named = if (keep) col("name") else lit(null).cast(StringType)
-      Series(replicateAt(out, atMs).select(
-        named.as("name"),
-        map_concat(tagsOf(col("_tk")), map(lit(label), col("rollup"))).as("tags"),
-        col("t"), col("value")))
+      Series(replicateAt(out.join(broadcast(tagsDim(keyed)), Seq("_h1", "_h2")), atMs)
+        .select(
+          named.as("name"),
+          map_concat(col("tags"), map(lit(label), col("rollup"))).as("tags"),
+          col("t"), col("value")))
     }
 
     private val multiRollups = Set(
@@ -412,10 +413,22 @@ object Eval {
             .select(col("name"), col("tags"), col("t").as("ts"), col("value"))
       }
       val shifted = if (offsetMs != 0) raw.withColumn("ts", col("ts") + lit(offsetMs)) else raw
-      // group per full series: canonical tag string + name ride the
-      // aggregation; tags map restored after
-      (shifted.withColumn("_tk", tagKey(col("tags"))), rollGrid, atMs, windowMs)
+      // Series identity for the PER-SAMPLE hot path is a 128-bit hash of
+      // the sorted tag entries — no per-row string building, and the
+      // shuffle key is two longs. The tags map itself is restored after
+      // aggregation from a small broadcast dimension (distinct series ≪
+      // samples). Canonical strings remain the identity for grid-level
+      // (post-rollup) operators where cardinality is series-scale.
+      val entries = array_sort(map_entries(col("tags")))
+      val keyed = shifted
+        .withColumn("_h1", xxhash64(entries))
+        .withColumn("_h2", xxhash64(entries, lit(1)))
+      (keyed, rollGrid, atMs, windowMs)
     }
+
+    /** distinct (hash → tags) dimension for restoring maps post-rollup */
+    private def tagsDim(keyed: DataFrame): DataFrame =
+      keyed.select(col("_h1"), col("_h2"), col("tags")).dropDuplicates("_h1", "_h2")
 
     /** replicate @-pinned single-point results across the query grid */
     private def replicateAt(out: DataFrame, atMs: Option[Long]): DataFrame =
@@ -431,13 +444,14 @@ object Eval {
         throw new IllegalArgumentException(s"unsupported rollup function '$fn'"))
       val out = replicateAt(
         Rollup
-          .rollup(keyed, Seq("name", "_tk"), rollGrid, windowMs, kernel)
-          .filter(col("value").isNotNull),
+          .rollup(keyed, Seq("name", "_h1", "_h2"), rollGrid, windowMs, kernel)
+          .filter(col("value").isNotNull)
+          .join(broadcast(tagsDim(keyed)), Seq("_h1", "_h2")),
         atMs)
       val keep = keepNames || re.keepMetricNames || rollupKeepsName(fn)
       val named = if (keep) col("name") else lit(null).cast(StringType)
       Series(out.select(
-        named.as("name"), tagsOf(col("_tk")).as("tags"), col("t"), col("value")))
+        named.as("name"), col("tags"), col("t"), col("value")))
     }
 
     // ------------------------------------------------------------------
