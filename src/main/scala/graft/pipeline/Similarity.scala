@@ -19,9 +19,26 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Similarity {
 
-  /** zip_with/aggregate dot product — stays inside codegen, no UDF */
-  def dot(a: Column, b: Column): Column =
+  /** zip_with/aggregate dot product for one-shot per-row use */
+  def dotExpr(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x.cast(DoubleType))
+
+  /** The pair-stage dot product is a primitive JVM loop: higher-order
+    * Catalyst expressions evaluate interpreted per element, which at
+    * n²·dim pair evaluations dominates the all-pairs and bucket joins
+    * (same finding as the SimHash voting loop). Sequential summation
+    * order matches the expression form, so results are bit-identical.
+    */
+  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def dot(a: Column, b: Column): Column =
+    dotUdf(a.cast("array<double>"), b.cast("array<double>"))
 
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + (x * x).cast(DoubleType)))
@@ -133,17 +150,46 @@ object Similarity {
 
   /** Exact all-pairs cosine above a threshold — the verification oracle
     * for the LSH path (quadratic; only for sampled verification).
+    *
+    * NOT a self-join: a nested-loop join materializes both embedding
+    * arrays per candidate pair (n²·dim values of row traffic). Instead
+    * the normalized corpus broadcasts as a plain matrix (n·dim, a few MB
+    * for verification-scale corpora) and each partition streams its rows
+    * against it in a primitive loop, emitting only qualifying pairs.
     */
   def bruteForceNearDupPairs(
       corpus: DataFrame,
       threshold: Double,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("id"), normalized(col(vecCol)).as("vec"))
-    c.as("a")
-      .join(c.as("b"), col("a.id") < col("b.id"))
-      .withColumn("cosine", dot(col("a.vec"), col("b.vec")))
-      .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(
+      col(idCol).cast("long").as("id"),
+      normalized(col(vecCol)).cast("array<double>").as("vec"))
+      .as[(Long, Array[Double])]
+    val mat = spark.sparkContext.broadcast(c.collect().sortBy(_._1))
+    c.flatMap { case (idA, vecA) =>
+      val all = mat.value
+      // start past idA via binary search (pairs are ordered idA < idB)
+      var lo = 0
+      var hi = all.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (all(mid)._1 <= idA) lo = mid + 1 else hi = mid
+      }
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var j = lo
+      while (j < all.length) {
+        val (idB, vecB) = all(j)
+        var s = 0.0
+        var i = 0
+        val n = math.min(vecA.length, vecB.length)
+        while (i < n) { s += vecA(i) * vecB(i); i += 1 }
+        if (s >= threshold) out += ((idA, idB, s))
+        j += 1
+      }
+      out.result()
+    }.toDF("id_a", "id_b", "cosine")
   }
 }
