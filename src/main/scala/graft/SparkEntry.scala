@@ -341,7 +341,27 @@ object SparkEntry {
         "SELECT name, t, r AS rollup, round(1e-9 + v, 6) AS value FROM (" +
         "SELECT name, t, 'min' AS r, mn AS v FROM w UNION ALL " +
         "SELECT name, t, 'max', mx FROM w UNION ALL " +
-        "SELECT name, t, 'avg', av FROM w) ORDER BY name, t, rollup")))
+        "SELECT name, t, 'avg', av FROM w) ORDER BY name, t, rollup")),
+    Q("ro_rollup_rate", (s, dir) =>
+      Rollup.aggrOverTime(ev(s, dir), Seq("name", "user_id"), gridD, D,
+        Kernels.pairFan(Kernels.pairRate))
+        .select(col("name"), col("user_id"), col("t"), col("rollup"),
+          r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t", "rollup"),
+      Some(s"WITH b AS ($BD), d AS (SELECT name, user_id, t, tms, value, " +
+        "lag(value) OVER w AS pv, lag(tms) OVER w AS ptms FROM b " +
+        "WINDOW w AS (PARTITION BY name, user_id, t ORDER BY tms, value)), " +
+        "p AS (SELECT name, user_id, t, CASE WHEN pv IS NULL THEN NULL ELSE " +
+        "(CASE WHEN value >= pv THEN value - pv ELSE value END) / ((tms - ptms) / 1000.0) END AS q " +
+        "FROM d), " +
+        "w2 AS (SELECT name, user_id, t, min(q) AS mn, max(q) AS mx, avg(q) AS av FROM p " +
+        "GROUP BY name, user_id, t) " +
+        "SELECT name, user_id, t, r AS rollup, round(1e-9 + v, 6) AS value FROM (" +
+        "SELECT name, user_id, t, 'min' AS r, mn AS v FROM w2 UNION ALL " +
+        "SELECT name, user_id, t, 'max', mx FROM w2 UNION ALL " +
+        "SELECT name, user_id, t, 'avg', av FROM w2) ORDER BY name, user_id, t, rollup")),
+    Q("ro_timestamp", roH(Kernels.tlast), // timestamp()/timestamp_with_name
+      Some(sqlH("max(tms)/1000.0"))))
 
   // =====================================================================
   // §2.3 transform functions — inputs are round-6 hourly/daily grids so

@@ -132,7 +132,7 @@ object Eval {
       case "duration_over_time" => Some(Kernels.durationOverTime(args.head))
       case "tlast_change_over_time" => Some(Kernels.tlastChange)
       case "default_rollup" => Some(Kernels.last)
-      case "timestamp" => Some(Kernels.tlast)
+      case "timestamp" | "timestamp_with_name" => Some(Kernels.tlast)
       case _ => None
     }
 
@@ -153,8 +153,10 @@ object Eval {
     "increases_over_time", "decreases_over_time", "resets", "ascent_over_time",
     "descent_over_time", "integrate", "duration_over_time",
     "tlast_change_over_time", "default_rollup", "timestamp",
-    "rollup", "rollup_candlestick", "aggr_over_time", "quantiles_over_time",
-    "histogram_over_time", "count_values_over_time")
+    "timestamp_with_name", "rollup", "rollup_candlestick", "aggr_over_time",
+    "quantiles_over_time", "histogram_over_time", "count_values_over_time",
+    "rollup_delta", "rollup_increase", "rollup_rate", "rollup_deriv",
+    "rollup_scrape_interval")
 
   /** rollup fns that keep the metric name (rollup.go:267-287) */
   private val rollupKeepsName: Set[String] = Set(
@@ -314,6 +316,16 @@ object Eval {
         case "rollup" =>
           (Rollup.aggrOverTime(keyed, keys, rollGrid, windowMs,
             Seq("min" -> Kernels.min, "max" -> Kernels.max, "avg" -> Kernels.avg)), "rollup")
+        case "rollup_delta" | "rollup_increase" | "rollup_rate" | "rollup_deriv" |
+            "rollup_scrape_interval" =>
+          val q = f.name match {
+            case "rollup_delta" => Kernels.pairDelta
+            case "rollup_increase" => Kernels.pairIncrease
+            case "rollup_rate" => Kernels.pairRate
+            case "rollup_deriv" => Kernels.pairDeriv
+            case _ => Kernels.pairGap
+          }
+          (Rollup.aggrOverTime(keyed, keys, rollGrid, windowMs, Kernels.pairFan(q)), "rollup")
         case "aggr_over_time" =>
           // aggr_over_time(("f1","f2",…), m[d]) — fn-name list arg
           val fns = f.args.head match {
@@ -344,6 +356,7 @@ object Eval {
       val keep = re.keepMetricNames || f.keepMetricNames || rollupKeepsName(f.name)
       val named = if (keep) col("name") else lit(null).cast(StringType)
       Series(replicateAt(out.join(broadcast(tagsDim(keyed)), Seq("_h1", "_h2")), atMs)
+        .filter(col("value").isNotNull) // no-pair windows = missing points
         .select(
           named.as("name"),
           map_concat(col("tags"), map(lit(label), col("rollup"))).as("tags"),
@@ -352,7 +365,8 @@ object Eval {
 
     private val multiRollups = Set(
       "rollup", "rollup_candlestick", "aggr_over_time", "quantiles_over_time",
-      "histogram_over_time", "count_values_over_time")
+      "histogram_over_time", "count_values_over_time", "rollup_delta",
+      "rollup_increase", "rollup_rate", "rollup_deriv", "rollup_scrape_interval")
 
     private def evalRollupCall(f: FuncExpr): Value = {
       if (multiRollups(f.name)) return evalMultiRollup(f)

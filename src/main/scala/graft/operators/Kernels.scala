@@ -351,6 +351,31 @@ object Kernels {
     st.getField("best")
   }
 
+  // ---- adjacent-pair fan-outs: rollup_delta / _increase / _rate /
+  // _deriv / _scrape_interval emit min/max/avg of a per-pair quantity as
+  // separate series (rollup.go:374-516 getRollupConfigs fan-out) ---------
+
+  /** quantity extractors over one diffs() pair struct */
+  val pairDelta: Column => Column = _.getField("dv")
+  val pairIncrease: Column => Column = d =>
+    when(d.getField("dv") >= 0, d.getField("dv")).otherwise(d.getField("bv"))
+  val pairRate: Column => Column = d =>
+    pairIncrease(d) / (d.getField("dtms").cast(D) / 1000.0)
+  val pairDeriv: Column => Column = d =>
+    d.getField("dv") / (d.getField("dtms").cast(D) / 1000.0)
+  val pairGap: Column => Column = _.getField("dtms").cast(D) / 1000.0
+
+  /** min/max/avg kernels over the window's per-pair quantities; windows
+    * with fewer than two samples yield null (no pairs).
+    */
+  def pairFan(q: Column => Column): Seq[(String, Kernel)] = Seq(
+    "min" -> OverArray(arr => array_min(transform(diffs(arr), q))),
+    "max" -> OverArray(arr => array_max(transform(diffs(arr), q))),
+    "avg" -> OverArray { arr =>
+      val qs = transform(diffs(arr), q)
+      when(size(qs) > 0, aggregate(qs, lit(0.0), _ + _) / size(qs).cast(D))
+    })
+
   // renamed private aliases to dodge the Column/functions name clash
   private def avg_(c: Column) = org.apache.spark.sql.functions.avg(c)
   private def sum_(c: Column) = org.apache.spark.sql.functions.sum(c)

@@ -263,6 +263,12 @@ class EvalSpec extends SparkSpec {
         row.getMap[String, String](1)("inst"), row.getLong(2)) -> row.getDouble(3)).toMap
     assert(qr(("1.0", "a", 3 * M)) == 3.0) // max of 1,2,3
     assert(qr(("0.5", "a", 3 * M)) == 2.0)
+    // per-pair fan-out: rates of b's +10/min climb = 1/6 per second
+    val rr = Engine.query(samples, "rollup_rate(m[3m])", grid)
+    val rrr = rr.collect().map(row =>
+      (row.getMap[String, String](1)("rollup"),
+        row.getMap[String, String](1)("inst"), row.getLong(2)) -> row.getDouble(3)).toMap
+    assert(math.abs(rrr(("avg", "b", 3 * M)) - 10.0 / 60.0) < 1e-12)
     val a = Engine.query(samples,
       """aggr_over_time(("min_over_time","max_over_time"), m[3m])""", grid)
     val ar = a.collect().map(row =>
