@@ -46,12 +46,85 @@ object Dedup {
   def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column =
     minhashOfShingles(TextAnalysis.shingles(text, shingleN), numHashes)
 
+  /** Distinct sorted 64-bit shingle hashes straight from the token
+    * stream: each n-gram hashes by order-sensitive splitmix64 folding of
+    * the token hashes — no shingle STRINGS are ever materialized (the
+    * slice+array_join shingle builder and string-array intersections were
+    * the measured hot spots of the dedup pipeline).
+    */
+  private def shingleHashUdf(n: Int) = udf { (toks: Seq[String]) =>
+    if (toks == null || toks.isEmpty) Seq.empty[Long]
+    else {
+      val th = toks.map(w =>
+        splitmix64(scala.util.hashing.MurmurHash3.stringHash(w).toLong)).toArray
+      val out = scala.collection.mutable.SortedSet.empty[Long]
+      def shingleAt(from: Int, until: Int): Long = {
+        var acc = 0x51ce5e814c2d1e6dL
+        var j = from
+        while (j < until) { acc = splitmix64(acc ^ th(j)); j += 1 }
+        acc
+      }
+      if (th.length < n) out += shingleAt(0, th.length)
+      else {
+        var i = 0
+        while (i + n <= th.length) { out += shingleAt(i, i + n); i += 1 }
+      }
+      out.toSeq
+    }
+  }
+
+  def shingleHashes(toks: Column, n: Int): Column = shingleHashUdf(n)(toks)
+
+  /** K minhashes over precomputed shingle hashes (primitive loop) */
+  def minhashOfHashes(shh: Column, numHashes: Int): Column = {
+    val k = numHashes
+    val f = udf { (hs: Seq[Long]) =>
+      val mins = Array.fill(k)(Long.MaxValue)
+      if (hs != null) hs.foreach { base =>
+        var i = 0
+        while (i < k) {
+          val h = splitmix64(base + i * 0x9e3779b97f4a7c15L)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      mins.toSeq
+    }
+    f(shh)
+  }
+
+  /** intersection size of two SORTED long arrays (merge walk) */
+  private val sortedInterUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    c
+  }
+
   def minhashOfShingles(sh: Column, numHashes: Int): Column = {
-    val seeds = sequence(lit(0), lit(numHashes - 1))
-    aggregate(
-      sh,
-      transform(seeds, _ => lit(Long.MaxValue)),
-      (acc, s) => zip_with(acc, transform(seeds, i => xxhash64(s, i)), least(_, _)))
+    // primitive JVM loop, same rationale as simhash: the shingles×K hash
+    // matrix evaluates interpreted as a higher-order expression; hashes
+    // are engine-internal (candidates verify via exact Jaccard)
+    val k = numHashes
+    val f = udf { (shingles: Seq[String]) =>
+      val mins = Array.fill(k)(Long.MaxValue)
+      if (shingles != null) shingles.foreach { s =>
+        val base = splitmix64(scala.util.hashing.MurmurHash3.stringHash(s).toLong)
+        var i = 0
+        while (i < k) {
+          val h = splitmix64(base + i * 0x9e3779b97f4a7c15L)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      mins.toSeq
+    }
+    f(sh)
   }
 
   /** LSH banding: split the K-minhash signature into B bands of R rows
@@ -67,7 +140,7 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sh = docs.select(col(idCol).as("id"),
-      TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
+      shingleHashes(TextAnalysis.wsTokens(col(textCol)), shingleN).as("sh"))
     candidatesFromShingles(sh, numHashes, bands)
   }
 
@@ -77,7 +150,7 @@ object Dedup {
     */
   private def candidatesFromShingles(sh0: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val r = numHashes / bands
-    val sig = sh0.select(col("id"), minhashOfShingles(col("sh"), numHashes).as("sig"))
+    val sig = sh0.select(col("id"), minhashOfHashes(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
       col("id"),
       explode(
@@ -105,14 +178,16 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       shingleN: Int = 3): DataFrame = {
-    // shingle once, reuse for both signature generation and exact verify
+    // shingle-hash once, reuse for both signature generation and exact
+    // verify (Jaccard over hash sets == Jaccard over shingle sets modulo
+    // negligible 64-bit collisions; sorted arrays verify by merge walk)
     val sh = docs.select(col("doc_id").as("id"),
-      TextAnalysis.shingles(col("text"), shingleN).as("sh")).persist()
+      shingleHashes(TextAnalysis.wsTokens(col("text")), shingleN).as("sh")).persist()
     val cand = candidatesFromShingles(sh, numHashes, bands)
     val verified = cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast(DoubleType))
+      .withColumn("inter", sortedInterUdf(col("sha"), col("shb")).cast(DoubleType))
       .filter(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")).cast(DoubleType)
         >= threshold)
     val losers = verified.select(col("id_b").as("doc_id")).distinct()
