@@ -41,10 +41,14 @@ object Eval {
       lookbackMs: Long = 300000L,
       pushdownCap: Int = 100)
 
-  /** An evaluated expression: a series set, a scalar, or a string. */
+  /** An evaluated expression: a series set, a scalar, a per-timestamp
+    * scalar (scalar()/time() results — matches ANY series per grid point,
+    * transform.go:2392), or a string.
+    */
   sealed trait Value
   final case class Series(df: DataFrame) extends Value
   final case class Scalar(v: Double) extends Value
+  final case class ScalarSeries(df: DataFrame) extends Value
   final case class StrVal(s: String) extends Value
 
   private val tagsSchema = ArrayType(StructType(Seq(
@@ -214,6 +218,7 @@ object Eval {
   /** materialize scalars on the grid; pass series through */
   private def toSeries(samples: DataFrame, v: Value, cfg: EvalConfig): DataFrame = v match {
     case Series(df) => df
+    case ScalarSeries(df) => df
     case Scalar(x) =>
       Grid.gridDf(samples, cfg.grid)
         .select(
@@ -785,9 +790,41 @@ object Eval {
             else v)
         case (Series(df), Scalar(x)) => Scalar2Series(df, lit(x), b, scalarOnRight = true)
         case (Scalar(x), Series(df)) => Scalar2Series(df, lit(x), b, scalarOnRight = false)
+        case (Series(df), ScalarSeries(sd)) => scalarSeriesOp(df, sd, b, scalarOnRight = true)
+        case (ScalarSeries(sd), Series(df)) => scalarSeriesOp(df, sd, b, scalarOnRight = false)
+        case (ScalarSeries(a), ScalarSeries(c)) =>
+          // per-timestamp scalar arithmetic (both sides label-free)
+          scalarSeriesOp(a, c, b, scalarOnRight = true) match {
+            case Series(df) => ScalarSeries(df)
+            case other => other
+          }
+        case (ScalarSeries(sd), Scalar(x)) =>
+          Scalar2Series(sd, lit(x), b, scalarOnRight = true) match {
+            case Series(df) => ScalarSeries(df)
+            case other => other
+          }
+        case (Scalar(x), ScalarSeries(sd)) =>
+          Scalar2Series(sd, lit(x), b, scalarOnRight = false) match {
+            case Series(df) => ScalarSeries(df)
+            case other => other
+          }
         case (Series(l), Series(r)) => vectorMatch(l, r, b)
         case (l, r) =>
           throw new IllegalArgumentException(s"unsupported binop operands: $l ${b.op} $r")
+      }
+    }
+
+    /** per-timestamp scalar side: join on t only, any series matches
+      * (scalar()/time() semantics, binary_op.go scalar-vector fast path).
+      */
+    private def scalarSeriesOp(df: DataFrame, sd: DataFrame, b: BinaryOpExpr,
+        scalarOnRight: Boolean): Value = {
+      val s = sd.select(col("t"), col("value").as("_sv"))
+      val joined = df.join(s, Seq("t"))
+      Scalar2Series(joined, col("_sv"), b, scalarOnRight) match {
+        case Series(out) =>
+          Series(out.select(col("name"), col("tags"), col("t"), col("value")))
+        case other => other
       }
     }
 
@@ -964,16 +1001,18 @@ object Eval {
           Series(series(f.args(1)).withColumn("value",
             percentile(col("value"), lit(phi)).over(allW)))
         case "scalar" =>
-          // single-series → per-point value with no labels (transform.go:2392)
-          Series(df.select(lit(null).cast(StringType).as("name"),
+          // single-series → per-point SCALAR with no labels; matches any
+          // series per timestamp in binary ops (transform.go:2392)
+          ScalarSeries(df.select(lit(null).cast(StringType).as("name"),
             map().cast("map<string,string>").as("tags"), col("t"), col("value")))
         case "vector" => eval(f.args.head) match {
           case s @ Series(_) => s
+          case ScalarSeries(d) => Series(d)
           case Scalar(x) => Series(toSeries(samples, Scalar(x), cfg))
           case other => throw new IllegalArgumentException(s"vector() of $other")
         }
         case "time" =>
-          Series(Grid.gridDf(samples, cfg.grid).select(
+          ScalarSeries(Grid.gridDf(samples, cfg.grid).select(
             lit(null).cast(StringType).as("name"),
             map().cast("map<string,string>").as("tags"),
             col("t"), (col("t").cast(DoubleType) / 1000.0).as("value")))

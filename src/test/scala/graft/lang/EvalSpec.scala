@@ -185,6 +185,16 @@ class EvalSpec extends SparkSpec {
     assert(i(("n|a", 8 * M)) == 100.0)
   }
 
+  test("scalar() and time() match any series per timestamp in binops") {
+    // m - time()/60000·0 ... simpler: value minus per-t scalar from n
+    val r = run("""avg_over_time(m[1m]) - scalar(avg_over_time(n[1m]))""")
+    assert(r(("|a", 3 * M)) == 3.0 - 100.0) // scalar joins on t across all series
+    assert(r(("|b", 3 * M)) == 30.0 - 100.0)
+    assert(!r.exists(_._1._2 > 5 * M)) // n absent after minute 5 → no scalar
+    val t = run("avg_over_time(m[1m]) - time() / 60")
+    assert(t(("|a", 2 * M)) == 2.0 - 2.0) // t seconds / 60 = minute index
+  }
+
   test("absent and scalar/vector") {
     val a = run("""absent(avg_over_time(zzz[1m]))""")
     assert(a.size == 10 && a.values.forall(_ == 1.0))
