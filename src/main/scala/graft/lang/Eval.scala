@@ -776,6 +776,23 @@ object Eval {
     }
 
     private def evalBinop(b: BinaryOpExpr): Value = {
+      // equality against a union list: membership test per point
+      // (binary_op.go:58-113): `q == (v1, v2)` keeps points equal to ANY
+      // listed value; `q != (…)` keeps points equal to NONE
+      (b.op, b.right) match {
+        case ("==" | "!=", ParensExpr(es))
+            if es.nonEmpty && es.forall(_.isInstanceOf[NumberExpr]) =>
+          val vals = es.map { case NumberExpr(v) => v case _ => 0.0 }
+          val df = series(b.left)
+          val isIn = col("value").isInCollection(vals)
+          val hit = if (b.op == "==") isIn else !isIn
+          return Series(
+            if (b.boolModifier)
+              df.withColumn("value", hit.cast(DoubleType))
+                .withColumn("name", lit(null).cast(StringType))
+            else df.filter(hit))
+        case _ =>
+      }
       val leftV = eval(b.left)
       val rightV = leftV match {
         case Series(ld) => evalRightAdaptive(ld, b)

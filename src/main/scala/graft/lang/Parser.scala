@@ -146,9 +146,16 @@ object Parser {
           advance(); keepNames = true
         } else continue = false
       }
-      if (sawRollup || keepNames)
+      if (sawRollup)
         RollupExpr(e, window, step, offset, at, inherit, keepNames)
-      else e
+      else if (keepNames) e match {
+        // bare `keep_metric_names` on a call: attach to the call itself
+        // instead of wrapping in a windowless rollup (which would change
+        // evaluation to a default_rollup over the inner grid)
+        case f: FuncExpr => f.copy(keepMetricNames = true)
+        case b: BinaryOpExpr => b.copy(keepMetricNames = true)
+        case other => RollupExpr(other, None, None, None, None, false, true)
+      } else e
     }
 
     private def parseDurationToken(): Dur = {

@@ -195,6 +195,18 @@ class EvalSpec extends SparkSpec {
     assert(t(("|a", 2 * M)) == 2.0 - 2.0) // t seconds / 60 = minute index
   }
 
+  test("union-list membership and keep_metric_names on transforms") {
+    val r = run("avg_over_time(m[1m]) == (3, 50)")
+    assert(r.keySet == Set(("m|a", 3 * M), ("m|b", 5 * M))) // a=3@3m, b=50@5m
+    val ne = run("avg_over_time(m[1m]) != (3, 50)")
+    assert(ne.size == 18 && !ne.contains(("m|a", 3 * M)))
+    // keep_metric_names directly on a transform keeps the input's name
+    // (ln would drop it by default)
+    val k = run("ln(avg_over_time(m[1m])) keep_metric_names")
+    assert(math.abs(k(("m|a", 2 * M)) - math.log(2.0)) < 1e-12)
+    assert(!run("ln(avg_over_time(m[1m]))").contains(("m|a", 2 * M)))
+  }
+
   test("absent and scalar/vector") {
     val a = run("""absent(avg_over_time(zzz[1m]))""")
     assert(a.size == 10 && a.values.forall(_ == 1.0))

@@ -107,8 +107,12 @@ class ParserSpec extends AnyFunSuite {
   }
 
   test("keep_metric_names modifier") {
-    val e = Parser.parse("rate(m[5m]) keep_metric_names").asInstanceOf[RollupExpr]
+    // attaches to the call itself (no spurious rollup wrapper)
+    val e = Parser.parse("rate(m[5m]) keep_metric_names").asInstanceOf[FuncExpr]
     assert(e.keepMetricNames)
+    // but a real rollup suffix still owns the flag
+    val r = Parser.parse("m[5m] offset 1m keep_metric_names").asInstanceOf[RollupExpr]
+    assert(r.keepMetricNames)
   }
 
   test("errors") {
