@@ -1017,6 +1017,68 @@ object Eval {
           val phi = scalarArg(f.args.head)
           Series(series(f.args(1)).withColumn("value",
             percentile(col("value"), lit(phi)).over(allW)))
+        case "range_median" =>
+          Series(df.withColumn("value", percentile(col("value"), lit(0.5)).over(allW)))
+        case "range_stddev" =>
+          Series(df.withColumn("value", stddev_pop(col("value")).over(allW)))
+        case "range_stdvar" =>
+          Series(df.withColumn("value", var_pop(col("value")).over(allW)))
+        case "range_linear_regression" =>
+          // per-series trend line; x centered on the series start
+          // (transform.go:1255)
+          val sk = skey(col("name"), col("tags"))
+          val withX = df.withColumn("_x",
+            (col("t") - min("t").over(Window.partitionBy(sk))).cast(DoubleType) / 1000.0)
+          val w = Window.partitionBy(skey(col("name"), col("tags")))
+          Series(withX
+            .withColumn("value",
+              regr_intercept(col("value"), col("_x")).over(w) +
+                regr_slope(col("value"), col("_x")).over(w) * col("_x"))
+            .drop("_x"))
+        case "range_normalize" =>
+          val w = allW
+          val mn = min("value").over(w)
+          val mx = max("value").over(w)
+          Series(df.withColumn("value", when(mx > mn, (col("value") - mn) / (mx - mn)))
+            .filter(col("value").isNotNull))
+        case "range_zscore" =>
+          val w = allW
+          val sd = stddev_pop(col("value")).over(w)
+          Series(df.withColumn("value",
+            when(sd > 0, (col("value") - avg(col("value")).over(w)) / sd))
+            .filter(col("value").isNotNull))
+        case "label_transform" =>
+          // label_transform(q, "label", "regex", "replacement") — unanchored
+          // substring replace, always applied (transform.go:1960)
+          val label = strArg(f.args(1))
+          val regex = strArg(f.args(2))
+          val repl = strArg(f.args(3))
+          val sv = coalesce(
+            if (label == "__name__") col("name") else col("tags").getItem(label), lit(""))
+          val newV = regexp_replace(sv, regex, repl)
+          if (label == "__name__") Series(df.withColumn("name", newV))
+          else Series(df.withColumn("tags", map_concat(
+            map_filter(col("tags"), (k, _) => !(k === label)), map(lit(label), newV))))
+        case "now" =>
+          Scalar(System.currentTimeMillis() / 1000.0)
+        case "rand" | "rand_normal" | "rand_exponential" =>
+          // deterministic-given-seed per grid point, like the reference
+          // (transform.go:90-92 with seeded rngs)
+          val seed = if (f.args.nonEmpty) scalarArg(f.args.head).toLong else 0L
+          val u = (pmod(xxhash64(col("t"), lit(seed)), lit(1000000007L)).cast(DoubleType) +
+            lit(0.5)) / 1000000007.0
+          val u2 = (pmod(xxhash64(col("t"), lit(seed + 1)), lit(1000000007L)).cast(DoubleType) +
+            lit(0.5)) / 1000000007.0
+          val value = name match {
+            case "rand" => u
+            case "rand_normal" => // Box–Muller from two uniforms
+              sqrt(lit(-2.0) * log(u)) * cos(lit(2.0 * math.Pi) * u2)
+            case _ => -log(u) // exponential(1)
+          }
+          Series(Grid.gridDf(samples, cfg.grid).select(
+            lit(null).cast(StringType).as("name"),
+            map().cast("map<string,string>").as("tags"),
+            col("t"), value.as("value")))
         case "scalar" =>
           // single-series → per-point SCALAR with no labels; matches any
           // series per timestamp in binary ops (transform.go:2392)
