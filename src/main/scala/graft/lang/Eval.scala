@@ -120,13 +120,16 @@ object Eval {
       case "present_over_time" => Some(Kernels.present)
       case "mad_over_time" => Some(Kernels.mad)
       case "mode_over_time" => Some(Kernels.mode)
-      case "delta" => Some(Kernels.delta)
+      // *_prometheus variants differ from the MetricsQL forms only in
+      // cross-window prev-sample handling, which our windowed model
+      // already confines to the window (documented deviation)
+      case "delta" | "delta_prometheus" => Some(Kernels.delta)
       case "idelta" => Some(Kernels.idelta)
-      case "increase" | "increase_pure" => Some(Kernels.increase)
+      case "increase" | "increase_pure" | "increase_prometheus" => Some(Kernels.increase)
       case "rate" => Some(Kernels.rate(windowMs))
       case "irate" => Some(Kernels.irate)
       case "ideriv" => Some(Kernels.ideriv)
-      case "changes" => Some(Kernels.changes)
+      case "changes" | "changes_prometheus" => Some(Kernels.changes)
       case "increases_over_time" => Some(Kernels.increasesOverTime)
       case "decreases_over_time" => Some(Kernels.decreasesOverTime)
       case "resets" => Some(Kernels.resets)
@@ -153,7 +156,8 @@ object Eval {
     "zscore_over_time", "deriv", "deriv_fast", "predict_linear",
     "hoeffding_bound_lower", "hoeffding_bound_upper", "outlier_iqr_over_time",
     "present_over_time", "mad_over_time", "mode_over_time", "delta", "idelta",
-    "increase", "increase_pure", "rate", "irate", "ideriv", "changes",
+    "increase", "increase_pure", "increase_prometheus", "rate", "irate",
+    "ideriv", "changes", "changes_prometheus", "delta_prometheus",
     "increases_over_time", "decreases_over_time", "resets", "ascent_over_time",
     "descent_over_time", "integrate", "duration_over_time",
     "tlast_change_over_time", "default_rollup", "timestamp",
