@@ -1254,6 +1254,44 @@ object SparkEntry {
     }, Some(s"WITH b AS ($BH) SELECT name, 'u' || user_id::VARCHAR AS host, t, " +
       "round(1e-9 + avg(value), 6) AS value FROM b WHERE name = 'click' " +
       "GROUP BY name, host, t ORDER BY host, t")),
+    Q("eval_and", eng("avg_over_time(purchase[1h]) and avg_over_time(click[1h])") { df =>
+      df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BH), " +
+      "p AS (SELECT name, user_id, t, avg(value) AS v FROM b WHERE name = 'purchase' GROUP BY name, user_id, t), " +
+      "c AS (SELECT user_id, t FROM b WHERE name = 'click' GROUP BY user_id, t) " +
+      "SELECT name, user_id::BIGINT AS user_id, t, round(1e-9 + v, 6) AS value FROM p " +
+      "WHERE EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id AND c.t = p.t) " +
+      "ORDER BY user_id, t")),
+    Q("eval_or", eng("avg_over_time(purchase[1h]) or avg_over_time(click[1h])") { df =>
+      df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t")
+    }, Some(s"WITH b AS ($BH), " +
+      "p AS (SELECT name, user_id, t, avg(value) AS v FROM b WHERE name = 'purchase' GROUP BY name, user_id, t), " +
+      "c AS (SELECT name, user_id, t, avg(value) AS v FROM b WHERE name = 'click' GROUP BY name, user_id, t) " +
+      "SELECT name, user_id::BIGINT AS user_id, t, round(1e-9 + v, 6) AS value FROM (" +
+      "SELECT * FROM p UNION ALL SELECT * FROM c " +
+      "WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id AND p.t = c.t)) " +
+      "ORDER BY name, user_id, t")),
+    Q("eval_bool", eng("avg_over_time(click[1h]) >= bool 100") { df =>
+      df.select(uid, col("t"), col("value")).orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BH) SELECT user_id::BIGINT AS user_id, t, " +
+      "(avg(value) >= 100)::INT::DOUBLE AS value FROM b WHERE name = 'click' " +
+      "GROUP BY user_id, t ORDER BY user_id, t")),
+    Q("eval_in_list", eng("floor(avg_over_time(click[1h])) == (100, 101, 102)") { df =>
+      df.select(col("name"), uid, col("t"), col("value")).orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BH), a AS (SELECT name, user_id, t, floor(avg(value)) AS v FROM b " +
+      "WHERE name = 'click' GROUP BY name, user_id, t) " +
+      "SELECT name, user_id::BIGINT AS user_id, t, v AS value FROM a " +
+      "WHERE v IN (100, 101, 102) ORDER BY user_id, t")),
+    Q("eval_group_left", eng(
+      "avg_over_time(purchase[1h]) / on() group_left sum(avg_over_time(purchase[1h]))") { df =>
+      df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BH), " +
+      "p AS (SELECT user_id, t, avg(value) AS v FROM b WHERE name = 'purchase' GROUP BY user_id, t), " +
+      "tot AS (SELECT t, sum(v) AS tv FROM p GROUP BY t) " +
+      "SELECT user_id::BIGINT AS user_id, t, round(1e-9 + v / tv, 6) AS value " +
+      "FROM p JOIN tot USING (t) ORDER BY user_id, t")),
     Q("eval_hist_quantile", eng(
       "histogram_quantile(0.95, prometheus_buckets(histogram(avg_over_time(click[1h]))))") { df =>
       df.select(col("t"), r6(col("value")).as("value")).orderBy("t")

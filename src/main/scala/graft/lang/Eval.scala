@@ -894,7 +894,9 @@ object Eval {
       */
     private def vectorMatch(l0: DataFrame, r0: DataFrame, b: BinaryOpExpr): Value = {
       val matchTags: Column => Column = b.groupModifier match {
+        case Some(On(Nil)) => _ => map().cast("map<string,string>") // on(): one global group
         case Some(On(ls)) => t => map_filter(t, (k, _) => k.isInCollection(ls))
+        case Some(Ignoring(Nil)) => identity
         case Some(Ignoring(ls)) => t => map_filter(t, (k, _) => !k.isInCollection(ls))
         case None => identity
       }
