@@ -33,7 +33,8 @@ object StreamAggr {
       intervalMs: Long,
       by: Seq[String] = Nil,
       without: Seq[String] = Nil,
-      outputs: Seq[String] = Seq("sum_samples"))
+      outputs: Seq[String] = Seq("sum_samples"),
+      dedupIntervalMs: Option[Long] = None)
 
   private def intervalText(ms: Long): String =
     if (ms % 3600000 == 0) s"${ms / 3600000}h"
@@ -114,11 +115,21 @@ object StreamAggr {
       stream: DataFrame,
       cfg: Config,
       watermarkDelay: String = "10 seconds"): DataFrame = {
-    val keyed = stream
+    val keyed0 = stream
       .withColumn("_sk", concat(coalesce(col("name"), lit("")),
         to_json(array_sort(map_entries(col("tags"))))))
       .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
       .withWatermark("eventTime", watermarkDelay)
+    // dedup stage (lib/streamaggr/dedup.go): at most one sample per
+    // series per dedup interval, state bounded by the watermark
+    val keyed = cfg.dedupIntervalMs match {
+      case Some(d) =>
+        keyed0
+          .withColumn("_db", expr(s"(unix_millis(eventTime) div ${d}L) * ${d}L"))
+          .dropDuplicatesWithinWatermark("_sk", "_db")
+          .drop("_db")
+      case None => keyed0
+    }
     val aggs = cfg.outputs.zipWithIndex.map { case (o, ix) => outputExpr(o).as(s"_o$ix") }
     val wide = keyed
       .withColumn("ts", unix_millis(col("eventTime")))

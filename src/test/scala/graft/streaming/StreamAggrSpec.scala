@@ -98,6 +98,29 @@ class StreamAggrSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup stage keeps one sample per series per interval") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val stream = mem.toDF().toDF("name", "ts", "value")
+      .withColumn("tags", map(lit("host"), lit("h")))
+      .withColumn("eventTime", timestamp_millis(col("ts")))
+    val out = StreamAggr.aggregate(stream,
+      StreamAggr.Config(1000L, by = Seq("host"),
+        outputs = Seq("count_samples"), dedupIntervalMs = Some(500L)))
+    val query = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("update").start()
+    try {
+      // three samples in one 500ms dedup bucket + one in the next
+      mem.addData(("m", 100L, 1.0), ("m", 200L, 2.0), ("m", 300L, 3.0), ("m", 700L, 4.0))
+      query.processAllAvailable()
+      val counts = spark.table("dedup_out").collect()
+        .map(r => r.getLong(2) -> r.getDouble(3)).toMap
+      assert(counts(1000L) == 2.0) // deduped from 4 samples to 2
+    } finally query.stop()
+  }
+
   test("stateful total carries counter state across micro-batches") {
     val s = spark
     import s.implicits._
