@@ -217,7 +217,13 @@ object Dedup {
       shingleN: Int = 3,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), TextAnalysis.shingles(col(textCol), shingleN).as("sh"))
+    // postings carry 64-bit shingle HASHES, not shingle strings: under
+    // whitespace tokenization equal shingle strings ⟺ equal token
+    // sequences, so hash equality preserves the Jaccard counts (modulo
+    // negligible 64-bit collisions) while the inverted-index join
+    // shuffles longs instead of n-gram text
+    val sh = docs.select(col(idCol).as("id"),
+      shingleHashes(TextAnalysis.wsTokens(col(textCol)), shingleN).as("sh")).persist()
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
     val postings = sh.select(col("id"), explode(col("sh")).as("s"))
     val inter = postings.as("a")
