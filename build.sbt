@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout/stderr straight through, UNPREFIXED.
+// sbt's default LoggedOutput decorates every forked line with "[info] ",
+// which made the driver's bench JSON line unparseable in rounds 1-2
+// (BENCH_r0{1,2}.json: "parsed": null).
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
