@@ -1350,7 +1350,7 @@ object SparkEntry {
           col("t"), r6(col("value")).as("value"))
         .orderBy("name", "user_id", "t")
     }, Some {
-      val bkt = s"((epoch_ms(ts::TIMESTAMP) + ${6 * H - 1}) // ${6 * H}) * ${6 * H}"
+      val bkt = s"(epoch_ms(ts::TIMESTAMP) // ${6 * H}) * ${6 * H} + ${6 * H}"
       s"WITH b AS (SELECT event_type AS nm, user_id, $bkt AS t, value FROM events), " +
         "w AS (SELECT nm, user_id, t, sum(value) AS s, count(*)::DOUBLE AS c, avg(value) AS a, " +
         "max(value) AS mx, min(value) AS mn FROM b GROUP BY nm, user_id, t) " +
@@ -1369,7 +1369,7 @@ object SparkEntry {
           col("t"), r6(col("value")).as("value"))
         .orderBy("name", "user_id", "t")
     }, Some {
-      val bkt = s"((tms + ${D - 1}) // $D) * $D"
+      val bkt = s"(tms // $D) * $D + $D"
       "WITH b AS (SELECT event_type AS nm, user_id, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
         "d AS (SELECT nm, user_id, tms, value, " +
         "lag(value) OVER (PARTITION BY nm, user_id ORDER BY tms, value) AS pv FROM b), " +

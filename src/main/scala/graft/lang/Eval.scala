@@ -277,7 +277,7 @@ object Eval {
         case '{' => inBrace = true; sb.append("(?:")
         case ',' if inBrace => sb.append("|")
         case '}' if inBrace => inBrace = false; sb.append(")")
-        case c if "\\^$()+?".contains(c) => sb.append("\\").append(c)
+        case c if "\\^$()+?[]|".contains(c) => sb.append("\\").append(c)
         case c => sb.append(c)
       }
       sb.toString
@@ -740,9 +740,25 @@ object Eval {
         else pushFilters(a.args.last, fs)
           .map(x => a.copy(args = a.args.init :+ x))
       case bin: BinaryOpExpr =>
-        (pushFilters(bin.left, fs), pushFilters(bin.right, fs)) match {
+        // Trim the pushed set by the inner binop's on()/ignoring() group
+        // modifier BEFORE descending (metricsql optimizer.go:326-335 +
+        // pushdown at optimizer.go:431-434): a label outside the inner
+        // on() set (or inside its ignoring() set) need not survive from
+        // the inner leaves to the inner output — e.g. in
+        // `l * on(y) (a * on(x) group_left(y) b)` the output's y is NOT
+        // the leaves' y, and pushing a y-filter into them silently empties
+        // series that should match. Dropping a filter is always safe here:
+        // pushed filters only pre-restrict, the outer join still enforces
+        // the actual match.
+        val trimmed = bin.groupModifier match {
+          case Some(On(ls)) => fs.filter(f => ls.contains(f.label))
+          case Some(Ignoring(ls)) => fs.filterNot(f => ls.contains(f.label))
+          case None => fs
+        }
+        if (trimmed.isEmpty) Some(bin) // nothing pushable — unchanged is safe
+        else (pushFilters(bin.left, trimmed), pushFilters(bin.right, trimmed)) match {
           case (Some(l), Some(r)) => Some(bin.copy(left = l, right = r))
-          case _ => None
+          case _ => Some(bin) // best-effort: unpushed is safe, over-pushed is not
         }
       case n: NumberExpr => Some(n)
       case s: StringExpr => Some(s)
@@ -753,30 +769,36 @@ object Eval {
       * left side's observed on-label values (O3, eval.go:445-596) or
       * skipped entirely when the left is empty (O4, eval.go:526-531).
       */
-    private def evalRightAdaptive(leftDf: DataFrame, b: BinaryOpExpr): Value = {
+    private def evalRightAdaptive(leftDf: DataFrame, b: BinaryOpExpr): (DataFrame, Value) = {
       val onLabels: Seq[String] = b.groupModifier match {
         case Some(On(ls)) => ls
         case _ => Nil
       }
-      if (cfg.pushdownCap <= 0 || !rightRestrictable(b.op)) return eval(b.right)
-      val persisted = leftDf.persist()
-      if (persisted.isEmpty) // O4: nothing can match
-        return Series(persisted.filter(lit(false)))
-      if (onLabels.isEmpty) return eval(b.right)
+      if (cfg.pushdownCap <= 0 || !rightRestrictable(b.op)) return (leftDf, eval(b.right))
+      // Materialize the left ONCE via eager localCheckpoint instead of
+      // persist(): the O4 empty-check, the O3 label-value collection and
+      // the caller's final vector-match join all reuse the same blocks,
+      // and those blocks are freed when the plan is GC'd — persist()
+      // pinned an entry in the session cache manager for every eligible
+      // binop, accumulating in a long-lived server session.
+      val left = leftDf.localCheckpoint(true)
+      if (left.isEmpty) // O4: nothing can match
+        return (left, Series(left.filter(lit(false))))
+      if (onLabels.isEmpty) return (left, eval(b.right))
       val valueSets = onLabels.map { l =>
-        persisted.select(coalesce(col("tags").getItem(l), lit("")).as("v"))
+        left.select(coalesce(col("tags").getItem(l), lit("")).as("v"))
           .distinct().limit(cfg.pushdownCap + 1)
           .collect().map(_.getString(0)).toSeq
       }
-      if (valueSets.exists(_.size > cfg.pushdownCap)) return eval(b.right)
+      if (valueSets.exists(_.size > cfg.pushdownCap)) return (left, eval(b.right))
       val fs = onLabels.zip(valueSets).map { case (l, vs) =>
         LabelFilter(l, vs.map(java.util.regex.Pattern.quote).mkString("|"),
           isNegative = false, isRegexp = true)
       }
-      pushFilters(b.right, fs) match {
+      (left, pushFilters(b.right, fs) match {
         case Some(rewritten) => eval(rewritten)
         case None => eval(b.right)
-      }
+      })
     }
 
     private def evalBinop(b: BinaryOpExpr): Value = {
@@ -797,10 +819,12 @@ object Eval {
             else df.filter(hit))
         case _ =>
       }
-      val leftV = eval(b.left)
-      val rightV = leftV match {
-        case Series(ld) => evalRightAdaptive(ld, b)
-        case _ => eval(b.right)
+      val leftV0 = eval(b.left)
+      val (leftV, rightV) = leftV0 match {
+        case Series(ld) =>
+          val (newLeft, rv) = evalRightAdaptive(ld, b)
+          (Series(newLeft), rv)
+        case _ => (leftV0, eval(b.right))
       }
       (leftV, rightV) match {
         case (Scalar(l), Scalar(r)) =>
@@ -1207,9 +1231,14 @@ object Eval {
           val limit = scalarArg(f.args.head).toInt
           val offset = scalarArg(f.args(1)).toInt
           val q = series(f.args(2)).withColumn("_sk", skey(col("name"), col("tags")))
+          // cap the distinct-series set to offset+limit rows FIRST via a
+          // distributed sort+limit (TakeOrderedAndProject); only the
+          // bounded result — query-parameter scale, not data scale —
+          // passes through the no-partition rank window
           val wins = q.select("_sk").distinct()
+            .orderBy(col("_sk")).limit(offset + limit)
             .withColumn("_rn", row_number().over(Window.orderBy(col("_sk"))))
-            .filter(col("_rn") > offset && col("_rn") <= offset + limit)
+            .filter(col("_rn") > offset)
             .select("_sk")
           Series(q.join(broadcast(wins), Seq("_sk"), "left_semi")
             .select(col("name"), col("tags"), col("t"), col("value")))
@@ -1303,15 +1332,30 @@ object Eval {
           // drop labels that carry the same value on EVERY series
           // (transform.go:2096). Label space is metadata-scale: the
           // distinct (key,value,series) profile aggregates to the driver.
-          val keyed = df.withColumn("_sk", skey(col("name"), col("tags")))
-          val nSeries = keyed.select("_sk").distinct().count()
-          val common = keyed
-            .select(col("_sk"), explode(col("tags")).as(Seq("k", "v")))
-            .distinct()
-            .groupBy("k")
-            .agg(countDistinct("v").as("nv"), countDistinct("_sk").as("ns"))
-            .filter(col("nv") === 1 && col("ns") === nSeries)
-            .collect().map(_.getString(0)).toSeq
+          // ONE aggregation job for both the per-key (values, series)
+          // profile and the global series count: a sentinel key row per
+          // series rides the same groupBy, so only single-valued candidate
+          // keys and the total row reach the driver (label-key metadata
+          // scale, not series scale).
+          val total = " __total__"
+          val perSeries = df
+            .withColumn("_sk", skey(col("name"), col("tags")))
+            .groupBy("_sk").agg(first(col("tags")).as("tags")) // _sk ⟹ tags
+          val exploded = perSeries
+            .select(col("_sk"), explode_outer(col("tags")).as(Seq("_dck", "_dcv")))
+          val prof = exploded
+            .unionByName(perSeries.select(col("_sk"), lit(total).as("_dck"),
+              lit(null).cast(StringType).as("_dcv")))
+            .groupBy("_dck")
+            .agg(countDistinct("_dcv").as("nv"), countDistinct("_sk").as("ns"))
+            .filter(col("_dck") === total || col("nv") === 1)
+            .collect()
+          val nSeries = prof.find(_.getString(0) == total)
+            .map(_.getAs[Long]("ns")).getOrElse(0L)
+          val common = prof
+            .filter(r => r.getString(0) != null && r.getString(0) != total &&
+              r.getAs[Long]("nv") == 1 && r.getAs[Long]("ns") == nSeries)
+            .map(_.getString(0)).toSeq
           if (common.isEmpty) Series(df)
           else Series(df.withColumn("tags",
             map_filter(col("tags"), (k, _) => !k.isInCollection(common))))

@@ -104,15 +104,23 @@ object Aggr {
       stat: Column,
       desc: Boolean = true): DataFrame = {
     val ord = if (desc) col("_s").desc else col("_s").asc
-    val winners = df
+    val stats = df
       .groupBy(seriesCols.map(col): _*)
       .agg(stat.as("_s"))
-      .withColumn(
-        "_rn",
-        row_number().over(
-          Window.partitionBy(by.map(col): _*).orderBy((ord +: seriesCols.map(col(_).asc)): _*)))
-      .filter(col("_rn") <= k)
-      .select(seriesCols.map(col): _*)
+    // ungrouped top-k: sort+limit plans as a distributed
+    // TakeOrderedAndProject — a no-partition rank window would funnel
+    // every distinct series through one task (50M-series scale-killer)
+    val winners =
+      if (by.isEmpty)
+        stats.orderBy((ord +: seriesCols.map(col(_).asc)): _*).limit(k)
+          .select(seriesCols.map(col): _*)
+      else stats
+        .withColumn(
+          "_rn",
+          row_number().over(
+            Window.partitionBy(by.map(col): _*).orderBy((ord +: seriesCols.map(col(_).asc)): _*)))
+        .filter(col("_rn") <= k)
+        .select(seriesCols.map(col): _*)
     df.join(broadcast(winners), seriesCols, "left_semi")
   }
 
@@ -120,16 +128,23 @@ object Aggr {
     * (aggr.go:1108: hash-ordered for stability across evaluations).
     */
   def limitk(df: DataFrame, seriesCols: Seq[String], by: Seq[String], k: Int): DataFrame = {
-    val winners = df
+    val keys = df
       .select((seriesCols ++ by).map(col): _*)
       .distinct()
-      .withColumn(
-        "_rn",
-        row_number().over(
-          Window.partitionBy(by.map(col): _*)
-            .orderBy(xxhash64(seriesCols.map(col): _*), col(seriesCols.head))))
-      .filter(col("_rn") <= k)
-      .select(seriesCols.map(col): _*)
+    // ungrouped limitk: distributed sort+limit (TakeOrderedAndProject),
+    // not a no-partition rank window over every distinct series
+    val winners =
+      if (by.isEmpty)
+        keys.orderBy(xxhash64(seriesCols.map(col): _*), col(seriesCols.head)).limit(k)
+          .select(seriesCols.map(col): _*)
+      else keys
+        .withColumn(
+          "_rn",
+          row_number().over(
+            Window.partitionBy(by.map(col): _*)
+              .orderBy(xxhash64(seriesCols.map(col): _*), col(seriesCols.head))))
+        .filter(col("_rn") <= k)
+        .select(seriesCols.map(col): _*)
     df.join(broadcast(winners), seriesCols, "left_semi")
   }
 

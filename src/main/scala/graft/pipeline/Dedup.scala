@@ -95,15 +95,18 @@ object Dedup {
 
   /** intersection size of two SORTED long arrays (merge walk) */
   private val sortedInterUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
-    var i = 0
-    var j = 0
-    var c = 0
-    while (i < a.length && j < b.length) {
-      if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
-      else if (a(i) < b(j)) i += 1
-      else j += 1
+    if (a == null || b == null) 0 // null shingle rows share nothing
+    else {
+      var i = 0
+      var j = 0
+      var c = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      c
     }
-    c
   }
 
   def minhashOfShingles(sh: Column, numHashes: Int): Column = {
@@ -161,16 +164,53 @@ object Dedup {
       .persist()
     val a = banded.as("a")
     val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
+    val pairs = a
+      .join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // materialize the (small) candidate set eagerly so the banded frame's
+    // cache can be released NOW instead of leaking for the session
+    val out = pairs.localCheckpoint(true)
+    banded.unpersist()
+    out
+  }
+
+  /** Connected-components loser set over an undirected dup-pair edge list
+    * (id_a, id_b): min-id label propagation to fixpoint, so transitive
+    * chains A~C, B~C collapse into ONE cluster keeping only the minimum
+    * id (the single-link direct-neighbor shortcut kept B in that shape).
+    * Iterations are bounded by the component diameter — dup clusters are
+    * shallow in practice — with a hard cap as a runaway guard; each round
+    * is one broadcast-size join + agg over only the ids that appear in a
+    * pair, checkpointed to keep lineage flat.
+    *
+    * Returns the ids to REMOVE (every cluster member except its minimum).
+    */
+  def connectedLosers(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    val e = pairs.select(col("id_a").as("x"), col("id_b").as("y"))
+    val edges = e.union(e.select(col("y").as("x"), col("x").as("y"))).localCheckpoint(true)
+    var labels = edges.select(col("x").as("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val nbr = edges
+        .join(labels.select(col("node").as("y"), col("lbl").as("nlbl")), "y")
+        .groupBy(col("x").as("node")).agg(min(col("nlbl")).as("nmin"))
+      val next = labels.join(nbr, Seq("node"), "left")
+        .select(col("node"), col("lbl"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("nlbl"))
+        .localCheckpoint(true)
+      changed = next.filter(col("nlbl") < col("lbl")).count()
+      labels = next.select(col("node"), col("nlbl").as("lbl"))
+      iter += 1
+    }
+    labels.filter(col("node") =!= col("lbl")).select(col("node"))
   }
 
   /** MinHash near-dup dedup end-to-end: candidates → exact Jaccard verify
-    * at `threshold` → connected "keep smallest id" winner per dup cluster
-    * (single-link via min over direct neighbors — exact for the common
-    * pair/clique case; a full connected-components pass is iterative and
-    * planned as the streaming-compaction job).
+    * at `threshold` → connected-components "keep smallest id" winner per
+    * dup cluster ([[connectedLosers]] min-id propagation).
     */
   def minhashDedup(
       docs: DataFrame,
@@ -190,7 +230,10 @@ object Dedup {
       .withColumn("inter", sortedInterUdf(col("sha"), col("shb")).cast(DoubleType))
       .filter(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")).cast(DoubleType)
         >= threshold)
-    val losers = verified.select(col("id_b").as("doc_id")).distinct()
+    // loser ids are tiny — materialize them, release the shingle cache
+    val losers = connectedLosers(verified.select("id_a", "id_b"))
+      .select(col("node").as("doc_id")).localCheckpoint(true)
+    sh.unpersist()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
@@ -230,12 +273,15 @@ object Dedup {
       .join(postings.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).cast(DoubleType).as("inter"))
-    inter
+    val out = inter
       .join(sizes.select(col("id").as("id_a"), col("n").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n").as("nb")), "id_b")
       .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .localCheckpoint(true) // qualifying pairs are small; free the cache
+    sh.unpersist()
+    out
   }
 
   /** splitmix64 finalizer — the standard public-domain 64-bit mixer —
@@ -291,13 +337,16 @@ object Dedup {
         .as("bb"))
       .select(col("id"), col("sig"), col("bb.blk").as("blk"), col("bb.bv").as("bv"))
       .persist()
-    blocked.as("a")
+    val out = blocked.as("a")
       .join(blocked.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .localCheckpoint(true) // candidate pairs are small; free the cache
+    blocked.unpersist()
+    out
   }
 
   /** Storage-side sample dedup — keep last (max value on ties) sample per

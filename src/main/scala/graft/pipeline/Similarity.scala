@@ -30,11 +30,14 @@ object Similarity {
     * order matches the expression form, so results are bit-identical.
     */
   private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
+    if (a == null || b == null) None // null rows propagate, like zip_with did
+    else {
+      var s = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      Some(s)
+    }
   }
 
   def dot(a: Column, b: Column): Column =
@@ -164,12 +167,22 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val c = corpus.select(
-      col(idCol).cast("long").as("id"),
-      normalized(col(vecCol)).cast("array<double>").as("vec"))
-      .as[(Long, Array[Double])]
+    // The pair loop runs on a dense surrogate index, never on the user's id
+    // type (a string id cast to long yields null and NPEs in the encoder).
+    // Ordering by the original id before zipWithIndex keeps sid order ==
+    // id order, so sid_a < sid_b implies id_a < id_b in the output.
+    val prepared = corpus
+      .select(col(idCol).as("orig_id"), normalized(col(vecCol)).cast("array<double>").as("vec"))
+      .filter(col("orig_id").isNotNull && col("vec").isNotNull)
+      .orderBy("orig_id")
+    val schema = prepared.schema.add("sid", org.apache.spark.sql.types.LongType)
+    val withSid = spark.createDataFrame(
+      prepared.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    val c = withSid.select(col("sid"), col("vec")).as[(Long, Array[Double])]
     val mat = spark.sparkContext.broadcast(c.collect().sortBy(_._1))
-    c.flatMap { case (idA, vecA) =>
+    val pairs = c.flatMap { case (idA, vecA) =>
       val all = mat.value
       // start past idA via binary search (pairs are ordered idA < idB)
       var lo = 0
@@ -190,6 +203,10 @@ object Similarity {
         j += 1
       }
       out.result()
-    }.toDF("id_a", "id_b", "cosine")
+    }.toDF("sid_a", "sid_b", "cosine")
+    val idsA = withSid.select(col("sid").as("sid_a"), col("orig_id").as("id_a"))
+    val idsB = withSid.select(col("sid").as("sid_b"), col("orig_id").as("id_b"))
+    pairs.join(broadcast(idsA), "sid_a").join(broadcast(idsB), "sid_b")
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

@@ -8,7 +8,9 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
 
 /** Stream aggregation (SURVEY §2.7, lib/streamaggr/streamaggr.go):
   * aggregate raw samples into coarser series per fixed interval BEFORE
-  * storage. Two forms with identical semantics:
+  * storage. Two forms with identical semantics (both assign a sample at
+  * ts to the end-exclusive window [k*i, (k+1)*i) flushing at (k+1)*i, and
+  * both apply the dedup stage when configured):
   *
   *  - [[aggregateBatch]]: the batch/compaction form — tumbling
   *    interval-aligned windows via one hash aggregation (used for
@@ -78,17 +80,37 @@ object StreamAggr {
     }
   }
 
+  /** batch dedup stage (lib/streamaggr/dedup.go): at most one sample per
+    * series per dedup interval, keeping the latest (ts, then value) —
+    * the batch equivalent of the streaming path's
+    * dropDuplicatesWithinWatermark over the same floor-bucketed key.
+    * Requires a `_sk` series-key column.
+    */
+  private def dedupBatch(keyed: DataFrame, cfg: Config): DataFrame =
+    cfg.dedupIntervalMs match {
+      case Some(d) =>
+        val w = Window.partitionBy(col("_sk"), expr(s"(ts div ${d}L) * ${d}L"))
+          .orderBy(col("ts").desc, col("value").desc)
+        keyed.withColumn("_ddrn", row_number().over(w))
+          .filter(col("_ddrn") === 1).drop("_ddrn")
+      case None => keyed
+    }
+
   /** Batch form: (name, tags, ts, value) → (name, tags, t, value) where t
     * is the interval-aligned flush timestamp (window end) and `name`
     * carries the output suffix.
     */
   def aggregateBatch(samples: DataFrame, cfg: Config): DataFrame = {
     val i = cfg.intervalMs
-    val keyed = samples
+    // floor assignment with end-exclusive windows: sample ts lands in
+    // [k*i, (k+1)*i) and flushes at t=(k+1)*i — the same placement
+    // Spark's window() gives the streaming form, so boundary-aligned
+    // timestamps (scrape-aligned data) agree between the two paths.
+    val keyed = dedupBatch(samples
       .withColumn("_sk", concat(coalesce(col("name"), lit("")),
-        to_json(array_sort(map_entries(col("tags"))))))
+        to_json(array_sort(map_entries(col("tags")))))), cfg)
       .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
-      .withColumn("t", expr(s"((ts + ${i - 1}L) div ${i}L) * ${i}L"))
+      .withColumn("t", expr(s"(ts div ${i}L) * ${i}L + ${i}L"))
     val aggs = cfg.outputs.zipWithIndex.map { case (o, ix) => outputExpr(o).as(s"_o$ix") }
     val wide = keyed
       .groupBy(col("name"), col("_gt"), col("t"))
@@ -192,9 +214,9 @@ object StreamAggr {
     */
   def totalBatch(samples: DataFrame, cfg: Config): DataFrame = {
     val i = cfg.intervalMs
-    val keyed = samples
+    val keyed = dedupBatch(samples
       .withColumn("_sk", concat(coalesce(col("name"), lit("")),
-        to_json(array_sort(map_entries(col("tags"))))))
+        to_json(array_sort(map_entries(col("tags")))))), cfg)
       .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
     // per-series adjacent increase over the FULL sample stream, then
     // bucket each increase into the window of its later sample — identical
@@ -206,7 +228,7 @@ object StreamAggr {
         when(col("_pv").isNull, 0.0)
           .when(col("value") >= col("_pv"), col("value") - col("_pv"))
           .otherwise(col("value")))
-      .withColumn("t", expr(s"((ts + ${i - 1}L) div ${i}L) * ${i}L"))
+      .withColumn("t", expr(s"(ts div ${i}L) * ${i}L + ${i}L"))
     val perWindow = withInc
       .groupBy(col("name"), col("_gt"), col("t"))
       .agg(sum(col("_inc")).as("_winc"))

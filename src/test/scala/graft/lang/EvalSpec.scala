@@ -377,4 +377,22 @@ class EvalSpec extends SparkSpec {
       .select(col("tags").getItem("inst")).distinct().collect()
     assert(lk.length == 1)
   }
+
+  test("O3 pushdown must not over-filter nested binops with on() modifiers") {
+    val s = spark
+    import s.implicits._
+    // inner binop erases/renames labels: p has NO inst label; the output's
+    // inst comes from q via group_left(inst). Pushing the outer on(inst)
+    // filter into leaf p (the pre-fix behavior) silently empties the result.
+    val rows = Seq(
+      ("m", Map("inst" -> "a"), M - 30000, 2.0),
+      ("p", Map("env" -> "e"), M - 30000, 3.0),
+      ("q", Map("env" -> "e", "inst" -> "a"), M - 30000, 5.0))
+    val df = rows.toDF("name", "tags", "ts", "value")
+    val out = Engine.query(df,
+      """m * on(inst) (p * on(env) group_left(inst) q)""", GridSpec(M, M, M))
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(out.head.fieldIndex("value")) == 30.0) // 2*(3*5)
+  }
 }

@@ -34,13 +34,35 @@ class DedupSpec extends SparkSpec {
       s"LSH recalled $recalled of ${truth.size} true pairs")
   }
 
-  test("minhashDedup keeps all docs with no near-duplicate") {
+  test("minhashDedup keeps exactly the connected-component minima") {
     val verified = Dedup
       .jaccardVerify(docs, Dedup.minhashCandidates(docs))
       .filter(col("jaccard") >= 0.6)
-    val losers = verified.select(col("id_b")).distinct().count()
+      .select("id_a", "id_b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find oracle over the same verified edge list
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    verified.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val losers = parent.keys.count(x => find(x) != x)
     val kept = Dedup.minhashDedup(docs, 0.6).count()
     assert(kept === docs.count() - losers)
+  }
+
+  test("connectedLosers collapses transitive chains (A~C, B~C -> keep A only)") {
+    import spark.implicits._
+    // single-link direct-neighbor would keep B (it is never an id_b);
+    // connected components must drop both B and C
+    val pairs = Seq((1L, 3L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val losers = Dedup.connectedLosers(pairs).collect().map(_.getLong(0)).toSet
+    assert(losers === Set(2L, 3L, 11L))
   }
 
   test("simhash candidates: equal signatures have hamming 0, all pairs ordered") {
