@@ -120,6 +120,8 @@ object Eval {
       case "present_over_time" => Some(Kernels.present)
       case "mad_over_time" => Some(Kernels.mad)
       case "mode_over_time" => Some(Kernels.mode)
+      case "holt_winters" => Some(Kernels.holtWinters(args(0), args(1)))
+      case "stale_samples_over_time" => Some(Kernels.staleSamples)
       // *_prometheus variants differ from the MetricsQL forms only in
       // cross-window prev-sample handling, which our windowed model
       // already confines to the window (documented deviation)
@@ -161,7 +163,8 @@ object Eval {
     "increases_over_time", "decreases_over_time", "resets", "ascent_over_time",
     "descent_over_time", "integrate", "duration_over_time",
     "tlast_change_over_time", "default_rollup", "timestamp",
-    "timestamp_with_name", "rollup", "rollup_candlestick", "aggr_over_time",
+    "timestamp_with_name", "holt_winters", "stale_samples_over_time",
+    "absent_over_time", "rollup", "rollup_candlestick", "aggr_over_time",
     "quantiles_over_time", "histogram_over_time", "count_values_over_time",
     "rollup_delta", "rollup_increase", "rollup_rate", "rollup_deriv",
     "rollup_scrape_interval")
@@ -377,8 +380,38 @@ object Eval {
       "histogram_over_time", "count_values_over_time", "rollup_delta",
       "rollup_increase", "rollup_rate", "rollup_deriv", "rollup_scrape_interval")
 
+    /** absent_over_time(m[d]) — 1.0 exactly at grid points where NO series
+      * matched in the lookback window (rollup.go:1755 rollupAbsent); the
+      * synthesized series carries the selector's plain equality-filter
+      * labels (eval.go:1017-1031 getAbsentTimeseries).
+      */
+    private def evalAbsentOverTime(f: FuncExpr): Value = {
+      val re = f.args.head match {
+        case r: RollupExpr => r
+        case m: MetricExpr => RollupExpr(m, None, None, None, None)
+        case other =>
+          throw new IllegalArgumentException(s"absent_over_time needs a series arg, got $other")
+      }
+      val (keyed, rollGrid, atMs, windowMs) = rollupInput("absent_over_time", re)
+      val out = replicateAt(Rollup.absentOverTime(keyed, rollGrid, windowMs), atMs)
+      val eqTags: Seq[(String, String)] = re.expr match {
+        case m: MetricExpr if m.filterss.size == 1 =>
+          m.filterss.head.collect {
+            case LabelFilter(l, v, false, false)
+                if l != "__name__" && l != "__graphite__" => (l, v)
+          }
+        case _ => Nil
+      }
+      val tagsCol =
+        if (eqTags.isEmpty) map().cast("map<string,string>")
+        else map(eqTags.flatMap(kv => Seq(lit(kv._1), lit(kv._2))): _*)
+      Series(out.select(lit(null).cast(StringType).as("name"),
+        tagsCol.as("tags"), col("t"), lit(1.0).as("value")))
+    }
+
     private def evalRollupCall(f: FuncExpr): Value = {
       if (multiRollups(f.name)) return evalMultiRollup(f)
+      if (f.name == "absent_over_time") return evalAbsentOverTime(f)
       // locate the rollup argument; remaining args must be scalars
       val idx = f.args.indexWhere {
         case _: RollupExpr | _: MetricExpr => true
@@ -1213,6 +1246,12 @@ object Eval {
           val eq = ls.tail.map(l => coalesce(col("tags").getItem(l), lit("")) ===
             coalesce(col("tags").getItem(ls.head), lit(""))).reduceOption(_ && _).getOrElse(lit(true))
           Series(df.filter(eq))
+        case "label_map" =>
+          // label_map(q, "label", v1, r1, …) — value lookup (transform.go:1978)
+          val key = strArg(f.args(1))
+          val mapping = f.args.drop(2).map(strArg).grouped(2)
+            .collect { case Seq(a, b) => a -> b }.toMap
+          Series(graft.operators.Labels.labelMap(df, key, mapping))
         case "sort" | "sort_desc" =>
           // ordering of the final series set (exec.go:104-130): impose a
           // deterministic row order; series-level sort key = avg value
@@ -1315,6 +1354,20 @@ object Eval {
           }
           Series(out.select(lit(null).cast(StringType).as("name"),
             tagsOf(col("_tk")).as("tags"), col("t"), col("value")))
+        case "histogram_quantiles" =>
+          // histogram_quantiles("phi_label", phi1, …, buckets) — one series
+          // per phi tagged by the phi value (transform.go:950)
+          val lbl = strArg(f.args.head)
+          val phis = f.args.drop(1).dropRight(1).map(scalarArg)
+          val in = series(f.args.last)
+            .withColumn("le", col("tags").getItem("le").cast(DoubleType))
+            .filter(col("le").isNotNull)
+            .withColumn("_tk", tagKey(map_filter(col("tags"), (k, _) => k =!= "le")))
+            .select(col("name"), col("_tk"), col("t"), col("le"), col("value"))
+          val out = graft.operators.HistogramQ.histQuantiles(in, Seq("name", "_tk"), phis)
+          Series(out.select(lit(null).cast(StringType).as("name"),
+            map_concat(tagsOf(col("_tk")), map(lit(lbl), col("phi"))).as("tags"),
+            col("t"), col("value")))
         case "buckets_limit" =>
           // buckets_limit(limit, buckets) — transform.go:386
           val in = series(f.args(1))
@@ -1337,7 +1390,7 @@ object Eval {
           // series rides the same groupBy, so only single-valued candidate
           // keys and the total row reach the driver (label-key metadata
           // scale, not series scale).
-          val total = " __total__"
+          val total = " __total__"
           val perSeries = df
             .withColumn("_sk", skey(col("name"), col("tags")))
             .groupBy("_sk").agg(first(col("tags")).as("tags")) // _sk ⟹ tags
