@@ -220,6 +220,20 @@ object SparkEntry {
     // sliding lookback (window > step): 6h window on the hourly grid
     Q("ro_sliding_max", roHW(Kernels.max, 6 * H), Some(sqlSlidingH(6 * H, "max(value)"))),
     Q("ro_sliding_avg", roHW(Kernels.avg, 6 * H), Some(sqlSlidingH(6 * H, "avg(value)"))),
+    // TSBS cpu-max-all-8 shape (BASELINE.md): 12h window sliding on a
+    // 1-MINUTE grid — window/step = 720. Exercises the two-level rollup
+    // (per-step partials + range-framed window merge); the bucketize path
+    // would explode every sample 720×. One week of grid to keep the
+    // DuckDB range-join oracle tractable.
+    Q("ro_tsbs_cpu_max", (s, dir) => {
+      val weekGrid = GridSpec(START, START + 7 * D, 60000L)
+      Rollup.rollup(ev(s, dir), Seq("name"), weekGrid, 12 * H, Kernels.max)
+        .select(col("name"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "t")
+    }, Some(s"WITH g AS (SELECT unnest(generate_series($START, ${START + 7 * D}, 60000)) AS t), " +
+      "b AS (SELECT event_type AS name, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
+      s"j AS (SELECT name, t, value FROM g JOIN b ON b.tms > g.t - ${12 * H} AND b.tms <= g.t) " +
+      "SELECT name, t, round(1e-9 + max(value), 6) AS value FROM j GROUP BY name, t ORDER BY name, t")),
     Q("ro_sliding_increase", roHW(Kernels.increase, 6 * H), Some(
       s"WITH g AS (SELECT unnest(generate_series($START, $END, $H)) AS t), " +
         "b AS (SELECT event_type AS name, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
@@ -1498,7 +1512,8 @@ object SparkEntry {
   val benchNames: Seq[String] = Seq(
     "q1_agg", "q3_join_agg", "q5_region_revenue", // relational scan/join/agg
     "ro_rate", // counter family (order-sensitive kernel)
-    "ro_sliding_max", // TSBS cpu-max-all-8 shape: max_over_time sliding window
+    "ro_sliding_max", // 6h/1h sliding max (two-level rollup path)
+    "ro_tsbs_cpu_max", // TSBS cpu-max-all-8 shape: 12h window / 1m step = 720×
     "ro_default_rollup", // bare-selector lookback semantics
     "ag_topk", // per-point cross-series rank
     "bi_or", // vector-match set op (full-outer shape)

@@ -23,8 +23,22 @@ import org.apache.spark.sql.types.DoubleType
   *    sharing the reference gets from rollupFuncArg, rollup.go:523-556).
   */
 sealed trait Kernel
-final case class Algebraic(expr: Column) extends Kernel
+final case class Algebraic(expr: Column, twoLevel: Option[TwoLevel] = None) extends Kernel
 final case class OverArray(post: Column => Column) extends Kernel
+
+/** Two-level decomposition for window ≫ step rollups
+  * ([[Rollup.rollupTwoLevel]]): `partials` are (name, perBucketAgg,
+  * windowMergeAgg) — the per-step-bucket partial aggregation and the
+  * aggregate that merges partial rows inside a range-framed window; `finish`
+  * combines the window-merged partial columns into the kernel value. Kills
+  * the ceil(window/step) row amplification of the bucketize path: a sample
+  * contributes to exactly ONE partial row, and the merge is a window
+  * function over output-scale rows (TSBS cpu-max-all-8 shape: 12h window /
+  * 10s step = 4320× explosion avoided).
+  */
+final case class TwoLevel(
+    partials: Seq[(String, Column, Column => Column)],
+    finish: Map[String, Column] => Column)
 
 object Kernels {
   private val v = col("value")
@@ -75,27 +89,51 @@ object Kernels {
   def arrMedian(sorted: Column): Column = arrQuantile(sorted, 0.5)
 
   // ---- algebraic kernels (rollup.go anchors in comments) -----------------
+  // Two-level decompositions ride along where the aggregate is mergeable
+  // (sum-of-sums, max-of-maxes, …); quantile/stddev-family kernels stay
+  // single-level (not mergeable / numerically different when re-derived).
 
-  val avg: Kernel = Algebraic(avg_(v)) // rollup.go:1541 rollupAvg
-  val min: Kernel = Algebraic(org.apache.spark.sql.functions.min(v)) // :1561
-  val max: Kernel = Algebraic(org.apache.spark.sql.functions.max(v)) // :1580
-  val sum: Kernel = Algebraic(org.apache.spark.sql.functions.sum(v)) // :1690
-  val count: Kernel = Algebraic(org.apache.spark.sql.functions.count(v).cast(D)) // :1771
-  val sum2: Kernel = Algebraic(org.apache.spark.sql.functions.sum(v * v)) // :1795
+  /** single-partial decomposition: same agg per bucket and per window */
+  private def tl1(raw: Column, merge: Column => Column,
+      fin: Column => Column = identity): Option[TwoLevel] =
+    Some(TwoLevel(Seq(("p", raw, merge)), m => fin(m("p"))))
+
+  private def sumCountTl(fin: (Column, Column) => Column): Option[TwoLevel] =
+    Some(TwoLevel(Seq(("s", sum_(v), sum_), ("c", count_(v).cast(D), sum_)),
+      m => fin(m("s"), m("c"))))
+
+  val avg: Kernel = // rollup.go:1541 rollupAvg
+    Algebraic(avg_(v), sumCountTl((s, c) => s / c))
+  val min: Kernel = Algebraic(min_(v), tl1(min_(v), min_)) // :1561
+  val max: Kernel = Algebraic(max_(v), tl1(max_(v), max_)) // :1580
+  val sum: Kernel = Algebraic(sum_(v), tl1(sum_(v), sum_)) // :1690
+  val count: Kernel = // :1771
+    Algebraic(count_(v).cast(D), tl1(count_(v).cast(D), sum_))
+  val sum2: Kernel = Algebraic(sum_(v * v), tl1(sum_(v * v), sum_)) // :1795
   val stddev: Kernel = Algebraic(stddev_pop(v)) // rollup.go:1799 (population)
   val stdvar: Kernel = Algebraic(var_pop(v)) // rollup.go:1803
   val median: Kernel = Algebraic(percentile(v, lit(0.5))) // rollup.go:1450
   def quantile(phi: Double): Kernel = Algebraic(percentile(v, lit(phi))) // :1450
-  val geomean: Kernel = Algebraic(exp(avg_(log(v)))) // rollup.go:1707 rollupGeomean
-  val distinct: Kernel = Algebraic(size(collect_set(v)).cast(D)) // :2403
+  val geomean: Kernel = Algebraic(exp(avg_(log(v))), // rollup.go:1707
+    Some(TwoLevel(Seq(("sl", sum_(log(v)), sum_), ("c", count_(v).cast(D), sum_)),
+      m => exp(m("sl") / m("c")))))
+  val distinct: Kernel = Algebraic(size(collect_set(v)).cast(D), // :2403
+    Some(TwoLevel(Seq(("vs", collect_set(v), (c: Column) => flatten(collect_list(c)))),
+      m => size(array_distinct(m("vs"))).cast(D))))
   val range: Kernel = // rollup.go:1721 rollupRange = max - min
-    Algebraic(org.apache.spark.sql.functions.max(v) - org.apache.spark.sql.functions.min(v))
+    Algebraic(max_(v) - min_(v),
+      Some(TwoLevel(Seq(("mx", max_(v), max_), ("mn", min_(v), min_)),
+        m => m("mx") - m("mn"))))
 
   // first/last with deterministic tie-breaks via lexicographic struct order
-  val first: Kernel = Algebraic(min_(struct(ts, v)).getField("value")) // rollup.go:2375 rollupFirst
-  val last: Kernel = Algebraic(max_(struct(ts, v)).getField("value")) // rollup.go:2383 rollupLast
-  val tfirst: Kernel = Algebraic(min_(ts).cast(D) / 1000.0) // rollup.go:1596 (seconds)
-  val tlast: Kernel = Algebraic(max_(ts).cast(D) / 1000.0) // rollup.go:1652
+  val first: Kernel = Algebraic(min_(struct(ts, v)).getField("value"), // rollup.go:2375
+    tl1(min_(struct(ts, v)), min_, _.getField("value")))
+  val last: Kernel = Algebraic(max_(struct(ts, v)).getField("value"), // rollup.go:2383
+    tl1(max_(struct(ts, v)), max_, _.getField("value")))
+  val tfirst: Kernel = // rollup.go:1596 (seconds)
+    Algebraic(min_(ts).cast(D) / 1000.0, tl1(min_(ts), min_, _.cast(D) / 1000.0))
+  val tlast: Kernel = // rollup.go:1652
+    Algebraic(max_(ts).cast(D) / 1000.0, tl1(max_(ts), max_, _.cast(D) / 1000.0))
 
   /** timestamp (s) of the minimum value; LAST occurrence on ties —
     * rollup.go:1603-1621 ("Get the last timestamp for the minimum value").
@@ -112,30 +150,39 @@ object Kernels {
   }
 
   // filtered counts/sums/shares — rollup.go:1181-1307
-  def countEq(x: Double): Kernel = Algebraic(sum_(when(v === x, 1).otherwise(0)).cast(D))
-  def countNe(x: Double): Kernel = Algebraic(sum_(when(v =!= x, 1).otherwise(0)).cast(D))
-  def countLe(x: Double): Kernel = Algebraic(sum_(when(v <= x, 1).otherwise(0)).cast(D))
-  def countGt(x: Double): Kernel = Algebraic(sum_(when(v > x, 1).otherwise(0)).cast(D))
-  def sumEq(x: Double): Kernel = Algebraic(sum_(when(v === x, v).otherwise(0.0)))
-  def sumLe(x: Double): Kernel = Algebraic(sum_(when(v <= x, v).otherwise(0.0)))
-  def sumGt(x: Double): Kernel = Algebraic(sum_(when(v > x, v).otherwise(0.0)))
-  def shareEq(x: Double): Kernel =
-    Algebraic(sum_(when(v === x, 1.0).otherwise(0.0)) / count_(v))
-  def shareLe(x: Double): Kernel =
-    Algebraic(sum_(when(v <= x, 1.0).otherwise(0.0)) / count_(v))
-  def shareGt(x: Double): Kernel =
-    Algebraic(sum_(when(v > x, 1.0).otherwise(0.0)) / count_(v))
+  private def condSum(c: Column): Kernel = Algebraic(sum_(c), tl1(sum_(c), sum_))
+  def countEq(x: Double): Kernel = condSum(when(v === x, 1.0).otherwise(0.0))
+  def countNe(x: Double): Kernel = condSum(when(v =!= x, 1.0).otherwise(0.0))
+  def countLe(x: Double): Kernel = condSum(when(v <= x, 1.0).otherwise(0.0))
+  def countGt(x: Double): Kernel = condSum(when(v > x, 1.0).otherwise(0.0))
+  def sumEq(x: Double): Kernel = condSum(when(v === x, v).otherwise(0.0))
+  def sumLe(x: Double): Kernel = condSum(when(v <= x, v).otherwise(0.0))
+  def sumGt(x: Double): Kernel = condSum(when(v > x, v).otherwise(0.0))
+  private def share(c: Column): Kernel =
+    Algebraic(sum_(c) / count_(v),
+      Some(TwoLevel(Seq(("s", sum_(c), sum_), ("c", count_(v).cast(D), sum_)),
+        m => m("s") / m("c"))))
+  def shareEq(x: Double): Kernel = share(when(v === x, 1.0).otherwise(0.0))
+  def shareLe(x: Double): Kernel = share(when(v <= x, 1.0).otherwise(0.0))
+  def shareGt(x: Double): Kernel = share(when(v > x, 1.0).otherwise(0.0))
 
   // time-gap statistics — rollup.go:2040 rollupLifetime, :2067 rollupLag,
   // :871-919 scrape-interval estimation (simplified to mean gap)
-  val lifetime: Kernel = Algebraic((max_(ts) - min_(ts)).cast(D) / 1000.0)
-  val lag: Kernel = Algebraic((col("t") - max_(ts)).cast(D) / 1000.0)
+  val lifetime: Kernel = Algebraic((max_(ts) - min_(ts)).cast(D) / 1000.0,
+    Some(TwoLevel(Seq(("mx", max_(ts), max_), ("mn", min_(ts), min_)),
+      m => (m("mx") - m("mn")).cast(D) / 1000.0)))
+  val lag: Kernel = Algebraic((col("t") - max_(ts)).cast(D) / 1000.0,
+    tl1(max_(ts), max_, c => (col("t") - c).cast(D) / 1000.0))
   val scrapeInterval: Kernel = Algebraic(
-    when(count_(v) > 1, (max_(ts) - min_(ts)).cast(D) / 1000.0 / (count_(v) - 1).cast(D)))
+    when(count_(v) > 1, (max_(ts) - min_(ts)).cast(D) / 1000.0 / (count_(v) - 1).cast(D)),
+    Some(TwoLevel(
+      Seq(("mx", max_(ts), max_), ("mn", min_(ts), min_), ("c", count_(v).cast(D), sum_)),
+      m => when(m("c") > 1, (m("mx") - m("mn")).cast(D) / 1000.0 / (m("c") - 1)))))
 
   /** sum / window-seconds — rollup.go:1707-1719 rollupRateOverSum */
   def rateOverSum(windowMs: Long): Kernel =
-    Algebraic(sum_(v) / lit(windowMs / 1000.0))
+    Algebraic(sum_(v) / lit(windowMs / 1000.0),
+      tl1(sum_(v), sum_, _ / lit(windowMs / 1000.0)))
 
   /** (last - mean) / stddev — rollup.go:2361 rollupZScoreOverTime (the
     * staleness guard on scrape interval is omitted: grid gap-handling is
@@ -162,10 +209,17 @@ object Kernels {
   }
 
   // Hoeffding bounds — rollup.go:1323-1381
-  def hoeffdingLower(phi: Double): Kernel = Algebraic(
-    avg_(v) - (max_(v) - min_(v)) * sqrt(lit(math.log(1.0 / (1 - phi))) / (count_(v) * 2).cast(D)))
-  def hoeffdingUpper(phi: Double): Kernel = Algebraic(
-    avg_(v) + (max_(v) - min_(v)) * sqrt(lit(math.log(1.0 / (1 - phi))) / (count_(v) * 2).cast(D)))
+  private def hoeffding(phi: Double, sign: Double): Kernel = {
+    val whole = avg_(v) +
+      lit(sign) * (max_(v) - min_(v)) * sqrt(lit(math.log(1.0 / (1 - phi))) / (count_(v) * 2).cast(D))
+    Algebraic(whole, Some(TwoLevel(
+      Seq(("s", sum_(v), sum_), ("c", count_(v).cast(D), sum_),
+        ("mx", max_(v), max_), ("mn", min_(v), min_)),
+      m => m("s") / m("c") +
+        lit(sign) * (m("mx") - m("mn")) * sqrt(lit(math.log(1.0 / (1 - phi))) / (m("c") * 2)))))
+  }
+  def hoeffdingLower(phi: Double): Kernel = hoeffding(phi, -1.0)
+  def hoeffdingUpper(phi: Double): Kernel = hoeffding(phi, 1.0)
 
   /** last value if outside Tukey fences [q25-1.5·iqr, q75+1.5·iqr], else
     * null — rollup.go:1427 rollupOutlierIQR.
@@ -178,7 +232,8 @@ object Kernels {
     when(count_(v) >= 2 && (lastV < q25 - iqr || lastV > q75 + iqr), lastV)
   }
 
-  val present: Kernel = Algebraic(lit(1.0)) // rollup.go:1762 rollupPresent
+  val present: Kernel = // rollup.go:1762 rollupPresent
+    Algebraic(lit(1.0), tl1(lit(1.0), max_))
 
   // ---- order-sensitive kernels (array form) -------------------------------
 
@@ -303,8 +358,7 @@ object Kernels {
     * rollupStaleSamples (staleness is modeled as NaN sample values,
     * SURVEY §1.2 NaN taxonomy).
     */
-  val staleSamples: Kernel = Algebraic(
-    sum_(when(isnan(v), 1).otherwise(0)).cast(D))
+  val staleSamples: Kernel = condSum(when(isnan(v), 1.0).otherwise(0.0))
 
   /** Holt-Winters double exponential smoothing over the window's samples
     * (rollup.go:1030 rollupHoltWinters): s_i = sf·v_i + (1-sf)(s_{i-1} +

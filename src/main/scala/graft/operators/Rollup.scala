@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.core.{Grid, GridSpec}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -22,6 +23,11 @@ object Rollup {
   /** Compute one or more named kernels in a single pass.
     * Input: samples with `ts` (epoch ms) + `value` + key columns.
     * Output: keys ++ (t, <one column per kernel>).
+    *
+    * Routing: when window is a step multiple > step and every kernel is
+    * mergeable, the two-level path runs (zero row amplification); otherwise
+    * the map-side bucketize explode (amplification ceil(window/step), fine
+    * at window ≈ step, ruinous at TSBS 12h/10s = 4320×).
     */
   def rollupMulti(
       samples: DataFrame,
@@ -29,12 +35,26 @@ object Rollup {
       grid: GridSpec,
       windowMs: Long,
       kernels: Seq[(String, Kernel)]): DataFrame = {
+    val decomposed = kernels.map {
+      case (n, Algebraic(_, Some(tl))) => Some(n -> tl)
+      case _ => None
+    }
+    // Measured crossover (sf0.1, local[32]): at ratio ≤ 6 the explode path
+    // wins (ro_default_rollup 0.8s vs 5.6s dense; ro_sliding_max 0.6s vs
+    // 1.6s) because the dense series×grid frame out-costs a small
+    // explosion; at ratio 720 (ro_tsbs_cpu_max) the explosion is 720× the
+    // sample count and two-level wins outright. Explosion cost ~
+    // ratio×samples, dense cost ~ series×gridPoints — ratio ≥ 8 is the
+    // conservative switch point.
+    val ratio = windowMs / grid.stepMs
+    if (ratio >= 8 && windowMs % grid.stepMs == 0 && decomposed.forall(_.isDefined))
+      return rollupTwoLevel(samples, keys, grid, windowMs, decomposed.flatten)
     val b = Grid.bucketize(samples, grid, windowMs)
     val needArr = kernels.exists(_._2.isInstanceOf[OverArray])
     val arrExpr =
       array_sort(collect_list(struct(col("ts").as("ts"), col("value").as("v")))).as("_arr")
     val aggExprs: Seq[Column] =
-      kernels.collect { case (n, Algebraic(e)) => e.as(n) } ++
+      kernels.collect { case (n, Algebraic(e, _)) => e.as(n) } ++
         (if (needArr) Seq(arrExpr) else Nil)
     var out = b
       .groupBy((keys.map(col) :+ col("t")): _*)
@@ -46,6 +66,63 @@ object Rollup {
     if (needArr) out = out.drop("_arr")
     // stable column order: keys, t, kernels
     out.select((keys.map(col) :+ col("t")) ++ kernels.map(k => col(k._1)): _*)
+  }
+
+  /** Two-level rollup for window ≫ step over mergeable kernels:
+    *
+    *  1. ONE partial row per (series, step bucket) — a sample lands in
+    *     exactly one bucket, no explode (vs ceil(window/step)× in
+    *     [[Grid.bucketize]]).
+    *  2. Merge via a range-framed window function over a DENSE
+    *     (series × grid) frame (output-scale rows); buckets before the grid
+    *     start ride along so early lookback frames see them.
+    *
+    * Window (t-window, t] == the union of step buckets ending in
+    * [t-window+step, t] — exact because windowMs % stepMs == 0 (the caller
+    * guarantees it). Wall-time no longer scales with window/step: the TSBS
+    * cpu-max-all-8 shape (12h window, 10s step, BASELINE.md) costs the same
+    * shuffles as window == step.
+    */
+  private def rollupTwoLevel(
+      samples: DataFrame,
+      keys: Seq[String],
+      grid: GridSpec,
+      windowMs: Long,
+      kernels: Seq[(String, TwoLevel)]): DataFrame = {
+    val s = grid.stepMs
+    val start = grid.startMs
+    val filtered = samples
+      .filter(col("ts") > lit(start - windowMs) && col("ts") <= lit(grid.endMs))
+    // owning step bucket = smallest grid-aligned point >= ts
+    val tb = expr(s"${start}L + ((ts - ${start}L + ${s - 1}L) div ${s}L) * ${s}L")
+    // partial columns, uniquely named per kernel; a shared row count drives
+    // the empty-window filter (no samples in window -> no output row, same
+    // as the bucketize path)
+    val partialCols: Seq[(String, Column, Column => Column)] =
+      kernels.zipWithIndex.flatMap { case ((_, tl), i) =>
+        tl.partials.map { case (pn, raw, mrg) => (s"_p${i}_$pn", raw, mrg) }
+      } :+ (("_prows", count(lit(1)), (c: Column) => sum(c)))
+    val level1 = filtered
+      .withColumn("t", tb)
+      .groupBy((keys.map(col) :+ col("t")): _*)
+      .agg(partialCols.head._2.as(partialCols.head._1),
+        partialCols.tail.map(p => p._2.as(p._1)): _*)
+    val seriesDim = level1.select(keys.map(col): _*).distinct()
+    val dense = seriesDim.crossJoin(Grid.gridDf(samples, grid))
+    val joined = dense
+      .join(level1.filter(col("t") >= start), keys :+ "t", "left")
+      .unionByName(level1.filter(col("t") < start))
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("t"))
+      .rangeBetween(-(windowMs - s), 0)
+    val merged = partialCols.map { case (pn, _, mrg) => pn -> mrg(col(pn)).over(w) }.toMap
+    val kernelCols = kernels.zipWithIndex.map { case ((kn, tl), i) =>
+      tl.finish(tl.partials.map { case (pn, _, _) => pn -> merged(s"_p${i}_$pn") }.toMap).as(kn)
+    }
+    joined
+      .select((keys.map(col) :+ col("t") :+ merged("_prows").as("_rows")) ++ kernelCols: _*)
+      .filter(col("t") >= start && col("_rows") > 0)
+      .drop("_rows")
+      .select((keys.map(col) :+ col("t")) ++ kernels.map(k => col(k._1)): _*)
   }
 
   def rollup(
