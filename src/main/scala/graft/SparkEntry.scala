@@ -1170,6 +1170,65 @@ object SparkEntry {
 
   private val uid = col("tags").getItem("user_id").cast("bigint").as("user_id")
 
+  /** DuckDB mirror of the engine's per-series prev pass (Rollup.prevPass):
+    * lag/lead, reset-corrected values, 0.6-quantile scrape interval →
+    * jitter-inflated maxPrevInterval capped at the 2h lookback, and the
+    * per-window first/last/seed columns the delta/rate chains consume.
+    * `step` = bucket width of the evaluation grid (also the scrape-interval
+    * fallback for single-sample series, like prevPass).
+    */
+  private def prevCtes(step: Long, nameFilter: String = "click"): String =
+    s"l0 AS (SELECT user_id, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events " +
+      s"WHERE event_type = '$nameFilter'), " +
+      "l1 AS (SELECT *, lag(value) OVER w AS pv, lag(tms) OVER w AS pts, " +
+      "lead(value) OVER w AS nv, " +
+      "CASE WHEN lag(value) OVER w IS NOT NULL AND value < lag(value) OVER w THEN " +
+      "(CASE WHEN (lag(value) OVER w - value) * 8 < lag(value) OVER w " +
+      "THEN lag(value) OVER w - value ELSE lag(value) OVER w END) ELSE 0 END AS cs " +
+      "FROM l0 WINDOW w AS (PARTITION BY user_id ORDER BY tms, value)), " +
+      "l2 AS (SELECT *, value + sum(cs) OVER (PARTITION BY user_id ORDER BY tms, value " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv FROM l1), " +
+      "l3 AS (SELECT *, lag(cv) OVER w AS cpv, lead(cv) OVER w AS cnv FROM l2 " +
+      "WINDOW w AS (PARTITION BY user_id ORDER BY tms, value)), " +
+      "m AS (SELECT user_id, floor(least(" +
+      "CASE WHEN si<=2000 THEN si*5 WHEN si<=4000 THEN si*3 WHEN si<=8000 THEN si*2 " +
+      s"WHEN si<=16000 THEN si*1.5 WHEN si<=32000 THEN si*1.25 ELSE si*1.125 END, ${2 * H}))::BIGINT AS mpi " +
+      s"FROM (SELECT user_id, coalesce(quantile_cont(tms - pts, 0.6), $step) AS si " +
+      "FROM l3 GROUP BY user_id)), " +
+      s"g AS (SELECT user_id, ((tms + ${step - 1}) // $step) * $step AS t, count(*) AS n, " +
+      "first(value ORDER BY tms, value) AS v0, last(value ORDER BY tms, value) AS vl, " +
+      "first(tms ORDER BY tms, value) AS fts, last(tms ORDER BY tms, value) AS lts, " +
+      "first(pv ORDER BY tms, value) AS fpv, first(pts ORDER BY tms, value) AS fpts, " +
+      "last(nv ORDER BY tms, value) AS lnv, " +
+      "first(cv ORDER BY tms, value) AS cv0, last(cv ORDER BY tms, value) AS cvl, " +
+      "first(cpv ORDER BY tms, value) AS fcpv, last(cnv ORDER BY tms, value) AS lcnv, " +
+      "list(value ORDER BY tms, value) AS vs, list(cv ORDER BY tms, value) AS cvs " +
+      "FROM l3 GROUP BY user_id, t), " +
+      "f AS (SELECT g.*, mpi FROM g JOIN m USING (user_id))"
+
+  /** rollupDelta chain over `f` rows: prevValue/realPrevValue seed →
+    * zero-seed heuristic → skip-first fallback (rollup.go:114-160);
+    * `corrected` switches to the reset-corrected value columns (increase).
+    */
+  private def deltaChainSql(windowMs: Long, corrected: Boolean): String = {
+    val (v0, vl, pv, second, nxt) =
+      if (corrected) ("cv0", "cvl", "fcpv", "cvs[2]", "lcnv")
+      else ("v0", "vl", "fpv", "vs[2]", "lnv")
+    val d01 = s"CASE WHEN n > 1 THEN $second - $v0 ELSE coalesce($nxt - $v0, 0) END"
+    s"CASE WHEN fpts IS NOT NULL AND (fpts > t - $windowMs - mpi OR fts - fpts < ${2 * H}) " +
+      s"THEN $vl - $pv " +
+      s"WHEN abs($v0) < 10 * (abs($d01) + 1) THEN $vl " +
+      s"WHEN n > 1 THEN $vl - $v0 ELSE 0 END"
+  }
+
+  /** rollupDerivFast over corrected values (= VM `rate`): dv/dt from the
+    * prev sample, else from the window's first; single orphan sample → NULL.
+    */
+  private def rateChainSql: String =
+    s"(CASE WHEN fpts IS NOT NULL AND fpts > t - $D - mpi " +
+      "THEN (cvl - fcpv) / ((lts - fpts) / 1000.0) " +
+      "WHEN n >= 2 THEN (cvl - cv0) / ((lts - fts) / 1000.0) END)"
+
   private val evalQueries: Seq[Q] = Seq(
     Q("eval_avg1h", eng("avg_over_time(click[1h])") { df =>
       df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
@@ -1188,16 +1247,14 @@ object SparkEntry {
       "FROM j GROUP BY name, user_id, t ORDER BY user_id, t")),
     Q("eval_rate", eng("rate(click[1d])", gridD) { df =>
       df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
-    }, Some(s"WITH b AS ($BD), d AS (SELECT user_id, t, tms, value, " +
-      "lag(value) OVER (PARTITION BY user_id, t ORDER BY tms, value) AS pv FROM b WHERE name = 'click') " +
-      s"SELECT user_id::BIGINT AS user_id, t, round(1e-9 + $increaseSql / 86400.0, 6) AS value FROM d " +
-      "GROUP BY user_id, t ORDER BY user_id, t")),
+    }, Some(s"WITH ${prevCtes(D)} " +
+      s"SELECT user_id::BIGINT AS user_id, t, round(1e-9 + $rateChainSql, 6) AS value " +
+      s"FROM f WHERE $rateChainSql IS NOT NULL ORDER BY user_id, t")),
     Q("eval_sum_rate_by", eng("sum(rate(click[1d])) by (user_id)", gridD) { df =>
       df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
-    }, Some(s"WITH b AS ($BD), d AS (SELECT user_id, t, tms, value, " +
-      "lag(value) OVER (PARTITION BY user_id, t ORDER BY tms, value) AS pv FROM b WHERE name = 'click') " +
-      s"SELECT user_id::BIGINT AS user_id, t, round(1e-9 + $increaseSql / 86400.0, 6) AS value FROM d " +
-      "GROUP BY user_id, t ORDER BY user_id, t")),
+    }, Some(s"WITH ${prevCtes(D)} " +
+      s"SELECT user_id::BIGINT AS user_id, t, round(1e-9 + $rateChainSql, 6) AS value " +
+      s"FROM f WHERE $rateChainSql IS NOT NULL ORDER BY user_id, t")),
     Q("eval_sum", eng("sum(avg_over_time(click[1h]))") { df =>
       df.select(col("t"), r4(col("value")).as("value")).orderBy("t")
     }, Some(s"WITH b AS ($BH), a AS (SELECT user_id, t, avg(value) AS v FROM b " +
@@ -1377,15 +1434,14 @@ object SparkEntry {
       "WHERE name = 'click' GROUP BY uid, t ORDER BY uid, t")),
     Q("eval_increase", eng("increase(click[1d])", gridD) { df =>
       df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
-    }, Some(s"WITH b AS ($BD), d AS (SELECT user_id, t, tms, value, " +
-      "lag(value) OVER (PARTITION BY user_id, t ORDER BY tms, value) AS pv FROM b WHERE name = 'click') " +
-      s"SELECT user_id::BIGINT AS user_id, t, round(1e-9 + $increaseSql, 6) AS value FROM d " +
-      "GROUP BY user_id, t ORDER BY user_id, t")),
+    }, Some(s"WITH ${prevCtes(D)} " +
+      s"SELECT user_id::BIGINT AS user_id, t, round(1e-9 + ${deltaChainSql(D, corrected = true)}, 6) AS value " +
+      "FROM f ORDER BY user_id, t")),
     Q("eval_delta", eng("delta(click[1d])", gridD) { df =>
       df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
-    }, Some(s"WITH b AS ($BD) SELECT user_id::BIGINT AS user_id, t, " +
-      "round(1e-9 + last(value ORDER BY tms, value) - first(value ORDER BY tms, value), 6) AS value " +
-      "FROM b WHERE name = 'click' GROUP BY user_id, t ORDER BY user_id, t")),
+    }, Some(s"WITH ${prevCtes(D)} " +
+      s"SELECT user_id::BIGINT AS user_id, t, round(1e-9 + ${deltaChainSql(D, corrected = false)}, 6) AS value " +
+      "FROM f ORDER BY user_id, t")),
     Q("eval_changes", eng("changes(click[1d])", gridD) { df =>
       df.select(uid, col("t"), col("value")).orderBy("user_id", "t")
     }, Some(s"WITH b AS ($BD), d AS (SELECT user_id, t, value, " +
@@ -1404,7 +1460,30 @@ object SparkEntry {
       df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
     }, Some(s"WITH b AS ($BH) SELECT user_id::BIGINT AS user_id, t, " +
       "round(1e-9 + least(greatest(avg(value), 90), 110), 6) AS value FROM b " +
-      "WHERE name = 'click' GROUP BY user_id, t ORDER BY user_id, t")))
+      "WHERE name = 'click' GROUP BY user_id, t ORDER BY user_id, t")),
+    // rate with NO [d] on a sparse series: the window auto-adjusts to the
+    // per-series maxPrevInterval (rollup.go:738-756) — at window=step the
+    // hourly windows of sparse purchase series rarely hold two samples
+    Q("eval_rate_auto", eng("rate(purchase)") { df =>
+      df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
+    }, Some(s"WITH ${prevCtes(H, "purchase")}, " +
+      s"w AS (SELECT user_id, greatest($H, mpi) AS win FROM m), " +
+      s"gr AS (SELECT unnest(generate_series($START, $END, $H)) AS gt), " +
+      "j AS (SELECT l3.user_id, gt, tms, value, pts, cv, cpv FROM gr " +
+      "CROSS JOIN w JOIN l3 ON l3.user_id = w.user_id " +
+      "AND l3.tms > gr.gt - w.win AND l3.tms <= gr.gt), " +
+      "gg AS (SELECT user_id, gt AS t, count(*) AS n, " +
+      "first(pts ORDER BY tms, value) AS fpts, " +
+      "first(cv ORDER BY tms, value) AS cv0, last(cv ORDER BY tms, value) AS cvl, " +
+      "first(cpv ORDER BY tms, value) AS fcpv, " +
+      "first(tms ORDER BY tms, value) AS fts, last(tms ORDER BY tms, value) AS lts " +
+      "FROM j GROUP BY user_id, gt), " +
+      "ff AS (SELECT gg.*, mpi, win FROM gg JOIN m USING (user_id) JOIN w USING (user_id)), " +
+      "r AS (SELECT user_id, t, CASE WHEN fpts IS NOT NULL AND fpts > t - win - mpi " +
+      "THEN (cvl - fcpv) / ((lts - fpts) / 1000.0) " +
+      "WHEN n >= 2 THEN (cvl - cv0) / ((lts - fts) / 1000.0) END AS v FROM ff) " +
+      "SELECT user_id::BIGINT AS user_id, t, round(1e-9 + v, 6) AS value FROM r " +
+      "WHERE v IS NOT NULL ORDER BY user_id, t")))
 
   // =====================================================================
   // §2.0 sources/sinks + §2.7 stream aggregation + §2.8 relabeling

@@ -33,20 +33,28 @@ object Grid {
     * Input must have `ts` (epoch ms, long) and may have any other columns;
     * output gains a `t` column (grid timestamp, epoch ms).
     */
-  def bucketize(samples: DataFrame, grid: GridSpec, windowMs: Long): DataFrame = {
+  def bucketize(samples: DataFrame, grid: GridSpec, windowMs: Long): DataFrame =
+    bucketizeCol(samples, grid, lit(windowMs))
+
+  /** bucketize with a per-ROW window column (long ms) — the engine's window
+    * auto-adjustment derives the effective lookback per series from its
+    * estimated scrape interval (rollup.go:738-756), so different series of
+    * one rollup call may explode into different bucket counts.
+    */
+  def bucketizeCol(samples: DataFrame, grid: GridSpec, windowMs: Column): DataFrame = {
     val s = grid.stepMs
-    val nOff = (windowMs + s - 1) / s // buckets a sample can land in
     val start = grid.startMs
     val filtered = samples
-      .filter(col("ts") > lit(start - windowMs) && col("ts") <= lit(grid.endMs))
+      .filter(col("ts") > lit(start) - windowMs && col("ts") <= lit(grid.endMs))
     // smallest grid point >= ts
     val t0 = expr(s"${start}L + ((ts - ${start}L + ${s - 1}L) div ${s}L) * ${s}L")
+    val nOff = floor((windowMs + lit(s - 1)) / lit(s)).cast("long") // buckets a sample can land in
     filtered
       .withColumn(
         "t",
         explode(
-          sequence(t0, least(t0 + lit((nOff - 1) * s), lit(grid.endMs)), lit(s))))
-      .filter(col("t") >= lit(start) && (col("t") - lit(windowMs)) < col("ts"))
+          sequence(t0, least(t0 + (nOff - lit(1)) * lit(s), lit(grid.endMs)), lit(s))))
+      .filter(col("t") >= lit(start) && (col("t") - windowMs) < col("ts"))
   }
 
   /** Dense grid timestamps as a one-column DataFrame (t: long). Used for

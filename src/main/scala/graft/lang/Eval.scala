@@ -75,7 +75,9 @@ object Eval {
   /** rollup functions: name → (windowMs, scalar args before/after the
     * rollup arg) → Kernel (rollup.go:24-108 registration table).
     */
-  private def rollupKernel(name: String, windowMs: Long, args: Seq[Double]): Option[Kernel] =
+  private def rollupKernel(
+      name: String, windowMs: Long, args: Seq[Double],
+      lookbackMs: Long = 300000L): Option[Kernel] =
     name match {
       case "avg_over_time" => Some(Kernels.avg)
       case "min_over_time" => Some(Kernels.min)
@@ -122,13 +124,16 @@ object Eval {
       case "mode_over_time" => Some(Kernels.mode)
       case "holt_winters" => Some(Kernels.holtWinters(args(0), args(1)))
       case "stale_samples_over_time" => Some(Kernels.staleSamples)
-      // *_prometheus variants differ from the MetricsQL forms only in
-      // cross-window prev-sample handling, which our windowed model
-      // already confines to the window (documented deviation)
-      case "delta" | "delta_prometheus" => Some(Kernels.delta)
+      // engine-path counter family: cross-window prevValue semantics
+      // (rollup.go:770-805); the *_prometheus variants stay strictly
+      // in-window like Prometheus (rollup.go rollupDeltaPrometheus)
+      case "delta" => Some(Kernels.deltaPrev(lookbackMs))
+      case "delta_prometheus" => Some(Kernels.delta)
       case "idelta" => Some(Kernels.idelta)
-      case "increase" | "increase_pure" | "increase_prometheus" => Some(Kernels.increase)
-      case "rate" => Some(Kernels.rate(windowMs))
+      case "increase" => Some(Kernels.increasePrev(lookbackMs))
+      case "increase_pure" => Some(Kernels.increasePurePrev(lookbackMs))
+      case "increase_prometheus" => Some(Kernels.increase)
+      case "rate" => Some(Kernels.ratePrev)
       case "irate" => Some(Kernels.irate)
       case "ideriv" => Some(Kernels.ideriv)
       case "changes" | "changes_prometheus" => Some(Kernels.changes)
@@ -490,17 +495,26 @@ object Eval {
     private def replicateAt(out: DataFrame, atMs: Option[Long]): DataFrame =
       atMs.map(_ => out.drop("t").crossJoin(Grid.gridDf(samples, cfg.grid))).getOrElse(out)
 
+    /** rate-like functions whose missing `[d]` widens to the estimated
+      * scrape interval so two samples are always in reach
+      * (rollup.go:204-219 rollupFuncsCanAdjustWindow — the subset whose
+      * kernels benefit; default_rollup keeps its staleness lookback).
+      */
+    private val canAdjustWindowFns = Set("rate", "deriv_fast", "irate", "ideriv")
+
     private def evalRollupLeaf(
         fn: String,
         re: RollupExpr,
         extraArgs: Seq[Double],
         keepNames: Boolean = false): Value = {
       val (keyed, rollGrid, atMs, windowMs) = rollupInput(fn, re)
-      val kernel = rollupKernel(fn, windowMs, extraArgs).getOrElse(
+      val kernel = rollupKernel(fn, windowMs, extraArgs, cfg.lookbackMs).getOrElse(
         throw new IllegalArgumentException(s"unsupported rollup function '$fn'"))
+      val autoAdjust = re.window.isEmpty && canAdjustWindowFns(fn)
       val out = replicateAt(
         Rollup
-          .rollup(keyed, Seq("name", "_h1", "_h2"), rollGrid, windowMs, kernel)
+          .rollup(keyed, Seq("name", "_h1", "_h2"), rollGrid, windowMs, kernel,
+            lookbackMs = cfg.lookbackMs, autoAdjustWindow = autoAdjust)
           .filter(col("value").isNotNull)
           .join(broadcast(tagsDim(keyed)), Seq("_h1", "_h2")),
         atMs)

@@ -26,6 +26,14 @@ sealed trait Kernel
 final case class Algebraic(expr: Column, twoLevel: Option[TwoLevel] = None) extends Kernel
 final case class OverArray(post: Column => Column) extends Kernel
 
+/** Like [[OverArray]] but the rollup executor runs its per-series prev
+  * pass first: array elements gain pv/pts/nv (previous/next raw sample) and
+  * cv/cpv/cnv (reset-corrected values), and the aggregated frame carries
+  * `_win` / `_mpi` group columns. Used by the cross-window counter family
+  * (rollup.go prevValue semantics).
+  */
+final case class OverArrayPrev(post: Column => Column) extends Kernel
+
 /** Two-level decomposition for window ≫ step rollups
   * ([[Rollup.rollupTwoLevel]]): `partials` are (name, perBucketAgg,
   * windowMergeAgg) — the per-step-bucket partial aggregation and the
@@ -237,9 +245,95 @@ object Kernels {
 
   // ---- order-sensitive kernels (array form) -------------------------------
 
+  // ======================================================================
+  // Cross-window prevValue family ([[OverArrayPrev]]): the engine-path
+  // forms of delta/increase/rate that seed from the sample BEFORE the
+  // lookback window, exactly like the reference (rollup.go:770-805 window
+  // loop prevValue/realPrevValue; rollup.go rollupDelta/rollupDerivFast;
+  // removeCounterResets rollup.go:921-958). The rollup executor's prev
+  // pass supplies per-row fields pv/pts/nv (previous/next raw sample) and
+  // cv/cpv/cnv (reset-corrected series values), plus group columns `_win`
+  // (effective window ms) and `_mpi` (maxPrevInterval from the per-series
+  // scrape-interval estimate).
+  // ======================================================================
+
+  private def firstE(arr: Column) = element_at(arr, 1)
+  private def lastE(arr: Column) = element_at(arr, -1)
+
+  /** rollup.go rollupDelta: prevValue (within maxPrevInterval) →
+    * realPrevValue (within lookbackDelta of the first sample) → zero-seed
+    * heuristic → skip-first fallback.
+    */
+  private def deltaChain(arr: Column, fv: String, fpv: String, fnv: String,
+      lookbackMs: Long): Column = {
+    val f = firstE(arr)
+    val l = lastE(arr)
+    val pv = f.getField(fpv)
+    val pts = f.getField("pts")
+    val tStart = col("t") - col("_win")
+    val prevOk = pts.isNotNull && pts > tStart - col("_mpi")
+    val realOk = pts.isNotNull &&
+      (lit(lookbackMs) === 0 || (f.getField("ts") - pts) < lit(lookbackMs))
+    val v0 = f.getField(fv)
+    val vl = l.getField(fv)
+    val n = size(arr)
+    // d = values[1]-values[0], or realNextValue-values[0] for singletons
+    val d01 = when(n > 1, element_at(arr, 2).getField(fv) - v0)
+      .otherwise(coalesce(l.getField(fnv) - v0, lit(0.0)))
+    when(prevOk || realOk, vl - pv)
+      .when(abs(v0) < (abs(d01) + 1) * 10, vl) // assume counter started at 0
+      .when(n > 1, vl - v0) // big first value: treat it as the seed
+      .otherwise(0.0)
+  }
+
+  /** engine-path delta — rollup.go:39 rollupDelta over raw values */
+  def deltaPrev(lookbackMs: Long): Kernel =
+    OverArrayPrev(arr => deltaChain(arr, "v", "pv", "nv", lookbackMs))
+
+  /** engine-path increase — rollupDelta over reset-corrected values
+    * (rollup.go:54 + rollupFuncsRemoveCounterResets)
+    */
+  def increasePrev(lookbackMs: Long): Kernel =
+    OverArrayPrev(arr => deltaChain(arr, "cv", "cpv", "cnv", lookbackMs))
+
+  /** increase_pure — prev = realPrevValue else 0, no heuristics
+    * (rollup.go rollupIncreasePure, over reset-corrected values)
+    */
+  def increasePurePrev(lookbackMs: Long): Kernel = OverArrayPrev { arr =>
+    val f = firstE(arr)
+    val l = lastE(arr)
+    val pv = f.getField("cpv")
+    val pts = f.getField("pts")
+    val tStart = col("t") - col("_win")
+    val prevOk = pts.isNotNull && pts > tStart - col("_mpi")
+    val realOk = pts.isNotNull &&
+      (lit(lookbackMs) === 0 || (f.getField("ts") - pts) < lit(lookbackMs))
+    when(prevOk || realOk, l.getField("cv") - pv)
+      .otherwise(l.getField("cv")) // counter starts from 0
+  }
+
+  /** engine-path rate — rollupDerivFast over reset-corrected values
+    * (rollup.go:74): dv/dt from the prev sample (or the window's first
+    * when no prev), NOT increase/window.
+    */
+  val ratePrev: Kernel = OverArrayPrev { arr =>
+    val f = firstE(arr)
+    val l = lastE(arr)
+    val pv = f.getField("cpv")
+    val pts = f.getField("pts")
+    val tStart = col("t") - col("_win")
+    val prevOk = pts.isNotNull && pts > tStart - col("_mpi")
+    val vl = l.getField("cv")
+    val tl = l.getField("ts")
+    when(prevOk, (vl - pv) / ((tl - pts).cast(D) / 1000.0))
+      .when(size(arr) >= 2,
+        (vl - f.getField("cv")) / ((tl - f.getField("ts")).cast(D) / 1000.0))
+    // single sample without prev: nan (rollup.go rollupDerivFast comment)
+  }
+
   /** last - first inside the window (windowed form of rollup.go:1859
-    * rollupDelta; the reference's cross-window prevValue handling is a
-    * documented deviation — gap semantics live in the bucketizer).
+    * rollupDelta, == delta_prometheus rollup.go:1924; the operator-level
+    * gates keep this form — the engine path uses [[deltaPrev]]).
     */
   val delta: Kernel = OverArray { arr =>
     element_at(arr, -1).getField("v") - element_at(arr, 1).getField("v")

@@ -34,7 +34,9 @@ object Rollup {
       keys: Seq[String],
       grid: GridSpec,
       windowMs: Long,
-      kernels: Seq[(String, Kernel)]): DataFrame = {
+      kernels: Seq[(String, Kernel)],
+      lookbackMs: Long = 0L,
+      autoAdjustWindow: Boolean = false): DataFrame = {
     val decomposed = kernels.map {
       case (n, Algebraic(_, Some(tl))) => Some(n -> tl)
       case _ => None
@@ -47,25 +49,97 @@ object Rollup {
     // ratio×samples, dense cost ~ series×gridPoints — ratio ≥ 8 is the
     // conservative switch point.
     val ratio = windowMs / grid.stepMs
-    if (ratio >= 8 && windowMs % grid.stepMs == 0 && decomposed.forall(_.isDefined))
+    if (!autoAdjustWindow && ratio >= 8 && windowMs % grid.stepMs == 0 &&
+        decomposed.forall(_.isDefined))
       return rollupTwoLevel(samples, keys, grid, windowMs, decomposed.flatten)
-    val b = Grid.bucketize(samples, grid, windowMs)
-    val needArr = kernels.exists(_._2.isInstanceOf[OverArray])
-    val arrExpr =
-      array_sort(collect_list(struct(col("ts").as("ts"), col("value").as("v")))).as("_arr")
+
+    val needPrev = autoAdjustWindow || kernels.exists(_._2.isInstanceOf[OverArrayPrev])
+    val src = if (needPrev) prevPass(samples, keys, grid, windowMs, lookbackMs, autoAdjustWindow)
+              else samples
+    val b =
+      if (needPrev) Grid.bucketizeCol(src, grid, col("_win"))
+      else Grid.bucketize(src, grid, windowMs)
+    val needArr = kernels.exists(k =>
+      k._2.isInstanceOf[OverArray] || k._2.isInstanceOf[OverArrayPrev])
+    val arrStruct =
+      if (needPrev)
+        struct(col("ts").as("ts"), col("value").as("v"),
+          col("_pv").as("pv"), col("_pts").as("pts"), col("_nv").as("nv"),
+          col("_cv").as("cv"), col("_cpv").as("cpv"), col("_cnv").as("cnv"))
+      else struct(col("ts").as("ts"), col("value").as("v"))
+    val arrExpr = array_sort(collect_list(arrStruct)).as("_arr")
     val aggExprs: Seq[Column] =
       kernels.collect { case (n, Algebraic(e, _)) => e.as(n) } ++
-        (if (needArr) Seq(arrExpr) else Nil)
+        (if (needArr) Seq(arrExpr) else Nil) ++
+        (if (needPrev) Seq(max(col("_win")).as("_win"), max(col("_mpi")).as("_mpi")) else Nil)
     var out = b
       .groupBy((keys.map(col) :+ col("t")): _*)
       .agg(aggExprs.head, aggExprs.tail: _*)
     kernels.foreach {
       case (n, OverArray(f)) => out = out.withColumn(n, f(col("_arr")))
+      case (n, OverArrayPrev(f)) => out = out.withColumn(n, f(col("_arr")))
       case _                 =>
     }
-    if (needArr) out = out.drop("_arr")
     // stable column order: keys, t, kernels
     out.select((keys.map(col) :+ col("t")) ++ kernels.map(k => col(k._1)): _*)
+  }
+
+  /** Per-series prev pass for the cross-window counter family and window
+    * auto-adjustment (rollup.go:770-805 prevValue, :871-919 scrape-interval
+    * estimation, :921-958 removeCounterResets, :738-756 window adjust):
+    *
+    *  - `_pv`/`_pts`/`_nv`: previous/next raw sample of the series
+    *  - `_cv`/`_cpv`/`_cnv`: reset-corrected counter values (cumulative
+    *    correction; partial resets use the reference's 8× heuristic)
+    *  - `_si`: per-series scrape interval — 0.6-quantile of ALL in-range
+    *    sample gaps (deviation: reference uses the last 20)
+    *  - `_mpi`: maxPrevInterval = jitter-inflated `_si`, capped at the
+    *    staleness lookback
+    *  - `_win`: effective window — the explicit one, or (auto-adjust)
+    *    max(step, _mpi) so `rate(m)` without `[d]` still spans two samples
+    *
+    * One extra shuffle (by series) over the raw samples — inherent to
+    * cross-window semantics; order-sensitive kernels pay a per-group sort
+    * anyway.
+    */
+  private def prevPass(
+      samples: DataFrame,
+      keys: Seq[String],
+      grid: GridSpec,
+      windowMs: Long,
+      lookbackMs: Long,
+      autoAdjust: Boolean): DataFrame = {
+    val sw = Window.partitionBy(keys.map(col): _*).orderBy(col("ts"), col("value"))
+    val sp = Window.partitionBy(keys.map(col): _*)
+    val cum = sw.rowsBetween(Window.unboundedPreceding, 0)
+    val pre = samples
+      .withColumn("_pv", lag(col("value"), 1).over(sw))
+      .withColumn("_pts", lag(col("ts"), 1).over(sw))
+      .withColumn("_nv", lead(col("value"), 1).over(sw))
+      .withColumn("_corrStep",
+        when(col("_pv").isNotNull && col("value") < col("_pv"),
+          when((col("_pv") - col("value")) * 8 < col("_pv"), col("_pv") - col("value"))
+            .otherwise(col("_pv")))
+          .otherwise(lit(0.0)))
+      .withColumn("_cv", col("value") + sum(col("_corrStep")).over(cum))
+      .drop("_corrStep")
+    val withC = pre
+      .withColumn("_cpv", lag(col("_cv"), 1).over(sw))
+      .withColumn("_cnv", lead(col("_cv"), 1).over(sw))
+      .withColumn("_si",
+        coalesce(percentile(col("ts") - col("_pts"), lit(0.6)).over(sp),
+          lit(grid.stepMs.toDouble)))
+    val si = col("_si")
+    val mpiRaw =
+      when(si <= 2000, si * 5).when(si <= 4000, si * 3).when(si <= 8000, si * 2)
+        .when(si <= 16000, si * 1.5).when(si <= 32000, si * 1.25)
+        .otherwise(si * 1.125)
+    val mpi = if (lookbackMs > 0) least(mpiRaw, lit(lookbackMs.toDouble)) else mpiRaw
+    val adjusted = withC.withColumn("_mpi", mpi.cast("long"))
+    val win =
+      if (autoAdjust) greatest(lit(grid.stepMs), col("_mpi"))
+      else lit(windowMs)
+    adjusted.withColumn("_win", win)
   }
 
   /** Two-level rollup for window ≫ step over mergeable kernels:
@@ -131,8 +205,11 @@ object Rollup {
       grid: GridSpec,
       windowMs: Long,
       kernel: Kernel,
-      out: String = "value"): DataFrame =
-    rollupMulti(samples, keys, grid, windowMs, Seq(out -> kernel))
+      out: String = "value",
+      lookbackMs: Long = 0L,
+      autoAdjustWindow: Boolean = false): DataFrame =
+    rollupMulti(samples, keys, grid, windowMs, Seq(out -> kernel),
+      lookbackMs, autoAdjustWindow)
 
   /** rollup_candlestick — open/close/low/high fanned out as a `rollup` tag
     * (rollup.go:374-516 getRollupConfigs fan-out; candlestick semantics

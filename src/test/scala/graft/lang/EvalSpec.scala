@@ -63,15 +63,39 @@ class EvalSpec extends SparkSpec {
     assert(s(("|a", 2 * M)) == 3.0) // samples at 1,2 in (0,2m]; name dropped
   }
 
-  test("rate/increase with counter reset") {
-    // window 5m at t=10m for inst=b covers samples 15,25,35,45 plus prev…
-    // increase over (5m,10m]: samples b(6..10)=5,15,25,35,45 → +40
+  test("rate/increase with counter reset seed from the pre-window sample") {
+    // inst=b raw: 10,20,30,40,50,5,15,25,35,45 at i*1m-30s; the i=6 reset
+    // (50→5) is a full reset (45·8 ≥ 50) → corrected: 10..50,55,65,75,85,95.
+    // Scrape interval 60s → maxPrevInterval 67.5s, so the sample 30s before
+    // each window start always seeds (rollup.go prevValue semantics).
     val r = run("increase(m[5m])")
-    assert(r(("|b", 10 * M)) == 40.0)
-    // reset window (1m..6m]: 20,30,40,50,5 → 10+10+10+5 = 35
-    assert(r(("|b", 6 * M)) == 35.0)
+    // window (5m,10m]: corrected last 95, prev (t=4.5m) corrected 50 → 45
+    assert(r(("|b", 10 * M)) == 45.0)
+    // window (1m,6m]: corrected last 55, prev (t=0.5m) corrected 10 → 45
+    assert(r(("|b", 6 * M)) == 45.0)
+    // rate = dv/dt over actual sample timestamps (rollupDerivFast), not
+    // increase/window: (95-50)/(9.5m-4.5m)
     val rate = run("rate(m[5m])")
-    assert(math.abs(rate(("|b", 10 * M)) - 40.0 / 300.0) < 1e-12)
+    assert(math.abs(rate(("|b", 10 * M)) - 45.0 / 300.0) < 1e-12)
+  }
+
+  test("delta chain: zero-seed for small first values, skip-first for large") {
+    val s = spark
+    import s.implicits._
+    // series c starts small (3) with next value 5 → |3| < 10·(|2|+1):
+    // assume counter started at 0 → delta = last value.
+    // series d starts huge (1e6) vs step 1 → seed from the first sample.
+    val rows = Seq(
+      ("c", Map("i" -> "1"), 4 * M + 30000, 3.0),
+      ("c", Map("i" -> "1"), 5 * M - 20000, 5.0),
+      ("d", Map("i" -> "1"), 4 * M + 30000, 1e6),
+      ("d", Map("i" -> "1"), 5 * M - 20000, 1e6 + 1))
+    val df = rows.toDF("name", "tags", "ts", "value")
+    val g = GridSpec(5 * M, 5 * M, M)
+    val c = Engine.query(df, "delta(c[5m])", g).collect()
+    val d = Engine.query(df, "delta(d[5m])", g).collect()
+    assert(c.length == 1 && c.head.getDouble(3) == 5.0) // zero-seeded
+    assert(d.length == 1 && d.head.getDouble(3) == 1.0) // skip-first
   }
 
   test("offset shifts the window") {
