@@ -1221,6 +1221,22 @@ object SparkEntry {
       s"WHEN n > 1 THEN $vl - $v0 ELSE 0 END"
   }
 
+  /** stream-aggregation rate_sum/rate_avg oracle (lib/streamaggr/rate.go):
+    * per-series per-interval increase over the prev-interval gap, then
+    * sum/avg across contributing series per metric name.
+    */
+  private def rateBatchSql(suffix: String, agg: String): String =
+    "WITH b AS (SELECT event_type AS nm, user_id, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
+      "d AS (SELECT nm, user_id, tms, value, " +
+      "lag(value) OVER (PARTITION BY nm, user_id ORDER BY tms, value) AS pv FROM b), " +
+      s"i AS (SELECT nm, user_id, (tms // $D) * $D + $D AS t, " +
+      "sum(CASE WHEN pv IS NULL THEN 0 WHEN value >= pv THEN value - pv ELSE value END) AS inc, " +
+      "max(tms) AS lastts, min(tms) AS firstts FROM d GROUP BY nm, user_id, t), " +
+      "p AS (SELECT *, coalesce(lag(lastts) OVER (PARTITION BY nm, user_id ORDER BY t), firstts) AS pts FROM i), " +
+      "r AS (SELECT nm, t, CASE WHEN pts < lastts THEN inc / ((lastts - pts) / 1000.0) END AS sr FROM p) " +
+      s"SELECT nm || ':24h_$suffix' AS name, t, round(1e-9 + $agg, 6) AS value " +
+      "FROM r WHERE sr IS NOT NULL GROUP BY nm, t ORDER BY name, t"
+
   /** rollupDerivFast over corrected values (= VM `rate`): dv/dt from the
     * prev sample, else from the window's first; single orphan sample → NULL.
     */
@@ -1548,6 +1564,52 @@ object SparkEntry {
         "round(1e-9 + sum(winc) OVER (PARTITION BY nm, user_id ORDER BY t " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value " +
         "FROM i ORDER BY name, user_id, t"
+    }),
+    Q("st_increase", (s, dir) => {
+      val cfg = graft.streaming.StreamAggr.Config(D, by = Seq("user_id"))
+      graft.streaming.StreamAggr.increaseBatch(Samples.fromEvents(s, dir), cfg)
+        .select(col("name"), col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t")
+    }, Some {
+      val bkt = s"(tms // $D) * $D + $D"
+      "WITH b AS (SELECT event_type AS nm, user_id, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
+        "d AS (SELECT nm, user_id, tms, value, " +
+        "lag(value) OVER (PARTITION BY nm, user_id ORDER BY tms, value) AS pv FROM b) " +
+        s"SELECT nm || ':24h_by_user_id_increase' AS name, user_id::BIGINT AS user_id, $bkt AS t, " +
+        "round(1e-9 + sum(CASE WHEN pv IS NULL THEN 0 WHEN value >= pv THEN value - pv ELSE value END), 6) AS value " +
+        "FROM d GROUP BY nm, user_id, t ORDER BY name, user_id, t"
+    }),
+    // rate_sum/rate_avg with by=() — one output series per metric name,
+    // aggregating per-series rates across ALL user series (rate.go flush)
+    Q("st_rate_sum", (s, dir) => {
+      val cfg = graft.streaming.StreamAggr.Config(D)
+      graft.streaming.StreamAggr.rateBatch(Samples.fromEvents(s, dir), cfg)
+        .select(col("name"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "t")
+    }, Some(rateBatchSql("rate_sum", "sum(sr)"))),
+    Q("st_rate_avg", (s, dir) => {
+      val cfg = graft.streaming.StreamAggr.Config(D)
+      graft.streaming.StreamAggr.rateBatch(Samples.fromEvents(s, dir), cfg, isAvg = true)
+        .select(col("name"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "t")
+    }, Some(rateBatchSql("rate_avg", "avg(sr)"))),
+    Q("st_histogram_bucket", (s, dir) => {
+      val cfg = graft.streaming.StreamAggr.Config(6 * H, by = Seq("user_id"))
+      graft.streaming.StreamAggr.histogramBucketBatch(Samples.fromEvents(s, dir), cfg)
+        .select(col("name"), col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("vmrange"), col("t"), col("value"))
+        .orderBy("name", "user_id", "vmrange", "t")
+    }, Some {
+      val bkt = s"(epoch_ms(ts::TIMESTAMP) // ${6 * H}) * ${6 * H} + ${6 * H}"
+      s"WITH k AS (SELECT event_type AS nm, user_id, $bkt AS t, " +
+        "floor(log10(value) * 18)::BIGINT AS vmrange FROM events), " +
+        "c AS (SELECT nm, user_id, vmrange, t, count(*)::DOUBLE AS c FROM k " +
+        "WHERE vmrange IS NOT NULL GROUP BY nm, user_id, vmrange, t) " +
+        "SELECT nm || ':6h_by_user_id_histogram_bucket' AS name, user_id::BIGINT AS user_id, " +
+        "vmrange, t, sum(c) OVER (PARTITION BY nm, user_id, vmrange ORDER BY t " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value " +
+        "FROM c ORDER BY name, user_id, vmrange, t"
     }),
     Q("rl_relabel", (s, dir) => {
       import graft.sources.Relabel

@@ -174,38 +174,197 @@ object StreamAggr {
   }
 
   // ------------------------------------------------------------------
-  // stateful counter outputs (total / increase) — lib/streamaggr/total.go
+  // stateful counter outputs — lib/streamaggr/{total,rate}.go
   // ------------------------------------------------------------------
 
   final case class SeriesSample(sk: String, ts: Long, value: Double)
-  final case class TotalState(lastValue: Double, total: Double)
+  final case class TotalState(lastValue: Double, total: Double, lastTs: Long)
   final case class TotalOut(sk: String, total: Double)
+  final case class RateState(lastValue: Double, prevTs: Long, lastTs: Long)
+  final case class RateOut(sk: String, rate: Double)
 
   /** per-series running `total`: counter increases accumulated across all
-    * samples ever seen, reset-aware (total.go keeps per-series last value;
-    * staleness expiry maps to state timeout — omitted here, the state is
-    * one (double, double) per series).
+    * samples ever seen, reset-aware (total.go keeps per-series last value).
+    * Staleness: a series silent longer than `stalenessMs` (event time)
+    * restarts from its next sample (total.go deleteDeadline), and idle
+    * state is evicted via processing-time timeout.
     */
+  /** timeout conf: idle-state eviction is OPT-IN — ProcessingTimeTimeout
+    * makes the engine schedule wall-clock timeout batches (fine for a
+    * long-running server, hostile to deterministic tests); the staleness
+    * RESET semantics below are purely event-time and work either way.
+    */
+  private def timeoutConf(evict: Boolean): GroupStateTimeout =
+    if (evict) GroupStateTimeout.ProcessingTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
+
   def statefulTotal(
-      stream: Dataset[SeriesSample]): Dataset[TotalOut] = {
+      stream: Dataset[SeriesSample],
+      stalenessMs: Long = 0L,
+      evictIdleState: Boolean = false): Dataset[TotalOut] = {
     import stream.sparkSession.implicits._
+    val evict = evictIdleState && stalenessMs > 0
     stream
       .groupByKey(_.sk)
       .flatMapGroupsWithState[TotalState, TotalOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf(evict)) {
         case (sk, rows, state: GroupState[TotalState]) =>
-          val sorted = rows.toSeq.sortBy(r => (r.ts, r.value))
-          var st = state.getOption.getOrElse(TotalState(Double.NaN, 0.0))
-          sorted.foreach { r =>
-            val inc =
-              if (st.lastValue.isNaN) 0.0 // first sample initializes
-              else if (r.value >= st.lastValue) r.value - st.lastValue
-              else r.value // counter reset: new raw value is the increase
-            st = TotalState(r.value, st.total + inc)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts, r.value))
+            var st = state.getOption.getOrElse(TotalState(Double.NaN, 0.0, 0L))
+            sorted.foreach { r =>
+              val stale = stalenessMs > 0 && st.lastTs > 0 && r.ts - st.lastTs > stalenessMs
+              val inc =
+                if (st.lastValue.isNaN || stale) 0.0 // (re)initialize
+                else if (r.value >= st.lastValue) r.value - st.lastValue
+                else r.value // counter reset: new raw value is the increase
+              st = TotalState(r.value, st.total + inc, r.ts)
+            }
+            state.update(st)
+            if (evict) state.setTimeoutDuration(stalenessMs)
+            Iterator.single(TotalOut(sk, st.total))
           }
-          state.update(st)
-          Iterator.single(TotalOut(sk, st.total))
       }
+  }
+
+  /** per-series streaming `rate`: per-trigger increase divided by the time
+    * since the previous trigger's last sample (rate.go pushSample/flush:
+    * prevTimestamp carries across intervals; series silent beyond the
+    * staleness interval restart). Aggregate the outputs with sum/avg per
+    * output group for rate_sum / rate_avg.
+    */
+  def statefulRate(
+      stream: Dataset[SeriesSample],
+      stalenessMs: Long = 0L,
+      evictIdleState: Boolean = false): Dataset[RateOut] = {
+    import stream.sparkSession.implicits._
+    val evict = evictIdleState && stalenessMs > 0
+    stream
+      .groupByKey(_.sk)
+      .flatMapGroupsWithState[RateState, RateOut](
+        OutputMode.Update(), timeoutConf(evict)) {
+        case (sk, rows, state: GroupState[RateState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r.ts, r.value))
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              var st = state.getOption.getOrElse(
+                RateState(Double.NaN, sorted.head.ts, 0L))
+              var increase = 0.0
+              sorted.foreach { r =>
+                val stale = stalenessMs > 0 && st.lastTs > 0 && r.ts - st.lastTs > stalenessMs
+                if (st.lastValue.isNaN || stale) // (re)start from this sample
+                  st = RateState(r.value, r.ts, r.ts)
+                else {
+                  increase +=
+                    (if (r.value >= st.lastValue) r.value - st.lastValue else r.value)
+                  st = RateState(r.value, st.prevTs, r.ts)
+                }
+              }
+              val dSec = (st.lastTs - st.prevTs) / 1000.0
+              state.update(RateState(st.lastValue, st.lastTs, st.lastTs))
+              if (evict) state.setTimeoutDuration(stalenessMs)
+              if (dSec > 0) Iterator.single(RateOut(sk, increase / dSec))
+              else Iterator.empty
+            }
+          }
+      }
+  }
+
+  /** batch `increase`: per-interval group increase — `total` without the
+    * running accumulation (streamaggr.go:184-206 resetTotalOnFlush).
+    */
+  def increaseBatch(samples: DataFrame, cfg: Config): DataFrame =
+    counterWindows(samples, cfg)
+      .groupBy(col("name"), col("_gt"), col("t"))
+      .agg(sum(col("_winc")).as("value"))
+      .select(
+        outName(cfg, "increase").as("name"),
+        map_from_entries(from_json(col("_gt"),
+          lit("array<struct<key:string,value:string>>"))).as("tags"),
+        col("t"), col("value"))
+
+  /** batch `rate_sum` / `rate_avg` (lib/streamaggr/rate.go): per series and
+    * interval, increase (cross-boundary, reset-aware) divided by the time
+    * since the previous non-empty interval's last sample; summed (or
+    * averaged over contributing series) per output group.
+    */
+  def rateBatch(samples: DataFrame, cfg: Config, isAvg: Boolean = false): DataFrame = {
+    val perSeries = counterWindows(samples, cfg)
+      .groupBy(col("name"), col("_gt"), col("_sk"), col("t"))
+      .agg(sum(col("_winc")).as("_inc"), max(col("ts")).as("_lastts"),
+        org.apache.spark.sql.functions.min(col("ts")).as("_firstts"))
+    val wPrev = Window.partitionBy(col("name"), col("_gt"), col("_sk")).orderBy(col("t"))
+    val withRate = perSeries
+      .withColumn("_pts", coalesce(lag(col("_lastts"), 1).over(wPrev), col("_firstts")))
+      .withColumn("_sr",
+        when(col("_pts") < col("_lastts"),
+          col("_inc") / ((col("_lastts") - col("_pts")) / 1000.0)))
+    val suffix = if (isAvg) "rate_avg" else "rate_sum"
+    val agg = if (isAvg) avg(col("_sr")) else sum(col("_sr"))
+    withRate
+      .groupBy(col("name"), col("_gt"), col("t"))
+      .agg(agg.as("value"))
+      .filter(col("value").isNotNull)
+      .select(
+        outName(cfg, suffix).as("name"),
+        map_from_entries(from_json(col("_gt"),
+          lit("array<struct<key:string,value:string>>"))).as("tags"),
+        col("t"), col("value"))
+  }
+
+  /** batch `histogram_bucket` (lib/streamaggr/histogram_bucket.go): VM
+    * log-bucketed counts per vmrange, CUMULATIVE across intervals (the
+    * reference merges each interval's histogram into a shared one and
+    * emits the shared totals).
+    */
+  def histogramBucketBatch(samples: DataFrame, cfg: Config): DataFrame = {
+    val i = cfg.intervalMs
+    val keyed = dedupBatch(samples
+      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
+        to_json(array_sort(map_entries(col("tags")))))), cfg)
+      .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
+      .withColumn("t", expr(s"(ts div ${i}L) * ${i}L + ${i}L"))
+      .withColumn("vmrange", floor(log10(col("value")) * 18))
+      .filter(col("vmrange").isNotNull)
+    val perInterval = keyed
+      .groupBy(col("name"), col("_gt"), col("vmrange"), col("t"))
+      .agg(count(lit(1)).cast(DoubleType).as("_c"))
+    val cum = Window.partitionBy(col("name"), col("_gt"), col("vmrange"))
+      .orderBy(col("t")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perInterval
+      .withColumn("value", sum(col("_c")).over(cum))
+      .select(
+        outName(cfg, "histogram_bucket").as("name"),
+        map_from_entries(from_json(col("_gt"),
+          lit("array<struct<key:string,value:string>>"))).as("tags"),
+        col("vmrange"), col("t"), col("value"))
+  }
+
+  /** shared prefix of the batch counter outputs: per-series adjacent
+    * increases over the FULL sample stream (cross-boundary, reset-aware),
+    * bucketed into the end-exclusive window of the later sample.
+    */
+  private def counterWindows(samples: DataFrame, cfg: Config): DataFrame = {
+    val i = cfg.intervalMs
+    val keyed = dedupBatch(samples
+      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
+        to_json(array_sort(map_entries(col("tags")))))), cfg)
+      .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
+    val w = Window.partitionBy(col("_sk")).orderBy(col("ts"), col("value"))
+    keyed
+      .withColumn("_pv", lag(col("value"), 1).over(w))
+      .withColumn("_winc",
+        when(col("_pv").isNull, 0.0)
+          .when(col("value") >= col("_pv"), col("value") - col("_pv"))
+          .otherwise(col("value")))
+      .withColumn("t", expr(s"(ts div ${i}L) * ${i}L + ${i}L"))
   }
 
   /** batch equivalent of `total`: per-series per-window increase
@@ -213,25 +372,9 @@ object StreamAggr {
     * across the group's series, then accumulated over windows.
     */
   def totalBatch(samples: DataFrame, cfg: Config): DataFrame = {
-    val i = cfg.intervalMs
-    val keyed = dedupBatch(samples
-      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
-        to_json(array_sort(map_entries(col("tags")))))), cfg)
-      .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
-    // per-series adjacent increase over the FULL sample stream, then
-    // bucket each increase into the window of its later sample — identical
-    // to maintaining lastValue state across windows
-    val w = Window.partitionBy(col("_sk")).orderBy(col("ts"), col("value"))
-    val withInc = keyed
-      .withColumn("_pv", lag(col("value"), 1).over(w))
-      .withColumn("_inc",
-        when(col("_pv").isNull, 0.0)
-          .when(col("value") >= col("_pv"), col("value") - col("_pv"))
-          .otherwise(col("value")))
-      .withColumn("t", expr(s"(ts div ${i}L) * ${i}L + ${i}L"))
-    val perWindow = withInc
+    val perWindow = counterWindows(samples, cfg)
       .groupBy(col("name"), col("_gt"), col("t"))
-      .agg(sum(col("_inc")).as("_winc"))
+      .agg(sum(col("_winc")).as("_winc"))
     val cum = Window.partitionBy(col("name"), col("_gt")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     perWindow

@@ -121,6 +121,49 @@ class StreamAggrSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stateful rate: per-trigger increase over the prev-trigger gap") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[StreamAggr.SeriesSample]
+    val out = StreamAggr.statefulRate(mem.toDS())
+    val query = out.writeStream.format("memory").queryName("rate_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(StreamAggr.SeriesSample("c", 1000L, 10.0),
+        StreamAggr.SeriesSample("c", 2000L, 25.0)) // +15 over 1s
+      query.processAllAvailable()
+      mem.addData(StreamAggr.SeriesSample("c", 3000L, 5.0)) // reset: +5 over 1s
+      query.processAllAvailable()
+      val rates = spark.table("rate_out").collect().map(_.getDouble(1)).toSet
+      assert(rates == Set(15.0, 5.0))
+    } finally query.stop()
+  }
+
+  test("stateful total: staleness gap restarts the series (event-time)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[StreamAggr.SeriesSample]
+    val out = StreamAggr.statefulTotal(mem.toDS(), stalenessMs = 1000L)
+    val query = out.writeStream.format("memory").queryName("total_stale_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(StreamAggr.SeriesSample("c", 1000L, 10.0),
+        StreamAggr.SeriesSample("c", 1500L, 20.0)) // +10
+      query.processAllAvailable()
+      // 3.5s silence > 1s staleness: the 100 restarts the series (no +80),
+      // then +5 accumulates on top of the previous total
+      mem.addData(StreamAggr.SeriesSample("c", 5000L, 100.0),
+        StreamAggr.SeriesSample("c", 5200L, 105.0))
+      query.processAllAvailable()
+      val totals = spark.table("total_stale_out").collect().map(_.getDouble(1))
+      assert(totals.contains(10.0))
+      assert(totals.contains(15.0))
+      assert(!totals.contains(95.0)) // the stale gap must not count
+    } finally query.stop()
+  }
+
   test("stateful total carries counter state across micro-batches") {
     val s = spark
     import s.implicits._
