@@ -1003,9 +1003,25 @@ object Eval {
             case _ => (l, r, true)
           }
           val extra = b.joinModifier.map(_.labels).getOrElse(Nil)
-          val oneSide = one.select(
-            col("_mk"), col("t"), col("value").as("_ov"),
-            map_filter(col("tags"), (k, _) => k.isInCollection(extra)).as("_otags"))
+          // 1:1 cardinality guard (binary_op.go:395 ensureSingleTimeseries):
+          // the "one" side must hold a single sample per (match key, t) —
+          // the reference first merges series that never overlap in time,
+          // which a per-(mk, t) count reproduces exactly. A second series
+          // at the same point raises instead of silently multiplying rows.
+          val sideName = if (leftIsMany) "right" else "left"
+          val oneSide = one
+            .groupBy(col("_mk"), col("t"))
+            .agg(
+              first(col("value")).as("_ov0"),
+              first(map_filter(col("tags"), (k, _) => k.isInCollection(extra))).as("_otags"),
+              count(lit(1)).as("_on"))
+            .withColumn("_ov",
+              when(col("_on") > 1, raise_error(concat(
+                lit(s"duplicate time series on the $sideName side of `${b.op}`: "),
+                lit("multiple series share match key "), col("_mk"),
+                lit(" at the same timestamp"))))
+                .otherwise(col("_ov0")))
+            .drop("_ov0", "_on")
           val joined = many
             .withColumnRenamed("value", "_mv")
             .join(oneSide, Seq("_mk", "t"))

@@ -402,6 +402,19 @@ class EvalSpec extends SparkSpec {
     assert(lk.length == 1)
   }
 
+  test("1:1 vector match with duplicate match keys errors like the reference") {
+    // on() erases all labels: both m series collapse onto one match key at
+    // every t, so the right ("one") side holds two samples per (mk, t) —
+    // the reference errors (binary_op.go:395) instead of multiplying rows
+    val ex = intercept[Exception] {
+      run("avg_over_time(m[1m]) * on() avg_over_time(m[1m])")
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("duplicate time series")),
+      s"expected duplicate-series error, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("O3 pushdown must not over-filter nested binops with on() modifiers") {
     val s = spark
     import s.implicits._
