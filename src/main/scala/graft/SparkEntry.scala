@@ -1525,6 +1525,24 @@ object SparkEntry {
         r6(sum("value")).as("sum_v")).orderBy("name")
     }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v " +
       "FROM events GROUP BY name ORDER BY name")),
+    Q("src_remotewrite_roundtrip", (s, dir) => {
+      val samples = Samples.fromEvents(s, dir)
+      val back = graft.sources.ProtoFormats.remoteWrite(
+        graft.sources.ProtoFormats.exportRemoteWrite(samples))
+      back.groupBy("name").agg(
+        count(lit(1)).as("n"),
+        r6(sum("value")).as("sum_v")).orderBy("name")
+    }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v " +
+      "FROM events GROUP BY name ORDER BY name")),
+    Q("src_otlp_roundtrip", (s, dir) => {
+      val samples = Samples.fromEvents(s, dir)
+      val back = graft.sources.ProtoFormats.otlp(
+        graft.sources.ProtoFormats.exportOtlp(samples))
+      back.groupBy("name").agg(
+        count(lit(1)).as("n"),
+        r6(sum("value")).as("sum_v")).orderBy("name")
+    }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v " +
+      "FROM events GROUP BY name ORDER BY name")),
     Q("st_aggregate", (s, dir) => {
       val cfg = graft.streaming.StreamAggr.Config(
         6 * H, by = Seq("user_id"),
@@ -1626,7 +1644,36 @@ object SparkEntry {
     }, Some("SELECT event_type AS name, 'u' || user_id::VARCHAR AS host, user_id::BIGINT AS uid, " +
       "count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v FROM events " +
       "WHERE event_type IN ('click', 'view') " +
-      "GROUP BY name, host, uid ORDER BY name, host")))
+      "GROUP BY name, host, uid ORDER BY name, host")),
+    // round-3 actions: keep_if_contains / keepequal / dropequal / graphite
+    // — pipeline keeps click users whose id contains '5' and whose first
+    // digit equals the last, then graphite-extracts a label from the name
+    Q("rl_relabel2", (s, dir) => {
+      import graft.sources.Relabel
+      val out = Relabel.apply(Samples.fromEvents(s, dir), Seq(
+        Relabel.Rule("replace", sourceLabels = Seq("user_id"),
+          targetLabel = "host", regex = "(.*)", replacement = "u$1"),
+        Relabel.Rule("replace", sourceLabels = Seq("user_id"),
+          targetLabel = "c", regex = ".*", replacement = "5"),
+        Relabel.Rule("keep_if_contains", sourceLabels = Seq("c"), targetLabel = "host"),
+        Relabel.Rule("replace", sourceLabels = Seq("user_id"),
+          targetLabel = "d", regex = "(.*)(\\d)", replacement = "$2"),
+        Relabel.Rule("replace", sourceLabels = Seq("user_id"),
+          targetLabel = "f", regex = "(\\d).*", replacement = "$1"),
+        Relabel.Rule("keepequal", sourceLabels = Seq("d"), targetLabel = "f"),
+        Relabel.Rule("graphite", matchTemplate = "cl*", labels = Map("g" -> "x$1")),
+        Relabel.Rule("dropequal", sourceLabels = Seq("g"), targetLabel = "zz")))
+      out.groupBy(col("name"), col("tags").getItem("host").as("host"),
+          col("tags").getItem("g").as("g"),
+          col("tags").getItem("user_id").cast("bigint").as("uid"))
+        .agg(count(lit(1)).as("n"), r6(sum("value")).as("sum_v"))
+        .orderBy("uid")
+    }, Some("WITH u AS (SELECT event_type AS name, user_id, user_id::VARCHAR AS us, value " +
+      "FROM events WHERE event_type = 'click') " +
+      "SELECT name, 'u' || us AS host, 'xick' AS g, user_id::BIGINT AS uid, " +
+      "count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v FROM u " +
+      "WHERE position('5' IN us) > 0 AND substr(us, 1, 1) = substr(us, length(us), 1) " +
+      "GROUP BY name, host, g, uid ORDER BY uid")))
 
   // =====================================================================
   private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ rollupQueries3 ++ transformQueries ++ aggrQueries ++ binopQueries ++ histoQueries ++ metaQueries ++ pipelineQueries ++ relationalQueries ++ evalQueries ++ sourcesQueries

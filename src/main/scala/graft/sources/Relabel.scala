@@ -10,7 +10,8 @@ import org.apache.spark.sql.functions._
   * `__name__` pseudo-label, exactly like the reference.
   *
   * Supported actions: replace, replace_all, keep, drop, keep_metrics,
-  * drop_metrics, keep_if_equal, drop_if_equal, hashmod, uppercase,
+  * drop_metrics, keep_if_equal, drop_if_equal, keep_if_contains,
+  * drop_if_contains, keepequal, dropequal, graphite, hashmod, uppercase,
   * lowercase, labelmap, labelmap_all, labeldrop, labelkeep.
   * (hashmod uses xxhash64 instead of the reference's md5 — documented
   * deviation; bucket distribution properties are equivalent.)
@@ -24,9 +25,22 @@ object Relabel {
       targetLabel: String = "",
       regex: String = "(.*)",
       replacement: String = "$1",
-      modulus: Long = 0)
+      modulus: Long = 0,
+      matchTemplate: String = "", // graphite: e.g. "foo.*.bar"
+      labels: Map[String, String] = Map.empty) // graphite: label -> "$1" template
 
   private def anchored(re: String): String = "^(?:" + re + ")$"
+
+  /** graphite match template → regex: literals escaped, `*` → a lazily
+    * matched dot-free capture (the reference's Match takes the FIRST
+    * position where the next literal part fits, graphite.go:80-128).
+    */
+  private def graphiteTemplateRegex(template: String): String =
+    template.map {
+      case '*' => "([^.]*?)"
+      case c if "\\^$()+?[]|{}.".contains(c) => "\\" + c
+      case c => c.toString
+    }.mkString
 
   /** apply a rule list; rows filtered by keep/drop rules are removed */
   def apply(df: DataFrame, rules: Seq[Rule]): DataFrame = {
@@ -72,6 +86,37 @@ object Relabel {
           .map(l => get(l) === get(r.sourceLabels.head))
           .reduceOption(_ && _).getOrElse(lit(true))
         df.filter(!eq)
+      case "keep_if_contains" =>
+        // keep if target_label's value CONTAINS every source label's value
+        // (relabel.go:518 containsAllLabelValues)
+        val ok = r.sourceLabels.map(l => get(r.targetLabel).contains(get(l)))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        df.filter(ok)
+      case "drop_if_contains" =>
+        val ok = r.sourceLabels.map(l => get(r.targetLabel).contains(get(l)))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        df.filter(!ok)
+      case "keepequal" =>
+        // keep if source_labels joined with separator EQUALS target_label
+        // (relabel.go:309)
+        df.filter(src === get(r.targetLabel))
+      case "dropequal" =>
+        df.filter(!(src === get(r.targetLabel)))
+      case "graphite" =>
+        // graphite template match on the metric name: `*` captures one
+        // dot-free segment; each labels entry is a "$N" replace template
+        // (lib/promrelabel/graphite.go Match/replace). Non-matching rows
+        // pass through unchanged.
+        val re = anchored(graphiteTemplateRegex(r.matchTemplate))
+        val nm = get("__name__")
+        val matches = nm.rlike(re)
+        val keys = r.labels.keys.toSeq
+        val newMaps = r.labels.toSeq.map { case (lbl, tmpl) =>
+          map(lit(lbl), regexp_replace(nm, re, tmpl))
+        }
+        val merged = (map_filter(m, (k, _) => !k.isInCollection(keys)) +: newMaps)
+          .reduce(map_concat(_, _))
+        df.withColumn("_m", when(matches, merged).otherwise(m))
       case "hashmod" =>
         df.withColumn("_m",
           setLabel(r.targetLabel, (pmod(xxhash64(src), lit(r.modulus))).cast("string")))

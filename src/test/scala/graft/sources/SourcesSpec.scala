@@ -6,6 +6,44 @@ import org.apache.spark.sql.functions._
 
 class SourcesSpec extends SparkSpec {
 
+  test("remote-write protobuf round trip preserves series, tags and samples") {
+    val s = spark
+    import s.implicits._
+    val in = Seq(
+      ("up", Map("job" -> "api", "instance" -> "i1"), 1000L, 1.5),
+      ("up", Map("job" -> "api", "instance" -> "i1"), 2000L, 2.5),
+      ("mem", Map("host" -> "a"), 1500L, -3.25),
+      (null.asInstanceOf[String], Map("only" -> "tags"), 99L, 0.0))
+      .toDF("name", "tags", "ts", "value")
+    val out = ProtoFormats.remoteWrite(ProtoFormats.exportRemoteWrite(in))
+      .collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1).toMap, r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set(
+      ("up", Map("job" -> "api", "instance" -> "i1"), 1000L, 1.5),
+      ("up", Map("job" -> "api", "instance" -> "i1"), 2000L, 2.5),
+      ("mem", Map("host" -> "a"), 1500L, -3.25),
+      (null, Map("only" -> "tags"), 99L, 0.0)))
+  }
+
+  test("OTLP protobuf round trip preserves metric names, attributes and points") {
+    val s = spark
+    import s.implicits._
+    val in = Seq(
+      ("requests", Map("method" -> "GET"), 1000L, 7.0),
+      ("requests", Map("method" -> "POST"), 1000L, 9.0),
+      ("latency", Map.empty[String, String], 2500L, 0.125))
+      .toDF("name", "tags", "ts", "value")
+    val out = ProtoFormats.otlp(ProtoFormats.exportOtlp(in))
+      .collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1).toMap, r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(out == Set(
+      ("requests", Map("method" -> "GET"), 1000L, 7.0),
+      ("requests", Map("method" -> "POST"), 1000L, 9.0),
+      ("latency", Map.empty[String, String], 2500L, 0.125)))
+  }
+
   private def lines(ls: String*): DataFrame = {
     val s = spark
     import s.implicits._
