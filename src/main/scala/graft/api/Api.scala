@@ -102,4 +102,30 @@ object Api {
   def rawRange(samples: DataFrame, selector: String, atMs: Long, windowMs: Long): DataFrame =
     selectorFilter(selector)(
       samples.filter(col("ts") > atMs - windowMs && col("ts") <= atMs))
+
+  // ------------------------------------------------------------------
+  // Prometheus-compat placeholder endpoints — the reference returns fixed
+  // JSON bodies for these (app/vmselect/main.go:431,566-610); kept as the
+  // exact same payloads so Grafana/clients probing them behave identically.
+  // ------------------------------------------------------------------
+
+  /** /api/v1/query_exemplars (main.go:600) */
+  def queryExemplars(): String = """{"status":"success","data":[]}"""
+
+  /** /api/v1/metadata (main.go:431 "dumb placeholder") */
+  def metadata(): String = """{"status":"success","data":{}}"""
+
+  /** /api/v1/rules (main.go:567) */
+  def rules(): String = """{"status":"success","data":{"groups":[]}}"""
+
+  /** /api/v1/alerts (main.go:577) */
+  def alerts(): String = """{"status":"success","data":{"alerts":[]}}"""
+
+  /** /api/v1/notifiers (main.go:587) */
+  def notifiers(): String = """{"status":"success","data":{"notifiers":[]}}"""
+
+  /** /api/v1/status/buildinfo (main.go:592): the advertised Prometheus
+    * compat version gates which query features Grafana enables.
+    */
+  def buildInfo(): String = """{"status":"success","data":{"version":"2.24.0"}}"""
 }

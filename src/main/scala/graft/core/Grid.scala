@@ -46,8 +46,12 @@ object Grid {
     val start = grid.startMs
     val filtered = samples
       .filter(col("ts") > lit(start) - windowMs && col("ts") <= lit(grid.endMs))
-    // smallest grid point >= ts
-    val t0 = expr(s"${start}L + ((ts - ${start}L + ${s - 1}L) div ${s}L) * ${s}L")
+    // smallest grid-aligned point >= ts; pmod form because Spark's `div`
+    // truncates toward zero, which breaks the `(x + s-1) div s` ceil trick
+    // for pre-start samples (ts < start). Here the explode over-covered by
+    // one step and the window filter hid it; the two-level path groups by
+    // the bucket directly and needs the exact value.
+    val t0 = expr(s"ts + pmod(${start}L - ts, ${s}L)")
     val nOff = floor((windowMs + lit(s - 1)) / lit(s)).cast("long") // buckets a sample can land in
     filtered
       .withColumn(

@@ -943,10 +943,22 @@ object Eval {
       case "+" => l + r
       case "-" => l - r
       case "*" => l * r
-      case "/" => l / r
-      case "%" => l % r
+      case "/" =>
+        // IEEE semantics like the reference's float division (±Inf, 0/0 =
+        // NaN) — Spark's ANSI mode (default in 4.x) would raise instead
+        when(r === 0.0,
+          when(l > 0, lit(Double.PositiveInfinity))
+            .when(l < 0, lit(Double.NegativeInfinity))
+            .otherwise(lit(Double.NaN)))
+          .otherwise(l / r)
+      case "%" => when(r === 0.0, lit(Double.NaN)).otherwise(l % r)
       case "^" => pow(l, r)
       case "atan2" => atan2(l, r)
+      // scalar-side set ops (binary_op.go:568): `default` fills missing/NaN
+      // points, `if`/`ifnot` gate on the condition side's presence
+      case "default" => when(l.isNotNull && !isnan(l), l).otherwise(r)
+      case "if" => when(r.isNotNull && !isnan(r), l)
+      case "ifnot" => when(r.isNull || isnan(r), l)
       case other => throw new IllegalArgumentException(s"not arithmetic: '$other'")
     }
 
@@ -1174,9 +1186,17 @@ object Eval {
             col("t"), value.as("value")))
         case "scalar" =>
           // single-series → per-point SCALAR with no labels; matches any
-          // series per timestamp in binary ops (transform.go:2392)
-          ScalarSeries(df.select(lit(null).cast(StringType).as("name"),
-            map().cast("map<string,string>").as("tags"), col("t"), col("value")))
+          // series per timestamp in binary ops (transform.go:2392). A
+          // string argument parses as a number, NaN when unparseable
+          // (exec_test.go scalar-string-num).
+          eval(f.args.head) match {
+            case StrVal(s) =>
+              Scalar(try s.trim.toDouble catch { case _: NumberFormatException => Double.NaN })
+            case Scalar(v) => Scalar(v)
+            case _ =>
+              ScalarSeries(df.select(lit(null).cast(StringType).as("name"),
+                map().cast("map<string,string>").as("tags"), col("t"), col("value")))
+          }
         case "vector" => eval(f.args.head) match {
           case s @ Series(_) => s
           case ScalarSeries(d) => Series(d)

@@ -89,36 +89,65 @@ object Lexer {
       while (i < n && isHex(s.charAt(i))) i += 1
       return i
     }
+    // Go-style underscore separators inside digit runs: 123_456_789
+    def digits(): Unit =
+      while (i < n && (s.charAt(i).isDigit ||
+        (s.charAt(i) == '_' && i + 1 < n && s.charAt(i + 1).isDigit))) i += 1
     def scanDecimal(): Unit = {
-      while (i < n && s.charAt(i).isDigit) i += 1
+      digits()
       if (i < n && s.charAt(i) == '.') {
         i += 1
-        while (i < n && s.charAt(i).isDigit) i += 1
+        digits()
       }
       if (i < n && (s.charAt(i) == 'e' || s.charAt(i) == 'E') && i + 1 < n &&
         (s.charAt(i + 1).isDigit || ((s.charAt(i + 1) == '+' || s.charAt(i + 1) == '-') && i + 2 < n && s.charAt(i + 2).isDigit))) {
         i += 1
         if (s.charAt(i) == '+' || s.charAt(i) == '-') i += 1
-        while (i < n && s.charAt(i).isDigit) i += 1
+        digits()
       }
     }
     scanDecimal()
+    // byte/metric multiplier suffix (metricsql lexer.go:304 scanNumMultiplier):
+    // Ki/KiB/KB/K/Mi/… — checked BEFORE duration tails so `1.23mib` is a
+    // number; a bare lowercase `m`/`s` stays a duration (5m = 5 minutes)
+    val rest = s.substring(i, math.min(n, i + 3)).toLowerCase
+    val multi = Seq("kib", "mib", "gib", "tib", "kb", "ki", "mb", "mi", "gb", "gi", "tb", "ti")
+      .find(m => rest.startsWith(m) &&
+        (i + m.length >= n || !s.charAt(i + m.length).isLetterOrDigit))
+    multi match {
+      case Some(m) => return i + m.length
+      case None =>
+        // single-char multipliers: lowercase m/s stay duration units
+        if (i < n && "kKMGTgt".contains(s.charAt(i)) &&
+          (i + 1 >= n || !s.charAt(i + 1).isLetterOrDigit))
+          return i + 1
+    }
     // duration tail: one or more <num><unit> groups
     var more = true
     while (more && i < n && isDurationUnitStart(s.charAt(i))) {
       // consume unit (ms is two chars)
-      if (s.charAt(i) == 'm' && i + 1 < n && s.charAt(i + 1) == 's') i += 2 else i += 1
+      if ((s.charAt(i) == 'm' || s.charAt(i) == 'M') && i + 1 < n &&
+        (s.charAt(i + 1) == 's' || s.charAt(i + 1) == 'S')) i += 2
+      else i += 1
       if (i < n && s.charAt(i).isDigit) scanDecimal() else more = false
     }
     i
   }
 
   private def isHex(c: Char): Boolean = c.isDigit || ('a' <= c && c <= 'f') || ('A' <= c && c <= 'F')
+  /** duration units are case-insensitive in the reference (`1h23m5S`),
+    * EXCEPT uppercase `M` which is the mega multiplier, not minutes.
+    */
   private def isDurationUnitStart(c: Char): Boolean =
-    c == 's' || c == 'm' || c == 'h' || c == 'd' || c == 'w' || c == 'y' || c == 'i'
+    "smhdwyiSHDWYI".indexOf(c.toInt) >= 0
 
+  // multi-char multipliers only: a bare lowercase `m` stays minutes while
+  // `mb`/`mib`/`Mi` are byte multipliers (metricsql lexer.go:304)
+  private val multiplierRe = "(?i).*\\d(kib|kb|ki|mib|mb|mi|gib|gb|gi|tib|tb|ti)".r
   private def hasDurationSuffix(text: String): Boolean =
-    text.exists(c => isDurationUnitStart(c)) && !text.startsWith("0x") && !text.startsWith("0X")
+    text.exists(c => isDurationUnitStart(c)) &&
+      !text.startsWith("0x") && !text.startsWith("0X") &&
+      !multiplierRe.matches(text) // 1.23Mib is a number, not a duration
 
   private def scanString(s: String, start: Int): Int = {
     val quote = s.charAt(start)
@@ -179,9 +208,10 @@ object Lexer {
       val num = body.substring(numStart, i).toDouble
       if (i >= n) { total += num * 1000 } // bare number = seconds
       else {
-        val unit =
-          if (body.charAt(i) == 'm' && i + 1 < n && body.charAt(i + 1) == 's') { i += 2; "ms" }
-          else { val u = body.charAt(i).toString; i += 1; u }
+        val unit = // units are case-insensitive (`1h23m5S`)
+          if ((body.charAt(i) == 'm' || body.charAt(i) == 'M') && i + 1 < n &&
+            (body.charAt(i + 1) == 's' || body.charAt(i + 1) == 'S')) { i += 2; "ms" }
+          else { val u = body.charAt(i).toLower.toString; i += 1; u }
         total += (unit match {
           case "ms" => num
           case "s" => num * 1000

@@ -363,9 +363,27 @@ object Parser {
     }
 
     private def parseNumber(text: String): Double = {
-      if (text.startsWith("0x") || text.startsWith("0X"))
-        java.lang.Long.parseLong(text.substring(2), 16).toDouble
-      else text.toDouble
+      val t = text.replace("_", "") // Go-style digit separators
+      if (t.startsWith("0x") || t.startsWith("0X"))
+        java.lang.Long.parseLong(t.substring(2), 16).toDouble
+      else {
+        // byte/metric multiplier suffixes (metricsql: 123M = 123e6,
+        // 1.23Mib = 1.23·2^20, KB/MB/… decimal, Ki/KiB/… binary)
+        val lower = t.toLowerCase
+        val mults: Seq[(String, Double)] = Seq(
+          "kib" -> 1024d, "mib" -> math.pow(2, 20), "gib" -> math.pow(2, 30),
+          "tib" -> math.pow(2, 40), "ki" -> 1024d, "mi" -> math.pow(2, 20),
+          "gi" -> math.pow(2, 30), "ti" -> math.pow(2, 40),
+          "kb" -> 1e3, "mb" -> 1e6, "gb" -> 1e9, "tb" -> 1e12,
+          "k" -> 1e3, "m" -> 1e6, "g" -> 1e9, "t" -> 1e12)
+        mults.find { case (suf, _) =>
+          lower.endsWith(suf) && lower.length > suf.length &&
+            lower.charAt(lower.length - suf.length - 1).isDigit
+        } match {
+          case Some((suf, mult)) => t.dropRight(suf.length).toDouble * mult
+          case None => t.toDouble
+        }
+      }
     }
 
     // `[5i]` steps can only resolve at eval; parse-time uses 1s placeholder

@@ -167,8 +167,12 @@ object Rollup {
     val start = grid.startMs
     val filtered = samples
       .filter(col("ts") > lit(start - windowMs) && col("ts") <= lit(grid.endMs))
-    // owning step bucket = smallest grid-aligned point >= ts
-    val tb = expr(s"${start}L + ((ts - ${start}L + ${s - 1}L) div ${s}L) * ${s}L")
+    // owning step bucket = smallest grid-aligned point >= ts. pmod-based:
+    // the usual ceil trick `(x + s-1) div s` breaks for samples BEFORE the
+    // grid start because Spark's `div` truncates toward zero, landing
+    // pre-start buckets one step late (caught by the exec_test.go golden
+    // slice: every lookback frame absorbed one stale sample).
+    val tb = expr(s"ts + pmod(${start}L - ts, ${s}L)")
     // partial columns, uniquely named per kernel; a shared row count drives
     // the empty-window filter (no samples in window -> no output row, same
     // as the bucketize path)
@@ -182,9 +186,18 @@ object Rollup {
       .agg(partialCols.head._2.as(partialCols.head._1),
         partialCols.tail.map(p => p._2.as(p._1)): _*)
     val seriesDim = level1.select(keys.map(col): _*).distinct()
-    val dense = seriesDim.crossJoin(Grid.gridDf(samples, grid))
+    val dense = seriesDim.crossJoin(Grid.gridDf(samples, grid)).alias("d")
+    // NULL-SAFE key join: derived series legitimately carry name=null, and
+    // a plain equi-join would silently drop every in-grid partial of such
+    // series (caught by the exec_test.go golden slice via
+    // sum_over_time(time()[1h]))
+    val inGrid = level1.filter(col("t") >= start).alias("g")
+    val joinCond = keys.map(k => col(s"d.$k") <=> col(s"g.$k"))
+      .reduce(_ && _) && col("d.t") === col("g.t")
     val joined = dense
-      .join(level1.filter(col("t") >= start), keys :+ "t", "left")
+      .join(inGrid, joinCond, "left")
+      .select((keys.map(k => col(s"d.$k").as(k)) :+ col("d.t").as("t")) ++
+        partialCols.map(p => col(s"g.${p._1}").as(p._1)): _*)
       .unionByName(level1.filter(col("t") < start))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("t"))
       .rangeBetween(-(windowMs - s), 0)
