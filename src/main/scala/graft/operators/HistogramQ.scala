@@ -39,33 +39,100 @@ object HistogramQ {
       })
   }
 
-  private def interpolateQuantile(arr: Column, phi: Double): Column = {
-    val total = element_at(arr, -1).getField("c")
-    val target = lit(phi) * total
-    // first bucket with cumulative >= target, via a fold carrying
-    // (found_le, prev_le, prev_c)
-    val st = aggregate(
-      arr,
-      struct(lit(Double.NaN).as("res"), lit(0.0).as("plo"), lit(0.0).as("pc")),
-      (s, x) => {
-        val hit = isnan(s.getField("res")) && x.getField("c") >= target
-        val inBucket = x.getField("c") - s.getField("pc")
-        val frac = when(inBucket > 0, (target - s.getField("pc")) / inBucket).otherwise(lit(0.0))
-        val v = s.getField("plo") + (x.getField("le") - s.getField("plo")) * frac
-        struct(
-          when(hit, v).otherwise(s.getField("res")).as("res"),
-          x.getField("le").as("plo"),
-          x.getField("c").as("pc"))
-      })
-    when(total > 0, st.getField("res"))
+  /** sorted raw (le, c) pairs — repair happens inside the kernel UDFs */
+  private def sortedArr: Column =
+    array_sort(collect_list(struct(col("le").as("le"), col("value").as("c"))))
+
+  /** Primitive-loop quantile kernel: running-max bucket repair + the
+    * Prometheus linear interpolation in one pass. A JVM UDF, not a
+    * Catalyst higher-order fold: `aggregate()` evaluates interpreted per
+    * element and dominated the h_quantile bench query (same measured
+    * finding as the SimHash voting loop, Dedup.scala).
+    */
+  private def hqUdf(phi: Double) = udf { (arr0: Seq[org.apache.spark.sql.Row]) =>
+    val arr = if (arr0 == null) null
+      else arr0.filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // null le/c rows
+    if (arr == null || arr.isEmpty) None
+    else {
+      val n = arr.length
+      var i = 0
+      var prev = 0.0
+      val les = new Array[Double](n)
+      val cs = new Array[Double](n)
+      while (i < n) {
+        val r = arr(i)
+        les(i) = r.getDouble(0)
+        val c = r.getDouble(1)
+        prev = if (i == 0) c else math.max(c, prev) // fixBrokenBuckets
+        cs(i) = prev
+        i += 1
+      }
+      val total = cs(n - 1)
+      if (!(total > 0)) None
+      else {
+        val target = phi * total
+        var res = Double.NaN
+        var plo = 0.0
+        var pc = 0.0
+        i = 0
+        while (i < n && res.isNaN) {
+          if (cs(i) >= target) {
+            val inBucket = cs(i) - pc
+            val frac = if (inBucket > 0) (target - pc) / inBucket else 0.0
+            res = plo + (les(i) - plo) * frac
+          } else { plo = les(i); pc = cs(i) }
+          i += 1
+        }
+        if (res.isNaN) None else Some(res)
+      }
+    }
+  }
+
+  private def shareUdf(leBound: Double) = udf { (arr0: Seq[org.apache.spark.sql.Row]) =>
+    val arr = if (arr0 == null) null
+      else arr0.filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // null le/c rows
+    if (arr == null || arr.isEmpty) None
+    else {
+      val n = arr.length
+      var i = 0
+      var prev = 0.0
+      val les = new Array[Double](n)
+      val cs = new Array[Double](n)
+      while (i < n) {
+        val r = arr(i)
+        les(i) = r.getDouble(0)
+        val c = r.getDouble(1)
+        prev = if (i == 0) c else math.max(c, prev)
+        cs(i) = prev
+        i += 1
+      }
+      val total = cs(n - 1)
+      if (!(total > 0)) None
+      else {
+        var res = Double.NaN
+        var plo = 0.0
+        var pc = 0.0
+        i = 0
+        while (i < n && res.isNaN) {
+          if (les(i) >= leBound) {
+            val width = les(i) - plo
+            val frac = if (width > 0) math.min((leBound - plo) / width, 1.0) else 1.0
+            res = pc + (cs(i) - pc) * frac
+          } else { plo = les(i); pc = cs(i) }
+          i += 1
+        }
+        // no bucket ≥ bound: everything is below it → share = 1
+        Some((if (res.isNaN) total else res) / total)
+      }
+    }
   }
 
   /** histogram_quantile(phi, buckets) — transform.go:991 */
   def quantile(buckets: DataFrame, groupKeys: Seq[String], phi: Double): DataFrame =
     buckets
       .groupBy((groupKeys :+ "t").map(col): _*)
-      .agg(bucketArr.as("_b"))
-      .withColumn("value", interpolateQuantile(col("_b"), phi))
+      .agg(sortedArr.as("_b"))
+      .withColumn("value", hqUdf(phi)(col("_b")))
       .drop("_b")
       .filter(col("value").isNotNull && !isnan(col("value")))
 
@@ -75,29 +142,10 @@ object HistogramQ {
   def share(buckets: DataFrame, groupKeys: Seq[String], leBound: Double): DataFrame =
     buckets
       .groupBy((groupKeys :+ "t").map(col): _*)
-      .agg(bucketArr.as("_b"))
-      .withColumn("value", {
-        val arr = col("_b")
-        val total = element_at(arr, -1).getField("c")
-        val st = aggregate(
-          arr,
-          struct(lit(Double.NaN).as("res"), lit(0.0).as("plo"), lit(0.0).as("pc")),
-          (s, x) => {
-            val hit = isnan(s.getField("res")) && x.getField("le") >= leBound
-            val width = x.getField("le") - s.getField("plo")
-            val frac = when(width > 0, (lit(leBound) - s.getField("plo")) / width).otherwise(lit(1.0))
-            val cAt = s.getField("pc") + (x.getField("c") - s.getField("pc")) * least(frac, lit(1.0))
-            struct(
-              when(hit, cAt).otherwise(s.getField("res")).as("res"),
-              x.getField("le").as("plo"),
-              x.getField("c").as("pc"))
-          })
-        // NaN (not NULL) is the fold's "no bucket ≥ bound" sentinel:
-        // everything is below the bound → share = 1
-        when(total > 0,
-          when(isnan(st.getField("res")), total).otherwise(st.getField("res")) / total)
-      })
+      .agg(sortedArr.as("_b"))
+      .withColumn("value", shareUdf(leBound)(col("_b")))
       .drop("_b")
+      .filter(col("value").isNotNull)
 
   /** histogram_avg — mean estimated from bucket midpoints
     * (transform.go:829; the reference averages bucket midpoint × count).
@@ -120,10 +168,10 @@ object HistogramQ {
   def histQuantiles(buckets: DataFrame, groupKeys: Seq[String], phis: Seq[Double]): DataFrame = {
     val base = buckets
       .groupBy((groupKeys :+ "t").map(col): _*)
-      .agg(bucketArr.as("_b"))
+      .agg(sortedArr.as("_b"))
     val qs = phis.zipWithIndex.map { case (p, i) =>
       base.withColumn("phi", lit(p.toString))
-        .withColumn("value", interpolateQuantile(col("_b"), p))
+        .withColumn("value", hqUdf(p)(col("_b")))
     }
     qs.reduce(_ unionByName _)
       .drop("_b")
