@@ -291,7 +291,8 @@ object Dedup {
       threshold: Double,
       shingleN: Int = 3,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      maxShingleDf: Int = 10000): DataFrame = {
     // postings carry 64-bit shingle HASHES, not shingle strings: under
     // whitespace tokenization equal shingle strings ⟺ equal token
     // sequences, so hash equality preserves the Jaccard counts (modulo
@@ -300,7 +301,17 @@ object Dedup {
     val sh = docs.select(col(idCol).as("id"),
       shingleHashes(TextAnalysis.wsTokens(col(textCol)), shingleN).as("sh")).persist()
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val postings = sh.select(col("id"), explode(col("sh")).as("s"))
+    // Stop-shingle cap: the postings self-join is quadratic in a shingle's
+    // document frequency, so one boilerplate n-gram shared by millions of
+    // web pages would dominate the whole job. Shingles with df >
+    // maxShingleDf are dropped from the INDEX only (denominators keep the
+    // full sets): pairs held together solely by boilerplate shingles can
+    // score below the threshold — a recall-side, never precision-side,
+    // deviation. Set maxShingleDf >= corpus size for exact results.
+    val postings0 = sh.select(col("id"), explode(col("sh")).as("s"))
+    val hot = postings0.groupBy("s").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") > maxShingleDf).select("s")
+    val postings = postings0.join(hot, Seq("s"), "left_anti")
     val inter = postings.as("a")
       .join(postings.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
