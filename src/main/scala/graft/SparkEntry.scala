@@ -1460,11 +1460,26 @@ object SparkEntry {
       "FROM f ORDER BY user_id, t")),
     Q("eval_changes", eng("changes(click[1d])", gridD) { df =>
       df.select(uid, col("t"), col("value")).orderBy("user_id", "t")
-    }, Some(s"WITH b AS ($BD), d AS (SELECT user_id, t, value, " +
-      "lag(value) OVER (PARTITION BY user_id, t ORDER BY tms, value) AS pv FROM b WHERE name = 'click') " +
-      "SELECT user_id::BIGINT AS user_id, t, " +
-      "sum(CASE WHEN pv IS NOT NULL AND value != pv THEN 1 ELSE 0 END)::DOUBLE AS value FROM d " +
-      "GROUP BY user_id, t ORDER BY user_id, t")),
+    }, Some(s"WITH ${prevCtes(D)}, " +
+      s"cw AS (SELECT user_id, ((tms + ${D - 1}) // $D) * $D AS t, " +
+      "sum(CASE WHEN pv IS NOT NULL AND value != pv THEN 1 ELSE 0 END) AS sumall " +
+      "FROM l3 GROUP BY user_id, t) " +
+      "SELECT f.user_id::BIGINT AS user_id, f.t AS t, (CASE " +
+      "WHEN fpts IS NULL THEN 1 + sumall " +
+      s"WHEN fpts > f.t - $D - mpi OR fts - fpts < ${2 * H} THEN sumall " +
+      "ELSE 1 + sumall - (CASE WHEN v0 != fpv THEN 1 ELSE 0 END) END)::DOUBLE AS value " +
+      "FROM f JOIN cw ON f.user_id = cw.user_id AND f.t = cw.t ORDER BY user_id, t")),
+    Q("eval_resets", eng("resets(click[1d])", gridD) { df =>
+      df.select(uid, col("t"), col("value")).orderBy("user_id", "t")
+    }, Some(s"WITH ${prevCtes(D)}, " +
+      s"cw AS (SELECT user_id, ((tms + ${D - 1}) // $D) * $D AS t, " +
+      "sum(CASE WHEN pv IS NOT NULL AND value < pv THEN 1 ELSE 0 END) AS decall " +
+      "FROM l3 GROUP BY user_id, t) " +
+      "SELECT f.user_id::BIGINT AS user_id, f.t AS t, (CASE " +
+      "WHEN fpts IS NULL THEN decall " +
+      s"WHEN fpts > f.t - $D - mpi THEN decall " +
+      "ELSE decall - (CASE WHEN v0 < fpv THEN 1 ELSE 0 END) END)::DOUBLE AS value " +
+      "FROM f JOIN cw ON f.user_id = cw.user_id AND f.t = cw.t ORDER BY user_id, t")),
     Q("eval_running_sum", eng("running_sum(avg_over_time(click[1h]))") { df =>
       df.select(uid, col("t"), r4(col("value")).as("value")).orderBy("user_id", "t")
     }, Some(s"WITH b AS ($BH), a AS (SELECT user_id, t, avg(value) AS v FROM b " +

@@ -136,10 +136,10 @@ object Eval {
       case "rate" => Some(Kernels.ratePrev)
       case "irate" => Some(Kernels.irate)
       case "ideriv" => Some(Kernels.ideriv)
-      case "changes" | "changes_prometheus" => Some(Kernels.changes)
-      case "increases_over_time" => Some(Kernels.increasesOverTime)
-      case "decreases_over_time" => Some(Kernels.decreasesOverTime)
-      case "resets" => Some(Kernels.resets)
+      case "changes" => Some(Kernels.changesPrev(lookbackMs))
+      case "changes_prometheus" => Some(Kernels.changes)
+      case "increases_over_time" => Some(Kernels.increasesPrev)
+      case "decreases_over_time" | "resets" => Some(Kernels.decreasesPrev)
       case "ascent_over_time" => Some(Kernels.ascentOverTime)
       case "descent_over_time" => Some(Kernels.descentOverTime)
       case "integrate" => Some(Kernels.integrate)

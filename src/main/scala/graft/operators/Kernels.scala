@@ -331,6 +331,59 @@ object Kernels {
     // single sample without prev: nan (rollup.go rollupDerivFast comment)
   }
 
+  /** engine-path changes — rollup.go rollupChanges: seed from prevValue
+    * (within maxPrevInterval) or realPrevValue (within lookback); with no
+    * previous sample at all the FIRST value counts as a change. The
+    * 1e-12-relative precision skip does not advance `prev` (unlike
+    * increases/resets below).
+    */
+  def changesPrev(lookbackMs: Long): Kernel = OverArrayPrev { arr =>
+    val f = firstE(arr)
+    val pv = f.getField("pv")
+    val pts = f.getField("pts")
+    val tStart = col("t") - col("_win")
+    val ext = pts.isNotNull && (pts > tStart - col("_mpi") ||
+      lit(lookbackMs) === 0 || (f.getField("ts") - pts) < lit(lookbackMs))
+    val init = struct(lit(0.0).as("n"),
+      when(ext, pv).otherwise(lit(Double.NaN)).as("prev"))
+    aggregate(arr, init, (s, x) => {
+      val v = x.getField("v")
+      val prev = s.getField("prev")
+      val isSeed = isnan(prev)
+      val changed = !isSeed && v =!= prev &&
+        !(abs(v - prev) < lit(1e-12) * abs(v))
+      struct(
+        (s.getField("n") + when(isSeed || changed, 1.0).otherwise(0.0)).as("n"),
+        when(isSeed || changed, v).otherwise(prev).as("prev"))
+    }).getField("n")
+  }
+
+  /** engine-path increases/decreases/resets — rollup.go rollupIncreases /
+    * rollupResets: seed from prevValue only (no realPrevValue); the first
+    * value never counts; `prev` advances on every sample.
+    */
+  private def monotonicCount(up: Boolean): Kernel = OverArrayPrev { arr =>
+    val f = firstE(arr)
+    val pv = f.getField("pv")
+    val pts = f.getField("pts")
+    val tStart = col("t") - col("_win")
+    val prevOk = pts.isNotNull && pts > tStart - col("_mpi")
+    val init = struct(lit(0.0).as("n"),
+      when(prevOk, pv).otherwise(lit(Double.NaN)).as("prev"))
+    aggregate(arr, init, (s, x) => {
+      val v = x.getField("v")
+      val prev = s.getField("prev")
+      val isSeed = isnan(prev)
+      val cmpHit = if (up) v > prev else v < prev
+      val counted = !isSeed && cmpHit && !(abs(v - prev) < lit(1e-12) * abs(v))
+      struct(
+        (s.getField("n") + when(counted, 1.0).otherwise(0.0)).as("n"),
+        v.as("prev"))
+    }).getField("n")
+  }
+  val increasesPrev: Kernel = monotonicCount(up = true)
+  val decreasesPrev: Kernel = monotonicCount(up = false)
+
   /** last - first inside the window (windowed form of rollup.go:1859
     * rollupDelta, == delta_prometheus rollup.go:1924; the operator-level
     * gates keep this form — the engine path uses [[deltaPrev]]).
