@@ -641,10 +641,17 @@ object Eval {
           val withKeys = df
             .withColumn("_tk", tagKey(gtags))
             .withColumn("_sk", skey(col("name"), col("tags")))
-          val winners = withKeys.select(col("_tk"), col("_sk")).distinct()
-            .withColumn("_rn", row_number().over(
-              Window.partitionBy(col("_tk")).orderBy(xxhash64(col("_sk")), col("_sk"))))
-            .filter(col("_rn") <= k).select(col("_sk"))
+          val keys0 = withKeys.select(col("_tk"), col("_sk")).distinct()
+          // no by/without → ONE global group: distributed sort+limit
+          // instead of a rank window over a constant partition key (which
+          // funnels every distinct series through one task)
+          val winners =
+            if (a.modifier.isEmpty)
+              keys0.orderBy(xxhash64(col("_sk")), col("_sk")).limit(k).select(col("_sk"))
+            else keys0
+              .withColumn("_rn", row_number().over(
+                Window.partitionBy(col("_tk")).orderBy(xxhash64(col("_sk")), col("_sk"))))
+              .filter(col("_rn") <= k).select(col("_sk"))
           Series(withKeys.join(broadcast(winners), Seq("_sk"), "left_semi")
             .select(col("name"), col("tags"), col("t"), col("value")))
         case "mad" =>

@@ -64,4 +64,49 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       s"expected partial+final HashAggregate pair in:\n$p")
   }
+
+  test("two-level rollup engages at window >> step: no explode, no blow-up") {
+    val grid = GridSpec(1704067200000L, 1704153600000L, 60000L)
+    val df = Rollup.rollup( // 12h window / 1m step = ratio 720
+      Samples.eventsFlat(spark, sfDir), Seq("name"), grid, 12 * 3600000L, Kernels.max)
+    val p = plan(df)
+    // the only allowed explode is the one-row grid sequence (gridDf);
+    // a sample explode would appear as a second Generate
+    assert("Generate explode".r.findAllIn(p).size <= 1,
+      s"two-level path must not explode samples:\n$p")
+    assert(p.contains("RangeFrame"),
+      s"expected the range-framed merge window in:\n$p")
+  }
+
+  test("limit_offset / ungrouped limitk plan no unbounded single-partition rank") {
+    import graft.{Engine}
+    val grid = GridSpec(1704067200000L, 1704153600000L, 3600000L)
+    val samples = Samples.fromEvents(spark, sfDir)
+    // limitk over every series with no grouping: distributed TakeOrdered,
+    // not row_number() over an empty partition spec on data-scale rows
+    def hasCap(p: String): Boolean =
+      p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit") ||
+        p.contains("CollectLimit")
+    def noPartitionRank(p: String): Boolean = // row_number over an
+      // order-only window spec (no partition columns before the ASC key)
+      "windowspecdefinition\\(_\\w+#\\d+L? ASC".r.findFirstIn(p).isDefined
+    val lk = Engine.query(samples, "limitk(3, avg_over_time(click[1h]))", grid)
+    assert(hasCap(plan(lk)) && !noPartitionRank(plan(lk)),
+      s"ungrouped limitk must cap via a distributed limit:\n${plan(lk)}")
+    val lo = Engine.query(samples, "limit_offset(3, 1, avg_over_time(click[1h]))", grid)
+    assert(hasCap(plan(lo)),
+      s"limit_offset must cap via a distributed limit first:\n${plan(lo)}")
+  }
+
+  test("no persisted frames pinned in the cache manager after eval") {
+    spark.sharedState.cacheManager.clearCache()
+    val grid = GridSpec(1704067200000L, 1704153600000L, 3600000L)
+    val samples = Samples.fromEvents(spark, sfDir)
+    // binop with adaptive right-side evaluation — used to persist() the
+    // left side per binop and never release it
+    graft.Engine.query(samples,
+      "avg_over_time(click[1h]) / on(user_id) avg_over_time(click[1h])", grid).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "eval must not leave persisted frames in the session cache manager")
+  }
 }
