@@ -104,9 +104,12 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN top-k: candidates = same bucket signature, ranked by
-    * exact cosine within the bucket. Recall < 1 by construction; the
-    * multiprobe variant ORs in neighboring buckets (bit flips) — here the
-    * standard single-probe with nBits tuned low enough for recall.
+    * exact cosine within the bucket. `probes` > 0 enables multiprobe: the
+    * QUERY side additionally visits every bucket one bit-flip away from
+    * its signature (nBits+1 buckets per query) — the standard recall
+    * knob; the corpus is bucketed ONCE and
+    * never replicated, so the scale story is unchanged (IVF posting lists,
+    * queries probe more lists).
     */
   def lshTopK(
       corpus: DataFrame,
@@ -114,15 +117,26 @@ object Similarity {
       k: Int,
       nBits: Int = 8,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      probes: Int = 0): DataFrame = {
     val c = corpus.select(
       col(idCol).as("c_id"), normalized(col(vecCol)).as("c_vec"),
       lshSignature(col(vecCol), nBits).as("bkt"))
-    val q = queries.select(
+    val q0 = queries.select(
       col(idCol).as("q_id"), normalized(col(vecCol)).as("q_vec"),
-      lshSignature(col(vecCol), nBits).as("bkt"))
+      lshSignature(col(vecCol), nBits).as("bkt0"))
+    val q =
+      if (probes <= 0) q0.withColumnRenamed("bkt0", "bkt")
+      else q0.select(
+        col("q_id"), col("q_vec"),
+        explode(concat(
+          array(col("bkt0")),
+          transform(sequence(lit(0), lit(nBits - 1)),
+            b => col("bkt0").bitwiseXOR(call_function("shiftleft", lit(1L), b)))))
+          .as("bkt"))
     q.join(c, "bkt")
       .filter(col("q_id") =!= col("c_id"))
+      .dropDuplicates("q_id", "c_id") // same pair can meet via several probes
       .withColumn("cosine", dot(col("q_vec"), col("c_vec")))
       .withColumn(
         "rank",

@@ -64,6 +64,20 @@ class PipelineSpec extends SparkSpec {
     assert(frames.forall(_.bytes.length <= 64))
   }
 
+  test("LSH multiprobe recall dominates single-probe recall vs brute force") {
+    val embs = Samples.table(spark, sfDir, "embeddings").cache()
+    val queries = embs.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(embs, queries, 3))
+    val single = pairs(Similarity.lshTopK(embs, queries, 3, nBits = 4))
+    val multi = pairs(Similarity.lshTopK(embs, queries, 3, nBits = 4, probes = 1))
+    val rSingle = truth.count(single.contains).toDouble / truth.size
+    val rMulti = truth.count(multi.contains).toDouble / truth.size
+    assert(rMulti >= rSingle, s"multiprobe recall $rMulti < single $rSingle")
+    assert(rMulti >= 0.4, s"multiprobe recall too low: $rMulti")
+  }
+
   test("embedding cosine top-k ranks the self-similar vector first on a toy set") {
     import spark.implicits._
     val vecs = Seq(
