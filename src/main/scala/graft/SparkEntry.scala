@@ -1202,7 +1202,8 @@ object SparkEntry {
       "last(nv ORDER BY tms, value) AS lnv, " +
       "first(cv ORDER BY tms, value) AS cv0, last(cv ORDER BY tms, value) AS cvl, " +
       "first(cpv ORDER BY tms, value) AS fcpv, last(cnv ORDER BY tms, value) AS lcnv, " +
-      "list(value ORDER BY tms, value) AS vs, list(cv ORDER BY tms, value) AS cvs " +
+      "list(value ORDER BY tms, value) AS vs, list(cv ORDER BY tms, value) AS cvs, " +
+      "list(tms ORDER BY tms, value) AS tss " +
       "FROM l3 GROUP BY user_id, t), " +
       "f AS (SELECT g.*, mpi FROM g JOIN m USING (user_id))"
 
@@ -1469,6 +1470,16 @@ object SparkEntry {
       s"WHEN fpts > f.t - $D - mpi OR fts - fpts < ${2 * H} THEN sumall " +
       "ELSE 1 + sumall - (CASE WHEN v0 != fpv THEN 1 ELSE 0 END) END)::DOUBLE AS value " +
       "FROM f JOIN cw ON f.user_id = cw.user_id AND f.t = cw.t ORDER BY user_id, t")),
+    Q("eval_irate", eng("irate(click[1d])", gridD) { df =>
+      df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
+    }, Some(s"WITH ${prevCtes(D)}, " +
+      "r AS (SELECT user_id, t, CASE " +
+      "WHEN n >= 2 AND tss[len(tss)] > tss[len(tss)-1] THEN " +
+      "(cvs[len(cvs)] - cvs[len(cvs)-1]) / ((tss[len(tss)] - tss[len(tss)-1]) / 1000.0) " +
+      s"WHEN n = 1 AND fpts IS NOT NULL AND fpts > t - $D - mpi THEN " +
+      "(cv0 - fcpv) / ((fts - fpts) / 1000.0) END AS v FROM f) " +
+      "SELECT user_id::BIGINT AS user_id, t, round(1e-9 + v, 6) AS value FROM r " +
+      "WHERE v IS NOT NULL ORDER BY user_id, t")),
     Q("eval_resets", eng("resets(click[1d])", gridD) { df =>
       df.select(uid, col("t"), col("value")).orderBy("user_id", "t")
     }, Some(s"WITH ${prevCtes(D)}, " +

@@ -114,7 +114,7 @@ object Eval {
       case "rate_over_sum" => Some(Kernels.rateOverSum(windowMs))
       case "zscore_over_time" => Some(Kernels.zscore)
       case "deriv" => Some(Kernels.deriv)
-      case "deriv_fast" => Some(Kernels.derivFast)
+      case "deriv_fast" => Some(Kernels.derivFastPrev)
       case "predict_linear" => Some(Kernels.predictLinear(args.head))
       case "hoeffding_bound_lower" => Some(Kernels.hoeffdingLower(args.head))
       case "hoeffding_bound_upper" => Some(Kernels.hoeffdingUpper(args.head))
@@ -134,8 +134,8 @@ object Eval {
       case "increase_pure" => Some(Kernels.increasePurePrev(lookbackMs))
       case "increase_prometheus" => Some(Kernels.increase)
       case "rate" => Some(Kernels.ratePrev)
-      case "irate" => Some(Kernels.irate)
-      case "ideriv" => Some(Kernels.ideriv)
+      case "irate" => Some(Kernels.iratePrev)
+      case "ideriv" => Some(Kernels.iderivPrev)
       case "changes" => Some(Kernels.changesPrev(lookbackMs))
       case "changes_prometheus" => Some(Kernels.changes)
       case "increases_over_time" => Some(Kernels.increasesPrev)

@@ -312,24 +312,27 @@ object Kernels {
       .otherwise(l.getField("cv")) // counter starts from 0
   }
 
-  /** engine-path rate — rollupDerivFast over reset-corrected values
-    * (rollup.go:74): dv/dt from the prev sample (or the window's first
-    * when no prev), NOT increase/window.
+  /** engine-path rate/deriv_fast — rollupDerivFast (rollup.go:74): dv/dt
+    * from the prev sample (or the window's first when no prev), NOT
+    * increase/window; rate runs over reset-corrected values, deriv_fast
+    * over raw.
     */
-  val ratePrev: Kernel = OverArrayPrev { arr =>
+  private def derivFastK(fv: String, fpv: String): Kernel = OverArrayPrev { arr =>
     val f = firstE(arr)
     val l = lastE(arr)
-    val pv = f.getField("cpv")
+    val pv = f.getField(fpv)
     val pts = f.getField("pts")
     val tStart = col("t") - col("_win")
     val prevOk = pts.isNotNull && pts > tStart - col("_mpi")
-    val vl = l.getField("cv")
+    val vl = l.getField(fv)
     val tl = l.getField("ts")
     when(prevOk, (vl - pv) / ((tl - pts).cast(D) / 1000.0))
       .when(size(arr) >= 2,
-        (vl - f.getField("cv")) / ((tl - f.getField("ts")).cast(D) / 1000.0))
+        (vl - f.getField(fv)) / ((tl - f.getField("ts")).cast(D) / 1000.0))
     // single sample without prev: nan (rollup.go rollupDerivFast comment)
   }
+  val ratePrev: Kernel = derivFastK("cv", "cpv")
+  val derivFastPrev: Kernel = derivFastK("v", "pv")
 
   /** engine-path changes — rollup.go rollupChanges: seed from prevValue
     * (within maxPrevInterval) or realPrevValue (within lookback); with no
@@ -383,6 +386,27 @@ object Kernels {
   }
   val increasesPrev: Kernel = monotonicCount(up = true)
   val decreasesPrev: Kernel = monotonicCount(up = false)
+
+  /** engine-path ideriv/irate — rollup.go rollupIderiv: two-point slope
+    * over the last two in-window samples; a single orphan sample uses the
+    * pre-window sample as the other point when it is within
+    * maxPrevInterval (irate runs over reset-corrected values).
+    */
+  private def iderivPrevK(fv: String, fpv: String): Kernel = OverArrayPrev { arr =>
+    val f = firstE(arr)
+    val l = lastE(arr)
+    val l2 = element_at(arr, -2)
+    val tStart = col("t") - col("_win")
+    val prevOk = f.getField("pts").isNotNull && f.getField("pts") > tStart - col("_mpi")
+    val multi = (l.getField(fv) - l2.getField(fv)) /
+      ((l.getField("ts") - l2.getField("ts")).cast(D) / 1000.0)
+    val singleWithPrev = (f.getField(fv) - f.getField(fpv)) /
+      ((f.getField("ts") - f.getField("pts")).cast(D) / 1000.0)
+    when(size(arr) >= 2 && l.getField("ts") > l2.getField("ts"), multi)
+      .when(size(arr) === 1 && prevOk, singleWithPrev)
+  }
+  val iderivPrev: Kernel = iderivPrevK("v", "pv")
+  val iratePrev: Kernel = iderivPrevK("cv", "cpv")
 
   /** last - first inside the window (windowed form of rollup.go:1859
     * rollupDelta, == delta_prometheus rollup.go:1924; the operator-level
