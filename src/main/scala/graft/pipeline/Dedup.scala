@@ -150,9 +150,10 @@ object Dedup {
 
   /** candidate pairs from a precomputed (id, sh) shingle frame; `sh` is
     * persisted so the text→shingle→minhash work runs once, not once per
-    * self-join branch.
+    * self-join branch. Returns the lazy pairs plus the persisted banded
+    * frame the caller must unpersist after materializing downstream.
     */
-  private def candidatesFromShingles(sh0: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  private def candidatesRaw(sh0: DataFrame, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     val r = numHashes / bands
     val sig = sh0.select(col("id"), minhashOfHashes(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
@@ -169,6 +170,11 @@ object Dedup {
       .join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    (pairs, banded)
+  }
+
+  private def candidatesFromShingles(sh0: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val (pairs, banded) = candidatesRaw(sh0, numHashes, bands)
     // materialize the (small) candidate set eagerly so the banded frame's
     // cache can be released NOW instead of leaking for the session
     val out = pairs.localCheckpoint(true)
@@ -255,16 +261,20 @@ object Dedup {
     // negligible 64-bit collisions; sorted arrays verify by merge walk)
     val sh = docs.select(col("doc_id").as("id"),
       shingleHashes(TextAnalysis.wsTokens(col("text")), shingleN).as("sh")).persist()
-    val cand = candidatesFromShingles(sh, numHashes, bands)
+    // lazy candidates: the whole candidates→verify→losers chain
+    // materializes ONCE at the connectedLosers checkpoint below, instead
+    // of an extra eager pass per stage
+    val (cand, banded) = candidatesRaw(sh, numHashes, bands)
     val verified = cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sha")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("shb")), "id_b")
       .withColumn("inter", sortedInterUdf(col("sha"), col("shb")).cast(DoubleType))
       .filter(col("inter") / (size(col("sha")) + size(col("shb")) - col("inter")).cast(DoubleType)
         >= threshold)
-    // loser ids are tiny — materialize them, release the shingle cache
+    // loser ids are tiny — materialize them, release the caches
     val losers = connectedLosers(verified.select("id_a", "id_b"))
       .select(col("node").as("doc_id")).localCheckpoint(true)
+    banded.unpersist()
     sh.unpersist()
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
