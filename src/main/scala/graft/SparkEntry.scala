@@ -1503,6 +1503,25 @@ object SparkEntry {
     }, Some(s"WITH b AS ($BH) SELECT user_id::BIGINT AS user_id, t, " +
       "round(1e-9 + least(greatest(avg(value), 90), 110), 6) AS value FROM b " +
       "WHERE name = 'click' GROUP BY user_id, t ORDER BY user_id, t")),
+    Q("eval_keep_last_value", eng("keep_last_value(avg_over_time(purchase[1h]))") { df =>
+      df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BH), " +
+      "a AS (SELECT user_id, t, avg(value) AS v0 FROM b WHERE name = 'purchase' GROUP BY user_id, t), " +
+      "users AS (SELECT DISTINCT user_id FROM a), " +
+      s"g AS (SELECT users.user_id, gs.t FROM users, (SELECT unnest(generate_series($START, $END, $H)) AS t) gs), " +
+      "d AS (SELECT g.user_id AS user_id, g.t AS t, a.v0 FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.t = a.t), " +
+      "fl AS (SELECT user_id, t, last_value(v0 IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v FROM d) " +
+      "SELECT 'purchase' AS name, user_id::BIGINT AS user_id, t, round(1e-9 + v, 6) AS value " +
+      "FROM fl WHERE v IS NOT NULL ORDER BY user_id, t")),
+    Q("eval_union", eng("union(avg_over_time(click[1h]), avg_over_time(purchase[1h]))") { df =>
+      df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t")
+    }, Some(s"WITH b AS ($BH) " +
+      "SELECT name, user_id::BIGINT AS user_id, t, round(1e-9 + avg(value), 6) AS value FROM b " +
+      "WHERE name IN ('click', 'purchase') GROUP BY name, user_id, t " +
+      "ORDER BY name, user_id, t")),
     // rate with NO [d] on a sparse series: the window auto-adjusts to the
     // per-series maxPrevInterval (rollup.go:738-756) — at window=step the
     // hourly windows of sparse purchase series rarely hold two samples
