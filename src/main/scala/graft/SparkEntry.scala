@@ -1515,6 +1515,21 @@ object SparkEntry {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v FROM d) " +
       "SELECT 'purchase' AS name, user_id::BIGINT AS user_id, t, round(1e-9 + v, 6) AS value " +
       "FROM fl WHERE v IS NOT NULL ORDER BY user_id, t")),
+    Q("eval_range_avg", eng("range_avg(avg_over_time(click[1h]))") { df =>
+      df.select(uid, col("t"), r4(col("value")).as("value")).orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BH), " +
+      "a AS (SELECT user_id, t, avg(value) AS v FROM b WHERE name = 'click' GROUP BY user_id, t) " +
+      "SELECT user_id::BIGINT AS user_id, t, round(1e-9 + avg(v) OVER (PARTITION BY user_id), 4) AS value " +
+      "FROM a ORDER BY user_id, t")),
+    Q("eval_quantiles_ot", eng("""quantiles_over_time("phi", 0.5, 0.9, click[1d])""", gridD) { df =>
+      df.select(col("tags").getItem("phi").as("phi"), uid, col("t"),
+        r6(col("value")).as("value")).orderBy("phi", "user_id", "t")
+    }, Some(s"WITH b AS ($BD), " +
+      "w AS (SELECT user_id, t, quantile_cont(value, 0.5) AS q5, quantile_cont(value, 0.9) AS q9 " +
+      "FROM b WHERE name = 'click' GROUP BY user_id, t) " +
+      "SELECT phi, user_id::BIGINT AS user_id, t, round(1e-9 + v, 6) AS value FROM (" +
+      "SELECT user_id, t, '0.5' AS phi, q5 AS v FROM w UNION ALL " +
+      "SELECT user_id, t, '0.9', q9 FROM w) ORDER BY phi, user_id, t")),
     Q("eval_union", eng("union(avg_over_time(click[1h]), avg_over_time(purchase[1h]))") { df =>
       df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
         .orderBy("name", "user_id", "t")
