@@ -1603,6 +1603,15 @@ object SparkEntry {
         r6(sum("value")).as("sum_v")).orderBy("name")
     }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v " +
       "FROM events GROUP BY name ORDER BY name")),
+    Q("src_datadog_roundtrip", (s, dir) => {
+      val samples = Samples.fromEvents(s, dir)
+      val back = graft.sources.LineFormats.datadogV1(
+        graft.sources.LineFormats.exportDatadogV1(samples))
+      back.groupBy("name").agg(
+        count(lit(1)).as("n"),
+        r6(sum("value")).as("sum_v")).orderBy("name")
+    }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v " +
+      "FROM events GROUP BY name ORDER BY name")),
     Q("st_aggregate", (s, dir) => {
       val cfg = graft.streaming.StreamAggr.Config(
         6 * H, by = Seq("user_id"),

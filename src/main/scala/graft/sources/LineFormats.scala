@@ -172,6 +172,60 @@ object LineFormats {
       .filter(col("value").isNotNull)
   }
 
+  /** DataDog /api/v1/series JSON bodies
+    * (lib/protoparser/datadogv1/parser.go): `{"series":[{"metric":…,
+    * "points":[[tsSec, v],…], "tags":["k:v",…], "host":…, "device":…}]}`.
+    * Tags split at the FIRST colon; `host`/`device` become tags like the
+    * reference's extra-label handling. Input column: `body: string`.
+    */
+  def datadogV1(bodies: DataFrame): DataFrame = {
+    val schema = StructType(Seq(StructField("series", ArrayType(StructType(Seq(
+      StructField("metric", S),
+      StructField("host", S),
+      StructField("device", S),
+      StructField("points", ArrayType(ArrayType(DoubleType))),
+      StructField("tags", ArrayType(S))))))))
+    bodies
+      .select(from_json(col("body"), schema).as("j"))
+      .filter(col("j").isNotNull)
+      .select(explode(col("j.series")).as("s"))
+      .select(
+        col("s.metric").as("name"),
+        map_concat(
+          map_from_entries(transform(
+            coalesce(col("s.tags"), array().cast(ArrayType(S))),
+            t => struct(
+              substring_index(t, ":", 1).as("key"),
+              when(t.contains(":"),
+                regexp_replace(t, "^[^:]*:", "")).otherwise(lit("")).as("value")))),
+          map_filter(
+            map(lit("host"), coalesce(col("s.host"), lit("")),
+              lit("device"), coalesce(col("s.device"), lit(""))),
+            (_, v) => v =!= "")).as("tags"),
+        explode(col("s.points")).as("p"))
+      .filter(size(col("p")) >= 2)
+      .select(col("name"), col("tags"),
+        round(element_at(col("p"), 1) * 1000).cast(LongType).as("ts"),
+        element_at(col("p"), 2).as("value"))
+      .filter(col("name").isNotNull && col("value").isNotNull)
+  }
+
+  /** export as DataDog v1 JSON — one body per series (a valid
+    * /api/v1/series payload; points carry epoch SECONDS like the agent).
+    */
+  def exportDatadogV1(samples: DataFrame): DataFrame =
+    samples
+      .withColumn("_tags", transform(array_sort(map_entries(col("tags"))),
+        e => concat(e.getField("key"), lit(":"), e.getField("value"))))
+      .groupBy(col("name"), col("_tags"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("value")))).as("pts"))
+      .select(to_json(struct(array(struct(
+        col("name").as("metric"),
+        transform(col("pts"), p =>
+          array(p.getField("ts").cast(DoubleType) / 1000.0, p.getField("value")))
+          .as("points"),
+        col("_tags").as("tags"))).as("series"))).as("body"))
+
   /** CSV import (/api/v1/import/csv, lib/protoparser/csvimport): the
     * column→role mapping is the user-supplied format string; here the
     * caller names the metric/time columns and which columns are labels.

@@ -6,6 +6,22 @@ import org.apache.spark.sql.functions._
 
 class SourcesSpec extends SparkSpec {
 
+  test("datadog v1 JSON: first-colon tag split, host/device labels, sec->ms") {
+    val s = spark
+    import s.implicits._
+    val body = """{"series":[{"metric":"sys.cpu","host":"h1","device":"/dev/sda1",""" +
+      """"points":[[1704067200.5, 42.25]],"tags":["env:prod","url:http://x:8080","bare"]}]}"""
+    val out = LineFormats.datadogV1(Seq(body).toDF("body")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "sys.cpu")
+    val tags = r.getMap[String, String](1).toMap
+    assert(tags == Map("env" -> "prod", "url" -> "http://x:8080", "bare" -> "",
+      "host" -> "h1", "device" -> "/dev/sda1"))
+    assert(r.getLong(2) == 1704067200500L) // seconds (fractional) -> ms
+    assert(r.getDouble(3) == 42.25)
+  }
+
   test("remote-write protobuf round trip preserves series, tags and samples") {
     val s = spark
     import s.implicits._
