@@ -1380,11 +1380,16 @@ object SparkEntry {
       "tot AS (SELECT t, sum(v) AS tv FROM p GROUP BY t) " +
       "SELECT user_id::BIGINT AS user_id, t, round(1e-9 + v / tv, 6) AS value " +
       "FROM p JOIN tot USING (t) ORDER BY user_id, t")),
+    // round(_, 1e-9) before histogram(): avg_over_time's float-sum order varies
+    // with partitioning, and an unrounded value at a log-bucket boundary flips
+    // buckets between runs (VERDICT r3 "What's wrong" #1). The oracle mirrors
+    // the exact same float ops (v / 1e-9, round, * 1e-9).
     Q("eval_hist_quantile", eng(
-      "histogram_quantile(0.95, prometheus_buckets(histogram(avg_over_time(click[1h]))))") { df =>
+      "histogram_quantile(0.95, prometheus_buckets(histogram(round(avg_over_time(click[1h]), 0.000000001))))") { df =>
       df.select(col("t"), r6(col("value")).as("value")).orderBy("t")
     }, Some(s"WITH b AS ($BH), " +
-      "a AS (SELECT user_id, t, avg(value) AS v FROM b WHERE name = 'click' GROUP BY user_id, t), " +
+      "a AS (SELECT user_id, t, round(avg(value) / 0.000000001) * 0.000000001 AS v " +
+      "FROM b WHERE name = 'click' GROUP BY user_id, t), " +
       "h AS (SELECT t, floor(log10(v) * 18)::BIGINT AS k, count(*)::DOUBLE AS c FROM a GROUP BY t, k), " +
       "cb AS (SELECT t, pow(10, (k + 1) / 18.0) AS le, " +
       "sum(c) OVER (PARTITION BY t ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h), " +
@@ -1424,11 +1429,12 @@ object SparkEntry {
       df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
     }, None),
     Q("eval_hist_quantiles", eng(
-      """histogram_quantiles("phi", 0.5, 0.95, prometheus_buckets(histogram(avg_over_time(click[1h]))))""") { df =>
+      """histogram_quantiles("phi", 0.5, 0.95, prometheus_buckets(histogram(round(avg_over_time(click[1h]), 0.000000001))))""") { df =>
       df.select(col("tags").getItem("phi").as("phi"), col("t"), r6(col("value")).as("value"))
         .orderBy("phi", "t")
     }, Some(s"WITH b AS ($BH), " +
-      "a AS (SELECT user_id, t, avg(value) AS v FROM b WHERE name = 'click' GROUP BY user_id, t), " +
+      "a AS (SELECT user_id, t, round(avg(value) / 0.000000001) * 0.000000001 AS v " +
+      "FROM b WHERE name = 'click' GROUP BY user_id, t), " +
       "h AS (SELECT t, floor(log10(v) * 18)::BIGINT AS k, count(*)::DOUBLE AS c FROM a GROUP BY t, k), " +
       "cb AS (SELECT t, pow(10, (k + 1) / 18.0) AS le, " +
       "sum(c) OVER (PARTITION BY t ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h), " +
