@@ -88,24 +88,9 @@ object Labels {
   def labelsEqual(df: DataFrame, k1: String, k2: String): DataFrame =
     df.filter(tags.getItem(k1).isNotNull && tags.getItem(k1) === tags.getItem(k2))
 
-  /** drop_common_labels(q) — remove labels shared (same value) by every
-    * series (transform.go:1806). Two-pass: global distinct (k,v) counts vs
-    * series count; tiny dimension side → broadcast.
-    */
-  def dropCommonLabels(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val n = df.select(graft.core.Samples.seriesKey(col("name"), tags).as("sk")).distinct().count()
-    val common = df
-      .select(explode(tags).as(Seq("k", "v")), graft.core.Samples.seriesKey(col("name"), tags).as("sk"))
-      .distinct()
-      .groupBy("k", "v")
-      .agg(countDistinct("sk").as("c"))
-      .filter(col("c") === n)
-      .select("k")
-      .collect()
-      .map(_.getString(0))
-    if (common.isEmpty) df else labelDel(df, common.toIndexedSeq: _*)
-  }
+  // drop_common_labels lives in lang/Eval.scala (single-aggregation
+  // sentinel form, Eval.scala:1441) — no operator-level helper: the old
+  // two-action (count + collect) version was a driver-funnel anti-pattern.
 
   /** hashmod relabel action (lib/promrelabel/config.go:330): dst = hash(src) % m */
   def hashmod(df: DataFrame, src: String, dst: String, m: Int): DataFrame =

@@ -263,9 +263,14 @@ object Transform {
     * series after skipping `offset`, ordered by series key.
     */
   def limitOffset(df: DataFrame, keys: Seq[String], limit: Int, offset: Int): DataFrame = {
+    // cap the distinct-series set to offset+limit rows FIRST via a
+    // distributed sort+limit (TakeOrderedAndProject); only the bounded
+    // result — query-parameter scale, not data scale — passes through the
+    // no-partition rank window
     val dims = df.select(keys.map(col): _*).distinct()
+      .orderBy(keys.map(col): _*).limit(offset + limit)
       .withColumn("_rn", row_number().over(Window.orderBy(keys.map(col): _*)))
-      .filter(col("_rn") > offset && col("_rn") <= offset + limit)
+      .filter(col("_rn") > offset)
       .drop("_rn")
     df.join(broadcast(dims), keys, "left_semi")
   }

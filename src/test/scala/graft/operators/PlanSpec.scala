@@ -98,6 +98,25 @@ class PlanSpec extends SparkSpec {
       s"limit_offset must cap via a distributed limit first:\n${plan(lo)}")
   }
 
+  test("source invariant: every no-partition rank window is limit-bounded") {
+    // a row_number() over Window.orderBy(...) (no partitionBy) funnels the
+    // whole input through one task — only legal on a frame already capped
+    // to query-parameter scale by a distributed .limit(n) a few lines up
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main"))
+      .iterator().asScala.filter(_.toString.endsWith(".scala")).toList
+    val offenders = files.flatMap { f =>
+      val lines = java.nio.file.Files.readAllLines(f).asScala.toVector
+      lines.zipWithIndex.collect {
+        case (l, i) if l.contains("Window.orderBy") &&
+          !lines.slice(math.max(0, i - 6), i + 1).exists(_.contains(".limit(")) =>
+          s"$f:${i + 1}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"unbounded no-partition window(s) at: ${offenders.mkString(", ")}")
+  }
+
   test("no persisted frames pinned in the cache manager after eval") {
     spark.sharedState.cacheManager.clearCache()
     val grid = GridSpec(1704067200000L, 1704153600000L, 3600000L)
