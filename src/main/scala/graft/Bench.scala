@@ -26,6 +26,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // AQE sizes partitions by shuffle BYTES; rollup merge partials are
+      // narrow but CPU-heavy (counter delta chains), and the default 1 MiB
+      // floor coalesced them onto 1-3 cores (measured: 16.5 s vs 2.5 s for
+      // ro_tsbs_increase at sf0.1). A lower floor lets parallelism-first
+      // targeting keep all cores busy; large shuffles still coalesce by
+      // size exactly as before.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.ui.enabled", "false")
       // events.parquet carries TIMESTAMP(NANOS); Spark 4 rejects it unless
       // read as raw int64 nanos (same conf Samples.scala sets lazily — the
@@ -47,6 +54,15 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").count()
     Seq("lineitem", "orders", "events", "documents", "embeddings")
       .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    // engine-path warmup on a 1-day grid: JITs the rollup pipeline
+    // (prevPass windows, struct aggregates, two-level merge) so the first
+    // measured engine query reflects steady-state operator speed, not the
+    // interpreter (measured: ~13 s of first-query JIT at sf0.1)
+    graft.Engine.query(
+      graft.core.Samples.fromEvents(spark, sfDir),
+      "increase(click[8h])",
+      graft.core.GridSpec(1704067200000L, 1704153600000L, 3600000L),
+      7200000L).count()
     var failed = List.empty[String]
     val results = names.map { name =>
       val t0 = System.nanoTime()

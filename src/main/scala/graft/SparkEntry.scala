@@ -234,6 +234,21 @@ object SparkEntry {
       "b AS (SELECT event_type AS name, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
       s"j AS (SELECT name, t, value FROM g JOIN b ON b.tms > g.t - ${12 * H} AND b.tms <= g.t) " +
       "SELECT name, t, round(1e-9 + max(value), 6) AS value FROM j GROUP BY name, t ORDER BY name, t")),
+    // TSBS-shaped COUNTER query: increase over a 12h window sliding on a
+    // 1-minute grid (ratio 720), through the full engine text path.
+    // Exercises the two-level COUNTER plan (per-step edge partials +
+    // range-framed merge; Rollup.rollupTwoLevel withPrev) — the bucketize
+    // path would explode every sample 720× AND collect a duplicated sorted
+    // array per bucket. One week of grid keeps the DuckDB range join
+    // tractable.
+    Q("ro_tsbs_increase",
+      eng("increase(click[12h])", GridSpec(START, START + 7 * D, 60000L)) { df =>
+        df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
+      },
+      Some(s"WITH ${prevRangeCtes(60000L, 12 * H, START, START + 7 * D)} " +
+        s"SELECT user_id::BIGINT AS user_id, t, " +
+        s"round(1e-9 + ${deltaChainSql(12 * H, corrected = true)}, 6) AS value " +
+        "FROM f ORDER BY user_id, t")),
     Q("ro_sliding_increase", roHW(Kernels.increase, 6 * H), Some(
       s"WITH g AS (SELECT unnest(generate_series($START, $END, $H)) AS t), " +
         "b AS (SELECT event_type AS name, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
@@ -1177,7 +1192,7 @@ object SparkEntry {
     * `step` = bucket width of the evaluation grid (also the scrape-interval
     * fallback for single-sample series, like prevPass).
     */
-  private def prevCtes(step: Long, nameFilter: String = "click"): String =
+  private def prevSeriesCtes(step: Long, nameFilter: String): String =
     s"l0 AS (SELECT user_id, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events " +
       s"WHERE event_type = '$nameFilter'), " +
       "l1 AS (SELECT *, lag(value) OVER w AS pv, lag(tms) OVER w AS pts, " +
@@ -1194,8 +1209,13 @@ object SparkEntry {
       "CASE WHEN si<=2000 THEN si*5 WHEN si<=4000 THEN si*3 WHEN si<=8000 THEN si*2 " +
       s"WHEN si<=16000 THEN si*1.5 WHEN si<=32000 THEN si*1.25 ELSE si*1.125 END, ${2 * H}))::BIGINT AS mpi " +
       s"FROM (SELECT user_id, coalesce(quantile_cont(tms - pts, 0.6), $step) AS si " +
-      "FROM l3 GROUP BY user_id)), " +
-      s"g AS (SELECT user_id, ((tms + ${step - 1}) // $step) * $step AS t, count(*) AS n, " +
+      "FROM l3 GROUP BY user_id))"
+
+  /** per-(series, window) first/last/seed aggregate list the delta/rate
+    * chains consume — shared by the step-bucket and range-join groupings
+    */
+  private def prevGroupAggs: String = // def: referenced during object init
+    "count(*) AS n, " +
       "first(value ORDER BY tms, value) AS v0, last(value ORDER BY tms, value) AS vl, " +
       "first(tms ORDER BY tms, value) AS fts, last(tms ORDER BY tms, value) AS lts, " +
       "first(pv ORDER BY tms, value) AS fpv, first(pts ORDER BY tms, value) AS fpts, " +
@@ -1203,8 +1223,24 @@ object SparkEntry {
       "first(cv ORDER BY tms, value) AS cv0, last(cv ORDER BY tms, value) AS cvl, " +
       "first(cpv ORDER BY tms, value) AS fcpv, last(cnv ORDER BY tms, value) AS lcnv, " +
       "list(value ORDER BY tms, value) AS vs, list(cv ORDER BY tms, value) AS cvs, " +
-      "list(tms ORDER BY tms, value) AS tss " +
+      "list(tms ORDER BY tms, value) AS tss"
+
+  private def prevCtes(step: Long, nameFilter: String = "click"): String =
+    s"${prevSeriesCtes(step, nameFilter)}, " +
+      s"g AS (SELECT user_id, ((tms + ${step - 1}) // $step) * $step AS t, $prevGroupAggs " +
       "FROM l3 GROUP BY user_id, t), " +
+      "f AS (SELECT g.*, mpi FROM g JOIN m USING (user_id))"
+
+  /** prevCtes for window ≫ step: the window's samples come from a grid
+    * range join instead of one owning step bucket (the oracle mirror of the
+    * engine's two-level counter plan, Rollup.rollupTwoLevel withPrev).
+    */
+  private def prevRangeCtes(step: Long, windowMs: Long, gridStart: Long,
+      gridEnd: Long, nameFilter: String = "click"): String =
+    s"${prevSeriesCtes(step, nameFilter)}, " +
+      s"g0 AS (SELECT unnest(generate_series($gridStart, $gridEnd, $step)) AS t), " +
+      s"j AS (SELECT l3.*, g0.t FROM g0 JOIN l3 ON l3.tms > g0.t - $windowMs AND l3.tms <= g0.t), " +
+      s"g AS (SELECT user_id, t, $prevGroupAggs FROM j GROUP BY user_id, t), " +
       "f AS (SELECT g.*, mpi FROM g JOIN m USING (user_id))"
 
   /** rollupDelta chain over `f` rows: prevValue/realPrevValue seed →
@@ -1777,6 +1813,7 @@ object SparkEntry {
     "ro_rate", // counter family (order-sensitive kernel)
     "ro_sliding_max", // 6h/1h sliding max (two-level rollup path)
     "ro_tsbs_cpu_max", // TSBS cpu-max-all-8 shape: 12h window / 1m step = 720×
+    "ro_tsbs_increase", // same shape, counter family: two-level prev plan
     "ro_default_rollup", // bare-selector lookback semantics
     "ag_topk", // per-point cross-series rank
     "bi_or", // vector-match set op (full-outer shape)

@@ -28,11 +28,23 @@ final case class OverArray(post: Column => Column) extends Kernel
 
 /** Like [[OverArray]] but the rollup executor runs its per-series prev
   * pass first: array elements gain pv/pts/nv (previous/next raw sample) and
-  * cv/cpv/cnv (reset-corrected values), and the aggregated frame carries
-  * `_win` / `_mpi` group columns. Used by the cross-window counter family
-  * (rollup.go prevValue semantics).
+  * cv/cpv/cnv (reset-corrected values); the post receives the window
+  * array plus the effective window (ms) and maxPrevInterval columns.
+  * Used by the cross-window counter family (rollup.go prevValue
+  * semantics).
+  *
+  * `edgeOnly = true` declares the post closure inspects ONLY the window
+  * array's edges: all fields of arr[1] and arr[-1]; the {ts, v, cv} and
+  * own-prev-link fields of arr[2] and arr[-2]; and size(arr) compared
+  * against constants ≤ 2. That contract lets [[Rollup.rollupTwoLevel]]
+  * feed it a synthesized 1-or-4-element pseudo-array built from just the
+  * window's min/max sample structs (window samples are contiguous in the
+  * series sequence, so sample 2 ≡ sample 1's next-neighbor fields and
+  * sample n-1 ≡ sample n's prev-neighbor fields) — the window≫step plan
+  * for the counter family, merged at struct-min/max cost.
   */
-final case class OverArrayPrev(post: Column => Column) extends Kernel
+final case class OverArrayPrev(post: (Column, Column, Column) => Column,
+    edgeOnly: Boolean = false) extends Kernel
 
 /** Two-level decomposition for window ≫ step rollups
   * ([[Rollup.rollupTwoLevel]]): `partials` are (name, perBucketAgg,
@@ -252,9 +264,9 @@ object Kernels {
   // loop prevValue/realPrevValue; rollup.go rollupDelta/rollupDerivFast;
   // removeCounterResets rollup.go:921-958). The rollup executor's prev
   // pass supplies per-row fields pv/pts/nv (previous/next raw sample) and
-  // cv/cpv/cnv (reset-corrected series values), plus group columns `_win`
-  // (effective window ms) and `_mpi` (maxPrevInterval from the per-series
-  // scrape-interval estimate).
+  // cv/cpv/cnv (reset-corrected series values); the post closure receives
+  // the effective window (ms) and maxPrevInterval (from the per-series
+  // scrape-interval estimate) as explicit columns.
   // ======================================================================
 
   private def firstE(arr: Column) = element_at(arr, 1)
@@ -264,14 +276,14 @@ object Kernels {
     * realPrevValue (within lookbackDelta of the first sample) → zero-seed
     * heuristic → skip-first fallback.
     */
-  private def deltaChain(arr: Column, fv: String, fpv: String, fnv: String,
-      lookbackMs: Long): Column = {
+  private def deltaChain(arr: Column, win: Column, mpi: Column,
+      fv: String, fpv: String, fnv: String, lookbackMs: Long): Column = {
     val f = firstE(arr)
     val l = lastE(arr)
     val pv = f.getField(fpv)
     val pts = f.getField("pts")
-    val tStart = col("t") - col("_win")
-    val prevOk = pts.isNotNull && pts > tStart - col("_mpi")
+    val tStart = col("t") - win
+    val prevOk = pts.isNotNull && pts > tStart - mpi
     val realOk = pts.isNotNull &&
       (lit(lookbackMs) === 0 || (f.getField("ts") - pts) < lit(lookbackMs))
     val v0 = f.getField(fv)
@@ -288,49 +300,53 @@ object Kernels {
 
   /** engine-path delta — rollup.go:39 rollupDelta over raw values */
   def deltaPrev(lookbackMs: Long): Kernel =
-    OverArrayPrev(arr => deltaChain(arr, "v", "pv", "nv", lookbackMs))
+    OverArrayPrev((arr, win, mpi) =>
+      deltaChain(arr, win, mpi, "v", "pv", "nv", lookbackMs), edgeOnly = true)
 
   /** engine-path increase — rollupDelta over reset-corrected values
     * (rollup.go:54 + rollupFuncsRemoveCounterResets)
     */
   def increasePrev(lookbackMs: Long): Kernel =
-    OverArrayPrev(arr => deltaChain(arr, "cv", "cpv", "cnv", lookbackMs))
+    OverArrayPrev((arr, win, mpi) =>
+      deltaChain(arr, win, mpi, "cv", "cpv", "cnv", lookbackMs), edgeOnly = true)
 
   /** increase_pure — prev = realPrevValue else 0, no heuristics
     * (rollup.go rollupIncreasePure, over reset-corrected values)
     */
-  def increasePurePrev(lookbackMs: Long): Kernel = OverArrayPrev { arr =>
+  def increasePurePrev(lookbackMs: Long): Kernel =
+    OverArrayPrev(edgeOnly = true, post = { (arr, win, mpi) =>
     val f = firstE(arr)
     val l = lastE(arr)
     val pv = f.getField("cpv")
     val pts = f.getField("pts")
-    val tStart = col("t") - col("_win")
-    val prevOk = pts.isNotNull && pts > tStart - col("_mpi")
+    val tStart = col("t") - win
+    val prevOk = pts.isNotNull && pts > tStart - mpi
     val realOk = pts.isNotNull &&
       (lit(lookbackMs) === 0 || (f.getField("ts") - pts) < lit(lookbackMs))
     when(prevOk || realOk, l.getField("cv") - pv)
       .otherwise(l.getField("cv")) // counter starts from 0
-  }
+  })
 
   /** engine-path rate/deriv_fast — rollupDerivFast (rollup.go:74): dv/dt
     * from the prev sample (or the window's first when no prev), NOT
     * increase/window; rate runs over reset-corrected values, deriv_fast
     * over raw.
     */
-  private def derivFastK(fv: String, fpv: String): Kernel = OverArrayPrev { arr =>
+  private def derivFastK(fv: String, fpv: String): Kernel =
+    OverArrayPrev(edgeOnly = true, post = { (arr, win, mpi) =>
     val f = firstE(arr)
     val l = lastE(arr)
     val pv = f.getField(fpv)
     val pts = f.getField("pts")
-    val tStart = col("t") - col("_win")
-    val prevOk = pts.isNotNull && pts > tStart - col("_mpi")
+    val tStart = col("t") - win
+    val prevOk = pts.isNotNull && pts > tStart - mpi
     val vl = l.getField(fv)
     val tl = l.getField("ts")
     when(prevOk, (vl - pv) / ((tl - pts).cast(D) / 1000.0))
       .when(size(arr) >= 2,
         (vl - f.getField(fv)) / ((tl - f.getField("ts")).cast(D) / 1000.0))
     // single sample without prev: nan (rollup.go rollupDerivFast comment)
-  }
+  })
   val ratePrev: Kernel = derivFastK("cv", "cpv")
   val derivFastPrev: Kernel = derivFastK("v", "pv")
 
@@ -340,12 +356,12 @@ object Kernels {
     * 1e-12-relative precision skip does not advance `prev` (unlike
     * increases/resets below).
     */
-  def changesPrev(lookbackMs: Long): Kernel = OverArrayPrev { arr =>
+  def changesPrev(lookbackMs: Long): Kernel = OverArrayPrev({ (arr, win, mpi) =>
     val f = firstE(arr)
     val pv = f.getField("pv")
     val pts = f.getField("pts")
-    val tStart = col("t") - col("_win")
-    val ext = pts.isNotNull && (pts > tStart - col("_mpi") ||
+    val tStart = col("t") - win
+    val ext = pts.isNotNull && (pts > tStart - mpi ||
       lit(lookbackMs) === 0 || (f.getField("ts") - pts) < lit(lookbackMs))
     val init = struct(lit(0.0).as("n"),
       when(ext, pv).otherwise(lit(Double.NaN)).as("prev"))
@@ -359,18 +375,18 @@ object Kernels {
         (s.getField("n") + when(isSeed || changed, 1.0).otherwise(0.0)).as("n"),
         when(isSeed || changed, v).otherwise(prev).as("prev"))
     }).getField("n")
-  }
+  })
 
   /** engine-path increases/decreases/resets — rollup.go rollupIncreases /
     * rollupResets: seed from prevValue only (no realPrevValue); the first
     * value never counts; `prev` advances on every sample.
     */
-  private def monotonicCount(up: Boolean): Kernel = OverArrayPrev { arr =>
+  private def monotonicCount(up: Boolean): Kernel = OverArrayPrev({ (arr, win, mpi) =>
     val f = firstE(arr)
     val pv = f.getField("pv")
     val pts = f.getField("pts")
-    val tStart = col("t") - col("_win")
-    val prevOk = pts.isNotNull && pts > tStart - col("_mpi")
+    val tStart = col("t") - win
+    val prevOk = pts.isNotNull && pts > tStart - mpi
     val init = struct(lit(0.0).as("n"),
       when(prevOk, pv).otherwise(lit(Double.NaN)).as("prev"))
     aggregate(arr, init, (s, x) => {
@@ -383,7 +399,7 @@ object Kernels {
         (s.getField("n") + when(counted, 1.0).otherwise(0.0)).as("n"),
         v.as("prev"))
     }).getField("n")
-  }
+  })
   val increasesPrev: Kernel = monotonicCount(up = true)
   val decreasesPrev: Kernel = monotonicCount(up = false)
 
@@ -392,19 +408,20 @@ object Kernels {
     * pre-window sample as the other point when it is within
     * maxPrevInterval (irate runs over reset-corrected values).
     */
-  private def iderivPrevK(fv: String, fpv: String): Kernel = OverArrayPrev { arr =>
+  private def iderivPrevK(fv: String, fpv: String): Kernel =
+    OverArrayPrev(edgeOnly = true, post = { (arr, win, mpi) =>
     val f = firstE(arr)
     val l = lastE(arr)
     val l2 = element_at(arr, -2)
-    val tStart = col("t") - col("_win")
-    val prevOk = f.getField("pts").isNotNull && f.getField("pts") > tStart - col("_mpi")
+    val tStart = col("t") - win
+    val prevOk = f.getField("pts").isNotNull && f.getField("pts") > tStart - mpi
     val multi = (l.getField(fv) - l2.getField(fv)) /
       ((l.getField("ts") - l2.getField("ts")).cast(D) / 1000.0)
     val singleWithPrev = (f.getField(fv) - f.getField(fpv)) /
       ((f.getField("ts") - f.getField("pts")).cast(D) / 1000.0)
     when(size(arr) >= 2 && l.getField("ts") > l2.getField("ts"), multi)
       .when(size(arr) === 1 && prevOk, singleWithPrev)
-  }
+  })
   val iderivPrev: Kernel = iderivPrevK("v", "pv")
   val iratePrev: Kernel = iderivPrevK("cv", "cpv")
 

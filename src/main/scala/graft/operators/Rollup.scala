@@ -37,10 +37,6 @@ object Rollup {
       kernels: Seq[(String, Kernel)],
       lookbackMs: Long = 0L,
       autoAdjustWindow: Boolean = false): DataFrame = {
-    val decomposed = kernels.map {
-      case (n, Algebraic(_, Some(tl))) => Some(n -> tl)
-      case _ => None
-    }
     // Measured crossover (sf0.1, local[32]): at ratio ≤ 6 the explode path
     // wins (ro_default_rollup 0.8s vs 5.6s dense; ro_sliding_max 0.6s vs
     // 1.6s) because the dense series×grid frame out-costs a small
@@ -49,9 +45,18 @@ object Rollup {
     // ratio×samples, dense cost ~ series×gridPoints — ratio ≥ 8 is the
     // conservative switch point.
     val ratio = windowMs / grid.stepMs
-    if (!autoAdjustWindow && ratio >= 8 && windowMs % grid.stepMs == 0 &&
-        decomposed.forall(_.isDefined))
-      return rollupTwoLevel(samples, keys, grid, windowMs, decomposed.flatten)
+    if (!autoAdjustWindow && ratio >= 8 && windowMs % grid.stepMs == 0) {
+      val alg = kernels.collect { case (n, Algebraic(_, Some(tl))) => n -> tl }
+      if (alg.size == kernels.size)
+        return rollupTwoLevel(samples, keys, grid, windowMs, alg)
+      val edge = kernels.collect { case (n, k @ OverArrayPrev(_, true)) => n -> k }
+      if (edge.size == kernels.size) // counter family: incremental plan
+        return rollupTwoLevelPrev(
+          prevPass(samples, keys, grid, windowMs, lookbackMs, autoAdjust = false),
+          keys, grid, windowMs, edge)
+      // mixed algebraic/edge sets (never produced by the engine) fall
+      // through to the explode path rather than a hybrid merge
+    }
 
     val needPrev = autoAdjustWindow || kernels.exists(_._2.isInstanceOf[OverArrayPrev])
     val src = if (needPrev) prevPass(samples, keys, grid, windowMs, lookbackMs, autoAdjustWindow)
@@ -77,7 +82,8 @@ object Rollup {
       .agg(aggExprs.head, aggExprs.tail: _*)
     kernels.foreach {
       case (n, OverArray(f)) => out = out.withColumn(n, f(col("_arr")))
-      case (n, OverArrayPrev(f)) => out = out.withColumn(n, f(col("_arr")))
+      case (n, OverArrayPrev(f, _)) =>
+        out = out.withColumn(n, f(col("_arr"), col("_win"), col("_mpi")))
       case _                 =>
     }
     // stable column order: keys, t, kernels
@@ -116,6 +122,7 @@ object Rollup {
       .withColumn("_pv", lag(col("value"), 1).over(sw))
       .withColumn("_pts", lag(col("ts"), 1).over(sw))
       .withColumn("_nv", lead(col("value"), 1).over(sw))
+      .withColumn("_nts", lead(col("ts"), 1).over(sw))
       .withColumn("_corrStep",
         when(col("_pv").isNotNull && col("value") < col("_pv"),
           when((col("_pv") - col("value")) * 8 < col("_pv"), col("_pv") - col("value"))
@@ -145,17 +152,28 @@ object Rollup {
   /** Two-level rollup for window ≫ step over mergeable kernels:
     *
     *  1. ONE partial row per (series, step bucket) — a sample lands in
-    *     exactly one bucket, no explode (vs ceil(window/step)× in
-    *     [[Grid.bucketize]]).
-    *  2. Merge via a range-framed window function over a DENSE
-    *     (series × grid) frame (output-scale rows); buckets before the grid
-    *     start ride along so early lookback frames see them.
+    *     exactly one bucket ([[Grid.bucketize]] would explode it into
+    *     ceil(window/step) buckets).
+    *  2. Merge the partials per window, one of two ways chosen by a
+    *     measured runtime stat (AQE-style):
+    *     - EXPLODE-MERGE (default): each bucket partial fans out to the
+    *       ≤ ratio windows it contributes to, then ONE partial+final
+    *       HashAggregate by (series, t) applies the merge aggregates.
+    *       Fully codegen'd, no window machinery; cost = buckets × ratio
+    *       rows, which is bounded by the old sample-explode (buckets ≤
+    *       samples) and collapses when samples cluster (sf0.1 TSBS
+    *       increase: 4.6 k buckets → 3.3 M merge rows, ~2 s).
+    *     - DENSE-WINDOW (fallback for dense buckets): a range-framed merge
+    *       over a dense (series × grid) frame. WindowExec costs ~1 µs/row
+    *       of buffering (measured floor: even sum() over the 15.4 M-row
+    *       dense frame = 20 s), but it does NOT scale with ratio, so it
+    *       wins when buckets are dense enough that buckets × ratio ≫
+    *       series × gridPoints (e.g. ro_tsbs_cpu_max: 5 series with every
+    *       bucket full).
     *
     * Window (t-window, t] == the union of step buckets ending in
     * [t-window+step, t] — exact because windowMs % stepMs == 0 (the caller
-    * guarantees it). Wall-time no longer scales with window/step: the TSBS
-    * cpu-max-all-8 shape (12h window, 10s step, BASELINE.md) costs the same
-    * shuffles as window == step.
+    * guarantees it).
     */
   private def rollupTwoLevel(
       samples: DataFrame,
@@ -174,8 +192,8 @@ object Rollup {
     // slice: every lookback frame absorbed one stale sample).
     val tb = expr(s"ts + pmod(${start}L - ts, ${s}L)")
     // partial columns, uniquely named per kernel; a shared row count drives
-    // the empty-window filter (no samples in window -> no output row, same
-    // as the bucketize path)
+    // the empty-window filter of the dense-window merge (explode-merge only
+    // ever sees non-empty windows)
     val partialCols: Seq[(String, Column, Column => Column)] =
       kernels.zipWithIndex.flatMap { case ((_, tl), i) =>
         tl.partials.map { case (pn, raw, mrg) => (s"_p${i}_$pn", raw, mrg) }
@@ -185,12 +203,25 @@ object Rollup {
       .groupBy((keys.map(col) :+ col("t")): _*)
       .agg(partialCols.head._2.as(partialCols.head._1),
         partialCols.tail.map(p => p._2.as(p._1)): _*)
+      // materialized once: the strategy choice needs its count, and both
+      // merge strategies reuse it without recomputing the level-1 pass
+      .localCheckpoint(true)
+    val buckets = level1.count()
+    val ratio = windowMs / s
+    val finishCols = (merged: String => Column) =>
+      kernels.zipWithIndex.map { case ((kn, tl), i) =>
+        tl.finish(tl.partials.map { case (pn, _, _) =>
+          pn -> merged(s"_p${i}_$pn")
+        }.toMap).as(kn)
+      }
+    if (buckets * ratio <= ExplodeMergeLimit)
+      return mergeByExplode(level1, keys, grid, windowMs, partialCols, finishCols)
+    // dense-window fallback. NULL-SAFE key join: derived series
+    // legitimately carry name=null, and a plain equi-join would silently
+    // drop every in-grid partial of such series (caught by the
+    // exec_test.go golden slice via sum_over_time(time()[1h]))
     val seriesDim = level1.select(keys.map(col): _*).distinct()
     val dense = seriesDim.crossJoin(Grid.gridDf(samples, grid)).alias("d")
-    // NULL-SAFE key join: derived series legitimately carry name=null, and
-    // a plain equi-join would silently drop every in-grid partial of such
-    // series (caught by the exec_test.go golden slice via
-    // sum_over_time(time()[1h]))
     val inGrid = level1.filter(col("t") >= start).alias("g")
     val joinCond = keys.map(k => col(s"d.$k") <=> col(s"g.$k"))
       .reduce(_ && _) && col("d.t") === col("g.t")
@@ -202,14 +233,135 @@ object Rollup {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("t"))
       .rangeBetween(-(windowMs - s), 0)
     val merged = partialCols.map { case (pn, _, mrg) => pn -> mrg(col(pn)).over(w) }.toMap
-    val kernelCols = kernels.zipWithIndex.map { case ((kn, tl), i) =>
-      tl.finish(tl.partials.map { case (pn, _, _) => pn -> merged(s"_p${i}_$pn") }.toMap).as(kn)
-    }
     joined
-      .select((keys.map(col) :+ col("t") :+ merged("_prows").as("_rows")) ++ kernelCols: _*)
+      .select((keys.map(col) :+ col("t") :+ merged("_prows").as("_rows")) ++
+        finishCols(merged): _*)
       .filter(col("t") >= start && col("_rows") > 0)
       .drop("_rows")
       .select((keys.map(col) :+ col("t")) ++ kernels.map(k => col(k._1)): _*)
+  }
+
+  /** Merge-row budget for the explode-merge strategy: buckets × ratio rows
+    * stream through one partial+final HashAggregate (~0.1 µs/row measured),
+    * so 200 M rows ≈ a few seconds at local[32]; past that the dense-window
+    * merge's series × gridPoints × ~1 µs/row buffering wins.
+    */
+  private val ExplodeMergeLimit = 200L * 1000 * 1000
+
+  /** Explode-merge: fan each bucket partial out to the grid-aligned
+    * windows it contributes to — sequence(t, t+window-step, step) — and
+    * hash-aggregate the merge functions by (series, window end). The merge
+    * aggregates are exactly the TwoLevel window merges, applied as plain
+    * group aggregates (partial+final, map-side combine: a mapper holds a
+    * series' contiguous buckets, so map-side combining is dense).
+    */
+  private def mergeByExplode(
+      level1: DataFrame,
+      keys: Seq[String],
+      grid: GridSpec,
+      windowMs: Long,
+      partialCols: Seq[(String, Column, Column => Column)],
+      finishCols: (String => Column) => Seq[Column]): DataFrame = {
+    val s = grid.stepMs
+    val exploded = level1
+      .withColumn("_wt",
+        explode(expr(s"sequence(t, t + ${windowMs - s}L, ${s}L)")))
+      .filter(col("_wt") >= lit(grid.startMs) && col("_wt") <= lit(grid.endMs))
+      .drop("t").withColumnRenamed("_wt", "t")
+    val aggs = partialCols.map { case (pn, _, mrg) => mrg(col(pn)).as(pn) }
+    val merged = exploded
+      .groupBy((keys.map(col) :+ col("t")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    merged.select((keys.map(col) :+ col("t")) ++ finishCols(c => col(c)): _*)
+  }
+
+  /** Two-level plan for the COUNTER family (edge-only [[OverArrayPrev]]
+    * kernels) at window ≫ step. An edge-only kernel reads only the
+    * window's first/last samples plus their series-level neighbor links
+    * (supplied by [[prevPass]]), so the bucket partial is just
+    * (min sample struct, max sample struct, count, mpi) and the merge is
+    * explode-merge with min/max/sum — one codegen'd HashAggregate, no
+    * window machinery, no ratio× SAMPLE amplification, and no duplicated
+    * per-bucket sorted arrays (the r3 scale-killer: bucketize explode plus
+    * a collect_list per window).
+    *
+    * Measured at sf0.1 (increase(click[12h]), 1 m grid, 1 426 series):
+    * bucketize explode 479 s → dense-frame window merge 36 s (WindowExec
+    * buffering floor over 15.4 M dense rows) → this plan ~5 s.
+    *
+    * The synthesized window array: [first, second, second-to-last, last]
+    * rebuilt from the TWO stored structs — window samples are contiguous
+    * in the series sequence, so sample 2 ≡ sample 1's next-neighbor fields
+    * and sample n-1 ≡ sample n's prev-neighbor fields. The pre-window
+    * prevValue seed the delta chains need (rollup.go:770-805) is the
+    * window-first sample's own pv/pts/cpv links — no separate seed lookup.
+    */
+  private def rollupTwoLevelPrev(
+      prepped: DataFrame, // prevPass output
+      keys: Seq[String],
+      grid: GridSpec,
+      windowMs: Long,
+      kernels: Seq[(String, OverArrayPrev)]): DataFrame = {
+    val s = grid.stepMs
+    val start = grid.startMs
+    val filtered = prepped
+      .filter(col("ts") > lit(start - windowMs) && col("ts") <= lit(grid.endMs))
+    val tb = expr(s"ts + pmod(${start}L - ts, ${s}L)") // see rollupTwoLevel
+    // per-sample struct: ts-first field order == the explode path's sort
+    // order; carries the 1-hop neighbor links the synthesized arr[2] /
+    // arr[-2] and the delta-chain seeds read
+    val edgeStruct = struct(
+      col("ts").as("ts"), col("value").as("v"),
+      col("_pv").as("pv"), col("_pts").as("pts"),
+      col("_nv").as("nv"), col("_nts").as("nts"),
+      col("_cv").as("cv"), col("_cpv").as("cpv"), col("_cnv").as("cnv"))
+    val level1 = filtered
+      .withColumn("t", tb)
+      .groupBy((keys.map(col) :+ col("t")): _*)
+      .agg(min(edgeStruct).as("_pf1"), max(edgeStruct).as("_pl1"),
+        count(lit(1)).as("_pcnt"), max(col("_mpi")).as("_pmpi"))
+    val exploded = level1
+      .withColumn("_wt",
+        explode(expr(s"sequence(t, t + ${windowMs - s}L, ${s}L)")))
+      .filter(col("_wt") >= lit(start) && col("_wt") <= lit(grid.endMs))
+      .drop("t").withColumnRenamed("_wt", "t")
+    // The merge aggregate emits four NARROW struct columns (window first /
+    // second / second-to-last / last); the kernel value is a small
+    // projection over plain column refs above it. Keeping the agg outputs
+    // narrow matters twice: Eval's downstream `value IS NOT NULL` filter
+    // pushes through the projection and duplicates the post expression —
+    // over column refs that duplication is a few dozen scalar nodes, but
+    // with the edge structs inlined it crossed codegen's huge-method
+    // limits (measured: 28 s interpreted fallback / 9 s of janino compile
+    // per cold run vs ~1 s this way).
+    val nullD = lit(null).cast(DoubleType)
+    val nullL = lit(null).cast("long")
+    val f1 = min(col("_pf1"))
+    val l1 = max(col("_pl1"))
+    // synthesized arr[2] / arr[-2] — exact per the edgeOnly contract
+    // (sample 2 ≡ sample 1's next neighbor; sample n-1 ≡ sample n's prev)
+    val f2syn = struct(
+      f1.getField("nts").as("ts"), f1.getField("nv").as("v"),
+      f1.getField("v").as("pv"), f1.getField("ts").as("pts"),
+      nullD.as("nv"), nullL.as("nts"),
+      f1.getField("cnv").as("cv"), f1.getField("cv").as("cpv"), nullD.as("cnv"))
+    val l2syn = struct(
+      l1.getField("pts").as("ts"), l1.getField("pv").as("v"),
+      nullD.as("pv"), nullL.as("pts"),
+      l1.getField("v").as("nv"), l1.getField("ts").as("nts"),
+      l1.getField("cpv").as("cv"), nullD.as("cpv"), l1.getField("cv").as("cnv"))
+    val merged = exploded
+      .groupBy((keys.map(col) :+ col("t")): _*)
+      .agg(f1.as("_f1"), f2syn.as("_f2"), l2syn.as("_l2"), l1.as("_l1"),
+        sum(col("_pcnt")).as("_n"), max(col("_pmpi")).as("_mpi"))
+    val edges = when(col("_n") === 1, array(col("_f1")))
+      .otherwise(array(col("_f1"), col("_f2"), col("_l2"), col("_l1")))
+    val kernelCols = kernels.map { case (kn, OverArrayPrev(post, _)) =>
+      // lazy CaseWhen guard so a pushed predicate can never dereference an
+      // empty array (defensive — merge groups are non-empty by construction)
+      when(size(edges) > 0, post(edges, lit(windowMs), col("_mpi"))).as(kn)
+    }
+    merged.select((keys.map(col) :+ col("t")) ++ kernelCols: _*)
   }
 
   def rollup(

@@ -65,17 +65,21 @@ class PlanSpec extends SparkSpec {
       s"expected partial+final HashAggregate pair in:\n$p")
   }
 
-  test("two-level rollup engages at window >> step: no explode, no blow-up") {
+  test("two-level rollup engages at window >> step: no per-sample explode") {
     val grid = GridSpec(1704067200000L, 1704153600000L, 60000L)
     val df = Rollup.rollup( // 12h window / 1m step = ratio 720
       Samples.eventsFlat(spark, sfDir), Seq("name"), grid, 12 * 3600000L, Kernels.max)
     val p = plan(df)
-    // the only allowed explode is the one-row grid sequence (gridDf);
-    // a sample explode would appear as a second Generate
-    assert("Generate explode".r.findAllIn(p).size <= 1,
-      s"two-level path must not explode samples:\n$p")
-    assert(p.contains("RangeFrame"),
-      s"expected the range-framed merge window in:\n$p")
+    // any explode must sit ABOVE the level-1 per-bucket aggregate (it fans
+    // out bucket PARTIALS, bounded by buckets × ratio); the level-1 frame
+    // shows as an Aggregate, or as the checkpointed RDD scan the strategy
+    // choice materialized. The bucketize path's Generate reads the raw
+    // parquet/sample scan directly.
+    val afterLastExplode = p.substring(p.lastIndexOf("Generate explode"))
+    assert(!p.contains("Generate explode") ||
+      afterLastExplode.contains("Aggregate(") ||
+      afterLastExplode.contains("Scan ExistingRDD"),
+      s"two-level path must not explode raw samples:\n$p")
   }
 
   test("limit_offset / ungrouped limitk plan no unbounded single-partition rank") {
