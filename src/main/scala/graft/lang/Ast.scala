@@ -62,6 +62,10 @@ sealed trait AtSpec
 final case class AtTimestamp(sec: Double) extends AtSpec
 case object AtStart extends AtSpec
 case object AtEnd extends AtSpec
+/** `@` with a start()/end()-relative expression (`@ (end()-10m)`,
+  * `@ end() offset 10m`) — resolved against the grid at eval time.
+  */
+final case class AtExpr(e: Expr) extends AtSpec
 
 /** `expr[window:step] offset o @ at` — durations kept unresolved (see
   * [[Dur]]); None window means "inherit step" (auto-adjust,

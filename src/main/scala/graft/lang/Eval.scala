@@ -225,7 +225,18 @@ object Eval {
     * frame (name, tags, t, value).
     */
   def eval(samples: DataFrame, expr: Expr, cfg: EvalConfig): DataFrame =
-    toSeries(samples, new Ev(samples, cfg).eval(expr), cfg)
+    new Ev(samples, cfg).eval(expr) match {
+      // a top-level string is an empty result, not an error
+      // (exec_test.go simple-string)
+      case StrVal(_) =>
+        toSeries(samples, Scalar(Double.NaN), cfg).filter(lit(false))
+      case v =>
+        // NaN result points are dropped at the top level: the engine
+        // models a NaN grid point as an absent row, and the reference
+        // strips series that end up all-NaN from every result (exec.go
+        // removeEmptySeries; exec_test.go expects `(-4)^0.5` → nothing)
+        toSeries(samples, v, cfg).filter(!isnan(col("value")))
+    }
 
   /** materialize scalars on the grid; pass series through */
   private def toSeries(samples: DataFrame, v: Value, cfg: EvalConfig): DataFrame = v match {
@@ -267,6 +278,24 @@ object Eval {
     private def strArg(e: Expr): String = eval(e) match {
       case StrVal(s) => s
       case other => throw new IllegalArgumentException(s"expected string arg, got $other")
+    }
+
+    /** label value as a column; `__name__` reads the metric name, absent
+      * labels read as "" (reference: empty label == missing label)
+      */
+    private def labelCol(l: String): Column =
+      coalesce(if (l == "__name__") col("name") else col("tags").getItem(l), lit(""))
+
+    /** parse an `le` bucket label like Go's ParseFloat: inf spellings and
+      * unparseable values must not throw under ANSI (unparseable buckets
+      * are skipped — transform.go groupLeTimeseries)
+      */
+    private def leValue(raw: Column): Column = {
+      val low = lower(raw)
+      when(low.isin("inf", "+inf", "infinity", "+infinity"),
+        lit(Double.PositiveInfinity))
+        .when(low.isin("-inf", "-infinity"), lit(Double.NegativeInfinity))
+        .otherwise(expr("try_cast(tags['le'] AS DOUBLE)"))
     }
 
     // ------------------------------------------------------------------
@@ -393,9 +422,9 @@ object Eval {
     private def evalAbsentOverTime(f: FuncExpr): Value = {
       val re = f.args.head match {
         case r: RollupExpr => r
-        case m: MetricExpr => RollupExpr(m, None, None, None, None)
-        case other =>
-          throw new IllegalArgumentException(s"absent_over_time needs a series arg, got $other")
+        // any other expr (time(), transforms, …) evaluates as an implicit
+        // [step] subquery, like the generic rollup-arg rule
+        case other => RollupExpr(other, None, None, None, None)
       }
       val (keyed, rollGrid, atMs, windowMs) = rollupInput("absent_over_time", re)
       val out = replicateAt(Rollup.absentOverTime(keyed, rollGrid, windowMs), atMs)
@@ -449,12 +478,29 @@ object Eval {
         if (fn == "default_rollup") math.max(step, cfg.lookbackMs) else step
       }
       val offsetMs = re.offset.map(_.ms(step)).getOrElse(0L)
+      // grid-relative constant for @ expressions: numbers, start()/end(),
+      // arithmetic over them, and `end() offset 10m` (which parses as a
+      // rollup-offset around the at-target)
+      def atConst(e: Expr): Double = e match {
+        case NumberExpr(v) => v
+        case FuncExpr("start", Seq(), _) => cfg.grid.startMs / 1000.0
+        case FuncExpr("end", Seq(), _) => cfg.grid.endMs / 1000.0
+        case FuncExpr("step", Seq(), _) => cfg.grid.stepMs / 1000.0
+        case ParensExpr(Seq(one)) => atConst(one)
+        case BinaryOpExpr(op, l, r, _, _, _, _) =>
+          BinaryOp.applyScalar(op, atConst(l), atConst(r))
+        case RollupExpr(inner, None, None, Some(off), None, _, _) =>
+          atConst(inner) - off.ms(step) / 1000.0
+        case other =>
+          throw new IllegalArgumentException(s"unsupported @ modifier: $other")
+      }
       // the grid this rollup evaluates on: the query grid, or a single
       // point for @ (eval once, replicate — eval.go instant-at semantics)
       val atMs: Option[Long] = re.at.map {
         case AtTimestamp(sec) => math.round(sec * 1000)
         case AtStart => cfg.grid.startMs
         case AtEnd => cfg.grid.endMs
+        case AtExpr(e) => math.round(atConst(e) * 1000)
       }
       val rollGrid = atMs
         .map(a => GridSpec(a, a, step))
@@ -465,11 +511,19 @@ object Eval {
         case m: MetricExpr =>
           samples.filter(filterPredicate(m.filterss))
         case inner =>
-          // subquery: evaluate inner expr on a finer grid extended back by
-          // the window (eval.go:1033-1102 evalRollupFuncWithSubquery)
+          // Subquery: evaluate inner expr on a finer grid extended back by
+          // the window and shifted by the offset, then ALIGNED to absolute
+          // step multiples (eval.go:1050-1058 evalRollupFuncWithSubquery +
+          // alignStartEnd): a non-step-multiple offset must still evaluate
+          // the inner expr on step-aligned timestamps — exec_test.go
+          // `time() offset 3640` reads the aligned point before t-3640.
           val innerStep = re.step.map(_.ms(step)).getOrElse(step)
-          val innerStart = rollGrid.startMs - ((windowMs + innerStep - 1) / innerStep) * innerStep
-          val innerCfg = cfg.copy(grid = GridSpec(innerStart, rollGrid.endMs, innerStep))
+          val rawStart = rollGrid.startMs - offsetMs -
+            ((windowMs + innerStep - 1) / innerStep) * innerStep
+          val innerStart = Math.floorDiv(rawStart, innerStep) * innerStep
+          val innerEnd = // aligned UP
+            -Math.floorDiv(-(rollGrid.endMs - offsetMs), innerStep) * innerStep
+          val innerCfg = cfg.copy(grid = GridSpec(innerStart, innerEnd, innerStep))
           new Ev(samples, innerCfg).series(inner)
             .select(col("name"), col("tags"), col("t").as("ts"), col("value"))
       }
@@ -874,12 +928,45 @@ object Eval {
         case _ =>
       }
       val leftV0 = eval(b.left)
-      val (leftV, rightV) = leftV0 match {
+      val (leftV1, rightV1) = leftV0 match {
         case Series(ld) =>
           val (newLeft, rv) = evalRightAdaptive(ld, b)
           (Series(newLeft), rv)
         case _ => (leftV0, eval(b.right))
       }
+      // set ops between scalar-ish operands (`time()<=1200 or
+      // time()>1600`, `time() and 2`) run the full vector-match path:
+      // scalars materialize on the grid, scalar series keep their empty
+      // series key, and or/and/unless merge per timestamp
+      // (exec_test.go minute(series_with_NaNs), scalar-or-scalar)
+      val promoteSetOps = Set("and", "or", "unless").contains(b.op)
+      def promote(v: Value): Value = v match {
+        case ScalarSeries(d) if promoteSetOps => Series(d)
+        case Scalar(x) if promoteSetOps => Series(toSeries(samples, Scalar(x), cfg))
+        case other => other
+      }
+      // `default` fills a series' MISSING grid points from the right side,
+      // so the left frame must first densify to the full grid with
+      // null-value rows (binary_op.go:568 default; exec_test.go
+      // scalar-default-scalar)
+      def densify(d: DataFrame): DataFrame = {
+        val withSk = d.withColumn("_sk", skey(col("name"), col("tags")))
+        val dim = withSk.select(col("_sk"), col("name"), col("tags"))
+          .dropDuplicates("_sk")
+        val dense = dim.crossJoin(Grid.gridDf(samples, cfg.grid))
+        dense.join(withSk.select(col("_sk"), col("t"), col("value")), Seq("_sk", "t"), "left")
+          .select(col("name"), col("tags"), col("t"),
+            // missing points surface as NaN — the engine's "absent" value
+            // every downstream isnan() test understands
+            coalesce(col("value"), lit(Double.NaN)).as("value"))
+      }
+      val (leftV2, rightV2) = (promote(leftV1), promote(rightV1))
+      val leftV = if (b.op == "default") leftV2 match {
+        case Series(d) => Series(densify(d))
+        case ScalarSeries(d) => ScalarSeries(densify(d))
+        case o => o
+      } else leftV2
+      val rightV = rightV2
       (leftV, rightV) match {
         case (Scalar(l), Scalar(r)) =>
           val v = BinaryOp.applyScalar(b.op, l, r)
@@ -919,7 +1006,10 @@ object Eval {
     private def scalarSeriesOp(df: DataFrame, sd: DataFrame, b: BinaryOpExpr,
         scalarOnRight: Boolean): Value = {
       val s = sd.select(col("t"), col("value").as("_sv"))
-      val joined = df.join(s, Seq("t"))
+      // default/ifnot must see points the scalar side LACKS (fill from
+      // left / keep-when-absent); every other op drops unmatched points
+      val joinType = if (b.op == "default" || b.op == "ifnot") "left" else "inner"
+      val joined = df.join(s, Seq("t"), joinType)
       Scalar2Series(joined, col("_sv"), b, scalarOnRight) match {
         case Series(out) =>
           Series(out.select(col("name"), col("tags"), col("t"), col("value")))
@@ -1008,13 +1098,16 @@ object Eval {
           val rOnly = r.join(l.select("_mk", "t").distinct(), Seq("_mk", "t"), "left_anti")
           Series(l.select(lOnly: _*).unionByName(rOnly.select(lOnly: _*)))
         case "default" =>
-          // left, with gaps of EXISTING left series filled from the right
-          // per (mk, t) — right series the left never had stay dropped
-          // (binary_op.go:568 binaryOpDefault fills per matched key)
-          val rOnly = r
-            .join(l.select("_mk", "t").distinct(), Seq("_mk", "t"), "left_anti")
-            .join(l.select("_mk").distinct(), Seq("_mk"), "left_semi")
-          Series(l.select(lOnly: _*).unionByName(rOnly.select(lOnly: _*)))
+          // the LEFT series, with NaN/absent points filled from the right
+          // per (mk, t) — the left side arrives densified over the grid
+          // (evalBinop), so gaps surface as NaN rows here; output keeps the
+          // left's identity incl. name (binary_op.go:568 binaryOpDefault)
+          val rv = r.groupBy(col("_mk"), col("t")).agg(first(col("value")).as("_rv"))
+          val filled = l.join(rv, Seq("_mk", "t"), "left")
+            .withColumn("value",
+              when(isnan(col("value")) && col("_rv").isNotNull, col("_rv"))
+                .otherwise(col("value")))
+          Series(filled.select(lOnly: _*))
         case op =>
           // arithmetic / comparison: equi-join on (mk, t)
           val (many, one, leftIsMany) = b.joinModifier match {
@@ -1226,29 +1319,56 @@ object Eval {
               map().cast("map<string,string>").as("tags"), col("t"), lit(1.0).as("value")))
         case "union" => evalUnion(f.args)
         case "drop_empty_series" => Series(df)
+        case "alias" =>
+          // alias(q, "name") sets the metric name (transform.go:2004)
+          Series(df.withColumn("name", lit(strArg(f.args(1)))))
         case "label_set" =>
-          // label_set(q, "l1", "v1", …) (transform.go:1806)
+          // label_set(q, "l1", "v1", …); "__name__" sets the metric name
+          // (transform.go:1806 — MetricGroup is just another label there)
           val pairs = f.args.tail.map(strArg).grouped(2).map(p => (p(0), p(1))).toSeq
-          val add = map(pairs.flatMap(p => Seq(lit(p._1), lit(p._2))): _*)
-          Series(df.withColumn("tags", map_concat(
-            map_filter(col("tags"), (k, _) => !k.isInCollection(pairs.map(_._1))), add)))
+          val (namePairs, tagPairs) = pairs.partition(_._1 == "__name__")
+          val withTags =
+            if (tagPairs.isEmpty) df
+            else df.withColumn("tags", map_concat(
+              map_filter(col("tags"), (k, _) => !k.isInCollection(tagPairs.map(_._1))),
+              map(tagPairs.flatMap(p => Seq(lit(p._1), lit(p._2))): _*)))
+          Series(namePairs.lastOption match {
+            case Some((_, n)) => withTags.withColumn("name", lit(n))
+            case None => withTags
+          })
         case "label_del" =>
           val ls = f.args.tail.map(strArg)
-          Series(df.withColumn("tags", map_filter(col("tags"), (k, _) => !k.isInCollection(ls))))
+          val out = df.withColumn("tags",
+            map_filter(col("tags"), (k, _) => !k.isInCollection(ls)))
+          Series(if (ls.contains("__name__"))
+            out.withColumn("name", lit(null).cast(StringType)) else out)
         case "label_keep" =>
           val ls = f.args.tail.map(strArg)
-          Series(df.withColumn("tags", map_filter(col("tags"), (k, _) => k.isInCollection(ls))))
+          val out = df.withColumn("tags",
+            map_filter(col("tags"), (k, _) => k.isInCollection(ls)))
+          Series(if (ls.contains("__name__")) out
+            else out.withColumn("name", lit(null).cast(StringType)))
         case "label_copy" | "label_move" =>
-          // label_copy(q, "src", "dst", …) (transform.go:1853; move deletes src)
+          // label_copy(q, "src", "dst", …) (transform.go:1853; move deletes
+          // src); "__name__" on either side reads/writes the metric name
           val pairs = f.args.tail.map(strArg).grouped(2).map(p => (p(0), p(1))).toSeq
           var out = df
           pairs.foreach { case (src, dst) =>
-            val sv = col("tags").getItem(src)
-            out = out.withColumn("tags",
-              when(sv.isNotNull, map_concat(
-                map_filter(col("tags"), (k, _) =>
-                  !(k === dst) && (if (name == "label_move") !(k === src) else lit(true))),
-                map(lit(dst), sv))).otherwise(col("tags")))
+            val sv = if (src == "__name__") col("name") else col("tags").getItem(src)
+            if (dst == "__name__") {
+              out = out.withColumn("name", coalesce(sv, col("name")))
+              if (name == "label_move" && src != "__name__")
+                out = out.withColumn("tags",
+                  map_filter(col("tags"), (k, _) => !(k === src)))
+            } else {
+              out = out.withColumn("tags",
+                when(sv.isNotNull, map_concat(
+                  map_filter(col("tags"), (k, _) =>
+                    !(k === dst) && (if (name == "label_move") !(k === src) else lit(true))),
+                  map(lit(dst), sv))).otherwise(col("tags")))
+              if (name == "label_move" && src == "__name__")
+                out = out.withColumn("name", lit(null).cast(StringType))
+            }
           }
           Series(out)
         case "label_join" =>
@@ -1277,9 +1397,12 @@ object Eval {
                 map_filter(col("tags"), (k, _) => !(k === dst)), map(lit(dst), newV)))
                 .otherwise(col("tags"))))
         case "label_value" =>
-          // numeric value of a label (transform.go:2000)
+          // numeric value of a label; unparseable values drop like NaN
+          // (transform.go:2000) — try_cast, since ANSI cast would throw
           val label = strArg(f.args(1))
-          Series(df.withColumn("value", col("tags").getItem(label).cast(DoubleType))
+          Series(df
+            .withColumn("value",
+              expr(s"try_cast(tags['${label.replace("'", "\\'")}'] AS DOUBLE)"))
             .filter(col("value").isNotNull))
         case "label_lowercase" =>
           val ls = f.args.tail.map(strArg)
@@ -1292,11 +1415,11 @@ object Eval {
         case "label_match" =>
           val label = strArg(f.args(1))
           val re = strArg(f.args(2))
-          Series(df.filter(coalesce(col("tags").getItem(label), lit("")).rlike(anchored(re))))
+          Series(df.filter(labelCol(label).rlike(anchored(re))))
         case "label_mismatch" =>
           val label = strArg(f.args(1))
           val re = strArg(f.args(2))
-          Series(df.filter(!coalesce(col("tags").getItem(label), lit("")).rlike(anchored(re))))
+          Series(df.filter(!labelCol(label).rlike(anchored(re))))
         case "labels_equal" =>
           // keep series where all given labels have identical values
           val ls = f.args.tail.map(strArg)
@@ -1319,7 +1442,7 @@ object Eval {
           Series(sorted.drop("_avg"))
         case "sort_by_label" | "sort_by_label_desc" =>
           val ls = f.args.tail.map(strArg)
-          val keys = ls.map(l => coalesce(col("tags").getItem(l), lit("")))
+          val keys = ls.map(labelCol)
           val ordered = if (name == "sort_by_label") keys.map(_.asc) else keys.map(_.desc)
           Series(df.orderBy(ordered :+ col("t").asc: _*))
         case "limit_offset" =>
@@ -1388,12 +1511,16 @@ object Eval {
               map(lit("le"), col("le").cast(StringType))).as("tags"),
             col("t"), col("value")))
         case "histogram_quantile" | "histogram_share" | "histogram_avg" |
-            "histogram_stddev" | "histogram_stdvar" =>
+            "histogram_stddev" | "histogram_stdvar" | "histogram_fraction" =>
           // bucket families carry an `le` label (SURVEY §1.1); group by
           // tags-minus-le
-          val arg = if (name == "histogram_quantile" || name == "histogram_share") 1 else 0
+          val arg = name match {
+            case "histogram_quantile" | "histogram_share" => 1
+            case "histogram_fraction" => 2
+            case _ => 0
+          }
           val in = series(f.args(arg))
-            .withColumn("le", col("tags").getItem("le").cast(DoubleType))
+            .withColumn("le", leValue(col("tags").getItem("le")))
             .filter(col("le").isNotNull)
             .withColumn("_tk", tagKey(map_filter(col("tags"), (k, _) => k =!= "le")))
             .select(col("name"), col("_tk"), col("t"), col("le"), col("value"))
@@ -1402,6 +1529,9 @@ object Eval {
               graft.operators.HistogramQ.quantile(in, Seq("name", "_tk"), scalarArg(f.args.head))
             case "histogram_share" =>
               graft.operators.HistogramQ.share(in, Seq("name", "_tk"), scalarArg(f.args.head))
+            case "histogram_fraction" =>
+              graft.operators.HistogramQ.fraction(in, Seq("name", "_tk"),
+                scalarArg(f.args.head), scalarArg(f.args(1)))
             case "histogram_avg" =>
               graft.operators.HistogramQ.histAvg(in, Seq("name", "_tk"))
             case "histogram_stddev" =>
@@ -1409,15 +1539,36 @@ object Eval {
             case _ =>
               graft.operators.HistogramQ.histStdvar(in, Seq("name", "_tk"))
           }
-          Series(out.select(lit(null).cast(StringType).as("name"),
-            tagsOf(col("_tk")).as("tags"), col("t"), col("value")))
+          // 3-arg quantile/share: a boundsLabel fans out lower/upper bound
+          // series alongside the value (transform.go:1004 boundsLabel)
+          val boundsLabel = name match {
+            case ("histogram_quantile" | "histogram_share") if f.args.size > 2 =>
+              Some(strArg(f.args(2)))
+            case _ => None
+          }
+          def emit(vc: String, boundTag: Option[(String, String)]) = {
+            val tags = boundTag match {
+              case Some((l, v)) => map_concat(
+                map_filter(tagsOf(col("_tk")), (k, _) => !(k === l)), map(lit(l), lit(v)))
+              case None => tagsOf(col("_tk"))
+            }
+            out.select(lit(null).cast(StringType).as("name"),
+              tags.as("tags"), col("t"), col(vc).as("value"))
+          }
+          Series(boundsLabel match {
+            case Some(l) =>
+              emit("value", None)
+                .unionByName(emit("lower", Some(l -> "lower")))
+                .unionByName(emit("upper", Some(l -> "upper")))
+            case None => emit("value", None)
+          })
         case "histogram_quantiles" =>
           // histogram_quantiles("phi_label", phi1, …, buckets) — one series
           // per phi tagged by the phi value (transform.go:950)
           val lbl = strArg(f.args.head)
           val phis = f.args.drop(1).dropRight(1).map(scalarArg)
           val in = series(f.args.last)
-            .withColumn("le", col("tags").getItem("le").cast(DoubleType))
+            .withColumn("le", leValue(col("tags").getItem("le")))
             .filter(col("le").isNotNull)
             .withColumn("_tk", tagKey(map_filter(col("tags"), (k, _) => k =!= "le")))
             .select(col("name"), col("_tk"), col("t"), col("le"), col("value"))
@@ -1428,7 +1579,7 @@ object Eval {
         case "buckets_limit" =>
           // buckets_limit(limit, buckets) — transform.go:386
           val in = series(f.args(1))
-            .withColumn("le", col("tags").getItem("le").cast(DoubleType))
+            .withColumn("le", leValue(col("tags").getItem("le")))
             .filter(col("le").isNotNull)
             .withColumn("_tk", tagKey(map_filter(col("tags"), (k, _) => k =!= "le")))
             .select(col("name"), col("_tk"), col("t"), col("le"), col("value"))
@@ -1483,15 +1634,19 @@ object Eval {
           val ordered =
             if (name == "sort_by_label_numeric") keys.map(_.asc) else keys.map(_.desc)
           Series(df.orderBy(ordered :+ col("t").asc: _*))
-        case "bitmap_and" =>
-          Series(keepName(df.withColumn("value",
-            col("value").cast("long").bitwiseAND(lit(scalarArg(f.args(1)).toLong)).cast(DoubleType))))
-        case "bitmap_or" =>
-          Series(keepName(df.withColumn("value",
-            col("value").cast("long").bitwiseOR(lit(scalarArg(f.args(1)).toLong)).cast(DoubleType))))
-        case "bitmap_xor" =>
-          Series(keepName(df.withColumn("value",
-            col("value").cast("long").bitwiseXOR(lit(scalarArg(f.args(1)).toLong)).cast(DoubleType))))
+        case "bitmap_and" | "bitmap_or" | "bitmap_xor" =>
+          // NaN operands (either side) stay NaN (transform.go:330
+          // bitmapFunc) — the long cast would throw under ANSI otherwise
+          val mask = scalarArg(f.args(1))
+          val op: (Column, Column) => Column = name match {
+            case "bitmap_and" => _.bitwiseAND(_)
+            case "bitmap_or" => _.bitwiseOR(_)
+            case _ => _.bitwiseXOR(_)
+          }
+          val v = if (mask.isNaN) lit(Double.NaN)
+            else when(isnan(col("value")), col("value")).otherwise(
+              op(col("value").cast("long"), lit(mask.toLong)).cast(DoubleType))
+          Series(keepName(df.withColumn("value", v)))
         case "timezone_offset" =>
           val tz = strArg(f.args.head)
           Series(Grid.gridDf(samples, cfg.grid).select(

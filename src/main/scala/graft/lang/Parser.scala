@@ -38,12 +38,35 @@ object Parser {
     Folder.fold(e)
   }
 
+  /** Default WITH templates every query sees, verbatim from the reference
+    * (metricsql/parser.go:56 getDefaultWithArgExprs); alias/range_median
+    * are native transforms here, so only ru/ttf need expansion. Bodies are
+    * parsed once with defaults disabled (params appear as bare selectors,
+    * substituted at call expansion like any WITH template).
+    */
+  private val defaultScope: Map[String, WithArg] = {
+    def mk(name: String, params: Seq[String], src: String): (String, WithArg) = {
+      val p = new P(Lexer.tokenize(src), src, useDefaults = false)
+      val body = p.parseExpr(0)
+      p.expectEof()
+      name -> WithArg(name, params, body)
+    }
+    Map(
+      mk("ru", Seq("freev", "maxv"),
+        "clamp_min(maxv - clamp_min(freev, 0), 0) / clamp_min(maxv, 0) * 100"),
+      mk("ttf", Seq("freev"),
+        "smooth_exponential(" +
+          "clamp_max(clamp_max(-freev, 0) / clamp_max(deriv_fast(freev), 0), 365*24*3600), " +
+          "clamp_max(step()/300, 1))"))
+  }
+
   /** Parser state: token cursor + WITH scopes (name → (params, body)).
     * Scopes are mutable maps so each WITH binding becomes visible while
     * parsing SUBSEQUENT bindings of the same list (parser.go:1193-1206
     * expandWithExprExt exposes all prior withArgExprs the same way).
     */
-  private final class P(tokens: Vector[Token], input: String) {
+  private final class P(tokens: Vector[Token], input: String,
+      useDefaults: Boolean = true) {
     private var pos = 0
     private val scopes = mutable.Stack[mutable.Map[String, WithArg]]()
 
@@ -58,6 +81,7 @@ object Parser {
     }
     private def lookup(name: String): Option[WithArg] =
       scopes.iterator.flatMap(_.get(name)).nextOption()
+        .orElse(if (useDefaults) defaultScope.get(name) else None)
 
     def expectEof(): Unit =
       if (cur.kind != Eof) throw new ParseError(s"unexpected trailing '${cur.text}'", cur.pos)
@@ -99,7 +123,9 @@ object Parser {
     private def parseUnary(): Expr = {
       if (cur.kind == Op && cur.text == "-") {
         advance()
-        val e = parseUnary()
+        // `^` binds tighter than unary minus (exec_test.go `-4^0.5` = -2,
+        // not NaN), so the operand absorbs any power chain first
+        val e = parseExpr(BinaryOp.priority("^"))
         e match {
           case NumberExpr(v) => NumberExpr(-v)
           case other => BinaryOpExpr("*", NumberExpr(-1), other)
@@ -140,7 +166,9 @@ object Parser {
             case NumberExpr(v) => Some(AtTimestamp(v))
             case FuncExpr("start", Seq(), _) => Some(AtStart)
             case FuncExpr("end", Seq(), _) => Some(AtEnd)
-            case other => throw new ParseError(s"unsupported @ modifier: $other", cur.pos)
+            // start()/end()-relative expressions (`@ (end()-10m)`,
+            // `@ end() offset 10m`) resolve against the grid at eval time
+            case other => Some(AtExpr(other))
           }
         } else if (isKw(cur, "keep_metric_names")) {
           advance(); keepNames = true
@@ -219,27 +247,29 @@ object Parser {
       }
     }
 
-    private def parseParens(): Expr = {
+    /** comma-separated exprs up to ')'; trailing comma allowed, as in the
+      * reference parser (exec_test.go multiline union literals end `,)`)
+      */
+    private def parseExprList(): Seq[Expr] = {
       expectPunct("(")
       val items = mutable.Buffer[Expr]()
       if (!(cur.kind == Punct && cur.text == ")")) {
         items += parseExpr(0)
-        while (cur.kind == Punct && cur.text == ",") { advance(); items += parseExpr(0) }
-      }
-      expectPunct(")")
-      if (items.size == 1) items.head else ParensExpr(items.toSeq)
-    }
-
-    private def parseArgList(): Seq[Expr] = {
-      expectPunct("(")
-      val items = mutable.Buffer[Expr]()
-      if (!(cur.kind == Punct && cur.text == ")")) {
-        items += parseExpr(0)
-        while (cur.kind == Punct && cur.text == ",") { advance(); items += parseExpr(0) }
+        while (cur.kind == Punct && cur.text == ",") {
+          advance()
+          if (!(cur.kind == Punct && cur.text == ")")) items += parseExpr(0)
+        }
       }
       expectPunct(")")
       items.toSeq
     }
+
+    private def parseParens(): Expr = {
+      val items = parseExprList()
+      if (items.size == 1) items.head else ParensExpr(items)
+    }
+
+    private def parseArgList(): Seq[Expr] = parseExprList()
 
     private def parseAggr(name: String): Expr = {
       var modifier: Option[AggrModifier] = None

@@ -43,109 +43,164 @@ object HistogramQ {
   private def sortedArr: Column =
     array_sort(collect_list(struct(col("le").as("le"), col("value").as("c"))))
 
-  /** Primitive-loop quantile kernel: running-max bucket repair + the
-    * Prometheus linear interpolation in one pass. A JVM UDF, not a
-    * Catalyst higher-order fold: `aggregate()` evaluates interpreted per
-    * element and dominated the h_quantile bench query (same measured
-    * finding as the SimHash voting loop, Dedup.scala).
+  /** sorted, same-le-merged (summed — transform.go:1168 mergeSameLE),
+    * broken-bucket-repaired (running max — transform.go:1126) (le, count)
+    * pairs from the raw collected array. Primitive JVM loop, not a
+    * Catalyst fold: `aggregate()` evaluates interpreted per element and
+    * dominated the h_quantile bench query.
     */
-  private def hqUdf(phi: Double) = udf { (arr0: Seq[org.apache.spark.sql.Row]) =>
-    val arr = if (arr0 == null) null
-      else arr0.filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // null le/c rows
-    if (arr == null || arr.isEmpty) None
-    else {
-      val n = arr.length
-      var i = 0
-      var prev = 0.0
-      val les = new Array[Double](n)
-      val cs = new Array[Double](n)
-      while (i < n) {
-        val r = arr(i)
-        les(i) = r.getDouble(0)
-        val c = r.getDouble(1)
-        prev = if (i == 0) c else math.max(c, prev) // fixBrokenBuckets
-        cs(i) = prev
-        i += 1
-      }
-      val total = cs(n - 1)
-      if (!(total > 0)) None
+  private def prep(arr0: Seq[org.apache.spark.sql.Row]): (Array[Double], Array[Double]) = {
+    val arr = arr0.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val n0 = arr.length
+    val les = new Array[Double](n0)
+    val cs = new Array[Double](n0)
+    var n = 0
+    var i = 0
+    while (i < n0) { // input is sorted by (le, c); merge duplicate les
+      val le = arr(i).getDouble(0)
+      val c = arr(i).getDouble(1)
+      if (n > 0 && les(n - 1) == le) cs(n - 1) += c
+      else { les(n) = le; cs(n) = c; n += 1 }
+      i += 1
+    }
+    i = 1
+    while (i < n) { cs(i) = math.max(cs(i), cs(i - 1)); i += 1 } // fixBrokenBuckets
+    (les.take(n), cs.take(n))
+  }
+
+  /** reference quantile walk (transform.go:1027): returns (q, lower,
+    * upper) per the boundsLabel contract; NaN q drops the point upstream.
+    */
+  private def quantileWalk(phi: Double, les: Array[Double], cs: Array[Double]):
+      (Double, Double, Double) = {
+    val nan = Double.NaN
+    val inf = Double.PositiveInfinity
+    val n = les.length
+    if (phi.isNaN || n == 0) return (nan, nan, nan)
+    val vLast = cs(n - 1)
+    if (vLast == 0) return (nan, nan, nan)
+    if (phi < 0) return (Double.NegativeInfinity, Double.NegativeInfinity, cs(0))
+    if (phi > 1) return (inf, vLast, inf)
+    val vReq = vLast * phi
+    var vPrev = 0.0
+    var lePrev = 0.0
+    var i = 0
+    while (i < n) {
+      val v = cs(i)
+      val le = les(i)
+      if (v <= 0) { lePrev = le } // skip zero buckets
+      else if (v < vReq) { vPrev = v; lePrev = le }
+      else if (le.isInfinity) { i = n } // fall through to lastNonInf
+      else if (v == vPrev) return (lePrev, lePrev, v)
+      else return (lePrev + (le - lePrev) * (vReq - vPrev) / (v - vPrev), lePrev, le)
+      i += 1
+    }
+    // target in the +Inf bucket (or never reached): highest finite le
+    var j = n - 1
+    while (j >= 0 && les(j).isInfinity) j -= 1
+    if (j < 0) (nan, nan, nan) else (les(j), les(j), inf)
+  }
+
+  /** reference share walk (transform.go:678): fraction of observations
+    * ≤ leReq, with (lower, upper) bounds.
+    */
+  private def shareWalk(leReq: Double, les: Array[Double], cs: Array[Double]):
+      (Double, Double, Double) = {
+    val nan = Double.NaN
+    if (leReq.isNaN || les.isEmpty) return (nan, nan, nan)
+    if (leReq < 0) return (0, 0, 0)
+    if (leReq.isPosInfinity) return (1, 1, 1)
+    val n = les.length
+    var vPrev = 0.0
+    var lePrev = 0.0
+    var i = 0
+    while (i < n) {
+      val v = cs(i)
+      val le = les(i)
+      if (leReq >= le) { vPrev = v; lePrev = le }
       else {
-        val target = phi * total
-        var res = Double.NaN
-        var plo = 0.0
-        var pc = 0.0
-        i = 0
-        while (i < n && res.isNaN) {
-          if (cs(i) >= target) {
-            val inBucket = cs(i) - pc
-            val frac = if (inBucket > 0) (target - pc) / inBucket else 0.0
-            res = plo + (les(i) - plo) * frac
-          } else { plo = les(i); pc = cs(i) }
-          i += 1
-        }
-        if (res.isNaN) None else Some(res)
+        val vLast = cs(n - 1)
+        val lower = vPrev / vLast
+        if (le.isPosInfinity) return (lower, lower, 1)
+        if (lePrev == leReq) return (lower, lower, lower)
+        val upper = v / vLast
+        return (lower + (v - vPrev) / vLast * (leReq - lePrev) / (le - lePrev), lower, upper)
       }
+      i += 1
+    }
+    (1, 1, 1) // leReq beyond the last bucket
+  }
+
+  private def hqUdf(phi: Double) = udf { (arr0: Seq[org.apache.spark.sql.Row]) =>
+    if (arr0 == null) None
+    else {
+      val (les, cs) = prep(arr0)
+      val (q, lo, hi) = quantileWalk(phi, les, cs)
+      if (q.isNaN) None else Some((q, lo, hi))
     }
   }
 
   private def shareUdf(leBound: Double) = udf { (arr0: Seq[org.apache.spark.sql.Row]) =>
-    val arr = if (arr0 == null) null
-      else arr0.filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // null le/c rows
-    if (arr == null || arr.isEmpty) None
+    if (arr0 == null) None
     else {
-      val n = arr.length
-      var i = 0
-      var prev = 0.0
-      val les = new Array[Double](n)
-      val cs = new Array[Double](n)
-      while (i < n) {
-        val r = arr(i)
-        les(i) = r.getDouble(0)
-        val c = r.getDouble(1)
-        prev = if (i == 0) c else math.max(c, prev)
-        cs(i) = prev
-        i += 1
-      }
-      val total = cs(n - 1)
-      if (!(total > 0)) None
+      val (les, cs) = prep(arr0)
+      if (cs.isEmpty || !(cs(les.length - 1) > 0)) None
       else {
-        var res = Double.NaN
-        var plo = 0.0
-        var pc = 0.0
-        i = 0
-        while (i < n && res.isNaN) {
-          if (les(i) >= leBound) {
-            val width = les(i) - plo
-            val frac = if (width > 0) math.min((leBound - plo) / width, 1.0) else 1.0
-            res = pc + (cs(i) - pc) * frac
-          } else { plo = les(i); pc = cs(i) }
-          i += 1
-        }
-        // no bucket ≥ bound: everything is below it → share = 1
-        Some((if (res.isNaN) total else res) / total)
+        val (q, lo, hi) = shareWalk(leBound, les, cs)
+        if (q.isNaN) None else Some((q, lo, hi))
       }
     }
   }
 
-  /** histogram_quantile(phi, buckets) — transform.go:991 */
-  def quantile(buckets: DataFrame, groupKeys: Seq[String], phi: Double): DataFrame =
-    buckets
-      .groupBy((groupKeys :+ "t").map(col): _*)
-      .agg(sortedArr.as("_b"))
-      .withColumn("value", hqUdf(phi)(col("_b")))
-      .drop("_b")
-      .filter(col("value").isNotNull && !isnan(col("value")))
+  private def fractionUdf(lowerLe: Double, upperLe: Double) =
+    udf { (arr0: Seq[org.apache.spark.sql.Row]) =>
+      if (arr0 == null) None
+      else {
+        val (les, cs) = prep(arr0)
+        if (cs.isEmpty || !(cs(les.length - 1) > 0)) None
+        else {
+          val hi = shareWalk(upperLe, les, cs)._1
+          val lo = shareWalk(lowerLe, les, cs)._1
+          val f = hi - lo
+          if (f.isNaN) None else Some(f)
+        }
+      }
+    }
 
-  /** histogram_share(le, buckets) — fraction of observations ≤ le
-    * (transform.go:651), with linear interpolation inside the bucket.
+  /** histogram_quantile(phi, buckets[, boundsLabel]) — transform.go:991.
+    * Output: keys, t, value, lower, upper (bounds used only for the 3-arg
+    * form).
     */
+  def quantile(buckets: DataFrame, groupKeys: Seq[String], phi: Double): DataFrame =
+    bounded(buckets, groupKeys, hqUdf(phi))
+
+  /** histogram_share(le, buckets[, boundsLabel]) — transform.go:651 */
   def share(buckets: DataFrame, groupKeys: Seq[String], leBound: Double): DataFrame =
+    bounded(buckets, groupKeys, shareUdf(leBound))
+
+  /** histogram_fraction(lower, upper, buckets) = share(upper) −
+    * share(lower) (transform.go:753).
+    */
+  def fraction(buckets: DataFrame, groupKeys: Seq[String],
+      lowerLe: Double, upperLe: Double): DataFrame =
     buckets
       .groupBy((groupKeys :+ "t").map(col): _*)
       .agg(sortedArr.as("_b"))
-      .withColumn("value", shareUdf(leBound)(col("_b")))
+      .withColumn("value", fractionUdf(lowerLe, upperLe)(col("_b")))
       .drop("_b")
       .filter(col("value").isNotNull)
+
+  private def bounded(buckets: DataFrame, groupKeys: Seq[String],
+      k: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+    buckets
+      .groupBy((groupKeys :+ "t").map(col): _*)
+      .agg(sortedArr.as("_b"))
+      .withColumn("_q", k(col("_b")))
+      .filter(col("_q").isNotNull)
+      .select((groupKeys :+ "t").map(col) ++ Seq(
+        col("_q").getField("_1").as("value"),
+        col("_q").getField("_2").as("lower"),
+        col("_q").getField("_3").as("upper")): _*)
 
   /** histogram_avg — mean estimated from bucket midpoints
     * (transform.go:829; the reference averages bucket midpoint × count).
@@ -171,7 +226,7 @@ object HistogramQ {
       .agg(sortedArr.as("_b"))
     val qs = phis.zipWithIndex.map { case (p, i) =>
       base.withColumn("phi", lit(p.toString))
-        .withColumn("value", hqUdf(p)(col("_b")))
+        .withColumn("value", hqUdf(p)(col("_b")).getField("_1"))
     }
     qs.reduce(_ unionByName _)
       .drop("_b")

@@ -325,19 +325,19 @@ object Rollup {
         explode(expr(s"sequence(t, t + ${windowMs - s}L, ${s}L)")))
       .filter(col("_wt") >= lit(start) && col("_wt") <= lit(grid.endMs))
       .drop("t").withColumnRenamed("_wt", "t")
-    // The merge aggregate emits four NARROW struct columns (window first /
-    // second / second-to-last / last); the kernel value is a small
-    // projection over plain column refs above it. Keeping the agg outputs
-    // narrow matters twice: Eval's downstream `value IS NOT NULL` filter
-    // pushes through the projection and duplicates the post expression —
-    // over column refs that duplication is a few dozen scalar nodes, but
-    // with the edge structs inlined it crossed codegen's huge-method
-    // limits (measured: 28 s interpreted fallback / 9 s of janino compile
-    // per cold run vs ~1 s this way).
+    // The kernel value is computed INSIDE the merge aggregate's result
+    // expressions: downstream filters (Eval's `value IS NOT NULL`, the
+    // engine's top-level NaN drop) then reference the aggregate's OUTPUT
+    // attribute and cannot be pushed through it. Any projection-based
+    // variant lets predicate pushdown inline the full edge-array CASE into
+    // every filter condition — measured 14 s vs 4 s at sf0.1 once the
+    // second (NaN) filter landed, as the tripled tree falls out of
+    // whole-stage codegen.
     val nullD = lit(null).cast(DoubleType)
     val nullL = lit(null).cast("long")
     val f1 = min(col("_pf1"))
     val l1 = max(col("_pl1"))
+    val n = sum(col("_pcnt"))
     // synthesized arr[2] / arr[-2] — exact per the edgeOnly contract
     // (sample 2 ≡ sample 1's next neighbor; sample n-1 ≡ sample n's prev)
     val f2syn = struct(
@@ -350,18 +350,16 @@ object Rollup {
       nullD.as("pv"), nullL.as("pts"),
       l1.getField("v").as("nv"), l1.getField("ts").as("nts"),
       l1.getField("cpv").as("cv"), nullD.as("cpv"), l1.getField("cv").as("cnv"))
-    val merged = exploded
-      .groupBy((keys.map(col) :+ col("t")): _*)
-      .agg(f1.as("_f1"), f2syn.as("_f2"), l2syn.as("_l2"), l1.as("_l1"),
-        sum(col("_pcnt")).as("_n"), max(col("_pmpi")).as("_mpi"))
-    val edges = when(col("_n") === 1, array(col("_f1")))
-      .otherwise(array(col("_f1"), col("_f2"), col("_l2"), col("_l1")))
-    val kernelCols = kernels.map { case (kn, OverArrayPrev(post, _)) =>
-      // lazy CaseWhen guard so a pushed predicate can never dereference an
-      // empty array (defensive — merge groups are non-empty by construction)
-      when(size(edges) > 0, post(edges, lit(windowMs), col("_mpi"))).as(kn)
+    val edges = when(n === 1, array(f1)).otherwise(array(f1, f2syn, l2syn, l1))
+    val aggCols = kernels.map { case (kn, OverArrayPrev(post, _)) =>
+      // lazy CaseWhen guard so the post can never dereference an empty
+      // array (defensive — merge groups are non-empty by construction)
+      when(size(edges) > 0, post(edges, lit(windowMs), max(col("_pmpi")))).as(kn)
     }
-    merged.select((keys.map(col) :+ col("t")) ++ kernelCols: _*)
+    exploded
+      .groupBy((keys.map(col) :+ col("t")): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+      .select((keys.map(col) :+ col("t")) ++ kernels.map(k => col(k._1)): _*)
   }
 
   def rollup(

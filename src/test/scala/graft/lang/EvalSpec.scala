@@ -161,11 +161,13 @@ class EvalSpec extends SparkSpec {
     val or = run("""avg_over_time(n[1m]) or avg_over_time(m[1m])""")
     assert(or(("n|a", 3 * M)) == 100.0) // left wins
     assert(or(("m|a", 7 * M)) == 7.0) // right fills
-    // default: only fills gaps of series the left already has
+    // default keeps the LEFT series' identity (name included) and fills
+    // its NaN/absent points from the tag-matched right series
+    // (binary_op.go:568; exec_test.go vector-default-* pin this shape)
     val d = run("""avg_over_time(n[1m]) default avg_over_time(m[1m])""")
     assert(d(("n|a", 3 * M)) == 100.0)
-    assert(d(("m|a", 7 * M)) == 7.0) // gap of inst=a filled
-    assert(!d.exists(_._1._1.endsWith("|b"))) // left never had inst=b
+    assert(d(("n|a", 7 * M)) == 7.0) // gap filled from m{inst="a"}
+    assert(d.size == 10 && d.keySet.map(_._1) == Set("n|a"))
   }
 
   test("subquery: max_over_time of an inner grid") {

@@ -1,0 +1,163 @@
+package graft.lang
+
+import graft.SparkSpec
+import graft.tools.GoldenTriage
+
+/** Golden-corpus gate: the ported exec_test.go subtests
+  * (tools/GoldenTriage.entries — app/vmselect/promql/exec_test.go
+  * TestExecSuccess, expected vectors verbatim) must all pass, minus a
+  * pinned exclusion list of known gaps. Run
+  * `runMain graft.tools.GoldenTriage` to see per-subtest PASS/FAIL when
+  * curating the exclusions; shrink the list as gaps close — tests may
+  * move OUT of it, never silently in (the floor assertion below).
+  */
+class GoldenCorpusSpec extends SparkSpec {
+
+  /** subtests that do not pass yet — each represents reference surface
+    * still to build (fill/fill_left/fill_right binop modifiers, scalar
+    * args from per-point series in the clamp family, keep_metric_names
+    * fine points, buckets_limit edge trimming, …)
+    */
+  private val knownGaps: Set[String] = Set(
+    "simple-string-op-number",
+    "tlast_change_over_time(hit_middle)",
+    "tlast_change_over_time(miss)",
+    "absent(NaN)",
+    "absent_over_time(nan[200s:10s])",
+    "absent(scalar(multi-timeseries))",
+    "clamp_min(time(), -time()+3000)",
+    "clamp_min(1500, time())",
+    "no drop_empty_series()",
+    "drop_common_labels(multi_args)",
+    "label_join(label_join)",
+    "label_replace(match)",
+    "label_replace(label_replace)",
+    "label_graphite_group()",
+    "limit_offset NaN",
+    "sum(label_graphite_group)",
+    "scalar(multi-timeseries)",
+    "compare_to_empty_series_right_with_fill_left",
+    "compare_to_empty_series_right_with_fill_right",
+    "1 and (0 > 1)",
+    "scalar default vector1",
+    "scalar default vector2",
+    "scalar default NaN",
+    "scalar * ignoring(foo) group_right vector",
+    "vector + vector on group_left matching",
+    "vector + vector on group_left(*)",
+    "vector + vector on group_left(*) prefix",
+    "vector + vector ignoring matching",
+    "vector + vector fill()",
+    "vector + vector fill() both sides NaN case",
+    "vector + vector fill_left() fill_right()",
+    "vector + vector fill_right() only",
+    "vector + vector on() fill()",
+    "vector + vector on() group_left() fill_right()",
+    "vector / vector ignoring() fill()",
+    "histogram_quantile(scalar-phi)",
+    "histogram_share(scalar-phi)",
+    "histogram_fraction(scalar-phi)",
+    "histogram_quantile(nan-bucket-count-some)",
+    "histogram_quantiles()",
+    "buckets_limit(trim_zero_preserve_empty_when_limit_not_reached)",
+    "buckets_limit(trim_zero)",
+    "buckets_limit(unused)",
+    "buckets_limit(used)",
+    "prometheus_buckets(missing-vmrange)",
+    "prometheus_buckets(valid)",
+    "prometheus_buckets(overlapped ranges)",
+    "prometheus_buckets(overlapped ranges at the end)",
+    "sum(multi-args)",
+    "sum(union-scalars)",
+    "share()",
+    "histogram(scalar)",
+    "histogram(vector)",
+    "sum(multi-vector) by (known-tag) limit 1",
+    "sum(multi-vector) by (__name__)",
+    "equal-list-reverse",
+    "not-equal-list",
+    "not-equal-list-reverse",
+    "limitk(-1)",
+    "any()",
+    "topk_max(1, remaining_sum)",
+    "topk_max(2, remaining_sum)",
+    "topk_max(3, remaining_sum)",
+    "topk(1, nan_timeseries)",
+    "interpolate(tail)",
+    "interpolate(head)",
+    "interpolate(tail_head_and_middle)",
+    "scalar if vector1",
+    "scalar if vector2",
+    "ifnot",
+    "quantile(-2)",
+    "quantile(3)",
+    "quantile(NaN)",
+    "mad()",
+    "range_trim_spikes()",
+    "range_trim_spikes(time() > 1200 <= 1800)",
+    "range_quantile(0.5, time() > 1200 < 2000)",
+    "range_stddev(time() > 1200 < 1800)",
+    "range_stdvar(time() > 1200 < 1800)",
+    "ttf(2000-time())",
+    "ttf(1000-time())",
+    "ttf(1500-time())",
+    "integrate(1)",
+    "integrate(time())",
+    "rate(2000-time())",
+    "increase_prometheus(time())",
+    "running_min(abs(1500-time()) < 400 > 100)",
+    "running_max(abs(1300-time()) > 300 < 700)",
+    "running_sum(time() > 1.2 < 1.8)",
+    "running_avg(time() > 1200 < 1800)",
+    "remove_resets(sum)",
+    "range_min(time() > 1200 < 1800)",
+    "range_normalize(time(),alias(-time(),\"negative\"))",
+    "range_normalize(time() > 1200 < 1800,alias(-(time() > 1400 < 2000),\"negative\"))",
+    "range_first(time() > 1200 < 1800)",
+    "range_mad(time() > 1200 < 1800)",
+    "range_max(time() > 1200 < 1800)",
+    "range_sum(time() > 1200 < 1800)",
+    "range_last(time() > 1200 < 1800)",
+    "range_linear_regression(time() > 1200 < 1800)",
+    "range_linear_regression(100/time())",
+    "deriv(N)",
+    "deriv(time())",
+    "deriv(-time())",
+    "delta_prometheus(time())",
+    "median_over_time(\"foo\")",
+    "rollup_increase()",
+    "rollup_rate()",
+    "rollup_rate(q, \"max\")",
+    "rollup_rate(q, \"avg\")",
+    "rollup_deriv(q, \"max\")",
+    "()",
+    "union()",
+    "count_values_big_numbers",
+    "count_values",
+    "count_values by (xxx)",
+    "count_values without (baz)",
+    "sort_by_label_numeric(multiple_labels_only_string)",
+    "sort_by_label_numeric(multiple_labels_numbers_special_chars)",
+    "sort_by_label_numeric_desc(multiple_labels_numbers_special_chars)",
+    "limit_offset(5, 0, sort_by_label_numeric_desc(multiple_labels_numbers_special_chars, \"foo\"))",
+    "sort_by_label_numeric(alias_numbers_with_special_chars)",
+    "nan or on() series",
+    "series or on() series",
+    "series with no NaNs or on() series",
+    "series or on() series with overlap",
+    "series or on() series merge")
+
+  test("ported exec_test.go corpus passes (minus pinned known gaps)") {
+    val active = GoldenTriage.entries.filterNot(e => knownGaps(e.nm))
+    assert(active.size >= 400, s"golden corpus shrank to ${active.size}")
+    val failures = active.flatMap(e => GoldenTriage.check(spark, e).map(m => s"${e.nm}: $m"))
+    assert(failures.isEmpty,
+      s"${failures.size} golden subtests failed:\n${failures.take(10).mkString("\n")}")
+  }
+
+  test("known-gap list only contains real entries") {
+    val names = GoldenTriage.entries.map(_.nm).toSet
+    val stale = knownGaps.filterNot(names)
+    assert(stale.isEmpty, s"stale exclusions: $stale")
+  }
+}
