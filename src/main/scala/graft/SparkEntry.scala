@@ -1654,6 +1654,49 @@ object SparkEntry {
         r6(sum("value")).as("sum_v")).orderBy("name")
     }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v " +
       "FROM events GROUP BY name ORDER BY name")),
+    Q("src_datadogv2_roundtrip", (s, dir) => {
+      val samples = Samples.fromEvents(s, dir)
+      val back = graft.sources.LineFormats.datadogV2(
+        graft.sources.LineFormats.exportDatadogV2(samples))
+      back.groupBy("name").agg(
+        count(lit(1)).as("n"),
+        r6(sum("value")).as("sum_v")).orderBy("name")
+    }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v " +
+      "FROM events GROUP BY name ORDER BY name")),
+    Q("src_newrelic_roundtrip", (s, dir) => {
+      val samples = Samples.fromEvents(s, dir)
+      val back = graft.sources.LineFormats.newRelic(
+        graft.sources.LineFormats.exportNewRelic(samples))
+      // tags roundtrip too: fold the user_id label into the check
+      back.groupBy("name").agg(
+        count(lit(1)).as("n"),
+        r6(sum("value")).as("sum_v"),
+        countDistinct(col("tags").getItem("user_id")).as("nu")).orderBy("name")
+    }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v, " +
+      "count(DISTINCT user_id) AS nu FROM events GROUP BY name ORDER BY name")),
+    Q("src_zabbix_roundtrip", (s, dir) => {
+      val samples = Samples.fromEvents(s, dir)
+      val back = graft.sources.LineFormats.zabbix(
+        graft.sources.LineFormats.exportZabbix(samples))
+      back.groupBy("name").agg(
+        count(lit(1)).as("n"),
+        r6(sum("value")).as("sum_v"),
+        r6(sum(col("ts"))).as("sum_ts")).orderBy("name")
+    }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v, " +
+      "round(1e-9 + sum(epoch_ms(ts::TIMESTAMP)), 6) AS sum_ts FROM events GROUP BY name ORDER BY name")),
+    Q("src_ddsketch_roundtrip", (s, dir) => {
+      val samples = Samples.fromEvents(s, dir)
+      val back = graft.sources.ProtoFormats.datadogSketches(
+        graft.sources.ProtoFormats.exportDatadogSketches(samples))
+      // every quantile of a 1-observation sketch is the observation, so
+      // the p99 series reproduces the raw values exactly; .count sums to
+      // the row count
+      back.filter(col("tags").getItem("quantile") === "0.99")
+        .groupBy("name").agg(
+          count(lit(1)).as("n"),
+          r6(sum("value")).as("sum_v")).orderBy("name")
+    }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v " +
+      "FROM events GROUP BY name ORDER BY name")),
     Q("st_aggregate", (s, dir) => {
       val cfg = graft.streaming.StreamAggr.Config(
         6 * H, by = Seq("user_id"),

@@ -226,6 +226,199 @@ object LineFormats {
           .as("points"),
         col("_tags").as("tags"))).as("series"))).as("body"))
 
+  /** DataDog /api/v2/series JSON bodies (lib/protoparser/datadogv2/
+    * parser.go: Series{metric, points[{timestamp,value}],
+    * resources[{name,type}], source_type_name, tags}; row mapping per
+    * app/vminsert/datadogv2/request_handler.go:35: each resource becomes a
+    * (type → name) label, tag key `host` renames to `exported_host`,
+    * source_type_name gets its own label; point timestamps are seconds).
+    */
+  def datadogV2(bodies: DataFrame): DataFrame = {
+    val schema = StructType(Seq(StructField("series", ArrayType(StructType(Seq(
+      StructField("metric", S),
+      StructField("source_type_name", S),
+      StructField("points", ArrayType(StructType(Seq(
+        StructField("timestamp", LongType),
+        StructField("value", DoubleType))))),
+      StructField("resources", ArrayType(StructType(Seq(
+        StructField("name", S),
+        StructField("type", S))))),
+      StructField("tags", ArrayType(S))))))))
+    val resourceTags = map_from_entries(transform(
+      coalesce(col("s.resources"),
+        array().cast(ArrayType(StructType(Seq(
+          StructField("name", S), StructField("type", S)))))),
+      r => struct(r.getField("type").as("key"), r.getField("name").as("value"))))
+    val splitTags = map_from_entries(transform(
+      coalesce(col("s.tags"), array().cast(ArrayType(S))),
+      t => {
+        val k = substring_index(t, ":", 1)
+        struct(
+          when(k === "host", lit("exported_host")).otherwise(k).as("key"),
+          when(t.contains(":"),
+            regexp_replace(t, "^[^:]*:", "")).otherwise(lit("")).as("value"))
+      }))
+    val stn = map_filter(
+      map(lit("source_type_name"), coalesce(col("s.source_type_name"), lit(""))),
+      (_, v) => v =!= "")
+    bodies
+      .select(from_json(col("body"), schema).as("j"))
+      .filter(col("j").isNotNull)
+      .select(explode(col("j.series")).as("s"))
+      .select(
+        col("s.metric").as("name"),
+        map_concat(resourceTags, splitTags, stn).as("tags"),
+        explode(col("s.points")).as("p"))
+      .select(col("name"), col("tags"),
+        (col("p.timestamp") * 1000).as("ts"), col("p.value").as("value"))
+      .filter(col("name").isNotNull && col("value").isNotNull)
+  }
+
+  /** export as DataDog v2 JSON — one /api/v2/series body per series */
+  def exportDatadogV2(samples: DataFrame): DataFrame =
+    samples
+      .withColumn("_tags", transform(array_sort(map_entries(col("tags"))),
+        e => concat(e.getField("key"), lit(":"), e.getField("value"))))
+      .groupBy(col("name"), col("_tags"))
+      .agg(array_sort(collect_list(struct(col("ts"), col("value")))).as("pts"))
+      .select(to_json(struct(array(struct(
+        col("name").as("metric"),
+        transform(col("pts"), p => struct(
+          (p.getField("ts") / 1000).cast(LongType).as("timestamp"),
+          p.getField("value").as("value"))).as("points"),
+        col("_tags").as("tags"))).as("series"))).as("body"))
+
+  /** Zabbix real-time export lines (lib/protoparser/zabbixconnector/
+    * parser.go:64 Row.unmarshal): NDJSON objects with host.host → `host`
+    * label, host.name → `hostname` label, name → metric name, item_tags
+    * → labels, ts = clock·1e3 + ns/1e6. `value` may be a JSON number or a
+    * numeric string (getFloat64); non-numeric item values are dropped.
+    */
+  def zabbix(lines: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("host", StructType(Seq(
+        StructField("host", S), StructField("name", S)))),
+      StructField("name", S),
+      StructField("value", S),
+      StructField("clock", LongType),
+      StructField("ns", LongType),
+      StructField("item_tags", ArrayType(StructType(Seq(
+        StructField("tag", S), StructField("value", S)))))))
+    lines
+      .select(from_json(col("line"), schema).as("j"))
+      .filter(col("j").isNotNull && col("j.host.host").isNotNull &&
+        col("j.name").isNotNull && col("j.clock").isNotNull)
+      .select(
+        col("j.name").as("name"),
+        map_concat(
+          map(lit("host"), col("j.host.host"),
+            lit("hostname"), coalesce(col("j.host.name"), lit(""))),
+          map_from_entries(transform(
+            filter(
+              coalesce(col("j.item_tags"), array().cast(ArrayType(StructType(Seq(
+                StructField("tag", S), StructField("value", S)))))),
+              t => t.getField("tag").isNotNull && t.getField("tag") =!= ""),
+            t => struct(t.getField("tag").as("key"),
+              coalesce(t.getField("value"), lit("")).as("value"))))).as("tags"),
+        (col("j.clock") * 1000 +
+          (coalesce(col("j.ns"), lit(0L)) / 1000000).cast(LongType)).as("ts"),
+        expr("try_cast(j.value AS DOUBLE)").as("value"))
+      .filter(col("value").isNotNull)
+  }
+
+  /** export as Zabbix connector NDJSON lines (one item value per line) */
+  def exportZabbix(samples: DataFrame): DataFrame =
+    samples.select(to_json(struct(
+      struct(
+        coalesce(col("tags").getItem("host"), lit("h1")).as("host"),
+        coalesce(col("tags").getItem("hostname"),
+          col("tags").getItem("host"), lit("h1")).as("name")).as("host"),
+      col("name").as("name"),
+      col("value").cast(S).as("value"),
+      (col("ts") / 1000).cast(LongType).as("clock"),
+      (pmod(col("ts"), lit(1000L)) * 1000000).cast(LongType).as("ns"),
+      transform(
+        filter(array_sort(map_entries(col("tags"))),
+          e => !e.getField("key").isInCollection(Seq("host", "hostname"))),
+        e => struct(e.getField("key").as("tag"), e.getField("value").as("value")))
+        .as("item_tags"))).as("line"))
+
+  /** NewRelic /newrelic/infra/v2/metrics/events/bulk JSON
+    * (lib/protoparser/newrelic/parser.go:135 Row.unmarshal): the body is
+    * an array of MetricPost objects, each carrying Events; within an
+    * event object every STRING field becomes a label (empty values are
+    * skipped), every NUMBER field becomes one sample named after the
+    * field, and the `timestamp` number is the row timestamp (seconds →
+    * ms when < 2³²). Field classification needs the raw JSON value types,
+    * so this is a per-partition Jackson pass, like the protobuf decoders.
+    */
+  def newRelic(bodies: DataFrame): DataFrame = {
+    val spark = bodies.sparkSession
+    val schema = StructType(Seq(
+      StructField("name", S),
+      StructField("tags", MapType(S, S)),
+      StructField("ts", LongType),
+      StructField("value", DoubleType)))
+    val rows = bodies.select(col("body").cast(S)).rdd.mapPartitions { it =>
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      it.flatMap { r =>
+        try {
+          val root = om.readTree(r.getString(0))
+          val posts = (0 until root.size()).map(root.get)
+          posts.iterator.flatMap { mp =>
+            val events = mp.get("Events")
+            if (events == null || !events.isArray) Iterator.empty
+            else (0 until events.size()).iterator.map(events.get).flatMap { ev =>
+              var ts = 0L
+              val tags = Map.newBuilder[String, String]
+              val samples = Seq.newBuilder[(String, Double)]
+              val fields = ev.fields()
+              while (fields.hasNext) {
+                val e = fields.next()
+                val k = e.getKey
+                val v = e.getValue
+                if (k.nonEmpty) {
+                  if (v.isTextual) { if (v.asText.nonEmpty) tags += k -> v.asText }
+                  else if (v.isNumber) {
+                    if (k == "timestamp") {
+                      val t = v.asDouble
+                      ts = (if (t < (1L << 32)) t * 1e3 else t).toLong
+                    } else samples += k -> v.asDouble
+                  }
+                }
+              }
+              val tagMap = tags.result()
+              samples.result().map { case (n, v) =>
+                org.apache.spark.sql.Row(n, tagMap, ts, v)
+              }
+            }
+          }
+        } catch { case _: Exception => Iterator.empty } // per-body tolerance
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** export as NewRelic events JSON — one MetricPost body per sample:
+    * labels as string fields, timestamp and the named value as NUMBER
+    * fields (the parser classifies by JSON value type, so to_json — which
+    * stringifies everything — would turn them into labels). Assumes label
+    * keys/values and metric names need no JSON escaping, which holds for
+    * the exporter's own canonical samples.
+    */
+  def exportNewRelic(samples: DataFrame): DataFrame = {
+    val tagFields = array_join(
+      transform(array_sort(map_entries(col("tags"))),
+        e => concat(lit("\""), e.getField("key"), lit("\":\""),
+          e.getField("value"), lit("\""))), ",")
+    samples.select(concat(
+      lit("""[{"Events":[{"""),
+      when(length(tagFields) > 0, concat(tagFields, lit(","))).otherwise(lit("")),
+      lit("\"timestamp\":"), col("ts").cast(S), lit(","),
+      lit("\""), col("name"), lit("\":"), col("value").cast(S),
+      lit("}]}]")).as("body"))
+  }
+
   /** CSV import (/api/v1/import/csv, lib/protoparser/csvimport): the
     * column→role mapping is the user-supplied format string; here the
     * caller names the metric/time columns and which columns are labels.

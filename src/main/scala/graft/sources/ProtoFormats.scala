@@ -52,6 +52,13 @@ object ProtoFormats {
       r
     }
     def readDouble(): Double = java.lang.Double.longBitsToDouble(readFixed64())
+    /** packed repeated varints (wire type 2); caller zigzag-decodes */
+    def readPackedVarints(): Seq[Long] = {
+      val sub = readMessage()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (sub.hasNext) out += sub.readVarint()
+      out.toSeq
+    }
     /** length-delimited field → sub-reader */
     def readMessage(): Reader = {
       val len = readVarint().toInt
@@ -358,6 +365,161 @@ object ProtoFormats {
           val req = new Writer().message(1, new Writer().message(2, sm))
           Iterator.single(Row(req.bytes))
         }
+      }
+    spark.createDataFrame(rdd, StructType(Seq(StructField("payload", BinaryType))))
+  }
+
+  // ------------------------------------------------------------------
+  // DataDog sketches (/api/beta/sketches, lib/protoparser/datadogsketches)
+  // ------------------------------------------------------------------
+
+  // DDSketch mapping constants (datadogsketches/parser.go:12-19, taken
+  // from DataDog's opentelemetry-mapping-go quantile config)
+  private val ddEps = 1.0 / 128
+  private val ddGamma = 1 + 2 * ddEps
+  private val ddGammaLn = math.log1p(2 * ddEps)
+  private val ddBias = 1 - math.floor(math.log(1e-9) / ddGammaLn).toInt
+  private val ddQuantiles = Seq(0.5, 0.75, 0.9, 0.95, 0.99)
+  private val ddQuantileStr = Map(
+    0.5 -> "0.5", 0.75 -> "0.75", 0.9 -> "0.9", 0.95 -> "0.95", 0.99 -> "0.99")
+
+  /** bucket key → value (datadogsketches/parser.go:355 f64) */
+  private def ddF64(k: Int): Double =
+    if (k <= -((1 << 15) - 1)) Double.NegativeInfinity
+    else if (k >= (1 << 15) - 1) Double.PositiveInfinity
+    else if (k == 0) 0.0
+    else if (k < 0) -ddF64(-k)
+    else math.pow(ddGamma, (k - ddBias).toDouble)
+
+  /** interpolated quantile over one Dogsketch (parser.go:315) */
+  private def ddQuantile(q: Double, cnt: Long, min: Double, max: Double,
+      ks: Seq[Int], ns: Seq[Long]): Double = {
+    if (cnt == 0) return 0.0
+    if (q <= 0) return min
+    if (q >= 1) return max
+    if (ns.length != ks.length) return 0.0
+    val rank = math.rint(q * (cnt - 1).toDouble)
+    var acc = 0.0
+    var i = 0
+    while (i < ns.length) {
+      acc += ns(i).toDouble
+      if (acc > rank) {
+        val weight = (acc - rank) / ns(i).toDouble
+        var vLow = ddF64(ks(i))
+        val vHigh = vLow * ddGamma
+        if (i == 0) vLow = min
+        return vLow * weight + vHigh * (1 - weight)
+      }
+      i += 1
+    }
+    max
+  }
+
+  /** decode one SketchPayload: each Dogsketch expands into the Prometheus
+    * summary the reference synthesizes (parser.go:154 ToSummary) — one
+    * series per quantile (label `quantile`) plus .sum/.count/.min/.max —
+    * with host + split k:v tags (app/vminsert/datadogsketches:49).
+    */
+  def decodeDatadogSketches(raw: Array[Byte]): Iterator[Row] = {
+    val req = new Reader(raw, 0, raw.length)
+    val rows = mutable.ArrayBuffer.empty[Row]
+    while (req.hasNext) {
+      val (field, wt) = req.readTag()
+      if (field == 1 && wt == 2) { // Sketch
+        val sk = req.readMessage()
+        var metric: String = null
+        var host: String = null
+        val tags = mutable.LinkedHashMap.empty[String, String]
+        case class Dog(ts: Long, cnt: Long, min: Double, max: Double,
+          sum: Double, ks: Seq[Int], ns: Seq[Long])
+        val dogs = mutable.ArrayBuffer.empty[Dog]
+        while (sk.hasNext) {
+          val (f2, w2) = sk.readTag()
+          (f2, w2) match {
+            case (1, 2) => metric = sk.readString()
+            case (2, 2) => host = sk.readString()
+            case (4, 2) =>
+              val t = sk.readString()
+              val i = t.indexOf(':')
+              if (i >= 0) tags(t.substring(0, i)) = t.substring(i + 1)
+              else tags(t) = ""
+            case (7, 2) => // Dogsketch
+              val d = sk.readMessage()
+              var ts = 0L; var cnt = 0L
+              var mn = 0.0; var mx = 0.0; var sm = 0.0
+              var ks: Seq[Int] = Nil; var ns: Seq[Long] = Nil
+              while (d.hasNext) {
+                val (f3, w3) = d.readTag()
+                (f3, w3) match {
+                  case (1, 0) => ts = d.readVarint()
+                  case (2, 0) => cnt = d.readVarint()
+                  case (3, 1) => mn = d.readDouble()
+                  case (4, 1) => mx = d.readDouble()
+                  case (6, 1) => sm = d.readDouble()
+                  case (7, 2) => // packed sint32 (zigzag)
+                    ks = d.readPackedVarints().map(z =>
+                      ((z >>> 1) ^ -(z & 1)).toInt)
+                  case (8, 2) => ns = d.readPackedVarints()
+                  case (_, w) => d.skip(w)
+                }
+              }
+              dogs += Dog(ts, cnt, mn, mx, sm, ks, ns)
+            case (_, w) => sk.skip(w)
+          }
+        }
+        if (metric != null) {
+          val baseTags = (if (host != null && host.nonEmpty)
+            Map("host" -> host) else Map.empty[String, String]) ++ tags
+          dogs.foreach { d =>
+            val tsMs = d.ts * 1000
+            ddQuantiles.foreach { q =>
+              rows += Row(metric, baseTags + ("quantile" -> ddQuantileStr(q)),
+                tsMs, ddQuantile(q, d.cnt, d.min, d.max, d.ks, d.ns))
+            }
+            rows += Row(metric + ".sum", baseTags, tsMs, d.sum)
+            rows += Row(metric + ".count", baseTags, tsMs, d.cnt.toDouble)
+            rows += Row(metric + ".min", baseTags, tsMs, d.min)
+            rows += Row(metric + ".max", baseTags, tsMs, d.max)
+          }
+        }
+      } else req.skip(wt)
+    }
+    rows.iterator
+  }
+
+  /** parse stage: binary sketch `payload` rows → canonical samples frame */
+  def datadogSketches(payloads: DataFrame): DataFrame =
+    toSamplesDf(payloads, decodeDatadogSketches)
+
+  /** export: each sample becomes a single-observation Dogsketch (cnt=1,
+    * min=max=sum=value) inside one SketchPayload per partition — a valid
+    * agent payload whose parsed summary is fully determined by the input
+    * (every quantile of a 1-sample sketch is the sample itself).
+    */
+  def exportDatadogSketches(samples: DataFrame): DataFrame = {
+    val spark = samples.sparkSession
+    val rdd = samples.select(col("name"), col("tags"), col("ts"), col("value"))
+      .rdd.mapPartitions { it =>
+        val payload = new Writer
+        var any = false
+        it.foreach { r =>
+          any = true
+          val tags = Option(r.getMap[String, String](1))
+            .map(_.toSeq.sortBy(_._1)).getOrElse(Nil)
+          val v = r.getDouble(3)
+          val dog = new Writer()
+            .int64(1, r.getLong(2) / 1000) // ts seconds
+            .int64(2, 1L) // cnt
+            .double(3, v).double(4, v).double(6, v)
+          // k: zigzag(0) packed; n: [1] packed
+          dog.tag(7, 2); dog.varint(1); dog.varint(0)
+          dog.tag(8, 2); dog.varint(1); dog.varint(1)
+          val sk = new Writer().string(1, r.getString(0))
+          tags.foreach { case (k, tv) => sk.string(4, k + ":" + tv) }
+          sk.message(7, dog)
+          payload.message(1, sk)
+        }
+        if (any) Iterator.single(Row(payload.bytes)) else Iterator.empty
       }
     spark.createDataFrame(rdd, StructType(Seq(StructField("payload", BinaryType))))
   }

@@ -22,6 +22,127 @@ class SourcesSpec extends SparkSpec {
     assert(r.getDouble(3) == 42.25)
   }
 
+  test("datadog v2 JSON: resources, host-tag rename, source_type_name") {
+    val s = spark
+    import s.implicits._
+    val body = """{"series":[{"metric":"sys.mem","points":[{"timestamp":1704067200,""" +
+      """"value":7.5}],"resources":[{"name":"h9","type":"host"}],""" +
+      """"source_type_name":"System","tags":["env:prod","host:fake"]}]}"""
+    val out = LineFormats.datadogV2(Seq(body).toDF("body")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "sys.mem")
+    assert(r.getMap[String, String](1).toMap == Map(
+      "host" -> "h9", "env" -> "prod", "exported_host" -> "fake",
+      "source_type_name" -> "System"))
+    assert(r.getLong(2) == 1704067200000L && r.getDouble(3) == 7.5)
+  }
+
+  test("newrelic events: string fields are tags, number fields are samples") {
+    val s = spark
+    import s.implicits._
+    val body = """[{"Events":[{"eventType":"SystemSample","timestamp":1704067200,""" +
+      """"cpuPercent":12.5,"memoryUsedBytes":1024,"hostname":"h1","empty":"",""" +
+      """"numericString":"42"}]}]"""
+    val out = LineFormats.newRelic(Seq(body).toDF("body")).collect()
+    assert(out.length == 2) // cpuPercent + memoryUsedBytes
+    val byName = out.map(r => r.getString(0) -> r).toMap
+    assert(byName.keySet == Set("cpuPercent", "memoryUsedBytes"))
+    val r = byName("cpuPercent")
+    // JSON-string values stay tags even when numeric-looking; empty skipped
+    assert(r.getMap[String, String](1).toMap == Map(
+      "eventType" -> "SystemSample", "hostname" -> "h1", "numericString" -> "42"))
+    assert(r.getLong(2) == 1704067200000L) // sec -> ms
+    assert(r.getDouble(3) == 12.5)
+  }
+
+  test("zabbix connector line: host labels, item tags, clock+ns timestamp") {
+    val s = spark
+    import s.implicits._
+    val line = """{"host":{"host":"db1","name":"DB one"},"groups":["g"],""" +
+      """"item_tags":[{"tag":"app","value":"pg"}],"itemid":7,"name":"pg.size",""" +
+      """"clock":1704067200,"ns":987654321,"value":"123.5","type":0}"""
+    val out = LineFormats.zabbix(Seq(line).toDF("line")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "pg.size")
+    assert(r.getMap[String, String](1).toMap == Map(
+      "host" -> "db1", "hostname" -> "DB one", "app" -> "pg"))
+    assert(r.getLong(2) == 1704067200987L) // clock*1e3 + ns/1e6
+    assert(r.getDouble(3) == 123.5)
+  }
+
+  test("ddsketch quantile walk matches the reference interpolation") {
+    // hand-built 2-bucket sketch: k=[1500,1501] n=[3,1], cnt=4, min=2, max=9
+    // rank(q=0.5) = rint(0.5*3) = 2; first bucket holds cumulative 3 > 2 ->
+    // weight = (3-2)/3; vLow = min (i==0), vHigh = gamma^(1500-bias)*gamma
+    val s = spark
+    import s.implicits._
+    val payload = {
+      // hand-rolled agent payload: varint/zigzag/length-delimited encoders
+      def zz(v: Int): Long = (v.toLong << 1) ^ (v.toLong >> 31)
+      def enc(build: java.io.ByteArrayOutputStream => Unit): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream()
+        build(o); o.toByteArray
+      }
+      val kPacked = enc { o => def v2(x0: Long): Unit = { var x = x0
+          while ((x & ~0x7fL) != 0) { o.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+          o.write(x.toInt) }
+        v2(zz(1500)); v2(zz(1501)) }
+      val nPacked = enc { o => o.write(3); o.write(1) }
+      val dogFull = enc { o =>
+        def v2(x0: Long): Unit = { var x = x0
+          while ((x & ~0x7fL) != 0) { o.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+          o.write(x.toInt) }
+        def t2(f: Int, w: Int): Unit = v2((f.toLong << 3) | w)
+        def d2(f: Int, v: Double): Unit = { t2(f, 1)
+          val bits = java.lang.Double.doubleToLongBits(v)
+          (0 until 8).foreach(i => o.write(((bits >>> (8 * i)) & 0xff).toInt)) }
+        t2(1, 0); v2(1704067200L)
+        t2(2, 0); v2(4L)
+        d2(3, 2.0); d2(4, 9.0); d2(6, 20.0)
+        t2(7, 2); v2(kPacked.length); o.write(kPacked)
+        t2(8, 2); v2(nPacked.length); o.write(nPacked)
+      }
+      val sketch = enc { o =>
+        def v2(x0: Long): Unit = { var x = x0
+          while ((x & ~0x7fL) != 0) { o.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+          o.write(x.toInt) }
+        def t2(f: Int, w: Int): Unit = v2((f.toLong << 3) | w)
+        def s2(f: Int, v: String): Unit = { t2(f, 2)
+          val b = v.getBytes("UTF-8"); v2(b.length); o.write(b) }
+        s2(1, "lat"); s2(2, "h1"); s2(4, "env:prod")
+        t2(7, 2); v2(dogFull.length); o.write(dogFull)
+      }
+      enc { o =>
+        def v2(x0: Long): Unit = { var x = x0
+          while ((x & ~0x7fL) != 0) { o.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+          o.write(x.toInt) }
+        def t2(f: Int, w: Int): Unit = v2((f.toLong << 3) | w)
+        t2(1, 2); v2(sketch.length); o.write(sketch)
+      }
+    }
+    val out = ProtoFormats.datadogSketches(Seq(Tuple1(payload)).toDF("payload"))
+      .collect()
+    assert(out.length == 9) // 5 quantiles + sum/count/min/max
+    val byKey = out.map(r => (r.getString(0),
+      r.getMap[String, String](1).getOrElse("quantile", "")) -> r.getDouble(3)).toMap
+    assert(byKey(("lat.sum", "")) == 20.0)
+    assert(byKey(("lat.count", "")) == 4.0)
+    assert(byKey(("lat.min", "")) == 2.0)
+    assert(byKey(("lat.max", "")) == 9.0)
+    // q=0.5: rank=rint(1.5)=2 (round half to even), bucket 0 cum=3 > 2:
+    // weight=1/3, vLow=min=2, vHigh=gamma^(1500-bias+1)
+    val gamma = 1 + 2.0 / 128
+    val bias = 1 - math.floor(math.log(1e-9) / math.log1p(2.0 / 128)).toInt
+    val vHigh = math.pow(gamma, (1500 - bias + 1).toDouble)
+    val expected = 2.0 * (1.0 / 3) + vHigh * (2.0 / 3)
+    assert(math.abs(byKey(("lat", "0.5")) - expected) < 1e-9)
+    assert(out.forall(_.getLong(2) == 1704067200000L))
+    val tags = out.head.getMap[String, String](1)
+    assert(tags("host") == "h1" && tags("env") == "prod")
+  }
+
   test("remote-write protobuf round trip preserves series, tags and samples") {
     val s = spark
     import s.implicits._
