@@ -1730,9 +1730,28 @@ object SparkEntry {
         "d AS (SELECT nm, user_id, tms, value, " +
         "lag(value) OVER (PARTITION BY nm, user_id ORDER BY tms, value) AS pv FROM b), " +
         s"i AS (SELECT nm, user_id, $bkt AS t, " +
-        "sum(CASE WHEN pv IS NULL THEN 0 WHEN value >= pv THEN value - pv ELSE value END) AS winc " +
+        "sum(CASE WHEN pv IS NULL THEN value WHEN value >= pv THEN value - pv ELSE value END) AS winc " +
         "FROM d GROUP BY nm, user_id, t) " +
         "SELECT nm || ':24h_by_user_id_total' AS name, user_id::BIGINT AS user_id, t, " +
+        "round(1e-9 + sum(winc) OVER (PARTITION BY nm, user_id ORDER BY t " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value " +
+        "FROM i ORDER BY name, user_id, t"
+    }),
+    Q("st_total_prometheus", (s, dir) => {
+      val cfg = graft.streaming.StreamAggr.Config(D, by = Seq("user_id"))
+      graft.streaming.StreamAggr.totalBatch(Samples.fromEvents(s, dir), cfg, keepFirstSample = false)
+        .select(col("name"), col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t")
+    }, Some {
+      val bkt = s"(tms // $D) * $D + $D"
+      "WITH b AS (SELECT event_type AS nm, user_id, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
+        "d AS (SELECT nm, user_id, tms, value, " +
+        "lag(value) OVER (PARTITION BY nm, user_id ORDER BY tms, value) AS pv FROM b), " +
+        s"i AS (SELECT nm, user_id, $bkt AS t, " +
+        "sum(CASE WHEN pv IS NULL THEN 0 WHEN value >= pv THEN value - pv ELSE value END) AS winc " +
+        "FROM d GROUP BY nm, user_id, t) " +
+        "SELECT nm || ':24h_by_user_id_total_prometheus' AS name, user_id::BIGINT AS user_id, t, " +
         "round(1e-9 + sum(winc) OVER (PARTITION BY nm, user_id ORDER BY t " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value " +
         "FROM i ORDER BY name, user_id, t"
@@ -1749,6 +1768,21 @@ object SparkEntry {
         "d AS (SELECT nm, user_id, tms, value, " +
         "lag(value) OVER (PARTITION BY nm, user_id ORDER BY tms, value) AS pv FROM b) " +
         s"SELECT nm || ':24h_by_user_id_increase' AS name, user_id::BIGINT AS user_id, $bkt AS t, " +
+        "round(1e-9 + sum(CASE WHEN pv IS NULL THEN value WHEN value >= pv THEN value - pv ELSE value END), 6) AS value " +
+        "FROM d GROUP BY nm, user_id, t ORDER BY name, user_id, t"
+    }),
+    Q("st_increase_prometheus", (s, dir) => {
+      val cfg = graft.streaming.StreamAggr.Config(D, by = Seq("user_id"))
+      graft.streaming.StreamAggr.increaseBatch(Samples.fromEvents(s, dir), cfg, keepFirstSample = false)
+        .select(col("name"), col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t")
+    }, Some {
+      val bkt = s"(tms // $D) * $D + $D"
+      "WITH b AS (SELECT event_type AS nm, user_id, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
+        "d AS (SELECT nm, user_id, tms, value, " +
+        "lag(value) OVER (PARTITION BY nm, user_id ORDER BY tms, value) AS pv FROM b) " +
+        s"SELECT nm || ':24h_by_user_id_increase_prometheus' AS name, user_id::BIGINT AS user_id, $bkt AS t, " +
         "round(1e-9 + sum(CASE WHEN pv IS NULL THEN 0 WHEN value >= pv THEN value - pv ELSE value END), 6) AS value " +
         "FROM d GROUP BY nm, user_id, t ORDER BY name, user_id, t"
     }),

@@ -201,7 +201,8 @@ object StreamAggr {
   def statefulTotal(
       stream: Dataset[SeriesSample],
       stalenessMs: Long = 0L,
-      evictIdleState: Boolean = false): Dataset[TotalOut] = {
+      evictIdleState: Boolean = false,
+      keepFirstSample: Boolean = true): Dataset[TotalOut] = {
     import stream.sparkSession.implicits._
     val evict = evictIdleState && stalenessMs > 0
     stream
@@ -218,7 +219,8 @@ object StreamAggr {
             sorted.foreach { r =>
               val stale = stalenessMs > 0 && st.lastTs > 0 && r.ts - st.lastTs > stalenessMs
               val inc =
-                if (st.lastValue.isNaN || stale) 0.0 // (re)initialize
+                if (st.lastValue.isNaN || stale) // new/restarted series
+                  (if (keepFirstSample) r.value else 0.0) // total.go:50
                 else if (r.value >= st.lastValue) r.value - st.lastValue
                 else r.value // counter reset: new raw value is the increase
               st = TotalState(r.value, st.total + inc, r.ts)
@@ -277,15 +279,18 @@ object StreamAggr {
       }
   }
 
-  /** batch `increase`: per-interval group increase — `total` without the
-    * running accumulation (streamaggr.go:184-206 resetTotalOnFlush).
+  /** batch `increase` / `increase_prometheus`: per-interval group
+    * increase — `total` without the running accumulation
+    * (streamaggr.go:184-206 resetTotalOnFlush); the flag picks the
+    * first-sample rule and the output suffix.
     */
-  def increaseBatch(samples: DataFrame, cfg: Config): DataFrame =
-    counterWindows(samples, cfg)
+  def increaseBatch(samples: DataFrame, cfg: Config,
+      keepFirstSample: Boolean = true): DataFrame =
+    counterWindows(samples, cfg, keepFirstSample)
       .groupBy(col("name"), col("_gt"), col("t"))
       .agg(sum(col("_winc")).as("value"))
       .select(
-        outName(cfg, "increase").as("name"),
+        outName(cfg, if (keepFirstSample) "increase" else "increase_prometheus").as("name"),
         map_from_entries(from_json(col("_gt"),
           lit("array<struct<key:string,value:string>>"))).as("tags"),
         col("t"), col("value"))
@@ -350,8 +355,13 @@ object StreamAggr {
   /** shared prefix of the batch counter outputs: per-series adjacent
     * increases over the FULL sample stream (cross-boundary, reset-aware),
     * bucketed into the end-exclusive window of the later sample.
+    * `keepFirstSample` decides what a series' FIRST sample contributes:
+    * its value (`total`/`increase`, total.go:50 keepFirstSample) or
+    * nothing (`total_prometheus`/`increase_prometheus`, the strict
+    * Prometheus flavor — total.go:118 getSuffix).
     */
-  private def counterWindows(samples: DataFrame, cfg: Config): DataFrame = {
+  private def counterWindows(samples: DataFrame, cfg: Config,
+      keepFirstSample: Boolean = false): DataFrame = {
     val i = cfg.intervalMs
     val keyed = dedupBatch(samples
       .withColumn("_sk", concat(coalesce(col("name"), lit("")),
@@ -361,18 +371,20 @@ object StreamAggr {
     keyed
       .withColumn("_pv", lag(col("value"), 1).over(w))
       .withColumn("_winc",
-        when(col("_pv").isNull, 0.0)
+        when(col("_pv").isNull, if (keepFirstSample) col("value") else lit(0.0))
           .when(col("value") >= col("_pv"), col("value") - col("_pv"))
           .otherwise(col("value")))
       .withColumn("t", expr(s"(ts div ${i}L) * ${i}L + ${i}L"))
   }
 
-  /** batch equivalent of `total`: per-series per-window increase
-    * (reset-aware, carrying the previous window's last sample), summed
-    * across the group's series, then accumulated over windows.
+  /** batch equivalent of `total` / `total_prometheus`: per-series
+    * per-window increase (reset-aware, carrying the previous window's
+    * last sample), summed across the group's series, then accumulated
+    * over windows; the flag picks the first-sample rule and suffix.
     */
-  def totalBatch(samples: DataFrame, cfg: Config): DataFrame = {
-    val perWindow = counterWindows(samples, cfg)
+  def totalBatch(samples: DataFrame, cfg: Config,
+      keepFirstSample: Boolean = true): DataFrame = {
+    val perWindow = counterWindows(samples, cfg, keepFirstSample)
       .groupBy(col("name"), col("_gt"), col("t"))
       .agg(sum(col("_winc")).as("_winc"))
     val cum = Window.partitionBy(col("name"), col("_gt")).orderBy(col("t"))
@@ -380,7 +392,7 @@ object StreamAggr {
     perWindow
       .withColumn("value", sum(col("_winc")).over(cum))
       .select(
-        outName(cfg, "total").as("name"),
+        outName(cfg, if (keepFirstSample) "total" else "total_prometheus").as("name"),
         map_from_entries(from_json(col("_gt"),
           lit("array<struct<key:string,value:string>>"))).as("tags"),
         col("t"), col("value"))

@@ -44,9 +44,16 @@ class StreamAggrSpec extends SparkSpec {
       ("c", Map("i" -> "x"), 1500L, 5.0), // reset → +5
       ("c", Map("i" -> "x"), 1900L, 11.0), // +6
       ("c", Map("i" -> "x"), 2500L, 20.0)) // +9
+    // total keeps a new series' first sample value (total.go:50)…
     val out = StreamAggr.totalBatch(counter, StreamAggr.Config(1000L))
       .orderBy("t").collect().map(r => (r.getLong(2), r.getDouble(3)))
-    assert(out.toSeq == Seq((1000L, 15.0), (2000L, 26.0), (3000L, 35.0)))
+    assert(out.toSeq == Seq((1000L, 25.0), (2000L, 36.0), (3000L, 45.0)))
+    // …total_prometheus ignores it (total.go:118 getSuffix)
+    val outP = StreamAggr.totalBatch(counter, StreamAggr.Config(1000L),
+      keepFirstSample = false)
+      .orderBy("t").collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(outP.toSeq == Seq(("c:1s_total_prometheus", 1000L, 15.0),
+      ("c:1s_total_prometheus", 2000L, 26.0), ("c:1s_total_prometheus", 3000L, 35.0)))
   }
 
   test("streaming aggregation over event-time windows") {
@@ -145,7 +152,8 @@ class StreamAggrSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val mem = MemoryStream[StreamAggr.SeriesSample]
-    val out = StreamAggr.statefulTotal(mem.toDS(), stalenessMs = 1000L)
+    val out = StreamAggr.statefulTotal(mem.toDS(), stalenessMs = 1000L,
+      keepFirstSample = false) // prometheus flavor: pin the zero-start rule
     val query = out.writeStream.format("memory").queryName("total_stale_out")
       .outputMode("update").start()
     try {
@@ -169,7 +177,7 @@ class StreamAggrSpec extends SparkSpec {
     import s.implicits._
     implicit val sqlCtx = s.sqlContext
     val mem = MemoryStream[StreamAggr.SeriesSample]
-    val out = StreamAggr.statefulTotal(mem.toDS())
+    val out = StreamAggr.statefulTotal(mem.toDS(), keepFirstSample = false)
     val query = out.writeStream.format("memory").queryName("total_out")
       .outputMode("update").start()
     try {
