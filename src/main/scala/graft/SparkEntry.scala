@@ -1088,7 +1088,22 @@ object SparkEntry {
         s"((epoch_ms(ts::TIMESTAMP) + ${6 * H - 1}) // ${6 * H}) * ${6 * H} " +
         "ORDER BY tms DESC, value DESC) AS rn FROM events) WHERE rn = 1 ORDER BY name, user_id, ts")),
     // multimodal plumbing (stubbed decode) — rows-only
+    // REAL decode gate: encode one PNG per document (dims + gray level
+    // arithmetic in doc_id), decode with javax.imageio, and let the SQL
+    // oracle predict what a correct decoder must report. mean_luma of a
+    // solid gray (g,g,g) image is g·(0.299+0.587+0.114) = g.
     Q("mm_image_features", (s, dir) =>
+      graft.pipeline.Multimodal.imageFeatures(
+        graft.pipeline.Multimodal.pngFixtureFromDocuments(s, dir)).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          r6(col("mean_luma")).as("mean_luma"))
+        .orderBy("media_id"),
+      Some("SELECT doc_id AS media_id, (16 + doc_id % 16)::INT AS width, " +
+        "(16 + (7 * doc_id) % 16)::INT AS height, 3 AS channels, " +
+        "round(1e-9 + (doc_id % 256), 6) AS mean_luma " +
+        "FROM documents ORDER BY media_id")),
+    // text-as-bytes media exercise the stub fallback path (rows-only)
+    Q("mm_stub_features", (s, dir) =>
       graft.pipeline.Multimodal.imageFeatures(
         graft.pipeline.Multimodal.mediaFromDocuments(s, dir)).toDF().orderBy("media_id"),
       None),

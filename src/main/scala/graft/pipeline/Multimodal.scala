@@ -1,16 +1,22 @@
 package graft.pipeline
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque BINARY columns
   * with typed metadata, processed in partition-local batches.
   *
-  * The decode step is a clearly-marked DETERMINISTIC STUB (the container
-  * has no image/audio codecs); everything around it — schema, batch
-  * shape, partitioning, typed Dataset plumbing — is real and is what
-  * matters at 100 TB: media bytes never shuffle; decode/feature-extract
-  * run map-side via mapPartitions, and only small feature rows flow on.
+  * Image decode is REAL for PNG/JPEG/GIF/BMP via `javax.imageio` (ships in
+  * the JDK — no external codec dependency); payloads ImageIO cannot decode
+  * fall back to a clearly-marked deterministic stub so text-as-bytes test
+  * media still flows. The scale-relevant properties hold either way:
+  * media bytes never shuffle; decode/feature-extract run map-side via
+  * mapPartitions, and only small feature rows flow on.
   */
 object Multimodal {
 
@@ -39,10 +45,46 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** STUB decode: a real implementation would call an image codec here.
-    * This fake derives deterministic dimensions/stats from the bytes so
-    * the downstream plumbing is testable. Runs per-partition (batch
-    * shape) — the real codec call sits in exactly this loop.
+  /** Synthetic PNG media: one REAL encoded image per document whose
+    * dimensions and solid gray level derive arithmetically from doc_id —
+    * so a SQL oracle can predict exactly what a correct decoder must
+    * report (width = 16 + id%16, height = 16 + (7·id)%16, luma = id%256).
+    * Encoded partition-local, like a real ingest would decode.
+    */
+  def pngFixtureFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Samples.table(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 16).toInt
+          val h = 16 + ((7 * id) % 16).toInt
+          val gray = (id % 256).toInt
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val rgb = (gray << 16) | (gray << 8) | gray
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(img, "png", out)
+          MediaRow(id, "image", out.toByteArray, Map("codec" -> "png"))
+        }
+      }
+  }
+
+  /** real decode: PNG/JPEG/GIF/BMP via the JDK's ImageIO; None when the
+    * payload is not a decodable image
+    */
+  def decodeImage(bytes: Array[Byte]): Option[BufferedImage] =
+    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
+  /** STUB decode fallback for non-image payloads: derives deterministic
+    * dimensions/stats from the bytes so text-as-bytes media still flows
+    * through the same plumbing.
     */
   def decodeImageStub(bytes: Array[Byte]): (Int, Int, Int, Double) = {
     if (bytes.isEmpty) (0, 0, 0, 0.0)
@@ -54,38 +96,93 @@ object Multimodal {
     }
   }
 
-  /** decode + feature-extract, partition-local */
+  private def lumaOf(rgb: Int): Double = {
+    val r = (rgb >> 16) & 0xff
+    val g = (rgb >> 8) & 0xff
+    val b = rgb & 0xff
+    0.299 * r + 0.587 * g + 0.114 * b
+  }
+
+  /** 64-bit average hash over an 8×8 downscale of the decoded image —
+    * the standard aHash perceptual fingerprint
+    */
+  private def averageHash(img: BufferedImage): Long = {
+    val small = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    val g = small.createGraphics()
+    g.drawImage(img, 0, 0, 8, 8, null)
+    g.dispose()
+    val lumas = Array.tabulate(64)(i => lumaOf(small.getRGB(i % 8, i / 8)))
+    val mean = lumas.sum / 64
+    lumas.zipWithIndex.foldLeft(0L) { case (acc, (l, i)) =>
+      if (l > mean) acc | (1L << i) else acc
+    }
+  }
+
+  /** stub fingerprint for undecodable payloads: sign bits of byte-block sums */
+  private def byteHash(bytes: Array[Byte]): Long = {
+    val block = math.max(1, bytes.length / 64)
+    var ph = 0L
+    var i = 0
+    while (i < 64) {
+      val from = i * block
+      val until = math.min(bytes.length, from + block)
+      var s = 0L
+      var j = from
+      while (j < until) { s += (bytes(j) & 0xff) - 128; j += 1 }
+      if (s > 0) ph |= (1L << i)
+      i += 1
+    }
+    ph
+  }
+
+  /** decode + feature-extract, partition-local: real ImageIO decode with
+    * the stub as fallback for undecodable payloads
+    */
   def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        val (w, h, c, luma) = decodeImageStub(r.bytes)
-        // 64-bit perceptual-hash stand-in: sign bits of byte-block sums
-        val block = math.max(1, r.bytes.length / 64)
-        var ph = 0L
-        var i = 0
-        while (i < 64) {
-          val from = i * block
-          val until = math.min(r.bytes.length, from + block)
-          var s = 0L
-          var j = from
-          while (j < until) { s += (r.bytes(j) & 0xff) - 128; j += 1 }
-          if (s > 0) ph |= (1L << i)
-          i += 1
+        decodeImage(r.bytes) match {
+          case Some(img) =>
+            val w = img.getWidth
+            val h = img.getHeight
+            val channels = img.getRaster.getNumBands
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += lumaOf(img.getRGB(x, y)); x += 1 }
+              y += 1
+            }
+            ImageFeatures(r.media_id, w, h, channels,
+              sum / (w.toLong * h), averageHash(img))
+          case None =>
+            val (w, h, c, luma) = decodeImageStub(r.bytes)
+            ImageFeatures(r.media_id, w, h, c, luma, byteHash(r.bytes))
         }
-        ImageFeatures(r.media_id, w, h, c, luma, ph)
       }
     }
   }
 
-  /** resize stub: keeps the byte payload opaque, rewrites metadata —
-    * the Spark-side shape of a real resize (bytes in, bytes out, no
-    * shuffle).
+  /** resize: real scale + PNG re-encode for decodable images (bytes in,
+    * bytes out, no shuffle); opaque payloads keep the metadata-only stub.
     */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.mapPartitions(_.map(r =>
-      r.copy(meta = r.meta ++ Map("resized" -> s"${w}x$h"))))
+    media.mapPartitions(_.map { r =>
+      decodeImage(r.bytes) match {
+        case Some(img) =>
+          val scaled = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          val g = scaled.createGraphics()
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val out = new ByteArrayOutputStream()
+          ImageIO.write(scaled, "png", out)
+          r.copy(bytes = out.toByteArray, meta = r.meta + ("resized" -> s"${w}x$h"))
+        case None =>
+          r.copy(meta = r.meta + ("resized" -> s"${w}x$h"))
+      }
+    })
   }
 
   /** frame-sample stub for video-kind media: every nth fixed-size chunk

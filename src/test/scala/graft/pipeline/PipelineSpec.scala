@@ -45,6 +45,31 @@ class PipelineSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: got ${r.getString(1)}"))
   }
 
+  test("image decode is real: known PNG dims, gray luma, resize round trip") {
+    import spark.implicits._
+    // hand-made 20x10 PNG, solid gray 80
+    val img = new java.awt.image.BufferedImage(20, 10,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 10; x <- 0 until 20) img.setRGB(x, y, (80 << 16) | (80 << 8) | 80)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val media = Seq(Multimodal.MediaRow(1L, "image", out.toByteArray, Map())).toDS()
+    val f = Multimodal.imageFeatures(media).collect().head
+    assert(f.width == 20 && f.height == 10 && f.channels == 3)
+    assert(math.abs(f.mean_luma - 80.0) < 1e-6)
+    // solid image: aHash has no pixel above the mean -> 0
+    assert(f.phash == 0L)
+    // resize re-encodes a real 8x8 PNG
+    val resized = Multimodal.resize(media, 8, 8).collect().head
+    val back = Multimodal.decodeImage(resized.bytes).get
+    assert(back.getWidth == 8 && back.getHeight == 8)
+    // non-image payloads fall back to the stub, not an error
+    val text = Seq(Multimodal.MediaRow(2L, "image",
+      "not an image".getBytes, Map())).toDS()
+    val stub = Multimodal.imageFeatures(text).collect().head
+    assert(stub.width >= 64 && stub.channels == 3)
+  }
+
   test("multimodal image features: deterministic, one row per media row") {
     val media = Multimodal.mediaFromDocuments(spark, sfDir).cache()
     val f1 = Multimodal.imageFeatures(media).collect().sortBy(_.media_id)
