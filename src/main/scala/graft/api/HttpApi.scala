@@ -1,0 +1,214 @@
+package graft.api
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Thin HTTP facade over [[Api]] — the reference's vmselect/vminsert route
+  * surface (app/vmselect/main.go:201-431 read paths; app/vminsert write
+  * paths) on the JDK's built-in HTTP server, zero dependencies.
+  *
+  * Read endpoints evaluate against the union of a base samples frame and
+  * everything ingested over HTTP since startup. Ingested rows buffer on
+  * the driver — this facade is single-node deployment glue for the
+  * DataFrame surfaces (a production deployment lands writes in object
+  * storage and reads via the same [[Api]] programs); the query semantics
+  * are identical.
+  */
+final class HttpApi(spark: SparkSession, base: Option[DataFrame] = None) {
+
+  private val sampleSchema = StructType(Seq(
+    StructField("name", StringType),
+    StructField("tags", MapType(StringType, StringType)),
+    StructField("ts", LongType),
+    StructField("value", DoubleType)))
+
+  private val ingested = mutable.ArrayBuffer.empty[Row]
+  private var server: HttpServer = _
+
+  def samples: DataFrame = {
+    val buf = ingested.synchronized {
+      spark.createDataFrame(ingested.toList.asJava, sampleSchema)
+    }
+    base.map(_.unionByName(buf)).getOrElse(buf)
+  }
+
+  /** start on the given port (0 = ephemeral); returns the bound port */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    routes.foreach { case (path, h) => server.createContext(path, h) }
+    server.setExecutor(null) // serial — queries hold the SparkSession anyway
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ---- helpers -------------------------------------------------------
+
+  private def params(ex: HttpExchange): Map[String, String] = {
+    val fromQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val body =
+      if (ex.getRequestMethod == "POST" &&
+        Option(ex.getRequestHeaders.getFirst("Content-Type"))
+          .exists(_.startsWith("application/x-www-form-urlencoded")))
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      else ""
+    (fromQuery + "&" + body).split('&').filter(_.contains("=")).map { kv =>
+      val i = kv.indexOf('=')
+      java.net.URLDecoder.decode(kv.take(i), "UTF-8") ->
+        java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8")
+    }.toMap
+  }
+
+  /** Prometheus time param: unix seconds, fractional allowed */
+  private def timeMs(p: Map[String, String], key: String, default: => Long): Long =
+    p.get(key).map(s => math.round(s.toDouble * 1000)).getOrElse(default)
+
+  private def stepMs(p: Map[String, String]): Long =
+    p.get("step").map(s =>
+      if (s.forall(c => c.isDigit || c == '.')) math.round(s.toDouble * 1000)
+      else graft.lang.Lexer.durationMs(s, 60000L)).getOrElse(60000L)
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def metricJson(name: String, tags: Map[String, String]): String = {
+    val entries =
+      (Option(name).filter(_.nonEmpty).map("__name__" -> _).toSeq ++ tags.toSeq)
+        .sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+    entries.mkString("{", ",", "}")
+  }
+
+  private def fmt(v: Double): String =
+    if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
+
+  /** rows (name, tags, t, value) → matrix/vector result entries */
+  private def resultJson(df: DataFrame, instant: Boolean): String = {
+    val rows = df.collect()
+    val bySeries = rows.groupBy(r =>
+      (Option(r.getString(0)).getOrElse(""),
+        Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty[String, String])))
+    val entries = bySeries.toSeq.sortBy(_._1.toString).map { case ((n, tags), rs) =>
+      val pts = rs.sortBy(_.getLong(2)).map(r =>
+        s"""[${r.getLong(2) / 1000.0},"${fmt(r.getDouble(3))}"]""")
+      if (instant)
+        s"""{"metric":${metricJson(n, tags)},"value":${pts.last}}"""
+      else
+        s"""{"metric":${metricJson(n, tags)},"values":[${pts.mkString(",")}]}"""
+    }
+    entries.mkString("[", ",", "]")
+  }
+
+  private def reply(ex: HttpExchange, code: Int, body: String,
+      contentType: String = "application/json"): Unit = {
+    val b = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, b.length)
+    ex.getResponseBody.write(b)
+    ex.close()
+  }
+
+  private def handler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) =>
+      try f(ex)
+      catch {
+        case e: Exception =>
+          reply(ex, 422,
+            s"""{"status":"error","errorType":"execution","error":"${esc(String.valueOf(e.getMessage))}"}""")
+      }
+
+  private def ingest(rows: DataFrame): Int = {
+    val collected = rows.select("name", "tags", "ts", "value").collect()
+    ingested.synchronized { ingested ++= collected }
+    collected.length
+  }
+
+  private def ok(dataJson: String): String =
+    s"""{"status":"success","data":$dataJson}"""
+
+  // ---- routes (app/vmselect/main.go:201-431; vminsert import paths) ---
+
+  private def routes: Seq[(String, com.sun.net.httpserver.HttpHandler)] = Seq(
+    "/api/v1/query" -> handler { ex =>
+      val p = params(ex)
+      val at = timeMs(p, "time", System.currentTimeMillis())
+      val df = Api.query(samples, p("query"), at, stepMs(p))
+      reply(ex, 200, ok(s"""{"resultType":"vector","result":${resultJson(df, instant = true)}}"""))
+    },
+    "/api/v1/query_range" -> handler { ex =>
+      val p = params(ex)
+      val step = stepMs(p)
+      val df = Api.queryRange(samples, p("query"),
+        timeMs(p, "start", 0L), timeMs(p, "end", 0L), step)
+      reply(ex, 200, ok(s"""{"resultType":"matrix","result":${resultJson(df, instant = false)}}"""))
+    },
+    "/api/v1/series" -> handler { ex =>
+      val p = params(ex)
+      val df = Api.series(samples, p.getOrElse("match[]", "{__name__=~\".*\"}"),
+        timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2))
+      val items = df.collect().map(r => metricJson(
+        Option(r.getString(0)).getOrElse(""),
+        Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)))
+      reply(ex, 200, ok(items.sorted.mkString("[", ",", "]")))
+    },
+    "/api/v1/labels" -> handler { ex =>
+      val items = Api.labels(samples).collect().map(r => s""""${esc(r.getString(0))}"""")
+      reply(ex, 200, ok(items.mkString("[", ",", "]")))
+    },
+    "/api/v1/label/" -> handler { ex => // /api/v1/label/<name>/values
+      val path = ex.getRequestURI.getPath
+      val label = path.stripPrefix("/api/v1/label/").stripSuffix("/values")
+      val items = Api.labelValues(samples, label).collect()
+        .map(r => s""""${esc(r.getString(0))}"""")
+      reply(ex, 200, ok(items.mkString("[", ",", "]")))
+    },
+    "/api/v1/export" -> handler { ex =>
+      val p = params(ex)
+      val lines = Api.export(samples, p.getOrElse("match[]", "{__name__=~\".*\"}"),
+        timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2))
+        .collect().map(_.getString(0))
+      reply(ex, 200, lines.mkString("", "\n", "\n"), "application/stream+json")
+    },
+    "/api/v1/import" -> handler { ex => // VM JSON-lines
+      import spark.implicits._
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val n = ingest(graft.sources.LineFormats.jsonImport(
+        body.linesIterator.filter(_.nonEmpty).toSeq.toDF("line")))
+      reply(ex, 204, "", "text/plain"); val _ = n
+    },
+    "/api/v1/import/prometheus" -> handler { ex =>
+      import spark.implicits._
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      ingest(graft.sources.LineFormats.prometheusText(
+        body.linesIterator.filter(_.nonEmpty).toSeq.toDF("line"),
+        System.currentTimeMillis()))
+      reply(ex, 204, "", "text/plain")
+    },
+    "/api/v1/write" -> handler { ex => // Prometheus remote write
+      import spark.implicits._
+      val body = ex.getRequestBody.readAllBytes()
+      ingest(graft.sources.ProtoFormats.remoteWrite(Seq(Tuple1(body)).toDF("payload")))
+      reply(ex, 204, "", "text/plain")
+    },
+    "/api/v1/query_exemplars" -> handler(reply(_, 200, Api.queryExemplars())),
+    "/api/v1/metadata" -> handler(reply(_, 200, Api.metadata())),
+    "/api/v1/rules" -> handler(reply(_, 200, Api.rules())),
+    "/api/v1/alerts" -> handler(reply(_, 200, Api.alerts())),
+    "/api/v1/status/buildinfo" -> handler(reply(_, 200, Api.buildInfo())))
+}

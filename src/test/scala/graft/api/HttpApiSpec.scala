@@ -1,0 +1,92 @@
+package graft.api
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import graft.SparkSpec
+
+/** End-to-end HTTP round trip: ingest over POST, query over GET, matching
+  * the Prometheus response envelope (app/vmselect/main.go routes).
+  */
+class HttpApiSpec extends SparkSpec {
+
+  private def get(port: Int, pathAndQuery: String): String = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$pathAndQuery")).GET().build()
+    client.send(req, HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  private def post(port: Int, path: String, body: String): Int = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode()
+  }
+
+  test("ingest -> query_range -> query -> series/labels over HTTP") {
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      // prometheus text import: 3 points on a 60s grid
+      val rc = post(port, "/api/v1/import/prometheus",
+        """m{job="api"} 10 60000
+          |m{job="api"} 20 120000
+          |m{job="api"} 35 180000
+          |""".stripMargin)
+      assert(rc == 204)
+      // VM JSON-lines import of a second series
+      assert(post(port, "/api/v1/import",
+        """{"metric":{"__name__":"n","job":"web"},"values":[5],"timestamps":[120000]}""") == 204)
+
+      val range = get(port,
+        "/api/v1/query_range?query=m&start=60&end=180&step=60")
+      assert(range.contains(""""status":"success""""))
+      assert(range.contains(""""resultType":"matrix""""))
+      assert(range.contains(""""__name__":"m""""))
+      assert(range.contains(""""job":"api""""))
+      assert(range.contains("""[60.0,"10"]""") && range.contains("""[180.0,"35"]"""))
+
+      val inst = get(port, "/api/v1/query?query=sum(m)&time=180")
+      assert(inst.contains(""""resultType":"vector""""))
+      assert(inst.contains(""""value":[180.0,"35"]"""))
+
+      val series = get(port, "/api/v1/series?start=0&end=1000")
+      assert(series.contains(""""__name__":"m"""") && series.contains(""""__name__":"n""""))
+      val labels = get(port, "/api/v1/labels")
+      assert(labels.contains("\"job\"") && labels.contains("\"__name__\""))
+      val lv = get(port, "/api/v1/label/job/values")
+      assert(lv.contains("\"api\"") && lv.contains("\"web\""))
+
+      // export returns json-lines containing both points
+      val export = get(port, "/api/v1/export?match[]=m")
+      assert(export.contains("\"m\"") && export.contains("60000"))
+
+      // error envelope on a bad query
+      val bad = get(port, "/api/v1/query_range?query=bogus(((&start=0&end=60&step=60")
+      assert(bad.contains(""""status":"error""""))
+      // compat placeholder
+      assert(get(port, "/api/v1/status/buildinfo").contains("2.24.0"))
+    } finally api.stop()
+  }
+
+  test("remote-write protobuf ingestion over HTTP") {
+    import spark.implicits._
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      val samples = Seq(
+        ("rw", Map("src" -> "agent"), 60000L, 1.5),
+        ("rw", Map("src" -> "agent"), 120000L, 2.5))
+        .toDF("name", "tags", "ts", "value")
+      val payload = graft.sources.ProtoFormats.exportRemoteWrite(samples)
+        .collect().head.getAs[Array[Byte]](0)
+      val client = HttpClient.newHttpClient()
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/api/v1/write"))
+        .POST(HttpRequest.BodyPublishers.ofByteArray(payload)).build()
+      assert(client.send(req, HttpResponse.BodyHandlers.ofString()).statusCode() == 204)
+      val range = get(port, "/api/v1/query_range?query=rw&start=60&end=120&step=60")
+      assert(range.contains(""""src":"agent"""") && range.contains(""""1.5""""))
+    } finally api.stop()
+  }
+
+}
