@@ -356,6 +356,36 @@ class EvalSpec extends SparkSpec {
     assert(!a.storageLevel.useMemory) // unpersisted on clear
   }
 
+  test("O6 suffix fetch: a forward-extended grid evaluates only the new tail") {
+    Engine.clearCache()
+    Engine.resetCacheStats()
+    val firstGrid = GridSpec(M, 6 * M, M)
+    val fullGrid = GridSpec(M, 10 * M, M)
+    val first = Engine.queryCached(samples, "avg_over_time(m[1m])", firstGrid)
+    first.count() // materialize the prefix
+    val extended = Engine.queryCached(samples, "avg_over_time(m[1m])", fullGrid)
+    val (_, suffixHits, misses) = Engine.cacheStats
+    assert(misses == 1 && suffixHits == 1, Engine.cacheStats.toString)
+    // merged result == a fresh full-range evaluation, exactly
+    val fresh = Engine.query(samples, "avg_over_time(m[1m])", fullGrid)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
+        r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(keyed(extended) == keyed(fresh))
+    // the suffix evaluation's plan must scan only (6m, 10m] grid points:
+    // its union arm contains a grid sequence starting past the prefix end
+    val plan = extended.queryExecution.optimizedPlan.toString
+    assert(plan.contains(s"${7 * M}") && !plan.replace(s"InMemoryRelation", "")
+      .split("\n").exists(l => l.contains(s"sequence(${M}L") && !l.contains("InMemory")),
+      s"suffix arm must not re-evaluate the prefix grid:\n$plan")
+    // whole-range queries must NOT suffix-merge
+    Engine.resetCacheStats()
+    Engine.queryCached(samples, "running_sum(m)", firstGrid).count()
+    Engine.queryCached(samples, "running_sum(m)", fullGrid).count()
+    assert(Engine.cacheStats == (0L, 0L, 2L)) // two full evaluations
+    Engine.clearCache()
+  }
+
   test("graphite selector, graphite groups, aggregate limit modifier") {
     val s = spark
     import s.implicits._
