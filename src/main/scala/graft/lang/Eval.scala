@@ -144,7 +144,7 @@ object Eval {
       case "descent_over_time" => Some(Kernels.descentOverTime)
       case "integrate" => Some(Kernels.integrate)
       case "duration_over_time" => Some(Kernels.durationOverTime(args.head))
-      case "tlast_change_over_time" => Some(Kernels.tlastChange)
+      case "tlast_change_over_time" => Some(Kernels.tlastChangePrev)
       case "default_rollup" => Some(Kernels.last)
       case "timestamp" | "timestamp_with_name" => Some(Kernels.tlast)
       case _ => None

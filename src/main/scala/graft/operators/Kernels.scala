@@ -527,13 +527,28 @@ object Kernels {
   }
 
   /** timestamp (s) of the last value change; first sample ts if constant —
-    * rollup.go:2186 rollupTlastChange.
+    * rollup.go:2186 rollupTlastChange (windowed form; the engine path uses
+    * [[tlastChangePrev]]).
     */
   val tlastChange: Kernel = OverArray { arr =>
     val changed = filter(diffs(arr), _.getField("dv") =!= 0)
     when(size(changed) > 0, array_max(transform(changed, _.getField("bts"))).cast(D) / 1000.0)
       .otherwise(element_at(arr, 1).getField("ts").cast(D) / 1000.0)
   }
+
+  /** engine-path tlast_change — rollup.go:1669 rollupTlastChange: with no
+    * in-window change, the FIRST sample's ts counts as the change only
+    * when the pre-window sample is absent or differs from the constant
+    * value; otherwise the point is empty (exec_test.go tlast_change miss).
+    */
+  val tlastChangePrev: Kernel = OverArrayPrev({ (arr, _, _) =>
+    val changed = filter(diffs(arr), _.getField("dv") =!= 0)
+    val f = firstE(arr)
+    when(size(changed) > 0,
+      array_max(transform(changed, _.getField("bts"))).cast(D) / 1000.0)
+      .when(f.getField("pv").isNull || f.getField("pv") =!= lastE(arr).getField("v"),
+        f.getField("ts").cast(D) / 1000.0)
+  })
 
   /** median absolute deviation — rollup.go:1469 rollupMAD */
   val mad: Kernel = OverArray { arr =>

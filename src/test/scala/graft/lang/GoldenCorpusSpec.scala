@@ -20,8 +20,6 @@ class GoldenCorpusSpec extends SparkSpec {
     */
   private val knownGaps: Set[String] = Set(
     "simple-string-op-number",
-    "tlast_change_over_time(hit_middle)",
-    "tlast_change_over_time(miss)",
     "absent(NaN)",
     "absent_over_time(nan[200s:10s])",
     "absent(scalar(multi-timeseries))",
