@@ -33,11 +33,18 @@ object Engine {
     *
     * Bounded LRU-ish eviction (oldest insertion order).
     */
+  /** cached result: grid end, the frame to serve, and every PERSISTED
+    * constituent (the original full evaluation plus each suffix) — the
+    * served union itself is not persisted, so eviction must unpersist the
+    * pieces, not the union.
+    */
+  private final case class Entry(endMs: Long, df: DataFrame, persisted: Seq[DataFrame])
+
   private val cache = new java.util.LinkedHashMap[
-    (String, String, Long, Long, Long), (Long, DataFrame)](16, 0.75f, true) {
+    (String, String, Long, Long, Long), Entry](16, 0.75f, true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[(String, String, Long, Long, Long), (Long, DataFrame)]): Boolean =
-      if (size() > 64) { e.getValue._2.unpersist(); true } else false
+        e: java.util.Map.Entry[(String, String, Long, Long, Long), Entry]): Boolean =
+      if (size() > 64) { e.getValue.persisted.foreach(_.unpersist()); true } else false
   }
 
   /** cache observability for tests/ops: (exactHits, suffixHits, misses) */
@@ -45,26 +52,45 @@ object Engine {
   def cacheStats: (Long, Long, Long) = stats
   def resetCacheStats(): Unit = stats = (0L, 0L, 0L)
 
-  /** Whole-range (non-pointwise) surface: a grid point of these depends on
-    * OTHER grid points of the same evaluation, so a suffix evaluation
-    * would see a truncated range and diverge (the reference caches below
-    * such nodes, at the rollup level — rollup_result_cache.go:202).
-    * rand/now are nondeterministic across evaluations.
+  /** ALLOWLIST of transforms known to be pointwise in time: the value at a
+    * grid point depends only on that point's inputs, so a suffix evaluation
+    * over (cachedEnd, newEnd] produces the same rows a full evaluation
+    * would. Everything NOT listed fails closed to full re-evaluation — the
+    * running_/range_/sort/limit families carry whole-range state, and so do
+    * smooth_exponential, remove_resets (running from range start),
+    * keep_last_value/keep_next_value/interpolate (gap fill across points),
+    * the rand family and now (nondeterministic), start/end
+    * (grid-extent-valued). Rollup
+    * functions are window-local (each point reads only its own lookback
+    * window) and are allowed via [[Eval.isRollupFn]]. The reference caches
+    * below such nodes at the rollup level — rollup_result_cache.go:202.
     */
-  private val nonPointwise: Set[String] = Set(
-    "running_sum", "running_avg", "running_min", "running_max",
-    "range_sum", "range_avg", "range_min", "range_max", "range_first",
-    "range_last", "range_quantile", "range_median", "range_stddev",
-    "range_stdvar", "range_linear_regression", "range_normalize",
-    "range_zscore", "range_mad", "range_trim_zscore", "range_trim_outliers",
-    "range_trim_spikes", "keep_last_value", "interpolate",
-    "sort", "sort_desc", "sort_by_label", "sort_by_label_desc",
-    "sort_by_label_numeric", "sort_by_label_numeric_desc",
-    "limit_offset", "drop_common_labels", "rand", "rand_normal",
-    "rand_exponential", "now")
+  private val pointwiseTransforms: Set[String] = Set(
+    // one-arg math (transform.go:25-130)
+    "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sin",
+    "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh", "asinh",
+    "acosh", "atanh", "deg", "rad", "sgn",
+    "round", "clamp", "clamp_min", "clamp_max",
+    // calendar projections of t
+    "day_of_month", "day_of_week", "day_of_year", "days_in_month",
+    "hour", "minute", "month", "year", "timezone_offset",
+    // label surgery (per-row, time-independent)
+    "alias", "label_set", "label_del", "label_keep", "label_copy",
+    "label_move", "label_join", "label_replace", "label_value",
+    "label_lowercase", "label_uppercase", "label_match", "label_mismatch",
+    "labels_equal", "label_map", "label_transform",
+    // per-point structure ops
+    "absent", "union", "vector", "scalar", "time", "step", "pi",
+    "drop_empty_series",
+    "prometheus_buckets", "buckets_limit",
+    "histogram_quantile", "histogram_share", "histogram_avg",
+    "histogram_stddev", "histogram_stdvar", "histogram_fraction",
+    "histogram_quantiles",
+    "bitmap_and", "bitmap_or", "bitmap_xor")
 
   private def pointwiseInTime(e: Expr): Boolean = e match {
-    case FuncExpr(n, args, _) => !nonPointwise(n) && args.forall(pointwiseInTime)
+    case FuncExpr(n, args, _) =>
+      (Eval.isRollupFn(n) || pointwiseTransforms(n)) && args.forall(pointwiseInTime)
     case AggrFuncExpr(n, args, _, limit) =>
       n != "limitk" && limit == 0 && args.forall(pointwiseInTime)
     case BinaryOpExpr(_, l, r, _, _, _, _) => pointwiseInTime(l) && pointwiseInTime(r)
@@ -84,28 +110,28 @@ object Engine {
     val planKey = samples.queryExecution.logical.canonicalized.toString
     val key = (planKey, q, grid.stepMs, lookbackMs, grid.startMs)
     Option(cache.get(key)) match {
-      case Some((end, df)) if end == grid.endMs =>
+      case Some(Entry(end, df, _)) if end == grid.endMs =>
         stats = (stats._1 + 1, stats._2, stats._3)
         df
-      case Some((end, df)) if end < grid.endMs &&
+      case Some(Entry(end, df, persisted)) if end < grid.endMs &&
           (grid.endMs - end) % grid.stepMs == 0 &&
           (try pointwiseInTime(Parser.parse(q)) catch { case _: Exception => false }) =>
         val suffixGrid = GridSpec(end + grid.stepMs, grid.endMs, grid.stepMs)
         val suffix = query(samples, q, suffixGrid, lookbackMs).persist()
         val merged = df.unionByName(suffix)
         stats = (stats._1, stats._2 + 1, stats._3)
-        cache.put(key, (grid.endMs, merged))
+        cache.put(key, Entry(grid.endMs, merged, persisted :+ suffix))
         merged
       case _ =>
         val df = query(samples, q, grid, lookbackMs).persist()
         stats = (stats._1, stats._2, stats._3 + 1)
-        cache.put(key, (grid.endMs, df))
+        cache.put(key, Entry(grid.endMs, df, Seq(df)))
         df
     }
   }
 
   def clearCache(): Unit = cache.synchronized {
-    cache.values().forEach(_._2.unpersist())
+    cache.values().forEach(_.persisted.foreach(_.unpersist()))
     cache.clear()
   }
 }

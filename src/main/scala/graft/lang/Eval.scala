@@ -150,7 +150,7 @@ object Eval {
       case _ => None
     }
 
-  private val isRollupFn: Set[String] = Set(
+  private[graft] val isRollupFn: Set[String] = Set(
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
     "count_over_time", "sum2_over_time", "stddev_over_time", "stdvar_over_time",
     "median_over_time", "quantile_over_time", "geomean_over_time",
@@ -295,7 +295,7 @@ object Eval {
       when(low.isin("inf", "+inf", "infinity", "+infinity"),
         lit(Double.PositiveInfinity))
         .when(low.isin("-inf", "-infinity"), lit(Double.NegativeInfinity))
-        .otherwise(expr("try_cast(tags['le'] AS DOUBLE)"))
+        .otherwise(raw.try_cast(DoubleType))
     }
 
     // ------------------------------------------------------------------
@@ -967,7 +967,7 @@ object Eval {
         case o => o
       } else leftV2
       val rightV = rightV2
-      (leftV, rightV) match {
+      val res = (leftV, rightV) match {
         case (Scalar(l), Scalar(r)) =>
           val v = BinaryOp.applyScalar(b.op, l, r)
           Scalar(
@@ -998,6 +998,16 @@ object Eval {
         case (l, r) =>
           throw new IllegalArgumentException(s"unsupported binop operands: $l ${b.op} $r")
       }
+      // `default` densified the left side over the full grid; points where
+      // NEITHER side had a value stay NaN and must revert to absent rows —
+      // the reference never materializes them, and nested consumers
+      // (sum(a default b), count_over_time over a subquery) would otherwise
+      // see NaN-poisoned input (binary_op.go:568 fills only existing gaps)
+      if (b.op == "default") res match {
+        case Series(d) => Series(d.filter(!isnan(col("value"))))
+        case ScalarSeries(d) => ScalarSeries(d.filter(!isnan(col("value"))))
+        case o => o
+      } else res
     }
 
     /** per-timestamp scalar side: join on t only, any series matches
