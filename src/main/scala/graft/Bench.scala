@@ -64,25 +64,43 @@ object Bench {
       graft.core.GridSpec(1704067200000L, 1704153600000L, 3600000L),
       7200000L).count()
     var failed = List.empty[String]
+    // Noise defense (round-4 incident: one contended driver run recorded a
+    // phantom 2.5× regression — 39.6 s vs 17.7/19.7 s reproduced): time
+    // each query PASSES times and record the min as the headline number;
+    // every pass is kept under "passes" so a noisy machine-minute is
+    // visible in the record instead of masquerading as a code regression.
+    // The full sweep (SPARK_GRAFT_BENCH_ALL, ~214 queries) stays
+    // single-pass — it is a correctness sweep, not a timing record.
+    val passes = if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) 1 else 2
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { all(name)(spark, sfDir).count() }
-      catch {
-        case e: Throwable =>
-          failed ::= name
-          System.err.println(s"BENCH FAILURE in $name: ${e.getMessage}")
+      val times = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        try { all(name)(spark, sfDir).count() }
+        catch {
+          case e: Throwable =>
+            if (!failed.contains(name)) failed ::= name
+            System.err.println(s"BENCH FAILURE in $name: ${e.getMessage}")
+        }
+        math.round((System.nanoTime() - t0) / 1e6) / 1e3 // ms precision
       }
-      name -> math.round((System.nanoTime() - t0) / 1e6) / 1e3 // ms precision
+      name -> times
     }
-    val qs = results.map { case (k, v) =>
-      val t = if (failed.contains(k)) -1.0 else v
+    val qs = results.map { case (k, ts) =>
+      val t = if (failed.contains(k)) -1.0 else ts.min
       s"\"" + k + "\":" + t
     }.mkString("{", ",", "}")
+    // only emitted for the multi-pass headline run — the BENCH_ALL sweep
+    // would blow the driver's bounded stdout tail (round-1 parsed:null)
+    val passesJson =
+      if (passes == 1) ""
+      else results.map { case (k, ts) =>
+        s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+      }.mkString(""","passes":{""", ",", "}")
     val ok = results.filterNot(r => failed.contains(r._1))
-    val total = if (ok.nonEmpty) math.round(ok.map(_._2).sum * 1e3) / 1e3 else 0.0
+    val total = if (ok.nonEmpty) math.round(ok.map(_._2.min).sum * 1e3) / 1e3 else 0.0
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$passesJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // file fallback first (survives even if stdout is mangled downstream)
     val out = Paths.get("target/bench.json")
     Files.createDirectories(out.getParent)
