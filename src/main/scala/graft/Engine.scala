@@ -93,7 +93,7 @@ object Engine {
       (Eval.isRollupFn(n) || pointwiseTransforms(n)) && args.forall(pointwiseInTime)
     case AggrFuncExpr(n, args, _, limit) =>
       n != "limitk" && limit == 0 && args.forall(pointwiseInTime)
-    case BinaryOpExpr(_, l, r, _, _, _, _) => pointwiseInTime(l) && pointwiseInTime(r)
+    case BinaryOpExpr(_, l, r, _, _, _, _, _, _) => pointwiseInTime(l) && pointwiseInTime(r)
     case RollupExpr(inner, _, _, _, at, _, _) =>
       // @-pinned evaluations replicate one instant — grid-size dependent
       at.isEmpty && pointwiseInTime(inner)

@@ -296,8 +296,10 @@ object SparkEntry {
       Rollup.histogramOverTime(ev(s, dir), Seq("name"), gridH, H)
         .select(col("name"), col("t"), col("vmrange"), col("value"))
         .orderBy("name", "t", "vmrange"),
-      Some(s"WITH b AS ($BH) SELECT name, t, floor(log10(value) * 18)::BIGINT AS vmrange, " +
-        "count(*)::DOUBLE AS value FROM b GROUP BY name, t, vmrange ORDER BY name, t, vmrange")),
+      Some(s"WITH b AS ($BH), k AS (SELECT name, t, ceil(log10(value) * 18)::BIGINT - 1 AS k, " +
+        "count(*)::DOUBLE AS value FROM b WHERE value > 0 GROUP BY name, t, k) " +
+        "SELECT name, t, printf('%.3e...%.3e', pow(10, k / 18.0), pow(10, (k + 1) / 18.0)) AS vmrange, " +
+        "value FROM k ORDER BY name, t, vmrange")),
     Q("ro_present_over_time", (s, dir) =>
       Rollup.presentOverTime(ev(s, dir), Seq("name"), gridH, H)
         .select(col("name"), col("t"), col("value"))
@@ -706,10 +708,23 @@ object SparkEntry {
         "JOIN o ON gdf.name = o.name AND gdf.user_id = o.user_id ORDER BY name, user_id, t")),
     Q("ag_histogram", (s, dir) =>
       Aggr.histogram(gDavg(s, dir), Seq("name"))
-        .select(col("name"), col("t"), col("vmrange"), col("value"))
-        .orderBy("name", "t", "vmrange"),
-      Some(s"$GD SELECT name, t, floor(log10(value) * 18)::BIGINT AS vmrange, count(*)::DOUBLE AS value " +
-        "FROM gdf GROUP BY name, t, vmrange ORDER BY name, t, vmrange")),
+        .select(col("name"), col("t"), col("le"), col("value"))
+        .orderBy(col("name"), col("t"), HistogramQ.parseBound(col("le"))),
+      Some(s"$GD, h AS (SELECT name, t, ceil(log10(value) * 18)::BIGINT - 1 AS k, " +
+        "count(*)::DOUBLE AS c FROM gdf GROUP BY name, t, k), " +
+        "kd AS (SELECT name, k, lag(k) OVER (PARTITION BY name ORDER BY k) AS pk " +
+        "FROM (SELECT DISTINCT name, k FROM h)), " +
+        "r AS (SELECT name, k, 2 * k + 1 AS ord, printf('%.3e', pow(10, (k + 1) / 18.0)) AS le, TRUE AS isreal FROM kd " +
+        "UNION ALL SELECT name, k, 2 * k, printf('%.3e', pow(10, k / 18.0)), FALSE " +
+        "FROM kd WHERE pk IS NULL OR pk != k - 1 " +
+        "UNION ALL SELECT DISTINCT name, NULL, 2000000000, '+Inf', FALSE FROM kd), " +
+        "gt AS (SELECT DISTINCT name, t FROM h) " +
+        "SELECT gt.name AS name, gt.t AS t, r.le AS le, " +
+        "sum(CASE WHEN r.isreal THEN coalesce(h.c, 0) ELSE 0 END) " +
+        "OVER (PARTITION BY gt.name, gt.t ORDER BY r.ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value " +
+        "FROM gt JOIN r ON gt.name = r.name " +
+        "LEFT JOIN h ON h.name = gt.name AND h.t = gt.t AND h.k = r.k AND r.isreal " +
+        "ORDER BY name, t, ord")),
     // limitk is hash-ordered (aggr.go:1108) — hash differs from DuckDB's,
     // so it gets the weaker rows-only check
     Q("ag_limitk", (s, dir) =>
@@ -869,22 +884,67 @@ object SparkEntry {
   // §2.3 histogram family — buckets are families of series with an `le`
   // label (SURVEY §1.1); quantile = Prometheus bucket interpolation
   // =====================================================================
-  /** cumulative le-buckets from events: vmrange counts → prometheus_buckets */
+  /** cumulative le-buckets from events: vmrange ranges → le conversion
+    * (= prometheus_buckets); le re-parsed to double for the walk kernels
+    */
   private def buckets(s: SparkSession, dir: String): DataFrame =
-    HistogramQ.prometheusBuckets(
+    HistogramQ.vmrangeToLE(
       Rollup.histogramOverTime(ev(s, dir), Seq("name"), gridH, H), Seq("name"))
+      .withColumn("le", HistogramQ.parseBound(col("le")))
 
-  /** shared oracle CTE: cumulative buckets with lagged bounds */
+  /** Shared oracle CTE mirroring the engine's vmrangeBucketsToLE pipeline:
+    * ceil−1 bucket assignment (exact bounds belong to the lower bucket),
+    * bounds snapped through printf('%.3e') so both engines hash the SAME
+    * parsed decimals (no libm-dependent pow in the compared values),
+    * group-level boundary zero-buckets at run starts, and a trailing +Inf
+    * bucket. `j` exposes (name, t, le, cum, plo, pc, total) like before.
+    */
   private val HB =
-    s"WITH b AS ($BH), h AS (SELECT name, t, floor(log10(value) * 18)::BIGINT AS k, " +
+    s"WITH b AS ($BH), h AS (SELECT name, t, ceil(log10(value) * 18)::BIGINT - 1 AS k, " +
       "count(*)::DOUBLE AS c FROM b GROUP BY name, t, k), " +
-      "cb AS (SELECT name, t, pow(10, (k + 1) / 18.0) AS le, " +
-      "sum(c) OVER (PARTITION BY name, t ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h), " +
+      "kd AS (SELECT name, k, lag(k) OVER (PARTITION BY name ORDER BY k) AS pk " +
+      "FROM (SELECT DISTINCT name, k FROM h)), " +
+      "r AS (SELECT name, k, 2 * k + 1 AS ord, " +
+      "CAST(printf('%.3e', pow(10, (k + 1) / 18.0)) AS DOUBLE) AS le, TRUE AS isreal FROM kd " +
+      "UNION ALL SELECT name, k, 2 * k, CAST(printf('%.3e', pow(10, k / 18.0)) AS DOUBLE), FALSE " +
+      "FROM kd WHERE pk IS NULL OR pk != k - 1 " +
+      "UNION ALL SELECT DISTINCT name, NULL, 2000000000, 'infinity'::DOUBLE, FALSE FROM kd), " +
+      "gt AS (SELECT DISTINCT name, t FROM h), " +
+      "cb AS (SELECT gt.name AS name, gt.t AS t, r.ord AS ord, r.le AS le, " +
+      "sum(CASE WHEN r.isreal THEN coalesce(h.c, 0) ELSE 0 END) " +
+      "OVER (PARTITION BY gt.name, gt.t ORDER BY r.ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+      "FROM gt JOIN r ON gt.name = r.name " +
+      "LEFT JOIN h ON h.name = gt.name AND h.t = gt.t AND h.k = r.k AND r.isreal), " +
       "tot AS (SELECT name, t, max(cum) AS total FROM cb GROUP BY name, t), " +
       "j AS (SELECT cb.name AS name, cb.t AS t, le, cum, " +
-      "coalesce(lag(le) OVER (PARTITION BY cb.name, cb.t ORDER BY le), 0) AS plo, " +
-      "coalesce(lag(cum) OVER (PARTITION BY cb.name, cb.t ORDER BY le), 0) AS pc, total " +
+      "coalesce(lag(le) OVER (PARTITION BY cb.name, cb.t ORDER BY ord), 0) AS plo, " +
+      "coalesce(lag(cum) OVER (PARTITION BY cb.name, cb.t ORDER BY ord), 0) AS pc, total " +
       "FROM cb JOIN tot ON cb.name = tot.name AND cb.t = tot.t)"
+
+  /** eval-gate variant of [[HB]]: histogram of per-user click averages,
+    * one bucket family per t (single group — histogram() with no
+    * modifier), same environment-proof le derivation. Expects a CTE `b`
+    * (the hourly base) to be in scope; exposes `j` (t, le, cum, plo, pc,
+    * total).
+    */
+  private val HQCTES =
+    "a AS (SELECT user_id, t, round(avg(value) / 0.000000001) * 0.000000001 AS v " +
+      "FROM b WHERE name = 'click' GROUP BY user_id, t), " +
+      "h AS (SELECT t, ceil(log10(v) * 18)::BIGINT - 1 AS k, count(*)::DOUBLE AS c FROM a GROUP BY t, k), " +
+      "kd AS (SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM (SELECT DISTINCT k FROM h)), " +
+      "r AS (SELECT k, 2 * k + 1 AS ord, CAST(printf('%.3e', pow(10, (k + 1) / 18.0)) AS DOUBLE) AS le, TRUE AS isreal FROM kd " +
+      "UNION ALL SELECT k, 2 * k, CAST(printf('%.3e', pow(10, k / 18.0)) AS DOUBLE), FALSE FROM kd WHERE pk IS NULL OR pk != k - 1 " +
+      "UNION ALL SELECT NULL, 2000000000, 'infinity'::DOUBLE, FALSE FROM (SELECT DISTINCT 1 FROM kd)), " +
+      "gt AS (SELECT DISTINCT t FROM h), " +
+      "cb AS (SELECT gt.t AS t, r.ord AS ord, r.le AS le, " +
+      "sum(CASE WHEN r.isreal THEN coalesce(h.c, 0) ELSE 0 END) " +
+      "OVER (PARTITION BY gt.t ORDER BY r.ord ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum " +
+      "FROM gt CROSS JOIN r LEFT JOIN h ON h.t = gt.t AND h.k = r.k AND r.isreal), " +
+      "tot AS (SELECT t, max(cum) AS total FROM cb GROUP BY t), " +
+      "j AS (SELECT cb.t AS t, le, cum, " +
+      "coalesce(lag(le) OVER (PARTITION BY cb.t ORDER BY ord), 0) AS plo, " +
+      "coalesce(lag(cum) OVER (PARTITION BY cb.t ORDER BY ord), 0) AS pc, total " +
+      "FROM cb JOIN tot ON cb.t = tot.t)"
 
   private val histoQueries: Seq[Q] = Seq(
     Q("h_quantile", (s, dir) =>
@@ -907,7 +967,7 @@ object SparkEntry {
       HistogramQ.histAvg(buckets(s, dir), Seq("name"))
         .select(col("name"), col("t"), r6(col("value")).as("value"))
         .orderBy("name", "t"),
-      Some(s"$HB SELECT name, t, round(1e-9 + sum((le + plo) / 2 * (cum - pc)) / sum(cum - pc), 6) AS value " +
+      Some(s"$HB SELECT name, t, round(1e-9 + sum(CASE WHEN cum > pc THEN (le + plo) / 2 * (cum - pc) ELSE 0 END) / sum(cum - pc), 6) AS value " +
         "FROM j GROUP BY name, t ORDER BY name, t")),
     Q("h_quantiles", (s, dir) =>
       HistogramQ.histQuantiles(buckets(s, dir), Seq("name"), Seq(0.5, 0.95))
@@ -925,8 +985,8 @@ object SparkEntry {
       HistogramQ.histStddev(buckets(s, dir), Seq("name"))
         .select(col("name"), col("t"), r4(col("value")).as("value"))
         .orderBy("name", "t"),
-      Some(s"$HB, mm AS (SELECT name, t, sum((le + plo) / 2 * (cum - pc)) / sum(cum - pc) AS m1, " +
-        "sum((le + plo) / 2 * (le + plo) / 2 * (cum - pc)) / sum(cum - pc) AS m2 " +
+      Some(s"$HB, mm AS (SELECT name, t, sum(CASE WHEN cum > pc THEN (le + plo) / 2 * (cum - pc) ELSE 0 END) / sum(cum - pc) AS m1, " +
+        "sum(CASE WHEN cum > pc THEN (le + plo) / 2 * (le + plo) / 2 * (cum - pc) ELSE 0 END) / sum(cum - pc) AS m2 " +
         "FROM j GROUP BY name, t) " +
         "SELECT name, t, round(1e-9 + sqrt(greatest(m2 - m1 * m1, 0)), 4) AS value FROM mm " +
         "ORDER BY name, t")),
@@ -934,8 +994,8 @@ object SparkEntry {
       HistogramQ.histStdvar(buckets(s, dir), Seq("name"))
         .select(col("name"), col("t"), r4(col("value")).as("value"))
         .orderBy("name", "t"),
-      Some(s"$HB, mm AS (SELECT name, t, sum((le + plo) / 2 * (cum - pc)) / sum(cum - pc) AS m1, " +
-        "sum((le + plo) / 2 * (le + plo) / 2 * (cum - pc)) / sum(cum - pc) AS m2 " +
+      Some(s"$HB, mm AS (SELECT name, t, sum(CASE WHEN cum > pc THEN (le + plo) / 2 * (cum - pc) ELSE 0 END) / sum(cum - pc) AS m1, " +
+        "sum(CASE WHEN cum > pc THEN (le + plo) / 2 * (le + plo) / 2 * (cum - pc) ELSE 0 END) / sum(cum - pc) AS m2 " +
         "FROM j GROUP BY name, t) " +
         "SELECT name, t, round(1e-9 + m2 - m1 * m1, 4) AS value FROM mm ORDER BY name, t")))
 
@@ -1438,17 +1498,7 @@ object SparkEntry {
     Q("eval_hist_quantile", eng(
       "histogram_quantile(0.95, prometheus_buckets(histogram(round(avg_over_time(click[1h]), 0.000000001))))") { df =>
       df.select(col("t"), r6(col("value")).as("value")).orderBy("t")
-    }, Some(s"WITH b AS ($BH), " +
-      "a AS (SELECT user_id, t, round(avg(value) / 0.000000001) * 0.000000001 AS v " +
-      "FROM b WHERE name = 'click' GROUP BY user_id, t), " +
-      "h AS (SELECT t, floor(log10(v) * 18)::BIGINT AS k, count(*)::DOUBLE AS c FROM a GROUP BY t, k), " +
-      "cb AS (SELECT t, pow(10, (k + 1) / 18.0) AS le, " +
-      "sum(c) OVER (PARTITION BY t ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h), " +
-      "tot AS (SELECT t, max(cum) AS total FROM cb GROUP BY t), " +
-      "j AS (SELECT cb.t AS t, le, cum, " +
-      "coalesce(lag(le) OVER (PARTITION BY cb.t ORDER BY le), 0) AS plo, " +
-      "coalesce(lag(cum) OVER (PARTITION BY cb.t ORDER BY le), 0) AS pc, total " +
-      "FROM cb JOIN tot ON cb.t = tot.t) " +
+    }, Some(s"WITH b AS ($BH), $HQCTES " +
       "SELECT t, round(1e-9 + plo + (le - plo) * " +
       "CASE WHEN cum > pc THEN (0.95 * total - pc) / (cum - pc) ELSE 0 END, 6) AS value " +
       "FROM j WHERE cum >= 0.95 * total AND pc < 0.95 * total ORDER BY t")),
@@ -1483,17 +1533,7 @@ object SparkEntry {
       """histogram_quantiles("phi", 0.5, 0.95, prometheus_buckets(histogram(round(avg_over_time(click[1h]), 0.000000001))))""") { df =>
       df.select(col("tags").getItem("phi").as("phi"), col("t"), r6(col("value")).as("value"))
         .orderBy("phi", "t")
-    }, Some(s"WITH b AS ($BH), " +
-      "a AS (SELECT user_id, t, round(avg(value) / 0.000000001) * 0.000000001 AS v " +
-      "FROM b WHERE name = 'click' GROUP BY user_id, t), " +
-      "h AS (SELECT t, floor(log10(v) * 18)::BIGINT AS k, count(*)::DOUBLE AS c FROM a GROUP BY t, k), " +
-      "cb AS (SELECT t, pow(10, (k + 1) / 18.0) AS le, " +
-      "sum(c) OVER (PARTITION BY t ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h), " +
-      "tot AS (SELECT t, max(cum) AS total FROM cb GROUP BY t), " +
-      "j AS (SELECT cb.t AS t, le, cum, " +
-      "coalesce(lag(le) OVER (PARTITION BY cb.t ORDER BY le), 0) AS plo, " +
-      "coalesce(lag(cum) OVER (PARTITION BY cb.t ORDER BY le), 0) AS pc, total " +
-      "FROM cb JOIN tot ON cb.t = tot.t), " +
+    }, Some(s"WITH b AS ($BH), $HQCTES, " +
       "p AS (SELECT unnest([0.5, 0.95]) AS phi) " +
       "SELECT phi::VARCHAR AS phi, t, round(1e-9 + plo + (le - plo) * " +
       "CASE WHEN cum > pc THEN (phi * total - pc) / (cum - pc) ELSE 0 END, 6) AS value " +

@@ -105,12 +105,19 @@ sealed trait GroupModifier
 final case class On(labels: Seq[String]) extends GroupModifier
 final case class Ignoring(labels: Seq[String]) extends GroupModifier
 
-sealed trait JoinModifier { def labels: Seq[String] }
-final case class GroupLeft(labels: Seq[String]) extends JoinModifier
-final case class GroupRight(labels: Seq[String]) extends JoinModifier
+/** group_left/group_right with extra-label list (`*` = copy ALL labels from
+  * the single side, metricsql parser.go:1959 JoinModifier) and the optional
+  * `prefix "p"` applied to copied label names (JoinModifierPrefix).
+  */
+sealed trait JoinModifier { def labels: Seq[String]; def prefix: Option[String] }
+final case class GroupLeft(labels: Seq[String], prefix: Option[String] = None) extends JoinModifier
+final case class GroupRight(labels: Seq[String], prefix: Option[String] = None) extends JoinModifier
 
 /** Binary operator with vector-matching modifiers (binary_op.go:15-43,
-  * matching rules binary_op.go:271-393).
+  * matching rules binary_op.go:271-393). `fillLeft`/`fillRight` are the
+  * MetricsQL `fill(N)`/`fill_left(N)`/`fill_right(N)` modifiers
+  * (metricsql parser.go:520-556): when one side is NaN/absent at a point
+  * (but not both), substitute the fill value on that side.
   */
 final case class BinaryOpExpr(
     op: String,
@@ -119,7 +126,9 @@ final case class BinaryOpExpr(
     boolModifier: Boolean = false,
     groupModifier: Option[GroupModifier] = None,
     joinModifier: Option[JoinModifier] = None,
-    keepMetricNames: Boolean = false) extends Expr
+    keepMetricNames: Boolean = false,
+    fillLeft: Option[Double] = None,
+    fillRight: Option[Double] = None) extends Expr
 
 /** `(e1, e2, …)` — union list; single-element parens are unwrapped at parse
   * time (parser.go:117 removeParensExpr).

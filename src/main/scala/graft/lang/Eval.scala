@@ -487,7 +487,7 @@ object Eval {
         case FuncExpr("end", Seq(), _) => cfg.grid.endMs / 1000.0
         case FuncExpr("step", Seq(), _) => cfg.grid.stepMs / 1000.0
         case ParensExpr(Seq(one)) => atConst(one)
-        case BinaryOpExpr(op, l, r, _, _, _, _) =>
+        case BinaryOpExpr(op, l, r, _, _, _, _, _, _) =>
           BinaryOp.applyScalar(op, atConst(l), atConst(r))
         case RollupExpr(inner, None, None, Some(off), None, _, _) =>
           atConst(inner) - off.ms(step) / 1000.0
@@ -733,14 +733,22 @@ object Eval {
             map_concat(tagsOf(col("_tk")), map(lit(label), col("_phi"))).as("tags"),
             col("t"), col("value")))
         case "histogram" =>
-          // cross-series vmrange histogram per point (aggr.go:256)
+          // cross-series vmrange histogram per point, returned as
+          // cumulative le buckets (aggr.go:256 aggrFuncHistogram ends in
+          // vmrangeBucketsToLE; bounds are the %.3e decimal strings)
+          import graft.operators.HistogramQ
           val g = df.withColumn("_tk", tagKey(gtags))
-            .withColumn("_vmr", floor(log10(v) * 18))
-            .groupBy(col("_tk"), col("t"), col("_vmr"))
+            .filter(!isnan(v) && v > 0.0)
+            .withColumn("vmrange",
+              when(v <= 1e-9, lit("0...1.000e-09"))
+                .when(v > 1e18, lit("1.000e+18...+Inf"))
+                .otherwise(HistogramQ.vmrangeStr(HistogramQ.bucketIdx(v))))
+            .groupBy(col("_tk"), col("t"), col("vmrange"))
             .agg(count(lit(1)).cast(DoubleType).as("value"))
-          Series(g.select(lit(null).cast(StringType).as("name"),
+          val le = HistogramQ.vmrangeToLE(g, Seq("_tk"))
+          Series(le.select(lit(null).cast(StringType).as("name"),
             map_concat(tagsOf(col("_tk")),
-              map(lit("vmrange"), col("_vmr").cast(StringType))).as("tags"),
+              map(lit("le"), col("le"))).as("tags"),
             col("t"), col("value")))
         case "outliers_iqr" | "outliers_mad" | "outliersk" =>
           // whole-series outlier filters (aggr.go:952,1004,1040)
@@ -911,21 +919,35 @@ object Eval {
 
     private def evalBinop(b: BinaryOpExpr): Value = {
       // equality against a union list: membership test per point
-      // (binary_op.go:58-113): `q == (v1, v2)` keeps points equal to ANY
-      // listed value; `q != (…)` keeps points equal to NONE
-      (b.op, b.right) match {
-        case ("==" | "!=", ParensExpr(es))
-            if es.nonEmpty && es.forall(_.isInstanceOf[NumberExpr]) =>
-          val vals = es.map { case NumberExpr(v) => v case _ => 0.0 }
-          val df = series(b.left)
-          val isIn = col("value").isInCollection(vals)
-          val hit = if (b.op == "==") isIn else !isIn
-          return Series(
-            if (b.boolModifier)
-              df.withColumn("value", hit.cast(DoubleType))
-                .withColumn("name", lit(null).cast(StringType))
-            else df.filter(hit))
-        case _ =>
+      // (binary_op.go:58-113 binaryOpEq/NeqFunc): when either side of
+      // ==/!= is SYNTACTICALLY a parens list or union(...) call, the other
+      // side's points are kept iff some union element has that exact value
+      // at that timestamp. Elements are evaluated independently — they
+      // usually share the empty series key, so the normal union dedup
+      // ("first wins") must not apply.
+      def unionElems(e: Expr): Option[Seq[Expr]] = e match {
+        case ParensExpr(es) if es.nonEmpty => Some(es)
+        case FuncExpr(n, as, _) if as.nonEmpty &&
+          (n.isEmpty || n.equalsIgnoreCase("union")) => Some(as)
+        case _ => None
+      }
+      if (b.op == "==" || b.op == "!=") {
+        val (seriesE, elems) = (unionElems(b.left), unionElems(b.right)) match {
+          case (None, Some(es)) => (b.left, es)
+          case (Some(es), None) => (b.right, es)
+          case _ => (null, Nil)
+        }
+        if (elems.nonEmpty) {
+          val sdf = series(seriesE).as("_ul")
+          val uvals = elems.map(e => series(e).select(col("t").as("_ut"), col("value").as("_uv")))
+            .reduce(_ unionByName _)
+            .filter(!isnan(col("_uv"))).distinct().as("_ur")
+          val cond = col("_ul.t") === col("_ur._ut") && col("_ul.value") === col("_ur._uv")
+          val out =
+            if (b.op == "==") sdf.join(uvals, cond, "left_semi")
+            else sdf.join(uvals, cond, "left_anti")
+          return Series(out)
+        }
       }
       val leftV0 = eval(b.left)
       val (leftV1, rightV1) = leftV0 match {
@@ -938,11 +960,21 @@ object Eval {
       // time()>1600`, `time() and 2`) run the full vector-match path:
       // scalars materialize on the grid, scalar series keep their empty
       // series key, and or/and/unless merge per timestamp
-      // (exec_test.go minute(series_with_NaNs), scalar-or-scalar)
+      // (exec_test.go minute(series_with_NaNs), scalar-or-scalar).
+      // A scalar LEFT of if/ifnot/default against a labeled vector right
+      // also promotes: the reference key-matches it as an empty-label
+      // series (binary_op.go:745 seriesByKey has a scalar fallback only
+      // for the map side being probed, i.e. the right), so `time() if
+      // (label_set(...))` matches only right series whose key is empty.
+      // The scalar-on-the-RIGHT case keeps the t-join fast path below —
+      // that IS the seriesByKey fallback.
       val promoteSetOps = Set("and", "or", "unless").contains(b.op)
-      def promote(v: Value): Value = v match {
-        case ScalarSeries(d) if promoteSetOps => Series(d)
-        case Scalar(x) if promoteSetOps => Series(toSeries(samples, Scalar(x), cfg))
+      val promoteCondLeft = Set("if", "ifnot", "default").contains(b.op) &&
+        rightV1.isInstanceOf[Series]
+      def promote(v: Value, isLeft: Boolean): Value = v match {
+        case ScalarSeries(d) if promoteSetOps || (promoteCondLeft && isLeft) => Series(d)
+        case Scalar(x) if promoteSetOps || (promoteCondLeft && isLeft) =>
+          Series(toSeries(samples, Scalar(x), cfg))
         case other => other
       }
       // `default` fills a series' MISSING grid points from the right side,
@@ -960,7 +992,7 @@ object Eval {
             // every downstream isnan() test understands
             coalesce(col("value"), lit(Double.NaN)).as("value"))
       }
-      val (leftV2, rightV2) = (promote(leftV1), promote(rightV1))
+      val (leftV2, rightV2) = (promote(leftV1, isLeft = true), promote(rightV1, isLeft = false))
       val leftV = if (b.op == "default") leftV2 match {
         case Series(d) => Series(densify(d))
         case ScalarSeries(d) => ScalarSeries(densify(d))
@@ -995,6 +1027,10 @@ object Eval {
             case other => other
           }
         case (Series(l), Series(r)) => vectorMatch(l, r, b)
+        // a non-foldable string in number position: Go strconv semantics
+        // make it NaN, so the whole expression collapses to a NaN scalar
+        // (exec_test.go `1+"foobar"*2%9` → empty result)
+        case (StrVal(_), _) | (_, StrVal(_)) => Scalar(Double.NaN)
         case (l, r) =>
           throw new IllegalArgumentException(s"unsupported binop operands: $l ${b.op} $r")
       }
@@ -1062,21 +1098,37 @@ object Eval {
       case "^" => pow(l, r)
       case "atan2" => atan2(l, r)
       // scalar-side set ops (binary_op.go:568): `default` fills missing/NaN
-      // points, `if`/`ifnot` gate on the condition side's presence
-      case "default" => when(l.isNotNull && !isnan(l), l).otherwise(r)
-      case "if" => when(r.isNotNull && !isnan(r), l)
-      case "ifnot" => when(r.isNull || isnan(r), l)
+      // points, `if`/`ifnot` gate on the condition side's presence. The
+      // no-value outcome is NaN (engine absent), never SQL NULL — a NULL
+      // value column breaks downstream non-null row encoders.
+      case "default" =>
+        when(l.isNotNull && !isnan(l), l)
+          .when(r.isNotNull && !isnan(r), r)
+          .otherwise(lit(Double.NaN))
+      case "if" => when(r.isNotNull && !isnan(r), l).otherwise(lit(Double.NaN))
+      case "ifnot" => when(r.isNull || isnan(r), l).otherwise(lit(Double.NaN))
       case other => throw new IllegalArgumentException(s"not arithmetic: '$other'")
     }
 
-    private def cmpColumn(op: String, l: Column, r: Column): Column = op match {
-      case "==" => l === r
-      case "!=" => l =!= r
-      case ">" => l > r
-      case "<" => l < r
-      case ">=" => l >= r
-      case "<=" => l <= r
-      case other => throw new IllegalArgumentException(s"not a comparison: '$other'")
+    /** comparison with Go float semantics, NOT Spark SQL ordering: Spark
+      * treats NaN == NaN as true and NaN as the largest double, while Go
+      * (and the reference) make every ordered comparison with NaN false
+      * and NaN != x true (metricsql binaryop funcs; binary_op.go:169
+      * keeps `value != NaN` true per reference issue #150). NULL inputs
+      * (from outer joins on fill paths) behave like NaN.
+      */
+    private def cmpColumn(op: String, l: Column, r: Column): Column = {
+      val lBad = l.isNull || isnan(l)
+      val rBad = r.isNull || isnan(r)
+      op match {
+        case "==" => !lBad && !rBad && (l === r)
+        case "!=" => lBad || rBad || (l =!= r)
+        case ">" => !lBad && !rBad && (l > r)
+        case "<" => !lBad && !rBad && (l < r)
+        case ">=" => !lBad && !rBad && (l >= r)
+        case "<=" => !lBad && !rBad && (l <= r)
+        case other => throw new IllegalArgumentException(s"not a comparison: '$other'")
+      }
     }
 
     /** vector matching (binary_op.go:271-519): join key = full tag set, or
@@ -1094,25 +1146,37 @@ object Eval {
       val r = r0.withColumn("_mk", tagKey(matchTags(col("tags"))))
 
       def lOnly = Seq(col("name"), col("tags"), col("t"), col("value"))
+      // NaN-valued rows are "absent" for set-op presence tests — a NaN
+      // produced upstream (promoted NaN scalar, arithmetic on NaN) must
+      // not create or consume matches (binary_op.go removeEmptySeries +
+      // per-point IsNaN checks)
+      def noNaN(d: DataFrame) = d.filter(!isnan(col("value")))
 
       b.op match {
         case "and" | "if" =>
           // left points whose (mk, t) exists on the right (binary_op.go:535)
-          Series(l.join(r.select("_mk", "t").distinct(), Seq("_mk", "t"), "left_semi")
+          Series(noNaN(l).join(noNaN(r).select("_mk", "t").distinct(), Seq("_mk", "t"), "left_semi")
             .select(lOnly: _*))
         case "unless" | "ifnot" =>
-          Series(l.join(r.select("_mk", "t").distinct(), Seq("_mk", "t"), "left_anti")
+          Series(noNaN(l).join(noNaN(r).select("_mk", "t").distinct(), Seq("_mk", "t"), "left_anti")
             .select(lOnly: _*))
         case "or" =>
-          // union preferring left per (mk, t) (binary_op.go:588)
-          val rOnly = r.join(l.select("_mk", "t").distinct(), Seq("_mk", "t"), "left_anti")
-          Series(l.select(lOnly: _*).unionByName(rOnly.select(lOnly: _*)))
+          // union preferring left per (mk, t) (binary_op.go:588
+          // binaryOpOr + fillLeftNaNsWithRightValuesOrMerge): every right
+          // point in a group where some left series has a value at that
+          // timestamp is consumed; a consumed point whose labels exactly
+          // match a left series appears as that left series, which is
+          // row-identical to just keeping the right row
+          val lc = noNaN(l)
+          val rc = noNaN(r)
+          val rOnly = rc.join(lc.select("_mk", "t").distinct(), Seq("_mk", "t"), "left_anti")
+          Series(lc.select(lOnly: _*).unionByName(rOnly.select(lOnly: _*)))
         case "default" =>
           // the LEFT series, with NaN/absent points filled from the right
           // per (mk, t) — the left side arrives densified over the grid
           // (evalBinop), so gaps surface as NaN rows here; output keeps the
           // left's identity incl. name (binary_op.go:568 binaryOpDefault)
-          val rv = r.groupBy(col("_mk"), col("t")).agg(first(col("value")).as("_rv"))
+          val rv = noNaN(r).groupBy(col("_mk"), col("t")).agg(first(col("value")).as("_rv"))
           val filled = l.join(rv, Seq("_mk", "t"), "left")
             .withColumn("value",
               when(isnan(col("value")) && col("_rv").isNotNull, col("_rv"))
@@ -1120,11 +1184,59 @@ object Eval {
           Series(filled.select(lOnly: _*))
         case op =>
           // arithmetic / comparison: equi-join on (mk, t)
-          val (many, one, leftIsMany) = b.joinModifier match {
-            case Some(GroupRight(_)) => (r, l, false)
+          val (many0, one0, leftIsMany) = b.joinModifier match {
+            case Some(GroupRight(_, _)) => (r, l, false)
             case _ => (l, r, true)
           }
-          val extra = b.joinModifier.map(_.labels).getOrElse(Nil)
+          // fill()/fill_left()/fill_right(): the fill value substitutes a
+          // side that is NaN/absent at a point — unless BOTH sides are
+          // (binary_op.go:192-231); a match key entirely missing on a
+          // filled side gets a synthetic key-labeled series
+          // (binary_op.go:308-330 newFillTimeseries)
+          val fillMany = if (leftIsMany) b.fillLeft else b.fillRight
+          val fillOne = if (leftIsMany) b.fillRight else b.fillLeft
+          val many1 = {
+            val m = many0
+            if (fillMany.isEmpty) m
+            else {
+              // grid-densify real many series (their NaN points can now
+              // produce values), then add synthetic key-only series for
+              // match keys present only on the one side
+              val withSk = m.withColumn("_sk2", skey(col("name"), col("tags")))
+              val dim = withSk.select(col("_sk2"), col("_mk"), col("name"), col("tags"))
+                .dropDuplicates("_sk2")
+              val dense = dim.crossJoin(Grid.gridDf(samples, cfg.grid))
+                .join(withSk.select(col("_sk2"), col("t"), col("value")),
+                  Seq("_sk2", "t"), "left")
+                .select(col("_mk"), col("name"), col("tags"), col("t"),
+                  coalesce(col("value"), lit(Double.NaN)).as("value"))
+              val missingKeys = one0.select(col("_mk")).distinct()
+                .join(m.select(col("_mk")).distinct(), Seq("_mk"), "left_anti")
+              val synth = missingKeys
+                .crossJoin(Grid.gridDf(samples, cfg.grid))
+                .select(col("_mk"), lit(null).cast(StringType).as("name"),
+                  tagsOf(col("_mk")).as("tags"), col("t"),
+                  lit(Double.NaN).as("value"))
+              dense.unionByName(synth)
+            }
+          }
+          val (many, one) = (many1, one0)
+          val extraRaw = b.joinModifier.map(_.labels).getOrElse(Nil)
+          val star = extraRaw == Seq("*")
+          val extra = if (star) Nil else extraRaw
+          val prefix = b.joinModifier.flatMap(_.prefix).getOrElse("")
+          // on-labels are skipped when copying ALL labels via (*)
+          // (metric_name.go:313 SetTags → setAllTags skipTags)
+          val skipTags: Seq[String] = b.groupModifier match {
+            case Some(On(ls)) => ls
+            case _ => Nil
+          }
+          val copiedTags: Column =
+            if (star)
+              transform_keys(
+                map_filter(col("tags"), (k, _) => !k.isInCollection("" +: skipTags)),
+                (k, _) => concat(lit(prefix), k))
+            else map_filter(col("tags"), (k, _) => k.isInCollection("" +: extra))
           // 1:1 cardinality guard (binary_op.go:395 ensureSingleTimeseries):
           // the "one" side must hold a single sample per (match key, t) —
           // the reference first merges series that never overlap in time,
@@ -1135,7 +1247,7 @@ object Eval {
             .groupBy(col("_mk"), col("t"))
             .agg(
               first(col("value")).as("_ov0"),
-              first(map_filter(col("tags"), (k, _) => k.isInCollection(extra))).as("_otags"),
+              first(copiedTags).as("_otags"),
               count(lit(1)).as("_on"))
             .withColumn("_ov",
               when(col("_on") > 1, raise_error(concat(
@@ -1144,34 +1256,79 @@ object Eval {
                 lit(" at the same timestamp"))))
                 .otherwise(col("_ov0")))
             .drop("_ov0", "_on")
-          val joined = many
+          val joined0 = many
             .withColumnRenamed("value", "_mv")
-            .join(oneSide, Seq("_mk", "t"))
+            .join(oneSide, Seq("_mk", "t"), if (fillOne.isDefined) "left" else "inner")
+          // apply fills: when exactly one side is NaN/absent and that side
+          // has a fill value, substitute it (both-NaN stays NaN)
+          val joined =
+            if (fillMany.isEmpty && fillOne.isEmpty) joined0
+            else {
+              val mNaN = col("_mv").isNull || isnan(col("_mv"))
+              val oNaN = col("_ov").isNull || isnan(col("_ov"))
+              joined0
+                .withColumn("_mv2",
+                  if (fillMany.isEmpty) col("_mv")
+                  else when(mNaN && !oNaN, lit(fillMany.get)).otherwise(col("_mv")))
+                .withColumn("_ov2",
+                  if (fillOne.isEmpty) col("_ov")
+                  else when(oNaN && !mNaN, lit(fillOne.get)).otherwise(col("_ov")))
+                .drop("_mv", "_ov")
+                .withColumnRenamed("_mv2", "_mv")
+                .withColumnRenamed("_ov2", "_ov")
+            }
           val (lv, rv) =
             if (leftIsMany) (col("_mv"), col("_ov")) else (col("_ov"), col("_mv"))
-          // result tags: the many side's tags (on() reduces to key labels
-          // when no join modifier), plus group_left/right extra labels
+          // result tags: the many side's tags, plus group_left/right copied
+          // labels. Without a join modifier, on() keeps only the on-labels
+          // and ignoring() drops the ignored labels — both equal the match
+          // key (binary_op.go:352-358 RemoveTagsOn/RemoveTagsIgnoring).
+          // Copying follows the reference's SetTags: an existing tag with
+          // the same (possibly prefixed) name is OVERWRITTEN, and a listed
+          // extra label missing on the one side is REMOVED from the many
+          // side (metric_name.go:313-344)
           val baseTags = (b.groupModifier, b.joinModifier) match {
-            case (Some(On(_)), None) => tagsOf(col("_mk"))
+            case (Some(_), None) => tagsOf(col("_mk"))
             case _ => col("tags")
           }
+          val otags = coalesce(col("_otags"), map().cast("map<string,string>"))
           val outTags =
-            if (extra.nonEmpty) map_concat(baseTags, col("_otags")) else baseTags
+            if (star)
+              map_concat(map_filter(baseTags, (k, _) => !map_contains_key(otags, k)), otags)
+            else if (extra.nonEmpty) {
+              val prefixed =
+                if (prefix.isEmpty) otags
+                else transform_keys(otags, (k, _) => concat(lit(prefix), k))
+              map_concat(
+                map_filter(baseTags, (k, _) =>
+                  !k.isInCollection(extra) && !map_contains_key(prefixed, k)),
+                prefixed)
+            } else baseTags
+          val dropAbsent = !isnan(col("value")) // fill leaves both-NaN rows behind
           val out =
             if (BinaryOp.comparisons(op)) {
               val cond = cmpColumn(op, lv, rv)
               if (b.boolModifier)
-                joined.withColumn("value", cond.cast(DoubleType))
+                // bool cmp: NaN LEFT stays NaN (absent); a NaN right just
+                // evaluates the comparison (binary_op.go:143-150)
+                joined.withColumn("value",
+                  when(lv.isNull || isnan(lv), lit(Double.NaN))
+                    .otherwise(cond.cast(DoubleType)))
                   .withColumn("name", lit(null).cast(StringType))
               else
                 joined.filter(cond)
                   .withColumn("value", if (leftIsMany) col("_mv") else col("_ov"))
             } else
               joined
-                .withColumn("value", arithColumn(op, lv, rv))
+                // NULL operands (outer-join misses on fill paths) make the
+                // arithmetic NULL — normalize to NaN (engine absent)
+                .withColumn("value", coalesce(arithColumn(op, lv, rv), lit(Double.NaN)))
                 .withColumn("name",
                   if (b.keepMetricNames) col("name") else lit(null).cast(StringType))
-          Series(out.select(col("name"), outTags.as("tags"), col("t"), col("value")))
+          val outF =
+            if (fillMany.isEmpty && fillOne.isEmpty) out
+            else out.filter(dropAbsent)
+          Series(outF.select(col("name"), outTags.as("tags"), col("t"), col("value")))
       }
     }
 
@@ -1506,20 +1663,33 @@ object Eval {
         case "interpolate" =>
           Series(interpolate(df))
         case "prometheus_buckets" =>
-          // vmrange log-buckets → cumulative le buckets (transform.go:502)
+          // vmrange log-buckets → cumulative le buckets (transform.go:502
+          // vmrangeBucketsToLE). Series with a valid "lo...hi" vmrange are
+          // converted (grouped by identity minus vmrange/le); series
+          // WITHOUT one pass through untouched if they carry a parseable
+          // `le` (Prometheus-native buckets), else drop.
+          import graft.operators.HistogramQ
+          val vm = col("tags").getItem("vmrange")
+          val validVm = vm.isNotNull && vm.contains("...") &&
+            HistogramQ.parseBound(substring_index(vm, "...", 1)).isNotNull &&
+            HistogramQ.parseBound(substring_index(vm, "...", -1)).isNotNull
           val in = df
-            .withColumn("vmrange",
-              col("tags").getItem("vmrange").cast("long"))
-            .filter(col("vmrange").isNotNull)
+            .filter(validVm)
+            .withColumn("vmrange", vm)
             .withColumn("_tk",
-              tagKey(map_filter(col("tags"), (k, _) => k =!= "vmrange")))
-          val out = graft.operators.HistogramQ.prometheusBuckets(
+              tagKey(map_filter(col("tags"), (k, _) => k =!= "vmrange" && k =!= "le")))
+          val out = HistogramQ.vmrangeToLE(
             in.select(col("name"), col("_tk"), col("t"), col("vmrange"), col("value")),
             Seq("name", "_tk"))
-          Series(out.select(col("name"),
+          val converted = out.select(lit(null).cast(StringType).as("name"),
             map_concat(tagsOf(col("_tk")),
-              map(lit("le"), col("le").cast(StringType))).as("tags"),
-            col("t"), col("value")))
+              map(lit("le"), col("le"))).as("tags"),
+            col("t"), col("value"))
+          val passthrough = df
+            .filter(!validVm && leValue(col("tags").getItem("le")).isNotNull)
+            .select(lit(null).cast(StringType).as("name"), col("tags"),
+              col("t"), col("value"))
+          Series(converted.unionByName(passthrough))
         case "histogram_quantile" | "histogram_share" | "histogram_avg" |
             "histogram_stddev" | "histogram_stdvar" | "histogram_fraction" =>
           // bucket families carry an `le` label (SURVEY §1.1); group by

@@ -71,6 +71,7 @@ object Parser {
     private val scopes = mutable.Stack[mutable.Map[String, WithArg]]()
 
     private def cur: Token = tokens(pos)
+    private def peek: Token = tokens(math.min(pos + 1, tokens.size - 1))
     private def advance(): Token = { val t = cur; pos += 1; t }
     private def isKw(t: Token, kw: String): Boolean =
       t.kind == Ident && t.text.equalsIgnoreCase(kw)
@@ -108,12 +109,38 @@ object Parser {
             if (isKw(cur, "bool")) { boolMod = true; advance() }
             if (isKw(cur, "on")) { advance(); groupMod = Some(On(parseLabelList())) }
             else if (isKw(cur, "ignoring")) { advance(); groupMod = Some(Ignoring(parseLabelList())) }
-            if (isKw(cur, "group_left")) { advance(); joinMod = Some(GroupLeft(parseOptLabelList())) }
-            else if (isKw(cur, "group_right")) { advance(); joinMod = Some(GroupRight(parseOptLabelList())) }
+            if (isKw(cur, "group_left")) { advance(); joinMod = Some(GroupLeft(parseOptLabelList(), parseJoinPrefix())) }
+            else if (isKw(cur, "group_right")) { advance(); joinMod = Some(GroupRight(parseOptLabelList(), parseJoinPrefix())) }
+            // fill()/fill_left()/fill_right() function-form modifiers
+            // (metricsql parser.go:520-556) — only when followed by `(`,
+            // so a metric actually named fill_left still parses
+            var fillL: Option[Double] = None
+            var fillR: Option[Double] = None
+            while ((isKw(cur, "fill") || isKw(cur, "fill_left") || isKw(cur, "fill_right")) &&
+                peek.kind == Punct && peek.text == "(") {
+              val which = advance().text.toLowerCase
+              expectPunct("(")
+              val neg = cur.kind == Op && cur.text == "-"
+              if (neg) advance()
+              val t = advance()
+              val v0 = t.kind match {
+                case Number => parseNumber(t.text)
+                case Ident if t.text.equalsIgnoreCase("nan") => Double.NaN
+                case Ident if t.text.equalsIgnoreCase("inf") => Double.PositiveInfinity
+                case _ => throw new ParseError(s"cannot parse $which fill value '${t.text}'", t.pos)
+              }
+              val v = if (neg) -v0 else v0
+              expectPunct(")")
+              which match {
+                case "fill" => fillL = Some(v); fillR = Some(v)
+                case "fill_left" => fillL = Some(v)
+                case "fill_right" => fillR = Some(v)
+              }
+            }
             val nextMin = if (BinaryOp.isRightAssociative(op)) BinaryOp.priority(op) else BinaryOp.priority(op) + 1
             val right = parseExpr(nextMin)
             if (isKw(cur, "keep_metric_names")) { keepNames = true; advance() }
-            left = BinaryOpExpr(op, left, right, boolMod, groupMod, joinMod, keepNames)
+            left = BinaryOpExpr(op, left, right, boolMod, groupMod, joinMod, keepNames, fillL, fillR)
           case _ => continue = false
         }
       }
@@ -301,9 +328,21 @@ object Parser {
       items.toSeq
     }
 
-    /** group_left/group_right label list is optional. */
+    /** group_left/group_right label list is optional; `(*)` copies every
+      * label from the single side (metricsql parser.go:1959).
+      */
     private def parseOptLabelList(): Seq[String] =
-      if (cur.kind == Punct && cur.text == "(") parseLabelList() else Nil
+      if (cur.kind == Punct && cur.text == "(") {
+        if (peek.kind == Op && peek.text == "*") {
+          advance(); advance(); expectPunct(")"); Seq("*")
+        } else parseLabelList()
+      } else Nil
+
+    /** optional `prefix "p"` after a group_left/right label list. */
+    private def parseJoinPrefix(): Option[String] =
+      if (isKw(cur, "prefix") && peek.kind == Str) {
+        advance(); Some(Lexer.unquote(advance().text))
+      } else None
 
     private def expectIdentOrString(): String = {
       val t = advance()
@@ -429,8 +468,8 @@ object Parser {
       case RollupExpr(inner, w, s, o, a, i, k) => RollupExpr(substitute(inner, env), w, s, o, a, i, k)
       case FuncExpr(n, args, k) => FuncExpr(n, args.map(substitute(_, env)), k)
       case AggrFuncExpr(n, args, m, l) => AggrFuncExpr(n, args.map(substitute(_, env)), m, l)
-      case BinaryOpExpr(op, l, r, b, g, j, k) =>
-        BinaryOpExpr(op, substitute(l, env), substitute(r, env), b, g, j, k)
+      case BinaryOpExpr(op, l, r, b, g, j, k, fl, fr) =>
+        BinaryOpExpr(op, substitute(l, env), substitute(r, env), b, g, j, k, fl, fr)
       case ParensExpr(es) => ParensExpr(es.map(substitute(_, env)))
       case other => other
     }
@@ -441,7 +480,7 @@ object Parser {
     */
   object Folder {
     def fold(e: Expr): Expr = e match {
-      case BinaryOpExpr(op, l, r, boolMod, g, j, k) =>
+      case BinaryOpExpr(op, l, r, boolMod, g, j, k, fl, fr) =>
         (fold(l), fold(r)) match {
           case (NumberExpr(a), NumberExpr(b)) if !BinaryOp.setOps.contains(op) || op == "default" || op == "if" || op == "ifnot" =>
             val v = BinaryOp.applyScalar(op, a, b)
@@ -449,7 +488,7 @@ object Parser {
               NumberExpr(if (v != 0) a else Double.NaN) // filter semantics on scalars
             else NumberExpr(v)
           case (StringExpr(a), StringExpr(b)) if op == "+" => StringExpr(a + b)
-          case (fl, fr) => BinaryOpExpr(op, fl, fr, boolMod, g, j, k)
+          case (l2, r2) => BinaryOpExpr(op, l2, r2, boolMod, g, j, k, fl, fr)
         }
       case RollupExpr(inner, w, s, o, a, i, k) => RollupExpr(fold(inner), w, s, o, a, i, k)
       case FuncExpr(n, args, k) => FuncExpr(n, args.map(fold), k)

@@ -233,12 +233,20 @@ object Aggr {
         expr(s"stack(${phis.size}, $stackArgs) as (phi, value)")): _*)
   }
 
-  /** histogram(q) — VM log-bucket histogram across series per point
-    * (aggr.go:256 aggrFuncHistogram; bucket scheme as in
-    * Rollup.histogramOverTime).
+  /** histogram(q) — VM log-bucket histogram across series per point,
+    * returned as cumulative `le` buckets (aggr.go:256 aggrFuncHistogram
+    * ends with vmrangeBucketsToLE). Output: (by…, t, le string, value).
     */
-  def histogram(df: DataFrame, by: Seq[String]): DataFrame =
-    df.withColumn("vmrange", floor(log10(col("value")) * 18))
+  def histogram(df: DataFrame, by: Seq[String]): DataFrame = {
+    val vmr = df
+      .filter(!isnan(col("value")) && col("value") > 0.0)
+      .withColumn("vmrange",
+        // metrics.Histogram clamp buckets: (0, 1e-9] and (1e18, +Inf)
+        when(col("value") <= 1e-9, lit("0...1.000e-09"))
+          .when(col("value") > 1e18, lit("1.000e+18...+Inf"))
+          .otherwise(HistogramQ.vmrangeStr(HistogramQ.bucketIdx(col("value")))))
       .groupBy((gcols(by) :+ col("vmrange")): _*)
       .agg(count(lit(1)).cast(DoubleType).as("value"))
+    HistogramQ.vmrangeToLE(vmr, by)
+  }
 }

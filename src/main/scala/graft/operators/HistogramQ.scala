@@ -211,7 +211,10 @@ object HistogramQ {
       .agg(bucketArr.as("_b"))
       .withColumn("value", {
         val d = diffCounts(col("_b"))
-        val wsum = aggregate(d, lit(0.0), (a, x) => a + x.getField("mid") * x.getField("n"))
+        // n == 0 entries contribute nothing — without the guard a
+        // zero-delta +Inf bucket injects 0·∞ = NaN into the sum
+        val wsum = aggregate(d, lit(0.0),
+          (a, x) => a + when(x.getField("n") > 0, x.getField("mid") * x.getField("n")).otherwise(0.0))
         val n = aggregate(d, lit(0.0), (a, x) => a + x.getField("n"))
         when(n > 0, wsum / n)
       })
@@ -253,13 +256,16 @@ object HistogramQ {
       .withColumn("_m1", {
         val d = diffCounts(col("_b"))
         val n = aggregate(d, lit(0.0), (a, x) => a + x.getField("n"))
-        aggregate(d, lit(0.0), (a, x) => a + x.getField("mid") * x.getField("n")) / n
+        aggregate(d, lit(0.0),
+          (a, x) => a + when(x.getField("n") > 0, x.getField("mid") * x.getField("n"))
+            .otherwise(0.0)) / n
       })
       .withColumn("_m2", {
         val d = diffCounts(col("_b"))
         val n = aggregate(d, lit(0.0), (a, x) => a + x.getField("n"))
         aggregate(d, lit(0.0),
-          (a, x) => a + x.getField("mid") * x.getField("mid") * x.getField("n")) / n
+          (a, x) => a + when(x.getField("n") > 0,
+            x.getField("mid") * x.getField("mid") * x.getField("n")).otherwise(0.0)) / n
       })
       .drop("_b")
 
@@ -322,20 +328,124 @@ object HistogramQ {
           ((b.getField("le") + a.getField("le")) / 2).as("mid"),
           (b.getField("c") - a.getField("c")).as("n")))
 
-  /** prometheus_buckets — convert VM `vmrange` log-buckets into cumulative
-    * Prometheus `le` buckets (transform.go:502): per (group, t), order by
-    * bucket bound and emit running-sum counts.
+  /** Go-style float parse of a bucket-bound string: Inf spellings map to
+    * ±∞; unparseable → null (strconv.ParseFloat in transform.go:516).
     */
-  def prometheusBuckets(vmr: DataFrame, groupKeys: Seq[String]): DataFrame = {
+  def parseBound(raw: Column): Column = {
+    val low = lower(raw)
+    when(low.isin("inf", "+inf", "infinity", "+infinity"), lit(Double.PositiveInfinity))
+      .when(low.isin("-inf", "-infinity"), lit(Double.NegativeInfinity))
+      .otherwise(raw.try_cast(DoubleType))
+  }
+
+  /** `%.3e...%.3e` vmrange string for log-bucket index k — the bucket
+    * covers (10^(k/18), 10^((k+1)/18)]. The 4-significant-digit decimal
+    * format is the reference's bucket-bound convention
+    * (lib/histogram via metrics.Histogram: bucketsPerDecimal=18, ranges
+    * rendered with %.3e) and doubles as the hash-stability contract: every
+    * downstream consumer re-parses these short decimals, so bucket bounds
+    * are identical doubles in any environment regardless of libm pow.
+    */
+  def vmrangeStr(k: Column): Column =
+    format_string("%.3e...%.3e",
+      pow(lit(10.0), k.cast(DoubleType) / 18.0),
+      pow(lit(10.0), (k + 1).cast(DoubleType) / 18.0))
+
+  /** log-bucket index for a positive value: values exactly on a bucket
+    * bound belong to the LOWER bucket (metrics.Histogram.Update's
+    * exact-integer decrement), hence ceil−1 rather than floor.
+    */
+  def bucketIdx(v: Column): Column = (ceil(log10(v) * 18) - 1).cast("long")
+
+  /** vmrange series → cumulative `le` bucket series — the reference's
+    * vmrangeBucketsToLE (transform.go:502-649), reproduced rule-for-rule:
+    *
+    *  - a series' `vmrange` is "start...end"; either bound unparseable →
+    *    the series is dropped;
+    *  - buckets sort by end; a bucket whose values are all exactly zero is
+    *    skipped (isZeroTS) but still participates in adjacency;
+    *  - a gap (start ≠ previous end) inserts a zero-count boundary bucket
+    *    labeled with the start string, so quantile interpolation cannot
+    *    stretch across empty ranges;
+    *  - duplicate ends keep the first bucket (mergeNonOverlappingTimeseries
+    *    only fills NaN gaps; on dense frames the duplicate is dropped);
+    *  - a trailing "+Inf" bucket is appended unless the last end is ∞;
+    *  - per timestamp, counts accumulate over the final bucket order
+    *    (only finite positive counts add), and EVERY kept bucket emits the
+    *    running count — le labels are the original bound strings verbatim.
+    *
+    * Input: (groupKeys…, t, vmrange string, value). Output: (groupKeys…,
+    * t, le string, value cumulative). The bucket dim per group is
+    * metadata-scale (≤ hundreds of buckets), so the per-group planning UDF
+    * is tiny; the data-scale work is one window sum per (group, t).
+    */
+  def vmrangeToLE(in: DataFrame, groupKeys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window
-      .partitionBy((groupKeys :+ "t").map(col): _*)
-      .orderBy(col("le"))
+    val gcols = groupKeys.map(col)
+    val parsed = in
+      .filter(col("vmrange").contains("..."))
+      .withColumn("_ss", substring_index(col("vmrange"), "...", 1))
+      .withColumn("_es", substring_index(col("vmrange"), "...", -1))
+      .withColumn("_s", parseBound(col("_ss")))
+      .withColumn("_e", parseBound(col("_es")))
+      .filter(col("_s").isNotNull && col("_e").isNotNull)
+    // bucket dim per group: one row per distinct vmrange, ordered by end
+    val ordW = Window.partitionBy(gcols: _*).orderBy(col("_e").asc, col("_s").asc)
+    val dim = parsed
+      .groupBy((gcols :+ col("_s") :+ col("_e") :+ col("_ss") :+ col("_es")): _*)
+      .agg(max(when(isnan(col("value")) || col("value") =!= 0.0, 1).otherwise(0)).as("_nz"))
+      .withColumn("_bid", row_number().over(ordW))
+    val plan = udf { (bs: Seq[org.apache.spark.sql.Row]) =>
+      val sorted = bs.sortBy(_.getInt(5))
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int)]
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      var prevEnd = 0.0
+      var lastEnd = 0.0
+      for (b <- sorted) {
+        val (s, e, ss, es, nz, bid) = (b.getDouble(0), b.getDouble(1),
+          b.getString(2), b.getString(3), b.getInt(4), b.getInt(5))
+        if (nz == 0) prevEnd = e
+        else {
+          if (s != prevEnd && !seen(ss)) {
+            seen += ss
+            out += ((out.size, ss, -1))
+          }
+          if (!seen(es)) {
+            seen += es
+            out += ((out.size, es, bid))
+            lastEnd = e
+          }
+          prevEnd = e
+        }
+      }
+      if (out.nonEmpty && !lastEnd.isPosInfinity) out += ((out.size, "+Inf", -1))
+      out.toSeq
+    }
+    val kept = dim
+      .groupBy(gcols: _*)
+      .agg(collect_list(struct(
+        col("_s"), col("_e"), col("_ss"), col("_es"), col("_nz"), col("_bid"))).as("_arr"))
+      .select((gcols :+ explode(plan(col("_arr"))).as("_k")): _*)
+      .select((gcols :+ col("_k._1").as("_ord") :+ col("_k._2").as("le") :+
+        col("_k._3").as("_src")): _*)
+    // one value per (group, bucket, t); duplicate sources keep the first
+    // (mergeNonOverlappingTimeseries fills only NaN gaps)
+    val vals = parsed
+      .join(dim.select((gcols :+ col("_s") :+ col("_e") :+ col("_bid")): _*),
+        groupKeys ++ Seq("_s", "_e"))
+      .groupBy((gcols :+ col("_bid") :+ col("t")): _*)
+      .agg(first(col("value")).as("_v"))
+    val ts = in.select((gcols :+ col("t")): _*).distinct()
+    val cumW = Window
+      .partitionBy((gcols :+ col("t")): _*)
+      .orderBy(col("_ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // vmrange bucket id k covers (10^(k/18), 10^((k+1)/18)] — upper bound:
-    vmr
-      .withColumn("le", pow(lit(10.0), (col("vmrange") + 1).cast(DoubleType) / 18.0))
-      .withColumn("value", sum("value").over(w))
-      .drop("vmrange")
+    kept
+      .join(ts, groupKeys)
+      .join(vals.withColumnRenamed("_bid", "_src"), groupKeys ++ Seq("_src", "t"), "left")
+      .withColumn("value",
+        sum(when(!isnan(coalesce(col("_v"), lit(0.0))) && col("_v") > 0, col("_v"))
+          .otherwise(0.0)).over(cumW))
+      .select((gcols :+ col("t") :+ col("le") :+ col("value")): _*)
   }
 }

@@ -432,12 +432,17 @@ object Rollup {
   /** histogram_over_time — VictoriaMetrics log-bucketed (vmrange) histogram
     * of the window's samples, one series per bucket
     * (rollup.go:1526 rollupHistogram; bucket scheme
-    * lib/histogram/histogram.go: 18 log10 sub-buckets per decade).
-    * Bucket id here: floor(18·log10(v)) — same shape, simplified bounds.
+    * lib/histogram/histogram.go: 18 log10 sub-buckets per decade, bounds
+    * rendered %.3e). Emits vmrange STRING ranges like the reference; apply
+    * HistogramQ.vmrangeToLE (= prometheus_buckets) to get `le` buckets.
     */
   def histogramOverTime(samples: DataFrame, keys: Seq[String], grid: GridSpec, windowMs: Long): DataFrame =
     Grid.bucketize(samples, grid, windowMs)
-      .withColumn("vmrange", floor(log10(col("value")) * 18))
+      .filter(!isnan(col("value")) && col("value") > 0.0)
+      .withColumn("vmrange",
+        when(col("value") <= 1e-9, lit("0...1.000e-09"))
+          .when(col("value") > 1e18, lit("1.000e+18...+Inf"))
+          .otherwise(HistogramQ.vmrangeStr(HistogramQ.bucketIdx(col("value")))))
       .groupBy((keys.map(col) :+ col("t") :+ col("vmrange")): _*)
       .agg(count(lit(1)).cast(DoubleType).as("value"))
 

@@ -1152,13 +1152,13 @@ object GoldenTriage {
 			label_set(3, "a", "DS50:1/0/2"),
 		), "a")""", Seq(R(null, Map("a" -> "DS50:1/0/0"), Seq(1, 1, 1, 1, 1, 1)), R(null, Map("a" -> "DS50:1/0/1"), Seq(2, 2, 2, 2, 2, 2)), R(null, Map("a" -> "DS50:1/0/2"), Seq(3, 3, 3, 3, 3, 3)), R(null, Map("a" -> "DS50:1/0/15"), Seq(4, 4, 4, 4, 4, 4)))),
     E("nan^any", "(hour(time()*1e4) == 4)^1", Seq(R(null, null, Seq(n, n, n, 4, n, n)))),
-    E("nan or on() series", """(label_set(1, "a", "a", "b", "b1") == 0) or on(a) label_set(2, "a", "a", "b", "b2")""", Seq(R(null, Map("a" -> "a"), Seq(2, 2, 2, 2, 2, 2)))),
+    E("nan or on() series", """(label_set(1, "a", "a", "b", "b1") == 0) or on(a) label_set(2, "a", "a", "b", "b2")""", Seq(R(null, Map("a" -> "a", "b" -> "b2"), Seq(2, 2, 2, 2, 2, 2)))),
     E("series with NaNs or scalar", """(label_set(time() >= 1600, "a", "a", "b", "b1")) or 1""", Seq(R(null, null, Seq(n, n, n, 1600, 1800, 2000)), R(null, null, Seq(1, 1, 1, 1, 1, 1)))),
     E("series or on() scalar", """(label_set(time() > 1200, "a", "a", "b", "b1")) or on() vector(0)""", Seq(R(null, null, Seq(n, n, 1400, 1600, 1800, 2000)), R(null, null, Seq(0, 0, n, n, n, n)))),
-    E("series or on() series", """(label_set(time() <= 1200, "a", "a", "b", "b1")) or on(a) label_set(time() > 1200, "a", "a", "b", "b2")""", Seq(R(null, Map("a" -> "a"), Seq(1000, 1200, n, n, n, n)), R(null, Map("a" -> "a"), Seq(n, n, 1400, 1600, 1800, 2000)))),
-    E("series with no NaNs or on() series", """(label_set(time() < 3000, "a", "a", "b", "b1")) or on(a) label_set(time() > 3000, "a", "a", "b", "b2")""", Seq(R(null, Map("a" -> "a"), Seq(1000, 1200, 1400, 1600, 1800, 2000)))),
-    E("series or on() series with overlap", """(label_set(time() <= 1500, "a", "a", "b", "b1")) or on(a) label_set(time() > 1100, "a", "a", "b", "b2")""", Seq(R(null, Map("a" -> "a"), Seq(1000, 1200, 1400, n, n, n)), R(null, Map("a" -> "a"), Seq(n, n, n, 1600, 1800, 2000)))),
-    E("series or on() series merge", """(label_set(time() <= 1200, "a", "a", "b", "b1")) or on(a) label_set(time() > 1400, "a", "a", "b", "b1")""", Seq(R(null, Map("a" -> "a"), Seq(1000, 1200, n, 1600, 1800, 2000)))),
+    E("series or on() series", """(label_set(time() <= 1200, "a", "a", "b", "b1")) or on(a) label_set(time() > 1200, "a", "a", "b", "b2")""", Seq(R(null, Map("a" -> "a", "b" -> "b1"), Seq(1000, 1200, n, n, n, n)), R(null, Map("a" -> "a", "b" -> "b2"), Seq(n, n, 1400, 1600, 1800, 2000)))),
+    E("series with no NaNs or on() series", """(label_set(time() < 3000, "a", "a", "b", "b1")) or on(a) label_set(time() > 3000, "a", "a", "b", "b2")""", Seq(R(null, Map("a" -> "a", "b" -> "b1"), Seq(1000, 1200, 1400, 1600, 1800, 2000)))),
+    E("series or on() series with overlap", """(label_set(time() <= 1500, "a", "a", "b", "b1")) or on(a) label_set(time() > 1100, "a", "a", "b", "b2")""", Seq(R(null, Map("a" -> "a", "b" -> "b1"), Seq(1000, 1200, 1400, n, n, n)), R(null, Map("a" -> "a", "b" -> "b2"), Seq(n, n, n, 1600, 1800, 2000)))),
+    E("series or on() series merge", """(label_set(time() <= 1200, "a", "a", "b", "b1")) or on(a) label_set(time() > 1400, "a", "a", "b", "b1")""", Seq(R(null, Map("a" -> "a", "b" -> "b1"), Seq(1000, 1200, n, 1600, 1800, 2000)))),
     E("scalar or timeseries", """time() > 1400 or label_set(123, "foo", "bar")""", Seq(R(null, null, Seq(n, n, n, 1600, 1800, 2000)), R(null, null, Seq(123, 123, 123, 123, 123, 123)))),
     E("series or many series", """(
 			label_set(time()!=1200, "x", "foo"),
@@ -1206,34 +1206,59 @@ object GoldenTriage {
   def check(spark: SparkSession, e: E): Option[String] =
     try {
       val rows = Engine.query(emptySamples(spark), e.q, grid).collect()
-      val bySeries = rows.groupBy(r =>
-        (Option(r.getString(0)).getOrElse(""),
-          Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)))
+      // per (name, tags) key: t → multiset of values. Distinct series CAN
+      // share an identical label set (e.g. prometheus_buckets emits one
+      // "+Inf" family per source group), so matching consumes values from
+      // the shared pool instead of assuming key == series.
+      val pool = scala.collection.mutable.Map.empty[
+        (String, Map[String, String]),
+        scala.collection.mutable.Map[Long, scala.collection.mutable.ArrayBuffer[Double]]]
+      rows.foreach { r =>
+        val key = (Option(r.getString(0)).getOrElse(""),
+          Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty))
+        pool.getOrElseUpdate(key, scala.collection.mutable.Map.empty)
+          .getOrElseUpdate(r.getLong(2), scala.collection.mutable.ArrayBuffer.empty) +=
+          r.getDouble(3)
+      }
+      val nSeries = pool.size
       if (e.rs.isEmpty) {
         if (rows.isEmpty) None else Some(s"expected empty, got ${rows.length} rows")
-      } else if (bySeries.size != e.rs.size)
-        Some(s"series count: got ${bySeries.size} (${bySeries.keys.take(3)}), want ${e.rs.size}")
-      else {
-        // greedy bipartite match: claim one got-series per expected
-        // result - by tags/name when given, else by vector closeness
-        def vecOk(vals: Seq[Double], rws: Array[Row]): Boolean = {
-          val byT = rws.map(x => x.getLong(2) -> x.getDouble(3)).toMap
-          val got = gridTs.map(t => byT.getOrElse(t, Double.NaN))
-          vals.zip(got).forall { case (ev, gv) =>
-            (ev.isNaN && gv.isNaN) ||
-              math.abs(ev - gv) <= math.abs(ev) * 1e-9 + 1e-9
+      } else {
+        // greedy match: claim one got-series per expected result — by
+        // tags/name when given, else by vector closeness. A NaN expected
+        // point consumes nothing (absent row); the leftover check below
+        // catches unclaimed rows.
+        def claim(vals: Seq[Double],
+            byT: scala.collection.mutable.Map[Long, scala.collection.mutable.ArrayBuffer[Double]]):
+            Boolean = {
+          val picks = gridTs.zip(vals).flatMap { case (t, ev) =>
+            if (ev.isNaN) None
+            else {
+              val avail = byT.getOrElse(t, scala.collection.mutable.ArrayBuffer.empty)
+              val i = avail.indexWhere(gv => math.abs(ev - gv) <= math.abs(ev) * 1e-9 + 1e-9)
+              if (i < 0) return false
+              Some((t, i))
+            }
           }
+          // NaN-expected points must have no leftover candidate IF this
+          // key holds exactly one series' worth of rows — skip that
+          // strictness on shared keys (can't attribute rows to series)
+          picks.foreach { case (t, i) => byT(t).remove(i) }
+          true
         }
-        var remaining = bySeries.toList
         val errs = e.rs.flatMap { r =>
-          val idx = remaining.indexWhere { case ((nm2, tg), rws) =>
-            (r.tags == null || (tg == r.tags && (r.name == null || nm2 == r.name))) &&
-              vecOk(r.vals, rws)
+          val hit = pool.exists { case ((nm2, tg), byT) =>
+            val keyOk = r.tags == null || (tg == r.tags && (r.name == null || nm2 == r.name))
+            keyOk && claim(r.vals, byT)
           }
-          if (idx >= 0) { remaining = remaining.patch(idx, Nil, 1); Nil }
+          if (hit) Nil
           else Seq(s"no series matching tags=${r.tags} name=${r.name} vals=${r.vals}")
         }
-        if (errs.isEmpty) None else Some(errs.take(2).mkString("; "))
+        val leftover = pool.valuesIterator.map(_.valuesIterator.map(_.size).sum).sum
+        if (errs.nonEmpty) Some(errs.take(2).mkString("; "))
+        else if (leftover > 0)
+          Some(s"$leftover unclaimed rows across $nSeries keys (extra series?), want ${e.rs.size} series")
+        else None
       }
     } catch { case ex: Throwable => Some("EXC " + String.valueOf(ex.getMessage).take(160)) }
 
@@ -1243,8 +1268,13 @@ object GoldenTriage {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // optional filter: substrings of subtest names (faster local iteration)
+    val wanted = args.toSeq
+    val selected =
+      if (wanted.isEmpty) entries
+      else entries.filter(e => wanted.exists(w => e.nm.contains(w)))
     var pass = 0; var fail = 0
-    entries.foreach { e =>
+    selected.foreach { e =>
       check(spark, e) match {
         case None => pass += 1; println(s"PASS ${e.nm}")
         case Some(msg) => fail += 1

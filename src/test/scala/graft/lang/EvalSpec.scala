@@ -261,8 +261,11 @@ class EvalSpec extends SparkSpec {
       "histogram_quantile(1.0, prometheus_buckets(histogram(avg_over_time(m[1m]))))", grid)
     val r = df.collect().map(row => row.getLong(2) -> row.getDouble(3)).toMap
     // at t=5m values are 5 and 50: the 1.0-quantile is the upper bound of
-    // 50's vmrange bucket: 10^(ceil(18·log10(50))/18)
-    val expected = math.pow(10, math.floor(math.log10(50.0) * 18 + 1) / 18.0)
+    // 50's vmrange bucket: 10^(ceil(18·log10(50))/18), snapped through the
+    // reference's %.3e bucket-bound rendering (vmrangeBucketsToLE re-parses
+    // the 4-significant-digit decimal, so the engine carries that double)
+    val expected = "%.3e".format(
+      math.pow(10, math.floor(math.log10(50.0) * 18 + 1) / 18.0)).toDouble
     assert(math.abs(r(5 * M) - expected) < 1e-9)
   }
 
