@@ -98,21 +98,63 @@ final class HttpApi(spark: SparkSession, base: Option[DataFrame] = None) {
   private def fmt(v: Double): String =
     if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString else v.toString
 
-  /** rows (name, tags, t, value) → matrix/vector result entries */
-  private def resultJson(df: DataFrame, instant: Boolean): String = {
-    val rows = df.collect()
-    val bySeries = rows.groupBy(r =>
-      (Option(r.getString(0)).getOrElse(""),
-        Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty[String, String])))
-    val entries = bySeries.toSeq.sortBy(_._1.toString).map { case ((n, tags), rs) =>
-      val pts = rs.sortBy(_.getLong(2)).map(r =>
-        s"""[${r.getLong(2) / 1000.0},"${fmt(r.getDouble(3))}"]""")
-      if (instant)
-        s"""{"metric":${metricJson(n, tags)},"value":${pts.last}}"""
-      else
-        s"""{"metric":${metricJson(n, tags)},"values":[${pts.mkString(",")}]}"""
+  /** canonical per-series sort key, computed IN SPARK so the driver never
+    * has to hold the result set to order it: name then sorted `k=v` tag
+    * pairs, with unprintable separators that sort before real content
+    */
+  private def seriesKey(name: org.apache.spark.sql.Column,
+      tags: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws("\u0001", coalesce(name, lit("")),
+      concat_ws("\u0001",
+        transform(array_sort(map_entries(coalesce(tags, map()))),
+          e => concat(e.getField("key"), lit("\u0002"), e.getField("value")))))
+
+  /** rows (name, tags, t, value) → matrix/vector result entries, streamed
+    * series-by-series. The frame is range-sorted by (seriesKey, t) in
+    * Spark; `toLocalIterator` then pulls one sorted partition at a time, so
+    * driver memory is bounded by a partition, not the result (the
+    * reference streams its JSON with qtpl writers for the same reason —
+    * app/vmselect/prometheus/query_range_response.qtpl).
+    */
+  private def writeResult(df: DataFrame, instant: Boolean, w: java.io.Writer): Unit = {
+    val it = df
+      .select(seriesKey(col("name"), col("tags")).as("_sk"),
+        col("name"), col("tags"), col("t"), col("value"))
+      .orderBy(col("_sk"), col("t"))
+      .toLocalIterator()
+    w.write("[")
+    var curKey: String = null
+    var curMetric: String = null
+    var lastPt: String = null   // instant mode keeps only the final point
+    var firstSeries = true
+    var firstPt = true
+    def closeSeries(): Unit = if (curKey != null) {
+      if (instant) w.write(s"""{"metric":$curMetric,"value":$lastPt}""")
+      else w.write("]}")
     }
-    entries.mkString("[", ",", "]")
+    while (it.hasNext) {
+      val r = it.next()
+      val k = r.getString(0)
+      val pt = s"""[${r.getLong(3) / 1000.0},"${fmt(r.getDouble(4))}"]"""
+      if (k != curKey) {
+        closeSeries()
+        if (!firstSeries) w.write(",")
+        firstSeries = false
+        curKey = k
+        curMetric = metricJson(Option(r.getString(1)).getOrElse(""),
+          Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty))
+        firstPt = true
+        if (!instant) w.write(s"""{"metric":$curMetric,"values":[""")
+      }
+      if (instant) lastPt = pt
+      else {
+        if (!firstPt) w.write(",")
+        firstPt = false
+        w.write(pt)
+      }
+    }
+    closeSeries()
+    w.write("]")
   }
 
   private def reply(ex: HttpExchange, code: Int, body: String,
@@ -122,6 +164,19 @@ final class HttpApi(spark: SparkSession, base: Option[DataFrame] = None) {
     ex.sendResponseHeaders(code, b.length)
     ex.getResponseBody.write(b)
     ex.close()
+  }
+
+  /** chunked response streamed through `write`; the caller must force any
+    * query-plan analysis BEFORE this point so parse errors still produce a
+    * clean 422 envelope (headers can't change once streaming starts)
+    */
+  private def replyStream(ex: HttpExchange, contentType: String = "application/json")(
+      write: java.io.Writer => Unit): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(200, 0) // 0 = chunked transfer encoding
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(ex.getResponseBody, StandardCharsets.UTF_8), 1 << 16)
+    try { write(w); w.flush() } finally ex.close()
   }
 
   private def handler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
@@ -148,42 +203,69 @@ final class HttpApi(spark: SparkSession, base: Option[DataFrame] = None) {
     "/api/v1/query" -> handler { ex =>
       val p = params(ex)
       val at = timeMs(p, "time", System.currentTimeMillis())
-      val df = Api.query(samples, p("query"), at, stepMs(p))
-      reply(ex, 200, ok(s"""{"resultType":"vector","result":${resultJson(df, instant = true)}}"""))
+      val df = Api.query(samples, p("query"), at, stepMs(p)) // parse/analyze errors throw here → 422
+      replyStream(ex) { w =>
+        w.write("""{"status":"success","data":{"resultType":"vector","result":""")
+        writeResult(df, instant = true, w)
+        w.write("}}")
+      }
     },
     "/api/v1/query_range" -> handler { ex =>
       val p = params(ex)
       val step = stepMs(p)
       val df = Api.queryRange(samples, p("query"),
         timeMs(p, "start", 0L), timeMs(p, "end", 0L), step)
-      reply(ex, 200, ok(s"""{"resultType":"matrix","result":${resultJson(df, instant = false)}}"""))
+      replyStream(ex) { w =>
+        w.write("""{"status":"success","data":{"resultType":"matrix","result":""")
+        writeResult(df, instant = false, w)
+        w.write("}}")
+      }
     },
     "/api/v1/series" -> handler { ex =>
       val p = params(ex)
       val df = Api.series(samples, p.getOrElse("match[]", "{__name__=~\".*\"}"),
         timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2))
-      val items = df.collect().map(r => metricJson(
-        Option(r.getString(0)).getOrElse(""),
-        Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)))
-      reply(ex, 200, ok(items.sorted.mkString("[", ",", "]")))
+      val it = df.orderBy(seriesKey(col("name"), col("tags"))).toLocalIterator()
+      replyStream(ex) { w =>
+        w.write("""{"status":"success","data":[""")
+        var first = true
+        while (it.hasNext) {
+          val r = it.next()
+          if (!first) w.write(",")
+          first = false
+          w.write(metricJson(Option(r.getString(0)).getOrElse(""),
+            Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)))
+        }
+        w.write("]}")
+      }
     },
     "/api/v1/labels" -> handler { ex =>
       val items = Api.labels(samples).collect().map(r => s""""${esc(r.getString(0))}"""")
-      reply(ex, 200, ok(items.mkString("[", ",", "]")))
+      reply(ex, 200, ok(items.mkString("[", ",", "]"))) // label KEYS — metadata-scale, collect is fine
     },
     "/api/v1/label/" -> handler { ex => // /api/v1/label/<name>/values
       val path = ex.getRequestURI.getPath
       val label = path.stripPrefix("/api/v1/label/").stripSuffix("/values")
-      val items = Api.labelValues(samples, label).collect()
-        .map(r => s""""${esc(r.getString(0))}"""")
-      reply(ex, 200, ok(items.mkString("[", ",", "]")))
+      val it = Api.labelValues(samples, label).toLocalIterator()
+      replyStream(ex) { w =>
+        w.write("""{"status":"success","data":[""")
+        var first = true
+        while (it.hasNext) {
+          if (!first) w.write(",")
+          first = false
+          w.write(s""""${esc(it.next().getString(0))}"""")
+        }
+        w.write("]}")
+      }
     },
     "/api/v1/export" -> handler { ex =>
       val p = params(ex)
-      val lines = Api.export(samples, p.getOrElse("match[]", "{__name__=~\".*\"}"),
+      val it = Api.export(samples, p.getOrElse("match[]", "{__name__=~\".*\"}"),
         timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2))
-        .collect().map(_.getString(0))
-      reply(ex, 200, lines.mkString("", "\n", "\n"), "application/stream+json")
+        .toLocalIterator()
+      replyStream(ex, "application/stream+json") { w =>
+        while (it.hasNext) { w.write(it.next().getString(0)); w.write("\n") }
+      }
     },
     "/api/v1/import" -> handler { ex => // VM JSON-lines
       import spark.implicits._

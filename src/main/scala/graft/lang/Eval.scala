@@ -36,10 +36,17 @@ object Eval {
     * bounds the adaptive binop label-value pushdown (O3, the analogue of
     * -search.maxBinaryOpPushdownLabelValues, eval.go:52); 0 disables.
     */
+  /** `preserveCmpNaN`: evaluate non-bool comparisons as NaN-valued rows
+    * instead of dropped rows — set for the LEFT side of `default`, whose
+    * reference semantics resurrect all-NaN comparison results
+    * (binary_op.go:232 "Do not remove time series containing only NaNs,
+    * since then the `(foo op bar) default N` won't work").
+    */
   final case class EvalConfig(
       grid: GridSpec,
       lookbackMs: Long = 300000L,
-      pushdownCap: Int = 100)
+      pushdownCap: Int = 100,
+      preserveCmpNaN: Boolean = false)
 
   /** An evaluated expression: a series set, a scalar, a per-timestamp
     * scalar (scalar()/time() results — matches ANY series per grid point,
@@ -67,6 +74,122 @@ object Eval {
 
   /** anchored regex, like the reference (lib/storage/tag_filters.go:160) */
   private def anchored(re: String): String = "^(?:" + re + ")$"
+
+  /** Go strconv.FormatFloat(v, 'f', -1, 64): shortest round-trip decimal,
+    * never exponent notation (count_values label values, aggr.go:611).
+    */
+  private[lang] def goFormatF(v: Double): String = {
+    if (v.isNaN) "NaN"
+    else if (v.isPosInfinity) "+Inf"
+    else if (v.isNegInfinity) "-Inf"
+    else {
+      // Double.toString is shortest-round-trip; BigDecimal expands the
+      // exponent into plain decimal form
+      val s = new java.math.BigDecimal(java.lang.Double.toString(v)).toPlainString
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else s
+    }
+  }
+  private val goFmtUdf = udf(goFormatF _)
+
+  /** The reference's running-average recurrence (transform.go:1210
+    * runningAvg via :1325 newTransformFuncRunning): r += (v − r)/(pos+1)
+    * where pos is the DENSE-GRID position since the first non-NaN sample —
+    * NaN gaps advance the divisor (each contributes the then-current mean)
+    * and carry the running value. Inputs are the per-series grid-ordered
+    * value array (NaN = absent); output pairs (index, runningValue) start
+    * at the first non-NaN position. Sequential per series, exactly the
+    * reference's float-op order; distributes across series.
+    */
+  private[lang] def runningAvgSeq(vs: Seq[Double]): Seq[(Int, Double)] = {
+    val out = Seq.newBuilder[(Int, Double)]
+    var i = 0
+    while (i < vs.length && vs(i).isNaN) i += 1
+    if (i < vs.length) {
+      var r = vs(i)
+      out += ((i, r))
+      val base = i
+      i += 1
+      while (i < vs.length) {
+        val v = vs(i)
+        if (!v.isNaN) r = r + (v - r) / ((i - base) + 1).toDouble
+        out += ((i, r))
+        i += 1
+      }
+    }
+    out.result()
+  }
+  private val runningAvgUdf = udf(runningAvgSeq _)
+  private val runningAvgFinalUdf = udf { (vs: Seq[Double]) =>
+    val run = runningAvgSeq(vs)
+    if (run.isEmpty) Double.NaN else run.last._2
+  }
+
+  /** the reference's round-to-nearest-multiple (transform.go:2339): add
+    * half a step away from zero, strip the remainder, then truncate at the
+    * decimal exponent of `nearest` to shed float noise (lib/decimal
+    * FromFloat). Bit-exact with the Go chain, which differs from
+    * round(v/n)*n at representation boundaries.
+    */
+  private[lang] def goRound(v: Double, nearest: Double): Double = {
+    if (v.isNaN || nearest.isNaN || nearest == 0) return Double.NaN
+    var x = v + 0.5 * math.copySign(nearest, v)
+    x -= x % nearest
+    val e = -new java.math.BigDecimal(java.lang.Double.toString(math.abs(nearest)))
+      .stripTrailingZeros.scale
+    val p10 = math.pow(10, -e)
+    val prod = x * p10
+    // math.Modf integral part = truncation toward zero; past 2^53 the
+    // double is already integral
+    val tr =
+      if (prod.isInfinite || math.abs(prod) >= 9.007199254740992e15) prod
+      else math.signum(prod) * math.floor(math.abs(prod))
+    tr / p10
+  }
+  private val goRoundUdf = udf(goRound _)
+
+  /** Sortable key reproducing the reference's numericLess collation
+    * (transform.go:2485 sort_by_label_numeric): the string is split into
+    * alternating numeric ([+-]?digits with one optional dot, parsed as a
+    * float) and non-numeric chunks; numbers compare numerically and sort
+    * BEFORE non-numeric chunks at the same position. The key encodes each
+    * numeric chunk as marker \u0001 + order-preserving IEEE-754 hex and
+    * each non-numeric chunk as marker \u0002 + the chunk, so plain string
+    * ordering of keys equals numericLess ordering of inputs.
+    */
+  private[lang] def numericSortKey(s0: String): String = {
+    val s = if (s0 == null) "" else s0
+    def numLen(i0: Int): Int = {
+      var i = i0
+      if (i < s.length && (s(i) == '+' || s(i) == '-')) i += 1
+      var hasNum = false; var hasDot = false
+      var done = false
+      while (!done && i < s.length) {
+        val c = s(i)
+        if (c >= '0' && c <= '9') { hasNum = true; i += 1 }
+        else if (c == '.' && !hasDot) { hasDot = true; i += 1 }
+        else done = true
+      }
+      if (hasNum) i - i0 else 0
+    }
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val nl = numLen(i)
+      if (nl > 0) {
+        val d = try s.substring(i, i + nl).toDouble catch { case _: NumberFormatException => 0.0 }
+        var bits = java.lang.Double.doubleToLongBits(d)
+        bits = if (bits < 0) ~bits else bits | java.lang.Long.MIN_VALUE
+        sb.append('\u0001').append(f"$bits%016x")
+        i += nl
+      }
+      val start = i
+      while (i < s.length && numLen(i) == 0) i += 1
+      if (i > start) sb.append('\u0002').append(s.substring(start, i))
+    }
+    sb.toString
+  }
+  private val numericKeyUdf = udf(numericSortKey _)
 
   // =====================================================================
   // function tables
@@ -128,11 +251,11 @@ object Eval {
       // (rollup.go:770-805); the *_prometheus variants stay strictly
       // in-window like Prometheus (rollup.go rollupDeltaPrometheus)
       case "delta" => Some(Kernels.deltaPrev(lookbackMs))
-      case "delta_prometheus" => Some(Kernels.delta)
+      case "delta_prometheus" => Some(Kernels.deltaPrometheus)
       case "idelta" => Some(Kernels.idelta)
       case "increase" => Some(Kernels.increasePrev(lookbackMs))
       case "increase_pure" => Some(Kernels.increasePurePrev(lookbackMs))
-      case "increase_prometheus" => Some(Kernels.increase)
+      case "increase_prometheus" => Some(Kernels.increasePrometheus)
       case "rate" => Some(Kernels.ratePrev)
       case "irate" => Some(Kernels.iratePrev)
       case "ideriv" => Some(Kernels.iderivPrev)
@@ -142,7 +265,7 @@ object Eval {
       case "decreases_over_time" | "resets" => Some(Kernels.decreasesPrev)
       case "ascent_over_time" => Some(Kernels.ascentOverTime)
       case "descent_over_time" => Some(Kernels.descentOverTime)
-      case "integrate" => Some(Kernels.integrate)
+      case "integrate" => Some(Kernels.integratePrev)
       case "duration_over_time" => Some(Kernels.durationOverTime(args.head))
       case "tlast_change_over_time" => Some(Kernels.tlastChangePrev)
       case "default_rollup" => Some(Kernels.last)
@@ -249,7 +372,12 @@ object Eval {
           map().cast("map<string,string>").as("tags"),
           col("t"),
           lit(x).cast(DoubleType).as("value"))
-    case StrVal(s) => throw new IllegalArgumentException(s"string result '$s' is not a series")
+    case StrVal(s) =>
+      // a string in series position parses as a number, NaN when it can't
+      // (Go strconv semantics — median_over_time("foo") is an empty
+      // result, not an error)
+      val x = try s.trim.toDouble catch { case _: NumberFormatException => Double.NaN }
+      toSeries(samples, Scalar(x), cfg)
   }
 
   private final class Ev(samples: DataFrame, cfg: EvalConfig) {
@@ -351,27 +479,82 @@ object Eval {
       def findRollup(args: Seq[Expr]): RollupExpr = args.collectFirst {
         case r: RollupExpr => r
         case m: MetricExpr => RollupExpr(m, None, None, None, None)
-      }.getOrElse(throw new IllegalArgumentException(s"${f.name} needs a series arg"))
+      }.orElse(args.collectFirst {
+        // any non-string/number expr evaluates as an implicit [step]
+        // subquery (rollup_increase(time()) — generic rollup-arg rule)
+        case e if !e.isInstanceOf[StringExpr] && !e.isInstanceOf[NumberExpr] &&
+          (e match {
+            case ParensExpr(es) => !es.forall(_.isInstanceOf[StringExpr])
+            case _ => true
+          }) => RollupExpr(e, None, None, None, None)
+      }).getOrElse(throw new IllegalArgumentException(s"${f.name} needs a series arg"))
       val re = findRollup(f.args)
       val (keyed, rollGrid, atMs, windowMs) = rollupInput(f.name, re)
       val keys = Seq("name", "_h1", "_h2")
 
+      // optional rollup tag ("min"/"max"/"avg"/…): restrict to ONE output
+      // series and add NO label (rollup.go:415-433 getRollupTag → the ""
+      // tag in newRollupConfig)
+      val rollupTag: Option[String] = f.name match {
+        case "rollup" | "rollup_candlestick" | "rollup_delta" | "rollup_increase" |
+            "rollup_rate" | "rollup_deriv" | "rollup_scrape_interval" =>
+          f.args.collectFirst { case StringExpr(s) => s }
+        case _ => None
+      }
+      def mmaKernels: Seq[(String, Kernel)] = {
+        val all = Seq("min" -> Kernels.min, "max" -> Kernels.max, "avg" -> Kernels.avg)
+        rollupTag match {
+          case Some(t) => all.filter(_._1 == t)
+          case None => all
+        }
+      }
       val (out, label) = f.name match {
         case "rollup_candlestick" =>
           (Rollup.candlestick(keyed, keys, rollGrid, windowMs), "rollup")
         case "rollup" =>
-          (Rollup.aggrOverTime(keyed, keys, rollGrid, windowMs,
-            Seq("min" -> Kernels.min, "max" -> Kernels.max, "avg" -> Kernels.avg)), "rollup")
+          (Rollup.aggrOverTime(keyed, keys, rollGrid, windowMs, mmaKernels), "rollup")
         case "rollup_delta" | "rollup_increase" | "rollup_rate" | "rollup_deriv" |
             "rollup_scrape_interval" =>
-          val q = f.name match {
-            case "rollup_delta" => Kernels.pairDelta
-            case "rollup_increase" => Kernels.pairIncrease
-            case "rollup_rate" => Kernels.pairRate
-            case "rollup_deriv" => Kernels.pairDeriv
-            case _ => Kernels.pairGap
+          // the reference PRE-TRANSFORMS the whole fetched series
+          // (rollup.go:440-495: reset removal for rate/increase, then
+          // pair delta/deriv/ts-gap written at the LEFT index, last point
+          // repeating the final pair), THEN windows min/max/avg over the
+          // transformed values
+          val w = Window.partitionBy(keys.map(col): _*).orderBy(col("ts"))
+          val needResets = f.name == "rollup_rate" || f.name == "rollup_increase"
+          val cval: Column =
+            if (!needResets) col("value")
+            else {
+              // removeCounterResets (rollup.go:921): cumulative correction,
+              // 8× heuristic for partial resets
+              val pv = lag(col("value"), 1).over(w)
+              val d = col("value") - pv
+              val add = when(pv.isNotNull && d < 0,
+                when(d * -8 < pv, pv - col("value")).otherwise(pv)).otherwise(0.0)
+              col("value") + sum(add).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            }
+          val pre = keyed.withColumn("_cval", cval)
+          val nv = lead(col("_cval"), 1).over(w)
+          val nts = lead(col("ts"), 1).over(w)
+          val pairCol: Column = f.name match {
+            case "rollup_delta" | "rollup_increase" => nv - col("_cval")
+            case "rollup_rate" | "rollup_deriv" =>
+              (nv - col("_cval")) / ((nts - col("ts")).cast(DoubleType) / 1000.0)
+            case _ => // rollup_scrape_interval: BACKWARD ts gap in seconds
+              (col("ts") - lag(col("ts"), 1).over(w)).cast(DoubleType) / 1000.0
           }
-          (Rollup.aggrOverTime(keyed, keys, rollGrid, windowMs, Kernels.pairFan(q)), "rollup")
+          val transformed = pre
+            .withColumn("_pair", pairCol)
+            .withColumn("value", f.name match {
+              case "rollup_scrape_interval" => // values[0] = values[1]
+                coalesce(col("_pair"), lead(col("_pair"), 1).over(w))
+              case _ => // last point repeats the previous pair
+                coalesce(col("_pair"), lag(col("_pair"), 1).over(w))
+            })
+            .filter(col("value").isNotNull)
+            .select(keys.map(col) :+ col("ts") :+ col("value"): _*)
+          (Rollup.aggrOverTime(transformed, keys, rollGrid, windowMs, mmaKernels), "rollup")
         case "aggr_over_time" =>
           // aggr_over_time(("f1","f2",…), m[d]) — fn-name list arg
           val fns = f.args.head match {
@@ -401,11 +584,15 @@ object Eval {
       }
       val keep = re.keepMetricNames || f.keepMetricNames || rollupKeepsName(f.name)
       val named = if (keep) col("name") else lit(null).cast(StringType)
+      // a rollup tag arg selects one series and adds NO label
+      val outTags =
+        if (rollupTag.isDefined) col("tags")
+        else map_concat(col("tags"), map(lit(label), col("rollup")))
       Series(replicateAt(out.join(broadcast(tagsDim(keyed)), Seq("_h1", "_h2")), atMs)
         .filter(col("value").isNotNull) // no-pair windows = missing points
         .select(
           named.as("name"),
-          map_concat(col("tags"), map(lit(label), col("rollup"))).as("tags"),
+          outTags.as("tags"),
           col("t"), col("value")))
     }
 
@@ -518,11 +705,15 @@ object Eval {
           // the inner expr on step-aligned timestamps — exec_test.go
           // `time() offset 3640` reads the aligned point before t-3640.
           val innerStep = re.step.map(_.ms(step)).getOrElse(step)
-          val rawStart = rollGrid.startMs - offsetMs -
-            ((windowMs + innerStep - 1) / innerStep) * innerStep
+          // reference bounds (eval.go:1050 evalRollupFuncWithSubquery):
+          // Start -= window + step + maxSilenceInterval (prev samples for
+          // the counter family and window auto-adjust), End += step (the
+          // forward pair the rollup_rate/deriv pre-transforms read)
+          val rawStart = rollGrid.startMs - offsetMs - windowMs - innerStep -
+            math.max(cfg.lookbackMs, 0L)
           val innerStart = Math.floorDiv(rawStart, innerStep) * innerStep
           val innerEnd = // aligned UP
-            -Math.floorDiv(-(rollGrid.endMs - offsetMs), innerStep) * innerStep
+            -Math.floorDiv(-(rollGrid.endMs - offsetMs + innerStep), innerStep) * innerStep
           val innerCfg = cfg.copy(grid = GridSpec(innerStart, innerEnd, innerStep))
           new Ev(samples, innerCfg).series(inner)
             .select(col("name"), col("tags"), col("t").as("ts"), col("value"))
@@ -554,7 +745,7 @@ object Eval {
       * (rollup.go:204-219 rollupFuncsCanAdjustWindow — the subset whose
       * kernels benefit; default_rollup keeps its staleness lookback).
       */
-    private val canAdjustWindowFns = Set("rate", "deriv_fast", "irate", "ideriv")
+    private val canAdjustWindowFns = Set("rate", "deriv_fast", "irate", "ideriv", "deriv")
 
     private def evalRollupLeaf(
         fn: String,
@@ -582,24 +773,53 @@ object Eval {
     // aggregates
     // ------------------------------------------------------------------
 
+    /** union of an aggregate's series args — multiple args aggregate over
+      * ALL their series with no union() "first wins" dedup (`sum(1,2,3)`
+      * = 6, aggr.go aggrFuncs receive every arg's list). Leading
+      * non-series args (phi/k/label) and a trailing string arg (topk_*
+      * remaining-sum spec) are skipped.
+      */
+    private def aggrSeriesInput(a: AggrFuncExpr): DataFrame = {
+      val skip = a.name match {
+        case "quantile" | "topk" | "bottomk" | "limitk" | "outliersk" |
+            "outliers_mad" | "count_values" => 1
+        case n if n.startsWith("topk_") || n.startsWith("bottomk_") => 1
+        case "quantiles" => a.args.size - 1
+        case _ => 0
+      }
+      val sargs = a.args.drop(skip).filterNot(_.isInstanceOf[StringExpr])
+      // aggregates treat NaN samples as absent (reference values arrays
+      // skip NaN per point; all-NaN series are removeEmptySeries'd)
+      sargs.map(series(_)).reduce(_ unionByName _).filter(!isnan(col("value")))
+    }
+
     private def evalAggr(a: AggrFuncExpr): Value = {
-      val df = series(a.args.last)
-      // group tags per by/without (aggr.go:96 removeGroupTags)
+      val df = aggrSeriesInput(a)
+      // group tags per by/without (aggr.go:96 removeGroupTags); the metric
+      // name participates only via an explicit `by (__name__)` (MetricGroup
+      // reset otherwise)
+      val byName = a.modifier match {
+        case Some(By(ls)) => ls.contains("__name__")
+        case _ => false
+      }
       val gtags: Column = a.modifier match {
         case Some(By(ls)) =>
-          map_filter(col("tags"), (k, _) => k.isInCollection(ls))
+          map_filter(col("tags"), (k, _) => k.isInCollection("" +: ls))
         case Some(Without(ls)) =>
           map_filter(col("tags"), (k, _) => !k.isInCollection(ls))
         case None => map().cast("map<string,string>")
       }
+      val nameKey: Column =
+        if (byName) coalesce(col("name"), lit("")) else lit("")
 
       def grouped(aggExpr: Column): Value = {
         val g = df.withColumn("_tk", tagKey(gtags))
-          .groupBy(col("_tk"), col("t"))
+          .withColumn("_nk", nameKey)
+          .groupBy(col("_tk"), col("_nk"), col("t"))
           .agg(aggExpr.as("value"))
           .filter(col("value").isNotNull)
         Series(g.select(
-          lit(null).cast(StringType).as("name"),
+          when(length(col("_nk")) > 0, col("_nk")).otherwise(lit(null).cast(StringType)).as("name"),
           tagsOf(col("_tk")).as("tags"), col("t"), col("value")))
       }
 
@@ -617,23 +837,31 @@ object Eval {
 
       val v = col("value")
       val result = evalAggrCore(a, gtags, grouped, ranked, v)
-      // `limit N` modifier: at most N output series per group, chosen
-      // hash-stably (aggr.go:110 aggrFuncExt limit)
+      // `limit N` modifier: at most N aggregation GROUPS survive, in input
+      // series order (aggr.go:121 aggrPrepareSeries skips series whose
+      // group is new once len(m) >= maxSeries). Frames approximate input
+      // order with monotonically increasing ids — unions concatenate
+      // partitions left-to-right, so ids follow argument order.
       if (a.limit <= 0) result
       else result match {
         case Series(out) =>
-          val withKeys = out
-            .withColumn("_gk", tagKey(map_filter(col("tags"), (k, _) => a.modifier match {
-              case Some(By(ls)) => k.isInCollection(ls)
+          val groupKeyOf: Column => Column = tags => tagKey(map_filter(tags,
+            (k, _) => a.modifier match {
+              case Some(By(ls)) => k.isInCollection("" +: ls)
               case Some(Without(ls)) => !k.isInCollection(ls)
               case None => lit(false)
-            })))
-            .withColumn("_sk2", skey(col("name"), col("tags")))
-          val wins = withKeys.select("_gk", "_sk2").distinct()
-            .withColumn("_rn", row_number().over(
-              Window.partitionBy(col("_gk")).orderBy(xxhash64(col("_sk2")), col("_sk2"))))
-            .filter(col("_rn") <= a.limit).select("_sk2")
-          Series(withKeys.join(broadcast(wins), Seq("_sk2"), "left_semi")
+            }))
+          val firstGroups = df
+            .withColumn("_oid", monotonically_increasing_id())
+            .withColumn("_gk", concat_ws("\u0000", nameKey, groupKeyOf(col("tags"))))
+            .groupBy("_gk").agg(min(col("_oid")).as("_oid"))
+            .orderBy(col("_oid")).limit(a.limit)
+            .select("_gk")
+          Series(out
+            .withColumn("_gk", concat_ws("\u0000",
+              if (byName) coalesce(col("name"), lit("")) else lit(""),
+              groupKeyOf(col("tags"))))
+            .join(broadcast(firstGroups), Seq("_gk"), "left_semi")
             .select(col("name"), col("tags"), col("t"), col("value")))
         case other => other
       }
@@ -645,7 +873,7 @@ object Eval {
         grouped: Column => Value,
         ranked: (Int, Column) => Value,
         v: Column): Value = {
-      def df: DataFrame = series(a.args.last)
+      def df: DataFrame = aggrSeriesInput(a)
       a.name match {
         case "sum" => grouped(sum(v))
         case "min" => grouped(min(v))
@@ -658,9 +886,25 @@ object Eval {
         case "geomean" => grouped(exp(avg(log(v))))
         case "distinct" => grouped(size(collect_set(v)).cast(DoubleType))
         case "median" => grouped(percentile(v, lit(0.5)))
-        case "quantile" => grouped(percentile(v, lit(scalarArg(a.args.head))))
+        case "quantile" =>
+          // out-of-range phi short-circuits like the reference
+          // (aggr.go:922 quantileSorted: <0 → -Inf, >1 → +Inf, NaN → NaN)
+          val phi = scalarArg(a.args.head)
+          if (phi.isNaN) grouped(max(lit(Double.NaN)))
+          else if (phi < 0) grouped(max(lit(Double.NegativeInfinity)))
+          else if (phi > 1) grouped(max(lit(Double.PositiveInfinity)))
+          else grouped(percentile(v, lit(phi)))
         case "group" => grouped(lit(1.0))
-        case "any" => grouped(min_by(v, skey(col("name"), col("tags"))))
+        case "any" =>
+          // one series per group, kept with its ORIGINAL labels
+          // (aggr.go aggrFuncAny returns tss[:1] unreduced)
+          val withKeys = df
+            .withColumn("_tk", tagKey(gtags))
+            .withColumn("_sk", skey(col("name"), col("tags")))
+          val pick = withKeys.select(col("_tk"), col("_sk")).distinct()
+            .groupBy(col("_tk")).agg(min(col("_sk")).as("_sk"))
+          Series(withKeys.join(broadcast(pick), Seq("_tk", "_sk"), "left_semi")
+            .select(col("name"), col("tags"), col("t"), col("value")))
         case "mode" =>
           // smallest most-frequent value (aggr.go:446)
           val counts = df.withColumn("_tk", tagKey(gtags))
@@ -671,18 +915,34 @@ object Eval {
             .select(lit(null).cast(StringType).as("name"),
               tagsOf(col("_tk")).as("tags"), col("t"), col("value")))
         case "count_values" =>
+          // count_values("label", q) by/without (aggr.go:566): the dst
+          // label leaves the by-list / joins the without-list (Prometheus
+          // rule), NaN points count nothing, and the label value renders
+          // via Go strconv 'f' formatting (no exponent, shortest digits)
           val label = strArg(a.args.head)
-          val g = df.withColumn("_tk", tagKey(gtags))
+          val gtags2: Column = a.modifier match {
+            case Some(By(ls)) =>
+              map_filter(col("tags"), (k, _) => k.isInCollection("" +: ls.filterNot(_ == label)))
+            case Some(Without(ls)) =>
+              map_filter(col("tags"), (k, _) => !k.isInCollection(label +: ls))
+            case None => map().cast("map<string,string>")
+          }
+          val g = df.filter(!isnan(v)).withColumn("_tk", tagKey(gtags2))
             .groupBy(col("_tk"), col("t"), v.as("_val"))
             .agg(count(lit(1)).cast(DoubleType).as("value"))
           Series(g.select(
             lit(null).cast(StringType).as("name"),
             map_concat(tagsOf(col("_tk")),
-              map(lit(label), col("_val").cast(StringType))).as("tags"),
+              map(lit(label), goFmtUdf(col("_val")))).as("tags"),
             col("t"), col("value")))
         case "share" =>
+          // negative points take no share and contribute nothing to the
+          // denominator (aggr.go aggrFuncShare skips v < 0)
           val w = Window.partitionBy(tagKey(gtags), col("t"))
-          Series(df.withColumn("value", v / sum(v).over(w)))
+          val nonNeg = when(v >= 0, v)
+          Series(df
+            .withColumn("value", nonNeg / sum(nonNeg).over(w))
+            .filter(col("value").isNotNull))
         case "zscore" =>
           val w = Window.partitionBy(tagKey(gtags), col("t"))
           val sd = stddev_pop(v).over(w)
@@ -692,6 +952,7 @@ object Eval {
         case "bottomk" => ranked(scalarArg(a.args.head).toInt, v.asc)
         case "limitk" =>
           val k = scalarArg(a.args.head).toInt
+          if (k <= 0) return Series(df.filter(lit(false))) // limitk(-1) → empty
           val withKeys = df
             .withColumn("_tk", tagKey(gtags))
             .withColumn("_sk", skey(col("name"), col("tags")))
@@ -792,14 +1053,18 @@ object Eval {
           Series(withKeys.join(broadcast(winners), Seq("_sk"), "left_semi")
             .select(col("name"), col("tags"), col("t"), col("value")))
         case n if n.startsWith("topk_") || n.startsWith("bottomk_") =>
-          // whole-series top/bottom-k by a series statistic (aggr.go:677)
+          // whole-series top/bottom-k by a series statistic (aggr.go:677
+          // newAggrFuncRangeTopK); a trailing string arg names a
+          // remaining-sum series ("label" or "label=value") that carries
+          // the per-point sum of the NON-kept series (aggr.go:738)
           val k = scalarArg(a.args.head).toInt
+          val vOk = when(!isnan(v), v) // stats skip NaN points
           val stat: Column = n.split("_")(1) match {
-            case "avg" => avg(v)
-            case "min" => min(v)
-            case "max" => max(v)
-            case "median" => percentile(v, lit(0.5))
-            case "last" => max_by(v, col("t"))
+            case "avg" => avg(vOk)
+            case "min" => min(vOk)
+            case "max" => max(vOk)
+            case "median" => percentile(vOk, lit(0.5))
+            case "last" => max(when(!isnan(v), struct(col("t"), v.as("v")))).getField("v")
             case other => throw new IllegalArgumentException(s"unknown stat '$other'")
           }
           val desc = n.startsWith("topk_")
@@ -809,10 +1074,28 @@ object Eval {
           val ranked0 = withKeys.groupBy(col("_tk"), col("_sk")).agg(stat.as("_s"))
             .withColumn("_rn", row_number().over(
               Window.partitionBy(col("_tk"))
-                .orderBy(if (desc) col("_s").desc else col("_s").asc, col("_sk").asc)))
+                .orderBy(if (desc) col("_s").desc_nulls_last else col("_s").asc_nulls_last,
+                  col("_sk").asc)))
             .filter(col("_rn") <= k).select(col("_sk"))
-          Series(withKeys.join(broadcast(ranked0), Seq("_sk"), "left_semi")
-            .select(col("name"), col("tags"), col("t"), col("value")))
+          val kept = withKeys.join(broadcast(ranked0), Seq("_sk"), "left_semi")
+            .select(col("name"), col("tags"), col("t"), col("value"))
+          a.args.lastOption.collect { case StringExpr(spec) => spec } match {
+            case None => Series(kept)
+            case Some(spec) =>
+              val eq = spec.indexOf('=')
+              val (tagN, tagV) =
+                if (eq < 0) (spec, spec) else (spec.take(eq), spec.drop(eq + 1))
+              val rem = withKeys.join(broadcast(ranked0), Seq("_sk"), "left_anti")
+                .groupBy(col("_tk"), col("t"))
+                .agg(sum(vOk).as("value"))
+                .filter(col("value").isNotNull)
+                .select(lit(null).cast(StringType).as("name"),
+                  map_concat(
+                    map_filter(tagsOf(col("_tk")), (key, _) => key =!= tagN),
+                    map(lit(tagN), lit(tagV))).as("tags"),
+                  col("t"), col("value"))
+              Series(kept.unionByName(rem))
+          }
         case other => throw new IllegalArgumentException(s"unsupported aggregate '$other'")
       }
     }
@@ -949,7 +1232,13 @@ object Eval {
           return Series(out)
         }
       }
-      val leftV0 = eval(b.left)
+      // `default`'s left side keeps all-NaN comparison series alive so
+      // they can be filled (binary_op.go:232) — evaluate it in
+      // NaN-preserving mode
+      val leftV0 =
+        if (b.op == "default" && !cfg.preserveCmpNaN)
+          new Ev(samples, cfg.copy(preserveCmpNaN = true)).eval(b.left)
+        else eval(b.left)
       val (leftV1, rightV1) = leftV0 match {
         case Series(ld) =>
           val (newLeft, rv) = evalRightAdaptive(ld, b)
@@ -1074,6 +1363,9 @@ object Eval {
           if (b.boolModifier)
             df.withColumn("value", cond.cast(DoubleType))
               .withColumn("name", lit(null).cast(StringType))
+          else if (cfg.preserveCmpNaN)
+            df.withColumn("value",
+              when(cond, col("value")).otherwise(lit(Double.NaN)))
           else df.filter(cond) // keep original values, name survives
         } else
           df.withColumn("value", arithColumn(b.op, l, r))
@@ -1315,6 +1607,10 @@ object Eval {
                   when(lv.isNull || isnan(lv), lit(Double.NaN))
                     .otherwise(cond.cast(DoubleType)))
                   .withColumn("name", lit(null).cast(StringType))
+              else if (cfg.preserveCmpNaN)
+                joined.withColumn("value",
+                  when(cond, if (leftIsMany) col("_mv") else col("_ov"))
+                    .otherwise(lit(Double.NaN)))
               else
                 joined.filter(cond)
                   .withColumn("value", if (leftIsMany) col("_mv") else col("_ov"))
@@ -1337,8 +1633,16 @@ object Eval {
     // ------------------------------------------------------------------
 
     private def evalUnion(es: Seq[Expr]): Value = {
+      // union()/(): a NaN series (transform.go:1744 evalNumber(nan))
+      if (es.isEmpty) return Scalar(Double.NaN)
+      // all-scalar args: every scalar becomes its own series, NO dedup —
+      // needed by `q == (v1,…,vN)` and `sum((1,2,3))` (transform.go:1748)
+      val vals = es.map(eval)
+      if (vals.forall(v => v.isInstanceOf[Scalar] || v.isInstanceOf[ScalarSeries]))
+        return Series(vals.map(v => toSeries(samples, v, cfg)).reduce(_ unionByName _))
       // union(q1,…,qN): first series wins per series key (transform.go:1742)
-      val dfs = es.map(series(_).withColumn("_sk", skey(col("name"), col("tags"))))
+      val dfs = vals.map(v =>
+        toSeries(samples, v, cfg).withColumn("_sk", skey(col("name"), col("tags"))))
       val tagged = dfs.zipWithIndex.map { case (df, i) => df.withColumn("_pri", lit(i)) }
       val all = tagged.reduce(_ unionByName _)
       val firstOwner = all.groupBy("_sk").agg(min("_pri").as("_pri"))
@@ -1363,56 +1667,152 @@ object Eval {
       name match {
         case n if mathFns.contains(n) =>
           Series(keepName(df.withColumn("value", mathFns(n)(col("value")))))
-        case "round" =>
-          val nearest = if (f.args.size > 1) scalarArg(f.args(1)) else 1.0
-          Series(keepName(df.withColumn("value",
-            round(col("value") / nearest) * nearest)))
-        case "clamp" =>
-          val (lo, hi) = (scalarArg(f.args(1)), scalarArg(f.args(2)))
-          Series(keepName(df.withColumn("value",
-            least(greatest(col("value"), lit(lo)), lit(hi)))))
-        case "clamp_min" =>
-          Series(keepName(df.withColumn("value", greatest(col("value"), lit(scalarArg(f.args(1)))))))
-        case "clamp_max" =>
-          Series(keepName(df.withColumn("value", least(col("value"), lit(scalarArg(f.args(1)))))))
-        case "running_sum" => Series(df.withColumn("value", sum("value").over(runW)))
-        case "running_avg" => Series(df.withColumn("value", avg("value").over(runW)))
-        case "running_min" => Series(df.withColumn("value", min("value").over(runW)))
-        case "running_max" => Series(df.withColumn("value", max("value").over(runW)))
-        case "range_sum" => Series(df.withColumn("value", sum("value").over(allW)))
-        case "range_avg" => Series(df.withColumn("value", avg("value").over(allW)))
-        case "range_min" => Series(df.withColumn("value", min("value").over(allW)))
-        case "range_max" => Series(df.withColumn("value", max("value").over(allW)))
-        case "range_first" => Series(df.withColumn("value", min_by(col("value"), col("t")).over(allW)))
-        case "range_last" => Series(df.withColumn("value", max_by(col("value"), col("t")).over(allW)))
-        case "range_quantile" =>
-          val phi = scalarArg(f.args.head)
-          Series(series(f.args(1)).withColumn("value",
-            percentile(col("value"), lit(phi)).over(allW)))
-        case "range_median" =>
-          Series(df.withColumn("value", percentile(col("value"), lit(0.5)).over(allW)))
-        case "range_stddev" =>
-          Series(df.withColumn("value", stddev_pop(col("value")).over(allW)))
-        case "range_stdvar" =>
-          Series(df.withColumn("value", var_pop(col("value")).over(allW)))
+        case "round" | "clamp" | "clamp_min" | "clamp_max" =>
+          // a fully-scalar invocation stays SCALAR, so WITH-template
+          // chains like ttf's clamp_max(step()/300, 1) keep feeding
+          // scalar-typed args downstream (reference evalNumber path)
+          val headV = eval(f.args.head)
+          val tailV = f.args.tail.map(eval)
+          (headV, tailV) match {
+            case (Scalar(x), ts) if ts.forall(_.isInstanceOf[Scalar]) =>
+              val svs = ts.map { case Scalar(s) => s case _ => 0.0 }
+              val r = name match {
+                case "round" =>
+                  val nearest = svs.headOption.getOrElse(1.0)
+                  goRound(x, nearest)
+                case "clamp" => math.min(math.max(x, svs(0)), svs(1))
+                case "clamp_min" => math.max(x, svs(0))
+                case _ => math.min(x, svs(0))
+              }
+              return Scalar(r)
+            case _ =>
+          }
+          // limit args follow getScalar semantics: constant or per-point
+          // label-free series (transform.go:270 transformClamp*)
+          var base = toSeries(samples, headV, cfg)
+          var scIdx = 0
+          def scArg(i: Int): Column = tailV(i) match {
+            case Scalar(x) => lit(x)
+            case ScalarSeries(sd) =>
+              scIdx += 1
+              val (tc, vc) = (s"_sct$scIdx", s"_scv$scIdx")
+              val s = sd.select(col("t").as(tc), col("value").as(vc))
+              base = base.join(s, base("t") === col(tc), "left").drop(tc)
+              col(vc)
+            case other =>
+              throw new IllegalArgumentException(s"expected scalar arg, got $other")
+          }
+          val vc = name match {
+            case "round" =>
+              val nearest = if (f.args.size > 1) scArg(0) else lit(1.0)
+              goRoundUdf(col("value"), nearest)
+            case "clamp" =>
+              val (lo, hi) = (scArg(0), scArg(1))
+              least(greatest(col("value"), lo), hi)
+            case "clamp_min" => greatest(col("value"), scArg(0))
+            case _ => least(col("value"), scArg(0))
+          }
+          val outDf = keepName(base.withColumn("value", vc)
+            .select(col("name"), col("tags"), col("t"), col("value")))
+          headV match { // label-free input stays label-free (scalar-typed)
+            case ScalarSeries(_) => ScalarSeries(outDf)
+            case _ => Series(outDf)
+          }
+        // running_*/range_*: the reference operates on grid-dense value
+        // arrays (transform.go:1325/1353) — NaN points are skipped by the
+        // aggregation but every grid point from the first sample onward
+        // (running_*) or the WHOLE grid (range_*, via setLastValues)
+        // carries the result. Densify, aggregate over non-NaN, emit dense.
+        case "running_sum" | "running_min" | "running_max" =>
+          val d = denseGrid(df)
+          val vOk = when(!isnan(col("value")), col("value"))
+          val w = Window.partitionBy(col("_sk")).orderBy(col("t"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val agg = name match {
+            case "running_sum" => sum(vOk).over(w)
+            case "running_min" => min(vOk).over(w)
+            case _ => max(vOk).over(w)
+          }
+          Series(d
+            .withColumn("value", coalesce(agg, lit(Double.NaN)))
+            .select(lit(null).cast(StringType).as("name"), col("tags"), col("t"), col("value")))
+        case "running_avg" =>
+          // NOT a plain running mean: the reference's divisor is the dense
+          // position, so interior NaN gaps dilute later averages
+          // (transform.go:1210). Exact sequential pass per series.
+          val d = denseGrid(df)
+          val seq = d.groupBy(col("_sk"))
+            .agg(first("tags").as("tags"),
+              sort_array(collect_list(struct(col("t"), col("value").as("v")))).as("_pts"))
+          Series(seq
+            .withColumn("_run", explode(runningAvgUdf(col("_pts.v"))))
+            .select(lit(null).cast(StringType).as("name"), col("tags"),
+              element_at(col("_pts.t"), col("_run._1") + 1).as("t"),
+              col("_run._2").as("value")))
+        case "range_avg" =>
+          // setLastValues over the positional running average: EVERY grid
+          // point (leading gaps included) gets the final recurrence value
+          // (transform.go:1352 newTransformFuncRange + :1667 setLastValues)
+          val d = denseGrid(df)
+          val fin = d.groupBy(col("_sk"))
+            .agg(sort_array(collect_list(struct(col("t"), col("value").as("v")))).as("_pts"))
+            .select(col("_sk"), runningAvgFinalUdf(col("_pts.v")).as("_fin"))
+          Series(d.join(fin, Seq("_sk"))
+            .select(lit(null).cast(StringType).as("name"), col("tags"),
+              col("t"), col("_fin").as("value")))
+        case "range_sum" | "range_min" | "range_max" |
+            "range_median" | "range_stddev" | "range_stdvar" | "range_first" |
+            "range_last" | "range_quantile" =>
+          val d = denseGrid(if (name == "range_quantile") series(f.args(1)) else df)
+          val vOk = when(!isnan(col("value")), col("value"))
+          val w = Window.partitionBy(col("_sk"))
+          val agg = name match {
+            case "range_sum" => sum(vOk).over(w)
+            case "range_min" => min(vOk).over(w)
+            case "range_max" => max(vOk).over(w)
+            case "range_median" => percentile(vOk, lit(0.5)).over(w)
+            case "range_stddev" => stddev_pop(vOk).over(w)
+            case "range_stdvar" => var_pop(vOk).over(w)
+            case "range_quantile" => percentile(vOk, lit(scalarArg(f.args.head))).over(w)
+            case "range_first" =>
+              min(when(!isnan(col("value")), struct(col("t"), col("value").as("v")))).over(w)
+                .getField("v")
+            case _ =>
+              max(when(!isnan(col("value")), struct(col("t"), col("value").as("v")))).over(w)
+                .getField("v")
+          }
+          Series(d
+            .withColumn("value", coalesce(agg, lit(Double.NaN)))
+            .select(lit(null).cast(StringType).as("name"), col("tags"), col("t"), col("value")))
         case "range_linear_regression" =>
-          // per-series trend line; x centered on the series start
-          // (transform.go:1255)
-          val sk = skey(col("name"), col("tags"))
-          val withX = df.withColumn("_x",
-            (col("t") - min("t").over(Window.partitionBy(sk))).cast(DoubleType) / 1000.0)
-          val w = Window.partitionBy(skey(col("name"), col("tags")))
+          // per-series trend line over non-NaN samples, EVALUATED AT EVERY
+          // grid point (transform.go:1530 + setLastValues-like dense
+          // output); x centered on the series' first sample
+          val d = denseGrid(df)
+          val vOk = when(!isnan(col("value")), col("value"))
+          val w = Window.partitionBy(col("_sk"))
+          val t0 = min(when(!isnan(col("value")), col("t"))).over(w)
+          val withX = d
+            .withColumn("_x", (col("t") - t0).cast(DoubleType) / 1000.0)
+            .withColumn("_xv", when(!isnan(col("value")), col("_x")))
           Series(withX
-            .withColumn("value",
-              regr_intercept(col("value"), col("_x")).over(w) +
-                regr_slope(col("value"), col("_x")).over(w) * col("_x"))
-            .drop("_x"))
+            .withColumn("value", coalesce(
+              regr_intercept(vOk, col("_xv")).over(w) +
+                regr_slope(vOk, col("_xv")).over(w) * col("_x"),
+              lit(Double.NaN)))
+            .select(lit(null).cast(StringType).as("name"), col("tags"), col("t"), col("value")))
         case "range_normalize" =>
-          val w = allW
+          // multi-arg: each arg's series normalized independently
+          // (transform.go:1364); output stays at the input's points
+          val dfAll = f.args.map(series(_)).reduce(_ unionByName _)
+            .filter(!isnan(col("value")))
+          val w = Window.partitionBy(skey(col("name"), col("tags")))
           val mn = min("value").over(w)
           val mx = max("value").over(w)
-          Series(df.withColumn("value", when(mx > mn, (col("value") - mn) / (mx - mn)))
-            .filter(col("value").isNotNull))
+          Series(dfAll
+            .withColumn("value", when(mx > mn, (col("value") - mn) / (mx - mn)))
+            .filter(col("value").isNotNull)
+            .withColumn("name", lit(null).cast(StringType)))
         case "range_zscore" =>
           val w = allW
           val sd = stddev_pop(col("value")).over(w)
@@ -1460,8 +1860,13 @@ object Eval {
             case StrVal(s) =>
               Scalar(try s.trim.toDouble catch { case _: NumberFormatException => Double.NaN })
             case Scalar(v) => Scalar(v)
-            case _ =>
-              ScalarSeries(df.select(lit(null).cast(StringType).as("name"),
+            case sv =>
+              // more/less than exactly ONE series → NaN (transform.go:2392
+              // transformScalar); the count is label-metadata scale
+              val d = toSeries(samples, sv, cfg)
+              val nSeries = d.select(skey(col("name"), col("tags"))).distinct().count()
+              if (nSeries != 1) Scalar(Double.NaN)
+              else ScalarSeries(d.select(lit(null).cast(StringType).as("name"),
                 map().cast("map<string,string>").as("tags"), col("t"), col("value")))
           }
         case "vector" => eval(f.args.head) match {
@@ -1480,12 +1885,22 @@ object Eval {
         case "step" => Scalar(cfg.grid.stepMs / 1000.0)
         case "pi" => Scalar(math.Pi)
         case "absent" =>
-          val present = df.select("t").distinct()
+          // NaN values are absent samples (absent(NaN) == 1)
+          val present = df.filter(!isnan(col("value"))).select("t").distinct()
           Series(Grid.gridDf(samples, cfg.grid).join(present, Seq("t"), "left_anti")
             .select(lit(null).cast(StringType).as("name"),
               map().cast("map<string,string>").as("tags"), col("t"), lit(1.0).as("value")))
         case "union" => evalUnion(f.args)
-        case "drop_empty_series" => Series(df)
+        case "drop_empty_series" =>
+          // drop series whose values are all NaN (transform.go:1930
+          // dropEmptySeries). Under the NaN==absent row model this is
+          // usually a no-op, but comparisons evaluated with preserveCmpNaN
+          // (left side of `default`) carry all-NaN series that must die
+          // here. left_semi on keys with ≥1 real sample.
+          val live = df.filter(!isnan(col("value")))
+            .select(skey(col("name"), col("tags")).as("_live_k")).distinct()
+          Series(df.join(live,
+            skey(col("name"), col("tags")) === col("_live_k"), "left_semi"))
         case "alias" =>
           // alias(q, "name") sets the metric name (transform.go:2004)
           Series(df.withColumn("name", lit(strArg(f.args(1)))))
@@ -1539,19 +1954,46 @@ object Eval {
           }
           Series(out)
         case "label_join" =>
-          // label_join(q, "dst", "sep", "src1", …) (transform.go:1896)
+          // label_join(q, "dst", "sep", "src1", …) (transform.go:1896);
+          // "__name__" reads/writes the metric name, missing labels join
+          // as empty strings
           val dst = strArg(f.args(1))
           val sep = strArg(f.args(2))
           val srcs = f.args.drop(3).map(strArg)
-          val joined = concat_ws(sep, srcs.map(s => coalesce(col("tags").getItem(s), lit(""))): _*)
-          Series(df.withColumn("tags", map_concat(
+          def srcCol(s: String): Column =
+            if (s == "__name__") coalesce(col("name"), lit(""))
+            else coalesce(col("tags").getItem(s), lit(""))
+          val joined = concat_ws(sep, srcs.map(srcCol): _*)
+          if (dst == "__name__") Series(df.withColumn("name", joined))
+          else Series(df.withColumn("tags", map_concat(
             map_filter(col("tags"), (k, _) => !(k === dst)), map(lit(dst), joined))))
         case "label_replace" =>
           // label_replace(q, "dst", "repl", "src", "regex") (transform.go:1919)
           val dst = strArg(f.args(1))
-          val repl = strArg(f.args(2))
           val src = strArg(f.args(3))
           val regex = strArg(f.args(4))
+          // Go regexp semantics for the replacement: ${1}/$1 refer to
+          // capture groups, and a reference to a NONEXISTENT group expands
+          // to "" — Java throws instead, so normalize ${N}→$N and blank
+          // out refs beyond the pattern's group count
+          val nGroups =
+            try java.util.regex.Pattern.compile(anchored(regex)).matcher("").groupCount()
+            catch { case _: Exception => 0 }
+          val repl = {
+            val norm = strArg(f.args(2)).replaceAll("\\$\\{(\\d+)\\}", "\\$$1")
+            val p = java.util.regex.Pattern.compile("\\$(\\d+)")
+            val m = p.matcher(norm)
+            val sb = new StringBuilder
+            var last = 0
+            while (m.find()) {
+              sb.append(norm.substring(last, m.start()))
+              val g = m.group(1).toInt
+              if (g <= nGroups) sb.append("$").append(g)
+              last = m.end()
+            }
+            sb.append(norm.substring(last))
+            sb.toString
+          }
           val sv = coalesce(
             if (src == "__name__") col("name") else col("tags").getItem(src), lit(""))
           val matches = sv.rlike(anchored(regex))
@@ -1614,16 +2056,38 @@ object Eval {
           Series(df.orderBy(ordered :+ col("t").asc: _*))
         case "limit_offset" =>
           // limit_offset(limit, offset, q) (transform.go:2292): whole-series
+          // slice in the INPUT's series order. All-NaN series are removed
+          // before the offset applies (transform.go:2306), and when q is a
+          // sort_by_label* call the slice follows that sort's order; other
+          // inputs fall back to a stable series-key order.
           val limit = scalarArg(f.args.head).toInt
           val offset = scalarArg(f.args(1)).toInt
-          val q = series(f.args(2)).withColumn("_sk", skey(col("name"), col("tags")))
+          val q = series(f.args(2))
+            .filter(!isnan(col("value")))
+            .withColumn("_sk", skey(col("name"), col("tags")))
+          val sortSpec: Option[(Seq[String], Boolean, Boolean)] = f.args(2) match {
+            case FuncExpr(sn, sargs, _) if Set("sort_by_label", "sort_by_label_desc",
+                "sort_by_label_numeric", "sort_by_label_numeric_desc")(sn.toLowerCase) =>
+              Some((sargs.tail.map(strArg), sn.endsWith("_desc"), sn.contains("numeric")))
+            case _ => None
+          }
+          def orderCols(pref: Seq[Column]): Seq[Column] = sortSpec match {
+            case Some((labels, desc, numeric)) =>
+              val ks = labels.map { l =>
+                val raw = coalesce(col("tags").getItem(l), lit(""))
+                if (numeric) numericKeyUdf(raw) else raw
+              }
+              ks.map(k => if (desc) k.desc else k.asc) :+ col("_sk").asc
+            case None => Seq(col("_sk").asc)
+          }
           // cap the distinct-series set to offset+limit rows FIRST via a
           // distributed sort+limit (TakeOrderedAndProject); only the
           // bounded result — query-parameter scale, not data scale —
           // passes through the no-partition rank window
-          val wins = q.select("_sk").distinct()
-            .orderBy(col("_sk")).limit(offset + limit)
-            .withColumn("_rn", row_number().over(Window.orderBy(col("_sk"))))
+          val dims = q.groupBy(col("_sk")).agg(first(col("tags")).as("tags"))
+          val wins = dims
+            .orderBy(orderCols(Nil): _*).limit(math.max(offset + limit, 0))
+            .withColumn("_rn", row_number().over(Window.orderBy(orderCols(Nil): _*)))
             .filter(col("_rn") > offset)
             .select("_sk")
           Series(q.join(broadcast(wins), Seq("_sk"), "left_semi")
@@ -1649,10 +2113,14 @@ object Eval {
           Series(base.withColumn("value", out.cast(DoubleType))
             .withColumn("name", lit(null).cast(StringType)))
         case "remove_resets" =>
+          // counter-reset removal with the partial-reset 8× heuristic
+          // (rollup.go:921 removeCounterResets): a small dip is a partial
+          // reset (no increase), a big one restarts at the new value
           val w = Window.partitionBy(skey(col("name"), col("tags"))).orderBy(col("t"))
           val prev = lag(col("value"), 1).over(w)
           val d = when(prev.isNull, col("value"))
             .when(col("value") >= prev, col("value") - prev)
+            .when((prev - col("value")) * 8 < prev, lit(0.0))
             .otherwise(col("value"))
           Series(df.withColumn("_d", d).withColumn("value", sum("_d").over(runW)).drop("_d"))
         case "keep_last_value" =>
@@ -1699,19 +2167,38 @@ object Eval {
             case "histogram_fraction" => 2
             case _ => 0
           }
-          val in = series(f.args(arg))
+          val in0 = series(f.args(arg))
             .withColumn("le", leValue(col("tags").getItem("le")))
             .filter(col("le").isNotNull)
             .withColumn("_tk", tagKey(map_filter(col("tags"), (k, _) => k =!= "le")))
             .select(col("name"), col("_tk"), col("t"), col("le"), col("value"))
+          // phi/le/bound args follow getScalar semantics: a constant OR a
+          // per-point label-free series (transform.go getScalar) — joined
+          // onto the bucket frame by timestamp
+          var in = in0
+          var phiIdx = 0
+          def phiArg(e: Expr): Column = eval(e) match {
+            case Scalar(x) => lit(x)
+            case ScalarSeries(sd) =>
+              phiIdx += 1
+              val tc = s"_phit$phiIdx"
+              val vc = s"_phiv$phiIdx"
+              val s = sd.select(col("t").as(tc), col("value").as(vc))
+              in = in.join(s, in("t") === col(tc), "left").drop(tc)
+              col(vc)
+            case other =>
+              throw new IllegalArgumentException(s"expected scalar arg, got $other")
+          }
           val out = name match {
             case "histogram_quantile" =>
-              graft.operators.HistogramQ.quantile(in, Seq("name", "_tk"), scalarArg(f.args.head))
+              val p = phiArg(f.args.head)
+              graft.operators.HistogramQ.quantile(in, Seq("name", "_tk"), p)
             case "histogram_share" =>
-              graft.operators.HistogramQ.share(in, Seq("name", "_tk"), scalarArg(f.args.head))
+              val p = phiArg(f.args.head)
+              graft.operators.HistogramQ.share(in, Seq("name", "_tk"), p)
             case "histogram_fraction" =>
-              graft.operators.HistogramQ.fraction(in, Seq("name", "_tk"),
-                scalarArg(f.args.head), scalarArg(f.args(1)))
+              val (l, u) = (phiArg(f.args.head), phiArg(f.args(1)))
+              graft.operators.HistogramQ.fraction(in, Seq("name", "_tk"), l, u)
             case "histogram_avg" =>
               graft.operators.HistogramQ.histAvg(in, Seq("name", "_tk"))
             case "histogram_stddev" =>
@@ -1757,21 +2244,24 @@ object Eval {
             map_concat(tagsOf(col("_tk")), map(lit(lbl), col("phi"))).as("tags"),
             col("t"), col("value")))
         case "buckets_limit" =>
-          // buckets_limit(limit, buckets) — transform.go:386
+          // buckets_limit(limit, buckets) — transform.go:386. The le label
+          // passes through VERBATIM (the reference keeps the original
+          // series; only the numeric parse orders/merges them)
           val in = series(f.args(1))
+            .withColumn("_les", col("tags").getItem("le"))
             .withColumn("le", leValue(col("tags").getItem("le")))
             .filter(col("le").isNotNull)
             .withColumn("_tk", tagKey(map_filter(col("tags"), (k, _) => k =!= "le")))
-            .select(col("name"), col("_tk"), col("t"), col("le"), col("value"))
+            .select(col("name"), col("_tk"), col("t"), col("le"), col("_les"), col("value"))
           val out = graft.operators.HistogramQ.bucketsLimit(
             in, Seq("name", "_tk"), scalarArg(f.args.head).toInt)
           Series(out.select(col("name"),
             map_concat(tagsOf(col("_tk")),
-              map(lit("le"), col("le").cast(StringType))).as("tags"),
+              map(lit("le"), col("_les"))).as("tags"),
             col("t"), col("value")))
         case "drop_common_labels" =>
-          // drop labels that carry the same value on EVERY series
-          // (transform.go:2096). Label space is metadata-scale: the
+          // drop labels that carry the same value on EVERY series across
+          // ALL args (transform.go:2096). Label space is metadata-scale: the
           // distinct (key,value,series) profile aggregates to the driver.
           // ONE aggregation job for both the per-key (values, series)
           // profile and the global series count: a sentinel key row per
@@ -1779,7 +2269,8 @@ object Eval {
           // keys and the total row reach the driver (label-key metadata
           // scale, not series scale).
           val total = " __total__"
-          val perSeries = df
+          val dcDf = f.args.map(series(_)).reduce(_ unionByName _)
+          val perSeries = dcDf
             .withColumn("_sk", skey(col("name"), col("tags")))
             .groupBy("_sk").agg(first(col("tags")).as("tags")) // _sk ⟹ tags
           val exploded = perSeries
@@ -1797,20 +2288,25 @@ object Eval {
             .filter(r => r.getString(0) != null && r.getString(0) != total &&
               r.getAs[Long]("nv") == 1 && r.getAs[Long]("ns") == nSeries)
             .map(_.getString(0)).toSeq
-          if (common.isEmpty) Series(df)
-          else Series(df.withColumn("tags",
+          if (common.isEmpty) Series(dcDf)
+          else Series(dcDf.withColumn("tags",
             map_filter(col("tags"), (k, _) => !k.isInCollection(common))))
         case "label_graphite_group" =>
           // label_graphite_group(q, n1, …) — metric name := selected
           // dot-groups of the graphite path, 0-based (transform.go:2023)
           val groups = f.args.tail.map(scalarArg(_).toInt)
           val parts = split(coalesce(col("name"), lit("")), "\\.")
+          // try_element_at: an out-of-range group index yields an empty
+          // component, not an ANSI error (transform.go:2023 appends "")
           val picked = concat_ws(".",
-            groups.map(g => coalesce(element_at(parts, g + 1), lit(""))): _*)
+            groups.map(g => coalesce(try_element_at(parts, lit(g + 1)), lit(""))): _*)
           Series(df.withColumn("name", picked))
         case "sort_by_label_numeric" | "sort_by_label_numeric_desc" =>
+          // numericLess collation (transform.go:2485): alternating numeric
+          // and string chunks, numbers compare as floats — see
+          // numericSortKey for the order-preserving key encoding
           val ls = f.args.tail.map(strArg)
-          val keys = ls.map(l => coalesce(col("tags").getItem(l).cast(DoubleType), lit(0.0)))
+          val keys = ls.map(l => numericKeyUdf(coalesce(col("tags").getItem(l), lit(""))))
           val ordered =
             if (name == "sort_by_label_numeric") keys.map(_.asc) else keys.map(_.desc)
           Series(df.orderBy(ordered :+ col("t").asc: _*))
@@ -1835,12 +2331,18 @@ object Eval {
             col("t"),
             graft.operators.Transform.timezoneOffset(col("t"), tz).as("value")))
         case "range_mad" =>
-          val w = allW
-          val med = percentile(col("value"), lit(0.5)).over(w)
-          val withDev = df.withColumn("_dev", abs(col("value") - med))
+          // whole-range MAD over non-NaN samples, emitted at every grid
+          // point (transform.go:1551)
+          val d = denseGrid(df)
+          val vOk = when(!isnan(col("value")), col("value"))
+          val w = Window.partitionBy(col("_sk"))
+          val med = percentile(vOk, lit(0.5)).over(w)
+          val withDev = d.withColumn("_dev", abs(vOk - med))
           Series(withDev
-            .withColumn("value", percentile(col("_dev"), lit(0.5)).over(allW))
-            .drop("_dev"))
+            .withColumn("value", coalesce(
+              percentile(col("_dev"), lit(0.5)).over(Window.partitionBy(col("_sk"))),
+              lit(Double.NaN)))
+            .select(lit(null).cast(StringType).as("name"), col("tags"), col("t"), col("value")))
         case "range_trim_zscore" =>
           val z = scalarArg(f.args.head)
           val q = series(f.args(1))
@@ -1860,16 +2362,17 @@ object Eval {
             .filter(col("_dev") <= lit(k) * col("_mad"))
             .drop("_dev", "_mad"))
         case "range_trim_spikes" =>
-          val phi = scalarArg(f.args.head)
-          val q = series(f.args(1))
+          // trim the phi/2 lowest AND phi/2 highest samples per series
+          // (transform.go:1482: vMin = q(phi/2), vMax = q(1-phi/2), strict
+          // inequality drops)
+          val phi = scalarArg(f.args.head) / 2.0
+          val q = series(f.args(1)).filter(!isnan(col("value")))
           val w = Window.partitionBy(skey(col("name"), col("tags")))
-          val med = percentile(col("value"), lit(0.5)).over(w)
-          val withDev = q.withColumn("_dev", abs(col("value") - med))
-          Series(withDev
-            .withColumn("_cut", percentile(col("_dev"), lit(1.0 - phi))
-              .over(Window.partitionBy(skey(col("name"), col("tags")))))
-            .filter(col("_dev") <= col("_cut"))
-            .drop("_dev", "_cut"))
+          Series(q
+            .withColumn("_lo", percentile(col("value"), lit(phi)).over(w))
+            .withColumn("_hi", percentile(col("value"), lit(1.0 - phi)).over(w))
+            .filter(col("value") >= col("_lo") && col("value") <= col("_hi"))
+            .drop("_lo", "_hi"))
         case "smooth_exponential" =>
           // v'_i = sf·v_i + (1-sf)·v'_{i-1} (transform.go:1599) — exact
           // recursion: collect each series's points once, run the fold as a
@@ -1919,6 +2422,20 @@ object Eval {
     }
 
     /** linear interpolation across grid gaps (transform.go:1681) */
+    /** every series × every grid point; absent points surface as NaN
+      * rows — the reference's dense values-array model for whole-range
+      * transforms (running_ and range_ families, transform.go:1325).
+      */
+    private def denseGrid(df: DataFrame): DataFrame = {
+      val withSk = df.withColumn("_sk", skey(col("name"), col("tags")))
+      val dim = withSk.groupBy("_sk")
+        .agg(first("name").as("name"), first("tags").as("tags"))
+      dim.crossJoin(Grid.gridDf(df, cfg.grid))
+        .join(withSk.select(col("_sk"), col("t"), col("value")), Seq("_sk", "t"), "left")
+        .select(col("name"), col("tags"), col("_sk"), col("t"),
+          coalesce(col("value"), lit(Double.NaN)).as("value"))
+    }
+
     private def interpolate(df: DataFrame): DataFrame = {
       val skeys = df
         .withColumn("_sk", skey(col("name"), col("tags")))
@@ -1926,7 +2443,8 @@ object Eval {
       val grid = Grid.gridDf(df, cfg.grid)
       val dense = skeys.crossJoin(grid)
       val keyed = df.withColumn("_sk", skey(col("name"), col("tags")))
-        .select(col("_sk"), col("t"), col("value"))
+        // NaN samples are gaps too (reference values arrays use NaN)
+        .select(col("_sk"), col("t"), when(!isnan(col("value")), col("value")).as("value"))
       val joined = dense.join(keyed, Seq("_sk", "t"), "left")
       val wb = Window.partitionBy(col("_sk")).orderBy(col("t").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1941,11 +2459,12 @@ object Eval {
         .withColumn("_nv", nv).withColumn("_nt", nt)
         .withColumn("value",
           when(col("value").isNotNull, col("value"))
+            // interior gaps only: the reference trims leading/trailing
+            // NaNs first (transform.go:1278 skipLeading/TrailingNaNs), so
+            // points before the first or after the last sample stay absent
             .when(col("_pv").isNotNull && col("_nv").isNotNull,
               col("_pv") + (col("_nv") - col("_pv")) *
-                (col("t") - col("_pt")).cast(DoubleType) / (col("_nt") - col("_pt")).cast(DoubleType))
-            .when(col("_pv").isNotNull, col("_pv"))
-            .otherwise(col("_nv")))
+                (col("t") - col("_pt")).cast(DoubleType) / (col("_nt") - col("_pt")).cast(DoubleType)))
         .filter(col("value").isNotNull)
         .select(col("name"), col("tags"), col("t"), col("value"))
     }

@@ -63,8 +63,14 @@ object HistogramQ {
       else { les(n) = le; cs(n) = c; n += 1 }
       i += 1
     }
+    // fixBrokenBuckets (transform.go:1126): a NaN lowest bucket becomes 0;
+    // a NaN or decreasing upper bucket takes the previous bucket's value
+    if (n > 0 && cs(0).isNaN) cs(0) = 0
     i = 1
-    while (i < n) { cs(i) = math.max(cs(i), cs(i - 1)); i += 1 } // fixBrokenBuckets
+    while (i < n) {
+      if (cs(i).isNaN || cs(i) < cs(i - 1)) cs(i) = cs(i - 1)
+      i += 1
+    }
     (les.take(n), cs.take(n))
   }
 
@@ -131,7 +137,7 @@ object HistogramQ {
     (1, 1, 1) // leReq beyond the last bucket
   }
 
-  private def hqUdf(phi: Double) = udf { (arr0: Seq[org.apache.spark.sql.Row]) =>
+  private val hqUdf = udf { (arr0: Seq[org.apache.spark.sql.Row], phi: Double) =>
     if (arr0 == null) None
     else {
       val (les, cs) = prep(arr0)
@@ -140,7 +146,7 @@ object HistogramQ {
     }
   }
 
-  private def shareUdf(leBound: Double) = udf { (arr0: Seq[org.apache.spark.sql.Row]) =>
+  private val shareUdf = udf { (arr0: Seq[org.apache.spark.sql.Row], leBound: Double) =>
     if (arr0 == null) None
     else {
       val (les, cs) = prep(arr0)
@@ -152,8 +158,8 @@ object HistogramQ {
     }
   }
 
-  private def fractionUdf(lowerLe: Double, upperLe: Double) =
-    udf { (arr0: Seq[org.apache.spark.sql.Row]) =>
+  private val fractionUdf =
+    udf { (arr0: Seq[org.apache.spark.sql.Row], lowerLe: Double, upperLe: Double) =>
       if (arr0 == null) None
       else {
         val (les, cs) = prep(arr0)
@@ -169,33 +175,44 @@ object HistogramQ {
 
   /** histogram_quantile(phi, buckets[, boundsLabel]) — transform.go:991.
     * Output: keys, t, value, lower, upper (bounds used only for the 3-arg
-    * form).
+    * form). `phi` may be a per-point column (getScalar semantics) — it is
+    * resolved per (group, t) via first().
     */
+  def quantile(buckets: DataFrame, groupKeys: Seq[String], phi: Column): DataFrame =
+    bounded(buckets, groupKeys, phi, hqUdf(col("_b"), col("_phi")))
+
   def quantile(buckets: DataFrame, groupKeys: Seq[String], phi: Double): DataFrame =
-    bounded(buckets, groupKeys, hqUdf(phi))
+    quantile(buckets, groupKeys, lit(phi))
 
   /** histogram_share(le, buckets[, boundsLabel]) — transform.go:651 */
+  def share(buckets: DataFrame, groupKeys: Seq[String], leBound: Column): DataFrame =
+    bounded(buckets, groupKeys, leBound, shareUdf(col("_b"), col("_phi")))
+
   def share(buckets: DataFrame, groupKeys: Seq[String], leBound: Double): DataFrame =
-    bounded(buckets, groupKeys, shareUdf(leBound))
+    share(buckets, groupKeys, lit(leBound))
 
   /** histogram_fraction(lower, upper, buckets) = share(upper) −
     * share(lower) (transform.go:753).
     */
   def fraction(buckets: DataFrame, groupKeys: Seq[String],
-      lowerLe: Double, upperLe: Double): DataFrame =
+      lowerLe: Column, upperLe: Column): DataFrame =
     buckets
       .groupBy((groupKeys :+ "t").map(col): _*)
-      .agg(sortedArr.as("_b"))
-      .withColumn("value", fractionUdf(lowerLe, upperLe)(col("_b")))
-      .drop("_b")
+      .agg(sortedArr.as("_b"), first(lowerLe).as("_lo"), first(upperLe).as("_hi"))
+      .withColumn("value", fractionUdf(col("_b"), col("_lo"), col("_hi")))
+      .drop("_b", "_lo", "_hi")
       .filter(col("value").isNotNull)
 
+  def fraction(buckets: DataFrame, groupKeys: Seq[String],
+      lowerLe: Double, upperLe: Double): DataFrame =
+    fraction(buckets, groupKeys, lit(lowerLe), lit(upperLe))
+
   private def bounded(buckets: DataFrame, groupKeys: Seq[String],
-      k: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame =
+      phi: Column, k: Column): DataFrame =
     buckets
       .groupBy((groupKeys :+ "t").map(col): _*)
-      .agg(sortedArr.as("_b"))
-      .withColumn("_q", k(col("_b")))
+      .agg(sortedArr.as("_b"), first(phi).as("_phi"))
+      .withColumn("_q", k)
       .filter(col("_q").isNotNull)
       .select((groupKeys :+ "t").map(col) ++ Seq(
         col("_q").getField("_1").as("value"),
@@ -229,7 +246,7 @@ object HistogramQ {
       .agg(sortedArr.as("_b"))
     val qs = phis.zipWithIndex.map { case (p, i) =>
       base.withColumn("phi", lit(p.toString))
-        .withColumn("value", hqUdf(p)(col("_b")).getField("_1"))
+        .withColumn("value", hqUdf(col("_b"), lit(p)).getField("_1"))
     }
     qs.reduce(_ unionByName _)
       .drop("_b")

@@ -433,6 +433,23 @@ object Kernels {
     element_at(arr, -1).getField("v") - element_at(arr, 1).getField("v")
   }
 
+  /** strictly-in-window Prometheus delta: last - first, NaN on fewer than
+    * two samples (rollup.go:1924 rollupDeltaPrometheus).
+    */
+  val deltaPrometheus: Kernel = OverArray { arr =>
+    when(size(arr) >= 2,
+      element_at(arr, -1).getField("v") - element_at(arr, 1).getField("v"))
+  }
+
+  /** reset-corrected in-window increase with the same two-sample minimum
+    * (rollup.go:1924 after removeCounterResets).
+    */
+  val increasePrometheus: Kernel = OverArray { arr =>
+    when(size(arr) >= 2,
+      fold(diffs(arr), (acc, d) =>
+        acc + when(d.getField("dv") >= 0, d.getField("dv")).otherwise(d.getField("bv"))))
+  }
+
   /** last - second-to-last — rollup.go:1934 rollupIdelta */
   val idelta: Kernel = OverArray { arr =>
     when(size(arr) >= 2,
@@ -518,6 +535,29 @@ object Kernels {
       acc + d.getField("av") * d.getField("dtms").cast(D) / 1000.0)
   }
 
+  /** reference-exact integrate (rollup.go:2417): the area starts at the
+    * WINDOW START carried at the prev sample's value (when one exists),
+    * and extends to the window end only when the series has a sample
+    * after it (realNextValue, reference issue #9474). Resolves the
+    * window-start column from the enclosing frame's `t`.
+    */
+  val integratePrev: Kernel = OverArrayPrev({ (arr, win, _) =>
+    val first = element_at(arr, 1)
+    val last = element_at(arr, -1)
+    val wStart = col("t") - win
+    val main = fold(diffs(arr), (acc, d) =>
+      acc + d.getField("av") * d.getField("dtms").cast(D) / 1000.0)
+    val prevOk = first.getField("pv").isNotNull && !isnan(first.getField("pv"))
+    val head = when(prevOk,
+      first.getField("pv") * (first.getField("ts") - wStart).cast(D) / 1000.0)
+      .otherwise(0.0)
+    val nextOk = last.getField("nv").isNotNull && !isnan(last.getField("nv"))
+    val tail = when(nextOk,
+      last.getField("v") * (col("t") - last.getField("ts")).cast(D) / 1000.0)
+      .otherwise(0.0)
+    main + head + tail
+  }, edgeOnly = false)
+
   /** sum of inter-sample gaps ≤ maxGapSec — rollup.go:1151 duration_over_time */
   def durationOverTime(maxGapSec: Double): Kernel = OverArray { arr =>
     fold(diffs(arr), (acc, d) => {
@@ -563,29 +603,41 @@ object Kernels {
     */
   val staleSamples: Kernel = condSum(when(isnan(v), 1.0).otherwise(0.0))
 
-  /** Holt-Winters double exponential smoothing over the window's samples
-    * (rollup.go:1030 rollupHoltWinters): s_i = sf·v_i + (1-sf)(s_{i-1} +
-    * b_{i-1}); b_i = tf·(s_i - s_{i-1}) + (1-tf)·b_{i-1}; returns the last
-    * smoothed value. Exact recursion as an ordered-array fold.
+  /** Holt-Winters double exponential smoothing, reference-exact
+    * (rollup.go:1030 rollupHoltWinters): s0 seeds from the pre-window
+    * sample when eligible, else consumes the window's first value (a
+    * single-value unseeded window returns that value); b0 = first looped
+    * value − s0, so the first unseeded smoothing step is exactly v; then
+    * s1 = sf·v + (1−sf)(s0+b0), b1 = tf·(s1−s0) + (1−tf)·b0 in the
+    * reference's float-op order. sf/tf outside [0,1] → NaN.
     */
-  def holtWinters(sf: Double, tf: Double): Kernel = OverArray { arr =>
-    val vs = tsVals(arr)
-    val st = aggregate(
-      vs,
-      struct(lit(Double.NaN).as("s"), lit(Double.NaN).as("b"), lit(0).as("i")),
-      (acc, x) => {
-        val i = acc.getField("i")
-        val s0 = acc.getField("s")
-        val b0 = acc.getField("b")
-        val s1 = when(i === 0, x)
-          .otherwise(lit(sf) * x + lit(1 - sf) * (s0 + when(isnan(b0), 0.0).otherwise(b0)))
-        val b1 = when(i === 0, lit(Double.NaN))
-          .when(i === 1, s1 - s0)
-          .otherwise(lit(tf) * (s1 - s0) + lit(1 - tf) * b0)
-        struct(s1.as("s"), b1.as("b"), (i + 1).as("i"))
-      })
-    when(size(vs) >= 2, st.getField("s"))
-  }
+  def holtWinters(sf: Double, tf: Double): Kernel = OverArrayPrev({ (arr, win, mpi) =>
+    if (sf < 0 || sf > 1 || tf < 0 || tf > 1) lit(Double.NaN)
+    else {
+      val f = firstE(arr)
+      val pts = f.getField("pts")
+      val tStart = col("t") - win
+      val prevOk = pts.isNotNull && pts > tStart - mpi
+      val seed = when(prevOk, f.getField("pv")).otherwise(lit(Double.NaN))
+      val st = aggregate(
+        arr,
+        struct(seed.as("s"), lit(Double.NaN).as("b")),
+        (acc, e) => {
+          val x = e.getField("v")
+          val s0 = acc.getField("s")
+          val b0raw = acc.getField("b")
+          // seed-consume step: no prev and no state yet
+          val consume = isnan(s0) && isnan(b0raw)
+          val b0 = when(isnan(b0raw), x - s0).otherwise(b0raw)
+          val s1 = lit(sf) * x + lit(1 - sf) * (s0 + b0)
+          val b1 = lit(tf) * (s1 - s0) + lit(1 - tf) * b0
+          struct(
+            when(consume, x).otherwise(s1).as("s"),
+            when(consume, lit(Double.NaN)).otherwise(b1).as("b"))
+        })
+      when(size(arr) >= 1, st.getField("s"))
+    }
+  })
 
   /** most frequent value; smallest wins ties (reference iterates ascending
     * keeping strict improvements — rollup.go:2301 rollupModeOverTime).

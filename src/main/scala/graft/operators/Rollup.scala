@@ -130,12 +130,22 @@ object Rollup {
           .otherwise(lit(0.0)))
       .withColumn("_cv", col("value") + sum(col("_corrStep")).over(cum))
       .drop("_corrStep")
+    // scrape interval: 0.6-quantile of the LAST 20 inter-sample gaps (not
+    // all in-range gaps), truncated to whole ms, non-positive → step —
+    // rollup.go:871-897 getScrapeInterval exactly (r3/r4 deviation closed)
+    val swd = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("ts").desc, col("value").desc)
     val withC = pre
       .withColumn("_cpv", lag(col("_cv"), 1).over(sw))
       .withColumn("_cnv", lead(col("_cv"), 1).over(sw))
+      .withColumn("_gapRn", row_number().over(swd))
+      .withColumn("_siq",
+        floor(percentile(when(col("_gapRn") <= 20, col("ts") - col("_pts")),
+          lit(0.6)).over(sp)))
       .withColumn("_si",
-        coalesce(percentile(col("ts") - col("_pts"), lit(0.6)).over(sp),
+        coalesce(when(col("_siq") > 0, col("_siq").cast(DoubleType)),
           lit(grid.stepMs.toDouble)))
+      .drop("_gapRn", "_siq")
     val si = col("_si")
     val mpiRaw =
       when(si <= 2000, si * 5).when(si <= 4000, si * 3).when(si <= 8000, si * 2)
@@ -457,7 +467,9 @@ object Rollup {
       .agg(lit(1.0).as("value"))
 
   def absentOverTime(samples: DataFrame, grid: GridSpec, windowMs: Long): DataFrame = {
-    val present = Grid.bucketize(samples, grid, windowMs).select("t").distinct()
+    // NaN samples are absent (absent_over_time(nan[w:s]) == 1)
+    val present = Grid.bucketize(samples.filter(!isnan(col("value"))), grid, windowMs)
+      .select("t").distinct()
     Grid.gridDf(samples, grid)
       .join(present, Seq("t"), "left_anti")
       .withColumn("value", lit(1.0))

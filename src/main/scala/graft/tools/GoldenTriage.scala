@@ -934,7 +934,7 @@ object GoldenTriage {
   private def entries5: Seq[E] = Seq(
     E("ifnot", "time() ifnot time() > 1400", Seq(R(null, null, Seq(1000, 1200, 1400, n, n, n)))),
     E("ifnot-no-matching-timeseries", """label_set(time(), "foo", "bar") ifnot label_set(time() > 1400, "x", "y")""", Seq(R(null, Map("foo" -> "bar"), Seq(1000, 1200, 1400, 1600, 1800, 2000)))),
-    E("quantile(-2)", """quantile(-2, label_set(10, "foo", "bar") or label_set(time()/150, "baz", "sss"))""", Seq(R(null, null, Seq(inf, inf, inf, inf, inf, inf)))),
+    E("quantile(-2)", """quantile(-2, label_set(10, "foo", "bar") or label_set(time()/150, "baz", "sss"))""", Seq(R(null, null, Seq(-inf, -inf, -inf, -inf, -inf, -inf)))),
     E("quantile(0.2)", """quantile(0.2, label_set(10, "foo", "bar") or label_set(time()/150, "baz", "sss"))""", Seq(R(null, null, Seq(7.333333333333334, 8.4, 9.466666666666669, 10.133333333333333, 10.4, 10.666666666666668)))),
     E("quantile(0.5)", """quantile(0.5, label_set(10, "foo", "bar") or label_set(time()/150, "baz", "sss"))""", Seq(R(null, null, Seq(8.333333333333334, 9, 9.666666666666668, 10.333333333333332, 11, 11.666666666666668)))),
     E("quantiles(\"phi\", 0.2, 0.5)", """sort(quantiles("phi", 0.2, 0.5, label_set(10, "foo", "bar") or label_set(time()/150, "baz", "sss")))""", Seq(R(null, Map("phi" -> "0.2"), Seq(7.333333333333334, 8.4, 9.466666666666669, 10.133333333333333, 10.4, 10.666666666666668)), R(null, Map("phi" -> "0.5"), Seq(8.333333333333334, 9, 9.666666666666668, 10.333333333333332, 11, 11.666666666666668)))),
@@ -1235,7 +1235,8 @@ object GoldenTriage {
             if (ev.isNaN) None
             else {
               val avail = byT.getOrElse(t, scala.collection.mutable.ArrayBuffer.empty)
-              val i = avail.indexWhere(gv => math.abs(ev - gv) <= math.abs(ev) * 1e-9 + 1e-9)
+              val i = avail.indexWhere(gv =>
+                ev == gv || math.abs(ev - gv) <= math.abs(ev) * 1e-9 + 1e-9)
               if (i < 0) return false
               Some((t, i))
             }

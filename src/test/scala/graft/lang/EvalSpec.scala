@@ -198,17 +198,22 @@ class EvalSpec extends SparkSpec {
   }
 
   test("running / range transforms") {
+    // running_*/range_* reset the metric group unconditionally
+    // (transform.go:1325 newTransformFuncRunning / :1353 range)
     val r = run("running_sum(avg_over_time(m[1m]))")
-    assert(r(("m|a", 3 * M)) == 6.0)
+    assert(r(("|a", 3 * M)) == 6.0)
     val rng = run("range_max(avg_over_time(m[1m]))")
-    assert(rng(("m|a", M)) == 10.0)
+    assert(rng(("|a", M)) == 10.0)
   }
 
   test("keep_last_value / interpolate fill grid gaps") {
     val k = run("keep_last_value(avg_over_time(n[1m]))")
     assert(k(("n|a", 9 * M)) == 100.0) // carried beyond minute 5
+    // interpolate fills INTERIOR gaps only — leading/trailing NaNs are
+    // skipped, not extended (transform.go:1285 skipLeading/TrailingNaNs)
     val i = run("interpolate(avg_over_time(n[1m]))")
-    assert(i(("n|a", 8 * M)) == 100.0)
+    assert(i(("n|a", 5 * M)) == 100.0)
+    assert(!i.contains(("n|a", 8 * M)))
   }
 
   test("scalar() and time() match any series per timestamp in binops") {
@@ -404,16 +409,20 @@ class EvalSpec extends SparkSpec {
       """label_graphite_group({__graphite__="foo.*.req"}, 0, 1)""", GridSpec(M, M, M))
     assert(grp.select("name").collect().map(_.getString(0)).toSet ==
       Set("foo.web", "foo.db"))
-    // limit modifier bounds output series PER GROUP: by(inst) groups each
-    // series alone, so limit 1 keeps both…
+    // limit modifier caps the number of output GROUPS, first-seen wins
+    // (aggr.go:139 aggrPrepareSeries: new groups are skipped once len(m)
+    // reaches the limit) — by(inst) makes two groups, limit 1 keeps one
     val lim = Engine.query(samples, "sum(avg_over_time(m[1m])) by (inst) limit 1", grid)
-    assert(lim.select(col("tags").getItem("inst")).distinct().count() == 2)
-    // …while a fan-out aggregate in ONE group is capped
+    assert(lim.select(col("tags").getItem("inst")).distinct().count() == 1)
+    // …and limit bounds INPUT groups, never a fan-out's outputs: with no
+    // `by` there is a single group, so count_values still emits every
+    // distinct value (aggr.go:631 passes Limit to aggrPrepareSeries only)
     val noLim = Engine.query(samples, """count_values("v", ceil(avg_over_time(m[1m])))""", grid)
-    assert(noLim.select(col("tags").getItem("v")).distinct().count() > 3)
+    val noLimCnt = noLim.select(col("tags").getItem("v")).distinct().count()
+    assert(noLimCnt > 3)
     val capped = Engine.query(samples,
       """count_values("v", ceil(avg_over_time(m[1m]))) limit 3""", grid)
-    assert(capped.select(col("tags").getItem("v")).distinct().count() == 3)
+    assert(capped.select(col("tags").getItem("v")).distinct().count() == noLimCnt)
   }
 
   test("buckets_limit merges low-hit buckets, keeping ends") {

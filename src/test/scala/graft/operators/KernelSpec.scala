@@ -86,14 +86,17 @@ class KernelSpec extends SparkSpec {
   }
 
   test("holt_winters follows the double-smoothing recursion") {
-    // hand-computed, sf=0.5 tf=0.5, values 10, 20, 30:
-    // s1=10; s2=.5·20+.5·(10+b?)=…; b init = s2-s1
-    // i=1: s=10, b=NaN→0 treated; i=2: s=.5·20+.5·(10+0)=15, b=s2-s1=5
-    // i=3: s=.5·30+.5·(15+5)=25, b=.5·(25-15)+.5·5=7.5 → last s = 25
+    // reference recursion (rollup.go:1030), sf=0.5 tf=0.5, values 10,20,30,
+    // no pre-window sample: s0=10 consumed, b0=values[0]-s0=10;
+    // v=20: s=.5·20+.5·(10+10)=20, b=.5·(20-10)+.5·10=10;
+    // v=30: s=.5·30+.5·(20+10)=30 → last s = 30
     assert(run(Kernels.holtWinters(0.5, 0.5),
-      (1000L, 10.0), (3000L, 20.0), (5000L, 30.0)) === Some(25.0))
-    // fewer than 2 samples → null
-    assert(run(Kernels.holtWinters(0.5, 0.5), (1000L, 10.0)).isEmpty)
+      (1000L, 10.0), (3000L, 20.0), (5000L, 30.0)) === Some(30.0))
+    // single unseeded sample → consumed as s0 and returned (not NaN)
+    assert(run(Kernels.holtWinters(0.5, 0.5), (1000L, 10.0)) === Some(10.0))
+    // sf outside [0,1] → NaN
+    assert(run(Kernels.holtWinters(1.5, 0.5),
+      (1000L, 10.0), (3000L, 20.0)).exists(_.isNaN))
   }
 
   test("stale_samples counts NaN markers only") {
