@@ -133,5 +133,192 @@ object Engine {
   def clearCache(): Unit = cache.synchronized {
     cache.values().forEach(_.persisted.foreach(_.unpersist()))
     cache.clear()
+    instantCache.synchronized {
+      instantCache.values().forEach(_.persisted.foreach(_.unpersist()))
+      instantCache.clear()
+    }
+    instantStats = InstantStats(0, 0, 0, 0)
+  }
+
+  // ------------------------------------------------------------------
+  // O7-lite: instant-rollup delta (eval.go:1176-1535 evalInstantRollup).
+  //
+  // A dashboard's instant query `fn(m[big])` repeats with the timestamp
+  // advanced by a small offset. Instead of re-scanning the whole window:
+  //
+  //   additive fn (sum/count/increase family, eval.go:1473):
+  //     fn(m[w] @ t) = fn(m[w] @ t-off) [cached]
+  //                  + fn(m[off] @ t)        [tail delta]
+  //                  - fn(m[off] @ t-w)      [head delta]
+  //   max/min (eval.go:1352,1409): candidate = f(cached, tail); valid only
+  //     when the head window's extremum cannot have been the winner —
+  //     otherwise fall back to a full evaluation (per-series check).
+  //   avg_over_time (eval.go:1270): rewritten sum/count, each delta-cached.
+  //
+  // Both delta windows span `off` ≪ `w` milliseconds, so the storage scan
+  // is bounded by the refresh interval, not the window — at 100 TB this is
+  // the difference between scanning minutes and scanning a day per refresh.
+  // Like the reference, a delta hit does NOT overwrite the cache entry:
+  // offsets grow until tooBigOffset (≥ min(w/2, 30min), eval.go:1197)
+  // forces a fresh full evaluation, so float error cannot chain across
+  // refreshes.
+  // ------------------------------------------------------------------
+
+  private final case class InstantEntry(tsMs: Long, windowMs: Long, df: DataFrame,
+      persisted: Seq[DataFrame])
+
+  private val instantCache = new java.util.LinkedHashMap[(String, String, Long), InstantEntry](
+    16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, String, Long), InstantEntry]): Boolean =
+      if (size() > 64) { e.getValue.persisted.foreach(_.unpersist()); true } else false
+  }
+
+  final case class InstantStats(exactHits: Long, deltaHits: Long, misses: Long, aborts: Long)
+  @volatile private var instantStats = InstantStats(0, 0, 0, 0)
+  def instantCacheStats: InstantStats = instantStats
+
+  /** additive instant rollups: rf(a+b windows) = rf(a) + rf(b) (eval.go:1466) */
+  private val additiveInstantFns = Set(
+    "count_over_time", "sum_over_time", "increase", "increase_pure",
+    "count_eq_over_time", "count_gt_over_time", "count_le_over_time", "count_ne_over_time")
+
+  /** reference default -search.minWindowForInstantRollupOptimization = 3h */
+  val DefaultInstantMinWindowMs: Long = 3L * 3600 * 1000
+
+  /** Instant-query entry point with the O7 delta optimization. Supports the
+    * bare shapes `fn(m[w])` and `avg_over_time(m[w])`; anything else (or a
+    * window below `minWindowMs`, or a non-instant grid) falls through to
+    * [[query]].
+    */
+  def queryInstantCached(
+      samples: DataFrame,
+      q: String,
+      grid: GridSpec,
+      lookbackMs: Long = 300000L,
+      minWindowMs: Long = DefaultInstantMinWindowMs): DataFrame = {
+    import org.apache.spark.sql.functions._
+    if (grid.startMs != grid.endMs) return query(samples, q, grid, lookbackMs)
+    val ast = try Parser.parse(q) catch { case _: Exception => return query(samples, q, grid, lookbackMs) }
+    ast match {
+      case FuncExpr("avg_over_time", Seq(re @ RollupExpr(_: MetricExpr, Some(_), None, None, None, _, _)), keep) =>
+        // avg = sum/count, each side delta-cached (eval.go:1270)
+        val sumDf = queryInstantCached(samples, s"sum|$q", grid, lookbackMs, minWindowMs,
+          Some(FuncExpr("sum_over_time", Seq(re), keep)))
+        val cntDf = queryInstantCached(samples, s"count|$q", grid, lookbackMs, minWindowMs,
+          Some(FuncExpr("count_over_time", Seq(re), keep)))
+        val k = instantKeyCol _
+        sumDf.select(k(sumDf).as("_k"), col("name"), col("tags"), col("t"), col("value").as("_s"))
+          .join(cntDf.select(k(cntDf).as("_k"), col("value").as("_c")), Seq("_k"), "inner")
+          .select(col("name"), col("tags"), col("t"), (col("_s") / col("_c")).as("value"))
+      case fe @ FuncExpr(fn, Seq(RollupExpr(_: MetricExpr, Some(_), None, None, None, _, _)), _)
+          if additiveInstantFns(fn) || fn == "max_over_time" || fn == "min_over_time" =>
+        queryInstantCached(samples, q, grid, lookbackMs, minWindowMs, Some(fe))
+      case _ => query(samples, q, grid, lookbackMs)
+    }
+  }
+
+  /** canonical joinable series key: maps aren't join keys, so use the
+    * sorted entry list (deterministic, orderable)
+    */
+  private def instantKeyCol(df: DataFrame): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    struct(coalesce(df("name"), lit("")),
+      sort_array(map_entries(coalesce(df("tags"), map()))))
+  }
+
+  private def queryInstantCached(
+      samples: DataFrame,
+      cacheQ: String,
+      grid: GridSpec,
+      lookbackMs: Long,
+      minWindowMs: Long,
+      feOpt: Option[FuncExpr]): DataFrame = instantCache.synchronized {
+    import org.apache.spark.sql.functions._
+    val fe = feOpt.get
+    val fn = fe.name
+    val re = fe.args.head.asInstanceOf[RollupExpr]
+    val tMs = grid.startMs
+    val windowMs = re.window.get.ms(grid.stepMs)
+    def evalAt(ts: Long, winMs: Long): DataFrame = {
+      val ast2 = fe.copy(args = Seq(re.copy(window = Some(graft.lang.Dur(winMs + "ms")))))
+      Eval.eval(samples, ast2, Eval.EvalConfig(GridSpec(ts, ts, grid.stepMs), lookbackMs))
+    }
+    def fullAndCache(key: (String, String, Long)): DataFrame = {
+      val df = evalAt(tMs, windowMs).persist()
+      instantStats = instantStats.copy(misses = instantStats.misses + 1)
+      Option(instantCache.put(key, InstantEntry(tMs, windowMs, df, Seq(df))))
+        .foreach(_.persisted.foreach(_.unpersist()))
+      df
+    }
+    if (windowMs < minWindowMs) return evalAt(tMs, windowMs)
+    val planKey = samples.queryExecution.logical.canonicalized.toString
+    val key = (planKey, cacheQ, lookbackMs)
+    Option(instantCache.get(key)) match {
+      case None => fullAndCache(key)
+      case Some(e) if e.windowMs != windowMs => fullAndCache(key)
+      case Some(e) =>
+        val offset = tMs - e.tsMs
+        val tooBig = offset >= math.min(windowMs / 2, 1800000L)
+        if (offset == 0) {
+          instantStats = instantStats.copy(exactHits = instantStats.exactHits + 1)
+          e.df
+        } else if (offset < 0 || tooBig) {
+          fullAndCache(key)
+        } else {
+          // tail delta at t, head delta at t-window, both over [offset] ms
+          val tail = evalAt(tMs, offset)
+          val head = evalAt(tMs - windowMs, offset)
+          val c = e.df.select(instantKeyCol(e.df).as("_k"),
+            col("name"), col("tags"), col("value").as("_vc"))
+          val s = tail.select(instantKeyCol(tail).as("_k"),
+            col("name").as("_ns"), col("tags").as("_ts"), col("value").as("_vs"))
+          val hd = head.select(instantKeyCol(head).as("_k"), col("value").as("_ve"))
+          val cs = c.join(s, Seq("_k"), "full_outer").join(hd, Seq("_k"), "left_outer")
+          val merged =
+            if (additiveInstantFns(fn)) {
+              // cached + tail − head; a key absent from cached starts from
+              // the tail value; head-only keys contribute nothing
+              // (getSumInstantValues, eval.go:1630-1680)
+              val base = when(col("_vc").isNotNull, col("_vc") + coalesce(col("_vs"), lit(0.0)))
+                .otherwise(col("_vs"))
+              val v = when(base.isNotNull && col("_ve").isNotNull, base - col("_ve"))
+                .otherwise(base)
+              cs.select(coalesce(col("name"), col("_ns")).as("name"),
+                coalesce(col("tags"), col("_ts")).as("tags"),
+                lit(tMs).as("t"), v.as("value")).filter(col("value").isNotNull)
+            } else {
+              val isMax = fn == "max_over_time"
+              def better(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+                if (isMax) greatest(a, b) else least(a, b)
+              val v0 = when(col("_vc").isNull, col("_vs"))
+                .when(col("_vs").isNull, col("_vc"))
+                .otherwise(better(col("_vc"), col("_vs")))
+              // the head extremum may only have been the winner if the tail
+              // re-attains it (getMinMaxInstantValues, eval.go:1596-1612).
+              // Equality counts: a head value EQUAL to the cached extremum
+              // may be the sample that produced it, about to leave.
+              val headWins = col("_ve").isNotNull && v0.isNotNull &&
+                (if (isMax) col("_ve") >= v0 else col("_ve") <= v0)
+              val tailCovers = col("_vs").isNotNull &&
+                (if (isMax) col("_vs") >= col("_ve") else col("_vs") <= col("_ve"))
+              val flagged = cs.select(coalesce(col("name"), col("_ns")).as("name"),
+                coalesce(col("tags"), col("_ts")).as("tags"),
+                lit(tMs).as("t"), v0.as("value"),
+                (headWins && !tailCovers).as("_bad"))
+              // the validity probe re-reads only the two delta windows plus
+              // the persisted cached frame — still bounded by the offset
+              val aborted = flagged.filter(col("_bad")).limit(1).count() > 0
+              if (aborted) {
+                instantStats = instantStats.copy(aborts = instantStats.aborts + 1)
+                instantCache.remove(key).persisted.foreach(_.unpersist())
+                return fullAndCache(key)
+              }
+              flagged.filter(col("value").isNotNull).drop("_bad")
+            }
+          instantStats = instantStats.copy(deltaHits = instantStats.deltaHits + 1)
+          merged
+        }
+    }
   }
 }

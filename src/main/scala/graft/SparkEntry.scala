@@ -129,11 +129,14 @@ object SparkEntry {
     Q("ro_zscore", roH(Kernels.zscore),
       Some(sqlH("CASE WHEN stddev_pop(value) > 0 THEN " +
         "(last(value ORDER BY tms, value) - avg(value))/stddev_pop(value) ELSE 0.0 END"))),
+    // single-sample / degenerate windows yield slope 0 (linearRegression's
+    // areConstValues + tDiff clamp, rollup.go:1099), not an absent point
     Q("ro_deriv", roH(Kernels.deriv),
-      Some(sqlH("CASE WHEN count(value) > 1 THEN regr_slope(value, (tms - t)/1000.0) END"))),
+      Some(sqlH("coalesce(CASE WHEN count(value) > 1 " +
+        "THEN regr_slope(value, (tms - t)/1000.0) END, 0.0)"))),
     Q("ro_predict_linear", roH(Kernels.predictLinear(3600)),
-      Some(sqlH("CASE WHEN count(value) > 1 THEN regr_intercept(value, (tms - t)/1000.0) " +
-        "+ regr_slope(value, (tms - t)/1000.0) * 3600 END"))),
+      Some(sqlH("coalesce(CASE WHEN count(value) > 1 THEN regr_intercept(value, (tms - t)/1000.0) " +
+        "+ regr_slope(value, (tms - t)/1000.0) * 3600 END, avg(value))"))),
     Q("ro_hoeffding_upper", roH(Kernels.hoeffdingUpper(0.9)),
       Some(sqlH("avg(value) + (max(value)-min(value)) * sqrt(ln(1.0/(1-0.9))/(2*count(value)))"))),
     Q("ro_outlier_iqr", roH(Kernels.outlierIqr),
@@ -264,10 +267,11 @@ object SparkEntry {
       eng("increase(click[12h])", GridSpec(START, START + 7 * D, 60000L)) { df =>
         df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
       },
-      Some(s"WITH ${prevRangeCtes(60000L, 12 * H, START, START + 7 * D)} " +
+      Some(s"WITH ${prevRangeCtes(60000L, 12 * H, START, START + 7 * D)}, " +
+        s"${fillZeroCte(60000L, s"${12 * H}", START, START + 7 * D)} " +
         s"SELECT user_id::BIGINT AS user_id, t, " +
         s"round(1e-9 + ${deltaChainSql(12 * H, corrected = true)}, 6) AS value " +
-        "FROM f ORDER BY user_id, t")),
+        s"FROM f $fillZeroArm ORDER BY user_id, t")),
     Q("ro_sliding_increase", roHW(Kernels.increase, 6 * H), Some(
       s"WITH g AS (SELECT unnest(generate_series($START, $END, $H)) AS t), " +
         "b AS (SELECT event_type AS name, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
@@ -1370,6 +1374,27 @@ object SparkEntry {
       "list(value ORDER BY tms, value) AS vs, list(cv ORDER BY tms, value) AS cvs, " +
       "list(tms ORDER BY tms, value) AS tss"
 
+  /** empty-window zero-fill rows for the delta/rate/changes family
+    * (rollup.go per-kernel `len(values)==0 && !IsNaN(prevValue)` → 0; the
+    * oracle mirror of Rollup.zeroFillEmptyWindows): grid points with no
+    * sample in (t-win, t], a prev sample within (t-win-mpi, t-win], and a
+    * later in-range sample (`i < len(timestamps)`, rollup.go:780).
+    * `winSql` may reference m.mpi (auto-adjusted windows).
+    */
+  private def fillZeroCte(gridStep: Long, winSql: String,
+      gridStart: Long = START, gridEnd: Long = END): String =
+    s"fz AS (SELECT m.user_id, gg.t FROM m " +
+      s"CROSS JOIN (SELECT unnest(generate_series($gridStart, $gridEnd, $gridStep)) AS t) gg " +
+      s"WHERE NOT EXISTS (SELECT 1 FROM l3 s WHERE s.user_id = m.user_id " +
+      s"AND s.tms > gg.t - ($winSql) AND s.tms <= gg.t) " +
+      s"AND EXISTS (SELECT 1 FROM l3 p WHERE p.user_id = m.user_id " +
+      s"AND p.tms <= gg.t - ($winSql) AND p.tms > gg.t - ($winSql) - m.mpi) " +
+      s"AND EXISTS (SELECT 1 FROM l3 x WHERE x.user_id = m.user_id AND x.tms > gg.t - ($winSql)))"
+
+  /** zero-fill union arm shared by the counter-family oracles */
+  private def fillZeroArm: String =
+    " UNION ALL SELECT user_id::BIGINT AS user_id, t, 0.0::DOUBLE AS value FROM fz "
+
   private def prevCtes(step: Long, nameFilter: String = "click"): String =
     s"${prevSeriesCtes(step, nameFilter)}, " +
       s"g AS (SELECT user_id, ((tms + ${step - 1}) // $step) * $step AS t, $prevGroupAggs " +
@@ -1445,14 +1470,14 @@ object SparkEntry {
       "FROM j GROUP BY name, user_id, t ORDER BY user_id, t")),
     Q("eval_rate", eng("rate(click[1d])", gridD) { df =>
       df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
-    }, Some(s"WITH ${prevCtes(D)} " +
+    }, Some(s"WITH ${prevCtes(D)}, ${fillZeroCte(D, s"$D")} " +
       s"SELECT user_id::BIGINT AS user_id, t, round(1e-9 + $rateChainSql, 6) AS value " +
-      s"FROM f WHERE $rateChainSql IS NOT NULL ORDER BY user_id, t")),
+      s"FROM f WHERE $rateChainSql IS NOT NULL $fillZeroArm ORDER BY user_id, t")),
     Q("eval_sum_rate_by", eng("sum(rate(click[1d])) by (user_id)", gridD) { df =>
       df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
-    }, Some(s"WITH ${prevCtes(D)} " +
+    }, Some(s"WITH ${prevCtes(D)}, ${fillZeroCte(D, s"$D")} " +
       s"SELECT user_id::BIGINT AS user_id, t, round(1e-9 + $rateChainSql, 6) AS value " +
-      s"FROM f WHERE $rateChainSql IS NOT NULL ORDER BY user_id, t")),
+      s"FROM f WHERE $rateChainSql IS NOT NULL $fillZeroArm ORDER BY user_id, t")),
     Q("eval_sum", eng("sum(avg_over_time(click[1h]))") { df =>
       df.select(col("t"), r4(col("value")).as("value")).orderBy("t")
     }, Some(s"WITH b AS ($BH), a AS (SELECT user_id, t, avg(value) AS v FROM b " +
@@ -1619,17 +1644,17 @@ object SparkEntry {
       "WHERE name = 'click' GROUP BY uid, t ORDER BY uid, t")),
     Q("eval_increase", eng("increase(click[1d])", gridD) { df =>
       df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
-    }, Some(s"WITH ${prevCtes(D)} " +
+    }, Some(s"WITH ${prevCtes(D)}, ${fillZeroCte(D, s"$D")} " +
       s"SELECT user_id::BIGINT AS user_id, t, round(1e-9 + ${deltaChainSql(D, corrected = true)}, 6) AS value " +
-      "FROM f ORDER BY user_id, t")),
+      s"FROM f $fillZeroArm ORDER BY user_id, t")),
     Q("eval_delta", eng("delta(click[1d])", gridD) { df =>
       df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
-    }, Some(s"WITH ${prevCtes(D)} " +
+    }, Some(s"WITH ${prevCtes(D)}, ${fillZeroCte(D, s"$D")} " +
       s"SELECT user_id::BIGINT AS user_id, t, round(1e-9 + ${deltaChainSql(D, corrected = false)}, 6) AS value " +
-      "FROM f ORDER BY user_id, t")),
+      s"FROM f $fillZeroArm ORDER BY user_id, t")),
     Q("eval_changes", eng("changes(click[1d])", gridD) { df =>
       df.select(uid, col("t"), col("value")).orderBy("user_id", "t")
-    }, Some(s"WITH ${prevCtes(D)}, " +
+    }, Some(s"WITH ${prevCtes(D)}, ${fillZeroCte(D, s"$D")}, " +
       s"cw AS (SELECT user_id, ((tms + ${D - 1}) // $D) * $D AS t, " +
       "sum(CASE WHEN pv IS NOT NULL AND value != pv THEN 1 ELSE 0 END) AS sumall " +
       "FROM l3 GROUP BY user_id, t) " +
@@ -1637,7 +1662,7 @@ object SparkEntry {
       "WHEN fpts IS NULL THEN 1 + sumall " +
       s"WHEN fpts > f.t - $D - mpi OR fts - fpts < ${2 * H} THEN sumall " +
       "ELSE 1 + sumall - (CASE WHEN v0 != fpv THEN 1 ELSE 0 END) END)::DOUBLE AS value " +
-      "FROM f JOIN cw ON f.user_id = cw.user_id AND f.t = cw.t ORDER BY user_id, t")),
+      s"FROM f JOIN cw ON f.user_id = cw.user_id AND f.t = cw.t $fillZeroArm ORDER BY user_id, t")),
     Q("eval_irate", eng("irate(click[1d])", gridD) { df =>
       df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
     }, Some(s"WITH ${prevCtes(D)}, " +
@@ -1650,7 +1675,7 @@ object SparkEntry {
       "WHERE v IS NOT NULL ORDER BY user_id, t")),
     Q("eval_resets", eng("resets(click[1d])", gridD) { df =>
       df.select(uid, col("t"), col("value")).orderBy("user_id", "t")
-    }, Some(s"WITH ${prevCtes(D)}, " +
+    }, Some(s"WITH ${prevCtes(D)}, ${fillZeroCte(D, s"$D")}, " +
       s"cw AS (SELECT user_id, ((tms + ${D - 1}) // $D) * $D AS t, " +
       "sum(CASE WHEN pv IS NOT NULL AND value < pv THEN 1 ELSE 0 END) AS decall " +
       "FROM l3 GROUP BY user_id, t) " +
@@ -1658,7 +1683,7 @@ object SparkEntry {
       "WHEN fpts IS NULL THEN decall " +
       s"WHEN fpts > f.t - $D - mpi THEN decall " +
       "ELSE decall - (CASE WHEN v0 < fpv THEN 1 ELSE 0 END) END)::DOUBLE AS value " +
-      "FROM f JOIN cw ON f.user_id = cw.user_id AND f.t = cw.t ORDER BY user_id, t")),
+      s"FROM f JOIN cw ON f.user_id = cw.user_id AND f.t = cw.t $fillZeroArm ORDER BY user_id, t")),
     // running_* operate on the DENSE grid: after a series' first sample,
     // every grid point emits the running value, gaps carrying it forward
     // (transform.go:1325 — NaN positions get prevValue)
@@ -1742,6 +1767,7 @@ object SparkEntry {
     Q("eval_rate_auto", eng("rate(purchase)") { df =>
       df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
     }, Some(s"WITH ${prevCtes(H, "purchase")}, " +
+      s"${fillZeroCte(H, s"greatest($H, m.mpi)")}, " +
       s"w AS (SELECT user_id, greatest($H, mpi) AS win FROM m), " +
       s"gr AS (SELECT unnest(generate_series($START, $END, $H)) AS gt), " +
       "j AS (SELECT l3.user_id, gt, tms, value, pts, cv, cpv FROM gr " +
@@ -1758,7 +1784,7 @@ object SparkEntry {
       "THEN (cvl - fcpv) / ((lts - fpts) / 1000.0) " +
       "WHEN n >= 2 THEN (cvl - cv0) / ((lts - fts) / 1000.0) END AS v FROM ff) " +
       "SELECT user_id::BIGINT AS user_id, t, round(1e-9 + v, 6) AS value FROM r " +
-      "WHERE v IS NOT NULL ORDER BY user_id, t")))
+      s"WHERE v IS NOT NULL $fillZeroArm ORDER BY user_id, t")))
 
   // =====================================================================
   // §2.0 sources/sinks + §2.7 stream aggregation + §2.8 relabeling

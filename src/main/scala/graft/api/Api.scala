@@ -22,11 +22,14 @@ object Api {
     Engine.query(samples, q, GridSpec(startMs, endMs, stepMs), lookbackMs)
 
   /** /api/v1/query — instant evaluation at one timestamp
-    * (prometheus.go:767): a single-point grid.
+    * (prometheus.go:767): a single-point grid, served through the O7
+    * instant-rollup delta cache (eval.go:1176 evalInstantRollup) so a
+    * dashboard's repeated `fn(m[big])` refresh scans only the delta
+    * windows; non-eligible shapes fall through to a plain evaluation.
     */
   def query(samples: DataFrame, q: String, atMs: Long, stepMs: Long = 60000L,
       lookbackMs: Long = 300000L): DataFrame =
-    Engine.query(samples, q, GridSpec(atMs, atMs, stepMs), lookbackMs)
+    Engine.queryInstantCached(samples, q, GridSpec(atMs, atMs, stepMs), lookbackMs)
 
   private def selectorFilter(selector: String): DataFrame => DataFrame = { df =>
     Parser.parse(selector) match {

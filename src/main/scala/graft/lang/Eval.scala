@@ -231,9 +231,9 @@ object Eval {
       case "share_eq_over_time" => Some(Kernels.shareEq(args.head))
       case "share_le_over_time" => Some(Kernels.shareLe(args.head))
       case "share_gt_over_time" => Some(Kernels.shareGt(args.head))
-      case "lifetime" => Some(Kernels.lifetime)
+      case "lifetime" => Some(Kernels.lifetimePrev)
       case "lag" => Some(Kernels.lag)
-      case "scrape_interval" => Some(Kernels.scrapeInterval)
+      case "scrape_interval" => Some(Kernels.scrapeIntervalPrev)
       case "rate_over_sum" => Some(Kernels.rateOverSum(windowMs))
       case "zscore_over_time" => Some(Kernels.zscore)
       case "deriv" => Some(Kernels.deriv)
@@ -252,7 +252,7 @@ object Eval {
       // in-window like Prometheus (rollup.go rollupDeltaPrometheus)
       case "delta" => Some(Kernels.deltaPrev(lookbackMs))
       case "delta_prometheus" => Some(Kernels.deltaPrometheus)
-      case "idelta" => Some(Kernels.idelta)
+      case "idelta" => Some(Kernels.ideltaPrev)
       case "increase" => Some(Kernels.increasePrev(lookbackMs))
       case "increase_pure" => Some(Kernels.increasePurePrev(lookbackMs))
       case "increase_prometheus" => Some(Kernels.increasePrometheus)
@@ -1809,10 +1809,11 @@ object Eval {
           val w = Window.partitionBy(skey(col("name"), col("tags")))
           val mn = min("value").over(w)
           val mx = max("value").over(w)
+          // the reference keeps each series untouched apart from the values
+          // (transform.go:1364 returns ts as-is), so the name survives
           Series(dfAll
             .withColumn("value", when(mx > mn, (col("value") - mn) / (mx - mn)))
-            .filter(col("value").isNotNull)
-            .withColumn("name", lit(null).cast(StringType)))
+            .filter(col("value").isNotNull))
         case "range_zscore" =>
           val w = allW
           val sd = stddev_pop(col("value")).over(w)
@@ -1847,7 +1848,10 @@ object Eval {
               sqrt(lit(-2.0) * log(u)) * cos(lit(2.0 * math.Pi) * u2)
             case _ => -log(u) // exponential(1)
           }
-          Series(Grid.gridDf(samples, cfg.grid).select(
+          // label-free single series, usable where a per-point scalar is
+          // expected (clamp_min(0, rand_normal()) — transformRand emits one
+          // tagless series and getScalar accepts it, transform.go:90,2392)
+          ScalarSeries(Grid.gridDf(samples, cfg.grid).select(
             lit(null).cast(StringType).as("name"),
             map().cast("map<string,string>").as("tags"),
             col("t"), value.as("value")))
@@ -2324,7 +2328,11 @@ object Eval {
               op(col("value").cast("long"), lit(mask.toLong)).cast(DoubleType))
           Series(keepName(df.withColumn("value", v)))
         case "timezone_offset" =>
-          val tz = strArg(f.args.head)
+          // "Local" means the host timezone (transform.go timezoneOffset →
+          // time.LoadLocation("Local")); Java maps unknown IDs to GMT, so
+          // resolve it explicitly to the JVM default zone
+          val tzArg = strArg(f.args.head)
+          val tz = if (tzArg == "Local") java.util.TimeZone.getDefault.getID else tzArg
           Series(Grid.gridDf(samples, cfg.grid).select(
             lit(null).cast(StringType).as("name"),
             map().cast("map<string,string>").as("tags"),

@@ -44,7 +44,8 @@ final case class OverArray(post: Column => Column) extends Kernel
   * for the counter family, merged at struct-min/max cost.
   */
 final case class OverArrayPrev(post: (Column, Column, Column) => Column,
-    edgeOnly: Boolean = false) extends Kernel
+    edgeOnly: Boolean = false,
+    zeroFillGaps: Boolean = false) extends Kernel
 
 /** Two-level decomposition for window ≫ step rollups
   * ([[Rollup.rollupTwoLevel]]): `partials` are (name, perBucketAgg,
@@ -218,14 +219,19 @@ object Kernels {
     * ~7 digits to cancellation in the slope/intercept normal equations.
     */
   val deriv: Kernel = Algebraic(
-    when(count_(v) > 1, regr_slope(v, (ts - col("t")).cast(D) / 1000.0)))
+    // single sample / degenerate x spread → slope 0, not absent
+    // (linearRegression's areConstValues + tDiff<1e-6 branches)
+    coalesce(when(count_(v) > 1, regr_slope(v, (ts - col("t")).cast(D) / 1000.0)),
+      lit(0.0)))
 
   /** linear prediction at t + offsetSec — rollup.go:1080 rollupPredictLinear */
   def predictLinear(offsetSec: Double): Kernel = Algebraic {
     val x = (ts - col("t")).cast(D) / 1000.0 // centered, see deriv
-    when(
-      count_(v) > 1,
-      regr_intercept(v, x) + regr_slope(v, x) * lit(offsetSec))
+    // single/constant windows predict the value itself (slope 0 via
+    // linearRegression's areConstValues branch)
+    coalesce(
+      when(count_(v) > 1, regr_intercept(v, x) + regr_slope(v, x) * lit(offsetSec)),
+      avg_(v))
   }
 
   // Hoeffding bounds — rollup.go:1323-1381
@@ -301,20 +307,22 @@ object Kernels {
   /** engine-path delta — rollup.go:39 rollupDelta over raw values */
   def deltaPrev(lookbackMs: Long): Kernel =
     OverArrayPrev((arr, win, mpi) =>
-      deltaChain(arr, win, mpi, "v", "pv", "nv", lookbackMs), edgeOnly = true)
+      deltaChain(arr, win, mpi, "v", "pv", "nv", lookbackMs), edgeOnly = true,
+      zeroFillGaps = true)
 
   /** engine-path increase — rollupDelta over reset-corrected values
     * (rollup.go:54 + rollupFuncsRemoveCounterResets)
     */
   def increasePrev(lookbackMs: Long): Kernel =
     OverArrayPrev((arr, win, mpi) =>
-      deltaChain(arr, win, mpi, "cv", "cpv", "cnv", lookbackMs), edgeOnly = true)
+      deltaChain(arr, win, mpi, "cv", "cpv", "cnv", lookbackMs), edgeOnly = true,
+      zeroFillGaps = true)
 
   /** increase_pure — prev = realPrevValue else 0, no heuristics
     * (rollup.go rollupIncreasePure, over reset-corrected values)
     */
   def increasePurePrev(lookbackMs: Long): Kernel =
-    OverArrayPrev(edgeOnly = true, post = { (arr, win, mpi) =>
+    OverArrayPrev(edgeOnly = true, zeroFillGaps = true, post = { (arr, win, mpi) =>
     val f = firstE(arr)
     val l = lastE(arr)
     val pv = f.getField("cpv")
@@ -333,7 +341,7 @@ object Kernels {
     * over raw.
     */
   private def derivFastK(fv: String, fpv: String): Kernel =
-    OverArrayPrev(edgeOnly = true, post = { (arr, win, mpi) =>
+    OverArrayPrev(edgeOnly = true, zeroFillGaps = true, post = { (arr, win, mpi) =>
     val f = firstE(arr)
     val l = lastE(arr)
     val pv = f.getField(fpv)
@@ -356,7 +364,7 @@ object Kernels {
     * 1e-12-relative precision skip does not advance `prev` (unlike
     * increases/resets below).
     */
-  def changesPrev(lookbackMs: Long): Kernel = OverArrayPrev({ (arr, win, mpi) =>
+  def changesPrev(lookbackMs: Long): Kernel = OverArrayPrev(zeroFillGaps = true, post = { (arr, win, mpi) =>
     val f = firstE(arr)
     val pv = f.getField("pv")
     val pts = f.getField("pts")
@@ -381,7 +389,7 @@ object Kernels {
     * rollupResets: seed from prevValue only (no realPrevValue); the first
     * value never counts; `prev` advances on every sample.
     */
-  private def monotonicCount(up: Boolean): Kernel = OverArrayPrev({ (arr, win, mpi) =>
+  private def monotonicCount(up: Boolean): Kernel = OverArrayPrev(zeroFillGaps = true, post = { (arr, win, mpi) =>
     val f = firstE(arr)
     val pv = f.getField("pv")
     val pts = f.getField("pts")
@@ -424,6 +432,49 @@ object Kernels {
   })
   val iderivPrev: Kernel = iderivPrevK("v", "pv")
   val iratePrev: Kernel = iderivPrevK("cv", "cpv")
+
+  /** engine-path idelta — rollup.go:1934 rollupIdelta: last minus
+    * second-to-last; a single orphan sample diffs against the pre-window
+    * sample (within maxPrevInterval) or stands alone.
+    */
+  val ideltaPrev: Kernel = OverArrayPrev(edgeOnly = true, zeroFillGaps = true,
+    post = { (arr, win, mpi) =>
+      val f = firstE(arr)
+      val l = lastE(arr)
+      val tStart = col("t") - win
+      val prevOk = f.getField("pts").isNotNull && f.getField("pts") > tStart - mpi
+      when(size(arr) >= 2,
+        l.getField("v") - element_at(arr, -2).getField("v"))
+        .when(prevOk, f.getField("v") - f.getField("pv"))
+        .otherwise(f.getField("v")) // "previous non-existing value was 0"
+    })
+
+  /** engine-path lifetime — rollup.go:2040 rollupLifetime: the covered
+    * duration extends back to the pre-window sample when prevValue is set.
+    */
+  val lifetimePrev: Kernel = OverArrayPrev({ (arr, win, mpi) =>
+    val f = firstE(arr)
+    val l = lastE(arr)
+    val tStart = col("t") - win
+    val prevOk = f.getField("pts").isNotNull && f.getField("pts") > tStart - mpi
+    when(prevOk, (l.getField("ts") - f.getField("pts")).cast(D) / 1000.0)
+      .when(size(arr) >= 2, (l.getField("ts") - f.getField("ts")).cast(D) / 1000.0)
+  })
+
+  /** engine-path scrape_interval — rollup.go:2049 rollupScrapeInterval:
+    * average gap, with the pre-window sample extending the span (and the
+    * divisor counting it) when prevValue is set.
+    */
+  val scrapeIntervalPrev: Kernel = OverArrayPrev({ (arr, win, mpi) =>
+    val f = firstE(arr)
+    val l = lastE(arr)
+    val tStart = col("t") - win
+    val prevOk = f.getField("pts").isNotNull && f.getField("pts") > tStart - mpi
+    val n = size(arr).cast(D)
+    when(prevOk, (l.getField("ts") - f.getField("pts")).cast(D) / 1000.0 / n)
+      .when(size(arr) >= 2,
+        (l.getField("ts") - f.getField("ts")).cast(D) / 1000.0 / (n - 1))
+  })
 
   /** last - first inside the window (windowed form of rollup.go:1859
     * rollupDelta, == delta_prometheus rollup.go:1924; the operator-level

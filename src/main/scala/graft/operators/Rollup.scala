@@ -49,11 +49,12 @@ object Rollup {
       val alg = kernels.collect { case (n, Algebraic(_, Some(tl))) => n -> tl }
       if (alg.size == kernels.size)
         return rollupTwoLevel(samples, keys, grid, windowMs, alg)
-      val edge = kernels.collect { case (n, k @ OverArrayPrev(_, true)) => n -> k }
-      if (edge.size == kernels.size) // counter family: incremental plan
-        return rollupTwoLevelPrev(
-          prevPass(samples, keys, grid, windowMs, lookbackMs, autoAdjust = false),
-          keys, grid, windowMs, edge)
+      val edge = kernels.collect { case (n, k @ OverArrayPrev(_, true, _)) => n -> k }
+      if (edge.size == kernels.size) { // counter family: incremental plan
+        val pp = prevPass(samples, keys, grid, windowMs, lookbackMs, autoAdjust = false)
+        return zeroFillEmptyWindows(
+          rollupTwoLevelPrev(pp, keys, grid, windowMs, edge), pp, keys, grid, kernels)
+      }
       // mixed algebraic/edge sets (never produced by the engine) fall
       // through to the explode path rather than a hybrid merge
     }
@@ -82,12 +83,60 @@ object Rollup {
       .agg(aggExprs.head, aggExprs.tail: _*)
     kernels.foreach {
       case (n, OverArray(f)) => out = out.withColumn(n, f(col("_arr")))
-      case (n, OverArrayPrev(f, _)) =>
+      case (n, OverArrayPrev(f, _, _)) =>
         out = out.withColumn(n, f(col("_arr"), col("_win"), col("_mpi")))
       case _                 =>
     }
     // stable column order: keys, t, kernels
-    out.select((keys.map(col) :+ col("t")) ++ kernels.map(k => col(k._1)): _*)
+    val result = out.select((keys.map(col) :+ col("t")) ++ kernels.map(k => col(k._1)): _*)
+    if (needPrev) zeroFillEmptyWindows(result, src, keys, grid, kernels) else result
+  }
+
+  /** Empty-window zero fill for the counter family (rollup.go:780-785 +
+    * per-kernel `len(values)==0 && !IsNaN(prevValue)` branches): a grid
+    * point whose lookback window holds NO samples still emits 0 for
+    * delta/increase/rate/changes/… when
+    *
+    *  - the series' previous sample lies within maxPrevInterval of the
+    *    window start (prevValue is set), and
+    *  - a later in-range sample exists (`i < len(timestamps)` — the fill
+    *    covers INTERIOR gaps; after the series' last sample the value goes
+    *    stale instead of holding at 0 forever).
+    *
+    * Physical shape: each sample is shifted forward by its effective
+    * window, then bucketized over a maxPrevInterval-wide span — exactly the
+    * grid points whose window start falls inside (ts, ts+mpi]. That keeps
+    * the explosion at mpi/step per sample (NOT window/step, so the TSBS
+    * window≫step shape stays cheap), and the anti-join against the
+    * populated rollup rows leaves only genuinely empty windows.
+    */
+  private def zeroFillEmptyWindows(
+      base: DataFrame,
+      pp: DataFrame,
+      keys: Seq[String],
+      grid: GridSpec,
+      kernels: Seq[(String, Kernel)]): DataFrame = {
+    val fillable = kernels.forall {
+      case (_, p: OverArrayPrev) => p.zeroFillGaps
+      case _ => false
+    }
+    if (!fillable) return base
+    // NaN samples are staleness markers, not values — they cannot seed a
+    // prevValue (the reference strips NaN before the window loop)
+    val shifted = pp.filter(!isnan(col("value")))
+      .withColumn("ts", col("ts") + col("_win"))
+    val cand = Grid.bucketizeCol(shifted, grid, col("_mpi"))
+      .groupBy((keys.map(col) :+ col("t")): _*)
+      .agg(max(col("_maxts")).as("_mx"), max(col("_win")).as("_w"))
+    // NULL-SAFE anti-join: derived series carry name=null, and a plain
+    // equi-join would keep every candidate of such series as a duplicate
+    val populated = base.select((keys.map(col) :+ col("t")): _*).alias("b")
+    val joinCond = ((keys :+ "t").map(k => col(s"c.$k") <=> col(s"b.$k"))).reduce(_ && _)
+    val fills = cand.alias("c")
+      .join(populated, joinCond, "left_anti")
+      .filter(col("_mx") > col("t") - col("_w"))
+      .select((keys.map(col) :+ col("t")) ++ kernels.map(k => lit(0.0).as(k._1)): _*)
+    base.unionByName(fills)
   }
 
   /** Per-series prev pass for the cross-window counter family and window
@@ -157,6 +206,10 @@ object Rollup {
       if (autoAdjust) greatest(lit(grid.stepMs), col("_mpi"))
       else lit(windowMs)
     adjusted.withColumn("_win", win)
+      // last in-range NON-NaN sample of the series — the
+      // `i < len(timestamps)` half of the reference's prevValue condition
+      // (rollup.go:780; NaN staleness markers are stripped before the loop)
+      .withColumn("_maxts", max(when(!isnan(col("value")), col("ts"))).over(sp))
   }
 
   /** Two-level rollup for window ≫ step over mergeable kernels:
@@ -361,7 +414,7 @@ object Rollup {
       l1.getField("v").as("nv"), l1.getField("ts").as("nts"),
       l1.getField("cpv").as("cv"), nullD.as("cpv"), l1.getField("cv").as("cnv"))
     val edges = when(n === 1, array(f1)).otherwise(array(f1, f2syn, l2syn, l1))
-    val aggCols = kernels.map { case (kn, OverArrayPrev(post, _)) =>
+    val aggCols = kernels.map { case (kn, OverArrayPrev(post, _, _)) =>
       // lazy CaseWhen guard so the post can never dereference an empty
       // array (defensive — merge groups are non-empty by construction)
       when(size(edges) > 0, post(edges, lit(windowMs), max(col("_pmpi")))).as(kn)

@@ -1188,7 +1188,98 @@ object GoldenTriage {
 		)""", Seq(R(null, Map("a" -> "a", "job" -> "a1"), Seq(1000, 1200, n, 1600, 1800, 2000)), R(null, Map("a" -> "a", "job" -> "a2"), Seq(n, n, n, 1600, 1800, 2000)), R(null, Map("a" -> "a", "job" -> "a3"), Seq(n, n, 1400, n, n, n)), R(null, Map("a" -> "a", "job" -> "a4"), Seq(n, n, 1400, n, n, n))))
   )
 
-  val entries: Seq[E] = entries0 ++ entries1 ++ entries2 ++ entries3 ++ entries4 ++ entries5 ++ entries6
+  /** Round-5 slice: the TestExecSuccess subtests whose expected vectors do
+    * NOT pin Go's seeded math/rand stream (exec_test.go). The 37 remaining
+    * unported subtests (rand(0)/rand(1)-seeded vectors: stdvar_over_time(),
+    * share_*_over_time, histogram_over_time buckets, rollup_candlestick,
+    * hoeffding_bound_*, aggr_over_time, zscore_over_time(rand), …) assert
+    * byte-exact outputs of Go's ALFG rngSource, whose 607-entry rngCooked
+    * seed table is not reproducible here; our rand(seed) is deterministic
+    * per (seed, timestamp) but a different stream — documented deviation in
+    * SURVEY §8. Queries where the expectation is RNG-invariant (clamped to
+    * 0, rounded below 0.5, or a sample-count identity like
+    * sum(histogram_over_time) = #samples) ARE ported below.
+    */
+  private def entries7: Seq[E] = {
+    val mib = 1.23 * (1 << 20)
+    // the reference computes these with the test host's tzdata at
+    // timestampsExpected[0] (exec_test.go timezone_offset subtests); do the
+    // same so the vector tracks the environment like the Go test does
+    val nyOff = java.util.TimeZone.getTimeZone("America/New_York").getOffset(1000000L) / 1000.0
+    val locOff = java.util.TimeZone.getDefault.getOffset(1000000L) / 1000.0
+    Seq(
+      E("num-with-suffix-3", "1.23Mib", Seq(R(null, null, Seq.fill(6)(mib)))),
+      E("num-with-suffix-4", "1.23mib", Seq(R(null, null, Seq.fill(6)(mib)))),
+      E("timezone_offset(America/New_York)", """timezone_offset("America/New_York")""",
+        Seq(R(null, null, Seq.fill(6)(nyOff)))),
+      E("timezone_offset(Local)", """timezone_offset("Local")""",
+        Seq(R(null, null, Seq.fill(6)(locOff)))),
+      E("rand()", "round(rand()/2)", Seq(R(null, null, Seq.fill(6)(0.0)))),
+      E("rand_normal()", "clamp_max(clamp_min(0, rand_normal()), 0)",
+        Seq(R(null, null, Seq.fill(6)(0.0)))),
+      E("rand_exponential()", "clamp_max(clamp_min(0, rand_exponential()), 0)",
+        Seq(R(null, null, Seq.fill(6)(0.0)))),
+      E("now()", "round(now()/now())", Seq(R(null, null, Seq.fill(6)(1.0)))),
+      E("sin()", "sin(pi()*(2000-time())/1000)",
+        Seq(R(null, null, Seq(1.2246467991473515e-16, 0.5877852522924732, 0.9510565162951536,
+          0.9510565162951535, 0.5877852522924731, 0)))),
+      E("prometheus_buckets(zero-vmrange-value)",
+        """sort(prometheus_buckets(label_set(0, "vmrange", "0...0")))""", Seq()),
+      E("""quantiles("phi", 0.2, 0.5)""",
+        """sort(quantiles("phi", 0.2, 0.5, label_set(10, "foo", "bar") or label_set(time()/150, "baz", "sss")))""",
+        Seq(
+          R(null, M("phi" -> "0.2"), Seq(7.333333333333334, 8.4, 9.466666666666669,
+            10.133333333333333, 10.4, 10.666666666666668)),
+          R(null, M("phi" -> "0.5"), Seq(8.333333333333334, 9, 9.666666666666668,
+            10.333333333333332, 11, 11.666666666666668)))),
+      E("""range_normalize(time(),alias(-time(),"negative"))""",
+        """range_normalize(time(),alias(-time(), "negative"))""",
+        Seq(
+          R(null, null, Seq(0, 0.2, 0.4, 0.6, 0.8, 1)),
+          R("negative", M(), Seq(1, 0.8, 0.6, 0.4, 0.2, 0)))),
+      E("""range_normalize(time() > 1200 < 1800,alias(-(time() > 1400 < 2000),"negative"))""",
+        """range_normalize(time() > 1200 < 1800,alias(-(time() > 1200 < 2000), "negative"))""",
+        Seq(
+          R(null, null, Seq(n, n, 0, 1, n, n)),
+          R("negative", M(), Seq(n, n, 1, 0.5, 0, n)))),
+      E("""median_over_time("foo")""", """median_over_time("foo")""", Seq()),
+      E("""rollup_rate(q, "max")""", """rollup_rate((2200-time())[600s], "max")""",
+        Seq(R(null, null, Seq(7, 6, 5, 4, 3, 2)))),
+      E("""rollup_rate(q, "avg")""", """rollup_rate((2200-time())[600s], "avg")""",
+        Seq(R(null, null, Seq(6, 5, 4, 3, 2, 1)))),
+      E("""rollup_deriv(q, "max")""", """sort(rollup_deriv(time()[100s:50s], "max"))""",
+        Seq(R(null, null, Seq(1, 1, 1, 1, 1, 1)))),
+      E("""limit_offset(5, 0, sort_by_label_numeric_desc(multiple_labels_numbers_special_chars, "foo"))""",
+        """limit_offset(5, 0, sort_by_label_numeric_desc((
+                        label_set(3, "foo", "1:0:3"),
+			label_set(4, "foo", "5:0:15"),
+			label_set(1, "foo", "1:0:2"),
+			label_set(5, "foo", "7:0:15"),
+			label_set(7, "foo", "3:0:1"),
+			label_set(6, "foo", "1:0:2"),
+			label_set(8, "foo", "9:0:15")
+                ), "foo"))""",
+        Seq(
+          R(null, M("foo" -> "9:0:15"), Seq.fill(6)(8.0)),
+          R(null, M("foo" -> "7:0:15"), Seq.fill(6)(5.0)),
+          R(null, M("foo" -> "5:0:15"), Seq.fill(6)(4.0)),
+          R(null, M("foo" -> "3:0:1"), Seq.fill(6)(7.0)),
+          R(null, M("foo" -> "1:0:3"), Seq.fill(6)(3.0)))),
+      E("""clamp_max(alias(time(),"foobar"), 1400)""",
+        """clamp_max(alias(time(), "foobar"), 1400)""",
+        Seq(R("foobar", M(), Seq(1000, 1200, 1400, 1400, 1400, 1400)))),
+      E("""CLAmp_MAx(alias(time(),"foobar"), 1400)""",
+        """CLAmp_MAx(alias(time(), "foobar"), 1400)""",
+        Seq(R("foobar", M(), Seq(1000, 1200, 1400, 1400, 1400, 1400)))),
+      E("sum(histogram_over_time)",
+        """sum(histogram_over_time(alias(label_set(rand(0)*1.3+1.1, "foo", "bar"), "xxx")[200s:5s]))""",
+        Seq(R(null, null, Seq.fill(6)(40.0)))),
+      E("sum(Histogram_OVER_time)",
+        """sum(Histogram_OVER_time(alias(label_set(rand(0)*1.3+1.1, "foo", "bar"), "xxx")[200s:5s]))""",
+        Seq(R(null, null, Seq.fill(6)(40.0)))))
+  }
+
+  val entries: Seq[E] = entries0 ++ entries1 ++ entries2 ++ entries3 ++ entries4 ++ entries5 ++ entries6 ++ entries7
 
   val grid = GridSpec(1000000L, 2000000L, 200000L)
   private val gridTs = (0 to 5).map(i => 1000000L + i * 200000L)

@@ -1,0 +1,118 @@
+package graft
+
+import graft.core.GridSpec
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** O7-lite instant-rollup delta (eval.go:1176-1535): a repeated instant
+  * `fn(m[big])` query is served as cached ± two offset-sized delta windows.
+  *
+  * The bounded-scan proof: the second query runs against a frame whose
+  * samples OUTSIDE the two delta windows are corrupted (×1000). Local
+  * relations of equal schema share a canonical plan key, so the cache entry
+  * (built from clean data) is reused; if the engine re-scanned the full
+  * window it would see the corruption. Getting the clean-data answer back
+  * proves only the delta ranges were read.
+  */
+class InstantRollupSpec extends SparkSpec {
+
+  private val step = 60000L
+  private val hour = 3600000L
+  private val t0 = 1000L * hour // aligned on the minute grid
+  private val t1 = t0 + 5 * step
+
+  private def frame(values: Long => Double, fromMs: Long, toMs: Long): DataFrame = {
+    val rows = new java.util.ArrayList[Row]()
+    var ts = fromMs
+    while (ts <= toMs) { rows.add(Row("m", Map.empty[String, String], ts, values(ts))); ts += step }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("ts", LongType),
+      StructField("value", DoubleType))))
+  }
+
+  private def one(df: DataFrame): Double = {
+    val rows = df.collect()
+    assert(rows.length == 1, s"expected 1 row, got ${rows.length}")
+    rows.head.getDouble(3)
+  }
+
+  test("additive instant rollup reads only the delta windows on refresh") {
+    Engine.clearCache()
+    val clean = frame(_ => 1.0, t0 - 4 * hour, t1)
+    // corrupt everything in the cached window's middle; keep the tail
+    // (t0, t1] and the head (t1-3h-5m, t1-3h] ranges clean
+    val corruptLo = t0 - 2 * hour
+    val corruptHi = t0 - 1 * hour
+    val corrupted = frame(ts => if (ts > corruptLo && ts <= corruptHi) 1000.0 else 1.0,
+      t0 - 4 * hour, t1)
+
+    val v0 = one(Engine.queryInstantCached(clean, "sum_over_time(m[3h])", GridSpec(t0, t0, step)))
+    assert(v0 === 180.0) // (t0-3h, t0] holds 180 one-minute samples
+    assert(Engine.instantCacheStats.misses === 1)
+
+    // full evaluation over the corrupted frame would see the ×1000 middle
+    // (60 corrupted samples: 180 - 60 + 60×1000 = 60120)
+    val vFull = one(Engine.query(corrupted, "sum_over_time(m[3h])", GridSpec(t1, t1, step)))
+    assert(vFull > 10000.0)
+
+    val v1 = one(Engine.queryInstantCached(corrupted, "sum_over_time(m[3h])", GridSpec(t1, t1, step)))
+    assert(v1 === 180.0, "delta path must not re-read the corrupted middle")
+    assert(Engine.instantCacheStats.deltaHits === 1)
+  }
+
+  test("repeating the same instant timestamp is an exact cache hit") {
+    Engine.clearCache()
+    val clean = frame(_ => 2.0, t0 - 4 * hour, t0)
+    val g = GridSpec(t0, t0, step)
+    val a = one(Engine.queryInstantCached(clean, "count_over_time(m[3h])", g))
+    val b = one(Engine.queryInstantCached(clean, "count_over_time(m[3h])", g))
+    assert(a === b)
+    assert(Engine.instantCacheStats.exactHits === 1)
+    assert(Engine.instantCacheStats.misses === 1)
+  }
+
+  test("max_over_time merges cached and tail maxima when the head cannot win") {
+    Engine.clearCache()
+    // strictly increasing values: the head extremum is always dominated
+    val clean = frame(ts => (ts - t0 + 4 * hour).toDouble / step, t0 - 4 * hour, t1)
+    val v0 = one(Engine.queryInstantCached(clean, "max_over_time(m[3h])", GridSpec(t0, t0, step)))
+    val v1 = one(Engine.queryInstantCached(clean, "max_over_time(m[3h])", GridSpec(t1, t1, step)))
+    assert(v1 > v0)
+    assert(v1 === one(Engine.query(clean, "max_over_time(m[3h])", GridSpec(t1, t1, step))))
+    assert(Engine.instantCacheStats.deltaHits === 1)
+    assert(Engine.instantCacheStats.aborts === 0)
+  }
+
+  test("max_over_time falls back to full evaluation when the maximum leaves the window") {
+    Engine.clearCache()
+    // one spike right after the cached window's start: it is the cached max
+    // at t0, but by t1 it has fallen into the head delta window
+    val spikeTs = t0 - 3 * hour + 2 * step
+    val clean = frame(ts => if (ts == spikeTs) 500.0 else 1.0, t0 - 4 * hour, t1)
+    val v0 = one(Engine.queryInstantCached(clean, "max_over_time(m[3h])", GridSpec(t0, t0, step)))
+    assert(v0 === 500.0)
+    val v1 = one(Engine.queryInstantCached(clean, "max_over_time(m[3h])", GridSpec(t1, t1, step)))
+    assert(v1 === 1.0, "spike left the window; the abort path must re-evaluate")
+    assert(Engine.instantCacheStats.aborts === 1)
+  }
+
+  test("avg_over_time refresh is served from delta-cached sum and count") {
+    Engine.clearCache()
+    val clean = frame(_ => 3.0, t0 - 4 * hour, t1)
+    val v0 = one(Engine.queryInstantCached(clean, "avg_over_time(m[3h])", GridSpec(t0, t0, step)))
+    assert(v0 === 3.0)
+    assert(Engine.instantCacheStats.misses === 2) // sum + count entries
+    val v1 = one(Engine.queryInstantCached(clean, "avg_over_time(m[3h])", GridSpec(t1, t1, step)))
+    assert(v1 === 3.0)
+    assert(Engine.instantCacheStats.deltaHits === 2)
+  }
+
+  test("small windows and non-instant grids bypass the instant cache") {
+    Engine.clearCache()
+    val clean = frame(_ => 1.0, t0 - 2 * hour, t0)
+    one(Engine.queryInstantCached(clean, "sum_over_time(m[30m])", GridSpec(t0, t0, step)))
+    assert(Engine.instantCacheStats === Engine.InstantStats(0, 0, 0, 0))
+  }
+}

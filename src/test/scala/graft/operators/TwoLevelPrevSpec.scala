@@ -48,7 +48,7 @@ class TwoLevelPrevSpec extends SparkSpec {
 
   /** same post closure, edgeOnly stripped → mergeable check fails → explode */
   private def forceExplode(k: Kernel): Kernel = k match {
-    case OverArrayPrev(post, _) => OverArrayPrev(post, edgeOnly = false)
+    case OverArrayPrev(post, _, zf) => OverArrayPrev(post, edgeOnly = false, zeroFillGaps = zf)
     case other => other
   }
 
