@@ -1335,17 +1335,33 @@ object SparkEntry {
     * `step` = bucket width of the evaluation grid (also the scrape-interval
     * fallback for single-sample series, like prevPass).
     */
-  private def prevSeriesCtes(step: Long, nameFilter: String): String =
+  private def prevSeriesCtes(step: Long, nameFilter: String,
+      winMs: Long = -1L): String = {
+    // stalenessInterval = lookbackDelta + window (rollup.go:380-387); the
+    // engine passes its effective window, which for the step-bucket gates
+    // equals the grid step. Gaps above it reset the counter correction
+    // (issue 8072), and corrected values are clamped monotone per segment
+    // (issue 5571) — the mirror of Rollup.prevPass's segmented running max.
+    val stale = 2 * H + (if (winMs >= 0) winMs else step)
     s"l0 AS (SELECT user_id, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events " +
       s"WHERE event_type = '$nameFilter'), " +
       "l1 AS (SELECT *, lag(value) OVER w AS pv, lag(tms) OVER w AS pts, " +
       "lead(value) OVER w AS nv, " +
-      "CASE WHEN lag(value) OVER w IS NOT NULL AND value < lag(value) OVER w THEN " +
+      s"CASE WHEN lag(tms) OVER w IS NOT NULL AND tms - lag(tms) OVER w > $stale " +
+      "THEN 1 ELSE 0 END AS brk, " +
+      s"CASE WHEN lag(tms) OVER w IS NOT NULL AND tms - lag(tms) OVER w > $stale THEN 0 " +
+      "WHEN lag(value) OVER w IS NOT NULL AND value < lag(value) OVER w THEN " +
       "(CASE WHEN (lag(value) OVER w - value) * 8 < lag(value) OVER w " +
       "THEN lag(value) OVER w - value ELSE lag(value) OVER w END) ELSE 0 END AS cs " +
       "FROM l0 WINDOW w AS (PARTITION BY user_id ORDER BY tms, value)), " +
-      "l2 AS (SELECT *, value + sum(cs) OVER (PARTITION BY user_id ORDER BY tms, value " +
-      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv FROM l1), " +
+      "l1s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tms, value " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg FROM l1), " +
+      "l2a AS (SELECT *, value + sum(cs) OVER ws AS cvr FROM l1s " +
+      "WINDOW ws AS (PARTITION BY user_id, seg ORDER BY tms, value " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+      "l2 AS (SELECT *, max(cvr) OVER ws AS cv FROM l2a " +
+      "WINDOW ws AS (PARTITION BY user_id, seg ORDER BY tms, value " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
       "l3 AS (SELECT *, lag(cv) OVER w AS cpv, lead(cv) OVER w AS cnv FROM l2 " +
       "WINDOW w AS (PARTITION BY user_id ORDER BY tms, value)), " +
       // scrape interval: 0.6-quantile of the LAST 20 gaps, truncated to
@@ -1359,6 +1375,7 @@ object SparkEntry {
       "FROM (SELECT user_id, tms, pts, value, " +
       "row_number() OVER (PARTITION BY user_id ORDER BY tms DESC, value DESC) AS rn FROM l3) " +
       "GROUP BY user_id)))"
+  }
 
   /** per-(series, window) first/last/seed aggregate list the delta/rate
     * chains consume — shared by the step-bucket and range-join groupings
@@ -1407,7 +1424,7 @@ object SparkEntry {
     */
   private def prevRangeCtes(step: Long, windowMs: Long, gridStart: Long,
       gridEnd: Long, nameFilter: String = "click"): String =
-    s"${prevSeriesCtes(step, nameFilter)}, " +
+    s"${prevSeriesCtes(step, nameFilter, winMs = windowMs)}, " +
       s"g0 AS (SELECT unnest(generate_series($gridStart, $gridEnd, $step)) AS t), " +
       s"j AS (SELECT l3.*, g0.t FROM g0 JOIN l3 ON l3.tms > g0.t - $windowMs AND l3.tms <= g0.t), " +
       s"g AS (SELECT user_id, t, $prevGroupAggs FROM j GROUP BY user_id, t), " +

@@ -157,7 +157,7 @@ object Rollup {
     * cross-window semantics; order-sensitive kernels pay a per-group sort
     * anyway.
     */
-  private def prevPass(
+  private[graft] def prevPass(
       samples: DataFrame,
       keys: Seq[String],
       grid: GridSpec,
@@ -167,18 +167,39 @@ object Rollup {
     val sw = Window.partitionBy(keys.map(col): _*).orderBy(col("ts"), col("value"))
     val sp = Window.partitionBy(keys.map(col): _*)
     val cum = sw.rowsBetween(Window.unboundedPreceding, 0)
-    val pre = samples
+    // Counter-reset correction (rollup.go:921 removeCounterResets):
+    //  - partial resets (drop < value/8) contribute only the drop
+    //  - a gap exceeding stalenessInterval (= lookbackDelta + window,
+    //    rollup.go:380-387) RESETS the accumulated correction — the series
+    //    restarts from its raw value (issue 8072). Expressed as correction
+    //    segments split at staleness breaks.
+    //  - corrected values are clamped monotonically non-decreasing within
+    //    a segment (float-precision guard, issue 5571) via a running max.
+    val staleMs = if (lookbackMs > 0) lookbackMs + windowMs else 0L
+    val brk =
+      if (staleMs > 0)
+        when(col("_pts").isNotNull && col("ts") - col("_pts") > staleMs, 1L).otherwise(0L)
+      else lit(0L)
+    val pre0 = samples
       .withColumn("_pv", lag(col("value"), 1).over(sw))
       .withColumn("_pts", lag(col("ts"), 1).over(sw))
       .withColumn("_nv", lead(col("value"), 1).over(sw))
       .withColumn("_nts", lead(col("ts"), 1).over(sw))
+      .withColumn("_brk", brk)
+      .withColumn("_seg", sum(col("_brk")).over(cum))
+    val segCum = Window.partitionBy((keys.map(col) :+ col("_seg")): _*)
+      .orderBy(col("ts"), col("value"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pre = pre0
       .withColumn("_corrStep",
-        when(col("_pv").isNotNull && col("value") < col("_pv"),
-          when((col("_pv") - col("value")) * 8 < col("_pv"), col("_pv") - col("value"))
-            .otherwise(col("_pv")))
+        when(col("_brk") === 1L, lit(0.0))
+          .when(col("_pv").isNotNull && col("value") < col("_pv"),
+            when((col("_pv") - col("value")) * 8 < col("_pv"), col("_pv") - col("value"))
+              .otherwise(col("_pv")))
           .otherwise(lit(0.0)))
-      .withColumn("_cv", col("value") + sum(col("_corrStep")).over(cum))
-      .drop("_corrStep")
+      .withColumn("_cvRaw", col("value") + sum(col("_corrStep")).over(segCum))
+      .withColumn("_cv", max(col("_cvRaw")).over(segCum))
+      .drop("_corrStep", "_brk", "_seg", "_cvRaw")
     // scrape interval: 0.6-quantile of the LAST 20 inter-sample gaps (not
     // all in-range gaps), truncated to whole ms, non-positive → step —
     // rollup.go:871-897 getScrapeInterval exactly (r3/r4 deviation closed)
