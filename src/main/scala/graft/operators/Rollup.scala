@@ -103,12 +103,19 @@ object Rollup {
     *    covers INTERIOR gaps; after the series' last sample the value goes
     *    stale instead of holding at 0 forever).
     *
-    * Physical shape: each sample is shifted forward by its effective
-    * window, then bucketized over a maxPrevInterval-wide span — exactly the
-    * grid points whose window start falls inside (ts, ts+mpi]. That keeps
-    * the explosion at mpi/step per sample (NOT window/step, so the TSBS
-    * window≫step shape stays cheap), and the anti-join against the
-    * populated rollup rows leaves only genuinely empty windows.
+    * Physical shape — closed form, no join back onto the rollup output:
+    * only a sample whose gap to its NEXT sample exceeds the window can
+    * seed a fill (otherwise every candidate window contains the next
+    * sample), so the pass filters to gap rows first — on scrape-shaped
+    * data that is a tiny fraction of samples. Each survivor is shifted
+    * forward by its window and bucketized over a maxPrevInterval-wide
+    * span (grid points whose window START falls inside (ts, ts+mpi] —
+    * exactly the prevValue staleness rule), and `t < next_ts` is a PROOF
+    * that the true window (t-win, t] is empty: the seeding sample is at
+    * or before t-win and nothing exists between it and next_ts. The seed
+    * is unique per grid point, so the result needs no dedup, and the
+    * explosion is mpi/step per GAP row, not window/step per sample — the
+    * TSBS window≫step shape pays only the gap filter.
     */
   private def zeroFillEmptyWindows(
       base: DataFrame,
@@ -123,18 +130,11 @@ object Rollup {
     if (!fillable) return base
     // NaN samples are staleness markers, not values — they cannot seed a
     // prevValue (the reference strips NaN before the window loop)
-    val shifted = pp.filter(!isnan(col("value")))
+    val gaps = pp.filter(!isnan(col("value")))
+      .filter(col("_nts").isNotNull && col("_nts") - col("ts") > col("_win"))
       .withColumn("ts", col("ts") + col("_win"))
-    val cand = Grid.bucketizeCol(shifted, grid, col("_mpi"))
-      .groupBy((keys.map(col) :+ col("t")): _*)
-      .agg(max(col("_maxts")).as("_mx"), max(col("_win")).as("_w"))
-    // NULL-SAFE anti-join: derived series carry name=null, and a plain
-    // equi-join would keep every candidate of such series as a duplicate
-    val populated = base.select((keys.map(col) :+ col("t")): _*).alias("b")
-    val joinCond = ((keys :+ "t").map(k => col(s"c.$k") <=> col(s"b.$k"))).reduce(_ && _)
-    val fills = cand.alias("c")
-      .join(populated, joinCond, "left_anti")
-      .filter(col("_mx") > col("t") - col("_w"))
+    val fills = Grid.bucketizeCol(gaps, grid, col("_mpi"))
+      .filter(col("t") < col("_nts"))
       .select((keys.map(col) :+ col("t")) ++ kernels.map(k => lit(0.0).as(k._1)): _*)
     base.unionByName(fills)
   }
@@ -227,10 +227,6 @@ object Rollup {
       if (autoAdjust) greatest(lit(grid.stepMs), col("_mpi"))
       else lit(windowMs)
     adjusted.withColumn("_win", win)
-      // last in-range NON-NaN sample of the series — the
-      // `i < len(timestamps)` half of the reference's prevValue condition
-      // (rollup.go:780; NaN staleness markers are stripped before the loop)
-      .withColumn("_maxts", max(when(!isnan(col("value")), col("ts"))).over(sp))
   }
 
   /** Two-level rollup for window ≫ step over mergeable kernels:

@@ -92,11 +92,16 @@ class TwoLevelPrevSpec extends SparkSpec {
     val df = Rollup.rollup(samples, Seq("name"), grid, window,
       Kernels.increasePrev(lookback), lookbackMs = lookback)
     val p = df.queryExecution.executedPlan.toString
-    // the explode must fan out bucket PARTIALS (an aggregate sits below
-    // it), never raw samples — and no sorted window array is collected
-    val afterLastExplode = p.substring(p.lastIndexOf("Generate explode"))
-    assert(afterLastExplode.contains("Aggregate("),
+    // the merge explode must fan out bucket PARTIALS (an aggregate sits
+    // below it), never raw samples — and no sorted window array is
+    // collected. The zero-fill pass adds one more explode over GAP rows
+    // (samples whose next-sample gap exceeds the window — filtered before
+    // the fan-out), which legitimately has no aggregate below it.
+    val explodes = "Generate explode".r.findAllMatchIn(p).map(_.start).toSeq
+    assert(explodes.exists(i => p.substring(i).contains("Aggregate(")),
       s"counter two-level must explode bucket partials, not samples:\n$p")
+    assert(p.contains("(_nts") || p.contains("_nts#"),
+      s"the non-partial explode must be the gap-filtered fill pass:\n$p")
     assert(!p.contains("collect_list"),
       s"counter two-level must not collect per-window arrays:\n$p")
     // merge is a plain hash aggregate — no sliding range frame, which
