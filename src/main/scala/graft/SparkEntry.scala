@@ -1162,6 +1162,12 @@ object SparkEntry {
       graft.pipeline.Similarity.lshTopK(embs(s, dir), embs(s, dir).filter(col("vec_id") < 10), 5)
         .orderBy("q_id", "rank"),
       None),
+    // IVF posting-list ANN (k-means lists + nprobe search) — rows-only:
+    // list assignment depends on float-sum order in centroid training
+    Q("emb_ivf_topk", (s, dir) =>
+      graft.pipeline.Similarity.ivfTopK(embs(s, dir), embs(s, dir).filter(col("vec_id") < 10), 5)
+        .orderBy("q_id", "rank"),
+      None),
     // storage-side sample dedup (-dedup.minScrapeInterval semantics)
     Q("ev_dedup_samples", (s, dir) =>
       graft.pipeline.Dedup.dedupSamples(ev(s, dir), Seq("name", "user_id"), 6 * H)

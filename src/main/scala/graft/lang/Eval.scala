@@ -31,6 +31,45 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, StringType, StructFiel
   */
 object Eval {
 
+  /** Argument-count validation for the TestExecError surface
+    * (exec_test.go:10455): entries only where the reference's
+    * newTransformFunc / newRollupFunc constructors enforce a fixed arity
+    * (transform.go expectTransformArgsNum); unlisted functions are
+    * validated by their own evaluation paths.
+    */
+  private val fixedArity: Map[String, (Int, Int)] = {
+    val oneArg = Seq(
+      "abs", "ceil", "floor", "exp", "ln", "log2", "log10", "sqrt", "sin",
+      "cos", "tan", "asin", "acos", "atan", "sinh", "cosh", "tanh", "asinh",
+      "acosh", "atanh", "deg", "rad", "sgn",
+      "absent", "scalar", "sort", "sort_desc",
+      "running_sum", "running_avg", "running_min", "running_max",
+      "range_sum", "range_avg", "range_min", "range_max", "range_first",
+      "range_last", "range_median", "range_mad", "range_zscore",
+      "range_linear_regression", "range_stddev", "range_stdvar",
+      "interpolate", "keep_last_value", "keep_next_value", "remove_resets",
+      "timezone_offset", "median_over_time").map(_ -> (1, 1))
+    val zeroArg = Seq("time", "start", "end", "step", "pi", "now")
+      .map(_ -> (0, 0))
+    val calendar = Seq("hour", "minute", "day_of_month", "day_of_week",
+      "day_of_year", "days_in_month", "month", "year").map(_ -> (0, 1))
+    (oneArg ++ zeroArg ++ calendar ++ Seq(
+      "clamp" -> (3, 3), "clamp_min" -> (2, 2), "clamp_max" -> (2, 2),
+      "round" -> (1, 2), "alias" -> (2, 2), "smooth_exponential" -> (2, 2),
+      "rand" -> (0, 1), "rand_normal" -> (0, 1), "rand_exponential" -> (0, 1),
+      "range_quantile" -> (2, 2), "range_trim_outliers" -> (2, 2),
+      "range_trim_spikes" -> (2, 2), "range_trim_zscore" -> (2, 2),
+      "hoeffding_bound_lower" -> (2, 2), "hoeffding_bound_upper" -> (2, 2),
+      "rollup_candlestick" -> (1, 2))).toMap
+  }
+
+  private[lang] def checkArity(name: String, n: Int): Unit =
+    fixedArity.get(name).foreach { case (lo, hi) =>
+      if (n < lo || n > hi)
+        throw new IllegalArgumentException(
+          s"unexpected number of args to $name(); got $n; want [$lo, $hi]")
+    }
+
   /** Evaluation config: result grid + staleness lookback for bare
     * selectors (eval.go:1919-1925 maxSilenceInterval). `pushdownCap`
     * bounds the adaptive binop label-value pushdown (O3, the analogue of
@@ -393,8 +432,10 @@ object Eval {
       case ParensExpr(es) => evalUnion(es)
       case a: AggrFuncExpr => evalAggr(a)
       case b: BinaryOpExpr => evalBinop(b)
-      case f: FuncExpr if isRollupFn(f.name) => evalRollupCall(f)
-      case f: FuncExpr => evalTransform(f)
+      case f: FuncExpr if isRollupFn(f.name) =>
+        Eval.checkArity(f.name, f.args.size); evalRollupCall(f)
+      case f: FuncExpr =>
+        Eval.checkArity(f.name, f.args.size); evalTransform(f)
     }
 
     def series(e: Expr): DataFrame = toSeries(samples, eval(e), cfg)
@@ -510,6 +551,14 @@ object Eval {
       }
       val (out, label) = f.name match {
         case "rollup_candlestick" =>
+          // an explicit second arg must name a real leg (rollup.go:374
+          // getRollupConfigs rejects unknown tag values)
+          f.args.drop(1).foreach { a =>
+            val s = strArg(a)
+            if (!Set("open", "close", "low", "high")(s))
+              throw new IllegalArgumentException(
+                s"unsupported rollup_candlestick() suffix '$s'")
+          }
           (Rollup.candlestick(keyed, keys, rollGrid, windowMs), "rollup")
         case "rollup" =>
           (Rollup.aggrOverTime(keyed, keys, rollGrid, windowMs, mmaKernels), "rollup")

@@ -146,6 +146,113 @@ object Similarity {
       .select("q_id", "c_id", "cosine", "rank")
   }
 
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the second scale path next to LSH: k-means
+  // centroids trained on a corpus sample, corpus partitioned into posting
+  // lists by nearest centroid, queries probe only the `nprobe` nearest
+  // lists. At 100 TB the posting lists are hash-partitioned by list id and
+  // the centroid table (nLists × dim doubles) is broadcast — training
+  // touches a bounded sample, search never scans more than nprobe/nLists
+  // of the corpus.
+  // ------------------------------------------------------------------
+
+  /** per-row nearest-centroid assignment against a broadcast centroid
+    * table — a primitive JVM loop for the same reason as [[dotUdf]]
+    * (nLists × dim multiply-adds per row dominate via interpreted
+    * higher-order exprs). Vectors are unit-normalized upstream, so
+    * maximum dot product == nearest by cosine.
+    */
+  private def nearestUdf(centroids: Array[Array[Double]], top: Int) =
+    udf { (v: Seq[Double]) =>
+      if (v == null) Seq.empty[Int]
+      else {
+        val scored = centroids.indices.map { ci =>
+          val c = centroids(ci)
+          var s = 0.0
+          var i = 0
+          val n = math.min(c.length, v.length)
+          while (i < n) { s += c(i) * v(i); i += 1 }
+          (ci, s)
+        }
+        scored.sortBy { case (ci, s) => (-s, ci) }.take(top).map(_._1)
+      }
+    }
+
+  /** Train IVF centroids: deterministic sample init (hash-ordered ids),
+    * Lloyd iterations fully in DataFrame land — assignment is one scan with
+    * the broadcast centroid closure, the update one groupBy average. The
+    * driver only ever holds nLists × dim doubles.
+    */
+  def ivfTrain(
+      corpus: DataFrame,
+      nLists: Int,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Double]] = {
+    val base = corpus.select(col(idCol).as("_id"), normalized(col(vecCol)).as("_v"))
+      .filter(size(col("_v")) > 0)
+    var cents: Array[Array[Double]] = base
+      .orderBy(xxhash64(col("_id")), col("_id"))
+      .limit(nLists)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    var it = 0
+    while (it < iters) {
+      val assign = nearestUdf(cents, 1)
+      val dim = cents.head.length
+      val means = base
+        .withColumn("_list", assign(col("_v")).getItem(0))
+        .groupBy(col("_list"))
+        .agg(
+          array((0 until dim).map(i => avg(col("_v").getItem(i))): _*).as("_c"),
+          count(lit(1)).as("_n"))
+        .collect()
+      // empty lists keep their previous centroid (standard Lloyd handling)
+      val next = cents.clone()
+      means.foreach { r =>
+        val li = r.getInt(0)
+        val c = r.getSeq[Double](1).toArray
+        val n = math.sqrt(c.map(x => x * x).sum)
+        next(li) = if (n > 0) c.map(_ / n) else cents(li)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF ANN top-k: corpus assigned to its single nearest list once,
+    * queries fan out to their `nprobe` nearest lists; exact cosine ranking
+    * inside the probed lists only.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nLists: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfTrain(corpus, nLists, iters, idCol, vecCol)
+    val one = nearestUdf(cents, 1)
+    val probe = nearestUdf(cents, math.min(nprobe, cents.length))
+    val c = corpus.select(col(idCol).as("c_id"), normalized(col(vecCol)).as("c_vec"))
+      .withColumn("_list", one(col("c_vec")).getItem(0))
+    val q = queries.select(col(idCol).as("q_id"), normalized(col(vecCol)).as("q_vec"))
+      .withColumn("_list", explode(probe(col("q_vec"))))
+    q.join(c, "_list")
+      .filter(col("q_id") =!= col("c_id"))
+      .dropDuplicates("q_id", "c_id") // a pair can meet via several probes
+      .withColumn("cosine", dot(col("q_vec"), col("c_vec")))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("c_id").asc)))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "cosine", "rank")
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold inside LSH buckets
     * (the embedding flavor of Dedup.minhashCandidates).
     */

@@ -103,6 +103,24 @@ class PipelineSpec extends SparkSpec {
     assert(rMulti >= 0.4, s"multiprobe recall too low: $rMulti")
   }
 
+  test("IVF nprobe recall vs brute force; wider probing dominates") {
+    val embs = Samples.table(spark, sfDir, "embeddings").cache()
+    val queries = embs.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "c_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(Similarity.bruteForceTopK(embs, queries, 3))
+    val narrow = pairs(Similarity.ivfTopK(embs, queries, 3, nLists = 8, nprobe = 1, iters = 3))
+    val wide = pairs(Similarity.ivfTopK(embs, queries, 3, nLists = 8, nprobe = 4, iters = 3))
+    val rNarrow = truth.count(narrow.contains).toDouble / truth.size
+    val rWide = truth.count(wide.contains).toDouble / truth.size
+    assert(rWide >= rNarrow, s"nprobe=4 recall $rWide < nprobe=1 $rNarrow")
+    assert(rWide >= 0.5, s"IVF nprobe=4 recall too low: $rWide")
+    // probing ALL lists is exhaustive — must equal brute force exactly
+    val all = pairs(Similarity.ivfTopK(embs, queries, 3, nLists = 8, nprobe = 8, iters = 3))
+    assert(truth.count(all.contains).toDouble / truth.size >= 0.99,
+      "nprobe == nLists must recover the exact top-k")
+  }
+
   test("embedding cosine top-k ranks the self-similar vector first on a toy set") {
     import spark.implicits._
     val vecs = Seq(
