@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.util.regex.Pattern
+import java.util.regex.{Matcher, Pattern}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   * Supported actions: replace, replace_all, keep, drop, keep_metrics,
   * drop_metrics, keep_if_equal, drop_if_equal, keep_if_contains,
   * drop_if_contains, keepequal, dropequal, graphite, hashmod, uppercase,
-  * lowercase, labelmap, labelmap_all, labeldrop, labelkeep.
-  * (hashmod uses xxhash64 instead of the reference's md5 — documented
-  * deviation; bucket distribution properties are equivalent.)
+  * lowercase, labelmap, labelmap_all, labeldrop, labelkeep — plus `if`
+  * selector guards and YAML config parsing ([[parseConfig]]). hashmod is
+  * xxhash64(seed 0) like the reference's xxhash.Sum64 (relabel.go), pinned
+  * by the ported TestParsedRelabelConfigsApply vectors.
   */
 object Relabel extends Serializable {
 
@@ -38,7 +39,8 @@ object Relabel extends Serializable {
       replacement: String = "$1",
       modulus: Long = 0,
       matchTemplate: String = "", // graphite: e.g. "foo.*.bar"
-      labels: Map[String, String] = Map.empty) // graphite: label -> "$1" template
+      labels: Map[String, String] = Map.empty, // graphite: label -> "$1" template
+      ifSelectors: Seq[String] = Nil) // series selectors; any match enables the rule
 
   private def anchored(re: String): String = "^(?:" + re + ")$"
 
@@ -56,7 +58,10 @@ object Relabel extends Serializable {
   /** one rule, compiled: labels in → labels out, null = row dropped */
   private type Step = Map[String, String] => Map[String, String]
 
-  /** apply a rule list; rows filtered by keep/drop rules are removed */
+  /** apply a rule list; rows filtered by keep/drop rules are removed.
+    * Empty-valued labels are removed after the whole pipeline, like the
+    * reference's trailing "remove empty labels" step (relabel.go Apply).
+    */
   def apply(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val steps: Seq[Step] = rules.map(compile)
     val run = udf { (name: String, tags: Map[String, String]) =>
@@ -64,7 +69,7 @@ object Relabel extends Serializable {
       if (name != null) m = m.updated("__name__", name)
       var i = 0
       while (m != null && i < steps.length) { m = steps(i)(m); i += 1 }
-      Option(m)
+      Option(m).map(_.filter(_._2.nonEmpty))
     }
     df.withColumn("_m", run(col("name"), col("tags")))
       .filter(col("_m").isNotNull)
@@ -74,6 +79,126 @@ object Relabel extends Serializable {
         col("ts"), col("value"))
   }
 
+  /** `if` series-selector match over a label map: OR across selectors, AND
+    * across one selector's filters (lib/promrelabel/if_expression.go; the
+    * selector grammar is the MetricsQL one, so reuse the parser).
+    */
+  private[sources] def selectorMatches(selector: String, m: Map[String, String]): Boolean = {
+    import graft.lang.{MetricExpr, Parser}
+    Parser.parse(selector) match {
+      case me: MetricExpr =>
+        me.filterss.exists(_.forall { f =>
+          val v = m.getOrElse(f.label, "")
+          val hit =
+            if (f.isRegexp) Pattern.compile(anchored(f.value)).matcher(v).matches()
+            else v == f.value
+          hit != f.isNegative
+        })
+      case other =>
+        throw new IllegalArgumentException(s"'if' must be a series selector, got $other")
+    }
+  }
+
+  /** YAML subset parser for Prometheus-style relabel configs — the list
+    * form the reference accepts (lib/promrelabel/config.go
+    * ParseRelabelConfigsData): action, source_labels, separator,
+    * target_label, regex, replacement, modulus, match, labels (one nested
+    * level), if (scalar or inline list). Scalars may be bare,
+    * single- or double-quoted; source_labels/if accept inline [a, b]
+    * lists.
+    */
+  def parseConfig(yaml: String): Seq[Rule] = {
+    def unq(s0: String): String = {
+      val s = s0.trim
+      if (s.length >= 2 && s.head == '"' && s.last == '"')
+        s.substring(1, s.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+      else if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+        s.substring(1, s.length - 1).replace("''", "'")
+      else s
+    }
+    def list(s: String): Seq[String] = {
+      val t = s.trim
+      if (t.startsWith("[") && t.endsWith("]"))
+        t.substring(1, t.length - 1).split(',').map(unq).filter(_.nonEmpty).toSeq
+      else Seq(unq(t))
+    }
+    val lines = yaml.split('\n').filterNot(l => l.trim.isEmpty || l.trim.startsWith("#"))
+    var rules = Vector.empty[Rule]
+    var cur: Map[String, String] = null
+    var curLabels = Map.empty[String, String]
+    var inLabels = false
+    // block-list continuation (e.g. a multi-line `regex:` — the reference
+    // joins the parts with "|", config.go MultiLineRegex)
+    var pendingListKey: String = null
+    def flush(): Unit = if (cur != null) {
+      val action = cur.getOrElse("action",
+        if (cur.contains("match") || cur.contains("labels")) "graphite" else "replace")
+      rules :+= Rule(
+        action,
+        sourceLabels = cur.get("source_labels").map(list).getOrElse(Nil),
+        separator = cur.get("separator").map(unq).getOrElse(";"),
+        targetLabel = cur.get("target_label").map(unq).getOrElse(""),
+        regex = cur.get("regex").map(unq).getOrElse("(.*)"),
+        replacement = cur.get("replacement").map(unq).getOrElse("$1"),
+        modulus = cur.get("modulus").map(_.trim.toLong).getOrElse(0L),
+        matchTemplate = cur.get("match").map(unq).getOrElse(""),
+        labels = curLabels,
+        ifSelectors = cur.get("if").map(list).getOrElse(Nil))
+      cur = null; curLabels = Map.empty; inLabels = false
+    }
+    lines.foreach { raw =>
+      val t = raw.trim
+      val isListItem = (t.startsWith("- ") || t == "-") && !t.contains(":")
+      if (isListItem && pendingListKey != null && cur != null) {
+        val item = unq(t.drop(1).trim)
+        val prev = cur.getOrElse(pendingListKey, "")
+        cur += (pendingListKey -> (if (prev.isEmpty) item else prev + "|" + item))
+      } else if (t.startsWith("- ") || t == "-") {
+        flush(); cur = Map.empty; pendingListKey = null
+        val rest = t.drop(1).trim
+        if (rest.nonEmpty) {
+          val Array(k, v) = rest.split(":", 2)
+          if (k.trim == "labels") inLabels = true
+          else { cur += (k.trim -> v.trim); inLabels = false }
+        }
+      } else if (cur != null) {
+        val Array(k, v) = t.split(":", 2)
+        val key = k.trim
+        val indent = raw.takeWhile(_ == ' ').length
+        if (key == "labels" && v.trim.isEmpty) { inLabels = true; pendingListKey = null }
+        else if (inLabels && indent >= 4) curLabels += (key -> unq(v))
+        else {
+          inLabels = false
+          if (v.trim.isEmpty) { pendingListKey = key; cur += (key -> "") }
+          else { pendingListKey = null; cur += (key -> v.trim) }
+        }
+      }
+    }
+    flush()
+    rules
+  }
+
+  /** Go-style `${N}` group refs → Java's `$N` (Java reserves `${…}` for
+    * NAMED groups and throws on numeric names)
+    */
+  private def javaTemplate(t: String): String =
+    t.replaceAll("\\$\\{(\\d+)\\}", "\\$$1")
+
+  /** `{{label}}` references in a replacement resolve against the CURRENT
+    * label set before group expansion (relabel.go label references in
+    * `replacement`); resolved values are literal (no nested expansion).
+    */
+  private val labelRefPat = Pattern.compile("\\{\\{([^}]+)\\}\\}")
+  private def expandLabelRefs(t: String, m: Map[String, String]): String = {
+    val mt = labelRefPat.matcher(t)
+    val sb = new StringBuffer
+    while (mt.find())
+      mt.appendReplacement(sb,
+        Matcher.quoteReplacement(m.getOrElse(mt.group(1).trim, "")))
+    mt.appendTail(sb)
+    sb.toString
+  }
+
   private def compile(r: Rule): Step = {
     def get(m: Map[String, String], l: String): String = m.getOrElse(l, "")
     def src(m: Map[String, String]): String =
@@ -81,18 +206,44 @@ object Relabel extends Serializable {
     // precompiled once per rule, shared by every row of every partition
     lazy val anchPat = Pattern.compile(anchored(r.regex))
     lazy val rawPat = Pattern.compile(r.regex)
+    val inner = compileAction(r, get, src, anchPat, rawPat)
+    if (r.ifSelectors.isEmpty) inner
+    else {
+      // `if` mismatch: `keep` drops the row, everything else is a no-op
+      // (relabel.go:apply head)
+      val dropsOnMiss = r.action == "keep" || r.action == "keep_metrics"
+      m =>
+        if (r.ifSelectors.exists(selectorMatches(_, m))) inner(m)
+        else if (dropsOnMiss) null
+        else m
+    }
+  }
+
+  private def compileAction(
+      r: Rule,
+      get: (Map[String, String], String) => String,
+      src: Map[String, String] => String,
+      anchPat: => Pattern,
+      rawPat: => Pattern): Step = {
 
     r.action match {
       case "replace" =>
-        // only on regex match; replacement expands $1… capture groups
+        // only on regex match; replacement AND target label expand $1…
+        // capture groups; {{label}} refs resolve from the current labels
+        val replTmpl = javaTemplate(r.replacement)
+        val tlTmpl = javaTemplate(r.targetLabel)
         m => {
           val s = src(m)
-          if (anchPat.matcher(s).matches())
-            m.updated(r.targetLabel, anchPat.matcher(s).replaceAll(r.replacement))
-          else m
+          if (anchPat.matcher(s).matches()) {
+            val repl = expandLabelRefs(replTmpl, m)
+            val tl = anchPat.matcher(s).replaceAll(tlTmpl)
+            m.updated(tl, anchPat.matcher(s).replaceAll(repl))
+          } else m
         }
       case "replace_all" =>
-        m => m.updated(r.targetLabel, rawPat.matcher(src(m)).replaceAll(r.replacement))
+        val replTmpl = javaTemplate(r.replacement)
+        m => m.updated(r.targetLabel,
+          rawPat.matcher(src(m)).replaceAll(expandLabelRefs(replTmpl, m)))
       case "keep" => m => if (anchPat.matcher(src(m)).matches()) m else null
       case "drop" => m => if (anchPat.matcher(src(m)).matches()) null else m
       case "keep_metrics" =>
@@ -133,7 +284,7 @@ object Relabel extends Serializable {
         // (lib/promrelabel/graphite.go Match/replace). Non-matching rows
         // pass through unchanged.
         val re = Pattern.compile(anchored(graphiteTemplateRegex(r.matchTemplate)))
-        val tmpls = r.labels.toSeq
+        val tmpls = r.labels.toSeq.map { case (l, t) => (l, javaTemplate(t)) }
         m => {
           val nm = get(m, "__name__")
           if (!re.matcher(nm).matches()) m
@@ -142,12 +293,14 @@ object Relabel extends Serializable {
           }
         }
       case "hashmod" =>
-        // same hash the column path used: Spark's xxhash64 (seed 42)
+        // xxhash64 with seed 0, matching the reference's xxhash.Sum64
+        // (relabel.go hashmod; pinned by TestParsedRelabelConfigsApply's
+        // {xxx="yyy"} -> 81 and {foo="yyy"} -> 73 vectors)
         m => {
           val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
             org.apache.spark.unsafe.types.UTF8String.fromString(src(m)),
-            org.apache.spark.sql.types.StringType, 42L)
-          val mod = ((h % r.modulus) + r.modulus) % r.modulus
+            org.apache.spark.sql.types.StringType, 0L)
+          val mod = java.lang.Long.remainderUnsigned(h, r.modulus)
           m.updated(r.targetLabel, mod.toString)
         }
       case "uppercase" =>
@@ -157,15 +310,17 @@ object Relabel extends Serializable {
       case "labelmap" =>
         // labels matching regex spawn renamed copies; the copy wins on a
         // name collision (config.go labelmap)
+        val tmpl = javaTemplate(r.replacement)
         m => {
           val renamed = m.toSeq.collect {
             case (k, v) if anchPat.matcher(k).matches() =>
-              anchPat.matcher(k).replaceAll(r.replacement) -> v
+              anchPat.matcher(k).replaceAll(tmpl) -> v
           }
           renamed.foldLeft(m -- renamed.map(_._1))(_ + _)
         }
       case "labelmap_all" =>
-        m => m.map { case (k, v) => rawPat.matcher(k).replaceAll(r.replacement) -> v }
+        val tmpl = javaTemplate(r.replacement)
+        m => m.map { case (k, v) => rawPat.matcher(k).replaceAll(tmpl) -> v }
       case "labeldrop" =>
         m => m.filter { case (k, _) => !anchPat.matcher(k).matches() }
       case "labelkeep" =>
