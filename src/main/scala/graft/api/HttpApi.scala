@@ -69,6 +69,17 @@ final class HttpApi(spark: SparkSession, base: Option[DataFrame] = None) {
     }.toMap
   }
 
+  /** repeated query args (graphite `target`/`query`/`expr` accept many) */
+  private def multiParams(ex: HttpExchange, key: String): Seq[String] = {
+    val fromQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    fromQuery.split('&').filter(_.contains("=")).toSeq.flatMap { kv =>
+      val i = kv.indexOf('=')
+      val k = java.net.URLDecoder.decode(kv.take(i), "UTF-8")
+      if (k == key) Some(java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8"))
+      else None
+    }
+  }
+
   /** Prometheus time param: unix seconds, fractional allowed */
   private def timeMs(p: Map[String, String], key: String, default: => Long): Long =
     p.get(key).map(s => math.round(s.toDouble * 1000)).getOrElse(default)
@@ -292,5 +303,106 @@ final class HttpApi(spark: SparkSession, base: Option[DataFrame] = None) {
     "/api/v1/metadata" -> handler(reply(_, 200, Api.metadata())),
     "/api/v1/rules" -> handler(reply(_, 200, Api.rules())),
     "/api/v1/alerts" -> handler(reply(_, 200, Api.alerts())),
-    "/api/v1/status/buildinfo" -> handler(reply(_, 200, Api.buildInfo())))
+    "/api/v1/status/buildinfo" -> handler(reply(_, 200, Api.buildInfo()))) ++
+    graphiteRoutes
+
+  // ---- Graphite Render + metadata APIs (app/vmselect/main.go:290-386,
+  // graphite/{render,metrics,tags}_api.go) ----------------------------
+
+  private def graphiteRoutes: Seq[(String, com.sun.net.httpserver.HttpHandler)] = Seq(
+    "/render" -> handler { ex =>
+      val p = params(ex)
+      val format = p.getOrElse("format", "")
+      if (format != "json")
+        throw new IllegalArgumentException(
+          s"unsupported format=$format; supported values: json")
+      val now = System.currentTimeMillis()
+      val storageStep = p.get("storage_step")
+        .map(s => if (s.forall(_.isDigit)) s.toLong * 1000
+          else graft.graphite.GraphiteQL.parseInterval(s))
+        .getOrElse(10000L)
+      var from = p.get("from").map(graft.graphite.GraphiteTime.parseTime(now, _))
+        .getOrElse(now - 24L * 3600 * 1000)
+      var until = p.get("until").map(graft.graphite.GraphiteTime.parseTime(now, _))
+        .getOrElse(now)
+      // align both ends UP to storageStep multiples (render_api.go:63-73)
+      val fa = from % storageStep
+      from -= fa; if (fa > 0) from += storageStep
+      val ua = until % storageStep
+      until -= ua; if (ua > 0) until += storageStep
+      if (until < from)
+        throw new IllegalArgumentException("from cannot exceed until")
+      val xff = p.get("xFilesFactor").map(_.toDouble).getOrElse(0.0)
+      val maxDataPoints = p.get("maxDataPoints").map(_.toDouble.toInt).getOrElse(0)
+      val targets = multiParams(ex, "target")
+      // force parse errors before streaming starts
+      targets.foreach(graft.graphite.GraphiteQL.parse)
+      replyStream(ex) { w =>
+        GraphiteHttp.render(spark, samples, targets, from, until, storageStep,
+          xff, maxDataPoints, now, w)
+      }
+    },
+    "/metrics/find" -> handler { ex =>
+      val p = params(ex)
+      val delimiter = p.getOrElse("delimiter", ".")
+      if (delimiter.length != 1)
+        throw new IllegalArgumentException(
+          "`delimiter` query arg must contain only a single char")
+      val query = p.getOrElse("query", "*")
+      val leavesOnly = p.get("leavesOnly").exists(v => v == "1" || v == "true")
+      val wildcards = p.get("wildcards").exists(v => v == "1" || v == "true")
+      var paths = GraphiteHttp.findPaths(samples, query, delimiter.head)
+      if (leavesOnly) paths = paths.filterNot(_.endsWith(delimiter))
+      val format = p.getOrElse("format", "treejson")
+      val body = format match {
+        case "completer" => GraphiteHttp.findCompleterJson(paths, delimiter, wildcards)
+        case _ => GraphiteHttp.findTreeJson(paths, delimiter, wildcards)
+      }
+      reply(ex, 200, body)
+    },
+    "/metrics/expand" -> handler { ex =>
+      val p = params(ex)
+      val delimiter = p.getOrElse("delimiter", ".")
+      val leavesOnly = p.get("leavesOnly").exists(v => v == "1" || v == "true")
+      val groupByExpr = p.get("groupByExpr").exists(v => v == "1" || v == "true")
+      val queries = multiParams(ex, "query")
+      def pathsOf(qy: String): Seq[String] = {
+        val ps = GraphiteHttp.findPaths(samples, qy, delimiter.head)
+        if (leavesOnly) ps.filterNot(_.endsWith(delimiter)) else ps
+      }
+      val body =
+        if (groupByExpr)
+          GraphiteHttp.expandByQueryJson(queries.map(qy => qy -> pathsOf(qy)))
+        else GraphiteHttp.expandFlatJson(queries.flatMap(pathsOf).distinct)
+      reply(ex, 200, body)
+    },
+    "/tags/autoComplete/tags" -> handler { ex =>
+      val p = params(ex)
+      reply(ex, 200, GraphiteHttp.autoCompleteTagsJson(samples,
+        multiParams(ex, "expr"), p.getOrElse("tagPrefix", ""),
+        p.get("limit").map(_.toInt).getOrElse(0), spark))
+    },
+    "/tags/autoComplete/values" -> handler { ex =>
+      val p = params(ex)
+      reply(ex, 200, GraphiteHttp.autoCompleteValuesJson(samples,
+        multiParams(ex, "expr"), p.getOrElse("tag", ""),
+        p.getOrElse("valuePrefix", ""),
+        p.get("limit").map(_.toInt).getOrElse(0), spark))
+    },
+    "/tags/findSeries" -> handler { ex =>
+      reply(ex, 200,
+        GraphiteHttp.findSeriesJson(spark, samples, multiParams(ex, "expr")))
+    },
+    "/tags" -> handler { ex =>
+      val p = params(ex)
+      val path = ex.getRequestURI.getPath
+      val limit = p.get("limit").map(_.toInt).getOrElse(0)
+      val filter = p.getOrElse("filter", "")
+      if (path == "/tags" || path == "/tags/")
+        reply(ex, 200, GraphiteHttp.tagsJson(samples, filter, limit))
+      else {
+        val tag = path.stripPrefix("/tags/")
+        reply(ex, 200, GraphiteHttp.tagValuesJson(samples, tag, filter, limit))
+      }
+    })
 }

@@ -1,0 +1,1029 @@
+package graft.graphite
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import GraphiteQL._
+import GraphiteModel._
+import GraphiteEval._
+import GraphiteFuncs.TFunc
+
+/** Cross-series aggregation, grouping, pairwise-list, moving-window and
+  * re-bucketing functions (the heavy half of transform.go). All paths
+  * stay lazy DataFrame plans: per-point aggregation is `groupBy(t)` (or
+  * `groupBy(key, t)`), per-group tags/naming are one-row-per-group
+  * frames joined back, moving windows are range frames over the dense
+  * per-series grid.
+  */
+object GraphiteAgg {
+
+  private val serialFns = Set("diff", "first", "last", "current", "pow")
+
+  // ------------------------------------------------------------------
+  // aggregate / groupBy* core
+  // ------------------------------------------------------------------
+
+  /** aggregateSeries / groupByKeyFunc (transform.go:285,1805): group the
+    * set by `keyCol` (constant for whole-set aggregation), aggregate the
+    * per-point values with `fn` under the aggrState xFilesFactor gate,
+    * intersect tags, and format names from the deduped pathExpressions.
+    *
+    * naming: whole-set mode names the result `fnSeries(paths)` (paths
+    * sorted unless fn is serial — formatAggrFuncForSeriesNames); keyed
+    * mode names it by the key and only falls back to the formatted name
+    * for the `name` tag (groupByKeyFunc, always-sorted paths).
+    */
+  def aggregateByKey(
+      ctx: GraphiteCtx,
+      ss0: SeriesSet,
+      fnName: String,
+      keyCol: Column,
+      keyed: Boolean): SeriesSet = {
+    val fn = normalizeAggrName(fnName)
+    val ss = consolidateCommon(ctx, ss0)
+    val df = ss.df.withColumn("_key", keyCol)
+    val aggs = helperAggs(col("value"), col("ord"))
+    val vals = df
+      .groupBy(col("_key"), col("t"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("_key"), col("t"), stateGate(fn, lit(ctx.xff)).as("value"))
+    val meta = keyMeta(df, fn, sortPaths = keyed || !serialFns(fn))
+    val named = meta
+      .withColumn("_aggName",
+        concat(lit(fn + "Series("), array_join(col("_paths"), ","), lit(")")))
+      .withColumn("_tags1",
+        map_concat(
+          coalesce(col("_tags0"), typedLit(Map.empty[String, String])),
+          map(lit("aggregatedBy"), lit(fnName))))
+      .withColumn("_nameTag",
+        coalesce(element_at(col("_tags1"), "name"), col("_aggName")))
+      .withColumn("_tags",
+        map_concat(col("_tags1"), map(lit("name"), col("_nameTag"))))
+      .withColumn("name", if (keyed) col("_key") else col("_aggName"))
+      .withColumn("pathExpr", if (keyed) col("_nameTag") else col("_aggName"))
+    val ordW = Window.orderBy(col("_key"))
+    val out = vals.join(
+      named.select(col("_key"), col("name"), col("_tags").as("tags"),
+        col("pathExpr"), dense_rank().over(ordW).cast("long").as("ord")),
+      Seq("_key"))
+    SeriesSet(
+      out.select(
+        col("_key").as("sid"),
+        col("ord"),
+        col("name"),
+        col("tags"),
+        col("pathExpr"),
+        lit(null).cast("string").as("consol"),
+        lit(null).cast("double").as("xff"),
+        lit(ss.step).as("step"),
+        col("t"),
+        col("value")),
+      Set(ss.step))
+  }
+
+  /** per-key series metadata: series count, deduped path list, and the
+    * tag intersection (keys whose value is identical across every series
+    * of the group — aggregateSeries tag-merge loop)
+    */
+  private def keyMeta(df: DataFrame, fn: String, sortPaths: Boolean): DataFrame = {
+    // groupBy instead of distinct: Spark rejects set ops on MAP columns
+    val serMeta = df
+      .groupBy(col("_key"), col("sid"))
+      .agg(first(col("tags")).as("tags"), first(col("pathExpr")).as("pathExpr"),
+        first(col("ord")).as("ord"))
+    val pathsAgg =
+      if (sortPaths) array_sort(array_distinct(collect_list(col("pathExpr"))))
+      else
+        array_distinct(
+          transform(
+            array_sort(collect_list(struct(col("ord").as("o"), col("sid").as("s"),
+              col("pathExpr").as("p")))),
+            x => x.getField("p")))
+    val nSer = serMeta.groupBy(col("_key")).agg(
+      countDistinct(col("sid")).as("_n"),
+      pathsAgg.as("_paths"))
+    val tagRows = serMeta
+      .select(col("_key"), col("sid"), explode(map_entries(col("tags"))).as("e"))
+      .select(col("_key"), col("sid"), col("e.key").as("tk"), col("e.value").as("tv"))
+    val kept = tagRows
+      .groupBy(col("_key"), col("tk"))
+      .agg(
+        countDistinct(col("sid")).as("_cs"),
+        countDistinct(col("tv")).as("_nv"),
+        first(col("tv")).as("_v"))
+      .join(nSer.select(col("_key"), col("_n")), Seq("_key"))
+      .filter(col("_cs") === col("_n") && col("_nv") === 1)
+      .groupBy(col("_key"))
+      .agg(map_from_entries(collect_list(struct(col("tk"), col("_v")))).as("_tags0"))
+    nSer.join(kept, Seq("_key"), "left")
+  }
+
+  def aggregate: TFunc = (ctx, fe) => {
+    expectArgs(fe, 2, 3)
+    val fnName = str(fe, "func", 1).stripSuffix("Series")
+    val xff = optNum(fe, "xFilesFactor", 2, ctx.xff)
+    val ss = seriesArg(ctx, fe, "seriesList", 0)
+    aggregateByKey(ctx.copy(xff = xff), ss, fnName, lit(""), keyed = false)
+  }
+
+  /** sumSeries / averageSeries / …: union all args then aggregate */
+  def aggregateFixed(fn: String): TFunc = (ctx, fe) => {
+    val ss = GraphiteFuncs.groupUnion(ctx, fe)
+    aggregateByKey(ctx, ss, fn, lit(""), keyed = false)
+  }
+
+  def aggregateWithWildcards: TFunc = (ctx, fe) => {
+    if (fe.args.size < 2)
+      throw GraphiteError(s"unexpected number of args; got ${fe.args.size}; want at least 2")
+    val fnName = str(fe, "func", 1)
+    val positions = fe.args.drop(2).zipWithIndex.map { case (_, i) =>
+      num(fe, "positions", i + 2).toInt
+    }.toSet
+    val ss = seriesArg(ctx, fe, "seriesList", 0)
+    withWildcardsCore(ctx, ss, fnName, positions)
+  }
+
+  def withWildcardsFixed(fn: String): TFunc = (ctx, fe) => {
+    if (fe.args.isEmpty)
+      throw GraphiteError("unexpected number of args; must be at least 1")
+    val positions = fe.args.drop(1).zipWithIndex.map { case (_, i) =>
+      num(fe, "position", i + 1).toInt
+    }.toSet
+    withWildcardsCore(ctx, seriesArg(ctx, fe, "seriesList", 0), fn, positions)
+  }
+
+  private def withWildcardsCore(
+      ctx: GraphiteCtx, ss: SeriesSet, fn: String, positions: Set[Int]): SeriesSet = {
+    val keyUdf = udf { (name: String) =>
+      pathFromName(name).split("\\.", -1).zipWithIndex
+        .collect { case (p, i) if !positions(i) => p }
+        .mkString(".")
+    }
+    aggregateByKey(ctx, ss, fn, keyUdf(col("name")), keyed = true)
+  }
+
+  def groupByNode: TFunc = (ctx, fe) => {
+    expectArgs(fe, 2, 3)
+    val nodes = nodeArgs(fe, 1).take(1)
+    val callback = optStr(fe, "callback", 2, "average")
+    val ss = seriesArg(ctx, fe, "seriesList", 0)
+    aggregateByKey(ctx, ss, callback,
+      nameFromNodesUdf(nodes)(col("name"), col("tags")), keyed = true)
+  }
+
+  def groupByNodes: TFunc = (ctx, fe) => {
+    if (fe.args.size < 2)
+      throw GraphiteError(s"unexpected number of args; got ${fe.args.size}; want at least 2")
+    val callback = str(fe, "callback", 1)
+    val nodes = nodeArgs(fe, 2)
+    val ss = seriesArg(ctx, fe, "seriesList", 0)
+    aggregateByKey(ctx, ss, callback,
+      nameFromNodesUdf(nodes)(col("name"), col("tags")), keyed = true)
+  }
+
+  def groupByTags: TFunc = (ctx, fe) => {
+    if (fe.args.size < 2)
+      throw GraphiteError(s"unexpected number of args; got ${fe.args.size}; want at least 2")
+    val callback = str(fe, "callback", 1)
+    val tagKeys = fe.args.drop(2).zipWithIndex.map { case (_, i) =>
+      str(fe, "tags", i + 2)
+    }
+    val ss = seriesArg(ctx, fe, "seriesList", 0)
+    // formatKeyFromTags: canonical `name;k=v` over the selected tags,
+    // name defaulting to the callback (transform.go:4005)
+    val keyUdf = udf { (tags: Map[String, String]) =>
+      val sel = tagKeys.map(k => k -> tags.getOrElse(k, "")).toMap
+      val nm = if (tagKeys.contains("name")) sel.getOrElse("name", "") else callback
+      val rest = (sel - "name").toSeq.map { case (k, v) => s"$k=$v" }.sorted
+      (nm +: rest).mkString(";")
+    }
+    aggregateByKey(ctx, ss, callback, keyUdf(col("tags")), keyed = true)
+  }
+
+  def applyByNode: TFunc = (ctx, fe) => {
+    expectArgs(fe, 3, 4)
+    val nodeNum = num(fe, "nodeNum", 1).toInt
+    val templateFunction = str(fe, "templateFunction", 2)
+    val newName = optStr(fe, "newName", 3, "")
+    val ss = seriesArg(ctx, fe, "seriesList", 0)
+    val names = ss.df.select(col("name"), col("ord")).distinct()
+      .orderBy(col("ord"), col("name")).limit(1001).collect()
+    if (names.length > 1000) throw GraphiteError("applyByNode: too many series (>1000)")
+    val prefixes = scala.collection.mutable.LinkedHashSet.empty[String]
+    names.foreach { r =>
+      val path = pathFromName(r.getString(0))
+      val nodes = path.split("\\.", -1)
+      val prefix =
+        if (nodeNum >= 0 && nodeNum < nodes.length) nodes.take(nodeNum + 1).mkString(".")
+        else path
+      prefixes += prefix
+    }
+    val sets = prefixes.toSeq.zipWithIndex.map { case (prefix, i) =>
+      val query = templateFunction.replace("%", prefix)
+      val sub = exec(ctx, query)
+      val renamed =
+        if (newName.isEmpty) sub
+        else mapSet(sub, name = lit(newName.replace("%", prefix)), setPathExpr = false)
+      val withPath = SeriesSet(
+        renamed.df.withColumn("pathExpr", lit(prefix))
+          .withColumn("sid", concat(lit(s"$i|"), col("sid")))
+          .withColumn("ord", col("ord") + i * 1000000L),
+        renamed.steps)
+      withPath
+    }
+    if (sets.isEmpty) SeriesSet(emptyFrame(ctx.spark), Set(ctx.storageStepMs))
+    else sets.reduce((a, b) => SeriesSet(a.df.unionByName(b.df), a.steps ++ b.steps))
+  }
+
+  def percentileOfSeries: TFunc = (ctx, fe) => {
+    expectArgs(fe, 2, 3)
+    val n = num(fe, "n", 1)
+    optArg(fe, "interpolate", 2) // parsed but unused, like the reference
+    val ss0 = seriesArg(ctx, fe, "seriesList", 0)
+    val ss = consolidateCommon(ctx, ss0)
+    val aggs = helperAggs(col("value"), col("ord"))
+    val vals = ss.df.groupBy(col("t")).agg(aggs.head, aggs.tail: _*)
+      .select(col("t"), stateGate(s"p${n}", lit(ctx.xff)).as("value"))
+    val nameDf = ss.df.agg(
+      array_sort(collect_set(col("pathExpr"))).as("_paths"))
+      .select(concat(lit("percentileOfSeries("), element_at(col("_paths"), 1),
+        lit(s",${goFmt(n)})")).as("name"))
+    val out = vals.crossJoin(nameDf)
+    SeriesSet(
+      out.select(
+        col("name").as("sid"), lit(1L).as("ord"), col("name"),
+        map(lit("name"), col("name")).as("tags"), col("name").as("pathExpr"),
+        lit(null).cast("string").as("consol"), lit(null).cast("double").as("xff"),
+        lit(ss.step).as("step"), col("t"), col("value")),
+      Set(ss.step))
+  }
+
+  def aggregateLine: TFunc = (ctx, fe) => {
+    expectArgs(fe, 1, 3)
+    val fnName = optStr(fe, "func", 1, "avg")
+    val fn = normalizeAggrName(fnName)
+    val keepStep = optBool(fe, "keepStep", 2, false)
+    val ss = seriesArg(ctx, fe, "seriesList", 0)
+    val withStat = withSeriesStat(ss.df, fn)
+      .withColumn("_stat", coalesce(col("_stat"), lit(Double.NaN)))
+    val vString = when(isnan(col("_stat")), lit("None")).otherwise(goFmtCol(col("_stat")))
+    val newName = concat(lit("aggregateLine("), col("name"), lit(","), vString, lit(")"))
+    if (keepStep) {
+      val out = mapSet(SeriesSet(withStat, ss.steps), value = col("_stat"), name = newName)
+      SeriesSet(out.df.drop("_stat"), out.steps)
+    } else {
+      val mid = (ctx.endMs + ctx.startMs) / 2
+      val meta = withStat
+        .groupBy(col("sid"))
+        .agg(first(col("ord")).as("ord"), first(col("name")).as("name"),
+          first(col("tags")).as("tags"), first(col("consol")).as("consol"),
+          first(col("xff")).as("xff"), first(col("step")).as("step"),
+          first(col("_stat")).as("_stat"))
+      val out = meta
+        .withColumn("t", explode(array(lit(ctx.startMs), lit(mid), lit(ctx.endMs))))
+        .withColumn("name",
+          concat(lit("aggregateLine("), col("name"), lit(","),
+            when(isnan(col("_stat")), lit("None")).otherwise(goFmtCol(col("_stat"))),
+            lit(")")))
+      SeriesSet(
+        out.select(col("sid"), col("ord"), col("name"), col("tags"),
+          col("name").as("pathExpr"), col("consol"), col("xff"), col("step"),
+          col("t"), col("_stat").as("value")),
+        ss.steps)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // pairwise series lists
+  // ------------------------------------------------------------------
+
+  /** aggrFunc over a value pair with getFirstNonNaNPos semantics
+    * (aggregateSeriesList applies the aggrFunc to [v1, v2] per point)
+    */
+  private def pairAgg(fn: String, a: Column, b: Column): Column = {
+    val an = !isnan(a)
+    val bn = !isnan(b)
+    val za = when(an, a).otherwise(lit(0.0))
+    val zb = when(bn, b).otherwise(lit(0.0))
+    val none = lit(Double.NaN)
+    fn match {
+      case "average" | "avg" =>
+        when(!an && !bn, none).otherwise(
+          (za + zb) / (an.cast(DoubleType) + bn.cast(DoubleType)))
+      case "avg_zero" => (za + zb) / 2.0
+      case "sum" | "total" => when(!an && !bn, none).otherwise(za + zb)
+      case "min" => when(an && bn, least(a, b)).when(an, a).when(bn, b).otherwise(none)
+      case "max" => when(an && bn, greatest(a, b)).when(an, a).when(bn, b).otherwise(none)
+      case "diff" => when(an, a - zb).when(bn, b).otherwise(none)
+      case "multiply" => when(an && bn, a * b).when(an, a).when(bn, b).otherwise(none)
+      case "pow" => when(an && bn, pow(a, b)).when(an, a).when(bn, b).otherwise(none)
+      case "stddev" =>
+        when(an && bn, abs(a - b) / 2.0).when(an || bn, lit(0.0)).otherwise(none)
+      case "count" => (an.cast(DoubleType) + bn.cast(DoubleType))
+      case "range" | "rangeOf" =>
+        when(an && bn, abs(a - b)).when(an || bn, lit(0.0)).otherwise(none)
+      // valyala-histogram median of two: idx = floor(0.5*(2-1)+0.5) = 1 → upper
+      case "median" => when(an && bn, greatest(a, b)).when(an, a).when(bn, b).otherwise(none)
+      case "first" => when(an, a).when(bn, b).otherwise(none)
+      case "last" | "current" => when(bn, b).when(an, a).otherwise(none)
+      case "divide" => a / b
+      case other => throw GraphiteError(s"unsupported aggregate function '$other'")
+    }
+  }
+
+  def seriesListsCore(
+      ctx: GraphiteCtx, fe: FuncExpr, first0: SeriesSet, second0: SeriesSet,
+      fn: String): SeriesSet = {
+    val first = consolidateCommon(ctx, first0)
+    val second = consolidateCommon(ctx, second0)
+    if (first.step != second.step)
+      throw GraphiteError(
+        s"step mismatch for first and second: ${first.step} vs ${second.step}")
+    val n1 = first.df.select(col("sid")).distinct().count()
+    val n2 = second.df.select(col("sid")).distinct().count()
+    if (n1 != n2)
+      throw GraphiteError(
+        s"first and second lists must have equal number of series; got $n1 vs $n2 series")
+    def ranked(df: DataFrame): DataFrame = {
+      val rk = dense_rank().over(Window.orderBy(col("ord"), col("sid")))
+      val ranks = df.select(col("sid"), col("ord")).distinct()
+        .withColumn("_rank", rk)
+        .select(col("sid"), col("_rank"))
+      df.join(ranks, Seq("sid"))
+    }
+    val l = ranked(first.df)
+    val r = ranked(second.df).select(
+      col("_rank"), col("t"), col("value").as("_v2"), col("name").as("_n2"))
+    val joined = l.join(r, Seq("_rank", "t"))
+    val newName = concat(lit(fn + "Series("), col("name"), lit(","), col("_n2"), lit(")"))
+    val out = mapSet(SeriesSet(joined, first.steps),
+      value = pairAgg(fn, col("value"), col("_v2")), name = newName)
+    SeriesSet(out.df.drop("_rank", "_v2", "_n2"), Set(first.step))
+  }
+
+  def seriesListsFixed(fn: String): TFunc = (ctx, fe) => {
+    expectArgs(fe, 2, 2)
+    seriesListsCore(ctx, fe,
+      seriesArg(ctx, fe, "seriesListFirstPos", 0),
+      seriesArg(ctx, fe, "seriesListSecondPos", 1), fn)
+  }
+
+  def aggregateSeriesLists: TFunc = (ctx, fe) => {
+    expectArgs(fe, 3, 4)
+    val fn = normalizeAggrName(str(fe, "func", 2))
+    seriesListsCore(ctx, fe,
+      seriesArg(ctx, fe, "seriesListFirstPos", 0),
+      seriesArg(ctx, fe, "seriesListSecondPos", 1), fn)
+  }
+
+  def divideSeriesLists: TFunc = (ctx, fe) => {
+    expectArgs(fe, 2, 2)
+    seriesListsCore(ctx, fe,
+      seriesArg(ctx, fe, "dividendSeriesList", 0),
+      seriesArg(ctx, fe, "divisorSeriesList", 1), "divide")
+  }
+
+  def divideSeries: TFunc = (ctx, fe) => {
+    expectArgs(fe, 2, 2)
+    val divisor0 = seriesArg(ctx, fe, "divisorSeries", 1)
+    val divisor = consolidateCommon(ctx, divisor0)
+    val divisorSids = divisor.df.select(col("sid")).distinct().limit(2).collect()
+    if (divisorSids.length > 1)
+      throw GraphiteError(
+        s"unexpected number of divisorSeries; got ${divisorSids.length}; want 1")
+    val dividend0 = seriesArg(ctx, fe, "dividendSeriesList", 0)
+    if (divisorSids.isEmpty) {
+      mapSet(dividend0, value = lit(Double.NaN),
+        name = concat(lit("divideSeries("), col("name"), lit(",MISSING)")))
+    } else {
+      val dividend = consolidateTo(ctx, dividend0, divisor.step)
+      val d = divisor.df.select(col("t"), col("value").as("_dv"), col("name").as("_dn"))
+      val joined = dividend.df.join(d, Seq("t"), "left")
+      val out = mapSet(SeriesSet(joined, dividend.steps),
+        value = col("value") / coalesce(col("_dv"), lit(Double.NaN)),
+        name = concat(lit("divideSeries("), col("name"), lit(","),
+          coalesce(col("_dn"), lit("MISSING")), lit(")")))
+      SeriesSet(out.df.drop("_dv", "_dn"), dividend.steps)
+    }
+  }
+
+  def weightedAverage: TFunc = (ctx, fe) => {
+    if (fe.args.size < 2)
+      throw GraphiteError(s"unexpected number of args; got ${fe.args.size}; want 2 at least")
+    val nodes = nodeArgs(fe, 2)
+    val avgS = consolidateCommon(ctx, seriesArg(ctx, fe, "seriesListAvg", 0))
+    val wS = consolidateCommon(ctx, seriesArg(ctx, fe, "seriesListWeight", 1))
+    if (avgS.step != wS.step)
+      throw GraphiteError(
+        s"step mismatch for seriesListAvg and seriesListWeight: ${avgS.step} vs ${wS.step}")
+    val nA = avgS.df.select(col("sid")).distinct().count()
+    val nW = wS.df.select(col("sid")).distinct().count()
+    if (nA != nW)
+      throw GraphiteError(
+        s"series len mismatch, got seriesListAvg: $nA,seriesListWeight: $nW ")
+    val keyU = nameFromNodesUdf(nodes)
+    // last series of each node-group on both sides (groupSeriesByNodes
+    // keeps append order; "last" = max (ord, sid))
+    def lastPerKey(df: DataFrame, vAs: String): DataFrame = {
+      val keyed = df.withColumn("_key", keyU(col("name"), col("tags")))
+      val rk = row_number().over(
+        Window.partitionBy(col("_key")).orderBy(col("ord").desc, col("sid").desc))
+      val lastSids = keyed.select(col("_key"), col("sid"), col("ord")).distinct()
+        .withColumn("_rk", rk).filter(col("_rk") === 1)
+        .select(col("_key"), col("sid"))
+      keyed.join(lastSids, Seq("_key", "sid"))
+        .select(col("_key"), col("t"), col("value").as(vAs))
+    }
+    val a = lastPerKey(avgS.df, "_av")
+    val w = lastPerKey(wS.df, "_wv")
+    val prod = a.join(w, Seq("_key", "t"))
+      .withColumn("_pv", col("_av") * col("_wv"))
+    // sum of products over matched keys (aggrStateSum + ec.xff gate)
+    val aggsP = helperAggs(col("_pv"), col("_key"))
+    val sumProd = prod.groupBy(col("t")).agg(aggsP.head, aggsP.tail: _*)
+      .select(col("t"), stateGate("sum", lit(ctx.xff)).as("_sp"))
+    // total weight over ALL weight series
+    val aggsW = helperAggs(col("value"), col("ord"))
+    val sumW = wS.df.groupBy(col("t")).agg(aggsW.head, aggsW.tail: _*)
+      .select(col("t"), stateGate("sum", lit(ctx.xff)).as("_sw"))
+    val vals = sumProd.join(sumW, Seq("t"))
+      .select(col("t"), (col("_sp") / col("_sw")).as("value"))
+    val nodesStr = nodes.map(_.render).mkString(",")
+    val nameDf = avgS.df.agg(array_sort(collect_set(col("pathExpr"))).as("_p1"))
+      .crossJoin(wS.df.agg(array_sort(collect_set(col("pathExpr"))).as("_p2")))
+      .select(concat(lit("weightedAverage("), array_join(col("_p1"), ","), lit(","),
+        array_join(col("_p2"), ","), lit(s",$nodesStr)")).as("name"))
+    val out = vals.crossJoin(nameDf)
+    SeriesSet(
+      out.select(col("name").as("sid"), lit(1L).as("ord"), col("name"),
+        map(lit("name"), col("name")).as("tags"), col("name").as("pathExpr"),
+        lit(null).cast("string").as("consol"), lit(null).cast("double").as("xff"),
+        lit(avgS.step).as("step"), col("t"), col("value")),
+      Set(avgS.step))
+  }
+
+  // ------------------------------------------------------------------
+  // asPercent (transform.go:668)
+  // ------------------------------------------------------------------
+
+  def asPercent: TFunc = (ctx, fe) => {
+    if (fe.args.isEmpty)
+      throw GraphiteError(s"unexpected number of args; got 0; want at least 1")
+    val totalArg = optArg(fe, "total", 1).map(_.expr).getOrElse(NoneExpr)
+    val nodes = if (fe.args.size > 2) nodeArgs(fe, 2) else Nil
+    totalArg match {
+      case NumberExpr(total) =>
+        if (nodes.nonEmpty)
+          throw GraphiteError("unexpected non-empty nodes for numeric total")
+        val ss = seriesArg(ctx, fe, "seriesList", 0)
+        mapSet(ss, value = col("value") / total * 100,
+          name = wrapName("asPercent", lit(goFmt(total))))
+      case NoneExpr =>
+        val ss = consolidateCommon(ctx, seriesArg(ctx, fe, "seriesList", 0))
+        val keyC =
+          if (nodes.isEmpty) lit("")
+          else nameFromNodesUdf(nodes)(col("name"), col("tags"))
+        percentAgainstGroupTotal(ctx, ss, keyC)
+      case te =>
+        val ss = consolidateCommon(ctx, seriesArg(ctx, fe, "seriesList", 0))
+        val total = consolidateCommon(ctx, eval(ctx, te))
+        if (nodes.isEmpty) percentAgainstTotalSeries(ctx, ss, total)
+        else percentByNodesWithTotal(ctx, ss, total, nodes)
+    }
+  }
+
+  /** total=None: divide by the (per-node-group) sum of the set itself */
+  private def percentAgainstGroupTotal(
+      ctx: GraphiteCtx, ss: SeriesSet, keyC: Column): SeriesSet = {
+    val df = ss.df.withColumn("_key", keyC)
+    val aggs = helperAggs(col("value"), col("ord"))
+    val totals = df.groupBy(col("_key"), col("t")).agg(aggs.head, aggs.tail: _*)
+      .select(col("_key"), col("t"), stateGate("sum", lit(ctx.xff)).as("_tv"))
+    // formatAggrFuncForPercentSeriesNames: bare path only when the group
+    // holds a single SERIES (pre-dedup count — transform.go:4017)
+    val names = df.select(col("_key"), col("sid"), col("pathExpr")).distinct()
+      .groupBy(col("_key"))
+      .agg(array_sort(array_distinct(collect_list(col("pathExpr")))).as("_paths"),
+        countDistinct(col("sid")).as("_n"))
+      .select(col("_key"),
+        when(col("_n") === 1, element_at(col("_paths"), 1))
+          .otherwise(concat(lit("sumSeries("), array_join(col("_paths"), ","), lit(")")))
+          .as("_tn"))
+    val joined = df.join(totals, Seq("_key", "t"), "left")
+      .join(names, Seq("_key"), "left")
+    val out = mapSet(SeriesSet(joined, ss.steps),
+      value = col("value") / col("_tv") * 100,
+      name = concat(lit("asPercent("), col("name"), lit(","), col("_tn"), lit(")")),
+      tagsUpd = Seq())
+    // reference also rewrites the name tag (inplacePercent* set Tags["name"])
+    val out2 = mapSet(out, tagsUpd = Seq("name" -> col("name")))
+    SeriesSet(out2.df.drop("_key", "_tv", "_tn"), ss.steps)
+  }
+
+  /** total expression without nodes: single total series → divide each;
+    * multiple → positional pairing (counts must match)
+    */
+  private def percentAgainstTotalSeries(
+      ctx: GraphiteCtx, ss0: SeriesSet, total: SeriesSet): SeriesSet = {
+    val nT = total.df.select(col("sid")).distinct().count()
+    if (nT == 0) return SeriesSet(emptyFrame(ctx.spark), Set(ctx.storageStepMs))
+    val ss =
+      if (nT == 1) consolidateTo(ctx, ss0, total.step)
+      else consolidateCommon(ctx, ss0)
+    if (nT == 1) {
+      val t = total.df.select(col("t"), col("value").as("_tv"), col("name").as("_tn"))
+      val joined = ss.df.join(t, Seq("t"), "left")
+      val out = mapSet(SeriesSet(joined, ss.steps),
+        value = col("value") / col("_tv") * 100,
+        name = concat(lit("asPercent("), col("name"), lit(","), col("_tn"), lit(")")))
+      val out2 = mapSet(out, tagsUpd = Seq("name" -> col("name")))
+      SeriesSet(out2.df.drop("_tv", "_tn"), ss.steps)
+    } else {
+      val nS = ss.df.select(col("sid")).distinct().count()
+      if (nS != nT)
+        throw GraphiteError(
+          s"unexpected number of series returned by total expression; got $nT; want $nS")
+      if (ss.step != total.step)
+        throw GraphiteError(
+          s"step mismatch for series and total series: ${ss.step} vs ${total.step}")
+      def ranked(df: DataFrame): DataFrame = {
+        val rk = dense_rank().over(Window.orderBy(col("ord"), col("sid")))
+        val ranks = df.select(col("sid"), col("ord")).distinct()
+          .withColumn("_rank", rk).select(col("sid"), col("_rank"))
+        df.join(ranks, Seq("sid"))
+      }
+      val l = ranked(ss.df)
+      val r = ranked(total.df)
+        .select(col("_rank"), col("t"), col("value").as("_tv"), col("name").as("_tn"))
+      val joined = l.join(r, Seq("_rank", "t"))
+      val out = mapSet(SeriesSet(joined, ss.steps),
+        value = col("value") / col("_tv") * 100,
+        name = concat(lit("asPercent("), col("name"), lit(","), col("_tn"), lit(")")))
+      val out2 = mapSet(out, tagsUpd = Seq("name" -> col("name")))
+      SeriesSet(out2.df.drop("_rank", "_tv", "_tn"), ss.steps)
+    }
+  }
+
+  /** total expression grouped by nodes, with MISSING handling on both
+    * sides (transform.go:800-860)
+    */
+  private def percentByNodesWithTotal(
+      ctx: GraphiteCtx, ss: SeriesSet, total: SeriesSet,
+      nodes: Seq[Expr]): SeriesSet = {
+    if (ss.step != total.step)
+      throw GraphiteError(
+        s"step mismatch for series and total series: ${ss.step} vs ${total.step}")
+    val keyU = nameFromNodesUdf(nodes)
+    val sDf = ss.df.withColumn("_key", keyU(col("name"), col("tags")))
+    val tDf = total.df.withColumn("_key", keyU(col("name"), col("tags")))
+    val aggs = helperAggs(col("value"), col("ord"))
+    val totals = tDf.groupBy(col("_key"), col("t")).agg(aggs.head, aggs.tail: _*)
+      .select(col("_key"), col("t"), stateGate("sum", lit(ctx.xff)).as("_tv"))
+    val totalNames = tDf.select(col("_key"), col("sid"), col("pathExpr")).distinct()
+      .groupBy(col("_key"))
+      .agg(array_sort(array_distinct(collect_list(col("pathExpr")))).as("_paths"),
+        countDistinct(col("sid")).as("_n"))
+      .select(col("_key"),
+        when(col("_n") === 1, element_at(col("_paths"), 1))
+          .otherwise(concat(lit("sumSeries("), array_join(col("_paths"), ","), lit(")")))
+          .as("_tn"))
+    val sKeys = sDf.select(col("_key")).distinct()
+    val tKeys = tDf.select(col("_key")).distinct()
+    // series whose key has a total: value/total*100
+    val matched = sDf.join(tKeys, Seq("_key"), "leftsemi")
+      .join(totals, Seq("_key", "t"), "left")
+      .join(totalNames, Seq("_key"), "left")
+    val matchedOut = {
+      val o = mapSet(SeriesSet(matched, ss.steps),
+        value = col("value") / col("_tv") * 100,
+        name = concat(lit("asPercent("), col("name"), lit(","), col("_tn"), lit(")")))
+      val o2 = mapSet(o, tagsUpd = Seq("name" -> col("name")))
+      SeriesSet(o2.df.drop("_key", "_tv", "_tn"), ss.steps)
+    }
+    // series whose key has no total: all-NaN, MISSING total name
+    val unmatched = sDf.join(tKeys, Seq("_key"), "leftanti")
+    val unmatchedOut = {
+      val o = mapSet(SeriesSet(unmatched, ss.steps),
+        value = lit(Double.NaN),
+        name = concat(lit("asPercent("), col("name"), lit(",MISSING)")))
+      val o2 = mapSet(o, tagsUpd = Seq("name" -> col("name")))
+      SeriesSet(o2.df.drop("_key"), ss.steps)
+    }
+    // totals whose key has no series: NaN series named asPercent(MISSING, totalName)
+    val missingKeys = tKeys.join(sKeys, Seq("_key"), "leftanti")
+    val missingOut = {
+      val nm = concat(lit("asPercent(MISSING,"), col("_tn"), lit(")"))
+      val grid = missingKeys.join(totalNames, Seq("_key"), "left")
+        .withColumn("t",
+          explode(sequence(lit(ctx.startMs),
+            lit(ctx.startMs + (ctx.pointsLen(ss.step) - 1).max(0) * ss.step),
+            lit(ss.step))))
+      SeriesSet(
+        grid.select(
+          nm.as("sid"), lit(2000000L).as("ord"), nm.as("name"),
+          map(lit("name"), nm).as("tags"), nm.as("pathExpr"),
+          lit(null).cast("string").as("consol"), lit(null).cast("double").as("xff"),
+          lit(ss.step).as("step"), col("t"), lit(Double.NaN).as("value")),
+        ss.steps)
+    }
+    SeriesSet(
+      matchedOut.df.unionByName(missingOut.df).unionByName(unmatchedOut.df),
+      ss.steps)
+  }
+
+  // ------------------------------------------------------------------
+  // moving windows
+  // ------------------------------------------------------------------
+
+  def movingFixed(fn: String): TFunc = (ctx, fe) => {
+    expectArgs(fe, 2, 3)
+    val xff = optNum(fe, "xFilesFactor", 2, ctx.xff)
+    movingCore(ctx, fe, arg(fe, "seriesList", 0), arg(fe, "windowSize", 1), fn, xff)
+  }
+
+  def movingWindowFn: TFunc = (ctx, fe) => {
+    expectArgs(fe, 2, 4)
+    val fn = optStr(fe, "func", 2, "avg")
+    val xff = optNum(fe, "xFilesFactor", 3, ctx.xff)
+    movingCore(ctx, fe, arg(fe, "seriesList", 0), arg(fe, "windowSize", 1), fn, xff)
+  }
+
+  private def movingCore(
+      ctx: GraphiteCtx, fe: FuncExpr, seriesA: Arg, windowA: Arg,
+      fnName: String, xff: Double): SeriesSet = {
+    val fn = normalizeAggrName(fnName)
+    val (ws0, stepsCount) = windowA.expr match {
+      case NumberExpr(n) => ((n * ctx.storageStepMs).toLong, n)
+      case StringExpr(s) => (parseInterval(s), 0.0)
+      case other =>
+        throw GraphiteError(
+          s"unexpected type for windowSize arg: ${other.render}; expecting number or string")
+    }
+    if (ws0 <= 0) throw GraphiteError(s"windowSize must be positive; got ${ws0}ms")
+    var windowSize = ws0
+    var ecc = ctx.withRange(ctx.startMs - windowSize, ctx.endMs)
+    var inner = consolidateCommon(ecc, eval(ecc, seriesA.expr))
+    if (stepsCount > 0 && inner.step != ctx.storageStepMs) {
+      // the inner call changed the step; re-derive the window from it
+      windowSize = (stepsCount * inner.step).toLong
+      ecc = ctx.withRange(ctx.startMs - windowSize, ctx.endMs)
+      inner = consolidateCommon(ecc, eval(ecc, seriesA.expr))
+    }
+    val step = inner.step
+    val windowSizeStr = windowA.expr.render
+    val tagName = "moving" + fnName.capitalize
+    val df =
+      if (step > 0 && windowSize % step == 0) {
+        // Aligned fast path: a range frame over the dense grid. The
+        // output point at T aggregates samples in [T-ws, T); attach it
+        // to the input row at T-step (frame [t-ws+step, t]) so the
+        // reference's end-inclusive output grid (tsEnd <= endTime,
+        // movingWindow loop) is produced without an extra row source.
+        val w = wOrd.rangeBetween(-(windowSize - step), 0)
+        val v = col("value")
+        inner.df
+          .withColumn("_sum", sum(nn(v)).over(w))
+          .withColumn("_cnt", count(nn(v)).over(w))
+          .withColumn("_rows", count(lit(1)).over(w))
+          .withColumn("_min", min(nn(v)).over(w))
+          .withColumn("_max", max(nn(v)).over(w))
+          .withColumn("_sd", stddev_pop(nn(v)).over(w))
+          .withColumn("_sorted", array_sort(collect_list(nn(v)).over(w)))
+          .withColumn("_ordered",
+            array_sort(collect_list(when(!isnan(v), struct(col("t").as("o"), v.as("v"))))
+              .over(w)))
+          .filter(col("t") >= ecc.startMs + windowSize - step)
+          .withColumn("t", col("t") + step)
+          .filter(col("t") <= ecc.endMs)
+      } else {
+        // misaligned window: explicit range join against the output grid
+        val outN = (ecc.endMs - (ecc.startMs + windowSize)) / step + 1
+        val meta = inner.df.groupBy(col("sid")).agg(
+          first(col("ord")).as("ord"), first(col("name")).as("name"),
+          first(col("tags")).as("tags"), first(col("pathExpr")).as("pathExpr"),
+          first(col("consol")).as("consol"), first(col("xff")).as("xff"))
+        val outGrid = meta.withColumn("t",
+          explode(sequence(lit(ecc.startMs + windowSize),
+            lit(ecc.startMs + windowSize + (outN - 1).max(0) * step), lit(step))))
+          .filter(col("t") <= ecc.endMs)
+        val pts = inner.df.select(
+          col("sid").as("_psid"), col("t").as("_pt"), col("value").as("_pv"))
+        val joined = outGrid.join(pts,
+          col("_psid") === outGrid("sid") &&
+            col("_pt") >= col("t") - windowSize && col("_pt") < col("t"),
+          "left").drop("_psid")
+        joined.groupBy(col("sid"), col("t"))
+          .agg(first(col("ord")).as("ord"), first(col("name")).as("name"),
+            first(col("tags")).as("tags"), first(col("pathExpr")).as("pathExpr"),
+            first(col("consol")).as("consol"), first(col("xff")).as("xff"),
+            sum(nn(col("_pv"))).as("_sum"), count(nn(col("_pv"))).as("_cnt"),
+            count(col("_pv")).as("_rows"), min(nn(col("_pv"))).as("_min"),
+            max(nn(col("_pv"))).as("_max"), stddev_pop(nn(col("_pv"))).as("_sd"),
+            array_sort(collect_list(nn(col("_pv")))).as("_sorted"),
+            array_sort(collect_list(when(!isnan(col("_pv")),
+              struct(col("_pt").as("o"), col("_pv").as("v"))))).as("_ordered"))
+          .withColumn("step", lit(step))
+      }
+    val valued = df.withColumn("_mv", bucketGate(fn, lit(xff)))
+    val out = mapSet(SeriesSet(valued, Set(step)),
+      value = col("_mv"),
+      name = concat(lit(tagName + "("), col("name"), lit(s",$windowSizeStr)")),
+      tagsUpd = Seq(tagName -> lit(windowSizeStr)))
+    SeriesSet(
+      out.df.drop("_sum", "_cnt", "_rows", "_min", "_max", "_sd", "_sorted",
+        "_ordered", "_mv"),
+      Set(step))
+  }
+
+  def exponentialMovingAverage: TFunc = (ctx, fe) => {
+    expectArgs(fe, 2, 2)
+    val windowA = arg(fe, "windowSize", 1)
+    val (c, ws0) = windowA.expr match {
+      case StringExpr(s) =>
+        val ws = parseInterval(s)
+        (2.0 / (ws / 1000.0 + 1), ws)
+      case NumberExpr(n) => (2.0 / (n + 1), (n * ctx.storageStepMs).toLong)
+      case other =>
+        throw GraphiteError(
+          s"windowSize must be either string or number; got ${other.render}")
+    }
+    val windowSize = math.abs(ws0)
+    val windowSizeStr = windowA.expr.render
+    val ecc = ctx.withRange(ctx.startMs - windowSize, ctx.endMs)
+    val inner = consolidateCommon(ecc, eval(ecc, arg(fe, "seriesList", 0).expr))
+    val step = inner.step
+    // seed: plain average of the pre-range warmup points, 0 if none
+    val seed = coalesce(
+      avg(when(col("t") < ctx.startMs, nn(col("value")))).over(wAll), lit(0.0))
+    val body = inner.df
+      .withColumn("_seed", seed)
+      .filter(col("t") >= ctx.startMs)
+    // sequential EMA fold over the per-series ordered value array
+    val folded = body.groupBy(col("sid")).agg(
+      first(col("ord")).as("ord"), first(col("name")).as("name"),
+      first(col("tags")).as("tags"), first(col("pathExpr")).as("pathExpr"),
+      first(col("consol")).as("consol"), first(col("xff")).as("xff"),
+      first(col("_seed")).as("_seed"),
+      array_sort(collect_list(struct(col("t"), col("value")))).as("_pts"))
+    val emaArr = org.apache.spark.sql.functions.aggregate(
+      col("_pts"),
+      struct(col("_seed").as("ema"),
+        typedLit(Seq.empty[Double]).as("out")),
+      (acc, x) => {
+        val ema = lit(c) * x.getField("value") + lit(1 - c) * acc.getField("ema")
+        struct(ema.as("ema"), concat(acc.getField("out"), array(ema)).as("out"))
+      },
+      acc => acc.getField("out"))
+    val exploded = folded
+      .withColumn("_emas", emaArr)
+      .select(col("sid"), col("ord"), col("name"), col("tags"), col("pathExpr"),
+        col("consol"), col("xff"),
+        posexplode(arrays_zip(transform(col("_pts"), _.getField("t")), col("_emas"))))
+      .select(col("sid"), col("ord"), col("name"), col("tags"), col("pathExpr"),
+        col("consol"), col("xff"), lit(step).as("step"),
+        col("col").getField("0").as("t"),
+        coalesce(col("col").getField("_emas"), lit(Double.NaN)).as("value"))
+    val out = mapSet(SeriesSet(exploded, Set(step)),
+      name = concat(lit("exponentialMovingAverage("), col("name"),
+        lit(s",$windowSizeStr)")),
+      tagsUpd = Seq("exponentialMovingAverage" -> lit(windowSizeStr)))
+    out
+  }
+
+  // ------------------------------------------------------------------
+  // re-bucketing: summarize / smartSummarize / hitcount
+  // ------------------------------------------------------------------
+
+  def summarize: TFunc = (ctx, fe) => {
+    expectArgs(fe, 2, 4)
+    val intervalString = str(fe, "intervalString", 1)
+    val interval = parseInterval(intervalString)
+    if (interval <= 0) throw GraphiteError(s"interval must be positive; got ${interval}ms")
+    val fnName = optStr(fe, "func", 2, "sum")
+    val fn = normalizeAggrName(fnName)
+    val alignToFrom = optBool(fe, "alignToFrom", 3, false)
+    val (s, e) =
+      if (alignToFrom) (ctx.startMs, ctx.endMs)
+      else (ctx.startMs - ctx.startMs % interval,
+        ctx.endMs + interval - ctx.endMs % interval)
+    val ecc = ctx.copy(startMs = s, endMs = e)
+    val inner = eval(ecc, arg(fe, "seriesList", 0).expr)
+    // summarize gates on the series' own xFilesFactor (0 when unset),
+    // not the evalConfig default (transform.go:3302 s.xFilesFactor)
+    val re = summarizeSet(ecc, inner, s, e, interval, Some(fn),
+      coalesce(col("xff"), lit(0.0)))
+    val suffix =
+      if (alignToFrom)
+        s",${StringExpr(intervalString).render},${StringExpr(fnName).render},true)"
+      else s",${StringExpr(intervalString).render},${StringExpr(fnName).render})"
+    mapSet(re,
+      name = concat(lit("summarize("), col("name"), lit(suffix)),
+      tagsUpd = Seq("summarize" -> lit(intervalString),
+        "summarizeFunction" -> lit(fnName)))
+  }
+
+  def smartSummarize: TFunc = (ctx, fe) => {
+    expectArgs(fe, 2, 4)
+    val intervalString = str(fe, "intervalString", 1)
+    val interval = parseInterval(intervalString)
+    if (interval <= 0) throw GraphiteError(s"interval must be positive; got ${interval}ms")
+    val fnName = optStr(fe, "func", 2, "sum")
+    val fn = normalizeAggrName(fnName)
+    val alignTo = optStr(fe, "alignTo", 3, "")
+    val s =
+      if (alignTo.isEmpty) ctx.startMs
+      else GraphiteTime.alignTimeUnit(ctx.startMs, alignTo)
+    val ecc = ctx.copy(startMs = s)
+    val inner = eval(ecc, arg(fe, "seriesList", 0).expr)
+    val re = summarizeSet(ecc, inner, s, ctx.endMs, interval, Some(fn),
+      coalesce(col("xff"), lit(0.0)))
+    mapSet(re,
+      name = concat(lit("smartSummarize("), col("name"),
+        lit(s",${StringExpr(intervalString).render},${StringExpr(fnName).render})")),
+      tagsUpd = Seq("smartSummarize" -> lit(intervalString),
+        "smartSummarizeFunction" -> lit(fnName)))
+  }
+
+  /** hitcount (transform.go:2037): per interval bucket, integrate
+    * value·seconds sample-to-sample, retro-billing each segment at the
+    * newer sample's value, plus the carry-in segment from the bucket
+    * start at the pre-bucket value; 0 → NaN.
+    */
+  def hitcount: TFunc = (ctx, fe) => {
+    expectArgs(fe, 2, 3)
+    val intervalString = str(fe, "intervalString", 1)
+    val interval = parseInterval(intervalString)
+    if (interval <= 0) throw GraphiteError(s"interval must be positive; got ${interval}ms")
+    val alignToInterval = optBool(fe, "alignToInterval", 2, false)
+    val s =
+      if (!alignToInterval) ctx.startMs
+      else {
+        val unit =
+          if (interval >= 24L * 3600 * 1000) "d"
+          else if (interval >= 3600 * 1000) "h"
+          else if (interval >= 60 * 1000) "min"
+          else "s"
+        if (interval >= 60 * 1000) GraphiteTime.alignTimeUnit(ctx.startMs, unit)
+        else ctx.startMs
+      }
+    val ecc = ctx.copy(startMs = s)
+    val inner = eval(ecc, arg(fe, "seriesList", 0).expr)
+    val df = inner.df
+    val lagT = lag(col("t"), 1).over(wOrd)
+    val lagV = lag(col("value"), 1).over(wOrd)
+    val withPrev = df
+      .withColumn("_lt", lagT)
+      .withColumn("_lv", lagV)
+      .withColumn("_b", ((col("t") - s) / interval).cast("long"))
+      .filter(col("t") >= s && col("t") < ecc.endMs)
+    val bstart = lit(s) + col("_b") * interval
+    val base = when(!isnan(col("value")),
+      col("value") * (col("t") - greatest(coalesce(col("_lt"), lit(Long.MinValue)), bstart))
+        .cast(DoubleType) / 1000.0).otherwise(lit(0.0))
+    val carry = when(
+      col("_lt").isNotNull && col("_lt") < bstart && !isnan(col("_lv")),
+      col("_lv") * (col("t") - bstart).cast(DoubleType) / 1000.0).otherwise(lit(0.0))
+    val sums = withPrev
+      .groupBy(col("sid"), col("_b"))
+      .agg(sum(base + carry).as("_hc"),
+        first(col("ord")).as("ord"), first(col("name")).as("name"),
+        first(col("tags")).as("tags"), first(col("pathExpr")).as("pathExpr"),
+        first(col("consol")).as("consol"), first(col("xff")).as("xff"))
+      .withColumn("t", lit(s) + col("_b") * interval)
+      .withColumn("value", when(col("_hc") === 0.0, Double.NaN).otherwise(col("_hc")))
+    val suffix =
+      if (alignToInterval) s",${StringExpr(intervalString).render},true)"
+      else s",${StringExpr(intervalString).render})"
+    val out = mapSet(
+      SeriesSet(sums.withColumn("step", lit(interval)), Set(interval)),
+      name = concat(lit("hitcount("), col("name"), lit(suffix)),
+      tagsUpd = Seq("hitcount" -> lit(intervalString)))
+    SeriesSet(out.df.drop("_b", "_hc"), Set(interval))
+  }
+
+  def scaleToSeconds: TFunc = (ctx, fe) => {
+    expectArgs(fe, 2, 2)
+    val seconds = num(fe, "seconds", 1)
+    val ss = seriesArg(ctx, fe, "seriesList", 0)
+    val prevT = lag(col("t"), 1).over(wOrd)
+    val nextT = lead(col("t"), 1).over(wOrd)
+    val stepSec = when(prevT.isNotNull, (col("t") - prevT).cast(DoubleType) / 1000.0)
+      .when(nextT.isNotNull, (nextT - col("t")).cast(DoubleType) / 1000.0)
+      .otherwise(Double.NaN)
+    mapSet(ss, value = col("value") * (lit(seconds) / stepSec),
+      name = wrapName("scaleToSeconds", lit(goFmt(seconds))),
+      tagsUpd = Seq("scaleToSeconds" -> lit(goFmt(seconds))))
+  }
+
+  // ------------------------------------------------------------------
+  // time shifting
+  // ------------------------------------------------------------------
+
+  def timeShift: TFunc = (ctx, fe) => {
+    expectArgs(fe, 2, 4)
+    val shiftStr = str(fe, "timeShift", 1)
+    var shift = parseInterval(shiftStr)
+    if (shift > 0 && !shiftStr.startsWith("+")) shift = -shift
+    val resetEnd = optBool(fe, "resetEnd", 2, true)
+    optBool(fe, "alignDST", 3, false) // parsed, unused (like the reference)
+    val ecc = ctx.withRange(ctx.startMs + shift, ctx.endMs + shift)
+    val inner = eval(ecc, arg(fe, "seriesList", 0).expr)
+    val trimmed =
+      if (resetEnd) inner.df.filter(col("t") <= ctx.endMs) else inner.df
+    val shifted = trimmed.withColumn("t", col("t") - shift)
+    mapSet(SeriesSet(shifted, inner.steps),
+      name = wrapName("timeShift", lit(StringExpr(shiftStr).render)),
+      tagsUpd = Seq("timeShift" -> lit(shiftStr)), setPathExpr = false)
+  }
+
+  def timeStack: TFunc = (ctx, fe) => {
+    expectArgs(fe, 1, 4)
+    val unit = optStr(fe, "timeShiftUnit", 1, "1d")
+    var delta = parseInterval(unit)
+    if (delta > 0 && !unit.startsWith("+")) delta = -delta
+    val start = optNum(fe, "timeShiftStart", 2, 0).toLong
+    val end = optNum(fe, "timeShiftEnd", 3, 7).toLong
+    if (end < start)
+      throw GraphiteError(
+        s"timeShiftEnd=${goFmt(end.toDouble)} cannot be smaller than timeShiftStart=${goFmt(start.toDouble)}")
+    val sets = (start to end).map { shift =>
+      val innerDelta = delta * shift
+      val ecc = ctx.withRange(ctx.startMs + innerDelta, ctx.endMs + innerDelta)
+      val inner = eval(ecc, arg(fe, "seriesList", 0).expr)
+      val shifted = inner.df.withColumn("t", col("t") - innerDelta)
+      val renamed = mapSet(SeriesSet(shifted, inner.steps),
+        name = wrapName("timeShift", lit(unit), lit(shift.toString)),
+        tagsUpd = Seq("timeShiftUnit" -> lit(unit), "timeShift" -> lit(shift.toString)))
+      SeriesSet(
+        renamed.df
+          .withColumn("sid", concat(lit(s"$shift|"), col("sid")))
+          .withColumn("ord", col("ord") + (shift - start) * 1000000L),
+        renamed.steps)
+    }
+    sets.reduce((a, b) => SeriesSet(a.df.unionByName(b.df), a.steps ++ b.steps))
+  }
+
+  // ------------------------------------------------------------------
+  // linear regression
+  // ------------------------------------------------------------------
+
+  def linearRegression: TFunc = (ctx, fe) => {
+    expectArgs(fe, 1, 3)
+    val ss = consolidateCommon(ctx, seriesArg(ctx, fe, "seriesList", 0))
+    val startA = optArg(fe, "startSourceAt", 1)
+    val endA = optArg(fe, "endSourceAt", 2)
+    val (srcCtx, source) =
+      if (startA.isEmpty && endA.isEmpty) (ctx, ss)
+      else {
+        def timeOf(base: Long, a: Option[Arg]): Long = a.map(_.expr) match {
+          case None | Some(NoneExpr) => base
+          case Some(StringExpr(s)) => GraphiteTime.parseTime(ctx.nowMs, s)
+          case Some(NumberExpr(n)) => (n * 1000).toLong
+          case Some(other) => throw GraphiteError(s"bad time arg ${other.render}")
+        }
+        val c = ctx.withRange(timeOf(ctx.startMs, startA), timeOf(ctx.endMs, endA))
+        (c, consolidateCommon(c, eval(c, arg(fe, "seriesList", 0).expr)))
+      }
+    // per-series least squares over the source range, paired by rank
+    def ranked(df: DataFrame): DataFrame = {
+      val rk = dense_rank().over(Window.orderBy(col("ord"), col("sid")))
+      val ranks = df.select(col("sid"), col("ord")).distinct()
+        .withColumn("_rank", rk).select(col("sid"), col("_rank"))
+      df.join(ranks, Seq("sid"))
+    }
+    val srcIdx = ranked(source.df)
+      .withColumn("_i", (row_number().over(wOrd) - 1).cast(DoubleType))
+    val v = col("value")
+    val fits = srcIdx.groupBy(col("_rank")).agg(
+      count(lit(1)).cast(DoubleType).as("_len"),
+      sum(when(!isnan(v), col("_i"))).as("_si"),
+      sum(when(!isnan(v), col("_i") * col("_i"))).as("_sii"),
+      sum(when(!isnan(v), v)).as("_sv"),
+      sum(when(!isnan(v), col("_i") * v)).as("_siv"),
+      min(col("t")).as("_t0"),
+      first(col("step")).as("_srcStep"))
+    val denom = col("_len") * col("_sii") - col("_si") * col("_si")
+    val factor = (col("_len") * col("_siv") - col("_si") * col("_sv")) / denom /
+      col("_srcStep").cast(DoubleType)
+    val fit = fits.select(
+      col("_rank"),
+      denom.as("_den"),
+      factor.as("_factor"),
+      ((col("_sii") * col("_sv") - col("_siv") * col("_si")) / denom -
+        factor * col("_t0").cast(DoubleType)).as("_offset"))
+    val startSec = srcCtx.startMs / 1000
+    val endSec = srcCtx.endMs / 1000
+    val joined = ranked(ss.df).join(fit, Seq("_rank"))
+      .filter(col("_den") =!= 0.0 && !col("_den").isNull)
+    val out = mapSet(SeriesSet(joined, ss.steps),
+      value = col("_offset") + col("t").cast(DoubleType) * col("_factor"),
+      name = concat(lit("linearRegression("), col("name"),
+        lit(s", $startSec, $endSec)")),
+      tagsUpd = Seq(
+        "linearRegressions" -> lit(s"$startSec, $endSec"),
+        "name" -> col("name")))
+    SeriesSet(out.df.drop("_rank", "_den", "_factor", "_offset"), ss.steps)
+  }
+}

@@ -1,0 +1,528 @@
+package graft.graphite
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Graphite Render engine data model (app/vmselect/graphite/eval.go).
+  *
+  * A graphite series is a dense value array on the render grid
+  * `[startTime, endTime)` at some step, NaN marking missing points
+  * (eval.go:76-96 `series`). Spark-first working form is the exploded
+  * long row — one row per (series, grid timestamp):
+  *
+  *   sid      stable series identity within the set (canonical path at
+  *            fetch; synthesized for aggregates). Grouping key.
+  *   ord      presentation rank (graphite series lists are ordered;
+  *            the sort and limit functions read and rewrite it)
+  *   name     display name, rewritten by every transform
+  *   tags     graphite tags incl. the `name` pseudo-tag
+  *            (tags_api.go:396 getCanonicalPath, transform.go:3969)
+  *   pathExpr pathExpression (the originating query text; aggregation
+  *            naming dedups on it — transform.go:4026)
+  *   consol   per-series consolidation function (consolidateBy), null=avg
+  *   xff      per-series xFilesFactor, null = evalConfig default
+  *   step     series step ms
+  *   t        grid timestamp ms, value  (NaN = absent)
+  *
+  * Dense rows make the array-position semantics of the reference
+  * (moving windows, summarize re-bucketing, xFilesFactor counting)
+  * directly expressible as window/groupBy operations, and per-point
+  * cross-series aggregation a plain `groupBy(t)` — series count is the
+  * scale axis, grid length is bounded by the render range.
+  */
+final case class GraphiteCtx(
+    spark: SparkSession,
+    store: DataFrame, // (name, tags MAP<STRING,STRING>, ts ms, value)
+    startMs: Long,
+    endMs: Long,
+    storageStepMs: Long,
+    xff: Double = 0.0,
+    nowMs: Long = 0L,
+    maxSeries: Int = 300000) {
+
+  def pointsLen(step: Long): Long = (endMs - startMs) / step
+
+  /** shifted evaluation range (moving*, timeShift re-evaluate their arg
+    * under an extended/offset config — transform.go movingWindow)
+    */
+  def withRange(s: Long, e: Long): GraphiteCtx = copy(startMs = s, endMs = e)
+}
+
+/** A lazily-evaluated graphite series set (long format, see above).
+  * `steps` statically tracks the distinct step values present so step
+  * normalization (the reference's peekStep+consolidate dance) never
+  * needs a Spark action: sets stay uniform through every per-series
+  * transform and only group()/fallback unions can mix them.
+  */
+final case class SeriesSet(df: DataFrame, steps: Set[Long]) {
+  def step: Long = if (steps.isEmpty) 0L else steps.max
+}
+
+object GraphiteModel {
+  import GraphiteQL._
+
+  val NaN: Double = Double.NaN
+  private def nanLit: Column = lit(Double.NaN)
+
+  /** value with NaN→null so Spark aggregates skip it like the
+    * reference's getFirstNonNaNPos walks (aggr.go:220)
+    */
+  def nn(v: Column): Column = when(!isnan(v), v)
+
+  // ------------------------------------------------------------------
+  // storage fetch
+  // ------------------------------------------------------------------
+
+  /** canonical path `name;k1=v1;k2=v2` with tag keys sorted
+    * (tags_api.go:396 getCanonicalPath)
+    */
+  def canonicalPath(name: Column, tags: Column): Column =
+    concat(
+      name,
+      coalesce(
+        array_join(
+          transform(
+            array_sort(map_entries(tags)),
+            e => concat(lit(";"), e.getField("key"), lit("="), e.getField("value"))),
+          ""),
+        lit("")))
+
+  /** Evaluate a metric path expression against the store: glob-match the
+    * canonical path (lib/storage/index_db.go:1167 getRegexpForGraphiteQuery
+    * rules), then normalize each series to the storage-step grid with
+    * average consolidation (eval.go:200 `s.summarize(aggrAvg, …)`).
+    */
+  def fetch(ctx: GraphiteCtx, query: String): SeriesSet = {
+    val re = globToRegex(query)
+    val raw = ctx.store
+      .withColumn("sid", canonicalPath(col("name"), col("tags")))
+      .filter(col("sid").rlike(re))
+      .filter(col("ts") >= ctx.startMs && col("ts") <= ctx.endMs)
+      .select(
+        col("sid"),
+        col("name"),
+        map_concat(map(lit("name"), col("name")), col("tags")).as("tags"),
+        lit(query).as("pathExpr"),
+        col("ts"),
+        col("value"))
+    SeriesSet(rawToGrid(ctx, raw, ctx.storageStepMs), Set(ctx.storageStepMs))
+  }
+
+  /** Select series by tag filters (`seriesByTag('key=value', …)`,
+    * transform.go transformSeriesByTag): each condition is `k=v`, `k!=v`,
+    * `k=~re`, `k!~re`; `name` matches the metric name.
+    */
+  /** tag-expression predicate over (name, tags) columns: `k=v`, `k!=v`,
+    * `k=~re`, `k!~re`; `name` matches the metric name
+    */
+  def tagExprPredicate(conds: Seq[String]): Column = {
+    val preds = conds.map { c =>
+      val (k, op, v) =
+        if (c.contains("!=") && !c.contains("!~")) {
+          val i = c.indexOf("!="); (c.substring(0, i), "!=", c.substring(i + 2))
+        } else if (c.contains("=~")) {
+          val i = c.indexOf("=~"); (c.substring(0, i), "=~", c.substring(i + 2))
+        } else if (c.contains("!~")) {
+          val i = c.indexOf("!~"); (c.substring(0, i), "!~", c.substring(i + 2))
+        } else {
+          val i = c.indexOf('=')
+          if (i < 0) throw GraphiteQL.ParseException(s"invalid seriesByTag condition '$c'")
+          (c.substring(0, i), "=", c.substring(i + 1))
+        }
+      val tagv = coalesce(
+        if (k == "name") col("name") else col("tags").getItem(k),
+        lit(""))
+      op match {
+        case "=" => tagv === v
+        case "!=" => tagv =!= v
+        case "=~" => tagv.rlike("^(?:" + v + ")$")
+        case "!~" => !tagv.rlike("^(?:" + v + ")$")
+      }
+    }
+    preds.reduce(_ && _)
+  }
+
+  def fetchByTags(ctx: GraphiteCtx, conds: Seq[String]): SeriesSet = {
+    val raw = ctx.store
+      .filter(tagExprPredicate(conds))
+      .withColumn("sid", canonicalPath(col("name"), col("tags")))
+      .filter(col("ts") >= ctx.startMs && col("ts") <= ctx.endMs)
+      .select(
+        col("sid"),
+        col("name"),
+        map_concat(map(lit("name"), col("name")), col("tags")).as("tags"),
+        lit(s"seriesByTag(${conds.map(c => s"'$c'").mkString(",")})").as("pathExpr"),
+        col("ts"),
+        col("value"))
+    SeriesSet(rawToGrid(ctx, raw, ctx.storageStepMs), Set(ctx.storageStepMs))
+  }
+
+  /** Raw samples → dense per-series grid at `step` with average
+    * consolidation, including the ingestion-jitter rule: an empty bucket
+    * adopts the last earlier sample when it lies within 2 s of the
+    * bucket start (eval.go:111-143 summarize).
+    */
+  private def rawToGrid(ctx: GraphiteCtx, raw: DataFrame, step: Long): DataFrame = {
+    val n = ctx.pointsLen(step)
+    if (n <= 0) return emptyFrame(ctx.spark)
+    val bucketed = raw
+      .withColumn("_b", ((col("ts") - ctx.startMs) / step).cast("long"))
+      .filter(col("_b") >= 0 && col("_b") < n)
+    val perBucket = bucketed
+      .groupBy(col("sid"), col("_b"))
+      .agg(
+        avg(nn(col("value"))).as("_avg"),
+        count(lit(1)).as("_rows"),
+        max_by(struct(col("ts"), col("value")), col("ts")).as("_lastS"))
+    val meta = raw
+      .groupBy(col("sid"))
+      .agg(
+        first(col("name")).as("name"),
+        first(col("tags")).as("tags"),
+        first(col("pathExpr")).as("pathExpr"))
+      .withColumn("ord", dense_rank().over(Window.orderBy(col("sid"))).cast("long"))
+    val dense = meta.withColumn(
+      "_b",
+      explode(sequence(lit(0L), lit(n - 1), lit(1L))))
+    val w = Window.partitionBy(col("sid")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val j = dense
+      .join(perBucket, Seq("sid", "_b"), "left")
+      .withColumn("_prevLast", last(col("_lastS"), ignoreNulls = true).over(w))
+      .withColumn("t", lit(ctx.startMs) + col("_b") * step)
+    j.select(
+      col("sid"),
+      col("ord"),
+      col("name"),
+      col("tags"),
+      col("pathExpr"),
+      lit(null).cast("string").as("consol"),
+      lit(null).cast("double").as("xff"),
+      lit(step).as("step"),
+      col("t"),
+      when(col("_rows").isNotNull, coalesce(col("_avg"), nanLit))
+        .when(
+          col("_prevLast").isNotNull &&
+            col("t") - col("_prevLast").getField("ts") <= 2000,
+          col("_prevLast").getField("value"))
+        .otherwise(nanLit)
+        .as("value"))
+  }
+
+  /** schema-correct empty series set */
+  def emptyFrame(spark: SparkSession): DataFrame = {
+    spark.range(0).select(
+      lit("").as("sid"),
+      lit(0L).as("ord"),
+      lit("").as("name"),
+      map(lit("k"), lit("v")).as("tags"),
+      lit("").as("pathExpr"),
+      lit(null).cast("string").as("consol"),
+      lit(null).cast("double").as("xff"),
+      lit(0L).as("step"),
+      lit(0L).as("t"),
+      lit(0.0).as("value"))
+  }
+
+  // ------------------------------------------------------------------
+  // aggregation kernel (aggr.go / aggr_state.go)
+  // ------------------------------------------------------------------
+
+  val aggrNames: Set[String] = Set(
+    "average", "avg", "avg_zero", "median", "sum", "total", "min", "max",
+    "diff", "pow", "stddev", "count", "range", "rangeOf", "multiply",
+    "first", "last", "current")
+
+  def normalizeAggrName(fn: String): String = {
+    val s = fn.stripSuffix("Series")
+    if (!aggrNames(s) && !s.startsWith("p")) // pNN percentile callbacks
+      throw ParseException(s"unsupported aggregate function '$fn'")
+    s
+  }
+
+  /** Percentile with the reference's exact index rule
+    * (valyala/histogram Fast.quantile): sorted non-NaN values,
+    * `idx = floor(phi*(n-1)+0.5)`; phi≤0 → min, phi≥1 → max. The
+    * reference reservoir-samples above 1000 values per bucket; we stay
+    * exact (deviation: strictly more accurate).
+    */
+  def percentileExpr(sortedCol: String, phi: Double): Column = {
+    // guarded for ANSI mode: empty array → null, index clamped into range
+    val idx =
+      if (phi <= 0) "1"
+      else if (phi >= 1) s"size($sortedCol)"
+      else s"cast($phi * (size($sortedCol) - 1) + 0.5 AS INT) + 1"
+    expr(
+      s"if(size($sortedCol) = 0, cast(null as double), " +
+        s"element_at($sortedCol, greatest(1, least(size($sortedCol), $idx))))")
+  }
+
+  /** Build the aggregated value for one group given pre-computed helper
+    * aggregation columns. Caller must .agg(helperAggs: _*) first; this
+    * returns a per-aggrName select Column over those helpers.
+    *
+    * Helper columns (all NaN-skipping unless noted):
+    *   _sum,_cnt,_min,_max,_sd (stddev_pop), _rows (all rows),
+    *   _sorted (sorted non-NaN array), _ordered (order-struct array for
+    *   serial folds: diff/pow/multiply/first/last)
+    */
+  def helperAggs(v: Column, ord: Column): Seq[Column] = Seq(
+    sum(nn(v)).as("_sum"),
+    count(nn(v)).as("_cnt"),
+    count(lit(1)).as("_rows"),
+    min(nn(v)).as("_min"),
+    max(nn(v)).as("_max"),
+    stddev_pop(nn(v)).as("_sd"),
+    array_sort(collect_list(nn(v))).as("_sorted"),
+    array_sort(collect_list(when(!isnan(v), struct(ord.as("o"), v.as("v")))))
+      .as("_ordered"))
+
+  private def firstOrdered: Column =
+    expr("if(size(_ordered) = 0, cast(null as double), _ordered[0].v)")
+
+  /** serial left fold over _ordered: f(acc, x) with null acc start */
+  private def foldOrdered(fn: String): Column = fn match {
+    case "multiply" =>
+      expr("aggregate(_ordered, cast(null as double), (a, x) -> if(a is null, x.v, a * x.v))")
+    case "pow" =>
+      expr("aggregate(_ordered, cast(null as double), (a, x) -> if(a is null, x.v, power(a, x.v)))")
+    case other => sys.error(s"no fold for $other")
+  }
+
+  /** per-group aggregated value (before xFilesFactor gating) */
+  def aggValueCol(fn: String): Column = fn match {
+    case "average" | "avg" => col("_sum") / col("_cnt")
+    case "avg_zero" => coalesce(col("_sum"), lit(0.0)) / col("_rows")
+    case "sum" | "total" => col("_sum")
+    case "min" => col("_min")
+    case "max" => col("_max")
+    case "count" => col("_cnt").cast(DoubleType)
+    case "range" | "rangeOf" => col("_max") - col("_min")
+    case "stddev" => col("_sd")
+    case "median" => percentileExpr("_sorted", 0.5)
+    case "first" => firstOrdered
+    case "last" | "current" =>
+      expr("if(size(_ordered) = 0, cast(null as double), " +
+        "element_at(_ordered, size(_ordered)).v)")
+    case "diff" => lit(2.0) * firstOrdered - col("_sum")
+    case "multiply" | "pow" => foldOrdered(fn)
+    case p if p.startsWith("p") && p.drop(1).forall(c => c.isDigit || c == '.') =>
+      percentileExpr("_sorted", p.drop(1).toDouble / 100.0)
+    case other => throw ParseException(s"unsupported aggregate function '$other'")
+  }
+
+  /** bucket-level xFilesFactor gate (aggr.go:44 aggrFunc.apply):
+    * apply iff nonNaN count ≥ len(values)·xff; `count` still yields its
+    * numeric count when gated in (0 for all-NaN buckets).
+    */
+  def bucketGate(fn: String, xffC: Column): Column = {
+    val pass = col("_cnt").cast(DoubleType) >= col("_rows").cast(DoubleType) * xffC
+    val v = coalesce(aggValueCol(fn), nanLit)
+    when(pass, if (fn == "count") col("_cnt").cast(DoubleType) else v)
+      .otherwise(nanLit)
+  }
+
+  /** state-level gate (aggr_state.go Finalize): value iff
+    * cnt > 0 && cnt ≥ int(xff · seriesTotal); avg_zero skips the gate
+    * and divides by seriesTotal (aggr_state.go:120).
+    */
+  def stateGate(fn: String, xffC: Column): Column = {
+    if (fn == "avg_zero")
+      coalesce(col("_sum"), lit(0.0)) / col("_rows")
+    else {
+      val pass = col("_cnt") > 0 &&
+        col("_cnt") >= floor(xffC * col("_rows")).cast("long")
+      when(pass, coalesce(aggValueCol(fn), nanLit)).otherwise(nanLit)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // re-bucketing: consolidate / summarize / hitcount
+  // ------------------------------------------------------------------
+
+  /** Re-bucket every series of `ss` onto the `[start, end)` grid at
+    * `step`, applying `aggrFor` per series (a Column over `consol` for
+    * consolidation, or a fixed name), with the same empty-bucket jitter
+    * rule as the storage summarize (eval.go:111). Keeps identity/naming
+    * columns untouched.
+    */
+  def summarizeSet(
+      ctx: GraphiteCtx,
+      ss: SeriesSet,
+      start: Long,
+      end: Long,
+      step: Long,
+      fixedAggr: Option[String],
+      xffC: Column): SeriesSet = {
+    val n = (end - start) / step
+    if (n <= 0) return SeriesSet(emptyFrame(ctx.spark), Set(step))
+    val src = ss.df
+      .filter(col("t") >= start && col("t") <= end)
+      .withColumn("_b", ((col("t") - start) / step).cast("long"))
+      .filter(col("_b") >= 0 && col("_b") < n)
+    val aggs = helperAggs(col("value"), col("t")) ++ Seq(
+      max_by(struct(col("t").as("ts"), col("value").as("v")), col("t")).as("_lastS"),
+      first(col("name")).as("name"),
+      first(col("tags")).as("tags"),
+      first(col("pathExpr")).as("pathExpr"),
+      first(col("consol")).as("consol"),
+      first(col("xff")).as("xff"),
+      first(col("ord")).as("ord"))
+    val perBucket = src.groupBy(col("sid"), col("_b")).agg(aggs.head, aggs.tail: _*)
+    val gated = fixedAggr match {
+      case Some(fn) => bucketGate(normalizeAggrName(fn), xffC)
+      case None =>
+        // per-series consolidation function (consolidateFunc, default avg)
+        val branches = aggrNames.toSeq.sorted.map(fn => (fn, bucketGate(fn, xffC)))
+        branches.foldLeft(when(col("consol").isNull, bucketGate("avg", xffC))) {
+          case (acc, (fn, c)) => acc.when(col("consol") === fn, c)
+        }.otherwise(bucketGate("avg", xffC))
+    }
+    val withVal = perBucket.withColumn("_bv", gated)
+    val meta = withVal.groupBy(col("sid")).agg(
+      first(col("name")).as("name"),
+      first(col("tags")).as("tags"),
+      first(col("pathExpr")).as("pathExpr"),
+      first(col("consol")).as("consol"),
+      first(col("xff")).as("xff"),
+      first(col("ord")).as("ord"))
+    val dense = meta.withColumn("_b", explode(sequence(lit(0L), lit(n - 1), lit(1L))))
+    val w = Window.partitionBy(col("sid")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val singleFn = fixedAggr.map(normalizeAggrName)
+    val jitterVal = {
+      // aggr over the single adopted sample (eval.go:125-133)
+      val v = col("_prevLast").getField("v")
+      val c1 = when(!isnan(v), lit(1)).otherwise(lit(0))
+      def single(fn: String): Column = fn match {
+        case "count" => c1.cast(DoubleType)
+        case "stddev" | "range" | "rangeOf" =>
+          when(!isnan(v), lit(0.0)).otherwise(nanLit)
+        case "avg_zero" => when(!isnan(v), v).otherwise(lit(0.0))
+        case _ => v
+      }
+      val gate = c1.cast(DoubleType) >= xffC
+      val body = singleFn match {
+        case Some(fn) => single(fn)
+        case None =>
+          aggrNames.toSeq.sorted
+            .foldLeft(when(col("consol").isNull, single("avg"))) { (acc, fn) =>
+              acc.when(col("consol") === fn, single(fn))
+            }
+            .otherwise(single("avg"))
+      }
+      when(gate, body).otherwise(nanLit)
+    }
+    val j = dense
+      .join(withVal.select(col("sid"), col("_b"), col("_bv"), col("_lastS")),
+        Seq("sid", "_b"), "left")
+      .withColumn("_prevLast", last(col("_lastS"), ignoreNulls = true).over(w))
+      .withColumn("t", lit(start) + col("_b") * step)
+    SeriesSet(
+      j.select(
+        col("sid"),
+        col("ord"),
+        col("name"),
+        col("tags"),
+        col("pathExpr"),
+        col("consol"),
+        col("xff"),
+        lit(step).as("step"),
+        col("t"),
+        when(col("_bv").isNotNull, col("_bv"))
+          .when(
+            col("_prevLast").isNotNull &&
+              col("t") - col("_prevLast").getField("ts") <= 2000,
+            jitterVal)
+          .otherwise(nanLit)
+          .as("value")),
+      Set(step))
+  }
+
+  /** Normalize a set so every series sits on one common step (the
+    * coarsest present), consolidating with each series' consolidateFunc —
+    * the reference consolidates to the first-seen series' step
+    * (aggregateSeries peekStep); we pick max(step) deterministically
+    * from the statically-tracked step set, so this is a no-op (no plan
+    * change, no action) for the uniform common case.
+    */
+  def consolidateCommon(ctx: GraphiteCtx, ss: SeriesSet): SeriesSet = {
+    if (ss.steps.size <= 1) ss
+    else consolidateTo(ctx, ss, ss.steps.max)
+  }
+
+  /** consolidate every series to an explicit target step (the
+    * reference's `s.consolidate(ec, step)` against a peer's step, e.g.
+    * divideSeries' divisor)
+    */
+  def consolidateTo(ctx: GraphiteCtx, ss: SeriesSet, step: Long): SeriesSet = {
+    if (ss.steps == Set(step)) ss
+    else {
+      val xffC = coalesce(col("xff"), lit(ctx.xff))
+      summarizeSet(ctx, ss, ctx.startMs, ctx.endMs, step, None, xffC)
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // misc shared helpers
+  // ------------------------------------------------------------------
+
+  /** Go `%g` number formatting for names (shortest round-trip form,
+    * integers without a trailing `.0`)
+    */
+  def goFmt(d: Double): String = {
+    if (d.isNaN) "NaN"
+    else if (d.isInfinite) { if (d > 0) "+Inf" else "-Inf" }
+    else if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString
+    else {
+      val s = d.toString
+      if (s.contains('E')) {
+        val Array(m, e) = s.split('E')
+        val mm = if (m.endsWith(".0")) m.dropRight(2) else m
+        val ei = e.toInt
+        mm + "e" + (if (ei >= 0) "+%02d".format(ei) else "-%02d".format(-ei))
+      } else s
+    }
+  }
+
+  /** Column variant of goFmt for value-derived name pieces */
+  def goFmtCol(v: Column): Column =
+    when(isnan(v), lit("NaN"))
+      .when(v === v.cast("long").cast(DoubleType) && abs(v) < 1e15,
+        v.cast("long").cast("string"))
+      .otherwise(v.cast("string"))
+
+  /** dotted path part of a display name: parse it as graphiteql and take
+    * the first metric expression (transform.go:3706 getPathFromName)
+    */
+  def pathFromName(name: String): String = {
+    def firstMetric(e: GraphiteQL.Expr): Option[String] = e match {
+      case GraphiteQL.MetricExpr(q) => Some(q)
+      case GraphiteQL.FuncExpr(_, args, _) =>
+        args.view.flatMap(a => a.expr match {
+          case GraphiteQL.MetricExpr(q) => Some(q)
+          case _ => None
+        }).headOption.orElse(
+          args.view.flatMap(a => firstMetric(a.expr)).headOption)
+      case _ => None
+    }
+    try firstMetric(GraphiteQL.parse(name)).getOrElse(name)
+    catch { case _: Exception => name }
+  }
+
+  /** aggregation result naming: `fnSeries(paths)` where paths are the
+    * deduped (and for non-serial fns, sorted) input pathExpressions
+    * (transform.go:4026 formatAggrFuncForSeriesNames)
+    */
+  def formatAggrName(fn: String, pathExprs: Seq[String]): String = {
+    if (pathExprs.isEmpty) "None"
+    else {
+      val serial = Set("diff", "first", "last", "current", "pow")(fn.stripSuffix("Series"))
+      val deduped = pathExprs.distinct
+      val paths = if (serial) deduped else deduped.sorted
+      s"${fn.stripSuffix("Series")}Series(${paths.mkString(",")})"
+    }
+  }
+}
