@@ -1812,6 +1812,118 @@ object SparkEntry {
   // =====================================================================
   // §2.0 sources/sinks + §2.7 stream aggregation + §2.8 relabeling
   // =====================================================================
+  // =====================================================================
+  // §2.11 Graphite Render API — graphiteql targets over the events table
+  // mapped to dotted paths `event_type.user_id`, samples snapped to the
+  // hourly storage grid so the engine's storage-summarize is the same
+  // per-bucket average the oracle computes (fetch edge rules — the 2s
+  // ingestion-jitter adoption, dense-NaN grids — are pinned by
+  // GraphiteSpec instead; gates drop NaN rows on both sides).
+  // =====================================================================
+
+  /** graphite store: path = name.user_id, hour-snapped timestamps */
+  private def grStore(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    e.select(
+      concat_ws(".", col("name"), col("user_id")).as("name"),
+      typedLit(Map.empty[String, String]).as("tags"),
+      (lit(START) + floor((col("ts") - START) / H).cast("long") * H).as("ts"),
+      col("value"))
+      .filter(col("ts") >= START && col("ts") < END)
+  }
+
+  private def gr(target: String)(
+      sel: DataFrame => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => {
+      val ctx = graft.graphite.GraphiteCtx(s, grStore(s, dir), START, END, H, nowMs = END)
+      sel(graft.graphite.GraphiteEval.exec(ctx, target).df
+        .filter(!isnan(col("value"))))
+    }
+
+  /** oracle store CTE: per-(path, hour-bucket) average, floor-aligned */
+  private val GRB: String =
+    s"gb AS (SELECT name, t, avg(value) AS v FROM (" +
+      s"SELECT event_type || '.' || user_id::VARCHAR AS name, " +
+      s"$START + ((epoch_ms(ts::TIMESTAMP) - $START) // $H) * $H AS t, value FROM events " +
+      s"WHERE epoch_ms(ts::TIMESTAMP) >= $START AND epoch_ms(ts::TIMESTAMP) < $END" +
+      s") GROUP BY name, t)"
+
+  private val graphiteQueries: Seq[Q] = Seq(
+    Q("gr_fetch", gr("click.*") { df =>
+      df.select(col("name"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "t")
+    }, Some(s"WITH $GRB SELECT name, t, round(1e-9 + v, 6) AS value FROM gb " +
+      "WHERE name LIKE 'click.%' ORDER BY name, t")),
+    Q("gr_sum_series", gr("sumSeries(click.*)") { df =>
+      df.select(col("name"), col("t"), r6(col("value")).as("value")).orderBy("t")
+    }, Some(s"WITH $GRB SELECT 'sumSeries(click.*)' AS name, t, " +
+      "round(1e-9 + sum(v), 6) AS value FROM gb WHERE name LIKE 'click.%' " +
+      "GROUP BY t ORDER BY t")),
+    Q("gr_group_by_node", gr("groupByNode({click,view}.*, 1, 'sum')") { df =>
+      df.select(col("name"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "t")
+    }, Some(s"WITH $GRB SELECT split_part(name, '.', 2) AS name, t, " +
+      "round(1e-9 + sum(v), 6) AS value FROM gb " +
+      "WHERE name LIKE 'click.%' OR name LIKE 'view.%' " +
+      "GROUP BY 1, t ORDER BY name, t")),
+    Q("gr_moving_avg", gr("movingAverage(click.3, 3)") { df =>
+      df.select(col("t"), r6(col("value")).as("value")).orderBy("t")
+    }, Some(s"WITH $GRB, g AS (SELECT unnest(generate_series($START, $END, $H)) AS t), " +
+      "b AS (SELECT t, v FROM gb WHERE name = 'click.3'), " +
+      "d AS (SELECT g.t AS t, b.v AS v FROM g LEFT JOIN b ON g.t = b.t), " +
+      "m AS (SELECT t, avg(v) OVER (ORDER BY t ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mv FROM d) " +
+      "SELECT t, round(1e-9 + mv, 6) AS value FROM m WHERE mv IS NOT NULL ORDER BY t")),
+    Q("gr_summarize", gr("summarize(click.3, '1d', 'sum')") { df =>
+      df.select(col("t"), r6(col("value")).as("value")).orderBy("t")
+    }, Some(s"WITH $GRB SELECT (t // $D) * $D AS t, round(1e-9 + sum(v), 6) AS value " +
+      "FROM gb WHERE name = 'click.3' GROUP BY 1 ORDER BY t")),
+    Q("gr_highest_avg", gr("highestAverage(click.*, 5)") { df =>
+      df.select(col("name"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "t")
+    }, Some(s"WITH $GRB, a AS (SELECT name, avg(v) AS av FROM gb " +
+      "WHERE name LIKE 'click.%' GROUP BY name), " +
+      "top5 AS (SELECT name FROM a ORDER BY av DESC, name LIMIT 5) " +
+      "SELECT gb.name AS name, t, round(1e-9 + v, 6) AS value FROM gb " +
+      "JOIN top5 ON gb.name = top5.name ORDER BY name, t")),
+    Q("gr_as_percent", gr("asPercent(click.*)") { df =>
+      df.select(col("name"), col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "t")
+    }, Some(s"WITH $GRB SELECT " +
+      "'asPercent(' || name || ',sumSeries(click.*))' AS name, t, " +
+      "round(1e-9 + v * 100.0 / sum(v) OVER (PARTITION BY t), 6) AS value " +
+      "FROM gb WHERE name LIKE 'click.%' ORDER BY name, t")),
+    Q("gr_derivative", gr("derivative(sumSeries(click.*))") { df =>
+      df.select(col("t"), r6(col("value")).as("value")).orderBy("t")
+    }, Some(s"WITH $GRB, s AS (SELECT t, sum(v) AS v FROM gb " +
+      "WHERE name LIKE 'click.%' GROUP BY t), " +
+      s"g AS (SELECT unnest(generate_series($START, ${END - H}, $H)) AS t), " +
+      "d AS (SELECT g.t AS t, s.v AS v FROM g LEFT JOIN s ON g.t = s.t), " +
+      "m AS (SELECT t, v, lag(v) OVER (ORDER BY t) AS pv FROM d) " +
+      "SELECT t, round(1e-9 + v - pv, 6) AS value FROM m " +
+      "WHERE v IS NOT NULL AND pv IS NOT NULL ORDER BY t")),
+    Q("gr_keep_last", gr("keepLastValue(click.3)") { df =>
+      df.select(col("t"), r6(col("value")).as("value")).orderBy("t")
+    }, Some(s"WITH $GRB, g AS (SELECT unnest(generate_series($START, ${END - H}, $H)) AS t), " +
+      "b AS (SELECT t, v FROM gb WHERE name = 'click.3'), " +
+      "d AS (SELECT g.t AS t, b.v AS v FROM g LEFT JOIN b ON g.t = b.t), " +
+      "m AS (SELECT t, last_value(v IGNORE NULLS) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv FROM d) " +
+      "SELECT t, round(1e-9 + fv, 6) AS value FROM m WHERE fv IS NOT NULL ORDER BY t")),
+    // sort gate uses the natural name collation (exact string/number
+    // keys) — sortByTotal's float sums can tie within 1 ulp and rank
+    // differently per summation order, which a hash gate can't tolerate;
+    // the stat-sort path is pinned by GraphiteSpec instead
+    Q("gr_sort_natural", gr("sortByName(view.*, True)") { df =>
+      df.select(col("ord"), col("name")).distinct().orderBy("ord")
+    }, Some(s"WITH $GRB SELECT row_number() OVER " +
+      "(ORDER BY split_part(name, '.', 2)::BIGINT) AS ord, name FROM gb " +
+      "WHERE name LIKE 'view.%' GROUP BY name ORDER BY ord")),
+    Q("gr_hitcount", gr("hitcount(click.3, '1d')") { df =>
+      df.select(col("t"), r6(col("value")).as("value")).orderBy("t")
+    }, Some(s"WITH $GRB SELECT (t // $D) * $D AS t, " +
+      s"round(1e-9 + sum(v * ${H / 1000}), 6) AS value FROM gb " +
+      s"WHERE name = 'click.3' AND t % $D <> 0 " +
+      s"GROUP BY 1 HAVING sum(v * ${H / 1000}) <> 0 ORDER BY t")))
+
   private val sourcesQueries: Seq[Q] = Seq(
     // export → parse round trips: the sink format feeds its own source and
     // the aggregate of the round-tripped samples must equal the raw table
@@ -2070,7 +2182,7 @@ object SparkEntry {
       "GROUP BY name, host, g, uid ORDER BY uid")))
 
   // =====================================================================
-  private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ rollupQueries3 ++ transformQueries ++ aggrQueries ++ binopQueries ++ histoQueries ++ metaQueries ++ pipelineQueries ++ relationalQueries ++ evalQueries ++ sourcesQueries
+  private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ rollupQueries3 ++ transformQueries ++ aggrQueries ++ binopQueries ++ histoQueries ++ metaQueries ++ pipelineQueries ++ relationalQueries ++ evalQueries ++ graphiteQueries ++ sourcesQueries
 
   /** Flagship: sum(rate(events[1d])) by (name) on the hourly grid —
     * the M1 end-to-end slice from SURVEY §7.2: per-(name,user) counter

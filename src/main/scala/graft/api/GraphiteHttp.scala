@@ -116,7 +116,7 @@ object GraphiteHttp {
       .filter(col("name").rlike(full))
       .select(
         regexp_extract(col("name"), full, 1).as("p"),
-        (regexp_extract(col("name"), full, segs.length + 1) =!= "").as("deeper"))
+        (regexp_extract(col("name"), full, 2) =!= "").as("deeper"))
       .distinct()
       .collect()
     names.map { r =>

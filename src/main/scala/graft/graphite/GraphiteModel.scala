@@ -96,9 +96,11 @@ object GraphiteModel {
     */
   def fetch(ctx: GraphiteCtx, query: String): SeriesSet = {
     val re = globToRegex(query)
+    // the glob matches the metric NAME (MetricGroup); tags only
+    // distinguish series identity (canonical sid)
     val raw = ctx.store
+      .filter(col("name").rlike(re))
       .withColumn("sid", canonicalPath(col("name"), col("tags")))
-      .filter(col("sid").rlike(re))
       .filter(col("ts") >= ctx.startMs && col("ts") <= ctx.endMs)
       .select(
         col("sid"),
