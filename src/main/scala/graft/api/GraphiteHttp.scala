@@ -58,8 +58,8 @@ object GraphiteHttp {
         ss = GraphiteModel.summarizeSet(ctx, ss, fromMs, untilMs, step, None,
           coalesce(col("xff"), lit(xff)))
       }
-      SeriesSet(
-        ss.df.withColumn("sid", concat(lit(s"$i|"), col("sid"))), ss.steps)
+      ss.copy(df =
+        ss.df.withColumn("sid", concat(lit(s"$i|"), col("sid"))))
     }
     if (sets.isEmpty) { w.write("[]"); return }
     val all = sets.map(_.df).reduce(_ unionByName _)

@@ -63,7 +63,7 @@ object GraphiteAgg {
         map_concat(col("_tags1"), map(lit("name"), col("_nameTag"))))
       .withColumn("name", if (keyed) col("_key") else col("_aggName"))
       .withColumn("pathExpr", if (keyed) col("_nameTag") else col("_aggName"))
-    val ordW = Window.orderBy(col("_key"))
+    val ordW = Window.orderBy(col("_key")) // series-meta scale: one row per series, bounded by maxSeries
     val out = vals.join(
       named.select(col("_key"), col("name"), col("_tags").as("tags"),
         col("pathExpr"), dense_rank().over(ordW).cast("long").as("ord")),
@@ -80,7 +80,8 @@ object GraphiteAgg {
         lit(ss.step).as("step"),
         col("t"),
         col("value")),
-      Set(ss.step))
+      Set(ss.step),
+      gridRange = Some((ctx.startMs, ctx.endMs)))
   }
 
   /** per-key series metadata: series count, deduped path list, and the
@@ -226,15 +227,16 @@ object GraphiteAgg {
       val renamed =
         if (newName.isEmpty) sub
         else mapSet(sub, name = lit(newName.replace("%", prefix)), setPathExpr = false)
-      val withPath = SeriesSet(
+      val withPath = renamed.copy(df =
         renamed.df.withColumn("pathExpr", lit(prefix))
           .withColumn("sid", concat(lit(s"$i|"), col("sid")))
-          .withColumn("ord", col("ord") + i * 1000000L),
-        renamed.steps)
+          .withColumn("ord", col("ord") + i * 1000000L))
       withPath
     }
-    if (sets.isEmpty) SeriesSet(emptyFrame(ctx.spark), Set(ctx.storageStepMs))
-    else sets.reduce((a, b) => SeriesSet(a.df.unionByName(b.df), a.steps ++ b.steps))
+    if (sets.isEmpty)
+      SeriesSet(emptyFrame(ctx.spark), Set(ctx.storageStepMs),
+        gridRange = Some((ctx.startMs, ctx.endMs)))
+    else sets.reduce(GraphiteFuncs.unionSets)
   }
 
   def percentileOfSeries: TFunc = (ctx, fe) => {
@@ -257,7 +259,8 @@ object GraphiteAgg {
         map(lit("name"), col("name")).as("tags"), col("name").as("pathExpr"),
         lit(null).cast("string").as("consol"), lit(null).cast("double").as("xff"),
         lit(ss.step).as("step"), col("t"), col("value")),
-      Set(ss.step))
+      Set(ss.step),
+      gridRange = Some((ctx.startMs, ctx.endMs)))
   }
 
   def aggregateLine: TFunc = (ctx, fe) => {
@@ -271,8 +274,8 @@ object GraphiteAgg {
     val vString = when(isnan(col("_stat")), lit("None")).otherwise(goFmtCol(col("_stat")))
     val newName = concat(lit("aggregateLine("), col("name"), lit(","), vString, lit(")"))
     if (keepStep) {
-      val out = mapSet(SeriesSet(withStat, ss.steps), value = col("_stat"), name = newName)
-      SeriesSet(out.df.drop("_stat"), out.steps)
+      val out = mapSet(ss.copy(df = withStat), value = col("_stat"), name = newName)
+      out.copy(df = out.df.drop("_stat"))
     } else {
       val mid = (ctx.endMs + ctx.startMs) / 2
       val meta = withStat
@@ -347,7 +350,7 @@ object GraphiteAgg {
       throw GraphiteError(
         s"first and second lists must have equal number of series; got $n1 vs $n2 series")
     def ranked(df: DataFrame): DataFrame = {
-      val rk = dense_rank().over(Window.orderBy(col("ord"), col("sid")))
+      val rk = dense_rank().over(Window.orderBy(col("ord"), col("sid"))) // series-meta scale: one row per series, bounded by maxSeries
       val ranks = df.select(col("sid"), col("ord")).distinct()
         .withColumn("_rank", rk)
         .select(col("sid"), col("_rank"))
@@ -358,9 +361,9 @@ object GraphiteAgg {
       col("_rank"), col("t"), col("value").as("_v2"), col("name").as("_n2"))
     val joined = l.join(r, Seq("_rank", "t"))
     val newName = concat(lit(fn + "Series("), col("name"), lit(","), col("_n2"), lit(")"))
-    val out = mapSet(SeriesSet(joined, first.steps),
+    val out = mapSet(first.copy(df = joined),
       value = pairAgg(fn, col("value"), col("_v2")), name = newName)
-    SeriesSet(out.df.drop("_rank", "_v2", "_n2"), Set(first.step))
+    out.copy(df = out.df.drop("_rank", "_v2", "_n2"), steps = Set(first.step))
   }
 
   def seriesListsFixed(fn: String): TFunc = (ctx, fe) => {
@@ -401,11 +404,11 @@ object GraphiteAgg {
       val dividend = consolidateTo(ctx, dividend0, divisor.step)
       val d = divisor.df.select(col("t"), col("value").as("_dv"), col("name").as("_dn"))
       val joined = dividend.df.join(d, Seq("t"), "left")
-      val out = mapSet(SeriesSet(joined, dividend.steps),
+      val out = mapSet(dividend.copy(df = joined),
         value = col("value") / coalesce(col("_dv"), lit(Double.NaN)),
         name = concat(lit("divideSeries("), col("name"), lit(","),
           coalesce(col("_dn"), lit("MISSING")), lit(")")))
-      SeriesSet(out.df.drop("_dv", "_dn"), dividend.steps)
+      out.copy(df = out.df.drop("_dv", "_dn"))
     }
   }
 
@@ -461,7 +464,8 @@ object GraphiteAgg {
         map(lit("name"), col("name")).as("tags"), col("name").as("pathExpr"),
         lit(null).cast("string").as("consol"), lit(null).cast("double").as("xff"),
         lit(avgS.step).as("step"), col("t"), col("value")),
-      Set(avgS.step))
+      Set(avgS.step),
+      gridRange = Some((ctx.startMs, ctx.endMs)))
   }
 
   // ------------------------------------------------------------------
@@ -513,13 +517,13 @@ object GraphiteAgg {
           .as("_tn"))
     val joined = df.join(totals, Seq("_key", "t"), "left")
       .join(names, Seq("_key"), "left")
-    val out = mapSet(SeriesSet(joined, ss.steps),
+    val out = mapSet(ss.copy(df = joined),
       value = col("value") / col("_tv") * 100,
       name = concat(lit("asPercent("), col("name"), lit(","), col("_tn"), lit(")")),
       tagsUpd = Seq())
     // reference also rewrites the name tag (inplacePercent* set Tags["name"])
     val out2 = mapSet(out, tagsUpd = Seq("name" -> col("name")))
-    SeriesSet(out2.df.drop("_key", "_tv", "_tn"), ss.steps)
+    out2.copy(df = out2.df.drop("_key", "_tv", "_tn"))
   }
 
   /** total expression without nodes: single total series → divide each;
@@ -528,18 +532,20 @@ object GraphiteAgg {
   private def percentAgainstTotalSeries(
       ctx: GraphiteCtx, ss0: SeriesSet, total: SeriesSet): SeriesSet = {
     val nT = total.df.select(col("sid")).distinct().count()
-    if (nT == 0) return SeriesSet(emptyFrame(ctx.spark), Set(ctx.storageStepMs))
+    if (nT == 0)
+      return SeriesSet(emptyFrame(ctx.spark), Set(ctx.storageStepMs),
+        gridRange = Some((ctx.startMs, ctx.endMs)))
     val ss =
       if (nT == 1) consolidateTo(ctx, ss0, total.step)
       else consolidateCommon(ctx, ss0)
     if (nT == 1) {
       val t = total.df.select(col("t"), col("value").as("_tv"), col("name").as("_tn"))
       val joined = ss.df.join(t, Seq("t"), "left")
-      val out = mapSet(SeriesSet(joined, ss.steps),
+      val out = mapSet(ss.copy(df = joined),
         value = col("value") / col("_tv") * 100,
         name = concat(lit("asPercent("), col("name"), lit(","), col("_tn"), lit(")")))
       val out2 = mapSet(out, tagsUpd = Seq("name" -> col("name")))
-      SeriesSet(out2.df.drop("_tv", "_tn"), ss.steps)
+      out2.copy(df = out2.df.drop("_tv", "_tn"))
     } else {
       val nS = ss.df.select(col("sid")).distinct().count()
       if (nS != nT)
@@ -549,7 +555,7 @@ object GraphiteAgg {
         throw GraphiteError(
           s"step mismatch for series and total series: ${ss.step} vs ${total.step}")
       def ranked(df: DataFrame): DataFrame = {
-        val rk = dense_rank().over(Window.orderBy(col("ord"), col("sid")))
+        val rk = dense_rank().over(Window.orderBy(col("ord"), col("sid"))) // series-meta scale: one row per series, bounded by maxSeries
         val ranks = df.select(col("sid"), col("ord")).distinct()
           .withColumn("_rank", rk).select(col("sid"), col("_rank"))
         df.join(ranks, Seq("sid"))
@@ -558,11 +564,11 @@ object GraphiteAgg {
       val r = ranked(total.df)
         .select(col("_rank"), col("t"), col("value").as("_tv"), col("name").as("_tn"))
       val joined = l.join(r, Seq("_rank", "t"))
-      val out = mapSet(SeriesSet(joined, ss.steps),
+      val out = mapSet(ss.copy(df = joined),
         value = col("value") / col("_tv") * 100,
         name = concat(lit("asPercent("), col("name"), lit(","), col("_tn"), lit(")")))
       val out2 = mapSet(out, tagsUpd = Seq("name" -> col("name")))
-      SeriesSet(out2.df.drop("_rank", "_tv", "_tn"), ss.steps)
+      out2.copy(df = out2.df.drop("_rank", "_tv", "_tn"))
     }
   }
 
@@ -596,20 +602,20 @@ object GraphiteAgg {
       .join(totals, Seq("_key", "t"), "left")
       .join(totalNames, Seq("_key"), "left")
     val matchedOut = {
-      val o = mapSet(SeriesSet(matched, ss.steps),
+      val o = mapSet(ss.copy(df = matched),
         value = col("value") / col("_tv") * 100,
         name = concat(lit("asPercent("), col("name"), lit(","), col("_tn"), lit(")")))
       val o2 = mapSet(o, tagsUpd = Seq("name" -> col("name")))
-      SeriesSet(o2.df.drop("_key", "_tv", "_tn"), ss.steps)
+      o2.copy(df = o2.df.drop("_key", "_tv", "_tn"))
     }
     // series whose key has no total: all-NaN, MISSING total name
     val unmatched = sDf.join(tKeys, Seq("_key"), "leftanti")
     val unmatchedOut = {
-      val o = mapSet(SeriesSet(unmatched, ss.steps),
+      val o = mapSet(ss.copy(df = unmatched),
         value = lit(Double.NaN),
         name = concat(lit("asPercent("), col("name"), lit(",MISSING)")))
       val o2 = mapSet(o, tagsUpd = Seq("name" -> col("name")))
-      SeriesSet(o2.df.drop("_key"), ss.steps)
+      o2.copy(df = o2.df.drop("_key"))
     }
     // totals whose key has no series: NaN series named asPercent(MISSING, totalName)
     val missingKeys = tKeys.join(sKeys, Seq("_key"), "leftanti")
@@ -626,11 +632,13 @@ object GraphiteAgg {
           map(lit("name"), nm).as("tags"), nm.as("pathExpr"),
           lit(null).cast("string").as("consol"), lit(null).cast("double").as("xff"),
           lit(ss.step).as("step"), col("t"), lit(Double.NaN).as("value")),
-        ss.steps)
+        ss.steps,
+        gridRange = Some((ctx.startMs, ctx.endMs)))
     }
     SeriesSet(
       matchedOut.df.unionByName(missingOut.df).unionByName(unmatchedOut.df),
-      ss.steps)
+      ss.steps,
+      gridRange = Some((ctx.startMs, ctx.endMs)))
   }
 
   // ------------------------------------------------------------------
@@ -727,6 +735,8 @@ object GraphiteAgg {
           .withColumn("step", lit(step))
       }
     val valued = df.withColumn("_mv", bucketGate(fn, lit(xff)))
+    // output grid is end-inclusive and possibly offset: gridRange stays
+    // None so any downstream aggregation re-buckets like the reference
     val out = mapSet(SeriesSet(valued, Set(step)),
       value = col("_mv"),
       name = concat(lit(tagName + "("), col("name"), lit(s",$windowSizeStr)")),
@@ -752,7 +762,9 @@ object GraphiteAgg {
     val windowSize = math.abs(ws0)
     val windowSizeStr = windowA.expr.render
     val ecc = ctx.withRange(ctx.startMs - windowSize, ctx.endMs)
-    val inner = consolidateCommon(ecc, eval(ecc, arg(fe, "seriesList", 0).expr))
+    // the reference folds over each series' RAW timestamps — no
+    // consolidation (transformExponentialMovingAverage)
+    val inner = eval(ecc, arg(fe, "seriesList", 0).expr)
     val step = inner.step
     // seed: plain average of the pre-range warmup points, 0 if none
     val seed = coalesce(
@@ -785,7 +797,7 @@ object GraphiteAgg {
         col("consol"), col("xff"), lit(step).as("step"),
         col("col").getField("0").as("t"),
         coalesce(col("col").getField("_emas"), lit(Double.NaN)).as("value"))
-    val out = mapSet(SeriesSet(exploded, Set(step)),
+    val out = mapSet(SeriesSet(exploded, inner.steps),
       name = concat(lit("exponentialMovingAverage("), col("name"),
         lit(s",$windowSizeStr)")),
       tagsUpd = Seq("exponentialMovingAverage" -> lit(windowSizeStr)))
@@ -933,7 +945,12 @@ object GraphiteAgg {
     val trimmed =
       if (resetEnd) inner.df.filter(col("t") <= ctx.endMs) else inner.df
     val shifted = trimmed.withColumn("t", col("t") - shift)
-    mapSet(SeriesSet(shifted, inner.steps),
+    val shiftedGrid = inner.gridRange.collect {
+      case (s0, e0) if (s0 - shift, e0 - shift) == ((ctx.startMs, ctx.endMs)) =>
+        (ctx.startMs, ctx.endMs)
+    }
+    mapSet(SeriesSet(shifted, inner.steps, gridRange = shiftedGrid,
+        hasConsol = inner.hasConsol),
       name = wrapName("timeShift", lit(StringExpr(shiftStr).render)),
       tagsUpd = Seq("timeShift" -> lit(shiftStr)), setPathExpr = false)
   }
@@ -953,16 +970,20 @@ object GraphiteAgg {
       val ecc = ctx.withRange(ctx.startMs + innerDelta, ctx.endMs + innerDelta)
       val inner = eval(ecc, arg(fe, "seriesList", 0).expr)
       val shifted = inner.df.withColumn("t", col("t") - innerDelta)
-      val renamed = mapSet(SeriesSet(shifted, inner.steps),
+      val stackGrid = inner.gridRange.collect {
+        case (s0, e0) if (s0 - innerDelta, e0 - innerDelta) == ((ctx.startMs, ctx.endMs)) =>
+          (ctx.startMs, ctx.endMs)
+      }
+      val renamed = mapSet(SeriesSet(shifted, inner.steps, gridRange = stackGrid,
+          hasConsol = inner.hasConsol),
         name = wrapName("timeShift", lit(unit), lit(shift.toString)),
         tagsUpd = Seq("timeShiftUnit" -> lit(unit), "timeShift" -> lit(shift.toString)))
-      SeriesSet(
+      renamed.copy(df =
         renamed.df
           .withColumn("sid", concat(lit(s"$shift|"), col("sid")))
-          .withColumn("ord", col("ord") + (shift - start) * 1000000L),
-        renamed.steps)
+          .withColumn("ord", col("ord") + (shift - start) * 1000000L))
     }
-    sets.reduce((a, b) => SeriesSet(a.df.unionByName(b.df), a.steps ++ b.steps))
+    sets.reduce(GraphiteFuncs.unionSets)
   }
 
   // ------------------------------------------------------------------
@@ -988,7 +1009,7 @@ object GraphiteAgg {
       }
     // per-series least squares over the source range, paired by rank
     def ranked(df: DataFrame): DataFrame = {
-      val rk = dense_rank().over(Window.orderBy(col("ord"), col("sid")))
+      val rk = dense_rank().over(Window.orderBy(col("ord"), col("sid"))) // series-meta scale: one row per series, bounded by maxSeries
       val ranks = df.select(col("sid"), col("ord")).distinct()
         .withColumn("_rank", rk).select(col("sid"), col("_rank"))
       df.join(ranks, Seq("sid"))
@@ -1017,13 +1038,13 @@ object GraphiteAgg {
     val endSec = srcCtx.endMs / 1000
     val joined = ranked(ss.df).join(fit, Seq("_rank"))
       .filter(col("_den") =!= 0.0 && !col("_den").isNull)
-    val out = mapSet(SeriesSet(joined, ss.steps),
+    val out = mapSet(ss.copy(df = joined),
       value = col("_offset") + col("t").cast(DoubleType) * col("_factor"),
       name = concat(lit("linearRegression("), col("name"),
         lit(s", $startSec, $endSec)")),
       tagsUpd = Seq(
         "linearRegressions" -> lit(s"$startSec, $endSec"),
         "name" -> col("name")))
-    SeriesSet(out.df.drop("_rank", "_den", "_factor", "_offset"), ss.steps)
+    out.copy(df = out.df.drop("_rank", "_den", "_factor", "_offset"))
   }
 }

@@ -148,7 +148,7 @@ object GraphiteEval {
           col("tags"),
           map(tagsUpd.flatMap { case (k, v) => Seq(lit(k), v.cast("string")) }: _*))
     val newName = name
-    SeriesSet(
+    ss.copy(df =
       ss.df.select(
         col("sid"),
         col("ord"),
@@ -159,8 +159,7 @@ object GraphiteEval {
         xff.as("xff"),
         col("step"),
         col("t"),
-        coalesce(value, lit(Double.NaN)).as("value")),
-      ss.steps)
+        coalesce(value, lit(Double.NaN)).as("value")))
   }
 
   /** wrap the display name: `fn(name)` / `fn(name,suffix)` */
@@ -192,14 +191,14 @@ object GraphiteEval {
       case "<=" => statC <= threshold
       case other => throw GraphiteError(s"unknown operator '$other'")
     }
-    SeriesSet(withSeriesStat(ss.df, fn).filter(pred).drop("_stat"), ss.steps)
+    ss.copy(df = withSeriesStat(ss.df, fn).filter(pred).drop("_stat"))
   }
 
   /** Reassign presentation order by the prepared `_k` sort-key column
     * (ascending or descending, sid tie-break); consumes `_k`.
     */
   def reorder(df: DataFrame, descending: Boolean): DataFrame = {
-    val w = Window.orderBy(
+    val w = Window.orderBy( // series-meta scale: one row per series, bounded by maxSeries
       if (descending) col("_k").desc_nulls_last else col("_k").asc_nulls_last,
       col("sid").asc)
     val ranked = df

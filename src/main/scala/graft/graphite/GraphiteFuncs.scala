@@ -190,10 +190,10 @@ object GraphiteFuncs {
       .withColumn("_p", percentileExpr("_sorted", n / 100.0))
       .drop("_sorted")
     val bad = if (above) col("value") > col("_p") else col("value") < col("_p")
-    mapSet(SeriesSet(withP, ss.steps),
+    mapSet(ss.copy(df = withP),
       value = when(bad, Double.NaN).otherwise(col("value")),
       name = wrapName(fn, lit(goFmt(n)))) match {
-      case s => SeriesSet(s.df.drop("_p"), s.steps)
+      case s => s.copy(df = s.df.drop("_p"))
     }
   }
 
@@ -205,11 +205,11 @@ object GraphiteFuncs {
       .withColumn("_sorted", array_sort(collect_list(nn(col("value"))).over(wAll)))
       .withColumn("_p", percentileExpr("_sorted", n / 100.0))
       .drop("_sorted")
-    val out = mapSet(SeriesSet(withP, ss.steps),
+    val out = mapSet(ss.copy(df = withP),
       value = coalesce(col("_p"), lit(Double.NaN)),
       name = wrapName("nPercentile", lit(goFmt(n))),
       tagsUpd = Seq("nPercentile" -> lit(goFmt(n))))
-    SeriesSet(out.df.drop("_p"), out.steps)
+    out.copy(df = out.df.drop("_p"))
   }
 
   // ------------------------------------------------------------------
@@ -334,10 +334,10 @@ object GraphiteFuncs {
       runLen.cast(DoubleType) <= limit
     val filled = prevV + (nextV - prevV) / (runLen.cast(DoubleType) + 1.0) *
       posInRun.cast(DoubleType)
-    val out = mapSet(SeriesSet(df, ss.steps),
+    val out = mapSet(ss.copy(df = df),
       value = when(canFill, filled).otherwise(col("value")),
       name = wrapName("interpolate"))
-    SeriesSet(out.df.drop("_grp"), out.steps)
+    out.copy(df = out.df.drop("_grp"))
   }
 
   private def keepLastValue: TFunc = (ctx, fe) => {
@@ -352,10 +352,10 @@ object GraphiteFuncs {
       .over(wOrd.rowsBetween(Window.unboundedPreceding, 0))
     val fill = isnan(col("value")) && col("_grp") > 0 &&
       posInRun.cast(DoubleType) <= limit
-    val out = mapSet(SeriesSet(df, ss.steps),
+    val out = mapSet(ss.copy(df = df),
       value = when(fill, prevV).otherwise(col("value")),
       name = wrapName("keepLastValue"))
-    SeriesSet(out.df.drop("_grp"), out.steps)
+    out.copy(df = out.df.drop("_grp"))
   }
 
   private def transformNull: TFunc = (ctx, fe) => {
@@ -375,12 +375,12 @@ object GraphiteFuncs {
         val ss0 = seriesArg(ctx, fe, "seriesList", 0)
         val ss = GraphiteModel.consolidateTo(ctx, ss0, ref.step)
         val joined = ss.df.join(mask, Seq("t"), "left")
-        val out = mapSet(SeriesSet(joined, ss.steps),
+        val out = mapSet(ss.copy(df = joined),
           value = when(isnan(col("value")) && coalesce(col("_replace"), lit(false)), dflt)
             .otherwise(col("value")),
           name = wrapName("transformNull", lit(dStr), lit("referenceSeries")),
           tagsUpd = Seq("transformNull" -> lit(dStr), "referenceSeries" -> lit("1")))
-        SeriesSet(out.df.drop("_replace"), out.steps)
+        out.copy(df = out.df.drop("_replace"))
     }
   }
 
@@ -420,7 +420,7 @@ object GraphiteFuncs {
     mapSet(ss,
       name = wrapName("consolidateBy", lit(StringExpr(fn0).render)),
       tagsUpd = Seq("consolidateBy" -> lit(fn0)),
-      consol = lit(fn))
+      consol = lit(fn)).copy(hasConsol = true)
   }
 
   private def consolidateBy: TFunc = (ctx, fe) => {
@@ -556,24 +556,23 @@ object GraphiteFuncs {
     expectArgs(fe, 2, 2)
     val pattern = str(fe, "pattern", 1)
     val ss = seriesArg(ctx, fe, "seriesList", 0)
-    SeriesSet(ss.df.filter(col("name").rlike(pattern)), ss.steps)
+    ss.copy(df = ss.df.filter(col("name").rlike(pattern)))
   }
 
   private def exclude: TFunc = (ctx, fe) => {
     expectArgs(fe, 2, 2)
     val pattern = str(fe, "pattern", 1)
     val ss = seriesArg(ctx, fe, "seriesList", 0)
-    SeriesSet(ss.df.filter(!col("name").rlike(pattern)), ss.steps)
+    ss.copy(df = ss.df.filter(!col("name").rlike(pattern)))
   }
 
   private def limit: TFunc = (ctx, fe) => {
     expectArgs(fe, 2, 2)
     val n = num(fe, "n", 1)
     val ss = seriesArg(ctx, fe, "seriesList", 0)
-    val rk = dense_rank().over(Window.orderBy(col("ord"), col("sid")))
-    SeriesSet(
-      ss.df.withColumn("_rk", rk).filter(col("_rk") <= n.toInt).drop("_rk"),
-      ss.steps)
+    val rk = dense_rank().over(Window.orderBy(col("ord"), col("sid"))) // series-meta scale: one row per series, bounded by maxSeries
+    ss.copy(df =
+      ss.df.withColumn("_rk", rk).filter(col("_rk") <= n.toInt).drop("_rk"))
   }
 
   private def removeEmptySeries: TFunc = (ctx, fe) => {
@@ -589,7 +588,7 @@ object GraphiteFuncs {
     val keep = stats
       .filter(col("_cnt").cast(DoubleType) / col("_rows") > xffEff)
       .select(col("sid"))
-    SeriesSet(ss.df.join(keep, Seq("sid"), "leftsemi"), ss.steps)
+    ss.copy(df = ss.df.join(keep, Seq("sid"), "leftsemi"))
   }
 
   private def unique: TFunc = (ctx, fe) => {
@@ -599,7 +598,7 @@ object GraphiteFuncs {
       Window.partitionBy(col("name")).orderBy(col("ord"), col("sid")))
     val firstSids = ss.df.select(col("sid"), col("name"), col("ord")).distinct()
       .withColumn("_rk", rk).filter(col("_rk") === 1).select(col("sid"))
-    SeriesSet(ss.df.join(firstSids, Seq("sid"), "leftsemi"), ss.steps)
+    ss.copy(df = ss.df.join(firstSids, Seq("sid"), "leftsemi"))
   }
 
   private def averageOutsidePercentile: TFunc = (ctx, fe) => {
@@ -616,10 +615,9 @@ object GraphiteFuncs {
         percentileExpr("_sorted", n / 100.0).as("_lo"),
         percentileExpr("_sorted", (100 - n) / 100.0).as("_hi"))
     val joined = withAvg.crossJoin(bounds)
-    SeriesSet(
+    ss.copy(df =
       joined.filter(col("_stat") < col("_lo") || col("_stat") > col("_hi"))
-        .drop("_stat", "_lo", "_hi"),
-      ss.steps)
+        .drop("_stat", "_lo", "_hi"))
   }
 
   private def removeBetweenPercentile: TFunc = (ctx, fe) => {
@@ -638,7 +636,7 @@ object GraphiteFuncs {
     val outside = joined
       .filter(col("value") < col("_lo") || col("value") > col("_hi"))
       .select(col("sid")).distinct()
-    SeriesSet(ss.df.join(outside, Seq("sid"), "leftsemi"), ss.steps)
+    ss.copy(df = ss.df.join(outside, Seq("sid"), "leftsemi"))
   }
 
   /** percentile with the aggrState Finalize gate */
@@ -658,7 +656,9 @@ object GraphiteFuncs {
       .select(col("name")).distinct().limit(1001).collect().map(_.getString(0))
     if (names.length > 1000) throw GraphiteError("useSeriesAbove: too many series (>1000)")
     val newNames = names.map(_.replaceAll(search, replace))
-    if (newNames.isEmpty) SeriesSet(emptyFrame(ctx.spark), Set(ctx.storageStepMs))
+    if (newNames.isEmpty)
+      SeriesSet(emptyFrame(ctx.spark), Set(ctx.storageStepMs),
+        gridRange = Some((ctx.startMs, ctx.endMs)))
     else exec(ctx, s"group(${newNames.mkString(",")})")
   }
 
@@ -671,7 +671,7 @@ object GraphiteFuncs {
       .withColumn("_k",
         when(col("_stat").isNull || isnan(col("_stat")), Double.NegativeInfinity)
           .otherwise(col("_stat")))
-    SeriesSet(reorder(df, descending = reverse).drop("_stat"), ss.steps)
+    ss.copy(df = reorder(df, descending = reverse).drop("_stat"))
   }
 
   private def sortBy: TFunc = (ctx, fe) => {
@@ -706,7 +706,7 @@ object GraphiteFuncs {
     val ss = seriesArg(ctx, fe, "seriesList", 0)
     val key = if (natural) naturalKeyUdf(col("name")) else col("name")
     val df = ss.df.withColumn("_k", key)
-    SeriesSet(reorder(df, descending = reverse), ss.steps)
+    ss.copy(df = reorder(df, descending = reverse))
   }
 
   private def highestLowest(highest: Boolean): TFunc = (ctx, fe) => {
@@ -731,7 +731,7 @@ object GraphiteFuncs {
       ss: SeriesSet, n: Double, fn: String, highest: Boolean): SeriesSet = {
     val df = withSeriesStat(ss.df, fn)
     val sel = if (highest) desc_nulls_last("_stat") else asc_nulls_last("_stat")
-    val rk = row_number().over(Window.orderBy(sel, asc("ord"), asc("sid")))
+    val rk = row_number().over(Window.orderBy(sel, asc("ord"), asc("sid"))) // series-meta scale: one row per series, bounded by maxSeries
     val picked = df.select(col("sid"), col("_stat"), col("ord")).distinct()
       .withColumn("_rk", rk).filter(col("_rk") <= n.toInt)
       .select(col("sid"))
@@ -739,7 +739,7 @@ object GraphiteFuncs {
     val out = kept.withColumn("_k",
       when(isnan(col("_stat")), lit(null).cast(DoubleType)).otherwise(col("_stat")))
     // highest* returns ascending stat order, lowest* descending
-    SeriesSet(reorder(out, descending = !highest).drop("_stat"), ss.steps)
+    ss.copy(df = reorder(out, descending = !highest).drop("_stat"))
   }
 
   private def mostDeviant: TFunc = (ctx, fe) => {
@@ -788,6 +788,9 @@ object GraphiteFuncs {
   private def areaBetween: TFunc = (ctx, fe) => {
     expectArgs(fe, 1, 1)
     val ss = seriesArg(ctx, fe, "seriesList", 0)
+    val n = ss.df.select(col("sid")).distinct().limit(3).count()
+    if (n > 2)
+      throw GraphiteError("expecting exactly two series; got more series")
     mapSet(ss, name = wrapName("areaBetween"),
       tagsUpd = Seq("areaBetween" -> lit("1")))
   }
@@ -816,18 +819,32 @@ object GraphiteFuncs {
     */
   def groupUnion(ctx: GraphiteCtx, fe: FuncExpr): SeriesSet = {
     val sets = fe.args.zipWithIndex.map { case (a, i) =>
+      // positional slots only accept the canonical arg name
+      // (evalSeriesList → getArg: "unexpected named arg")
+      if (a.name.nonEmpty && a.name != "seriesList")
+        throw GraphiteError(s"unexpected named arg at position $i: '${a.name}'")
       val s = eval(ctx, a.expr)
-      SeriesSet(
+      s.copy(df =
         s.df.select(
           concat(lit(s"$i|"), col("sid")).as("sid"),
           (col("ord") + i * 1000000L).as("ord"),
           col("name"), col("tags"), col("pathExpr"), col("consol"),
-          col("xff"), col("step"), col("t"), col("value")),
-        s.steps)
+          col("xff"), col("step"), col("t"), col("value")))
     }
-    if (sets.isEmpty) SeriesSet(emptyFrame(ctx.spark), Set(ctx.storageStepMs))
-    else sets.reduce((a, b) => SeriesSet(a.df.unionByName(b.df), a.steps ++ b.steps))
+    if (sets.isEmpty)
+      SeriesSet(emptyFrame(ctx.spark), Set(ctx.storageStepMs),
+        gridRange = Some((ctx.startMs, ctx.endMs)))
+    else sets.reduce(unionSets)
   }
+
+  /** union preserving the static grid metadata (same range on both
+    * sides keeps it; anything else forces consolidation downstream)
+    */
+  def unionSets(a: SeriesSet, b: SeriesSet): SeriesSet =
+    SeriesSet(a.df.unionByName(b.df), a.steps ++ b.steps,
+      gridRange = if (a.gridRange == b.gridRange) a.gridRange else None,
+      hasConsol = a.hasConsol || b.hasConsol,
+      headStep0 = a.headStep)
 
   private def group: TFunc = (ctx, fe) => groupUnion(ctx, fe)
 

@@ -164,6 +164,11 @@ object GraphiteHW {
     expectArgs(fe, 1, 4)
     val (delta, b, s) = bandArgs(ctx, fe)
     val (rows, step) = bandRows(ctx, fe, delta, b, s)
+    // bands of >1 input series cannot form an area
+    // (transformHoltWintersConfidenceArea len(bands) != 2 check)
+    val n = rows.select(col("_origName"), col("_origOrd")).distinct().limit(2).count()
+    if (n > 1)
+      throw GraphiteError("expecting exactly two series; got more series")
     bandSeries(rows, step, areaWrap = true)
   }
 
@@ -182,11 +187,11 @@ object GraphiteHW {
       .when(col("_up").isNotNull && !isnan(col("_up")) && v > col("_up"), v - col("_up"))
       .when(col("_lo").isNotNull && !isnan(col("_lo")) && v < col("_lo"), v - col("_lo"))
       .otherwise(0.0)
-    val out = mapSet(SeriesSet(joined, Set(step)),
+    val out = mapSet(plain.copy(df = joined),
       value = aberr,
       name = wrapName("holtWintersAberration"),
       tagsUpd = Seq("holtWintersAberration" -> lit("1")))
-    SeriesSet(out.df.drop("_up", "_lo"), Set(step))
+    out.copy(df = out.df.drop("_up", "_lo"))
   }
 
   def forecast: TFunc = (ctx, fe) => {

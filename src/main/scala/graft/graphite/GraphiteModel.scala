@@ -51,13 +51,36 @@ final case class GraphiteCtx(
 }
 
 /** A lazily-evaluated graphite series set (long format, see above).
+  *
   * `steps` statically tracks the distinct step values present so step
   * normalization (the reference's peekStep+consolidate dance) never
   * needs a Spark action: sets stay uniform through every per-series
   * transform and only group()/fallback unions can mix them.
+  *
+  * The reference consolidates every aggregation input unconditionally
+  * (`s.consolidate(ec, step)` — series.summarize re-buckets even at a
+  * matching step). That re-bucket is the identity exactly when (a) the
+  * rows already form the canonical dense `[start, end)` grid for the
+  * consuming range — `gridRange` tracks which range that is, `None` for
+  * synthetic/offset/end-inclusive grids — and (b) no series carries a
+  * consolidateFunc whose singleton-bucket value differs from the input
+  * (count → 1, range/stddev → 0, avg_zero(NaN) → 0) — `hasConsol`.
+  * consolidateCommon skips the re-bucket only when both hold, keeping
+  * the fetched-series hot path plan-free while synthetics and
+  * consolidateBy flows re-bucket exactly like the reference.
   */
-final case class SeriesSet(df: DataFrame, steps: Set[Long]) {
+final case class SeriesSet(
+    df: DataFrame,
+    steps: Set[Long],
+    gridRange: Option[(Long, Long)] = None,
+    hasConsol: Boolean = false,
+    headStep0: Long = 0L) {
   def step: Long = if (steps.isEmpty) 0L else steps.max
+
+  /** the first series' step — the reference's peekStep, which picks the
+    * aggregation target step; statically the first union branch's step
+    */
+  def headStep: Long = if (headStep0 > 0) headStep0 else step
 }
 
 object GraphiteModel {
@@ -109,7 +132,8 @@ object GraphiteModel {
         lit(query).as("pathExpr"),
         col("ts"),
         col("value"))
-    SeriesSet(rawToGrid(ctx, raw, ctx.storageStepMs), Set(ctx.storageStepMs))
+    SeriesSet(rawToGrid(ctx, raw, ctx.storageStepMs), Set(ctx.storageStepMs),
+      gridRange = Some((ctx.startMs, ctx.endMs)))
   }
 
   /** Select series by tag filters (`seriesByTag('key=value', …)`,
@@ -158,7 +182,8 @@ object GraphiteModel {
         lit(s"seriesByTag(${conds.map(c => s"'$c'").mkString(",")})").as("pathExpr"),
         col("ts"),
         col("value"))
-    SeriesSet(rawToGrid(ctx, raw, ctx.storageStepMs), Set(ctx.storageStepMs))
+    SeriesSet(rawToGrid(ctx, raw, ctx.storageStepMs), Set(ctx.storageStepMs),
+      gridRange = Some((ctx.startMs, ctx.endMs)))
   }
 
   /** Raw samples → dense per-series grid at `step` with average
@@ -184,7 +209,7 @@ object GraphiteModel {
         first(col("name")).as("name"),
         first(col("tags")).as("tags"),
         first(col("pathExpr")).as("pathExpr"))
-      .withColumn("ord", dense_rank().over(Window.orderBy(col("sid"))).cast("long"))
+      .withColumn("ord", dense_rank().over(Window.orderBy(col("sid"))).cast("long")) // series-meta scale: one row per series, bounded by maxSeries
     val dense = meta.withColumn(
       "_b",
       explode(sequence(lit(0L), lit(n - 1), lit(1L))))
@@ -359,11 +384,17 @@ object GraphiteModel {
       fixedAggr: Option[String],
       xffC: Column): SeriesSet = {
     val n = (end - start) / step
-    if (n <= 0) return SeriesSet(emptyFrame(ctx.spark), Set(step))
+    if (n <= 0)
+      return SeriesSet(emptyFrame(ctx.spark), Set(step),
+        gridRange = Some((start, end)))
+    // points BEFORE the range fold into bucket 0 — the reference's
+    // summarize scan starts its first bucket at index i=0 regardless of
+    // how early the timestamps begin (eval.go:117-123)
     val src = ss.df
-      .filter(col("t") >= start && col("t") <= end)
-      .withColumn("_b", ((col("t") - start) / step).cast("long"))
-      .filter(col("_b") >= 0 && col("_b") < n)
+      .filter(col("t") <= end)
+      .withColumn("_b",
+        greatest(lit(0L), floor((col("t") - start).cast(DoubleType) / step).cast("long")))
+      .filter(col("_b") < n)
     val aggs = helperAggs(col("value"), col("t")) ++ Seq(
       max_by(struct(col("t").as("ts"), col("value").as("v")), col("t")).as("_lastS"),
       first(col("name")).as("name"),
@@ -440,7 +471,8 @@ object GraphiteModel {
             jitterVal)
           .otherwise(nanLit)
           .as("value")),
-      Set(step))
+      Set(step),
+      gridRange = Some((start, end)))
   }
 
   /** Normalize a set so every series sits on one common step (the
@@ -450,17 +482,18 @@ object GraphiteModel {
     * from the statically-tracked step set, so this is a no-op (no plan
     * change, no action) for the uniform common case.
     */
-  def consolidateCommon(ctx: GraphiteCtx, ss: SeriesSet): SeriesSet = {
-    if (ss.steps.size <= 1) ss
-    else consolidateTo(ctx, ss, ss.steps.max)
-  }
+  def consolidateCommon(ctx: GraphiteCtx, ss: SeriesSet): SeriesSet =
+    consolidateTo(ctx, ss,
+      if (ss.steps.nonEmpty) ss.headStep else ctx.storageStepMs)
 
   /** consolidate every series to an explicit target step (the
-    * reference's `s.consolidate(ec, step)` against a peer's step, e.g.
-    * divideSeries' divisor)
+    * reference's unconditional `s.consolidate(ec, step)`); skipped only
+    * when provably the identity (see SeriesSet scaladoc)
     */
   def consolidateTo(ctx: GraphiteCtx, ss: SeriesSet, step: Long): SeriesSet = {
-    if (ss.steps == Set(step)) ss
+    val identity = ss.steps == Set(step) && !ss.hasConsol &&
+      ss.gridRange.contains((ctx.startMs, ctx.endMs))
+    if (identity) ss
     else {
       val xffC = coalesce(col("xff"), lit(ctx.xff))
       summarizeSet(ctx, ss, ctx.startMs, ctx.endMs, step, None, xffC)
@@ -471,47 +504,96 @@ object GraphiteModel {
   // misc shared helpers
   // ------------------------------------------------------------------
 
-  /** Go `%g` number formatting for names (shortest round-trip form,
-    * integers without a trailing `.0`)
+  /** Go `%g` number formatting for names: shortest round-trip digits,
+    * scientific form when the decimal exponent is < -4 or >= 6 (strconv
+    * ftoa with shortest=true sets eprec=6 — hence Go's famous `1e+06`),
+    * exponent zero-padded to two digits.
     */
   def goFmt(d: Double): String = {
     if (d.isNaN) "NaN"
     else if (d.isInfinite) { if (d > 0) "+Inf" else "-Inf" }
-    else if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString
+    else if (d == 0.0) "0"
     else {
-      val s = d.toString
-      if (s.contains('E')) {
-        val Array(m, e) = s.split('E')
-        val mm = if (m.endsWith(".0")) m.dropRight(2) else m
-        val ei = e.toInt
-        mm + "e" + (if (ei >= 0) "+%02d".format(ei) else "-%02d".format(-ei))
-      } else s
+      val neg = d < 0
+      val s = shortestRepr(math.abs(d))
+      // extract significant digits + decimal exponent
+      val (digits, exp) =
+        if (s.contains('E')) {
+          val Array(m, e) = s.split('E')
+          (m.replace(".", "").reverse.dropWhile(_ == '0').reverse, e.toInt)
+        } else {
+          val dot = s.indexOf('.')
+          val raw = s.replace(".", "")
+          val lead = raw.takeWhile(_ == '0').length
+          val dg = raw.dropWhile(_ == '0').reverse.dropWhile(_ == '0').reverse
+          val ex = if (lead == 0) dot - 1 else -(lead - dot) - 1
+          (if (dg.isEmpty) "0" else dg, ex)
+        }
+      val body =
+        if (exp < -4 || exp >= 6) {
+          val mant =
+            if (digits.length == 1) digits
+            else digits.take(1) + "." + digits.drop(1)
+          val es = if (exp >= 0) "+%02d".format(exp) else "-%02d".format(-exp)
+          s"${mant}e$es"
+        } else if (exp >= digits.length - 1) {
+          digits + "0" * (exp - digits.length + 1)
+        } else if (exp >= 0) {
+          digits.take(exp + 1) + "." + digits.drop(exp + 1)
+        } else {
+          "0." + "0" * (-exp - 1) + digits
+        }
+      if (neg) "-" + body else body
     }
   }
 
-  /** Column variant of goFmt for value-derived name pieces */
-  def goFmtCol(v: Column): Column =
-    when(isnan(v), lit("NaN"))
-      .when(v === v.cast("long").cast(DoubleType) && abs(v) < 1e15,
-        v.cast("long").cast("string"))
-      .otherwise(v.cast("string"))
+  /** Shortest scientific representation that round-trips (this JVM's
+    * Double.toString is not minimal-digits pre-Ryu; Go's strconv is) —
+    * smallest precision whose %e form parses back to the same double.
+    */
+  private def shortestRepr(d: Double): String = {
+    var p = 0
+    while (p < 17) {
+      val s = String.format(java.util.Locale.ROOT, "%." + p + "e", Double.box(d))
+      if (java.lang.Double.parseDouble(s) == d) return s.replace("e", "E")
+      p += 1
+    }
+    java.lang.Double.toString(d)
+  }
+
+  /** Column variant of goFmt for value-derived name pieces (per-series
+    * metadata scale; the formatting rules aren't expressible natively)
+    */
+  val goFmtUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((d: Double) => goFmt(d))
+
+  def goFmtCol(v: Column): Column = goFmtUdf(v)
 
   /** dotted path part of a display name: parse it as graphiteql and take
     * the first metric expression (transform.go:3706 getPathFromName)
     */
   def pathFromName(name: String): String = {
-    def firstMetric(e: GraphiteQL.Expr): Option[String] = e match {
-      case GraphiteQL.MetricExpr(q) => Some(q)
-      case GraphiteQL.FuncExpr(_, args, _) =>
-        args.view.flatMap(a => a.expr match {
-          case GraphiteQL.MetricExpr(q) => Some(q)
-          case _ => None
-        }).headOption.orElse(
-          args.view.flatMap(a => firstMetric(a.expr)).headOption)
-      case _ => None
-    }
-    try firstMetric(GraphiteQL.parse(name)).getOrElse(name)
-    catch { case _: Exception => name }
+    import GraphiteQL._
+    try {
+      var expr = parse(name)
+      while (true) {
+        expr match {
+          case MetricExpr(q) => return q
+          case FuncExpr(_, args, _) =>
+            args.collectFirst { case Arg(_, MetricExpr(q)) => q } match {
+              case Some(q) => return q
+              case None =>
+                if (args.isEmpty) return name
+                expr = args.head.expr // descend into the first arg
+            }
+          case StringExpr(s) => return s
+          case n: NumberExpr => return n.render
+          case BoolExpr(b) => return b.toString // Go strconv.FormatBool
+          case _ => return name
+        }
+      }
+      name
+    } catch { case _: Exception => name }
   }
 
   /** aggregation result naming: `fnSeries(paths)` where paths are the

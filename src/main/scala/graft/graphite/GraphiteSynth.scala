@@ -21,7 +21,8 @@ object GraphiteSynth {
       pathExpr: String,
       step: Long,
       ts: Seq[Long],
-      valueOf: Column => Column): SeriesSet = {
+      valueOf: Column => Column,
+      aligned: Boolean = false): SeriesSet = {
     val tags = GraphiteTime.unmarshalTags(name)
     val tagsCol =
       if (tags.isEmpty) typedLit(Map.empty[String, String])
@@ -44,7 +45,8 @@ object GraphiteSynth {
         lit(step).as("step"),
         col("t"),
         valueOf(col("t")).cast("double").as("value"))
-    SeriesSet(df, Set(step))
+    SeriesSet(df, Set(step),
+      gridRange = if (aligned) Some((ctx.startMs, ctx.endMs)) else None)
   }
 
   private def gridTs(start: Long, end: Long, step: Long, inclusive: Boolean): Seq[Long] = {
@@ -85,7 +87,7 @@ object GraphiteSynth {
     val step = 60000L
     synthSeries(ctx, name, name, step,
       gridTs(ctx.startMs, ctx.endMs, step, inclusive = false),
-      t => (t / 1000).cast("double"))
+      t => (t / 1000).cast("double"), aligned = true)
   }
 
   def timeFunction: TFunc = (ctx, fe) => {
@@ -106,7 +108,7 @@ object GraphiteSynth {
     if (step <= 0) throw GraphiteError(s"step must be positive")
     synthSeries(ctx, name, name, step,
       gridTs(ctx.startMs, ctx.endMs, step, inclusive = false),
-      t => lit(amplitude) * sin(t.cast("double") / 1000.0))
+      t => lit(amplitude) * sin(t.cast("double") / 1000.0), aligned = true)
   }
 
   /** randomWalk: cumulative sum of uniform(-0.5, 0.5) steps. The
@@ -139,7 +141,7 @@ object GraphiteSynth {
     // tags map is exactly {name: …} (transform.go transformEvents)
     synthSeries(ctx, name, name, ctx.storageStepMs,
       gridTs(ctx.startMs, ctx.endMs, ctx.storageStepMs, inclusive = false),
-      _ => lit(Double.NaN))
+      _ => lit(Double.NaN), aligned = true)
   }
 
   def verticalLine: TFunc = (ctx, fe) => {

@@ -146,8 +146,8 @@ object Rollup {
     *  - `_pv`/`_pts`/`_nv`: previous/next raw sample of the series
     *  - `_cv`/`_cpv`/`_cnv`: reset-corrected counter values (cumulative
     *    correction; partial resets use the reference's 8× heuristic)
-    *  - `_si`: per-series scrape interval — 0.6-quantile of ALL in-range
-    *    sample gaps (deviation: reference uses the last 20)
+    *  - `_si`: per-series scrape interval — 0.6-quantile of the trailing
+    *    20 in-range sample gaps (rollup.go:871-897 parity)
     *  - `_mpi`: maxPrevInterval = jitter-inflated `_si`, capped at the
     *    staleness lookback
     *  - `_win`: effective window — the explicit one, or (auto-adjust)

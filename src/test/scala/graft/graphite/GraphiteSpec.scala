@@ -307,8 +307,12 @@ class GraphiteSpec extends SparkSpec {
   }
 
   test("exponentialMovingAverage of a constant series is the constant") {
-    val p = points(run("exponentialMovingAverage(transformNull(req.total, 1), 3)"))
-    assert(p.values.forall(v => math.abs(v - 1.0) < 1e-9 || math.abs(v - 3.0) < 1e-9))
+    // dc=east is constant 1.0 and transformNull fills its warmup with the
+    // same 1.0, so the EMA recursion stays at the constant
+    val p = points(run(
+      "exponentialMovingAverage(transformNull(seriesByTag('name=req.total', 'dc=east'), 1), 3)"))
+    assert(p.nonEmpty)
+    assert(p.values.forall(v => math.abs(v - 1.0) < 1e-9))
   }
 
   test("timeShift pulls earlier data forward") {

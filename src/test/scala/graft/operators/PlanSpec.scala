@@ -105,7 +105,10 @@ class PlanSpec extends SparkSpec {
   test("source invariant: every no-partition rank window is limit-bounded") {
     // a row_number() over Window.orderBy(...) (no partitionBy) funnels the
     // whole input through one task — only legal on a frame already capped
-    // to query-parameter scale by a distributed .limit(n) a few lines up
+    // to query-parameter scale by a distributed .limit(n) a few lines up,
+    // or on a frame that is structurally series-metadata scale (one row
+    // per series, bounded by the maxSeries search cap), marked with a
+    // `series-meta scale` justification comment at the site
     import scala.jdk.CollectionConverters._
     val files = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main"))
       .iterator().asScala.filter(_.toString.endsWith(".scala")).toList
@@ -113,7 +116,8 @@ class PlanSpec extends SparkSpec {
       val lines = java.nio.file.Files.readAllLines(f).asScala.toVector
       lines.zipWithIndex.collect {
         case (l, i) if l.contains("Window.orderBy") &&
-          !lines.slice(math.max(0, i - 6), i + 1).exists(_.contains(".limit(")) =>
+          !lines.slice(math.max(0, i - 6), i + 1).exists(w =>
+            w.contains(".limit(") || w.contains("series-meta scale")) =>
           s"$f:${i + 1}"
       }
     }
