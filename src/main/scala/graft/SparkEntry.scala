@@ -2214,6 +2214,7 @@ object SparkEntry {
     "bi_or", // vector-match set op (full-outer shape)
     "h_quantile", // histogram bucket interpolation
     "tr_interpolate", // grid gap-fill
+    "gr_group_by_node", // graphite render: fetch + node-key aggregation
     "doc_minhash_dedup", // MinHash+LSH near-dup pipeline
     "emb_topk") // brute-force cosine top-k
 

@@ -43,13 +43,44 @@ object GraphiteAgg {
       keyed: Boolean): SeriesSet = {
     val fn = normalizeAggrName(fnName)
     val ss = consolidateCommon(ctx, ss0)
-    val df = ss.df.withColumn("_key", keyCol)
-    val aggs = helperAggs(col("value"), col("ord"))
-    val vals = df
+    // The group key (often a path-parsing UDF) is a per-SERIES value:
+    // compute it on a series-meta frame and join back, instead of
+    // invoking the UDF once per point row. The consolidated set is a
+    // dense [start, end) grid, so the first grid row carries each
+    // series' metadata without a groupBy shuffle over the point rows.
+    val sidKeys = ss.df
+      .filter(col("t") === ctx.startMs)
+      .select(col("sid"), col("name"), col("tags"), col("pathExpr"), col("ord"))
+      .withColumn("_key", keyCol)
+    // Aggregate only the real (non-NaN) points: the dense NaN rows
+    // contribute nothing to the aggregates except the aggrState
+    // seriesTotal, which is the per-key series count from sidKeys.
+    // This keeps the big shuffle at data scale (points), not
+    // series×grid scale, and densifies at OUTPUT scale below.
+    val df = ss.df.select(col("sid"), col("t"), col("value"), col("ord"))
+      .filter(!isnan(col("value")))
+      .join(sidKeys.select(col("sid"), col("_key")), Seq("sid"))
+    val aggs = helperAggsFor(Some(fn), col("value"), col("ord"))
+    val nPerKey = sidKeys.groupBy(col("_key"))
+      .agg(count(lit(1)).as("_nSer"))
+    val sparseVals = df
       .groupBy(col("_key"), col("t"))
       .agg(aggs.head, aggs.tail: _*)
+      .join(nPerKey, Seq("_key"))
+      .withColumn("_rows", col("_nSer")) // seriesTotal per aggrState
       .select(col("_key"), col("t"), stateGate(fn, lit(ctx.xff)).as("value"))
-    val meta = keyMeta(df, fn, sortPaths = keyed || !serialFns(fn))
+    // dense output grid per key
+    val n = ctx.pointsLen(ss.step)
+    val keyGrid = nPerKey.select(col("_key"))
+      .withColumn("t",
+        explode(sequence(lit(ctx.startMs),
+          lit(ctx.startMs + (n - 1).max(0) * ss.step), lit(ss.step))))
+    val vals =
+      if (n <= 0) sparseVals
+      else keyGrid.join(sparseVals, Seq("_key", "t"), "left")
+        .select(col("_key"), col("t"),
+          coalesce(col("value"), lit(Double.NaN)).as("value"))
+    val meta = keyMeta(sidKeys, fn, sortPaths = keyed || !serialFns(fn))
     val named = meta
       .withColumn("_aggName",
         concat(lit(fn + "Series("), array_join(col("_paths"), ","), lit(")")))
@@ -88,12 +119,7 @@ object GraphiteAgg {
     * tag intersection (keys whose value is identical across every series
     * of the group — aggregateSeries tag-merge loop)
     */
-  private def keyMeta(df: DataFrame, fn: String, sortPaths: Boolean): DataFrame = {
-    // groupBy instead of distinct: Spark rejects set ops on MAP columns
-    val serMeta = df
-      .groupBy(col("_key"), col("sid"))
-      .agg(first(col("tags")).as("tags"), first(col("pathExpr")).as("pathExpr"),
-        first(col("ord")).as("ord"))
+  private def keyMeta(serMeta: DataFrame, fn: String, sortPaths: Boolean): DataFrame = {
     val pathsAgg =
       if (sortPaths) array_sort(array_distinct(collect_list(col("pathExpr"))))
       else
@@ -245,7 +271,7 @@ object GraphiteAgg {
     optArg(fe, "interpolate", 2) // parsed but unused, like the reference
     val ss0 = seriesArg(ctx, fe, "seriesList", 0)
     val ss = consolidateCommon(ctx, ss0)
-    val aggs = helperAggs(col("value"), col("ord"))
+    val aggs = helperAggsFor(Some(s"p$n"), col("value"), col("ord"))
     val vals = ss.df.groupBy(col("t")).agg(aggs.head, aggs.tail: _*)
       .select(col("t"), stateGate(s"p${n}", lit(ctx.xff)).as("value"))
     val nameDf = ss.df.agg(
@@ -444,11 +470,11 @@ object GraphiteAgg {
     val prod = a.join(w, Seq("_key", "t"))
       .withColumn("_pv", col("_av") * col("_wv"))
     // sum of products over matched keys (aggrStateSum + ec.xff gate)
-    val aggsP = helperAggs(col("_pv"), col("_key"))
+    val aggsP = helperAggsFor(Some("sum"), col("_pv"), col("_key"))
     val sumProd = prod.groupBy(col("t")).agg(aggsP.head, aggsP.tail: _*)
       .select(col("t"), stateGate("sum", lit(ctx.xff)).as("_sp"))
     // total weight over ALL weight series
-    val aggsW = helperAggs(col("value"), col("ord"))
+    val aggsW = helperAggsFor(Some("sum"), col("value"), col("ord"))
     val sumW = wS.df.groupBy(col("t")).agg(aggsW.head, aggsW.tail: _*)
       .select(col("t"), stateGate("sum", lit(ctx.xff)).as("_sw"))
     val vals = sumProd.join(sumW, Seq("t"))
@@ -502,7 +528,7 @@ object GraphiteAgg {
   private def percentAgainstGroupTotal(
       ctx: GraphiteCtx, ss: SeriesSet, keyC: Column): SeriesSet = {
     val df = ss.df.withColumn("_key", keyC)
-    val aggs = helperAggs(col("value"), col("ord"))
+    val aggs = helperAggsFor(Some("sum"), col("value"), col("ord"))
     val totals = df.groupBy(col("_key"), col("t")).agg(aggs.head, aggs.tail: _*)
       .select(col("_key"), col("t"), stateGate("sum", lit(ctx.xff)).as("_tv"))
     // formatAggrFuncForPercentSeriesNames: bare path only when the group
@@ -584,7 +610,7 @@ object GraphiteAgg {
     val keyU = nameFromNodesUdf(nodes)
     val sDf = ss.df.withColumn("_key", keyU(col("name"), col("tags")))
     val tDf = total.df.withColumn("_key", keyU(col("name"), col("tags")))
-    val aggs = helperAggs(col("value"), col("ord"))
+    val aggs = helperAggsFor(Some("sum"), col("value"), col("ord"))
     val totals = tDf.groupBy(col("_key"), col("t")).agg(aggs.head, aggs.tail: _*)
       .select(col("_key"), col("t"), stateGate("sum", lit(ctx.xff)).as("_tv"))
     val totalNames = tDf.select(col("_key"), col("sid"), col("pathExpr")).distinct()
@@ -691,17 +717,22 @@ object GraphiteAgg {
         // movingWindow loop) is produced without an extra row source.
         val w = wOrd.rangeBetween(-(windowSize - step), 0)
         val v = col("value")
-        inner.df
-          .withColumn("_sum", sum(nn(v)).over(w))
-          .withColumn("_cnt", count(nn(v)).over(w))
-          .withColumn("_rows", count(lit(1)).over(w))
-          .withColumn("_min", min(nn(v)).over(w))
-          .withColumn("_max", max(nn(v)).over(w))
-          .withColumn("_sd", stddev_pop(nn(v)).over(w))
-          .withColumn("_sorted", array_sort(collect_list(nn(v)).over(w)))
-          .withColumn("_ordered",
-            array_sort(collect_list(when(!isnan(v), struct(col("t").as("o"), v.as("v"))))
-              .over(w)))
+        def needs(fns: String*): Boolean = fns.contains(fn) || fn.startsWith("p")
+        val helpers: Seq[(String, Column)] =
+          Seq("_sum" -> sum(nn(v)).over(w), "_cnt" -> count(nn(v)).over(w),
+            "_rows" -> count(lit(1)).over(w)) ++
+            (if (needs("min", "max", "range", "rangeOf"))
+              Seq("_min" -> min(nn(v)).over(w), "_max" -> max(nn(v)).over(w))
+            else Nil) ++
+            (if (needs("stddev")) Seq("_sd" -> stddev_pop(nn(v)).over(w)) else Nil) ++
+            (if (needs("median"))
+              Seq("_sorted" -> array_sort(collect_list(nn(v)).over(w)))
+            else Nil) ++
+            (if (needs("first", "last", "current", "diff", "multiply", "pow"))
+              Seq("_ordered" -> array_sort(
+                collect_list(when(!isnan(v), struct(col("t").as("o"), v.as("v")))).over(w)))
+            else Nil)
+        helpers.foldLeft(inner.df) { case (d, (n2, c)) => d.withColumn(n2, c) }
           .filter(col("t") >= ecc.startMs + windowSize - step)
           .withColumn("t", col("t") + step)
           .filter(col("t") <= ecc.endMs)
@@ -722,16 +753,29 @@ object GraphiteAgg {
           col("_psid") === outGrid("sid") &&
             col("_pt") >= col("t") - windowSize && col("_pt") < col("t"),
           "left").drop("_psid")
+        val pv = col("_pv")
+        def needs(fns: String*): Boolean = fns.contains(fn) || fn.startsWith("p")
+        val metaAggs = Seq(first(col("ord")).as("ord"), first(col("name")).as("name"),
+          first(col("tags")).as("tags"), first(col("pathExpr")).as("pathExpr"),
+          first(col("consol")).as("consol"), first(col("xff")).as("xff"))
+        // _rows counts non-null joined rows (incl. NaN values) = samples
+        // in the window; the left join leaves null _pv for empty windows
+        val valAggs = Seq(
+          sum(nn(pv)).as("_sum"), count(nn(pv)).as("_cnt"),
+          count(pv).as("_rows")) ++
+          (if (needs("min", "max", "range", "rangeOf"))
+            Seq(min(nn(pv)).as("_min"), max(nn(pv)).as("_max"))
+          else Nil) ++
+          (if (needs("stddev")) Seq(stddev_pop(nn(pv)).as("_sd")) else Nil) ++
+          (if (needs("median")) Seq(array_sort(collect_list(nn(pv))).as("_sorted"))
+          else Nil) ++
+          (if (needs("first", "last", "current", "diff", "multiply", "pow"))
+            Seq(array_sort(collect_list(when(!isnan(pv),
+              struct(col("_pt").as("o"), pv.as("v"))))).as("_ordered"))
+          else Nil)
+        val allAggs = metaAggs ++ valAggs
         joined.groupBy(col("sid"), col("t"))
-          .agg(first(col("ord")).as("ord"), first(col("name")).as("name"),
-            first(col("tags")).as("tags"), first(col("pathExpr")).as("pathExpr"),
-            first(col("consol")).as("consol"), first(col("xff")).as("xff"),
-            sum(nn(col("_pv"))).as("_sum"), count(nn(col("_pv"))).as("_cnt"),
-            count(col("_pv")).as("_rows"), min(nn(col("_pv"))).as("_min"),
-            max(nn(col("_pv"))).as("_max"), stddev_pop(nn(col("_pv"))).as("_sd"),
-            array_sort(collect_list(nn(col("_pv")))).as("_sorted"),
-            array_sort(collect_list(when(!isnan(col("_pv")),
-              struct(col("_pt").as("o"), col("_pv").as("v"))))).as("_ordered"))
+          .agg(allAggs.head, allAggs.tail: _*)
           .withColumn("step", lit(step))
       }
     val valued = df.withColumn("_mv", bucketGate(fn, lit(xff)))

@@ -169,7 +169,7 @@ object GraphiteEval {
 
   /** per-series whole-range statistic of `fn` joined back as `_stat` */
   def withSeriesStat(df: DataFrame, fn: String): DataFrame = {
-    val aggs = helperAggs(col("value"), col("t"))
+    val aggs = helperAggsFor(Some(normalizeAggrName(fn)), col("value"), col("t"))
     val stats = df
       .groupBy(col("sid"))
       .agg(aggs.head, aggs.tail: _*)

@@ -627,7 +627,7 @@ object GraphiteFuncs {
     val ss0 = seriesArg(ctx, fe, "seriesList", 0)
     val ss = GraphiteModel.consolidateCommon(ctx, ss0)
     // per-point percentile bands across series (aggrState, ec.xff gate)
-    val aggs = helperAggs(col("value"), col("ord"))
+    val aggs = helperAggsFor(Some("p50"), col("value"), col("ord"))
     val bands = ss.df.groupBy(col("t")).agg(aggs.head, aggs.tail: _*)
       .select(col("t"),
         stateGateP(n / 100.0, lit(ctx.xff)).as("_lo"),

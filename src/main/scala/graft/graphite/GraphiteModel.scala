@@ -295,16 +295,39 @@ object GraphiteModel {
     *   _sorted (sorted non-NaN array), _ordered (order-struct array for
     *   serial folds: diff/pow/multiply/first/last)
     */
-  def helperAggs(v: Column, ord: Column): Seq[Column] = Seq(
-    sum(nn(v)).as("_sum"),
-    count(nn(v)).as("_cnt"),
-    count(lit(1)).as("_rows"),
-    min(nn(v)).as("_min"),
-    max(nn(v)).as("_max"),
-    stddev_pop(nn(v)).as("_sd"),
-    array_sort(collect_list(nn(v))).as("_sorted"),
-    array_sort(collect_list(when(!isnan(v), struct(ord.as("o"), v.as("v")))))
-      .as("_ordered"))
+  def helperAggs(v: Column, ord: Column): Seq[Column] =
+    helperAggsFor(None, v, ord)
+
+  /** Aggregation helper columns, pruned to what `fn` actually reads —
+    * the sorted collect_lists are the expensive ones and only the
+    * percentile/serial functions need them; `None` keeps the full set
+    * (the per-series consolidation CASE dispatches over every fn).
+    */
+  def helperAggsFor(fn: Option[String], v: Column, ord: Column): Seq[Column] = {
+    val f = fn.map(_.stripSuffix("Series"))
+    def needs(cols: String*): Boolean =
+      f.isEmpty || cols.contains(f.get) ||
+        (f.get.startsWith("p") && cols.contains("pNN"))
+    val base = Seq(
+      sum(nn(v)).as("_sum"),
+      count(nn(v)).as("_cnt"),
+      count(lit(1)).as("_rows"))
+    val minMax =
+      if (needs("min", "max", "range", "rangeOf"))
+        Seq(min(nn(v)).as("_min"), max(nn(v)).as("_max"))
+      else Nil
+    val sd = if (needs("stddev")) Seq(stddev_pop(nn(v)).as("_sd")) else Nil
+    val sorted =
+      if (needs("median", "pNN"))
+        Seq(array_sort(collect_list(nn(v))).as("_sorted"))
+      else Nil
+    val ordered =
+      if (needs("first", "last", "current", "diff", "multiply", "pow"))
+        Seq(array_sort(collect_list(when(!isnan(v), struct(ord.as("o"), v.as("v")))))
+          .as("_ordered"))
+      else Nil
+    base ++ minMax ++ sd ++ sorted ++ ordered
+  }
 
   private def firstOrdered: Column =
     expr("if(size(_ordered) = 0, cast(null as double), _ordered[0].v)")
@@ -395,7 +418,7 @@ object GraphiteModel {
       .withColumn("_b",
         greatest(lit(0L), floor((col("t") - start).cast(DoubleType) / step).cast("long")))
       .filter(col("_b") < n)
-    val aggs = helperAggs(col("value"), col("t")) ++ Seq(
+    val aggs = helperAggsFor(fixedAggr, col("value"), col("t")) ++ Seq(
       max_by(struct(col("t").as("ts"), col("value").as("v")), col("t")).as("_lastS"),
       first(col("name")).as("name"),
       first(col("tags")).as("tags"),
