@@ -100,18 +100,118 @@ object GraphiteHttp {
   // /metrics/find + /metrics/expand
   // ------------------------------------------------------------------
 
+  /** Go regexp.QuoteMeta */
+  def quoteMeta(s: String): String =
+    s.flatMap(c =>
+      if ("\\.+*?()|[]{}^$".indexOf(c.toInt) >= 0) "\\" + c else c.toString)
+
+  /** metrics_api.go getRegexpStringForQuery: graphite glob → regex text
+    * with a custom delimiter class for `*`, nested `{}` alternation,
+    * unclosed braces/brackets quoted literally; non-subquery form is
+    * anchored with an optional trailing delimiter.
+    */
+  private def regexpStringForQuery(
+      query0: String, delimiter: Char, isSubquery: Boolean): (String, String) = {
+    val qd = quoteMeta(delimiter.toString)
+    val a = new StringBuilder
+    var query = query0
+    var tail = ""
+    var done = false
+    while (!done) {
+      val n = query.indexWhere(c => "*{[,}".indexOf(c.toInt) >= 0)
+      if (n < 0) {
+        a.append(quoteMeta(query)); tail = ""; done = true
+      } else {
+        a.append(quoteMeta(query.substring(0, n)))
+        query = query.substring(n)
+        query(0) match {
+          case ',' | '}' =>
+            if (isSubquery) { tail = query; done = true }
+            else { a.append(quoteMeta(query.substring(0, 1))); query = query.substring(1) }
+          case '*' =>
+            a.append(s"[^$qd]*"); query = query.substring(1)
+          case '{' =>
+            val opts = Seq.newBuilder[String]
+            var braceDone = false
+            while (!braceDone) {
+              val (x, t) = regexpStringForQuery(query.substring(1), delimiter, isSubquery = true)
+              opts += x
+              if (t.isEmpty) {
+                a.append(quoteMeta("{")).append(opts.result().mkString(","))
+                tail = ""; braceDone = true; done = true
+              } else if (t(0) == ',') {
+                query = t
+              } else { // '}'
+                a.append("(?:" + opts.result().mkString("|") + ")")
+                query = t.substring(1)
+                braceDone = true
+              }
+            }
+          case '[' =>
+            val m = query.indexOf(']')
+            if (m < 0) { a.append(quoteMeta(query)); tail = ""; done = true }
+            else { a.append(query.substring(0, m + 1)); query = query.substring(m + 1) }
+        }
+        if (!done && query.isEmpty) { a.append(""); tail = ""; done = true }
+      }
+    }
+    val s = a.toString
+    if (isSubquery) (s, tail)
+    else {
+      val withTrail = if (s.endsWith(qd)) s else s + qd + "?"
+      ("^" + withTrail + "$", tail)
+    }
+  }
+
+  /** anchored regex text for a find query — matches the Go
+    * getRegexpForQuery output byte for byte
+    */
+  def regexForQuery(query: String, delimiter: Char): String =
+    regexpStringForQuery(query, delimiter, isSubquery = false)._1
+
+  /** unanchored glob→regex for one path segment (no trailing-delimiter
+    * handling) — used to assemble the prefix matcher below
+    */
+  private def segRegex(seg: String, delimiter: Char): String = {
+    val anchored = regexForQuery(seg, delimiter)
+    val qd = quoteMeta(delimiter.toString)
+    anchored.stripPrefix("^").stripSuffix("$").stripSuffix(qd + "?")
+  }
+
+  /** metrics_api.go addAutomaticVariants: comma groups become `{}`
+    * alternations per delimiter-separated part
+    */
+  def addAutomaticVariants(query: String, delimiter: String): String =
+    query.split(java.util.regex.Pattern.quote(delimiter), -1)
+      .map(p => if (p.contains(",") && !p.contains("{")) "{" + p + "}" else p)
+      .mkString(delimiter)
+
+  /** metrics_api.go sortPaths: branch paths (trailing delimiter) before
+    * leaves, alphabetical within each group
+    */
+  def sortPathsRef(paths: Seq[String], delimiter: String): Seq[String] =
+    paths.sortWith { (x, y) =>
+      val nx = x.endsWith(delimiter)
+      val ny = y.endsWith(delimiter)
+      if (nx == ny) x < y else nx
+    }
+
+  def filterLeaves(paths: Seq[String], delimiter: String): Seq[String] =
+    paths.filterNot(_.endsWith(delimiter))
+
   /** Node-wise find over the store's metric names: a name matches when
     * its first k segments glob-match the query's k segments; the result
     * is the distinct matched prefixes, a trailing delimiter marking
     * non-leaf paths (metrics_api.go metricsFind semantics over
-    * TagValueSuffixes).
+    * TagValueSuffixes), in sortPaths order (branches first).
     */
   def findPaths(store: DataFrame, query: String, delimiter: Char): Seq[String] = {
     val d = delimiter.toString
     val segs = query.split(java.util.regex.Pattern.quote(d), -1)
-    val segRes = segs.map(s => GraphiteQL.globToRegex(s).stripPrefix("^").stripSuffix("$"))
-    val prefixRe = segRes.mkString("(", java.util.regex.Pattern.quote(d), ")")
-    val full = s"^$prefixRe(${java.util.regex.Pattern.quote(d)}.*)?$$"
+    val segRes = segs.map(s => segRegex(s, delimiter))
+    val qd = quoteMeta(d)
+    val prefixRe = segRes.mkString("(", qd, ")")
+    val full = s"^$prefixRe($qd.*)?$$"
     val names = store.select(col("name")).distinct()
       .filter(col("name").rlike(full))
       .select(
@@ -119,10 +219,11 @@ object GraphiteHttp {
         (regexp_extract(col("name"), full, 2) =!= "").as("deeper"))
       .distinct()
       .collect()
-    names.map { r =>
+    val paths = names.map { r =>
       val p = r.getString(0)
       if (r.getBoolean(1)) p + d else p
-    }.distinct.sorted
+    }.toSeq.distinct
+    sortPathsRef(paths, d)
   }
 
   /** treejson format (metrics_find_response.qtpl), including the

@@ -348,11 +348,13 @@ final class HttpApi(spark: SparkSession, base: Option[DataFrame] = None) {
       if (delimiter.length != 1)
         throw new IllegalArgumentException(
           "`delimiter` query arg must contain only a single char")
-      val query = p.getOrElse("query", "*")
+      var query = p.getOrElse("query", "*")
+      if (p.get("automatic_variants").exists(v => v == "1" || v == "true"))
+        query = GraphiteHttp.addAutomaticVariants(query, delimiter)
       val leavesOnly = p.get("leavesOnly").exists(v => v == "1" || v == "true")
       val wildcards = p.get("wildcards").exists(v => v == "1" || v == "true")
       var paths = GraphiteHttp.findPaths(samples, query, delimiter.head)
-      if (leavesOnly) paths = paths.filterNot(_.endsWith(delimiter))
+      if (leavesOnly) paths = GraphiteHttp.filterLeaves(paths, delimiter)
       val format = p.getOrElse("format", "treejson")
       val body = format match {
         case "completer" => GraphiteHttp.findCompleterJson(paths, delimiter, wildcards)

@@ -93,7 +93,8 @@ object GraphiteAgg {
       .withColumn("_tags",
         map_concat(col("_tags1"), map(lit("name"), col("_nameTag"))))
       .withColumn("name", if (keyed) col("_key") else col("_aggName"))
-      .withColumn("pathExpr", if (keyed) col("_nameTag") else col("_aggName"))
+      .withColumn("pathExpr",
+        capPath(if (keyed) col("_nameTag") else col("_aggName")))
     val ordW = Window.orderBy(col("_key")) // series-meta scale: one row per series, bounded by maxSeries
     val out = vals.join(
       named.select(col("_key"), col("name"), col("_tags").as("tags"),

@@ -154,7 +154,7 @@ object GraphiteEval {
         col("ord"),
         newName.as("name"),
         newTags.as("tags"),
-        (if (setPathExpr) newName else col("pathExpr")).as("pathExpr"),
+        (if (setPathExpr) capPath(newName) else col("pathExpr")).as("pathExpr"),
         consol.as("consol"),
         xff.as("xff"),
         col("step"),

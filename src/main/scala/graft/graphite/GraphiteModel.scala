@@ -592,6 +592,17 @@ object GraphiteModel {
 
   def goFmtCol(v: Column): Column = goFmtUdf(v)
 
+  /** pathExpression length cap (eval.go safePathExpressionFromString,
+    * -search.maxGraphitePathExpressionLen default 1024): deeply nested
+    * queries otherwise grow the pathExpression string without bound
+    */
+  val MaxPathExprLen = 1024
+
+  def capPath(c: Column): Column =
+    when(length(c) > MaxPathExprLen,
+      concat(substring(c, 1, MaxPathExprLen), lit("...")))
+      .otherwise(c)
+
   /** dotted path part of a display name: parse it as graphiteql and take
     * the first metric expression (transform.go:3706 getPathFromName)
     */

@@ -371,6 +371,14 @@ class GraphiteSpec extends SparkSpec {
     assert(math.abs(p((key, 110000L)) - 12.0) < 1e-6)
   }
 
+  test("pathExpression is capped at 1024 chars (safePathExpression)") {
+    val long = "x" * 1500
+    val ss = run(s"absolute(alias(web.server1.cpu, '$long'))")
+    val pe = ss.df.select("pathExpr").head.getString(0)
+    assert(pe.length == GraphiteModel.MaxPathExprLen + 3)
+    assert(pe.endsWith("..."))
+  }
+
   test("unknown function and reference TODOs raise errors") {
     intercept[GraphiteEval.GraphiteError](run("noSuchFunc(web.*.cpu)"))
     intercept[GraphiteEval.GraphiteError](run("cactiStyle(web.*.cpu)"))

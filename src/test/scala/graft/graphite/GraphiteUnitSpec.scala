@@ -134,6 +134,62 @@ class GraphiteUnitSpec extends AnyFunSuite {
     assert(less("foo1bar2aa", "foo1bar10aa"))
   }
 
+  test("getRegexpForQuery vectors (metrics_api_test.go:8)") {
+    import graft.api.GraphiteHttp.regexForQuery
+    val f: (String, Char, String) => Unit = (q, d, exp) =>
+      assert(regexForQuery(q, d) == exp, s"$q / $d")
+    f("", '.', """^\.?$""")
+    f("foobar", '.', """^foobar\.?$""")
+    f("*", '.', """^[^\.]*\.?$""")
+    f("*", '_', """^[^_]*_?$""")
+    f("foo.*.bar", '.', """^foo\.[^\.]*\.bar\.?$""")
+    f("fo*b{ar,aaa}[a-z]xx*.d", '.', """^fo[^\.]*b(?:ar|aaa)[a-z]xx[^\.]*\.d\.?$""")
+    f("fo*b{ar,aaa}[a-z]xx*_d", '_', """^fo[^_]*b(?:ar|aaa)[a-z]xx[^_]*_d_?$""")
+    f("foo.[ab]*z", '.', """^foo\.[ab][^\.]*z\.?$""")
+    f("foo_[ab]*", '_', """^foo_[ab][^_]*_?$""")
+    f("foo_[ab]_", '_', """^foo_[ab]_$""")
+    f("foo.[ab].", '.', """^foo\.[ab]\.$""")
+    f("foo{b{ar*,ba*z[1-9]}", '.', """^foo\{b(?:ar[^\.]*|ba[^\.]*z[1-9])\.?$""")
+    f("{foo*}", '.', """^(?:foo[^\.]*)\.?$""")
+    f("{foo*,}", '.', """^(?:foo[^\.]*|)\.?$""")
+    f("foo[bar", '.', """^foo\[bar\.?$""")
+    f("foo{bar", '.', """^foo\{bar\.?$""")
+    f("foo{ba,r", '.', """^foo\{ba,r\.?$""")
+    f("[a-z]", '.', """^[a-z]\.?$""")
+    f("{foo,x*,x{y,a*b}c}a", '.', """^(?:foo|x[^\.]*|x(?:y|a[^\.]*b)c)a\.?$""")
+  }
+
+  test("sortPaths vectors (metrics_api_test.go:41)") {
+    import graft.api.GraphiteHttp.sortPathsRef
+    assert(sortPathsRef(Seq("foo", "bar"), ".") == Seq("bar", "foo"))
+    assert(sortPathsRef(Seq("foo.", "bar", "aa", "ab."), ".") ==
+      Seq("ab.", "foo.", "aa", "bar"))
+    assert(sortPathsRef(Seq("foo.", "bar", "aa", "ab."), "_") ==
+      Seq("aa", "ab.", "bar", "foo."))
+  }
+
+  test("filterLeaves vectors (metrics_api_test.go:54)") {
+    import graft.api.GraphiteHttp.filterLeaves
+    assert(filterLeaves(Seq("foo", "bar"), ".") == Seq("foo", "bar"))
+    assert(filterLeaves(Seq("a.", ".", "bc"), ".") == Seq("bc"))
+    assert(filterLeaves(Seq("a.", ".", "bc"), "_") == Seq("a.", ".", "bc"))
+    assert(filterLeaves(Seq("a_", "_", "bc"), "_") == Seq("bc"))
+    assert(filterLeaves(Seq("foo.", "bar."), ".") == Seq.empty)
+  }
+
+  test("addAutomaticVariants vectors (metrics_api_test.go:69)") {
+    import graft.api.GraphiteHttp.addAutomaticVariants
+    val f: (String, String, String) => Unit = (q, d, exp) =>
+      assert(addAutomaticVariants(q, d) == exp, s"$q / $d")
+    f("", ".", "")
+    f("foobar", ".", "foobar")
+    f("foo,bar.baz", ".", "{foo,bar}.baz")
+    f("foo,bar.baz", "_", "{foo,bar.baz}")
+    f("foo,bar_baz*", "_", "{foo,bar}_baz*")
+    f("foo.bar,baz,aa.bb,cc", ".", "foo.{bar,baz,aa}.{bb,cc}")
+    f("foo.b*r,b[a-xz]z,aa.bb,cc", ".", "foo.{b*r,b[a-xz]z,aa}.{bb,cc}")
+  }
+
   test("goFmt matches Go %g forms") {
     assert(GraphiteModel.goFmt(5) == "5")
     assert(GraphiteModel.goFmt(5.8) == "5.8")
