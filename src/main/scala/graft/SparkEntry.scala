@@ -1924,6 +1924,48 @@ object SparkEntry {
       s"WHERE name = 'click.3' AND t % $D <> 0 " +
       s"GROUP BY 1 HAVING sum(v * ${H / 1000}) <> 0 ORDER BY t")))
 
+  // =====================================================================
+  // §2.9 vmalert rules — recording materialization + alerting state
+  // machine in replay form (app/vmalert/rule/{recording,alerting}.go)
+  // =====================================================================
+  private val alertQueries: Seq[Q] = Seq(
+    Q("al_recording", (s, dir) => {
+      val rule = graft.alerting.Rules.Rule(
+        record = "job:click:avg1h", expr = "avg_over_time(click[1h])",
+        labels = Map("src" -> "graft"))
+      graft.alerting.Rules.recordingRange(Samples.fromEvents(s, dir), rule, gridH)
+        .select(col("name"), col("tags").getItem("user_id").as("user_id"),
+          col("tags").getItem("src").as("src"), col("t"),
+          r6(col("value")).as("value"))
+        .orderBy("user_id", "t")
+    }, Some(s"WITH b AS ($BH) SELECT 'job:click:avg1h' AS name, " +
+      "user_id::VARCHAR AS user_id, 'graft' AS src, t, " +
+      "round(1e-9 + avg(value), 6) AS value FROM b WHERE name = 'click' " +
+      "GROUP BY user_id, t ORDER BY user_id, t")),
+    Q("al_alerts", (s, dir) => {
+      val rule = graft.alerting.Rules.Rule(
+        alert = "HighClick", expr = "avg_over_time(click[1h]) > 120",
+        forMs = 3 * H)
+      graft.alerting.Rules.alertingRange(Samples.fromEvents(s, dir), rule,
+        "gate", H, gridH)
+        .select(col("name"), col("tags").getItem("user_id").as("user_id"),
+          coalesce(col("tags").getItem("alertstate"), lit("")).as("state"),
+          col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t")
+    }, Some(s"WITH b AS ($BH), " +
+      "a AS (SELECT user_id::VARCHAR AS user_id, t FROM b WHERE name = 'click' " +
+      "GROUP BY user_id, t HAVING avg(value) > 120), " +
+      s"s AS (SELECT user_id, t, CASE WHEN lag(t) OVER w IS NULL OR t - lag(t) OVER w > $H " +
+      "THEN 1 ELSE 0 END AS rst FROM a WINDOW w AS (PARTITION BY user_id ORDER BY t)), " +
+      "g AS (SELECT user_id, t, sum(rst) OVER (PARTITION BY user_id ORDER BY t) AS seg FROM s), " +
+      "act AS (SELECT user_id, t, min(t) OVER (PARTITION BY user_id, seg) AS activeAt FROM g) " +
+      "SELECT * FROM (" +
+      s"SELECT 'ALERTS' AS name, user_id, CASE WHEN t - activeAt >= ${3 * H} " +
+      "THEN 'firing' ELSE 'pending' END AS state, t, 1.0 AS value FROM act " +
+      "UNION ALL SELECT 'ALERTS_FOR_STATE', user_id, '', t, " +
+      "round(1e-9 + activeAt // 1000, 6) FROM act) " +
+      "ORDER BY name, user_id, t")))
+
   private val sourcesQueries: Seq[Q] = Seq(
     // export → parse round trips: the sink format feeds its own source and
     // the aggregate of the round-tripped samples must equal the raw table
@@ -2182,7 +2224,7 @@ object SparkEntry {
       "GROUP BY name, host, g, uid ORDER BY uid")))
 
   // =====================================================================
-  private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ rollupQueries3 ++ transformQueries ++ aggrQueries ++ binopQueries ++ histoQueries ++ metaQueries ++ pipelineQueries ++ relationalQueries ++ evalQueries ++ graphiteQueries ++ sourcesQueries
+  private val defs: Seq[Q] = rollupQueries ++ rollupQueries2 ++ rollupQueries3 ++ transformQueries ++ aggrQueries ++ binopQueries ++ histoQueries ++ metaQueries ++ pipelineQueries ++ relationalQueries ++ evalQueries ++ graphiteQueries ++ alertQueries ++ sourcesQueries
 
   /** Flagship: sum(rate(events[1d])) by (name) on the hourly grid —
     * the M1 end-to-end slice from SURVEY §7.2: per-(name,user) counter

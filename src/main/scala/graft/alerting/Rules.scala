@@ -1,0 +1,259 @@
+package graft.alerting
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.GridSpec
+
+/** vmalert rule evaluation (app/vmalert/rule/{alerting,recording}.go,
+  * config/config.go), in the batch "replay" form (`execRange`): a rule
+  * group is evaluated over a time range on the group-interval grid, a
+  * recording rule materializes renamed series, and an alerting rule
+  * emits the `ALERTS` / `ALERTS_FOR_STATE` series with the
+  * pending→firing state machine.
+  *
+  * The state machine is per result series and sequential in the
+  * reference (alerting.go:376 execRange); here it is window functions:
+  * a data gap longer than the eval interval starts a new activation
+  * segment (alerting.go:407 reset-to-Pending), `ActiveAt` is the
+  * segment's first timestamp, and the state fires once
+  * `t - ActiveAt >= for` (or immediately when `for: 0`).
+  */
+object Rules {
+
+  final case class Rule(
+      record: String = "",
+      alert: String = "",
+      expr: String = "",
+      forMs: Long = 0L,
+      keepFiringForMs: Long = 0L,
+      labels: Map[String, String] = Map.empty,
+      annotations: Map[String, String] = Map.empty) {
+    def isRecording: Boolean = record.nonEmpty
+  }
+
+  final case class RuleGroup(
+      name: String,
+      intervalMs: Long,
+      rules: Seq[Rule])
+
+  // ------------------------------------------------------------------
+  // YAML subset parser (config.go Parse: groups → name/interval/rules)
+  // ------------------------------------------------------------------
+
+  def parseConfig(yaml: String, defaultIntervalMs: Long = 60000L): Seq[RuleGroup] = {
+    def unq(s0: String): String = {
+      val s = s0.trim
+      if (s.length >= 2 && s.head == '"' && s.last == '"')
+        s.substring(1, s.length - 1).replace("\\\"", "\"").replace("\\\\", "\\")
+      else if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+        s.substring(1, s.length - 1).replace("''", "'")
+      else s
+    }
+    def durMs(s: String): Long = graft.lang.Lexer.durationMs(unq(s), 0L)
+    val lines = yaml.split('\n')
+      .filterNot(l => l.trim.isEmpty || l.trim.startsWith("#")).toSeq
+
+    var groups = Vector.empty[RuleGroup]
+    var gName = ""; var gInterval = defaultIntervalMs
+    var gRules = Vector.empty[Rule]
+    var cur: Map[String, String] = null
+    var curLabels = Map.empty[String, String]
+    var curAnns = Map.empty[String, String]
+    var nested = "" // "labels" | "annotations" | ""
+    var inGroup = false
+
+    def flushRule(): Unit = if (cur != null) {
+      gRules :+= Rule(
+        record = cur.getOrElse("record", ""),
+        alert = cur.getOrElse("alert", ""),
+        expr = cur.getOrElse("expr", ""),
+        forMs = cur.get("for").map(durMs).getOrElse(0L),
+        keepFiringForMs = cur.get("keep_firing_for").map(durMs).getOrElse(0L),
+        labels = curLabels,
+        annotations = curAnns)
+      cur = null; curLabels = Map.empty; curAnns = Map.empty; nested = ""
+    }
+    def flushGroup(): Unit = {
+      flushRule()
+      if (inGroup) groups :+= RuleGroup(gName, gInterval, gRules)
+      gName = ""; gInterval = defaultIntervalMs; gRules = Vector.empty
+      inGroup = false
+    }
+
+    var inRules = false
+    lines.foreach { raw =>
+      val t = raw.trim
+      val indent = raw.takeWhile(_ == ' ').length
+      if (t == "groups:") { flushGroup() }
+      else if (t.startsWith("- ") && indent <= 2) {
+        // new group (group list items sit at the shallow indent)
+        flushGroup(); inGroup = true; inRules = false
+        val rest = t.drop(1).trim
+        if (rest.startsWith("name:")) gName = unq(rest.drop(5))
+      } else if (t == "rules:") { inRules = true; flushRule() }
+      else if (t.startsWith("- ") && inRules) {
+        flushRule(); cur = Map.empty
+        val rest = t.drop(1).trim
+        if (rest.nonEmpty && rest.contains(":")) {
+          val Array(k, v) = rest.split(":", 2)
+          cur += (k.trim -> v.trim)
+        }
+      } else if (cur != null && t.contains(":")) {
+        val Array(k, v) = t.split(":", 2)
+        val key = k.trim
+        if ((key == "labels" || key == "annotations") && v.trim.isEmpty) nested = key
+        else if (nested.nonEmpty && indent >= 6) {
+          if (nested == "labels") curLabels += (key -> unq(v))
+          else curAnns += (key -> unq(v))
+        } else { nested = ""; cur += (key -> v.trim) }
+      } else if (inGroup && t.contains(":") && cur == null) {
+        val Array(k, v) = t.split(":", 2)
+        k.trim match {
+          case "name" => gName = unq(v)
+          case "interval" => gInterval = durMs(v)
+          case _ =>
+        }
+      }
+    }
+    flushGroup()
+    groups
+  }
+
+  // ------------------------------------------------------------------
+  // templating (notifier.ExecTemplate subset: {{$labels.x}}, {{$value}},
+  // {{$expr}} — the only variables label templates may use)
+  // ------------------------------------------------------------------
+
+  private val tplRe = """\{\{\s*\$(labels\.([A-Za-z0-9_]+)|value|expr)\s*\}\}""".r
+
+  def expandTemplate(
+      tpl: String, labels: Map[String, String], value: Double, expr: String): String =
+    tplRe.replaceAllIn(tpl, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (m.group(1) == "value") graft.graphite.GraphiteModel.goFmt(value)
+        else if (m.group(1) == "expr") expr
+        else labels.getOrElse(m.group(2), "")))
+
+  // ------------------------------------------------------------------
+  // evaluation (replay form)
+  // ------------------------------------------------------------------
+
+  /** recording rule over a range: rename to `record`, overlay rule
+    * labels (recording.go toTimeSeries); errors when two source series
+    * collapse onto the same resulting label set (errDuplicate)
+    */
+  def recordingRange(
+      samples: DataFrame,
+      rule: Rule,
+      grid: GridSpec,
+      checkDuplicates: Boolean = true): DataFrame = {
+    val res = graft.Engine.query(samples, rule.expr, grid)
+    val tagged =
+      if (rule.labels.isEmpty) res
+      else {
+        // rule labels OVERRIDE series labels (recording.go toTimeSeries);
+        // drop overridden keys first so map_concat never sees duplicates
+        val keys = rule.labels.keys.toSeq
+        res.withColumn("tags",
+          map_concat(
+            map_filter(col("tags"), (k, _) => !k.isInCollection(keys)),
+            map(rule.labels.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)))
+      }
+    val out = tagged.withColumn("name", lit(rule.record))
+    if (checkDuplicates) {
+      val dup = out.groupBy(col("name"), to_json(map_entries(col("tags"))).as("_k"),
+        col("t")).count().filter(col("count") > 1).limit(1).count()
+      if (dup > 0)
+        throw new IllegalStateException(
+          s"recording rule '${rule.record}': resulting series are not unique (errDuplicate)")
+    }
+    out.select(col("name"), col("tags"), col("t"), col("value"))
+  }
+
+  /** alerting rule over a range: ALERTS (value 1, alertstate label) and
+    * ALERTS_FOR_STATE (value = activeAt unix seconds) series per result
+    * point (alerting.go:376 execRange + alertToTimeSeries)
+    */
+  def alertingRange(
+      samples: DataFrame,
+      rule: Rule,
+      groupName: String,
+      intervalMs: Long,
+      grid: GridSpec): DataFrame =
+    alertSeries(graft.Engine.query(samples, rule.expr, grid), rule,
+      groupName, intervalMs)
+
+  /** the state machine over an already-evaluated result frame
+    * (name, tags, t, value) - split out so the reference's
+    * TestAlertingRuleExecRange vectors can drive it directly
+    */
+  def alertSeries(
+      res: DataFrame,
+      rule: Rule,
+      groupName: String,
+      intervalMs: Long): DataFrame = {
+    val skey = concat_ws("", col("name"),
+      to_json(array_sort(map_entries(col("tags")))))
+    val w = Window.partitionBy(col("_sk")).orderBy(col("t"))
+    val wAll = Window.partitionBy(col("_sk"))
+    val prevT = lag(col("t"), 1).over(w)
+    val gapReset =
+      when(prevT.isNull || col("t") - prevT > intervalMs, 1L).otherwise(0L)
+    val staged = res
+      .withColumn("_sk", skey)
+      .withColumn("_seg",
+        sum(gapReset).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("_activeAt",
+        min(col("t")).over(Window.partitionBy(col("_sk"), col("_seg"))))
+      .withColumn("_state",
+        if (rule.forMs == 0L) lit("firing")
+        else when(col("t") - col("_activeAt") >= rule.forMs, "firing")
+          .otherwise("pending"))
+      .withColumn("_firstV", first(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    // merged alert labels: series labels (sans __name__) + templated rule
+    // labels + alertname/alertgroup (alerting.go toLabels)
+    val ruleLabels = rule.labels
+    val ruleName = if (rule.alert.nonEmpty) rule.alert else rule.record
+    val exprStr = rule.expr
+    val mergeUdf = udf { (tags: Map[String, String], firstV: Double) =>
+      val extra = ruleLabels.map { case (k, v) =>
+        k -> expandTemplate(v, tags, firstV, exprStr)
+      }
+      // alertgroup only when the group is named (toLabels,
+      // -disableAlertGroupLabel gate)
+      val grp = if (groupName.nonEmpty) Map("alertgroup" -> groupName) else Map.empty
+      tags ++ extra ++ Map("alertname" -> ruleName) ++ grp
+    }
+    val labeled = staged.withColumn("_al",
+      mergeUdf(col("tags"), col("_firstV")))
+    val alerts = labeled.select(
+      lit("ALERTS").as("name"),
+      map_concat(
+        map_filter(col("_al"), (k, _) => k =!= "alertstate"),
+        map(lit("alertstate"), col("_state"))).as("tags"),
+      col("t"),
+      lit(1.0).as("value"))
+    val forState = labeled.select(
+      lit("ALERTS_FOR_STATE").as("name"),
+      col("_al").as("tags"),
+      col("t"),
+      floor(col("_activeAt") / 1000).cast("double").as("value"))
+    alerts.unionByName(forState)
+  }
+
+  /** evaluate a whole group over [startMs, endMs] on its interval grid */
+  def groupRange(
+      samples: DataFrame,
+      group: RuleGroup,
+      startMs: Long,
+      endMs: Long): DataFrame = {
+    val grid = GridSpec(startMs, endMs, group.intervalMs)
+    val outs = group.rules.map { r =>
+      if (r.isRecording) recordingRange(samples, r, grid)
+      else alertingRange(samples, r, group.name, group.intervalMs, grid)
+    }
+    outs.reduce(_ unionByName _)
+  }
+}

@@ -119,7 +119,30 @@ object Api {
   def metadata(): String = """{"status":"success","data":{}}"""
 
   /** /api/v1/rules (main.go:567) */
-  def rules(): String = """{"status":"success","data":{"groups":[]}}"""
+  def rules(): String = rules(Nil)
+
+  /** /api/v1/rules with loaded vmalert groups (app/vmalert/web.go
+    * APIGroups shape, core fields)
+    */
+  def rules(groups: Seq[graft.alerting.Rules.RuleGroup]): String = {
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    def kv(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString("{", ",", "}")
+    val gs = groups.map { g =>
+      val rs = g.rules.map { r =>
+        val typ = if (r.isRecording) "recording" else "alerting"
+        val nm = if (r.isRecording) r.record else r.alert
+        s"""{"name":"${esc(nm)}","type":"$typ","query":"${esc(r.expr)}",""" +
+          s""""duration":${r.forMs / 1000.0},"labels":${kv(r.labels)},""" +
+          s""""annotations":${kv(r.annotations)},"health":"ok"}"""
+      }.mkString("[", ",", "]")
+      s"""{"name":"${esc(g.name)}","interval":${g.intervalMs / 1000.0},"rules":$rs}"""
+    }.mkString("[", ",", "]")
+    s"""{"status":"success","data":{"groups":$gs}}"""
+  }
 
   /** /api/v1/alerts (main.go:577) */
   def alerts(): String = """{"status":"success","data":{"alerts":[]}}"""

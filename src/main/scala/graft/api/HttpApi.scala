@@ -23,7 +23,10 @@ import org.apache.spark.sql.types._
   * storage and reads via the same [[Api]] programs); the query semantics
   * are identical.
   */
-final class HttpApi(spark: SparkSession, base: Option[DataFrame] = None) {
+final class HttpApi(
+    spark: SparkSession,
+    base: Option[DataFrame] = None,
+    ruleGroups: Seq[graft.alerting.Rules.RuleGroup] = Nil) {
 
   private val sampleSchema = StructType(Seq(
     StructField("name", StringType),
@@ -301,7 +304,7 @@ final class HttpApi(spark: SparkSession, base: Option[DataFrame] = None) {
     },
     "/api/v1/query_exemplars" -> handler(reply(_, 200, Api.queryExemplars())),
     "/api/v1/metadata" -> handler(reply(_, 200, Api.metadata())),
-    "/api/v1/rules" -> handler(reply(_, 200, Api.rules())),
+    "/api/v1/rules" -> handler(reply(_, 200, Api.rules(ruleGroups))),
     "/api/v1/alerts" -> handler(reply(_, 200, Api.alerts())),
     "/api/v1/status/buildinfo" -> handler(reply(_, 200, Api.buildInfo()))) ++
     graphiteRoutes

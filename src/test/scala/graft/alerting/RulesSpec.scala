@@ -1,0 +1,211 @@
+package graft.alerting
+
+import graft.SparkSpec
+import graft.core.GridSpec
+import org.apache.spark.sql.DataFrame
+
+/** vmalert rule semantics in replay form (rule/alerting.go execRange,
+  * rule/recording.go, config/config.go): YAML group parsing, recording
+  * rename + label overlay + duplicate detection, the pending→firing
+  * state machine with gap resets, `for: 0` always-firing, label
+  * templating, and the ALERTS_FOR_STATE activeAt series.
+  */
+class RulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000L
+  // counter series: user 1 high (always > 10), user 2 crosses at t>=3h
+  private lazy val samples: DataFrame = {
+    val rows = for {
+      u <- Seq(1, 2)
+      i <- 0 until 10
+    } yield {
+      val v = if (u == 1) 100.0 else if (i >= 3 && i != 6) 50.0 else 1.0
+      ("m", Map("user" -> u.toString), i * H, v)
+    }
+    rows.toDF("name", "tags", "ts", "value")
+  }
+  private val grid = GridSpec(0L, 10 * H, H)
+
+  test("parseConfig: groups, intervals, rules, nested labels/annotations") {
+    val groups = Rules.parseConfig(
+      """groups:
+        |  - name: g1
+        |    interval: 30s
+        |    rules:
+        |      - record: job:m:avg
+        |        expr: avg_over_time(m[1h])
+        |        labels:
+        |          team: core
+        |      - alert: High
+        |        expr: m > 10
+        |        for: 2h
+        |        keep_firing_for: 1h
+        |        labels:
+        |          severity: page
+        |        annotations:
+        |          summary: "value is {{ $value }}"
+        |  - name: g2
+        |    rules:
+        |      - alert: Always
+        |        expr: m
+        |""".stripMargin)
+    assert(groups.size == 2)
+    assert(groups.head.name == "g1" && groups.head.intervalMs == 30000L)
+    val Seq(rec, al) = groups.head.rules
+    assert(rec.record == "job:m:avg" && rec.labels == Map("team" -> "core"))
+    assert(al.alert == "High" && al.forMs == 2 * H && al.keepFiringForMs == H)
+    assert(al.annotations("summary") == "value is {{ $value }}")
+    assert(groups(1).name == "g2" && groups(1).rules.head.forMs == 0L)
+  }
+
+  test("recording rule renames and overlays labels") {
+    val r = Rules.Rule(record = "job:m:avg", expr = "avg_over_time(m[1h])",
+      labels = Map("team" -> "core"))
+    val out = Rules.recordingRange(samples, r, grid).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getString(0) == "job:m:avg"))
+    val tags = out.head.getMap[String, String](1)
+    assert(tags("team") == "core" && tags.contains("user"))
+  }
+
+  test("recording rule duplicate collapse errors (errDuplicate)") {
+    // overriding the only distinguishing label collapses both users
+    val r = Rules.Rule(record = "dup", expr = "avg_over_time(m[1h])",
+      labels = Map("user" -> "x"))
+    intercept[IllegalStateException] {
+      Rules.recordingRange(samples, r, grid).collect()
+    }
+  }
+
+  test("alerting state machine: pending until `for` held, gap resets") {
+    val r = Rules.Rule(alert = "High", expr = "avg_over_time(m[1h]) > 10",
+      forMs = 2 * H)
+    val out = Rules.alertingRange(samples, r, "g", H, grid)
+      .filter("name = 'ALERTS'").collect()
+      .map(x => (x.getMap[String, String](1)("user"),
+        x.getLong(2), x.getMap[String, String](1)("alertstate")))
+      .toSet
+    // user 1: active from t=0 (the (t-1h, t] window holds the sample at
+    // 0), fires once 2h have elapsed
+    assert(out(("1", 0L, "pending")))
+    assert(out(("1", 1 * H, "pending")))
+    assert(out(("1", 2 * H, "firing")))
+    // user 2: condition holds 3h..5h, gap at 6h (low value), resumes 7h..
+    assert(out(("2", 3 * H, "pending")))
+    assert(out(("2", 4 * H, "pending")))
+    assert(out(("2", 5 * H, "firing")))
+    assert(!out.exists(e => e._1 == "2" && e._2 == 6 * H)) // no data point
+    assert(out(("2", 7 * H, "pending"))) // gap reset a new activation
+    assert(out(("2", 9 * H, "firing")))
+    val alertnames = Rules.alertingRange(samples, r, "g", H, grid)
+      .filter("name = 'ALERTS'").select("tags").head.getMap[String, String](0)
+    assert(alertnames("alertname") == "High" && alertnames("alertgroup") == "g")
+  }
+
+  test("for: 0 fires immediately; ALERTS_FOR_STATE carries activeAt secs") {
+    val r = Rules.Rule(alert = "Now", expr = "avg_over_time(m[1h]) > 10")
+    val df = Rules.alertingRange(samples, r, "g", H, grid)
+    val states = df.filter("name = 'ALERTS'").collect()
+      .map(_.getMap[String, String](1)("alertstate")).toSet
+    assert(states == Set("firing"))
+    val fs = df.filter("name = 'ALERTS_FOR_STATE'").collect()
+      .map(x => (x.getMap[String, String](1)("user"), x.getLong(2), x.getDouble(3)))
+    // user 1 is active from grid t=0 → activeAt = 0s
+    assert(fs.filter(_._1 == "1").minBy(_._2)._3 == 0.0)
+  }
+
+  test("label templates expand $labels/$value/$expr") {
+    val r = Rules.Rule(alert = "T", expr = "avg_over_time(m[1h]) > 10",
+      labels = Map("who" -> "u{{ $labels.user }}", "v" -> "{{ $value }}"))
+    val tags = Rules.alertingRange(samples, r, "g", H, grid)
+      .filter("name = 'ALERTS'")
+      .filter("tags['user'] = '1'").select("tags").head.getMap[String, String](0)
+    assert(tags("who") == "u1")
+    assert(tags("v") == "100") // first value of the range result
+  }
+
+  test("ported TestAlertingRuleExecRange state vectors (alerting_test.go:583)") {
+    // (name, forSec, intervalSec, series: (labels, ts-seconds),
+    //  expected per point in series order: (state, activeAt-seconds))
+    val vectors = Seq(
+      ("empty-labels", 0L, 0L,
+        Seq((Map.empty[String, String], Seq(1L))),
+        Seq(("firing", 1L))),
+      ("single-firing-on-range", 0L, 0L,
+        Seq((Map.empty[String, String], Seq(1000L, 2000L, 3000L))),
+        Seq(("firing", 1000L), ("firing", 2000L), ("firing", 3000L))),
+      ("for-pending", 1L, 1L,
+        Seq((Map.empty[String, String], Seq(1L, 3L, 5L))),
+        Seq(("pending", 1L), ("pending", 3L), ("pending", 5L))),
+      ("for-firing", 3L, 3L,
+        Seq((Map.empty[String, String], Seq(1L, 3L, 5L))),
+        Seq(("pending", 1L), ("pending", 1L), ("firing", 1L))),
+      ("for-hold-pending", 1L, 1L,
+        Seq((Map.empty[String, String], Seq(1L, 2L, 5L))),
+        Seq(("pending", 1L), ("firing", 1L), ("pending", 5L))),
+      ("firing-activeAt-reset", 0L, 1L,
+        Seq((Map.empty[String, String], Seq(1L, 4L, 5L, 6L))),
+        Seq(("firing", 1L), ("firing", 4L), ("firing", 4L), ("firing", 4L))),
+      ("for-cycle", 1L, 1L,
+        Seq((Map.empty[String, String], Seq(1L, 2L, 5L, 6L, 20L))),
+        Seq(("pending", 1L), ("firing", 1L), ("pending", 5L),
+          ("firing", 5L), ("pending", 20L))),
+      ("multi-series", 3L, 3L,
+        Seq(
+          (Map.empty[String, String], Seq(1L, 3L, 5L)),
+          (Map("foo" -> "bar"), Seq(1L, 5L))),
+        Seq(("pending", 1L), ("pending", 1L), ("firing", 1L),
+          ("pending", 1L), ("pending", 5L))))
+    for ((nm, forSec, intervalSec, series, expected) <- vectors) {
+      val rows = series.flatMap { case (labels, ts) =>
+        ts.map(t => ("", labels, t * 1000L, 1.0))
+      }
+      val res = rows.toDF("name", "tags", "t", "value")
+      val rule = Rules.Rule(alert = nm, forMs = forSec * 1000)
+      val out = Rules.alertSeries(res, rule, "", intervalSec * 1000)
+      val alerts = out.filter("name = 'ALERTS'").collect()
+        .map(r => ((r.getMap[String, String](1) - "alertname" - "alertstate").toMap,
+          r.getLong(2), r.getMap[String, String](1)("alertstate")))
+        .toSet
+      val forStates = out.filter("name = 'ALERTS_FOR_STATE'").collect()
+        .map(r => ((r.getMap[String, String](1) - "alertname").toMap,
+          r.getLong(2), r.getDouble(3)))
+        .toSet
+      val expPoints = series.flatMap { case (labels, ts) => ts.map(labels -> _) }
+      expPoints.zip(expected).foreach { case ((labels, t), (state, activeAt)) =>
+        assert(alerts((labels, t * 1000, state)),
+          s"$nm: expected $state at t=$t for $labels; got $alerts")
+        assert(forStates((labels, t * 1000, activeAt.toDouble)),
+          s"$nm: expected activeAt=$activeAt at t=$t for $labels; got $forStates")
+      }
+      // no alertgroup label when the group is unnamed
+      assert(out.filter("tags['alertgroup'] IS NOT NULL").isEmpty)
+    }
+  }
+
+  test("/api/v1/rules renders loaded groups") {
+    val groups = Rules.parseConfig(
+      """groups:
+        |  - name: g1
+        |    interval: 1m
+        |    rules:
+        |      - alert: High
+        |        expr: m > 10
+        |        for: 2h
+        |""".stripMargin)
+    val body = graft.api.Api.rules(groups)
+    assert(body.contains(""""name":"g1""""))
+    assert(body.contains(""""type":"alerting""""))
+    assert(body.contains(""""duration":7200"""))
+  }
+
+  test("groupRange unions recording and alerting outputs") {
+    val g = Rules.RuleGroup("g", H, Seq(
+      Rules.Rule(record = "rec:m", expr = "avg_over_time(m[1h])"),
+      Rules.Rule(alert = "A", expr = "avg_over_time(m[1h]) > 10", forMs = H)))
+    val names = Rules.groupRange(samples, g, 0L, 10 * H)
+      .select("name").distinct().collect().map(_.getString(0)).toSet
+    assert(names == Set("rec:m", "ALERTS", "ALERTS_FOR_STATE"))
+  }
+}
