@@ -1049,12 +1049,11 @@ object Eval {
           import graft.operators.HistogramQ
           val g = df.withColumn("_tk", tagKey(gtags))
             .filter(!isnan(v) && v > 0.0)
-            .withColumn("vmrange",
-              when(v <= 1e-9, lit("0...1.000e-09"))
-                .when(v > 1e18, lit("1.000e+18...+Inf"))
-                .otherwise(HistogramQ.vmrangeStr(HistogramQ.bucketIdx(v))))
-            .groupBy(col("_tk"), col("t"), col("vmrange"))
+            .withColumn("_hk", HistogramQ.bucketIdxClamped(v))
+            .groupBy(col("_tk"), col("t"), col("_hk"))
             .agg(count(lit(1)).cast(DoubleType).as("value"))
+            .withColumn("vmrange", HistogramQ.vmrangeOfIdx(col("_hk")))
+            .drop("_hk")
           val le = HistogramQ.vmrangeToLE(g, Seq("_tk"))
           Series(le.select(lit(null).cast(StringType).as("name"),
             map_concat(tagsOf(col("_tk")),

@@ -240,13 +240,13 @@ object Aggr {
   def histogram(df: DataFrame, by: Seq[String]): DataFrame = {
     val vmr = df
       .filter(!isnan(col("value")) && col("value") > 0.0)
-      .withColumn("vmrange",
-        // metrics.Histogram clamp buckets: (0, 1e-9] and (1e18, +Inf)
-        when(col("value") <= 1e-9, lit("0...1.000e-09"))
-          .when(col("value") > 1e18, lit("1.000e+18...+Inf"))
-          .otherwise(HistogramQ.vmrangeStr(HistogramQ.bucketIdx(col("value")))))
-      .groupBy((gcols(by) :+ col("vmrange")): _*)
+      // metrics.Histogram clamp buckets: (0, 1e-9] and (1e18, +Inf);
+      // group on the integer index, format once per surviving bucket
+      .withColumn("_k", HistogramQ.bucketIdxClamped(col("value")))
+      .groupBy((gcols(by) :+ col("_k")): _*)
       .agg(count(lit(1)).cast(DoubleType).as("value"))
+      .withColumn("vmrange", HistogramQ.vmrangeOfIdx(col("_k")))
+      .drop("_k")
     HistogramQ.vmrangeToLE(vmr, by)
   }
 }

@@ -374,6 +374,22 @@ object HistogramQ {
     */
   def bucketIdx(v: Column): Column = (ceil(log10(v) * 18) - 1).cast("long")
 
+  /** bucket index with the metrics.Histogram clamp ranges encoded as
+    * sentinel indices, so the per-row work is one log10 — the `%.3e`
+    * formatting happens AFTER the count aggregation, once per distinct
+    * (group, bucket) rather than once per sample
+    */
+  def bucketIdxClamped(v: Column): Column =
+    when(v <= 1e-9, lit(Long.MinValue))
+      .when(v > 1e18, lit(Long.MaxValue))
+      .otherwise(bucketIdx(v))
+
+  /** vmrange string for a clamped bucket index */
+  def vmrangeOfIdx(k: Column): Column =
+    when(k === Long.MinValue, lit("0...1.000e-09"))
+      .when(k === Long.MaxValue, lit("1.000e+18...+Inf"))
+      .otherwise(vmrangeStr(k))
+
   /** vmrange series → cumulative `le` bucket series — the reference's
     * vmrangeBucketsToLE (transform.go:502-649), reproduced rule-for-rule:
     *

@@ -519,12 +519,11 @@ object Rollup {
   def histogramOverTime(samples: DataFrame, keys: Seq[String], grid: GridSpec, windowMs: Long): DataFrame =
     Grid.bucketize(samples, grid, windowMs)
       .filter(!isnan(col("value")) && col("value") > 0.0)
-      .withColumn("vmrange",
-        when(col("value") <= 1e-9, lit("0...1.000e-09"))
-          .when(col("value") > 1e18, lit("1.000e+18...+Inf"))
-          .otherwise(HistogramQ.vmrangeStr(HistogramQ.bucketIdx(col("value")))))
-      .groupBy((keys.map(col) :+ col("t") :+ col("vmrange")): _*)
+      .withColumn("_k", HistogramQ.bucketIdxClamped(col("value")))
+      .groupBy((keys.map(col) :+ col("t") :+ col("_k")): _*)
       .agg(count(lit(1)).cast(DoubleType).as("value"))
+      .withColumn("vmrange", HistogramQ.vmrangeOfIdx(col("_k")))
+      .drop("_k")
 
   /** present_over_time / absent_over_time — presence tests per grid point
     * (rollup.go:1755,1762; absent series synthesis eval.go:1017-1031).
