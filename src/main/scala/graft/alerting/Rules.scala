@@ -243,6 +243,85 @@ object Rules {
     alerts.unionByName(forState)
   }
 
+  // ------------------------------------------------------------------
+  // live (instant) evaluation step — alerting.go:440 exec
+  // ------------------------------------------------------------------
+
+  /** one alert instance's live state */
+  final case class AlertState(
+      state: String, // "pending" | "firing" | "inactive"
+      activeAtMs: Long,
+      value: Double,
+      keepFiringSinceMs: Long = 0L, // 0 = unset
+      resolvedAtMs: Long = 0L)
+
+  val ResolvedRetentionMs: Long = 15 * 60 * 1000L
+
+  /** One live evaluation round: update the alert-state map from the
+    * instant result at `tsMs` (series labels → first value). Transition
+    * rules mirror exec(): inactive entries older than the resolved
+    * retention are dropped; a returning inactive alert restarts as
+    * pending; an absent pending alert is deleted; an absent firing alert
+    * keeps firing for `keep_firing_for` then resolves; pending fires
+    * once `for` has elapsed. Driver-side state, bounded by active alert
+    * cardinality (the reference holds the same map in memory).
+    */
+  def execStep(
+      rule: Rule,
+      groupName: String,
+      prev: Map[Map[String, String], AlertState],
+      results: Seq[(Map[String, String], Double)],
+      tsMs: Long): Map[Map[String, String], AlertState] = {
+    val ruleName = if (rule.alert.nonEmpty) rule.alert else rule.record
+    // cleanup inactive beyond retention
+    var alerts = prev.filterNot { case (_, a) =>
+      a.state == "inactive" && tsMs - a.resolvedAtMs > ResolvedRetentionMs
+    }
+    // merge labels like the range path (toLabels)
+    val grp = if (groupName.nonEmpty) Map("alertgroup" -> groupName) else Map.empty
+    val updated = scala.collection.mutable.Set.empty[Map[String, String]]
+    results.foreach { case (seriesLabels, value) =>
+      val merged = seriesLabels ++
+        rule.labels.map { case (k, v) =>
+          k -> expandTemplate(v, seriesLabels, value, rule.expr)
+        } ++ Map("alertname" -> ruleName) ++ grp
+      if (updated(merged))
+        throw new IllegalStateException(
+          s"labels $merged: resulting alerts are not unique (errDuplicate)")
+      updated += merged
+      alerts.get(merged) match {
+        case Some(a) if a.state == "inactive" =>
+          alerts += merged -> a.copy(state = "pending", activeAtMs = tsMs,
+            value = value, keepFiringSinceMs = 0L)
+        case Some(a) =>
+          alerts += merged -> a.copy(value = value, keepFiringSinceMs = 0L)
+        case None =>
+          alerts += merged -> AlertState("pending", tsMs, value)
+      }
+    }
+    alerts.toSeq.foreach { case (k, a0) =>
+      var a = a0
+      var removed = false
+      var resolved = false
+      if (!updated(k)) {
+        if (a.state == "pending") { alerts -= k; removed = true }
+        else if (a.state == "firing") {
+          if (rule.keepFiringForMs > 0 && a.keepFiringSinceMs == 0L)
+            a = a.copy(keepFiringSinceMs = tsMs)
+          if (tsMs - a.keepFiringSinceMs >= rule.keepFiringForMs) {
+            a = a.copy(state = "inactive", resolvedAtMs = tsMs)
+            resolved = true
+          }
+          alerts += k -> a
+        }
+      }
+      if (!removed && !resolved && a.state == "pending" &&
+        tsMs - a.activeAtMs >= rule.forMs)
+        alerts += k -> a.copy(state = "firing")
+    }
+    alerts
+  }
+
   /** evaluate a whole group over [startMs, endMs] on its interval grid */
   def groupRange(
       samples: DataFrame,

@@ -184,6 +184,66 @@ class RulesSpec extends SparkSpec {
     }
   }
 
+  test("ported TestAlertingRule_Exec live state vectors (alerting_test.go:210)") {
+    val step = 5L // defaultStep = 5ms
+    val foo = Map("name" -> "foo")
+    // (name, forMs, keepFiringForMs,
+    //  steps: present label-sets per round,
+    //  expected states per round: labelset -> state; None = don't check)
+    val vectors: Seq[(String, Long, Long, Seq[Seq[Map[String, String]]],
+        Seq[Option[Map[Map[String, String], String]]])] = Seq(
+      ("firing-inactive-cycle", 0L, 0L,
+        Seq(Seq(foo), Nil, Seq(foo), Nil, Nil),
+        Seq(Some(Map(foo -> "firing")), Some(Map(foo -> "inactive")),
+          Some(Map(foo -> "firing")), Some(Map(foo -> "inactive")),
+          Some(Map(foo -> "inactive")))),
+      ("multiple-steps-firing", 0L, 0L,
+        Seq(Seq(foo), Seq(Map("name" -> "foo1")), Seq(Map("name" -> "foo2"))),
+        Seq(
+          Some(Map(foo -> "firing")),
+          Some(Map(foo -> "inactive", Map("name" -> "foo1") -> "firing")),
+          Some(Map(foo -> "inactive", Map("name" -> "foo1") -> "inactive",
+            Map("name" -> "foo2") -> "firing")))),
+      ("for-pending", 60000L, 0L,
+        Seq(Seq(foo)),
+        Seq(Some(Map(foo -> "pending")))),
+      ("for-fired", step, 0L,
+        Seq(Seq(foo), Seq(foo)),
+        Seq(Some(Map(foo -> "pending")), Some(Map(foo -> "firing")))),
+      ("for-pending-empty-deletes", 1000L, 0L,
+        Seq(Seq(foo), Seq(foo), Nil),
+        Seq(Some(Map(foo -> "pending")), Some(Map(foo -> "pending")),
+          Some(Map.empty))),
+      ("pending-firing-inactive-pending-firing", step, 0L,
+        Seq(Seq(foo), Seq(foo), Nil, Seq(foo), Seq(foo)),
+        Seq(Some(Map(foo -> "pending")), Some(Map(foo -> "firing")),
+          Some(Map(foo -> "inactive")), Some(Map(foo -> "pending")),
+          Some(Map(foo -> "firing")))),
+      ("keepfiring", step, step,
+        Seq(Seq(foo), Seq(foo), Nil, Seq(foo)),
+        Seq(Some(Map(foo -> "pending")), Some(Map(foo -> "firing")),
+          Some(Map(foo -> "firing")), Some(Map(foo -> "firing")))),
+      ("keepfiring-expires", step, 2 * step,
+        Seq(Seq(foo), Seq(foo), Nil, Nil, Nil, Seq(foo), Seq(foo)),
+        Seq(Some(Map(foo -> "pending")), Some(Map(foo -> "firing")),
+          Some(Map(foo -> "firing")), Some(Map(foo -> "firing")),
+          Some(Map(foo -> "inactive")), Some(Map(foo -> "pending")),
+          Some(Map(foo -> "firing")))))
+    for ((nm, forMs, kffMs, steps, expected) <- vectors) {
+      val rule = Rules.Rule(alert = nm, forMs = forMs, keepFiringForMs = kffMs)
+      var state = Map.empty[Map[String, String], Rules.AlertState]
+      var ts = 1730160000000L // 2024-10-29T00:00:00Z
+      steps.zip(expected).zipWithIndex.foreach { case ((present, exp), i) =>
+        state = Rules.execStep(rule, "", state, present.map(_ -> 1.0), ts)
+        ts += step
+        exp.foreach { expStates =>
+          val got = state.map { case (k, a) => (k - "alertname") -> a.state }
+          assert(got == expStates, s"$nm step $i: got $got want $expStates")
+        }
+      }
+    }
+  }
+
   test("/api/v1/rules renders loaded groups") {
     val groups = Rules.parseConfig(
       """groups:
