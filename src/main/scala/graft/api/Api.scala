@@ -150,6 +150,19 @@ object Api {
   /** /api/v1/notifiers (main.go:587) */
   def notifiers(): String = """{"status":"success","data":{"notifiers":[]}}"""
 
+  /** /api/v1/status/active_queries (main.go:536) — single-session engine:
+    * queries run synchronously inside the caller, so the live list is
+    * empty by construction
+    */
+  def activeQueries(): String = """{"status":"ok","data":[]}"""
+
+  /** /api/v1/status/top_queries (main.go:541) */
+  def topQueries(): String =
+    """{"status":"ok","topN":"0","maxLifetime":"0s",""" +
+      """"search.queryStats.lastQueriesCount":0,""" +
+      """"search.queryStats.minQueryDuration":"0s",""" +
+      """"topByCount":[],"topByAvgDuration":[],"topBySumDuration":[]}"""
+
   /** /api/v1/status/buildinfo (main.go:592): the advertised Prometheus
     * compat version gates which query features Grafana enables.
     */

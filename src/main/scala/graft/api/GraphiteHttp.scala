@@ -298,6 +298,23 @@ object GraphiteHttp {
   }
 
   // ------------------------------------------------------------------
+  // /functions (functions_api.go — Grafana autocomplete); entries are
+  // generated from our registry rather than copying the reference's
+  // embedded graphite-web documentation file
+  // ------------------------------------------------------------------
+
+  private def funcInfoJson(name: String): String =
+    s"""{"name":${q(name)},"function":${q(s"$name(seriesList)")}}"""
+
+  def functionsJson(): String =
+    GraphiteFuncs.registry.keys.toSeq.sorted
+      .map(n => s"${q(n)}:${funcInfoJson(n)}")
+      .mkString("{", ",", "}")
+
+  def functionDetailsJson(name: String): Option[String] =
+    if (GraphiteFuncs.registry.contains(name)) Some(funcInfoJson(name)) else None
+
+  // ------------------------------------------------------------------
   // /tags family
   // ------------------------------------------------------------------
 

@@ -306,7 +306,9 @@ final class HttpApi(
     "/api/v1/metadata" -> handler(reply(_, 200, Api.metadata())),
     "/api/v1/rules" -> handler(reply(_, 200, Api.rules(ruleGroups))),
     "/api/v1/alerts" -> handler(reply(_, 200, Api.alerts())),
-    "/api/v1/status/buildinfo" -> handler(reply(_, 200, Api.buildInfo()))) ++
+    "/api/v1/status/buildinfo" -> handler(reply(_, 200, Api.buildInfo())),
+    "/api/v1/status/active_queries" -> handler(reply(_, 200, Api.activeQueries())),
+    "/api/v1/status/top_queries" -> handler(reply(_, 200, Api.topQueries()))) ++
     graphiteRoutes
 
   // ---- Graphite Render + metadata APIs (app/vmselect/main.go:290-386,
@@ -397,6 +399,19 @@ final class HttpApi(
     "/tags/findSeries" -> handler { ex =>
       reply(ex, 200,
         GraphiteHttp.findSeriesJson(spark, samples, multiParams(ex, "expr")))
+    },
+    "/functions" -> handler { ex =>
+      val path = ex.getRequestURI.getPath
+      if (path == "/functions" || path == "/functions/")
+        reply(ex, 200, GraphiteHttp.functionsJson())
+      else {
+        val fn = path.stripPrefix("/functions/")
+        GraphiteHttp.functionDetailsJson(fn) match {
+          case Some(body) => reply(ex, 200, body)
+          case None => reply(ex, 400,
+            s"""{"status":"error","error":"cannot find function \\"${fn}\\""}""")
+        }
+      }
     },
     "/tags" -> handler { ex =>
       val p = params(ex)

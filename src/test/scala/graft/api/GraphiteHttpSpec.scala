@@ -70,6 +70,19 @@ class GraphiteHttpSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("/functions lists the registry; details for one name") {
+    val api = new HttpApi(spark, Some(base))
+    val port = api.start()
+    try {
+      val all = get(port, "/functions")
+      assert(all.contains(""""sumSeries":{"name":"sumSeries""""))
+      assert(all.contains(""""movingAverage""""))
+      val one = get(port, "/functions/aliasByNode")
+      assert(one.startsWith("""{"name":"aliasByNode""""))
+      assert(get(port, "/functions/nope").contains("cannot find function"))
+    } finally api.stop()
+  }
+
   test("tags family: list, values, findSeries, autoComplete") {
     val api = new HttpApi(spark, Some(base))
     val port = api.start()
