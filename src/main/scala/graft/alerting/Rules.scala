@@ -122,6 +122,42 @@ object Rules {
   }
 
   // ------------------------------------------------------------------
+  // validation (config.go Group.Validate / Rule.Validate core checks)
+  // ------------------------------------------------------------------
+
+  def validate(groups: Seq[RuleGroup], validateExpressions: Boolean = true): Unit = {
+    groups.foreach { g =>
+      if (g.name.isEmpty)
+        throw new IllegalArgumentException("group name must be set")
+      if (g.intervalMs < 0)
+        throw new IllegalArgumentException("interval shouldn't be lower than 0")
+      val seen = scala.collection.mutable.Set.empty[(String, String, String)]
+      g.rules.foreach { r =>
+        val ruleName = if (r.alert.nonEmpty) r.alert else r.record
+        if ((r.record.isEmpty && r.alert.isEmpty) ||
+          (r.record.nonEmpty && r.alert.nonEmpty))
+          throw new IllegalArgumentException(
+            s"invalid rule '$ruleName': either `record` or `alert` must be set")
+        if (r.expr.isEmpty)
+          throw new IllegalArgumentException(
+            s"invalid rule '$ruleName': expression can't be empty")
+        val id = (r.record, r.alert, r.expr)
+        if (seen(id))
+          throw new IllegalArgumentException(
+            s"'$ruleName' is a duplicate in group '${g.name}'")
+        seen += id
+        if (validateExpressions)
+          try graft.lang.Parser.parse(r.expr)
+          catch {
+            case e: Exception =>
+              throw new IllegalArgumentException(
+                s"invalid expression for rule '$ruleName': ${e.getMessage}")
+          }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
   // templating (notifier.ExecTemplate subset: {{$labels.x}}, {{$value}},
   // {{$expr}} — the only variables label templates may use)
   // ------------------------------------------------------------------
@@ -320,6 +356,94 @@ object Rules {
         alerts += k -> a.copy(state = "firing")
     }
     alerts
+  }
+
+  // ------------------------------------------------------------------
+  // streaming alerting — the live state machine over Structured
+  // Streaming, with series absence modeled by group-state timeouts
+  // ------------------------------------------------------------------
+
+  /** one rule-result sample on the stream: sk is the canonical series
+    * key, tags the merged alert labels
+    */
+  final case class AlertEvent(sk: String, tags: Map[String, String], ts: Long, value: Double)
+
+  final case class AlertOut(
+      sk: String,
+      tags: Map[String, String],
+      state: String,
+      activeAtMs: Long,
+      atMs: Long)
+
+  /** Streaming form of the live state machine: rule results arrive as a
+    * stream (one event per matching series per evaluation trigger);
+    * per-series group state applies the same transitions as [[execStep]],
+    * and a processing-time timeout of ~2 eval intervals stands in for
+    * "absent in the current round" (pending → removed, firing →
+    * keep_firing_for → inactive). Scale axis is alert cardinality —
+    * state is per-series and bounded, exactly the reference's in-memory
+    * alerts map sharded across executors.
+    */
+  def alertingStream(
+      events: org.apache.spark.sql.Dataset[AlertEvent],
+      rule: Rule,
+      intervalMs: Long): org.apache.spark.sql.Dataset[AlertOut] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    val forMs = rule.forMs
+    val kffMs = rule.keepFiringForMs
+    // intervalMs <= 0 disables the absence timeouts (pure transition
+    // mode, used by tests and replay-fed streams)
+    val timeouts = intervalMs > 0
+    val conf =
+      if (timeouts) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.sk)
+      .flatMapGroupsWithState[AlertState, AlertOut](
+        OutputMode.Update(), conf) {
+        case (sk, rows, state: GroupState[AlertState]) =>
+          if (state.hasTimedOut) {
+            // absent for ≥ the timeout window (exec's not-updated branch)
+            val nowMs = state.getCurrentProcessingTimeMs()
+            state.getOption match {
+              case Some(a) if a.state == "pending" =>
+                state.remove(); Iterator.empty
+              case Some(a) if a.state == "firing" =>
+                val since =
+                  if (kffMs > 0 && a.keepFiringSinceMs == 0L) nowMs
+                  else a.keepFiringSinceMs
+                if (nowMs - since >= kffMs) {
+                  val res = a.copy(state = "inactive", resolvedAtMs = nowMs)
+                  state.update(res)
+                  state.setTimeoutDuration(ResolvedRetentionMs)
+                  Iterator.single(AlertOut(sk, Map.empty, "inactive", a.activeAtMs, nowMs))
+                } else {
+                  state.update(a.copy(keepFiringSinceMs = since))
+                  if (timeouts) state.setTimeoutDuration(intervalMs * 2)
+                  Iterator.single(AlertOut(sk, Map.empty, "firing", a.activeAtMs, nowMs))
+                }
+              case _ => // inactive aged out (resolved retention)
+                state.remove(); Iterator.empty
+            }
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts)
+            val last = sorted.last
+            var a = state.getOption match {
+              case Some(s0) if s0.state == "inactive" =>
+                s0.copy(state = "pending", activeAtMs = last.ts,
+                  value = last.value, keepFiringSinceMs = 0L)
+              case Some(s0) =>
+                s0.copy(value = last.value, keepFiringSinceMs = 0L)
+              case None => AlertState("pending", sorted.head.ts, last.value)
+            }
+            if (a.state == "pending" && last.ts - a.activeAtMs >= forMs)
+              a = a.copy(state = "firing")
+            state.update(a)
+            if (timeouts) state.setTimeoutDuration(intervalMs * 2)
+            Iterator.single(AlertOut(sk, last.tags, a.state, a.activeAtMs, last.ts))
+          }
+      }
   }
 
   /** evaluate a whole group over [startMs, endMs] on its interval grid */

@@ -260,6 +260,57 @@ class RulesSpec extends SparkSpec {
     assert(body.contains(""""duration":7200"""))
   }
 
+  test("alertingStream applies the live transitions per trigger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Rules.AlertEvent]
+    val rule = Rules.Rule(alert = "S", expr = "m", forMs = 2000L)
+    // intervalMs=0: transition-only mode (processing-time timeouts need a
+    // live clock, which a processAllAvailable test cannot drive)
+    val out = Rules.alertingStream(mem.toDS(), rule, intervalMs = 0L)
+    val query = out.writeStream.format("memory").queryName("alerts_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(Rules.AlertEvent("a", Map("alertname" -> "S"), 1000L, 1.0))
+      query.processAllAvailable()
+      mem.addData(Rules.AlertEvent("a", Map("alertname" -> "S"), 3000L, 2.0))
+      query.processAllAvailable()
+      val rows = spark.table("alerts_out")
+        .select("state", "activeAtMs", "atMs").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toList
+      assert(rows.contains(("pending", 1000L, 1000L)))
+      assert(rows.contains(("firing", 1000L, 3000L))) // 3000-1000 >= for 2s
+    } finally query.stop()
+  }
+
+  test("validate rejects bad groups (config.go Validate core checks)") {
+    def g(rules: Rules.Rule*): Seq[Rules.RuleGroup] =
+      Seq(Rules.RuleGroup("g", 60000L, rules))
+    // valid
+    Rules.validate(g(Rules.Rule(alert = "a", expr = "m > 1")))
+    // both / neither record+alert
+    intercept[IllegalArgumentException](
+      Rules.validate(g(Rules.Rule(record = "r", alert = "a", expr = "m"))))
+    intercept[IllegalArgumentException](
+      Rules.validate(g(Rules.Rule(expr = "m"))))
+    // empty expr
+    intercept[IllegalArgumentException](
+      Rules.validate(g(Rules.Rule(alert = "a"))))
+    // unparsable expr
+    intercept[IllegalArgumentException](
+      Rules.validate(g(Rules.Rule(alert = "a", expr = "sum(("))))
+    // duplicate rule
+    intercept[IllegalArgumentException](
+      Rules.validate(g(
+        Rules.Rule(alert = "a", expr = "m"),
+        Rules.Rule(alert = "a", expr = "m"))))
+    // unnamed group
+    intercept[IllegalArgumentException](
+      Rules.validate(Seq(Rules.RuleGroup("", 60000L,
+        Seq(Rules.Rule(alert = "a", expr = "m"))))))
+  }
+
   test("groupRange unions recording and alerting outputs") {
     val g = Rules.RuleGroup("g", H, Seq(
       Rules.Rule(record = "rec:m", expr = "avg_over_time(m[1h])"),
