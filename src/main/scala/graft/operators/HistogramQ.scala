@@ -371,8 +371,24 @@ object HistogramQ {
   /** log-bucket index for a positive value: values exactly on a bucket
     * bound belong to the LOWER bucket (metrics.Histogram.Update's
     * exact-integer decrement), hence ceil−1 rather than floor.
+    *
+    * The `log10` result is only a GUESS; the final index is pinned by
+    * exact double comparison against the `pow(10, i/18)` bucket bounds,
+    * so the assignment is `bound(k) < v <= bound(k+1)` over concrete
+    * doubles rather than wherever this build's libm `log10` lands. A
+    * one-ulp log10 disagreement at a bucket boundary is what kept the
+    * `eval_hist_quantiles` gate hash-red for three rounds (the oracle's
+    * DuckDB libm vs the JVM); after this correction both sides resolve
+    * the boundary with the same exact comparisons. The guess is always
+    * within ±1 of the true index (libm relative error ~1e-16 vs bucket
+    * width 1/18 in log space), so correcting one step suffices.
     */
-  def bucketIdx(v: Column): Column = (ceil(log10(v) * 18) - 1).cast("long")
+  def bucketIdx(v: Column): Column = {
+    val g = (ceil(log10(v) * 18) - 1).cast("long")
+    val bLo = pow(lit(10.0), g.cast(DoubleType) / 18.0)
+    val bHi = pow(lit(10.0), (g + 1).cast(DoubleType) / 18.0)
+    when(v <= bLo, g - 1).when(v > bHi, g + 1).otherwise(g)
+  }
 
   /** bucket index with the metrics.Histogram clamp ranges encoded as
     * sentinel indices, so the per-row work is one log10 — the `%.3e`
