@@ -89,6 +89,28 @@ object GraphiteModel {
   val NaN: Double = Double.NaN
   private def nanLit: Column = lit(Double.NaN)
 
+  /** Optimization hints keyed by the EXACT DataFrame plan object a fetch
+    * returned: the series-meta frame (one row per series) and the sparse
+    * filled-bucket frame (data-scale points, no dense NaN padding).
+    * aggregateByKey consults these so a `groupByNode(fetch, …)` plan
+    * touches the store once at data scale instead of deriving metadata
+    * and points from the dense series×grid frame. Keyed on logical-plan
+    * object identity, so ANY transform between fetch and aggregation —
+    * which produces a new DataFrame — is an automatic miss and the
+    * consumer falls back to the dense-grid derivation: stale hints are
+    * structurally impossible. WeakHashMap: entries die with the plans.
+    */
+  private val metaHints = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      (DataFrame, DataFrame)]())
+
+  private[graphite] def putFetchHints(df: DataFrame, meta: DataFrame, sparse: DataFrame): Unit =
+    metaHints.put(df.queryExecution.logical, (meta, sparse))
+
+  /** (seriesMeta, sparsePoints) when `df` is verbatim a fetch output */
+  private[graphite] def fetchHints(df: DataFrame): Option[(DataFrame, DataFrame)] =
+    Option(metaHints.get(df.queryExecution.logical))
+
   /** value with NaN→null so Spark aggregates skip it like the
     * reference's getFirstNonNaNPos walks (aggr.go:220)
     */
@@ -201,8 +223,35 @@ object GraphiteModel {
       .groupBy(col("sid"), col("_b"))
       .agg(
         avg(nn(col("value"))).as("_avg"),
-        count(lit(1)).as("_rows"),
         max_by(struct(col("ts"), col("value")), col("ts")).as("_lastS"))
+    // Ingestion-jitter adoption, computed SPARSELY: an empty bucket b'
+    // adopts the last earlier sample when that sample lies within 2 s of
+    // b's start. The donor is always the latest-filled bucket before b'
+    // (the reference's "last earlier sample"), so enumerate, per filled
+    // bucket, the empty buckets whose start is within 2 s of its last
+    // sample — bounded by the next filled bucket and the grid end. This
+    // replaces a window over the DENSE series×points grid (shuffle +
+    // sort at grid scale, the measured 2 s hot spot of the sf0.1
+    // aggregation bench) with a lead() over the data-scale sparse
+    // buckets. The real bucket and its jitter fills are emitted from ONE
+    // exploded array so the aggregated subtree isn't planned twice (a
+    // union of two derivations of perBucket re-scans the store).
+    val wNext = Window.partitionBy(col("sid")).orderBy(col("_b"))
+    val filled = perBucket
+      .withColumn("_nextB", lead(col("_b"), 1).over(wNext))
+      .withColumn("_maxB",
+        least(
+          floor((col("_lastS").getField("ts") + 2000L - ctx.startMs) / step).cast("long"),
+          coalesce(col("_nextB") - 1, lit(n - 1)),
+          lit(n - 1)))
+      .select(col("sid"),
+        explode(concat(
+          array(struct(col("_b").as("b"), coalesce(col("_avg"), nanLit).as("v"))),
+          when(col("_maxB") >= col("_b") + 1,
+            transform(sequence(col("_b") + 1, col("_maxB"), lit(1L)),
+              b2 => struct(b2.as("b"), col("_lastS").getField("value").as("v"))))
+            .otherwise(array().cast("array<struct<b:bigint,v:double>>")))).as("_e"))
+      .select(col("sid"), col("_e.b").as("_b"), col("_e.v").as("_v"))
     val meta = raw
       .groupBy(col("sid"))
       .agg(
@@ -213,13 +262,10 @@ object GraphiteModel {
     val dense = meta.withColumn(
       "_b",
       explode(sequence(lit(0L), lit(n - 1), lit(1L))))
-    val w = Window.partitionBy(col("sid")).orderBy(col("_b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
     val j = dense
-      .join(perBucket, Seq("sid", "_b"), "left")
-      .withColumn("_prevLast", last(col("_lastS"), ignoreNulls = true).over(w))
+      .join(filled, Seq("sid", "_b"), "left")
       .withColumn("t", lit(ctx.startMs) + col("_b") * step)
-    j.select(
+    val out = j.select(
       col("sid"),
       col("ord"),
       col("name"),
@@ -229,13 +275,11 @@ object GraphiteModel {
       lit(null).cast("double").as("xff"),
       lit(step).as("step"),
       col("t"),
-      when(col("_rows").isNotNull, coalesce(col("_avg"), nanLit))
-        .when(
-          col("_prevLast").isNotNull &&
-            col("t") - col("_prevLast").getField("ts") <= 2000,
-          col("_prevLast").getField("value"))
-        .otherwise(nanLit)
-        .as("value"))
+      coalesce(col("_v"), nanLit).as("value"))
+    putFetchHints(out, meta,
+      filled.select(col("sid"),
+        (lit(ctx.startMs) + col("_b") * step).as("t"), col("_v").as("value")))
+    out
   }
 
   /** schema-correct empty series set */
