@@ -355,6 +355,26 @@ object HistogramQ {
       .otherwise(raw.try_cast(DoubleType))
   }
 
+  /** Literal lookup tables over the clamped index domain
+    * k ∈ [KLO, KHI] ⊃ [-163, 324] (the metrics.Histogram clamp range
+    * (1e-9, 1e18] plus the ±1 guess-correction margin). Precomputing the
+    * `pow(10, i/18)` bounds and `%.3e...%.3e` range strings at class
+    * init keeps the per-row plan work to a log10 guess plus array
+    * lookups: the runtime `pow`/`format_string` versions cost
+    * microseconds per row, and Catalyst's projection collapse and
+    * filter-pushdown-through-aggregate inline those trees into per-
+    * INPUT-row filters and grouping keys (measured: the h_quantile
+    * bench chain spent 6+ of its 8 s evaluating pushed-down
+    * Formatter/pow chains below the bucketize aggregation).
+    */
+  private val KLO = -170
+  private val KHI = 331
+  private val boundsArr: Array[Double] =
+    (KLO to KHI + 1).map(i => math.pow(10.0, i / 18.0)).toArray
+  private val vmrangeArr: Array[String] =
+    (KLO to KHI).map(i =>
+      "%.3e...%.3e".format(math.pow(10.0, i / 18.0), math.pow(10.0, (i + 1) / 18.0))).toArray
+
   /** `%.3e...%.3e` vmrange string for log-bucket index k — the bucket
     * covers (10^(k/18), 10^((k+1)/18)]. The 4-significant-digit decimal
     * format is the reference's bucket-bound convention
@@ -362,11 +382,11 @@ object HistogramQ {
     * rendered with %.3e) and doubles as the hash-stability contract: every
     * downstream consumer re-parses these short decimals, so bucket bounds
     * are identical doubles in any environment regardless of libm pow.
+    * Domain: k ∈ [KLO, KHI] (all clamped bucket indices) — out-of-range
+    * k yields null.
     */
   def vmrangeStr(k: Column): Column =
-    format_string("%.3e...%.3e",
-      pow(lit(10.0), k.cast(DoubleType) / 18.0),
-      pow(lit(10.0), (k + 1).cast(DoubleType) / 18.0))
+    try_element_at(typedLit(vmrangeArr), (k - KLO + 1).cast("int"))
 
   /** log-bucket index for a positive value: values exactly on a bucket
     * bound belong to the LOWER bucket (metrics.Histogram.Update's
@@ -381,13 +401,27 @@ object HistogramQ {
     * DuckDB libm vs the JVM); after this correction both sides resolve
     * the boundary with the same exact comparisons. The guess is always
     * within ±1 of the true index (libm relative error ~1e-16 vs bucket
-    * width 1/18 in log space), so correcting one step suffices.
+    * width 1/18 in log space), so correcting one step suffices. The
+    * bounds come from the literal table (same JVM `Math.pow` values);
+    * out-of-table guesses (only possible outside the clamp range) skip
+    * the correction.
     */
   def bucketIdx(v: Column): Column = {
     val g = (ceil(log10(v) * 18) - 1).cast("long")
-    val bLo = pow(lit(10.0), g.cast(DoubleType) / 18.0)
-    val bHi = pow(lit(10.0), (g + 1).cast(DoubleType) / 18.0)
+    val bLo = try_element_at(typedLit(boundsArr), (g - KLO + 1).cast("int"))
+    val bHi = try_element_at(typedLit(boundsArr), (g - KLO + 2).cast("int"))
     when(v <= bLo, g - 1).when(v > bHi, g + 1).otherwise(g)
+  }
+
+  /** floor-convention sibling of [[bucketIdx]] (`bound(k) <= v <
+    * bound(k+1)`), used by the stream-aggregation histogram_bucket
+    * output; same literal-table correction.
+    */
+  def floorBucketIdx(v: Column): Column = {
+    val g = floor(log10(v) * 18).cast("long")
+    val bLo = try_element_at(typedLit(boundsArr), (g - KLO + 1).cast("int"))
+    val bHi = try_element_at(typedLit(boundsArr), (g - KLO + 2).cast("int"))
+    when(v < bLo, g - 1).when(v >= bHi, g + 1).otherwise(g)
   }
 
   /** bucket index with the metrics.Histogram clamp ranges encoded as
@@ -424,20 +458,39 @@ object HistogramQ {
     *    running count — le labels are the original bound strings verbatim.
     *
     * Input: (groupKeys…, t, vmrange string, value). Output: (groupKeys…,
-    * t, le string, value cumulative). The bucket dim per group is
-    * metadata-scale (≤ hundreds of buckets), so the per-group planning UDF
-    * is tiny; the data-scale work is one window sum per (group, t).
+    * t, le string, value cumulative).
+    *
+    * Physical plan: the bucket dim per group is metadata-scale (≤
+    * hundreds of buckets), planned once per group and broadcast; the
+    * data-scale work is ONE groupBy(group, t) whose JVM UDF assembles
+    * the whole cumulative LE array from the group's plan (the earlier
+    * join-ts×kept×vals + window-sum shape was ~7 shuffle stages and made
+    * the h_quantile bench swing 4-12 s at sf0.1 — VERDICT r5). A nice
+    * side effect: the output stays hash-partitioned by (group, t), so a
+    * downstream quantile/share groupBy(group, t) reuses the exchange.
     */
   def vmrangeToLE(in: DataFrame, groupKeys: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val gcols = groupKeys.map(col)
-    val parsed = in
-      .filter(col("vmrange").contains("..."))
+    // Materialize the parsed frame ONCE (eager localCheckpoint). This is
+    // a deliberate optimizer barrier, not just reuse: without it,
+    // Catalyst's projection collapse plus filter-pushdown-through-
+    // aggregate inline the parse chain (substring_index + lower/isin +
+    // try_cast, and upstream the vmrange rendering itself) into every
+    // downstream filter predicate and grouping key, evaluating it ~8×
+    // per row — measured 6+ s of the 8 s h_quantile bench chain at
+    // sf0.1. The frame is bucket-aggregated (groups × t × ≤hundreds of
+    // buckets), far smaller than the raw data, so the materialization
+    // is bounded at any scale.
+    val withParse = in
       .withColumn("_ss", substring_index(col("vmrange"), "...", 1))
       .withColumn("_es", substring_index(col("vmrange"), "...", -1))
-      .withColumn("_s", parseBound(col("_ss")))
-      .withColumn("_e", parseBound(col("_es")))
-      .filter(col("_s").isNotNull && col("_e").isNotNull)
+      .withColumn("_s",
+        when(col("vmrange").contains("..."), parseBound(col("_ss"))))
+      .withColumn("_e",
+        when(col("vmrange").contains("..."), parseBound(col("_es"))))
+      .localCheckpoint(true)
+    val parsed = withParse.filter(col("_s").isNotNull && col("_e").isNotNull)
     // bucket dim per group: one row per distinct vmrange, ordered by end
     val ordW = Window.partitionBy(gcols: _*).orderBy(col("_e").asc, col("_s").asc)
     val dim = parsed
@@ -470,31 +523,40 @@ object HistogramQ {
       if (out.nonEmpty && !lastEnd.isPosInfinity) out += ((out.size, "+Inf", -1))
       out.toSeq
     }
-    val kept = dim
+    // per-group ordered LE plan, kept as an array for the assembly UDF
+    val planArr = dim
       .groupBy(gcols: _*)
       .agg(collect_list(struct(
         col("_s"), col("_e"), col("_ss"), col("_es"), col("_nz"), col("_bid"))).as("_arr"))
-      .select((gcols :+ explode(plan(col("_arr"))).as("_k")): _*)
-      .select((gcols :+ col("_k._1").as("_ord") :+ col("_k._2").as("le") :+
-        col("_k._3").as("_src")): _*)
-    // one value per (group, bucket, t); duplicate sources keep the first
-    // (mergeNonOverlappingTimeseries fills only NaN gaps)
-    val vals = parsed
-      .join(dim.select((gcols :+ col("_s") :+ col("_e") :+ col("_bid")): _*),
-        groupKeys ++ Seq("_s", "_e"))
-      .groupBy((gcols :+ col("_bid") :+ col("t")): _*)
-      .agg(first(col("value")).as("_v"))
-    val ts = in.select((gcols :+ col("t")): _*).distinct()
-    val cumW = Window
-      .partitionBy((gcols :+ col("t")): _*)
-      .orderBy(col("_ord"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    kept
-      .join(ts, groupKeys)
-      .join(vals.withColumnRenamed("_bid", "_src"), groupKeys ++ Seq("_src", "t"), "left")
-      .withColumn("value",
-        sum(when(!isnan(coalesce(col("_v"), lit(0.0))) && col("_v") > 0, col("_v"))
-          .otherwise(0.0)).over(cumW))
-      .select((gcols :+ col("t") :+ col("le") :+ col("value")): _*)
+      .select((gcols :+ plan(col("_arr")).as("_plan")): _*)
+    // cumulative assembly per (group, t): duplicate sources keep the
+    // first (mergeNonOverlappingTimeseries fills only NaN gaps); only
+    // finite positive counts accumulate; every kept bucket emits the
+    // running count under its original bound string.
+    val assemble = udf { (pl: Seq[org.apache.spark.sql.Row], vals: Seq[org.apache.spark.sql.Row]) =>
+      val m = new java.util.HashMap[Int, Double]()
+      if (vals != null) vals.foreach { r =>
+        if (!r.isNullAt(0)) {
+          val bid = r.getInt(0)
+          if (!m.containsKey(bid))
+            m.put(bid, if (r.isNullAt(1)) Double.NaN else r.getDouble(1))
+        }
+      }
+      var cum = 0.0
+      pl.sortBy(_.getInt(0)).map { p =>
+        val src = p.getInt(2)
+        val v = if (src >= 0 && m.containsKey(src)) m.get(src) else Double.NaN
+        if (!v.isNaN && v > 0) cum += v
+        (p.getString(1), cum)
+      }
+    }
+    withParse
+      .join(broadcast(dim.select((gcols :+ col("_ss") :+ col("_es") :+ col("_bid")): _*)),
+        groupKeys ++ Seq("_ss", "_es"), "left")
+      .groupBy((gcols :+ col("t")): _*)
+      .agg(collect_list(struct(col("_bid"), col("value"))).as("_vl"))
+      .join(broadcast(planArr), groupKeys)
+      .select((gcols :+ col("t") :+ explode(assemble(col("_plan"), col("_vl"))).as("_o")): _*)
+      .select((gcols :+ col("t") :+ col("_o._1").as("le") :+ col("_o._2").as("value")): _*)
   }
 }

@@ -329,19 +329,6 @@ object StreamAggr {
     * reference merges each interval's histogram into a shared one and
     * emits the shared totals).
     */
-  /** floor log-bucket index with the same exact-bound correction as
-    * `HistogramQ.bucketIdx`: the libm `log10` result is a guess,
-    * finalized by exact double comparison against `pow(10, i/18)`
-    * bounds so bucket assignment is environment-independent
-    * (`bound(k) <= v < bound(k+1)` for the floor convention here).
-    */
-  private def floorLogIdx(v: Column): Column = {
-    val g = floor(log10(v) * 18).cast("long")
-    val bLo = pow(lit(10.0), g.cast(DoubleType) / 18.0)
-    val bHi = pow(lit(10.0), (g + 1).cast(DoubleType) / 18.0)
-    when(v < bLo, g - 1).when(v >= bHi, g + 1).otherwise(g)
-  }
-
   def histogramBucketBatch(samples: DataFrame, cfg: Config): DataFrame = {
     val i = cfg.intervalMs
     val keyed = dedupBatch(samples
@@ -349,7 +336,7 @@ object StreamAggr {
         to_json(array_sort(map_entries(col("tags")))))), cfg)
       .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
       .withColumn("t", expr(s"(ts div ${i}L) * ${i}L + ${i}L"))
-      .withColumn("vmrange", floorLogIdx(col("value")))
+      .withColumn("vmrange", graft.operators.HistogramQ.floorBucketIdx(col("value")))
       .filter(col("vmrange").isNotNull)
     val perInterval = keyed
       .groupBy(col("name"), col("_gt"), col("vmrange"), col("t"))
