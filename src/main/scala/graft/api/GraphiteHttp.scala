@@ -38,7 +38,14 @@ object GraphiteHttp {
     * `toLocalIterator` over a Spark-side sort, so driver memory stays
     * bounded by a partition (the reference's qtpl streaming, same idea).
     */
-  def render(
+  /** Phase 1: build the full render plan — GraphiteEval.exec per target
+    * plus the maxDataPoints summarize — WITHOUT touching the writer.
+    * Evaluation-time errors (unknown function, wrong arg count/type,
+    * sub-query failure) throw HERE, before the caller commits a 200
+    * chunked header, so clients get the proper error envelope instead of
+    * a truncated body (ADVICE r5 #1). Returns None when no targets.
+    */
+  def renderPlan(
       spark: SparkSession,
       store: DataFrame,
       targets: Seq[String],
@@ -48,9 +55,9 @@ object GraphiteHttp {
       xff: Double,
       maxDataPoints: Int,
       nowMs: Long,
-      w: Writer): Unit = {
+      tz: java.time.ZoneId = java.time.ZoneOffset.UTC): Option[DataFrame] = {
     val ctx = GraphiteCtx(spark, store, fromMs, untilMs, storageStepMs,
-      xff = xff, nowMs = nowMs)
+      xff = xff, nowMs = nowMs, tz = tz)
     val sets = targets.zipWithIndex.map { case (t, i) =>
       var ss = GraphiteEval.exec(ctx, t)
       if (maxDataPoints > 0 && ctx.pointsLen(ss.step) > maxDataPoints) {
@@ -61,12 +68,16 @@ object GraphiteHttp {
       ss.copy(df =
         ss.df.withColumn("sid", concat(lit(s"$i|"), col("sid"))))
     }
-    if (sets.isEmpty) { w.write("[]"); return }
-    val all = sets.map(_.df).reduce(_ unionByName _)
-    val it = all
+    if (sets.isEmpty) None
+    else Some(sets.map(_.df).reduce(_ unionByName _)
       .select(col("name"), col("sid"), col("tags"), col("t"), col("value"))
-      .orderBy(col("name"), col("sid"), col("t"))
-      .toLocalIterator()
+      .orderBy(col("name"), col("sid"), col("t")))
+  }
+
+  /** Phase 2: stream a prepared render plan as the render JSON. */
+  def renderWrite(plan: Option[DataFrame], w: Writer): Unit = {
+    val all = plan.getOrElse { w.write("[]"); return }
+    val it = all.toLocalIterator()
     w.write("[")
     var curSid: String = null
     var first = true
@@ -95,6 +106,22 @@ object GraphiteHttp {
     if (curSid != null) w.write("]}")
     w.write("]")
   }
+
+  /** one-shot render (plan + write) — spec/back-compat convenience */
+  def render(
+      spark: SparkSession,
+      store: DataFrame,
+      targets: Seq[String],
+      fromMs: Long,
+      untilMs: Long,
+      storageStepMs: Long,
+      xff: Double,
+      maxDataPoints: Int,
+      nowMs: Long,
+      w: Writer,
+      tz: java.time.ZoneId = java.time.ZoneOffset.UTC): Unit =
+    renderWrite(renderPlan(spark, store, targets, fromMs, untilMs,
+      storageStepMs, xff, maxDataPoints, nowMs, tz), w)
 
   // ------------------------------------------------------------------
   // /metrics/find + /metrics/expand

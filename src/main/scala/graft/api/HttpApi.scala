@@ -339,13 +339,15 @@ final class HttpApi(
         throw new IllegalArgumentException("from cannot exceed until")
       val xff = p.get("xFilesFactor").map(_.toDouble).getOrElse(0.0)
       val maxDataPoints = p.get("maxDataPoints").map(_.toDouble.toInt).getOrElse(0)
+      val tz = p.get("tz").map(java.time.ZoneId.of)
+        .getOrElse(java.time.ZoneOffset.UTC: java.time.ZoneId)
       val targets = multiParams(ex, "target")
-      // force parse errors before streaming starts
-      targets.foreach(graft.graphite.GraphiteQL.parse)
-      replyStream(ex) { w =>
-        GraphiteHttp.render(spark, samples, targets, from, until, storageStep,
-          xff, maxDataPoints, now, w)
-      }
+      // Build the full plans (parse + eval + summarize) BEFORE streaming:
+      // plan construction is lazy and cheap, and evaluation errors must
+      // surface as the error envelope, not a truncated 200 body.
+      val plan = GraphiteHttp.renderPlan(spark, samples, targets, from,
+        until, storageStep, xff, maxDataPoints, now, tz)
+      replyStream(ex) { w => GraphiteHttp.renderWrite(plan, w) }
     },
     "/metrics/find" -> handler { ex =>
       val p = params(ex)

@@ -913,7 +913,7 @@ object GraphiteAgg {
     val alignTo = optStr(fe, "alignTo", 3, "")
     val s =
       if (alignTo.isEmpty) ctx.startMs
-      else GraphiteTime.alignTimeUnit(ctx.startMs, alignTo)
+      else GraphiteTime.alignTimeUnit(ctx.startMs, alignTo, ctx.tz)
     val ecc = ctx.copy(startMs = s)
     val inner = eval(ecc, arg(fe, "seriesList", 0).expr)
     val re = summarizeSet(ecc, inner, s, ctx.endMs, interval, Some(fn),
@@ -944,7 +944,7 @@ object GraphiteAgg {
           else if (interval >= 3600 * 1000) "h"
           else if (interval >= 60 * 1000) "min"
           else "s"
-        if (interval >= 60 * 1000) GraphiteTime.alignTimeUnit(ctx.startMs, unit)
+        if (interval >= 60 * 1000) GraphiteTime.alignTimeUnit(ctx.startMs, unit, ctx.tz)
         else ctx.startMs
       }
     val ecc = ctx.copy(startMs = s)

@@ -40,7 +40,15 @@ final case class GraphiteCtx(
     storageStepMs: Long,
     xff: Double = 0.0,
     nowMs: Long = 0L,
-    maxSeries: Int = 300000) {
+    maxSeries: Int = 300000,
+    /** request timezone for calendar-unit alignment: the reference's
+      * `ec.currentTime.Location()` (server-local time in VM; graphite-web
+      * semantics make it the render request's tz). Only hitcount's
+      * alignToInterval and smartSummarize's alignTo consult it
+      * (transform.go:2063, :4996); absolute-time parsing is UTC in the
+      * reference too (render_api.go parseTime uses time.Parse).
+      */
+    tz: java.time.ZoneId = java.time.ZoneOffset.UTC) {
 
   def pointsLen(step: Long): Long = (endMs - startMs) / step
 

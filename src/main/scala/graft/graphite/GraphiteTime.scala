@@ -54,11 +54,15 @@ object GraphiteTime {
       .orElse(atDate(LocalDate.parse(s, DateTimeFormatter.ofPattern("MM/dd/yy"))))
   }
 
-  /** floor a timestamp to the unit named by `s`
-    * (transform.go:5000 alignTimeUnit, UTC)
+  /** floor a timestamp to the unit named by `s` in timezone `tz`
+    * (transform.go:5017 alignTimeUnit — the reference computes the
+    * calendar fields in `ec.currentTime.Location()` and rebuilds the
+    * instant with `time.Date(..., tz)`; DST-gap local times resolve
+    * forward like Go's time.Date normalization)
     */
-  def alignTimeUnit(startMs: Long, s: String): Long = {
-    val t = LocalDateTime.ofInstant(Instant.ofEpochMilli(startMs), ZoneOffset.UTC)
+  def alignTimeUnit(startMs: Long, s: String,
+      tz: java.time.ZoneId = ZoneOffset.UTC): Long = {
+    val t = LocalDateTime.ofInstant(Instant.ofEpochMilli(startMs), tz)
     val aligned: LocalDateTime =
       if (s.startsWith("ms")) t.withNano((t.getNano / 1000000) * 1000000)
       else if (s.startsWith("s")) t.withNano(0)
@@ -68,11 +72,15 @@ object GraphiteTime {
       else if (s.startsWith("w")) {
         val weekday = s.last
         val alignTo = if (weekday.isDigit) weekday - '0' else 1
-        // Go time.Weekday: Sunday=0; ISO day align per the reference
+        // Go time.Weekday: Sunday=0; ISO day align per the reference.
+        // The reference subtracts ABSOLUTE 24h days from local midnight
+        // (`.Add(-time.Hour * 24 * days)`), not calendar days — they
+        // differ across a DST transition in a non-UTC zone.
         val goWeekday = t.getDayOfWeek.getValue % 7
         var delta = goWeekday - alignTo
         if (delta < 0) delta += 7
-        t.toLocalDate.minusDays(delta.toLong).atStartOfDay
+        return t.toLocalDate.atStartOfDay.atZone(tz).toInstant.toEpochMilli -
+          delta.toLong * 24L * 3600 * 1000
       } else if (s.startsWith("mon"))
         // Go time.Date(y, m, 0, …) = last day of previous month
         t.toLocalDate.withDayOfMonth(1).minusDays(1).atStartOfDay
@@ -80,7 +88,7 @@ object GraphiteTime {
         // Go time.Date(y, 0, 0, …) = Nov 30 of previous year
         LocalDate.of(t.getYear - 1, 11, 30).atStartOfDay
       else throw GraphiteEval.GraphiteError(s"unsupported interval '$s'")
-    aligned.toInstant(ZoneOffset.UTC).toEpochMilli
+    aligned.atZone(tz).toInstant.toEpochMilli
   }
 
   /** unmarshalTags (transform.go:3969): `path;k=v;…` → map incl. the

@@ -288,6 +288,43 @@ class GraphiteSpec extends SparkSpec {
     assert(p((key, 20000L)) == 40.0)
   }
 
+  test("smartSummarize alignTo honors the request timezone") {
+    // epoch 0 = 1970-01-01T00:00Z = Dec 31 19:00 in New York, so 'd'
+    // alignment moves start to NY midnight = 1969-12-31T05:00:00Z =
+    // -68400000 (transform.go:4996 alignTimeUnit in
+    // ec.currentTime.Location()). With a 2h interval the floor'd
+    // pointsLen (eval.go:112, (end-start)/step = 9) emits buckets at
+    // -68400000 + k*7200000 — all before the samples, hence NaN, but
+    // the bucket TIMESTAMPS pin the tz-shifted start end-to-end.
+    val nyCtx = ctx.copy(tz = java.time.ZoneId.of("America/New_York"))
+    val p = points(GraphiteEval.exec(nyCtx,
+      "smartSummarize(web.server1.cpu, '1min', 'sum', 'd')"))
+    val key = "smartSummarize(web.server1.cpu,'1min','sum')"
+    // 1142 one-minute buckets from the shifted start; the warmup samples
+    // (100, 200) land in the [-60s, 0) bucket, the live samples in the
+    // last two
+    assert(p.size == 1142)
+    assert(p((key, -68400000L)).isNaN)
+    assert(p((key, -60000L)) == 300.0)
+    assert(p((key, 0L)) == 21.0)
+    assert(p((key, 60000L)) == 57.0)
+    // UTC default: start stays 0 → two 1-minute buckets, warmups excluded
+    val pu = points(run("smartSummarize(web.server1.cpu, '1min', 'sum', 'd')"))
+    assert(pu.keySet == Set((key, 0L), (key, 60000L)))
+    assert(pu((key, 0L)) == 21.0)
+    assert(pu((key, 60000L)) == 57.0)
+  }
+
+  test("hitcount alignToInterval honors the request timezone") {
+    val nyCtx = ctx.copy(tz = java.time.ZoneId.of("America/New_York"))
+    val p = points(GraphiteEval.exec(nyCtx,
+      "hitcount(web.server1.cpu, '1d', true)"))
+    val key = "hitcount(web.server1.cpu,'1d',true)"
+    // aligned start = NY midnight before epoch → one 1d bucket there
+    assert(p.keys.map(_._2).toSet == Set(-68400000L))
+    assert(p.keys.map(_._1).toSet == Set(key))
+  }
+
   test("movingAverage with a points-count window reaches before start") {
     val p = points(run("movingAverage(web.server1.cpu, 2)"))
     val key = "movingAverage(web.server1.cpu,2)"

@@ -190,6 +190,35 @@ class GraphiteUnitSpec extends AnyFunSuite {
     f("foo.b*r,b[a-xz]z,aa.bb,cc", ".", "foo.{b*r,b[a-xz]z,aa}.{bb,cc}")
   }
 
+  test("alignTimeUnit honors the request timezone (transform.go:5017 + tz)") {
+    import java.time.ZoneId
+    val ny = ZoneId.of("America/New_York")
+    val berlin = ZoneId.of("Europe/Berlin")
+    // 2024-01-15T13:47:23.123Z = NY 08:47:23.123 (EST, -5)
+    val t0 = 1705326443123L
+    val utcMidnight = 1705276800000L // 2024-01-15T00:00:00Z
+    assert(GraphiteTime.alignTimeUnit(t0, "d", ny) == utcMidnight + 5 * 3600000L)
+    assert(GraphiteTime.alignTimeUnit(t0, "h", ny) == utcMidnight + 13 * 3600000L)
+    // Jan 15 2024 is a Monday: default week align (ISO 1) is that midnight
+    assert(GraphiteTime.alignTimeUnit(t0, "w", ny) == utcMidnight + 5 * 3600000L)
+    // w0 aligns to Sunday: one absolute day earlier
+    assert(GraphiteTime.alignTimeUnit(t0, "w0", ny) ==
+      utcMidnight + 5 * 3600000L - 86400000L)
+    // mon → Go time.Date(y, m, 0) = last day of previous month, NY midnight
+    assert(GraphiteTime.alignTimeUnit(t0, "mon", ny) ==
+      1703980800000L + 5 * 3600000L) // 2023-12-31T05:00:00Z
+    // UTC default unchanged
+    assert(GraphiteTime.alignTimeUnit(t0, "d") == utcMidnight)
+    // DST-morning day align: Berlin midnight Mar 31 2024 is offset +1
+    assert(GraphiteTime.alignTimeUnit(1711886400000L /* 2024-03-31T12:00Z */,
+      "d", berlin) == 1711839600000L) // 2024-03-30T23:00:00Z
+    // Go subtracts ABSOLUTE 24h days for week alignment: Wed 2024-04-03
+    // w0 → local midnight Apr 3 (UTC+2) minus 72h crosses the Mar 31 DST
+    // gap and lands at 2024-03-30T22:00Z (23:00 local, NOT midnight)
+    assert(GraphiteTime.alignTimeUnit(1712145600000L /* 2024-04-03T12:00Z */,
+      "w0", berlin) == 1711836000000L)
+  }
+
   test("goFmt matches Go %g forms") {
     assert(GraphiteModel.goFmt(5) == "5")
     assert(GraphiteModel.goFmt(5.8) == "5.8")
