@@ -384,6 +384,43 @@ object Rules {
     * state is per-series and bounded, exactly the reference's in-memory
     * alerts map sharded across executors.
     */
+  /** The absence-expiry transition, extracted pure so the paths only
+    * reachable under a live processing-time clock (which
+    * processAllAvailable cannot drive in tests) are directly
+    * unit-testable: given the timed-out state and the clock, returns
+    * (next state — None means removed, emitted outputs, next timeout
+    * duration to arm). Mirrors exec()'s not-updated branch
+    * (alerting.go:440): pending → removed; firing → keep_firing_for
+    * hold, then inactive with resolved retention; inactive → removed
+    * once retention expires.
+    */
+  def absenceStep(
+      sk: String,
+      st: Option[AlertState],
+      nowMs: Long,
+      kffMs: Long,
+      intervalMs: Long): (Option[AlertState], Seq[AlertOut], Option[Long]) =
+    st match {
+      case Some(a) if a.state == "pending" =>
+        (None, Nil, None)
+      case Some(a) if a.state == "firing" =>
+        val since =
+          if (kffMs > 0 && a.keepFiringSinceMs == 0L) nowMs
+          else a.keepFiringSinceMs
+        if (nowMs - since >= kffMs) {
+          val res = a.copy(state = "inactive", resolvedAtMs = nowMs)
+          (Some(res),
+            Seq(AlertOut(sk, Map.empty, "inactive", a.activeAtMs, nowMs)),
+            Some(ResolvedRetentionMs))
+        } else {
+          (Some(a.copy(keepFiringSinceMs = since)),
+            Seq(AlertOut(sk, Map.empty, "firing", a.activeAtMs, nowMs)),
+            Some(intervalMs * 2))
+        }
+      case _ => // inactive aged out (resolved retention), or no state
+        (None, Nil, None)
+    }
+
   def alertingStream(
       events: org.apache.spark.sql.Dataset[AlertEvent],
       rule: Rule,
@@ -406,26 +443,15 @@ object Rules {
           if (state.hasTimedOut) {
             // absent for ≥ the timeout window (exec's not-updated branch)
             val nowMs = state.getCurrentProcessingTimeMs()
-            state.getOption match {
-              case Some(a) if a.state == "pending" =>
-                state.remove(); Iterator.empty
-              case Some(a) if a.state == "firing" =>
-                val since =
-                  if (kffMs > 0 && a.keepFiringSinceMs == 0L) nowMs
-                  else a.keepFiringSinceMs
-                if (nowMs - since >= kffMs) {
-                  val res = a.copy(state = "inactive", resolvedAtMs = nowMs)
-                  state.update(res)
-                  state.setTimeoutDuration(ResolvedRetentionMs)
-                  Iterator.single(AlertOut(sk, Map.empty, "inactive", a.activeAtMs, nowMs))
-                } else {
-                  state.update(a.copy(keepFiringSinceMs = since))
-                  if (timeouts) state.setTimeoutDuration(intervalMs * 2)
-                  Iterator.single(AlertOut(sk, Map.empty, "firing", a.activeAtMs, nowMs))
-                }
-              case _ => // inactive aged out (resolved retention)
-                state.remove(); Iterator.empty
+            val (next, outs, dur) =
+              absenceStep(sk, state.getOption, nowMs, kffMs, intervalMs)
+            next match {
+              case Some(a) =>
+                state.update(a)
+                dur.filter(_ => timeouts).foreach(state.setTimeoutDuration)
+              case None => state.remove()
             }
+            outs.iterator
           } else {
             val sorted = rows.toSeq.sortBy(_.ts)
             val last = sorted.last

@@ -311,6 +311,48 @@ class RulesSpec extends SparkSpec {
         Seq(Rules.Rule(alert = "a", expr = "m"))))))
   }
 
+  test("absenceStep: pending alert is removed on absence") {
+    val st = Rules.AlertState("pending", 1000L, 5.0)
+    val (next, outs, dur) = Rules.absenceStep("sk", Some(st), 120000L, 0L, 60000L)
+    assert(next.isEmpty && outs.isEmpty && dur.isEmpty)
+  }
+
+  test("absenceStep: firing without keep_firing_for resolves immediately") {
+    val st = Rules.AlertState("firing", 1000L, 5.0)
+    val (next, outs, dur) = Rules.absenceStep("sk", Some(st), 120000L, 0L, 60000L)
+    assert(next.exists(_.state == "inactive"))
+    assert(next.exists(_.resolvedAtMs == 120000L))
+    assert(outs.map(o => (o.state, o.activeAtMs, o.atMs)) ==
+      Seq(("inactive", 1000L, 120000L)))
+    assert(dur.contains(Rules.ResolvedRetentionMs))
+  }
+
+  test("absenceStep: firing holds through keep_firing_for then resolves") {
+    val kff = 300000L
+    val st0 = Rules.AlertState("firing", 1000L, 5.0)
+    // first absence: starts the keep-firing clock, stays firing
+    val (n1, o1, d1) = Rules.absenceStep("sk", Some(st0), 120000L, kff, 60000L)
+    assert(n1.exists(a => a.state == "firing" && a.keepFiringSinceMs == 120000L))
+    assert(o1.map(_.state) == Seq("firing"))
+    assert(d1.contains(120000L)) // 2 × interval re-arm
+    // still inside the hold window: keeps firing, clock unchanged
+    val (n2, o2, _) = Rules.absenceStep("sk", n1, 300000L, kff, 60000L)
+    assert(n2.exists(a => a.state == "firing" && a.keepFiringSinceMs == 120000L))
+    assert(o2.map(_.state) == Seq("firing"))
+    // past the hold window: resolves with retention armed
+    val (n3, o3, d3) = Rules.absenceStep("sk", n2, 420000L, kff, 60000L)
+    assert(n3.exists(a => a.state == "inactive" && a.resolvedAtMs == 420000L))
+    assert(o3.map(_.state) == Seq("inactive"))
+    assert(d3.contains(Rules.ResolvedRetentionMs))
+  }
+
+  test("absenceStep: resolved-retention expiry removes the entry silently") {
+    val st = Rules.AlertState("inactive", 1000L, 5.0, resolvedAtMs = 120000L)
+    val (next, outs, dur) = Rules.absenceStep("sk", Some(st),
+      120000L + Rules.ResolvedRetentionMs, 0L, 60000L)
+    assert(next.isEmpty && outs.isEmpty && dur.isEmpty)
+  }
+
   test("groupRange unions recording and alerting outputs") {
     val g = Rules.RuleGroup("g", H, Seq(
       Rules.Rule(record = "rec:m", expr = "avg_over_time(m[1h])"),
