@@ -125,8 +125,15 @@ object Api {
     * APIGroups shape, core fields)
     */
   def rules(groups: Seq[graft.alerting.Rules.RuleGroup]): String = {
-    def esc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    // full control-char escaping (mirrors GraphiteHttp.esc) — a tab/CR
+    // in a label, annotation, or expr must not break the JSON
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     def kv(m: Map[String, String]): String =
       m.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
@@ -149,19 +156,6 @@ object Api {
 
   /** /api/v1/notifiers (main.go:587) */
   def notifiers(): String = """{"status":"success","data":{"notifiers":[]}}"""
-
-  /** /api/v1/status/active_queries (main.go:536) — single-session engine:
-    * queries run synchronously inside the caller, so the live list is
-    * empty by construction
-    */
-  def activeQueries(): String = """{"status":"ok","data":[]}"""
-
-  /** /api/v1/status/top_queries (main.go:541) */
-  def topQueries(): String =
-    """{"status":"ok","topN":"0","maxLifetime":"0s",""" +
-      """"search.queryStats.lastQueriesCount":0,""" +
-      """"search.queryStats.minQueryDuration":"0s",""" +
-      """"topByCount":[],"topByAvgDuration":[],"topBySumDuration":[]}"""
 
   /** /api/v1/status/buildinfo (main.go:592): the advertised Prometheus
     * compat version gates which query features Grafana enables.

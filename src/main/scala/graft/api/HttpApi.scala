@@ -217,22 +217,30 @@ final class HttpApi(
     "/api/v1/query" -> handler { ex =>
       val p = params(ex)
       val at = timeMs(p, "time", System.currentTimeMillis())
-      val df = Api.query(samples, p("query"), at, stepMs(p)) // parse/analyze errors throw here → 422
-      replyStream(ex) { w =>
-        w.write("""{"status":"success","data":{"resultType":"vector","result":""")
-        writeResult(df, instant = true, w)
-        w.write("}}")
+      val step = stepMs(p)
+      val df = Api.query(samples, p("query"), at, step) // parse/analyze errors throw here → 422
+      QueryStats.track(p("query"), at, at, step,
+        String.valueOf(ex.getRemoteAddress)) {
+        replyStream(ex) { w =>
+          w.write("""{"status":"success","data":{"resultType":"vector","result":""")
+          writeResult(df, instant = true, w)
+          w.write("}}")
+        }
       }
     },
     "/api/v1/query_range" -> handler { ex =>
       val p = params(ex)
       val step = stepMs(p)
-      val df = Api.queryRange(samples, p("query"),
-        timeMs(p, "start", 0L), timeMs(p, "end", 0L), step)
-      replyStream(ex) { w =>
-        w.write("""{"status":"success","data":{"resultType":"matrix","result":""")
-        writeResult(df, instant = false, w)
-        w.write("}}")
+      val start = timeMs(p, "start", 0L)
+      val end = timeMs(p, "end", 0L)
+      val df = Api.queryRange(samples, p("query"), start, end, step)
+      QueryStats.track(p("query"), start, end, step,
+        String.valueOf(ex.getRemoteAddress)) {
+        replyStream(ex) { w =>
+          w.write("""{"status":"success","data":{"resultType":"matrix","result":""")
+          writeResult(df, instant = false, w)
+          w.write("}}")
+        }
       }
     },
     "/api/v1/series" -> handler { ex =>
@@ -307,8 +315,16 @@ final class HttpApi(
     "/api/v1/rules" -> handler(reply(_, 200, Api.rules(ruleGroups))),
     "/api/v1/alerts" -> handler(reply(_, 200, Api.alerts())),
     "/api/v1/status/buildinfo" -> handler(reply(_, 200, Api.buildInfo())),
-    "/api/v1/status/active_queries" -> handler(reply(_, 200, Api.activeQueries())),
-    "/api/v1/status/top_queries" -> handler(reply(_, 200, Api.topQueries()))) ++
+    "/api/v1/status/active_queries" -> handler(
+      reply(_, 200, QueryStats.activeQueriesJson())),
+    "/api/v1/status/top_queries" -> handler { ex =>
+      val p = params(ex)
+      val topN = p.get("topN").map(_.toInt).getOrElse(20)
+      val maxLifetimeMs = p.get("maxLifetime")
+        .map(graft.graphite.GraphiteQL.parseInterval)
+        .getOrElse(10 * 60 * 1000L)
+      reply(ex, 200, QueryStats.topQueriesJson(topN, maxLifetimeMs))
+    }) ++
     graphiteRoutes
 
   // ---- Graphite Render + metadata APIs (app/vmselect/main.go:290-386,

@@ -69,6 +69,42 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("active_queries shows in-flight queries; top_queries ranks completed ones") {
+    QueryStats.reset()
+    // in-flight: visible from inside the tracked closure
+    QueryStats.track("rate(m[5m])", 60000L, 180000L, 60000L, "1.2.3.4") {
+      val aq = QueryStats.activeQueriesJson()
+      assert(aq.contains(""""query":"rate(m[5m])""""))
+      assert(aq.contains(""""start":60000,"end":180000,"step":60000"""))
+      assert(aq.contains(""""remote_addr":"1.2.3.4""""))
+    }
+    // completed: gone from active, present in the ring
+    assert(QueryStats.activeQueriesJson() == """{"status":"ok","data":[]}""")
+
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      assert(post(port, "/api/v1/import/prometheus",
+        """m{job="api"} 10 60000
+          |""".stripMargin) == 204)
+      get(port, "/api/v1/query?query=m&time=60")
+      get(port, "/api/v1/query?query=m&time=60")
+      get(port, "/api/v1/query_range?query=sum(m)&start=60&end=180&step=60")
+      val top = get(port, "/api/v1/status/top_queries")
+      // instant query ran twice → count 2, range query once
+      assert(top.contains(""""query":"m","timeRangeSeconds":0,"count":2"""))
+      assert(top.contains(""""query":"sum(m)","timeRangeSeconds":120"""))
+      assert(top.contains(""""topByAvgDuration":["""))
+      assert(top.contains(""""topBySumDuration":["""))
+      // nothing in flight once the responses are done
+      assert(get(port, "/api/v1/status/active_queries") ==
+        """{"status":"ok","data":[]}""")
+      // maxLifetime=0 filters everything out
+      val empty = get(port, "/api/v1/status/top_queries?maxLifetime=1ms&topN=5")
+      assert(empty.contains(""""topByCount":[]""") || !empty.contains(""""query":"m""""))
+    } finally api.stop()
+  }
+
   test("remote-write protobuf ingestion over HTTP") {
     import spark.implicits._
     val api = new HttpApi(spark)
