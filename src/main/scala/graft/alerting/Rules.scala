@@ -52,8 +52,7 @@ object Rules {
       else s
     }
     def durMs(s: String): Long = graft.lang.Lexer.durationMs(unq(s), 0L)
-    val lines = yaml.split('\n')
-      .filterNot(l => l.trim.isEmpty || l.trim.startsWith("#")).toSeq
+    val all = yaml.split('\n')
 
     var groups = Vector.empty[RuleGroup]
     var gName = ""; var gInterval = defaultIntervalMs
@@ -63,6 +62,14 @@ object Rules {
     var curAnns = Map.empty[String, String]
     var nested = "" // "labels" | "annotations" | ""
     var inGroup = false
+    var inRules = false
+    // indent of the group list items ("- name: …"); rule items always sit
+    // DEEPER (they live inside the group item's mapping), which is how the
+    // compact layout (groups at column 0, rules at indent 2) is told apart
+    // from a new group — ADVICE r5 #2: indent alone misclassified rules
+    // as nameless groups and silently dropped them
+    var groupIndent = -1
+    var i = 0
 
     def flushRule(): Unit = if (cur != null) {
       gRules :+= Rule(
@@ -82,32 +89,63 @@ object Rules {
       inGroup = false
     }
 
-    var inRules = false
-    lines.foreach { raw =>
+    /** resolve a mapping value that may be a block scalar: `|`/`|-`
+      * (literal, newline-joined) or `>`/`>-` (folded, space-joined)
+      * consume the following deeper-indented lines — used by the
+      * reference's own testdata (multiline `expr: |`).
+      */
+    def resolveValue(v0: String, keyIndent: Int): String = {
+      val ind = v0.trim
+      if (ind != "|" && ind != "|-" && ind != ">" && ind != ">-") return v0.trim
+      val buf = Vector.newBuilder[String]
+      var blockIndent = -1
+      var done = false
+      while (i < all.length && !done) {
+        val line = all(i)
+        val li = line.takeWhile(_ == ' ').length
+        if (line.trim.isEmpty) { buf += ""; i += 1 }
+        else if (li > keyIndent) {
+          if (blockIndent < 0) blockIndent = li
+          buf += line.drop(math.min(blockIndent, li))
+          i += 1
+        } else done = true
+      }
+      val body = buf.result().reverse.dropWhile(_.isEmpty).reverse
+      if (ind.startsWith("|")) body.mkString("\n")
+      else body.mkString(" ")
+    }
+
+    while (i < all.length) {
+      val raw = all(i)
       val t = raw.trim
       val indent = raw.takeWhile(_ == ' ').length
-      if (t == "groups:") { flushGroup() }
-      else if (t.startsWith("- ") && indent <= 2) {
-        // new group (group list items sit at the shallow indent)
-        flushGroup(); inGroup = true; inRules = false
-        val rest = t.drop(1).trim
-        if (rest.startsWith("name:")) gName = unq(rest.drop(5))
-      } else if (t == "rules:") { inRules = true; flushRule() }
-      else if (t.startsWith("- ") && inRules) {
+      i += 1
+      if (t.isEmpty || t.startsWith("#")) ()
+      else if (t == "groups:") { flushGroup(); groupIndent = -1 }
+      else if (t.startsWith("- ") && inRules &&
+        (groupIndent < 0 || indent > groupIndent)) {
         flushRule(); cur = Map.empty
         val rest = t.drop(1).trim
         if (rest.nonEmpty && rest.contains(":")) {
           val Array(k, v) = rest.split(":", 2)
-          cur += (k.trim -> v.trim)
+          // the key sits after "- ", so its mapping indent is item+2 —
+          // block content must be deeper than THAT, not the item dash
+          cur += (k.trim -> unq(resolveValue(v, indent + 2)))
         }
-      } else if (cur != null && t.contains(":")) {
+      } else if (t.startsWith("- ")) {
+        // new group list item
+        flushGroup(); inGroup = true; inRules = false; groupIndent = indent
+        val rest = t.drop(1).trim
+        if (rest.startsWith("name:")) gName = unq(rest.drop(5))
+      } else if (t == "rules:") { inRules = true; flushRule() }
+      else if (cur != null && t.contains(":")) {
         val Array(k, v) = t.split(":", 2)
         val key = k.trim
         if ((key == "labels" || key == "annotations") && v.trim.isEmpty) nested = key
         else if (nested.nonEmpty && indent >= 6) {
           if (nested == "labels") curLabels += (key -> unq(v))
           else curAnns += (key -> unq(v))
-        } else { nested = ""; cur += (key -> v.trim) }
+        } else { nested = ""; cur += (key -> unq(resolveValue(v, indent))) }
       } else if (inGroup && t.contains(":") && cur == null) {
         val Array(k, v) = t.split(":", 2)
         k.trim match {

@@ -109,13 +109,13 @@ object GraphiteAgg {
       .withColumn("_aggName",
         concat(lit(fn + "Series("), array_join(col("_paths"), ","), lit(")")))
       .withColumn("_tags1",
-        map_concat(
+        tagMerge(
           coalesce(col("_tags0"), typedLit(Map.empty[String, String])),
           map(lit("aggregatedBy"), lit(fnName))))
       .withColumn("_nameTag",
         coalesce(element_at(col("_tags1"), "name"), col("_aggName")))
       .withColumn("_tags",
-        map_concat(col("_tags1"), map(lit("name"), col("_nameTag"))))
+        tagMerge(col("_tags1"), map(lit("name"), col("_nameTag"))))
       .withColumn("name", if (keyed) col("_key") else col("_aggName"))
       .withColumn("pathExpr",
         capPath(if (keyed) col("_nameTag") else col("_aggName")))

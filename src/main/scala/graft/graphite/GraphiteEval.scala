@@ -18,11 +18,18 @@ object GraphiteEval {
   def exec(ctx: GraphiteCtx, target: String): SeriesSet =
     eval(ctx, parse(target))
 
-  def eval(ctx: GraphiteCtx, e: Expr): SeriesSet = {
-    // tag updates overwrite existing keys (reference mutates s.Tags)
-    ctx.spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+  def eval(ctx: GraphiteCtx, e: Expr): SeriesSet =
     eval0(ctx, e)
-  }
+
+  /** last-wins map merge WITHOUT relying on the session-global
+    * spark.sql.mapKeyDedupPolicy (ADVICE r5 #4: mutating shared conf per
+    * evaluation changed map_concat semantics for every concurrent query
+    * on the SparkSession): keys present in `upd` are filtered out of
+    * `base` first, so map_concat never sees a duplicate under any
+    * policy. Tag updates overwrite like the reference's s.Tags mutation.
+    */
+  def tagMerge(base: Column, upd: Column): Column =
+    map_concat(map_filter(base, (k, _) => !map_contains_key(upd, k)), upd)
 
   private def eval0(ctx: GraphiteCtx, e: Expr): SeriesSet = e match {
     case MetricExpr(q) => fetch(ctx, q)
@@ -130,8 +137,8 @@ object GraphiteEval {
 
   /** Column-level series-set transform: new value / name / tag updates /
     * pathExpr handling in one select. Tag updates overwrite (reference
-    * mutates s.Tags); requires spark.sql.mapKeyDedupPolicy=LAST_WIN,
-    * set by RenderApi session setup.
+    * mutates s.Tags) via [[tagMerge]], independent of the session's
+    * mapKeyDedupPolicy.
     */
   def mapSet(
       ss: SeriesSet,
@@ -144,7 +151,7 @@ object GraphiteEval {
     val newTags =
       if (tagsUpd.isEmpty) col("tags")
       else
-        map_concat(
+        tagMerge(
           col("tags"),
           map(tagsUpd.flatMap { case (k, v) => Seq(lit(k), v.cast("string")) }: _*))
     val newName = name

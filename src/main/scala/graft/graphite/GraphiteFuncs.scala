@@ -516,14 +516,21 @@ object GraphiteFuncs {
       val name = r.getString(1)
       val query = name.replaceAll(search, replace)
       val sub = exec(ctx, query)
+      // the reference reads aggrLast(ss[0].Values): the FIRST series'
+      // last non-NaN value. Fetch only that via limit(1) probes instead
+      // of collecting the sub-query's whole dense grid (ADVICE r5 #5 —
+      // driver memory blowup on long ranges).
+      val firstSer = sub.df
+        .orderBy(col("ord"), col("sid")).select(col("sid")).limit(1).collect()
+      if (firstSer.isEmpty)
+        throw GraphiteError(s"cannot find series for query '$query'")
       val lastRow = sub.df
-        .filter(!isnan(col("value")))
-        .orderBy(col("ord"), col("sid"), col("t"))
-        .select(col("t"), col("value"))
-        .collect()
+        .filter(col("sid") === firstSer.head.getString(0) && !isnan(col("value")))
+        .orderBy(col("t").desc)
+        .select(col("value")).limit(1).collect()
       if (lastRow.isEmpty)
         throw GraphiteError(s"cannot find values for query '$query'")
-      val v = lastRow.last.getDouble(1)
+      val v = lastRow.head.getDouble(0)
       val nm = newName
         .replace("%d", v.toInt.toString)
         .replace("%g", goFmt(v))

@@ -133,7 +133,7 @@ object GraphiteHW {
       val nm = if (areaWrap) concat(lit("areaBetween("), base, lit(")")) else base
       val tags0 = map(lit(kind), lit("1"), lit("name"), col("_origName"))
       val tags = if (areaWrap)
-        map_concat(tags0, map(lit("areaBetween"), lit("1")))
+        GraphiteEval.tagMerge(tags0, map(lit("areaBetween"), lit("1")))
       else tags0
       rows.select(
         nm.as("sid"),

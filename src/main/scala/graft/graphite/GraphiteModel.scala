@@ -158,7 +158,7 @@ object GraphiteModel {
       .select(
         col("sid"),
         col("name"),
-        map_concat(map(lit("name"), col("name")), col("tags")).as("tags"),
+        GraphiteEval.tagMerge(map(lit("name"), col("name")), col("tags")).as("tags"),
         lit(query).as("pathExpr"),
         col("ts"),
         col("value"))
@@ -208,7 +208,7 @@ object GraphiteModel {
       .select(
         col("sid"),
         col("name"),
-        map_concat(map(lit("name"), col("name")), col("tags")).as("tags"),
+        GraphiteEval.tagMerge(map(lit("name"), col("name")), col("tags")).as("tags"),
         lit(s"seriesByTag(${conds.map(c => s"'$c'").mkString(",")})").as("pathExpr"),
         col("ts"),
         col("value"))

@@ -311,6 +311,63 @@ class RulesSpec extends SparkSpec {
         Seq(Rules.Rule(alert = "a", expr = "m"))))))
   }
 
+  test("parseConfig: compact layout (groups at column 0, rules at indent 2)") {
+    val groups = Rules.parseConfig(
+      """groups:
+        |- name: g1
+        |  interval: 30s
+        |  rules:
+        |  - record: r1
+        |    expr: sum(m)
+        |  - alert: A1
+        |    expr: m > 1
+        |- name: g2
+        |  rules:
+        |  - alert: A2
+        |    expr: m
+        |""".stripMargin)
+    assert(groups.map(_.name) == Seq("g1", "g2"))
+    assert(groups.head.rules.map(r => r.record + r.alert) == Seq("r1", "A1"))
+    assert(groups(1).rules.map(_.alert) == Seq("A2"))
+  }
+
+  test("parseConfig: block-scalar exprs (kube-good.rules style)") {
+    val groups = Rules.parseConfig(
+      """groups:
+        |  - name: kube
+        |    rules:
+        |      - record: cluster:usage
+        |        expr: |
+        |          sum(rate(m[5m]))
+        |            / on() group_left() sum(n)
+        |        labels:
+        |          src: blk
+        |      - alert: Folded
+        |        expr: >-
+        |          m
+        |          > 10
+        |        for: 5m
+        |""".stripMargin)
+    assert(groups.size == 1)
+    val Seq(rec, al) = groups.head.rules
+    assert(rec.record == "cluster:usage")
+    assert(rec.expr == "sum(rate(m[5m]))\n  / on() group_left() sum(n)")
+    assert(rec.labels == Map("src" -> "blk"))
+    assert(al.expr == "m > 10" && al.forMs == 5 * 60000L)
+  }
+
+  test("parseConfig: inline block scalar on the rule item keeps sibling keys") {
+    val groups = Rules.parseConfig(
+      """groups:
+        |- name: g
+        |  rules:
+        |  - expr: |
+        |      sum(m)
+        |    record: r
+        |""".stripMargin)
+    assert(groups.head.rules == Seq(Rules.Rule(record = "r", expr = "sum(m)")))
+  }
+
   test("absenceStep: pending alert is removed on absence") {
     val st = Rules.AlertState("pending", 1000L, 5.0)
     val (next, outs, dur) = Rules.absenceStep("sk", Some(st), 120000L, 0L, 60000L)
