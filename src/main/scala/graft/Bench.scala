@@ -72,18 +72,36 @@ object Bench {
     // The full sweep (SPARK_GRAFT_BENCH_ALL, ~214 queries) stays
     // single-pass — it is a correctness sweep, not a timing record.
     val passes = if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) 1 else 2
-    val results = names.map { name =>
-      val times = (1 to passes).map { _ =>
-        val t0 = System.nanoTime()
-        try { all(name)(spark, sfDir).count() }
-        catch {
-          case e: Throwable =>
-            if (!failed.contains(name)) failed ::= name
-            System.err.println(s"BENCH FAILURE in $name: ${e.getMessage}")
-        }
-        math.round((System.nanoTime() - t0) / 1e6) / 1e3 // ms precision
+    def timeOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { all(name)(spark, sfDir).count() }
+      catch {
+        case e: Throwable =>
+          if (!failed.contains(name)) failed ::= name
+          System.err.println(s"BENCH FAILURE in $name: ${e.getMessage}")
       }
-      name -> times
+      math.round((System.nanoTime() - t0) / 1e6) / 1e3 // ms precision
+    }
+    var results = names.map { name =>
+      name -> (1 to passes).map(_ => timeOne(name))
+    }
+    // Contention self-identification (VERDICT r5 #8: two driver rounds in
+    // a row recorded contended numbers that read as phantom regressions):
+    // when a query's pass spread exceeds 2×, time a third pass so the
+    // record itself shows whether the slow pass was machine noise. The
+    // run is flagged contended only if a query's MEDIAN pass still
+    // exceeds 2× its min afterwards — a single slow first pass (JIT
+    // warm-up) is normal and must not read as contention.
+    if (passes > 1)
+      results = results.map { case (k, ts) =>
+        if (!failed.contains(k) && ts.min > 0 && ts.max / ts.min > 2.0)
+          k -> (ts :+ timeOne(k))
+        else k -> ts
+      }
+    val contended = passes > 1 && results.exists { case (k, ts) =>
+      val sorted = ts.sorted
+      !failed.contains(k) && sorted.head > 0 &&
+        sorted(sorted.size / 2) / sorted.head > 2.0
     }
     val qs = results.map { case (k, ts) =>
       val t = if (failed.contains(k)) -1.0 else ts.min
@@ -99,8 +117,9 @@ object Bench {
     val ok = results.filterNot(r => failed.contains(r._1))
     val total = if (ok.nonEmpty) math.round(ok.map(_._2.min).sum * 1e3) / 1e3 else 0.0
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val contendedJson = if (passes > 1) s""","contended":$contended""" else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$passesJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$passesJson$contendedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // file fallback first (survives even if stdout is mangled downstream)
     val out = Paths.get("target/bench.json")
     Files.createDirectories(out.getParent)

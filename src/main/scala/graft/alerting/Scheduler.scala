@@ -40,6 +40,22 @@ final class Scheduler(
       m.toSeq.map { case (lbls, st) => (g, r, lbls, st) }
     }
 
+  /** pending/firing instances with expanded annotations, for the
+    * Prometheus-shaped /api/v1/alerts rendering
+    */
+  def apiAlerts(): Seq[(Map[String, String], Map[String, String], Rules.AlertState)] = {
+    val ruleByName = groups.flatMap(g =>
+      g.rules.filter(!_.isRecording).map(r => (g.name, r.alert) -> r)).toMap
+    activeAlerts()
+      .filter { case (_, _, _, st) => st.state == "pending" || st.state == "firing" }
+      .map { case (g, rn, lbls, st) =>
+        val ann = ruleByName.get((g, rn)).map(_.annotations.map { case (k, v) =>
+          k -> Rules.expandTemplate(v, lbls, st.value, ruleByName((g, rn)).expr)
+        }).getOrElse(Map.empty[String, String])
+        (lbls, ann, st)
+      }
+  }
+
   /** evaluate every group due at `nowMs`; returns the evaluated group
     * names (empty when nothing was due)
     */

@@ -154,6 +154,32 @@ object Api {
   /** /api/v1/alerts (main.go:577) */
   def alerts(): String = """{"status":"success","data":{"alerts":[]}}"""
 
+  /** /api/v1/alerts with a live scheduler attached: the Prometheus
+    * alerts shape (labels/annotations/state/activeAt/value) served from
+    * the scheduler's live state, like vmalert behind the proxy
+    * (app/vmalert/web.go APIAlert core fields)
+    */
+  def alerts(sched: graft.alerting.Scheduler): String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def kv(m: Map[String, String]): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
+        .mkString("{", ",", "}")
+    val rows = sched.apiAlerts().map { case (lbls, ann, st) =>
+      val activeAt = java.time.Instant.ofEpochMilli(st.activeAtMs).toString
+      s"""{"labels":${kv(lbls)},"annotations":${kv(ann)},""" +
+        s""""state":"${st.state}","activeAt":"$activeAt",""" +
+        s""""value":"${graft.graphite.GraphiteModel.goFmt(st.value)}"}"""
+    }
+    s"""{"status":"success","data":{"alerts":[${rows.mkString(",")}]}}"""
+  }
+
   /** /api/v1/notifiers (main.go:587) */
   def notifiers(): String = """{"status":"success","data":{"notifiers":[]}}"""
 

@@ -26,7 +26,8 @@ import org.apache.spark.sql.types._
 final class HttpApi(
     spark: SparkSession,
     base: Option[DataFrame] = None,
-    ruleGroups: Seq[graft.alerting.Rules.RuleGroup] = Nil) {
+    ruleGroups: Seq[graft.alerting.Rules.RuleGroup] = Nil,
+    scheduler: Option[graft.alerting.Scheduler] = None) {
 
   private val sampleSchema = StructType(Seq(
     StructField("name", StringType),
@@ -313,7 +314,8 @@ final class HttpApi(
     "/api/v1/query_exemplars" -> handler(reply(_, 200, Api.queryExemplars())),
     "/api/v1/metadata" -> handler(reply(_, 200, Api.metadata())),
     "/api/v1/rules" -> handler(reply(_, 200, Api.rules(ruleGroups))),
-    "/api/v1/alerts" -> handler(reply(_, 200, Api.alerts())),
+    "/api/v1/alerts" -> handler(reply(_, 200,
+      scheduler.map(Api.alerts).getOrElse(Api.alerts()))),
     "/api/v1/status/buildinfo" -> handler(reply(_, 200, Api.buildInfo())),
     "/api/v1/status/active_queries" -> handler(
       reply(_, 200, QueryStats.activeQueriesJson())),

@@ -81,6 +81,12 @@ class SchedulerSpec extends SparkSpec {
       val firing = sched.activeAlerts()
       assert(firing.exists { case (_, r, _, st) =>
         r == "HighErrors" && st.state == "firing" })
+      // /api/v1/alerts rendering from the live scheduler state
+      val aj = graft.api.Api.alerts(sched)
+      assert(aj.contains(""""alertname":"HighErrors""""))
+      assert(aj.contains(""""state":"firing""""))
+      assert(aj.contains(""""summary":"errors at 42""""))
+      assert(aj.contains(""""value":"42""""))
 
       // series gone → alert resolves; webhook gets endsAt
       rows.clear()
