@@ -365,7 +365,10 @@ final class HttpApi(
       // surface as the error envelope, not a truncated 200 body.
       val plan = GraphiteHttp.renderPlan(spark, samples, targets, from,
         until, storageStep, xff, maxDataPoints, now, tz)
-      replyStream(ex) { w => GraphiteHttp.renderWrite(plan, w) }
+      QueryStats.track(targets.mkString("; "), from, until, storageStep,
+        String.valueOf(ex.getRemoteAddress)) {
+        replyStream(ex) { w => GraphiteHttp.renderWrite(plan, w) }
+      }
     },
     "/metrics/find" -> handler { ex =>
       val p = params(ex)

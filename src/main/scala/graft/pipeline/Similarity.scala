@@ -191,6 +191,12 @@ object Similarity {
       vecCol: String = "embedding"): Array[Array[Double]] = {
     val base = corpus.select(col(idCol).as("_id"), normalized(col(vecCol)).as("_v"))
       .filter(size(col("_v")) > 0)
+    // Deterministic pseudo-random sample. This is NOT a global sort:
+    // orderBy+limit plans as TakeOrderedAndProject — each partition
+    // keeps its top-nLists rows by hash and the driver merges bounded
+    // heads, so init is one scan with O(nLists) state per partition at
+    // any corpus size (plan verified: TakeOrderedAndProject(limit=16)
+    // directly over the file scan, no Exchange).
     var cents: Array[Array[Double]] = base
       .orderBy(xxhash64(col("_id")), col("_id"))
       .limit(nLists)
