@@ -189,8 +189,12 @@ object Similarity {
       iters: Int = 5,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): Array[Array[Double]] = {
+    // materialize the normalized corpus once: every Lloyd iteration and
+    // the init sample would otherwise re-scan and re-normalize the
+    // source (iters+1 redundant scans)
     val base = corpus.select(col(idCol).as("_id"), normalized(col(vecCol)).as("_v"))
       .filter(size(col("_v")) > 0)
+      .localCheckpoint(true)
     // Deterministic pseudo-random sample. This is NOT a global sort:
     // orderBy+limit plans as TakeOrderedAndProject — each partition
     // keeps its top-nLists rows by hash and the driver merges bounded
