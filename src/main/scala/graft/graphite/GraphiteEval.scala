@@ -181,7 +181,9 @@ object GraphiteEval {
       .groupBy(col("sid"))
       .agg(aggs.head, aggs.tail: _*)
       .select(col("sid"), aggValueCol(normalizeAggrName(fn)).as("_stat"))
-    df.join(stats, Seq("sid"), "left")
+    // stats is series-meta scale (one row per sid): broadcast so the
+    // data-scale side isn't shuffled+sorted for the join
+    df.join(broadcast(stats), Seq("sid"), "left")
   }
 
   /** filter a set by a per-series statistic predicate
@@ -213,7 +215,8 @@ object GraphiteEval {
       .distinct()
       .withColumn("_newOrd", row_number().over(w).cast("long"))
       .select(col("sid"), col("_newOrd"))
-    df.join(ranked, Seq("sid"), "left")
+    // ranked is series-meta scale: broadcast join, no data-side shuffle
+    df.join(broadcast(ranked), Seq("sid"), "left")
       .withColumn("ord", col("_newOrd"))
       .drop("_newOrd", "_k")
   }
