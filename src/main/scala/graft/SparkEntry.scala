@@ -66,7 +66,7 @@ object SparkEntry {
     */
   private val LUT: String = {
     val rows = (-170 to 330)
-      .map(i => s"($i, '${"%.3e".format(math.pow(10.0, i / 18.0))}')")
+      .map(i => s"($i, '${"%.3e".formatLocal(java.util.Locale.US, math.pow(10.0, i / 18.0))}')")
       .mkString(", ")
     s"lut(i, b) AS (VALUES $rows)"
   }

@@ -19,25 +19,14 @@ object Notifier {
       endMs: Long = 0L, // 0 = not resolved (endsAt omitted)
       generatorURL: String = "")
 
+  import graft.api.Json
+
   private def rfc3339(ms: Long): String =
     java.time.Instant.ofEpochMilli(ms).toString
 
-  private def jstr(s: String): String = {
-    val b = new StringBuilder("\"")
-    s.foreach {
-      case '"' => b.append("\\\"")
-      case '\\' => b.append("\\\\")
-      case '\n' => b.append("\\n")
-      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
-      case c => b.append(c)
-    }
-    b.append('"').toString
-  }
+  private def jstr(s: String): String = Json.str(s)
 
-  private def jmap(m: Map[String, String]): String =
-    m.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-      .mkString("{", ",", "}")
+  private def jmap(m: Map[String, String]): String = Json.obj(m)
 
   /** render the POST body (alertmanager_request.qtpl amRequest) */
   def requestBody(alerts: Seq[Alert]): String =
@@ -82,7 +71,13 @@ final class Notifier(addr: String, timeoutMs: Int = 10000) {
       conn.getOutputStream.write(body)
       conn.getOutputStream.close()
       val rc = conn.getResponseCode
-      conn.getInputStream.readAllBytes()
+      // >= 400 makes getInputStream throw; drain the matching stream so
+      // the structured error below is reached and the connection is
+      // reusable
+      val stream =
+        if (rc >= 400) Option(conn.getErrorStream)
+        else Option(conn.getInputStream)
+      stream.foreach(s => { s.readAllBytes(); s.close() })
       conn.disconnect()
       if (rc / 100 == 2) { lastErrorMsg = ""; true }
       else {

@@ -33,6 +33,11 @@ final class Scheduler(
   private var states =
     Map.empty[(String, String), Map[Map[String, String], Rules.AlertState]]
   private val lastEval = mutable.Map.empty[String, Long]
+  // last evaluation error per (group, rule-name); cleared on success
+  private val errors = mutable.Map.empty[(String, String), String]
+
+  /** per-rule evaluation errors from the latest rounds */
+  def lastErrors(): Map[(String, String), String] = errors.toMap
 
   /** all current alert instances: (group, rule, labels, state) */
   def activeAlerts(): Seq[(String, String, Map[String, String], Rules.AlertState)] =
@@ -71,32 +76,42 @@ final class Scheduler(
     val samples = getSamples()
     val recorded = Seq.newBuilder[(String, Map[String, String], Long, Double)]
     val toNotify = Seq.newBuilder[Notifier.Alert]
+    // Per-rule error isolation (the reference's eval loop stores the
+    // error on the rule and keeps going — rule.go exec): one failing
+    // rule (duplicate-label errDuplicate, a transient query failure)
+    // must not abort the rest of the group, the other due groups, or
+    // the caller's scheduling loop.
     g.rules.foreach { r =>
-      val res = graft.api.Api.query(samples, r.expr, nowMs, g.intervalMs)
-        .collect()
-        .map { row =>
-          (Option(row.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
-            row.getDouble(3))
-        }.toSeq
-      if (r.isRecording) {
-        // recording.go toTimeSeries: rule labels override series labels
-        res.foreach { case (tags, v) =>
-          recorded += ((r.record, tags ++ r.labels, nowMs, v))
-        }
-      } else {
-        val key = (g.name, r.alert)
-        val prev = states.getOrElse(key, Map.empty)
-        val next = Rules.execStep(r, g.name, prev, res, nowMs)
-        states += key -> next
-        next.foreach { case (lbls, st) =>
-          val ann = r.annotations.map { case (k, v) =>
-            k -> Rules.expandTemplate(v, lbls, st.value, r.expr)
+      val key = (g.name, if (r.isRecording) r.record else r.alert)
+      try {
+        val res = graft.api.Api.query(samples, r.expr, nowMs, g.intervalMs)
+          .collect()
+          .map { row =>
+            (Option(row.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
+              row.getDouble(3))
+          }.toSeq
+        if (r.isRecording) {
+          // recording.go toTimeSeries: rule labels override series labels
+          res.foreach { case (tags, v) =>
+            recorded += ((r.record, tags ++ r.labels, nowMs, v))
           }
-          if (st.state == "firing")
-            toNotify += Notifier.Alert(lbls, ann, st.activeAtMs)
-          else if (st.state == "inactive" && st.resolvedAtMs == nowMs)
-            toNotify += Notifier.Alert(lbls, ann, st.activeAtMs, endMs = st.resolvedAtMs)
+        } else {
+          val prev = states.getOrElse(key, Map.empty)
+          val next = Rules.execStep(r, g.name, prev, res, nowMs)
+          states += key -> next
+          next.foreach { case (lbls, st) =>
+            val ann = r.annotations.map { case (k, v) =>
+              k -> Rules.expandTemplate(v, lbls, st.value, r.expr)
+            }
+            if (st.state == "firing")
+              toNotify += Notifier.Alert(lbls, ann, st.activeAtMs)
+            else if (st.state == "inactive" && st.resolvedAtMs == nowMs)
+              toNotify += Notifier.Alert(lbls, ann, st.activeAtMs, endMs = st.resolvedAtMs)
+          }
         }
+        errors -= key
+      } catch {
+        case e: Exception => errors(key) = String.valueOf(e.getMessage)
       }
     }
     val rec = recorded.result()

@@ -125,19 +125,8 @@ object Api {
     * APIGroups shape, core fields)
     */
   def rules(groups: Seq[graft.alerting.Rules.RuleGroup]): String = {
-    // full control-char escaping (mirrors GraphiteHttp.esc) — a tab/CR
-    // in a label, annotation, or expr must not break the JSON
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    def kv(m: Map[String, String]): String =
-      m.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
-        .mkString("{", ",", "}")
+    def esc(s: String): String = Json.esc(s)
+    def kv(m: Map[String, String]): String = Json.obj(m)
     val gs = groups.map { g =>
       val rs = g.rules.map { r =>
         val typ = if (r.isRecording) "recording" else "alerting"
@@ -160,17 +149,7 @@ object Api {
     * (app/vmalert/web.go APIAlert core fields)
     */
   def alerts(sched: graft.alerting.Scheduler): String = {
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    def kv(m: Map[String, String]): String =
-      m.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }
-        .mkString("{", ",", "}")
+    def kv(m: Map[String, String]): String = Json.obj(m)
     val rows = sched.apiAlerts().map { case (lbls, ann, st) =>
       val activeAt = java.time.Instant.ofEpochMilli(st.activeAtMs).toString
       s"""{"labels":${kv(lbls)},"annotations":${kv(ann)},""" +

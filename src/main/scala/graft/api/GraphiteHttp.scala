@@ -14,14 +14,7 @@ import graft.graphite._
   */
 object GraphiteHttp {
 
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+  private def esc(s: String): String = Json.esc(s)
 
   private def q(s: String): String = "\"" + esc(s) + "\""
 

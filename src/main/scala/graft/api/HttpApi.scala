@@ -93,14 +93,7 @@ final class HttpApi(
       if (s.forall(c => c.isDigit || c == '.')) math.round(s.toDouble * 1000)
       else graft.lang.Lexer.durationMs(s, 60000L)).getOrElse(60000L)
 
-  private def esc(s: String): String =
-    s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
+  private def esc(s: String): String = Json.esc(s)
 
   private def metricJson(name: String, tags: Map[String, String]): String = {
     val entries =
@@ -361,12 +354,15 @@ final class HttpApi(
         .getOrElse(java.time.ZoneOffset.UTC: java.time.ZoneId)
       val targets = multiParams(ex, "target")
       // Build the full plans (parse + eval + summarize) BEFORE streaming:
-      // plan construction is lazy and cheap, and evaluation errors must
-      // surface as the error envelope, not a truncated 200 body.
-      val plan = GraphiteHttp.renderPlan(spark, samples, targets, from,
-        until, storageStep, xff, maxDataPoints, now, tz)
+      // evaluation errors must surface as the error envelope, not a
+      // truncated 200 body. Tracking encloses plan construction too —
+      // aggregations materialize eagerly (localCheckpoint) during it, so
+      // excluding it would hide in-flight renders from active_queries
+      // and under-report their duration in top_queries.
       QueryStats.track(targets.mkString("; "), from, until, storageStep,
         String.valueOf(ex.getRemoteAddress)) {
+        val plan = GraphiteHttp.renderPlan(spark, samples, targets, from,
+          until, storageStep, xff, maxDataPoints, now, tz)
         replyStream(ex) { w => GraphiteHttp.renderWrite(plan, w) }
       }
     },

@@ -79,17 +79,7 @@ object QueryStats {
     }
   }
 
-  private def jsonStr(s: String): String = {
-    val b = new StringBuilder("\"")
-    s.foreach {
-      case '"' => b.append("\\\"")
-      case '\\' => b.append("\\\\")
-      case '\n' => b.append("\\n")
-      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
-      case c => b.append(c)
-    }
-    b.append('"').toString
-  }
+  private def jsonStr(s: String): String = Json.str(s)
 
   /** /api/v1/status/active_queries body (active_queries.go:17):
     * entries sorted by start time ascending.
@@ -103,7 +93,7 @@ object QueryStats {
     }.sortBy(_.startedAtMs)
     val rows = entries.map { a =>
       val durSec = (nowMs - a.startedAtMs) / 1000.0
-      f"""{"duration":"$durSec%.3fs","id":"${a.qid}%016X","remote_addr":${jsonStr(a.remoteAddr)},""" +
+      s"""{"duration":"${Json.num3(durSec)}s","id":"${"%016X".format(a.qid)}","remote_addr":${jsonStr(a.remoteAddr)},""" +
         s""""query":${jsonStr(a.query)},"start":${a.startMs},"end":${a.endMs},"step":${a.stepMs}}"""
     }
     s"""{"status":"ok","data":[${rows.mkString(",")}]}"""
@@ -130,12 +120,12 @@ object QueryStats {
       .map { case ((q, tr), rs) => (q, tr, rs.map(_.durationMs).sum / rs.size, rs.size) }
       .sortBy(-_._3).take(topN)
       .map { case (q, tr, d, n) =>
-        entry(q, tr, f""""avgDurationSeconds":${d / 1000.0}%.3f,"count":$n""") }
+        entry(q, tr, s""""avgDurationSeconds":${Json.num3(d / 1000.0)},"count":$n""") }
     val bySum = grouped.toSeq
       .map { case ((q, tr), rs) => (q, tr, rs.map(_.durationMs).sum, rs.size) }
       .sortBy(-_._3).take(topN)
       .map { case (q, tr, d, n) =>
-        entry(q, tr, f""""sumDurationSeconds":${d / 1000.0}%.3f,"count":$n""") }
+        entry(q, tr, s""""sumDurationSeconds":${Json.num3(d / 1000.0)},"count":$n""") }
     val lifetimeSec =
       if (maxLifetimeMs % 1000 == 0) s"${maxLifetimeMs / 1000}s" else s"${maxLifetimeMs}ms"
     s"""{"topN":"$topN","maxLifetime":"$lifetimeSec",""" +

@@ -161,7 +161,11 @@ object GraphiteAgg {
     serMeta.groupBy(col("_key")).agg(
         count(lit(1)).as("_n"),
         pathsAgg.as("_paths"),
-        collect_list(col("tags")).as("_tl"))
+        // coalesce: collect_list SKIPS nulls — a null-tagged series must
+        // contribute an empty map (emptying the intersection) rather
+        // than silently dropping out of the fold
+        collect_list(coalesce(col("tags"),
+          typedLit(Map.empty[String, String]))).as("_tl"))
       .withColumn("_tags0",
         org.apache.spark.sql.functions.aggregate(
           slice(col("_tl"), lit(2), size(col("_tl"))),

@@ -534,7 +534,7 @@ object GraphiteFuncs {
       val nm = newName
         .replace("%d", v.toInt.toString)
         .replace("%g", goFmt(v))
-        .replace("%f", "%f".format(v))
+        .replace("%f", "%f".formatLocal(java.util.Locale.US, v))
       (sid, nm)
     }.toMap
     val f = udf((sid: String) => renames.getOrElse(sid, sid))

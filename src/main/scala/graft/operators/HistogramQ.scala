@@ -371,9 +371,14 @@ object HistogramQ {
   private val KHI = 331
   private val boundsArr: Array[Double] =
     (KLO to KHI + 1).map(i => math.pow(10.0, i / 18.0)).toArray
+  // Locale.US pinned: Spark's format_string (which this table replaces)
+  // always formats under Locale.US; the default-locale overload would
+  // emit comma decimals on e.g. a de_DE JVM and break every downstream
+  // parseBound
   private val vmrangeArr: Array[String] =
     (KLO to KHI).map(i =>
-      "%.3e...%.3e".format(math.pow(10.0, i / 18.0), math.pow(10.0, (i + 1) / 18.0))).toArray
+      "%.3e...%.3e".formatLocal(java.util.Locale.US,
+        math.pow(10.0, i / 18.0), math.pow(10.0, (i + 1) / 18.0))).toArray
 
   /** `%.3e...%.3e` vmrange string for log-bucket index k — the bucket
     * covers (10^(k/18), 10^((k+1)/18)]. The 4-significant-digit decimal

@@ -46,6 +46,24 @@ class SchedulerSpec extends SparkSpec {
     assert(res.length == 1 && res.head.getDouble(3) == 20.0)
   }
 
+  test("scheduler: a failing rule is isolated and recorded, others still run") {
+    // two series collapse onto identical alert labels -> execStep throws
+    // errDuplicate for the first rule; the second rule must still run
+    val rows = ArrayBuffer[Row](
+      Row("m", Map("job" -> "a"), 60000L, 10.0),
+      Row("m", Map("job" -> "b"), 60000L, 20.0))
+    val sched = new Scheduler(
+      Seq(Rules.RuleGroup("g", 60000L, Seq(
+        Rules.Rule(alert = "Dup", expr = "m > 0", labels = Map("job" -> "x")),
+        Rules.Rule(record = "good:rec", expr = "sum(m)")))),
+      mkStore(rows),
+      app => rows ++= app.map { case (n, t, ts, v) => Row(n, t, ts, v) })
+    assert(sched.step(60000L) == Seq("g"))
+    assert(sched.lastErrors().keySet == Set(("g", "Dup")))
+    assert(sched.lastErrors()(("g", "Dup")).contains("not unique"))
+    assert(rows.exists(r => r.getString(0) == "good:rec" && r.getDouble(3) == 30.0))
+  }
+
   test("scheduler: firing alert POSTs Alertmanager JSON to the webhook") {
     val bodies = ArrayBuffer.empty[String]
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
