@@ -825,6 +825,12 @@ object GraphiteFuncs {
     * (transform.go:1741 groupSeriesLists)
     */
   def groupUnion(ctx: GraphiteCtx, fe: FuncExpr): SeriesSet = {
+    // single-arg fast path (the common sumSeries(expr) shape): the
+    // branch-disambiguating sid prefix and ord offset are the identity
+    // for one branch, and skipping the rewrite keeps the df the exact
+    // fetch output so aggregateByKey's sparse/meta hints still apply
+    if (fe.args.size == 1 && (fe.args.head.name.isEmpty || fe.args.head.name == "seriesList"))
+      return eval(ctx, fe.args.head.expr)
     val sets = fe.args.zipWithIndex.map { case (a, i) =>
       // positional slots only accept the canonical arg name
       // (evalSeriesList → getArg: "unexpected named arg")
