@@ -310,6 +310,40 @@ final class HttpApi(
     "/api/v1/alerts" -> handler(reply(_, 200,
       scheduler.map(Api.alerts).getOrElse(Api.alerts()))),
     "/api/v1/status/buildinfo" -> handler(reply(_, 200, Api.buildInfo())),
+    // /expand-with-exprs (main.go:608, prometheus.go:74): parse expands
+    // WITH templates and folds constants; rendering the tree IS the
+    // expansion. JSON shape per expand-with-exprs.qtpl.
+    "/expand-with-exprs" -> handler { ex =>
+      val q = params(ex).getOrElse("query", "")
+      val body =
+        if (q.isEmpty)
+          """{"status": "error","error": "query string cannot be empty"}"""
+        else
+          try {
+            val expanded = graft.lang.Render.render(graft.lang.Parser.parse(q))
+            s"""{"status": "success","expr": ${Json.str(expanded)}}"""
+          } catch {
+            case e: Exception =>
+              s"""{"status": "error","error": ${Json.str(s"Cannot parse query: ${e.getMessage}")}}"""
+          }
+      reply(ex, 200, body)
+    },
+    // /prettify-query (main.go:612, prometheus.go:90): canonical one-line
+    // form (the reference's metricsql.Prettify line-splitting applies
+    // only past an 80-column budget; short queries return the canonical
+    // rendering either way)
+    "/prettify-query" -> handler { ex =>
+      val q = params(ex).getOrElse("query", "")
+      val body =
+        try {
+          val pretty = graft.lang.Render.render(graft.lang.Parser.parse(q))
+          s"""{"status": "success", "query": ${Json.str(pretty)}}"""
+        } catch {
+          case e: Exception =>
+            s"""{"status": "error", "msg": ${Json.str(String.valueOf(e.getMessage))}}"""
+        }
+      reply(ex, 200, body)
+    },
     "/api/v1/status/active_queries" -> handler(
       reply(_, 200, QueryStats.activeQueriesJson())),
     "/api/v1/status/top_queries" -> handler { ex =>

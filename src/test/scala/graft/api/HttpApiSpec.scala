@@ -105,6 +105,25 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("expand-with-exprs and prettify-query render the parsed tree") {
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      val ok = get(port,
+        "/expand-with-exprs?query=" + java.net.URLEncoder.encode(
+          "WITH (f(x) = x * 2) f(m)", "UTF-8"))
+      assert(ok == """{"status": "success","expr": "m * 2"}""")
+      assert(get(port, "/expand-with-exprs")
+        .contains("query string cannot be empty"))
+      assert(get(port, "/expand-with-exprs?query=sum((")
+        .contains("Cannot parse query"))
+      val pretty = get(port, "/prettify-query?query=" +
+        java.net.URLEncoder.encode("sum(rate(m[5m]))by(job)", "UTF-8"))
+      assert(pretty == """{"status": "success", "query": "sum(rate(m[5m])) by (job)"}""")
+      assert(get(port, "/prettify-query?query=((").contains(""""status": "error""""))
+    } finally api.stop()
+  }
+
   test("remote-write protobuf ingestion over HTTP") {
     import spark.implicits._
     val api = new HttpApi(spark)
