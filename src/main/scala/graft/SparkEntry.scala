@@ -1680,7 +1680,7 @@ object SparkEntry {
       df.select(col("tags").getItem("phi").as("phi"), col("t"), r6(col("value")).as("value"))
         .orderBy("phi", "t")
     }, Some(s"WITH b AS ($BH), $HQCTES, " +
-      "p AS (SELECT unnest([0.5, 0.95]) AS phi) " +
+      "p AS (SELECT unnest([0.5::DOUBLE, 0.95::DOUBLE]) AS phi) " +
       "SELECT phi::VARCHAR AS phi, t, round(1e-9 + plo + (le - plo) * " +
       "CASE WHEN cum > pc THEN (phi * total - pc) / (cum - pc) ELSE 0 END, 6) AS value " +
       "FROM p CROSS JOIN j WHERE cum >= phi * total AND pc < phi * total ORDER BY phi, t")),

@@ -13,13 +13,10 @@ TABLES = ['region','nation','customer','supplier','part','orders','lineitem',
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize float-ish
+    # Normalize floats only. Do NOT pd.to_numeric object columns: the driver
+    # hashes raw strings, so '0.50' vs '0.5' is a real mismatch that numeric
+    # coercion hides (this masked eval_hist_quantiles for four rounds).
     for c in df.columns:
-        if df[c].dtype == object:
-            try:
-                df[c] = pd.to_numeric(df[c])
-            except (ValueError, TypeError):
-                pass
         if np.issubdtype(df[c].dtype, np.floating):
             df[c] = df[c].round(9)
             df[c] = df[c] + 0.0  # -0.0 -> 0.0
