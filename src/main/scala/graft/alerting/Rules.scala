@@ -61,6 +61,10 @@ object Rules {
     var curLabels = Map.empty[String, String]
     var curAnns = Map.empty[String, String]
     var nested = "" // "labels" | "annotations" | ""
+    // indent of the `labels:`/`annotations:` key itself; only DEEPER
+    // lines are map entries — a line at or above this indent is a rule
+    // key (`for:`, `expr:`, …), whatever absolute column it sits at
+    var nestedIndent = -1
     var inGroup = false
     var inRules = false
     // indent of the group list items ("- name: …"); rule items always sit
@@ -141,8 +145,9 @@ object Rules {
       else if (cur != null && t.contains(":")) {
         val Array(k, v) = t.split(":", 2)
         val key = k.trim
-        if ((key == "labels" || key == "annotations") && v.trim.isEmpty) nested = key
-        else if (nested.nonEmpty && indent >= 6) {
+        if ((key == "labels" || key == "annotations") && v.trim.isEmpty) {
+          nested = key; nestedIndent = indent
+        } else if (nested.nonEmpty && indent > nestedIndent) {
           if (nested == "labels") curLabels += (key -> unq(v))
           else curAnns += (key -> unq(v))
         } else { nested = ""; cur += (key -> unq(resolveValue(v, indent))) }
@@ -327,7 +332,8 @@ object Rules {
       activeAtMs: Long,
       value: Double,
       keepFiringSinceMs: Long = 0L, // 0 = unset
-      resolvedAtMs: Long = 0L)
+      resolvedAtMs: Long = 0L,
+      restored: Boolean = false) // activeAt reinstated from ALERTS_FOR_STATE
 
   val ResolvedRetentionMs: Long = 15 * 60 * 1000L
 

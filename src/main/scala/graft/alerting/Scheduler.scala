@@ -61,6 +61,67 @@ final class Scheduler(
       }
   }
 
+  /** Reinstate pending alerts' activeAt from the `ALERTS_FOR_STATE`
+    * series written by a previous Scheduler over the same store
+    * (alerting.go:808 restore; group.go:439 calls it after the FIRST
+    * evaluation so only currently-active alerts can be restored — call
+    * this after one `step()`). Without it, a restart silently resets
+    * every `for:`-pending clock and alerts re-wait their full delay.
+    *
+    * Only rules with `for: > 0` and at least one live alert are queried;
+    * only pending, not-yet-restored instances are patched; matching is
+    * on the full merged label set, exactly the hash match the reference
+    * performs.
+    */
+  def restore(nowMs: Long, lookbackMs: Long = 60 * 60 * 1000L): Unit = {
+    val samples = getSamples()
+    groups.foreach { g =>
+      g.rules.filter(r => !r.isRecording && r.forMs > 0).foreach { r =>
+        val key = (g.name, r.alert)
+        val live = states.getOrElse(key, Map.empty)
+        if (live.exists { case (_, st) => st.state == "pending" && !st.restored }) {
+          def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          val nameFilter =
+            (if (g.name.nonEmpty) Seq(s"alertgroup=${q(g.name)}") else Nil) :+
+              s"alertname=${q(r.alert)}"
+          // labels whose value is a template can't be matched literally
+          // (reference issue 9305) — the full-labelset match below still
+          // guards correctness
+          val labelFilter = r.labels.toSeq.collect {
+            case (k, v) if !(v.contains("{{") && v.contains("}}")) =>
+              s"$k=${q(v)}"
+          }
+          val expr = s"default_rollup(ALERTS_FOR_STATE{" +
+            (nameFilter ++ labelFilter).mkString(",") +
+            s"}[${math.max(1L, lookbackMs / 1000)}s])"
+          // query at now-1s so the current run's own write-back is not
+          // read (reference issue 10335)
+          try {
+            val res = graft.api.Api.query(samples, expr, nowMs - 1000L, g.intervalMs)
+              .collect()
+              .map { row =>
+                (Option(row.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
+                  row.getDouble(3))
+              }
+            var next = live
+            res.foreach { case (tags, activeAtSec) =>
+              next.get(tags) match {
+                case Some(st) if st.state == "pending" && !st.restored =>
+                  next += tags -> st.copy(
+                    activeAtMs = (activeAtSec * 1000).toLong, restored = true)
+                case _ =>
+              }
+            }
+            states += key -> next
+          } catch {
+            case e: Exception =>
+              errors(key) = s"failed to execute restore query: ${String.valueOf(e.getMessage)}"
+          }
+        }
+      }
+    }
+  }
+
   /** evaluate every group due at `nowMs`; returns the evaluated group
     * names (empty when nothing was due)
     */
@@ -92,8 +153,19 @@ final class Scheduler(
           }.toSeq
         if (r.isRecording) {
           // recording.go toTimeSeries: rule labels override series labels
-          res.foreach { case (tags, v) =>
-            recorded += ((r.record, tags ++ r.labels, nowMs, v))
+          val rows = res.map { case (tags, v) =>
+            (r.record, tags ++ r.labels, nowMs, v)
+          }
+          // recording.go errDuplicate: two source series collapsing onto
+          // the same labelset after the rule-label overlay is a rule
+          // error, not a silent double-append
+          val dup = rows.groupBy { case (n, tags, _, _) => (n, tags) }
+            .collectFirst { case ((_, tags), rs) if rs.size > 1 => tags }
+          dup match {
+            case Some(tags) =>
+              throw new IllegalStateException(
+                s"labels $tags: produced non-unique timeseries (errDuplicate)")
+            case None => recorded ++= rows
           }
         } else {
           val prev = states.getOrElse(key, Map.empty)
@@ -104,9 +176,22 @@ final class Scheduler(
               k -> Rules.expandTemplate(v, lbls, st.value, r.expr)
             }
             if (st.state == "firing")
-              toNotify += Notifier.Alert(lbls, ann, st.activeAtMs)
+              // active alerts carry endsAt = now + 4×interval (vmalert's
+              // resolveDuration, main.go) so Alertmanager auto-resolves
+              // them if this ruler dies instead of waiting out its own
+              // resolve_timeout
+              toNotify += Notifier.Alert(lbls, ann, st.activeAtMs,
+                endMs = nowMs + 4 * math.max(g.intervalMs, 1000L))
             else if (st.state == "inactive" && st.resolvedAtMs == nowMs)
               toNotify += Notifier.Alert(lbls, ann, st.activeAtMs, endMs = st.resolvedAtMs)
+            // alertToTimeSeries write-back (alerting.go:376): ALERTS with
+            // the alertstate label, ALERTS_FOR_STATE with activeAt unix
+            // seconds — the latter is what restore() reads after a restart
+            if (st.state == "pending" || st.state == "firing") {
+              recorded += (("ALERTS", lbls + ("alertstate" -> st.state), nowMs, 1.0))
+              recorded += (("ALERTS_FOR_STATE", lbls, nowMs,
+                math.floor(st.activeAtMs / 1000.0)))
+            }
           }
         }
         errors -= key

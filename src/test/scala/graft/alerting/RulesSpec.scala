@@ -356,6 +356,33 @@ class RulesSpec extends SparkSpec {
     assert(al.expr == "m > 10" && al.forMs == 5 * 60000L)
   }
 
+  test("parseConfig: rule keys after labels: at deep indent are not swallowed") {
+    // group items at indent 2 → rule keys sit at indent 8; with the old
+    // `indent >= 6` heuristic, `for:`/`annotations:`/`expr:` following
+    // `labels:` were absorbed into the labels map
+    val groups = Rules.parseConfig(
+      """groups:
+        |  - name: kube
+        |    rules:
+        |      - alert: A
+        |        expr: m > 1
+        |        labels:
+        |          severity: page
+        |        for: 10m
+        |        annotations:
+        |          summary: s1
+        |      - alert: B
+        |        labels:
+        |          team: x
+        |        expr: n > 2
+        |""".stripMargin)
+    val Seq(a, b) = groups.head.rules
+    assert(a.labels == Map("severity" -> "page"))
+    assert(a.forMs == 10 * 60000L)
+    assert(a.annotations == Map("summary" -> "s1"))
+    assert(b.labels == Map("team" -> "x") && b.expr == "n > 2")
+  }
+
   test("parseConfig: inline block scalar on the rule item keeps sibling keys") {
     val groups = Rules.parseConfig(
       """groups:

@@ -64,6 +64,60 @@ class SchedulerSpec extends SparkSpec {
     assert(rows.exists(r => r.getString(0) == "good:rec" && r.getDouble(3) == 30.0))
   }
 
+  test("scheduler: recording rule collapsing series is errDuplicate, not double-append") {
+    val rows = ArrayBuffer[Row](
+      Row("m", Map("job" -> "a"), 60000L, 10.0),
+      Row("m", Map("job" -> "b"), 60000L, 20.0))
+    val sched = new Scheduler(
+      Seq(Rules.RuleGroup("g", 60000L, Seq(
+        // the job override collapses both series onto one labelset
+        Rules.Rule(record = "rec:m", expr = "m", labels = Map("job" -> "x"))))),
+      mkStore(rows),
+      app => rows ++= app.map { case (n, t, ts, v) => Row(n, t, ts, v) })
+    sched.step(60000L)
+    assert(sched.lastErrors()(("g", "rec:m")).contains("errDuplicate"))
+    assert(!rows.exists(_.getString(0) == "rec:m"))
+  }
+
+  test("scheduler: restore reinstates pending activeAt from ALERTS_FOR_STATE") {
+    val rows = ArrayBuffer[Row](Row("errors", Map("job" -> "api"), 60000L, 42.0))
+    val store = mkStore(rows)
+    val append: Seq[(String, Map[String, String], Long, Double)] => Unit =
+      app => rows ++= app.map { case (n, t, ts, v) => Row(n, t, ts, v) }
+    val groups = Seq(Rules.RuleGroup("g", 60000L, Seq(
+      Rules.Rule(alert = "HighErrors", expr = "errors > 10", forMs = 120000L))))
+
+    val first = new Scheduler(groups, store, append)
+    first.step(60000L) // pending, activeAt=60000; writes ALERTS_FOR_STATE
+    assert(rows.exists(r => r.getString(0) == "ALERTS_FOR_STATE" &&
+      r.getDouble(3) == 60.0))
+    assert(rows.exists(r => r.getString(0) == "ALERTS" &&
+      r.getMap[String, String](1).toMap.get("alertstate").contains("pending")))
+
+    // "restart": a fresh Scheduler over the same store. The series is
+    // still failing at the next round.
+    rows += Row("errors", Map("job" -> "api"), 120000L, 42.0)
+    val second = new Scheduler(groups, store, append)
+    second.step(120000L) // fresh pending with activeAt=120000
+    second.restore(120000L)
+    val st = second.activeAlerts().collectFirst {
+      case (_, "HighErrors", _, s) => s
+    }.get
+    assert(st.state == "pending" && st.activeAtMs == 60000L && st.restored)
+
+    // for: has now truly elapsed since the ORIGINAL activeAt — fires
+    // without re-waiting
+    rows += Row("errors", Map("job" -> "api"), 180000L, 42.0)
+    second.step(180000L)
+    assert(second.activeAlerts().exists { case (_, r, _, s) =>
+      r == "HighErrors" && s.state == "firing" })
+
+    // a third scheduler without restore would still be pending at 180000
+    val third = new Scheduler(groups, store, append)
+    third.step(180000L)
+    assert(third.activeAlerts().forall { case (_, _, _, s) => s.state == "pending" })
+  }
+
   test("scheduler: firing alert POSTs Alertmanager JSON to the webhook") {
     val bodies = ArrayBuffer.empty[String]
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
@@ -95,7 +149,8 @@ class SchedulerSpec extends SparkSpec {
       assert(b.contains(""""job":"api""""))
       assert(b.contains(""""summary":"errors at 42""""))
       assert(b.contains(""""startsAt":"1970-01-01T00:01:00Z""""))
-      assert(!b.contains("endsAt"))
+      // active alerts carry endsAt = now + 4×interval (resolveDuration)
+      assert(b.contains(""""endsAt":"1970-01-01T00:05:00Z""""))
       val firing = sched.activeAlerts()
       assert(firing.exists { case (_, r, _, st) =>
         r == "HighErrors" && st.state == "firing" })
