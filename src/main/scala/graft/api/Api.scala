@@ -31,7 +31,11 @@ object Api {
       lookbackMs: Long = 300000L): DataFrame =
     Engine.queryInstantCached(samples, q, GridSpec(atMs, atMs, stepMs), lookbackMs)
 
-  private def selectorFilter(selector: String): DataFrame => DataFrame = { df =>
+  /** bare-selector row predicate over (name, tags) — public so the HTTP
+    * facade's delete-series tombstones can exclude matching rows with
+    * the exact same anchored-filter semantics the read paths use
+    */
+  def selectorPredicate(selector: String): Column =
     Parser.parse(selector) match {
       case m: MetricExpr =>
         // reuse the evaluator's anchored-filter semantics via Eval's path:
@@ -45,13 +49,14 @@ object Api {
             else target === f.value
           if (f.isNegative) !pos else pos
         }
-        val pred = m.filterss
+        m.filterss
           .map(_.map(one).reduceOption(_ && _).getOrElse(lit(true)))
           .reduceOption(_ || _).getOrElse(lit(true))
-        df.filter(pred)
       case other => throw new IllegalArgumentException(s"not a selector: $other")
     }
-  }
+
+  private def selectorFilter(selector: String): DataFrame => DataFrame =
+    df => df.filter(selectorPredicate(selector))
 
   private def skey: Column = concat(coalesce(col("name"), lit("")),
     to_json(array_sort(map_entries(col("tags")))))
@@ -93,6 +98,79 @@ object Api {
       .orderBy(col("series_count").desc, col("name"))
       .limit(topN)
   }
+
+  /** /api/v1/status/tsdb full JSON body (prometheus.go:582,
+    * tsdb_status_response.qtpl): cardinality statistics over the distinct
+    * series set — totals plus five topN heaps, each a Spark aggregation
+    * over ONE deduplicated series frame (persisted for the duration of
+    * the request, so the store is scanned once, not six times).
+    * `requestsCount`/`lastRequestTimestamp` per-metric query stats are a
+    * storage-side tracker the Parquet store doesn't keep — omitted, which
+    * the reference itself does when the tracker is off.
+    */
+  def tsdbStatusJson(samples: DataFrame, topN: Int = 10,
+      focusLabel: String = "", selector: String = ""): String = {
+    val scoped =
+      if (selector.isEmpty) samples else selectorFilter(selector)(samples)
+    val keyed = scoped
+      .withColumn("_sk", skey)
+      .select("_sk", "name", "tags")
+      .dropDuplicates("_sk")
+      .persist()
+    try {
+      val pairs = keyed.select(col("_sk"), explode(map_concat(
+        when(col("name").isNotNull && col("name") =!= "",
+          map(lit("__name__"), col("name")))
+          .otherwise(map().cast("map<string,string>")),
+        coalesce(col("tags"), map().cast("map<string,string>"))))
+        .as(Seq("label", "value")))
+      val totalSeries = keyed.count()
+      val totalPairs = pairs.count()
+      def entries(df: DataFrame): String =
+        df.limit(topN).collect().map { r =>
+          s"""{"name":${Json.str(r.getString(0))},"value":${r.getLong(1)}}"""
+        }.mkString("[", ",", "]")
+      val byMetric = entries(keyed
+        .groupBy(coalesce(col("name"), lit("")).as("n"))
+        .agg(count(lit(1)).as("c")).orderBy(col("c").desc, col("n")))
+      val byLabelName = entries(pairs
+        .groupBy(col("label")).agg(countDistinct(col("_sk")).as("c"))
+        .orderBy(col("c").desc, col("label")))
+      val byFocus =
+        if (focusLabel.isEmpty) "[]"
+        else entries(pairs.filter(col("label") === focusLabel)
+          .groupBy(col("value")).agg(countDistinct(col("_sk")).as("c"))
+          .orderBy(col("c").desc, col("value")))
+      val byPair = entries(pairs
+        .groupBy(concat(col("label"), lit("="), col("value")).as("p"))
+        .agg(countDistinct(col("_sk")).as("c"))
+        .orderBy(col("c").desc, col("p")))
+      val valueCountByName = entries(pairs
+        .groupBy(col("label")).agg(countDistinct(col("value")).as("c"))
+        .orderBy(col("c").desc, col("label")))
+      s"""{"status":"success","data":{"totalSeries":$totalSeries,""" +
+        s""""totalLabelValuePairs":$totalPairs,""" +
+        s""""seriesCountByMetricName":$byMetric,""" +
+        s""""seriesCountByLabelName":$byLabelName,""" +
+        s""""seriesCountByFocusLabelValue":$byFocus,""" +
+        s""""seriesCountByLabelValuePair":$byPair,""" +
+        s""""labelValueCountByLabelName":$valueCountByName}}"""
+    } finally keyed.unpersist()
+  }
+
+  /** /federate (prometheus.go:113) — latest sample per matching series in
+    * [fromMs, toMs], rendered as Prometheus text exposition lines
+    */
+  def federate(samples: DataFrame, selector: String, fromMs: Long, toMs: Long): DataFrame =
+    graft.sources.LineFormats.federate(
+      selectorFilter(selector)(samples.filter(col("ts") >= fromMs && col("ts") <= toMs)))
+
+  /** /api/v1/export/csv (prometheus.go:175) — CSV lines per `format` */
+  def exportCsv(samples: DataFrame, selector: String, fromMs: Long, toMs: Long,
+      fieldNames: Seq[String]): DataFrame =
+    graft.sources.LineFormats.exportCsv(
+      selectorFilter(selector)(samples.filter(col("ts") >= fromMs && col("ts") <= toMs)),
+      fieldNames)
 
   /** /api/v1/export (prometheus.go:323) — JSON-lines of raw samples */
   def export(samples: DataFrame, selector: String, fromMs: Long, toMs: Long): DataFrame =

@@ -36,13 +36,20 @@ final class HttpApi(
     StructField("value", DoubleType)))
 
   private val ingested = mutable.ArrayBuffer.empty[Row]
+  // delete-series tombstones: selectors whose matching rows are excluded
+  // from every read (the Parquet store path rewrites files instead —
+  // SampleStore.deleteSeries; this facade's buffer+base union can't, so
+  // deletion is a filter, exactly as cheap at read time)
+  private val deletedSelectors = mutable.ArrayBuffer.empty[String]
   private var server: HttpServer = _
 
   def samples: DataFrame = {
     val buf = ingested.synchronized {
       spark.createDataFrame(ingested.toList.asJava, sampleSchema)
     }
-    base.map(_.unionByName(buf)).getOrElse(buf)
+    val all = base.map(_.unionByName(buf)).getOrElse(buf)
+    val dels = deletedSelectors.synchronized { deletedSelectors.toList }
+    dels.foldLeft(all)((df, sel) => df.filter(!Api.selectorPredicate(sel)))
   }
 
   /** start on the given port (0 = ephemeral); returns the bound port */
@@ -343,6 +350,64 @@ final class HttpApi(
             s"""{"status": "error", "msg": ${Json.str(String.valueOf(e.getMessage))}}"""
         }
       reply(ex, 200, body)
+    },
+    "/api/v1/series/count" -> handler { ex =>
+      // prometheus.go:704 SeriesCountHandler; body per
+      // series_count_response.qtpl — data is a one-element array
+      val n = Api.seriesCount(samples).collect()(0).getLong(0)
+      reply(ex, 200, s"""{"status":"success","data":[$n]}""")
+    },
+    "/api/v1/status/tsdb" -> handler { ex =>
+      val p = params(ex)
+      val topN = p.get("topN").map(_.toInt).getOrElse(10)
+      reply(ex, 200, Api.tsdbStatusJson(samples, topN,
+        p.getOrElse("focusLabel", ""), p.getOrElse("match[]", "")))
+    },
+    "/federate" -> handler { ex =>
+      // prometheus.go:113 FederateHandler: default range is
+      // (end-max_lookback, end], max_lookback defaulting to 5m
+      val p = params(ex)
+      val lookbackMs = p.get("max_lookback")
+        .map(graft.lang.Lexer.durationMs(_, 300000L)).getOrElse(300000L)
+      val end = timeMs(p, "end", System.currentTimeMillis())
+      val start = timeMs(p, "start", end - lookbackMs)
+      val it = Api.federate(samples,
+        p.getOrElse("match[]", "{__name__=~\".*\"}"), start, end)
+        .orderBy("line").toLocalIterator()
+      replyStream(ex, "text/plain; version=0.0.4; charset=utf-8") { w =>
+        while (it.hasNext) { w.write(it.next().getString(0)); w.write("\n") }
+      }
+    },
+    "/api/v1/admin/tsdb/delete_series" -> handler { ex =>
+      // prometheus.go:509 DeleteHandler: match[] required; start/end
+      // unsupported (delete is whole-series); 204 on success
+      val p = params(ex)
+      if (p.contains("start") || p.contains("end"))
+        throw new IllegalArgumentException(
+          "start and end args aren't supported. Remove these args from " +
+            "the query in order to delete all the matching metrics")
+      val sel = p.getOrElse("match[]",
+        throw new IllegalArgumentException("missing `match[]` arg"))
+      Api.selectorPredicate(sel) // validate the selector before recording
+      deletedSelectors.synchronized { deletedSelectors += sel }
+      reply(ex, 204, "", "text/plain")
+    },
+    "/api/v1/export/csv" -> handler { ex =>
+      // prometheus.go:175 ExportCSVHandler: `format` = comma-separated
+      // field names, header line first (export.qtpl ExportCSVHeader)
+      val p = params(ex)
+      val format = p.getOrElse("format",
+        throw new IllegalArgumentException("missing `format` arg"))
+      val fields = format.split(',').toSeq
+      val end = timeMs(p, "end", System.currentTimeMillis())
+      val start = timeMs(p, "start", 0L)
+      val it = Api.exportCsv(samples,
+        p.getOrElse("match[]", "{__name__=~\".*\"}"), start, end, fields)
+        .orderBy(col("line")).toLocalIterator()
+      replyStream(ex, "text/csv; charset=utf-8") { w =>
+        w.write(fields.mkString(",")); w.write("\n")
+        while (it.hasNext) { w.write(it.next().getString(0)); w.write("\n") }
+      }
     },
     "/api/v1/status/active_queries" -> handler(
       reply(_, 200, QueryStats.activeQueriesJson())),

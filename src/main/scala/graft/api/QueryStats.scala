@@ -60,8 +60,9 @@ object QueryStats {
   def remove(qid: Long): Unit = active.remove(qid)
 
   /** ring-buffer insert (querystats.go:122 registerQuery) */
-  def register(query: String, timeRangeMs: Long, startedAtMs: Long): Unit = {
-    val now = System.currentTimeMillis()
+  def register(query: String, timeRangeMs: Long, startedAtMs: Long,
+      nowMs: Long = 0L): Unit = {
+    val now = if (nowMs != 0L) nowMs else System.currentTimeMillis()
     val rec = Record(query, timeRangeMs / 1000, now, now - startedAtMs)
     ring.synchronized {
       if (ringIdx >= ring.length) ringIdx = 0
@@ -117,7 +118,11 @@ object QueryStats {
       .sortBy(-_._3).take(topN)
       .map { case (q, tr, n) => entry(q, tr, s""""count":$n""") }
     val byAvg = grouped.toSeq
-      .map { case ((q, tr), rs) => (q, tr, rs.map(_.durationMs).sum / rs.size, rs.size) }
+      // float average — integer ms division would truncate sub-ms
+      // precision before the %.3f render (the reference averages
+      // time.Durations and formats duration.Seconds())
+      .map { case ((q, tr), rs) =>
+        (q, tr, rs.map(_.durationMs).sum.toDouble / rs.size, rs.size) }
       .sortBy(-_._3).take(topN)
       .map { case (q, tr, d, n) =>
         entry(q, tr, s""""avgDurationSeconds":${Json.num3(d / 1000.0)},"count":$n""") }
@@ -126,13 +131,23 @@ object QueryStats {
       .sortBy(-_._3).take(topN)
       .map { case (q, tr, d, n) =>
         entry(q, tr, s""""sumDurationSeconds":${Json.num3(d / 1000.0)},"count":$n""") }
+    // memory usage per query is a storage-side tracker this facade
+    // doesn't have; the shape (querystats.go:111) is kept with zero
+    // bytes, ranked like topByCount
+    val byMem = grouped.toSeq
+      .map { case ((q, tr), rs) => (q, tr, rs.size) }
+      .sortBy(-_._3).take(topN)
+      .map { case (q, tr, n) =>
+        entry(q, tr, s""""avgMemoryBytes":0,"count":$n""") }
     val lifetimeSec =
       if (maxLifetimeMs % 1000 == 0) s"${maxLifetimeMs / 1000}s" else s"${maxLifetimeMs}ms"
     s"""{"topN":"$topN","maxLifetime":"$lifetimeSec",""" +
       s""""search.queryStats.lastQueriesCount":$LastQueriesCount,""" +
       s""""search.queryStats.minQueryDuration":"0s",""" +
+      s""""search.queryStats.minQueryMemoryUsage":"0",""" +
       s""""topByCount":[${byCount.mkString(",")}],""" +
       s""""topByAvgDuration":[${byAvg.mkString(",")}],""" +
-      s""""topBySumDuration":[${bySum.mkString(",")}]}"""
+      s""""topBySumDuration":[${bySum.mkString(",")}],""" +
+      s""""topByAvgMemoryUsage":[${byMem.mkString(",")}]}"""
   }
 }

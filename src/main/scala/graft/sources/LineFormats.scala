@@ -478,6 +478,45 @@ object LineFormats {
         lit("}"))).otherwise(lit("")),
       lit(" "), col("value").cast(S), lit(" "), col("ts").cast(S)).as("line"))
 
+  /** /api/v1/export/csv lines (app/vmselect/prometheus/export.qtpl
+    * ExportCSVLine): one output row per sample, fields per the `format`
+    * arg — `__value__`, `__timestamp__` (unix ms) with
+    * `:unix_s`/`:unix_ms`/`:unix_ns`/`:rfc3339` variants, `__name__`,
+    * or a label name. Field values containing quote/comma/newline are
+    * quoted with JSON escaping, exactly the reference's `%qz` branch.
+    * Go `custom:` layouts aren't translatable to Spark patterns; they
+    * fall into the reference's own `Unsupported timeFormat=` branch.
+    * Pure column expressions — codegen'd, no shuffle.
+    */
+  def exportCsv(samples: DataFrame, fieldNames: Seq[String]): DataFrame = {
+    def quoted(v: Column): Column = {
+      val esc = regexp_replace(regexp_replace(regexp_replace(
+        v, "\\\\", "\\\\\\\\"), "\"", "\\\\\""), "\n", "\\\\n")
+      when(v.rlike("[\",\n]"), concat(lit("\""), esc, lit("\""))).otherwise(v)
+    }
+    // rfc3339Milli: fractional millis with trailing zeros (and the dot,
+    // when 0 ms) dropped; session timezone is UTC so the offset is "Z"
+    def rfc3339: Column = concat(
+      date_format(timestamp_millis(col("ts")), "yyyy-MM-dd'T'HH:mm:ss"),
+      when(pmod(col("ts"), lit(1000)) === 0, lit("")).otherwise(
+        regexp_replace(format_string(".%03d", pmod(col("ts"), lit(1000))), "0+$", "")),
+      lit("Z"))
+    def field(fn: String): Column = fn match {
+      case "__value__" => col("value").cast(S)
+      case "__timestamp__" | "__timestamp__:unix_ms" => col("ts").cast(S)
+      case "__timestamp__:unix_s" => floor(col("ts") / 1000).cast("long").cast(S)
+      case "__timestamp__:unix_ns" => (col("ts") * 1000000L).cast(S)
+      case "__timestamp__:rfc3339" => rfc3339
+      case t if t.startsWith("__timestamp__:") =>
+        lit(s"Unsupported timeFormat=${t.stripPrefix("__timestamp__:")}")
+      case "__name__" => quoted(coalesce(col("name"), lit("")))
+      case label => quoted(coalesce(col("tags").getItem(label), lit("")))
+    }
+    samples.select(
+      concat_ws(",", fieldNames.map(field): _*).as("line"),
+      col("ts"))
+  }
+
   /** /federate: the latest sample per series in the window, as prom text
     * (app/vmselect/prometheus/prometheus.go:113).
     */

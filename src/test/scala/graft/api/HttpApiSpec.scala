@@ -96,12 +96,77 @@ class HttpApiSpec extends SparkSpec {
       assert(top.contains(""""query":"sum(m)","timeRangeSeconds":120"""))
       assert(top.contains(""""topByAvgDuration":["""))
       assert(top.contains(""""topBySumDuration":["""))
+      assert(top.contains(""""search.queryStats.minQueryMemoryUsage":"0""""))
+      assert(top.contains(""""topByAvgMemoryUsage":["""))
+      assert(top.contains(""""avgMemoryBytes":0"""))
       // nothing in flight once the responses are done
       assert(get(port, "/api/v1/status/active_queries") ==
         """{"status":"ok","data":[]}""")
       // maxLifetime=0 filters everything out
       val empty = get(port, "/api/v1/status/top_queries?maxLifetime=1ms&topN=5")
       assert(empty.contains(""""topByCount":[]""") || !empty.contains(""""query":"m""""))
+    } finally api.stop()
+  }
+
+  test("top_queries averages durations in float ms, not integer division") {
+    QueryStats.reset()
+    // four runs of 100,101,101,101 ms → avg 100.75 ms; integer Long
+    // division would floor to 100 ms and render 0.1
+    val now = 1000000L
+    Seq(100L, 101L, 101L, 101L).foreach(d =>
+      QueryStats.register("q", 60000L, now - d, now))
+    val top = QueryStats.topQueriesJson(5, 10 * 60 * 1000L, now)
+    assert(top.contains(""""avgDurationSeconds":0.101,"count":4"""))
+    QueryStats.reset()
+  }
+
+  test("series/count, status/tsdb, federate, export/csv, delete_series") {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      assert(post(port, "/api/v1/import/prometheus",
+        """m{job="api"} 10 60000
+          |m{job="api"} 20 120000
+          |n{job="web"} 5 120000
+          |""".stripMargin) == 204)
+
+      assert(get(port, "/api/v1/series/count") ==
+        """{"status":"success","data":[2]}""")
+
+      val tsdb = get(port, "/api/v1/status/tsdb?topN=5&focusLabel=job")
+      assert(tsdb.contains(""""totalSeries":2"""))
+      assert(tsdb.contains(""""totalLabelValuePairs":4"""))
+      assert(tsdb.contains(
+        """"seriesCountByMetricName":[{"name":"m","value":1},{"name":"n","value":1}]"""))
+      assert(tsdb.contains(
+        """"seriesCountByFocusLabelValue":[{"name":"api","value":1},{"name":"web","value":1}]"""))
+      assert(tsdb.contains("""{"name":"job=api","value":1}"""))
+      assert(tsdb.contains(
+        """"labelValueCountByLabelName":[{"name":"__name__","value":2},{"name":"job","value":2}]"""))
+
+      // federate: ONE line per matching series — the latest sample
+      val fed = get(port, "/federate?match[]=m&start=0&end=1000")
+      assert(fed == "m{job=\"api\"} 20.0 120000\n")
+
+      val csv = get(port, "/api/v1/export/csv?match[]=m&start=0&end=1000&format=" +
+        enc("__name__,job,__value__,__timestamp__:unix_s"))
+      assert(csv ==
+        "__name__,job,__value__,__timestamp__:unix_s\nm,api,10.0,60\nm,api,20.0,120\n")
+      val rfc = get(port, "/api/v1/export/csv?match[]=n&start=0&end=1000&format=" +
+        enc("__timestamp__:rfc3339"))
+      assert(rfc == "__timestamp__:rfc3339\n1970-01-01T00:02:00Z\n")
+      assert(get(port, "/api/v1/export/csv").contains("missing `format` arg"))
+
+      // delete: start/end rejected, then write→delete→query is empty
+      assert(get(port, "/api/v1/admin/tsdb/delete_series?match[]=m&start=0")
+        .contains("aren't supported"))
+      assert(post(port,
+        "/api/v1/admin/tsdb/delete_series?match[]=" + enc("""m{job="api"}"""), "") == 204)
+      val after = get(port, "/api/v1/query?query=m&time=120")
+      assert(after.contains(""""result":[]"""))
+      assert(get(port, "/api/v1/series/count") ==
+        """{"status":"success","data":[1]}""")
     } finally api.stop()
   }
 
