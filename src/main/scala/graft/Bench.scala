@@ -103,11 +103,57 @@ object Bench {
           else k -> (ts :+ t)
         } else k -> ts
       }
-    val contended = passes > 1 && results.exists { case (k, ts) =>
+    // History cross-check (VERDICT r6 #2: a fully-contended record — BOTH
+    // passes slow — reads clean to the pass-spread flag): compare each
+    // query's best pass against the best ever recorded for the same sf in
+    // the committed BENCH_r*.json files; >2× history earns one more timed
+    // pass, and queries still >2× after it are named in the record so a
+    // contended machine-minute can't masquerade as a code regression.
+    def historyBest(): Map[String, Double] = {
+      val sfTag = sfDir.replaceAll(".*/", "")
+      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      val pairRe = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+      files.toSeq.flatMap { f =>
+        try {
+          // driver records embed our JSON line backslash-escaped inside
+          // "tail"; unescape so one regex handles both shapes
+          val txt = new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+            .replace("\\\"", "\"")
+          val qi = txt.indexOf(""""queries":{""")
+          if (qi < 0 || !txt.contains(sfTag)) Nil
+          else {
+            val end = txt.indexOf('}', qi)
+            val body = txt.substring(qi, if (end < 0) txt.length else end)
+            pairRe.findAllMatchIn(body)
+              .map(m => m.group(1) -> m.group(2).toDouble).toSeq
+          }
+        } catch { case _: Exception => Nil }
+      }.groupBy(_._1)
+        .flatMap { case (k, vs) =>
+          val best = vs.map(_._2).filter(_ > 0)
+          if (best.isEmpty) None else Some(k -> best.min)
+        }
+    }
+    val hist = if (passes > 1) historyBest() else Map.empty[String, Double]
+    if (hist.nonEmpty)
+      results = results.map { case (k, ts) =>
+        val h = hist.getOrElse(k, -1.0)
+        if (!failed.contains(k) && h > 0 && ts.min > 2.0 * h) {
+          val t = timeOne(k)
+          if (failed.contains(k)) { failed = failed.filterNot(_ == k); k -> ts }
+          else k -> (ts :+ t)
+        } else k -> ts
+      }
+    val histContended = results.collect {
+      case (k, ts) if !failed.contains(k) &&
+        hist.getOrElse(k, -1.0) > 0 && ts.min > 2.0 * hist(k) => k
+    }
+    val contended = (passes > 1 && results.exists { case (k, ts) =>
       val sorted = ts.sorted
       !failed.contains(k) && sorted.head > 0 &&
         sorted(sorted.size / 2) / sorted.head > 2.0
-    }
+    }) || histContended.nonEmpty
     val qs = results.map { case (k, ts) =>
       val t = if (failed.contains(k)) -1.0 else ts.min
       s"\"" + k + "\":" + t
@@ -122,7 +168,11 @@ object Bench {
     val ok = results.filterNot(r => failed.contains(r._1))
     val total = if (ok.nonEmpty) math.round(ok.map(_._2.min).sum * 1e3) / 1e3 else 0.0
     val failedJson = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val contendedJson = if (passes > 1) s""","contended":$contended""" else ""
+    val contendedJson =
+      if (passes > 1)
+        s""","contended":$contended,"contended_queries":${
+          histContended.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      else ""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$passesJson$contendedJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // file fallback first (survives even if stdout is mangled downstream)
