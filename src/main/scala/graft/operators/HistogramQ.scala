@@ -371,6 +371,16 @@ object HistogramQ {
   private val KHI = 331
   private val boundsArr: Array[Double] =
     (KLO to KHI + 1).map(i => math.pow(10.0, i / 18.0)).toArray
+  // correction-table range, IDENTICAL to the oracle's lutx VALUES
+  // (-180..340, SparkEntry.LUTX): a log10 guess whose (g, g+1) bounds
+  // both sit in this table is corrected by exact comparison; any other
+  // guess yields null (ADVICE r6: the oracle's inner join on lutx drops
+  // such rows, while the engine used to keep the uncorrected guess —
+  // for values outside ~[1e-10, 1e18.9] the two sides diverged)
+  private val XLO = -180
+  private val XHI = 340
+  private val corrArr: Array[Double] =
+    (XLO to XHI).map(i => math.pow(10.0, i / 18.0)).toArray
   // Locale.US pinned: Spark's format_string (which this table replaces)
   // always formats under Locale.US; the default-locale overload would
   // emit comma decimals on e.g. a de_DE JVM and break every downstream
@@ -413,20 +423,25 @@ object HistogramQ {
     */
   def bucketIdx(v: Column): Column = {
     val g = (ceil(log10(v) * 18) - 1).cast("long")
-    val bLo = try_element_at(typedLit(boundsArr), (g - KLO + 1).cast("int"))
-    val bHi = try_element_at(typedLit(boundsArr), (g - KLO + 2).cast("int"))
-    when(v <= bLo, g - 1).when(v > bHi, g + 1).otherwise(g)
+    val bLo = try_element_at(typedLit(corrArr), (g - XLO + 1).cast("int"))
+    val bHi = try_element_at(typedLit(corrArr), (g - XLO + 2).cast("int"))
+    // range guard FIRST: element_at's negative indices count from the
+    // array END, so an out-of-table guess must never reach the lookups
+    when(g < XLO || g > XHI - 1, lit(null).cast("long"))
+      .when(v <= bLo, g - 1).when(v > bHi, g + 1).otherwise(g)
   }
 
   /** floor-convention sibling of [[bucketIdx]] (`bound(k) <= v <
     * bound(k+1)`), used by the stream-aggregation histogram_bucket
-    * output; same literal-table correction.
+    * output; same literal-table correction and same null-out-of-table
+    * domain.
     */
   def floorBucketIdx(v: Column): Column = {
     val g = floor(log10(v) * 18).cast("long")
-    val bLo = try_element_at(typedLit(boundsArr), (g - KLO + 1).cast("int"))
-    val bHi = try_element_at(typedLit(boundsArr), (g - KLO + 2).cast("int"))
-    when(v < bLo, g - 1).when(v >= bHi, g + 1).otherwise(g)
+    val bLo = try_element_at(typedLit(corrArr), (g - XLO + 1).cast("int"))
+    val bHi = try_element_at(typedLit(corrArr), (g - XLO + 2).cast("int"))
+    when(g < XLO || g > XHI - 1, lit(null).cast("long"))
+      .when(v < bLo, g - 1).when(v >= bHi, g + 1).otherwise(g)
   }
 
   /** bucket index with the metrics.Histogram clamp ranges encoded as

@@ -172,6 +172,23 @@ class StreamAggrSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("floorBucketIdx domain matches the oracle lutx join: out-of-table null") {
+    val s = spark
+    import s.implicits._
+    // guesses must have BOTH (g, g+1) in the correction table (-180..340),
+    // i.e. g in [-180, 339] — exactly the oracle's inner join on lutx
+    val df = Seq(1e-11, 1e-10, 1.0, 1e18, 1e19)
+      .toDF("value")
+      .select(col("value"),
+        graft.operators.HistogramQ.floorBucketIdx(col("value")).as("k"))
+      .collect().map(r => r.getDouble(0) -> Option(r.get(1))).toMap
+    assert(df(1e-11).isEmpty)       // g = -198 < -180 → dropped, as the oracle drops it
+    assert(df(1e-10).contains(-180L))
+    assert(df(1.0).contains(0L))
+    assert(df(1e18).contains(324L))
+    assert(df(1e19).isEmpty)        // g = 342 > 339 → dropped
+  }
+
   test("stateful total carries counter state across micro-batches") {
     val s = spark
     import s.implicits._
