@@ -1228,7 +1228,21 @@ object SparkEntry {
       graft.pipeline.Multimodal.sampleFrames(
         graft.pipeline.Multimodal.mediaFromDocuments(s, dir), 64, 4)
         .toDF().select("media_id", "frame_no").orderBy("media_id", "frame_no"),
-      None))
+      None),
+    // REAL multi-frame extraction gate: animated GIFs with an arithmetic
+    // frame count (2 + id%4) and per-frame solid gray (id + 31·f) % 256;
+    // the JDK GIF reader decodes every frame and the oracle predicts
+    // count and luma exactly (solid gray survives the palette).
+    Q("mm_gif_frames", (s, dir) =>
+      graft.pipeline.Multimodal.frameStats(
+        graft.pipeline.Multimodal.sampleFrames(
+          graft.pipeline.Multimodal.gifFixtureFromDocuments(s, dir), 64, 1))
+        .select(col("media_id"), col("frame_no"), r6(col("luma")).as("luma"))
+        .orderBy("media_id", "frame_no"),
+      Some("WITH fr AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 4)) AS f FROM documents) " +
+        "SELECT doc_id AS media_id, f::INT AS frame_no, " +
+        "round(1e-9 + (doc_id + 31 * f) % 256, 6) AS luma " +
+        "FROM fr ORDER BY media_id, frame_no")))
 
   // =====================================================================
   private val relationalQueries: Seq[Q] = Seq(

@@ -82,6 +82,72 @@ object Multimodal {
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case _: Exception => None }
 
+  /** real multi-frame decode (animated GIF via the JDK's GIF reader):
+    * all frames of the payload, None when no ImageIO reader claims it
+    */
+  def decodeFrames(bytes: Array[Byte]): Option[Seq[BufferedImage]] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); None }
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) None
+          else Some((0 until n).map(reader.read(_)).toVector)
+        } finally { reader.dispose(); iis.close() }
+      }
+    } catch { case _: Exception => None }
+
+  private def encodePng(img: BufferedImage): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Synthetic animated-GIF media: one REAL multi-frame GIF per document
+    * — `2 + id%4` solid-gray frames of `(id + 31·f) % 256` at
+    * `(16 + id%8) × (16 + 3·id%8)` — so a SQL oracle can predict the
+    * frame count and each frame's exact luma (solid gray survives the
+    * GIF palette losslessly). Encoded partition-local via the JDK GIF
+    * writer's sequence API; no external codecs.
+    */
+  def gifFixtureFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Samples.table(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16 + (id % 8).toInt
+          val h = 16 + ((3 * id) % 8).toInt
+          val nFrames = 2 + (id % 4).toInt
+          val writer = ImageIO.getImageWritersByFormatName("gif").next()
+          val out = new ByteArrayOutputStream()
+          val ios = ImageIO.createImageOutputStream(out)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          (0 until nFrames).foreach { f =>
+            val gray = ((id + 31 * f) % 256).toInt
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val rgb = (gray << 16) | (gray << 8) | gray
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+          }
+          writer.endWriteSequence()
+          ios.close()
+          writer.dispose()
+          MediaRow(id, "video", out.toByteArray, Map("codec" -> "gif"))
+        }
+      }
+  }
+
   /** STUB decode fallback for non-image payloads: derives deterministic
     * dimensions/stats from the bytes so text-as-bytes media still flows
     * through the same plumbing.
@@ -185,16 +251,49 @@ object Multimodal {
     })
   }
 
-  /** frame-sample stub for video-kind media: every nth fixed-size chunk
-    * of the payload becomes a "frame" row (one-to-many explode done
-    * partition-local, never on the driver).
+  /** Frame sampling for video-kind media, partition-local one-to-many
+    * (never on the driver). Payloads ImageIO can decode multi-frame
+    * (animated GIF — the JDK reader needs no native codecs) get REAL
+    * frames, each re-encoded as PNG; opaque payloads (actual video
+    * codecs aren't in the JDK) keep the byte-chunk STUB: every nth
+    * fixed-size chunk becomes a "frame" row so the plumbing — schema,
+    * partitioning, explode shape — still runs end-to-end.
     */
   def sampleFrames(media: Dataset[MediaRow], chunk: Int, everyNth: Int): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { r =>
-      r.bytes.grouped(chunk).zipWithIndex.collect {
-        case (b, i) if i % everyNth == 0 => Frame(r.media_id, i, b)
+      decodeFrames(r.bytes) match {
+        case Some(frames) if frames.nonEmpty =>
+          frames.zipWithIndex.collect {
+            case (img, i) if i % everyNth == 0 => Frame(r.media_id, i, encodePng(img))
+          }
+        case _ =>
+          r.bytes.grouped(chunk).zipWithIndex.collect {
+            case (b, i) if i % everyNth == 0 => Frame(r.media_id, i, b)
+          }.toSeq
       }
     }
+  }
+
+  /** per-frame stats for sampled frames: frame count + each frame's mean
+    * luma, decoded map-side from the PNG-encoded frame bytes
+    */
+  def frameStats(frames: Dataset[Frame]): DataFrame = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions(_.map { f =>
+      val luma = decodeImage(f.bytes) match {
+        case Some(img) =>
+          var sum = 0.0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) { sum += lumaOf(img.getRGB(x, y)); x += 1 }
+            y += 1
+          }
+          sum / (img.getWidth.toLong * img.getHeight)
+        case None => -1.0
+      }
+      (f.media_id, f.frame_no, luma)
+    }).toDF("media_id", "frame_no", "luma")
   }
 }
