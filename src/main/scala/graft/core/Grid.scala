@@ -44,8 +44,15 @@ object Grid {
   def bucketizeCol(samples: DataFrame, grid: GridSpec, windowMs: Column): DataFrame = {
     val s = grid.stepMs
     val start = grid.startMs
+    // last actual grid point: endMs itself only when (end - start) is a
+    // whole number of steps. A sample past it belongs to NO window, and
+    // its owning bucket t0 would sit beyond lastPoint — with a misaligned
+    // end (reachable from any HTTP query_range) the sequence below would
+    // then be DESCENDING (t0 > least(..) bound) and throw Illegal
+    // sequence boundaries mid-query.
+    val lastPoint = start + (grid.endMs - start) / s * s
     val filtered = samples
-      .filter(col("ts") > lit(start) - windowMs && col("ts") <= lit(grid.endMs))
+      .filter(col("ts") > lit(start) - windowMs && col("ts") <= lit(lastPoint))
     // smallest grid-aligned point >= ts; pmod form because Spark's `div`
     // truncates toward zero, which breaks the `(x + s-1) div s` ceil trick
     // for pre-start samples (ts < start). Here the explode over-covered by
@@ -57,7 +64,7 @@ object Grid {
       .withColumn(
         "t",
         explode(
-          sequence(t0, least(t0 + (nOff - lit(1)) * lit(s), lit(grid.endMs)), lit(s))))
+          sequence(t0, least(t0 + (nOff - lit(1)) * lit(s), lit(lastPoint)), lit(s))))
       .filter(col("t") >= lit(start) && (col("t") - windowMs) < col("ts"))
   }
 

@@ -321,6 +321,37 @@ object Rollup {
       .select((keys.map(col) :+ col("t")) ++ kernels.map(k => col(k._1)): _*)
   }
 
+  /** Hot-series guard for the COUNTER two-level path (SURVEY §7.4.6,
+    * SCALEBENCH round 7): prevPass's per-series windows leave the data
+    * hash(series)-partitioned, and Spark's subset-clustering rule lets
+    * level1 AND the merge aggregate reuse that partitioning with no
+    * exchange — so ONE hot series' buckets × ratio merge rows serialize
+    * into a single task (measured: a 30%-hot series turned a 3.1 s-ideal
+    * merge stage into an 11.8 s straggler at 10× sf0.1; the hot variant
+    * ran 1.5× slower than uniform despite doing LESS total work).
+    * `level1` must be materialized (localCheckpoint) so this probe costs
+    * a bucket-scale scan, not a window recompute. When one series' bucket
+    * share exceeds a few ideal task quanta, re-key the bucket rows by
+    * (series, bucket t): the explode then feeds a partial+final merge
+    * split across an exchange keyed with the window t, distributing the
+    * hot series over the grid (post-fix: hot 11.7 s → 8.8 s, now FASTER
+    * than uniform as its work is smaller). Uniform workloads keep the
+    * exchange-free plan.
+    */
+  private def antiSkew(level1: DataFrame, keys: Seq[String]): DataFrame = {
+    val stats = level1.groupBy(keys.map(col): _*).count()
+      .agg(coalesce(max("count"), lit(0L)), coalesce(sum("count"), lit(0L))).head()
+    val mx = stats.getLong(0)
+    val total = stats.getLong(1)
+    val cores = level1.sparkSession.sparkContext.defaultParallelism
+    // straggler bound: one series' merge work ≈ mx×ratio against an ideal
+    // task quantum of total×ratio/cores — re-key once a single series
+    // exceeds ~2 quanta (the re-key costs only a bucket-scale shuffle)
+    if (mx * cores > 2L * total && mx > 1L)
+      level1.repartition((keys.map(col) :+ col("t")): _*)
+    else level1
+  }
+
   /** Merge-row budget for the explode-merge strategy: buckets × ratio rows
     * stream through one partial+final HashAggregate (~0.1 µs/row measured),
     * so 200 M rows ≈ a few seconds at local[32]; past that the dense-window
@@ -343,6 +374,9 @@ object Rollup {
       partialCols: Seq[(String, Column, Column => Column)],
       finishCols: (String => Column) => Seq[Column]): DataFrame = {
     val s = grid.stepMs
+    // no antiSkew here: this path's level1 groupBy itself exchanges on
+    // (series, bucket t) — no upstream series-only partitioning to reuse —
+    // so the merge aggregate always gets a balanced partial+final split
     val exploded = level1
       .withColumn("_wt",
         explode(expr(s"sequence(t, t + ${windowMs - s}L, ${s}L)")))
@@ -400,7 +434,7 @@ object Rollup {
       .groupBy((keys.map(col) :+ col("t")): _*)
       .agg(min(edgeStruct).as("_pf1"), max(edgeStruct).as("_pl1"),
         count(lit(1)).as("_pcnt"), max(col("_mpi")).as("_pmpi"))
-    val exploded = level1
+    val exploded = antiSkew(level1.localCheckpoint(true), keys)
       .withColumn("_wt",
         explode(expr(s"sequence(t, t + ${windowMs - s}L, ${s}L)")))
       .filter(col("_wt") >= lit(start) && col("_wt") <= lit(grid.endMs))

@@ -394,6 +394,55 @@ class EvalSpec extends SparkSpec {
     Engine.clearCache()
   }
 
+  test("O6 cache: ingest invalidates, misalignment/backward re-evaluate, chained suffixes merge") {
+    // rollup_result_cache_test.go semantics against the suffix cache:
+    // overlap handling, merge-of-merges, and the invalidate-on-ingest
+    // guarantee (the reference resets its cache on delete/ingest; ours
+    // keys on the canonicalized source plan, so new data can never be
+    // served a stale frame)
+    val s = spark
+    import s.implicits._
+    Engine.clearCache()
+    Engine.resetCacheStats()
+    val q = "avg_over_time(m[1m])"
+
+    // chained forward extensions: 1..4m, then +2 steps, then +2 more —
+    // the second extension merges onto an already-merged frame
+    val g1 = GridSpec(M, 4 * M, M)
+    val g2 = GridSpec(M, 6 * M, M)
+    val g3 = GridSpec(M, 8 * M, M)
+    Engine.queryCached(samples, q, g1).count()
+    Engine.queryCached(samples, q, g2).count()
+    val chained = Engine.queryCached(samples, q, g3)
+    assert(Engine.cacheStats == (0L, 2L, 1L), Engine.cacheStats.toString)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
+        r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(keyed(chained) == keyed(Engine.query(samples, q, g3)))
+
+    // backward (shrunk) grid: no negative suffix — full re-evaluation
+    Engine.resetCacheStats()
+    Engine.queryCached(samples, q, GridSpec(M, 5 * M, M)).count()
+    assert(Engine.cacheStats == (0L, 0L, 1L))
+
+    // misaligned extension (+90s on a 60s step): full re-evaluation
+    Engine.resetCacheStats()
+    Engine.queryCached(samples, q, GridSpec(M, 8 * M + 90000L, M)).count()
+    assert(Engine.cacheStats == (0L, 0L, 1L))
+
+    // ingest: a store with one more sample is a DIFFERENT plan key — the
+    // cached frame for the old store cannot shadow the new data
+    Engine.resetCacheStats()
+    val grown = samples.unionByName(
+      Seq(("m", Map("inst" -> "a"), 8 * M - 30000L, 999.0))
+        .toDF("name", "tags", "ts", "value"))
+    val after = Engine.queryCached(grown, q, g3)
+    assert(Engine.cacheStats == (0L, 0L, 1L)) // miss, not a stale hit
+    val v = keyed(after)(("m", Map("inst" -> "a"), 8 * M))
+    assert(v == (999.0 + 8.0) / 2) // the new sample is visible
+    Engine.clearCache()
+  }
+
   test("graphite selector, graphite groups, aggregate limit modifier") {
     val s = spark
     import s.implicits._
