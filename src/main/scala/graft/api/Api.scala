@@ -71,17 +71,38 @@ object Api {
       .groupBy("_sk").agg(first("name").as("name"), first("tags").as("tags"))
       .select("name", "tags")
 
-  /** /api/v1/labels — distinct label names (prometheus.go:643) */
-  def labels(samples: DataFrame): DataFrame =
-    samples.select(explode(map_keys(col("tags"))).as("label"))
-      .union(samples.select(lit("__name__")))
+  /** /api/v1/labels — distinct label names (prometheus.go:643); the
+    * labels API takes the same match[]/start/end scoping as /series plus
+    * a `limit` (netstorage.LabelNames)
+    */
+  def labels(samples: DataFrame, selector: String = "", fromMs: Long = 0L,
+      toMs: Long = Long.MaxValue / 2, limit: Int = 0): DataFrame = {
+    val scoped = scope(samples, selector, fromMs, toMs)
+    val df = scoped.select(explode(map_keys(col("tags"))).as("label"))
+      .union(scoped.filter(col("name").isNotNull && col("name") =!= "")
+        .select(lit("__name__")))
       .distinct().orderBy("label")
+    if (limit > 0) df.limit(limit) else df
+  }
 
-  /** /api/v1/label/<n>/values (prometheus.go:538) */
-  def labelValues(samples: DataFrame, label: String): DataFrame = {
+  /** /api/v1/label/<n>/values (prometheus.go:538), with the same
+    * match[]/start/end/limit scoping as [[labels]]
+    */
+  def labelValues(samples: DataFrame, label: String, selector: String = "",
+      fromMs: Long = 0L, toMs: Long = Long.MaxValue / 2, limit: Int = 0): DataFrame = {
     val v = if (label == "__name__") col("name") else col("tags").getItem(label)
-    samples.select(v.as("value")).filter(col("value").isNotNull)
+    val df = scope(samples, selector, fromMs, toMs)
+      .select(v.as("value")).filter(col("value").isNotNull)
       .distinct().orderBy("value")
+    if (limit > 0) df.limit(limit) else df
+  }
+
+  private def scope(samples: DataFrame, selector: String,
+      fromMs: Long, toMs: Long): DataFrame = {
+    val timed =
+      if (fromMs == 0L && toMs >= Long.MaxValue / 2) samples
+      else samples.filter(col("ts") >= fromMs && col("ts") <= toMs)
+    if (selector.isEmpty) timed else selectorFilter(selector)(timed)
   }
 
   /** /api/v1/series/count (prometheus.go:704) */

@@ -263,13 +263,20 @@ final class HttpApi(
       }
     },
     "/api/v1/labels" -> handler { ex =>
-      val items = Api.labels(samples).collect().map(r => s""""${esc(r.getString(0))}"""")
+      val p = params(ex)
+      val items = Api.labels(samples, p.getOrElse("match[]", ""),
+        timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2),
+        p.get("limit").map(_.toInt).getOrElse(0))
+        .collect().map(r => s""""${esc(r.getString(0))}"""")
       reply(ex, 200, ok(items.mkString("[", ",", "]"))) // label KEYS — metadata-scale, collect is fine
     },
     "/api/v1/label/" -> handler { ex => // /api/v1/label/<name>/values
+      val p = params(ex)
       val path = ex.getRequestURI.getPath
       val label = path.stripPrefix("/api/v1/label/").stripSuffix("/values")
-      val it = Api.labelValues(samples, label).toLocalIterator()
+      val it = Api.labelValues(samples, label, p.getOrElse("match[]", ""),
+        timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2),
+        p.get("limit").map(_.toInt).getOrElse(0)).toLocalIterator()
       replyStream(ex) { w =>
         w.write("""{"status":"success","data":[""")
         var first = true

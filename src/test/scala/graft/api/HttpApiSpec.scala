@@ -56,6 +56,11 @@ class HttpApiSpec extends SparkSpec {
       assert(labels.contains("\"job\"") && labels.contains("\"__name__\""))
       val lv = get(port, "/api/v1/label/job/values")
       assert(lv.contains("\"api\"") && lv.contains("\"web\""))
+      // match[]-scoped labels API (prometheus.go getCommonParamsForLabelsAPI)
+      val lvScoped = get(port, "/api/v1/label/job/values?match[]=n")
+      assert(lvScoped.contains("\"web\"") && !lvScoped.contains("\"api\""))
+      val lim = get(port, "/api/v1/label/job/values?limit=1")
+      assert(lim == """{"status":"success","data":["api"]}""")
 
       // export returns json-lines containing both points
       val export = get(port, "/api/v1/export?match[]=m")
