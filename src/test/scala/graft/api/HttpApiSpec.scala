@@ -66,6 +66,13 @@ class HttpApiSpec extends SparkSpec {
       val export = get(port, "/api/v1/export?match[]=m")
       assert(export.contains("\"m\"") && export.contains("60000"))
 
+      // misaligned end (not a whole number of steps past start) must not
+      // crash the bucketize sequence (round-7 Grid fix): the last grid
+      // point is 150s, the 180s sample belongs to no window
+      val misaligned = get(port, "/api/v1/query_range?query=m&start=60&end=171&step=30")
+      assert(misaligned.contains(""""status":"success""""))
+      assert(misaligned.contains("""[120.0,"20"]""") && !misaligned.contains("35"))
+
       // error envelope on a bad query
       val bad = get(port, "/api/v1/query_range?query=bogus(((&start=0&end=60&step=60")
       assert(bad.contains(""""status":"error""""))
