@@ -54,6 +54,9 @@ final class Notifier(addr: String, timeoutMs: Int = 10000) {
 
   def lastError: String = lastErrorMsg
 
+  /** full delivery URL, the reference's Target.Addr() (notifier/init.go:288) */
+  def address: String = url
+
   /** POST the alerts; errors are recorded (lastError), not thrown —
     * the reference's Send swallows send errors into metrics/lastError
     * so one dead Alertmanager doesn't stop the eval loop.

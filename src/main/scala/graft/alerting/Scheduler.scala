@@ -29,6 +29,9 @@ final class Scheduler(
 
   Rules.validate(groups)
 
+  /** configured notification targets, for /api/v1/notifiers (web.go:674) */
+  def notifierTargets: Seq[Notifier] = notifier.toSeq
+
   // live alert state per (group, rule-name)
   private var states =
     Map.empty[(String, String), Map[Map[String, String], Rules.AlertState]]

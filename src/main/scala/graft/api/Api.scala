@@ -258,8 +258,22 @@ object Api {
     s"""{"status":"success","data":{"alerts":[${rows.mkString(",")}]}}"""
   }
 
-  /** /api/v1/notifiers (main.go:587) */
-  def notifiers(): String = """{"status":"success","data":{"notifiers":[]}}"""
+  /** /api/v1/notifiers (vmalert web.go:674 listNotifiers): the scheduler's
+    * configured targets under kind "static" (notifier/init.go:260) — empty
+    * list when no scheduler or no notifier is wired, same as the reference
+    * with no -notifier.url.
+    */
+  def notifiers(scheduler: Option[graft.alerting.Scheduler] = None): String = {
+    val targets = scheduler.toSeq.flatMap(_.notifierTargets)
+    val inner =
+      if (targets.isEmpty) ""
+      else {
+        val ts = targets.map(n =>
+          s"""{"address":${Json.str(n.address)},"labels":{},"lastError":${Json.str(n.lastError)}}""")
+        s"""{"kind":"static","targets":[${ts.mkString(",")}]}"""
+      }
+    s"""{"status":"success","data":{"notifiers":[$inner]}}"""
+  }
 
   /** /api/v1/status/buildinfo (main.go:592): the advertised Prometheus
     * compat version gates which query features Grafana enables.

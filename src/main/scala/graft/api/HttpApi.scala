@@ -39,8 +39,11 @@ final class HttpApi(
   // delete-series tombstones: selectors whose matching rows are excluded
   // from every read (the Parquet store path rewrites files instead —
   // SampleStore.deleteSeries; this facade's buffer+base union can't, so
-  // deletion is a filter, exactly as cheap at read time)
+  // deletion is a filter, exactly as cheap at read time). Graphite
+  // /tags/delSeries registers raw Column predicates (its tag keys may
+  // contain characters MetricsQL selectors cannot spell).
   private val deletedSelectors = mutable.ArrayBuffer.empty[String]
+  private val deletedPredicates = mutable.ArrayBuffer.empty[org.apache.spark.sql.Column]
   private var server: HttpServer = _
 
   def samples: DataFrame = {
@@ -49,7 +52,9 @@ final class HttpApi(
     }
     val all = base.map(_.unionByName(buf)).getOrElse(buf)
     val dels = deletedSelectors.synchronized { deletedSelectors.toList }
-    dels.foldLeft(all)((df, sel) => df.filter(!Api.selectorPredicate(sel)))
+    val preds = deletedPredicates.synchronized { deletedPredicates.toList }
+    val afterSel = dels.foldLeft(all)((df, sel) => df.filter(!Api.selectorPredicate(sel)))
+    preds.foldLeft(afterSel)((df, p) => df.filter(!p))
   }
 
   /** start on the given port (0 = ephemeral); returns the bound port */
@@ -89,6 +94,46 @@ final class HttpApi(
       if (k == key) Some(java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8"))
       else None
     }
+  }
+
+  /** repeated args from query string AND a form-encoded POST body (the
+    * graphite tag-write APIs take repeated `path` form fields — r.Form in
+    * the reference). Reads the body, so call at most once per exchange.
+    */
+  private def multiParamsWithBody(ex: HttpExchange, key: String): Seq[String] = {
+    val fromQuery = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    val body =
+      if (ex.getRequestMethod == "POST" &&
+        Option(ex.getRequestHeaders.getFirst("Content-Type"))
+          .exists(_.startsWith("application/x-www-form-urlencoded")))
+        new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      else ""
+    (fromQuery + "&" + body).split('&').filter(_.contains("=")).toSeq.flatMap { kv =>
+      val i = kv.indexOf('=')
+      if (java.net.URLDecoder.decode(kv.take(i), "UTF-8") == key)
+        Some(java.net.URLDecoder.decode(kv.drop(i + 1), "UTF-8"))
+      else None
+    }
+  }
+
+  /** graphite tagged path `metric;k=v;…` → (metric, canonical path with
+    * sorted tags, tag map) — lib/protoparser/graphite
+    * Row.UnmarshalMetricAndTags + tags_api.go:111 canonicalization
+    */
+  private def parseGraphitePath(path: String): (String, String, Map[String, String]) = {
+    val parts = path.split(';')
+    val metric = parts.head
+    if (metric.isEmpty)
+      throw new IllegalArgumentException(s"cannot parse path=$path: metric cannot be empty")
+    val tags = parts.tail.toSeq.map { kv =>
+      val i = kv.indexOf('=')
+      if (i <= 0)
+        throw new IllegalArgumentException(s"cannot parse path=$path: invalid tag $kv")
+      kv.take(i) -> kv.drop(i + 1)
+    }.toMap
+    val canonical = metric +
+      tags.toSeq.sortBy(_._1).map { case (k, v) => s";$k=$v" }.mkString
+    (metric, canonical, tags)
   }
 
   /** Prometheus time param: unix seconds, fractional allowed */
@@ -320,6 +365,7 @@ final class HttpApi(
     },
     "/api/v1/query_exemplars" -> handler(reply(_, 200, Api.queryExemplars())),
     "/api/v1/metadata" -> handler(reply(_, 200, Api.metadata())),
+    "/api/v1/notifiers" -> handler(reply(_, 200, Api.notifiers(scheduler))),
     "/api/v1/rules" -> handler(reply(_, 200, Api.rules(ruleGroups))),
     "/api/v1/alerts" -> handler(reply(_, 200,
       scheduler.map(Api.alerts).getOrElse(Api.alerts()))),
@@ -507,6 +553,65 @@ final class HttpApi(
           GraphiteHttp.expandByQueryJson(queries.map(qy => qy -> pathsOf(qy)))
         else GraphiteHttp.expandFlatJson(queries.flatMap(pathsOf).distinct)
       reply(ex, 200, body)
+    },
+    "/metrics/index.json" -> handler { ex =>
+      // metrics_api.go:200 MetricsIndexHandler: all metric names, sorted,
+      // as a JSON array, with optional jsonp wrapping
+      val jsonp = params(ex).getOrElse("jsonp", "")
+      val names = Api.labelValues(samples, "__name__").collect()
+        .map(r => s""""${esc(r.getString(0))}"""")
+      val body = names.mkString("[", ",", "]")
+      val contentType =
+        if (jsonp.nonEmpty) "text/javascript; charset=utf-8" else "application/json"
+      reply(ex, 200,
+        if (jsonp.nonEmpty) s"$jsonp($body)" else body, contentType)
+    },
+    // graphite tag-write APIs (tags_api.go:82,89 registerMetrics): parse
+    // `metric;k=v;…` paths, register the series, return canonical paths.
+    // Registration lands a staleness-NaN sample in the buffer — visible
+    // to the tags/metadata APIs, invisible to rollups (NaN samples are
+    // stripped before every window), mirroring the reference's
+    // RegisterMetricNames index-only write.
+    "/tags/tagSeries" -> handler { ex =>
+      val paths = multiParamsWithBody(ex, "path")
+      val now = System.currentTimeMillis()
+      val canon = paths.map { p =>
+        val (metric, canonical, tags) = parseGraphitePath(p)
+        ingested.synchronized {
+          ingested += Row(metric, tags, now, Double.NaN)
+        }
+        canonical
+      }
+      reply(ex, 200, canon.map(c => s""""${esc(c)}"""").mkString(","),
+        "text/plain; charset=utf-8")
+    },
+    "/tags/tagMultiSeries" -> handler { ex =>
+      val paths = multiParamsWithBody(ex, "path")
+      val now = System.currentTimeMillis()
+      val canon = paths.map { p =>
+        val (metric, canonical, tags) = parseGraphitePath(p)
+        ingested.synchronized {
+          ingested += Row(metric, tags, now, Double.NaN)
+        }
+        canonical
+      }
+      reply(ex, 200, canon.map(c => s""""${esc(c)}"""").mkString("[", ",", "]"))
+    },
+    "/tags/delSeries" -> handler { ex =>
+      // tags_api.go:33: delete every series matching (metric, tags) —
+      // series carrying EXTRA tags still match, exactly the reference's
+      // TagFilter semantics; body is a bare true/false
+      val paths = multiParamsWithBody(ex, "path")
+      var deleted = 0L
+      paths.foreach { p =>
+        val (metric, _, tags) = parseGraphitePath(p)
+        val pred = tags.foldLeft(coalesce(col("name"), lit("")) === metric) {
+          case (acc, (k, v)) => acc && col("tags").getItem(k) === v
+        }
+        deleted += samples.filter(pred).count()
+        deletedPredicates.synchronized { deletedPredicates += pred }
+      }
+      reply(ex, 200, if (deleted > 0) "true" else "false")
     },
     "/tags/autoComplete/tags" -> handler { ex =>
       val p = params(ex)

@@ -201,6 +201,80 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  private def postForm(port: Int, path: String, form: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form)).build()
+    val r = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("graphite tag-write APIs, metrics index, notifiers") {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      // tagSeries returns the canonical path (tags sorted by key) as a
+      // bare quoted string (tags_api.go registerMetrics, qtpl template)
+      val (rc1, one) = postForm(port, "/tags/tagSeries",
+        "path=" + enc("disk.used;rack=a1;datacenter=dc1"))
+      assert(rc1 == 200)
+      assert(one == "\"disk.used;datacenter=dc1;rack=a1\"")
+
+      // tagMultiSeries: JSON array, one canonical path per form field
+      val (rc2, multi) = postForm(port, "/tags/tagMultiSeries",
+        "path=" + enc("disk.used;rack=b7;datacenter=dc2") +
+          "&path=" + enc("cpu.idle;host=h1"))
+      assert(rc2 == 200)
+      assert(multi ==
+        """["disk.used;datacenter=dc2;rack=b7","cpu.idle;host=h1"]""")
+
+      // registered names are visible to the metrics index (sorted), and
+      // jsonp wraps (metrics_api.go:200)
+      assert(get(port, "/metrics/index.json") == """["cpu.idle","disk.used"]""")
+      assert(get(port, "/metrics/index.json?jsonp=cb") ==
+        """cb(["cpu.idle","disk.used"])""")
+      // ...and to the tags API
+      assert(get(port, "/tags/autoComplete/tags?tagPrefix=rack").contains("\"rack\""))
+
+      // delSeries: matching on (metric, subset-of-tags) — extra tags still
+      // match; bare true/false body (tags_api.go:33)
+      val (_, del) = postForm(port, "/tags/delSeries",
+        "path=" + enc("disk.used;datacenter=dc1"))
+      assert(del == "true")
+      // the dc1 series is gone, the dc2 one remains
+      assert(get(port, "/metrics/index.json") == """["cpu.idle","disk.used"]""")
+      val (_, del2) = postForm(port, "/tags/delSeries",
+        "path=" + enc("disk.used;datacenter=dc1"))
+      assert(del2 == "false") // already deleted -> nothing matches
+      val (_, del3) = postForm(port, "/tags/delSeries", "path=" + enc("disk.used"))
+      assert(del3 == "true") // metric-only path deletes the dc2 series too
+      assert(get(port, "/metrics/index.json") == """["cpu.idle"]""")
+
+      // unparsable path -> error envelope
+      val (rcBad, bad) = postForm(port, "/tags/tagSeries", "path=" + enc(";a=b"))
+      assert(rcBad == 422 && bad.contains("metric cannot be empty"))
+
+      // notifiers: empty without a scheduler
+      assert(get(port, "/api/v1/notifiers") ==
+        """{"status":"success","data":{"notifiers":[]}}""")
+    } finally api.stop()
+  }
+
+  test("notifiers lists the scheduler's static Alertmanager target") {
+    val sched = new graft.alerting.Scheduler(Nil, () => spark.emptyDataFrame,
+      _ => (), Some(new graft.alerting.Notifier("http://am.example:9093")))
+    val api = new HttpApi(spark, scheduler = Some(sched))
+    val port = api.start()
+    try {
+      val resp = get(port, "/api/v1/notifiers")
+      assert(resp ==
+        """{"status":"success","data":{"notifiers":[{"kind":"static","targets":""" +
+          """[{"address":"http://am.example:9093/api/v2/alerts","labels":{},"lastError":""}]}]}}""")
+    } finally api.stop()
+  }
+
   test("remote-write protobuf ingestion over HTTP") {
     import spark.implicits._
     val api = new HttpApi(spark)
