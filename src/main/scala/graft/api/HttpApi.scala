@@ -248,6 +248,96 @@ final class HttpApi(
             s"""{"status":"error","errorType":"execution","error":"${esc(String.valueOf(e.getMessage))}"}""")
       }
 
+  /** request body, transparently inflating gzip/deflate Content-Encoding
+    * (the datadog/otlp agents compress by default; the reference routes
+    * all bodies through protoparserutil.ReadUncompressedData)
+    */
+  private def requestBody(ex: HttpExchange): Array[Byte] = {
+    val raw = ex.getRequestBody
+    val enc = Option(ex.getRequestHeaders.getFirst("Content-Encoding"))
+      .getOrElse("").toLowerCase
+    val in = enc match {
+      case "gzip" => new java.util.zip.GZIPInputStream(raw)
+      case "deflate" => new java.util.zip.InflaterInputStream(raw)
+      case _ => raw
+    }
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** influx line-protocol write (main.go:210): ns-precision timestamps by
+    * default, overridable with `precision`; X-Influxdb-Version header for
+    * client compatibility
+    */
+  private def influxWriteHandler: com.sun.net.httpserver.HttpHandler = handler { ex =>
+    import spark.implicits._
+    ex.getResponseHeaders.set("X-Influxdb-Version", "1.8.0")
+    val body = new String(requestBody(ex), StandardCharsets.UTF_8)
+    ingest(graft.sources.LineFormats.influxLine(
+      body.linesIterator.filter(l => l.nonEmpty && !l.startsWith("#")).toSeq.toDF("line"),
+      System.currentTimeMillis()))
+    reply(ex, 204, "", "text/plain")
+  }
+
+  /** OTLP metrics over HTTP (main.go:229): raw protobuf bodies, or the
+    * AWS Firehose JSON envelope when X-Amz-Firehose-Protocol-Version is
+    * set (firehose/parser.go:26 — varint-framed records, concatenated;
+    * protobuf concatenation merges into one request). JSON without the
+    * firehose header is rejected like opentelemetry/request_handler.go:40.
+    */
+  private def otlpHandler: com.sun.net.httpserver.HttpHandler = handler { ex =>
+    import spark.implicits._
+    val firehoseId = Option(ex.getRequestHeaders.getFirst("X-Amz-Firehose-Request-Id"))
+    val isFirehose =
+      ex.getRequestHeaders.getFirst("X-Amz-Firehose-Protocol-Version") != null
+    val isJson = Option(ex.getRequestHeaders.getFirst("Content-Type"))
+      .exists(_.startsWith("application/json"))
+    val raw = requestBody(ex)
+    val payload =
+      if (isFirehose && isJson) unwrapFirehose(raw)
+      else if (isJson)
+        throw new IllegalArgumentException(
+          "json encoding isn't supported for opentelemetry format. Use protobuf encoding")
+      else raw
+    ingest(graft.sources.ProtoFormats.otlp(Seq(Tuple1(payload)).toDF("payload")))
+    firehoseId match {
+      case Some(id) => reply(ex, 200,
+        s"""{"requestId":"${esc(id)}","timestamp":${System.currentTimeMillis()}}""")
+      case None => reply(ex, 200, "", "text/plain")
+    }
+  }
+
+  /** Firehose envelope → concatenated protobuf: {"records":[{"data":b64}]}
+    * where each record holds varint-length-framed messages
+    */
+  private def unwrapFirehose(body: Array[Byte]): Array[Byte] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(body)
+    val out = new java.io.ByteArrayOutputStream()
+    val recs = root.path("records")
+    (0 until recs.size()).foreach { i =>
+      val data = java.util.Base64.getDecoder.decode(recs.get(i).path("data").asText(""))
+      var off = 0
+      while (off < data.length) {
+        // uvarint
+        var len = 0L; var shift = 0; var n = 0
+        var cont = true
+        while (cont) {
+          if (off + n >= data.length || n > 9)
+            throw new IllegalArgumentException("failed to parse OpenTelemetry message: invalid variant")
+          val b = data(off + n) & 0xff
+          len |= (b & 0x7fL) << shift; shift += 7; n += 1
+          cont = (b & 0x80) != 0
+        }
+        val total = n + len.toInt
+        if (total > data.length - off)
+          throw new IllegalArgumentException("failed to parse OpenTelemetry message: insufficient length of buffer")
+        out.write(data, off + n, len.toInt)
+        off += total
+      }
+    }
+    out.toByteArray
+  }
+
   private def ingest(rows: DataFrame): Int = {
     val collected = rows.select("name", "tags", "ts", "value").collect()
     ingested.synchronized { ingested ++= collected }
@@ -344,14 +434,14 @@ final class HttpApi(
     },
     "/api/v1/import" -> handler { ex => // VM JSON-lines
       import spark.implicits._
-      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val body = new String(requestBody(ex), StandardCharsets.UTF_8)
       val n = ingest(graft.sources.LineFormats.jsonImport(
         body.linesIterator.filter(_.nonEmpty).toSeq.toDF("line")))
       reply(ex, 204, "", "text/plain"); val _ = n
     },
     "/api/v1/import/prometheus" -> handler { ex =>
       import spark.implicits._
-      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val body = new String(requestBody(ex), StandardCharsets.UTF_8)
       ingest(graft.sources.LineFormats.prometheusText(
         body.linesIterator.filter(_.nonEmpty).toSeq.toDF("line"),
         System.currentTimeMillis()))
@@ -359,10 +449,85 @@ final class HttpApi(
     },
     "/api/v1/write" -> handler { ex => // Prometheus remote write
       import spark.implicits._
-      val body = ex.getRequestBody.readAllBytes()
+      val body = requestBody(ex)
       ingest(graft.sources.ProtoFormats.remoteWrite(Seq(Tuple1(body)).toDF("payload")))
       reply(ex, 204, "", "text/plain")
     },
+    // ---- remaining vminsert ingestion protocols (main.go:192-326) ----
+    "/api/v1/import/csv" -> handler { ex =>
+      import spark.implicits._
+      val fmt = params(ex).getOrElse("format",
+        throw new IllegalArgumentException("missing `format` arg"))
+      val body = new String(requestBody(ex), StandardCharsets.UTF_8)
+      ingest(graft.sources.LineFormats.csvImportFormatted(
+        body.linesIterator.filter(_.nonEmpty).toSeq.toDF("line"), fmt,
+        System.currentTimeMillis()))
+      reply(ex, 204, "", "text/plain")
+    },
+    "/influx/write" -> influxWriteHandler,
+    "/influx/api/v2/write" -> influxWriteHandler,
+    "/write" -> influxWriteHandler,
+    "/api/v2/write" -> influxWriteHandler,
+    "/influx/query" -> handler { ex =>
+      // influxutil.WriteDatabaseNames: fake DB listing for TSBS/Telegraf
+      ex.getResponseHeaders.set("X-Influxdb-Version", "1.8.0")
+      reply(ex, 200,
+        """{"results":[{"statement_id":0,"series":[{"name":"databases","columns":["name"],"values":[["_internal"]]}]}]}""")
+    },
+    "/query" -> handler { ex =>
+      ex.getResponseHeaders.set("X-Influxdb-Version", "1.8.0")
+      reply(ex, 200,
+        """{"results":[{"statement_id":0,"series":[{"name":"databases","columns":["name"],"values":[["_internal"]]}]}]}""")
+    },
+    "/influx/health" -> handler(reply(_, 200,
+      """{"name":"influxdb", "message":"ready for queries and writes", "status":"pass", "checks":[]}""")),
+    "/datadog/api/v1/series" -> handler { ex =>
+      import spark.implicits._
+      val body = new String(requestBody(ex), StandardCharsets.UTF_8)
+      ingest(graft.sources.LineFormats.datadogV1(Seq(body).toDF("body")))
+      reply(ex, 202, """{"status":"ok"}""")
+    },
+    "/datadog/api/v2/series" -> handler { ex =>
+      import spark.implicits._
+      val body = new String(requestBody(ex), StandardCharsets.UTF_8)
+      ingest(graft.sources.LineFormats.datadogV2(Seq(body).toDF("body")))
+      reply(ex, 202, """{"status":"ok"}""")
+    },
+    "/datadog/api/beta/sketches" -> handler { ex =>
+      import spark.implicits._
+      ingest(graft.sources.ProtoFormats.datadogSketches(
+        Seq(Tuple1(requestBody(ex))).toDF("payload")))
+      reply(ex, 202, "", "text/plain")
+    },
+    "/datadog/api/v1/validate" -> handler(reply(_, 200, """{"valid":true}""")),
+    "/datadog/api/v1/check_run" -> handler(reply(_, 202, """{"status":"ok"}""")),
+    "/datadog/intake" -> handler(reply(_, 200, "{}")),
+    "/datadog/api/v1/metadata" -> handler(reply(_, 200, "{}")),
+    "/newrelic" -> handler(reply(_, 202, """{"status":"ok"}""")),
+    "/newrelic/infra/v2/metrics/events/bulk" -> handler { ex =>
+      import spark.implicits._
+      val body = new String(requestBody(ex), StandardCharsets.UTF_8)
+      ingest(graft.sources.LineFormats.newRelic(Seq(body).toDF("body")))
+      reply(ex, 202, """{"status":"ok"}""")
+    },
+    "/newrelic/inventory/deltas" -> handler(reply(_, 202,
+      """{"payload":{"version": 1, "state": {}, "reset": "false"}}""")),
+    "/opentelemetry/v1/metrics" -> otlpHandler,
+    "/opentelemetry/api/v1/push" -> otlpHandler,
+    "/zabbixconnector/api/v1/history" -> handler { ex =>
+      import spark.implicits._
+      val body = new String(requestBody(ex), StandardCharsets.UTF_8)
+      try {
+        ingest(graft.sources.LineFormats.zabbix(
+          body.linesIterator.filter(_.nonEmpty).toSeq.toDF("line")))
+        reply(ex, 200, "", "text/plain")
+      } catch { // main.go:243: zabbix errors are 400 {"error":…}, not 422
+        case e: Exception =>
+          reply(ex, 400, s"""{"error":"${esc(String.valueOf(e.getMessage))}"}""")
+      }
+    },
+    "/ready" -> handler(reply(_, 200, "OK", "text/plain; charset=utf-8")),
+    "/-/reload" -> handler(reply(_, 200, "OK", "text/plain; charset=utf-8")),
     "/api/v1/query_exemplars" -> handler(reply(_, 200, Api.queryExemplars())),
     "/api/v1/metadata" -> handler(reply(_, 200, Api.metadata())),
     "/api/v1/notifiers" -> handler(reply(_, 200, Api.notifiers(scheduler))),

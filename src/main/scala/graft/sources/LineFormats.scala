@@ -441,6 +441,80 @@ object LineFormats {
     stacked.reduce(_ unionByName _).filter(col("value").isNotNull)
   }
 
+  /** /api/v1/import/csv with the reference's user-supplied `format` arg
+    * (lib/protoparser/csvimport/column_descriptor.go:56
+    * ParseColumnDescriptors): comma-separated `<pos>:<type>:<extension>`
+    * entries, pos 1-based, type one of time|label|metric; time extensions
+    * unix_s (int seconds), unix_ms, unix_ns (truncating integer ms), and
+    * rfc3339. Rows parse through Spark's CSV reader (quoting-aware); one
+    * sample per metric descriptor per row; no time column → `defaultTsMs`.
+    * Format errors throw (the reference rejects the request); malformed
+    * VALUES drop per-row, matching this object's tolerance convention.
+    */
+  def csvImportFormatted(lines: DataFrame, format: String, defaultTsMs: Long): DataFrame = {
+    val entries = format.split(',').toSeq.zipWithIndex.map { case (ent, i) =>
+      val a = ent.split(":", 3)
+      if (a.length != 3) throw new IllegalArgumentException(
+        s"entry #${i + 1} must have the following form: <column_pos>:<column_type>:<extension>; got $ent")
+      val pos =
+        try a(0).trim.toInt
+        catch { case _: NumberFormatException => throw new IllegalArgumentException(
+          s"cannot parse <column_pos> part from the entry #${i + 1} $ent") }
+      if (pos <= 0) throw new IllegalArgumentException(
+        s"<column_pos> cannot be smaller than 1; got $pos for entry #${i + 1} $ent")
+      (pos, a(1), a(2))
+    }
+    entries.groupBy(_._1).collectFirst { case (p, es) if es.size > 1 =>
+      throw new IllegalArgumentException(s"duplicate <column_pos> $p") }
+    entries.find(e => e._2 != "time" && e._2 != "label" && e._2 != "metric").foreach(e =>
+      throw new IllegalArgumentException(
+        s"unknown <column_type>: ${e._2}; allowed values: time, metric, label"))
+    entries.find(e => e._2 != "time" && e._3.isEmpty).foreach(e =>
+      throw new IllegalArgumentException(s"${e._2} name cannot be empty in ${e._1}:${e._2}:"))
+    val times = entries.filter(_._2 == "time")
+    if (times.size > 1) throw new IllegalArgumentException(
+      "format cannot contain more than a single `time` column")
+    val metrics = entries.filter(_._2 == "metric")
+    if (metrics.isEmpty) throw new IllegalArgumentException(s"missing 'metric' column in $format")
+    val labels = entries.filter(_._2 == "label")
+
+    val spark = lines.sparkSession
+    import spark.implicits._
+    val csv = spark.read.csv(lines.select(col("line").as[String]))
+    val have = csv.columns.toSet
+    // 1-based descriptor position → Spark's 0-based _cN; absent column → null
+    def c(pos: Int): Column =
+      if (have.contains(s"_c${pos - 1}")) col(s"_c${pos - 1}") else lit(null).cast(S)
+    val intRe = """^[+-]?\d+$"""
+    def tryLong(x: Column): Column = when(x.rlike(intRe), x.cast(LongType))
+    val tsFinal: Column = times.headOption.map { case (pos, _, ext) =>
+      ext match {
+        case "unix_s"  => tryLong(c(pos)) * 1000L
+        case "unix_ms" => tryLong(c(pos))
+        case "unix_ns" => // integer-truncating ns→ms (the reference's n / 1e6 on int64)
+          if (!have.contains(s"_c${pos - 1}")) lit(null).cast(LongType)
+          else expr(s"try_cast(_c${pos - 1} as bigint) div 1000000")
+        case "rfc3339" =>
+          if (!have.contains(s"_c${pos - 1}")) lit(null).cast(LongType)
+          else unix_millis(expr(s"try_to_timestamp(_c${pos - 1})"))
+        case other => throw new IllegalArgumentException(
+          s"unknown format for time parsing: $other; supported formats: unix_s, unix_ms, unix_ns, rfc3339")
+      }
+    }.getOrElse(lit(defaultTsMs))
+    val tags =
+      if (labels.isEmpty) typedLit(Map.empty[String, String])
+      else map_from_arrays(
+        array(labels.map(l => lit(l._3)): _*),
+        array(labels.map(l => coalesce(c(l._1).cast(S), lit(""))): _*))
+    metrics.map { case (pos, _, name) =>
+      csv.select(
+        lit(name).as("name"),
+        tags.as("tags"),
+        tsFinal.cast(LongType).as("ts"),
+        tryDouble(c(pos)).as("value"))
+    }.reduce(_ unionByName _).filter(col("value").isNotNull && col("ts").isNotNull)
+  }
+
   // ------------------------------------------------------------------
   // exports (SURVEY §2.0: /api/v1/export JSON-lines / prom text)
   // ------------------------------------------------------------------

@@ -275,6 +275,144 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  private def postFull(port: Int, path: String, body: Array[Byte],
+      headers: (String, String)*): (Int, String, java.net.http.HttpHeaders) = {
+    val client = HttpClient.newHttpClient()
+    var b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofByteArray(body))
+    headers.foreach { case (k, v) => b = b.header(k, v) }
+    val r = client.send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body(), r.headers())
+  }
+
+  test("vminsert ingestion: influx, csv format, datadog, newrelic, zabbix") {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      // influx line protocol: ns timestamps, measurement_field fan-out,
+      // and the X-Influxdb-Version compat header
+      val (rcI, _, hI) = postFull(port, "/influx/write",
+        "cpu,host=h1 usage_idle=90.5,usage_user=7 60000000000".getBytes("UTF-8"))
+      assert(rcI == 204)
+      assert(hI.firstValue("X-Influxdb-Version").orElse("") == "1.8.0")
+      val qi = get(port, "/api/v1/query?query=cpu_usage_idle&time=60")
+      assert(qi.contains(""""90.5"""") && qi.contains(""""host":"h1""""))
+      assert(get(port, "/api/v1/query?query=cpu_usage_user&time=60")
+        .contains(""""7""""))
+
+      // csv import with a format arg; quoted comma survives Spark's csv read
+      assert(post(port, "/api/v1/import/csv?format=" +
+        enc("1:label:city,2:metric:temp,3:time:unix_s"),
+        "\"Ber,lin\",20.5,120\nParis,18.25,180\n") == 204)
+      val qc = get(port, "/api/v1/query_range?query=temp&start=120&end=180&step=60")
+      assert(qc.contains("Ber,lin") && qc.contains(""""20.5"""") &&
+        qc.contains(""""18.25""""))
+      assert(post(port, "/api/v1/import/csv", "x,1\n") == 422)
+
+      // datadog v1 (sec points, host tag) and v2 (resources)
+      assert(post(port, "/datadog/api/v1/series",
+        """{"series":[{"metric":"dd.v1","host":"h2","points":[[60, 1.25]],"tags":["env:prod"]}]}""") == 202)
+      assert(post(port, "/datadog/api/v2/series",
+        """{"series":[{"metric":"dd.v2","points":[{"timestamp":120,"value":2.5}],""" +
+          """"resources":[{"name":"h3","type":"host"}]}]}""") == 202)
+      val qd1 = get(port, "/api/v1/query?query=" + enc("dd.v1") + "&time=60")
+      assert(qd1.contains(""""1.25"""") && qd1.contains(""""env":"prod""""))
+      val qd2 = get(port, "/api/v1/query?query=" + enc("dd.v2") + "&time=120")
+      assert(qd2.contains(""""2.5"""") && qd2.contains(""""host":"h3""""))
+      assert(get(port, "/datadog/api/v1/validate") == """{"valid":true}""")
+
+      // newrelic events bulk: numeric fields become samples
+      assert(post(port, "/newrelic/infra/v2/metrics/events/bulk",
+        """[{"Events":[{"eventType":"SystemSample","timestamp":60,""" +
+          """"diskUsedPercent":11.5,"hostname":"h4"}]}]""") == 202)
+      val qn = get(port, "/api/v1/query?query=diskUsedPercent&time=60")
+      assert(qn.contains(""""11.5"""") && qn.contains(""""hostname":"h4""""))
+
+      // zabbix connector history lines
+      val (rcZ, _, _) = postFull(port, "/zabbixconnector/api/v1/history",
+        ("""{"host":{"host":"db1","name":"DB one"},"item_tags":[],"itemid":1,""" +
+          """"name":"pg.size","clock":60,"ns":0,"value":"5","type":0}""").getBytes("UTF-8"))
+      assert(rcZ == 200)
+      assert(get(port, "/api/v1/query?query=" + enc("pg.size") + "&time=60")
+        .contains(""""5""""))
+
+      // compat endpoints agents probe before writing
+      assert(get(port, "/influx/query").contains("_internal"))
+      assert(get(port, "/influx/health").contains(""""status":"pass""""))
+      assert(get(port, "/ready") == "OK")
+    } finally api.stop()
+  }
+
+  test("otlp ingestion: raw protobuf, gzip, firehose envelope, json rejection") {
+    import spark.implicits._
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      val payload = graft.sources.ProtoFormats.exportOtlp(
+        Seq(("otm", Map("svc" -> "a"), 60000L, 3.5))
+          .toDF("name", "tags", "ts", "value"))
+        .collect().head.getAs[Array[Byte]](0)
+
+      val (rc1, body1, _) = postFull(port, "/opentelemetry/v1/metrics", payload)
+      assert(rc1 == 200 && body1.isEmpty)
+      val q1 = get(port, "/api/v1/query?query=otm&time=60")
+      assert(q1.contains(""""3.5"""") && q1.contains(""""svc":"a""""))
+
+      // gzip Content-Encoding is transparently inflated
+      val gz = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(payload); g.close(); bos.toByteArray
+      }
+      val (rc2, _, _) = postFull(port, "/opentelemetry/v1/metrics", gz,
+        "Content-Encoding" -> "gzip")
+      assert(rc2 == 200)
+
+      // firehose JSON envelope: varint-framed records, base64'd
+      def uvarint(n0: Long): Array[Byte] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        var v = n0
+        while ((v & ~0x7fL) != 0) { out += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+        out += v.toByte
+        out.toArray
+      }
+      val framed = uvarint(payload.length.toLong) ++ payload
+      val fh = s"""{"records":[{"data":"${java.util.Base64.getEncoder
+        .encodeToString(framed)}"}]}"""
+      val (rc3, body3, _) = postFull(port, "/opentelemetry/v1/metrics",
+        fh.getBytes("UTF-8"),
+        "Content-Type" -> "application/json",
+        "X-Amz-Firehose-Protocol-Version" -> "1.0",
+        "X-Amz-Firehose-Request-Id" -> "req-77")
+      assert(rc3 == 200 && body3.contains(""""requestId":"req-77""""))
+
+      // plain JSON without the firehose header is rejected like the reference
+      val (rc4, body4, _) = postFull(port, "/opentelemetry/v1/metrics",
+        "{}".getBytes("UTF-8"), "Content-Type" -> "application/json")
+      assert(rc4 == 422 && body4.contains("json encoding isn't supported"))
+    } finally api.stop()
+  }
+
+  test("gzip bodies on the prometheus text and json-lines import routes") {
+    def gzip(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes("UTF-8")); g.close(); bos.toByteArray
+    }
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      assert(postFull(port, "/api/v1/import/prometheus",
+        gzip("gzm 7 60000\n"), "Content-Encoding" -> "gzip")._1 == 204)
+      assert(get(port, "/api/v1/query?query=gzm&time=60").contains(""""7""""))
+      assert(postFull(port, "/api/v1/import",
+        gzip("""{"metric":{"__name__":"gzj"},"values":[9],"timestamps":[60000]}"""),
+        "Content-Encoding" -> "gzip")._1 == 204)
+      assert(get(port, "/api/v1/query?query=gzj&time=60").contains(""""9""""))
+    } finally api.stop()
+  }
+
   test("remote-write protobuf ingestion over HTTP") {
     import spark.implicits._
     val api = new HttpApi(spark)

@@ -312,6 +312,58 @@ class SourcesSpec extends SparkSpec {
       r.getMap[String, String](1).get("job_copy") == r.getMap[String, String](1).get("job")))
   }
 
+  test("csv import with format descriptors: labels, multi-metric, unix_s time") {
+    val df = LineFormats.csvImportFormatted(lines(
+      "\"Ber,lin\",20.5,120,7",
+      "Paris,18.25,180,9"),
+      "1:label:city,2:metric:temp,3:time:unix_s,4:metric:load", defaultTsMs = 0L)
+    val rows = df.collect().map(r => (r.getString(0),
+      r.getMap[String, String](1)("city")) ->
+      ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.size == 4) // 2 rows x 2 metric descriptors
+    assert(rows(("temp", "Ber,lin")) == ((120000L, 20.5))) // quoted comma survives
+    assert(rows(("load", "Paris")) == ((180000L, 9.0)))
+  }
+
+  test("csv format descriptors: time extensions and the default timestamp") {
+    // unix_ms passthrough; unix_ns integer-truncates to ms; rfc3339 parses
+    val ms = LineFormats.csvImportFormatted(lines("1704067200123,5"),
+      "1:time:unix_ms,2:metric:m", 0L).collect().head
+    assert(ms.getLong(2) == 1704067200123L)
+    val ns = LineFormats.csvImportFormatted(lines("1704067200123456789,5"),
+      "1:time:unix_ns,2:metric:m", 0L).collect().head
+    assert(ns.getLong(2) == 1704067200123L)
+    val rfc = LineFormats.csvImportFormatted(lines("2024-01-01T00:02:00Z,5"),
+      "1:time:rfc3339,2:metric:m", 0L).collect().head
+    assert(rfc.getLong(2) == 1704067320000L)
+    // no time column -> caller-supplied default
+    val dft = LineFormats.csvImportFormatted(lines("5"), "1:metric:m", 777L)
+      .collect().head
+    assert(dft.getLong(2) == 777L)
+    // malformed value rows drop, malformed time rows drop
+    assert(LineFormats.csvImportFormatted(lines("x,notanumber"),
+      "1:label:l,2:metric:m", 0L).count() == 0)
+    assert(LineFormats.csvImportFormatted(lines("nottime,5"),
+      "1:time:unix_s,2:metric:m", 0L).count() == 0)
+  }
+
+  test("csv format descriptor errors match the reference's rejections") {
+    def err(format: String): String =
+      intercept[IllegalArgumentException](
+        LineFormats.csvImportFormatted(lines("1,2"), format, 0L)).getMessage
+    assert(err("1:metric").contains("must have the following form"))
+    assert(err("x:metric:m").contains("cannot parse <column_pos>"))
+    assert(err("0:metric:m").contains("cannot be smaller than 1"))
+    assert(err("1:metric:m,1:label:l").contains("duplicate <column_pos>"))
+    assert(err("1:bogus:m").contains("unknown <column_type>"))
+    assert(err("1:metric:").contains("name cannot be empty"))
+    assert(err("1:time:unix_s,2:time:unix_ms,3:metric:m")
+      .contains("more than a single `time` column"))
+    assert(err("1:label:l").contains("missing 'metric' column"))
+    assert(err("1:time:fortnights,2:metric:m")
+      .contains("unknown format for time parsing"))
+  }
+
   test("relabel: metric name is the __name__ pseudo-label") {
     val samples = LineFormats.prometheusText(lines("""a_total{x="1"} 1 100"""), 0L)
     val out = Relabel.apply(samples, Seq(
