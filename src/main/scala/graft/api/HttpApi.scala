@@ -338,9 +338,26 @@ final class HttpApi(
     out.toByteArray
   }
 
+  /** /metric-relabel-debug + /target-relabel-debug (main.go:316,320,
+    * lib/promrelabel/debug.go): json format mirrors the reference's
+    * response; anything else gets the HTML table
+    */
+  private def relabelDebugReply(ex: HttpExchange, isTarget: Boolean,
+      p: Map[String, String]): Unit = {
+    val metric = p.getOrElse("metric", "{}")
+    val configs = p.getOrElse("relabel_configs", "")
+    if (p.getOrElse("format", "") == "json")
+      reply(ex, 200, RelabelDebug.json(isTarget, metric, configs))
+    else
+      reply(ex, 200, RelabelDebug.html(isTarget, metric, configs),
+        "text/html; charset=utf-8")
+  }
+
   private def ingest(rows: DataFrame): Int = {
     val collected = rows.select("name", "tags", "ts", "value").collect()
     ingested.synchronized { ingested ++= collected }
+    collected.iterator.map(_.getString(0)).distinct
+      .foreach(MetricNamesStats.registerIngest)
     collected.length
   }
 
@@ -355,6 +372,7 @@ final class HttpApi(
       val at = timeMs(p, "time", System.currentTimeMillis())
       val step = stepMs(p)
       val df = Api.query(samples, p("query"), at, step) // parse/analyze errors throw here → 422
+      MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), at)
       QueryStats.track(p("query"), at, at, step,
         String.valueOf(ex.getRemoteAddress)) {
         replyStream(ex) { w =>
@@ -370,6 +388,7 @@ final class HttpApi(
       val start = timeMs(p, "start", 0L)
       val end = timeMs(p, "end", 0L)
       val df = Api.queryRange(samples, p("query"), start, end, step)
+      MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), end)
       QueryStats.track(p("query"), start, end, step,
         String.valueOf(ex.getRemoteAddress)) {
         replyStream(ex) { w =>
@@ -528,6 +547,25 @@ final class HttpApi(
     },
     "/ready" -> handler(reply(_, 200, "OK", "text/plain; charset=utf-8")),
     "/-/reload" -> handler(reply(_, 200, "OK", "text/plain; charset=utf-8")),
+    "/metric-relabel-debug" -> handler { ex =>
+      val p = params(ex)
+      relabelDebugReply(ex, isTarget = false, p)
+    },
+    "/target-relabel-debug" -> handler { ex =>
+      val p = params(ex)
+      relabelDebugReply(ex, isTarget = true, p)
+    },
+    "/api/v1/status/metric_names_stats" -> handler { ex =>
+      val p = params(ex)
+      reply(ex, 200, MetricNamesStats.statsJson(
+        p.get("limit").map(_.toInt).filter(_ > 0).getOrElse(1000),
+        p.get("le").map(_.toInt).getOrElse(-1),
+        p.getOrElse("match_pattern", "")))
+    },
+    "/api/v1/admin/status/metric_names_stats/reset" -> handler { ex =>
+      MetricNamesStats.reset()
+      reply(ex, 204, "", "text/plain")
+    },
     "/api/v1/query_exemplars" -> handler(reply(_, 200, Api.queryExemplars())),
     "/api/v1/metadata" -> handler(reply(_, 200, Api.metadata())),
     "/api/v1/notifiers" -> handler(reply(_, 200, Api.notifiers(scheduler))),

@@ -199,6 +199,60 @@ object Relabel extends Serializable {
     sb.toString
   }
 
+  /** One relabel-debug step: the rule (rendered), label map before, after. */
+  final case class DebugStep(rule: String, in: Map[String, String], out: Map[String, String])
+
+  /** Debug-mode application of a rule list to ONE label map (`__name__` is
+    * a pseudo-label): one step per rule plus the trailing "remove empty
+    * labels" step — lib/promrelabel/relabel.go:72 ApplyDebug. Purely
+    * driver-side: the compiled steps are plain `Map => Map` functions, no
+    * Spark job for a single metric.
+    */
+  def applyDebug(labels0: Map[String, String],
+      rules: Seq[Rule]): (Map[String, String], Seq[DebugStep]) = {
+    var m = labels0
+    val steps = Vector.newBuilder[DebugStep]
+    var dropped = false
+    rules.foreach { r =>
+      if (!dropped) {
+        val in = m
+        val out = Option(compile(r)(m)).getOrElse(Map.empty)
+        steps += DebugStep(ruleString(r), in, out)
+        m = out
+        if (out.isEmpty) dropped = true // all labels removed — stop early
+      }
+    }
+    if (!dropped) {
+      val cleaned = m.filter(_._2.nonEmpty)
+      if (cleaned != m) { steps += DebugStep("remove empty labels", m, cleaned); m = cleaned }
+    }
+    (m, steps.result())
+  }
+
+  /** Canonical YAML re-render of a parsed rule for debug output. The
+    * reference shows the verbatim config block (relabel.go:65
+    * prc.ruleOriginal); parseConfig normalizes instead, so render the
+    * non-default fields back in config order.
+    */
+  def ruleString(r: Rule): String = {
+    val parts = Vector.newBuilder[String]
+    if (r.ifSelectors.nonEmpty)
+      parts += s"if: [${r.ifSelectors.mkString(", ")}]"
+    parts += s"action: ${r.action}"
+    if (r.sourceLabels.nonEmpty)
+      parts += s"source_labels: [${r.sourceLabels.mkString(", ")}]"
+    if (r.separator != ";") parts += s"separator: ${r.separator}"
+    if (r.targetLabel.nonEmpty) parts += s"target_label: ${r.targetLabel}"
+    if (r.regex != "(.*)") parts += s"regex: ${r.regex}"
+    if (r.modulus != 0) parts += s"modulus: ${r.modulus}"
+    if (r.replacement != "$1") parts += s"replacement: ${r.replacement}"
+    if (r.matchTemplate.nonEmpty) parts += s"match: ${r.matchTemplate}"
+    if (r.labels.nonEmpty)
+      parts += r.labels.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"  $k: $v" }.mkString("labels:\n", "\n", "")
+    parts.result().mkString("\n")
+  }
+
   private def compile(r: Rule): Step = {
     def get(m: Map[String, String], l: String): String = m.getOrElse(l, "")
     def src(m: Map[String, String]): String =

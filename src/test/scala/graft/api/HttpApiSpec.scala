@@ -182,6 +182,134 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("relabel-debug: reference debug_test.go resultingLabels vectors") {
+    // mirrors lib/promrelabel/debug_test.go TestWriteRelabelDebugSupportFormats
+    def resulting(input: String, rules: String): String = {
+      val j = RelabelDebug.json(isTargetRelabel = false, input, rules)
+      val key = "\"resultingLabels\":\""
+      val i = j.indexOf(key)
+      if (i < 0) ""
+      else {
+        var e = i + key.length
+        while (j(e) != '"' || j(e - 1) == '\\') e += 1
+        j.substring(i + key.length, e)
+      }
+    }
+    val ruleTestParsing = "- action: labeldrop\n  regex: \"a_not_exist_label\"\n"
+    assert(resulting("metric_name", ruleTestParsing) == "metric_name")
+    assert(resulting("""metric_name{label1="value1"}""", ruleTestParsing) ==
+      """metric_name{label1=\"value1\"}""")
+    assert(resulting("""{__name__="metric_name", label1="value1"}""", ruleTestParsing) ==
+      """metric_name{label1=\"value1\"}""")
+    assert(resulting("""__name__="metric_name", label1="value1"""", ruleTestParsing) ==
+      """metric_name{label1=\"value1\"}""")
+    assert(resulting("""_name__="metric_name"""", ruleTestParsing) ==
+      """{_name__=\"metric_name\"}""")
+    // incorrect input formats -> error, no resultingLabels
+    assert(resulting("""{_name__="metric_name"""", ruleTestParsing) == "")
+    assert(resulting("""_name__="metric_name}"""", ruleTestParsing) == "")
+    assert(resulting("""metrics_name}"""", ruleTestParsing) == "")
+    // multi-rule pipeline: drops + add
+    val rules3 = "- action: labeldrop\n  regex: \"drop_me_metrics_relabel\"\n" +
+      "- action: labeldrop\n  regex: \"drop_me_remote_write_relabel\"\n" +
+      "- target_label: add_me_url_relabel\n  replacement: added\n"
+    assert(resulting(
+      """{__name__="metric_name", drop_me_metrics_relabel="1", drop_me_remote_write_relabel="2"}""",
+      rules3) == """metric_name{add_me_url_relabel=\"added\"}""")
+  }
+
+  test("relabel-debug routes: json steps with highlights; target variant") {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      val j = get(port, "/metric-relabel-debug?format=json&metric=" +
+        enc("""m{job="x",drop="1"}""") + "&relabel_configs=" +
+        enc("- action: labeldrop\n  regex: drop\n"))
+      assert(j.contains(""""status":"success""""))
+      // the dropped label is highlighted in the in-labels of the step
+      assert(j.contains(
+        """<span style=\"font-weight:bold;color:#D15757\">drop=\"1\"</span>"""))
+      assert(j.contains(""""rule":"action: labeldrop\nregex: drop""""))
+      assert(j.contains(""""originalLabels":"m{drop=\"1\",job=\"x\"}""""))
+      assert(j.contains(""""resultingLabels":"m{job=\"x\"}""""))
+
+      // target mode: instance added from __address__, __ labels removed
+      val t = get(port, "/target-relabel-debug?format=json&metric=" +
+        enc("""{__address__="10.1.2.3:9100",__scheme__="https",env="prod"}""") +
+        "&relabel_configs=")
+      assert(t.contains("add missing instance label from __address__ label"))
+      assert(t.contains("remove labels with __ prefix"))
+      assert(t.contains(
+        """"resultingLabels":"{env=\"prod\",instance=\"10.1.2.3:9100\"}""""))
+
+      // html fallback
+      val h = get(port, "/metric-relabel-debug?metric=m&relabel_configs=")
+      assert(h.startsWith("<!DOCTYPE html>") && h.contains("Metric relabel debug"))
+
+      // parse errors surface in the error envelope
+      val bad = get(port, "/metric-relabel-debug?format=json&metric=" +
+        enc("""{broken""") + "&relabel_configs=")
+      assert(bad.contains(""""status":"error"""") &&
+        bad.contains("cannot unmarshal Prometheus line"))
+    } finally api.stop()
+  }
+
+  test("scrape url construction from __-labels") {
+    assert(RelabelDebug.scrapeUrl(Map("__address__" -> "h:9100")) ==
+      "http://h:9100/metrics")
+    assert(RelabelDebug.scrapeUrl(Map(
+      "__address__" -> "https://h/probe", "__param_module" -> "icmp")) ==
+      "https://h/probe?module=icmp")
+    assert(RelabelDebug.scrapeUrl(Map(
+      "__address__" -> "h", "__metrics_path__" -> "stats?x=1",
+      "__param_a" -> "b")) == "http://h/stats?x=1&a=b")
+    assert(RelabelDebug.scrapeUrl(Map("env" -> "prod")) == "")
+  }
+
+  test("metric_names_stats tracks ingested names and per-query usage") {
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      assert(post(port, "/api/v1/admin/status/metric_names_stats/reset", "") == 204)
+      assert(post(port, "/api/v1/import/prometheus",
+        """used_a{job="x"} 1 60000
+          |used_b{job="x"} 2 60000
+          |never_queried 3 60000
+          |""".stripMargin) == 204)
+      get(port, "/api/v1/query?query=used_a&time=60")
+      get(port, "/api/v1/query?query=used_a&time=60")
+      // regex name selectors count against every matching tracked name
+      get(port, "/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("""sum({__name__=~"used_.*"})""", "UTF-8") +
+        "&start=60&end=120&step=60")
+
+      val all = get(port, "/api/v1/status/metric_names_stats")
+      assert(all.contains(""""statsCollectedRecordsTotal":3"""))
+      // ascending (count, name): never_queried(0), used_b(1), used_a(3)
+      assert(all.indexOf("never_queried") < all.indexOf("\"used_b\"") &&
+        all.indexOf("\"used_b\"") < all.indexOf("\"used_a\""))
+      assert(all.contains(""""metricName":"used_a","queryRequestsCount":3"""))
+      assert(all.contains(""""metricName":"used_b","queryRequestsCount":1"""))
+      assert(all.contains(""""metricName":"never_queried","queryRequestsCount":0,"lastQueryRequestTimestamp":0"""))
+
+      // le=0 -> only never-queried names; match_pattern filters by regex
+      val le0 = get(port, "/api/v1/status/metric_names_stats?le=0")
+      assert(le0.contains("never_queried") && !le0.contains("used_a"))
+      val pat = get(port, "/api/v1/status/metric_names_stats?match_pattern=used_")
+      assert(!pat.contains("never_queried") && pat.contains("used_a"))
+      assert(get(port, "/api/v1/status/metric_names_stats?match_pattern=[")
+        .contains("must be valid regex"))
+      val lim = get(port, "/api/v1/status/metric_names_stats?limit=1")
+      assert(lim.contains("never_queried") && !lim.contains("used_b"))
+
+      // reset clears the tracker but keeps the data queryable
+      assert(post(port, "/api/v1/admin/status/metric_names_stats/reset", "") == 204)
+      assert(get(port, "/api/v1/status/metric_names_stats")
+        .contains(""""statsCollectedRecordsTotal":0"""))
+    } finally api.stop()
+  }
+
   test("expand-with-exprs and prettify-query render the parsed tree") {
     val api = new HttpApi(spark)
     val port = api.start()
