@@ -193,6 +193,13 @@ object Api {
       selectorFilter(selector)(samples.filter(col("ts") >= fromMs && col("ts") <= toMs)),
       fieldNames)
 
+  /** /api/v1/export/native (prometheus.go:263) — the raw matching sample
+    * frame; the HTTP layer renders it as one Parquet file
+    * ([[graft.sources.NativeFormat]])
+    */
+  def exportRaw(samples: DataFrame, selector: String, fromMs: Long, toMs: Long): DataFrame =
+    selectorFilter(selector)(samples.filter(col("ts") >= fromMs && col("ts") <= toMs))
+
   /** /api/v1/export (prometheus.go:323) — JSON-lines of raw samples */
   def export(samples: DataFrame, selector: String, fromMs: Long, toMs: Long): DataFrame =
     graft.sources.LineFormats.exportJsonLines(

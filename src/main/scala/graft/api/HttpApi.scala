@@ -226,6 +226,14 @@ final class HttpApi(
     ex.close()
   }
 
+  private def replyBytes(ex: HttpExchange, code: Int, body: Array[Byte],
+      contentType: String): Unit = {
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(code, if (body.length == 0) -1 else body.length)
+    if (body.length > 0) ex.getResponseBody.write(body)
+    ex.close()
+  }
+
   /** chunked response streamed through `write`; the caller must force any
     * query-plan analysis BEFORE this point so parse errors still produce a
     * clean 422 envelope (headers can't change once streaming starts)
@@ -481,6 +489,24 @@ final class HttpApi(
       ingest(graft.sources.LineFormats.csvImportFormatted(
         body.linesIterator.filter(_.nonEmpty).toSeq.toDF("line"), fmt,
         System.currentTimeMillis()))
+      reply(ex, 204, "", "text/plain")
+    },
+    "/api/v1/export/native" -> handler { ex =>
+      val p = params(ex)
+      val frame = Api.exportRaw(samples, p.getOrElse("match[]", "{__name__=~\".*\"}"),
+        timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2))
+      replyBytes(ex, 200, graft.sources.NativeFormat.exportNative(frame),
+        "application/octet-stream")
+    },
+    "/api/v1/import/native" -> handler { ex =>
+      ingest(graft.sources.NativeFormat.importNative(spark, requestBody(ex)))
+      reply(ex, 204, "", "text/plain")
+    },
+    "/api/put" -> handler { ex => // OpenTSDB HTTP (opentsdbhttp)
+      import spark.implicits._
+      val body = new String(requestBody(ex), StandardCharsets.UTF_8)
+      ingest(graft.sources.LineFormats.openTsdbHttp(
+        Seq(body).toDF("body"), System.currentTimeMillis()))
       reply(ex, 204, "", "text/plain")
     },
     "/influx/write" -> influxWriteHandler,

@@ -149,6 +149,35 @@ object LineFormats {
       .filter(col("name").isNotNull && col("value").isNotNull)
   }
 
+  /** OpenTSDB HTTP `/api/put` JSON (lib/protoparser/opentsdbhttp/
+    * parser.go): a single `{metric, timestamp?, value, tags?}` object or
+    * an array of them. `timestamp`/`value` accept numbers or numeric
+    * strings (getFloat64); a missing timestamp becomes `defaultTsMs`;
+    * seconds vs millis disambiguated by OpenTSDB's SECOND_MASK
+    * (`ts & 0x7FFFFFFF00000000 == 0` → seconds, streamparser.go:68).
+    * Input column: `body: string`.
+    */
+  def openTsdbHttp(bodies: DataFrame, defaultTsMs: Long): DataFrame = {
+    val rowSchema = StructType(Seq(
+      StructField("metric", S),
+      StructField("timestamp", S),
+      StructField("value", S),
+      StructField("tags", MapType(S, S))))
+    val wrapped = when(trim(col("body")).startsWith("["), col("body"))
+      .otherwise(concat(lit("["), col("body"), lit("]")))
+    val tsRaw = floor(tryDouble(col("r.timestamp"))).cast(LongType)
+    bodies
+      .select(explode(from_json(wrapped, ArrayType(rowSchema))).as("r"))
+      .select(
+        col("r.metric").as("name"),
+        coalesce(col("r.tags"), map().cast(MapType(S, S))).as("tags"),
+        when(col("r.timestamp").isNull, lit(defaultTsMs))
+          .when(tsRaw.bitwiseAND(0x7FFFFFFF00000000L) === 0L, tsRaw * 1000L)
+          .otherwise(tsRaw).as("ts"),
+        tryDouble(col("r.value")).as("value"))
+      .filter(col("name").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+  }
+
   /** VM JSON-lines import format (/api/v1/import,
     * lib/protoparser/vmimport): one JSON object per line with parallel
     * values/timestamps arrays:

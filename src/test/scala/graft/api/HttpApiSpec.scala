@@ -182,6 +182,49 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("native export/import roundtrip and opentsdb http put") {
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      // opentsdb http: single object (sec ts, string value) and array form
+      assert(post(port, "/api/put",
+        """{"metric":"otsdb.m","timestamp":60,"value":"4.5","tags":{"host":"h1"}}""") == 204)
+      assert(post(port, "/api/put",
+        """[{"metric":"otsdb.m","timestamp":120,"value":6.5,"tags":{"host":"h1"}},
+           |{"metric":"otsdb.n","value":1}]""".stripMargin) == 204)
+      val q = get(port, "/api/v1/query_range?query=" +
+        java.net.URLEncoder.encode("otsdb.m", "UTF-8") + "&start=60&end=120&step=60")
+      assert(q.contains(""""4.5"""") && q.contains(""""6.5"""") &&
+        q.contains(""""host":"h1""""))
+
+      // native export: parquet bytes that roundtrip into a fresh instance
+      val client = HttpClient.newHttpClient()
+      val bytes = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/api/v1/export/native?match[]=" +
+            java.net.URLEncoder.encode("otsdb.m", "UTF-8") + "&start=0&end=1000")).GET().build(),
+        HttpResponse.BodyHandlers.ofByteArray())
+      assert(bytes.headers().firstValue("Content-Type").orElse("") ==
+        "application/octet-stream")
+      assert(new String(bytes.body().take(4), "ISO-8859-1") == "PAR1") // parquet magic
+
+      val api2 = new HttpApi(spark)
+      val port2 = api2.start()
+      try {
+        assert(client.send(
+          HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port2/api/v1/import/native"))
+            .POST(HttpRequest.BodyPublishers.ofByteArray(bytes.body())).build(),
+          HttpResponse.BodyHandlers.ofString()).statusCode() == 204)
+        val q2 = get(port2, "/api/v1/query_range?query=" +
+          java.net.URLEncoder.encode("otsdb.m", "UTF-8") + "&start=60&end=120&step=60")
+        assert(q2.contains(""""4.5"""") && q2.contains(""""6.5""""))
+        // only the matched series crossed over
+        assert(get(port2, "/api/v1/series/count") ==
+          """{"status":"success","data":[1]}""")
+      } finally api2.stop()
+    } finally api.stop()
+  }
+
   test("relabel-debug: reference debug_test.go resultingLabels vectors") {
     // mirrors lib/promrelabel/debug_test.go TestWriteRelabelDebugSupportFormats
     def resulting(input: String, rules: String): String = {

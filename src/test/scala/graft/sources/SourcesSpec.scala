@@ -312,6 +312,40 @@ class SourcesSpec extends SparkSpec {
       r.getMap[String, String](1).get("job_copy") == r.getMap[String, String](1).get("job")))
   }
 
+  test("opentsdb http put: object/array, sec-vs-ms mask, string numbers") {
+    val s = spark
+    import s.implicits._
+    val obj = """{"metric":"a","timestamp":1704067200,"value":"7.5","tags":{"h":"x"}}"""
+    val arr = """[{"metric":"b","timestamp":1704067200123,"value":1},
+                 |{"metric":"c","value":2},
+                 |{"metric":"d","timestamp":"60.9","value":"bad"},
+                 |{"value":5}]""".stripMargin
+    val out = LineFormats.openTsdbHttp(Seq(obj, arr).toDF("body"), defaultTsMs = 999L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getMap[String, String](1).toMap, r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("a", "b", "c")) // bad value + missing metric drop
+    assert(out("a") == ((Map("h" -> "x"), 1704067200000L, 7.5))) // sec -> ms
+    assert(out("b") == ((Map.empty, 1704067200123L, 1.0))) // already ms
+    assert(out("c") == ((Map.empty, 999L, 2.0))) // missing ts -> default
+  }
+
+  test("native format: parquet bytes roundtrip") {
+    val s = spark
+    import s.implicits._
+    val in = Seq(
+      ("m", Map("a" -> "1"), 60000L, 1.5),
+      ("n", Map.empty[String, String], 120000L, 2.5))
+      .toDF("name", "tags", "ts", "value")
+    val bytes = NativeFormat.exportNative(in)
+    assert(new String(bytes.take(4), "ISO-8859-1") == "PAR1")
+    val back = NativeFormat.importNative(s, bytes).orderBy("name").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(0) == "m" &&
+      back(0).getMap[String, String](1).toMap == Map("a" -> "1") &&
+      back(0).getLong(2) == 60000L && back(0).getDouble(3) == 1.5)
+    assert(back(1).getString(0) == "n" && back(1).getDouble(3) == 2.5)
+  }
+
   test("csv import with format descriptors: labels, multi-metric, unix_s time") {
     val df = LineFormats.csvImportFormatted(lines(
       "\"Ber,lin\",20.5,120,7",
