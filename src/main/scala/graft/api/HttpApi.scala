@@ -60,10 +60,61 @@ final class HttpApi(
   /** start on the given port (0 = ephemeral); returns the bound port */
   def start(port: Int = 0): Int = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
-    routes.foreach { case (path, h) => server.createContext(path, h) }
+    val rs = routes
+    rs.foreach { case (path, h) => server.createContext(path, h) }
+    // root fallback (app/vmselect/main.go:95-105): collapse `//` and strip
+    // the cluster-compat /prometheus|/graphite path prefixes, then
+    // re-dispatch with JDK-context semantics (longest prefix wins). Only
+    // requests no registered context matched land here.
+    server.createContext("/", rewriteHandler(rs))
     server.setExecutor(null) // serial — queries hold the SparkSession anyway
     server.start()
     server.getAddress.getPort
+  }
+
+  private def rewriteHandler(
+      rs: Seq[(String, com.sun.net.httpserver.HttpHandler)])
+      : com.sun.net.httpserver.HttpHandler = handler { ex =>
+    val uri = ex.getRequestURI
+    var raw = uri.getRawPath.replaceAll("/{2,}", "/")
+    if (raw.startsWith("/prometheus/")) raw = raw.stripPrefix("/prometheus")
+    else if (raw.startsWith("/graphite/")) raw = raw.stripPrefix("/graphite")
+    val rewritten = java.net.URI.create(
+      raw + Option(uri.getRawQuery).map("?" + _).getOrElse(""))
+    rs.filter { case (p, _) => rewritten.getPath.startsWith(p) }
+      .sortBy(-_._1.length).headOption match {
+      case Some((_, h)) => h.handle(new RewrittenExchange(ex, rewritten))
+      case None => reply(ex, 404,
+        s"""{"status":"error","errorType":"unavailable","error":"unsupported path requested: ${esc(rewritten.getPath)}"}""")
+    }
+  }
+
+  /** delegate exchange whose URI reflects the normalized path — handlers
+    * that read `getRequestURI` directly (label/tags path segments, query
+    * params) must see the rewrite
+    */
+  private final class RewrittenExchange(d: HttpExchange, uri: java.net.URI)
+      extends HttpExchange {
+    override def getRequestHeaders = d.getRequestHeaders
+    override def getResponseHeaders = d.getResponseHeaders
+    override def getRequestURI = uri
+    override def getRequestMethod = d.getRequestMethod
+    override def getHttpContext = d.getHttpContext
+    override def close(): Unit = d.close()
+    override def getRequestBody = d.getRequestBody
+    override def getResponseBody = d.getResponseBody
+    override def sendResponseHeaders(code: Int, len: Long): Unit =
+      d.sendResponseHeaders(code, len)
+    override def getRemoteAddress = d.getRemoteAddress
+    override def getResponseCode = d.getResponseCode
+    override def getLocalAddress = d.getLocalAddress
+    override def getProtocol = d.getProtocol
+    override def getAttribute(name: String) = d.getAttribute(name)
+    override def setAttribute(name: String, value: Object): Unit =
+      d.setAttribute(name, value)
+    override def setStreams(i: java.io.InputStream, o: java.io.OutputStream): Unit =
+      d.setStreams(i, o)
+    override def getPrincipal = d.getPrincipal
   }
 
   def stop(): Unit = if (server != null) server.stop(0)
@@ -599,6 +650,17 @@ final class HttpApi(
     "/api/v1/alerts" -> handler(reply(_, 200,
       scheduler.map(Api.alerts).getOrElse(Api.alerts()))),
     "/api/v1/status/buildinfo" -> handler(reply(_, 200, Api.buildInfo())),
+    // short vmalert-UI aliases (main.go:608 "/api/v1/rules", "/rules" etc.)
+    "/rules" -> handler(reply(_, 200, Api.rules(ruleGroups))),
+    "/alerts" -> handler(reply(_, 200,
+      scheduler.map(Api.alerts).getOrElse(Api.alerts()))),
+    "/notifiers" -> handler(reply(_, 200, Api.notifiers(scheduler))),
+    // main.go:168: drops every cached rollup window (O6 suffix cache +
+    // O7 instant cache) so the next evaluation re-reads the store
+    "/internal/resetRollupResultCache" -> handler { ex =>
+      graft.Engine.clearCache()
+      reply(ex, 200, "", "text/plain")
+    },
     // /expand-with-exprs (main.go:608, prometheus.go:74): parse expands
     // WITH templates and folds constants; rendering the tree IS the
     // expansion. JSON shape per expand-with-exprs.qtpl.

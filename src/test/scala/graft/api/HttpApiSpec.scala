@@ -225,6 +225,44 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("prefix aliases, // normalization, short vmalert aliases, cache reset") {
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      assert(post(port, "/api/v1/import/prometheus",
+        "pfx{job=\"a\"} 7 60000\n") == 204)
+      // /prometheus/* and /graphite/* strip to the bare route (main.go:95-105)
+      val viaPrefix = get(port,
+        "/prometheus/api/v1/query_range?query=pfx&start=60&end=60&step=60")
+      assert(viaPrefix.contains(""""7"""") && viaPrefix.contains(""""job":"a""""))
+      // path-segment routes survive the rewrite (handler reads getRequestURI)
+      assert(get(port, "/prometheus/api/v1/label/job/values").contains("\"a\""))
+      assert(get(port, "/graphite/metrics/find?query=*").contains("pfx"))
+      // doubled slashes collapse (main.go:95 ReplaceAll("//","/")); a
+      // LEADING "//" is rejected by the JDK server's own URI parse, so
+      // the reachable case is an embedded double slash
+      assert(get(port, "/api/v1//labels").contains("\"job\""))
+      // short vmalert-UI aliases
+      assert(get(port, "/rules").contains(""""status":"success""""))
+      assert(get(port, "/alerts").contains(""""alerts""""))
+      assert(get(port, "/notifiers").contains(""""status":"success""""))
+      // cache reset: 200 and the next query still answers correctly
+      val client = HttpClient.newHttpClient()
+      val rst = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/internal/resetRollupResultCache")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(rst.statusCode() == 200)
+      assert(get(port, "/api/v1/query?query=pfx&time=60").contains(""""7""""))
+      // unknown path: reference-shaped 404 envelope
+      val nf = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/no/such/route")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(nf.statusCode() == 404 && nf.body().contains("unsupported path"))
+    } finally api.stop()
+  }
+
   test("relabel-debug: reference debug_test.go resultingLabels vectors") {
     // mirrors lib/promrelabel/debug_test.go TestWriteRelabelDebugSupportFormats
     def resulting(input: String, rules: String): String = {
