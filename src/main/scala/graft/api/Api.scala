@@ -130,9 +130,13 @@ object Api {
     * the reference itself does when the tracker is off.
     */
   def tsdbStatusJson(samples: DataFrame, topN: Int = 10,
-      focusLabel: String = "", selector: String = ""): String = {
+      focusLabel: String = "", selector: String = "",
+      fromMs: Long = 0L, toMs: Long = Long.MaxValue / 2): String = {
+    val timed =
+      if (fromMs == 0L && toMs >= Long.MaxValue / 2) samples
+      else samples.filter(col("ts") >= fromMs && col("ts") <= toMs)
     val scoped =
-      if (selector.isEmpty) samples else selectorFilter(selector)(samples)
+      if (selector.isEmpty) timed else selectorFilter(selector)(timed)
     val keyed = scoped
       .withColumn("_sk", skey)
       .select("_sk", "name", "tags")
@@ -201,9 +205,11 @@ object Api {
     selectorFilter(selector)(samples.filter(col("ts") >= fromMs && col("ts") <= toMs))
 
   /** /api/v1/export (prometheus.go:323) — JSON-lines of raw samples */
-  def export(samples: DataFrame, selector: String, fromMs: Long, toMs: Long): DataFrame =
+  def export(samples: DataFrame, selector: String, fromMs: Long, toMs: Long,
+      maxRowsPerLine: Int = 0): DataFrame =
     graft.sources.LineFormats.exportJsonLines(
-      selectorFilter(selector)(samples.filter(col("ts") >= fromMs && col("ts") <= toMs)))
+      selectorFilter(selector)(samples.filter(col("ts") >= fromMs && col("ts") <= toMs)),
+      maxRowsPerLine)
 
   /** raw-sample range query: `query=metric[5m]` at an instant exports the
     * raw samples in the window (SURVEY §3.2).

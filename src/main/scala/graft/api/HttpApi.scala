@@ -461,7 +461,11 @@ final class HttpApi(
       val p = params(ex)
       val df = Api.series(samples, p.getOrElse("match[]", "{__name__=~\".*\"}"),
         timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2))
-      val it = df.orderBy(seriesKey(col("name"), col("tags"))).toLocalIterator()
+      // `limit` truncates AFTER the sort (prometheus.go:650-677), so the
+      // kept prefix is deterministic
+      val sorted = df.orderBy(seriesKey(col("name"), col("tags")))
+      val it = p.get("limit").map(_.toInt).filter(_ > 0)
+        .fold(sorted)(sorted.limit).toLocalIterator()
       replyStream(ex) { w =>
         w.write("""{"status":"success","data":[""")
         var first = true
@@ -503,11 +507,49 @@ final class HttpApi(
     },
     "/api/v1/export" -> handler { ex =>
       val p = params(ex)
-      val it = Api.export(samples, p.getOrElse("match[]", "{__name__=~\".*\"}"),
-        timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2))
-        .toLocalIterator()
-      replyStream(ex, "application/stream+json") { w =>
-        while (it.hasNext) { w.write(it.next().getString(0)); w.write("\n") }
+      val sel = p.getOrElse("match[]", "{__name__=~\".*\"}")
+      val from = timeMs(p, "start", 0L)
+      val to = timeMs(p, "end", Long.MaxValue / 2)
+      // format/max_rows_per_line per exportHandler (prometheus.go:323):
+      // default JSON-lines, `prometheus` text exposition, `promapi` the
+      // query-API matrix envelope
+      p.getOrElse("format", "") match {
+        case "prometheus" =>
+          val it = graft.sources.LineFormats.exportPromText(
+            Api.exportRaw(samples, sel, from, to)).toLocalIterator()
+          replyStream(ex, "text/plain; charset=utf-8") { w =>
+            while (it.hasNext) { w.write(it.next().getString(0)); w.write("\n") }
+          }
+        case "promapi" =>
+          val it = graft.sources.LineFormats.exportSeriesFrames(
+            Api.exportRaw(samples, sel, from, to)).toLocalIterator()
+          replyStream(ex) { w =>
+            w.write("""{"status":"success","data":{"resultType":"matrix","result":[""")
+            var first = true
+            while (it.hasNext) {
+              val r = it.next()
+              if (!first) w.write(",")
+              first = false
+              w.write(s"""{"metric":${metricJson("",
+                Option(r.getMap[String, String](0)).map(_.toMap).getOrElse(Map.empty))},"values":[""")
+              val pts = r.getSeq[Row](1)
+              var i = 0
+              while (i < pts.length) {
+                if (i > 0) w.write(",")
+                w.write("[" + pts(i).getLong(0) / 1000.0 + ",\"" +
+                  fmt(pts(i).getDouble(1)) + "\"]")
+                i += 1
+              }
+              w.write("]}")
+            }
+            w.write("]}}")
+          }
+        case _ =>
+          val maxRows = p.get("max_rows_per_line").map(_.toInt).getOrElse(0)
+          val it = Api.export(samples, sel, from, to, maxRows).toLocalIterator()
+          replyStream(ex, "application/stream+json") { w =>
+            while (it.hasNext) { w.write(it.next().getString(0)); w.write("\n") }
+          }
       }
     },
     "/api/v1/import" -> handler { ex => // VM JSON-lines
@@ -704,8 +746,20 @@ final class HttpApi(
     "/api/v1/status/tsdb" -> handler { ex =>
       val p = params(ex)
       val topN = p.get("topN").map(_.toInt).getOrElse(10)
+      // `date` scopes stats to ONE UTC day (prometheus.go:591-604:
+      // "YYYY-MM-DD" or "0" for the whole retention). The reference
+      // defaults to TODAY because its index is date-partitioned; the
+      // Parquet store is not, so an absent date means the whole store —
+      // a deviation that only widens the default answer.
+      val (fromMs, toMs) = p.get("date").filter(d => d.nonEmpty && d != "0")
+        .map { d =>
+          val day = java.time.LocalDate.parse(d)
+            .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+          (day, day + 86400000L - 1)
+        }.getOrElse((0L, Long.MaxValue / 2))
       reply(ex, 200, Api.tsdbStatusJson(samples, topN,
-        p.getOrElse("focusLabel", ""), p.getOrElse("match[]", "")))
+        p.getOrElse("focusLabel", ""), p.getOrElse("match[]", ""),
+        fromMs, toMs))
     },
     "/federate" -> handler { ex =>
       // prometheus.go:113 FederateHandler: default range is

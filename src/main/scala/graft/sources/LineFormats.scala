@@ -552,7 +552,10 @@ object LineFormats {
     * parallel arrays (app/vmselect/prometheus/prometheus.go:323
     * ExportHandler format). Returns a one-column (`line`) DataFrame.
     */
-  def exportJsonLines(samples: DataFrame): DataFrame = {
+  /** per-series frames for the export APIs: `(metric map, ts-sorted pts)`,
+    * one row per series — ONE hash aggregation at series cardinality
+    */
+  def exportSeriesFrames(samples: DataFrame): DataFrame = {
     val metric = map_concat(
       when(col("name").isNotNull, map(lit("__name__"), col("name")))
         .otherwise(map().cast("map<string,string>")),
@@ -564,10 +567,25 @@ object LineFormats {
       .agg(
         first("_metric").as("metric"),
         array_sort(collect_list(struct(col("ts"), col("value")))).as("pts"))
-      .select(to_json(struct(
-        col("metric"),
-        transform(col("pts"), _.getField("value")).as("values"),
-        transform(col("pts"), _.getField("ts")).as("timestamps"))).as("line"))
+      .select("metric", "pts")
+  }
+
+  def exportJsonLines(samples: DataFrame, maxRowsPerLine: Int = 0): DataFrame = {
+    val frames = exportSeriesFrames(samples)
+    // max_rows_per_line (prometheus.go exportHandler): split one series'
+    // samples across several self-contained lines of <= N points each, so
+    // a consumer never has to buffer an unbounded values array
+    val chunked =
+      if (maxRowsPerLine <= 0) frames
+      else frames.select(col("metric"), explode(transform(
+        sequence(lit(0),
+          floor((size(col("pts")) - 1) / lit(maxRowsPerLine)).cast("int")),
+        i => slice(col("pts"), i * maxRowsPerLine + 1, lit(maxRowsPerLine))))
+        .as("pts"))
+    chunked.select(to_json(struct(
+      col("metric"),
+      transform(col("pts"), _.getField("value")).as("values"),
+      transform(col("pts"), _.getField("ts")).as("timestamps"))).as("line"))
   }
 
   /** export as Prometheus text lines: `name{l="v",…} value ts` */

@@ -225,6 +225,48 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("export formats, max_rows_per_line, series limit, tsdb date scope") {
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      // two series; one with 3 points (2024-01-01), one with 1 (2024-01-02)
+      assert(post(port, "/api/v1/import/prometheus",
+        """ex{job="a"} 1 1704067200000
+          |ex{job="a"} 2 1704067260000
+          |ex{job="a"} 3 1704067320000
+          |ey{job="b"} 9 1704153600000
+          |""".stripMargin) == 204)
+
+      // format=prometheus: text exposition lines with trailing ms ts
+      val prom = get(port, "/api/v1/export?match[]=ex&format=prometheus")
+      assert(prom.contains("ex{job=\"a\"} 1.0 1704067200000"))
+
+      // format=promapi: matrix envelope, query-API value rendering
+      val papi = get(port, "/api/v1/export?match[]=ex&format=promapi")
+      assert(papi.startsWith("""{"status":"success","data":{"resultType":"matrix""""))
+      assert(papi.contains(""""__name__":"ex"""") &&
+        papi.contains("""[1.7040672E9,"1"]"""))
+
+      // max_rows_per_line=2: the 3-point series splits into 2 json lines
+      val lines = get(port, "/api/v1/export?match[]=ex&max_rows_per_line=2")
+        .split("\n").filter(_.nonEmpty)
+      assert(lines.length == 2)
+      assert(lines.exists(_.contains("""[1704067200000,1704067260000]""")) &&
+        lines.exists(_.contains("""[1704067320000]""")))
+
+      // series limit truncates after the deterministic sort
+      val lim = get(port, "/api/v1/series?start=0&end=9999999999999&limit=1")
+      assert(lim.contains(""""__name__":"ex"""") && !lim.contains("\"ey\""))
+
+      // tsdb date=2024-01-02 sees only ey; date=0/absent sees both
+      val d2 = get(port, "/api/v1/status/tsdb?date=2024-01-02")
+      assert(d2.contains("\"ey\"") && !d2.contains("\"ex\"") &&
+        d2.contains(""""totalSeries":1"""))
+      val dAll = get(port, "/api/v1/status/tsdb")
+      assert(dAll.contains("\"ex\"") && dAll.contains("\"ey\""))
+    } finally api.stop()
+  }
+
   test("prefix aliases, // normalization, short vmalert aliases, cache reset") {
     val api = new HttpApi(spark)
     val port = api.start()
