@@ -38,9 +38,19 @@ final class Scheduler(
   private val lastEval = mutable.Map.empty[String, Long]
   // last evaluation error per (group, rule-name); cleared on success
   private val errors = mutable.Map.empty[(String, String), String]
+  // per-rule telemetry of the latest round, for the ApiRule fields
+  // lastSamples/evaluationTime/lastEvaluation (rule/web.go:85-133)
+  private val ruleStats = mutable.Map.empty[(String, String), Scheduler.RuleStat]
 
   /** per-rule evaluation errors from the latest rounds */
   def lastErrors(): Map[(String, String), String] = errors.toMap
+
+  /** latest-round telemetry for one rule */
+  def ruleStat(group: String, rule: String): Option[Scheduler.RuleStat] =
+    ruleStats.get((group, rule))
+
+  /** wall time of the group's last evaluation round */
+  def lastEvalMs(group: String): Option[Long] = lastEval.get(group)
 
   /** all current alert instances: (group, rule, labels, state) */
   def activeAlerts(): Seq[(String, String, Map[String, String], Rules.AlertState)] =
@@ -147,6 +157,10 @@ final class Scheduler(
     // the caller's scheduling loop.
     g.rules.foreach { r =>
       val key = (g.name, if (r.isRecording) r.record else r.alert)
+      val t0 = System.nanoTime()
+      def recordStat(samplesN: Int): Unit =
+        ruleStats(key) = Scheduler.RuleStat(samplesN,
+          (System.nanoTime() - t0) / 1e6, nowMs)
       try {
         val res = graft.api.Api.query(samples, r.expr, nowMs, g.intervalMs)
           .collect()
@@ -198,8 +212,11 @@ final class Scheduler(
           }
         }
         errors -= key
+        recordStat(res.size)
       } catch {
-        case e: Exception => errors(key) = String.valueOf(e.getMessage)
+        case e: Exception =>
+          errors(key) = String.valueOf(e.getMessage)
+          recordStat(0)
       }
     }
     val rec = recorded.result()
@@ -207,4 +224,9 @@ final class Scheduler(
     val alerts = toNotify.result()
     if (alerts.nonEmpty) notifier.foreach(_.send(alerts))
   }
+}
+
+object Scheduler {
+  /** one rule's latest-round telemetry: result rows, eval wall ms, at */
+  final case class RuleStat(samples: Int, durationMs: Double, atMs: Long)
 }

@@ -233,24 +233,143 @@ object Api {
   /** /api/v1/rules (main.go:567) */
   def rules(): String = rules(Nil)
 
-  /** /api/v1/rules with loaded vmalert groups (app/vmalert/web.go
-    * APIGroups shape, core fields)
+  /** stable string-encoded id — the reference encodes its uint64 rule/
+    * group/alert ids as strings "to avoid rounding" in JSON
+    * (rule/web.go:43); ours hash the identifying fields
     */
-  def rules(groups: Seq[graft.alerting.Rules.RuleGroup]): String = {
-    def esc(s: String): String = Json.esc(s)
-    def kv(m: Map[String, String]): String = Json.obj(m)
-    val gs = groups.map { g =>
-      val rs = g.rules.map { r =>
-        val typ = if (r.isRecording) "recording" else "alerting"
-        val nm = if (r.isRecording) r.record else r.alert
-        s"""{"name":"${esc(nm)}","type":"$typ","query":"${esc(r.expr)}",""" +
-          s""""duration":${r.forMs / 1000.0},"labels":${kv(r.labels)},""" +
-          s""""annotations":${kv(r.annotations)},"health":"ok"}"""
-      }.mkString("[", ",", "]")
-      s"""{"name":"${esc(g.name)}","interval":${g.intervalMs / 1000.0},"rules":$rs}"""
-    }.mkString("[", ",", "]")
+  private def hashId(s: String): String =
+    (scala.util.hashing.MurmurHash3.stringHash(s).toLong & 0xffffffffL).toString
+
+  private def groupId(g: graft.alerting.Rules.RuleGroup): String = hashId(g.name)
+  private def ruleId(g: graft.alerting.Rules.RuleGroup,
+      r: graft.alerting.Rules.Rule): String = {
+    val nm = if (r.isRecording) r.record else r.alert
+    hashId(g.name + "\u0000" + nm + "\u0000" + r.expr)
+  }
+  private def alertId(lbls: Map[String, String]): String =
+    hashId(lbls.toSeq.sorted.map { case (k, v) => s"$k\u0000$v" }.mkString("\u0001"))
+
+  /** Go's zero time.Time marshals as this; emitted when never evaluated */
+  private def rfc3339(ms: Long): String =
+    if (ms <= 0L) "0001-01-01T00:00:00Z"
+    else java.time.Instant.ofEpochMilli(ms).toString
+
+  /** one ApiAlert (rule/web.go:141-190 NewAlertAPI) */
+  private def alertApiJson(g: graft.alerting.Rules.RuleGroup,
+      r: graft.alerting.Rules.Rule, lbls: Map[String, String],
+      st: graft.alerting.Rules.AlertState): String = {
+    val ann = r.annotations.map { case (k, v) =>
+      k -> graft.alerting.Rules.expandTemplate(v, lbls, st.value, r.expr)
+    }
+    s"""{"state":${Json.str(st.state)},"name":${Json.str(r.alert)},""" +
+      s""""value":${Json.str(graft.graphite.GraphiteModel.goFmt(st.value))},""" +
+      s""""labels":${Json.obj(lbls)},"annotations":${Json.obj(ann)},""" +
+      s""""activeAt":"${rfc3339(st.activeAtMs)}",""" +
+      s""""id":"${alertId(lbls)}","rule_id":"${ruleId(g, r)}",""" +
+      s""""group_id":"${groupId(g)}","expression":${Json.str(r.expr)},""" +
+      s""""source":"","restored":${st.restored},""" +
+      s""""stabilizing":${st.state == "firing" && st.keepFiringSinceMs != 0L}}"""
+  }
+
+  /** one ApiRule (rule/web.go:85-133; alerting.go/recording.go ToAPI),
+    * enriched from the live scheduler when attached. `nomatch` mirrors
+    * IsNoMatch on a zero-sample last round (we track result rows, not the
+    * reference's separate seriesFetched counter — same signal here).
+    */
+  private def ruleJson(g: graft.alerting.Rules.RuleGroup,
+      r: graft.alerting.Rules.Rule,
+      sched: Option[graft.alerting.Scheduler]): String = {
+    val nm = if (r.isRecording) r.record else r.alert
+    val stat = sched.flatMap(_.ruleStat(g.name, nm))
+    val lastError = sched.flatMap(_.lastErrors().get((g.name, nm))).getOrElse("")
+    val health = if (lastError.nonEmpty) "err" else "ok"
+    val instances =
+      if (r.isRecording) Nil
+      else sched.toSeq.flatMap(_.activeAlerts()).collect {
+        case (gn, rn, lbls, st)
+          if gn == g.name && rn == nm && st.state != "inactive" => (lbls, st)
+      }
+    // ExtendState (rule/web.go:242): alerts present win; otherwise
+    // health/no-match refine the default ("inactive" alerting, "ok" recording)
+    val state =
+      if (instances.nonEmpty)
+        if (instances.exists(_._2.state == "firing")) "firing" else "pending"
+      else if (health != "ok") "unhealthy"
+      else if (stat.exists(_.samples == 0)) "nomatch"
+      else if (r.isRecording) "ok"
+      else "inactive"
+    val alertsField =
+      if (instances.isEmpty) ""
+      else s""""alerts":${instances.map { case (l, s) => alertApiJson(g, r, l, s) }
+        .mkString("[", ",", "]")},"""
+    s"""{"state":${Json.str(state)},"name":${Json.str(nm)},""" +
+      s""""query":${Json.str(r.expr)},"duration":${r.forMs / 1000.0},""" +
+      s""""keep_firing_for":${r.keepFiringForMs / 1000.0},""" +
+      s""""labels":${Json.obj(r.labels)},"annotations":${Json.obj(r.annotations)},""" +
+      s""""lastError":${Json.str(lastError)},""" +
+      s""""evaluationTime":${stat.map(s => s.durationMs / 1000.0).getOrElse(0.0)},""" +
+      s""""lastEvaluation":"${rfc3339(stat.map(_.atMs).getOrElse(0L))}",""" +
+      alertsField +
+      s""""health":${Json.str(health)},""" +
+      s""""type":"${if (r.isRecording) "recording" else "alerting"}",""" +
+      s""""datasourceType":"prometheus",""" +
+      s""""lastSamples":${stat.map(_.samples).getOrElse(0)},""" +
+      s""""id":"${ruleId(g, r)}","group_id":"${groupId(g)}",""" +
+      s""""group_name":${Json.str(g.name)},"file":"","debug":false,""" +
+      s""""max_updates_entries":0}"""
+  }
+
+  /** one ApiGroup (rule/web.go:28-66 ToAPI) */
+  private def groupJson(g: graft.alerting.Rules.RuleGroup,
+      sched: Option[graft.alerting.Scheduler]): String = {
+    val rs = g.rules.map(ruleJson(g, _, sched)).mkString("[", ",", "]")
+    // states: alert-instance counts per state across the group (ToAPI)
+    val counts = sched.toSeq.flatMap(_.activeAlerts())
+      .filter(_._1 == g.name).groupBy(_._4.state).map { case (s, xs) => s -> xs.size }
+    val states = counts.toSeq.sortBy(_._1)
+      .map { case (s, n) => s"${Json.str(s)}:$n" }.mkString("{", ",", "}")
+    s"""{"name":${Json.str(g.name)},"rules":$rs,""" +
+      s""""interval":${g.intervalMs / 1000.0},""" +
+      s""""lastEvaluation":"${rfc3339(sched.flatMap(_.lastEvalMs(g.name)).getOrElse(0L))}",""" +
+      s""""id":"${groupId(g)}","type":"prometheus","file":"",""" +
+      s""""concurrency":1,"states":$states}"""
+  }
+
+  /** /api/v1/rules — the full ApiGroup/ApiRule shape (app/vmalert/rule/
+    * web.go, alerting.go:ToAPI, recording.go:ToAPI), live-enriched from
+    * the scheduler when one is attached
+    */
+  def rules(groups: Seq[graft.alerting.Rules.RuleGroup],
+      sched: Option[graft.alerting.Scheduler] = None): String = {
+    val gs = groups.map(groupJson(_, sched)).mkString("[", ",", "]")
     s"""{"status":"success","data":{"groups":$gs}}"""
   }
+
+  /** /api/v1/rule?group_id=&rule_id= (web.go:194) */
+  def ruleApi(groups: Seq[graft.alerting.Rules.RuleGroup],
+      sched: Option[graft.alerting.Scheduler],
+      gid: String, rid: String): Option[String] =
+    (for {
+      g <- groups if groupId(g) == gid
+      r <- g.rules if ruleId(g, r) == rid
+    } yield ruleJson(g, r, sched)).headOption
+
+  /** /api/v1/group?group_id= (web.go:212) */
+  def groupApi(groups: Seq[graft.alerting.Rules.RuleGroup],
+      sched: Option[graft.alerting.Scheduler], gid: String): Option[String] =
+    groups.find(groupId(_) == gid).map(groupJson(_, sched))
+
+  /** /api/v1/alert?group_id=&alert_id= (web.go:180) */
+  def alertApi(groups: Seq[graft.alerting.Rules.RuleGroup],
+      sched: Option[graft.alerting.Scheduler],
+      gid: String, aid: String): Option[String] =
+    (for {
+      g <- groups if groupId(g) == gid
+      r <- g.rules if !r.isRecording
+      (gn, rn, lbls, st) <- sched.toSeq.flatMap(_.activeAlerts())
+      if gn == g.name && rn == r.alert && st.state != "inactive" &&
+        alertId(lbls) == aid
+    } yield alertApiJson(g, r, lbls, st)).headOption
 
   /** /api/v1/alerts (main.go:577) */
   def alerts(): String = """{"status":"success","data":{"alerts":[]}}"""

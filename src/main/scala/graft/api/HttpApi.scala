@@ -688,12 +688,37 @@ final class HttpApi(
     "/api/v1/query_exemplars" -> handler(reply(_, 200, Api.queryExemplars())),
     "/api/v1/metadata" -> handler(reply(_, 200, Api.metadata())),
     "/api/v1/notifiers" -> handler(reply(_, 200, Api.notifiers(scheduler))),
-    "/api/v1/rules" -> handler(reply(_, 200, Api.rules(ruleGroups))),
+    "/api/v1/rules" -> handler(reply(_, 200, Api.rules(ruleGroups, scheduler))),
     "/api/v1/alerts" -> handler(reply(_, 200,
       scheduler.map(Api.alerts).getOrElse(Api.alerts()))),
     "/api/v1/status/buildinfo" -> handler(reply(_, 200, Api.buildInfo())),
     // short vmalert-UI aliases (main.go:608 "/api/v1/rules", "/rules" etc.)
-    "/rules" -> handler(reply(_, 200, Api.rules(ruleGroups))),
+    "/rules" -> handler(reply(_, 200, Api.rules(ruleGroups, scheduler))),
+    // single-object lookups by the stable string ids embedded in the
+    // list responses (web.go:180,194,212)
+    "/api/v1/rule" -> handler { ex =>
+      val p = params(ex)
+      Api.ruleApi(ruleGroups, scheduler,
+        p.getOrElse("group_id", ""), p.getOrElse("rule_id", "")) match {
+        case Some(j) => reply(ex, 200, j)
+        case None => reply(ex, 404, """{"status":"error","error":"rule not found"}""")
+      }
+    },
+    "/api/v1/group" -> handler { ex =>
+      Api.groupApi(ruleGroups, scheduler,
+        params(ex).getOrElse("group_id", "")) match {
+        case Some(j) => reply(ex, 200, j)
+        case None => reply(ex, 404, """{"status":"error","error":"group not found"}""")
+      }
+    },
+    "/api/v1/alert" -> handler { ex =>
+      val p = params(ex)
+      Api.alertApi(ruleGroups, scheduler,
+        p.getOrElse("group_id", ""), p.getOrElse("alert_id", "")) match {
+        case Some(j) => reply(ex, 200, j)
+        case None => reply(ex, 404, """{"status":"error","error":"alert not found"}""")
+      }
+    },
     "/alerts" -> handler(reply(_, 200,
       scheduler.map(Api.alerts).getOrElse(Api.alerts()))),
     "/notifiers" -> handler(reply(_, 200, Api.notifiers(scheduler))),

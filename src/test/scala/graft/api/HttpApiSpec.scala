@@ -225,6 +225,59 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("rules API: full ApiRule shape with live state, single-object lookups") {
+    import graft.alerting.{Rules, Scheduler}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("ts", LongType),
+      StructField("value", DoubleType)))
+    val rows = scala.collection.mutable.ArrayBuffer[Row](
+      Row("up", Map("job" -> "x"), 60000L, 0.0))
+    val groups = Seq(Rules.RuleGroup("web.rules", 60000L, Seq(
+      Rules.Rule(alert = "Down", expr = "up == 0",
+        labels = Map("sev" -> "page"),
+        annotations = Map("summary" -> "down: {{ $value }}")),
+      Rules.Rule(record = "rec:up", expr = "sum(up)"),
+      Rules.Rule(alert = "NoMatch", expr = "absent_thing > 0"))))
+    val sched = new Scheduler(groups,
+      () => spark.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), schema),
+      app => rows ++= app.map { case (n, t, ts, v) => Row(n, t, ts, v) })
+    assert(sched.step(60000L) == Seq("web.rules"))
+
+    val api = new HttpApi(spark, ruleGroups = groups, scheduler = Some(sched))
+    val port = api.start()
+    try {
+      val rules = get(port, "/api/v1/rules")
+      // alerting rule carries live state + nested alert instance
+      assert(rules.contains(""""state":"firing","name":"Down""""))
+      assert(rules.contains(""""datasourceType":"prometheus""""))
+      assert(rules.contains(""""lastSamples":1"""))
+      assert(rules.contains(""""activeAt":"1970-01-01T00:01:00Z""""))
+      assert(rules.contains(""""annotations":{"summary":"down: 0"}"""))
+      // recording rule is "ok", zero-result alerting rule is "nomatch"
+      assert(rules.contains(""""state":"ok","name":"rec:up""""))
+      assert(rules.contains(""""state":"nomatch","name":"NoMatch""""))
+      assert(rules.contains(""""lastEvaluation":"1970-01-01T00:01:00Z""""))
+      assert(rules.contains(""""states":{"firing":1}"""))
+
+      // ids embedded in the listing resolve through the single-object APIs
+      val gid = """"group_id":"(\d+)"""".r.findFirstMatchIn(rules).get.group(1)
+      val rid = (""""id":"(\d+)","group_id"""".r.findAllMatchIn(rules)
+        .map(_.group(1)).toSeq)
+      val aid = """"id":"(\d+)","rule_id"""".r.findFirstMatchIn(rules).get.group(1)
+      assert(get(port, s"/api/v1/group?group_id=$gid")
+        .contains(""""name":"web.rules""""))
+      assert(rid.exists(r => get(port, s"/api/v1/rule?group_id=$gid&rule_id=$r")
+        .contains(""""name":"Down"""")))
+      assert(get(port, s"/api/v1/alert?group_id=$gid&alert_id=$aid")
+        .contains(""""state":"firing""""))
+      assert(get(port, "/api/v1/rule?group_id=0&rule_id=0").contains("not found"))
+    } finally api.stop()
+  }
+
   test("export formats, max_rows_per_line, series limit, tsdb date scope") {
     val api = new HttpApi(spark)
     val port = api.start()
