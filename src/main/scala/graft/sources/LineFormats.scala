@@ -165,17 +165,25 @@ object LineFormats {
       StructField("tags", MapType(S, S))))
     val wrapped = when(trim(col("body")).startsWith("["), col("body"))
       .otherwise(concat(lit("["), col("body"), lit("]")))
-    val tsRaw = floor(tryDouble(col("r.timestamp"))).cast(LongType)
+    // float timestamps truncate toward zero (parser.go getFloat64 → int64
+    // conversion), not floor
+    val tsRaw = tryDouble(col("r.timestamp")).cast(LongType)
     bodies
       .select(explode(from_json(wrapped, ArrayType(rowSchema))).as("r"))
       .select(
         col("r.metric").as("name"),
-        coalesce(col("r.tags"), map().cast(MapType(S, S))).as("tags"),
+        // tags with an empty key OR empty value are dropped
+        // (parser.go:73-78 "skip tags without keys" / "without values")
+        map_filter(coalesce(col("r.tags"), map().cast(MapType(S, S))),
+          (k, v) => k =!= "" && v =!= "").as("tags"),
         when(col("r.timestamp").isNull, lit(defaultTsMs))
           .when(tsRaw.bitwiseAND(0x7FFFFFFF00000000L) === 0L, tsRaw * 1000L)
           .otherwise(tsRaw).as("ts"),
         tryDouble(col("r.value")).as("value"))
-      .filter(col("name").isNotNull && col("value").isNotNull && col("ts").isNotNull)
+      // empty metric is a parse error in the reference ("metric cannot
+      // be empty"), as are unparsable timestamps/values
+      .filter(col("name").isNotNull && col("name") =!= "" &&
+        col("value").isNotNull && col("ts").isNotNull)
   }
 
   /** VM JSON-lines import format (/api/v1/import,

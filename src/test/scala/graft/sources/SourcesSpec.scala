@@ -329,6 +329,55 @@ class SourcesSpec extends SparkSpec {
     assert(out("c") == ((Map.empty, 999L, 2.0))) // missing ts -> default
   }
 
+  test("opentsdb http: reference parser_test.go vectors") {
+    val s = spark
+    import s.implicits._
+    // rows that must parse to NOTHING (TestRowsUnmarshalFailure; the
+    // metric-type vectors are omitted: from_json coerces a scalar to
+    // string where the reference's typed getter errors — documented)
+    val rejects = Seq(
+      "{g", "1", "\"foo\"", "[1,2]", "null", "{}",
+      """{"metric": "aaa"}""",
+      """{"metric": "aaa", "timestamp": 1122}""",
+      """{"metric": "aaa", "timestamp": "tststs"}""",
+      """{"timestamp": 1122, "value": 33}""",
+      """{"value": 33}""",
+      """{"value": 33, "tags": {"fooo":"bar"}}""",
+      """{"metric": "aaa", "timestamp": 1122, "value": "0.0.0"}""",
+      """{"metric": "", "timestamp": 1122, "value": 0.45, "tags": {"foo": "bar"}}""",
+      """{"metric": "aaa", "timestamp": "foobar", "value": 0.45, "tags": {"foo": "bar"}}""",
+      """{"metric": "aaa", "timestamp": 1122, "value": "foobar", "tags": {"foo":"bar"}}""")
+    assert(LineFormats.openTsdbHttp(rejects.toDF("body"), 5L).count() == 0)
+
+    // success vectors (TestRowsUnmarshalSuccess); expected (name, tags,
+    // tsMs after SECOND_MASK, value); parser ts 0/unset -> default 5
+    def one(body: String): (String, Map[String, String], Long, Double) = {
+      val r = LineFormats.openTsdbHttp(Seq(body).toDF("body"), 5L).collect()
+      assert(r.length == 1, body)
+      (r(0).getString(0), r(0).getMap[String, String](1).toMap,
+        r(0).getLong(2), r(0).getDouble(3))
+    }
+    assert(one("""{"metric": "foobar", "timestamp": 789, "value": -123.456, "tags": {"a":"b"}}""")
+      == (("foobar", Map("a" -> "b"), 789000L, -123.456)))
+    assert(one("""{"metric": "foobar", "timestamp": "1789", "value": -123.456, "tags": {"a":"b"}}""")
+      == (("foobar", Map("a" -> "b"), 1789000L, -123.456)))
+    // float ts truncates to 17 (seconds -> ms)
+    assert(one("""{"metric": "foobar", "timestamp": 17.89, "value": -123.456, "tags": {"a":"b"}}""")
+      == (("foobar", Map("a" -> "b"), 17000L, -123.456)))
+    assert(one("""{"metric": "foobar", "timestamp": 789, "value": -123.456, "tags": {}}""")
+      == (("foobar", Map.empty[String, String], 789000L, -123.456)))
+    assert(one("""{"metric": "foobar", "timestamp": 789, "value": -123.456}""")
+      == (("foobar", Map.empty[String, String], 789000L, -123.456)))
+    // empty tag keys/values dropped
+    assert(one("""{"metric": "foobar", "timestamp": 123, "value": -123.456, "tags": {"a":"", "b":"c", "": "d"}}""")
+      == (("foobar", Map("b" -> "c"), 123000L, -123.456)))
+    assert(one("""{"metric": "foobar", "timestamp": 789, "value": "-12.456", "tags": {"a":"b"}}""")
+      == (("foobar", Map("a" -> "b"), 789000L, -12.456)))
+    // missing timestamp -> "current time" (our defaultTsMs)
+    assert(one("""{"metric": "foobar", "value": "-12.456", "tags": {"a":"b"}}""")
+      == (("foobar", Map("a" -> "b"), 5L, -12.456)))
+  }
+
   test("native format: parquet bytes roundtrip") {
     val s = spark
     import s.implicits._
