@@ -112,6 +112,7 @@ object Engine {
     Option(cache.get(key)) match {
       case Some(Entry(end, df, _)) if end == grid.endMs =>
         stats = (stats._1 + 1, stats._2, stats._3)
+        graft.lang.Trace.printf("rollup result cache: full hit")
         df
       case Some(Entry(end, df, persisted)) if end < grid.endMs &&
           (grid.endMs - end) % grid.stepMs == 0 &&
@@ -120,9 +121,12 @@ object Engine {
         val suffix = query(samples, q, suffixGrid, lookbackMs).persist()
         val merged = df.unionByName(suffix)
         stats = (stats._1, stats._2 + 1, stats._3)
+        graft.lang.Trace.printf(
+          s"rollup result cache: suffix hit, evaluated [${suffixGrid.startMs}..${suffixGrid.endMs}]")
         cache.put(key, Entry(grid.endMs, merged, persisted :+ suffix))
         merged
       case _ =>
+        graft.lang.Trace.printf("rollup result cache: miss")
         val df = query(samples, q, grid, lookbackMs).persist()
         stats = (stats._1, stats._2, stats._3 + 1)
         cache.put(key, Entry(grid.endMs, df, Seq(df)))

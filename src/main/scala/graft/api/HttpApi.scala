@@ -227,7 +227,10 @@ final class HttpApi(
     * reference streams its JSON with qtpl writers for the same reason —
     * app/vmselect/prometheus/query_range_response.qtpl).
     */
-  private def writeResult(df: DataFrame, instant: Boolean, w: java.io.Writer): Unit = {
+  /** streams the result array; returns the series count (the `stats`
+    * block and trace messages report it, query_response.qtpl:46)
+    */
+  private def writeResult(df: DataFrame, instant: Boolean, w: java.io.Writer): Int = {
     val it = df
       .select(seriesKey(col("name"), col("tags")).as("_sk"),
         col("name"), col("tags"), col("t"), col("value"))
@@ -239,6 +242,7 @@ final class HttpApi(
     var lastPt: String = null   // instant mode keeps only the final point
     var firstSeries = true
     var firstPt = true
+    var seriesCount = 0
     def closeSeries(): Unit = if (curKey != null) {
       if (instant) w.write(s"""{"metric":$curMetric,"value":$lastPt}""")
       else w.write("]}")
@@ -252,6 +256,7 @@ final class HttpApi(
         if (!firstSeries) w.write(",")
         firstSeries = false
         curKey = k
+        seriesCount += 1
         curMetric = metricJson(Option(r.getString(1)).getOrElse(""),
           Option(r.getMap[String, String](2)).map(_.toMap).getOrElse(Map.empty))
         firstPt = true
@@ -266,6 +271,26 @@ final class HttpApi(
     }
     closeSeries()
     w.write("]")
+    seriesCount
+  }
+
+  /** httputil.GetBool semantics: absent/0/false/no → false */
+  private def boolParam(p: Map[String, String], key: String): Boolean =
+    p.get(key).exists(v => v == "1" || v.equalsIgnoreCase("true") ||
+      v.equalsIgnoreCase("yes"))
+
+  /** the `stats` block every query response carries
+    * (query_response.qtpl:42-44; seriesFetched is a string "because of
+    * historical reasons... vmalert") plus the `trace` node when enabled
+    */
+  private def writeStatsAndTrace(w: java.io.Writer, seriesCount: Int,
+      t0: Long, root: Option[graft.lang.Trace.Span]): Unit = {
+    w.write(s""","stats":{"seriesFetched":"$seriesCount",""" +
+      s""""executionTimeMsec":${(System.nanoTime() - t0) / 1000000}}""")
+    root.foreach { r =>
+      graft.lang.Trace.end(r)
+      w.write(s""","trace":${r.json}""")
+    }
   }
 
   private def reply(ex: HttpExchange, code: Int, body: String,
@@ -430,32 +455,60 @@ final class HttpApi(
       val p = params(ex)
       val at = timeMs(p, "time", System.currentTimeMillis())
       val step = stepMs(p)
-      val df = Api.query(samples, p("query"), at, step) // parse/analyze errors throw here → 422
-      MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), at)
-      QueryStats.track(p("query"), at, at, step,
-        String.valueOf(ex.getRemoteAddress)) {
-        replyStream(ex) { w =>
-          w.write("""{"status":"success","data":{"resultType":"vector","result":""")
-          writeResult(df, instant = true, w)
-          w.write("}}")
+      val t0 = System.nanoTime()
+      // trace=1 (lib/querytracer; dumpQueryTrace in query_response.qtpl):
+      // the span tree covers plan construction (the Eval recursion) and
+      // one execution span around the streamed Spark job
+      val root =
+        if (boolParam(p, "trace"))
+          Some(graft.lang.Trace.begin(s"/api/v1/query: query=${p("query")}, time=$at, step=$step"))
+        else None
+      try {
+        val df = graft.lang.Trace.child("build query plan")(
+          Api.query(samples, p("query"), at, step)) // parse/analyze errors throw here → 422
+        MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), at)
+        QueryStats.track(p("query"), at, at, step,
+          String.valueOf(ex.getRemoteAddress)) {
+          replyStream(ex) { w =>
+            w.write("""{"status":"success","data":{"resultType":"vector","result":""")
+            val n = graft.lang.Trace.child("execute plan and stream response")(
+              writeResult(df, instant = true, w))
+            graft.lang.Trace.printf(s"generate /api/v1/query response for series=$n")
+            w.write("}")
+            writeStatsAndTrace(w, n, t0, root)
+            w.write("}")
+          }
         }
-      }
+      } finally root.foreach(graft.lang.Trace.end)
     },
     "/api/v1/query_range" -> handler { ex =>
       val p = params(ex)
       val step = stepMs(p)
       val start = timeMs(p, "start", 0L)
       val end = timeMs(p, "end", 0L)
-      val df = Api.queryRange(samples, p("query"), start, end, step)
-      MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), end)
-      QueryStats.track(p("query"), start, end, step,
-        String.valueOf(ex.getRemoteAddress)) {
-        replyStream(ex) { w =>
-          w.write("""{"status":"success","data":{"resultType":"matrix","result":""")
-          writeResult(df, instant = false, w)
-          w.write("}}")
+      val t0 = System.nanoTime()
+      val root =
+        if (boolParam(p, "trace"))
+          Some(graft.lang.Trace.begin(
+            s"/api/v1/query_range: query=${p("query")}, start=$start, end=$end, step=$step"))
+        else None
+      try {
+        val df = graft.lang.Trace.child("build query plan")(
+          Api.queryRange(samples, p("query"), start, end, step))
+        MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), end)
+        QueryStats.track(p("query"), start, end, step,
+          String.valueOf(ex.getRemoteAddress)) {
+          replyStream(ex) { w =>
+            w.write("""{"status":"success","data":{"resultType":"matrix","result":""")
+            val n = graft.lang.Trace.child("execute plan and stream response")(
+              writeResult(df, instant = false, w))
+            graft.lang.Trace.printf(s"generate /api/v1/query_range response for series=$n")
+            w.write("}")
+            writeStatsAndTrace(w, n, t0, root)
+            w.write("}")
+          }
         }
-      }
+      } finally root.foreach(graft.lang.Trace.end)
     },
     "/api/v1/series" -> handler { ex =>
       val p = params(ex)

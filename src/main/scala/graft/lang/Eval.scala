@@ -422,7 +422,25 @@ object Eval {
   private final class Ev(samples: DataFrame, cfg: EvalConfig) {
     private val step = cfg.grid.stepMs
 
-    def eval(e: Expr): Value = e match {
+    def eval(e: Expr): Value = Trace.child(traceMsg(e))(evalNode(e))
+
+    /** span message per AST node, mirroring the reference's NewChild
+      * messages in promql/eval.go:300-326 — only evaluated when a trace
+      * root is open on this thread
+      */
+    private def traceMsg(e: Expr): String = e match {
+      case NumberExpr(v) => s"number $v"
+      case StringExpr(s) => "string " + s
+      case m: MetricExpr => s"fetch series: ${Render.render(m)}"
+      case r: RollupExpr => s"eval default_rollup: ${Render.render(r)}"
+      case ParensExpr(_) => "union"
+      case a: AggrFuncExpr => s"aggregate ${a.name}()"
+      case b: BinaryOpExpr => "binary op \"" + b.op + "\""
+      case f: FuncExpr if isRollupFn(f.name) => s"rollup ${f.name}()"
+      case f: FuncExpr => s"transform ${f.name}()"
+    }
+
+    private def evalNode(e: Expr): Value = e match {
       case NumberExpr(v) => Scalar(v)
       case StringExpr(s) => StrVal(s)
       case m: MetricExpr => // bare selector = default_rollup (rollup.go:38)
@@ -801,6 +819,7 @@ object Eval {
         re: RollupExpr,
         extraArgs: Seq[Double],
         keepNames: Boolean = false): Value = {
+      Trace.printf(s"fetch series: ${Render.render(re.expr)}, window=${re.window.getOrElse("auto")}")
       val (keyed, rollGrid, atMs, windowMs) = rollupInput(fn, re)
       val kernel = rollupKernel(fn, windowMs, extraArgs, cfg.lookbackMs).getOrElse(
         throw new IllegalArgumentException(s"unsupported rollup function '$fn'"))

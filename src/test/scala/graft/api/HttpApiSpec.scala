@@ -225,6 +225,46 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("query tracing (trace=1) and the stats block") {
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      assert(post(port, "/api/v1/import/prometheus",
+        """tq{job="a"} 1 60000
+          |tq{job="a"} 3 120000
+          |tq{job="b"} 2 60000
+          |""".stripMargin) == 204)
+
+      // stats block is always present; seriesFetched is a STRING
+      val plain = get(port, "/api/v1/query?query=sum(tq)&time=60")
+      assert(plain.contains(""""stats":{"seriesFetched":"1","executionTimeMsec":"""))
+      assert(!plain.contains(""""trace""""))
+
+      // trace=1 adds the span tree: root → plan build (aggregate→fetch) +
+      // execution span, each with duration_msec
+      val traced = get(port,
+        "/api/v1/query_range?query=" +
+          java.net.URLEncoder.encode("sum(rate(tq[1m]))", "UTF-8") +
+          "&start=60&end=120&step=60&trace=1")
+      assert(traced.contains(""""status":"success""""))
+      assert(traced.contains(""""trace":{"duration_msec""""))
+      assert(traced.contains("/api/v1/query_range: query=sum(rate(tq[1m]))"))
+      assert(traced.contains(""""message":"aggregate sum()""""))
+      assert(traced.contains(""""message":"rollup rate()""""))
+      assert(traced.contains(""""message":"fetch series: tq"""))
+      assert(traced.contains("execute plan and stream response"))
+      assert(traced.contains("generate /api/v1/query_range response for series=1"))
+      // response stays parseable JSON (trace nesting balanced)
+      val om = traced.count(_ == '{'); val cm = traced.count(_ == '}')
+      assert(om == cm)
+
+      // the tracer is cleaned up: next untraced query carries no trace
+      val after = get(port, "/api/v1/query?query=tq&time=60")
+      assert(!after.contains(""""trace"""") &&
+        after.contains(""""seriesFetched":"2""""))
+    } finally api.stop()
+  }
+
   test("rules API: full ApiRule shape with live state, single-object lookups") {
     import graft.alerting.{Rules, Scheduler}
     import org.apache.spark.sql.Row
