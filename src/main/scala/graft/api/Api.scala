@@ -56,7 +56,9 @@ object Api {
     }
 
   private def selectorFilter(selector: String): DataFrame => DataFrame =
-    df => df.filter(selectorPredicate(selector))
+    // empty = no filter, so the HTTP facade can pre-apply a repeated
+    // match[] union predicate and pass the frame straight through
+    df => if (selector.isEmpty) df else df.filter(selectorPredicate(selector))
 
   private def skey: Column = concat(coalesce(col("name"), lit("")),
     to_json(array_sort(map_entries(col("tags")))))

@@ -274,6 +274,20 @@ final class HttpApi(
     seriesCount
   }
 
+  /** Repeated `match[]` args union into one pre-applied row predicate
+    * (getCommonParams parses them into filterss — an OR across
+    * selectors); downstream Api calls then take an empty selector.
+    * Falls back to the single parsed param for form-encoded POST bodies
+    * (whose stream `params` already consumed).
+    */
+  private def matchFiltered(ex: HttpExchange, p: Map[String, String]): DataFrame = {
+    val multi = multiParams(ex, "match[]").filter(_.nonEmpty)
+    val sels =
+      if (multi.nonEmpty) multi else p.get("match[]").filter(_.nonEmpty).toSeq
+    if (sels.isEmpty) samples
+    else samples.filter(sels.map(Api.selectorPredicate).reduce(_ || _))
+  }
+
   /** httputil.GetBool semantics: absent/0/false/no → false */
   private def boolParam(p: Map[String, String], key: String): Boolean =
     p.get(key).exists(v => v == "1" || v.equalsIgnoreCase("true") ||
@@ -512,7 +526,7 @@ final class HttpApi(
     },
     "/api/v1/series" -> handler { ex =>
       val p = params(ex)
-      val df = Api.series(samples, p.getOrElse("match[]", "{__name__=~\".*\"}"),
+      val df = Api.series(matchFiltered(ex, p), "",
         timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2))
       // `limit` truncates AFTER the sort (prometheus.go:650-677), so the
       // kept prefix is deterministic
@@ -534,7 +548,7 @@ final class HttpApi(
     },
     "/api/v1/labels" -> handler { ex =>
       val p = params(ex)
-      val items = Api.labels(samples, p.getOrElse("match[]", ""),
+      val items = Api.labels(matchFiltered(ex, p), "",
         timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2),
         p.get("limit").map(_.toInt).getOrElse(0))
         .collect().map(r => s""""${esc(r.getString(0))}"""")
@@ -544,7 +558,7 @@ final class HttpApi(
       val p = params(ex)
       val path = ex.getRequestURI.getPath
       val label = path.stripPrefix("/api/v1/label/").stripSuffix("/values")
-      val it = Api.labelValues(samples, label, p.getOrElse("match[]", ""),
+      val it = Api.labelValues(matchFiltered(ex, p), label, "",
         timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2),
         p.get("limit").map(_.toInt).getOrElse(0)).toLocalIterator()
       replyStream(ex) { w =>
@@ -560,7 +574,8 @@ final class HttpApi(
     },
     "/api/v1/export" -> handler { ex =>
       val p = params(ex)
-      val sel = p.getOrElse("match[]", "{__name__=~\".*\"}")
+      val matched = matchFiltered(ex, p)
+      val sel = ""
       val from = timeMs(p, "start", 0L)
       val to = timeMs(p, "end", Long.MaxValue / 2)
       // format/max_rows_per_line per exportHandler (prometheus.go:323):
@@ -569,13 +584,13 @@ final class HttpApi(
       p.getOrElse("format", "") match {
         case "prometheus" =>
           val it = graft.sources.LineFormats.exportPromText(
-            Api.exportRaw(samples, sel, from, to)).toLocalIterator()
+            Api.exportRaw(matched, sel, from, to)).toLocalIterator()
           replyStream(ex, "text/plain; charset=utf-8") { w =>
             while (it.hasNext) { w.write(it.next().getString(0)); w.write("\n") }
           }
         case "promapi" =>
           val it = graft.sources.LineFormats.exportSeriesFrames(
-            Api.exportRaw(samples, sel, from, to)).toLocalIterator()
+            Api.exportRaw(matched, sel, from, to)).toLocalIterator()
           replyStream(ex) { w =>
             w.write("""{"status":"success","data":{"resultType":"matrix","result":[""")
             var first = true
@@ -599,7 +614,7 @@ final class HttpApi(
           }
         case _ =>
           val maxRows = p.get("max_rows_per_line").map(_.toInt).getOrElse(0)
-          val it = Api.export(samples, sel, from, to, maxRows).toLocalIterator()
+          val it = Api.export(matched, sel, from, to, maxRows).toLocalIterator()
           replyStream(ex, "application/stream+json") { w =>
             while (it.hasNext) { w.write(it.next().getString(0)); w.write("\n") }
           }
@@ -639,7 +654,7 @@ final class HttpApi(
     },
     "/api/v1/export/native" -> handler { ex =>
       val p = params(ex)
-      val frame = Api.exportRaw(samples, p.getOrElse("match[]", "{__name__=~\".*\"}"),
+      val frame = Api.exportRaw(matchFiltered(ex, p), "",
         timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2))
       replyBytes(ex, 200, graft.sources.NativeFormat.exportNative(frame),
         "application/octet-stream")
@@ -835,9 +850,8 @@ final class HttpApi(
             .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
           (day, day + 86400000L - 1)
         }.getOrElse((0L, Long.MaxValue / 2))
-      reply(ex, 200, Api.tsdbStatusJson(samples, topN,
-        p.getOrElse("focusLabel", ""), p.getOrElse("match[]", ""),
-        fromMs, toMs))
+      reply(ex, 200, Api.tsdbStatusJson(matchFiltered(ex, p), topN,
+        p.getOrElse("focusLabel", ""), "", fromMs, toMs))
     },
     "/federate" -> handler { ex =>
       // prometheus.go:113 FederateHandler: default range is
@@ -847,8 +861,7 @@ final class HttpApi(
         .map(graft.lang.Lexer.durationMs(_, 300000L)).getOrElse(300000L)
       val end = timeMs(p, "end", System.currentTimeMillis())
       val start = timeMs(p, "start", end - lookbackMs)
-      val it = Api.federate(samples,
-        p.getOrElse("match[]", "{__name__=~\".*\"}"), start, end)
+      val it = Api.federate(matchFiltered(ex, p), "", start, end)
         .orderBy("line").toLocalIterator()
       replyStream(ex, "text/plain; version=0.0.4; charset=utf-8") { w =>
         while (it.hasNext) { w.write(it.next().getString(0)); w.write("\n") }
@@ -862,10 +875,14 @@ final class HttpApi(
         throw new IllegalArgumentException(
           "start and end args aren't supported. Remove these args from " +
             "the query in order to delete all the matching metrics")
-      val sel = p.getOrElse("match[]",
-        throw new IllegalArgumentException("missing `match[]` arg"))
-      Api.selectorPredicate(sel) // validate the selector before recording
-      deletedSelectors.synchronized { deletedSelectors += sel }
+      val sels = {
+        val multi = multiParams(ex, "match[]").filter(_.nonEmpty)
+        if (multi.nonEmpty) multi
+        else p.get("match[]").filter(_.nonEmpty).toSeq
+      }
+      if (sels.isEmpty) throw new IllegalArgumentException("missing `match[]` arg")
+      sels.foreach(Api.selectorPredicate) // validate before recording any
+      deletedSelectors.synchronized { deletedSelectors ++= sels }
       reply(ex, 204, "", "text/plain")
     },
     "/api/v1/export/csv" -> handler { ex =>
@@ -877,8 +894,7 @@ final class HttpApi(
       val fields = format.split(',').toSeq
       val end = timeMs(p, "end", System.currentTimeMillis())
       val start = timeMs(p, "start", 0L)
-      val it = Api.exportCsv(samples,
-        p.getOrElse("match[]", "{__name__=~\".*\"}"), start, end, fields)
+      val it = Api.exportCsv(matchFiltered(ex, p), "", start, end, fields)
         .orderBy(col("line")).toLocalIterator()
       replyStream(ex, "text/csv; charset=utf-8") { w =>
         w.write(fields.mkString(",")); w.write("\n")

@@ -225,6 +225,34 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("repeated match[] args union across series/labels/export/delete") {
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      assert(post(port, "/api/v1/import/prometheus",
+        """ma{job="1"} 1 60000
+          |mb{job="2"} 2 60000
+          |mc{job="3"} 3 60000
+          |""".stripMargin) == 204)
+      val two = "match[]=ma&match[]=mb"
+      val series = get(port, s"/api/v1/series?start=0&end=1000&$two")
+      assert(series.contains("\"ma\"") && series.contains("\"mb\"") &&
+        !series.contains("\"mc\""))
+      val labels = get(port, s"/api/v1/labels?$two")
+      assert(labels.contains("\"job\""))
+      val lv = get(port, s"/api/v1/label/job/values?$two")
+      assert(lv.contains("\"1\"") && lv.contains("\"2\"") && !lv.contains("\"3\""))
+      val export = get(port, s"/api/v1/export?$two")
+      assert(export.contains("\"ma\"") && export.contains("\"mb\"") &&
+        !export.contains("\"mc\""))
+      // delete both; only mc remains
+      assert(post(port, s"/api/v1/admin/tsdb/delete_series?$two", "") == 204)
+      val left = get(port, "/api/v1/series?start=0&end=1000")
+      assert(!left.contains("\"ma\"") && !left.contains("\"mb\"") &&
+        left.contains("\"mc\""))
+    } finally api.stop()
+  }
+
   test("query tracing (trace=1) and the stats block") {
     val api = new HttpApi(spark)
     val port = api.start()
