@@ -52,6 +52,9 @@ object Engine {
   def cacheStats: (Long, Long, Long) = stats
   def resetCacheStats(): Unit = stats = (0L, 0L, 0L)
 
+  /** live entry count, for the /metrics vm_cache_entries gauge */
+  def cacheEntryCount: Int = cache.synchronized(cache.size())
+
   /** ALLOWLIST of transforms known to be pointwise in time: the value at a
     * grid point depends only on that point's inputs, so a suffix evaluation
     * over (cachedEnd, newEnd] produces the same rows a full evaluation

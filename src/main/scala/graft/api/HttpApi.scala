@@ -45,6 +45,11 @@ final class HttpApi(
   private val deletedSelectors = mutable.ArrayBuffer.empty[String]
   private val deletedPredicates = mutable.ArrayBuffer.empty[org.apache.spark.sql.Column]
   private var server: HttpServer = _
+  // self-telemetry for /metrics (lib/httpserver/httpserver.go:436 serves
+  // the process' own counters; vm_http_requests_total per path)
+  private val startedAtMs = System.currentTimeMillis()
+  private val requestCounts = mutable.Map.empty[String, Long]
+  private var rowsInserted = 0L
 
   def samples: DataFrame = {
     val buf = ingested.synchronized {
@@ -338,13 +343,23 @@ final class HttpApi(
   }
 
   private def handler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
-    (ex: HttpExchange) =>
+    (ex: HttpExchange) => {
+      // count by route (context path), falling back to the concrete path
+      // for root-dispatched requests — vm_http_requests_total{path=...}
+      val route = ex.getHttpContext.getPath match {
+        case "/" => ex.getRequestURI.getPath
+        case p => p
+      }
+      requestCounts.synchronized {
+        requestCounts(route) = requestCounts.getOrElse(route, 0L) + 1L
+      }
       try f(ex)
       catch {
         case e: Exception =>
           reply(ex, 422,
             s"""{"status":"error","errorType":"execution","error":"${esc(String.valueOf(e.getMessage))}"}""")
       }
+    }
 
   /** request body, transparently inflating gzip/deflate Content-Encoding
     * (the datadog/otlp agents compress by default; the reference routes
@@ -453,7 +468,10 @@ final class HttpApi(
 
   private def ingest(rows: DataFrame): Int = {
     val collected = rows.select("name", "tags", "ts", "value").collect()
-    ingested.synchronized { ingested ++= collected }
+    ingested.synchronized {
+      ingested ++= collected
+      rowsInserted += collected.length
+    }
     collected.iterator.map(_.getString(0)).distinct
       .foreach(MetricNamesStats.registerIngest)
     collected.length
@@ -795,6 +813,26 @@ final class HttpApi(
     "/internal/resetRollupResultCache" -> handler { ex =>
       graft.Engine.clearCache()
       reply(ex, 200, "", "text/plain")
+    },
+    // self-telemetry in Prometheus text exposition
+    // (lib/httpserver/httpserver.go:436; metric names follow the
+    // reference's vm_* vocabulary where the concept maps)
+    "/metrics" -> handler { ex =>
+      val (fullHits, partialHits, misses) = graft.Engine.cacheStats
+      val reqs = requestCounts.synchronized { requestCounts.toSeq.sorted }
+      val inserted = ingested.synchronized(rowsInserted)
+      val b = new StringBuilder
+      reqs.foreach { case (path, n) =>
+        b.append(s"""vm_http_requests_total{path="${path}"} $n""").append('\n')
+      }
+      b.append(s"vm_rows_inserted_total $inserted\n")
+      b.append(s"vm_rollup_result_cache_full_hits_total $fullHits\n")
+      b.append(s"vm_rollup_result_cache_partial_hits_total $partialHits\n")
+      b.append(s"vm_rollup_result_cache_miss_total $misses\n")
+      b.append(s"""vm_cache_entries{type="promql/rollup_result"} ${graft.Engine.cacheEntryCount}""").append('\n')
+      b.append(s"vm_app_start_timestamp ${startedAtMs / 1000}\n")
+      b.append(s"vm_app_uptime_seconds ${(System.currentTimeMillis() - startedAtMs) / 1000}\n")
+      reply(ex, 200, b.toString, "text/plain; charset=utf-8")
     },
     // /expand-with-exprs (main.go:608, prometheus.go:74): parse expands
     // WITH templates and folds constants; rendering the tree IS the

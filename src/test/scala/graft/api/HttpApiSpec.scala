@@ -225,6 +225,25 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("/metrics self-telemetry in prom text") {
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      assert(post(port, "/api/v1/import/prometheus", "sm 1 60000\n") == 204)
+      get(port, "/api/v1/query?query=sm&time=60")
+      val m = get(port, "/metrics")
+      assert(m.contains("""vm_http_requests_total{path="/api/v1/query"} 1"""))
+      assert(m.contains("""vm_http_requests_total{path="/api/v1/import/prometheus"} 1"""))
+      assert(m.contains("vm_rows_inserted_total 1"))
+      assert(m.contains("vm_rollup_result_cache_"))
+      assert(m.contains("vm_app_uptime_seconds"))
+      // root-dispatched paths are counted under their concrete path
+      get(port, "/prometheus/api/v1/labels")
+      assert(get(port, "/metrics")
+        .contains("""vm_http_requests_total{path="/api/v1/labels"} 1"""))
+    } finally api.stop()
+  }
+
   test("repeated match[] args union across series/labels/export/delete") {
     val api = new HttpApi(spark)
     val port = api.start()
