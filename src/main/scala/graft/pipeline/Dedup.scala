@@ -153,6 +153,20 @@ object Dedup {
     * self-join branch. Returns the lazy pairs plus the persisted banded
     * frame the caller must unpersist after materializing downstream.
     */
+  /** All-pairs within a bucket is quadratic in the bucket size: ONE viral
+    * document duplicated N times puts N ids in the same (band, bandHash)
+    * bucket and the self-join emits N²/2 candidate rows — at web scale
+    * (N ~ 100K boilerplate copies) that single bucket IS the job. Above
+    * this cap a bucket switches to STAR topology: every member pairs with
+    * the bucket's min id only (N-1 edges). Connectivity for the
+    * union-find clustering is identical — any two members connect through
+    * the hub — and a band hash covers r=numHashes/bands minhash rows, so
+    * an oversized bucket of genuinely DISSIMILAR docs (where the star
+    * would skip a true pair the full cross product had verified) needs an
+    * r-fold minhash collision: vanishingly rare by construction.
+    */
+  private val BucketAllPairsCap = 64
+
   private def candidatesRaw(sh0: DataFrame, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     val r = numHashes / bands
     val sig = sh0.select(col("id"), minhashOfHashes(col("sh"), numHashes).as("sig"))
@@ -164,12 +178,21 @@ object Dedup {
         .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .persist()
-    val a = banded.as("a")
-    val b = banded.as("b")
-    val pairs = a
+    // bucket sizes + hub ids: one hash agg co-partitioned with the join
+    // key, so the exchange is shared with the self-join below
+    val stats = banded.groupBy("band", "bh")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("minId"))
+    val withN = banded.join(stats, Seq("band", "bh"))
+    val small = withN.filter(col("n") <= BucketAllPairsCap)
+    val a = small.as("a")
+    val b = small.as("b")
+    val smallPairs = a
       .join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val starPairs = withN
+      .filter(col("n") > BucketAllPairsCap && col("id") =!= col("minId"))
+      .select(col("minId").as("id_a"), col("id").as("id_b"))
+    val pairs = smallPairs.union(starPairs).distinct()
     (pairs, banded)
   }
 

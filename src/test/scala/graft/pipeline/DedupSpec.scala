@@ -56,6 +56,30 @@ class DedupSpec extends SparkSpec {
     assert(kept === docs.count() - losers)
   }
 
+  test("hot LSH bucket degrades to linear star edges, dedup result unchanged") {
+    val s = spark
+    import s.implicits._
+    // one viral template duplicated 200x (>> the 64 all-pairs cap), plus
+    // genuinely distinct docs — the web boilerplate shape
+    val viral = (0L until 200L).map(i =>
+      (i, "breaking news this exact same viral boilerplate body text repeats verbatim across mirrors " + "with identical wording every time"))
+    val distinctDocs = (200L until 230L).map(i =>
+      (i, s"unique document number $i talking about completely different topic ${i * 37} " +
+        s"and other words ${i * 13} nothing shared here beyond english"))
+    val docs = (viral ++ distinctDocs).toDF("doc_id", "text")
+    val cands = Dedup.minhashCandidates(docs)
+    val n = cands.count()
+    // all-pairs would be >= 199*100 pairs from the viral cluster alone;
+    // star topology keeps it linear (199 star edges + small-bucket pairs)
+    assert(n < 1000, s"hot bucket exploded: $n candidate pairs")
+    assert(n >= 199, s"star edges missing: $n")
+    // end-to-end dedup: exactly one viral survivor (the min id), all
+    // distinct docs intact
+    val kept = Dedup.minhashDedup(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.count(_ < 200L) == 1 && kept.contains(0L))
+    assert((200L until 230L).forall(kept.contains))
+  }
+
   test("connectedLosers collapses transitive chains (A~C, B~C -> keep A only)") {
     import spark.implicits._
     // single-link direct-neighbor would keep B (it is never an id_b);
