@@ -1224,6 +1224,24 @@ object SparkEntry {
       graft.pipeline.Multimodal.imageFeatures(
         graft.pipeline.Multimodal.mediaFromDocuments(s, dir)).toDF().orderBy("media_id"),
       None),
+    // REAL audio decode gate: RIFF/PCM WAVs carrying a Nyquist square
+    // wave, so RMS = peak = a/32768 and zcr = 1 exactly (Multimodal
+    // .wavFixtureFromDocuments); decode is the JDK sampled-audio SPI
+    Q("mm_audio_features", (s, dir) =>
+      graft.pipeline.Multimodal.audioFeatures(
+        graft.pipeline.Multimodal.wavFixtureFromDocuments(s, dir)).toDF()
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("frames"), r6(col("duration_ms")).as("duration_ms"),
+          r6(col("rms")).as("rms"), r6(col("peak")).as("peak"),
+          r6(col("zero_crossing_rate")).as("zero_crossing_rate"))
+        .orderBy("media_id"),
+      Some("SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS channels, " +
+        "(800 + doc_id % 800)::BIGINT AS frames, " +
+        "round(1e-9 + (800 + doc_id % 800) / 8.0, 6) AS duration_ms, " +
+        "round(1e-9 + (1000 + (doc_id % 7) * 3000) / 32768.0, 6) AS rms, " +
+        "round(1e-9 + (1000 + (doc_id % 7) * 3000) / 32768.0, 6) AS peak, " +
+        "round(1e-9 + 1.0, 6) AS zero_crossing_rate " +
+        "FROM documents ORDER BY media_id")),
     Q("mm_frames", (s, dir) =>
       graft.pipeline.Multimodal.sampleFrames(
         graft.pipeline.Multimodal.mediaFromDocuments(s, dir), 64, 4)

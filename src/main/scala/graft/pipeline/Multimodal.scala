@@ -29,6 +29,15 @@ object Multimodal {
       mean_luma: Double,
       phash: Long)
   case class Frame(media_id: Long, frame_no: Int, bytes: Array[Byte])
+  case class AudioFeatures(
+      media_id: Long,
+      sample_rate: Int,
+      channels: Int,
+      frames: Long,
+      duration_ms: Double,
+      rms: Double, // normalized to [0,1] (full-scale 16-bit = 1.0)
+      peak: Double,
+      zero_crossing_rate: Double)
 
   /** Wrap documents as fake media rows: text bytes stand in for an
     * encoded image payload. Real pipelines land bytes from object
@@ -152,6 +161,106 @@ object Multimodal {
     * dimensions/stats from the bytes so text-as-bytes media still flows
     * through the same plumbing.
     */
+  // ---- audio -----------------------------------------------------------
+
+  /** Synthetic WAV media: one REAL RIFF/PCM-encoded file per document
+    * whose signal is a Nyquist-rate square wave (samples alternate
+    * +a, −a) so every feature is an exact arithmetic function of doc_id:
+    * frames = 800 + id%800, a = 1000 + (id%7)·3000 (16-bit units),
+    * RMS = peak = a/32768, zero-crossing rate = 1 (a crossing at every
+    * adjacent pair). Encoded partition-local via `javax.sound.sampled`
+    * (ships in the JDK — no native codecs), exactly the image-fixture
+    * pattern.
+    */
+  def wavFixtureFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Samples.table(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val frames = (800 + id % 800).toInt
+          val a = (1000 + (id % 7) * 3000).toInt
+          val pcm = new Array[Byte](frames * 2)
+          var i = 0
+          while (i < frames) {
+            val v = if (i % 2 == 0) a else -a
+            pcm(2 * i) = (v & 0xff).toByte // little-endian 16-bit
+            pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new ByteArrayInputStream(pcm), fmt, frames.toLong)
+          val out = new ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          MediaRow(id, "audio", out.toByteArray, Map("codec" -> "wav"))
+        }
+      }
+  }
+
+  /** real decode: WAV/AU/AIFF via the JDK's sampled-audio SPI, converted
+    * to 16-bit signed PCM; None when the payload is not decodable audio
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    try {
+      val src = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      val f0 = src.getFormat
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        f0.getSampleRate, 16, f0.getChannels, f0.getChannels * 2,
+        f0.getSampleRate, false)
+      val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(fmt, src)
+      val raw = pcm.readAllBytes()
+      val samples = new Array[Short](raw.length / 2)
+      var i = 0
+      while (i < samples.length) {
+        samples(i) = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      Some((f0.getSampleRate.toInt, f0.getChannels, samples))
+    } catch { case _: Exception => None }
+
+  /** decode + feature-extract, partition-local: real JDK decode with a
+    * deterministic byte-derived stub for undecodable payloads (same
+    * policy as [[imageFeatures]]); audio bytes never shuffle
+    */
+  def audioFeatures(media: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      decodeAudio(r.bytes) match {
+        case Some((rate, channels, samples)) =>
+          val frames = samples.length / math.max(channels, 1)
+          var sumSq = 0.0
+          var peak = 0.0
+          var crossings = 0L
+          var i = 0
+          while (i < samples.length) {
+            val v = samples(i) / 32768.0
+            sumSq += v * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (i >= channels &&
+              (samples(i) < 0) != (samples(i - channels) < 0)) crossings += 1
+            i += 1
+          }
+          val n = math.max(samples.length, 1)
+          AudioFeatures(r.media_id, rate, channels, frames,
+            frames * 1000.0 / math.max(rate, 1), math.sqrt(sumSq / n), peak,
+            if (samples.length > channels)
+              crossings.toDouble / (samples.length - channels)
+            else 0.0)
+        case None =>
+          // STUB (clearly marked): byte-derived deterministic features so
+          // opaque payloads still flow through the same schema
+          val n = math.max(r.bytes.length, 1)
+          val mean = r.bytes.map(b => (b & 0xff).toDouble).sum / n
+          AudioFeatures(r.media_id, 0, 0, r.bytes.length, 0.0,
+            mean / 255.0, mean / 255.0, 0.0)
+      }
+    })
+  }
+
   def decodeImageStub(bytes: Array[Byte]): (Int, Int, Int, Double) = {
     if (bytes.isEmpty) (0, 0, 0, 0.0)
     else {

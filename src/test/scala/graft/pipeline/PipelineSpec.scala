@@ -70,6 +70,37 @@ class PipelineSpec extends SparkSpec {
     assert(stub.width >= 64 && stub.channels == 3)
   }
 
+  test("audio decode is real: WAV roundtrip features match the square wave") {
+    val s = spark
+    import s.implicits._
+    // a 100-frame Nyquist square wave at amplitude 4000 → rms=peak=4000/32768
+    val frames = 100
+    val a = 4000
+    val pcm = new Array[Byte](frames * 2)
+    (0 until frames).foreach { i =>
+      val v = if (i % 2 == 0) a else -a
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    val media = Seq(Multimodal.MediaRow(1L, "audio", out.toByteArray, Map())).toDS()
+    val f = Multimodal.audioFeatures(media).collect().head
+    assert(f.sample_rate == 8000 && f.channels == 1 && f.frames == frames)
+    assert(math.abs(f.duration_ms - 12.5) < 1e-9)
+    assert(f.rms == a / 32768.0 && f.peak == a / 32768.0)
+    assert(f.zero_crossing_rate == 1.0)
+    // undecodable payloads take the stub path with zeroed decode fields
+    val text = Seq(Multimodal.MediaRow(2L, "audio",
+      "not a wav".getBytes("UTF-8"), Map())).toDS()
+    val stub = Multimodal.audioFeatures(text).collect().head
+    assert(stub.sample_rate == 0 && stub.channels == 0 && stub.rms > 0)
+  }
+
   test("multimodal image features: deterministic, one row per media row") {
     val media = Multimodal.mediaFromDocuments(spark, sfDir).cache()
     val f1 = Multimodal.imageFeatures(media).collect().sortBy(_.media_id)
