@@ -293,6 +293,37 @@ final class HttpApi(
     else samples.filter(sels.map(Api.selectorPredicate).reduce(_ || _))
   }
 
+  // snapshot storage for the facade: each create writes the full current
+  // state as one immutable parquet dir under a per-instance temp base
+  private lazy val snapshotBase =
+    java.nio.file.Files.createTempDirectory("graft-snapshots")
+
+  private def writeSnapshot(): String = {
+    val name = graft.core.SampleStore.snapshotName()
+    graft.core.SampleStore.write(samples,
+      snapshotBase.resolve(name).toString,
+      org.apache.spark.sql.SaveMode.Overwrite)
+    name
+  }
+
+  private def listSnapshots(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(snapshotBase)) Nil
+    else java.nio.file.Files.list(snapshotBase).iterator().asScala
+      .filter(java.nio.file.Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  private def deleteSnapshot(name: String): Boolean = {
+    if (name.isEmpty || name.contains('/') || name.contains("..")) return false
+    val dir = snapshotBase.resolve(name)
+    if (!java.nio.file.Files.isDirectory(dir)) return false
+    java.nio.file.Files.walk(dir)
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => { java.nio.file.Files.delete(p); () })
+    true
+  }
+
   /** httputil.GetBool semantics: absent/0/false/no → false */
   private def boolParam(p: Map[String, String], key: String): Boolean =
     p.get(key).exists(v => v == "1" || v.equalsIgnoreCase("true") ||
@@ -813,6 +844,31 @@ final class HttpApi(
     "/internal/resetRollupResultCache" -> handler { ex =>
       graft.Engine.clearCache()
       reply(ex, 200, "", "text/plain")
+    },
+    // snapshots (app/vmstorage/main.go:295-380 + the Prometheus-compat
+    // alias): the facade's buffer+base state is dumped as one
+    // date-partitioned parquet snapshot per create — the engine-scale
+    // path is SampleStore.createSnapshot's hard-link of an on-disk store
+    "/snapshot/create" -> handler { ex =>
+      reply(ex, 200, s"""{"status":"ok","snapshot":${Json.str(writeSnapshot())}}""")
+    },
+    "/api/v1/admin/tsdb/snapshot" -> handler { ex =>
+      reply(ex, 200,
+        s"""{"status":"success","data":{"name":${Json.str(writeSnapshot())}}}""")
+    },
+    "/snapshot/list" -> handler { ex =>
+      val names = listSnapshots().map(Json.str)
+      reply(ex, 200, s"""{"status":"ok","snapshots":[${names.mkString(",")}]}""")
+    },
+    "/snapshot/delete" -> handler { ex =>
+      val name = params(ex).getOrElse("snapshot", "")
+      if (deleteSnapshot(name)) reply(ex, 200, """{"status":"ok"}""")
+      else reply(ex, 500,
+        s"""{"status":"error","msg":${Json.str(s"cannot find snapshot $name")}}""")
+    },
+    "/snapshot/delete_all" -> handler { ex =>
+      listSnapshots().foreach(deleteSnapshot)
+      reply(ex, 200, """{"status":"ok"}""")
     },
     // self-telemetry in Prometheus text exposition
     // (lib/httpserver/httpserver.go:436; metric names follow the

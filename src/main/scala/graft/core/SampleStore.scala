@@ -75,4 +75,67 @@ object SampleStore {
   def deleteSeries(spark: SparkSession, path: String, outPath: String,
       predicate: org.apache.spark.sql.Column): Unit =
     write(read(spark, path).filter(!predicate), outPath, SaveMode.Overwrite)
+
+  // ---- snapshots ------------------------------------------------------
+  // lib/storage/storage.go MustCreateSnapshot / app/vmstorage/main.go:295
+  // (/snapshot/create|list|delete|delete_all and the Prometheus-compat
+  // /api/v1/admin/tsdb/snapshot). The reference hard-links immutable LSM
+  // parts into <storage>/snapshots/<name>; Parquet data files are just as
+  // immutable once written, so a snapshot hard-links every data file into
+  // <path>/snapshots/<name>/ preserving the partition layout (copy is the
+  // cross-filesystem fallback). Name format mirrors the reference:
+  // UTC yyyyMMddHHmmss-<8-hex seq>.
+
+  private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def snapshotsRoot(path: String): java.nio.file.Path =
+    java.nio.file.Paths.get(path, "snapshots")
+
+  /** UTC yyyyMMddHHmmss-<8-hex seq>, the reference's snapshot name shape */
+  def snapshotName(nowMs: Long = System.currentTimeMillis()): String =
+    java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
+      .withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(nowMs)) +
+      f"-${snapshotSeq.incrementAndGet()}%08X"
+
+  def createSnapshot(path: String,
+      nowMs: Long = System.currentTimeMillis()): String = {
+    import java.nio.file.{Files, Paths}
+    val name = snapshotName(nowMs)
+    val root = Paths.get(path)
+    val dst = snapshotsRoot(path).resolve(name)
+    Files.createDirectories(dst)
+    Files.walk(root).filter(p => Files.isRegularFile(p) &&
+      !p.startsWith(snapshotsRoot(path))).forEach { src =>
+      val target = dst.resolve(root.relativize(src))
+      Files.createDirectories(target.getParent)
+      try { Files.createLink(target, src); () }
+      catch { case _: Exception => Files.copy(src, target); () }
+    }
+    name
+  }
+
+  def listSnapshots(path: String): Seq[String] = {
+    import java.nio.file.Files
+    val root = snapshotsRoot(path)
+    if (!Files.isDirectory(root)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(root).iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+    }
+  }
+
+  def deleteSnapshot(path: String, name: String): Boolean = {
+    import java.nio.file.{Files, Path}
+    // refuse names that escape the snapshots dir (the reference validates
+    // against its snapshot-name regexp for the same reason)
+    if (name.isEmpty || name.contains('/') || name.contains("..")) return false
+    val dir = snapshotsRoot(path).resolve(name)
+    if (!Files.isDirectory(dir)) return false
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
+      .forEach(p => { Files.delete(p); () })
+    true
+  }
 }

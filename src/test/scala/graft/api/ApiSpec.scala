@@ -67,4 +67,28 @@ class ApiSpec extends SparkSpec {
     SampleStore.deleteSeries(spark, dir, deleted, col("name") === "errs")
     assert(SampleStore.read(spark, deleted).filter(col("name") === "errs").count() == 0)
   }
+
+  test("sample store snapshots: hard-linked, immutable, listable, deletable") {
+    val dir = Files.createTempDirectory("snapstore").toString
+    SampleStore.write(samples, dir, SaveMode.Overwrite)
+    val before = SampleStore.read(spark, dir).count()
+    val name = SampleStore.createSnapshot(dir)
+    assert(name.matches("""\d{14}-[0-9A-F]{8}"""))
+    assert(SampleStore.listSnapshots(dir) == Seq(name))
+    // the snapshot reads back as a full copy of the store
+    val snap = SampleStore.read(spark, s"$dir/snapshots/$name")
+    assert(snap.count() == before)
+    // appending to the live store does NOT change the snapshot (immutability)
+    SampleStore.write(samples.limit(1), dir)
+    assert(SampleStore.read(spark, s"$dir/snapshots/$name").count() == before)
+    // a second snapshot sees the append; both list sorted
+    val name2 = SampleStore.createSnapshot(dir)
+    assert(SampleStore.read(spark, s"$dir/snapshots/$name2").count() == before + 1)
+    assert(SampleStore.listSnapshots(dir) == Seq(name, name2).sorted)
+    // delete is safe against traversal and removes exactly one snapshot
+    assert(!SampleStore.deleteSnapshot(dir, "../" + name))
+    assert(SampleStore.deleteSnapshot(dir, name))
+    assert(!SampleStore.deleteSnapshot(dir, name))
+    assert(SampleStore.listSnapshots(dir) == Seq(name2))
+  }
 }

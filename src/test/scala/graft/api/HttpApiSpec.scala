@@ -225,6 +225,27 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("snapshot APIs: create/list/delete + prometheus-compat alias") {
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      assert(post(port, "/api/v1/import/prometheus", "sn 1 60000\n") == 204)
+      val created = get(port, "/snapshot/create")
+      val name = """"snapshot":"([^"]+)"""".r.findFirstMatchIn(created).get.group(1)
+      assert(created.startsWith("""{"status":"ok""""))
+      // prometheus-compat alias uses the success envelope
+      val compat = get(port, "/api/v1/admin/tsdb/snapshot")
+      assert(compat.contains(""""status":"success"""") && compat.contains(""""name":""""))
+      val listed = get(port, "/snapshot/list")
+      assert(listed.contains(name))
+      assert(get(port, s"/snapshot/delete?snapshot=$name") == """{"status":"ok"}""")
+      assert(!get(port, "/snapshot/list").contains(name))
+      assert(get(port, "/snapshot/delete?snapshot=nope").contains("cannot find"))
+      assert(get(port, "/snapshot/delete_all") == """{"status":"ok"}""")
+      assert(get(port, "/snapshot/list") == """{"status":"ok","snapshots":[]}""")
+    } finally api.stop()
+  }
+
   test("/metrics self-telemetry in prom text") {
     val api = new HttpApi(spark)
     val port = api.start()
