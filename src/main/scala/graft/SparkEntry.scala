@@ -1176,6 +1176,16 @@ object SparkEntry {
         "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rank " +
         "FROM q JOIN embeddings c ON q.vec_id != c.vec_id) " +
         "SELECT q_id, c_id, round(1e-9 + cos, 6) AS cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank")),
+    // int8 scalar-quantized top-k: rows-only by construction (quantized
+    // scores aren't SQL-reproducible bit-for-bit); accuracy pinned by the
+    // PipelineSpec recall-and-drift test against the float oracle
+    Q("emb_topk_int8", (s, dir) =>
+      graft.pipeline.Similarity.bruteForceTopKInt8(
+        embs(s, dir), embs(s, dir).filter(col("vec_id") < 10), 5)
+        .select(col("q_id"), col("c_id"), r6(col("approx_cosine")).as("approx_cosine"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank"),
+      None),
     Q("emb_brute_pairs", (s, dir) =>
       graft.pipeline.Similarity.bruteForceNearDupPairs(embs(s, dir), 0.45)
         .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))

@@ -16,10 +16,29 @@ object Api {
   /** /api/v1/query_range — the workhork (prometheus.go:925):
     * full MetricsQL evaluation on the (start, end, step) grid.
     */
+  /** -search.maxPointsPerTimeseries default (prometheus.go:61);
+    * eval.go:61 ValidateMaxPointsPerSeries — a runaway step/range combo
+    * fails fast BEFORE any planning, with the reference's message
+    */
+  val MaxPointsPerTimeseries = 30000
+
+  def validateMaxPoints(startMs: Long, endMs: Long, stepMs: Long,
+      maxPoints: Int = MaxPointsPerTimeseries): Unit = {
+    if (stepMs == 0)
+      throw new IllegalArgumentException("step can't be equal to zero")
+    val points = (endMs - startMs) / stepMs + 1
+    if (points > maxPoints)
+      throw new IllegalArgumentException(
+        s"too many points for the given start=$startMs, end=$endMs and " +
+          s"step=$stepMs: $points; the maximum number of points is $maxPoints")
+  }
+
   def queryRange(samples: DataFrame, q: String,
       startMs: Long, endMs: Long, stepMs: Long,
-      lookbackMs: Long = 300000L): DataFrame =
+      lookbackMs: Long = 300000L): DataFrame = {
+    validateMaxPoints(startMs, endMs, stepMs)
     Engine.query(samples, q, GridSpec(startMs, endMs, stepMs), lookbackMs)
+  }
 
   /** /api/v1/query — instant evaluation at one timestamp
     * (prometheus.go:767): a single-point grid, served through the O7

@@ -225,6 +225,19 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("query_range rejects too-many-points and zero step upfront") {
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      val r = get(port,
+        "/api/v1/query_range?query=up&start=0&end=40000000&step=1")
+      assert(r.contains(""""status":"error""""))
+      assert(r.contains("the maximum number of points is 30000"))
+      assert(get(port, "/api/v1/query_range?query=up&start=0&end=60&step=0")
+        .contains("step can't be equal to zero"))
+    } finally api.stop()
+  }
+
   test("snapshot APIs: create/list/delete + prometheus-compat alias") {
     val api = new HttpApi(spark)
     val port = api.start()

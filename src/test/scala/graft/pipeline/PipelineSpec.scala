@@ -134,6 +134,32 @@ class PipelineSpec extends SparkSpec {
     assert(rMulti >= 0.4, s"multiprobe recall too low: $rMulti")
   }
 
+  test("int8 quantized top-k: recall >= 0.9 vs float, cosine error < 0.02") {
+    val embs = Samples.table(spark, sfDir, "embeddings").cache()
+    val queries = embs.filter(col("vec_id") < 20)
+    val truthRows = Similarity.bruteForceTopK(embs, queries, 5)
+      .select("q_id", "c_id", "cosine").collect()
+    val truth = truthRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = truthRows.map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val q8 = Similarity.bruteForceTopKInt8(embs, queries, 5)
+      .select("q_id", "c_id", "approx_cosine").collect()
+    val got = q8.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(got.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"int8 recall too low: $recall")
+    // where the sets agree, the rescaled score tracks the float cosine
+    q8.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        assert(math.abs(c - r.getDouble(2)) < 0.02,
+          s"int8 cosine drift: $c vs ${r.getDouble(2)}")
+      }
+    }
+    // codes are 1/8th the bytes of the double vectors they replace
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    val codeLen = Similarity.quantizeInt8(embs)
+      .select(length(col("code"))).head().getInt(0)
+    assert(codeLen == dim)
+  }
+
   test("IVF nprobe recall vs brute force; wider probing dominates") {
     val embs = Samples.table(spark, sfDir, "embeddings").cache()
     val queries = embs.filter(col("vec_id") < 20)
