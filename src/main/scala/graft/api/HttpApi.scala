@@ -324,6 +324,11 @@ final class HttpApi(
     true
   }
 
+  /** `timeout` arg → clamped per-request deadline (searchutil.go) */
+  private def deadlineMs(p: Map[String, String]): Long =
+    QueryDeadline.clamp(
+      p.get("timeout").map(graft.lang.Lexer.durationMs(_, QueryDeadline.MaxQueryDurationMs)))
+
   /** httputil.GetBool semantics: absent/0/false/no → false */
   private def boolParam(p: Map[String, String], key: String): Boolean =
     p.get(key).exists(v => v == "1" || v.equalsIgnoreCase("true") ||
@@ -526,7 +531,7 @@ final class HttpApi(
         if (boolParam(p, "trace"))
           Some(graft.lang.Trace.begin(s"/api/v1/query: query=${p("query")}, time=$at, step=$step"))
         else None
-      try {
+      try QueryDeadline.run(spark, deadlineMs(p)) {
         val df = graft.lang.Trace.child("build query plan")(
           Api.query(samples, p("query"), at, step)) // parse/analyze errors throw here → 422
         MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), at)
@@ -555,7 +560,7 @@ final class HttpApi(
           Some(graft.lang.Trace.begin(
             s"/api/v1/query_range: query=${p("query")}, start=$start, end=$end, step=$step"))
         else None
-      try {
+      try QueryDeadline.run(spark, deadlineMs(p)) {
         val df = graft.lang.Trace.child("build query plan")(
           Api.queryRange(samples, p("query"), start, end, step))
         MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), end)

@@ -68,6 +68,30 @@ class ApiSpec extends SparkSpec {
     assert(SampleStore.read(spark, deleted).filter(col("name") === "errs").count() == 0)
   }
 
+  test("query deadline cancels the request's Spark jobs") {
+    import org.apache.spark.sql.functions.udf
+    val slow = udf { (i: Long) => Thread.sleep(5000L); i }
+    val t0 = System.nanoTime()
+    val failed =
+      try {
+        QueryDeadline.run(spark, 300L) {
+          spark.range(64).repartition(32)
+            .select(slow(col("id")).as("v")).agg(sum("v")).collect()
+        }
+        false
+      } catch { case _: Exception => true }
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(failed, "deadline did not cancel the job")
+    assert(secs < 4.0, s"cancel took too long: $secs s") // << the 5s sleep
+    // the session still works afterwards (group cleared, executors freed)
+    assert(spark.range(10).count() == 10)
+    // clamping: absent/oversized/non-positive fall back to the 30s max
+    assert(QueryDeadline.clamp(None) == 30000L)
+    assert(QueryDeadline.clamp(Some(60000L)) == 30000L)
+    assert(QueryDeadline.clamp(Some(0L)) == 30000L)
+    assert(QueryDeadline.clamp(Some(5000L)) == 5000L)
+  }
+
   test("sample store snapshots: hard-linked, immutable, listable, deletable") {
     val dir = Files.createTempDirectory("snapstore").toString
     SampleStore.write(samples, dir, SaveMode.Overwrite)
