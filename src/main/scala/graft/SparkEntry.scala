@@ -2151,6 +2151,32 @@ object SparkEntry {
         "SELECT nm, user_id, t, 'max', mx FROM w UNION ALL " +
         "SELECT nm, user_id, t, 'min', mn FROM w) ORDER BY name, user_id, t"
     }),
+    // the full -streamAggr.config pipeline: YAML parse → match filter →
+    // aggregate → keep_metric_names → output relabel, oracled end-to-end
+    Q("st_config_pipeline", (s, dir) => {
+      val yaml =
+        """- match: '{__name__="click"}'
+          |  interval: 6h
+          |  outputs: [sum_samples]
+          |  by: [user_id]
+          |  keep_metric_names: true
+          |  output_relabel_configs:
+          |  - target_label: agg
+          |    replacement: stream
+          |""".stripMargin
+      graft.streaming.StreamAggr.applyAll(Samples.fromEvents(s, dir),
+        graft.streaming.StreamAggr.parseConfigs(yaml))
+        .select(col("name"),
+          col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("tags").getItem("agg").as("agg"),
+          col("t"), r6(col("value")).as("value"))
+        .orderBy("user_id", "t")
+    }, Some {
+      val bkt = s"(epoch_ms(ts::TIMESTAMP) // ${6 * H}) * ${6 * H} + ${6 * H}"
+      s"SELECT 'click' AS name, user_id::BIGINT AS user_id, 'stream' AS agg, $bkt AS t, " +
+        "round(1e-9 + sum(value), 6) AS value FROM events WHERE event_type = 'click' " +
+        "GROUP BY user_id, t ORDER BY user_id, t"
+    }),
     Q("st_total", (s, dir) => {
       val cfg = graft.streaming.StreamAggr.Config(D, by = Seq("user_id"))
       graft.streaming.StreamAggr.totalBatch(Samples.fromEvents(s, dir), cfg)

@@ -36,7 +36,20 @@ object StreamAggr {
       by: Seq[String] = Nil,
       without: Seq[String] = Nil,
       outputs: Seq[String] = Seq("sum_samples"),
-      dedupIntervalMs: Option[Long] = None)
+      dedupIntervalMs: Option[Long] = None,
+      // full -streamAggr.config surface (lib/streamaggr/streamaggr.go
+      // Config yaml fields)
+      name: String = "",
+      matchSelectors: Seq[String] = Nil,
+      keepMetricNames: Boolean = false,
+      dropInputLabels: Seq[String] = Nil,
+      inputRelabel: Seq[graft.sources.Relabel.Rule] = Nil,
+      outputRelabel: Seq[graft.sources.Relabel.Rule] = Nil) {
+    // streamaggr.go:258: keep_metric_names is only allowed for a single
+    // output (several outputs would collide on the input name)
+    require(!keepMetricNames || outputs.size == 1,
+      "`keep_metric_names` can't be used with multiple outputs")
+  }
 
   private def intervalText(ms: Long): String =
     if (ms % 3600000 == 0) s"${ms / 3600000}h"
@@ -44,12 +57,14 @@ object StreamAggr {
     else if (ms % 1000 == 0) s"${ms / 1000}s"
     else s"${ms}ms"
 
-  private def outName(cfg: Config, output: String): Column = {
-    val suffix = ":" + intervalText(cfg.intervalMs) +
-      (if (cfg.by.nonEmpty) "_by_" + cfg.by.sorted.mkString("_") else "") +
-      "_" + output
-    concat(coalesce(col("name"), lit("")), lit(suffix))
-  }
+  private def outName(cfg: Config, output: String): Column =
+    if (cfg.keepMetricNames) coalesce(col("name"), lit(""))
+    else {
+      val suffix = ":" + intervalText(cfg.intervalMs) +
+        (if (cfg.by.nonEmpty) "_by_" + cfg.by.sorted.mkString("_") else "") +
+        "_" + output
+      concat(coalesce(col("name"), lit("")), lit(suffix))
+    }
 
   private def groupTags(cfg: Config): Column =
     if (cfg.by.nonEmpty)
@@ -121,7 +136,8 @@ object StreamAggr {
       .select(col("name"), col("_gt"), col("t"),
         expr(s"stack(${cfg.outputs.size}, $stackArgs) as (_out, value)"))
       .select(
-        concat(outName(cfg, ""), col("_out")).as("name"),
+        (if (cfg.keepMetricNames) outName(cfg, "")
+         else concat(outName(cfg, ""), col("_out"))).as("name"),
         map_from_entries(from_json(col("_gt"),
           lit("array<struct<key:string,value:string>>"))).as("tags"),
         col("t"), col("value"))
@@ -165,7 +181,8 @@ object StreamAggr {
       .select(col("name"), col("_gt"), col("w"),
         expr(s"stack(${cfg.outputs.size}, $stackArgs) as (_out, value)"))
       .select(
-        concat(outName(cfg, ""), col("_out")).as("name"),
+        (if (cfg.keepMetricNames) outName(cfg, "")
+         else concat(outName(cfg, ""), col("_out"))).as("name"),
         map_from_entries(from_json(col("_gt"),
           lit("array<struct<key:string,value:string>>"))).as("tags"),
         unix_millis(col("w.end")).as("t"),
@@ -396,5 +413,141 @@ object StreamAggr {
         map_from_entries(from_json(col("_gt"),
           lit("array<struct<key:string,value:string>>"))).as("tags"),
         col("t"), col("value"))
+  }
+
+  // ---- full-config pipeline -------------------------------------------
+
+  /** One config's whole batch pipeline, in the aggregator's construction
+    * order (streamaggr.go newAggregator → aggregator.Push):
+    * `match` filter → `drop_input_labels` → `input_relabel_configs` →
+    * aggregate/dedup → `output_relabel_configs`. The stateful outputs
+    * (`total*`, `increase*`, `rate_*`, `histogram_bucket`) route to their
+    * dedicated batch kernels; everything else goes through the one-pass
+    * stacked aggregation.
+    */
+  def aggregateBatchConfigured(samples: DataFrame, cfg: Config): DataFrame = {
+    val matched =
+      if (cfg.matchSelectors.isEmpty) samples
+      else samples.filter(
+        cfg.matchSelectors.map(graft.api.Api.selectorPredicate).reduce(_ || _))
+    val dropped =
+      if (cfg.dropInputLabels.isEmpty) matched
+      else matched.withColumn("tags",
+        map_filter(col("tags"), (k, _) => !k.isInCollection(cfg.dropInputLabels)))
+    val relabeled =
+      if (cfg.inputRelabel.isEmpty) dropped
+      else graft.sources.Relabel.apply(dropped, cfg.inputRelabel)
+    val (stateful, stateless) = cfg.outputs.partition(o =>
+      o == "total" || o == "total_prometheus" || o == "increase" ||
+        o == "increase_prometheus" || o == "rate_sum" || o == "rate_avg" ||
+        o == "histogram_bucket")
+    val parts =
+      (if (stateless.nonEmpty)
+        Seq(aggregateBatch(relabeled, cfg.copy(outputs = stateless))) else Nil) ++
+      stateful.map {
+        case "total" => totalBatch(relabeled, cfg, keepFirstSample = true)
+        case "total_prometheus" => totalBatch(relabeled, cfg, keepFirstSample = false)
+        case "increase" => increaseBatch(relabeled, cfg, keepFirstSample = true)
+        case "increase_prometheus" => increaseBatch(relabeled, cfg, keepFirstSample = false)
+        case "rate_sum" => rateBatch(relabeled, cfg, isAvg = false)
+        case "rate_avg" => rateBatch(relabeled, cfg, isAvg = true)
+        case "histogram_bucket" => histogramBucketBatch(relabeled, cfg)
+      }
+    val out = parts.reduce(_ unionByName _)
+    if (cfg.outputRelabel.isEmpty) out
+    else graft.sources.Relabel.apply(
+      out.withColumnRenamed("t", "ts"), cfg.outputRelabel)
+      .withColumnRenamed("ts", "t")
+  }
+
+  /** every config over the same input, unioned — the multi-entry
+    * -streamAggr.config file semantics
+    */
+  def applyAll(samples: DataFrame, cfgs: Seq[Config]): DataFrame =
+    cfgs.map(aggregateBatchConfigured(samples, _)).reduce(_ unionByName _)
+
+  /** Parse the -streamAggr.config YAML list (streamaggr.go Config):
+    * `interval` (required), `outputs`, `by`, `without`, `match` (scalar
+    * or list), `name`, `dedup_interval`, `keep_metric_names`,
+    * `drop_input_labels`, `input_relabel_configs` /
+    * `output_relabel_configs` (delegated to the relabel parser). The
+    * pragmatic line parser follows the alerting/relabel loaders: scalars
+    * bare or quoted, lists inline `[a, b]` or block `- x`.
+    */
+  def parseConfigs(yaml: String): Seq[Config] = {
+    def unq(s0: String): String = {
+      val s = s0.trim
+      if (s.length >= 2 && ((s.head == '"' && s.last == '"') ||
+        (s.head == '\'' && s.last == '\'')))
+        s.substring(1, s.length - 1)
+      else s
+    }
+    def inlineList(s: String): Seq[String] = {
+      val t = s.trim
+      if (t.startsWith("[") && t.endsWith("]"))
+        t.substring(1, t.length - 1).split(',').map(unq).filter(_.nonEmpty).toSeq
+      else Seq(unq(t))
+    }
+    val lines = yaml.split('\n')
+      .filterNot(l => l.trim.isEmpty || l.trim.startsWith("#")).toVector
+    val starts = lines.zipWithIndex.collect {
+      case (l, i) if l.startsWith("- ") || l.trim == "-" => i
+    }
+    require(starts.nonEmpty, "stream aggregation config must be a YAML list")
+    starts.zipAll(starts.drop(1), 0, lines.length).map { case (s0, e0) =>
+      val entry = lines.slice(s0, e0).zipWithIndex.map {
+        case (l, 0) => "  " + l.stripPrefix("-")
+        case (l, _) => l
+      }
+      val scalars = scala.collection.mutable.Map.empty[String, String]
+      val blocks = scala.collection.mutable.Map.empty[String, Vector[String]]
+      var i = 0
+      def indentOf(l: String): Int = l.takeWhile(_ == ' ').length
+      while (i < entry.length) {
+        val l = entry(i)
+        val ind = indentOf(l)
+        val t = l.trim
+        val ci = t.indexOf(':')
+        require(ci > 0, s"cannot parse stream-aggr config line: $t")
+        val key = t.take(ci).trim
+        val rest = t.drop(ci + 1).trim
+        if (rest.nonEmpty) { scalars(key) = rest; i += 1 }
+        else {
+          val b = Vector.newBuilder[String]
+          i += 1
+          // a block list's `- item` lines may sit at the SAME indent as
+          // their key (valid YAML), deeper lines belong to nested items
+          while (i < entry.length && (indentOf(entry(i)) > ind ||
+            (indentOf(entry(i)) == ind && entry(i).trim.startsWith("-")))) {
+            b += entry(i); i += 1
+          }
+          blocks(key) = b.result()
+        }
+      }
+      def listField(key: String): Seq[String] =
+        scalars.get(key).map(inlineList).getOrElse(
+          blocks.getOrElse(key, Vector.empty)
+            .map(_.trim.stripPrefix("-").trim).map(unq).filter(_.nonEmpty))
+      def relabelField(key: String): Seq[graft.sources.Relabel.Rule] =
+        blocks.get(key).map(b => graft.sources.Relabel.parseConfig(b.mkString("\n")))
+          .getOrElse(Nil)
+      val interval = scalars.getOrElse("interval",
+        throw new IllegalArgumentException("missing `interval` in stream aggregation config"))
+      Config(
+        intervalMs = graft.lang.Lexer.durationMs(unq(interval), 0L),
+        by = listField("by"),
+        without = listField("without"),
+        outputs = {
+          val o = listField("outputs"); if (o.isEmpty) Seq("sum_samples") else o
+        },
+        dedupIntervalMs = scalars.get("dedup_interval")
+          .map(d => graft.lang.Lexer.durationMs(unq(d), 0L)),
+        name = scalars.get("name").map(unq).getOrElse(""),
+        matchSelectors = listField("match"),
+        keepMetricNames = scalars.get("keep_metric_names").map(unq).contains("true"),
+        dropInputLabels = listField("drop_input_labels"),
+        inputRelabel = relabelField("input_relabel_configs"),
+        outputRelabel = relabelField("output_relabel_configs"))
+    }
   }
 }

@@ -37,6 +37,56 @@ class StreamAggrSpec extends SparkSpec {
     assert(tags == Map("dc" -> "e")) // only by-labels survive
   }
 
+  test("full config pipeline: yaml parse, match, drop labels, relabel, keep names") {
+    val yaml =
+      """# the -streamAggr.config shape (streamaggr.go Config)
+        |- name: agg1
+        |  match: '{__name__="m"}'
+        |  interval: 1s
+        |  outputs: [sum_samples]
+        |  by: [dc]
+        |  keep_metric_names: true
+        |  drop_input_labels: [junk]
+        |  output_relabel_configs:
+        |  - target_label: env
+        |    replacement: prod
+        |- match: n
+        |  interval: 1s
+        |  outputs:
+        |  - max
+        |  without: [host]
+        |  dedup_interval: 500ms
+        |""".stripMargin
+    val cfgs = StreamAggr.parseConfigs(yaml)
+    assert(cfgs.length == 2)
+    assert(cfgs.head.name == "agg1" && cfgs.head.keepMetricNames &&
+      cfgs.head.matchSelectors == Seq("""{__name__="m"}""") &&
+      cfgs.head.dropInputLabels == Seq("junk") &&
+      cfgs.head.outputRelabel.length == 1)
+    assert(cfgs(1).without == Seq("host") &&
+      cfgs(1).dedupIntervalMs.contains(500L) && cfgs(1).outputs == Seq("max"))
+
+    val mixed = samples(
+      ("m", Map("host" -> "a", "dc" -> "e", "junk" -> "x"), 500L, 1.0),
+      ("m", Map("host" -> "b", "dc" -> "e", "junk" -> "y"), 800L, 5.0),
+      ("n", Map("host" -> "a"), 700L, 2.0),
+      ("other", Map.empty[String, String], 600L, 9.0)) // matches neither
+    val out = StreamAggr.applyAll(mixed, cfgs).collect()
+      .map(r => (r.getString(0),
+        Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
+        r.getLong(2), r.getDouble(3))).toSet
+    // cfg1: match m only, keep_metric_names keeps "m", by dc, env added
+    assert(out.contains(("m", Map("dc" -> "e", "env" -> "prod"), 1000L, 6.0)))
+    // cfg2: match n, suffixed name, host dropped by without
+    assert(out.contains(("n:1s_max", Map.empty[String, String], 1000L, 2.0)))
+    // "other" matched neither config
+    assert(!out.exists(_._1.contains("other")))
+    // keep_metric_names with several outputs is rejected at construction
+    intercept[IllegalArgumentException] {
+      StreamAggr.Config(1000L, outputs = Seq("max", "min"), keepMetricNames = true)
+    }
+  }
+
   test("batch total accumulates reset-aware increases across windows") {
     val counter = samples(
       ("c", Map("i" -> "x"), 100L, 10.0),
