@@ -1163,6 +1163,63 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id"),
       None),
+    // benchmark-contamination gate: docs with doc_id % 97 == 0 play the
+    // held-out benchmark; 3-gram overlap counted per candidate doc
+    Q("doc_contamination", (s, dir) => {
+      val d = docs(s, dir)
+      graft.pipeline.TextAnalysis.contamination(
+        d, d.filter(col("doc_id") % 97 === 0), n = 3)
+        .select(col("doc_id"), col("total_ngrams").cast("bigint").as("total_ngrams"),
+          col("contaminated_ngrams"),
+          r6(col("contamination_ratio")).as("contamination_ratio"))
+        .orderBy("doc_id")
+    }, Some(s"WITH w AS (SELECT doc_id, $SQL_TOKS AS toks FROM documents), " +
+      "sh AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN " +
+      "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]) " +
+      "ELSE [array_to_string(toks, ' ')] END AS sh FROM w), " +
+      "bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0), " +
+      "p AS (SELECT doc_id, unnest(sh) AS g FROM sh), " +
+      "h AS (SELECT doc_id, count(*) AS c FROM p WHERE g IN (SELECT g FROM bg) GROUP BY doc_id), " +
+      "t AS (SELECT doc_id, len(sh) AS total_ngrams FROM sh) " +
+      "SELECT t.doc_id, total_ngrams, coalesce(h.c, 0) AS contaminated_ngrams, " +
+      "round(1e-9 + coalesce(h.c, 0)::DOUBLE / greatest(total_ngrams, 1), 6) AS contamination_ratio " +
+      "FROM t LEFT JOIN h ON h.doc_id = t.doc_id ORDER BY t.doc_id")),
+    // deterministic stratified sampling via a multiplicative id hash —
+    // strata absent from the fraction map (es, fr) are dropped
+    Q("doc_stratified_sample", (s, dir) =>
+      graft.pipeline.TextAnalysis.stratifiedSample(docs(s, dir), "lang",
+        Map("en" -> 0.3, "de" -> 0.8, "zh" -> 0.5))
+        .select("doc_id", "lang").orderBy("doc_id"),
+      Some("SELECT doc_id, lang FROM documents WHERE " +
+        "(lang = 'en' AND (doc_id * 2654435761) % 1000003 < 300000) OR " +
+        "(lang = 'de' AND (doc_id * 2654435761) % 1000003 < 800002) OR " +
+        "(lang = 'zh' AND (doc_id * 2654435761) % 1000003 < 500001) " +
+        "ORDER BY doc_id")),
+    // PII redaction over text with deterministic synthetic PII appended
+    // identically on both sides (the fixture corpus itself is PII-free)
+    Q("doc_pii_redact", (s, dir) => {
+      val aug = docs(s, dir).withColumn("text",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com ip 10.0.0."), pmod(col("doc_id"), lit(256)),
+          lit(" tel 555-867-5309")))
+      graft.pipeline.TextAnalysis.piiRedact(aug)
+        .select(col("doc_id"), col("n_email").cast("bigint").as("n_email"),
+          col("n_ip").cast("bigint").as("n_ip"),
+          col("n_phone").cast("bigint").as("n_phone"), col("redacted"))
+        .orderBy("doc_id")
+    }, Some {
+      val email = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val ip = """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"""
+      val phone = """\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\b"""
+      "WITH a AS (SELECT doc_id, text || ' contact user' || doc_id || " +
+        "'@example.com ip 10.0.0.' || (doc_id % 256) || ' tel 555-867-5309' AS t FROM documents) " +
+        s"SELECT doc_id, len(regexp_extract_all(t, '$email')) AS n_email, " +
+        s"len(regexp_extract_all(t, '$ip')) AS n_ip, " +
+        s"len(regexp_extract_all(t, '$phone')) AS n_phone, " +
+        s"regexp_replace(regexp_replace(regexp_replace(t, '$email', '[EMAIL]', 'g'), " +
+        s"'$ip', '[IP]', 'g'), '$phone', '[PHONE]', 'g') AS redacted " +
+        "FROM a ORDER BY doc_id"
+    }),
     Q("emb_topk", (s, dir) =>
       graft.pipeline.Similarity.bruteForceTopK(
         embs(s, dir), embs(s, dir).filter(col("vec_id") < 10), 5)
@@ -2176,6 +2233,67 @@ object SparkEntry {
       s"SELECT 'click' AS name, user_id::BIGINT AS user_id, 'stream' AS agg, $bkt AS t, " +
         "round(1e-9 + sum(value), 6) AS value FROM events WHERE event_type = 'click' " +
         "GROUP BY user_id, t ORDER BY user_id, t"
+    }),
+    // quantiles(phi...) output: one series per phi with a `quantile`
+    // label (lib/streamaggr/quantiles.go:32-36); exact percentile ==
+    // DuckDB quantile_cont (both interpolate at phi*(n-1))
+    Q("st_quantiles", (s, dir) => {
+      val cfg = graft.streaming.StreamAggr.Config(
+        6 * H, by = Seq("user_id"), outputs = Seq("quantiles(0.5, 0.95)"))
+      graft.streaming.StreamAggr.aggregateBatch(Samples.fromEvents(s, dir), cfg)
+        .select(col("name"), col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("tags").getItem("quantile").as("quantile"),
+          col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "quantile", "t")
+    }, Some {
+      val bkt = s"(epoch_ms(ts::TIMESTAMP) // ${6 * H}) * ${6 * H} + ${6 * H}"
+      s"WITH b AS (SELECT event_type AS nm, user_id, $bkt AS t, value FROM events), " +
+        "q AS (SELECT nm, user_id, t, quantile_cont(value, 0.5) AS q50, " +
+        "quantile_cont(value, 0.95) AS q95 FROM b GROUP BY nm, user_id, t) " +
+        "SELECT nm || ':6h_by_user_id_quantiles' AS name, user_id::BIGINT AS user_id, " +
+        "quantile, t, round(1e-9 + v, 6) AS value FROM (" +
+        "SELECT nm, user_id, t, '0.5' AS quantile, q50 AS v FROM q UNION ALL " +
+        "SELECT nm, user_id, t, '0.95', q95 FROM q) " +
+        "ORDER BY name, user_id, quantile, t"
+    }),
+    // sum_samples_total: interval sums accumulated across flushes
+    // (sum_samples.go:26-35 resetTotalOnFlush=false)
+    Q("st_sum_samples_total", (s, dir) => {
+      val cfg = graft.streaming.StreamAggr.Config(6 * H, by = Seq("user_id"))
+      graft.streaming.StreamAggr.sumSamplesTotalBatch(Samples.fromEvents(s, dir), cfg)
+        .select(col("name"), col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t")
+    }, Some {
+      val bkt = s"(epoch_ms(ts::TIMESTAMP) // ${6 * H}) * ${6 * H} + ${6 * H}"
+      s"WITH w AS (SELECT event_type AS nm, user_id, $bkt AS t, sum(value) AS ws " +
+        "FROM events GROUP BY nm, user_id, t) " +
+        "SELECT nm || ':6h_by_user_id_sum_samples_total' AS name, user_id::BIGINT AS user_id, t, " +
+        "round(1e-9 + sum(ws) OVER (PARTITION BY nm, user_id ORDER BY t), 6) AS value " +
+        "FROM w ORDER BY name, user_id, t"
+    }),
+    // ignore_first_intervals warmup skip (streamaggr.go:219-222): the
+    // replay's first two 6h flushes are dropped for every output group
+    Q("st_ignore_first_intervals", (s, dir) => {
+      val yaml =
+        """- interval: 6h
+          |  outputs: [sum_samples]
+          |  by: [user_id]
+          |  ignore_first_intervals: 2
+          |""".stripMargin
+      graft.streaming.StreamAggr.applyAll(Samples.fromEvents(s, dir),
+        graft.streaming.StreamAggr.parseConfigs(yaml))
+        .select(col("name"), col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t")
+    }, Some {
+      val bkt = s"(epoch_ms(ts::TIMESTAMP) // ${6 * H}) * ${6 * H} + ${6 * H}"
+      s"WITH b AS (SELECT event_type AS nm, user_id, $bkt AS t, value FROM events), " +
+        "mn AS (SELECT min(t) AS mt FROM b) " +
+        "SELECT nm || ':6h_by_user_id_sum_samples' AS name, user_id::BIGINT AS user_id, t, " +
+        "round(1e-9 + sum(value), 6) AS value FROM b, mn " +
+        s"WHERE b.t >= mn.mt + ${2 * 6 * H} " +
+        "GROUP BY nm, user_id, t ORDER BY name, user_id, t"
     }),
     Q("st_total", (s, dir) => {
       val cfg = graft.streaming.StreamAggr.Config(D, by = Seq("user_id"))

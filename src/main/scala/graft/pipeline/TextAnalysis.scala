@@ -110,4 +110,74 @@ object TextAnalysis {
           i => array_join(slice(toks, i + 1, lit(n)), " ")))
         .otherwise(array(array_join(toks, " "))))
   }
+
+  /** Benchmark-contamination check: for every candidate document, the
+    * count and share of its distinct n-grams that also appear in any
+    * document of a benchmark set (the standard eval-leakage gate run
+    * before training-set release).
+    *
+    * Scale path: the benchmark's distinct grams are tiny relative to the
+    * corpus and are BROADCAST; candidate grams meet them in a map-side
+    * semi-join, so full document text never shuffles — only the matched
+    * gram hits (per-doc counts) do. Per-doc totals are computed inline
+    * from the same row, no second aggregation over the corpus.
+    */
+  def contamination(docs: DataFrame, bench: DataFrame, n: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("gram"))
+    val benchGrams = bench
+      .select(explode(shingles(col(textCol), n)).as("gram")).distinct()
+    val hits = grams
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("contaminated_ngrams"))
+    docs
+      .select(col(idCol), size(shingles(col(textCol), n)).as("total_ngrams"))
+      .join(hits, Seq(idCol), "left")
+      .withColumn("contaminated_ngrams",
+        coalesce(col("contaminated_ngrams"), lit(0L)))
+      .withColumn("contamination_ratio",
+        col("contaminated_ngrams").cast(DoubleType) /
+          greatest(col("total_ngrams"), lit(1)).cast(DoubleType))
+  }
+
+  /** Deterministic stratified sampling: keep a per-stratum fraction of
+    * documents chosen by a Knuth multiplicative hash of the id — fully
+    * reproducible across runs/engines (no RNG), expressible in plain
+    * SQL for the oracle, and a pure per-row filter (no shuffle, prunes
+    * at the scan when the stratum column is a partition key). Strata
+    * missing from `fractions` are dropped.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String,
+      fractions: Map[String, Double], seed: Long = 0L,
+      idCol: String = "doc_id"): DataFrame = {
+    val M = 1000003L // prime modulus; id*2654435761 stays < 2^63 for ids < 3.4e9
+    val h = pmod(col(idCol) * lit(2654435761L) + lit(seed), lit(M))
+    val cond = fractions.foldLeft(lit(false)) { case (acc, (stratum, f)) =>
+      acc || (col(strataCol) === stratum && h < lit((f * M).toLong))
+    }
+    df.filter(cond)
+  }
+
+  /** PII detection + redaction: emails, IPv4 addresses and phone-shaped
+    * digit runs are counted and replaced with typed placeholder tokens.
+    * Pure per-row regex work (codegen'd, zero shuffle); the patterns are
+    * deliberately RE2-compatible so the DuckDB oracle runs them
+    * verbatim.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("EMAIL", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("IP", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"),
+    ("PHONE", "\\b[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}\\b"))
+
+  def piiRedact(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (d, (kind, pat)) =>
+      d.withColumn(s"n_${kind.toLowerCase}",
+        size(regexp_extract_all(col(textCol), lit(pat), lit(0))))
+    }
+    val redacted = piiPatterns.foldLeft(col(textCol)) { case (c, (kind, pat)) =>
+      regexp_replace(c, pat, s"[$kind]")
+    }
+    counted.withColumn("redacted", redacted)
+  }
 }

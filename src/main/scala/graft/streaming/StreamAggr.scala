@@ -28,6 +28,14 @@ import org.apache.spark.sql.types.{DoubleType, StringType}
   */
 object StreamAggr {
 
+  /** streamaggr.go:30-50 supportedOutputs (quantiles(...) matched by
+    * prefix separately). */
+  val supportedOutputs: Set[String] = Set(
+    "avg", "count_samples", "count_series", "histogram_bucket",
+    "increase", "increase_prometheus", "last", "max", "min",
+    "rate_avg", "rate_sum", "stddev", "stdvar", "sum_samples",
+    "sum_samples_total", "total", "total_prometheus", "unique_samples")
+
   /** grouping: Left(by-labels) keeps only those, Right(without) drops
     * those; None aggregates everything into one output series per name.
     */
@@ -44,11 +52,85 @@ object StreamAggr {
       keepMetricNames: Boolean = false,
       dropInputLabels: Seq[String] = Nil,
       inputRelabel: Seq[graft.sources.Relabel.Rule] = Nil,
-      outputRelabel: Seq[graft.sources.Relabel.Rule] = Nil) {
-    // streamaggr.go:258: keep_metric_names is only allowed for a single
-    // output (several outputs would collide on the input name)
+      outputRelabel: Seq[graft.sources.Relabel.Rule] = Nil,
+      // the YAML spelling of `interval`, kept for the output-name suffix
+      // (the reference embeds cfg.Interval verbatim, streamaggr.go:627)
+      intervalRaw: String = "",
+      // staleness for the counter-carrying outputs. None = no event-time
+      // eviction: the reference defaults this to `interval` to bound its
+      // IN-MEMORY per-series state (streamaggr.go:508), but a batch
+      // replay holds the full history, so eviction is opt-in here and
+      // the default matches an always-up server (deviation, documented).
+      stalenessIntervalMs: Option[Long] = None,
+      // the reference suppresses first samples for this long after
+      // SERVER START (total.go ignoreFirstSampleDeadline); the batch
+      // analog measures from the replay's first sample. None = 0: a
+      // replay has no startup transient to hide (the reference default
+      // of stalenessInterval exists only for that transient).
+      ignoreFirstSampleIntervalMs: Option[Long] = None,
+      // drop the first N flush intervals (warmup skip, streamaggr.go:222)
+      ignoreFirstIntervals: Int = 0,
+      // streaming-only knobs, parsed + validated for config parity; the
+      // batch form has no wall clock (windows are always event-time
+      // aligned and every window flushes):
+      //  - ignore_old_samples → the streaming path's watermark drop
+      //  - no_align_flush_to_interval / flush_on_shutdown /
+      //    enable_windows → wall-clock flush scheduling details
+      ignoreOldSamples: Boolean = false,
+      noAlignFlushToInterval: Boolean = false,
+      flushOnShutdown: Boolean = false,
+      enableWindows: Boolean = false) {
+    // newAggregator validation (streamaggr.go:475-608), same messages
+    require(intervalMs >= 1000,
+      s"aggregation interval cannot be smaller than 1s; got ${intervalMs}ms")
+    for (d <- dedupIntervalMs) {
+      require(d <= intervalMs,
+        s"dedup_interval=${d}ms cannot exceed interval=${intervalMs}ms")
+      require(d <= 0 || intervalMs % d == 0,
+        s"interval=${intervalMs}ms must be a multiple of dedup_interval=${d}ms")
+    }
+    for (s <- stalenessIntervalMs)
+      require(s >= intervalMs,
+        s"staleness_interval=${s}ms cannot be smaller than interval=${intervalMs}ms")
+    require(by.isEmpty || without.isEmpty,
+      s"`by: $by` and `without: $without` lists cannot be set simultaneously")
+    require(outputs.nonEmpty, "`outputs` list must contain at least a single entry")
+    // duplicate outputs (newOutputConfig outputsSeen, streamaggr.go:710);
+    // several quantiles(...) entries collapse to one "quantiles" slot
+    private def normOut(o: String) =
+      if (o.startsWith("quantiles(")) "quantiles" else o
+    require(outputs.map(normOut).distinct.size == outputs.size,
+      s"`outputs` list contains duplicate aggregation function: $outputs")
+    outputs.filter(_.startsWith("quantiles(")).foreach(parseQuantilePhis)
+    outputs.filterNot(_.startsWith("quantiles(")).foreach(o =>
+      require(supportedOutputs.contains(o),
+        s"unsupported output=$o; supported values: ${supportedOutputs.mkString(", ")}, quantiles(phi1, ..., phiN)"))
+    // keep_metric_names restrictions (streamaggr.go:560-573)
     require(!keepMetricNames || outputs.size == 1,
-      "`keep_metric_names` can't be used with multiple outputs")
+      "`outputs` list must contain only a single entry if `keep_metric_names` is set")
+    require(!keepMetricNames || (outputs.head != "histogram_bucket" &&
+      !(outputs.head.startsWith("quantiles(") && outputs.head.contains(","))),
+      s"`keep_metric_names` cannot be applied to `outputs: $outputs`, " +
+        "since they can generate multiple time series")
+  }
+
+  /** phis of a `quantiles(phi1, ..., phiN)` output, with the reference's
+    * parse errors (streamaggr.go:717-740). */
+  def parseQuantilePhis(output: String): Seq[Double] = {
+    require(output.endsWith(")"), "missing closing brace for `quantiles()` output")
+    val argsStr = output.stripPrefix("quantiles(").stripSuffix(")")
+    require(argsStr.nonEmpty, "`quantiles()` must contain at least one phi")
+    argsStr.split(",").toSeq.map { arg =>
+      val phi =
+        try arg.trim.toDouble
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"cannot parse phi=${arg.trim} for quantiles($argsStr)")
+        }
+      require(phi >= 0 && phi <= 1,
+        s"phi inside quantiles($argsStr) must be in the range [0..1]; got $phi")
+      phi
+    }
   }
 
   private def intervalText(ms: Long): String =
@@ -57,14 +139,21 @@ object StreamAggr {
     else if (ms % 1000 == 0) s"${ms / 1000}s"
     else s"${ms}ms"
 
+  /** `:interval[_by_…][_without_…]_` (streamaggr.go:626-634: raw YAML
+    * interval spelling, sorted-deduped label lists, `__name__` removed). */
+  private def suffixText(cfg: Config, output: String): String = {
+    val byL = cfg.by.distinct.sorted.filterNot(_ == "__name__")
+    val woL = cfg.without.distinct.sorted.filterNot(_ == "__name__")
+    ":" + (if (cfg.intervalRaw.nonEmpty) cfg.intervalRaw
+           else intervalText(cfg.intervalMs)) +
+      (if (byL.nonEmpty) "_by_" + byL.mkString("_") else "") +
+      (if (woL.nonEmpty) "_without_" + woL.mkString("_") else "") +
+      "_" + output
+  }
+
   private def outName(cfg: Config, output: String): Column =
     if (cfg.keepMetricNames) coalesce(col("name"), lit(""))
-    else {
-      val suffix = ":" + intervalText(cfg.intervalMs) +
-        (if (cfg.by.nonEmpty) "_by_" + cfg.by.sorted.mkString("_") else "") +
-        "_" + output
-      concat(coalesce(col("name"), lit("")), lit(suffix))
-    }
+    else concat(coalesce(col("name"), lit("")), lit(suffixText(cfg, output)))
 
   private def groupTags(cfg: Config): Column =
     if (cfg.by.nonEmpty)
@@ -90,9 +179,22 @@ object StreamAggr {
       case "stddev" => stddev_pop(v)
       case "stdvar" => var_pop(v)
       case "unique_samples" => size(collect_set(v)).cast(DoubleType)
-      case q if q.startsWith("quantile:") => percentile(v, lit(q.stripPrefix("quantile:").toDouble))
       case other => throw new IllegalArgumentException(s"unsupported output '$other'")
     }
+  }
+
+  /** one stacked-aggregation column: `quantiles(…)` fans out to one slot
+    * per phi with a `quantile` extra label (quantiles.go:32-36; exact
+    * percentile where the reference reservoir-samples past 1000 values —
+    * same deviation as Graphite percentiles, SURVEY §8.3). */
+  private case class Slot(label: String, agg: Column, extraTag: Option[String])
+
+  private def slotsOf(outputs: Seq[String]): Seq[Slot] = outputs.flatMap {
+    case q if q.startsWith("quantiles(") =>
+      parseQuantilePhis(q).map(phi => Slot("quantiles",
+        percentile(col("value"), lit(phi)),
+        Some(graft.graphite.GraphiteModel.goFmt(phi))))
+    case o => Seq(Slot(o, outputExpr(o), None))
   }
 
   /** batch dedup stage (lib/streamaggr/dedup.go): at most one sample per
@@ -126,20 +228,26 @@ object StreamAggr {
         to_json(array_sort(map_entries(col("tags")))))), cfg)
       .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
       .withColumn("t", expr(s"(ts div ${i}L) * ${i}L + ${i}L"))
-    val aggs = cfg.outputs.zipWithIndex.map { case (o, ix) => outputExpr(o).as(s"_o$ix") }
+    val slots = slotsOf(cfg.outputs)
+    val aggs = slots.zipWithIndex.map { case (s, ix) => s.agg.as(s"_o$ix") }
     val wide = keyed
       .groupBy(col("name"), col("_gt"), col("t"))
       .agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cfg.outputs.zipWithIndex
-      .map { case (o, ix) => s"'$o', _o$ix" }.mkString(", ")
+    val stackArgs = slots.zipWithIndex.map { case (s, ix) =>
+      val xt = s.extraTag.map(v => s"'$v'").getOrElse("CAST(NULL AS STRING)")
+      s"'${s.label}', $xt, _o$ix"
+    }.mkString(", ")
+    val gtMap = map_from_entries(from_json(col("_gt"),
+      lit("array<struct<key:string,value:string>>")))
     wide
       .select(col("name"), col("_gt"), col("t"),
-        expr(s"stack(${cfg.outputs.size}, $stackArgs) as (_out, value)"))
+        expr(s"stack(${slots.size}, $stackArgs) as (_out, _xt, value)"))
       .select(
         (if (cfg.keepMetricNames) outName(cfg, "")
          else concat(outName(cfg, ""), col("_out"))).as("name"),
-        map_from_entries(from_json(col("_gt"),
-          lit("array<struct<key:string,value:string>>"))).as("tags"),
+        when(col("_xt").isNotNull,
+          map_concat(gtMap, map(lit("quantile"), col("_xt"))))
+          .otherwise(gtMap).as("tags"),
         col("t"), col("value"))
       .filter(col("value").isNotNull)
   }
@@ -168,23 +276,29 @@ object StreamAggr {
           .drop("_db")
       case None => keyed0
     }
-    val aggs = cfg.outputs.zipWithIndex.map { case (o, ix) => outputExpr(o).as(s"_o$ix") }
+    val slots = slotsOf(cfg.outputs)
+    val aggs = slots.zipWithIndex.map { case (s, ix) => s.agg.as(s"_o$ix") }
     val wide = keyed
       .withColumn("ts", unix_millis(col("eventTime")))
       .groupBy(
         window(col("eventTime"), s"${cfg.intervalMs} milliseconds").as("w"),
         col("name"), col("_gt"))
       .agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cfg.outputs.zipWithIndex
-      .map { case (o, ix) => s"'$o', _o$ix" }.mkString(", ")
+    val stackArgs = slots.zipWithIndex.map { case (s, ix) =>
+      val xt = s.extraTag.map(v => s"'$v'").getOrElse("CAST(NULL AS STRING)")
+      s"'${s.label}', $xt, _o$ix"
+    }.mkString(", ")
+    val gtMap = map_from_entries(from_json(col("_gt"),
+      lit("array<struct<key:string,value:string>>")))
     wide
       .select(col("name"), col("_gt"), col("w"),
-        expr(s"stack(${cfg.outputs.size}, $stackArgs) as (_out, value)"))
+        expr(s"stack(${slots.size}, $stackArgs) as (_out, _xt, value)"))
       .select(
         (if (cfg.keepMetricNames) outName(cfg, "")
          else concat(outName(cfg, ""), col("_out"))).as("name"),
-        map_from_entries(from_json(col("_gt"),
-          lit("array<struct<key:string,value:string>>"))).as("tags"),
+        when(col("_xt").isNotNull,
+          map_concat(gtMap, map(lit("quantile"), col("_xt"))))
+          .otherwise(gtMap).as("tags"),
         unix_millis(col("w.end")).as("t"),
         col("value"))
       .filter(col("value").isNotNull)
@@ -385,10 +499,36 @@ object StreamAggr {
         to_json(array_sort(map_entries(col("tags")))))), cfg)
       .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
     val w = Window.partitionBy(col("_sk")).orderBy(col("ts"), col("value"))
-    keyed
+    // staleness (total.go:34-36): a series silent longer than the
+    // staleness interval loses its last-value state, so its next sample
+    // is treated as a first sample again. Event-time batch equivalent:
+    // gap > staleness ⇒ first-sample rule.
+    val isFirst = cfg.stalenessIntervalMs match {
+      case Some(s) => col("_pv").isNull || (col("ts") - col("_pts")) > lit(s)
+      case None => col("_pv").isNull
+    }
+    // ignore_first_sample_interval (total.go:32,96-100): first samples
+    // within the warmup span after the replay start contribute nothing
+    // even when keepFirstSample is set. The replay-start scalar comes
+    // from a broadcast 1-row aggregate, never a global window.
+    val needWarmup = keepFirstSample && cfg.ignoreFirstSampleIntervalMs.isDefined
+    val withMin =
+      if (needWarmup)
+        keyed.crossJoin(broadcast(samples.agg(min(col("ts")).as("_mints"))))
+      else keyed
+    val firstContribution: Column = {
+      val base = if (keepFirstSample) col("value") else lit(0.0)
+      cfg.ignoreFirstSampleIntervalMs match {
+        case Some(ms) if keepFirstSample =>
+          when(col("ts") < col("_mints") + lit(ms), lit(0.0)).otherwise(base)
+        case _ => base
+      }
+    }
+    withMin
       .withColumn("_pv", lag(col("value"), 1).over(w))
+      .withColumn("_pts", lag(col("ts"), 1).over(w))
       .withColumn("_winc",
-        when(col("_pv").isNull, if (keepFirstSample) col("value") else lit(0.0))
+        when(isFirst, firstContribution)
           .when(col("value") >= col("_pv"), col("value") - col("_pv"))
           .otherwise(col("value")))
       .withColumn("t", expr(s"(ts div ${i}L) * ${i}L + ${i}L"))
@@ -410,6 +550,30 @@ object StreamAggr {
       .withColumn("value", sum(col("_winc")).over(cum))
       .select(
         outName(cfg, if (keepFirstSample) "total" else "total_prometheus").as("name"),
+        map_from_entries(from_json(col("_gt"),
+          lit("array<struct<key:string,value:string>>"))).as("tags"),
+        col("t"), col("value"))
+  }
+
+  /** batch `sum_samples_total` (sum_samples.go:26-35 resetTotalOnFlush =
+    * false): per-interval sample sums accumulated per output group across
+    * flushes. The reference's float53 precision reset is a long-running-
+    * server safeguard, not replayed here. */
+  def sumSamplesTotalBatch(samples: DataFrame, cfg: Config): DataFrame = {
+    val i = cfg.intervalMs
+    val perWindow = dedupBatch(samples
+      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
+        to_json(array_sort(map_entries(col("tags")))))), cfg)
+      .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
+      .withColumn("t", expr(s"(ts div ${i}L) * ${i}L + ${i}L"))
+      .groupBy(col("name"), col("_gt"), col("t"))
+      .agg(sum(col("value")).as("_ws"))
+    val cum = Window.partitionBy(col("name"), col("_gt")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perWindow
+      .withColumn("value", sum(col("_ws")).over(cum))
+      .select(
+        outName(cfg, "sum_samples_total").as("name"),
         map_from_entries(from_json(col("_gt"),
           lit("array<struct<key:string,value:string>>"))).as("tags"),
         col("t"), col("value"))
@@ -440,7 +604,7 @@ object StreamAggr {
     val (stateful, stateless) = cfg.outputs.partition(o =>
       o == "total" || o == "total_prometheus" || o == "increase" ||
         o == "increase_prometheus" || o == "rate_sum" || o == "rate_avg" ||
-        o == "histogram_bucket")
+        o == "histogram_bucket" || o == "sum_samples_total")
     val parts =
       (if (stateless.nonEmpty)
         Seq(aggregateBatch(relabeled, cfg.copy(outputs = stateless))) else Nil) ++
@@ -452,8 +616,22 @@ object StreamAggr {
         case "rate_sum" => rateBatch(relabeled, cfg, isAvg = false)
         case "rate_avg" => rateBatch(relabeled, cfg, isAvg = true)
         case "histogram_bucket" => histogramBucketBatch(relabeled, cfg)
+        case "sum_samples_total" => sumSamplesTotalBatch(relabeled, cfg)
       }
-    val out = parts.reduce(_ unionByName _)
+    val unioned = parts.reduce(_ unionByName _)
+    // ignore_first_intervals (streamaggr.go:219-222): drop the first N
+    // flush intervals; the replay-start flush comes from a broadcast
+    // 1-row aggregate over the matched input.
+    val out =
+      if (cfg.ignoreFirstIntervals <= 0) unioned
+      else {
+        val i = cfg.intervalMs
+        val minFlush = relabeled.agg(
+          min(expr(s"(ts div ${i}L) * ${i}L + ${i}L")).as("_minflush"))
+        unioned.crossJoin(broadcast(minFlush))
+          .filter(col("t") >= col("_minflush") + lit(cfg.ignoreFirstIntervals * i))
+          .drop("_minflush")
+      }
     if (cfg.outputRelabel.isEmpty) out
     else graft.sources.Relabel.apply(
       out.withColumnRenamed("t", "ts"), cfg.outputRelabel)
@@ -533,6 +711,10 @@ object StreamAggr {
           .getOrElse(Nil)
       val interval = scalars.getOrElse("interval",
         throw new IllegalArgumentException("missing `interval` in stream aggregation config"))
+      def boolField(key: String): Boolean =
+        scalars.get(key).map(unq).contains("true")
+      def durField(key: String): Option[Long] =
+        scalars.get(key).map(d => graft.lang.Lexer.durationMs(unq(d), 0L))
       Config(
         intervalMs = graft.lang.Lexer.durationMs(unq(interval), 0L),
         by = listField("by"),
@@ -540,14 +722,22 @@ object StreamAggr {
         outputs = {
           val o = listField("outputs"); if (o.isEmpty) Seq("sum_samples") else o
         },
-        dedupIntervalMs = scalars.get("dedup_interval")
-          .map(d => graft.lang.Lexer.durationMs(unq(d), 0L)),
+        dedupIntervalMs = durField("dedup_interval"),
         name = scalars.get("name").map(unq).getOrElse(""),
         matchSelectors = listField("match"),
-        keepMetricNames = scalars.get("keep_metric_names").map(unq).contains("true"),
+        keepMetricNames = boolField("keep_metric_names"),
         dropInputLabels = listField("drop_input_labels"),
         inputRelabel = relabelField("input_relabel_configs"),
-        outputRelabel = relabelField("output_relabel_configs"))
+        outputRelabel = relabelField("output_relabel_configs"),
+        intervalRaw = unq(interval),
+        stalenessIntervalMs = durField("staleness_interval"),
+        ignoreFirstSampleIntervalMs = durField("ignore_first_sample_interval"),
+        ignoreFirstIntervals = scalars.get("ignore_first_intervals")
+          .map(v => unq(v).toInt).getOrElse(0),
+        ignoreOldSamples = boolField("ignore_old_samples"),
+        noAlignFlushToInterval = boolField("no_align_flush_to_interval"),
+        flushOnShutdown = boolField("flush_on_shutdown"),
+        enableWindows = boolField("enable_windows"))
     }
   }
 }

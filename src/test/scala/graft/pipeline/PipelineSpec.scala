@@ -45,6 +45,56 @@ class PipelineSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: got ${r.getString(1)}"))
   }
 
+  test("contamination: overlap counted against the benchmark set only") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),   // shares 3-grams with bench
+      (2L, "zeta eta theta iota kappa"),        // disjoint
+      (3L, "alpha beta gamma completely new")   // one shared 3-gram
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta unseen")).toDF("doc_id", "text")
+    val out = TextAnalysis.contamination(corpus, bench, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // doc1 grams: [abg, bgd, gde]; bench: [abg, bgd, gdu] → 2 shared
+    assert(out(1L)._1 == 2L && math.abs(out(1L)._2 - 2.0 / 3) < 1e-9)
+    assert(out(2L)._1 == 0L && out(2L)._2 == 0.0)
+    assert(out(3L)._1 == 1L)
+  }
+
+  test("stratified sample: deterministic, per-stratum rates, drops unmapped strata") {
+    val fr = Map("en" -> 0.3, "de" -> 0.8, "zh" -> 0.5)
+    val s1 = TextAnalysis.stratifiedSample(docs, "lang", fr)
+    val s2 = TextAnalysis.stratifiedSample(docs, "lang", fr)
+    assert(s1.collect().map(_.getLong(0)).toSeq ==
+      s2.collect().map(_.getLong(0)).toSeq) // no RNG: identical runs
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("fr") && !byLang.contains("es"))
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    fr.foreach { case (lang, f) =>
+      val rate = byLang.getOrElse(lang, 0L).toDouble / totals(lang)
+      assert(math.abs(rate - f) < 0.25, s"$lang rate $rate vs $f")
+    }
+  }
+
+  test("pii redaction replaces and counts emails, IPs, phone numbers") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@example.co.uk and carol@test.org here"),
+      (2L, "server at 192.168.0.1 port 80, call 555-123-4567"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(df).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._4 == "mail [EMAIL] and [EMAIL] here")
+    assert(out(2L)._2 == 1 && out(2L)._3 == 1 &&
+      out(2L)._4 == "server at [IP] port 80, call [PHONE]")
+    assert(out(3L) == ((0, 0, 0, "nothing sensitive here")))
+  }
+
   test("image decode is real: known PNG dims, gray luma, resize round trip") {
     import spark.implicits._
     // hand-made 20x10 PNG, solid gray 80

@@ -37,6 +37,125 @@ class StreamAggrSpec extends SparkSpec {
     assert(tags == Map("dc" -> "e")) // only by-labels survive
   }
 
+  test("config validation mirrors newAggregator (streamaggr.go:475-608)") {
+    def bad(f: => StreamAggr.Config): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(bad(StreamAggr.Config(500L)).contains("cannot be smaller than 1s"))
+    assert(bad(StreamAggr.Config(2000L, dedupIntervalMs = Some(3000L)))
+      .contains("cannot exceed interval"))
+    assert(bad(StreamAggr.Config(3000L, dedupIntervalMs = Some(2000L)))
+      .contains("must be a multiple of dedup_interval"))
+    assert(bad(StreamAggr.Config(2000L, stalenessIntervalMs = Some(1000L)))
+      .contains("staleness_interval"))
+    assert(bad(StreamAggr.Config(1000L, by = Seq("a"), without = Seq("b")))
+      .contains("cannot be set simultaneously"))
+    assert(bad(StreamAggr.Config(1000L, outputs = Nil)).contains("at least a single entry"))
+    assert(bad(StreamAggr.Config(1000L, outputs = Seq("max", "max")))
+      .contains("duplicate aggregation function"))
+    assert(bad(StreamAggr.Config(1000L, outputs = Seq("quantiles(0.5)", "quantiles(0.9)")))
+      .contains("duplicate aggregation function"))
+    assert(bad(StreamAggr.Config(1000L, outputs = Seq("p99"))).contains("unsupported output"))
+    assert(bad(StreamAggr.Config(1000L, outputs = Seq("quantiles(1.5)")))
+      .contains("must be in the range [0..1]"))
+    assert(bad(StreamAggr.Config(1000L, outputs = Seq("quantiles(")))
+      .contains("missing closing brace"))
+    assert(bad(StreamAggr.Config(1000L, outputs = Seq("quantiles()")))
+      .contains("at least one phi"))
+    assert(bad(StreamAggr.Config(1000L, outputs = Seq("histogram_bucket"),
+      keepMetricNames = true)).contains("cannot be applied"))
+    assert(bad(StreamAggr.Config(1000L, outputs = Seq("quantiles(0.5, 0.9)"),
+      keepMetricNames = true)).contains("cannot be applied"))
+    // single-phi quantiles + keep_metric_names is legal (one series out)
+    StreamAggr.Config(1000L, outputs = Seq("quantiles(0.5)"), keepMetricNames = true)
+  }
+
+  test("quantiles(...) output: per-phi series with a quantile label") {
+    val out = StreamAggr.aggregateBatch(in,
+      StreamAggr.Config(1000L, by = Seq("dc"), outputs = Seq("quantiles(0.5, 1)")))
+      .collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
+        r.getLong(2), r.getDouble(3))).toSet
+    // window (0,1000]: values 1,3,5 → q0.5=3, q1=5; phi strings Go-%g
+    assert(out.contains(("m:1s_by_dc_quantiles",
+      Map("dc" -> "e", "quantile" -> "0.5"), 1000L, 3.0)))
+    assert(out.contains(("m:1s_by_dc_quantiles",
+      Map("dc" -> "e", "quantile" -> "1"), 1000L, 5.0)))
+    assert(out.contains(("m:1s_by_dc_quantiles",
+      Map("dc" -> "e", "quantile" -> "0.5"), 2000L, 7.0)))
+  }
+
+  test("without-grouping suffix and label dropping (streamaggr.go:626-634)") {
+    val out = StreamAggr.aggregateBatch(in,
+      StreamAggr.Config(1000L, without = Seq("host"), outputs = Seq("min")))
+      .collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1).toMap,
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(out.contains(("m:1s_without_host_min", Map("dc" -> "e"), 1000L, 1.0)))
+  }
+
+  test("sum_samples_total accumulates interval sums across flushes") {
+    val out = StreamAggr.sumSamplesTotalBatch(in, StreamAggr.Config(1000L))
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set((1000L, 9.0), (2000L, 16.0)))
+  }
+
+  test("explicit staleness resets counter state after a silent gap") {
+    val counter = samples(
+      ("c", Map("i" -> "x"), 500L, 10.0),
+      ("c", Map("i" -> "x"), 900L, 14.0),    // +4
+      ("c", Map("i" -> "x"), 5900L, 100.0))  // 5s gap > 2s staleness
+    // without staleness: 100 >= 14 → +86; with: treated as a fresh series
+    val plain = StreamAggr.totalBatch(counter, StreamAggr.Config(1000L))
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(plain(6000L) == 100.0) // 10 + 4 + 86
+    val stale = StreamAggr.totalBatch(counter,
+      StreamAggr.Config(1000L, stalenessIntervalMs = Some(2000L)))
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(stale(6000L) == 114.0) // 10 + 4 + fresh first sample 100
+    val staleProm = StreamAggr.totalBatch(counter,
+      StreamAggr.Config(1000L, stalenessIntervalMs = Some(2000L)),
+      keepFirstSample = false)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(staleProm(6000L) == 4.0) // both first samples dropped
+  }
+
+  test("ignore_first_sample_interval suppresses early first samples") {
+    val counter = samples(
+      ("c", Map("i" -> "x"), 500L, 10.0),   // first sample inside warmup
+      ("c", Map("i" -> "x"), 900L, 14.0),
+      ("c", Map("i" -> "y"), 3500L, 50.0),  // first sample after warmup
+      ("c", Map("i" -> "y"), 3900L, 51.0))
+    val out = StreamAggr.totalBatch(counter,
+      StreamAggr.Config(1000L, ignoreFirstSampleIntervalMs = Some(2000L)))
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    // x's first sample (ts 500 < 500+2000) ignored: contributes only +4;
+    // y starts at 3500 ≥ 2500: contributes 50 + 1
+    assert(out(4000L) == 4.0 + 51.0)
+  }
+
+  test("ignore_first_intervals drops the replay's first N flushes") {
+    val yaml =
+      """- match: m
+        |  interval: 1s
+        |  outputs: [sum_samples]
+        |  ignore_first_intervals: 1
+        |  staleness_interval: 5s
+        |  ignore_old_samples: true
+        |  no_align_flush_to_interval: true
+        |  flush_on_shutdown: true
+        |  enable_windows: true
+        |""".stripMargin
+    val cfgs = StreamAggr.parseConfigs(yaml)
+    assert(cfgs.head.ignoreFirstIntervals == 1 &&
+      cfgs.head.stalenessIntervalMs.contains(5000L) &&
+      cfgs.head.ignoreOldSamples && cfgs.head.noAlignFlushToInterval &&
+      cfgs.head.flushOnShutdown && cfgs.head.enableWindows &&
+      cfgs.head.intervalRaw == "1s")
+    val out = StreamAggr.applyAll(in, cfgs)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set((2000L, 7.0))) // first flush at 1000 dropped
+  }
+
   test("full config pipeline: yaml parse, match, drop labels, relabel, keep names") {
     val yaml =
       """# the -streamAggr.config shape (streamaggr.go Config)
@@ -78,7 +197,7 @@ class StreamAggrSpec extends SparkSpec {
     // cfg1: match m only, keep_metric_names keeps "m", by dc, env added
     assert(out.contains(("m", Map("dc" -> "e", "env" -> "prod"), 1000L, 6.0)))
     // cfg2: match n, suffixed name, host dropped by without
-    assert(out.contains(("n:1s_max", Map.empty[String, String], 1000L, 2.0)))
+    assert(out.contains(("n:1s_without_host_max", Map.empty[String, String], 1000L, 2.0)))
     // "other" matched neither config
     assert(!out.exists(_._1.contains("other")))
     // keep_metric_names with several outputs is rejected at construction
