@@ -329,17 +329,26 @@ object Rollup {
     * into a single task (measured: a 30%-hot series turned a 3.1 s-ideal
     * merge stage into an 11.8 s straggler at 10× sf0.1; the hot variant
     * ran 1.5× slower than uniform despite doing LESS total work).
-    * `level1` must be materialized (localCheckpoint) so this probe costs
-    * a bucket-scale scan, not a window recompute. When one series' bucket
-    * share exceeds a few ideal task quanta, re-key the bucket rows by
-    * (series, bucket t): the explode then feeds a partial+final merge
-    * split across an exchange keyed with the window t, distributing the
-    * hot series over the grid (post-fix: hot 11.7 s → 8.8 s, now FASTER
-    * than uniform as its work is smaller). Uniform workloads keep the
-    * exchange-free plan.
+    *
+    * The probe counts SAMPLES per series on the pre-window input, not
+    * buckets on level1: a series' buckets ≤ its samples, so sample share
+    * is a conservative upper bound on bucket share (no false negatives;
+    * a rare false positive costs one bucket-scale shuffle). Probing the
+    * input lets ColumnPruning drop the prevPass Window operators from
+    * the probe plan entirely — it runs as a pruned scan+filter+count —
+    * where the original level1 probe needed localCheckpoint
+    * materialization of the bucket frame on EVERY query (measured:
+    * +1.0 s on uniform sf0.1 ro_tsbs_increase, 3.1 → 4.1 s; reverted
+    * round 7b). When one series' share exceeds a few ideal task quanta,
+    * re-key the bucket rows by (series, bucket t): the explode then
+    * feeds a partial+final merge split across an exchange keyed with the
+    * window t, distributing the hot series over the grid (post-fix: hot
+    * 11.7 s → 8.8 s, now FASTER than uniform as its work is smaller).
+    * Uniform workloads keep the fully pipelined exchange-free plan.
     */
-  private def antiSkew(level1: DataFrame, keys: Seq[String]): DataFrame = {
-    val stats = level1.groupBy(keys.map(col): _*).count()
+  private def antiSkew(input: DataFrame, level1: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val stats = input.groupBy(keys.map(col): _*).count()
       .agg(coalesce(max("count"), lit(0L)), coalesce(sum("count"), lit(0L))).head()
     val mx = stats.getLong(0)
     val total = stats.getLong(1)
@@ -434,7 +443,7 @@ object Rollup {
       .groupBy((keys.map(col) :+ col("t")): _*)
       .agg(min(edgeStruct).as("_pf1"), max(edgeStruct).as("_pl1"),
         count(lit(1)).as("_pcnt"), max(col("_mpi")).as("_pmpi"))
-    val exploded = antiSkew(level1.localCheckpoint(true), keys)
+    val exploded = antiSkew(filtered, level1, keys)
       .withColumn("_wt",
         explode(expr(s"sequence(t, t + ${windowMs - s}L, ${s}L)")))
       .filter(col("_wt") >= lit(start) && col("_wt") <= lit(grid.endMs))
