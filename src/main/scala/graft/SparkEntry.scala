@@ -1184,6 +1184,52 @@ object SparkEntry {
       "SELECT t.doc_id, total_ngrams, coalesce(h.c, 0) AS contaminated_ngrams, " +
       "round(1e-9 + coalesce(h.c, 0)::DOUBLE / greatest(total_ngrams, 1), 6) AS contamination_ratio " +
       "FROM t LEFT JOIN h ON h.doc_id = t.doc_id ORDER BY t.doc_id")),
+    // Gopher-style quality rules (Rae et al. 2021 §A1.1): line/word shape
+    // stats + composite keep flag, mirrored exactly in DuckDB
+    Q("doc_gopher_quality", (s, dir) =>
+      graft.pipeline.TextAnalysis.gopherQuality(docs(s, dir))
+        .select(col("doc_id"), col("n_words").cast("bigint").as("n_words"),
+          r6(col("mean_words_per_line")).as("mean_words_per_line"),
+          r6(col("symbol_ratio")).as("symbol_ratio"),
+          r6(col("frac_alpha_words")).as("frac_alpha_words"),
+          r6(col("frac_duplicate_lines")).as("frac_duplicate_lines"),
+          col("gopher_pass"))
+        .orderBy("doc_id"),
+      Some("WITH w AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines, " +
+        s"$SQL_TOKS AS words FROM documents), " +
+        "c AS (SELECT doc_id, len(words)::DOUBLE AS nw, len(lines)::DOUBLE AS nl, " +
+        """len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE AS aw, """ +
+        """(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE AS sym, """ +
+        """len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))::DOUBLE AS bl, """ +
+        """len(list_filter(lines, l -> regexp_matches(l, '\.\.\.\s*$')))::DOUBLE AS el, """ +
+        "(len(lines) - len(list_distinct(lines)))::DOUBLE / len(lines) AS dl, " +
+        """CASE WHEN len(words) > 0 THEN length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(words) ELSE 0 END AS mwl """ +
+        "FROM w) " +
+        "SELECT doc_id, nw::BIGINT AS n_words, round(1e-9 + nw / nl, 6) AS mean_words_per_line, " +
+        "round(1e-9 + sym / nw, 6) AS symbol_ratio, round(1e-9 + aw / nw, 6) AS frac_alpha_words, " +
+        "round(1e-9 + dl, 6) AS frac_duplicate_lines, " +
+        "(nw >= 50 AND nw <= 100000 AND mwl >= 3 AND mwl <= 10 AND sym / nw < 0.1 " +
+        "AND bl / nl < 0.9 AND el / nl < 0.3 AND aw / nw > 0.8 AND dl < 0.3) AS gopher_pass " +
+        "FROM c ORDER BY doc_id")),
+    // deterministic per-block next-fit sequence packing into 200-token
+    // bins; the oracle replays the same scan as a recursive CTE
+    Q("doc_pack_sequences", (s, dir) =>
+      graft.pipeline.TextAnalysis.packSequences(docs(s, dir), capacity = 200)
+        .select(col("doc_id"), col("n_tokens").cast("bigint").as("n_tokens"),
+          col("block"), col("bin").cast("bigint").as("bin"),
+          col("fill").cast("bigint").as("fill"))
+        .orderBy("doc_id"),
+      Some("WITH RECURSIVE d AS (SELECT doc_id, " +
+        s"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($SQL_TOKS) END AS n, " +
+        "doc_id // 256 AS block, " +
+        "row_number() OVER (PARTITION BY doc_id // 256 ORDER BY doc_id) AS rn FROM documents), " +
+        "p AS (SELECT block, rn, doc_id, n, 0 AS bin, n AS fill FROM d WHERE rn = 1 " +
+        "UNION ALL SELECT d.block, d.rn, d.doc_id, d.n, " +
+        "CASE WHEN p.fill + d.n > 200 THEN p.bin + 1 ELSE p.bin END, " +
+        "CASE WHEN p.fill + d.n > 200 THEN d.n ELSE p.fill + d.n END " +
+        "FROM p JOIN d ON d.block = p.block AND d.rn = p.rn + 1) " +
+        "SELECT doc_id, n::BIGINT AS n_tokens, block, bin::BIGINT AS bin, " +
+        "fill::BIGINT AS fill FROM p ORDER BY doc_id")),
     // deterministic stratified sampling via a multiplicative id hash —
     // strata absent from the fraction map (es, fr) are dropped
     Q("doc_stratified_sample", (s, dir) =>

@@ -159,6 +159,77 @@ object TextAnalysis {
     df.filter(cond)
   }
 
+  /** Gopher-style document-quality rules (Rae et al. 2021 §A1.1, the
+    * standard repetition/format filters run before training): line and
+    * word shape statistics plus the composite keep/drop flag. Pure
+    * per-row column expressions — codegen'd, zero shuffle.
+    */
+  def gopherQuality(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n", -1)
+    val nLines = size(lines).cast(DoubleType) // split never yields []
+    val words = wsTokens(t)
+    val nWords = size(words).cast(DoubleType)
+    val alphaWords = size(filter(words, w => w.rlike("[A-Za-z]"))).cast(DoubleType)
+    val symbols = (regexp_count(t, lit("#")) +
+      regexp_count(t, lit("\\.\\.\\."))).cast(DoubleType)
+    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]"))).cast(DoubleType)
+    val ellipsisLines = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast(DoubleType)
+    val dupLines = (nLines - size(array_distinct(lines)).cast(DoubleType)) / nLines
+    val meanWordLen = when(nWords > 0,
+      length(regexp_replace(t, "\\s+", "")).cast(DoubleType) / nWords).otherwise(0.0)
+    val symbolRatio = when(nWords > 0, symbols / nWords).otherwise(0.0)
+    val alphaRatio = when(nWords > 0, alphaWords / nWords).otherwise(0.0)
+    df.withColumn("n_words", size(words))
+      .withColumn("mean_words_per_line", nWords / nLines)
+      .withColumn("symbol_ratio", symbolRatio)
+      .withColumn("frac_bullet_lines", bulletLines / nLines)
+      .withColumn("frac_ellipsis_lines", ellipsisLines / nLines)
+      .withColumn("frac_alpha_words", alphaRatio)
+      .withColumn("frac_duplicate_lines", dupLines)
+      .withColumn("gopher_pass",
+        nWords >= 50 && nWords <= 100000 &&
+          meanWordLen >= 3 && meanWordLen <= 10 &&
+          symbolRatio < 0.1 &&
+          bulletLines / nLines < 0.9 &&
+          ellipsisLines / nLines < 0.3 &&
+          alphaRatio > 0.8 &&
+          dupLines < 0.3)
+  }
+
+  /** Sequence packing: pack documents into fixed-capacity token bins with
+    * a deterministic next-fit scan inside fixed doc-id blocks — the
+    * standard pre-tokenization packing step for LLM training batches.
+    * Packing is inherently sequential, so the distributed form makes the
+    * sequence PER BLOCK: blocks pack independently in parallel (each
+    * bounded by `blockSize` docs), bins are (block, bin) pairs, and the
+    * result is reproducible regardless of partitioning. A document larger
+    * than `capacity` gets its own bin.
+    */
+  def packSequences(docs: DataFrame, capacity: Int, blockSize: Int = 256,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        tokenCount(col(textCol)).cast("int").as("n_tokens"))
+      .withColumn("block", floor(col("doc_id") / blockSize).cast("long"))
+      .as[(Long, Int, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (block, it) =>
+        val ds = it.toArray.sortBy(_._1)
+        var bin = 0
+        var fill = -1 // sentinel: first doc always opens bin 0
+        ds.iterator.map { case (id, n, _) =>
+          if (fill < 0) fill = n
+          else if (fill + n > capacity) { bin += 1; fill = n }
+          else fill += n
+          (id, n, block, bin, fill)
+        }
+      }
+      .toDF("doc_id", "n_tokens", "block", "bin", "fill")
+  }
+
   /** PII detection + redaction: emails, IPv4 addresses and phone-shaped
     * digit runs are counted and replaced with typed placeholder tokens.
     * Pure per-row regex work (codegen'd, zero shuffle); the patterns are

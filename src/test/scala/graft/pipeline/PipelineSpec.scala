@@ -79,6 +79,51 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("gopher quality: line stats and the composite flag") {
+    import spark.implicits._
+    val good = ("w " * 60).trim // 60 short words, no symbols
+    val bullets = (1 to 10).map(i => s"- item $i word word word word").mkString("\n")
+    val dups = (Seq.fill(8)("same line of text") :+ "unique").mkString("\n")
+    val df = Seq(
+      (1L, good), (2L, bullets), (3L, dups),
+      (4L, "#### ### ## # " + ("word " * 60).trim) // symbol-heavy: 10/64 > 0.1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).getAs[Boolean]("gopher_pass")) // mean_word_len 1 < 3
+    val b = out(2L)
+    assert(b.getAs[Double]("frac_bullet_lines") == 1.0 &&
+      !b.getAs[Boolean]("gopher_pass")) // all lines bullets ≥ 0.9
+    val d = out(3L)
+    assert(math.abs(d.getAs[Double]("frac_duplicate_lines") - 7.0 / 9) < 1e-9 &&
+      !d.getAs[Boolean]("gopher_pass"))
+    assert(out(4L).getAs[Double]("symbol_ratio") > 0.09 &&
+      !out(4L).getAs[Boolean]("gopher_pass"))
+  }
+
+  test("sequence packing: deterministic per-block next-fit") {
+    import spark.implicits._
+    // block 0: ids 0-3; capacity 10
+    val df = Seq(
+      (0L, "a b c d e f"),       // 6 tokens → bin 0 fill 6
+      (1L, "a b c d e"),         // 5 → overflow → bin 1 fill 5
+      (2L, "a b c"),             // 3 → bin 1 fill 8
+      (3L, ("x " * 15).trim),    // 15 > capacity → own bin 2, fill 15
+      (256L, "a b")              // new block → bin 0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(df, capacity = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out(0L) == ((0L, 0, 6)))
+    assert(out(1L) == ((0L, 1, 5)))
+    assert(out(2L) == ((0L, 1, 8)))
+    assert(out(3L) == ((0L, 2, 15)))
+    assert(out(256L) == ((1L, 0, 2)))
+    // repartitioned input packs identically (order from sort, not layout)
+    val out2 = TextAnalysis.packSequences(df.repartition(7), capacity = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3), r.getInt(4))).toMap
+    assert(out2 == out)
+  }
+
   test("pii redaction replaces and counts emails, IPs, phone numbers") {
     import spark.implicits._
     val df = Seq(
