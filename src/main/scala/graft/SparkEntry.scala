@@ -1317,6 +1317,33 @@ object SparkEntry {
         s"epoch_ms(ts::TIMESTAMP) AS tms, value, row_number() OVER (PARTITION BY event_type, user_id, " +
         s"((epoch_ms(ts::TIMESTAMP) + ${6 * H - 1}) // ${6 * H}) * ${6 * H} " +
         "ORDER BY tms DESC, value DESC) AS rn FROM events) WHERE rn = 1 ORDER BY name, user_id, ts")),
+    // multi-level downsampling (-downsampling.period, README Downsampling):
+    // click series use their own 7d:6h filter (first match wins, so the
+    // default levels never apply to them); everything else tiers at
+    // 21d:1d then 42d:2d from a fixed reference "now" of 2024-02-15
+    Q("ev_downsample", (s, dir) => {
+      val periods = graft.pipeline.Dedup.parseDownsamplingPeriods(
+        """{__name__="click"}:7d:6h,21d:1d,42d:2d""")
+      graft.pipeline.Dedup.downsample(Samples.fromEvents(s, dir), periods,
+        nowMs = 1707955200000L)
+        .select(col("name"),
+          col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("ts"), col("value"))
+        .orderBy("name", "user_id", "ts")
+    }, Some {
+      val now = 1707955200000L
+      val (d7, h6, d21, d1, d42, d2) =
+        (7 * D, 6 * H, 21 * D, D, 42 * D, 2 * D)
+      s"WITH s AS (SELECT event_type AS nm, user_id, epoch_ms(ts::TIMESTAMP) AS t, value FROM events), " +
+        s"i AS (SELECT *, CASE WHEN nm = 'click' THEN " +
+        s"(CASE WHEN $now - t > $d7 THEN $h6 ELSE 0 END) ELSE " +
+        s"(CASE WHEN $now - t > $d42 THEN $d2 WHEN $now - t > $d21 THEN $d1 ELSE 0 END) END AS iv FROM s), " +
+        "b AS (SELECT *, CASE WHEN iv > 0 THEN ((t + iv - 1) // iv) * iv ELSE t END AS bkt FROM i), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY nm, user_id, iv, bkt " +
+        "ORDER BY t DESC, value DESC) AS rn FROM b) " +
+        "SELECT nm AS name, user_id, t AS ts, value FROM r WHERE rn = 1 " +
+        "ORDER BY name, user_id, ts"
+    }),
     // multimodal plumbing (stubbed decode) — rows-only
     // REAL decode gate: encode one PNG per document (dims + gray level
     // arithmetic in doc_id), decode with javax.imageio, and let the SQL

@@ -437,4 +437,101 @@ object Dedup {
       .agg(max(struct(col("ts"), col("value"))).as("_w"))
       .select((keys.map(col) :+ col("_w.ts").as("ts") :+ col("_w.value").as("value")): _*)
   }
+
+  // ---- multi-level downsampling (-downsampling.period) -----------------
+
+  /** One `[filter:]offset:interval` downsampling level (the reference's
+    * enterprise `-downsampling.period` flag, docs/victoriametrics/
+    * README.md "Downsampling"): keep the last raw sample per `interval`
+    * for samples older than `offset`, optionally only for series
+    * matching `selector`. `0s:0s` with a selector exempts those series.
+    */
+  final case class DownsamplePeriod(
+      selector: Option[String], offsetMs: Long, intervalMs: Long)
+
+  /** Parse the flag value, with the documented validation: `offset` a
+    * multiple of `interval`, and per-filter interval sets pairwise
+    * multiples with distinct offsets. Top-level commas inside `{...}`
+    * selectors don't split.
+    */
+  def parseDownsamplingPeriods(flag: String): Seq[DownsamplePeriod] = {
+    def splitTop(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var depth = 0; val cur = new StringBuilder
+      s.foreach {
+        case '{' => depth += 1; cur += '{'
+        case '}' => depth -= 1; cur += '}'
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case c => cur += c
+      }
+      out += cur.result()
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+    val periods = splitTop(flag).map { part =>
+      val (sel, rest) =
+        if (part.startsWith("{")) {
+          val ci = part.indexOf("}:")
+          require(ci > 0, s"cannot parse downsampling period: $part")
+          (Some(part.substring(0, ci + 1)), part.substring(ci + 2))
+        } else (None, part)
+      val xs = rest.split(':')
+      require(xs.length == 2,
+        s"downsampling period must be in 'offset:interval' format; got $part")
+      val off = graft.lang.Lexer.durationMs(xs(0).trim, 0L)
+      val iv = graft.lang.Lexer.durationMs(xs(1).trim, 0L)
+      require(iv == 0 || off % iv == 0,
+        s"downsampling offset must be a multiple of interval; got $part")
+      DownsamplePeriod(sel, off, iv)
+    }
+    periods.groupBy(_.selector).foreach { case (sel, ps) =>
+      require(ps.map(_.offsetMs).distinct.size == ps.size,
+        s"duplicate downsampling offsets for filter $sel")
+      val ivs = ps.map(_.intervalMs).filter(_ > 0).sorted
+      ivs.zip(ivs.drop(1)).foreach { case (a, b) =>
+        require(b % a == 0,
+          s"downsampling intervals for a single filter must be multiples of each other; got $ivs")
+      }
+    }
+    periods
+  }
+
+  /** Apply multi-level downsampling to a samples frame (name, tags, ts,
+    * value): per sample, the FIRST period filter (in flag order) that
+    * matches its series wins, and within that filter the level with the
+    * largest `offset` older than the sample applies; series matching no
+    * filter are left raw. Keeps the max-timestamp sample per series per
+    * end-aligned interval, exactly like [[dedupSamples]].
+    *
+    * Scale: a pure per-row tier expression followed by ONE hash
+    * aggregation keyed on (series, interval, bucket) — the same shape as
+    * storage-side dedup, no window, no second shuffle.
+    */
+  def downsample(samples: DataFrame, periods: Seq[DownsamplePeriod],
+      nowMs: Long): DataFrame = {
+    val age = lit(nowMs) - col("ts")
+    // config-order groups: first matching filter wins (README Downsampling)
+    val groupOrder = periods.map(_.selector).distinct
+    val interval = groupOrder.foldRight(lit(0L)) { case (sel, acc) =>
+      val levels = periods.filter(_.selector == sel).sortBy(-_.offsetMs)
+      val chain = levels.foldLeft(when(lit(false), lit(0L))) { (c, p) =>
+        c.when(age > lit(p.offsetMs), lit(p.intervalMs))
+      }.otherwise(lit(0L))
+      val pred = sel.map(graft.api.Api.selectorPredicate).getOrElse(lit(true))
+      when(pred, chain).otherwise(acc)
+    }
+    val keyed = samples
+      .withColumn("_iv", interval)
+      .withColumn("_bkt",
+        when(col("_iv") > 0,
+          expr("((ts + _iv - 1) div _iv) * _iv")).otherwise(col("ts")))
+      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
+        to_json(array_sort(map_entries(col("tags"))))))
+    keyed
+      .groupBy(col("_sk"), col("_iv"), col("_bkt"))
+      .agg(max_by(
+        struct(col("name"), col("tags"), col("ts"), col("value")),
+        struct(col("ts"), col("value"))).as("_w"))
+      .select(col("_w.name").as("name"), col("_w.tags").as("tags"),
+        col("_w.ts").as("ts"), col("_w.value").as("value"))
+  }
 }

@@ -111,4 +111,47 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(out.toSeq === Seq(("a", 2000L, 5.0), ("a", 11000L, 3.0), ("b", 500L, 9.0)))
   }
+
+  test("downsampling flag parse: selectors, validation errors") {
+    val ps = Dedup.parseDownsamplingPeriods(
+      """{__name__=~"node_.*,proc.*"}:1d:1m,30d:5m,180d:1h""")
+    assert(ps.length == 3 &&
+      ps.head.selector.contains("""{__name__=~"node_.*,proc.*"}""") &&
+      ps.head.offsetMs == 86400000L && ps.head.intervalMs == 60000L &&
+      ps(1).selector.isEmpty)
+    def bad(f: String): String =
+      intercept[IllegalArgumentException](Dedup.parseDownsamplingPeriods(f)).getMessage
+    assert(bad("30d:7m").contains("multiple of interval")) // 30d % 7m != 0
+    assert(bad("30d:5m,60d:8m").contains("multiples of each other"))
+    assert(bad("30d:5m,30d:10m") // 30d dup offset (10m divides into... ) — offsets clash
+      .contains("duplicate downsampling offsets"))
+    assert(bad("30d").contains("offset:interval"))
+  }
+
+  test("downsample: first matching filter wins, tiers by age, 0s:0s exempts") {
+    import spark.implicits._
+    val now = 100000L
+    val rows = Seq(
+      // click matches its own filter: >10s old → 10s end-aligned buckets
+      ("click", Map("user_id" -> "1"), 52000L, 1.0),  // bucket 60000 → dropped
+      ("click", Map("user_id" -> "1"), 55000L, 2.0),  // bucket 60000 → kept
+      ("click", Map("user_id" -> "1"), 95000L, 3.0),  // younger than 10s offset → raw
+      // view matches only the default levels: >20s → 20s buckets, >80s → 40s
+      ("view", Map("user_id" -> "1"), 70000L, 4.0),
+      ("view", Map("user_id" -> "1"), 75000L, 5.0),   // same 20s bucket → dropped
+      ("view", Map("user_id" -> "1"), 10000L, 6.0),   // age 90s > 80s → 40s bucket
+      ("view", Map("user_id" -> "1"), 15000L, 7.0),   // same 40s bucket → kept (later)
+      // exempted series: never downsampled despite matching default ages
+      ("keepme", Map("user_id" -> "1"), 50000L, 8.0),
+      ("keepme", Map("user_id" -> "1"), 51000L, 9.0))
+      .toDF("name", "tags", "ts", "value")
+    val periods = Dedup.parseDownsamplingPeriods(
+      """{__name__="keepme"}:0s:0s,{__name__="click"}:10s:10s,20s:20s,80s:40s""")
+    val out = Dedup.downsample(rows, periods, now)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set(
+      ("click", 55000L, 2.0), ("click", 95000L, 3.0),
+      ("view", 75000L, 5.0), ("view", 15000L, 7.0),
+      ("keepme", 50000L, 8.0), ("keepme", 51000L, 9.0)))
+  }
 }
