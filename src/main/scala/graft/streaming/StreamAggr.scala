@@ -304,6 +304,34 @@ object StreamAggr {
       .filter(col("value").isNotNull)
   }
 
+  /** Streaming form of the full config pipeline: `match` filter →
+    * `drop_input_labels` → `input_relabel_configs` → windowed aggregate
+    * → `output_relabel_configs`, all per-row/streaming-safe (the relabel
+    * pass compiles to one row expression). `ignore_old_samples` maps to
+    * the watermark: late data beyond `watermarkDelay` is dropped.
+    */
+  def aggregateConfigured(
+      stream: DataFrame,
+      cfg: Config,
+      watermarkDelay: String = "10 seconds"): DataFrame = {
+    val matched =
+      if (cfg.matchSelectors.isEmpty) stream
+      else stream.filter(
+        cfg.matchSelectors.map(graft.api.Api.selectorPredicate).reduce(_ || _))
+    val dropped =
+      if (cfg.dropInputLabels.isEmpty) matched
+      else matched.withColumn("tags",
+        map_filter(col("tags"), (k, _) => !k.isInCollection(cfg.dropInputLabels)))
+    val relabeled =
+      if (cfg.inputRelabel.isEmpty) dropped
+      else graft.sources.Relabel.apply(dropped, cfg.inputRelabel)
+    val out = aggregate(relabeled, cfg, watermarkDelay)
+    if (cfg.outputRelabel.isEmpty) out
+    else graft.sources.Relabel.apply(
+      out.withColumnRenamed("t", "ts"), cfg.outputRelabel)
+      .withColumnRenamed("ts", "t")
+  }
+
   // ------------------------------------------------------------------
   // stateful counter outputs — lib/streamaggr/{total,rate}.go
   // ------------------------------------------------------------------

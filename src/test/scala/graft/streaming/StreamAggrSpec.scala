@@ -247,6 +247,40 @@ class StreamAggrSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming config pipeline: match + relabel + quantile label on a live stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val mem = MemoryStream[(String, Long, Double)]
+    val stream = mem.toDF().toDF("name", "ts", "value")
+      .withColumn("tags", map(lit("host"), lit("h"), lit("junk"), lit("x")))
+      .withColumn("eventTime", timestamp_millis(col("ts")))
+    val cfg = StreamAggr.parseConfigs(
+      """- match: m
+        |  interval: 1s
+        |  outputs: ['quantiles(0.5)']
+        |  by: [host]
+        |  drop_input_labels: [junk]
+        |  output_relabel_configs:
+        |  - target_label: env
+        |    replacement: prod
+        |""".stripMargin).head
+    val out = StreamAggr.aggregateConfigured(stream, cfg)
+    val query = out.writeStream.format("memory").queryName("sac_out")
+      .outputMode("update").start()
+    try {
+      mem.addData(("m", 100L, 1.0), ("m", 600L, 3.0), ("other", 700L, 9.0))
+      query.processAllAvailable()
+      val rows = spark.table("sac_out").collect()
+        .map(r => (r.getString(0),
+          Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
+          r.getLong(2), r.getDouble(3))).toSet
+      assert(rows.contains(("m:1s_by_host_quantiles",
+        Map("host" -> "h", "quantile" -> "0.5", "env" -> "prod"), 1000L, 2.0)))
+      assert(!rows.exists(_._1.contains("other")))
+    } finally query.stop()
+  }
+
   test("ingest end-to-end: prometheus text stream → parse → window aggregate") {
     val s = spark
     import s.implicits._
