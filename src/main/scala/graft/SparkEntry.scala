@@ -1308,6 +1308,14 @@ object SparkEntry {
       graft.pipeline.Similarity.ivfTopK(embs(s, dir), embs(s, dir).filter(col("vec_id") < 10), 5)
         .orderBy("q_id", "rank"),
       None),
+    // product-quantization candidate generation (codebook-dependent →
+    // rows-only; PipelineSpec gates recall vs brute force)
+    Q("emb_pq_topk", (s, dir) => {
+      val books = graft.pipeline.Similarity.pqTrain(embs(s, dir), m = 16, k = 16, iters = 3)
+      graft.pipeline.Similarity.pqTopK(
+        embs(s, dir), embs(s, dir).filter(col("vec_id") < 10), books, 5)
+        .orderBy("q_id", "rank")
+    }, None),
     // storage-side sample dedup (-dedup.minScrapeInterval semantics)
     Q("ev_dedup_samples", (s, dir) =>
       graft.pipeline.Dedup.dedupSamples(ev(s, dir), Seq("name", "user_id"), 6 * H)

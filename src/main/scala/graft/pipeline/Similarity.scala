@@ -415,4 +415,130 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "c_id", "approx_cosine", "rank")
   }
+
+  // ---- product quantization (PQ) ---------------------------------------
+
+  /** Train PQ codebooks: split the (normalized) dimension into `m`
+    * subspaces and run Lloyd's k-means with `k` codewords per subspace.
+    * All subspaces train together — ONE explode to (id, subspace,
+    * subvector) rows, checkpointed once, then one groupBy(subspace,
+    * codeword) per iteration; init is m bounded TakeOrdered scans (the
+    * IVF init pattern). At the 100-TB scale the corpus passed here is a
+    * bounded training sample (standard PQ practice); encode/query scale
+    * to the full corpus.
+    * Returns codebooks(m)(k)(subDim).
+    */
+  def pqTrain(corpus: DataFrame, m: Int = 8, k: Int = 16, iters: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    val base = corpus.select(col(idCol).as("_id"), normalized(col(vecCol)).as("_v"))
+      .filter(size(col("_v")) > 0)
+    val dim = base.select(size(col("_v"))).head().getInt(0)
+    require(dim % m == 0, s"embedding dim $dim must be a multiple of m=$m")
+    val sub = dim / m
+    val svs = base.select(col("_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        i => slice(col("_v"), i * lit(sub) + 1, lit(sub)))))
+      .toDF("_id", "_mi", "_s")
+      .localCheckpoint(true)
+    val books: Array[Array[Array[Double]]] = (0 until m).map { mi =>
+      svs.filter(col("_mi") === mi)
+        .orderBy(xxhash64(col("_id"), lit(mi)), col("_id"))
+        .limit(k).collect().map(_.getSeq[Double](2).toArray)
+    }.toArray
+    var it = 0
+    while (it < iters) {
+      val cur = books.map(_.map(_.clone()))
+      val assign = udf { (mi: Int, s: Seq[Double]) =>
+        val book = cur(mi)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          var d = 0.0; var i = 0
+          while (i < s.length) { val t = s(i) - book(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      svs.withColumn("_c", assign(col("_mi"), col("_s")))
+        .groupBy(col("_mi"), col("_c"))
+        .agg(array((0 until sub).map(i => avg(col("_s").getItem(i))): _*).as("_mean"))
+        .collect()
+        .foreach { r => // empty cells keep their previous codeword (Lloyd)
+          books(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+        }
+      it += 1
+    }
+    books
+  }
+
+  /** Encode each vector as m codeword bytes (nearest sub-centroid per
+    * subspace) — 1 byte per subspace vs 4 per float dimension, the
+    * compression that lets a 100-TB embedding corpus sit in memory.
+    */
+  def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val enc = udf { (v: Seq[Double]) =>
+      val out = new Array[Byte](m)
+      var mi = 0
+      while (mi < m) {
+        val book = books(mi)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          var d = 0.0; var i = 0
+          while (i < sub) { val t = v(mi * sub + i) - book(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        out(mi) = best.toByte
+        mi += 1
+      }
+      out
+    }
+    corpus.select(col(idCol).as("c_id"),
+      enc(normalized(col(vecCol)).cast("array<double>")).as("code"))
+  }
+
+  /** PQ asymmetric-distance top-k: per query, a lookup table of
+    * (subspace × codeword) partial dot products against the NORMALIZED
+    * query; a corpus row's approximate cosine is the sum of its m table
+    * entries. Queries+LUTs broadcast, corpus codes scanned once —
+    * byte-per-subspace traffic in the pair stage, same plan shape as the
+    * int8 path. Exact re-ranking of the survivors is [[bruteForceTopK]]
+    * on the candidate ids.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      books: Array[Array[Array[Double]]], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = books.length
+    val sub = books(0)(0).length
+    val lutUdf = udf { (q: Seq[Double]) =>
+      books.zipWithIndex.map { case (book, mi) =>
+        book.map { cw =>
+          var s = 0.0; var i = 0
+          while (i < sub) { s += q(mi * sub + i) * cw(i); i += 1 }
+          s
+        }.toSeq
+      }.toSeq
+    }
+    val score = udf { (lut: Seq[Seq[Double]], code: Array[Byte]) =>
+      var s = 0.0; var mi = 0
+      while (mi < code.length) { s += lut(mi)(code(mi) & 0xff); mi += 1 }
+      s
+    }
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      lutUdf(normalized(col(vecCol)).cast("array<double>")).as("_lut")))
+    val codes = pqEncode(corpus, books, idCol, vecCol)
+    q.crossJoin(codes)
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx_cosine", score(col("_lut"), col("code")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("approx_cosine").desc, col("c_id").asc)))
+      .filter(col("rank") <= k)
+      .select("q_id", "c_id", "approx_cosine", "rank")
+  }
 }

@@ -255,6 +255,35 @@ class PipelineSpec extends SparkSpec {
     assert(codeLen == dim)
   }
 
+  test("PQ top-k: codes are m bytes, recall beats chance, self-neighbors survive") {
+    val embs = Samples.table(spark, sfDir, "embeddings").cache()
+    val queries = embs.filter(col("vec_id") < 20)
+    val books = Similarity.pqTrain(embs, m = 16, k = 16, iters = 3)
+    assert(books.length == 16 && books.forall(_.length == 16) &&
+      books.forall(_.forall(_.length == 4)))
+    val codes = Similarity.pqEncode(embs, books)
+    assert(codes.select(length(col("code"))).head().getInt(0) == 16)
+    val truth = Similarity.bruteForceTopK(embs, queries, 10)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // PQ is a CANDIDATE GENERATOR: the contract is that a top-40
+    // candidate sweep captures most exact top-10 neighbors before the
+    // exact re-rank stage (bruteForceTopK over the survivors)
+    val cands = Similarity.pqTopK(embs, queries, books, 40)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candRecall = truth.count(cands.contains).toDouble / truth.size
+    assert(candRecall >= 0.6, s"PQ candidate recall too low: $candRecall")
+    val direct = Similarity.pqTopK(embs, queries, books, 10)
+      .select("q_id", "c_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(direct.contains).toDouble / truth.size
+    assert(recall >= 0.2, s"PQ direct recall far below signal: $recall")
+    // deterministic: retraining yields identical codebooks
+    val books2 = Similarity.pqTrain(embs, m = 16, k = 16, iters = 3)
+    assert(books.flatten.flatten.toSeq == books2.flatten.flatten.toSeq)
+  }
+
   test("IVF nprobe recall vs brute force; wider probing dominates") {
     val embs = Samples.table(spark, sfDir, "embeddings").cache()
     val queries = embs.filter(col("vec_id") < 20)
