@@ -1086,6 +1086,7 @@ object SparkEntry {
   private def embs(s: SparkSession, dir: String): DataFrame = Samples.table(s, dir, "embeddings")
 
   private val SQL_TOKS = """string_split_regex(trim(text), '\s+')"""
+  private val SQL_LTOKS = """string_split_regex(lower(trim(text)), '\s+')"""
 
   private val pipelineQueries: Seq[Q] = Seq(
     Q("doc_tokens", (s, dir) =>
@@ -1266,6 +1267,66 @@ object SparkEntry {
         s"'$ip', '[IP]', 'g'), '$phone', '[PHONE]', 'g') AS redacted " +
         "FROM a ORDER BY doc_id"
     }),
+    // Okapi BM25 query scoring (Lucene-style non-negative idf) — the
+    // corpus-slicing primitive for targeted eval-topic retrieval
+    Q("doc_bm25", (s, dir) =>
+      graft.pipeline.Retrieval.bm25(docs(s, dir), Seq("hash", "table", "scan"))
+        .select(col("doc_id"), r6(col("score")).as("score"),
+          col("n_matched").cast("bigint").as("n_matched"))
+        .orderBy("doc_id"),
+      Some("WITH tok AS (SELECT doc_id, " +
+        s"list_filter($SQL_LTOKS, t -> len(t) > 0) AS toks FROM documents), " +
+        "stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tok), " +
+        "e AS (SELECT doc_id, len(toks) AS doc_len, unnest(toks) AS term FROM tok), " +
+        "post AS (SELECT doc_id, doc_len, term, count(*) AS tf FROM e " +
+        "WHERE term IN ('hash','table','scan') GROUP BY 1, 2, 3), " +
+        "dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1) " +
+        "SELECT doc_id, round(1e-9 + sum(ln(1 + (n - df + 0.5) / (df + 0.5)) * " +
+        "tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * doc_len / avgdl))), 6) AS score, " +
+        "count(*) AS n_matched FROM post JOIN dft USING (term) CROSS JOIN stats " +
+        "GROUP BY doc_id ORDER BY doc_id")),
+    // per-doc top-N TF-IDF terms (smoothed idf), deterministic tie-break
+    Q("doc_tfidf_terms", (s, dir) =>
+      graft.pipeline.Retrieval.tfidfTopTerms(docs(s, dir), 3)
+        .select(col("doc_id"), col("term"), col("tf").cast("bigint").as("tf"),
+          col("df").cast("bigint").as("df"), r6(col("tfidf")).as("tfidf"),
+          col("rank").cast("bigint").as("rank"))
+        .orderBy("doc_id", "rank"),
+      Some("WITH tok AS (SELECT doc_id, " +
+        s"list_filter($SQL_LTOKS, t -> len(t) > 0) AS toks FROM documents), " +
+        "n AS (SELECT count(*) AS n_docs FROM tok), " +
+        "e AS (SELECT doc_id, unnest(toks) AS term FROM tok), " +
+        "post AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2), " +
+        "dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM post GROUP BY 1), " +
+        "r AS (SELECT doc_id, term, tf, df, " +
+        "tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS tfidf, " +
+        "row_number() OVER (PARTITION BY doc_id ORDER BY " +
+        "tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) DESC, term ASC) AS rank " +
+        "FROM post JOIN dft USING (term) CROSS JOIN n) " +
+        "SELECT doc_id, term, tf, df, round(1e-9 + tfidf, 6) AS tfidf, rank " +
+        "FROM r WHERE rank <= 3 ORDER BY doc_id, rank")),
+    // DSIR importance weights: unigram log-likelihood ratio of a target
+    // slice (doc_id % 97 = 0) vs the raw corpus, add-one smoothed
+    Q("doc_dsir_weights", (s, dir) => {
+      val d = docs(s, dir)
+      graft.pipeline.Retrieval.dsirWeights(d, d.filter(col("doc_id") % 97 === 0))
+        .select(col("doc_id"), r6(col("dsir_weight")).as("dsir_weight"),
+          col("n_terms").cast("bigint").as("n_terms"))
+        .orderBy("doc_id")
+    }, Some("WITH tok AS (SELECT doc_id, " +
+      s"list_filter($SQL_LTOKS, t -> len(t) > 0) AS toks FROM documents), " +
+      "e AS (SELECT doc_id, unnest(toks) AS term FROM tok), " +
+      "post AS (SELECT doc_id, term, count(*) AS tf FROM e GROUP BY 1, 2), " +
+      "rawc AS (SELECT term, sum(tf) AS raw_n FROM post GROUP BY 1), " +
+      "tgtc AS (SELECT term, sum(tf) AS tgt_n FROM post WHERE doc_id % 97 = 0 GROUP BY 1), " +
+      "j AS (SELECT term, coalesce(raw_n, 0) AS raw_n, coalesce(tgt_n, 0) AS tgt_n " +
+      "FROM rawc FULL OUTER JOIN tgtc USING (term)), " +
+      "tot AS (SELECT sum(raw_n) AS raw_total, sum(tgt_n) AS tgt_total, count(*) AS vocab FROM j), " +
+      "ratio AS (SELECT term, ln((tgt_n + 1.0) / (tgt_total + vocab)) - " +
+      "ln((raw_n + 1.0) / (raw_total + vocab)) AS log_ratio FROM j CROSS JOIN tot) " +
+      "SELECT doc_id, round(1e-9 + sum(tf * log_ratio), 6) AS dsir_weight, " +
+      "sum(tf)::BIGINT AS n_terms FROM post JOIN ratio USING (term) " +
+      "GROUP BY doc_id ORDER BY doc_id")),
     Q("emb_topk", (s, dir) =>
       graft.pipeline.Similarity.bruteForceTopK(
         embs(s, dir), embs(s, dir).filter(col("vec_id") < 10), 5)
@@ -1307,6 +1368,14 @@ object SparkEntry {
     Q("emb_ivf_topk", (s, dir) =>
       graft.pipeline.Similarity.ivfTopK(embs(s, dir), embs(s, dir).filter(col("vec_id") < 10), 5)
         .orderBy("q_id", "rank"),
+      None),
+    // SemDeDup semantic dedup (k-means clusters + intra-cluster cosine) —
+    // rows-only: cluster assignment depends on float-sum order in
+    // centroid training; SemDedupSpec pins the nClusters=1 ≡ brute-force
+    // equivalence and subset/recall properties
+    Q("emb_semantic_dedup", (s, dir) =>
+      graft.pipeline.Similarity.semanticDedup(embs(s, dir), 0.45, nClusters = 8, iters = 3)
+        .select("vec_id").orderBy("vec_id"),
       None),
     // product-quantization candidate generation (codebook-dependent →
     // rows-only; PipelineSpec gates recall vs brute force)

@@ -541,4 +541,56 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("q_id", "c_id", "approx_cosine", "rank")
   }
+
+  // ---- SemDeDup: semantic (embedding-space) deduplication --------------
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means cluster the unit-normalized embeddings (reusing [[ivfTrain]]),
+    * emit intra-cluster pairs with cosine ≥ threshold, union-find the dup
+    * graph, keep the min-id representative of each semantic group.
+    *
+    * The clustering is what makes this tractable at 100 TB: pairwise
+    * comparison happens only inside a cluster, so with k ∝ N/targetSize
+    * the per-cluster work stays bounded and the whole pass is one
+    * broadcast-assignment scan + one within-cluster join whose left and
+    * right sides are co-partitioned on the cluster id (a single shuffle
+    * each). Cross-cluster near-dups are missed by construction — the
+    * paper's accepted trade-off; nClusters = 1 degrades to exact
+    * all-pairs (used as the spec's oracle).
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      threshold: Double,
+      nClusters: Int = 16,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val pairs = semanticDupPairs(corpus, threshold, nClusters, iters, idCol, vecCol)
+    val losers = Dedup.connectedLosers(
+      pairs.select(col("id_a"), col("id_b")))
+    corpus.join(
+      losers.withColumnRenamed("node", idCol),
+      Seq(idCol), "left_anti")
+  }
+
+  /** intra-cluster cosine pairs ≥ threshold (the SemDeDup candidate graph) */
+  def semanticDupPairs(
+      corpus: DataFrame,
+      threshold: Double,
+      nClusters: Int = 16,
+      iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfTrain(corpus, nClusters, iters, idCol, vecCol)
+    val one = nearestUdf(cents, 1)
+    val c = corpus
+      .select(col(idCol).as("id"), normalized(col(vecCol)).as("vec"))
+      .filter(size(col("vec")) > 0)
+      .withColumn("_cl", one(col("vec")).getItem(0))
+    c.as("a")
+      .join(c.as("b"), col("a._cl") === col("b._cl") && col("a.id") < col("b.id"))
+      .withColumn("cosine", dot(col("a.vec"), col("b.vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
 }
