@@ -52,10 +52,14 @@ object ScaleProf {
     def store(dir: String) = graft.core.Samples.fromEvents(spark, dir)
     def bare(dir: String): Long =
       graft.Engine.query(store(dir), "increase(click[12h])", grid, 7200000L).count()
-    for (variant <- Seq("uniform", "hot")) {
-      bare(s"target/scalebench/$variant") // warm
+    // SCALEPROF_DIRS: comma-separated data dirs (default: the ScaleBench
+    // uniform/hot pair); each is warmed once then timed with stage stats
+    val dirs = sys.env.get("SCALEPROF_DIRS").map(_.split(',').toSeq)
+      .getOrElse(Seq("target/scalebench/uniform", "target/scalebench/hot"))
+    for (variant <- dirs) {
+      bare(variant) // warm
       stages.synchronized(stages.clear())
-      time(s"bare $variant") { bare(s"target/scalebench/$variant") }
+      time(s"bare $variant") { bare(variant) }
       Thread.sleep(500)
       val top = stages.synchronized(stages.toVector).sortBy(-_._3).take(6)
       top.foreach { case (id, mx, sum, n) =>
