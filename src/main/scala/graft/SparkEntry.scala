@@ -1305,6 +1305,70 @@ object SparkEntry {
         "FROM post JOIN dft USING (term) CROSS JOIN n) " +
         "SELECT doc_id, term, tf, df, round(1e-9 + tfidf, 6) AS tfidf, rank " +
         "FROM r WHERE rank <= 3 ORDER BY doc_id, rank")),
+    // C4 page cleaning on a synthesized multi-line page (the parquet text
+    // has no newlines/punctuation, so the gate crafts line structure the
+    // same way on both sides, like doc_pii_redact)
+    Q("doc_c4_filters", (s, dir) => {
+      val page = concat(
+        substring(col("text"), 1, 50), lit(".\n"),
+        lit("no punct line\n"),
+        substring(col("text"), 51, 80), lit("!\n"),
+        when(col("doc_id") % 7 === 0, lit("lorem ipsum dolor sit.\n")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("code { block } here.\n")).otherwise(lit("")),
+        lit("One two three. Four five six! Seven eight nine? Ten eleven done."))
+      graft.pipeline.TextAnalysis.c4Filters(
+        docs(s, dir).withColumn("text", page))
+        .select(col("doc_id"),
+          col("n_lines").cast("bigint").as("n_lines"),
+          col("n_kept_lines").cast("bigint").as("n_kept_lines"),
+          col("n_sentences").cast("bigint").as("n_sentences"),
+          col("has_brace"), col("has_lorem"), col("c4_keep"), col("cleaned"))
+        .orderBy("doc_id")
+    }, Some("WITH p AS (SELECT doc_id, " +
+      "substr(text, 1, 50) || '.' || chr(10) || 'no punct line' || chr(10) || " +
+      "substr(text, 51, 80) || '!' || chr(10) || " +
+      "CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit.' || chr(10) ELSE '' END || " +
+      "CASE WHEN doc_id % 11 = 0 THEN 'code { block } here.' || chr(10) ELSE '' END || " +
+      "'One two three. Four five six! Seven eight nine? Ten eleven done.' AS t FROM documents), " +
+      "k AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines, " +
+      "list_filter(string_split(t, chr(10)), x -> regexp_matches(trim(x), '[.!?\"]$') " +
+      """AND len(list_filter(string_split_regex(trim(x), '\s+'), w -> len(w) > 0)) >= 3 """ +
+      "AND NOT contains(lower(x), 'javascript')) AS kept FROM p), " +
+      "r AS (SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept_lines, " +
+      "array_to_string(kept, chr(10)) AS cleaned, " +
+      "len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) AS n_sentences, " +
+      "contains(t, '{') AS has_brace, contains(lower(t), 'lorem ipsum') AS has_lorem FROM k) " +
+      "SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_brace, has_lorem, " +
+      "(n_sentences >= 5 AND NOT has_brace AND NOT has_lorem) AS c4_keep, cleaned " +
+      "FROM r ORDER BY doc_id")),
+    // Gopher repetition stats: most-frequent word n-gram character share
+    // for n in 2..4, deterministic (count desc, gram asc) winner
+    Q("doc_repetition", (s, dir) =>
+      graft.pipeline.TextAnalysis.repetitionStats(docs(s, dir))
+        .select(col("doc_id"),
+          r6(col("top2_frac")).as("top2_frac"), col("top2_gram"),
+          r6(col("top3_frac")).as("top3_frac"), col("top3_gram"),
+          r6(col("top4_frac")).as("top4_frac"), col("top4_gram"))
+        .orderBy("doc_id"),
+      Some("WITH tok AS (SELECT doc_id, " +
+        s"list_filter($SQL_LTOKS, t -> len(t) > 0) AS toks FROM documents), " +
+        "c AS (SELECT doc_id, toks, (coalesce(list_sum(list_transform(toks, t -> len(t))), 0) + " +
+        "greatest(len(toks) - 1, 0))::DOUBLE AS chars FROM tok), " +
+        "g AS (SELECT doc_id, chars, n, unnest(list_transform(range(1, len(toks) - n + 2), " +
+        "i -> array_to_string(toks[i:i+n-1], ' '))) AS gram " +
+        "FROM c CROSS JOIN (SELECT unnest([2, 3, 4]) AS n) nn WHERE len(toks) >= n), " +
+        "cnt AS (SELECT doc_id, chars, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3, 4), " +
+        "top AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n " +
+        "ORDER BY cnt DESC, gram ASC) AS rk FROM cnt) " +
+        "SELECT d.doc_id, " +
+        "round(1e-9 + coalesce(max(CASE WHEN n = 2 THEN cnt * len(gram) / chars END), 0), 6) AS top2_frac, " +
+        "max(CASE WHEN n = 2 THEN gram END) AS top2_gram, " +
+        "round(1e-9 + coalesce(max(CASE WHEN n = 3 THEN cnt * len(gram) / chars END), 0), 6) AS top3_frac, " +
+        "max(CASE WHEN n = 3 THEN gram END) AS top3_gram, " +
+        "round(1e-9 + coalesce(max(CASE WHEN n = 4 THEN cnt * len(gram) / chars END), 0), 6) AS top4_frac, " +
+        "max(CASE WHEN n = 4 THEN gram END) AS top4_gram " +
+        "FROM documents d LEFT JOIN (SELECT * FROM top WHERE rk = 1) t ON d.doc_id = t.doc_id " +
+        "GROUP BY d.doc_id ORDER BY d.doc_id")),
     // DSIR importance weights: unigram log-likelihood ratio of a target
     // slice (doc_id % 97 = 0) vs the raw corpus, add-one smoothed
     Q("doc_dsir_weights", (s, dir) => {

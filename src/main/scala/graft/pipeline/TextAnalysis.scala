@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -228,6 +229,79 @@ object TextAnalysis {
         }
       }
       .toDF("doc_id", "n_tokens", "block", "bin", "fill")
+  }
+
+  /** C4-style page cleaning (Raffel et al. 2020 §2.2): line-level
+    * retention (terminal punctuation, ≥ 3 words, no "javascript") plus
+    * page-level drop rules (< 5 sentences after cleaning, "{", lorem
+    * ipsum). Emits the cleaned text and the keep decision; pure per-row
+    * column expressions — codegen'd, zero shuffle.
+    */
+  def c4Filters(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = split(col(textCol), "\n", -1)
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(filter(split(trim(l), "\\s+"), w => length(w) > 0)) >= 3 &&
+        !lower(l).contains("javascript"))
+    val cleaned = array_join(kept, "\n")
+    val nSentences = size(regexp_extract_all(cleaned, lit("[.!?]"), lit(0)))
+    df.withColumn("n_lines", size(lines))
+      .withColumn("n_kept_lines", size(kept))
+      .withColumn("cleaned", cleaned)
+      .withColumn("n_sentences", nSentences)
+      .withColumn("has_brace", col(textCol).contains("{"))
+      .withColumn("has_lorem", lower(col(textCol)).contains("lorem ipsum"))
+      .withColumn("c4_keep",
+        nSentences >= 5 && !col("has_brace") && !col("has_lorem"))
+  }
+
+  /** Gopher repetition statistics (Rae et al. 2021 §A1.1, the n-gram half
+    * of the repetition filters): for n ∈ {2, 3, 4}, the fraction of the
+    * document's characters contained in the most frequent word n-gram
+    * (occurrences × n-gram chars over single-space-normalized text chars),
+    * with a deterministic (count desc, gram asc) winner.
+    *
+    * Scale shape: per-row n-gram generation (pure column exprs) → ONE
+    * exploded hash aggregation on (doc, n, gram) → per-doc max. The gram
+    * table shuffles at corpus token scale — the same inverted-index shape
+    * as TF-IDF/dedup, nothing quadratic.
+    */
+  def repetitionStats(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = Retrieval.terms(col(textCol))
+    val base = docs.select(
+      col(idCol).as("doc_id"), toks.as("_toks"),
+      (aggregate(toks, lit(0L), (acc, t) => acc + length(t)) +
+        greatest(size(toks) - 1, lit(0))).cast("double").as("_chars"))
+    val grams = Seq(2, 3, 4).map { n =>
+      base.select(
+        col("doc_id"), col("_chars"), lit(n).as("n"),
+        explode_outer(when(size(col("_toks")) >= n,
+          transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("_toks"), i, lit(n)))))).as("gram"))
+    }.reduce(_ unionByName _)
+    val counted = grams
+      .filter(col("gram").isNotNull)
+      .groupBy("doc_id", "_chars", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"), col("n"))
+          .orderBy(col("cnt").desc, col("gram").asc)))
+      .filter(col("rk") === 1)
+      .withColumn("frac",
+        when(col("_chars") > 0,
+          col("cnt") * length(col("gram")).cast("double") / col("_chars"))
+          .otherwise(0.0))
+    val wide = counted.groupBy("doc_id").pivot("n", Seq(2, 3, 4)).agg(
+      first(col("frac")).as("frac"), first(col("gram")).as("gram"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(wide, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("2_frac"), lit(0.0)).as("top2_frac"), col("2_gram").as("top2_gram"),
+        coalesce(col("3_frac"), lit(0.0)).as("top3_frac"), col("3_gram").as("top3_gram"),
+        coalesce(col("4_frac"), lit(0.0)).as("top4_frac"), col("4_gram").as("top4_gram"))
   }
 
   /** PII detection + redaction: emails, IPv4 addresses and phone-shaped

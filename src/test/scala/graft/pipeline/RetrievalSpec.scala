@@ -96,6 +96,48 @@ class RetrievalSpec extends SparkSpec {
     assert(out(2L)._1 < 0)
   }
 
+  test("c4Filters: line retention and page drop rules") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A good first line.\nshort.\nno terminal punct\nthis uses javascript here.\nOne two. Three four! Five six? Seven eight. Nine ten."),
+      (2L, "Lorem ipsum filler text here.\nOne two. Three four! Five six? Seven eight. Nine ten."),
+      (3L, "Code sample { x }.\nOne two. Three four! Five six? Seven eight. Nine ten.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filters(df)
+      .select("doc_id", "n_lines", "n_kept_lines", "n_sentences", "has_brace", "has_lorem", "c4_keep")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    // doc1: 5 lines; kept = line1 + the 5-sentence line (short/no-punct/javascript dropped)
+    assert(out(1L) === ((5, 2, 6, false, false, true)))
+    // doc2: lorem ipsum page is dropped despite enough sentences
+    assert(out(2L)._5 && !out(2L)._6)
+    // doc3: '{' page is dropped
+    assert(out(3L)._4 && !out(3L)._6)
+  }
+
+  test("repetitionStats: top n-gram character share with deterministic ties") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "x"), // too short for any n-gram
+      (3L, "unique words only here now")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getString(2), r.getDouble(3), r.getString(4), r.getDouble(5))).toMap
+    // chars = 6 tokens of len 1 + 5 spaces = 11
+    // 2-grams: "a b"x3, "b a"x2 -> 3*3/11
+    assert(math.abs(out(1L)._1 - 9.0 / 11) < 1e-9 && out(1L)._2 === "a b")
+    // 3-grams: "a b a"x2 ties "b a b"x2 -> lexicographic winner "a b a"
+    assert(math.abs(out(1L)._3 - 10.0 / 11) < 1e-9 && out(1L)._4 === "a b a")
+    // overlapping 4-grams can exceed 1 ("a b a b"x2, 7 chars): 14/11
+    assert(math.abs(out(1L)._5 - 14.0 / 11) < 1e-9)
+    // no n-grams -> 0 fractions, null grams
+    assert(out(2L)._1 === 0.0 && out(2L)._2 == null)
+    // all-distinct text: every gram count 1, lexicographically first wins
+    assert(out(3L)._2 === "here now")
+  }
+
   test("bm25 empty-query-overlap corpus and case folding") {
     import spark.implicits._
     val df = Seq((1L, "ALPHA beta"), (2L, "")).toDF("doc_id", "text")
