@@ -105,18 +105,39 @@ object Engine {
     case _ => false
   }
 
+  /** @param cacheTag extra key material for stores whose logical plan
+    *   doesn't change when their DATA does (a rebuilt LocalRelation prints
+    *   the same canonicalized plan for any contents, and a parquet
+    *   directory scan the same path after new files land). Callers owning
+    *   a mutable store MUST bump it on every write/delete — the HTTP
+    *   facade passes its store version — or call [[clearCache]].
+    */
   def queryCached(
       samples: DataFrame,
       q: String,
       grid: GridSpec,
-      lookbackMs: Long = 300000L): DataFrame = cache.synchronized {
-    val planKey = samples.queryExecution.logical.canonicalized.toString
+      lookbackMs: Long = 300000L,
+      cacheTag: String = ""): DataFrame = cache.synchronized {
+    val planKey =
+      samples.queryExecution.logical.canonicalized.toString + "|" + cacheTag
     val key = (planKey, q, grid.stepMs, lookbackMs, grid.startMs)
     Option(cache.get(key)) match {
       case Some(Entry(end, df, _)) if end == grid.endMs =>
         stats = (stats._1 + 1, stats._2, stats._3)
         graft.lang.Trace.printf("rollup result cache: full hit")
         df
+      case Some(Entry(end, df, _)) if end > grid.endMs &&
+          (end - grid.endMs) % grid.stepMs == 0 &&
+          (try pointwiseInTime(Parser.parse(q)) catch { case _: Exception => false }) =>
+        // cached frame is a SUPERSET of the request: a pointwise query's
+        // value at t doesn't depend on the grid extent, so the prefix IS
+        // the answer — serve it clipped, evaluate nothing, and keep the
+        // longer frame cached (rollup_result_cache_test.go
+        // "bigger-than-start-end": newStart lands past the requested end,
+        // i.e. zero re-evaluation)
+        stats = (stats._1 + 1, stats._2, stats._3)
+        graft.lang.Trace.printf("rollup result cache: superset hit, clipped")
+        df.filter(org.apache.spark.sql.functions.col("t") <= grid.endMs)
       case Some(Entry(end, df, persisted)) if end < grid.endMs &&
           (grid.endMs - end) % grid.stepMs == 0 &&
           (try pointwiseInTime(Parser.parse(q)) catch { case _: Exception => false }) =>

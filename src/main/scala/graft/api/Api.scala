@@ -35,9 +35,16 @@ object Api {
 
   def queryRange(samples: DataFrame, q: String,
       startMs: Long, endMs: Long, stepMs: Long,
-      lookbackMs: Long = 300000L): DataFrame = {
+      lookbackMs: Long = 300000L,
+      mayCache: Boolean = false,
+      cacheTag: String = ""): DataFrame = {
     validateMaxPoints(startMs, endMs, stepMs)
-    Engine.query(samples, q, GridSpec(startMs, endMs, stepMs), lookbackMs)
+    // the HTTP path caches by default like the reference (prometheus.go
+    // `nocache` + EvalConfig.MayCache); programmatic callers (gates,
+    // bench) default to a raw evaluation so they measure the engine
+    if (mayCache)
+      Engine.queryCached(samples, q, GridSpec(startMs, endMs, stepMs), lookbackMs, cacheTag)
+    else Engine.query(samples, q, GridSpec(startMs, endMs, stepMs), lookbackMs)
   }
 
   /** /api/v1/query — instant evaluation at one timestamp

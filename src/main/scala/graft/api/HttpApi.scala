@@ -50,6 +50,9 @@ final class HttpApi(
   private val startedAtMs = System.currentTimeMillis()
   private val requestCounts = mutable.Map.empty[String, Long]
   private var rowsInserted = 0L
+  // bumped on every store mutation; folded into the O6 cache key because
+  // a rebuilt LocalRelation canonicalizes identically whatever its data
+  @volatile private var storeVersion = 0L
 
   def samples: DataFrame = {
     val buf = ingested.synchronized {
@@ -507,6 +510,7 @@ final class HttpApi(
     ingested.synchronized {
       ingested ++= collected
       rowsInserted += collected.length
+      storeVersion += 1
     }
     collected.iterator.map(_.getString(0)).distinct
       .foreach(MetricNamesStats.registerIngest)
@@ -562,7 +566,9 @@ final class HttpApi(
         else None
       try QueryDeadline.run(spark, deadlineMs(p)) {
         val df = graft.lang.Trace.child("build query plan")(
-          Api.queryRange(samples, p("query"), start, end, step))
+          Api.queryRange(samples, p("query"), start, end, step,
+            mayCache = !boolParam(p, "nocache"),
+            cacheTag = s"httpStore:$storeVersion"))
         MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), end)
         QueryStats.track(p("query"), start, end, step,
           String.valueOf(ex.getRemoteAddress)) {
@@ -981,7 +987,7 @@ final class HttpApi(
       }
       if (sels.isEmpty) throw new IllegalArgumentException("missing `match[]` arg")
       sels.foreach(Api.selectorPredicate) // validate before recording any
-      deletedSelectors.synchronized { deletedSelectors ++= sels }
+      deletedSelectors.synchronized { deletedSelectors ++= sels; storeVersion += 1 }
       reply(ex, 204, "", "text/plain")
     },
     "/api/v1/export/csv" -> handler { ex =>
@@ -1117,6 +1123,7 @@ final class HttpApi(
         val (metric, canonical, tags) = parseGraphitePath(p)
         ingested.synchronized {
           ingested += Row(metric, tags, now, Double.NaN)
+          storeVersion += 1
         }
         canonical
       }
@@ -1130,6 +1137,7 @@ final class HttpApi(
         val (metric, canonical, tags) = parseGraphitePath(p)
         ingested.synchronized {
           ingested += Row(metric, tags, now, Double.NaN)
+          storeVersion += 1
         }
         canonical
       }
@@ -1147,7 +1155,7 @@ final class HttpApi(
           case (acc, (k, v)) => acc && col("tags").getItem(k) === v
         }
         deleted += samples.filter(pred).count()
-        deletedPredicates.synchronized { deletedPredicates += pred }
+        deletedPredicates.synchronized { deletedPredicates += pred; storeVersion += 1 }
       }
       reply(ex, 200, if (deleted > 0) "true" else "false")
     },

@@ -238,6 +238,44 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("query_range caches by default, never serves stale data after ingest, honors nocache") {
+    graft.Engine.clearCache()
+    graft.Engine.resetCacheStats()
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      assert(post(port, "/api/v1/import/prometheus",
+        "c{job=\"x\"} 10 60000\nc{job=\"x\"} 20 120000\n") == 204)
+      val url = "/api/v1/query_range?query=c&start=60&end=120&step=60"
+      val first = get(port, url)
+      assert(first.contains("""[120.0,"20"]"""))
+      val (h0, _, m0) = graft.Engine.cacheStats
+      assert(m0 >= 1)
+      // repeat: served from cache (a full hit), identical data (the
+      // trailing stats block carries per-request timings — strip it)
+      def data(s: String) = s.split("\"stats\"")(0)
+      val second = get(port, url)
+      assert(data(second) == data(first))
+      val (h1, _, m1) = graft.Engine.cacheStats
+      assert(h1 == h0 + 1 && m1 == m0, graft.Engine.cacheStats.toString)
+      // ingest bumps the store version: the same query must see the new
+      // sample, not the cached frame (the LocalRelation plan key alone
+      // cannot distinguish data-only changes)
+      assert(post(port, "/api/v1/import/prometheus",
+        "c{job=\"x\"} 99 120000\n") == 204)
+      val after = get(port, url)
+      assert(after.contains("99"), after)
+      // nocache=1 bypasses the cache entirely
+      val (_, _, m2) = graft.Engine.cacheStats
+      get(port, url + "&nocache=1")
+      val (_, _, m3) = graft.Engine.cacheStats
+      assert(m3 == m2, "nocache must not touch the cache")
+    } finally {
+      api.stop()
+      graft.Engine.clearCache()
+    }
+  }
+
   test("snapshot APIs: create/list/delete + prometheus-compat alias") {
     val api = new HttpApi(spark)
     val port = api.start()

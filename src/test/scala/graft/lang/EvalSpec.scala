@@ -420,10 +420,13 @@ class EvalSpec extends SparkSpec {
         r.getLong(2)) -> r.getDouble(3)).toMap
     assert(keyed(chained) == keyed(Engine.query(samples, q, g3)))
 
-    // backward (shrunk) grid: no negative suffix — full re-evaluation
+    // backward (shrunk) grid: the cached frame is a superset — served
+    // clipped with zero evaluation (reference "bigger-than-start-end";
+    // RollupCacheSpec pins the non-pointwise fail-closed variant)
     Engine.resetCacheStats()
-    Engine.queryCached(samples, q, GridSpec(M, 5 * M, M)).count()
-    assert(Engine.cacheStats == (0L, 0L, 1L))
+    val shrunk = Engine.queryCached(samples, q, GridSpec(M, 5 * M, M))
+    assert(Engine.cacheStats == (1L, 0L, 0L))
+    assert(keyed(shrunk) == keyed(Engine.query(samples, q, GridSpec(M, 5 * M, M))))
 
     // misaligned extension (+90s on a 60s step): full re-evaluation
     Engine.resetCacheStats()
