@@ -1391,6 +1391,75 @@ object SparkEntry {
       "SELECT doc_id, round(1e-9 + sum(tf * log_ratio), 6) AS dsir_weight, " +
       "sum(tf)::BIGINT AS n_terms FROM post JOIN ratio USING (term) " +
       "GROUP BY doc_id ORDER BY doc_id")),
+    // exact-substring (duplicate-span) dedup: a shared boilerplate tail is
+    // appended to every 5th/7th doc on BOTH sides; all 6-token runs seen
+    // more than once keep only their first (doc, pos) occurrence
+    Q("doc_dup_spans", (s, dir) => {
+      val aug = docs(s, dir).withColumn("text", concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit(" all rights reserved contact the site admin for reuse terms today"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit(" subscribe to our newsletter for updates and exclusive offers now"))
+          .otherwise(lit(""))))
+      graft.pipeline.Dedup.dupSpanRemoval(aug, n = 6)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("clean"))
+        .orderBy("doc_id")
+    }, Some("WITH a AS (SELECT doc_id, text || " +
+      "CASE WHEN doc_id % 5 = 0 THEN ' all rights reserved contact the site admin for reuse terms today' ELSE '' END || " +
+      "CASE WHEN doc_id % 7 = 0 THEN ' subscribe to our newsletter for updates and exclusive offers now' ELSE '' END AS text " +
+      "FROM documents), " +
+      s"w AS (SELECT doc_id, $SQL_TOKS AS toks FROM a), " +
+      "g AS (SELECT doc_id, unnest([{'pos': i, 'gram': array_to_string(toks[i:i+5], ' ')} " +
+      "FOR i IN range(1, greatest(len(toks) - 4, 1))]) AS u FROM w), " +
+      "o AS (SELECT doc_id, u.pos AS pos, u.gram AS gram FROM g), " +
+      "f AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM o), " +
+      "fl AS (SELECT doc_id, pos FROM f WHERE rn > 1), " +
+      "rem AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 6)) AS p FROM fl), " +
+      "tok AS (SELECT doc_id, unnest([{'p': i, 'tok': toks[i]} FOR i IN range(1, len(toks) + 1)]) AS u FROM w), " +
+      "tk AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM tok), " +
+      "keep AS (SELECT tk.doc_id, tk.p, tk.tok FROM tk LEFT JOIN rem " +
+      "ON tk.doc_id = rem.doc_id AND tk.p = rem.p WHERE rem.p IS NULL), " +
+      "res AS (SELECT doc_id, count(*) AS n_kept, string_agg(tok, ' ' ORDER BY p) AS clean " +
+      "FROM keep GROUP BY doc_id) " +
+      "SELECT w.doc_id, len(w.toks)::BIGINT AS n_tokens, " +
+      "(len(w.toks) - coalesce(res.n_kept, 0))::BIGINT AS n_removed, " +
+      "coalesce(res.clean, '') AS clean " +
+      "FROM w LEFT JOIN res ON w.doc_id = res.doc_id ORDER BY w.doc_id")),
+    // CCNet-style LM quality scoring: bigram stupid-backoff perplexity,
+    // trained on the doc_id % 3 slice, scored over the whole corpus
+    Q("doc_lm_perplexity", (s, dir) => {
+      val d = docs(s, dir)
+      graft.pipeline.Retrieval.lmPerplexity(d.filter(col("doc_id") % 3 === 0), d)
+        .select(col("doc_id"), col("n_tokens"),
+          r6(col("logprob")).as("logprob"),
+          r6(col("perplexity")).as("perplexity"))
+        .orderBy("doc_id")
+    }, Some("WITH tok AS (SELECT doc_id, " +
+      s"list_filter($SQL_LTOKS, x -> len(x) > 0) AS t FROM documents), " +
+      "tr AS (SELECT * FROM tok WHERE doc_id % 3 = 0), " +
+      "c1 AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM tr) GROUP BY w), " +
+      "tv AS (SELECT sum(c1)::DOUBLE AS tt, count(*)::DOUBLE AS vv FROM c1), " +
+      "c2 AS (SELECT w1, w2, count(*) AS c2 FROM " +
+      "(SELECT u.w1 AS w1, u.w2 AS w2 FROM (SELECT unnest([{'w1': t[i], 'w2': t[i+1]} " +
+      "FOR i IN range(1, len(t))]) AS u FROM tr WHERE len(t) >= 2)) GROUP BY w1, w2), " +
+      "head AS (SELECT doc_id, ln((coalesce(c1.c1, 0) + 1.0) / (tt + vv)) AS lp " +
+      "FROM tok CROSS JOIN tv LEFT JOIN c1 ON c1.w = tok.t[1] WHERE len(tok.t) >= 1), " +
+      "pairs AS (SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM " +
+      "(SELECT doc_id, unnest([{'w1': t[i], 'w2': t[i+1]} FOR i IN range(1, len(t))]) AS u " +
+      "FROM tok WHERE len(t) >= 2)), " +
+      "rest AS (SELECT doc_id, CASE WHEN c2.c2 IS NOT NULL THEN ln(c2.c2::DOUBLE / ca.c1) " +
+      "ELSE ln(0.4 * (coalesce(cb.c1, 0) + 1.0) / (tt + vv)) END AS lp " +
+      "FROM pairs CROSS JOIN tv " +
+      "LEFT JOIN c2 ON c2.w1 = pairs.w1 AND c2.w2 = pairs.w2 " +
+      "LEFT JOIN c1 ca ON ca.w = pairs.w1 " +
+      "LEFT JOIN c1 cb ON cb.w = pairs.w2), " +
+      "lp AS (SELECT doc_id, sum(lp) AS logprob FROM " +
+      "(SELECT * FROM head UNION ALL SELECT * FROM rest) GROUP BY doc_id) " +
+      "SELECT tok.doc_id, len(tok.t)::BIGINT AS n_tokens, " +
+      "round(1e-9 + coalesce(lp.logprob, 0), 6) AS logprob, " +
+      "round(1e-9 + exp(-coalesce(lp.logprob, 0) / greatest(len(tok.t), 1)), 6) AS perplexity " +
+      "FROM tok LEFT JOIN lp ON lp.doc_id = tok.doc_id ORDER BY tok.doc_id")),
     Q("emb_topk", (s, dir) =>
       graft.pipeline.Similarity.bruteForceTopK(
         embs(s, dir), embs(s, dir).filter(col("vec_id") < 10), 5)

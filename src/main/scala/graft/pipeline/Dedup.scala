@@ -360,6 +360,87 @@ object Dedup {
     out
   }
 
+  /** Cross-document duplicate-SPAN removal — "exact substring dedup"
+    * (Lee et al. 2021, arXiv:2107.06499, the ExactSubstr variant): every
+    * run of `n` consecutive whitespace tokens that occurs more than once
+    * in the corpus is cut from every occurrence except the first
+    * (smallest (doc, position)), so exactly one copy of each boilerplate
+    * span survives. Overlapping flagged spans merge via position-set
+    * union. The paper's implementation builds one corpus-wide suffix
+    * array on a single machine; the Spark shape replaces it with
+    * position-anchored rolling n-gram hashes:
+    *
+    *  1. one primitive map-side pass per doc emits a 64-bit hash per
+    *     n-gram start position — only (hash, doc, pos) triples (~24 B)
+    *     ever shuffle, never text;
+    *  2. one window rank per hash keeps the first occurrence; later
+    *     occurrences flag their n token positions for removal;
+    *  3. flagged starts fold back per doc (one aggregation at flagged
+    *     scale) and a final map-side pass rebuilds the cleaned text.
+    *
+    * A viral boilerplate gram lands all its occurrences in one rank
+    * partition, but per-hash work is linear after the partition sort —
+    * no quadratic bucket (contrast LSH candidate pairing, which needs
+    * the star-topology guard above). 64-bit hashing stands in for
+    * byte-exact span equality: at 10^12 corpus grams the expected
+    * collision count is ~0.03 spans, the same trade the MinHash stage
+    * makes.
+    */
+  def dupSpanRemoval(
+      docs: DataFrame, n: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val gramUdf = udf { (toks: Seq[String]) =>
+      if (toks == null || toks.length < n) Array.empty[Long]
+      else {
+        val th = toks.map(w =>
+          splitmix64(scala.util.hashing.MurmurHash3.stringHash(w).toLong)).toArray
+        val out = new Array[Long](th.length - n + 1)
+        var i = 0
+        while (i + n <= th.length) {
+          var acc = 0x6a09e667f3bcc908L
+          var j = i
+          while (j < i + n) { acc = splitmix64(acc ^ th(j)); j += 1 }
+          out(i) = acc
+          i += 1
+        }
+        out
+      }
+    }
+    val rebuildUdf = udf { (toks: Seq[String], starts: Seq[Int]) =>
+      val len = if (toks == null) 0 else toks.length
+      val cut = new Array[Boolean](len)
+      if (starts != null) starts.foreach { s =>
+        var p = s
+        val end = math.min(s + n, len)
+        while (p < end) { cut(p) = true; p += 1 }
+      }
+      val sb = new StringBuilder
+      var kept = 0
+      var i = 0
+      while (i < len) {
+        if (!cut(i)) { if (kept > 0) sb += ' '; sb ++= toks(i); kept += 1 }
+        i += 1
+      }
+      (len, len - kept, sb.result())
+    }
+    val toks = docs.select(
+      col(idCol), TextAnalysis.wsTokens(col(textCol)).as("toks"))
+    val occ = toks.select(col(idCol),
+      posexplode(gramUdf(col("toks"))).as(Seq("pos", "h")))
+    val first = Window.partitionBy("h").orderBy(col(idCol), col("pos"))
+    val flagged = occ
+      .withColumn("rn", row_number().over(first))
+      .filter(col("rn") > 1)
+      .groupBy(idCol).agg(collect_list(col("pos")).as("starts"))
+    toks
+      .join(flagged, Seq(idCol), "left")
+      .select(col(idCol), rebuildUdf(col("toks"), col("starts")).as("r"))
+      .select(col(idCol),
+        col("r._1").cast(LongType).as("n_tokens"),
+        col("r._2").cast(LongType).as("n_removed"),
+        col("r._3").as("clean"))
+  }
+
   /** splitmix64 finalizer — the standard public-domain 64-bit mixer —
     * widening the 32-bit token hash to a well-distributed 64-bit value.
     */

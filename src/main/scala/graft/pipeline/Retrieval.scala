@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Lexical retrieval scoring over the `documents` table: TF-IDF term
   * weighting and Okapi BM25 query scoring — the standard cheap relevance
@@ -156,5 +157,70 @@ object Retrieval {
       .agg(
         sum(col("tf") * col("log_ratio")).as("dsir_weight"),
         sum(col("tf")).as("n_terms"))
+  }
+
+  /** Bigram stupid-backoff LM perplexity (Brants et al. 2007 "Large
+    * Language Models in Machine Translation" §4) — the CCNet-style LM
+    * quality filter (Wenzek et al. 2020 scores docs with a KenLM 5-gram;
+    * at 100 TB the model order trades down to bigrams so training is two
+    * hash aggregations over the reference slice, no external model).
+    *
+    * Train on `train`: unigram counts c1 (total T, vocab V) and bigram
+    * counts c2. Score each doc in `docs` per token:
+    *   p(w_0)          = (c1(w_0)+1) / (T+V)                (Laplace)
+    *   p(w_i | w_i-1)  = c2(w_i-1,w_i) / c1(w_i-1)   if c2 > 0
+    *                   = 0.4 · (c1(w_i)+1) / (T+V)          (backoff)
+    * log-prob = Σ ln p;  perplexity = exp(−logprob / max(n,1)).
+    *
+    * Scale shape: bigrams are produced MAP-SIDE by an adjacent-pair HOF
+    * (never a positional self-join); the count tables are vocab-scale
+    * (≪ corpus) and meet the exploded doc bigrams in token-keyed joins
+    * that AQE broadcasts when they fit. Per-doc reduction is one sum.
+    */
+  def lmPerplexity(
+      train: DataFrame, docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def toks(df: DataFrame) = df.select(col(idCol), terms(col(textCol)).as("t"))
+    val bigramsOf = expr(
+      "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+
+    val uni = toks(train)
+      .select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val tv = uni.agg(sum("c1").as("tt"), count(lit(1)).as("v")).first()
+    val (bigT, bigV) = (tv.getLong(0), tv.getLong(1))
+    val laplaceDen = (bigT + bigV).toDouble
+    val big = toks(train).filter(size(col("t")) >= 2)
+      .select(explode(bigramsOf).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+
+    val base = toks(docs)
+    // first token: Laplace unigram
+    val head = base.filter(size(col("t")) >= 1)
+      .select(col(idCol), element_at(col("t"), 1).as("w"))
+      .join(uni, Seq("w"), "left")
+      .select(col(idCol),
+        log((coalesce(col("c1"), lit(0L)) + 1.0) / laplaceDen).as("lp"))
+    // tokens 1..n-1: bigram with stupid backoff
+    val rest = base.filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(bigramsOf).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(big, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), Seq("w1"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), Seq("w2"), "left")
+      .select(col(idCol),
+        when(col("c2").isNotNull,
+          log(col("c2").cast(DoubleType) / col("c1a")))
+          .otherwise(log(lit(0.4) * (coalesce(col("c1b"), lit(0L)) + 1.0) / laplaceDen))
+          .as("lp"))
+    val lp = head.unionByName(rest)
+      .groupBy(idCol).agg(sum(col("lp")).as("logprob"))
+    base.select(col(idCol), size(col("t")).cast(LongType).as("n_tokens"))
+      .join(lp, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("logprob"), lit(0.0)).as("logprob"),
+        exp(-coalesce(col("logprob"), lit(0.0)) /
+          greatest(col("n_tokens"), lit(1L)).cast(DoubleType)).as("perplexity"))
   }
 }

@@ -154,4 +154,22 @@ class DedupSpec extends SparkSpec {
       ("view", 75000L, 5.0), ("view", 15000L, 7.0),
       ("keepme", 50000L, 8.0), ("keepme", 51000L, 9.0)))
   }
+
+  test("dupSpanRemoval keeps the first occurrence and merges overlapping spans") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e f"),    // owns the first "a b c" and "b c d" → untouched
+      (2L, "x a b c d y"),    // flagged starts 1,2 → cut positions 1..4
+      (3L, "a b c q r s"),    // flagged start 0 → cut 0..2
+      (4L, "a b"),            // shorter than n → no grams, untouched
+      (5L, "m n o z m n o"))  // within-doc repeat: second "m n o" cut
+      .toDF("doc_id", "text")
+    val out = Dedup.dupSpanRemoval(corpus, n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((6L, 0L, "a b c d e f")))
+    assert(out(2L) === ((6L, 4L, "x y")))
+    assert(out(3L) === ((6L, 3L, "q r s")))
+    assert(out(4L) === ((2L, 0L, "a b")))
+    assert(out(5L) === ((7L, 3L, "m n o z")))
+  }
 }

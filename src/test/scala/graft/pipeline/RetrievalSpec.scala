@@ -145,4 +145,27 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0)).toSet
     assert(out === Set(1L), "query and corpus fold to lowercase; empty doc never matches")
   }
+
+  test("lmPerplexity matches a scalar re-derivation of bigram stupid backoff") {
+    import spark.implicits._
+    // train "a b a c": c1 = {a:2, b:1, c:1}, T=4, V=3, laplace den = 7;
+    // bigrams (a,b), (b,a), (a,c) each once
+    val train = Seq((0L, "a b a c")).toDF("doc_id", "text")
+    val score = Seq(
+      (1L, "a b a"), // seen bigrams: ln(3/7) + ln(1/2) + ln(1/1)
+      (2L, "z a"),   // unseen head + backoff: ln(1/7) + ln(0.4*3/7)
+      (3L, ""))      // empty → n=0, logprob 0, ppl 1
+      .toDF("doc_id", "text")
+    val out = Retrieval.lmPerplexity(train, score)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    val lp1 = math.log(3.0 / 7) + math.log(0.5)
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2 - lp1) < 1e-12)
+    assert(math.abs(out(1L)._3 - math.exp(-lp1 / 3)) < 1e-12)
+    val lp2 = math.log(1.0 / 7) + math.log(0.4 * 3 / 7)
+    assert(out(2L)._1 === 2L)
+    assert(math.abs(out(2L)._2 - lp2) < 1e-12)
+    assert(out(3L) === ((0L, 0.0, 1.0)))
+  }
 }
