@@ -348,17 +348,46 @@ object Rollup {
     */
   private def antiSkew(input: DataFrame, level1: DataFrame,
       keys: Seq[String]): DataFrame = {
+    if (skewProbe(input, keys))
+      level1.repartition((keys.map(col) :+ col("t")): _*)
+    else level1
+  }
+
+  /** Probe-decision cache: the skew probe is its own scan+count job per
+    * query build, and real servers re-issue the same query shapes every
+    * dashboard refresh — key the decision on the canonicalized input
+    * plan (semanticHash + keys) so repeats skip the probe. Entries live
+    * ~10 min: the decision is a PERFORMANCE hint only (re-key or not,
+    * never a result change), so a series turning hot after ingest is
+    * picked up at the next expiry rather than immediately, bounding
+    * both staleness and probe frequency. LRU-capped at 256 shapes.
+    */
+  private val skewProbeCache =
+    new java.util.LinkedHashMap[(Int, Seq[String]), (Boolean, Long)](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, Seq[String]), (Boolean, Long)]): Boolean =
+        size() > 256
+    }
+  private val SkewProbeTtlNs = 10L * 60 * 1000 * 1000 * 1000
+
+  private def skewProbe(input: DataFrame, keys: Seq[String]): Boolean = {
+    val key = (input.queryExecution.logical.canonicalized.semanticHash(), keys)
+    val now = System.nanoTime()
+    skewProbeCache.synchronized {
+      val hit = skewProbeCache.get(key)
+      if (hit != null && now - hit._2 < SkewProbeTtlNs) return hit._1
+    }
     val stats = input.groupBy(keys.map(col): _*).count()
       .agg(coalesce(max("count"), lit(0L)), coalesce(sum("count"), lit(0L))).head()
     val mx = stats.getLong(0)
     val total = stats.getLong(1)
-    val cores = level1.sparkSession.sparkContext.defaultParallelism
+    val cores = input.sparkSession.sparkContext.defaultParallelism
     // straggler bound: one series' merge work ≈ mx×ratio against an ideal
     // task quantum of total×ratio/cores — re-key once a single series
     // exceeds ~2 quanta (the re-key costs only a bucket-scale shuffle)
-    if (mx * cores > 2L * total && mx > 1L)
-      level1.repartition((keys.map(col) :+ col("t")): _*)
-    else level1
+    val rekey = mx * cores > 2L * total && mx > 1L
+    skewProbeCache.synchronized { skewProbeCache.put(key, (rekey, now)) }
+    rekey
   }
 
   /** Merge-row budget for the explode-merge strategy: buckets × ratio rows
