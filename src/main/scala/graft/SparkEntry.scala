@@ -2531,8 +2531,11 @@ object SparkEntry {
     }, Some {
       val bkt = s"(epoch_ms(ts::TIMESTAMP) // ${6 * H}) * ${6 * H} + ${6 * H}"
       s"WITH b AS (SELECT event_type AS nm, user_id, $bkt AS t, value FROM events), " +
-        "q AS (SELECT nm, user_id, t, quantile_cont(value, 0.5) AS q50, " +
-        "quantile_cont(value, 0.95) AS q95 FROM b GROUP BY nm, user_id, t) " +
+        // valyala/histogram.Quantile index rule (same as the engine slot)
+        "q AS (SELECT nm, user_id, t, " +
+        "list_sort(list(value))[(floor(0.5 * (count(*) - 1) + 0.5) + 1)::BIGINT] AS q50, " +
+        "list_sort(list(value))[(floor(0.95 * (count(*) - 1) + 0.5) + 1)::BIGINT] AS q95 " +
+        "FROM b GROUP BY nm, user_id, t) " +
         "SELECT nm || ':6h_by_user_id_quantiles' AS name, user_id::BIGINT AS user_id, " +
         "quantile, t, round(1e-9 + v, 6) AS value FROM (" +
         "SELECT nm, user_id, t, '0.5' AS quantile, q50 AS v FROM q UNION ALL " +
@@ -2649,13 +2652,15 @@ object SparkEntry {
     // rate_sum/rate_avg with by=() — one output series per metric name,
     // aggregating per-series rates across ALL user series (rate.go flush)
     Q("st_rate_sum", (s, dir) => {
-      val cfg = graft.streaming.StreamAggr.Config(D)
+      // by __name__: collapse to one output series per metric (empty
+      // by/without now groups per full label set, reference semantics)
+      val cfg = graft.streaming.StreamAggr.Config(D, by = Seq("__name__"))
       graft.streaming.StreamAggr.rateBatch(Samples.fromEvents(s, dir), cfg)
         .select(col("name"), col("t"), r6(col("value")).as("value"))
         .orderBy("name", "t")
     }, Some(rateBatchSql("rate_sum", "sum(sr)"))),
     Q("st_rate_avg", (s, dir) => {
-      val cfg = graft.streaming.StreamAggr.Config(D)
+      val cfg = graft.streaming.StreamAggr.Config(D, by = Seq("__name__"))
       graft.streaming.StreamAggr.rateBatch(Samples.fromEvents(s, dir), cfg, isAvg = true)
         .select(col("name"), col("t"), r6(col("value")).as("value"))
         .orderBy("name", "t")
@@ -2664,16 +2669,19 @@ object SparkEntry {
       val cfg = graft.streaming.StreamAggr.Config(6 * H, by = Seq("user_id"))
       graft.streaming.StreamAggr.histogramBucketBatch(Samples.fromEvents(s, dir), cfg)
         .select(col("name"), col("tags").getItem("user_id").cast("bigint").as("user_id"),
-          col("vmrange"), col("t"), col("value"))
+          col("tags").getItem("vmrange").as("vmrange"), col("t"), col("value"))
         .orderBy("name", "user_id", "vmrange", "t")
     }, Some {
       val bkt = s"(epoch_ms(ts::TIMESTAMP) // ${6 * H}) * ${6 * H} + ${6 * H}"
       s"WITH $LUTX, k0 AS (SELECT event_type AS nm, user_id, $bkt AS t, value AS _v, " +
         "floor(log10(value) * 18)::BIGINT AS _g FROM events), " +
         "k AS (SELECT nm, user_id, t, " +
-        "CASE WHEN _v < lg.d THEN _g - 1 WHEN _v >= lh.d THEN _g + 1 ELSE _g END AS vmrange " +
+        "CASE WHEN _v < lg.d THEN _g - 1 WHEN _v >= lh.d THEN _g + 1 ELSE _g END AS kidx " +
         "FROM k0 JOIN lutx lg ON lg.i = k0._g JOIN lutx lh ON lh.i = k0._g + 1), " +
-        "c AS (SELECT nm, user_id, vmrange, t, count(*)::DOUBLE AS c FROM k " +
+        // the engine emits the reference's %.3e...%.3e range string
+        "ks AS (SELECT nm, user_id, t, printf('%.3e', bl.d) || '...' || printf('%.3e', bh.d) AS vmrange " +
+        "FROM k JOIN lutx bl ON bl.i = k.kidx JOIN lutx bh ON bh.i = k.kidx + 1), " +
+        "c AS (SELECT nm, user_id, vmrange, t, count(*)::DOUBLE AS c FROM ks " +
         "WHERE vmrange IS NOT NULL GROUP BY nm, user_id, vmrange, t) " +
         "SELECT nm || ':6h_by_user_id_histogram_bucket' AS name, user_id::BIGINT AS user_id, " +
         "vmrange, t, sum(c) OVER (PARTITION BY nm, user_id, vmrange ORDER BY t " +

@@ -58,14 +58,20 @@ object LineFormats {
     * timestamp → `defaultTsMs` (scrape time).
     */
   def prometheusText(lines: DataFrame, defaultTsMs: Long): DataFrame = {
-    val re = """^([a-zA-Z_:][a-zA-Z0-9_:.]*)(?:\{(.*)\})?\s+(\S+)(?:\s+(-?\d+))?\s*$"""
+    val re = """^([a-zA-Z_:][a-zA-Z0-9_:.]*)(?:\{(.*)\})?\s+(\S+)(?:\s+(-?\d+(?:\.\d+)?))?\s*$"""
+    // timestamps in (-2^31, 2^31) look like OpenMetrics Unix SECONDS and
+    // are scaled to milliseconds (parser.go:222-228); bigger values are
+    // already milliseconds. Fractional-second timestamps parse too.
+    val rawTs = regexp_extract(col("line"), re, 4)
+    val tsNum = rawTs.cast(DoubleType)
+    val scaled = when(tsNum >= -2147483648.0 && tsNum < 2147483648.0,
+      (tsNum * 1000).cast(LongType)).otherwise(tsNum.cast(LongType))
     lines
       .filter(!col("line").startsWith("#") && length(trim(col("line"))) > 0)
       .select(
         regexp_extract(col("line"), re, 1).as("name"),
         promLabels(regexp_extract(col("line"), re, 2)).as("tags"),
-        when(regexp_extract(col("line"), re, 4) === "", lit(defaultTsMs))
-          .otherwise(regexp_extract(col("line"), re, 4).cast(LongType)).as("ts"),
+        when(rawTs === "", lit(defaultTsMs)).otherwise(scaled).as("ts"),
         promDouble(regexp_extract(col("line"), re, 3)).as("value"))
       .filter(col("name") =!= "" && col("value").isNotNull)
   }

@@ -131,8 +131,24 @@ object Relabel extends Serializable {
     // joins the parts with "|", config.go MultiLineRegex)
     var pendingListKey: String = null
     def flush(): Unit = if (cur != null) {
+      // yaml.UnmarshalStrict (promrelabel/config.go:174): unknown fields
+      // are config errors
+      val known = Set("action", "source_labels", "separator", "target_label",
+        "regex", "replacement", "modulus", "match", "labels", "if")
+      for (k <- cur.keys)
+        require(known.contains(k), s"unknown relabel config field: `$k`")
       val action = cur.getOrElse("action",
         if (cur.contains("match") || cur.contains("labels")) "graphite" else "replace")
+      // parseRelabelConfig required-field checks (config.go:280-290)
+      if (action == "replace")
+        require(cur.contains("target_label"),
+          "missing `target_label` for `action=replace`")
+      if (action == "replace_all") {
+        require(cur.contains("source_labels"),
+          "missing `source_labels` for `action=replace_all`")
+        require(cur.contains("target_label"),
+          "missing `target_label` for `action=replace_all`")
+      }
       rules :+= Rule(
         action,
         sourceLabels = cur.get("source_labels").map(list).getOrElse(Nil),

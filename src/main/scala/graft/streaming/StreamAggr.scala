@@ -160,7 +160,18 @@ object StreamAggr {
       map_filter(col("tags"), (k, _) => k.isInCollection(cfg.by))
     else if (cfg.without.nonEmpty)
       map_filter(col("tags"), (k, _) => !k.isInCollection(cfg.without))
-    else map().cast("map<string,string>")
+    // empty `by` AND `without` = aggregate ONLY by time: the full label
+    // set stays the output key (streamaggr_synctest_test.go "Empty by
+    // list - aggregate only by time")
+    else col("tags")
+
+  /** the metric name is always an implicit group key — except when
+    * `without` lists `__name__`, which drops it from the output identity
+    * (streamaggr_synctest_test.go "Special case: __name__ in without")
+    */
+  private def groupName(cfg: Config): Column =
+    if (cfg.without.contains("__name__")) lit("")
+    else coalesce(col("name"), lit(""))
 
   /** the 12 stateless outputs (per-file impls lib/streamaggr/{avg,count_
     * samples,count_series,last,max,min,quantiles,std,sum_samples,
@@ -191,9 +202,16 @@ object StreamAggr {
 
   private def slotsOf(outputs: Seq[String]): Seq[Slot] = outputs.flatMap {
     case q if q.startsWith("quantiles(") =>
-      parseQuantilePhis(q).map(phi => Slot("quantiles",
-        percentile(col("value"), lit(phi)),
-        Some(graft.graphite.GraphiteModel.goFmt(phi))))
+      parseQuantilePhis(q).map { phi =>
+        // valyala/histogram.Quantile index rule a[⌊phi·(n−1)+0.5⌋], the
+        // same rule the Graphite percentiles use — NOT interpolation
+        // (pinned by streamaggr_synctest_test.go "quantiles output":
+        // median of {12,12.5,13,13.3,14,25} is 13.3, not 13.15)
+        val arr = array_sort(collect_list(col("value")))
+        val idx = (floor(lit(phi) * (size(arr) - 1) + lit(0.5)) + 1).cast("int")
+        Slot("quantiles", element_at(arr, idx),
+          Some(graft.graphite.GraphiteModel.goFmt(phi)))
+      }
     case o => Seq(Slot(o, outputExpr(o), None))
   }
 
@@ -213,20 +231,82 @@ object StreamAggr {
       case None => keyed
     }
 
+  /** the shared batch keying: series key (original identity), output
+    * group tags + name, dedup stage; `arrivalSkip` additionally drops
+    * out-of-order samples for the counter kernels (stateless outputs
+    * never skip — min.go/count_samples.go pushSample has no ts check).
+    */
+  private def keyedSamples(samples: DataFrame, cfg: Config,
+      arrivalSkip: Boolean = false): DataFrame = {
+    val k = dedupBatch(samples
+      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
+        to_json(array_sort(map_entries(col("tags")))))), cfg)
+      .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
+      .withColumn("name", groupName(cfg))
+    if (arrivalSkip) dropOutOfOrder(k) else k
+  }
+
+  /** The reference's OUTPUT-GROUP lifecycle (output.go:35-127): a group
+    * exists from its first pushed sample; EVERY interval flush while the
+    * group is alive (flushTs ≤ lastPushTs + staleness) calls flush on
+    * every output — so totals re-emit and `sum_samples` emits 0 on
+    * sample-less intervals — and the first flush PAST the deadline
+    * deletes the whole group (all running totals restart from scratch
+    * when the series reappears: a new "era").
+    *
+    * Batch mapping: one row per (group, flush tick) from the group's
+    * first tick to `endMs` (the replay horizon — a batch replay can't
+    * see trailing sample-less flush ticks in the data, so callers
+    * replaying a bounded wall-clock window pass its end; None = the last
+    * tick with samples anywhere). `_era` counts prior dead ticks, so
+    * windowing a running total by (group, _era) restarts it exactly at
+    * group re-creation; `_lastts` is null on alive-but-empty ticks.
+    * ONLY used when `staleness_interval` is set: the library default
+    * (None) keeps the compact sample-ticks-only output (SURVEY §8.4).
+    */
+  private def aliveTicks(keyed: DataFrame, cfg: Config,
+      endMs: Option[Long]): DataFrame = {
+    val i = cfg.intervalMs
+    val stale = cfg.stalenessIntervalMs.get
+    val perTick = keyed
+      .withColumn("t", expr(s"(ts div ${i}L) * ${i}L + ${i}L"))
+      .groupBy(col("name"), col("_gt"), col("t"))
+      .agg(max(col("ts")).as("_lastts"))
+    val withHz = endMs match {
+      case Some(e) => perTick.withColumn("_hz", lit((e / i) * i))
+      case None =>
+        perTick.crossJoin(broadcast(perTick.agg(max(col("t")).as("_hz"))))
+    }
+    val ticks = withHz
+      .groupBy(col("name"), col("_gt"), col("_hz"))
+      .agg(min(col("t")).as("_t0"))
+      .select(col("name"), col("_gt"),
+        explode(expr(s"sequence(_t0, greatest(_t0, _hz), ${i}L)")).as("t"))
+    val w = Window.partitionBy(col("name"), col("_gt")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ticks
+      .join(perTick, Seq("name", "_gt", "t"), "left")
+      .withColumn("_seen", max(col("_lastts")).over(w))
+      .withColumn("_alive", col("t") <= col("_seen") + lit(stale))
+      .withColumn("_era",
+        sum(when(col("_alive"), lit(0)).otherwise(lit(1))).over(w))
+      .filter(col("_alive"))
+      .select(col("name"), col("_gt"), col("t"), col("_era"), col("_lastts"))
+  }
+
   /** Batch form: (name, tags, ts, value) → (name, tags, t, value) where t
     * is the interval-aligned flush timestamp (window end) and `name`
     * carries the output suffix.
     */
-  def aggregateBatch(samples: DataFrame, cfg: Config): DataFrame = {
+  def aggregateBatch(samples: DataFrame, cfg: Config,
+      endMs: Option[Long] = None): DataFrame = {
     val i = cfg.intervalMs
     // floor assignment with end-exclusive windows: sample ts lands in
     // [k*i, (k+1)*i) and flushes at t=(k+1)*i — the same placement
     // Spark's window() gives the streaming form, so boundary-aligned
     // timestamps (scrape-aligned data) agree between the two paths.
-    val keyed = dedupBatch(samples
-      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
-        to_json(array_sort(map_entries(col("tags")))))), cfg)
-      .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
+    val keyed0 = keyedSamples(samples, cfg)
+    val keyed = keyed0
       .withColumn("t", expr(s"(ts div ${i}L) * ${i}L + ${i}L"))
     val slots = slotsOf(cfg.outputs)
     val aggs = slots.zipWithIndex.map { case (s, ix) => s.agg.as(s"_o$ix") }
@@ -239,7 +319,7 @@ object StreamAggr {
     }.mkString(", ")
     val gtMap = map_from_entries(from_json(col("_gt"),
       lit("array<struct<key:string,value:string>>")))
-    wide
+    val stacked = wide
       .select(col("name"), col("_gt"), col("t"),
         expr(s"stack(${slots.size}, $stackArgs) as (_out, _xt, value)"))
       .select(
@@ -250,6 +330,20 @@ object StreamAggr {
           .otherwise(gtMap).as("tags"),
         col("t"), col("value"))
       .filter(col("value").isNotNull)
+    // sum_samples flushes UNCONDITIONALLY while the group is alive
+    // (sum_samples.go:20-25 has no emptiness guard, unlike min/count):
+    // alive-but-empty intervals emit 0 when staleness is configured
+    if (cfg.stalenessIntervalMs.isEmpty ||
+      !cfg.outputs.contains("sum_samples")) stacked
+    else {
+      val zeros = aliveTicks(keyed0, cfg, endMs)
+        .filter(col("_lastts").isNull)
+        .select(
+          (if (cfg.keepMetricNames) outName(cfg, "")
+           else concat(outName(cfg, ""), lit("sum_samples"))).as("name"),
+          gtMap.as("tags"), col("t"), lit(0.0).as("value"))
+      stacked.unionByName(zeros)
+    }
   }
 
   /** Streaming form: event-time tumbling windows + watermark. Input needs
@@ -265,6 +359,7 @@ object StreamAggr {
       .withColumn("_sk", concat(coalesce(col("name"), lit("")),
         to_json(array_sort(map_entries(col("tags"))))))
       .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
+      .withColumn("name", groupName(cfg))
       .withWatermark("eventTime", watermarkDelay)
     // dedup stage (lib/streamaggr/dedup.go): at most one sample per
     // series per dedup interval, state bounded by the watermark
@@ -465,8 +560,17 @@ object StreamAggr {
       .agg(sum(col("_winc")).as("_inc"), max(col("ts")).as("_lastts"),
         org.apache.spark.sql.functions.min(col("ts")).as("_firstts"))
     val wPrev = Window.partitionBy(col("name"), col("_gt"), col("_sk")).orderBy(col("t"))
+    // prevTimestamp survives sample-less intervals (rate.go:150-157) but
+    // the series state dies after `staleness` without samples — the next
+    // era re-seeds prev with its own first sample ts (rate.go:123-127)
+    val lagTs = lag(col("_lastts"), 1).over(wPrev)
+    val prevExpr = cfg.stalenessIntervalMs match {
+      case Some(s) =>
+        coalesce(when(col("_firstts") - lagTs <= lit(s), lagTs), col("_firstts"))
+      case None => coalesce(lagTs, col("_firstts"))
+    }
     val withRate = perSeries
-      .withColumn("_pts", coalesce(lag(col("_lastts"), 1).over(wPrev), col("_firstts")))
+      .withColumn("_pts", prevExpr)
       .withColumn("_sr",
         when(col("_pts") < col("_lastts"),
           col("_inc") / ((col("_lastts") - col("_pts")) / 1000.0)))
@@ -490,12 +594,12 @@ object StreamAggr {
     */
   def histogramBucketBatch(samples: DataFrame, cfg: Config): DataFrame = {
     val i = cfg.intervalMs
-    val keyed = dedupBatch(samples
-      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
-        to_json(array_sort(map_entries(col("tags")))))), cfg)
-      .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
+    val keyed = keyedSamples(samples, cfg)
       .withColumn("t", expr(s"(ts div ${i}L) * ${i}L + ${i}L"))
-      .withColumn("vmrange", graft.operators.HistogramQ.floorBucketIdx(col("value")))
+      // the output label is the reference's `%.3e...%.3e` range STRING
+      // (histogram_bucket.go flush → metrics.Histogram VisitNonZeroBuckets)
+      .withColumn("vmrange", graft.operators.HistogramQ.vmrangeStr(
+        graft.operators.HistogramQ.floorBucketIdx(col("value"))))
       .filter(col("vmrange").isNotNull)
     val perInterval = keyed
       .groupBy(col("name"), col("_gt"), col("vmrange"), col("t"))
@@ -506,9 +610,13 @@ object StreamAggr {
       .withColumn("value", sum(col("_c")).over(cum))
       .select(
         outName(cfg, "histogram_bucket").as("name"),
-        map_from_entries(from_json(col("_gt"),
-          lit("array<struct<key:string,value:string>>"))).as("tags"),
-        col("vmrange"), col("t"), col("value"))
+        // vmrange is an output LABEL (histogram_bucket.go flush appends
+        // vmrange=... to the series), not a separate column
+        map_concat(
+          map_from_entries(from_json(col("_gt"),
+            lit("array<struct<key:string,value:string>>"))),
+          map(lit("vmrange"), col("vmrange"))).as("tags"),
+        col("t"), col("value"))
   }
 
   /** shared prefix of the batch counter outputs: per-series adjacent
@@ -519,14 +627,32 @@ object StreamAggr {
     * nothing (`total_prometheus`/`increase_prometheus`, the strict
     * Prometheus flavor — total.go:118 getSuffix).
     */
+  /** Arrival-faithful counter state: when the input carries an `_arr`
+    * column (ingest arrival sequence), the counter kernels process
+    * samples in ARRIVAL order and skip out-of-order samples whose ts is
+    * below any previously-seen ts of the series — exactly the
+    * reference's per-series state machine (total.go:39-41,
+    * rate.go:106-109). Without `_arr`, event-time order with a value
+    * tiebreak (the documented deterministic batch order).
+    */
+  private def hasArr(df: DataFrame): Boolean = df.columns.contains("_arr")
+
+  private def dropOutOfOrder(df: DataFrame): DataFrame =
+    if (!hasArr(df)) df
+    else {
+      val w = Window.partitionBy(col("_sk")).orderBy(col("_arr"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("_maxprior", max(col("ts")).over(w))
+        .filter(col("_maxprior").isNull || col("ts") >= col("_maxprior"))
+        .drop("_maxprior")
+    }
+
   private def counterWindows(samples: DataFrame, cfg: Config,
       keepFirstSample: Boolean = false): DataFrame = {
     val i = cfg.intervalMs
-    val keyed = dedupBatch(samples
-      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
-        to_json(array_sort(map_entries(col("tags")))))), cfg)
-      .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
-    val w = Window.partitionBy(col("_sk")).orderBy(col("ts"), col("value"))
+    val keyed = keyedSamples(samples, cfg, arrivalSkip = true)
+    val w = Window.partitionBy(col("_sk")).orderBy(
+      (if (hasArr(keyed)) Seq(col("_arr")) else Seq(col("ts"), col("value"))): _*)
     // staleness (total.go:34-36): a series silent longer than the
     // staleness interval loses its last-value state, so its next sample
     // is treated as a first sample again. Event-time batch equivalent:
@@ -568,37 +694,64 @@ object StreamAggr {
     * over windows; the flag picks the first-sample rule and suffix.
     */
   def totalBatch(samples: DataFrame, cfg: Config,
-      keepFirstSample: Boolean = true): DataFrame = {
+      keepFirstSample: Boolean = true, endMs: Option[Long] = None): DataFrame = {
     val perWindow = counterWindows(samples, cfg, keepFirstSample)
       .groupBy(col("name"), col("_gt"), col("t"))
       .agg(sum(col("_winc")).as("_winc"))
-    val cum = Window.partitionBy(col("name"), col("_gt")).orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perWindow
-      .withColumn("value", sum(col("_winc")).over(cum))
-      .select(
-        outName(cfg, if (keepFirstSample) "total" else "total_prometheus").as("name"),
-        map_from_entries(from_json(col("_gt"),
-          lit("array<struct<key:string,value:string>>"))).as("tags"),
-        col("t"), col("value"))
+    val suffixed = outName(cfg,
+      if (keepFirstSample) "total" else "total_prometheus")
+    val gtMap = map_from_entries(from_json(col("_gt"),
+      lit("array<struct<key:string,value:string>>")))
+    cfg.stalenessIntervalMs match {
+      case None =>
+        // library default: compact sample-ticks output, infinite state
+        val cum = Window.partitionBy(col("name"), col("_gt")).orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        perWindow
+          .withColumn("value", sum(col("_winc")).over(cum))
+          .select(suffixed.as("name"), gtMap.as("tags"), col("t"), col("value"))
+      case Some(_) =>
+        // group lifecycle: emit the running total at EVERY alive tick
+        // (total.go flush appends unconditionally), restart at each era
+        val alive = aliveTicks(keyedSamples(samples, cfg, arrivalSkip = true),
+          cfg, endMs)
+        val cum = Window.partitionBy(col("name"), col("_gt"), col("_era"))
+          .orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        alive
+          .join(perWindow, Seq("name", "_gt", "t"), "left")
+          .withColumn("value",
+            sum(coalesce(col("_winc"), lit(0.0))).over(cum))
+          .select(suffixed.as("name"), gtMap.as("tags"), col("t"), col("value"))
+    }
   }
 
   /** batch `sum_samples_total` (sum_samples.go:26-35 resetTotalOnFlush =
     * false): per-interval sample sums accumulated per output group across
     * flushes. The reference's float53 precision reset is a long-running-
     * server safeguard, not replayed here. */
-  def sumSamplesTotalBatch(samples: DataFrame, cfg: Config): DataFrame = {
+  def sumSamplesTotalBatch(samples: DataFrame, cfg: Config,
+      endMs: Option[Long] = None): DataFrame = {
     val i = cfg.intervalMs
-    val perWindow = dedupBatch(samples
-      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
-        to_json(array_sort(map_entries(col("tags")))))), cfg)
-      .withColumn("_gt", to_json(array_sort(map_entries(groupTags(cfg)))))
+    val keyed = keyedSamples(samples, cfg)
+    val perWindow = keyed
       .withColumn("t", expr(s"(ts div ${i}L) * ${i}L + ${i}L"))
       .groupBy(col("name"), col("_gt"), col("t"))
       .agg(sum(col("value")).as("_ws"))
-    val cum = Window.partitionBy(col("name"), col("_gt")).orderBy(col("t"))
+    val basis = cfg.stalenessIntervalMs match {
+      case None => perWindow // compact sample-ticks output, infinite state
+      case Some(_) =>
+        // running total re-emits every alive tick and restarts per era
+        aliveTicks(keyed, cfg, endMs)
+          .join(perWindow, Seq("name", "_gt", "t"), "left")
+          .withColumn("_ws", coalesce(col("_ws"), lit(0.0)))
+    }
+    val cum = Window.partitionBy(
+      (Seq(col("name"), col("_gt")) ++
+        (if (cfg.stalenessIntervalMs.isDefined) Seq(col("_era")) else Nil)): _*)
+      .orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perWindow
+    basis
       .withColumn("value", sum(col("_ws")).over(cum))
       .select(
         outName(cfg, "sum_samples_total").as("name"),
@@ -617,7 +770,8 @@ object StreamAggr {
     * dedicated batch kernels; everything else goes through the one-pass
     * stacked aggregation.
     */
-  def aggregateBatchConfigured(samples: DataFrame, cfg: Config): DataFrame = {
+  def aggregateBatchConfigured(samples: DataFrame, cfg: Config,
+      endMs: Option[Long] = None): DataFrame = {
     val matched =
       if (cfg.matchSelectors.isEmpty) samples
       else samples.filter(
@@ -635,16 +789,16 @@ object StreamAggr {
         o == "histogram_bucket" || o == "sum_samples_total")
     val parts =
       (if (stateless.nonEmpty)
-        Seq(aggregateBatch(relabeled, cfg.copy(outputs = stateless))) else Nil) ++
+        Seq(aggregateBatch(relabeled, cfg.copy(outputs = stateless), endMs)) else Nil) ++
       stateful.map {
-        case "total" => totalBatch(relabeled, cfg, keepFirstSample = true)
-        case "total_prometheus" => totalBatch(relabeled, cfg, keepFirstSample = false)
+        case "total" => totalBatch(relabeled, cfg, keepFirstSample = true, endMs = endMs)
+        case "total_prometheus" => totalBatch(relabeled, cfg, keepFirstSample = false, endMs = endMs)
         case "increase" => increaseBatch(relabeled, cfg, keepFirstSample = true)
         case "increase_prometheus" => increaseBatch(relabeled, cfg, keepFirstSample = false)
         case "rate_sum" => rateBatch(relabeled, cfg, isAvg = false)
         case "rate_avg" => rateBatch(relabeled, cfg, isAvg = true)
         case "histogram_bucket" => histogramBucketBatch(relabeled, cfg)
-        case "sum_samples_total" => sumSamplesTotalBatch(relabeled, cfg)
+        case "sum_samples_total" => sumSamplesTotalBatch(relabeled, cfg, endMs)
       }
     val unioned = parts.reduce(_ unionByName _)
     // ignore_first_intervals (streamaggr.go:219-222): drop the first N
@@ -669,8 +823,9 @@ object StreamAggr {
   /** every config over the same input, unioned — the multi-entry
     * -streamAggr.config file semantics
     */
-  def applyAll(samples: DataFrame, cfgs: Seq[Config]): DataFrame =
-    cfgs.map(aggregateBatchConfigured(samples, _)).reduce(_ unionByName _)
+  def applyAll(samples: DataFrame, cfgs: Seq[Config],
+      endMs: Option[Long] = None): DataFrame =
+    cfgs.map(aggregateBatchConfigured(samples, _, endMs)).reduce(_ unionByName _)
 
   /** Parse the -streamAggr.config YAML list (streamaggr.go Config):
     * `interval` (required), `outputs`, `by`, `without`, `match` (scalar
@@ -688,14 +843,32 @@ object StreamAggr {
         s.substring(1, s.length - 1)
       else s
     }
+    // split on commas OUTSIDE quotes: `["quantiles(0, 0.5, 1)"]` is ONE
+    // quoted element
+    def splitTop(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      val cur = new StringBuilder
+      var q: Char = 0
+      s.foreach { c =>
+        if (q != 0) { if (c == q) q = 0; cur += c }
+        else if (c == '"' || c == '\'') { q = c; cur += c }
+        else if (c == ',') { out += cur.result(); cur.clear() }
+        else cur += c
+      }
+      out += cur.result()
+      out.result()
+    }
     def inlineList(s: String): Seq[String] = {
       val t = s.trim
       if (t.startsWith("[") && t.endsWith("]"))
-        t.substring(1, t.length - 1).split(',').map(unq).filter(_.nonEmpty).toSeq
+        splitTop(t.substring(1, t.length - 1)).map(unq).filter(_.nonEmpty)
       else Seq(unq(t))
     }
     val lines = yaml.split('\n')
       .filterNot(l => l.trim.isEmpty || l.trim.startsWith("#")).toVector
+    // an empty config loads as zero aggregators (LoadFromData on empty
+    // data succeeds; streamaggr_synctest_test.go's empty-config vectors)
+    if (lines.isEmpty) return Nil
     val starts = lines.zipWithIndex.collect {
       case (l, i) if l.startsWith("- ") || l.trim == "-" => i
     }
@@ -737,6 +910,18 @@ object StreamAggr {
       def relabelField(key: String): Seq[graft.sources.Relabel.Rule] =
         blocks.get(key).map(b => graft.sources.Relabel.parseConfig(b.mkString("\n")))
           .getOrElse(Nil)
+      // unknown options are config errors (yaml.UnmarshalStrict in
+      // LoadFromData; streamaggr_test.go "Unknown option")
+      val known = Set("interval", "by", "without", "outputs",
+        "dedup_interval", "name", "match", "keep_metric_names",
+        "drop_input_labels", "input_relabel_configs",
+        "output_relabel_configs", "staleness_interval",
+        "ignore_first_sample_interval", "ignore_first_intervals",
+        "ignore_old_samples", "no_align_flush_to_interval",
+        "flush_on_shutdown", "enable_windows")
+      for (k <- scalars.keys ++ blocks.keys)
+        require(known.contains(k),
+          s"unknown option in stream aggregation config: `$k`")
       val interval = scalars.getOrElse("interval",
         throw new IllegalArgumentException("missing `interval` in stream aggregation config"))
       def boolField(key: String): Boolean =
@@ -747,9 +932,7 @@ object StreamAggr {
         intervalMs = graft.lang.Lexer.durationMs(unq(interval), 0L),
         by = listField("by"),
         without = listField("without"),
-        outputs = {
-          val o = listField("outputs"); if (o.isEmpty) Seq("sum_samples") else o
-        },
+        outputs = listField("outputs"),
         dedupIntervalMs = durField("dedup_interval"),
         name = scalars.get("name").map(unq).getOrElse(""),
         matchSelectors = listField("match"),

@@ -29,9 +29,9 @@ class HttpApiSpec extends SparkSpec {
     try {
       // prometheus text import: 3 points on a 60s grid
       val rc = post(port, "/api/v1/import/prometheus",
-        """m{job="api"} 10 60000
-          |m{job="api"} 20 120000
-          |m{job="api"} 35 180000
+        """m{job="api"} 10 60
+          |m{job="api"} 20 120
+          |m{job="api"} 35 180
           |""".stripMargin)
       assert(rc == 204)
       // VM JSON-lines import of a second series
@@ -97,7 +97,7 @@ class HttpApiSpec extends SparkSpec {
     val port = api.start()
     try {
       assert(post(port, "/api/v1/import/prometheus",
-        """m{job="api"} 10 60000
+        """m{job="api"} 10 60
           |""".stripMargin) == 204)
       get(port, "/api/v1/query?query=m&time=60")
       get(port, "/api/v1/query?query=m&time=60")
@@ -138,9 +138,9 @@ class HttpApiSpec extends SparkSpec {
     val port = api.start()
     try {
       assert(post(port, "/api/v1/import/prometheus",
-        """m{job="api"} 10 60000
-          |m{job="api"} 20 120000
-          |n{job="web"} 5 120000
+        """m{job="api"} 10 60
+          |m{job="api"} 20 120
+          |n{job="web"} 5 120
           |""".stripMargin) == 204)
 
       assert(get(port, "/api/v1/series/count") ==
@@ -245,7 +245,7 @@ class HttpApiSpec extends SparkSpec {
     val port = api.start()
     try {
       assert(post(port, "/api/v1/import/prometheus",
-        "c{job=\"x\"} 10 60000\nc{job=\"x\"} 20 120000\n") == 204)
+        "c{job=\"x\"} 10 60\nc{job=\"x\"} 20 120\n") == 204)
       val url = "/api/v1/query_range?query=c&start=60&end=120&step=60"
       val first = get(port, url)
       assert(first.contains("""[120.0,"20"]"""))
@@ -262,7 +262,7 @@ class HttpApiSpec extends SparkSpec {
       // sample, not the cached frame (the LocalRelation plan key alone
       // cannot distinguish data-only changes)
       assert(post(port, "/api/v1/import/prometheus",
-        "c{job=\"x\"} 99 120000\n") == 204)
+        "c{job=\"x\"} 99 120\n") == 204)
       val after = get(port, url)
       assert(after.contains("99"), after)
       // nocache=1 bypasses the cache entirely
@@ -280,7 +280,7 @@ class HttpApiSpec extends SparkSpec {
     val api = new HttpApi(spark)
     val port = api.start()
     try {
-      assert(post(port, "/api/v1/import/prometheus", "sn 1 60000\n") == 204)
+      assert(post(port, "/api/v1/import/prometheus", "sn 1 60\n") == 204)
       val created = get(port, "/snapshot/create")
       val name = """"snapshot":"([^"]+)"""".r.findFirstMatchIn(created).get.group(1)
       assert(created.startsWith("""{"status":"ok""""))
@@ -301,7 +301,7 @@ class HttpApiSpec extends SparkSpec {
     val api = new HttpApi(spark)
     val port = api.start()
     try {
-      assert(post(port, "/api/v1/import/prometheus", "sm 1 60000\n") == 204)
+      assert(post(port, "/api/v1/import/prometheus", "sm 1 60\n") == 204)
       get(port, "/api/v1/query?query=sm&time=60")
       val m = get(port, "/metrics")
       assert(m.contains("""vm_http_requests_total{path="/api/v1/query"} 1"""))
@@ -321,9 +321,9 @@ class HttpApiSpec extends SparkSpec {
     val port = api.start()
     try {
       assert(post(port, "/api/v1/import/prometheus",
-        """ma{job="1"} 1 60000
-          |mb{job="2"} 2 60000
-          |mc{job="3"} 3 60000
+        """ma{job="1"} 1 60
+          |mb{job="2"} 2 60
+          |mc{job="3"} 3 60
           |""".stripMargin) == 204)
       val two = "match[]=ma&match[]=mb"
       val series = get(port, s"/api/v1/series?start=0&end=1000&$two")
@@ -349,9 +349,9 @@ class HttpApiSpec extends SparkSpec {
     val port = api.start()
     try {
       assert(post(port, "/api/v1/import/prometheus",
-        """tq{job="a"} 1 60000
-          |tq{job="a"} 3 120000
-          |tq{job="b"} 2 60000
+        """tq{job="a"} 1 60
+          |tq{job="a"} 3 120
+          |tq{job="b"} 2 60
           |""".stripMargin) == 204)
 
       // stats block is always present; seriesFetched is a STRING
@@ -484,7 +484,7 @@ class HttpApiSpec extends SparkSpec {
     val port = api.start()
     try {
       assert(post(port, "/api/v1/import/prometheus",
-        "pfx{job=\"a\"} 7 60000\n") == 204)
+        "pfx{job=\"a\"} 7 60\n") == 204)
       // /prometheus/* and /graphite/* strip to the bare route (main.go:95-105)
       val viaPrefix = get(port,
         "/prometheus/api/v1/query_range?query=pfx&start=60&end=60&step=60")
@@ -608,9 +608,9 @@ class HttpApiSpec extends SparkSpec {
     try {
       assert(post(port, "/api/v1/admin/status/metric_names_stats/reset", "") == 204)
       assert(post(port, "/api/v1/import/prometheus",
-        """used_a{job="x"} 1 60000
-          |used_b{job="x"} 2 60000
-          |never_queried 3 60000
+        """used_a{job="x"} 1 60
+          |used_b{job="x"} 2 60
+          |never_queried 3 60
           |""".stripMargin) == 204)
       get(port, "/api/v1/query?query=used_a&time=60")
       get(port, "/api/v1/query?query=used_a&time=60")
@@ -867,7 +867,7 @@ class HttpApiSpec extends SparkSpec {
     val port = api.start()
     try {
       assert(postFull(port, "/api/v1/import/prometheus",
-        gzip("gzm 7 60000\n"), "Content-Encoding" -> "gzip")._1 == 204)
+        gzip("gzm 7 60\n"), "Content-Encoding" -> "gzip")._1 == 204)
       assert(get(port, "/api/v1/query?query=gzm&time=60").contains(""""7""""))
       assert(postFull(port, "/api/v1/import",
         gzip("""{"metric":{"__name__":"gzj"},"values":[9],"timestamps":[60000]}"""),

@@ -94,9 +94,10 @@ class StreamAggrSpec extends SparkSpec {
   }
 
   test("sum_samples_total accumulates interval sums across flushes") {
+    // empty by/without groups per full label set (host a and b separate)
     val out = StreamAggr.sumSamplesTotalBatch(in, StreamAggr.Config(1000L))
       .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
-    assert(out == Set((1000L, 9.0), (2000L, 16.0)))
+    assert(out == Set((1000L, 4.0), (1000L, 5.0), (2000L, 11.0)))
   }
 
   test("explicit staleness resets counter state after a silent gap") {
@@ -111,12 +112,16 @@ class StreamAggrSpec extends SparkSpec {
     val stale = StreamAggr.totalBatch(counter,
       StreamAggr.Config(1000L, stalenessIntervalMs = Some(2000L)))
       .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
-    assert(stale(6000L) == 114.0) // 10 + 4 + fresh first sample 100
+    // the group entry dies with its staleness (output.go flushState): the
+    // running total restarts in the new era — and re-emits while alive
+    assert(stale(1000L) == 14.0 && stale(2000L) == 14.0) // alive re-emit
+    assert(!stale.contains(3000L)) // past deadline: group deleted
+    assert(stale(6000L) == 100.0)  // fresh era: total restarts
     val staleProm = StreamAggr.totalBatch(counter,
       StreamAggr.Config(1000L, stalenessIntervalMs = Some(2000L)),
       keepFirstSample = false)
       .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
-    assert(staleProm(6000L) == 4.0) // both first samples dropped
+    assert(staleProm(1000L) == 4.0 && staleProm(6000L) == 0.0) // firsts dropped
   }
 
   test("ignore_first_sample_interval suppresses early first samples") {
@@ -128,9 +133,10 @@ class StreamAggrSpec extends SparkSpec {
     val out = StreamAggr.totalBatch(counter,
       StreamAggr.Config(1000L, ignoreFirstSampleIntervalMs = Some(2000L)))
       .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
-    // x's first sample (ts 500 < 500+2000) ignored: contributes only +4;
-    // y starts at 3500 ≥ 2500: contributes 50 + 1
-    assert(out(4000L) == 4.0 + 51.0)
+    // x's first sample (ts 500 < 500+2000) ignored: its group shows +4;
+    // y starts at 3500 ≥ 2500: its group shows 50 + 1 (groups are
+    // per-label-set with empty by/without)
+    assert(out(1000L) == 4.0 && out(4000L) == 51.0)
   }
 
   test("ignore_first_intervals drops the replay's first N flushes") {
@@ -153,7 +159,9 @@ class StreamAggrSpec extends SparkSpec {
       cfgs.head.intervalRaw == "1s")
     val out = StreamAggr.applyAll(in, cfgs)
       .collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
-    assert(out == Set((2000L, 7.0))) // first flush at 1000 dropped
+    // first flush at 1000 dropped; host-b's group is alive-but-empty at
+    // 2000 (staleness 5s) so sum_samples flushes 0 there
+    assert(out == Set((2000L, 7.0), (2000L, 0.0)))
   }
 
   test("full config pipeline: yaml parse, match, drop labels, relabel, keep names") {
@@ -275,8 +283,9 @@ class StreamAggrSpec extends SparkSpec {
         .map(r => (r.getString(0),
           Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty),
           r.getLong(2), r.getDouble(3))).toSet
+      // valyala/histogram index rule: median of {1, 3} is a[⌊0.5·1+0.5⌋]=3
       assert(rows.contains(("m:1s_by_host_quantiles",
-        Map("host" -> "h", "quantile" -> "0.5", "env" -> "prod"), 1000L, 2.0)))
+        Map("host" -> "h", "quantile" -> "0.5", "env" -> "prod"), 1000L, 3.0)))
       assert(!rows.exists(_._1.contains("other")))
     } finally query.stop()
   }
@@ -294,9 +303,11 @@ class StreamAggrSpec extends SparkSpec {
       .outputMode("update").start()
     try {
       mem.addData(
-        """http_total{job="api"} 5 100""",
-        """http_total{job="api"} 7 600""",
-        """http_total{job="web"} 11 700""",
+        // fractional-second OpenMetrics timestamps (the parser scales
+        // sub-2^31 timestamps from seconds to ms)
+        """http_total{job="api"} 5 0.1""",
+        """http_total{job="api"} 7 0.6""",
+        """http_total{job="web"} 11 0.7""",
         "# comment ignored",
         "garbage line")
       query.processAllAvailable()
