@@ -19,23 +19,184 @@ object LineFormats {
 
   private val S = StringType
 
-  /** parse `k1="v1",k2="v2"` prometheus label bodies into a map
-    * (escape subset: \\" \\\\ \\n).
-    */
-  private def promLabels(body: Column): Column = {
-    val entries = regexp_extract_all(
-      body, lit("""([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\]|\\.)*)""""), lit(0))
-    map_from_entries(
-      transform(entries, e =>
-        struct(
-          regexp_extract(e, """([a-zA-Z_][a-zA-Z0-9_]*)=""", 1).as("key"),
-          unescape(regexp_extract(e, """="((?:[^"\\]|\\.)*)"""", 1)).as("value"))))
+  // ---- Prometheus text exposition line parser ------------------------
+  // Reference-faithful per-line scanner (lib/protoparser/prometheus/
+  // parser.go:158-307 Row.unmarshal/unmarshalTags/unmarshalQuotedString),
+  // replacing the earlier regex sketch: quoted UTF-8 metric names and
+  // label keys ({"name", "key"="v"}, the 2023 UTF-8 proposal), `#` chars
+  // inside names/keys/values, exemplar comments after the value, empty
+  // keys dropped / empty values kept, trailing commas, escape handling
+  // (\" \\ \n, lenient otherwise), and fastfloat's inf/nan word forms.
+  // Pinned by the complete ported TestRowsUnmarshal corpus
+  // (PromParserGoldenSpec).
+
+  private[sources] final case class PromRow(
+      name: String, tags: Map[String, String], ts: Option[Long], value: Double)
+
+  private def promLtrim(x: String): String = {
+    var i = 0
+    while (i < x.length && (x(i) == ' ' || x(i) == '\t')) i += 1
+    x.substring(i)
+  }
+  private def promRtrim(x: String): String = {
+    var e = x.length
+    while (e > 0 && (x(e - 1) == ' ' || x(e - 1) == '\t')) e -= 1
+    x.substring(0, e)
+  }
+  // first ' ' or '\t' (tokens separate on either, parser.go:146-156)
+  private def nextWs(x: String): Int = {
+    var i = 0
+    while (i < x.length) {
+      if (x(i) == ' ' || x(i) == '\t') return i
+      i += 1
+    }
+    -1
   }
 
-  private def unescape(c: Column): Column =
-    regexp_replace(
-      regexp_replace(regexp_replace(c, """\\n""", "\n"), """\\"""", "\""),
-      """\\\\""", """\\""")
+  /** quoted string starting at s(0): returns (unescaped content, rest
+    * after the closing quote); closing quote = the first `"` preceded by
+    * an even number of backslashes.
+    */
+  private def unquote(s: String): Option[(String, String)] = {
+    if (s.isEmpty || s.head != '"') return None
+    var i = 1
+    var close = -1
+    while (close < 0 && i < s.length) {
+      if (s(i) == '"') {
+        var bs = 0
+        var j = i - 1
+        while (j >= 1 && s(j) == '\\') { bs += 1; j -= 1 }
+        if (bs % 2 == 0) close = i
+      }
+      i += 1
+    }
+    if (close < 0) return None
+    val raw = s.substring(1, close)
+    val sb = new StringBuilder(raw.length)
+    var k = 0
+    while (k < raw.length) {
+      val c = raw(k)
+      if (c == '\\' && k + 1 < raw.length) {
+        raw(k + 1) match {
+          case '\\' => sb += '\\'
+          case '"' => sb += '"'
+          case 'n' => sb += '\n'
+          case other => sb += '\\'; sb += other // lenient: kept verbatim
+        }
+        k += 2
+      } else { sb += c; k += 1 }
+    }
+    Some((sb.result(), s.substring(close + 1)))
+  }
+
+  /** fastfloat.Parse: strict decimal/exponent plus case-insensitive
+    * inf/infinity/nan word forms. */
+  private def parseNum(tok: String): Option[Double] =
+    tok.toLowerCase(java.util.Locale.ROOT) match {
+      case "" => None
+      case "inf" | "+inf" | "infinity" | "+infinity" =>
+        Some(Double.PositiveInfinity)
+      case "-inf" | "-infinity" => Some(Double.NegativeInfinity)
+      case "nan" | "+nan" | "-nan" => Some(Double.NaN)
+      case _ =>
+        // gate with a strict shape first: Java parseDouble accepts forms
+        // fastfloat rejects ("1d", hex, surrounding whitespace)
+        if (tok.matches("""[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?"""))
+          Some(java.lang.Double.parseDouble(tok))
+        else None
+    }
+
+  private[sources] def parsePromLine(line0: String): Option[PromRow] = {
+    var s = if (line0 != null && line0.nonEmpty && line0.last == '\r')
+      line0.dropRight(1) else if (line0 == null) "" else line0
+    s = promLtrim(s)
+    if (s.isEmpty || s.head == '#') return None // blank line / comment
+    var metric = ""
+    val tags = Vector.newBuilder[(String, String)]
+    var rest: String = null
+    val brace = s.indexOf('{')
+    if (brace >= 0) {
+      metric = promRtrim(s.substring(0, brace))
+      var t = s.substring(brace + 1)
+      var done = false
+      while (!done) {
+        t = promLtrim(t)
+        val q = t.indexOf('"')
+        if (q < 0) {
+          if (t.nonEmpty && t.head == '}') { rest = t.substring(1); done = true }
+          else return None // unquoted tag without a value
+        } else {
+          val possibleKey = promRtrim(t.substring(0, q))
+          var key: String = null
+          var skipValue = false
+          if (possibleKey.isEmpty) {
+            // quoted label key — or a quoted UTF-8 metric name
+            unquote(t) match {
+              case None => return None
+              case Some((k, r)) => key = k; t = r
+            }
+            t = promLtrim(t)
+            if (t.nonEmpty && (t.head == ',' || t.head == '}')) {
+              if (metric.nonEmpty) return None // duplicate metric name
+              metric = key
+              if (t.length > 1 && t.head == ',') t = t.substring(1)
+              skipValue = true
+            } else if (t.nonEmpty && t.head != '=') {
+              return None // quoted key must be followed by '='
+            } else if (t.nonEmpty) {
+              t = promLtrim(t.substring(1))
+            }
+          } else if (possibleKey.last == '=') {
+            key = promRtrim(promLtrim(possibleKey.dropRight(1)))
+            t = promLtrim(t.substring(t.indexOf('"')))
+          } else {
+            return None // e.g. {host:"v"} or {"k":"v"} — no '=' before value
+          }
+          if (!skipValue) {
+            unquote(t) match {
+              case None => return None
+              case Some((v, r)) =>
+                if (key.nonEmpty) tags += (key -> v) // empty keys dropped
+                t = r
+            }
+            t = promLtrim(t)
+            if (t.nonEmpty && t.head == '}') { rest = t.substring(1); done = true }
+            else if (t.isEmpty || t.head != ',') return None
+            else t = t.substring(1)
+          }
+        }
+      }
+      if (rest.nonEmpty && rest.head == ' ') rest = rest.substring(1)
+    } else {
+      val n = nextWs(s)
+      if (n < 0) return None // missing value
+      metric = s.substring(0, n)
+      rest = s.substring(n + 1)
+    }
+    if (metric.isEmpty) return None
+    rest = promLtrim(rest)
+    val hash = rest.indexOf('#') // exemplar / trailing comment
+    if (hash >= 0) rest = rest.substring(0, hash)
+    if (rest.isEmpty) return None // value cannot be empty
+    val n = nextWs(rest)
+    if (n < 0) {
+      parseNum(rest).map(v => PromRow(metric, tags.result().toMap, None, v))
+    } else {
+      val v = parseNum(rest.substring(0, n)).getOrElse(return None)
+      var t2 = promLtrim(rest.substring(n + 1))
+      if (t2.isEmpty) Some(PromRow(metric, tags.result().toMap, None, v))
+      else {
+        t2 = promRtrim(t2)
+        val ts = parseNum(t2).getOrElse(return None)
+        // sub-2^31 timestamps are OpenMetrics Unix seconds → ms
+        // (parser.go:222-228)
+        val tsMs = if (ts >= -2147483648.0 && ts < 2147483648.0) ts * 1000 else ts
+        Some(PromRow(metric, tags.result().toMap, Some(tsMs.toLong), v))
+      }
+    }
+  }
+
+  private val promLineUdf = udf { (line: String) => parsePromLine(line) }
 
   private val numRe = """^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"""
 
@@ -57,24 +218,15 @@ object LineFormats {
     * `name{l="v",…} value [timestamp_ms]`; # comments skipped; missing
     * timestamp → `defaultTsMs` (scrape time).
     */
-  def prometheusText(lines: DataFrame, defaultTsMs: Long): DataFrame = {
-    val re = """^([a-zA-Z_:][a-zA-Z0-9_:.]*)(?:\{(.*)\})?\s+(\S+)(?:\s+(-?\d+(?:\.\d+)?))?\s*$"""
-    // timestamps in (-2^31, 2^31) look like OpenMetrics Unix SECONDS and
-    // are scaled to milliseconds (parser.go:222-228); bigger values are
-    // already milliseconds. Fractional-second timestamps parse too.
-    val rawTs = regexp_extract(col("line"), re, 4)
-    val tsNum = rawTs.cast(DoubleType)
-    val scaled = when(tsNum >= -2147483648.0 && tsNum < 2147483648.0,
-      (tsNum * 1000).cast(LongType)).otherwise(tsNum.cast(LongType))
+  def prometheusText(lines: DataFrame, defaultTsMs: Long): DataFrame =
     lines
-      .filter(!col("line").startsWith("#") && length(trim(col("line"))) > 0)
+      .select(promLineUdf(col("line")).as("r"))
+      .filter(col("r").isNotNull)
       .select(
-        regexp_extract(col("line"), re, 1).as("name"),
-        promLabels(regexp_extract(col("line"), re, 2)).as("tags"),
-        when(rawTs === "", lit(defaultTsMs)).otherwise(scaled).as("ts"),
-        promDouble(regexp_extract(col("line"), re, 3)).as("value"))
-      .filter(col("name") =!= "" && col("value").isNotNull)
-  }
+        col("r.name").as("name"),
+        col("r.tags").as("tags"),
+        coalesce(col("r.ts"), lit(defaultTsMs)).as("ts"),
+        col("r.value").as("value"))
 
   /** Influx line protocol (lib/protoparser/influx):
     * `measurement[,tag=v…] field=v[,field2=v2…] [timestamp_ns]`.
