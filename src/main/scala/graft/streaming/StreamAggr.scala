@@ -221,15 +221,46 @@ object StreamAggr {
     * dropDuplicatesWithinWatermark over the same floor-bucketed key.
     * Requires a `_sk` series-key column.
     */
+  // dedup keep rule (dedup.go deduplicateSamples, pinned by the ported
+  // TestDeduplicateSamples vectors): newer timestamp wins; on a
+  // timestamp tie the BIGGER value wins, and NaN (StaleNaN) never wins
+  // a tie — order NaN as -inf so any real value beats it
+  private def nanLast(v: Column): Column =
+    when(isnan(v), lit(Double.NegativeInfinity)).otherwise(v)
+
   private def dedupBatch(keyed: DataFrame, cfg: Config): DataFrame =
     cfg.dedupIntervalMs match {
       case Some(d) =>
         val w = Window.partitionBy(col("_sk"), expr(s"(ts div ${d}L) * ${d}L"))
-          .orderBy(col("ts").desc, col("value").desc)
+          .orderBy(col("ts").desc, nanLast(col("value")).desc)
         keyed.withColumn("_ddrn", row_number().over(w))
           .filter(col("_ddrn") === 1).drop("_ddrn")
       case None => keyed
     }
+
+  /** The standalone deduplicator (lib/streamaggr/deduplicator.go — the
+    * `-streamAggr.dedupInterval`-without-aggregation path): optionally
+    * drop labels, then keep one sample per series per dedup interval
+    * under the same keep rule. Output keeps the winning sample's
+    * original (ts, value).
+    */
+  def deduplicatorBatch(samples: DataFrame, dedupIntervalMs: Long,
+      dropLabels: Seq[String] = Nil): DataFrame = {
+    val dropped =
+      if (dropLabels.isEmpty) samples
+      else samples.withColumn("tags",
+        map_filter(col("tags"), (k, _) => !k.isInCollection(dropLabels)))
+    dropped
+      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
+        to_json(array_sort(map_entries(col("tags"))))))
+      .withColumn("_bkt", expr(s"(ts div ${dedupIntervalMs}L) * ${dedupIntervalMs}L"))
+      .groupBy(col("_sk"), col("_bkt"))
+      .agg(max_by(
+        struct(col("name"), col("tags"), col("ts"), col("value")),
+        struct(col("ts"), nanLast(col("value")))).as("_w"))
+      .select(col("_w.name").as("name"), col("_w.tags").as("tags"),
+        col("_w.ts").as("ts"), col("_w.value").as("value"))
+  }
 
   /** the shared batch keying: series key (original identity), output
     * group tags + name, dedup stage; `arrivalSkip` additionally drops

@@ -124,4 +124,71 @@ class StreamAggrGoldenSpec extends SparkSpec {
         e.getMessage != null, s"rejected with: ${e.getMessage}")
     }
   }
+
+  /** dedup_test.go TestDeduplicateSamples: the keep rule over a single
+    * old/new pair — newer ts wins, ties keep the bigger value, StaleNaN
+    * never wins a tie.
+    */
+  test("dedup keep rule (TestDeduplicateSamples vectors)") {
+    val s = spark
+    import s.implicits._
+    val vectors = Seq(
+      // (oldT, newT, oldV, newV, expT, expV)
+      (1000L, 2000L, 1.0, 2.0, 2000L, 2.0),
+      (2000L, 1000L, 2.0, 1.0, 2000L, 2.0),
+      (1000L, 1000L, 1.0, 2.0, 1000L, 2.0),
+      (1000L, 1000L, 2.0, 1.0, 1000L, 2.0),
+      (1000L, 1000L, 1.0, 1.0, 1000L, 1.0),
+      (1000L, 1000L, 1.0, Double.NaN, 1000L, 1.0),
+      (1000L, 1000L, Double.NaN, 2.0, 1000L, 2.0))
+    for ((ot, nt, ov, nv, et, ev) <- vectors) {
+      val in = Seq(("m", Map.empty[String, String], ot, ov),
+        ("m", Map.empty[String, String], nt, nv)).toDF("name", "tags", "ts", "value")
+      val out = StreamAggr.deduplicatorBatch(in, 3600000L).collect()
+      assert(out.length == 1)
+      assert(out.head.getLong(2) == et && out.head.getDouble(3) == ev,
+        s"vector ($ot,$nt,$ov,$nv): got ${out.head}")
+    }
+  }
+
+  /** deduplicator_test.go TestDeduplicator: drop-labels + one-hour dedup
+    * over a 10×-repeated pushed batch, rendered like the reference.
+    */
+  test("standalone deduplicator (TestDeduplicator vector)") {
+    val labels = """instance="x",job="aaa",pod="sdfd-dfdfdfs",node="aosijjewrerfd",namespace="asdff",container="ohohffd""""
+    val text = s"""
+foo{$labels} 123
+bar{$labels} 34.54
+x 8943 1
+baz_aaa_aaa_fdd{$labels} -34.34
+x 90984
+x 433 1
+asfjkldsf{$labels} 12322
+foo{$labels} 894
+baz_aaa_aaa_fdd{$labels} -2.3
+"""
+    val s = spark
+    import s.implicits._
+    val off = 1704067260000L // now + 1m analogue; any fixed offset works
+    val one = graft.sources.LineFormats.prometheusText(
+      text.split('\n').toSeq.toDF("line"), 0L)
+      .withColumn("ts", col("ts") + lit(off))
+    // Push(tss) ten times — duplicates collapse under the same keep rule
+    val pushed = (1 to 10).map(_ => one).reduce(_ unionByName _)
+    val out = StreamAggr.deduplicatorBatch(pushed, 3600000L,
+      dropLabels = Seq("node", "instance"))
+    val rendered = out.collect()
+      .map(r => (labelsToString(r.getString(0),
+        Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)),
+        graft.graphite.GraphiteModel.goFmt(r.getDouble(3))))
+      .sortBy(_._1).map { case (ls, v) => s"$ls $v\n" }.mkString
+    val expected =
+      """asfjkldsf{container="ohohffd",job="aaa",namespace="asdff",pod="sdfd-dfdfdfs"} 12322
+bar{container="ohohffd",job="aaa",namespace="asdff",pod="sdfd-dfdfdfs"} 34.54
+baz_aaa_aaa_fdd{container="ohohffd",job="aaa",namespace="asdff",pod="sdfd-dfdfdfs"} -2.3
+foo{container="ohohffd",job="aaa",namespace="asdff",pod="sdfd-dfdfdfs"} 894
+x 8943
+"""
+    assert(rendered == expected)
+  }
 }
