@@ -228,60 +228,262 @@ object LineFormats {
         coalesce(col("r.ts"), lit(defaultTsMs)).as("ts"),
         col("r.value").as("value"))
 
+  // ---- Influx line protocol parser -------------------------------------
+  // Reference-faithful scanner (lib/protoparser/influx/parser.go:110-470):
+  // escape-aware splitting (`\,` `\=` `\ ` `\\` unescape; unknown escapes
+  // keep their backslash), quote-aware field splitting (commas/spaces
+  // inside quoted field values don't split), quoted string fields parse
+  // best-effort to a number (else 0), `i`/`u` integer suffixes, boolean
+  // words, strict-integer timestamps, empty measurement allowed, empty
+  // tag keys/values skipped while a tag WITHOUT '=' is a line error.
+  // Pinned by the ported parser_test.go corpus (InfluxLineGoldenSpec).
+
+  private[sources] final case class InfluxRow(
+      measurement: String, tags: Map[String, String],
+      fields: Seq[InfluxField], ts: Option[Long])
+  private[sources] final case class InfluxField(key: String, value: Double)
+
+  /** index of the next `ch` not escaped by an odd run of backslashes;
+    * plain indexOf when the line carries no backslash at all.
+    */
+  private def nextUnescaped(s: String, ch: Char, esc: Boolean, from: Int = 0): Int = {
+    if (!esc) return s.indexOf(ch, from)
+    var i = from
+    while (i < s.length) {
+      if (s(i) == ch) {
+        var bs = 0
+        var j = i - 1
+        while (j >= 0 && s(j) == '\\') { bs += 1; j -= 1 }
+        if (bs % 2 == 0) return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** next `ch` outside quoted regions (quote boundaries themselves found
+    * escape-aware). */
+  private def nextUnquoted(s: String, ch: Char, esc: Boolean, quoted: Boolean): Int = {
+    if (!quoted) return nextUnescaped(s, ch, esc)
+    var from = 0
+    while (true) {
+      val n = nextUnescaped(s, ch, esc, from)
+      if (n < 0) return -1
+      // in-quote iff an odd number of unescaped quotes precede position n
+      var q = 0
+      var i = nextUnescaped(s, '"', esc)
+      while (i >= 0 && i < n) { q += 1; i = nextUnescaped(s, '"', esc, i + 1) }
+      if (q % 2 == 0) return n
+      val close = nextUnescaped(s, '"', esc, n + 1)
+      if (close < 0) return -1
+      from = close + 1
+    }
+    -1
+  }
+
+  private def influxUnescape(s: String, esc: Boolean): String = {
+    if (!esc || !s.contains('\\')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s(i)
+      if (c == '\\' && i + 1 < s.length) {
+        val nx = s(i + 1)
+        if (nx == ' ' || nx == ',' || nx == '=' || nx == '\\') { sb += nx; i += 2 }
+        else { sb += '\\'; sb += nx; i += 2 } // unknown escape kept verbatim
+      } else { sb += c; i += 1 }
+    }
+    sb.result()
+  }
+
+  /** fastfloat.ParseBestEffort: a number or 0, never an error. */
+  private def bestEffort(s: String): Double = parseNum(s).getOrElse(0.0)
+
+  private def influxFieldValue(s: String, quoted: Boolean): Option[Double] = {
+    if (s.isEmpty) return None // field value cannot be empty
+    if (quoted && s.head == '"') {
+      if (s.length < 2 || s.last != '"') return None // missing closing quote
+      return Some(bestEffort(s.substring(1, s.length - 1)))
+    }
+    if (s.last == 'i') {
+      val ss = s.dropRight(1)
+      return if (ss.matches("[+-]?\\d+")) Some(ss.toLong.toDouble) else None
+    }
+    if (s.last == 'u') {
+      val ss = s.dropRight(1)
+      return if (ss.matches("\\d+")) Some(java.lang.Long.parseUnsignedLong(ss).toDouble) else None
+    }
+    s match {
+      case "t" | "T" | "true" | "True" | "TRUE" => Some(1.0)
+      case "f" | "F" | "false" | "False" | "FALSE" => Some(0.0)
+      case _ => Some(bestEffort(s))
+    }
+  }
+
+  private[sources] def parseInfluxLine(line0: String): Option[InfluxRow] = {
+    var s = if (line0 != null && line0.nonEmpty && line0.last == '\r')
+      line0.dropRight(1) else if (line0 == null) "" else line0
+    if (s.isEmpty || s.head == '#') return None // empty line / comment
+    val esc = s.contains('\\')
+    val ws1 = nextUnescaped(s, ' ', esc)
+    if (ws1 < 0) return None // no whitespace between tags and fields
+    var measurementTags = s.substring(0, ws1)
+    s = s.substring(ws1 + 1).dropWhile(_ == ' ')
+    // measurement + tags
+    val tags = Map.newBuilder[String, String]
+    val comma = nextUnescaped(measurementTags, ',', esc)
+    if (comma >= 0) {
+      var t = measurementTags.substring(comma + 1)
+      var more = true
+      while (more) {
+        val n = nextUnescaped(t, ',', esc)
+        val part = if (n < 0) t else t.substring(0, n)
+        val eq = nextUnescaped(part, '=', esc)
+        if (eq < 0) return None // missing tag value
+        val k = influxUnescape(part.substring(0, eq), esc)
+        val v = influxUnescape(part.substring(eq + 1), esc)
+        if (k.nonEmpty && v.nonEmpty) tags += (k -> v)
+        if (n < 0) more = false else t = t.substring(n + 1)
+      }
+      measurementTags = measurementTags.substring(0, comma)
+    }
+    val measurement = influxUnescape(measurementTags, esc)
+    // fields (quote-aware splitting)
+    val quoted = nextUnescaped(s, '"', esc) >= 0
+    val ws2 = nextUnquoted(s, ' ', esc, quoted)
+    val fieldsStr = if (ws2 < 0) s else s.substring(0, ws2)
+    val fields = Seq.newBuilder[InfluxField]
+    var f = fieldsStr
+    var more = true
+    while (more) {
+      val n = nextUnquoted(f, ',', esc, quoted)
+      val part = if (n < 0) f else f.substring(0, n)
+      val eq = nextUnescaped(part, '=', esc)
+      if (eq < 0) return None // missing field value
+      val k = influxUnescape(part.substring(0, eq), esc)
+      if (k.isEmpty) return None // field key cannot be empty
+      influxFieldValue(part.substring(eq + 1), quoted) match {
+        case None => return None
+        case Some(v) => fields += InfluxField(k, v)
+      }
+      if (n < 0) more = false else f = f.substring(n + 1)
+    }
+    // optional timestamp (strict integer; whitespace may trail w/o one)
+    if (ws2 < 0) Some(InfluxRow(measurement, tags.result(), fields.result(), None))
+    else {
+      val rest = s.substring(ws2 + 1).dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      if (rest.isEmpty) Some(InfluxRow(measurement, tags.result(), fields.result(), None))
+      else if (rest.matches("[+-]?\\d+"))
+        Some(InfluxRow(measurement, tags.result(), fields.result(), Some(rest.toLong)))
+      else None // invalid timestamp
+    }
+  }
+
+  private val influxLineUdf = udf { (line: String) => parseInfluxLine(line) }
+
   /** Influx line protocol (lib/protoparser/influx):
     * `measurement[,tag=v…] field=v[,field2=v2…] [timestamp_ns]`.
     * Each field fans out to its own series named `measurement_field`
-    * (the reference's default `{measurement}{separator}{field}` naming).
+    * (the reference's default `{measurement}{separator}{field}` naming;
+    * an empty measurement uses the bare field key).
     */
-  def influxLine(lines: DataFrame, defaultTsMs: Long): DataFrame = {
-    val re = """^(\S+)\s+(\S+)(?:\s+(\d+))?\s*$"""
-    val parsed = lines
-      .filter(length(trim(col("line"))) > 0 && !col("line").startsWith("#"))
+  def influxLine(lines: DataFrame, defaultTsMs: Long): DataFrame =
+    lines
+      .select(influxLineUdf(col("line")).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.measurement").as("measurement"), col("r.tags").as("tags"),
+        coalesce((col("r.ts") / 1000000).cast(LongType), lit(defaultTsMs)).as("ts"),
+        explode(col("r.fields")).as("f"))
       .select(
-        regexp_extract(col("line"), re, 1).as("head"),
-        regexp_extract(col("line"), re, 2).as("fields"),
-        regexp_extract(col("line"), re, 3).as("tsRaw"))
-      .filter(col("head") =!= "")
-      .select(
-        split(col("head"), ",").getItem(0).as("measurement"),
-        when(col("head").contains(","),
-          str_to_map(regexp_replace(col("head"), "^[^,]*,", ""), lit(","), lit("=")))
-          .otherwise(map().cast("map<string,string>")).as("tags"),
-        str_to_map(col("fields"), lit(","), lit("=")).as("fmap"),
-        when(col("tsRaw") === "", lit(defaultTsMs))
-          .otherwise((col("tsRaw").cast(DecimalType(24, 0)) / 1000000).cast(LongType)).as("ts"))
-    parsed
-      .select(col("measurement"), col("tags"), col("ts"),
-        explode(col("fmap")).as(Seq("field", "raw")))
-      .select(
-        concat(col("measurement"), lit("_"), col("field")).as("name"),
-        col("tags"), col("ts"),
-        // integers carry an `i` suffix; strings are quoted (dropped by cast)
-        tryDouble(regexp_replace(col("raw"), "i$", "")).as("value"))
-      .filter(col("value").isNotNull)
+        when(col("measurement") === "", col("f.key"))
+          .otherwise(concat(col("measurement"), lit("_"), col("f.key"))).as("name"),
+        col("tags"), col("ts"), col("f.value").as("value"))
+
+  // ---- Graphite plaintext line parser ---------------------------------
+  // Reference-faithful scanner (lib/protoparser/graphite/parser.go:71-225):
+  // value and timestamp split from the RIGHT (metric names and tag
+  // names/values may contain spaces — issue 3102), timestamp optional
+  // (float seconds, truncated), tags after ';' keep '=' inside values,
+  // EMPTY keys or values drop (issue 1100), and the opt-in
+  // `-graphite.sanitizeMetricName` transform collapses repeated dots and
+  // replaces chars outside [a-zA-Z0-9:_.] with '_' on the metric and tag
+  // KEYS only. Pinned by the ported parser_test.go corpus
+  // (GraphiteLineGoldenSpec).
+
+  private[sources] final case class GraphiteRow(
+      name: String, tags: Map[String, String], ts: Option[Long], value: Double)
+
+  private def graphiteSanitize(s: String): String =
+    s.replaceAll("[.]+", ".").replaceAll("[^a-zA-Z0-9:_.]", "_")
+
+  private def lastWs(s: String): Int = {
+    var i = s.length - 1
+    while (i >= 0) {
+      if (s(i) == ' ' || s(i) == '\t') return i
+      i -= 1
+    }
+    -1
   }
 
-  /** Graphite plaintext (lib/protoparser/graphite):
-    * `metric.path[;tag=v…] value timestamp_s`.
-    */
-  def graphiteLine(lines: DataFrame): DataFrame = {
-    val re = """^(\S+)\s+(\S+)\s+(\d+)\s*$"""
-    lines
-      .filter(length(trim(col("line"))) > 0)
-      .select(
-        regexp_extract(col("line"), re, 1).as("path"),
-        regexp_extract(col("line"), re, 2).as("raw"),
-        regexp_extract(col("line"), re, 3).as("tsS"))
-      .filter(col("path") =!= "")
-      .select(
-        split(col("path"), ";").getItem(0).as("name"),
-        when(col("path").contains(";"),
-          str_to_map(regexp_replace(col("path"), "^[^;]*;", ""), lit(";"), lit("=")))
-          .otherwise(map().cast("map<string,string>")).as("tags"),
-        (col("tsS").cast(LongType) * 1000).as("ts"),
-        promDouble(col("raw")).as("value"))
-      .filter(col("value").isNotNull)
+  private[sources] def parseGraphiteLine(
+      line0: String, sanitize: Boolean = false): Option[GraphiteRow] = {
+    var s = if (line0 != null && line0.nonEmpty && line0.last == '\r')
+      line0.dropRight(1) else if (line0 == null) "" else line0
+    s = promLtrim(s)
+    if (s.isEmpty) return None
+    s = promRtrim(s)
+    val n1 = lastWs(s)
+    if (n1 < 0) return None // no separator between value and timestamp
+    var tsStr = s.substring(n1 + 1)
+    val rest = promRtrim(s.substring(0, n1))
+    val n2 = lastWs(rest)
+    var valStr: String = null
+    var mt: String = null
+    if (n2 < 0) { // missing timestamp
+      mt = promLtrim(rest); valStr = tsStr; tsStr = ""
+    } else {
+      mt = promLtrim(rest.substring(0, n2)); valStr = rest.substring(n2 + 1)
+    }
+    mt = promRtrim(mt)
+    val semi = mt.indexOf(';')
+    var metric = if (semi < 0) mt else mt.substring(0, semi)
+    val tags = Map.newBuilder[String, String]
+    if (semi >= 0) {
+      mt.substring(semi + 1).split(";", -1).foreach { part =>
+        val eq = part.indexOf('=')
+        val (k0, v) = if (eq < 0) (part, "") else (part.substring(0, eq), part.substring(eq + 1))
+        val k = if (sanitize) graphiteSanitize(k0) else k0
+        if (k.nonEmpty && v.nonEmpty) tags += (k -> v)
+      }
+    }
+    if (sanitize) metric = graphiteSanitize(metric)
+    if (metric.isEmpty) return None
+    val ts =
+      if (tsStr.isEmpty) None
+      else parseNum(tsStr) match {
+        case Some(t) => Some(t.toLong) // float seconds truncate (carbon)
+        case None => return None
+      }
+    parseNum(valStr).map(v => GraphiteRow(metric, tags.result(), ts, v))
   }
+
+  private val graphiteLineUdf =
+    udf { (line: String, sanitize: Boolean) => parseGraphiteLine(line, sanitize) }
+
+  /** Graphite plaintext (lib/protoparser/graphite):
+    * `metric.path[;tag=v…] value [timestamp_s]`; missing timestamps get
+    * `defaultTsMs` (the insert layer's now-substitution).
+    */
+  def graphiteLine(lines: DataFrame, defaultTsMs: Long = 0L,
+      sanitize: Boolean = false): DataFrame =
+    lines
+      .select(graphiteLineUdf(col("line"), lit(sanitize)).as("r"))
+      .filter(col("r").isNotNull)
+      .select(
+        col("r.name").as("name"),
+        col("r.tags").as("tags"),
+        coalesce(col("r.ts") * 1000, lit(defaultTsMs)).as("ts"),
+        col("r.value").as("value"))
 
   /** OpenTSDB telnet put (lib/protoparser/opentsdb):
     * `put metric timestamp_s value tag=v [tag=v …]`.
