@@ -19,6 +19,17 @@ object LineFormats {
 
   private val S = StringType
 
+  /** strict Jackson mapper for the vmimport line format: NaN/Infinity
+    * literals on, trailing tokens after the object are an error
+    */
+  private[sources] lazy val importMapper: com.fasterxml.jackson.databind.ObjectMapper = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    m.enable(com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS)
+    m.configure(
+      com.fasterxml.jackson.core.JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS, true)
+    m
+  }
+
   // ---- Prometheus text exposition line parser ------------------------
   // Reference-faithful per-line scanner (lib/protoparser/prometheus/
   // parser.go:158-307 Row.unmarshal/unmarshalTags/unmarshalQuotedString),
@@ -547,27 +558,100 @@ object LineFormats {
   }
 
   /** VM JSON-lines import format (/api/v1/import,
-    * lib/protoparser/vmimport): one JSON object per line with parallel
-    * values/timestamps arrays:
+    * lib/protoparser/vmimport/parser.go): one JSON object per line with
+    * parallel values/timestamps arrays:
     * {"metric":{"__name__":"m","l":"v"},"values":[…],"timestamps":[…]}.
+    *
+    * Reference-faithful strictness (r7b, pinned by the ported
+    * TestRowsUnmarshal corpus in VmImportGoldenSpec): `metric` must be a
+    * non-empty string map, values accept bare Inf/-Inf/NaN tokens (the
+    * reference uses fastjson) plus the quoted "Infinity"/"NaN"/"null"
+    * words and JSON null (all map to NaN/±Inf), timestamps must be
+    * integers, array lengths must match and be non-zero, and trailing
+    * garbage after the object fails the line.
     */
-  def jsonImport(lines: DataFrame): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("metric", MapType(S, S)),
-      StructField("values", ArrayType(DoubleType)),
-      StructField("timestamps", ArrayType(LongType))))
-    lines
-      .select(from_json(col("line"), schema).as("j"))
-      .filter(col("j").isNotNull && col("j.metric").isNotNull)
-      .select(
-        col("j.metric").getItem("__name__").as("name"),
-        map_filter(col("j.metric"), (k, _) => k =!= "__name__").as("tags"),
-        explode(arrays_zip(col("j.timestamps"), col("j.values"))).as("p"))
-      .select(col("name"), col("tags"),
-        col("p").getField("timestamps").as("ts"),
-        col("p").getField("values").as("value"))
-      .filter(col("value").isNotNull)
+  private[sources] final case class ImportRow(
+      tags: Map[String, String], values: Seq[Double], timestamps: Seq[Long])
+
+  private[sources] def parseImportLine(line0: String): Option[ImportRow] = {
+    val line = if (line0 == null) "" else line0.trim
+    if (line.isEmpty) return None
+    // fastjson accepts bare Inf/NaN; Jackson's non-numeric-numbers
+    // feature wants Infinity — widen bare Inf tokens OUTSIDE strings
+    val sb = new StringBuilder(line.length + 8)
+    var i = 0
+    var inStr = false
+    while (i < line.length) {
+      val c = line(i)
+      if (inStr) {
+        sb += c
+        if (c == '\\' && i + 1 < line.length) { sb += line(i + 1); i += 1 }
+        else if (c == '"') inStr = false
+      } else if (c == '"') { sb += c; inStr = true }
+      else if (c == 'I' && line.regionMatches(i, "Inf", 0, 3) &&
+        !line.regionMatches(i, "Infinity", 0, 8)) { sb ++= "Infinity"; i += 2 }
+      else sb += c
+      i += 1
+    }
+    val mapper = LineFormats.importMapper
+    val root =
+      try mapper.readTree(sb.result())
+      catch { case _: Exception => return None }
+    if (root == null || !root.isObject) return None
+    val metric = root.get("metric")
+    if (metric == null || !metric.isObject || metric.isEmpty) return None
+    val tags = Map.newBuilder[String, String]
+    val it = metric.fields()
+    while (it.hasNext) {
+      val e = it.next()
+      if (!e.getValue.isTextual) return None
+      tags += (e.getKey -> e.getValue.asText())
+    }
+    val vs = root.get("values")
+    val ts = root.get("timestamps")
+    if (vs == null || !vs.isArray || ts == null || !ts.isArray) return None
+    if (vs.size() != ts.size() || vs.size() == 0) return None
+    val values = Seq.newBuilder[Double]
+    var j = 0
+    while (j < vs.size()) {
+      val n = vs.get(j)
+      if (n.isNumber) values += n.asDouble()
+      else if (n.isNull) values += Double.NaN
+      else if (n.isTextual) n.asText() match {
+        case "Infinity" | "+Infinity" | "Inf" | "+Inf" =>
+          values += Double.PositiveInfinity
+        case "-Infinity" | "-Inf" => values += Double.NegativeInfinity
+        case "NaN" | "nan" | "null" => values += Double.NaN
+        case _ => return None
+      }
+      else return None
+      j += 1
+    }
+    val stamps = Seq.newBuilder[Long]
+    j = 0
+    while (j < ts.size()) {
+      val n = ts.get(j)
+      if (!n.isIntegralNumber) return None
+      stamps += n.asLong()
+      j += 1
+    }
+    Some(ImportRow(tags.result(), values.result(), stamps.result()))
   }
+
+  private val jsonImportUdf = udf { (line: String) => parseImportLine(line) }
+
+  def jsonImport(lines: DataFrame): DataFrame =
+    lines
+      .select(jsonImportUdf(col("line")).as("j"))
+      .filter(col("j").isNotNull)
+      .select(
+        col("j.tags").getItem("__name__").as("name"),
+        map_filter(col("j.tags"), (k, _) => k =!= "__name__").as("tags"),
+        explode(arrays_zip(col("j.timestamps").as("ts"),
+          col("j.values").as("value"))).as("p"))
+      .select(col("name"), col("tags"),
+        col("p").getField("ts").as("ts"),
+        col("p").getField("value").as("value"))
 
   /** DataDog /api/v1/series JSON bodies
     * (lib/protoparser/datadogv1/parser.go): `{"series":[{"metric":…,
