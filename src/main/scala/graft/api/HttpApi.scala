@@ -703,13 +703,12 @@ final class HttpApi(
     },
     // ---- remaining vminsert ingestion protocols (main.go:192-326) ----
     "/api/v1/import/csv" -> handler { ex =>
-      import spark.implicits._
       val fmt = params(ex).getOrElse("format",
         throw new IllegalArgumentException("missing `format` arg"))
       val body = new String(requestBody(ex), StandardCharsets.UTF_8)
-      ingest(graft.sources.LineFormats.csvImportFormatted(
-        body.linesIterator.filter(_.nonEmpty).toSeq.toDF("line"), fmt,
-        System.currentTimeMillis()))
+      // first-line header detection (csvimport streamparser.go:176-179)
+      ingest(graft.sources.LineFormats.csvImportBody(
+        spark, body, fmt, System.currentTimeMillis()))
       reply(ex, 204, "", "text/plain")
     },
     "/api/v1/export/native" -> handler { ex =>

@@ -922,6 +922,136 @@ object LineFormats {
     stacked.reduce(_ unionByName _).filter(col("value").isNotNull)
   }
 
+  /** CSV header-row detection (csvimport/parser.go:85 isHeaderRow): the
+    * request's first line is a header when any NON-EMPTY metric column
+    * fails numeric parsing or any time column fails its timestamp
+    * format — one bad cell is enough; label columns never trigger.
+    */
+  private[sources] def csvIsHeaderRow(line: String, format: String): Boolean = {
+    val entries = format.split(',').toSeq.flatMap { ent =>
+      val a = ent.split(":", 3)
+      if (a.length == 3) a(0).trim.toIntOption.map(p => (p, a(1), a(2))) else None
+    }
+    val byPos = entries.map(e => e._1 -> e).toMap
+    val cols = Seq.newBuilder[String]
+    cols ++= splitCsvLine(line)
+    def tsParses(ext: String, v: String): Boolean = ext match {
+      case "unix_s" => v.toLongOption.exists(_ <= Long.MaxValue / 1000L)
+      case "unix_ms" | "unix_ns" => v.toLongOption.isDefined
+      case "rfc3339" =>
+        try { java.time.OffsetDateTime.parse(v); true }
+        catch { case _: Exception => false }
+      case custom if custom.startsWith("custom:") =>
+        try {
+          goLayoutCache.computeIfAbsent(custom.stripPrefix("custom:"),
+            goLayoutFormatter).parse(v); true
+        } catch { case _: Exception => false }
+      case _ => false
+    }
+    cols.result().zipWithIndex.exists { case (v, idx) =>
+      byPos.get(idx + 1) match {
+        case Some((_, tpe, ext)) if v.nonEmpty =>
+          (tpe == "metric" && parseNum(v).isEmpty) ||
+            (tpe == "time" && !tsParses(ext, v))
+        case _ => false
+      }
+    }
+  }
+
+  /** minimal RFC-4180 field split (quotes + "" escapes; leading
+    * whitespace before a quoted field tolerated like the reference's
+    * scanner)
+    */
+  private[sources] def splitCsvLine(line: String): Seq[String] = {
+    val cols = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var fieldStart = true
+    var i = 0
+    while (i < line.length) {
+      val c = line(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < line.length && line(i + 1) == '"') { cur += '"'; i += 1 }
+        else if (c == '"') inQ = false
+        else cur += c
+      } else if (c == '"' && fieldStart && cur.result().forall(ch => ch == ' ' || ch == '\t')) {
+        cur.clear(); inQ = true; fieldStart = false
+      } else if (c == ',') { cols += cur.result(); cur.clear(); fieldStart = true }
+      else { cur += c; if (c != ' ' && c != '\t') fieldStart = false }
+      i += 1
+    }
+    cols += cur.result()
+    cols.result()
+  }
+
+  private val csvColsUdf = udf { (line: String) =>
+    if (line == null) Seq.empty[String] else splitCsvLine(line)
+  }
+
+  /** whole-request CSV import with the reference's first-line header
+    * detection (streamparser.go:176-179): drop the first line when it
+    * looks like a header, then parse the rest positionally.
+    */
+  def csvImportBody(spark: org.apache.spark.sql.SparkSession, body: String,
+      format: String, defaultTsMs: Long): DataFrame = {
+    import spark.implicits._
+    val all = body.linesIterator.filter(_.nonEmpty).toSeq
+    val lines =
+      if (all.nonEmpty && csvIsHeaderRow(all.head, format)) all.tail else all
+    csvImportFormatted(lines.toDF("line"), format, defaultTsMs)
+  }
+
+  /** minimal Go time-layout → java.time formatter (time.Parse semantics
+    * for csvimport's `time:custom:<layout>` descriptors): the
+    * reference-time tokens for year/month/day/hour/minute/second, Go's
+    * `.9…` trailing-zero-trimmed optional fractions and `.0…` fixed
+    * fractions, `Z07:00` ISO offsets, everything else literal. Wall
+    * times without an offset are UTC, exactly like Go's time.Parse.
+    */
+  private def goLayoutFormatter(layout: String): java.time.format.DateTimeFormatter = {
+    import java.time.temporal.ChronoField
+    val b = new java.time.format.DateTimeFormatterBuilder
+    var i = 0
+    def starts(tok: String) = layout.regionMatches(i, tok, 0, tok.length)
+    while (i < layout.length) {
+      if (starts("2006")) { b.appendPattern("yyyy"); i += 4 }
+      else if (starts("Jan")) { b.appendPattern("MMM"); i += 3 }
+      else if (starts("01")) { b.appendPattern("MM"); i += 2 }
+      else if (starts("02")) { b.appendPattern("dd"); i += 2 }
+      else if (starts("15")) { b.appendPattern("HH"); i += 2 }
+      else if (starts("04")) { b.appendPattern("mm"); i += 2 }
+      else if (starts("05")) { b.appendPattern("ss"); i += 2 }
+      else if (starts("Z07:00")) { b.appendOffset("+HH:MM", "Z"); i += 6 }
+      else if (layout(i) == '.' && i + 1 < layout.length &&
+        (layout(i + 1) == '9' || layout(i + 1) == '0')) {
+        val digit = layout(i + 1)
+        var j = i + 1
+        while (j < layout.length && layout(j) == digit) j += 1
+        val len = math.min(j - i - 1, 9)
+        if (digit == '9') b.appendFraction(ChronoField.NANO_OF_SECOND, 0, len, true)
+        else b.appendFraction(ChronoField.NANO_OF_SECOND, len, len, true)
+        i = j
+      } else { b.appendLiteral(layout(i)); i += 1 }
+    }
+    b.toFormatter(java.util.Locale.ROOT)
+  }
+
+  private val goLayoutCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.time.format.DateTimeFormatter]()
+
+  private val goTimeUdf = udf { (s: String, layout: String) =>
+    if (s == null || layout == null) None
+    else try {
+      val fmt = goLayoutCache.computeIfAbsent(layout, goLayoutFormatter)
+      val ta = fmt.parse(s.trim)
+      val instant =
+        if (ta.isSupported(java.time.temporal.ChronoField.OFFSET_SECONDS))
+          java.time.OffsetDateTime.from(ta).toInstant
+        else java.time.LocalDateTime.from(ta).toInstant(java.time.ZoneOffset.UTC)
+      Some(instant.toEpochMilli)
+    } catch { case _: Exception => None }
+  }
+
   /** /api/v1/import/csv with the reference's user-supplied `format` arg
     * (lib/protoparser/csvimport/column_descriptor.go:56
     * ParseColumnDescriptors): comma-separated `<pos>:<type>:<extension>`
@@ -943,6 +1073,8 @@ object LineFormats {
           s"cannot parse <column_pos> part from the entry #${i + 1} $ent") }
       if (pos <= 0) throw new IllegalArgumentException(
         s"<column_pos> cannot be smaller than 1; got $pos for entry #${i + 1} $ent")
+      if (pos > 64 * 1024) throw new IllegalArgumentException(
+        s"<column_pos> cannot be bigger than ${64 * 1024}; got $pos for entry #${i + 1} $ent")
       (pos, a(1), a(2))
     }
     entries.groupBy(_._1).collectFirst { case (p, es) if es.size > 1 =>
@@ -959,27 +1091,31 @@ object LineFormats {
     if (metrics.isEmpty) throw new IllegalArgumentException(s"missing 'metric' column in $format")
     val labels = entries.filter(_._2 == "label")
 
-    val spark = lines.sparkSession
-    import spark.implicits._
-    val csv = spark.read.csv(lines.select(col("line").as[String]))
-    val have = csv.columns.toSet
-    // 1-based descriptor position → Spark's 0-based _cN; absent column → null
-    def c(pos: Int): Column =
-      if (have.contains(s"_c${pos - 1}")) col(s"_c${pos - 1}") else lit(null).cast(S)
+    // RFC-4180 split with per-row column counts: a row narrower than the
+    // highest descriptor position is INVALID and drops whole
+    // (parser.go scanner: missing column = row error), unlike an empty
+    // cell which only drops its own sample
+    val maxPos = entries.map(_._1).max
+    val csv = lines
+      .select(csvColsUdf(col("line")).as("_cols"))
+      .filter(size(col("_cols")) >= maxPos)
+    def c(pos: Int): Column = element_at(col("_cols"), pos)
     val intRe = """^[+-]?\d+$"""
     def tryLong(x: Column): Column = when(x.rlike(intRe), x.cast(LongType))
     val tsFinal: Column = times.headOption.map { case (pos, _, ext) =>
       ext match {
-        case "unix_s"  => tryLong(c(pos)) * 1000L
+        case "unix_s" => // overflow guard (column_descriptor.go:147)
+          val n = tryLong(c(pos))
+          when(n <= Long.MaxValue / 1000L, n * 1000L)
         case "unix_ms" => tryLong(c(pos))
         case "unix_ns" => // integer-truncating ns→ms (the reference's n / 1e6 on int64)
-          if (!have.contains(s"_c${pos - 1}")) lit(null).cast(LongType)
-          else expr(s"try_cast(_c${pos - 1} as bigint) div 1000000")
+          expr(s"try_cast(element_at(_cols, $pos) as bigint) div 1000000")
         case "rfc3339" =>
-          if (!have.contains(s"_c${pos - 1}")) lit(null).cast(LongType)
-          else unix_millis(expr(s"try_to_timestamp(_c${pos - 1})"))
+          unix_millis(expr(s"try_to_timestamp(element_at(_cols, $pos))"))
+        case custom if custom.startsWith("custom:") =>
+          goTimeUdf(c(pos), lit(custom.stripPrefix("custom:")))
         case other => throw new IllegalArgumentException(
-          s"unknown format for time parsing: $other; supported formats: unix_s, unix_ms, unix_ns, rfc3339")
+          s"unknown format for time parsing: $other; supported formats: unix_s, unix_ms, unix_ns, rfc3339, custom:<layout>")
       }
     }.getOrElse(lit(defaultTsMs))
     val tags =
