@@ -496,29 +496,75 @@ object LineFormats {
         coalesce(col("r.ts") * 1000, lit(defaultTsMs)).as("ts"),
         col("r.value").as("value"))
 
-  /** OpenTSDB telnet put (lib/protoparser/opentsdb):
-    * `put metric timestamp_s value tag=v [tag=v …]`.
-    */
-  def openTsdbLine(lines: DataFrame): DataFrame = {
-    val parts = split(trim(col("line")), "\\s+")
-    lines
-      .filter(trim(col("line")).startsWith("put "))
-      .select(
-        element_at(parts, 2).as("name"),
-        when(element_at(parts, 3).rlike("^\\d+$"), element_at(parts, 3).cast(LongType)).as("tsS"),
-        tryDouble(element_at(parts, 4)).as("value"),
-        slice(parts, lit(5), greatest(size(parts) - 4, lit(0))).as("tagParts"))
-      .select(
-        col("name"),
-        map_from_entries(transform(col("tagParts"), p =>
-          struct(
-            split(p, "=").getItem(0).as("key"),
-            split(p, "=").getItem(1).as("value")))).as("tags"),
-        // seconds or millis, disambiguated by magnitude like the reference
-        when(col("tsS") < 10000000000L, col("tsS") * 1000).otherwise(col("tsS")).as("ts"),
-        col("value"))
-      .filter(col("name").isNotNull && col("value").isNotNull)
+  // ---- OpenTSDB telnet `put` parser ------------------------------------
+  // Reference-faithful scanner (lib/protoparser/opentsdb/parser.go:58-187):
+  // `put metric ts value [tag=v …]` with repeated spaces tolerated
+  // between every token, fractional (Akumuli-style) timestamps
+  // truncated, the tag list optional (issue 3290), tag values keeping
+  // embedded '=', empty tag keys/values skipped but a tag WITHOUT '='
+  // failing the row. Pinned by the ported parser_test.go corpus
+  // (OpenTsdbLineGoldenSpec).
+
+  private[sources] final case class OpenTsdbRow(
+      name: String, tags: Map[String, String], ts: Long, value: Double)
+
+  private[sources] def parseOpenTsdbLine(line0: String): Option[OpenTsdbRow] = {
+    var s = if (line0 != null && line0.nonEmpty && line0.last == '\r')
+      line0.dropRight(1) else if (line0 == null) "" else line0
+    if (s.isEmpty) return None
+    s = s.dropWhile(_ == ' ')
+    if (!s.startsWith("put ")) return None
+    s = s.substring(4).dropWhile(_ == ' ')
+    val n1 = s.indexOf(' ')
+    if (n1 < 0) return None // no whitespace between metric and timestamp
+    val metric = s.substring(0, n1)
+    if (metric.isEmpty) return None
+    var tail = s.substring(n1 + 1).dropWhile(_ == ' ')
+    val n2 = tail.indexOf(' ')
+    if (n2 < 0) return None // no whitespace between timestamp and value
+    val ts = parseNum(tail.substring(0, n2)) match {
+      case Some(t) => t.toLong // fractional timestamps truncate
+      case None => return None
+    }
+    tail = tail.substring(n2 + 1).dropWhile(_ == ' ')
+    val n3 = tail.indexOf(' ')
+    val (valueStr, tagsStr) =
+      if (n3 < 0) (tail, "") else (tail.substring(0, n3), tail.substring(n3 + 1))
+    val value = parseNum(valueStr).getOrElse(return None)
+    val tags = Map.newBuilder[String, String]
+    var t = tagsStr.dropWhile(_ == ' ')
+    while (t.nonEmpty) {
+      val n = t.indexOf(' ')
+      val part = if (n < 0) t else t.substring(0, n)
+      val eq = part.indexOf('=')
+      if (eq < 0) return None // tag without '=' fails the row
+      val k = part.substring(0, eq)
+      val v = part.substring(eq + 1)
+      if (k.nonEmpty && v.nonEmpty) tags += (k -> v)
+      t = if (n < 0) "" else t.substring(n + 1).dropWhile(_ == ' ')
+    }
+    Some(OpenTsdbRow(metric, tags.result(), ts, value))
   }
+
+  private val openTsdbLineUdf = udf { (line: String) => parseOpenTsdbLine(line) }
+
+  /** OpenTSDB telnet put (lib/protoparser/opentsdb):
+    * `put metric timestamp value [tag=v …]`; ts 0 → `defaultTsMs`, and
+    * SECOND_MASK disambiguation scales second-resolution timestamps to
+    * ms (streamparser.go:162-173).
+    */
+  def openTsdbLine(lines: DataFrame, defaultTsMs: Long = 0L): DataFrame =
+    lines
+      .select(openTsdbLineUdf(col("line")).as("r"))
+      .filter(col("r").isNotNull)
+      .select(
+        col("r.name").as("name"),
+        col("r.tags").as("tags"),
+        when(col("r.ts") === 0L, lit(defaultTsMs))
+          .when(col("r.ts").bitwiseAND(lit(0x7FFFFFFF00000000L)) === 0L,
+            col("r.ts") * 1000)
+          .otherwise(col("r.ts")).as("ts"),
+        col("r.value").as("value"))
 
   /** OpenTSDB HTTP `/api/put` JSON (lib/protoparser/opentsdbhttp/
     * parser.go): a single `{metric, timestamp?, value, tags?}` object or
