@@ -763,7 +763,15 @@ object Eval {
       // raw samples (selector leaf) or inner-grid rows (subquery)
       val raw: DataFrame = re.expr match {
         case m: MetricExpr =>
-          samples.filter(filterPredicate(m.filterss))
+          val fetched = samples.filter(filterPredicate(m.filterss))
+          // Prometheus staleness markers (stored NaN samples, SURVEY §1.2
+          // NaN taxonomy) are dropped for every rollup EXCEPT
+          // default_rollup — which needs them for staleness detection
+          // (its last-in-lookback lands NaN and the point drops) — and
+          // stale_samples_over_time, which counts them
+          // (eval.go:2108 dropStaleNaNs)
+          if (fn == "default_rollup" || fn == "stale_samples_over_time") fetched
+          else fetched.filter(!isnan(col("value")))
         case inner =>
           // Subquery: evaluate inner expr on a finer grid extended back by
           // the window and shifted by the offset, then ALIGNED to absolute

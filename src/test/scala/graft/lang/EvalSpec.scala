@@ -528,4 +528,35 @@ class EvalSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getDouble(out.head.fieldIndex("value")) == 30.0) // 2*(3*5)
   }
+
+  test("Prometheus staleness markers: dropped for rollups, honored by default_rollup") {
+    val s = spark
+    import s.implicits._
+    // value 1 @1m, staleness marker (stored NaN) @2m
+    // (apptest/tests/metricsql_test.go testInstantQueryDoesNotReturnStaleNaNs)
+    val rows = Seq(
+      ("sm", Map.empty[String, String], M, 1.0),
+      ("sm", Map.empty[String, String], 2 * M, Double.NaN))
+    val df = rows.toDF("name", "tags", "ts", "value")
+    // instant query AT the marker: the stale NaN is the last value in the
+    // lookback, so the point drops (eval.go:2108 keeps markers for
+    // default_rollup; the reference returns an empty result here)
+    val atMarker = Engine.query(df, "sm", GridSpec(2 * M, 2 * M, M), 300000L)
+    assert(atMarker.collect().isEmpty)
+    // instant query BEFORE the marker still sees the sample
+    val before = Engine.query(df, "sm", GridSpec(M, M, M), 300000L)
+    assert(before.collect().map(_.getDouble(3)).toSeq == Seq(1.0))
+    // non-default rollups drop the marker entirely: count=1, not 2
+    val cnt = Engine.query(df, "count_over_time(sm[5m])",
+      GridSpec(2 * M, 2 * M, M), 300000L)
+    assert(cnt.collect().map(_.getDouble(3)).toSeq == Seq(1.0))
+    // ...and last_over_time sees the real sample, not the marker
+    val last = Engine.query(df, "last_over_time(sm[5m])",
+      GridSpec(2 * M, 2 * M, M), 300000L)
+    assert(last.collect().map(_.getDouble(3)).toSeq == Seq(1.0))
+    // stale_samples_over_time counts exactly the markers
+    val stale = Engine.query(df, "stale_samples_over_time(sm[5m])",
+      GridSpec(2 * M, 2 * M, M), 300000L)
+    assert(stale.collect().map(_.getDouble(3)).toSeq == Seq(1.0))
+  }
 }
