@@ -748,13 +748,49 @@ object Eval {
         case other =>
           throw new IllegalArgumentException(s"unsupported @ modifier: $other")
       }
+      // non-constant @ expressions evaluate as a full query on the same
+      // grid: exactly ONE series, whose first non-NaN value is the
+      // at-time in seconds (eval.go evalRollupFuncWithAt; the reference
+      // error strings are user-visible API responses)
+      def atEval(e: Expr): Double = eval(e) match {
+        case Scalar(x) =>
+          if (x.isNaN) throw new IllegalArgumentException(
+            "`@` modifier must return a non-NaN value")
+          x
+        case Series(df) =>
+          val rows = df
+            .select(concat(coalesce(col("name"), lit("")),
+              to_json(array_sort(map_entries(coalesce(col("tags"),
+                map().cast("map<string,string>")))))).as("_sid"),
+              col("t"), col("value"))
+            .collect()
+          val nSeries = rows.map(_.getString(0)).distinct.length
+          if (nSeries != 1) throw new IllegalArgumentException(
+            s"`@` modifier must return a single series; it returns $nSeries series instead")
+          rows.sortBy(_.getLong(1)).map(_.getDouble(2)).find(!_.isNaN)
+            .getOrElse(throw new IllegalArgumentException(
+              "`@` modifier must return a non-NaN value"))
+        case ScalarSeries(df) =>
+          val vs = df.select(col("t"), col("value")).collect()
+            .sortBy(_.getLong(0)).map(_.getDouble(1))
+          vs.find(!_.isNaN).getOrElse(throw new IllegalArgumentException(
+            "`@` modifier must return a non-NaN value"))
+        case _ => throw new IllegalArgumentException(
+          "`@` modifier must return a single series; it returns 0 series instead")
+      }
       // the grid this rollup evaluates on: the query grid, or a single
       // point for @ (eval once, replicate — eval.go instant-at semantics)
       val atMs: Option[Long] = re.at.map {
         case AtTimestamp(sec) => math.round(sec * 1000)
         case AtStart => cfg.grid.startMs
         case AtEnd => cfg.grid.endMs
-        case AtExpr(e) => math.round(atConst(e) * 1000)
+        case AtExpr(e) =>
+          // constants fold without touching data; anything else (e.g.
+          // `vector(1) @ up`) evaluates as a query
+          val sec =
+            try atConst(e)
+            catch { case _: IllegalArgumentException => atEval(e) }
+          math.round(sec * 1000)
       }
       val rollGrid = atMs
         .map(a => GridSpec(a, a, step))

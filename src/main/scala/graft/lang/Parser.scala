@@ -362,11 +362,15 @@ object Parser {
       var conj = mutable.Buffer[LabelFilter]()
       var continue = !(cur.kind == Punct && cur.text == "}")
       while (continue) {
-        if (cur.kind == Str) {
+        val strOp = cur.kind == Str && peek.kind == Op &&
+          Set("=", "!=", "=~", "!~").contains(peek.text)
+        if (cur.kind == Str && !strOp) {
           // {"metric name", ...}: quoted metric-name filter (UTF-8 names)
           val v = Lexer.unquote(advance().text)
           conj += LabelFilter("__name__", v, isNegative = false, isRegexp = false)
         } else {
+          // a quoted string followed by a match op is a quoted LABEL NAME
+          // ({"3👋tfにちは"="漢©®€£"}, the UTF-8 proposal)
           val label = expectIdentOrString()
           if (cur.kind == Op && Set("=", "!=", "=~", "!~").contains(cur.text)) {
             val op = advance().text

@@ -559,4 +559,51 @@ class EvalSpec extends SparkSpec {
       GridSpec(2 * M, 2 * M, M), 300000L)
     assert(stale.collect().map(_.getDouble(3)).toSeq == Seq(1.0))
   }
+
+  test("@ modifier with a series expression (apptest testQueryRangeWithAtModifier)") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("up", Map.empty[String, String], M, 1.0),
+      ("metricNaN", Map.empty[String, String], M, Double.NaN))
+    val df = rows.toDF("name", "tags", "ts", "value")
+    val g = GridSpec(0L, 2 * M, 10000L)
+    // `vector(1) @ up` evaluates `up` as a query: one series, first
+    // non-NaN value 1 → at-time 1s; the query succeeds over the grid
+    val ok = Engine.query(df, "vector(1) @ up", g, 300000L).collect()
+    assert(ok.nonEmpty && ok.forall(_.getDouble(3) == 1.0))
+    // a staleness-marker-only series has no non-NaN value → the
+    // reference's user-visible error
+    val e = intercept[Exception](
+      Engine.query(df, "vector(1) @ metricNaN", g, 300000L).collect())
+    assert(e.getMessage.contains("modifier must return a non-NaN value") ||
+      e.getMessage.contains("0 series"), e.getMessage)
+    // more than one series is rejected
+    val multi = Seq(
+      ("mm", Map("i" -> "a"), M, 1.0), ("mm", Map("i" -> "b"), M, 2.0))
+      .toDF("name", "tags", "ts", "value")
+    val e2 = intercept[Exception](
+      Engine.query(multi, "vector(1) @ mm", g, 300000L).collect())
+    assert(e2.getMessage.contains("must return a single series"), e2.getMessage)
+  }
+
+  test("UTF-8 quoted selectors (apptest testInstantQueryWithUTFNames)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("3fooµ¥", Map("3👋tfにちは" -> "漢©®€£"), M, 1.0))
+      .toDF("name", "tags", "ts", "value")
+    val g = GridSpec(M, M, M)
+    Seq(
+      """{"3fooµ¥"}""",
+      """{__name__="3fooµ¥"}""",
+      """{__name__=~"3fo.*"}""",
+      """{__name__=~".*µ¥"}""",
+      """{"3fooµ¥", "3👋tfにちは"="漢©®€£"}""",
+      """{"3fooµ¥", "3👋tfにちは"=~"漢.*"}""",
+      """{"3👋tfにちは"="漢©®€£"}""").foreach { q =>
+      val out = Engine.query(df, q, g, 300000L).collect()
+      assert(out.length == 1 && out.head.getDouble(3) == 1.0, s"selector $q")
+      assert(out.head.getString(0) == "3fooµ¥", s"name via $q")
+    }
+  }
 }
