@@ -617,7 +617,8 @@ final class HttpApi(
     "/api/v1/label/" -> handler { ex => // /api/v1/label/<name>/values
       val p = params(ex)
       val path = ex.getRequestURI.getPath
-      val label = path.stripPrefix("/api/v1/label/").stripSuffix("/values")
+      val label = HttpApi.unescapeLabelName(
+        path.stripPrefix("/api/v1/label/").stripSuffix("/values"))
       val it = Api.labelValues(matchFiltered(ex, p), label, "",
         timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2),
         p.get("limit").map(_.toInt).getOrElse(0)).toLocalIterator()
@@ -1200,4 +1201,33 @@ final class HttpApi(
         reply(ex, 200, GraphiteHttp.tagValuesJson(samples, tag, filter, limit))
       }
     })
+}
+
+object HttpApi {
+  /** Decode a Prometheus `U__`-escaped label name
+    * (prometheus/common model.EscapeName with ValueEncodingEscaping, used
+    * by clients to address UTF-8 label names through path segments:
+    * `U__` prefix, `__` → '_', `_<hex>_` → the code point, anything else
+    * literal). Non-prefixed names pass through untouched.
+    */
+  def unescapeLabelName(name: String): String = {
+    if (!name.startsWith("U__")) return name
+    val s = name.substring(3)
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '_') {
+        if (i + 1 < s.length && s(i + 1) == '_') { sb += '_'; i += 2 }
+        else {
+          val end = s.indexOf('_', i + 1)
+          val hex = if (end > i + 1) s.substring(i + 1, end) else ""
+          if (end > i + 1 && hex.forall(c => Character.digit(c, 16) >= 0)) {
+            sb.appendAll(Character.toChars(Integer.parseInt(hex, 16)))
+            i = end + 1
+          } else { sb += '_'; i += 1 } // lone underscore: keep literal
+        }
+      } else { sb += s(i); i += 1 }
+    }
+    sb.result()
+  }
 }

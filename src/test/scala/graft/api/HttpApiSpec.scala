@@ -316,6 +316,25 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("label values decode U__-escaped UTF-8 label names (apptest testLabelValuesWithUTFNames)") {
+    // prometheus/common model.EscapeName(ValueEncodingEscaping) forms
+    assert(HttpApi.unescapeLabelName(
+      "U__kubernetes__something_2f_special_26__27__20_chars") ==
+      "kubernetes_something/special&' chars")
+    assert(HttpApi.unescapeLabelName("U___33__1f44b_tf_306b__3061__306f_") ==
+      "3👋tfにちは")
+    assert(HttpApi.unescapeLabelName("plain_name") == "plain_name")
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      assert(post(port, "/api/v1/import",
+        """{"metric":{"__name__":"labelvals","kubernetes_something/special&' chars":"v1"},"values":[1],"timestamps":[60000]}""") == 204)
+      val vals = get(port,
+        "/api/v1/label/U__kubernetes__something_2f_special_26__27__20_chars/values")
+      assert(vals.contains("\"v1\""), vals)
+    } finally api.stop()
+  }
+
   test("repeated match[] args union across series/labels/export/delete") {
     val api = new HttpApi(spark)
     val port = api.start()
