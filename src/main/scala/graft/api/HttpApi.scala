@@ -536,20 +536,50 @@ final class HttpApi(
           Some(graft.lang.Trace.begin(s"/api/v1/query: query=${p("query")}, time=$at, step=$step"))
         else None
       try QueryDeadline.run(spark, deadlineMs(p)) {
-        val df = graft.lang.Trace.child("build query plan")(
-          Api.query(samples, p("query"), at, step)) // parse/analyze errors throw here → 422
-        MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), at)
-        QueryStats.track(p("query"), at, at, step,
-          String.valueOf(ex.getRemoteAddress)) {
-          replyStream(ex) { w =>
-            w.write("""{"status":"success","data":{"resultType":"vector","result":""")
-            val n = graft.lang.Trace.child("execute plan and stream response")(
-              writeResult(df, instant = true, w))
-            graft.lang.Trace.printf(s"generate /api/v1/query response for series=$n")
-            w.write("}")
-            writeStatsAndTrace(w, n, t0, root)
-            w.write("}")
-          }
+        // a bare `selector[window]` instant query exports the RAW samples
+        // in (time-window, time] as a matrix — including staleness
+        // markers — instead of evaluating a rollup
+        // (prometheus.go:801-832 IsMetricSelectorWithRollup → export)
+        val rawSel = graft.lang.Parser.parse(p("query")) match {
+          case graft.lang.RollupExpr(m: graft.lang.MetricExpr, Some(win), None, off, None, _, _)
+              if m.filterss.nonEmpty =>
+            Some((m, win.ms(step), off.map(_.ms(step)).getOrElse(0L)))
+          case _ => None
+        }
+        rawSel match {
+          case Some((m, winMs, offMs)) =>
+            val end = at - offMs
+            val start = math.min(end - winMs + 1, end)
+            val df = samples
+              .filter(Api.selectorPredicate(graft.lang.Render.render(m)))
+              .filter(col("ts") >= start && col("ts") <= end)
+              .select(col("name"), col("tags"), col("ts").as("t"), col("value"))
+            QueryStats.track(p("query"), at, at, step,
+              String.valueOf(ex.getRemoteAddress)) {
+              replyStream(ex) { w =>
+                w.write("""{"status":"success","data":{"resultType":"matrix","result":""")
+                val n = writeResult(df, instant = false, w)
+                w.write("}")
+                writeStatsAndTrace(w, n, t0, root)
+                w.write("}")
+              }
+            }
+          case None =>
+            val df = graft.lang.Trace.child("build query plan")(
+              Api.query(samples, p("query"), at, step)) // parse/analyze errors throw here → 422
+            MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), at)
+            QueryStats.track(p("query"), at, at, step,
+              String.valueOf(ex.getRemoteAddress)) {
+              replyStream(ex) { w =>
+                w.write("""{"status":"success","data":{"resultType":"vector","result":""")
+                val n = graft.lang.Trace.child("execute plan and stream response")(
+                  writeResult(df, instant = true, w))
+                graft.lang.Trace.printf(s"generate /api/v1/query response for series=$n")
+                w.write("}")
+                writeStatsAndTrace(w, n, t0, root)
+                w.write("}")
+              }
+            }
         }
       } finally root.foreach(graft.lang.Trace.end)
     },

@@ -335,6 +335,23 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("instant query on a bare selector[window] exports raw samples (matrix)") {
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      // value 1 @60s, staleness marker @120s
+      // (apptest: instant `metric[2m]` keeps the marker in the matrix
+      // while the plain `metric` query hides the point)
+      assert(post(port, "/api/v1/import",
+        """{"metric":{"__name__":"rawm"},"values":[1,"NaN"],"timestamps":[60000,120000]}""") == 204)
+      val mat = get(port, "/api/v1/query?query=rawm[2m]&time=120")
+      assert(mat.contains(""""resultType":"matrix""""), mat)
+      assert(mat.contains("""[60.0,"1"]""") && mat.contains("""[120.0,"NaN"]"""), mat)
+      val vec = get(port, "/api/v1/query?query=rawm&time=120")
+      assert(vec.contains(""""result":[]"""), vec) // staleness hides the point
+    } finally api.stop()
+  }
+
   test("repeated match[] args union across series/labels/export/delete") {
     val api = new HttpApi(spark)
     val port = api.start()
