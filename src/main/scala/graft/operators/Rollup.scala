@@ -52,8 +52,7 @@ object Rollup {
       val edge = kernels.collect { case (n, k @ OverArrayPrev(_, true, _)) => n -> k }
       if (edge.size == kernels.size) { // counter family: incremental plan
         val pp = prevPass(samples, keys, grid, windowMs, lookbackMs, autoAdjust = false)
-        return zeroFillEmptyWindows(
-          rollupTwoLevelPrev(pp, keys, grid, windowMs, edge), pp, keys, grid, kernels)
+        return rollupTwoLevelPrev(pp, keys, grid, windowMs, lookbackMs, edge)
       }
       // mixed algebraic/edge sets (never produced by the engine) fall
       // through to the explode path rather than a hybrid merge
@@ -185,6 +184,12 @@ object Rollup {
       .withColumn("_pts", lag(col("ts"), 1).over(sw))
       .withColumn("_nv", lead(col("value"), 1).over(sw))
       .withColumn("_nts", lead(col("ts"), 1).over(sw))
+      // per-series position: lets the two-level counter merge select
+      // window-edge samples with min_by/max_by over a fixed-width key
+      // (HashAggregate) instead of min/max over the 9-field sample struct
+      // (SortAggregate + a full sort of the exploded merge rows). Pruned
+      // away by Catalyst for every caller that doesn't read it.
+      .withColumn("_rn", row_number().over(sw))
       .withColumn("_brk", brk)
       .withColumn("_seg", sum(col("_brk")).over(cum))
     val segCum = Window.partitionBy((keys.map(col) :+ col("_seg")): _*)
@@ -321,74 +326,26 @@ object Rollup {
       .select((keys.map(col) :+ col("t")) ++ kernels.map(k => col(k._1)): _*)
   }
 
-  /** Hot-series guard for the COUNTER two-level path (SURVEY §7.4.6,
-    * SCALEBENCH round 7): prevPass's per-series windows leave the data
-    * hash(series)-partitioned, and Spark's subset-clustering rule lets
-    * level1 AND the merge aggregate reuse that partitioning with no
-    * exchange — so ONE hot series' buckets × ratio merge rows serialize
-    * into a single task (measured: a 30%-hot series turned a 3.1 s-ideal
-    * merge stage into an 11.8 s straggler at 10× sf0.1; the hot variant
-    * ran 1.5× slower than uniform despite doing LESS total work).
+  /** Hot-series note (SURVEY §7.4.6, SCALEBENCH rounds 7-8): prevPass's
+    * per-series windows leave the data hash(series)-partitioned, so ONE
+    * hot series' merge rows run in a single task. Round 7 guarded this
+    * with a probe + re-key by (series, bucket t); round 8 REMOVED it:
     *
-    * The probe counts SAMPLES per series on the pre-window input, not
-    * buckets on level1: a series' buckets ≤ its samples, so sample share
-    * is a conservative upper bound on bucket share (no false negatives;
-    * a rare false positive costs one bucket-scale shuffle). Probing the
-    * input lets ColumnPruning drop the prevPass Window operators from
-    * the probe plan entirely — it runs as a pruned scan+filter+count —
-    * where the original level1 probe needed localCheckpoint
-    * materialization of the bucket frame on EVERY query (measured:
-    * +1.0 s on uniform sf0.1 ro_tsbs_increase, 3.1 → 4.1 s; reverted
-    * round 7b). When one series' share exceeds a few ideal task quanta,
-    * re-key the bucket rows by (series, bucket t): the explode then
-    * feeds a partial+final merge split across an exchange keyed with the
-    * window t, distributing the hot series over the grid (post-fix: hot
-    * 11.7 s → 8.8 s, now FASTER than uniform as its work is smaller).
-    * Uniform workloads keep the fully pipelined exchange-free plan.
+    *  - the straggler's work is bounded by the series' BUCKETS × ratio —
+    *    i.e. by the query's grid size, NOT by its sample count (a 30%-hot
+    *    series contributes at most gridSpan/step × ratio merge rows no
+    *    matter how many samples it holds), and the HashAggregate merge
+    *    rework dropped the per-row cost ~5×, so the worst-case straggler
+    *    on a 7-day 1-minute 12h-window grid is ~31 M rows ≈ 12-19 s —
+    *    constant in data scale;
+    *  - the re-key made things far WORSE under the hash merge: the bucket
+    *    t it re-keys by is consumed by the explode, so the merge aggregate
+    *    needs a fresh (series, window t) exchange over the buckets×ratio
+    *    exploded frame, whose partial hash maps overflow and spill the
+    *    whole frame (measured on the 10× 30%-hot dataset: 86 GB spilled
+    *    per stage, 64-78 s wall vs 20.9 s with no re-key — and uniform
+    *    data never triggered it, so removing it costs nothing there).
     */
-  private def antiSkew(input: DataFrame, level1: DataFrame,
-      keys: Seq[String]): DataFrame = {
-    if (skewProbe(input, keys))
-      level1.repartition((keys.map(col) :+ col("t")): _*)
-    else level1
-  }
-
-  /** Probe-decision cache: the skew probe is its own scan+count job per
-    * query build, and real servers re-issue the same query shapes every
-    * dashboard refresh — key the decision on the canonicalized input
-    * plan (semanticHash + keys) so repeats skip the probe. Entries live
-    * ~10 min: the decision is a PERFORMANCE hint only (re-key or not,
-    * never a result change), so a series turning hot after ingest is
-    * picked up at the next expiry rather than immediately, bounding
-    * both staleness and probe frequency. LRU-capped at 256 shapes.
-    */
-  private val skewProbeCache =
-    new java.util.LinkedHashMap[(Int, Seq[String]), (Boolean, Long)](64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[(Int, Seq[String]), (Boolean, Long)]): Boolean =
-        size() > 256
-    }
-  private val SkewProbeTtlNs = 10L * 60 * 1000 * 1000 * 1000
-
-  private def skewProbe(input: DataFrame, keys: Seq[String]): Boolean = {
-    val key = (input.queryExecution.logical.canonicalized.semanticHash(), keys)
-    val now = System.nanoTime()
-    skewProbeCache.synchronized {
-      val hit = skewProbeCache.get(key)
-      if (hit != null && now - hit._2 < SkewProbeTtlNs) return hit._1
-    }
-    val stats = input.groupBy(keys.map(col): _*).count()
-      .agg(coalesce(max("count"), lit(0L)), coalesce(sum("count"), lit(0L))).head()
-    val mx = stats.getLong(0)
-    val total = stats.getLong(1)
-    val cores = input.sparkSession.sparkContext.defaultParallelism
-    // straggler bound: one series' merge work ≈ mx×ratio against an ideal
-    // task quantum of total×ratio/cores — re-key once a single series
-    // exceeds ~2 quanta (the re-key costs only a bucket-scale shuffle)
-    val rekey = mx * cores > 2L * total && mx > 1L
-    skewProbeCache.synchronized { skewProbeCache.put(key, (rekey, now)) }
-    rekey
-  }
 
   /** Merge-row budget for the explode-merge strategy: buckets × ratio rows
     * stream through one partial+final HashAggregate (~0.1 µs/row measured),
@@ -453,29 +410,70 @@ object Rollup {
       keys: Seq[String],
       grid: GridSpec,
       windowMs: Long,
+      lookbackMs: Long,
       kernels: Seq[(String, OverArrayPrev)]): DataFrame = {
     val s = grid.stepMs
     val start = grid.startMs
+    // Zero-fill seeds are read off level1 (a gap longer than the window
+    // means the NEXT sample is outside the seed's own step bucket, so a
+    // seed is always its bucket's LAST sample = the _pl_* partial) — the
+    // r7 shape recomputed the whole prevPass window chain from a second
+    // parquet scan for the fill pass. Reading them off level1 needs the
+    // bucket filter widened by the fill reach (mpi ≤ lookback): a sample
+    // up to lookback before the earliest window start can still seed
+    // in-grid zeros. With no lookback cap mpi is unbounded — fall back to
+    // the standalone fill pass over the full prevPass frame.
+    val fillable = kernels.forall(_._2.zeroFillGaps)
+    val fillFromLevel1 = fillable && lookbackMs > 0
+    val lo = start - windowMs - (if (fillFromLevel1) lookbackMs else 0L)
     val filtered = prepped
-      .filter(col("ts") > lit(start - windowMs) && col("ts") <= lit(grid.endMs))
+      .filter(col("ts") > lit(lo) && col("ts") <= lit(grid.endMs))
     val tb = expr(s"ts + pmod(${start}L - ts, ${s}L)") // see rollupTwoLevel
-    // per-sample struct: ts-first field order == the explode path's sort
-    // order; carries the 1-hop neighbor links the synthesized arr[2] /
-    // arr[-2] and the delta-chain seeds read
-    val edgeStruct = struct(
-      col("ts").as("ts"), col("value").as("v"),
-      col("_pv").as("pv"), col("_pts").as("pts"),
-      col("_nv").as("nv"), col("_nts").as("nts"),
-      col("_cv").as("cv"), col("_cpv").as("cpv"), col("_cnv").as("cnv"))
-    val level1 = filtered
+    // Per-field min_by/max_by keyed on the per-series row number `_rn`:
+    // every aggregation buffer stays a fixed-width (value, ordinal) pair,
+    // so BOTH levels run as codegen'd HashAggregates that reuse the
+    // prevPass series partitioning — no exchange, no sort. The r7 shape
+    // (min/max over the 9-field sample struct) forced SortAggregate plus
+    // a full sort of the exploded merge rows (measured at sf0.1
+    // increase(click[12h]): 3.75 s → see SCALEBENCH; same output).
+    val fields = Seq(
+      "ts" -> "ts", "v" -> "value", "pv" -> "_pv", "pts" -> "_pts",
+      "nv" -> "_nv", "nts" -> "_nts", "cv" -> "_cv", "cpv" -> "_cpv",
+      "cnv" -> "_cnv")
+    val l1Aggs =
+      fields.map { case (f, c) => min_by(col(c), col("_rn")).as(s"_pf_$f") } ++
+        fields.map { case (f, c) => max_by(col(c), col("_rn")).as(s"_pl_$f") } ++
+        Seq(min(col("_rn")).as("_pfrn"), max(col("_rn")).as("_plrn"),
+          count(lit(1)).as("_pcnt"), max(col("_mpi")).as("_pmpi"))
+    val level1Lazy = filtered
       .withColumn("t", tb)
       .groupBy((keys.map(col) :+ col("t")): _*)
-      .agg(min(edgeStruct).as("_pf1"), max(edgeStruct).as("_pl1"),
-        count(lit(1)).as("_pcnt"), max(col("_mpi")).as("_pmpi"))
-    val exploded = antiSkew(filtered, level1, keys)
+      .agg(l1Aggs.head, l1Aggs.tail: _*)
+    // Materialized when the fill pass reuses it (≤ one row per non-empty
+    // series×step bucket — bucket-scale, bounded at any data size);
+    // single-consumer shapes stay lazy. Two traps, both measured:
+    //  - the checkpoint RDD forgets its hash partitioning, which would
+    //    push a bucket×ratio-row exchange under the merge aggregate —
+    //    re-keying the BUCKET-scale frame by series restores subset
+    //    clustering so the merge stays exchange-free (4.2 s vs 1.4 s
+    //    steady-state at sf0.1);
+    //  - AQE would coalesce that tiny exchange to ONE partition (it
+    //    cannot see the ratio× explode behind it) and serialize the
+    //    whole merge (19.4 s single-task) — hence the explicit count.
+    val level1 =
+      if (fillFromLevel1)
+        level1Lazy.localCheckpoint(true)
+          .repartition(prepped.sparkSession.sparkContext.defaultParallelism,
+            keys.map(col): _*)
+      else level1Lazy
+    // bucket t contributes to grid windows [max(t, start), min(t+window-step,
+    // end)] — bounding the sequence itself (instead of post-explode
+    // filtering) keeps pre-grid buckets from fanning out at all
+    val exploded = level1
+      .filter(col("t") >= lit(start - windowMs + s) && col("t") <= lit(grid.endMs))
       .withColumn("_wt",
-        explode(expr(s"sequence(t, t + ${windowMs - s}L, ${s}L)")))
-      .filter(col("_wt") >= lit(start) && col("_wt") <= lit(grid.endMs))
+        explode(expr(s"sequence(greatest(t, ${start}L), " +
+          s"least(t + ${windowMs - s}L, ${grid.endMs}L), ${s}L)")))
       .drop("t").withColumnRenamed("_wt", "t")
     // The kernel value is computed INSIDE the merge aggregate's result
     // expressions: downstream filters (Eval's `value IS NOT NULL`, the
@@ -487,31 +485,58 @@ object Rollup {
     // whole-stage codegen.
     val nullD = lit(null).cast(DoubleType)
     val nullL = lit(null).cast("long")
-    val f1 = min(col("_pf1"))
-    val l1 = max(col("_pl1"))
+    val f = (fld: String) => min_by(col(s"_pf_$fld"), col("_pfrn"))
+    val l = (fld: String) => max_by(col(s"_pl_$fld"), col("_plrn"))
     val n = sum(col("_pcnt"))
+    val f1 = struct(fields.map { case (fld, _) => f(fld).as(fld) }: _*)
+    val l1 = struct(fields.map { case (fld, _) => l(fld).as(fld) }: _*)
     // synthesized arr[2] / arr[-2] — exact per the edgeOnly contract
     // (sample 2 ≡ sample 1's next neighbor; sample n-1 ≡ sample n's prev)
     val f2syn = struct(
-      f1.getField("nts").as("ts"), f1.getField("nv").as("v"),
-      f1.getField("v").as("pv"), f1.getField("ts").as("pts"),
+      f("nts").as("ts"), f("nv").as("v"),
+      f("v").as("pv"), f("ts").as("pts"),
       nullD.as("nv"), nullL.as("nts"),
-      f1.getField("cnv").as("cv"), f1.getField("cv").as("cpv"), nullD.as("cnv"))
+      f("cnv").as("cv"), f("cv").as("cpv"), nullD.as("cnv"))
     val l2syn = struct(
-      l1.getField("pts").as("ts"), l1.getField("pv").as("v"),
+      l("pts").as("ts"), l("pv").as("v"),
       nullD.as("pv"), nullL.as("pts"),
-      l1.getField("v").as("nv"), l1.getField("ts").as("nts"),
-      l1.getField("cpv").as("cv"), nullD.as("cpv"), l1.getField("cv").as("cnv"))
+      l("v").as("nv"), l("ts").as("nts"),
+      l("cpv").as("cv"), nullD.as("cpv"), l("cv").as("cnv"))
     val edges = when(n === 1, array(f1)).otherwise(array(f1, f2syn, l2syn, l1))
-    val aggCols = kernels.map { case (kn, OverArrayPrev(post, _, _)) =>
+    // The aggregate outputs the 4-sample edge ARRAY as one column and the
+    // kernels are applied in a separate projection over that attribute.
+    // Computing post(edges) inside the result expressions substituted the
+    // whole 4×9-field array construction into EVERY element_at reference
+    // of every kernel — a tree big enough that the generated result
+    // projection failed to compile and fell back to interpreted
+    // per-row tree walking (measured: 126 s of task time for 3.3 M merge
+    // rows ≈ 38 µs/row; this shape: 0.6 µs/row). CollapseProject cannot
+    // re-inline it: the array is non-cheap and referenced several times
+    // per kernel, so the projection boundary is stable, and downstream
+    // null/NaN filters land between the projection and the aggregate as
+    // small attribute-based predicates.
+    val mergeAggs = Seq(edges.as("_edges"), max(col("_pmpi")).as("_xmpi"))
+    val kernelCols = kernels.map { case (kn, OverArrayPrev(post, _, _)) =>
       // lazy CaseWhen guard so the post can never dereference an empty
       // array (defensive — merge groups are non-empty by construction)
-      when(size(edges) > 0, post(edges, lit(windowMs), max(col("_pmpi")))).as(kn)
+      when(size(col("_edges")) > 0,
+        post(col("_edges"), lit(windowMs), col("_xmpi"))).as(kn)
     }
-    exploded
+    val merged = exploded
       .groupBy((keys.map(col) :+ col("t")): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
-      .select((keys.map(col) :+ col("t")) ++ kernels.map(k => col(k._1)): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .select((keys.map(col) :+ col("t")) ++ kernelCols: _*)
+    if (!fillable) merged
+    else if (fillFromLevel1) {
+      // mpi is per-series constant (a percentile over the whole series
+      // partition), so the bucket max `_pmpi` IS the seed's own mpi
+      val fillSrc = level1.select(
+        (keys.map(col) :+
+          col("_pl_ts").as("ts") :+ col("_pl_v").as("value") :+
+          col("_pl_nts").as("_nts") :+ lit(windowMs).as("_win") :+
+          col("_pmpi").as("_mpi")): _*)
+      zeroFillEmptyWindows(merged, fillSrc, keys, grid, kernels)
+    } else zeroFillEmptyWindows(merged, prepped, keys, grid, kernels)
   }
 
   def rollup(

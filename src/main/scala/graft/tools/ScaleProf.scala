@@ -32,7 +32,11 @@ object ScaleProf {
     // per-stage probe: max task time vs total — a skewed stage shows
     // maxTask ~ stage wall with low parallel efficiency
     val stages = new scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Int)]()
+    val names = new scala.collection.mutable.HashMap[Int, String]()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageSubmitted(ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+        names.synchronized { names(ss.stageInfo.stageId) =
+          ss.stageInfo.name.take(60) + "|" + ss.stageInfo.details.linesIterator.filter(_.contains("graft")).take(2).mkString(";").take(120) }
       val taskMax = new scala.collection.mutable.HashMap[Int, Long]()
       val taskSum = new scala.collection.mutable.HashMap[Int, Long]()
       val taskN = new scala.collection.mutable.HashMap[Int, Int]()
@@ -63,7 +67,7 @@ object ScaleProf {
       Thread.sleep(500)
       val top = stages.synchronized(stages.toVector).sortBy(-_._3).take(6)
       top.foreach { case (id, mx, sum, n) =>
-        println(f"[scaleprof]   stage $id%5d: tasks=$n%4d sumTask=${sum/1000.0}%8.1fs maxTask=${mx/1000.0}%7.1fs skew=${if (sum>0) mx.toDouble*n/sum else 0}%5.1f")
+        println(f"[scaleprof]   stage $id%5d: tasks=$n%4d sumTask=${sum/1000.0}%8.1fs maxTask=${mx/1000.0}%7.1fs skew=${if (sum>0) mx.toDouble*n/sum else 0}%5.1f name=${names.getOrElse(id, "?")}")
       }
     }
     spark.stop()

@@ -82,37 +82,41 @@ class PlanSpec extends SparkSpec {
       s"two-level path must not explode raw samples:\n$p")
   }
 
-  test("counter two-level path re-keys a hot series by (series, bucket t)") {
+  test("counter two-level merge is hash-aggregated and never re-keys exploded rows") {
     import spark.implicits._
     val grid = GridSpec(0L, 2000L * 60000L, 60000L)
     // one hot series with 1000 dense minute buckets; 5 cold series with 1
-    // sample each → mx(1000) × cores(4) > 2 × total(1005)
+    // sample each — the round-7 probe re-keyed this shape by (series,
+    // bucket t), but the bucket t is consumed by the explode, so the
+    // merge aggregate then needed a fresh (series, window t) exchange
+    // over the buckets×ratio EXPLODED frame (measured: 86 GB spilled per
+    // stage on the 10× hot dataset). Round 8 invariant: the only
+    // exchange in the counter plan is the bucket-scale series re-key
+    // that restores clustering after the fill checkpoint — nothing
+    // data- or explode-scale shuffles, and the merge runs as a
+    // codegen'd HashAggregate (min_by/max_by over the row number), never
+    // a SortAggregate over the exploded rows.
     val hotRows = (0 until 1000).map(i => ("hot", 1L, i * 60000L + 1L, i.toDouble))
     val coldRows = (1 to 5).map(u => ("cold", u.toLong, 60001L, 1.0))
     val skewed = (hotRows ++ coldRows).toDF("name", "user_id", "ts", "value")
-    val df = Rollup.rollup(skewed, Seq("name", "user_id"), grid,
-      12 * 3600000L, Kernels.increasePrev(300000L), lookbackMs = 300000L)
-    val p = plan(df)
-    // the antiSkew repartition keys the bucket rows by (series…, t) —
-    // without it, the prev path reuses the series-only partitioning from
-    // prevPass and the hot series' buckets × ratio merge rows serialize
-    // the explicit repartition renders as REPARTITION_BY_COL (the
-    // zero-fill union branch has its own ENSURE_REQUIREMENTS (series, t)
-    // exchange in BOTH variants — not the one under test)
-    def rekeyed(pl: String): Boolean =
-      pl.linesIterator.exists(l => l.contains("REPARTITION_BY_COL") &&
-        "hashpartitioning\\(name#\\d+, user_id#\\d+L?, t#\\d+L?".r.findFirstIn(l).isDefined)
-    assert(rekeyed(p), s"skewed counter rollup must re-key by (series, bucket t):\n$p")
-
-    // uniform control: 6 series with ~equal buckets keep the
-    // exchange-free merge (no (series, t) repartition)
+    def checkPlan(pl: String, label: String): Unit = {
+      // no exchange keyed by (series, t): neither the round-7 explicit
+      // re-key nor an ENSURE_REQUIREMENTS shuffle of the exploded frame
+      val exchangedOnT = pl.linesIterator.exists(l =>
+        (l.contains("REPARTITION_BY_COL") || l.contains("ENSURE_REQUIREMENTS")) &&
+          "hashpartitioning\\(name#\\d+, user_id#\\d+L?, t#\\d+L?".r.findFirstIn(l).isDefined)
+      assert(!exchangedOnT,
+        s"$label counter rollup must not shuffle merge rows by (series, t):\n$pl")
+      assert(!pl.contains("SortAggregate"),
+        s"$label counter merge must stay a HashAggregate (no sort fallback):\n$pl")
+    }
+    checkPlan(plan(Rollup.rollup(skewed, Seq("name", "user_id"), grid,
+      12 * 3600000L, Kernels.increasePrev(300000L), lookbackMs = 300000L)), "skewed")
     val uniRows = for (u <- 1 to 6; i <- 0 until 100)
       yield ("m", u.toLong, i * 60000L + 1L, i.toDouble)
     val uni = uniRows.toDF("name", "user_id", "ts", "value")
-    val up = plan(Rollup.rollup(uni, Seq("name", "user_id"), grid,
-      12 * 3600000L, Kernels.increasePrev(300000L), lookbackMs = 300000L))
-    assert(!rekeyed(up),
-      s"uniform counter rollup must keep the exchange-free merge:\n$up")
+    checkPlan(plan(Rollup.rollup(uni, Seq("name", "user_id"), grid,
+      12 * 3600000L, Kernels.increasePrev(300000L), lookbackMs = 300000L)), "uniform")
   }
 
   test("limit_offset / ungrouped limitk plan no unbounded single-partition rank") {
