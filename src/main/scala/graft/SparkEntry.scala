@@ -297,11 +297,7 @@ object SparkEntry {
       eng("increase(click[12h])", GridSpec(START, START + 7 * D, 60000L)) { df =>
         df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
       },
-      Some(s"WITH ${prevRangeCtes(60000L, 12 * H, START, START + 7 * D)}, " +
-        s"${fillZeroCte(60000L, s"${12 * H}", START, START + 7 * D)} " +
-        s"SELECT user_id::BIGINT AS user_id, t, " +
-        s"round(1e-9 + ${deltaChainSql(12 * H, corrected = true)}, 6) AS value " +
-        s"FROM f $fillZeroArm ORDER BY user_id, t")),
+      Some(tsbsIncreaseSql)),
     Q("ro_sliding_increase", roHW(Kernels.increase, 6 * H), Some(
       s"WITH g AS (SELECT unnest(generate_series($START, $END, $H)) AS t), " +
         "b AS (SELECT event_type AS name, epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
@@ -1699,6 +1695,16 @@ object SparkEntry {
 
   private val uid = col("tags").getItem("user_id").cast("bigint").as("user_id")
 
+  /** TSBS counter oracle (shared by the flat-store `ro_tsbs_increase` and
+    * the bucketed-store `src_bucketed_increase` — both must match it).
+    */
+  private lazy val tsbsIncreaseSql: String =
+    s"WITH ${prevRangeCtes(60000L, 12 * H, START, START + 7 * D)}, " +
+      s"${fillZeroCte(60000L, s"${12 * H}", START, START + 7 * D)} " +
+      s"SELECT user_id::BIGINT AS user_id, t, " +
+      s"round(1e-9 + ${deltaChainSql(12 * H, corrected = true)}, 6) AS value " +
+      s"FROM f $fillZeroArm ORDER BY user_id, t"
+
   /** DuckDB mirror of the reference-exact Holt-Winters recursion
     * (rollup.go:1030 via Kernels.holtWinters): a RECURSIVE CTE replays the
     * (s, b) state over each (keys…, hour-window)'s samples in (tms, value)
@@ -2457,6 +2463,25 @@ object SparkEntry {
         r6(sum(col("ts"))).as("sum_ts")).orderBy("name")
     }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v, " +
       "round(1e-9 + sum(epoch_ms(ts::TIMESTAMP)), 6) AS sum_ts FROM events GROUP BY name ORDER BY name")),
+    Q("src_bucketed_increase", (s, dir) => {
+      // Series-bucketed store layout through the full engine path: write
+      // the events mapping bucketBy(series hash) with the hash pair
+      // persisted, read it back via the session catalog, and run the
+      // TSBS counter query on it. Must match the flat-store oracle
+      // byte-for-byte while the plan pays ZERO data-scale exchanges —
+      // Eval reuses the stored _h1/_h2 attributes so the bucket
+      // partitioning satisfies every per-series distribution
+      // (BucketedStoreSpec pins the exchange-free plan shape).
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.core.SampleStore.writeBucketed(
+        Samples.fromEvents(s, dir), s"bucketed_events$tag",
+        s"target/bucketed_events$tag", buckets = 8)
+      val b = graft.core.SampleStore.readBucketed(s, s"bucketed_events$tag")
+      Engine.query(b, "increase(click[12h])",
+          GridSpec(START, START + 7 * D, 60000L), 2 * H)
+        .select(uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("user_id", "t")
+    }, Some(tsbsIncreaseSql)),
     Q("src_ddsketch_roundtrip", (s, dir) => {
       val samples = Samples.fromEvents(s, dir)
       val back = graft.sources.ProtoFormats.datadogSketches(

@@ -48,6 +48,49 @@ object SampleStore {
   def applyRetention(spark: SparkSession, path: String, outPath: String, keepFromMs: Long): Unit =
     write(readRange(spark, path, keepFromMs, MaxTsMs), outPath, SaveMode.Overwrite)
 
+  /** Series-bucketed layout: the big-cluster co-location path. Samples
+    * are written `bucketBy(n, _h1)` with the 128-bit series hash pair
+    * PERSISTED as columns, so every per-series operator downstream —
+    * the counter family's prevPass windows, the two-level bucket
+    * aggregate, vector matching on series keys — reads data already
+    * clustered by series and Spark's subset-clustering rule elides the
+    * ONE data-scale exchange those plans otherwise pay (the reference
+    * gets the same effect from its per-node shard-by-metric layout,
+    * lib/storage/table.go partitions + vmselect merge). `sortBy(ts)`
+    * keeps bucket files range-readable; `partitionBy(date)` keeps the
+    * retention/pruning story of [[write]].
+    *
+    * Catalog note: `bucketBy` requires `saveAsTable`; the bucket spec
+    * lives in the session catalog (a shared metastore in production —
+    * the default in-memory catalog scopes it to the session). The tags
+    * map is kept alongside the hashes, so reads need no restore join.
+    */
+  def writeBucketed(samples: DataFrame, table: String, path: String,
+      buckets: Int, mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val entries = array_sort(map_entries(col("tags")))
+    samples
+      .withColumn("_h1", xxhash64(entries))
+      .withColumn("_h2", xxhash64(entries, lit(1)))
+      .withColumn("date", to_date(timestamp_millis(col("ts"))))
+      .write
+      .mode(mode)
+      .option("path", path)
+      .partitionBy("date")
+      .bucketBy(buckets, "_h1")
+      .sortBy("_h1", "_h2", "ts")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** read a bucketed store — the scan reports HashPartitioning(_h1), so
+    * per-series windows/aggregates downstream plan with no exchange;
+    * [[graft.lang.Eval]] reuses the persisted hash columns verbatim
+    * (recomputing them would sever the attribute the bucket
+    * partitioning is keyed on).
+    */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table).drop("date")
+
   /** compaction job: retention filter + interval dedup (keep last, max on
     * ties — lib/storage/dedup.go:30-70) rewritten in place of background
     * LSM merges (partition.go:535-601).

@@ -836,10 +836,21 @@ object Eval {
       // aggregation from a small broadcast dimension (distinct series ≪
       // samples). Canonical strings remain the identity for grid-level
       // (post-rollup) operators where cardinality is series-scale.
-      val entries = array_sort(map_entries(col("tags")))
-      val keyed = shifted
-        .withColumn("_h1", xxhash64(entries))
-        .withColumn("_h2", xxhash64(entries, lit(1)))
+      // A bucketed store (SampleStore.writeBucketed) persists the pair;
+      // REUSING those attributes (instead of recomputing the same
+      // expressions) is what lets the scan's bucket HashPartitioning
+      // satisfy the per-series window/aggregate distribution downstream —
+      // a recomputed alias severs that linkage and re-inserts the
+      // data-scale exchange.
+      val keyed =
+        if (shifted.columns.contains("_h1") && shifted.columns.contains("_h2"))
+          shifted
+        else {
+          val entries = array_sort(map_entries(col("tags")))
+          shifted
+            .withColumn("_h1", xxhash64(entries))
+            .withColumn("_h2", xxhash64(entries, lit(1)))
+        }
       (keyed, rollGrid, atMs, windowMs)
     }
 

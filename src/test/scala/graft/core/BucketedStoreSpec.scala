@@ -1,0 +1,62 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Series-bucketed store layout (SampleStore.writeBucketed): results must
+  * be identical to the flat date-partitioned store, and the whole point —
+  * the per-series shuffle disappearing because the bucketed scan's
+  * HashPartitioning(_h1) satisfies every downstream per-series
+  * distribution — is asserted against the physical plan, not taken on
+  * faith.
+  */
+class BucketedStoreSpec extends SparkSpec {
+
+  private val T0 = 1704067200000L
+  private val H = 3600000L
+  private val grid = GridSpec(T0, T0 + 48 * H, H)
+  private val table = "bucketed_events_spec"
+  private val path = "target/bucketed_events_spec"
+
+  private lazy val flat = Samples.fromEvents(spark, sfDir)
+  private lazy val bucketed: org.apache.spark.sql.DataFrame = {
+    SampleStore.writeBucketed(flat, table, path, buckets = 8)
+    SampleStore.readBucketed(spark, table)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(String, Long, Double)] =
+    df.select(col("tags")("user_id"), col("t"), round(col("value"), 9))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+  test("counter rollup over the bucketed store matches the flat store") {
+    val q = "increase(click[12h])" // ratio 12 ≥ 8 → two-level counter path
+    val a = rows(graft.Engine.query(flat, q, grid, 2 * H))
+    val b = rows(graft.Engine.query(bucketed, q, grid, 2 * H))
+    assert(a.nonEmpty, "flat-store query returned no rows")
+    assert(b == a, s"bucketed result diverged: ${(b -- a).take(3)} vs ${(a -- b).take(3)}")
+  }
+
+  test("bucketed scan elides the per-series exchange entirely") {
+    // irate: edge-only, non-fillable — the counter plan with no fill
+    // checkpoint, so a flat store pays exactly ONE data-scale exchange
+    // (prevPass series clustering) and a bucketed store must pay none.
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    val q = "irate(click[12h])"
+    val nFlat = shuffles(graft.Engine.query(flat, q, grid, 2 * H))
+    val nBucketed = shuffles(graft.Engine.query(bucketed, q, grid, 2 * H))
+    assert(nFlat >= 1, "flat control should shuffle on the series hash")
+    assert(nBucketed == 0,
+      s"bucketed counter plan must be exchange-free, found $nBucketed:\n" +
+        graft.Engine.query(bucketed, q, grid, 2 * H).queryExecution.executedPlan)
+  }
+
+  test("bucketed store preserves the raw samples (roundtrip)") {
+    val a = flat.filter(col("name") === "click").count()
+    val b = bucketed.filter(col("name") === "click").count()
+    assert(a > 0 && a == b)
+  }
+}
