@@ -74,7 +74,11 @@ object ScaleBench {
     // headline data-scale queries: per-series window paths (rollups) and
     // the per-point cross-series rank — where a hot key would serialize
     val names0 = Seq("ro_rate", "ro_tsbs_cpu_max", "ro_tsbs_increase",
-      "ro_default_rollup", "ag_topk", "h_quantile")
+      "ro_default_rollup", "ag_topk", "h_quantile",
+      // round 8: vector-match set op (full-outer shape) and the graphite
+      // fetch+node-key aggregation — the two remaining data-scale headline
+      // families the ladder had not probed under key skew
+      "bi_or", "gr_group_by_node")
     val names = sys.env.get("SCALEBENCH_ONLY")
       .map(f => names0.filter(n => f.split(',').exists(n.startsWith)))
       .getOrElse(names0)
