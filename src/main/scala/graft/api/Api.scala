@@ -11,7 +11,46 @@ import org.apache.spark.sql.functions._
   * proper is deployment glue; these are the handlers' query semantics.
   * Input `samples` is the canonical frame (name, tags, ts, value).
   */
+/** Server-level search flags, mirroring the reference's command-line
+  * flags at app/vmselect/promql/exec.go:20-33. All default to the
+  * reference defaults (disabled); deployment glue sets them once at
+  * startup.
+  */
+object SearchFlags {
+  /** -search.maxResponseSeries (exec.go:21); 0 = disabled */
+  @volatile var maxResponseSeries: Int = 0
+  /** -search.treatDotsAsIsInRegexps (exec.go:23) */
+  @volatile var treatDotsAsIsInRegexps: Boolean = false
+  /** -search.disableImplicitConversion (exec.go:27) */
+  @volatile var disableImplicitConversion: Boolean = false
+  /** -search.logImplicitConversion (exec.go:30) */
+  @volatile var logImplicitConversion: Boolean = false
+}
+
 object Api {
+
+  /** exec.go:45-62 pre-evaluation guards: reject implicit-conversion
+    * queries when configured, and rewrite regexp label filters with
+    * escaped dots. Returns the (possibly rewritten) query string — the
+    * rewritten TEXT feeds the engine so O6/O7 cache keys stay consistent
+    * with what actually evaluates.
+    */
+  def applySearchFlags(q: String): String = {
+    var out = q
+    if (SearchFlags.disableImplicitConversion || SearchFlags.logImplicitConversion) {
+      val invalid = graft.lang.Guards.isLikelyInvalid(Parser.parse(q))
+      if (invalid && SearchFlags.disableImplicitConversion)
+        throw new IllegalArgumentException(
+          "query requires implicit conversion and is rejected according to " +
+            "-search.disableImplicitConversion command-line flag")
+      if (invalid && SearchFlags.logImplicitConversion)
+        System.err.println(s"query=$q requires implicit conversion")
+    }
+    if (SearchFlags.treatDotsAsIsInRegexps)
+      out = graft.lang.Render.render(
+        graft.lang.Guards.escapeDotsInRegexpLabelFilters(Parser.parse(out)))
+    out
+  }
 
   /** /api/v1/query_range — the workhork (prometheus.go:925):
     * full MetricsQL evaluation on the (start, end, step) grid.
@@ -39,12 +78,13 @@ object Api {
       mayCache: Boolean = false,
       cacheTag: String = ""): DataFrame = {
     validateMaxPoints(startMs, endMs, stepMs)
+    val q2 = applySearchFlags(q)
     // the HTTP path caches by default like the reference (prometheus.go
     // `nocache` + EvalConfig.MayCache); programmatic callers (gates,
     // bench) default to a raw evaluation so they measure the engine
     if (mayCache)
-      Engine.queryCached(samples, q, GridSpec(startMs, endMs, stepMs), lookbackMs, cacheTag)
-    else Engine.query(samples, q, GridSpec(startMs, endMs, stepMs), lookbackMs)
+      Engine.queryCached(samples, q2, GridSpec(startMs, endMs, stepMs), lookbackMs, cacheTag)
+    else Engine.query(samples, q2, GridSpec(startMs, endMs, stepMs), lookbackMs)
   }
 
   /** /api/v1/query — instant evaluation at one timestamp
@@ -55,7 +95,7 @@ object Api {
     */
   def query(samples: DataFrame, q: String, atMs: Long, stepMs: Long = 60000L,
       lookbackMs: Long = 300000L): DataFrame =
-    Engine.queryInstantCached(samples, q, GridSpec(atMs, atMs, stepMs), lookbackMs)
+    Engine.queryInstantCached(samples, applySearchFlags(q), GridSpec(atMs, atMs, stepMs), lookbackMs)
 
   /** bare-selector row predicate over (name, tags) — public so the HTTP
     * facade's delete-series tombstones can exclude matching rows with

@@ -520,6 +520,24 @@ final class HttpApi(
   private def ok(dataJson: String): String =
     s"""{"status":"success","data":$dataJson}"""
 
+  /** -search.maxResponseSeries (exec.go:80): cap the series count a
+    * query response may carry. The reference counts the materialized
+    * result; our responses stream, so when the flag is on the series
+    * count runs as its own (cheap, aggregated) job BEFORE streaming —
+    * the error must arrive as a clean 422, not a truncated body.
+    */
+  private def enforceMaxResponseSeries(df: DataFrame, instant: Boolean): Unit = {
+    val limit = SearchFlags.maxResponseSeries
+    if (limit <= 0) return
+    val n =
+      if (instant) df.count()
+      else df.agg(countDistinct(seriesKey(col("name"), col("tags")))).head().getLong(0)
+    if (n > limit)
+      throw new IllegalArgumentException(
+        s"the response contains more than -search.maxResponseSeries=$limit time series: " +
+          s"$n series; either increase -search.maxResponseSeries or narrow down the query")
+  }
+
   // ---- routes (app/vmselect/main.go:201-431; vminsert import paths) ---
 
   private def routes: Seq[(String, com.sun.net.httpserver.HttpHandler)] = Seq(
@@ -567,6 +585,7 @@ final class HttpApi(
           case None =>
             val df = graft.lang.Trace.child("build query plan")(
               Api.query(samples, p("query"), at, step)) // parse/analyze errors throw here → 422
+            enforceMaxResponseSeries(df, instant = true)
             MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), at)
             QueryStats.track(p("query"), at, at, step,
               String.valueOf(ex.getRemoteAddress)) {
@@ -599,6 +618,7 @@ final class HttpApi(
           Api.queryRange(samples, p("query"), start, end, step,
             mayCache = !boolParam(p, "nocache"),
             cacheTag = s"httpStore:$storeVersion"))
+        enforceMaxResponseSeries(df, instant = false)
         MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), end)
         QueryStats.track(p("query"), start, end, step,
           String.valueOf(ex.getRemoteAddress)) {

@@ -932,4 +932,49 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+
+  test("search flags: maxResponseSeries caps responses, implicit conversion rejected") {
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      for (i <- 1 to 3)
+        assert(post(port, "/api/v1/import/prometheus", s"""mrs{job="j$i"} $i 60\n""") == 204)
+      // under the cap: fine
+      SearchFlags.maxResponseSeries = 3
+      assert(get(port, "/api/v1/query?query=mrs&time=60").contains(""""status":"success""""))
+      // over the cap: the reference's exec.go:80 error as a clean 422
+      SearchFlags.maxResponseSeries = 2
+      val over = get(port, "/api/v1/query?query=mrs&time=60")
+      assert(over.contains(""""status":"error"""") &&
+        over.contains("-search.maxResponseSeries=2"), over)
+      val overRange = get(port, "/api/v1/query_range?query=mrs&start=60&end=120&step=60")
+      assert(overRange.contains("-search.maxResponseSeries=2"), overRange)
+      SearchFlags.maxResponseSeries = 0
+
+      // -search.disableImplicitConversion rejects rate(sum(...)) (exec.go:54)
+      SearchFlags.disableImplicitConversion = true
+      val rej = get(port, "/api/v1/query_range?query=rate(sum(mrs))&start=60&end=120&step=60")
+      assert(rej.contains("implicit conversion"), rej)
+      assert(get(port, "/api/v1/query_range?query=rate(mrs[1m])&start=60&end=120&step=60")
+        .contains(""""status":"success""""))
+      SearchFlags.disableImplicitConversion = false
+
+      // -search.treatDotsAsIsInRegexps: the dotted regexp matches only j.1 literally
+      assert(post(port, "/api/v1/import/prometheus", """mrs{job="jx1"} 9 60
+""") == 204)
+      val dotted = "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("""mrs{job=~"j.1"}""", "UTF-8") + "&time=60"
+      val loose = get(port, dotted)
+      assert(loose.contains("jx1"), loose)
+      SearchFlags.treatDotsAsIsInRegexps = true
+      val strict = get(port, dotted)
+      assert(!strict.contains("jx1"), strict)
+      SearchFlags.treatDotsAsIsInRegexps = false
+    } finally {
+      SearchFlags.maxResponseSeries = 0
+      SearchFlags.disableImplicitConversion = false
+      SearchFlags.treatDotsAsIsInRegexps = false
+      api.stop()
+    }
+  }
 }
