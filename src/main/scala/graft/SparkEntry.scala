@@ -2482,6 +2482,30 @@ object SparkEntry {
         .select(uid, col("t"), r6(col("value")).as("value"))
         .orderBy("user_id", "t")
     }, Some(tsbsIncreaseSql)),
+    Q("src_stream_ingest", (s, dir) => {
+      // the §3.4 write path end-to-end: render the events mapping as
+      // prometheus text files in a landing zone, drain it through the
+      // Structured Streaming ingest pipeline (parse → date-partitioned
+      // parquet file sink), and aggregate the STORED samples — must
+      // match the same events oracle as the in-memory roundtrips
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val landing = s"target/stream_ingest$tag/landing"
+      val store = s"target/stream_ingest$tag/store"
+      val ckpt = s"target/stream_ingest$tag/ckpt"
+      // fresh run per invocation: the checkpoint manifest would otherwise
+      // skip the (identical) landing files of the previous run
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"target/stream_ingest$tag"))
+      graft.sources.LineFormats.exportPromText(Samples.fromEvents(s, dir))
+        .coalesce(4).write.mode("overwrite").text(landing)
+      graft.streaming.Ingest.promTextToStore(s, landing, store, ckpt)
+        .awaitTermination()
+      graft.streaming.Ingest.readStore(s, store)
+        .groupBy("name").agg(
+          count(lit(1)).as("n"),
+          r6(sum("value")).as("sum_v"),
+          r6(sum(col("ts"))).as("sum_ts")).orderBy("name")
+    }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v, " +
+      "round(1e-9 + sum(epoch_ms(ts::TIMESTAMP)), 6) AS sum_ts FROM events GROUP BY name ORDER BY name")),
     Q("src_ddsketch_roundtrip", (s, dir) => {
       val samples = Samples.fromEvents(s, dir)
       val back = graft.sources.ProtoFormats.datadogSketches(
