@@ -1,0 +1,42 @@
+package graft.core
+
+/** Storage-side per-query resource limits, mirroring the reference's
+  * vmstorage/netstorage flags:
+  *
+  *  - `-search.maxUniqueTimeseries` (app/vmstorage/vmstorage.go:26) —
+  *    cap the unique series a single query may scan
+  *    (lib/storage/index_db.go:2211 errTooManyTimeseries);
+  *  - `-search.maxSamplesPerQuery` (app/vmselect/netstorage/
+  *    netstorage.go:31,1114) — cap the raw samples a single query may
+  *    process across all series.
+  *
+  * Both default DISABLED here. (The reference defaults
+  * maxSamplesPerQuery to 1e9 because its row-oriented search unpacks
+  * whole blocks on the query path; our scans are columnar and the guard
+  * is opt-in protection, not a CPU-accounting necessity.)
+  *
+  * Enforcement: the reference checks counters inline while unpacking
+  * blocks; a declarative Spark plan has no mid-scan hook, so when a
+  * limit is set every selector fetch runs ONE aggregate-only pre-count
+  * over the query's time span — a column-pruned count scan that costs
+  * far less than the evaluation it guards, and rejects BEFORE any
+  * expensive work is scheduled.
+  */
+object StorageLimits {
+  @volatile var maxSamplesPerQuery: Long = 0L
+  @volatile var maxUniqueTimeseries: Long = 0L
+  def enabled: Boolean = maxSamplesPerQuery > 0 || maxUniqueTimeseries > 0
+
+  def samplesError(limit: Long): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"cannot select more than -search.maxSamplesPerQuery=$limit samples; " +
+        "possible solutions: increase the -search.maxSamplesPerQuery; " +
+        "reduce time range for the query; use more specific label filters " +
+        "in order to select fewer series")
+
+  def seriesError(limit: Long): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"the number of matching timeseries exceeds $limit; " +
+        "either narrow down the search or increase -search.max* command-line " +
+        "flag values (the most likely limit is -search.maxUniqueTimeseries)")
+}

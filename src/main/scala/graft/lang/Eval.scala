@@ -830,6 +830,26 @@ object Eval {
             .select(col("name"), col("tags"), col("t").as("ts"), col("value"))
       }
       val shifted = if (offsetMs != 0) raw.withColumn("ts", col("ts") + lit(offsetMs)) else raw
+      // Storage-side per-query limits (core.StorageLimits): counted over
+      // the span this leaf will actually process — the grid extended back
+      // by window + staleness lookback. One aggregate-only pre-count per
+      // selector leaf, run ONLY when a limit is configured.
+      if (graft.core.StorageLimits.enabled && re.expr.isInstanceOf[MetricExpr]) {
+        val lo = rollGrid.startMs - windowMs - math.max(cfg.lookbackMs, 0L)
+        val scoped = shifted.filter(col("ts") > lit(lo) && col("ts") <= lit(rollGrid.endMs))
+        val maxSamples = graft.core.StorageLimits.maxSamplesPerQuery
+        val maxSeries = graft.core.StorageLimits.maxUniqueTimeseries
+        val aggs = Seq(count(lit(1)).as("_n")) ++
+          (if (maxSeries > 0)
+            Seq(countDistinct(concat(coalesce(col("name"), lit("")),
+              to_json(array_sort(map_entries(col("tags")))))).as("_s"))
+          else Nil)
+        val row = scoped.agg(aggs.head, aggs.tail: _*).head()
+        if (maxSamples > 0 && row.getLong(0) > maxSamples)
+          throw graft.core.StorageLimits.samplesError(maxSamples)
+        if (maxSeries > 0 && row.size > 1 && row.getLong(1) > maxSeries)
+          throw graft.core.StorageLimits.seriesError(maxSeries)
+      }
       // Series identity for the PER-SAMPLE hot path is a 128-bit hash of
       // the sorted tag entries — no per-row string building, and the
       // shuffle key is two longs. The tags map itself is restored after
