@@ -27,7 +27,12 @@ final class HttpApi(
     spark: SparkSession,
     base: Option[DataFrame] = None,
     ruleGroups: Seq[graft.alerting.Rules.RuleGroup] = Nil,
-    scheduler: Option[graft.alerting.Scheduler] = None) {
+    scheduler: Option[graft.alerting.Scheduler] = None,
+    // -dedup.minScrapeInterval (lib/storage/dedup.go:30 isDedupEnabled;
+    // applied at SELECT time — docs/#deduplication): every read-path
+    // frame is deduplicated to one sample per series per interval,
+    // keeping the newest (max value on timestamp ties)
+    dedupMinScrapeIntervalMs: Long = 0L) {
 
   private val sampleSchema = StructType(Seq(
     StructField("name", StringType),
@@ -62,7 +67,17 @@ final class HttpApi(
     val dels = deletedSelectors.synchronized { deletedSelectors.toList }
     val preds = deletedPredicates.synchronized { deletedPredicates.toList }
     val afterSel = dels.foldLeft(all)((df, sel) => df.filter(!Api.selectorPredicate(sel)))
-    preds.foldLeft(afterSel)((df, p) => df.filter(!p))
+    val res = preds.foldLeft(afterSel)((df, p) => df.filter(!p))
+    if (dedupMinScrapeIntervalMs <= 0) res
+    else {
+      // the -dedup.minScrapeInterval select-time rule (dedup.go:30-70):
+      // one hash aggregation per read, keep-last with max-on-ties
+      val keyed = res.withColumn("_sk", concat(coalesce(col("name"), lit("")),
+        to_json(array_sort(map_entries(col("tags"))))))
+      graft.pipeline.Dedup.dedupSamples(keyed, Seq("_sk"), dedupMinScrapeIntervalMs)
+        .join(keyed.select("_sk", "name", "tags").dropDuplicates("_sk"), Seq("_sk"))
+        .select("name", "tags", "ts", "value")
+    }
   }
 
   /** start on the given port (0 = ephemeral); returns the bound port */

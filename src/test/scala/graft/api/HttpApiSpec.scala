@@ -933,6 +933,30 @@ class HttpApiSpec extends SparkSpec {
   }
 
 
+  test("-dedup.minScrapeInterval deduplicates every read path at select time") {
+    val api = new HttpApi(spark, dedupMinScrapeIntervalMs = 1000L)
+    val port = api.start()
+    try {
+      // three samples inside one 1s interval + one in the next: the
+      // select-time rule keeps the newest per interval (max value on ts
+      // ties, dedup.go keep rules pinned by DedupSpec)
+      // OpenMetrics SECONDS timestamps (sub-2^31 scale x1000): 0.1/0.9/0.9 s
+      // land in the first 1s interval, 1.5 s in the second
+      assert(post(port, "/api/v1/import/prometheus",
+        """dd{job="a"} 1 0.1
+          |dd{job="a"} 2 0.9
+          |dd{job="a"} 3 0.9
+          |dd{job="a"} 7 1.5
+          |""".stripMargin) == 204)
+      val export = get(port, "/api/v1/export?match[]=dd")
+      // one line per series; kept samples are (900,3) and (1500,7)
+      assert(export.contains("[3.0,7.0]"), export)
+      assert(export.contains("[900,1500]"), export)
+      val inst = get(port, "/api/v1/query?query=count_over_time(dd[2s])&time=2")
+      assert(inst.contains("\"2\""), inst) // 2 kept of 4 ingested
+    } finally api.stop()
+  }
+
   test("search flags: maxResponseSeries caps responses, implicit conversion rejected") {
     val api = new HttpApi(spark)
     val port = api.start()
