@@ -467,13 +467,18 @@ object Rollup {
             keys.map(col): _*)
       else level1Lazy
     // bucket t contributes to grid windows [max(t, start), min(t+window-step,
-    // end)] — bounding the sequence itself (instead of post-explode
-    // filtering) keeps pre-grid buckets from fanning out at all
+    // lastGridPoint)] — bounding the sequence itself (instead of
+    // post-explode filtering) keeps pre-grid buckets from fanning out at
+    // all. The upper bound must be the last ALIGNED grid point, not
+    // grid.endMs: a misaligned query_range end (reachable over HTTP —
+    // the round-7 bucketizeCol incident) puts the last samples' bucket t
+    // PAST endMs, and sequence(start > stop) throws.
+    val lastT = start + Math.floorDiv(grid.endMs - start, s) * s
     val exploded = level1
-      .filter(col("t") >= lit(start - windowMs + s) && col("t") <= lit(grid.endMs))
+      .filter(col("t") >= lit(start - windowMs + s) && col("t") <= lit(lastT))
       .withColumn("_wt",
         explode(expr(s"sequence(greatest(t, ${start}L), " +
-          s"least(t + ${windowMs - s}L, ${grid.endMs}L), ${s}L)")))
+          s"least(t + ${windowMs - s}L, ${lastT}L), ${s}L)")))
       .drop("t").withColumnRenamed("_wt", "t")
     // The kernel value is computed INSIDE the merge aggregate's result
     // expressions: downstream filters (Eval's `value IS NOT NULL`, the

@@ -606,4 +606,20 @@ class EvalSpec extends SparkSpec {
       assert(out.head.getString(0) == "3fooµ¥", s"name via $q")
     }
   }
+
+  test("two-level counter merge survives a misaligned query_range end") {
+    // end = 9.5 minutes: not a step multiple past start, so the last
+    // samples' owning bucket t lands PAST endMs — the bounded window
+    // sequence must clamp to the last ALIGNED grid point instead of
+    // throwing Illegal sequence boundaries (reachable over HTTP; the
+    // round-7 bucketizeCol incident, now for the round-8 counter plan)
+    val misaligned = GridSpec(M, 9 * M + 30000L, M)
+    val sub = GridSpec(M, 9 * M, M) // the aligned prefix it must equal
+    val df = Engine.query(samples, "increase(m[8m])", misaligned, 2 * M)
+      .filter(!isnan(col("value")))
+    val ref = Engine.query(samples, "increase(m[8m])", sub, 2 * M)
+      .filter(!isnan(col("value")))
+    assert(df.count() == ref.count())
+    assert(df.agg(max("t")).head().getLong(0) == 9 * M)
+  }
 }
