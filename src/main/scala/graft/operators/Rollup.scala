@@ -387,23 +387,32 @@ object Rollup {
   /** Two-level plan for the COUNTER family (edge-only [[OverArrayPrev]]
     * kernels) at window ≫ step. An edge-only kernel reads only the
     * window's first/last samples plus their series-level neighbor links
-    * (supplied by [[prevPass]]), so the bucket partial is just
-    * (min sample struct, max sample struct, count, mpi) and the merge is
-    * explode-merge with min/max/sum — one codegen'd HashAggregate, no
+    * (supplied by [[prevPass]]), so the bucket partial is just the
+    * first/last samples' fields (per-field min_by/max_by on the series
+    * row number) plus count and mpi, and the merge is explode-merge with
+    * the same min_by/max_by — codegen'd HashAggregates end to end, no
     * window machinery, no ratio× SAMPLE amplification, and no duplicated
     * per-bucket sorted arrays (the r3 scale-killer: bucketize explode plus
     * a collect_list per window).
     *
     * Measured at sf0.1 (increase(click[12h]), 1 m grid, 1 426 series):
     * bucketize explode 479 s → dense-frame window merge 36 s (WindowExec
-    * buffering floor over 15.4 M dense rows) → this plan ~5 s.
+    * buffering floor over 15.4 M dense rows) → struct-min/max
+    * SortAggregate ~3.7 s (r7) → this plan ~1.5 s (r8; the r7 form's
+    * result projection also fell out of codegen, see SCALEBENCH r8).
     *
     * The synthesized window array: [first, second, second-to-last, last]
-    * rebuilt from the TWO stored structs — window samples are contiguous
-    * in the series sequence, so sample 2 ≡ sample 1's next-neighbor fields
-    * and sample n-1 ≡ sample n's prev-neighbor fields. The pre-window
-    * prevValue seed the delta chains need (rollup.go:770-805) is the
-    * window-first sample's own pv/pts/cpv links — no separate seed lookup.
+    * rebuilt from the two stored edge samples — window samples are
+    * contiguous in the series sequence, so sample 2 ≡ sample 1's
+    * next-neighbor fields and sample n-1 ≡ sample n's prev-neighbor
+    * fields. The pre-window prevValue seed the delta chains need
+    * (rollup.go:770-805) is the window-first sample's own pv/pts/cpv
+    * links — no separate seed lookup. The array is emitted as ONE
+    * aggregate output column and the kernels apply in a separate
+    * projection — computing them inside the aggregate's result
+    * expressions inlined the whole array construction into every
+    * element_at reference, overflowing codegen into interpreted per-row
+    * evaluation (38 µs/row vs 0.6 µs/row).
     */
   private def rollupTwoLevelPrev(
       prepped: DataFrame, // prevPass output
@@ -480,14 +489,6 @@ object Rollup {
         explode(expr(s"sequence(greatest(t, ${start}L), " +
           s"least(t + ${windowMs - s}L, ${lastT}L), ${s}L)")))
       .drop("t").withColumnRenamed("_wt", "t")
-    // The kernel value is computed INSIDE the merge aggregate's result
-    // expressions: downstream filters (Eval's `value IS NOT NULL`, the
-    // engine's top-level NaN drop) then reference the aggregate's OUTPUT
-    // attribute and cannot be pushed through it. Any projection-based
-    // variant lets predicate pushdown inline the full edge-array CASE into
-    // every filter condition — measured 14 s vs 4 s at sf0.1 once the
-    // second (NaN) filter landed, as the tripled tree falls out of
-    // whole-stage codegen.
     val nullD = lit(null).cast(DoubleType)
     val nullL = lit(null).cast("long")
     val f = (fld: String) => min_by(col(s"_pf_$fld"), col("_pfrn"))
