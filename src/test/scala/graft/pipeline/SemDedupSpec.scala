@@ -76,4 +76,29 @@ class SemDedupSpec extends SparkSpec {
     assert(brute.nonEmpty)
     assert(clustered === brute, s"recall ${clustered.size}/${brute.size} on separable groups")
   }
+
+  test("banded embedding near-dup pairs: subset of brute, full planted recovery") {
+    // 400 vectors, every 50th id's two successors are near-copies —
+    // mirrors the SimScale probe's planted structure at spec scale
+    import org.apache.spark.sql.functions._
+    val n = 400L
+    val isDup = expr("pmod(id, 50L) IN (1, 2)")
+    val base = when(isDup, expr("id - pmod(id, 50L)")).otherwise(col("id"))
+    val comp = (j: Int) =>
+      (pmod(xxhash64(base, lit(j)), lit(20000L)).cast("double") / 10000.0 - 1.0 +
+        when(isDup, pmod(xxhash64(col("id"), lit(j + 1000)), lit(100L)).cast("double") / 10000.0)
+          .otherwise(lit(0.0))).cast("float")
+    val corpus = spark.range(n).select(col("id").as("vec_id"),
+      array((0 until 32).map(comp): _*).as("embedding"))
+    val banded = Similarity.embeddingNearDupPairs(corpus, threshold = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Similarity.bruteForceNearDupPairs(corpus, 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded.subsetOf(brute), "banding must never invent a pair")
+    // every planted pair recovered: {head,head+1}, {head,head+2}, {head+1,head+2}
+    val planted = (0L until n by 50L).flatMap(h =>
+      Seq((h, h + 1), (h, h + 2), (h + 1, h + 2))).toSet
+    assert(planted.subsetOf(banded),
+      s"missed planted pairs: ${(planted -- banded).take(5)}")
+  }
 }
