@@ -58,7 +58,27 @@ object HotProf {
         println(f"[hotprof]   stage $id%5d: tasks=$nt%4d sum=${sum/1000.0}%8.1fs max=${mx/1000.0}%6.1fs name=${names.getOrElse(id, "?")}")
       }
     }
-    for (dir <- Seq("target/scalebench/uniform", "target/scalebench/hot")) {
+    if (sys.env.contains("HOTPROF_GR")) {
+      val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val store = graft.SparkEntry.grStoreForProf(spark, dir)
+      val END = T0 + 30L * 86400000L
+      def go(): Long = {
+        val ctx = graft.graphite.GraphiteCtx(spark, store, T0, END, 3600000L, nowMs = END)
+        graft.graphite.GraphiteEval.exec(ctx, "groupByNode({click,view}.*, 1, 'sum')")
+          .df.filter(!org.apache.spark.sql.functions.isnan(org.apache.spark.sql.functions.col("value"))).count()
+      }
+      go()
+      for (i <- 1 to 2) {
+        stages.synchronized(stages.clear())
+        val t0 = System.nanoTime()
+        val n = go()
+        println(f"[hotprof] gr pass $i: ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+        Thread.sleep(300)
+        stages.synchronized(stages.toVector).sortBy(-_._3).take(6).foreach { case (id, mx, sum, nt) =>
+          println(f"[hotprof]   stage $id%5d: tasks=$nt%4d sum=${sum/1000.0}%8.1fs max=${mx/1000.0}%6.1fs name=${names.getOrElse(id, "?")}")
+        }
+      }
+    } else for (dir <- Seq("target/scalebench/uniform", "target/scalebench/hot")) {
       run(s"increase(fill) $dir", dir, fillable = true)
       run(s"irate(nofill) $dir", dir, fillable = false)
     }
