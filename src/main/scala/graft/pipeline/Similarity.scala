@@ -251,8 +251,25 @@ object Similarity {
       nprobe: Int = 4,
       iters: Int = 5,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ivfTopKWith(ivfTrain(corpus, nLists, iters, idCol, vecCol),
+      corpus, queries, k, nprobe, idCol, vecCol)
+
+  /** IVF search with PRE-TRAINED centroids — the production shape at
+    * scale: train once offline ([[ivfTrain]]), broadcast the (tiny)
+    * centroid matrix, serve every query batch without re-clustering
+    * (the convenience overload above re-trains per call, which is fine
+    * for gates but train-dominated — measured 33 s of a 200K-vector
+    * top-k was k-means, the search itself ~3 s).
+    */
+  def ivfTopKWith(
+      cents: Array[Array[Double]],
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val cents = ivfTrain(corpus, nLists, iters, idCol, vecCol)
     val one = nearestUdf(cents, 1)
     val probe = nearestUdf(cents, math.min(nprobe, cents.length))
     val c = corpus.select(col(idCol).as("c_id"), normalized(col(vecCol)).as("c_vec"))
@@ -271,9 +288,6 @@ object Similarity {
       .select("q_id", "c_id", "cosine", "rank")
   }
 
-  /** Embedding near-duplicate pairs: cosine ≥ threshold inside LSH buckets
-    * (the embedding flavor of Dedup.minhashCandidates).
-    */
   /** Embedding-cosine near-duplicate pairs, BANDED (the MinHash-LSH
     * architecture applied to hyperplane signatures): `bands` independent
     * r-bit signatures per vector; a pair is a candidate when ANY band

@@ -89,8 +89,10 @@ object SimScale {
     }
     val (lsh, tLsh) = time("LSH top-k (multiprobe)")(
       asSet(Similarity.lshTopK(corpus, queries, k, nBits = 8, probes = 2)))
-    val (ivf, tIvf) = time("IVF top-k")(
-      asSet(Similarity.ivfTopK(corpus, queries, k, nLists = 64, nprobe = 8)))
+    val (cents, tIvfTrain) = time("IVF train (64 lists)")(
+      Similarity.ivfTrain(corpus, nLists = 64))
+    val (ivf, tIvf) = time("IVF search (pre-trained, nprobe 8)")(
+      asSet(Similarity.ivfTopKWith(cents, corpus, queries, k, nprobe = 8)))
     val (pq, tPq) = time("PQ top-k (ADC candidates)") {
       val books = Similarity.pqTrain(corpus)
       asSet(Similarity.pqTopK(corpus, queries, books, k))
@@ -105,7 +107,7 @@ object SimScale {
 
     println(f"[simscale] RESULT n=$n brute=${tBrute}s | " +
       f"lsh=${tLsh}s recall=${recall(lsh)} planted=${planted(lsh)} | " +
-      f"ivf=${tIvf}s recall=${recall(ivf)} planted=${planted(ivf)} | " +
+      f"ivfTrain=${tIvfTrain}s ivfSearch=${tIvf}s recall=${recall(ivf)} planted=${planted(ivf)} | " +
       f"pq=${tPq}s recall=${recall(pq)} planted=${planted(pq)} | " +
       f"nearDup=${tDup}s pairs=$dups")
     spark.stop()
