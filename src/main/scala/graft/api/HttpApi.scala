@@ -60,24 +60,37 @@ final class HttpApi(
   @volatile private var storeVersion = 0L
 
   def samples: DataFrame = {
-    val buf = ingested.synchronized {
-      spark.createDataFrame(ingested.toList.asJava, sampleSchema)
+    val bufRows = ingested.synchronized { ingested.toList }
+    // A series-bucketed store (SampleStore.readBucketed) carries the
+    // persisted _h1/_h2 hash pair; a read-only facade passes it through
+    // UNCHANGED so downstream plans keep the scan's bucket partitioning
+    // (the zero-exchange path). Once rows are ingested over HTTP, the
+    // union severs that partitioning anyway — then the buffer computes
+    // the same hash pair so per-series grouping stays correct.
+    val all = base match {
+      case Some(b) if bufRows.isEmpty => b
+      case other =>
+        val buf0 = spark.createDataFrame(bufRows.asJava, sampleSchema)
+        val buf = other match {
+          case Some(b) if b.columns.contains("_h1") =>
+            val entries = array_sort(map_entries(col("tags")))
+            buf0.withColumn("_h1", xxhash64(entries))
+              .withColumn("_h2", xxhash64(entries, lit(1)))
+          case _ => buf0
+        }
+        other.map(_.unionByName(buf, allowMissingColumns = true)).getOrElse(buf)
     }
-    val all = base.map(_.unionByName(buf)).getOrElse(buf)
     val dels = deletedSelectors.synchronized { deletedSelectors.toList }
     val preds = deletedPredicates.synchronized { deletedPredicates.toList }
     val afterSel = dels.foldLeft(all)((df, sel) => df.filter(!Api.selectorPredicate(sel)))
     val res = preds.foldLeft(afterSel)((df, p) => df.filter(!p))
     if (dedupMinScrapeIntervalMs <= 0) res
-    else {
+    else
       // the -dedup.minScrapeInterval select-time rule (dedup.go:30-70):
-      // one hash aggregation per read, keep-last with max-on-ties
-      val keyed = res.withColumn("_sk", concat(coalesce(col("name"), lit("")),
-        to_json(array_sort(map_entries(col("tags"))))))
-      graft.pipeline.Dedup.dedupSamples(keyed, Seq("_sk"), dedupMinScrapeIntervalMs)
-        .join(keyed.select("_sk", "name", "tags").dropDuplicates("_sk"), Seq("_sk"))
-        .select("name", "tags", "ts", "value")
-    }
+      // ONE pass — name/tags ride the grouping keys, so no restore join,
+      // no second scan, and no SortAggregate (null tags survive as the
+      // empty map rather than dropping out of a null join key)
+      graft.pipeline.Dedup.dedupNamedSamples(res, dedupMinScrapeIntervalMs)
   }
 
   /** start on the given port (0 = ephemeral); returns the bound port */
@@ -413,6 +426,11 @@ final class HttpApi(
           reply(ex, 422,
             s"""{"status":"error","errorType":"execution","error":"${esc(String.valueOf(e.getMessage))}"}""")
       }
+      // release finished queries' eager-localCheckpoint blocks between
+      // Spark's 30-min periodic GCs (ContextCleaner reaps on weak refs) —
+      // at most one GC per CheckpointGc threshold, so checkpoint-free
+      // request streams never pay one
+      finally graft.core.CheckpointGc.maybeGc()
     }
 
   /** request body, transparently inflating gzip/deflate Content-Encoding
@@ -541,12 +559,18 @@ final class HttpApi(
     * count runs as its own (cheap, aggregated) job BEFORE streaming —
     * the error must arrive as a clean 422, not a truncated body.
     */
-  private def enforceMaxResponseSeries(df: DataFrame, instant: Boolean): Unit = {
+  private def enforceMaxResponseSeries(df: DataFrame, dropNaN: Boolean = true): Unit = {
     val limit = SearchFlags.maxResponseSeries
     if (limit <= 0) return
-    val n =
-      if (instant) df.count()
-      else df.agg(countDistinct(seriesKey(col("name"), col("tags")))).head().getLong(0)
+    // count SERIES on every path (the reference counts the materialized
+    // series list): a row count overcounts matrix-valued instant results
+    // (`m[5m]` via /api/v1/query) and NaN rows the renderer drops — a
+    // response actually under the cap must not draw a spurious 422. The
+    // raw-export branch keeps staleness-marker NaNs in its output, so it
+    // counts them too (dropNaN = false).
+    val filtered = if (dropNaN) df.filter(!isnan(col("value"))) else df
+    val n = filtered
+      .agg(countDistinct(seriesKey(col("name"), col("tags")))).head().getLong(0)
     if (n > limit)
       throw new IllegalArgumentException(
         s"the response contains more than -search.maxResponseSeries=$limit time series: " +
@@ -587,6 +611,7 @@ final class HttpApi(
               .filter(Api.selectorPredicate(graft.lang.Render.render(m)))
               .filter(col("ts") >= start && col("ts") <= end)
               .select(col("name"), col("tags"), col("ts").as("t"), col("value"))
+            enforceMaxResponseSeries(df, dropNaN = false)
             QueryStats.track(p("query"), at, at, step,
               String.valueOf(ex.getRemoteAddress)) {
               replyStream(ex) { w =>
@@ -600,7 +625,7 @@ final class HttpApi(
           case None =>
             val df = graft.lang.Trace.child("build query plan")(
               Api.query(samples, p("query"), at, step)) // parse/analyze errors throw here → 422
-            enforceMaxResponseSeries(df, instant = true)
+            enforceMaxResponseSeries(df)
             MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), at)
             QueryStats.track(p("query"), at, at, step,
               String.valueOf(ex.getRemoteAddress)) {
@@ -633,7 +658,7 @@ final class HttpApi(
           Api.queryRange(samples, p("query"), start, end, step,
             mayCache = !boolParam(p, "nocache"),
             cacheTag = s"httpStore:$storeVersion"))
-        enforceMaxResponseSeries(df, instant = false)
+        enforceMaxResponseSeries(df)
         MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), end)
         QueryStats.track(p("query"), start, end, step,
           String.valueOf(ex.getRemoteAddress)) {

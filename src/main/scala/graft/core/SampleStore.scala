@@ -102,13 +102,10 @@ object SampleStore {
       keepFromMs: Long,
       dedupIntervalMs: Long): Unit = {
     val kept = readRange(spark, path, keepFromMs, MaxTsMs)
-      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
-        to_json(array_sort(map_entries(col("tags"))))))
-    val deduped = graft.pipeline.Dedup
-      .dedupSamples(kept, Seq("_sk"), dedupIntervalMs)
-      .join(kept.select("_sk", "name", "tags").dropDuplicates("_sk"), Seq("_sk"))
-      .select("name", "tags", "ts", "value")
-    write(deduped, outPath, SaveMode.Overwrite)
+    // one pass: name/tags ride the grouping keys (no restore join, no
+    // second scan, HashAggregate-only — see Dedup.dedupNamedSamples)
+    write(graft.pipeline.Dedup.dedupNamedSamples(kept, dedupIntervalMs),
+      outPath, SaveMode.Overwrite)
   }
 
   /** delete series matching a predicate (the /api/v1/admin/tsdb/

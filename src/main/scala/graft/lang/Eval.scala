@@ -386,8 +386,15 @@ object Eval {
     * (name, tags, ts, value) on the configured grid. Returns the grid
     * frame (name, tags, t, value).
     */
-  def eval(samples: DataFrame, expr: Expr, cfg: EvalConfig): DataFrame =
-    new Ev(samples, cfg).eval(expr) match {
+  def eval(samples: DataFrame, expr: Expr, cfg: EvalConfig): DataFrame = {
+    val ev = new Ev(samples, cfg)
+    val v = ev.eval(expr)
+    // run ALL selector-leaf pre-counts as ONE Spark job (a union of
+    // 1-row aggregates) — a multi-selector query with limits on must not
+    // pay N sequential driver round-trips before any work is scheduled
+    ev.enforceStorageLimits()
+    v
+  } match {
       // a top-level string is an empty result, not an error
       // (exec_test.go simple-string)
       case StrVal(_) =>
@@ -419,8 +426,29 @@ object Eval {
       toSeries(samples, Scalar(x), cfg)
   }
 
-  private final class Ev(samples: DataFrame, cfg: EvalConfig) {
+  private final class Ev(samples: DataFrame, cfg: EvalConfig,
+      pendingLimits: scala.collection.mutable.ArrayBuffer[DataFrame] =
+        scala.collection.mutable.ArrayBuffer.empty) {
     private val step = cfg.grid.stepMs
+
+    /** Run every deferred selector-leaf pre-count (core.StorageLimits) as
+      * ONE union-of-aggregates job and reject on the first violation.
+      * Leaves register during plan construction; the union executes here,
+      * after construction and before any evaluation work is scheduled.
+      */
+    def enforceStorageLimits(): Unit = {
+      if (pendingLimits.isEmpty) return
+      val rows = pendingLimits.reduce(_.unionByName(_)).collect()
+      pendingLimits.clear()
+      val maxSamples = graft.core.StorageLimits.maxSamplesPerQuery
+      val maxSeries = graft.core.StorageLimits.maxUniqueTimeseries
+      rows.foreach { row =>
+        if (maxSamples > 0 && row.getLong(0) > maxSamples)
+          throw graft.core.StorageLimits.samplesError(maxSamples)
+        if (maxSeries > 0 && row.getLong(1) >= 0 && row.getLong(1) > maxSeries)
+          throw graft.core.StorageLimits.seriesError(maxSeries)
+      }
+    }
 
     def eval(e: Expr): Value = Trace.child(traceMsg(e))(evalNode(e))
 
@@ -826,29 +854,25 @@ object Eval {
           val innerEnd = // aligned UP
             -Math.floorDiv(-(rollGrid.endMs - offsetMs + innerStep), innerStep) * innerStep
           val innerCfg = cfg.copy(grid = GridSpec(innerStart, innerEnd, innerStep))
-          new Ev(samples, innerCfg).series(inner)
+          new Ev(samples, innerCfg, pendingLimits).series(inner)
             .select(col("name"), col("tags"), col("t").as("ts"), col("value"))
       }
       val shifted = if (offsetMs != 0) raw.withColumn("ts", col("ts") + lit(offsetMs)) else raw
       // Storage-side per-query limits (core.StorageLimits): counted over
       // the span this leaf will actually process — the grid extended back
-      // by window + staleness lookback. One aggregate-only pre-count per
-      // selector leaf, run ONLY when a limit is configured.
+      // by window + staleness lookback. One aggregate-only 1-row frame is
+      // REGISTERED per selector leaf (only when a limit is configured);
+      // Eval.eval unions and runs them as ONE job after construction, so
+      // a multi-selector query pays one driver round-trip, not N.
       if (graft.core.StorageLimits.enabled && re.expr.isInstanceOf[MetricExpr]) {
         val lo = rollGrid.startMs - windowMs - math.max(cfg.lookbackMs, 0L)
         val scoped = shifted.filter(col("ts") > lit(lo) && col("ts") <= lit(rollGrid.endMs))
-        val maxSamples = graft.core.StorageLimits.maxSamplesPerQuery
-        val maxSeries = graft.core.StorageLimits.maxUniqueTimeseries
-        val aggs = Seq(count(lit(1)).as("_n")) ++
-          (if (maxSeries > 0)
-            Seq(countDistinct(concat(coalesce(col("name"), lit("")),
-              to_json(array_sort(map_entries(col("tags")))))).as("_s"))
-          else Nil)
-        val row = scoped.agg(aggs.head, aggs.tail: _*).head()
-        if (maxSamples > 0 && row.getLong(0) > maxSamples)
-          throw graft.core.StorageLimits.samplesError(maxSamples)
-        if (maxSeries > 0 && row.size > 1 && row.getLong(1) > maxSeries)
-          throw graft.core.StorageLimits.seriesError(maxSeries)
+        val seriesCount =
+          if (graft.core.StorageLimits.maxUniqueTimeseries > 0)
+            countDistinct(concat(coalesce(col("name"), lit("")),
+              to_json(array_sort(map_entries(col("tags")))))).as("_s")
+          else max(lit(-1L)).as("_s") // limit off: constant sentinel column
+        pendingLimits += scoped.agg(count(lit(1)).as("_n"), seriesCount)
       }
       // Series identity for the PER-SAMPLE hot path is a 128-bit hash of
       // the sorted tag entries — no per-row string building, and the
@@ -1323,6 +1347,7 @@ object Eval {
       // pinned an entry in the session cache manager for every eligible
       // binop, accumulating in a long-lived server session.
       val left = leftDf.localCheckpoint(true)
+      graft.core.CheckpointGc.note()
       if (left.isEmpty) // O4: nothing can match
         return (left, Series(left.filter(lit(false))))
       if (onLabels.isEmpty) return (left, eval(b.right))
@@ -1379,7 +1404,7 @@ object Eval {
       // NaN-preserving mode
       val leftV0 =
         if (b.op == "default" && !cfg.preserveCmpNaN)
-          new Ev(samples, cfg.copy(preserveCmpNaN = true)).eval(b.left)
+          new Ev(samples, cfg.copy(preserveCmpNaN = true), pendingLimits).eval(b.left)
         else eval(b.left)
       val (leftV1, rightV1) = leftV0 match {
         case Series(ld) =>

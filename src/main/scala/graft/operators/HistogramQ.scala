@@ -510,6 +510,7 @@ object HistogramQ {
       .withColumn("_e",
         when(col("vmrange").contains("..."), parseBound(col("_es"))))
       .localCheckpoint(true)
+    graft.core.CheckpointGc.note()
     val parsed = withParse.filter(col("_s").isNotNull && col("_e").isNotNull)
     // bucket dim per group: one row per distinct vmrange, ordered by end
     val ordW = Window.partitionBy(gcols: _*).orderBy(col("_e").asc, col("_s").asc)

@@ -291,6 +291,7 @@ object Rollup {
       // materialized once: the strategy choice needs its count, and both
       // merge strategies reuse it without recomputing the level-1 pass
       .localCheckpoint(true)
+    graft.core.CheckpointGc.note()
     val buckets = level1.count()
     val ratio = windowMs / s
     val finishCols = (merged: String => Column) =>
@@ -471,7 +472,7 @@ object Rollup {
     //    whole merge (19.4 s single-task) — hence the explicit count.
     val level1 =
       if (fillFromLevel1)
-        level1Lazy.localCheckpoint(true)
+        { graft.core.CheckpointGc.note(); level1Lazy.localCheckpoint(true) }
           .repartition(prepped.sparkSession.sparkContext.defaultParallelism,
             keys.map(col): _*)
       else level1Lazy

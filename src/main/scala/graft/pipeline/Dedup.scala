@@ -509,15 +509,50 @@ object Dedup {
   /** Storage-side sample dedup — keep last (max value on ties) sample per
     * series per interval (lib/storage/dedup.go:30-70,
     * lib/streamaggr/dedup.go): `-dedup.minScrapeInterval` semantics.
+    *
+    * Physical shape: TWO codegen'd HashAggregates, not one `max(struct)` —
+    * min/max over a struct keeps the struct in the aggregation buffer and
+    * forces SortAggregate (the trap measured out of the counter merge,
+    * SCALEBENCH r8). Level 1 collapses exact-timestamp duplicates to the
+    * max value (the tie rule), so level 2's `max_by(value, ts)` never sees
+    * an ordering tie and both buffers stay fixed-width (long/double)
+    * pairs. Level 1's map-side combine also absorbs the common HA-pair
+    * duplicate writes before the shuffle.
     */
   def dedupSamples(samples: DataFrame, keys: Seq[String], intervalMs: Long): DataFrame = {
     val bucket = expr(s"((ts + ${intervalMs - 1}L) div ${intervalMs}L) * ${intervalMs}L")
     samples
       .withColumn("_bkt", bucket)
+      .groupBy((keys.map(col) :+ col("_bkt") :+ col("ts")): _*)
+      .agg(max(col("value")).as("value"))
       .groupBy((keys.map(col) :+ col("_bkt")): _*)
-      .agg(max(struct(col("ts"), col("value"))).as("_w"))
-      .select((keys.map(col) :+ col("_w.ts").as("ts") :+ col("_w.value").as("value")): _*)
+      .agg(max(col("ts")).as("ts"), max_by(col("value"), col("ts")).as("value"))
+      .select((keys.map(col) :+ col("ts") :+ col("value")): _*)
   }
+
+  /** canonical sorted-entries JSON of the tags map (null-safe: null tags
+    * dedup as the empty map instead of dropping out of a null join key)
+    */
+  private[graft] def tagsJson: Column =
+    to_json(array_sort(map_entries(coalesce(col("tags"), map()))))
+
+  private[graft] def tagsFromJson(c: Column): Column =
+    map_from_entries(from_json(c,
+      org.apache.spark.sql.types.DataType.fromDDL("array<struct<key:string,value:string>>")))
+
+  /** Select-time dedup over the canonical (name, tags, ts, value) frame in
+    * ONE pass over the store: a map cannot be a grouping key and carrying
+    * it through an aggregation buffer (`any_value(tags)`) forces
+    * SortAggregate, so name and the canonical sorted-entries JSON of tags
+    * ARE the grouping keys and the map is rebuilt from the JSON after the
+    * aggregate — no second scan, no string-keyed restore join. This is the
+    * `-dedup.minScrapeInterval` read path (dedup.go:30-70) every consumer
+    * (HttpApi reads, SampleStore.compact) goes through.
+    */
+  def dedupNamedSamples(samples: DataFrame, intervalMs: Long): DataFrame =
+    dedupSamples(samples.withColumn("_tj", tagsJson), Seq("name", "_tj"), intervalMs)
+      .withColumn("tags", tagsFromJson(col("_tj")))
+      .select("name", "tags", "ts", "value")
 
   // ---- multi-level downsampling (-downsampling.period) -----------------
 
@@ -600,19 +635,20 @@ object Dedup {
       val pred = sel.map(graft.api.Api.selectorPredicate).getOrElse(lit(true))
       when(pred, chain).otherwise(acc)
     }
+    // same two-level HashAggregate shape as dedupSamples (struct buffers
+    // would force SortAggregate); tags travel as the grouping-key JSON
     val keyed = samples
       .withColumn("_iv", interval)
       .withColumn("_bkt",
         when(col("_iv") > 0,
           expr("((ts + _iv - 1) div _iv) * _iv")).otherwise(col("ts")))
-      .withColumn("_sk", concat(coalesce(col("name"), lit("")),
-        to_json(array_sort(map_entries(col("tags"))))))
+      .withColumn("_tj", tagsJson)
     keyed
-      .groupBy(col("_sk"), col("_iv"), col("_bkt"))
-      .agg(max_by(
-        struct(col("name"), col("tags"), col("ts"), col("value")),
-        struct(col("ts"), col("value"))).as("_w"))
-      .select(col("_w.name").as("name"), col("_w.tags").as("tags"),
-        col("_w.ts").as("ts"), col("_w.value").as("value"))
+      .groupBy(col("name"), col("_tj"), col("_iv"), col("_bkt"), col("ts"))
+      .agg(max(col("value")).as("value"))
+      .groupBy(col("name"), col("_tj"), col("_iv"), col("_bkt"))
+      .agg(max(col("ts")).as("ts"), max_by(col("value"), col("ts")).as("value"))
+      .select(col("name"), tagsFromJson(col("_tj")).as("tags"),
+        col("ts"), col("value"))
   }
 }

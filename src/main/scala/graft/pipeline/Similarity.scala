@@ -650,11 +650,26 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = ivfTrain(corpus, nClusters, iters, idCol, vecCol)
+    // The pair loop runs on a dense surrogate index, never on the user's
+    // id type (string doc ids are the common case for this pipeline; an
+    // encoder cast to Long NPEs at runtime — same contract as
+    // bruteForceNearDupPairs). Ordering by the original id before
+    // zipWithIndex keeps sid order == id order, so sid_a < sid_b implies
+    // id_a < id_b in the restored output.
+    val prepared = corpus
+      .select(col(idCol).as("orig_id"),
+        normalized(col(vecCol)).cast("array<double>").as("vec"))
+      .filter(col("orig_id").isNotNull && size(col("vec")) > 0)
+      .orderBy("orig_id")
+    val schema = prepared.schema.add("sid", org.apache.spark.sql.types.LongType)
+    val withSid = spark.createDataFrame(
+      prepared.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+      schema)
+    val cents = ivfTrain(withSid, nClusters, iters, "sid", "vec")
     val one = nearestUdf(cents, 1)
-    corpus
-      .select(col(idCol).as("id"), normalized(col(vecCol)).cast("array<double>").as("vec"))
-      .filter(size(col("vec")) > 0)
+    val pairs = withSid
+      .select(col("sid"), col("vec"))
       .withColumn("_cl", one(col("vec")).getItem(0))
       .as[(Long, Array[Double], Int)]
       .groupByKey(_._3)
@@ -679,6 +694,12 @@ object Similarity {
         }
         out.result()
       }
-      .toDF("id_a", "id_b", "cosine")
+      .toDF("sid_a", "sid_b", "cosine")
+    // restore original ids: dup pairs ≪ corpus, so AQE broadcasts the
+    // pair side of each restore join at runtime
+    pairs
+      .join(withSid.select(col("sid").as("sid_a"), col("orig_id").as("id_a")), "sid_a")
+      .join(withSid.select(col("sid").as("sid_b"), col("orig_id").as("id_b")), "sid_b")
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }

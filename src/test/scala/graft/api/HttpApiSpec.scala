@@ -957,6 +957,40 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("bucketed store as the facade base: identical responses, ingest unions") {
+    val flat = graft.core.Samples.fromEvents(spark, sfDir)
+    graft.core.SampleStore.writeBucketed(
+      flat, "bucketed_http_spec", "target/bucketed_http_spec", buckets = 4)
+    val bucketed = graft.core.SampleStore.readBucketed(spark, "bucketed_http_spec")
+    val api = new HttpApi(spark, base = Some(bucketed))
+    val port = api.start()
+    try {
+      val flatApi = new HttpApi(spark, base = Some(flat))
+      val flatPort = flatApi.start()
+      try {
+        // read-only facade: the bucketed frame (with its _h1/_h2 bucket
+        // attributes) serves byte-identical responses to the flat store
+        // (modulo wall-clock stats; 24h windows — sf0.001 is sparse)
+        def norm(s: String): String =
+          s.replaceAll("\"executionTimeMsec\":\\d+", "")
+        val q = "/api/v1/query?query=sum(avg_over_time(click[24h]))&time=1704153600"
+        val inst0 = get(port, q)
+        assert(inst0.contains("\"value\""), inst0) // non-empty result
+        assert(norm(inst0) == norm(get(flatPort, q)), inst0)
+        val qr = "/api/v1/query_range?query=rate(click[24h])" +
+          "&start=1704067200&end=1704326400&step=21600"
+        assert(norm(get(port, qr)) == norm(get(flatPort, qr)))
+      } finally flatApi.stop()
+      // ingest over HTTP: the buffer union computes the same hash pair,
+      // so per-series operators still group correctly with mixed rows
+      assert(post(port, "/api/v1/import/prometheus",
+        "click{user_id=\"9999\"} 5 1704153500\n") == 204)
+      val sel = java.net.URLEncoder.encode("click{user_id=\"9999\"}", "UTF-8")
+      val inst = get(port, s"/api/v1/query?query=$sel&time=1704153600")
+      assert(inst.contains("\"5\""), inst)
+    } finally api.stop()
+  }
+
   test("search flags: maxResponseSeries caps responses, implicit conversion rejected") {
     val api = new HttpApi(spark)
     val port = api.start()
@@ -966,8 +1000,17 @@ class HttpApiSpec extends SparkSpec {
       // under the cap: fine
       SearchFlags.maxResponseSeries = 3
       assert(get(port, "/api/v1/query?query=mrs&time=60").contains(""""status":"success""""))
-      // over the cap: the reference's exec.go:80 error as a clean 422
+      // matrix-valued instant query (raw-export branch): 2 samples per
+      // series × 3 series = 6 rows, but the cap counts SERIES — a row
+      // count would spuriously reject at cap 3
+      for (i <- 1 to 3)
+        assert(post(port, "/api/v1/import/prometheus", s"""mrs{job="j$i"} $i 30\n""") == 204)
+      assert(get(port, "/api/v1/query?query=mrs[5m]&time=60")
+        .contains(""""status":"success""""))
+      // and the raw branch still enforces: 3 series over cap 2 rejects
       SearchFlags.maxResponseSeries = 2
+      assert(get(port, "/api/v1/query?query=mrs[5m]&time=60")
+        .contains("-search.maxResponseSeries=2"))
       val over = get(port, "/api/v1/query?query=mrs&time=60")
       assert(over.contains(""""status":"error"""") &&
         over.contains("-search.maxResponseSeries=2"), over)

@@ -38,13 +38,14 @@ class BucketedStoreSpec extends SparkSpec {
     assert(b == a, s"bucketed result diverged: ${(b -- a).take(3)} vs ${(a -- b).take(3)}")
   }
 
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+    "Exchange hashpartitioning".r
+      .findAllIn(df.queryExecution.executedPlan.toString).length
+
   test("bucketed scan elides the per-series exchange entirely") {
     // irate: edge-only, non-fillable — the counter plan with no fill
     // checkpoint, so a flat store pays exactly ONE data-scale exchange
     // (prevPass series clustering) and a bucketed store must pay none.
-    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
-      "Exchange hashpartitioning".r
-        .findAllIn(df.queryExecution.executedPlan.toString).length
     val q = "irate(click[12h])"
     val nFlat = shuffles(graft.Engine.query(flat, q, grid, 2 * H))
     val nBucketed = shuffles(graft.Engine.query(bucketed, q, grid, 2 * H))
@@ -52,6 +53,38 @@ class BucketedStoreSpec extends SparkSpec {
     assert(nBucketed == 0,
       s"bucketed counter plan must be exchange-free, found $nBucketed:\n" +
         graft.Engine.query(bucketed, q, grid, 2 * H).queryExecution.executedPlan)
+  }
+
+  test("default_rollup over the bucketed store: flat rows, no data-scale exchange") {
+    val q = "click" // bare selector = default_rollup keep-last lookback
+    val a = rows(graft.Engine.query(flat, q, grid, 2 * H))
+    val b = graft.Engine.query(bucketed, q, grid, 2 * H)
+    assert(a.nonEmpty && rows(b) == a, "bucketed default_rollup diverged from flat")
+    assert(shuffles(b) == 0,
+      s"bucketed default_rollup must be exchange-free:\n${b.queryExecution.executedPlan}")
+  }
+
+  test("vector-matching binop: both rollup sides reuse the bucket partitioning") {
+    // 24h windows (sf0.001 is too sparse for user-hour coincidences) on a
+    // 6h grid: ratio 4 keeps the rollup on the explode path, so the whole
+    // plan is visible (the two-level path's eager checkpoint hides the
+    // level-1 plan that already ran)
+    val g6 = GridSpec(T0, T0 + 48 * H, 6 * H)
+    val q = "avg_over_time(purchase[24h]) / on(user_id) avg_over_time(click[24h])"
+    val fa = graft.Engine.query(flat, q, g6, 2 * H)
+    val ba = graft.Engine.query(bucketed, q, g6, 2 * H)
+    assert(rows(ba) == rows(fa) && rows(fa).nonEmpty,
+      "bucketed binop diverged from flat")
+    // the on(user_id) join keys on a LABEL (_mk), so its grid-scale
+    // exchange pair is inherent to the operator; what the layout must
+    // remove is every exchange keyed on the series hash — the DATA-scale
+    // shuffles under the two rollup aggregates and the tags dim
+    def h1Shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning\\([^)]*_h1".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(h1Shuffles(fa) >= 1, "flat control should shuffle on the series hash")
+    assert(h1Shuffles(ba) == 0,
+      s"bucketed binop must not re-key by series hash:\n${ba.queryExecution.executedPlan}")
   }
 
   test("bucketed store preserves the raw samples (roundtrip)") {

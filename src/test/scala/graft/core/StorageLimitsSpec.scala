@@ -42,6 +42,41 @@ class StorageLimitsSpec extends SparkSpec {
     } finally reset()
   }
 
+  test("multi-selector query with limits on runs ONE batched pre-count job") {
+    try {
+      StorageLimits.maxSamplesPerQuery = 100000000L
+      // warm up file listing/session state so the counted run is clean
+      graft.Engine.query(samples, "rate(click[2h])", grid, 7200000L)
+      // count ACTIONS (SQL executions), not jobs: AQE materializes each
+      // exchange stage of the one union-collect as its own job, but the
+      // driver blocks once — the r8 shape paid one blocking head() PER leaf
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+          e match {
+            case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+              jobs.incrementAndGet(); ()
+            case _ => ()
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // TWO selector leaves; construction triggers the batched pre-count
+        // (the union collect) and nothing else executes (a binop would
+        // also run its O3/O4 adaptive-pushdown jobs — union does not)
+        graft.Engine.query(samples, "union(rate(click[1h]), rate(view[1h]))", grid, 7200000L)
+        // listener events post asynchronously — wait for them to settle
+        var last = -1
+        var spins = 0
+        while (jobs.get() != last && spins < 40) {
+          last = jobs.get(); Thread.sleep(100); spins += 1
+        }
+        assert(jobs.get() == 1,
+          s"expected ONE batched pre-count action for two selector leaves, saw ${jobs.get()}")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally reset()
+  }
+
   test("limits disabled by default: no pre-count work, queries unaffected") {
     assert(!StorageLimits.enabled)
     assert(graft.Engine.query(samples, "count(click)", grid, 7200000L).count() > 0)

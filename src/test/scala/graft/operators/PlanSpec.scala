@@ -119,6 +119,21 @@ class PlanSpec extends SparkSpec {
       12 * 3600000L, Kernels.increasePrev(300000L), lookbackMs = 300000L)), "uniform")
   }
 
+  test("select-time dedup reads the store ONCE, HashAggregate-only, no restore join") {
+    // the -dedup.minScrapeInterval read path (dedupNamedSamples): name and
+    // the canonical tags JSON are grouping keys, so the plan must show no
+    // SortAggregate (struct buffers), no join (tag restore), and exactly
+    // one parquet scan (the r8 shape scanned the store twice)
+    val df = graft.pipeline.Dedup.dedupNamedSamples(
+      Samples.fromEvents(spark, sfDir), 6 * 3600000L)
+    val p = plan(df)
+    assert(!p.contains("SortAggregate"), s"dedup must not SortAggregate:\n$p")
+    assert(p.contains("HashAggregate"), s"expected HashAggregate in:\n$p")
+    assert(!p.contains("Join"), s"dedup must not pay a restore join:\n$p")
+    assert("FileScan".r.findAllIn(p).size == 1,
+      s"dedup read path must scan the store exactly once:\n$p")
+  }
+
   test("limit_offset / ungrouped limitk plan no unbounded single-partition rank") {
     import graft.{Engine}
     val grid = GridSpec(1704067200000L, 1704153600000L, 3600000L)

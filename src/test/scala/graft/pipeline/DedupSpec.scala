@@ -112,6 +112,27 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq === Seq(("a", 2000L, 5.0), ("a", 11000L, 3.0), ("b", 500L, 9.0)))
   }
 
+  test("dedupNamedSamples carries name/tags and keeps null-tag rows") {
+    import spark.implicits._
+    val df = Seq(
+      ("m", Map("a" -> "1"), 1000L, 1.0), ("m", Map("a" -> "1"), 2000L, 2.0),
+      ("m", Map("a" -> "2"), 2000L, 7.0),
+      (null.asInstanceOf[String], Map("a" -> "1"), 1500L, 4.0)
+    ).toDF("name", "tags", "ts", "value")
+      // null tags row: must dedup as the empty map, not vanish (the r8
+      // shape's null `_sk` join key silently dropped it)
+      .union(Seq(("n", 3000L, 5.0)).toDF("name", "ts", "value")
+        .select(col("name"), lit(null).cast("map<string,string>").as("tags"),
+          col("ts"), col("value")))
+    val out = Dedup.dedupNamedSamples(df, 10000L)
+      .collect()
+      .map(r => (r.getString(0), r.getMap[String, String](1).size,
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(out === Set(
+      ("m", 1, 2000L, 2.0), ("m", 1, 2000L, 7.0), (null, 1, 1500L, 4.0),
+      ("n", 0, 3000L, 5.0)))
+  }
+
   test("downsampling flag parse: selectors, validation errors") {
     val ps = Dedup.parseDownsamplingPeriods(
       """{__name__=~"node_.*,proc.*"}:1d:1m,30d:5m,180d:1h""")

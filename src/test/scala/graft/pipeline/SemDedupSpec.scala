@@ -32,6 +32,20 @@ class SemDedupSpec extends SparkSpec {
       "some near-duplicate must have been removed")
   }
 
+  test("string doc ids work end-to-end (surrogate index, no Long cast)") {
+    import spark.implicits._
+    val stringIds = crafted
+      .withColumn("vec_id", concat(lit("doc-"), format_string("%03d", col("vec_id"))))
+    val pairs = Similarity.semanticDupPairs(stringIds, 0.9, nClusters = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // sid order == id order, so pair orientation matches the Long-id run
+    assert(pairs === Set(("doc-001", "doc-002"), ("doc-001", "doc-003"),
+      ("doc-002", "doc-003"), ("doc-004", "doc-005")))
+    val kept = Similarity.semanticDedup(stringIds, 0.9, nClusters = 1)
+      .select("vec_id").collect().map(_.getString(0)).toSet
+    assert(kept === Set("doc-001", "doc-004", "doc-006", "doc-007"))
+  }
+
   test("nClusters=1 degrades to exact all-pairs connectivity") {
     val semKept = Similarity.semanticDedup(crafted, threshold = 0.9, nClusters = 1)
       .select("vec_id").collect().map(_.getLong(0)).toSet
