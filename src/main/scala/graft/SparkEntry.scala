@@ -1135,23 +1135,30 @@ object SparkEntry {
       graft.pipeline.Dedup.ngramJaccardPairs(docs(s, dir), 0.6)
         .select(col("id_a"), col("id_b"), r6(col("jaccard")).as("jaccard"))
         .orderBy("id_a", "id_b"),
-      Some(s"WITH w AS (SELECT doc_id, $SQL_TOKS AS toks FROM documents), " +
-        "s AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN " +
-        "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]) " +
-        "ELSE [array_to_string(toks, ' ')] END AS sh FROM w), " +
-        "sz AS (SELECT doc_id, len(sh) AS n FROM s), " +
-        "p AS (SELECT doc_id, unnest(sh) AS g FROM s), " +
-        "i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS inter FROM p a " +
-        "JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2) " +
-        "SELECT id_a, id_b, round(1e-9 + j, 6) AS jaccard FROM (" +
-        "SELECT id_a, id_b, inter / (sa.n + sb.n - inter) AS j FROM i " +
-        "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) " +
-        "WHERE j >= 0.6 ORDER BY id_a, id_b")),
-    // MinHash/SimHash are hash-function-dependent → rows-only gate;
-    // ScalaTest asserts recall against the exact-Jaccard pairs
-    Q("doc_minhash_dedup", (s, dir) =>
-      graft.pipeline.Dedup.minhashDedup(docs(s, dir), 0.6).select("doc_id").orderBy("doc_id"),
-      None),
+      Some(s"$ngramPairsSqlCte SELECT id_a, id_b, round(1e-9 + j, 6) AS jaccard " +
+        "FROM pairs ORDER BY id_a, id_b")),
+    // MinHash is hash-function-dependent, so DuckDB cannot replay the
+    // kept set — but it CAN compute the exact-Jaccard truth pairs, so the
+    // gate emits the RECALL invariant instead (r8 verdict task 4): of the
+    // J>=0.6 pairs, at least 80% must be broken (not both kept) by the
+    // banded dedup. Measured 25/25 at sf0.01 and 256/256 at sf0.1;
+    // banding theory floors P(candidate | J=0.6) at ~0.67 per pair, and
+    // exact-verify passes every candidate at J>=threshold.
+    Q("doc_minhash_dedup", (s, dir) => {
+      val d = docs(s, dir)
+      val truthPairs = graft.pipeline.Dedup.ngramJaccardPairs(d, 0.6)
+        .select("id_a", "id_b")
+      val kept = graft.pipeline.Dedup.minhashDedup(d, 0.6).select("doc_id")
+      val bothKept = truthPairs
+        .join(kept.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(kept.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+        .agg(count(lit(1)).as("_both"))
+      truthPairs.agg(count(lit(1)).as("n_true_pairs")).crossJoin(bothKept)
+        .select(col("n_true_pairs"),
+          ((col("n_true_pairs") - col("_both")) >= col("n_true_pairs") * 0.8)
+            .cast("bigint").as("recall_ok"))
+    }, Some(s"$ngramPairsSqlCte SELECT count(*)::BIGINT AS n_true_pairs, " +
+      "1::BIGINT AS recall_ok FROM pairs")),
     Q("doc_simhash_cands", (s, dir) =>
       graft.pipeline.Dedup.simhashCandidates(docs(s, dir))
         .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b"),
@@ -1469,16 +1476,24 @@ object SparkEntry {
         "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id ASC) AS rank " +
         "FROM q JOIN embeddings c ON q.vec_id != c.vec_id) " +
         "SELECT q_id, c_id, round(1e-9 + cos, 6) AS cosine, rank FROM r WHERE rank <= 5 ORDER BY q_id, rank")),
-    // int8 scalar-quantized top-k: rows-only by construction (quantized
-    // scores aren't SQL-reproducible bit-for-bit); accuracy pinned by the
-    // PipelineSpec recall-and-drift test against the float oracle
-    Q("emb_topk_int8", (s, dir) =>
-      graft.pipeline.Similarity.bruteForceTopKInt8(
-        embs(s, dir), embs(s, dir).filter(col("vec_id") < 10), 5)
-        .select(col("q_id"), col("c_id"), r6(col("approx_cosine")).as("approx_cosine"),
-          col("rank").cast("long").as("rank"))
-        .orderBy("q_id", "rank"),
-      None),
+    // int8 scalar-quantized top-k: quantized scores aren't
+    // SQL-reproducible bit-for-bit, but the op is DETERMINISTIC (pure
+    // per-row expressions), so the gate hashes per-query recall vs the
+    // brute-force float truth — ≥3 of 5 hits per query (measured 49/50
+    // at sf0.01 with min 4, 50/50 at sf0.1); a quantization regression
+    // flips rows to 0 and the driver catches it
+    Q("emb_topk_int8", (s, dir) => {
+      val q = embs(s, dir).filter(col("vec_id") < 10)
+      val truth = graft.pipeline.Similarity.bruteForceTopK(embs(s, dir), q, 5)
+      val approx = graft.pipeline.Similarity.bruteForceTopKInt8(embs(s, dir), q, 5)
+      val perQ = annHits(truth, approx).groupBy("q_id").agg(count(lit(1)).as("_hits"))
+      q.select(col("vec_id").as("q_id"))
+        .join(perQ, Seq("q_id"), "left")
+        .select(col("q_id"),
+          (coalesce(col("_hits"), lit(0L)) >= 3).cast("bigint").as("recall_ok"))
+        .orderBy("q_id")
+    }, Some("SELECT vec_id AS q_id, 1::BIGINT AS recall_ok FROM embeddings " +
+      "WHERE vec_id < 10 ORDER BY q_id")),
     Q("emb_brute_pairs", (s, dir) =>
       graft.pipeline.Similarity.bruteForceNearDupPairs(embs(s, dir), 0.45)
         .select(col("id_a"), col("id_b"), r6(col("cosine")).as("cosine"))
@@ -1488,16 +1503,26 @@ object SparkEntry {
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id " +
         "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45 " +
         "ORDER BY id_a, id_b")),
-    Q("emb_lsh_topk", (s, dir) =>
-      graft.pipeline.Similarity.lshTopK(embs(s, dir), embs(s, dir).filter(col("vec_id") < 10), 5)
-        .orderBy("q_id", "rank"),
-      None),
-    // IVF posting-list ANN (k-means lists + nprobe search) — rows-only:
-    // list assignment depends on float-sum order in centroid training
-    Q("emb_ivf_topk", (s, dir) =>
-      graft.pipeline.Similarity.ivfTopK(embs(s, dir), embs(s, dir).filter(col("vec_id") < 10), 5)
-        .orderBy("q_id", "rank"),
-      None),
+    // LSH multiprobe top-k: buckets aren't SQL-replayable; the gate
+    // hashes the total-overlap floor vs brute force (measured 24/50 at
+    // both sf0.01 and sf0.1 — near-uniform synthetic embeddings are the
+    // hard case for LSH; floor 15 leaves regression margin)
+    Q("emb_lsh_topk", (s, dir) => {
+      val q = embs(s, dir).filter(col("vec_id") < 10)
+      val truth = graft.pipeline.Similarity.bruteForceTopK(embs(s, dir), q, 5)
+      annRecallSummary(q, truth,
+        graft.pipeline.Similarity.lshTopK(embs(s, dir), q, 5, nBits = 4, probes = 1), 15)
+    }, Some(annSummaryOracle)),
+    // IVF posting-list ANN (k-means lists + nprobe search): centroid
+    // training sums floats in partition order, so the rank lists are not
+    // run-stable — the total-overlap floor is (measured 31/50 sf0.01,
+    // 28/50 sf0.1; floor 15)
+    Q("emb_ivf_topk", (s, dir) => {
+      val q = embs(s, dir).filter(col("vec_id") < 10)
+      val truth = graft.pipeline.Similarity.bruteForceTopK(embs(s, dir), q, 5)
+      annRecallSummary(q, truth,
+        graft.pipeline.Similarity.ivfTopK(embs(s, dir), q, 5), 15)
+    }, Some(annSummaryOracle)),
     // SemDeDup semantic dedup (k-means clusters + intra-cluster cosine) —
     // rows-only: cluster assignment depends on float-sum order in
     // centroid training; SemDedupSpec pins the nClusters=1 ≡ brute-force
@@ -1506,14 +1531,16 @@ object SparkEntry {
       graft.pipeline.Similarity.semanticDedup(embs(s, dir), 0.45, nClusters = 8, iters = 3)
         .select("vec_id").orderBy("vec_id"),
       None),
-    // product-quantization candidate generation (codebook-dependent →
-    // rows-only; PipelineSpec gates recall vs brute force)
+    // product quantization: codebook-dependent (k-means per subspace) →
+    // the total-overlap floor is the hashable invariant (measured 23/50
+    // sf0.01, 15/50 sf0.1 — 32× compression trades recall; floor 8)
     Q("emb_pq_topk", (s, dir) => {
+      val q = embs(s, dir).filter(col("vec_id") < 10)
+      val truth = graft.pipeline.Similarity.bruteForceTopK(embs(s, dir), q, 5)
       val books = graft.pipeline.Similarity.pqTrain(embs(s, dir), m = 16, k = 16, iters = 3)
-      graft.pipeline.Similarity.pqTopK(
-        embs(s, dir), embs(s, dir).filter(col("vec_id") < 10), books, 5)
-        .orderBy("q_id", "rank")
-    }, None),
+      annRecallSummary(q, truth,
+        graft.pipeline.Similarity.pqTopK(embs(s, dir), q, books, 5), 8)
+    }, Some(annSummaryOracle)),
     // storage-side sample dedup (-dedup.minScrapeInterval semantics)
     Q("ev_dedup_samples", (s, dir) =>
       graft.pipeline.Dedup.dedupSamples(ev(s, dir), Seq("name", "user_id"), 6 * H)
@@ -1694,6 +1721,70 @@ object SparkEntry {
     (s, dir) => proj(Engine.query(Samples.fromEvents(s, dir), q, grid, 2 * H))
 
   private val uid = col("tags").getItem("user_id").cast("bigint").as("user_id")
+
+  /** write-once-per-dir series-bucketed events store (SampleStore
+    * .writeBucketed) shared by every `src_bucketed_*` gate
+    */
+  private val bucketedBuilt = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def bucketedStore(s: SparkSession, dir: String): DataFrame = {
+    val table = bucketedBuilt.getOrElseUpdate(dir, {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.core.SampleStore.writeBucketed(
+        Samples.fromEvents(s, dir), s"bucketed_events$tag",
+        s"target/bucketed_events$tag", buckets = 8)
+      s"bucketed_events$tag"
+    })
+    graft.core.SampleStore.readBucketed(s, table)
+  }
+
+  /** exact J≥0.6 n-gram pair CTE chain, shared by `doc_ngram_pairs` and
+    * the `doc_minhash_dedup` recall gate
+    */
+  private lazy val ngramPairsSqlCte: String =
+    s"WITH w AS (SELECT doc_id, $SQL_TOKS AS toks FROM documents), " +
+      "s AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN " +
+      "list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] FOR i IN range(1, len(toks) - 1)]) " +
+      "ELSE [array_to_string(toks, ' ')] END AS sh FROM w), " +
+      "sz AS (SELECT doc_id, len(sh) AS n FROM s), " +
+      "p AS (SELECT doc_id, unnest(sh) AS g FROM s), " +
+      "i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::DOUBLE AS inter FROM p a " +
+      "JOIN p b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), " +
+      "pairs AS (SELECT id_a, id_b, j FROM (" +
+      "SELECT id_a, id_b, inter / (sa.n + sb.n - inter) AS j FROM i " +
+      "JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b) " +
+      "WHERE j >= 0.6)"
+
+  /** ANN recall-vs-brute-force gate helpers (r8 verdict task 4): the
+    * approximate rank lists are not SQL-replayable, but the OVERLAP with
+    * the brute-force truth is a computable invariant — the gate emits it
+    * with the recall floor encoded in the query, so the driver's DuckDB
+    * compare catches a recall regression, not just a row-count change.
+    */
+  private def annHits(truth: DataFrame, approx: DataFrame): DataFrame =
+    truth.select("q_id", "c_id")
+      .join(approx.select("q_id", "c_id"), Seq("q_id", "c_id"), "left_semi")
+
+  /** single-row summary: (n_queries, recall_ok = total hits ≥ floor) */
+  private def annRecallSummary(
+      queries: DataFrame, truth: DataFrame, approx: DataFrame, floorHits: Int): DataFrame =
+    queries.agg(countDistinct(col("vec_id")).as("n_queries"))
+      .crossJoin(annHits(truth, approx).agg(count(lit(1)).as("_hits")))
+      .select(col("n_queries"),
+        (col("_hits") >= floorHits).cast("bigint").as("recall_ok"))
+
+  private lazy val annSummaryOracle: String =
+    "SELECT count(DISTINCT vec_id) AS n_queries, 1::BIGINT AS recall_ok " +
+      "FROM embeddings WHERE vec_id < 10"
+
+  /** on(user_id) division oracle, shared by the flat-store `eval_div_on`
+    * and the bucketed-store `src_bucketed_binop`
+    */
+  private lazy val divOnSql: String =
+    s"WITH b AS ($BH), " +
+      "p AS (SELECT user_id, t, avg(value) AS pv FROM b WHERE name = 'purchase' GROUP BY user_id, t), " +
+      "c AS (SELECT user_id, t, avg(value) AS cv FROM b WHERE name = 'click' GROUP BY user_id, t) " +
+      "SELECT user_id::BIGINT AS user_id, t, round(1e-9 + pv / cv, 6) AS value " +
+      "FROM p JOIN c USING (user_id, t) ORDER BY user_id, t"
 
   /** TSBS counter oracle (shared by the flat-store `ro_tsbs_increase` and
     * the bucketed-store `src_bucketed_increase` — both must match it).
@@ -1936,11 +2027,7 @@ object SparkEntry {
       "ORDER BY t, user_id")),
     Q("eval_div_on", eng("avg_over_time(purchase[1h]) / on(user_id) avg_over_time(click[1h])") { df =>
       df.select(uid, col("t"), r6(col("value")).as("value")).orderBy("user_id", "t")
-    }, Some(s"WITH b AS ($BH), " +
-      "p AS (SELECT user_id, t, avg(value) AS pv FROM b WHERE name = 'purchase' GROUP BY user_id, t), " +
-      "c AS (SELECT user_id, t, avg(value) AS cv FROM b WHERE name = 'click' GROUP BY user_id, t) " +
-      "SELECT user_id::BIGINT AS user_id, t, round(1e-9 + pv / cv, 6) AS value " +
-      "FROM p JOIN c USING (user_id, t) ORDER BY user_id, t")),
+    }, Some(divOnSql)),
     Q("eval_cmp_filter", eng("avg_over_time(click[1h]) > 100") { df =>
       df.select(col("name"), uid, col("t"), r6(col("value")).as("value"))
         .orderBy("user_id", "t")
@@ -2472,16 +2559,36 @@ object SparkEntry {
       // Eval reuses the stored _h1/_h2 attributes so the bucket
       // partitioning satisfies every per-series distribution
       // (BucketedStoreSpec pins the exchange-free plan shape).
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      graft.core.SampleStore.writeBucketed(
-        Samples.fromEvents(s, dir), s"bucketed_events$tag",
-        s"target/bucketed_events$tag", buckets = 8)
-      val b = graft.core.SampleStore.readBucketed(s, s"bucketed_events$tag")
-      Engine.query(b, "increase(click[12h])",
+      Engine.query(bucketedStore(s, dir), "increase(click[12h])",
           GridSpec(START, START + 7 * D, 60000L), 2 * H)
         .select(uid, col("t"), r6(col("value")).as("value"))
         .orderBy("user_id", "t")
     }, Some(tsbsIncreaseSql)),
+    Q("src_bucketed_rollup", (s, dir) =>
+      // default_rollup (bare selector, keep-last over the lookback) on the
+      // SAME bucketed layout: the per-series prev-sample window reuses the
+      // scan's HashPartitioning(_h1) — flat-store oracle, zero-exchange
+      // plan (BucketedStoreSpec)
+      Engine.query(bucketedStore(s, dir), "click", gridH, 2 * H)
+        .select(col("name"), uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t"),
+      Some(s"WITH g AS (SELECT unnest(generate_series($START, $END, $H)) AS t), " +
+        "b AS (SELECT event_type AS name, user_id, epoch_ms(ts::TIMESTAMP) AS tms, value " +
+        "FROM events WHERE event_type = 'click'), " +
+        s"j AS (SELECT name, user_id, t, tms, value FROM g JOIN b ON b.tms > g.t - ${2 * H} AND b.tms <= g.t) " +
+        "SELECT name, user_id::BIGINT AS user_id, t, round(1e-9 + last(value ORDER BY tms, value), 6) AS value FROM j " +
+        "GROUP BY name, user_id, t ORDER BY name, user_id, t")),
+    Q("src_bucketed_binop", (s, dir) =>
+      // vector matching on the bucketed layout: both rollup sides read
+      // pre-clustered series (no pre-join exchange on either aggregate);
+      // the on(user_id) join itself keys on a LABEL, so that one
+      // exchange pair is inherent to the operator, not the layout —
+      // BucketedStoreSpec asserts the delta vs the flat store
+      Engine.query(bucketedStore(s, dir),
+          "avg_over_time(purchase[1h]) / on(user_id) avg_over_time(click[1h])", gridH, 2 * H)
+        .select(uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("user_id", "t"),
+      Some(divOnSql)),
     Q("src_stream_ingest", (s, dir) => {
       // the §3.4 write path end-to-end: render the events mapping as
       // prometheus text files in a landing zone, drain it through the
@@ -2497,7 +2604,7 @@ object SparkEntry {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"target/stream_ingest$tag"))
       graft.sources.LineFormats.exportPromText(Samples.fromEvents(s, dir))
         .coalesce(4).write.mode("overwrite").text(landing)
-      graft.streaming.Ingest.promTextToStore(s, landing, store, ckpt)
+      graft.streaming.Ingest.promTextToStore(s, landing, store, ckpt, 0L)
         .awaitTermination()
       graft.streaming.Ingest.readStore(s, store)
         .groupBy("name").agg(
@@ -2506,6 +2613,99 @@ object SparkEntry {
           r6(sum(col("ts"))).as("sum_ts")).orderBy("name")
     }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v, " +
       "round(1e-9 + sum(epoch_ms(ts::TIMESTAMP)), 6) AS sum_ts FROM events GROUP BY name ORDER BY name")),
+    Q("src_stream_ingest_influx", (s, dir) => {
+      // the same §3.4 exactly-once pipeline fed an INFLUX-LINE landing
+      // zone (app/vminsert/main.go:238 influx route): render the events
+      // mapping as line protocol (ns timestamps, user_id tag, one field),
+      // drain through Ingest.toStore(format=influx), aggregate the store.
+      // The parser names series `{measurement}_{field}`.
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val landing = s"target/stream_ingest_influx$tag/landing"
+      val store = s"target/stream_ingest_influx$tag/store"
+      val ckpt = s"target/stream_ingest_influx$tag/ckpt"
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"target/stream_ingest_influx$tag"))
+      Samples.fromEvents(s, dir)
+        .select(concat(col("name"), lit(",user_id="), col("tags").getItem("user_id"),
+          lit(" value="), col("value").cast("string"),
+          lit(" "), (col("ts") * 1000000L).cast("string")).as("line"))
+        .coalesce(4).write.mode("overwrite").text(landing)
+      graft.streaming.Ingest.toStore(s, landing, store, ckpt, 0L, format = "influx")
+        .awaitTermination()
+      graft.streaming.Ingest.readStore(s, store)
+        .groupBy("name").agg(
+          count(lit(1)).as("n"),
+          r6(sum("value")).as("sum_v"),
+          r6(sum(col("ts"))).as("sum_ts"),
+          countDistinct(col("tags").getItem("user_id")).as("nu")).orderBy("name")
+    }, Some("SELECT event_type || '_value' AS name, count(*) AS n, " +
+      "round(1e-9 + sum(value), 6) AS sum_v, " +
+      "round(1e-9 + sum(epoch_ms(ts::TIMESTAMP)), 6) AS sum_ts, " +
+      "count(DISTINCT user_id) AS nu FROM events GROUP BY name ORDER BY name")),
+    Q("src_stream_ingest_jsonl", (s, dir) => {
+      // JSON-lines (vmimport) landing zone through the same pipeline
+      // (app/vminsert/main.go:200 /api/v1/import route); exportJsonLines
+      // packs each series' samples into one multi-sample line, so this
+      // also exercises the values/timestamps fan-out on the stream path
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val landing = s"target/stream_ingest_jsonl$tag/landing"
+      val store = s"target/stream_ingest_jsonl$tag/store"
+      val ckpt = s"target/stream_ingest_jsonl$tag/ckpt"
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"target/stream_ingest_jsonl$tag"))
+      graft.sources.LineFormats.exportJsonLines(Samples.fromEvents(s, dir))
+        .coalesce(4).write.mode("overwrite").text(landing)
+      graft.streaming.Ingest.toStore(s, landing, store, ckpt, 0L, format = "jsonl")
+        .awaitTermination()
+      graft.streaming.Ingest.readStore(s, store)
+        .groupBy("name").agg(
+          count(lit(1)).as("n"),
+          r6(sum("value")).as("sum_v"),
+          r6(sum(col("ts"))).as("sum_ts")).orderBy("name")
+    }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v, " +
+      "round(1e-9 + sum(epoch_ms(ts::TIMESTAMP)), 6) AS sum_ts FROM events GROUP BY name ORDER BY name")),
+    Q("src_stream_aggr_ingest", (s, dir) => {
+      // aggregate-at-ingest (app/vminsert/common/streamaggr.go): landing
+      // zone → parse → streamaggr 6h sum_samples by user_id → store, ONE
+      // exactly-once streaming query; only aggregate outputs land. A
+      // matched zero-value heartbeat past the last real window advances
+      // the watermark so every real window flushes; its own (still-open)
+      // window is cut off below, mirroring the oracle's window set.
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val landing = s"target/stream_aggr_ingest$tag/landing"
+      val store = s"target/stream_aggr_ingest$tag/store"
+      val ckpt = s"target/stream_aggr_ingest$tag/ckpt"
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"target/stream_aggr_ingest$tag"))
+      val samples = Samples.fromEvents(s, dir).filter(col("name") === "click")
+      val maxTs = samples.agg(max("ts")).head().getLong(0)
+      val cutoff = (maxTs / (6 * H) + 1) * (6 * H) // last real window end
+      graft.sources.LineFormats.exportPromText(samples.unionByName(
+        s.range(1).select(lit("click").as("name"),
+          map(lit("user_id"), lit("0")).as("tags"),
+          lit(cutoff + 6 * H).as("ts"), lit(0.0).as("value"))))
+        .coalesce(4).write.mode("overwrite").text(landing)
+      val cfg = graft.streaming.StreamAggr.Config(6 * H, by = Seq("user_id"),
+        outputs = Seq("sum_samples", "count_samples", "max"),
+        matchSelectors = Seq("""{__name__="click"}"""))
+      graft.streaming.Ingest.toStoreAggregated(s, landing, store, ckpt, 0L, cfg)
+        .awaitTermination()
+      graft.streaming.Ingest.readStore(s, store)
+        .filter(col("ts") <= cutoff)
+        .select(col("name"), col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("ts"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "ts")
+    }, Some {
+      val bkt = s"(epoch_ms(ts::TIMESTAMP) // ${6 * H}) * ${6 * H} + ${6 * H}"
+      s"WITH b AS (SELECT user_id, $bkt AS t, value FROM events WHERE event_type = 'click'), " +
+        "w AS (SELECT user_id, t, sum(value) AS s, count(*)::DOUBLE AS c, max(value) AS mx " +
+        "FROM b GROUP BY user_id, t) " +
+        "SELECT 'click:6h_by_user_id_' || o AS name, user_id::BIGINT AS user_id, t AS ts, " +
+        "round(1e-9 + v, 6) AS value FROM (" +
+        "SELECT user_id, t, 'sum_samples' AS o, s AS v FROM w UNION ALL " +
+        "SELECT user_id, t, 'count_samples', c FROM w UNION ALL " +
+        "SELECT user_id, t, 'max', mx FROM w) ORDER BY name, user_id, ts"
+    }),
     Q("src_ddsketch_roundtrip", (s, dir) => {
       val samples = Samples.fromEvents(s, dir)
       val back = graft.sources.ProtoFormats.datadogSketches(

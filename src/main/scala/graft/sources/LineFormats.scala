@@ -403,7 +403,9 @@ object LineFormats {
       .select(influxLineUdf(col("line")).as("r"))
       .filter(col("r").isNotNull)
       .select(col("r.measurement").as("measurement"), col("r.tags").as("tags"),
-        coalesce((col("r.ts") / 1000000).cast(LongType), lit(defaultTsMs)).as("ts"),
+        // ns → ms must be INTEGER division: `/` promotes to double, whose
+        // 53-bit mantissa cannot hold ~1.7e18 ns and drifts by a few ms
+        coalesce(expr("r.ts div 1000000L"), lit(defaultTsMs)).as("ts"),
         explode(col("r.fields")).as("f"))
       .select(
         when(col("measurement") === "", col("f.key"))

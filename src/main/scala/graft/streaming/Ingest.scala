@@ -14,7 +14,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   landing zone (text files dropped by collectors/load balancers)
   *     → per-protocol line parser (map-side, no shuffle)
   *     → relabeling rules   (map-side, one pass)
+  *     → [optional] stream aggregation at ingest (streamaggr)
   *     → date-partitioned Parquet store (the AddRows + LSM equivalent)
+  *
+  * The protocol dispatch mirrors app/vminsert/main.go:192-326, which
+  * routes every supported line format into the same InsertCtx chain —
+  * here every format funnels through the SAME LineFormats parsers the
+  * HTTP routes use, so a collector can drop Influx-line or JSON-lines
+  * files and get the identical exactly-once pipeline prometheus text
+  * gets.
   *
   * Exactly-once: the parquet file sink commits each micro-batch through
   * its manifest log, so a crashed/restarted query (same checkpoint)
@@ -26,40 +34,57 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * the -dedup.minScrapeInterval rule.
   *
   * Scale shape: file listing + parse + relabel are embarrassingly
-  * parallel; the only wide edge is the sink's file-per-partition write.
+  * parallel; the only wide edge is the sink's file-per-partition write
+  * (or the windowed aggregate's one shuffle in the streamaggr form).
   * `maxFilesPerTrigger` bounds a micro-batch; AvailableNow drains a
   * backlog in bounded batches and terminates.
   */
 object Ingest {
 
-  /** Start (or drain, with `Trigger.AvailableNow`) the prometheus-text
-    * landing-zone ingestion into a date-partitioned parquet store.
+  /** parse a landing-zone `line` frame per protocol — the
+    * app/vminsert/main.go:192-326 dispatch over the shared parsers
+    */
+  def parseLines(lines: DataFrame, format: String, defaultTsMs: Long): DataFrame =
+    format match {
+      case "prometheus" => graft.sources.LineFormats.prometheusText(lines, defaultTsMs)
+      case "influx" => graft.sources.LineFormats.influxLine(lines, defaultTsMs)
+      case "graphite" => graft.sources.LineFormats.graphiteLine(lines, defaultTsMs)
+      case "opentsdb" => graft.sources.LineFormats.openTsdbLine(lines, defaultTsMs)
+      case "jsonl" | "vmimport" => graft.sources.LineFormats.jsonImport(lines)
+      case other => throw new IllegalArgumentException(
+        s"unsupported ingest format: $other (supported: prometheus, influx, " +
+          "graphite, opentsdb, jsonl)")
+    }
+
+  /** Start (or drain, with `Trigger.AvailableNow`) a landing-zone
+    * ingestion into a date-partitioned parquet store.
     *
     * @param landingDir   directory collectors drop text files into
     * @param storeDir     SampleStore-compatible parquet root
     * @param checkpointDir streaming checkpoint (file-sink manifest)
+    * @param defaultTsMs  timestamp for lines without one — REQUIRED, no
+    *                     default: an implicit 0 lands timestamp-less
+    *                     lines in the 1970-01-01 date partition,
+    *                     polluting retention; the reference stamps
+    *                     scrape time, so pass the ingest wall-clock at
+    *                     stream start (deterministic replays pass a
+    *                     fixed value)
+    * @param format       prometheus | influx | graphite | opentsdb | jsonl
     * @param relabelYaml  optional relabel_config YAML applied per row
-    * @param defaultTsMs  timestamp for lines without one (scrape time)
     * @param availableNow drain-and-stop (batch-like) vs continuous
     */
-  def promTextToStore(
+  def toStore(
       spark: SparkSession,
       landingDir: String,
       storeDir: String,
       checkpointDir: String,
+      defaultTsMs: Long,
+      format: String = "prometheus",
       relabelYaml: Option[String] = None,
-      defaultTsMs: Long = 0L,
       availableNow: Boolean = true,
       maxFilesPerTrigger: Int = 1000): StreamingQuery = {
-    val lines = spark.readStream
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .text(landingDir)
-      .select(col("value").as("line"))
-    val parsed = graft.sources.LineFormats.prometheusText(lines, defaultTsMs)
-    val relabeled = relabelYaml.fold(parsed) { yaml =>
-      graft.sources.Relabel.apply(parsed, graft.sources.Relabel.parseConfig(yaml))
-    }
-    val dated = relabeled
+    val dated = parsedStream(spark, landingDir, format, defaultTsMs,
+      relabelYaml, maxFilesPerTrigger)
       .withColumn("date", to_date(timestamp_millis(col("ts"))))
     val w = dated.writeStream
       .format("parquet")
@@ -68,6 +93,81 @@ object Ingest {
       .partitionBy("date")
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
+
+  /** Aggregate-at-ingest: landing zone → parse → relabel → streamaggr
+    * windowed outputs → date-partitioned store, as ONE exactly-once
+    * streaming query — the reference's flagship cardinality-reduction
+    * deployment (app/vminsert/common/streamaggr.go applies the
+    * aggregators BEFORE storage; vmagent per remote-write). Only the
+    * aggregate OUTPUT series land in the store.
+    *
+    * Window flush follows the watermark: a tumbling interval is written
+    * once the watermark passes its end (append mode), so the stored
+    * frame carries each output row exactly once across restarts. A
+    * drained backlog's trailing intervals sit in state until later data
+    * (or a heartbeat sample beyond `watermarkDelay` past the interval
+    * end) advances the watermark — the standard Structured Streaming
+    * contract, and the streaming twin of the reference's
+    * flush-on-interval tickers (streamaggr.go:344 flushLoop).
+    */
+  def toStoreAggregated(
+      spark: SparkSession,
+      landingDir: String,
+      storeDir: String,
+      checkpointDir: String,
+      defaultTsMs: Long,
+      cfg: StreamAggr.Config,
+      format: String = "prometheus",
+      relabelYaml: Option[String] = None,
+      watermarkDelay: String = "10 seconds",
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    val parsed = parsedStream(spark, landingDir, format, defaultTsMs,
+      relabelYaml, maxFilesPerTrigger)
+      .withColumn("eventTime", timestamp_millis(col("ts")))
+    val aggregated = StreamAggr.aggregateConfigured(parsed, cfg, watermarkDelay)
+      .withColumnRenamed("t", "ts")
+      .select("name", "tags", "ts", "value")
+      .withColumn("date", to_date(timestamp_millis(col("ts"))))
+    val w = aggregated.writeStream
+      .format("parquet")
+      .option("path", storeDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("date")
+      .outputMode("append")
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  private def parsedStream(
+      spark: SparkSession,
+      landingDir: String,
+      format: String,
+      defaultTsMs: Long,
+      relabelYaml: Option[String],
+      maxFilesPerTrigger: Int): DataFrame = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(landingDir)
+      .select(col("value").as("line"))
+    val parsed = parseLines(lines, format, defaultTsMs)
+    relabelYaml.fold(parsed) { yaml =>
+      graft.sources.Relabel.apply(parsed, graft.sources.Relabel.parseConfig(yaml))
+    }
+  }
+
+  /** prometheus-text convenience wrapper (the original §3.4 entry) */
+  def promTextToStore(
+      spark: SparkSession,
+      landingDir: String,
+      storeDir: String,
+      checkpointDir: String,
+      defaultTsMs: Long,
+      relabelYaml: Option[String] = None,
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Int = 1000): StreamingQuery =
+    toStore(spark, landingDir, storeDir, checkpointDir, defaultTsMs,
+      format = "prometheus", relabelYaml = relabelYaml,
+      availableNow = availableNow, maxFilesPerTrigger = maxFilesPerTrigger)
 
   /** read the streamed store back as the canonical samples frame */
   def readStore(spark: SparkSession, storeDir: String): DataFrame =

@@ -41,7 +41,7 @@ class IngestSpec extends SparkSpec {
         |m{job="debug"} 99 1704067200000
         |m{job="api"} 2 1704153600000
         |""".stripMargin)
-    Ingest.promTextToStore(spark, landing, store, ckpt, Some(yaml))
+    Ingest.promTextToStore(spark, landing, store, ckpt, 0L, Some(yaml))
       .awaitTermination()
     val first = Ingest.readStore(spark, store)
     assert(first.count() == 2) // debug row relabel-dropped
@@ -54,7 +54,7 @@ class IngestSpec extends SparkSpec {
     // restart with the SAME checkpoint: the already-committed file must
     // not be re-ingested; only the new file lands
     drop(landing, "b.txt", """m{job="api"} 3 1704240000000""" + "\n")
-    Ingest.promTextToStore(spark, landing, store, ckpt, Some(yaml))
+    Ingest.promTextToStore(spark, landing, store, ckpt, 0L, Some(yaml))
       .awaitTermination()
     val second = Ingest.readStore(spark, store)
     assert(second.count() == 3, s"exactly-once violated: ${second.count()} rows")
@@ -65,5 +65,103 @@ class IngestSpec extends SparkSpec {
     val res = graft.Engine.query(second, "m", grid, 90000000L)
       .filter(!isnan(col("value")))
     assert(res.count() == 3)
+  }
+
+  test("influx-line landing zone: same exactly-once pipeline, ns timestamps") {
+    val landing = tmp("ilanding")
+    val store = tmp("istore")
+    val ckpt = tmp("ickpt")
+    drop(landing, "a.lp",
+      """m,job=api value=1 1704067200000000000
+        |m,job=api value=2,extra=7 1704153600000000000
+        |# a comment line must be skipped
+        |""".stripMargin)
+    Ingest.toStore(spark, landing, store, ckpt, 0L, format = "influx")
+      .awaitTermination()
+    val first = Ingest.readStore(spark, store)
+    // two lines, second fans out to two fields → 3 samples, ns → ms
+    assert(first.count() == 3)
+    assert(first.filter(col("name") === "m_value").count() == 2)
+    assert(first.filter(col("name") === "m_extra").count() == 1)
+    assert(first.agg(max("ts")).head().getLong(0) == 1704153600000L)
+
+    // restart with the same checkpoint: committed file not re-ingested
+    drop(landing, "b.lp", "m,job=api value=3 1704240000000000000\n")
+    Ingest.toStore(spark, landing, store, ckpt, 0L, format = "influx")
+      .awaitTermination()
+    val second = Ingest.readStore(spark, store)
+    assert(second.count() == 4, s"exactly-once violated: ${second.count()} rows")
+    assert(second.agg(sum("value")).head().getDouble(0) == 13.0)
+  }
+
+  test("JSON-lines (vmimport) landing zone lands multi-sample lines") {
+    val landing = tmp("jlanding")
+    val store = tmp("jstore")
+    val ckpt = tmp("jckpt")
+    drop(landing, "a.jsonl",
+      """{"metric":{"__name__":"m","job":"api"},"values":[1,2],"timestamps":[1704067200000,1704153600000]}
+        |{"metric":{"__name__":"n"},"values":[5],"timestamps":[1704067200000]}
+        |""".stripMargin)
+    Ingest.toStore(spark, landing, store, ckpt, 0L, format = "jsonl")
+      .awaitTermination()
+    val out = Ingest.readStore(spark, store)
+    assert(out.count() == 3)
+    assert(out.filter(col("name") === "m" &&
+      col("tags").getItem("job") === "api").count() == 2)
+    assert(out.agg(sum("value")).head().getDouble(0) == 8.0)
+  }
+
+  test("aggregate-at-ingest: stored output hash-matches the batch aggregator across a restart") {
+    // landing → parse → streamaggr (1m tumbling windows) → store as ONE
+    // exactly-once query (app/vminsert/common/streamaggr.go shape): the
+    // stored frame must equal StreamAggr.aggregateBatch on the same
+    // input for every window the watermark has closed, with window state
+    // carried across the restart
+    val landing = tmp("alanding")
+    val store = tmp("astore")
+    val ckpt = tmp("ackpt")
+    val cfg = StreamAggr.Config(60000L,
+      outputs = Seq("sum_samples", "count_samples", "max"),
+      matchSelectors = Seq("""{__name__="m"}"""))
+    def run(): Unit =
+      Ingest.toStoreAggregated(spark, landing, store, ckpt, 0L, cfg)
+        .awaitTermination()
+    // run 1: window1 [0,60s) complete, window2 [60s,120s) half-filled —
+    // watermark reaches 90s-10s=80s, so ONLY window1 flushes to the store
+    drop(landing, "a.txt",
+      """m{job="api"} 1 10
+        |m{job="api"} 2 30
+        |m{job="api"} 4 60
+        |m{job="api"} 8 90
+        |""".stripMargin) // OpenMetrics seconds (< 2^31 → ×1000)
+    run()
+    assert(Ingest.readStore(spark, store).agg(max("ts")).head().getLong(0) == 60000L)
+    // run 2 (restart, same checkpoint): window2 gains a sample from the
+    // NEW file and must flush exactly once, merging run-1 state; the
+    // heartbeat advances the watermark past window2's end
+    drop(landing, "b.txt",
+      """m{job="api"} 16 100
+        |m{job="api"} 0 600
+        |""".stripMargin)
+    run()
+    val stored = Ingest.readStore(spark, store)
+      .select("name", "tags", "ts", "value")
+    val parsedAll = graft.sources.LineFormats.prometheusText(
+      spark.read.text(landing).select(col("value").as("line")), 0L)
+    val batch = StreamAggr.aggregateBatch(parsedAll, cfg)
+      .withColumnRenamed("t", "ts")
+      .filter(col("ts") <= 120000L) // the heartbeat's own window is still open
+      .select("name", "tags", "ts", "value")
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("name"), to_json(array_sort(map_entries(col("tags")))).as("tg"),
+        col("ts"), col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(key(stored) === key(batch),
+      s"stored=${key(stored)}\nbatch=${key(batch)}")
+    // window2 must aggregate run-1 state (4, 8) WITH run-2's 16: max=16,
+    // count=3 — proving state survived the restart and flushed once
+    assert(stored.filter(col("ts") === 120000L && col("name").contains("max"))
+      .head().getDouble(3) == 16.0)
   }
 }
