@@ -38,23 +38,30 @@ object IngestScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // INGESTSCALE_ORDERED=1: range-partition the landing files by
+    // timestamp (file k covers a contiguous time slice, the shape a real
+    // collector zone has) — required for the aggregate-at-ingest rung,
+    // where bounded micro-batches + a progressing watermark keep window
+    // state bounded; an UNORDERED backlog drained in one batch holds
+    // every window's state at once (measured OOM at 30M rows / 8g heap)
+    val ordered = sys.env.get("INGESTSCALE_ORDERED").contains("1")
     val root = "target/ingestscale"
     val landing = s"$root/landing"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     // 30 days of 1s-resolution scrape lines: metric m<0-4>, user 0-19999
     val t0ms = 1704067200000L
-    spark.range(rows)
-      .select(concat(
+    val gen = spark.range(rows)
+      .withColumn("ts", lit(t0ms) + pmod(xxhash64(col("id"), lit(2)), lit(30L * 86400000L)))
+      .select(col("ts"), concat(
         lit("m"), pmod(col("id"), lit(5)).cast("string"),
         lit("{user_id=\""), pmod(xxhash64(col("id")), lit(20000)).cast("string"),
         lit("\"} "),
         (pmod(xxhash64(col("id"), lit(1)), lit(1000000)) / 1000.0).cast("string"),
-        lit(" "),
-        (lit(t0ms) + pmod(xxhash64(col("id"), lit(2)), lit(30L * 86400000L))).cast("string"))
-        .as("line"))
-      .repartition(files)
+        lit(" "), col("ts").cast("string")).as("line"))
+    (if (ordered) gen.repartitionByRange(files, col("ts")) else gen.repartition(files))
+      .select("line")
       .write.mode(SaveMode.Overwrite).text(landing)
-    println(s"[ingestscale] landing zone: $rows rows in $files files")
+    println(s"[ingestscale] landing zone: $rows rows in $files files ordered=$ordered")
 
     def timed(label: String)(run: String => Unit): Unit = {
       var best = Double.MaxValue
@@ -70,18 +77,22 @@ object IngestScale {
       println(f"[ingestscale] $label BEST rate=${rows / best}%.0f rows/s (wall $best%.1fs)")
     }
 
-    timed("store") { dir =>
-      graft.streaming.Ingest.toStore(spark, landing, s"$dir/store", s"$dir/ckpt",
-        0L, maxFilesPerTrigger = maxFiles).awaitTermination()
+    val only = sys.env.get("INGESTSCALE_ONLY") // "store" | "aggr" | unset
+    if (!only.contains("aggr")) {
+      timed("store") { dir =>
+        graft.streaming.Ingest.toStore(spark, landing, s"$dir/store", s"$dir/ckpt",
+          0L, maxFilesPerTrigger = maxFiles).awaitTermination()
+      }
+      val stored = graft.streaming.Ingest.readStore(spark, s"$root/store_1/store").count()
+      require(stored == rows, s"lost rows: $stored != $rows")
     }
-    val stored = graft.streaming.Ingest.readStore(spark, s"$root/store_1/store").count()
-    require(stored == rows, s"lost rows: $stored != $rows")
-
-    val cfg = graft.streaming.StreamAggr.Config(3600000L,
-      outputs = Seq("sum_samples", "count_samples"))
-    timed("aggr") { dir =>
-      graft.streaming.Ingest.toStoreAggregated(spark, landing, s"$dir/store",
-        s"$dir/ckpt", 0L, cfg, maxFilesPerTrigger = maxFiles).awaitTermination()
+    if (!only.contains("store")) {
+      val cfg = graft.streaming.StreamAggr.Config(3600000L,
+        outputs = Seq("sum_samples", "count_samples"))
+      timed("aggr") { dir =>
+        graft.streaming.Ingest.toStoreAggregated(spark, landing, s"$dir/store",
+          s"$dir/ckpt", 0L, cfg, maxFilesPerTrigger = maxFiles).awaitTermination()
+      }
     }
     spark.stop()
   }
