@@ -775,10 +775,27 @@ object SparkEntry {
         "ORDER BY name, t, ord")),
     // limitk is hash-ordered (aggr.go:1108) — hash differs from DuckDB's,
     // so it gets the weaker rows-only check
-    Q("ag_limitk", (s, dir) =>
-      Aggr.limitk(gDavg(s, dir), Seq("name", "user_id"), Seq("name"), 5)
-        .orderBy("name", "user_id", "t"),
-      None),
+    // limitk's KEEP SET is hash-seeded (arbitrary k series per group, the
+    // reference contract), so the rows aren't SQL-replayable — but the
+    // cardinality law is: exactly least(k, |group|) series survive per
+    // group, each carried COMPLETE (row count + value sum untouched).
+    Q("ag_limitk", (s, dir) => {
+      val in = gDavg(s, dir)
+      val out = Aggr.limitk(in, Seq("name", "user_id"), Seq("name"), 5)
+      val inS = in.groupBy("name", "user_id")
+        .agg(count(lit(1)).as("n_in"), sum("value").as("s_in"))
+      val outS = out.groupBy("name", "user_id")
+        .agg(count(lit(1)).as("n_out"), sum("value").as("s_out"))
+      outS.join(inS, Seq("name", "user_id"))
+        .groupBy("name")
+        .agg(count(lit(1)).as("n_series"),
+          max(when(col("n_out") =!= col("n_in") ||
+            abs(col("s_out") - col("s_in")) > 1e-9, 1).otherwise(0)).as("_bad"))
+        .select(col("name"), col("n_series"),
+          (col("_bad") === 0).cast("bigint").as("series_complete"))
+        .orderBy("name")
+    }, Some(s"$GD SELECT name, least(5, count(DISTINCT user_id)) AS n_series, " +
+      "1::BIGINT AS series_complete FROM gdf GROUP BY name ORDER BY name")),
     Q("ag_mad", (s, dir) =>
       Aggr.madA(gDavg(s, dir).drop("user_id"), Seq("name"))
         .select(col("name"), col("t"), r6(col("value")).as("value"))
@@ -1144,6 +1161,11 @@ object SparkEntry {
     // banded dedup. Measured 25/25 at sf0.01 and 256/256 at sf0.1;
     // banding theory floors P(candidate | J=0.6) at ~0.67 per pair, and
     // exact-verify passes every candidate at J>=threshold.
+    // the bare kept-set (headline bench entry; hash-function-dependent →
+    // rows-only, the recall law is gated by doc_minhash_dedup below)
+    Q("doc_minhash_kept", (s, dir) =>
+      graft.pipeline.Dedup.minhashDedup(docs(s, dir), 0.6).select("doc_id").orderBy("doc_id"),
+      None),
     Q("doc_minhash_dedup", (s, dir) => {
       val d = docs(s, dir)
       val truthPairs = graft.pipeline.Dedup.ngramJaccardPairs(d, 0.6)
@@ -1163,10 +1185,19 @@ object SparkEntry {
       graft.pipeline.Dedup.simhashCandidates(docs(s, dir))
         .select("id_a", "id_b", "hamming").orderBy("id_a", "id_b"),
       None),
+    // fingerprint VALUES are hash-function-dependent, but the invariants
+    // DuckDB can state are hashable: fingerprints are content-keyed
+    // (identical text ⇒ identical fp, so distinct fps ≤ distinct texts)
+    // and collision-free on this corpus (distinct fps == distinct texts)
     Q("doc_fingerprint", (s, dir) =>
-      docs(s, dir).select(col("doc_id"),
-        graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp")).orderBy("doc_id"),
-      None),
+      docs(s, dir)
+        .select(col("doc_id"), graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"),
+          col("text"))
+        .agg(count(lit(1)).as("n_docs"),
+          (countDistinct(col("fp")) === countDistinct(col("text")))
+            .cast("bigint").as("content_keyed"))
+        .select(col("n_docs"), col("content_keyed")),
+      Some("SELECT count(*) AS n_docs, 1::BIGINT AS content_keyed FROM documents")),
     // benchmark-contamination gate: docs with doc_id % 97 == 0 play the
     // held-out benchmark; 3-gram overlap counted per candidate doc
     Q("doc_contamination", (s, dir) => {
@@ -1523,14 +1554,27 @@ object SparkEntry {
       annRecallSummary(q, truth,
         graft.pipeline.Similarity.ivfTopK(embs(s, dir), q, 5), 15)
     }, Some(annSummaryOracle)),
-    // SemDeDup semantic dedup (k-means clusters + intra-cluster cosine) —
-    // rows-only: cluster assignment depends on float-sum order in
-    // centroid training; SemDedupSpec pins the nClusters=1 ≡ brute-force
-    // equivalence and subset/recall properties
+    // SemDeDup semantic dedup: with nClusters=1 the clustering is the
+    // identity and the kept set is EXACTLY the brute-force connectivity
+    // winners — which DuckDB can replay (cosine pairs + a recursive
+    // transitive closure for the min-id components), so the gate runs the
+    // full semanticDedup code path (assignment, per-cluster pair loop,
+    // union-find) hash-checked end-to-end. The nClusters>1 regime
+    // (training-order-dependent) stays pinned by SemDedupSpec's
+    // subset/recall gates.
     Q("emb_semantic_dedup", (s, dir) =>
-      graft.pipeline.Similarity.semanticDedup(embs(s, dir), 0.45, nClusters = 8, iters = 3)
+      graft.pipeline.Similarity.semanticDedup(embs(s, dir), 0.45, nClusters = 1, iters = 3)
         .select("vec_id").orderBy("vec_id"),
-      None),
+      Some("WITH p AS (SELECT a.vec_id AS x, b.vec_id AS y FROM embeddings a " +
+        "JOIN embeddings b ON a.vec_id < b.vec_id " +
+        "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45), " +
+        "e AS (SELECT x, y FROM p UNION SELECT y, x FROM p), " +
+        "tc AS (WITH RECURSIVE r(x, y) AS (SELECT x, y FROM e " +
+        "UNION SELECT r.x, e.y FROM r JOIN e ON r.y = e.x WHERE r.x != e.y) " +
+        "SELECT * FROM r), " +
+        "losers AS (SELECT DISTINCT x AS vec_id FROM tc WHERE y < x) " +
+        "SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM losers) " +
+        "ORDER BY vec_id")),
     // product quantization: codebook-dependent (k-means per subspace) →
     // the total-overlap floor is the hashable invariant (measured 23/50
     // sf0.01, 15/50 sf0.1 — 32× compression trades recall; floor 8)
@@ -1550,6 +1594,30 @@ object SparkEntry {
         s"epoch_ms(ts::TIMESTAMP) AS tms, value, row_number() OVER (PARTITION BY event_type, user_id, " +
         s"((epoch_ms(ts::TIMESTAMP) + ${6 * H - 1}) // ${6 * H}) * ${6 * H} " +
         "ORDER BY tms DESC, value DESC) AS rn FROM events) WHERE rn = 1 ORDER BY name, user_id, ts")),
+    // retention filters (enterprise -retentionFilter, README:1594-1626):
+    // smallest matching filter retention wins, unmatched series get the
+    // global -retentionPeriod; click keeps 7d, user_id 1-3 keeps 14d,
+    // click∩user1-3 keeps least(7,14)=7d, the rest 21d — from a fixed
+    // "now" of 2024-01-20
+    Q("ev_retention_filters", (s, dir) => {
+      val filters = graft.core.SampleStore.parseRetentionFilters(
+        Seq("""{__name__="click"}:7d""", """{user_id=~"1|2|3"}:14d"""), 21 * D)
+      Samples.fromEvents(s, dir)
+        .filter(graft.core.SampleStore.retentionFilterPredicate(
+          filters, 21 * D, nowMs = 1705708800000L))
+        .select(col("name"),
+          col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("ts"), col("value"))
+        .orderBy("name", "user_id", "ts", "value")
+    }, Some {
+      val now = 1705708800000L
+      val (d7, d14, d21) = (7 * D, 14 * D, 21 * D)
+      s"SELECT name, user_id, ts, value FROM (SELECT event_type AS name, user_id, " +
+        "epoch_ms(ts::TIMESTAMP) AS ts, value, " +
+        s"CASE WHEN event_type = 'click' THEN $d7 " +
+        s"WHEN user_id IN (1, 2, 3) THEN $d14 ELSE $d21 END AS ret FROM events) " +
+        s"WHERE ts > $now - ret ORDER BY name, user_id, ts, value"
+    }),
     // multi-level downsampling (-downsampling.period, README Downsampling):
     // click series use their own 7d:6h filter (first match wins, so the
     // default levels never apply to them); everything else tiers at
@@ -3017,7 +3085,10 @@ object SparkEntry {
     "h_quantile", // histogram bucket interpolation
     "tr_interpolate", // grid gap-fill
     "gr_group_by_node", // graphite render: fetch + node-key aggregation
-    "doc_minhash_dedup", // MinHash+LSH near-dup pipeline
+    // the OPERATOR, not the gate: doc_minhash_dedup's driver-checkable
+    // form also computes the exact-Jaccard truth frame, which would bill
+    // oracle work to the operator's headline number
+    "doc_minhash_kept", // MinHash+LSH near-dup pipeline
     "emb_topk") // brute-force cosine top-k
 
   def oracleSql: Map[String, String] =

@@ -48,6 +48,73 @@ object SampleStore {
   def applyRetention(spark: SparkSession, path: String, outPath: String, keepFromMs: Long): Unit =
     write(readRange(spark, path, keepFromMs, MaxTsMs), outPath, SaveMode.Overwrite)
 
+  // ---- retention filters (enterprise `-retentionFilter`) ---------------
+  // docs/victoriametrics/README.md:1594-1626: `filter:duration` options;
+  // a series matching several filters gets the SMALLEST retention, a
+  // series matching none gets `-retentionPeriod`; every filter duration
+  // must be ≤ the retention period. The reference applies them eventually
+  // during background merges — here they are a pure per-row expression on
+  // the compaction/retention rewrite (and equally usable at select time).
+
+  final case class RetentionFilter(selector: String, retentionMs: Long)
+
+  /** parse repeated/comma-joined `{selector}:duration` options (top-level
+    * commas inside `{...}` don't split, same rule as downsampling flags)
+    */
+  def parseRetentionFilters(
+      flags: Seq[String], retentionPeriodMs: Long): Seq[RetentionFilter] = {
+    def splitTop(s: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var depth = 0; val cur = new StringBuilder
+      s.foreach {
+        case '{' => depth += 1; cur += '{'
+        case '}' => depth -= 1; cur += '}'
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case c => cur += c
+      }
+      out += cur.result()
+      out.result().map(_.trim).filter(_.nonEmpty)
+    }
+    flags.flatMap(splitTop).map { part =>
+      require(part.startsWith("{"), s"retentionFilter must start with a series filter: $part")
+      val ci = part.indexOf("}:")
+      require(ci > 0, s"cannot parse retentionFilter: $part")
+      val ms = graft.lang.Lexer.durationMs(part.substring(ci + 2).trim, 0L)
+      require(ms > 0, s"retentionFilter duration must be positive: $part")
+      require(ms <= retentionPeriodMs,
+        s"retentionFilter duration must be lower or equal to -retentionPeriod; got $part")
+      RetentionFilter(part.substring(0, ci + 1), ms)
+    }
+  }
+
+  /** the per-row keep predicate: smallest matching filter retention,
+    * falling back to the global period — one codegen'd projection, no
+    * shuffle; `least` skips the NULLs of non-matching filters
+    */
+  def retentionFilterPredicate(
+      filters: Seq[RetentionFilter], retentionPeriodMs: Long,
+      nowMs: Long): org.apache.spark.sql.Column = {
+    def one(f: RetentionFilter) =
+      when(graft.api.Api.selectorPredicate(f.selector), lit(f.retentionMs))
+        .otherwise(lit(null).cast("long"))
+    val matchedMin = filters match {
+      case Nil => lit(null).cast("long")
+      case Seq(f) => one(f) // `least` needs ≥ 2 children
+      case fs => least(fs.map(one): _*)
+    }
+    col("ts") > lit(nowMs) - coalesce(matchedMin, lit(retentionPeriodMs))
+  }
+
+  /** retention rewrite honoring per-series filters (the background-merge
+    * application, partition.go:1424 + the enterprise filter docs)
+    */
+  def applyRetentionFilters(spark: SparkSession, path: String, outPath: String,
+      filters: Seq[RetentionFilter], retentionPeriodMs: Long, nowMs: Long): Unit =
+    write(
+      read(spark, path)
+        .filter(retentionFilterPredicate(filters, retentionPeriodMs, nowMs)),
+      outPath, SaveMode.Overwrite)
+
   /** Series-bucketed layout: the big-cluster co-location path. Samples
     * are written `bucketBy(n, _h1)` with the 128-bit series hash pair
     * PERSISTED as columns, so every per-series operator downstream —
@@ -128,8 +195,15 @@ object SampleStore {
 
   private val snapshotSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  // The underscore prefix is load-bearing: Spark's file listing skips
+  // `_`/`.`-prefixed directories (like _spark_metadata), so snapshots
+  // can live inside the store root (the reference's layout,
+  // <storageDataPath>/snapshots) WITHOUT breaking partition discovery on
+  // a later read — a bare `snapshots/` dir makes every
+  // spark.read.parquet(store) throw CONFLICTING_DIRECTORY_STRUCTURES
+  // (caught by RetentionFilterSpec's create→mutate→restore case).
   private def snapshotsRoot(path: String): java.nio.file.Path =
-    java.nio.file.Paths.get(path, "snapshots")
+    java.nio.file.Paths.get(path, "_snapshots")
 
   /** UTC yyyyMMddHHmmss-<8-hex seq>, the reference's snapshot name shape */
   def snapshotName(nowMs: Long = System.currentTimeMillis()): String =
@@ -165,6 +239,28 @@ object SampleStore {
         .filter(Files.isDirectory(_))
         .map(_.getFileName.toString).toSeq.sorted
     }
+  }
+
+  /** vmrestore's core: materialize a snapshot back into a store root
+    * (hard-link when possible, copy across filesystems) — the inverse of
+    * [[createSnapshot]]; target files that already exist are replaced.
+    */
+  def restoreSnapshot(path: String, name: String, outPath: String): Boolean = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    if (name.isEmpty || name.contains('/') || name.contains("..")) return false
+    val src = snapshotsRoot(path).resolve(name)
+    if (!Files.isDirectory(src)) return false
+    val dst = Paths.get(outPath)
+    Files.createDirectories(dst)
+    Files.walk(src).filter(Files.isRegularFile(_)).forEach { f =>
+      val target = dst.resolve(src.relativize(f))
+      Files.createDirectories(target.getParent)
+      Files.deleteIfExists(target)
+      try { Files.createLink(target, f); () }
+      catch { case _: Exception =>
+        Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING); () }
+    }
+    true
   }
 
   def deleteSnapshot(path: String, name: String): Boolean = {

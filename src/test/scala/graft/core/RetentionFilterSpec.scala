@@ -1,0 +1,81 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Enterprise `-retentionFilter` semantics (README.md:1594-1626): series
+  * matching several filters get the SMALLEST retention; unmatched series
+  * get `-retentionPeriod`; filter durations must not exceed the period.
+  */
+class RetentionFilterSpec extends SparkSpec {
+
+  private val D = 86400000L
+  private val now = 100 * D
+
+  private def frame = {
+    import spark.implicits._
+    Seq(
+      // (name, team, age days)
+      ("m", "juniors", 2L), ("m", "juniors", 5L), // 3d filter
+      ("m", "devs", 10L), ("m", "devs", 40L), // 30d filter
+      ("m", "other", 40L), ("m", "other", 400L), // period 365d
+      ("n", "juniors", 2L), ("n", "juniors", 25L) // matches BOTH → min(3,30)=3
+    ).map { case (n, t, age) => (n, Map("team" -> t), now - age * D, 1.0) }
+      .toDF("name", "tags", "ts", "value")
+  }
+
+  private val filters = SampleStore.parseRetentionFilters(
+    Seq("""{team="juniors",__name__=~"m|n"}:3d,{team=~"juniors|devs"}:30d"""), 365 * D)
+
+  test("smallest matching retention wins; unmatched gets the period") {
+    val kept = frame
+      .filter(SampleStore.retentionFilterPredicate(filters, 365 * D, now))
+      .select(col("name"), col("tags")("team"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getString(1), (now - r.getLong(2)) / D)).toSet
+    assert(kept === Set(
+      ("m", "juniors", 2L), // 3d keeps age 2, drops 5
+      ("m", "devs", 10L), // 30d keeps 10, drops 40
+      ("m", "other", 40L), // period keeps 40, drops 400
+      ("n", "juniors", 2L))) // min(3d, 30d)=3d keeps 2, drops 25
+  }
+
+  test("flag parsing: braces guard commas; validation errors") {
+    assert(filters.map(f => (f.selector, f.retentionMs / D)) === Seq(
+      ("""{team="juniors",__name__=~"m|n"}""", 3L),
+      ("""{team=~"juniors|devs"}""", 30L)))
+    def bad(fs: Seq[String], period: Long): String =
+      intercept[IllegalArgumentException](
+        SampleStore.parseRetentionFilters(fs, period)).getMessage
+    assert(bad(Seq("""{a="b"}:400d"""), 365 * D)
+      .contains("lower or equal to -retentionPeriod"))
+    assert(bad(Seq("3d"), 365 * D).contains("series filter"))
+    assert(bad(Seq("""{a="b"}"""), 365 * D).contains("cannot parse"))
+  }
+
+  test("snapshot restore: create → mutate → restore recovers the snapshot state") {
+    val path = "target/retention_filter_spec/snap"
+    val out = "target/retention_filter_spec/restored"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    SampleStore.write(frame, path)
+    val name = SampleStore.createSnapshot(path, nowMs = now)
+    // the store mutates after the snapshot (append doubles the rows)
+    SampleStore.write(frame, path)
+    assert(SampleStore.read(spark, path).count() == 16)
+    // restore = vmrestore: the snapshot's exact 8 rows come back
+    assert(SampleStore.restoreSnapshot(path, name, out))
+    assert(SampleStore.read(spark, out).count() == 8)
+    assert(!SampleStore.restoreSnapshot(path, "../evil", out))
+    assert(!SampleStore.restoreSnapshot(path, "nope", out))
+  }
+
+  test("applyRetentionFilters rewrites the store") {
+    val path = "target/retention_filter_spec/in"
+    val out = "target/retention_filter_spec/out"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/retention_filter_spec"))
+    SampleStore.write(frame, path)
+    SampleStore.applyRetentionFilters(spark, path, out, filters, 365 * D, now)
+    assert(SampleStore.read(spark, out).count() == 4)
+  }
+}
