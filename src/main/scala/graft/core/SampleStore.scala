@@ -167,8 +167,18 @@ object SampleStore {
       path: String,
       outPath: String,
       keepFromMs: Long,
-      dedupIntervalMs: Long): Unit = {
-    val kept = readRange(spark, path, keepFromMs, MaxTsMs)
+      dedupIntervalMs: Long,
+      // per-series retention (enterprise -retentionFilter): applied in the
+      // same rewrite, exactly where the reference applies them (background
+      // merges); retentionPeriodMs bounds the unmatched series
+      retentionFilters: Seq[RetentionFilter] = Nil,
+      retentionPeriodMs: Long = 0L,
+      nowMs: Long = 0L): Unit = {
+    val ranged = readRange(spark, path, keepFromMs, MaxTsMs)
+    val kept =
+      if (retentionFilters.isEmpty) ranged
+      else ranged.filter(
+        retentionFilterPredicate(retentionFilters, retentionPeriodMs, nowMs))
     // one pass: name/tags ride the grouping keys (no restore join, no
     // second scan, HashAggregate-only — see Dedup.dedupNamedSamples)
     write(graft.pipeline.Dedup.dedupNamedSamples(kept, dedupIntervalMs),

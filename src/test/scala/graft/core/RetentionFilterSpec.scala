@@ -77,5 +77,11 @@ class RetentionFilterSpec extends SparkSpec {
     SampleStore.write(frame, path)
     SampleStore.applyRetentionFilters(spark, path, out, filters, 365 * D, now)
     assert(SampleStore.read(spark, out).count() == 4)
+    // the compaction job applies the same filters in its rewrite (the
+    // reference applies retention filters during background merges)
+    val out2 = "target/retention_filter_spec/compacted"
+    SampleStore.compact(spark, path, out2, keepFromMs = 0L, dedupIntervalMs = 1L,
+      retentionFilters = filters, retentionPeriodMs = 365 * D, nowMs = now)
+    assert(SampleStore.read(spark, out2).count() == 4)
   }
 }
