@@ -32,7 +32,16 @@ final class HttpApi(
     // applied at SELECT time — docs/#deduplication): every read-path
     // frame is deduplicated to one sample per series per interval,
     // keeping the newest (max value on timestamp ties)
-    dedupMinScrapeIntervalMs: Long = 0L) {
+    dedupMinScrapeIntervalMs: Long = 0L,
+    // -retentionFilter (enterprise, README:1594): per-series retention,
+    // smallest matching filter wins, unmatched series get
+    // retentionPeriodMs. The reference applies these eventually during
+    // merges; the select-time predicate is the serving-path equivalent
+    // (compaction applies the same rule durably). Clock injectable for
+    // deterministic tests.
+    retentionFilters: Seq[graft.core.SampleStore.RetentionFilter] = Nil,
+    retentionPeriodMs: Long = 0L,
+    retentionNowMs: () => Long = () => System.currentTimeMillis()) {
 
   private val sampleSchema = StructType(Seq(
     StructField("name", StringType),
@@ -83,7 +92,11 @@ final class HttpApi(
     val dels = deletedSelectors.synchronized { deletedSelectors.toList }
     val preds = deletedPredicates.synchronized { deletedPredicates.toList }
     val afterSel = dels.foldLeft(all)((df, sel) => df.filter(!Api.selectorPredicate(sel)))
-    val res = preds.foldLeft(afterSel)((df, p) => df.filter(!p))
+    val afterDel = preds.foldLeft(afterSel)((df, p) => df.filter(!p))
+    val res =
+      if (retentionFilters.isEmpty) afterDel
+      else afterDel.filter(graft.core.SampleStore.retentionFilterPredicate(
+        retentionFilters, retentionPeriodMs, retentionNowMs()))
     if (dedupMinScrapeIntervalMs <= 0) res
     else
       // the -dedup.minScrapeInterval select-time rule (dedup.go:30-70):

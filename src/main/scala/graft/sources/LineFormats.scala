@@ -1110,6 +1110,19 @@ object LineFormats {
     * Format errors throw (the reference rejects the request); malformed
     * VALUES drop per-row, matching this object's tolerance convention.
     */
+  /** csv line-frame parse for the streaming landing zone: each FILE in a
+    * zone may start with a header row, so header-looking lines (column
+    * names instead of parseable values for the format's typed fields)
+    * drop per row — the reference's stream parser does the same check on
+    * its first row (csvimport stream.go)
+    */
+  def csvImportLines(lines: DataFrame, format: String, defaultTsMs: Long): DataFrame = {
+    val isHeader = udf((line: String) => line != null && csvIsHeaderRow(line, format))
+    csvImportFormatted(
+      lines.filter(col("line").isNotNull && !isHeader(col("line"))),
+      format, defaultTsMs)
+  }
+
   def csvImportFormatted(lines: DataFrame, format: String, defaultTsMs: Long): DataFrame = {
     val entries = format.split(',').toSeq.zipWithIndex.map { case (ent, i) =>
       val a = ent.split(":", 3)

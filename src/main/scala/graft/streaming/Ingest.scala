@@ -51,9 +51,12 @@ object Ingest {
       case "graphite" => graft.sources.LineFormats.graphiteLine(lines, defaultTsMs)
       case "opentsdb" => graft.sources.LineFormats.openTsdbLine(lines, defaultTsMs)
       case "jsonl" | "vmimport" => graft.sources.LineFormats.jsonImport(lines)
+      case csv if csv.startsWith("csv:") => // `csv:<format>` per /api/v1/import/csv
+        graft.sources.LineFormats.csvImportLines(
+          lines, csv.stripPrefix("csv:"), defaultTsMs)
       case other => throw new IllegalArgumentException(
         s"unsupported ingest format: $other (supported: prometheus, influx, " +
-          "graphite, opentsdb, jsonl)")
+          "graphite, opentsdb, jsonl, csv:<format>)")
     }
 
   /** Start (or drain, with `Trigger.AvailableNow`) a landing-zone

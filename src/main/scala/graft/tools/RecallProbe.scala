@@ -56,6 +56,14 @@ object RecallProbe {
       println(s"[recall] pass=$p minhash: truthPairs=${pairs.size} caught=$caught " +
         s"kept=${kept.size}")
     }
+    // simhash: how many exact-Jaccard pairs appear among the block
+    // candidates, and at what hamming distance?
+    val cands = Dedup.simhashCandidates(docs)
+      .select("id_a", "id_b", "hamming").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val found = pairs.toSeq.flatMap(p => cands.get(p))
+    println(s"[recall] simhash: truthPairs=${pairs.size} inCands=${found.size} " +
+      s"hammingMax=${if (found.isEmpty) -1 else found.max} nCands=${cands.size}")
     spark.stop()
   }
 }

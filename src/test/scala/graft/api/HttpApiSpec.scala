@@ -957,6 +957,30 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("-retentionFilter drops over-retention samples from every read path") {
+    // series rf{team=juniors} retains 3d, everything else 30d; "now" fixed
+    val filters = graft.core.SampleStore.parseRetentionFilters(
+      Seq("""{team="juniors"}:3d"""), 30 * 86400000L)
+    val now = 100L * 86400000L
+    val api = new HttpApi(spark, dedupMinScrapeIntervalMs = 0L,
+      retentionFilters = filters, retentionPeriodMs = 30 * 86400000L,
+      retentionNowMs = () => now)
+    val port = api.start()
+    try {
+      def at(ageDays: Long) = (now - ageDays * 86400000L) / 1000 // prom seconds
+      assert(post(port, "/api/v1/import/prometheus",
+        s"""rf{team="juniors"} 1 ${at(2)}
+           |rf{team="juniors"} 2 ${at(10)}
+           |rf{team="seniors"} 3 ${at(10)}
+           |rf{team="seniors"} 4 ${at(40)}
+           |""".stripMargin) == 204)
+      val export = get(port, "/api/v1/export?match[]=rf")
+      // juniors keeps only the 2d-old sample; seniors keeps the 10d one
+      assert(export.contains("[1.0]") && export.contains("[3.0]"), export)
+      assert(!export.contains("2.0") && !export.contains("4.0"), export)
+    } finally api.stop()
+  }
+
   test("bucketed store as the facade base: identical responses, ingest unions") {
     val flat = graft.core.Samples.fromEvents(spark, sfDir)
     graft.core.SampleStore.writeBucketed(

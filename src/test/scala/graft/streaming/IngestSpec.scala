@@ -111,6 +111,25 @@ class IngestSpec extends SparkSpec {
     assert(out.agg(sum("value")).head().getDouble(0) == 8.0)
   }
 
+  test("csv landing zone (csv:<format>) drops per-file header rows") {
+    val landing = tmp("clanding")
+    val store = tmp("cstore")
+    val ckpt = tmp("cckpt")
+    val fmt = "1:time:unix_ms,2:metric:temp,3:label:host"
+    drop(landing, "a.csv",
+      """time,temp,host
+        |1704067200000,21.5,h1
+        |1704153600000,22.5,h2
+        |""".stripMargin)
+    Ingest.toStore(spark, landing, store, ckpt, 0L, format = s"csv:$fmt")
+      .awaitTermination()
+    val out = Ingest.readStore(spark, store)
+    assert(out.count() == 2) // the header line dropped per row
+    assert(out.filter(col("name") === "temp").count() == 2)
+    assert(out.filter(col("tags")("host") === "h2").count() == 1)
+    assert(out.agg(sum("value")).head().getDouble(0) == 44.0)
+  }
+
   test("aggregate-at-ingest: stored output hash-matches the batch aggregator across a restart") {
     // landing → parse → streamaggr (1m tumbling windows) → store as ONE
     // exactly-once query (app/vminsert/common/streamaggr.go shape): the
