@@ -549,10 +549,19 @@ object Dedup {
     * `-dedup.minScrapeInterval` read path (dedup.go:30-70) every consumer
     * (HttpApi reads, SampleStore.compact) goes through.
     */
-  def dedupNamedSamples(samples: DataFrame, intervalMs: Long): DataFrame =
-    dedupSamples(samples.withColumn("_tj", tagsJson), Seq("name", "_tj"), intervalMs)
+  def dedupNamedSamples(samples: DataFrame, intervalMs: Long): DataFrame = {
+    // a series-bucketed store (SampleStore.readBucketed) carries the
+    // persisted _h1/_h2 hash pair: leading the grouping keys with it lets
+    // the scan's bucket HashPartitioning satisfy BOTH dedup aggregates
+    // (subset clustering) — zero exchanges — and keeping the pair in the
+    // output preserves the elision for everything downstream
+    val hashed = samples.columns.contains("_h1") && samples.columns.contains("_h2")
+    val keys = (if (hashed) Seq("_h1", "_h2") else Nil) ++ Seq("name", "_tj")
+    val out = dedupSamples(samples.withColumn("_tj", tagsJson), keys, intervalMs)
       .withColumn("tags", tagsFromJson(col("_tj")))
-      .select("name", "tags", "ts", "value")
+    if (hashed) out.select("name", "tags", "ts", "value", "_h1", "_h2")
+    else out.select("name", "tags", "ts", "value")
+  }
 
   // ---- multi-level downsampling (-downsampling.period) -----------------
 

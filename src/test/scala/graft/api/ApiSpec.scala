@@ -99,15 +99,16 @@ class ApiSpec extends SparkSpec {
     val name = SampleStore.createSnapshot(dir)
     assert(name.matches("""\d{14}-[0-9A-F]{8}"""))
     assert(SampleStore.listSnapshots(dir) == Seq(name))
-    // the snapshot reads back as a full copy of the store
-    val snap = SampleStore.read(spark, s"$dir/snapshots/$name")
+    // the snapshot reads back as a full copy of the store (_snapshots:
+    // an unprefixed dir inside the root breaks partition discovery, r9)
+    val snap = SampleStore.read(spark, s"$dir/_snapshots/$name")
     assert(snap.count() == before)
     // appending to the live store does NOT change the snapshot (immutability)
     SampleStore.write(samples.limit(1), dir)
-    assert(SampleStore.read(spark, s"$dir/snapshots/$name").count() == before)
+    assert(SampleStore.read(spark, s"$dir/_snapshots/$name").count() == before)
     // a second snapshot sees the append; both list sorted
     val name2 = SampleStore.createSnapshot(dir)
-    assert(SampleStore.read(spark, s"$dir/snapshots/$name2").count() == before + 1)
+    assert(SampleStore.read(spark, s"$dir/_snapshots/$name2").count() == before + 1)
     assert(SampleStore.listSnapshots(dir) == Seq(name, name2).sorted)
     // delete is safe against traversal and removes exactly one snapshot
     assert(!SampleStore.deleteSnapshot(dir, "../" + name))

@@ -87,6 +87,23 @@ class BucketedStoreSpec extends SparkSpec {
       s"bucketed binop must not re-key by series hash:\n${ba.queryExecution.executedPlan}")
   }
 
+  test("select-time dedup on the bucketed store is exchange-free") {
+    // the -dedup.minScrapeInterval read path leads its grouping keys with
+    // the persisted hash pair, so the bucket partitioning satisfies both
+    // dedup aggregates — the flat store pays the one dedup shuffle
+    val d = graft.pipeline.Dedup.dedupNamedSamples(bucketed, 6 * H)
+    assert(shuffles(d) == 0,
+      s"bucketed dedup must be exchange-free:\n${d.queryExecution.executedPlan}")
+    val flatD = graft.pipeline.Dedup.dedupNamedSamples(flat, 6 * H)
+    assert(shuffles(flatD) >= 1, "flat control should shuffle")
+    // identical kept set (modulo the carried hash columns)
+    val key = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("name"), col("tags")("user_id"), col("ts"), col("value"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(key(d) == key(flatD) && key(flatD).nonEmpty)
+  }
+
   test("bucketed store preserves the raw samples (roundtrip)") {
     val a = flat.filter(col("name") === "click").count()
     val b = bucketed.filter(col("name") === "click").count()

@@ -111,6 +111,37 @@ class IngestSpec extends SparkSpec {
     assert(out.agg(sum("value")).head().getDouble(0) == 8.0)
   }
 
+  test("graphite and opentsdb landing zones parse through the same pipeline") {
+    val landing = tmp("glanding")
+    val store = tmp("gstore")
+    val ckpt = tmp("gckpt")
+    drop(landing, "a.graphite",
+      """cpu.usage;host=h1 1.5 1704067200
+        |cpu.usage;host=h2 2.5 1704067260
+        |""".stripMargin)
+    Ingest.toStore(spark, landing, store, ckpt, 0L, format = "graphite")
+      .awaitTermination()
+    val g = Ingest.readStore(spark, store)
+    assert(g.count() == 2 &&
+      g.filter(col("name") === "cpu.usage" &&
+        col("tags")("host") === "h1").count() == 1)
+    assert(g.agg(max("ts")).head().getLong(0) == 1704067260000L) // s → ms
+
+    val landing2 = tmp("olanding")
+    val store2 = tmp("ostore")
+    val ckpt2 = tmp("ockpt")
+    drop(landing2, "a.tsdb",
+      """put sys.load 1704067200 0.7 host=h1
+        |put sys.load 1704067260 0.9 host=h1
+        |""".stripMargin)
+    Ingest.toStore(spark, landing2, store2, ckpt2, 0L, format = "opentsdb")
+      .awaitTermination()
+    val o = Ingest.readStore(spark, store2)
+    assert(o.count() == 2 &&
+      o.filter(col("name") === "sys.load").count() == 2)
+    assert(o.agg(sum("value")).head().getDouble(0) == 1.6)
+  }
+
   test("csv landing zone (csv:<format>) drops per-file header rows") {
     val landing = tmp("clanding")
     val store = tmp("cstore")
