@@ -43,6 +43,10 @@ final class HttpApi(
     retentionPeriodMs: Long = 0L,
     retentionNowMs: () => Long = () => System.currentTimeMillis()) {
 
+  require(retentionFilters.isEmpty || retentionPeriodMs > 0,
+    "retentionFilters require retentionPeriodMs > 0 (the unmatched-series " +
+      "retention); period 0 would silently drop every unmatched series")
+
   private val sampleSchema = StructType(Seq(
     StructField("name", StringType),
     StructField("tags", MapType(StringType, StringType)),

@@ -58,27 +58,18 @@ object SampleStore {
 
   final case class RetentionFilter(selector: String, retentionMs: Long)
 
-  /** parse repeated/comma-joined `{selector}:duration` options (top-level
-    * commas inside `{...}` don't split, same rule as downsampling flags)
+  /** parse repeated/comma-joined `{selector}:duration` options via the
+    * shared QUOTE-AWARE scanner (graft.lang.Lexer.splitTopLevel /
+    * selectorEnd — commas, braces and colons inside quoted label values
+    * like `{path=~"a{1}:.*"}` must not split or end the selector)
     */
   def parseRetentionFilters(
       flags: Seq[String], retentionPeriodMs: Long): Seq[RetentionFilter] = {
-    def splitTop(s: String): Seq[String] = {
-      val out = Seq.newBuilder[String]
-      var depth = 0; val cur = new StringBuilder
-      s.foreach {
-        case '{' => depth += 1; cur += '{'
-        case '}' => depth -= 1; cur += '}'
-        case ',' if depth == 0 => out += cur.result(); cur.clear()
-        case c => cur += c
-      }
-      out += cur.result()
-      out.result().map(_.trim).filter(_.nonEmpty)
-    }
-    flags.flatMap(splitTop).map { part =>
+    flags.flatMap(graft.lang.Lexer.splitTopLevel).map { part =>
       require(part.startsWith("{"), s"retentionFilter must start with a series filter: $part")
-      val ci = part.indexOf("}:")
-      require(ci > 0, s"cannot parse retentionFilter: $part")
+      val ci = graft.lang.Lexer.selectorEnd(part)
+      require(ci > 0 && ci + 1 < part.length && part.charAt(ci + 1) == ':',
+        s"cannot parse retentionFilter: $part")
       val ms = graft.lang.Lexer.durationMs(part.substring(ci + 2).trim, 0L)
       require(ms > 0, s"retentionFilter duration must be positive: $part")
       require(ms <= retentionPeriodMs,
@@ -229,12 +220,14 @@ object SampleStore {
     val root = Paths.get(path)
     val dst = snapshotsRoot(path).resolve(name)
     Files.createDirectories(dst)
-    Files.walk(root).filter(p => Files.isRegularFile(p) &&
-      !p.startsWith(snapshotsRoot(path))).forEach { src =>
-      val target = dst.resolve(root.relativize(src))
-      Files.createDirectories(target.getParent)
-      try { Files.createLink(target, src); () }
-      catch { case _: Exception => Files.copy(src, target); () }
+    scala.util.Using.resource(Files.walk(root)) {
+      _.filter(p => Files.isRegularFile(p) &&
+        !p.startsWith(snapshotsRoot(path))).forEach { src =>
+        val target = dst.resolve(root.relativize(src))
+        Files.createDirectories(target.getParent)
+        try { Files.createLink(target, src); () }
+        catch { case _: Exception => Files.copy(src, target); () }
+      }
     }
     name
   }
@@ -245,15 +238,21 @@ object SampleStore {
     if (!Files.isDirectory(root)) Nil
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(root).iterator().asScala
-        .filter(Files.isDirectory(_))
-        .map(_.getFileName.toString).toSeq.sorted
+      scala.util.Using.resource(Files.list(root)) {
+        _.iterator().asScala
+          .filter(Files.isDirectory(_))
+          .map(_.getFileName.toString).toSeq.sorted
+      }
     }
   }
 
   /** vmrestore's core: materialize a snapshot back into a store root
     * (hard-link when possible, copy across filesystems) — the inverse of
-    * [[createSnapshot]]; target files that already exist are replaced.
+    * [[createSnapshot]]. The destination's existing DATA files are
+    * removed first (vmrestore deletes the target's contents before
+    * downloading), so restoring over a store that grew after the snapshot
+    * — including IN PLACE over the snapshot's own store — really rolls it
+    * back; the destination's `_snapshots/` directory is left untouched.
     */
   def restoreSnapshot(path: String, name: String, outPath: String): Boolean = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -262,13 +261,18 @@ object SampleStore {
     if (!Files.isDirectory(src)) return false
     val dst = Paths.get(outPath)
     Files.createDirectories(dst)
-    Files.walk(src).filter(Files.isRegularFile(_)).forEach { f =>
-      val target = dst.resolve(src.relativize(f))
-      Files.createDirectories(target.getParent)
-      Files.deleteIfExists(target)
-      try { Files.createLink(target, f); () }
-      catch { case _: Exception =>
-        Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING); () }
+    scala.util.Using.resource(Files.walk(dst)) {
+      _.filter(p => Files.isRegularFile(p) &&
+        !p.startsWith(snapshotsRoot(outPath))).forEach(p => { Files.delete(p); () })
+    }
+    scala.util.Using.resource(Files.walk(src)) {
+      _.filter(Files.isRegularFile(_)).forEach { f =>
+        val target = dst.resolve(src.relativize(f))
+        Files.createDirectories(target.getParent)
+        try { Files.createLink(target, f); () }
+        catch { case _: Exception =>
+          Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING); () }
+      }
     }
     true
   }
@@ -280,8 +284,10 @@ object SampleStore {
     if (name.isEmpty || name.contains('/') || name.contains("..")) return false
     val dir = snapshotsRoot(path).resolve(name)
     if (!Files.isDirectory(dir)) return false
-    Files.walk(dir).sorted(java.util.Comparator.reverseOrder[Path]())
-      .forEach(p => { Files.delete(p); () })
+    scala.util.Using.resource(Files.walk(dir)) {
+      _.sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(p => { Files.delete(p); () })
+    }
     true
   }
 }

@@ -27,6 +27,22 @@ object StorageLimits {
   @volatile var maxUniqueTimeseries: Long = 0L
   def enabled: Boolean = maxSamplesPerQuery > 0 || maxUniqueTimeseries > 0
 
+  // Deferred-enforcement hook: Eval batches the per-leaf pre-counts into
+  // ONE union job per query, run at end of plan construction — but a few
+  // construction paths do EAGER Spark work (the two-level rollup's
+  // level-1 checkpoint + count, the binop adaptive pushdown's left
+  // checkpoint, the histogram LE checkpoint). Those sites call
+  // flushPending() FIRST, so the limits still reject before the
+  // expensive work they exist to prevent; the hook is a no-op when
+  // limits are disabled or nothing is registered.
+  private val pendingFlush = new ThreadLocal[() => Unit]
+  def setPendingFlush(f: () => Unit): Unit = pendingFlush.set(f)
+  def clearPendingFlush(): Unit = pendingFlush.remove()
+  def flushPending(): Unit = {
+    val f = pendingFlush.get()
+    if (f != null) f()
+  }
+
   def samplesError(limit: Long): IllegalArgumentException =
     new IllegalArgumentException(
       s"cannot select more than -search.maxSamplesPerQuery=$limit samples; " +

@@ -71,6 +71,7 @@ object GraphiteAgg {
       ss.df.filter(col("t") === ctx.startMs)
         .select(col("sid"), col("name"), col("tags"), col("pathExpr"), col("ord")))
     val sidKeys = serMeta.withColumn("_key", keyCol).localCheckpoint(true)
+    graft.core.CheckpointGc.note()
     // Aggregate only the real (non-NaN) points: the dense NaN rows
     // contribute nothing to the aggregates except the aggrState
     // seriesTotal, which is the per-key series count from keyMeta.

@@ -388,10 +388,16 @@ object Eval {
     */
   def eval(samples: DataFrame, expr: Expr, cfg: EvalConfig): DataFrame = {
     val ev = new Ev(samples, cfg)
-    val v = ev.eval(expr)
     // run ALL selector-leaf pre-counts as ONE Spark job (a union of
     // 1-row aggregates) — a multi-selector query with limits on must not
-    // pay N sequential driver round-trips before any work is scheduled
+    // pay N sequential driver round-trips. Construction paths that do
+    // EAGER work (rollup level-1 checkpoint, binop adaptive checkpoint,
+    // histogram LE checkpoint) flush the registered leaves FIRST via the
+    // StorageLimits hook, so rejection still precedes the expensive work.
+    graft.core.StorageLimits.setPendingFlush(() => ev.enforceStorageLimits())
+    val v =
+      try ev.eval(expr)
+      finally graft.core.StorageLimits.clearPendingFlush()
     ev.enforceStorageLimits()
     v
   } match {
@@ -1346,6 +1352,7 @@ object Eval {
       // and those blocks are freed when the plan is GC'd — persist()
       // pinned an entry in the session cache manager for every eligible
       // binop, accumulating in a long-lived server session.
+      enforceStorageLimits() // limits reject BEFORE the eager left materialization
       val left = leftDf.localCheckpoint(true)
       graft.core.CheckpointGc.note()
       if (left.isEmpty) // O4: nothing can match

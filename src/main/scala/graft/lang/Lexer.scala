@@ -228,4 +228,63 @@ object Lexer {
     val ms = math.round(total)
     if (neg) -ms else ms
   }
+
+  // ---- flag-value scanning shared by `{selector}:duration` style flags
+  // (-downsampling.period, -retentionFilter). Both need QUOTE-AWARE
+  // scanning: a selector like {path=~"a{1}:.*"} carries braces, colons
+  // and commas inside quoted label values.
+
+  /** split on top-level commas: commas inside `{...}` or inside
+    * double-quoted strings don't split; braces inside quotes don't nest
+    */
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        cur += c
+        if (c == '\\' && i + 1 < s.length) { cur += s.charAt(i + 1); i += 1 }
+        else if (c == '"') inQ = false
+      } else c match {
+        case '"' => inQ = true; cur += c
+        case '{' => depth += 1; cur += c
+        case '}' => depth -= 1; cur += c
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case other => cur += other
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** index of the `}` closing a LEADING `{selector}` (quote-aware), or -1
+    * if the string doesn't start with `{` / the braces don't balance
+    */
+  private[graft] def selectorEnd(s: String): Int = {
+    if (s.isEmpty || s.head != '{') return -1
+    var depth = 0
+    var inQ = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQ) {
+        if (c == '\\') i += 1
+        else if (c == '"') inQ = false
+      } else c match {
+        case '"' => inQ = true
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return i
+        case _ => ()
+      }
+      i += 1
+    }
+    -1
+  }
 }

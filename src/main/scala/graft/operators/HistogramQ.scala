@@ -502,6 +502,7 @@ object HistogramQ {
     // sf0.1. The frame is bucket-aggregated (groups × t × ≤hundreds of
     // buckets), far smaller than the raw data, so the materialization
     // is bounded at any scale.
+    graft.core.StorageLimits.flushPending() // reject BEFORE the eager LE parse pass
     val withParse = in
       .withColumn("_ss", substring_index(col("vmrange"), "...", 1))
       .withColumn("_es", substring_index(col("vmrange"), "...", -1))

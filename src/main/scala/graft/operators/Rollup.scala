@@ -283,6 +283,7 @@ object Rollup {
       kernels.zipWithIndex.flatMap { case ((_, tl), i) =>
         tl.partials.map { case (pn, raw, mrg) => (s"_p${i}_$pn", raw, mrg) }
       } :+ (("_prows", count(lit(1)), (c: Column) => sum(c)))
+    graft.core.StorageLimits.flushPending() // reject BEFORE the eager level-1 pass
     val level1 = filtered
       .withColumn("t", tb)
       .groupBy((keys.map(col) :+ col("t")): _*)
@@ -290,6 +291,7 @@ object Rollup {
         partialCols.tail.map(p => p._2.as(p._1)): _*)
       // materialized once: the strategy choice needs its count, and both
       // merge strategies reuse it without recomputing the level-1 pass
+      // (storage limits flush first: rejection precedes the eager pass)
       .localCheckpoint(true)
     graft.core.CheckpointGc.note()
     val buckets = level1.count()
@@ -470,6 +472,8 @@ object Rollup {
     //  - AQE would coalesce that tiny exchange to ONE partition (it
     //    cannot see the ratio× explode behind it) and serialize the
     //    whole merge (19.4 s single-task) — hence the explicit count.
+    if (fillFromLevel1) // reject BEFORE the eager level-1 materialization
+      graft.core.StorageLimits.flushPending()
     val level1 =
       if (fillFromLevel1)
         { graft.core.CheckpointGc.note(); level1Lazy.localCheckpoint(true) }

@@ -580,23 +580,15 @@ object Dedup {
     * selectors don't split.
     */
   def parseDownsamplingPeriods(flag: String): Seq[DownsamplePeriod] = {
-    def splitTop(s: String): Seq[String] = {
-      val out = Seq.newBuilder[String]
-      var depth = 0; val cur = new StringBuilder
-      s.foreach {
-        case '{' => depth += 1; cur += '{'
-        case '}' => depth -= 1; cur += '}'
-        case ',' if depth == 0 => out += cur.result(); cur.clear()
-        case c => cur += c
-      }
-      out += cur.result()
-      out.result().map(_.trim).filter(_.nonEmpty)
-    }
-    val periods = splitTop(flag).map { part =>
+    // quote-aware scanning shared with -retentionFilter (Lexer.splitTopLevel
+    // / selectorEnd): braces/colons/commas inside quoted label values must
+    // not split entries or end the selector
+    val periods = graft.lang.Lexer.splitTopLevel(flag).map { part =>
       val (sel, rest) =
         if (part.startsWith("{")) {
-          val ci = part.indexOf("}:")
-          require(ci > 0, s"cannot parse downsampling period: $part")
+          val ci = graft.lang.Lexer.selectorEnd(part)
+          require(ci > 0 && ci + 1 < part.length && part.charAt(ci + 1) == ':',
+            s"cannot parse downsampling period: $part")
           (Some(part.substring(0, ci + 1)), part.substring(ci + 2))
         } else (None, part)
       val xs = rest.split(':')

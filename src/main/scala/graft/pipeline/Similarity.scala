@@ -662,10 +662,14 @@ object Similarity {
       .filter(col("orig_id").isNotNull && size(col("vec")) > 0)
       .orderBy("orig_id")
     val schema = prepared.schema.add("sid", org.apache.spark.sql.types.LongType)
+    // persisted: ivfTrain's per-iteration actions, the pair job and the
+    // two id-restore joins all read this frame — uncached, each action
+    // would recompute the sort + zipWithIndex stages (the minhashDedup
+    // persist-then-release house pattern)
     val withSid = spark.createDataFrame(
       prepared.rdd.zipWithIndex.map { case (r, i) =>
         org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
-      schema)
+      schema).persist()
     val cents = ivfTrain(withSid, nClusters, iters, "sid", "vec")
     val one = nearestUdf(cents, 1)
     val pairs = withSid
@@ -695,11 +699,14 @@ object Similarity {
         out.result()
       }
       .toDF("sid_a", "sid_b", "cosine")
-    // restore original ids: dup pairs ≪ corpus, so AQE broadcasts the
-    // pair side of each restore join at runtime
-    pairs
+    // restore original ids (dup pairs ≪ corpus — AQE broadcasts the pair
+    // side), then materialize the small result and release the cache
+    val out = pairs
       .join(withSid.select(col("sid").as("sid_a"), col("orig_id").as("id_a")), "sid_a")
       .join(withSid.select(col("sid").as("sid_b"), col("orig_id").as("id_b")), "sid_b")
       .select(col("id_a"), col("id_b"), col("cosine"))
+      .localCheckpoint(true)
+    withSid.unpersist()
+    out
   }
 }

@@ -1111,17 +1111,17 @@ object LineFormats {
     * VALUES drop per-row, matching this object's tolerance convention.
     */
   /** csv line-frame parse for the streaming landing zone: each FILE in a
-    * zone may start with a header row, so header-looking lines (column
-    * names instead of parseable values for the format's typed fields)
-    * drop per row — the reference's stream parser does the same check on
-    * its first row (csvimport stream.go)
+    * zone may start with a header row, but no special header pass is
+    * needed — the per-cell tolerance already handles it (an unparseable
+    * TIME cell drops the row; an unparseable METRIC cell drops just that
+    * sample), so a header line contributes nothing while a data line with
+    * one bad metric cell still lands its good samples — the same
+    * per-sample behavior the HTTP body path has. (A whole-line
+    * csvIsHeaderRow filter here dropped multi-metric data lines when any
+    * single cell was bad.)
     */
-  def csvImportLines(lines: DataFrame, format: String, defaultTsMs: Long): DataFrame = {
-    val isHeader = udf((line: String) => line != null && csvIsHeaderRow(line, format))
-    csvImportFormatted(
-      lines.filter(col("line").isNotNull && !isHeader(col("line"))),
-      format, defaultTsMs)
-  }
+  def csvImportLines(lines: DataFrame, format: String, defaultTsMs: Long): DataFrame =
+    csvImportFormatted(lines.filter(col("line").isNotNull), format, defaultTsMs)
 
   def csvImportFormatted(lines: DataFrame, format: String, defaultTsMs: Long): DataFrame = {
     val entries = format.split(',').toSeq.zipWithIndex.map { case (ent, i) =>

@@ -67,6 +67,12 @@ class RetentionFilterSpec extends SparkSpec {
     assert(SampleStore.read(spark, out).count() == 8)
     assert(!SampleStore.restoreSnapshot(path, "../evil", out))
     assert(!SampleStore.restoreSnapshot(path, "nope", out))
+    // IN-PLACE rollback: existing data files are cleared first, so the
+    // post-snapshot appends really disappear (vmrestore deletes the
+    // target's contents before restoring); the snapshot itself survives
+    assert(SampleStore.restoreSnapshot(path, name, path))
+    assert(SampleStore.read(spark, path).count() == 8)
+    assert(SampleStore.listSnapshots(path) == Seq(name))
   }
 
   test("applyRetentionFilters rewrites the store") {

@@ -77,6 +77,38 @@ class StorageLimitsSpec extends SparkSpec {
     } finally reset()
   }
 
+  test("limits reject BEFORE the two-level counter's eager level-1 pass") {
+    try {
+      StorageLimits.maxSamplesPerQuery = 1L
+      val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+          e match {
+            case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+              execs.incrementAndGet(); ()
+            case _ => ()
+          }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // a fillable counter over window ≫ step EAGERLY materializes its
+        // level-1 checkpoint at construction — the batched pre-count must
+        // flush (and throw) first, so the ONLY SQL execution is the
+        // pre-count itself, never the data-scale level-1 pass
+        val wide = GridSpec(1704067200000L, 1704067200000L + 7L * 86400000L, 60000L)
+        intercept[IllegalArgumentException](
+          graft.Engine.query(samples, "increase(click[11h])", wide, 7200000L))
+        var last = -1
+        var spins = 0
+        while (execs.get() != last && spins < 40) {
+          last = execs.get(); Thread.sleep(100); spins += 1
+        }
+        assert(execs.get() == 1,
+          s"rejection must precede the eager level-1 pass; saw ${execs.get()} executions")
+      } finally spark.sparkContext.removeSparkListener(listener)
+    } finally reset()
+  }
+
   test("limits disabled by default: no pre-count work, queries unaffected") {
     assert(!StorageLimits.enabled)
     assert(graft.Engine.query(samples, "count(click)", grid, 7200000L).count() > 0)

@@ -159,6 +159,18 @@ class IngestSpec extends SparkSpec {
     assert(out.filter(col("name") === "temp").count() == 2)
     assert(out.filter(col("tags")("host") === "h2").count() == 1)
     assert(out.agg(sum("value")).head().getDouble(0) == 44.0)
+
+    // per-sample tolerance (matches the HTTP body path): one bad metric
+    // cell drops only that sample, not the whole multi-metric line
+    val landing2 = tmp("clanding2")
+    val store2 = tmp("cstore2")
+    val ckpt2 = tmp("cckpt2")
+    drop(landing2, "a.csv", "1704067200000,N/A,42\n")
+    Ingest.toStore(spark, landing2, store2, ckpt2, 0L,
+      format = "csv:1:time:unix_ms,2:metric:a,3:metric:b").awaitTermination()
+    val out2 = Ingest.readStore(spark, store2)
+    assert(out2.count() == 1)
+    assert(out2.head().getString(0) == "b" && out2.head().getDouble(3) == 42.0)
   }
 
   test("aggregate-at-ingest: stored output hash-matches the batch aggregator across a restart") {
