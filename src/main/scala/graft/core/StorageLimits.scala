@@ -17,10 +17,11 @@ package graft.core
   *
   * Enforcement: the reference checks counters inline while unpacking
   * blocks; a declarative Spark plan has no mid-scan hook, so when a
-  * limit is set every selector fetch runs ONE aggregate-only pre-count
-  * over the query's time span — a column-pruned count scan that costs
-  * far less than the evaluation it guards, and rejects BEFORE any
-  * expensive work is scheduled.
+  * limit is set every selector leaf REGISTERS an aggregate-only
+  * pre-count over its time span, and a query runs them as ONE union job
+  * — a column-pruned count scan that costs far less than the evaluation
+  * it guards, flushed BEFORE any eager construction work (see
+  * pendingFlush below) and always before execution.
   */
 object StorageLimits {
   @volatile var maxSamplesPerQuery: Long = 0L

@@ -43,6 +43,12 @@ class RetentionFilterSpec extends SparkSpec {
     assert(filters.map(f => (f.selector, f.retentionMs / D)) === Seq(
       ("""{team="juniors",__name__=~"m|n"}""", 3L),
       ("""{team=~"juniors|devs"}""", 30L)))
+    // quote-aware scanning: braces/colons/commas INSIDE a quoted label
+    // value must not split entries or truncate the selector
+    val quoted = SampleStore.parseRetentionFilters(
+      Seq("""{path=~"a{1}:.*,x"}:7d,{team="b"}:14d"""), 30 * D)
+    assert(quoted.map(f => (f.selector, f.retentionMs / D)) === Seq(
+      ("""{path=~"a{1}:.*,x"}""", 7L), ("""{team="b"}""", 14L)))
     def bad(fs: Seq[String], period: Long): String =
       intercept[IllegalArgumentException](
         SampleStore.parseRetentionFilters(fs, period)).getMessage
