@@ -15,13 +15,36 @@ package graft.core
 object CheckpointGc {
   private val created = new java.util.concurrent.atomic.AtomicLong(0L)
   @volatile private var lastGcAt = 0L
+  private val gcQueued = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  // Single background daemon runs the System.gc() — a synchronous GC on
+  // the HTTP worker thread would charge the stop-the-world pause to the
+  // request that happened to cross the threshold AND stall every
+  // in-flight query JVM-wide while holding the request's latency budget.
+  // The queue depth is effectively 1 (gcQueued), so a GC storm can't
+  // build up behind a slow collector.
+  private lazy val gcRunner = {
+    val ex = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, "graft-checkpoint-gc")
+      t.setDaemon(true)
+      t
+    })
+    ex
+  }
 
   def note(): Unit = { created.incrementAndGet(); () }
 
   def maybeGc(threshold: Int = 16): Unit = {
     val n = created.get()
-    if (n - lastGcAt >= threshold) synchronized {
-      if (n - lastGcAt >= threshold) { lastGcAt = n; System.gc() }
+    if (n - lastGcAt >= threshold && gcQueued.compareAndSet(false, true)) {
+      lastGcAt = n
+      gcRunner.execute(() =>
+        try System.gc()
+        finally gcQueued.set(false))
     }
   }
+
+  /** test hook: block until a queued GC (if any) has completed */
+  def awaitQuiesce(): Unit =
+    gcRunner.submit(new Runnable { def run(): Unit = () }).get()
 }

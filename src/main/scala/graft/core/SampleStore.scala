@@ -25,19 +25,23 @@ object SampleStore {
       .parquet(path)
 
   /** read back; time-range predicates prune date partitions */
-  def read(spark: SparkSession, path: String): DataFrame =
+  def read(spark: SparkSession, path: String): DataFrame = {
+    migrateLegacySnapshots(path)
     spark.read.parquet(path).drop("date")
+  }
 
   /** read a time range — the date predicate is derived from the ts range
     * so Catalyst prunes partitions BEFORE reading footers.
     */
-  def readRange(spark: SparkSession, path: String, fromMs: Long, toMs: Long): DataFrame =
+  def readRange(spark: SparkSession, path: String, fromMs: Long, toMs: Long): DataFrame = {
+    migrateLegacySnapshots(path)
     spark.read.parquet(path)
       .filter(
         col("date") >= to_date(timestamp_millis(lit(fromMs))) &&
           col("date") <= to_date(timestamp_millis(lit(toMs))))
       .filter(col("ts") >= fromMs && col("ts") <= toMs)
       .drop("date")
+  }
 
   /** retention enforcement = drop partitions older than the deadline by
     * rewriting the kept range (on real deployments: partition DROP).
@@ -206,6 +210,35 @@ object SampleStore {
   private def snapshotsRoot(path: String): java.nio.file.Path =
     java.nio.file.Paths.get(path, "_snapshots")
 
+  /** Migrate a pre-r9 `snapshots/` dir (no underscore) to `_snapshots/`:
+    * the legacy location breaks every read of the store root with
+    * CONFLICTING_DIRECTORY_STRUCTURES (Spark's partition discovery sees a
+    * non-`date=` directory) and its snapshots are invisible to
+    * list/restore/delete. Renames the whole dir when the new root is
+    * absent; otherwise moves each snapshot that doesn't clash. Cheap
+    * no-op (one isDirectory check) on already-migrated stores.
+    */
+  private def migrateLegacySnapshots(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val legacy = Paths.get(path, "snapshots")
+    if (!Files.isDirectory(legacy)) return
+    val root = snapshotsRoot(path)
+    if (!Files.exists(root)) { Files.move(legacy, root); () }
+    else {
+      scala.util.Using.resource(Files.list(legacy)) {
+        _.forEach { child =>
+          val dst = root.resolve(child.getFileName)
+          if (!Files.exists(dst)) { Files.move(child, dst); () }
+        }
+      }
+      // remove the legacy dir if drained (a clash leaves it, and the
+      // caller's read would still fail loudly — better than silent loss)
+      scala.util.Using.resource(Files.list(legacy)) { s =>
+        if (!s.iterator().hasNext) { Files.delete(legacy); () }
+      }
+    }
+  }
+
   /** UTC yyyyMMddHHmmss-<8-hex seq>, the reference's snapshot name shape */
   def snapshotName(nowMs: Long = System.currentTimeMillis()): String =
     java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
@@ -216,6 +249,7 @@ object SampleStore {
   def createSnapshot(path: String,
       nowMs: Long = System.currentTimeMillis()): String = {
     import java.nio.file.{Files, Paths}
+    migrateLegacySnapshots(path)
     val name = snapshotName(nowMs)
     val root = Paths.get(path)
     val dst = snapshotsRoot(path).resolve(name)
@@ -234,6 +268,7 @@ object SampleStore {
 
   def listSnapshots(path: String): Seq[String] = {
     import java.nio.file.Files
+    migrateLegacySnapshots(path)
     val root = snapshotsRoot(path)
     if (!Files.isDirectory(root)) Nil
     else {
@@ -257,6 +292,7 @@ object SampleStore {
   def restoreSnapshot(path: String, name: String, outPath: String): Boolean = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     if (name.isEmpty || name.contains('/') || name.contains("..")) return false
+    migrateLegacySnapshots(path)
     val src = snapshotsRoot(path).resolve(name)
     if (!Files.isDirectory(src)) return false
     val dst = Paths.get(outPath)
@@ -282,6 +318,7 @@ object SampleStore {
     // refuse names that escape the snapshots dir (the reference validates
     // against its snapshot-name regexp for the same reason)
     if (name.isEmpty || name.contains('/') || name.contains("..")) return false
+    migrateLegacySnapshots(path)
     val dir = snapshotsRoot(path).resolve(name)
     if (!Files.isDirectory(dir)) return false
     scala.util.Using.resource(Files.walk(dir)) {

@@ -37,8 +37,19 @@ object StorageLimits {
   // expensive work they exist to prevent; the hook is a no-op when
   // limits are disabled or nothing is registered.
   private val pendingFlush = new ThreadLocal[() => Unit]
-  def setPendingFlush(f: () => Unit): Unit = pendingFlush.set(f)
-  def clearPendingFlush(): Unit = pendingFlush.remove()
+
+  /** install a hook, returning the previously-installed one (null when
+    * none) — a nested top-level eval on the same thread must restore its
+    * caller's hook on exit, not unconditionally remove it, or the outer
+    * query loses reject-before-eager-work for its remainder
+    */
+  def swapPendingFlush(f: () => Unit): () => Unit = {
+    val prev = pendingFlush.get()
+    pendingFlush.set(f)
+    prev
+  }
+  def restorePendingFlush(prev: () => Unit): Unit =
+    if (prev == null) pendingFlush.remove() else pendingFlush.set(prev)
   def flushPending(): Unit = {
     val f = pendingFlush.get()
     if (f != null) f()

@@ -394,10 +394,11 @@ object Eval {
     // EAGER work (rollup level-1 checkpoint, binop adaptive checkpoint,
     // histogram LE checkpoint) flush the registered leaves FIRST via the
     // StorageLimits hook, so rejection still precedes the expensive work.
-    graft.core.StorageLimits.setPendingFlush(() => ev.enforceStorageLimits())
+    val prevHook =
+      graft.core.StorageLimits.swapPendingFlush(() => ev.enforceStorageLimits())
     val v =
       try ev.eval(expr)
-      finally graft.core.StorageLimits.clearPendingFlush()
+      finally graft.core.StorageLimits.restorePendingFlush(prevHook)
     ev.enforceStorageLimits()
     v
   } match {
@@ -451,7 +452,12 @@ object Eval {
       rows.foreach { row =>
         if (maxSamples > 0 && row.getLong(0) > maxSamples)
           throw graft.core.StorageLimits.samplesError(maxSamples)
-        if (maxSeries > 0 && row.getLong(1) >= 0 && row.getLong(1) > maxSeries)
+        // the series column can be NULL, not just the -1 sentinel: a leaf
+        // registered while maxUniqueTimeseries was off aggregates
+        // max(lit(-1L)) over an EMPTY scoped frame → NULL; if the flag is
+        // toggled on before this flush runs, an unguarded getLong NPEs
+        if (maxSeries > 0 && !row.isNullAt(1) && row.getLong(1) >= 0 &&
+          row.getLong(1) > maxSeries)
           throw graft.core.StorageLimits.seriesError(maxSeries)
       }
     }

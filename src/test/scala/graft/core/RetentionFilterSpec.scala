@@ -81,6 +81,27 @@ class RetentionFilterSpec extends SparkSpec {
     assert(SampleStore.listSnapshots(path) == Seq(name))
   }
 
+  test("legacy snapshots/ dir migrates to _snapshots/ on first access") {
+    // a store created before the `_snapshots` layout keeps an unprefixed
+    // snapshots/ dir that breaks partition discovery on every read AND
+    // hides its snapshots from list/restore — first access must migrate
+    val path = "target/retention_filter_spec/legacy"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    SampleStore.write(frame, path)
+    val name = SampleStore.createSnapshot(path, nowMs = now)
+    // simulate the pre-r9 layout by un-prefixing the snapshots root
+    val root = java.nio.file.Paths.get(path)
+    java.nio.file.Files.move(root.resolve("_snapshots"), root.resolve("snapshots"))
+    // read no longer throws CONFLICTING_DIRECTORY_STRUCTURES…
+    assert(SampleStore.read(spark, path).count() == 8)
+    // …and the legacy snapshot is visible and restorable again
+    assert(SampleStore.listSnapshots(path) == Seq(name))
+    SampleStore.write(frame, path) // mutate
+    assert(SampleStore.restoreSnapshot(path, name, path))
+    assert(SampleStore.read(spark, path).count() == 8)
+    assert(!java.nio.file.Files.exists(root.resolve("snapshots")))
+  }
+
   test("applyRetentionFilters rewrites the store") {
     val path = "target/retention_filter_spec/in"
     val out = "target/retention_filter_spec/out"

@@ -113,4 +113,36 @@ class StorageLimitsSpec extends SparkSpec {
     assert(!StorageLimits.enabled)
     assert(graft.Engine.query(samples, "count(click)", grid, 7200000L).count() > 0)
   }
+
+  test("pendingFlush hook is reentrant: nested install restores the outer hook") {
+    // a nested top-level eval on the same thread must not strip its
+    // caller's reject-before-eager-work hook on exit
+    val calls = scala.collection.mutable.ArrayBuffer.empty[String]
+    val prev = StorageLimits.swapPendingFlush(() => calls += "outer")
+    try {
+      val outer = StorageLimits.swapPendingFlush(() => calls += "inner")
+      StorageLimits.flushPending()
+      StorageLimits.restorePendingFlush(outer)
+      StorageLimits.flushPending() // the old clear() would have dropped this
+      assert(calls.toList == List("inner", "outer"))
+    } finally StorageLimits.restorePendingFlush(prev)
+  }
+
+  test("series limit toggled on after a sentinel registration does not NPE") {
+    // a leaf registered while maxUniqueTimeseries was OFF carries the
+    // max(lit(-1L)) sentinel, which aggregates to NULL over an empty
+    // scoped frame; a flush running after the flag is toggled on must
+    // treat the NULL as "not counted", not crash. Nested evals share the
+    // pendingLimits buffer, so the toggle can't be interleaved from a
+    // test thread — assert the equivalent end state instead: an empty
+    // selector with both limits on (count and countDistinct are 0 over
+    // empty, never NULL) and the sentinel path with the series limit off.
+    try {
+      StorageLimits.maxSamplesPerQuery = 1000000L
+      StorageLimits.maxUniqueTimeseries = 0L
+      assert(graft.Engine.query(samples, "no_such_metric", grid, 7200000L).count() == 0)
+      StorageLimits.maxUniqueTimeseries = 5L
+      assert(graft.Engine.query(samples, "no_such_metric", grid, 7200000L).count() == 0)
+    } finally reset()
+  }
 }
