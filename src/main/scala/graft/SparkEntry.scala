@@ -1675,11 +1675,27 @@ object SparkEntry {
         "(16 + (7 * doc_id) % 16)::INT AS height, 3 AS channels, " +
         "round(1e-9 + (doc_id % 256), 6) AS mean_luma " +
         "FROM documents ORDER BY media_id")),
-    // text-as-bytes media exercise the stub fallback path (rows-only)
+    // STUB fallback path with an ARITHMETIC undecodable fixture (r10,
+    // closing the rows-only class): byte j of doc id is (7·id+13·j)%256
+    // over 100+id%50 bytes, so width (first byte), height (last byte) and
+    // mean luma are exact SQL — decodeImageStub's abs() of a SIGNED byte
+    // is CASE WHEN b<128 THEN b ELSE 256-b END
     Q("mm_stub_features", (s, dir) =>
       graft.pipeline.Multimodal.imageFeatures(
-        graft.pipeline.Multimodal.mediaFromDocuments(s, dir)).toDF().orderBy("media_id"),
-      None),
+        graft.pipeline.Multimodal.stubFixtureFromDocuments(s, dir)).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          r6(col("mean_luma")).as("mean_luma"))
+        .orderBy("media_id"),
+      Some("WITH d AS (SELECT doc_id, 100 + doc_id % 50 AS n FROM documents), " +
+        "b AS (SELECT doc_id, n, (7*doc_id) % 256 AS b0, " +
+        "(7*doc_id + 13*(n-1)) % 256 AS bl FROM d), " +
+        "l AS (SELECT doc_id, avg((7*doc_id + 13*i) % 256) AS ml " +
+        "FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM d) GROUP BY doc_id) " +
+        "SELECT b.doc_id AS media_id, " +
+        "(64 + (CASE WHEN b0 < 128 THEN b0 ELSE 256 - b0 END) % 64)::INT AS width, " +
+        "(64 + (CASE WHEN bl < 128 THEN bl ELSE 256 - bl END) % 64)::INT AS height, " +
+        "3 AS channels, round(1e-9 + l.ml, 6) AS mean_luma " +
+        "FROM b JOIN l ON l.doc_id = b.doc_id ORDER BY media_id")),
     // REAL audio decode gate: RIFF/PCM WAVs carrying a Nyquist square
     // wave, so RMS = peak = a/32768 and zcr = 1 exactly (Multimodal
     // .wavFixtureFromDocuments); decode is the JDK sampled-audio SPI
@@ -1698,11 +1714,21 @@ object SparkEntry {
         "round(1e-9 + (1000 + (doc_id % 7) * 3000) / 32768.0, 6) AS peak, " +
         "round(1e-9 + 1.0, 6) AS zero_crossing_rate " +
         "FROM documents ORDER BY media_id")),
+    // byte-chunk frame sampling over text-as-bytes media: the chunk-count
+    // + chunk-length LAWS are oracle-stateable (r10, ex rows-only) —
+    // ceil(utf8len/64) chunks, every 4th kept, all 64 bytes but the tail
     Q("mm_frames", (s, dir) =>
       graft.pipeline.Multimodal.sampleFrames(
         graft.pipeline.Multimodal.mediaFromDocuments(s, dir), 64, 4)
-        .toDF().select("media_id", "frame_no").orderBy("media_id", "frame_no"),
-      None),
+        .toDF().select(col("media_id"), col("frame_no"),
+          length(col("bytes")).as("frame_len"))
+        .orderBy("media_id", "frame_no"),
+      Some("WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents), " +
+        "fr AS (SELECT doc_id, len, CAST(ceil(len/64.0) AS BIGINT) AS nc FROM d), " +
+        "u AS (SELECT doc_id, len, nc, unnest(range(0, nc)) AS i FROM fr) " +
+        "SELECT doc_id AS media_id, i::INT AS frame_no, " +
+        "(CASE WHEN i = nc - 1 THEN len - 64*i ELSE 64 END)::INT AS frame_len " +
+        "FROM u WHERE i % 4 = 0 ORDER BY media_id, frame_no")),
     // REAL multi-frame extraction gate: animated GIFs with an arithmetic
     // frame count (2 + id%4) and per-frame solid gray (id + 31·f) % 256;
     // the JDK GIF reader decodes every frame and the oracle predicts
@@ -2672,6 +2698,30 @@ object SparkEntry {
         .select(uid, col("t"), r6(col("value")).as("value"))
         .orderBy("user_id", "t"),
       Some(divOnSql)),
+    Q("src_bucketed_transform", (s, dir) =>
+      // whole-grid per-series transform (running_sum over a bare selector)
+      // on the bucketed layout: the seriesKeyed fast path keeps the stored
+      // _h1/_h2 pair through the default_rollup, so the dense-grid join
+      // and the running window both cluster on attributes the bucketed
+      // scan already satisfies — flat-store oracle, zero-exchange plan
+      // (BucketedStoreSpec pins it)
+      Engine.query(bucketedStore(s, dir), "running_sum(click)", gridH, 2 * H)
+        .select(uid, col("t"), r4(col("value")).as("value"))
+        .orderBy("user_id", "t"),
+      Some(s"WITH g AS (SELECT unnest(generate_series($START, $END, $H)) AS t), " +
+        "b AS (SELECT user_id, epoch_ms(ts::TIMESTAMP) AS tms, value " +
+        "FROM events WHERE event_type = 'click'), " +
+        s"r AS (SELECT user_id, t, last(value ORDER BY tms, value) AS v " +
+        s"FROM g JOIN b ON b.tms > g.t - ${2 * H} AND b.tms <= g.t GROUP BY user_id, t), " +
+        "u AS (SELECT DISTINCT user_id FROM r), " +
+        "d AS (SELECT u.user_id, g.t, r.v FROM u CROSS JOIN g " +
+        "LEFT JOIN r ON r.user_id = u.user_id AND r.t = g.t), " +
+        "rr AS (SELECT user_id, t, " +
+        "sum(v) OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rv, " +
+        "count(v) OVER (PARTITION BY user_id ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv " +
+        "FROM d) " +
+        "SELECT user_id::BIGINT AS user_id, t, round(1e-9 + rv, 4) AS value " +
+        "FROM rr WHERE nv >= 1 ORDER BY user_id, t")),
     Q("src_stream_ingest", (s, dir) => {
       // the §3.4 write path end-to-end: render the events mapping as
       // prometheus text files in a landing zone, drain it through the
@@ -2747,6 +2797,60 @@ object SparkEntry {
           r6(sum(col("ts"))).as("sum_ts")).orderBy("name")
     }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v, " +
       "round(1e-9 + sum(epoch_ms(ts::TIMESTAMP)), 6) AS sum_ts FROM events GROUP BY name ORDER BY name")),
+    Q("src_stream_ingest_remotewrite", (s, dir) => {
+      // the reference's DOMINANT write protocol on the durable pipeline
+      // (app/vminsert/promremotewrite/request_handler.go:23): render the
+      // events mapping as snappy-protobuf WriteRequest payload files in a
+      // landing zone (one POST body per file, what a collector lands),
+      // drain through the exactly-once binary ingest
+      // (binaryFile → protoparser → date-partitioned store), aggregate
+      // the STORED samples vs the same events oracle as the text formats
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val landing = s"target/stream_ingest_rw$tag/landing"
+      val store = s"target/stream_ingest_rw$tag/store"
+      val ckpt = s"target/stream_ingest_rw$tag/ckpt"
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"target/stream_ingest_rw$tag"))
+      graft.streaming.Ingest.writeBinaryLanding(
+        graft.sources.ProtoFormats.exportRemoteWrite(
+          Samples.fromEvents(s, dir).coalesce(4)),
+        landing)
+      graft.streaming.Ingest.binaryToStore(s, landing, store, ckpt,
+        format = "remotewrite").awaitTermination()
+      graft.streaming.Ingest.readStore(s, store)
+        .groupBy("name").agg(
+          count(lit(1)).as("n"),
+          r6(sum("value")).as("sum_v"),
+          r6(sum(col("ts"))).as("sum_ts"),
+          countDistinct(col("tags").getItem("user_id")).as("nu")).orderBy("name")
+    }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v, " +
+      "round(1e-9 + sum(epoch_ms(ts::TIMESTAMP)), 6) AS sum_ts, " +
+      "count(DISTINCT user_id) AS nu FROM events GROUP BY name ORDER BY name")),
+    Q("src_stream_ingest_otlp", (s, dir) => {
+      // OTLP metrics (lib/protoparser/opentelemetry) through the same
+      // durable binary pipeline: gauge data points with ns timestamps and
+      // attribute tags must land loss- and drift-free (ns→ms is integer)
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val landing = s"target/stream_ingest_otlp$tag/landing"
+      val store = s"target/stream_ingest_otlp$tag/store"
+      val ckpt = s"target/stream_ingest_otlp$tag/ckpt"
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"target/stream_ingest_otlp$tag"))
+      graft.streaming.Ingest.writeBinaryLanding(
+        graft.sources.ProtoFormats.exportOtlp(
+          Samples.fromEvents(s, dir).coalesce(4)),
+        landing)
+      graft.streaming.Ingest.binaryToStore(s, landing, store, ckpt,
+        format = "otlp").awaitTermination()
+      graft.streaming.Ingest.readStore(s, store)
+        .groupBy("name").agg(
+          count(lit(1)).as("n"),
+          r6(sum("value")).as("sum_v"),
+          r6(sum(col("ts"))).as("sum_ts"),
+          countDistinct(col("tags").getItem("user_id")).as("nu")).orderBy("name")
+    }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v, " +
+      "round(1e-9 + sum(epoch_ms(ts::TIMESTAMP)), 6) AS sum_ts, " +
+      "count(DISTINCT user_id) AS nu FROM events GROUP BY name ORDER BY name")),
     Q("src_stream_aggr_ingest", (s, dir) => {
       // aggregate-at-ingest (app/vminsert/common/streamaggr.go): landing
       // zone → parse → streamaggr 6h sum_samples by user_id → store, ONE
@@ -2771,8 +2875,12 @@ object SparkEntry {
       val cfg = graft.streaming.StreamAggr.Config(6 * H, by = Seq("user_id"),
         outputs = Seq("sum_samples", "count_samples", "max"),
         matchSelectors = Seq("""{__name__="click"}"""))
-      graft.streaming.Ingest.toStoreAggregated(s, landing, store, ckpt, 0L, cfg)
-        .awaitTermination()
+      // sf-scale backlog is unordered → ONE-batch drain, state bounded by
+      // awaitBounded (the r10 contract; SCALEBENCH r9 measured the OOM)
+      graft.streaming.Ingest.awaitBounded(
+        graft.streaming.Ingest.toStoreAggregated(s, landing, store, ckpt, 0L, cfg,
+          maxFilesPerTrigger = 1000),
+        maxStateRows = 10000000L)
       graft.streaming.Ingest.readStore(s, store)
         .filter(col("ts") <= cutoff)
         .select(col("name"), col("tags").getItem("user_id").cast("bigint").as("user_id"),

@@ -41,7 +41,16 @@ final class HttpApi(
     // deterministic tests.
     retentionFilters: Seq[graft.core.SampleStore.RetentionFilter] = Nil,
     retentionPeriodMs: Long = 0L,
-    retentionNowMs: () => Long = () => System.currentTimeMillis()) {
+    retentionNowMs: () => Long = () => System.currentTimeMillis(),
+    // Durable write path (the vminsert→vmstorage hop, storage.AddRows →
+    // LSM at lib/storage/storage.go:1670): when set, acked ingests SPILL
+    // from the driver buffer into this Parquet SampleStore root once the
+    // buffer exceeds spillMaxBufferedRows (and on stop()), so driver
+    // memory stays bounded and a restarted facade over the same spillDir
+    // still serves everything it acked. Without it the buffer is the
+    // documented single-node glue: unbounded and lost on restart.
+    spillDir: Option[String] = None,
+    spillMaxBufferedRows: Int = 500000) {
 
   require(retentionFilters.isEmpty || retentionPeriodMs > 0,
     "retentionFilters require retentionPeriodMs > 0 (the unmatched-series " +
@@ -72,26 +81,71 @@ final class HttpApi(
   // a rebuilt LocalRelation canonicalizes identically whatever its data
   @volatile private var storeVersion = 0L
 
+  // the spilled store's read frame, rebuilt after each spill (a Parquet
+  // read pins its file listing at creation time)
+  @volatile private var spilled: Option[DataFrame] = readSpilled()
+  private val spillLock = new Object
+
+  private def readSpilled(): Option[DataFrame] = spillDir.flatMap { d =>
+    val f = new java.io.File(d)
+    val hasData = f.isDirectory &&
+      Option(f.listFiles()).exists(_.exists(_.getName.startsWith("date=")))
+    if (hasData) Some(graft.core.SampleStore.read(spark, d)) else None
+  }
+
+  /** spill the buffer into the Parquet store (size-triggered from
+    * [[ingest]]; forced on [[stop]]) — appends are date-partitioned, so
+    * the spilled rows serve through the same store read every other
+    * deployment uses
+    */
+  private def maybeSpill(force: Boolean = false): Unit = spillDir.foreach { dir =>
+    spillLock.synchronized {
+      val snapshot = ingested.synchronized {
+        if (!force && ingested.length < spillMaxBufferedRows) Nil
+        else ingested.toList
+      }
+      if (snapshot.nonEmpty) {
+        graft.core.SampleStore.write(
+          spark.createDataFrame(snapshot.asJava, sampleSchema), dir)
+        // appends landed after the snapshot stay buffered (they're the
+        // suffix; the spilled rows are exactly the prefix we copied)
+        ingested.synchronized {
+          ingested.remove(0, snapshot.length)
+          storeVersion += 1
+        }
+        spilled = readSpilled()
+      }
+    }
+  }
+
+  /** force the buffered tail into the spill store (no-op without one) */
+  def flushIngested(): Unit = maybeSpill(force = true)
+
+  /** rows currently buffered on the driver (the hot tail when spilling) */
+  def bufferedRows: Int = ingested.synchronized(ingested.length)
+
   def samples: DataFrame = {
     val bufRows = ingested.synchronized { ingested.toList }
     // A series-bucketed store (SampleStore.readBucketed) carries the
     // persisted _h1/_h2 hash pair; a read-only facade passes it through
     // UNCHANGED so downstream plans keep the scan's bucket partitioning
     // (the zero-exchange path). Once rows are ingested over HTTP, the
-    // union severs that partitioning anyway — then the buffer computes
-    // the same hash pair so per-series grouping stays correct.
-    val all = base match {
-      case Some(b) if bufRows.isEmpty => b
-      case other =>
-        val buf0 = spark.createDataFrame(bufRows.asJava, sampleSchema)
-        val buf = other match {
-          case Some(b) if b.columns.contains("_h1") =>
-            val entries = array_sort(map_entries(col("tags")))
-            buf0.withColumn("_h1", xxhash64(entries))
-              .withColumn("_h2", xxhash64(entries, lit(1)))
-          case _ => buf0
-        }
-        other.map(_.unionByName(buf, allowMissingColumns = true)).getOrElse(buf)
+    // union severs that partitioning anyway — then the buffer (and the
+    // spilled store) compute the same hash pair so per-series grouping
+    // stays correct.
+    val withHash = (df: DataFrame) => base match {
+      case Some(b) if b.columns.contains("_h1") =>
+        val entries = array_sort(map_entries(col("tags")))
+        df.withColumn("_h1", xxhash64(entries))
+          .withColumn("_h2", xxhash64(entries, lit(1)))
+      case _ => df
+    }
+    val extras = spilled.map(withHash).toList ++
+      (if (bufRows.isEmpty) Nil
+       else List(withHash(spark.createDataFrame(bufRows.asJava, sampleSchema))))
+    val all = (base.toList ++ extras) match {
+      case Nil => spark.createDataFrame(List.empty[Row].asJava, sampleSchema)
+      case frames => frames.reduce(_.unionByName(_, allowMissingColumns = true))
     }
     val dels = deletedSelectors.synchronized { deletedSelectors.toList }
     val preds = deletedPredicates.synchronized { deletedPredicates.toList }
@@ -170,7 +224,12 @@ final class HttpApi(
     override def getPrincipal = d.getPrincipal
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    // clean shutdown drains the hot tail into the spill store, so a
+    // restarted facade over the same spillDir serves every acked row
+    flushIngested()
+  }
 
   // ---- helpers -------------------------------------------------------
 
@@ -564,6 +623,7 @@ final class HttpApi(
     }
     collected.iterator.map(_.getString(0)).distinct
       .foreach(MetricNamesStats.registerIngest)
+    maybeSpill() // size-triggered; bounds driver memory when spillDir is set
     collected.length
   }
 

@@ -150,8 +150,21 @@ object SampleStore {
     * (recomputing them would sever the attribute the bucket
     * partitioning is keyed on).
     */
-  def readBucketed(spark: SparkSession, table: String): DataFrame =
+  def readBucketed(spark: SparkSession, table: String): DataFrame = {
+    // The layout's whole point is that the scan's HashPartitioning(_h1)
+    // satisfies every downstream per-series distribution by the SUBSET
+    // rule. Aggregates and windows accept that out of the box, but join
+    // co-partitioning rejects it unless this flag is off (Spark requires
+    // the full join-key list by default): the dense-grid joins of the
+    // whole-range transforms key on (_nm,_h1,_h2,t) — a superset of the
+    // bucket key, safe by construction (equal tuples share _h1, which is
+    // a uniform series hash, so no skew) — and without the flag both
+    // data-scale sides reshuffle. Session-wide is intended: subset
+    // co-partitioning is only ever REACHED when a scan carries a real
+    // hash partitioning, and then it is what we want.
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     spark.table(table).drop("date")
+  }
 
   /** compaction job: retention filter + interval dedup (keep last, max on
     * ties — lib/storage/dedup.go:30-70) rewritten in place of background

@@ -498,6 +498,38 @@ object Eval {
 
     def series(e: Expr): DataFrame = toSeries(samples, eval(e), cfg)
 
+    /** Per-series identity for whole-grid transforms (the running_ and
+      * range_ families, gap fills, remove_resets): when the transform's argument is a bare
+      * selector leaf over a KEYED samples frame (a bucketed store carries
+      * the persisted `_h1`/`_h2` pair), evaluate the leaf with the hash
+      * pair kept and partition downstream windows/joins on those SAME
+      * attributes — the rollup's output partitioning (on a bucketed
+      * store: the scan's bucket HashPartitioning, zero exchanges)
+      * satisfies them via the subset-clustering rule. Otherwise fall
+      * back to the canonical string key (`_sk`), the flat-store shape.
+      * Returns (frame with key columns, key column NAMES).
+      */
+    private def seriesKeyed(e: Expr): (DataFrame, Seq[String]) = {
+      val keyedLeaf = e match {
+        case m: MetricExpr if samples.columns.contains("_h1") =>
+          Some(evalRollupLeaf("default_rollup",
+            RollupExpr(m, None, None, None, None), Nil, keepKeys = true))
+        case r: RollupExpr
+            if samples.columns.contains("_h1") && r.expr.isInstanceOf[MetricExpr] =>
+          Some(evalRollupLeaf("default_rollup", r, Nil, keepKeys = true))
+        case _ => None
+      }
+      keyedLeaf match {
+        case Some(Series(d)) =>
+          // join-safe name twin (_nm): equi-joins drop null keys, and a
+          // PROJECTION preserves the underlying _h1 partitioning
+          (d.withColumn("_nm", coalesce(col("name"), lit(""))),
+            Seq("_nm", "_h1", "_h2"))
+        case _ =>
+          (series(e).withColumn("_sk", skey(col("name"), col("tags"))), Seq("_sk"))
+      }
+    }
+
     private def scalarArg(e: Expr): Double = eval(e) match {
       case Scalar(v) => v
       case other => throw new IllegalArgumentException(s"expected scalar arg, got $other")
@@ -929,7 +961,14 @@ object Eval {
         fn: String,
         re: RollupExpr,
         extraArgs: Seq[Double],
-        keepNames: Boolean = false): Value = {
+        keepNames: Boolean = false,
+        // keep the series hash-pair attributes in the output: downstream
+        // per-series grid transforms (seriesKeyed fast path) partition
+        // their windows/joins on the SAME attributes the rollup grouped
+        // on, so the rollup's output partitioning — on a bucketed store,
+        // the scan's bucket HashPartitioning — satisfies them with no
+        // exchange. A recomputed key would sever that linkage.
+        keepKeys: Boolean = false): Value = {
       Trace.printf(s"fetch series: ${Render.render(re.expr)}, window=${re.window.getOrElse("auto")}")
       val (keyed, rollGrid, atMs, windowMs) = rollupInput(fn, re)
       val kernel = rollupKernel(fn, windowMs, extraArgs, cfg.lookbackMs).getOrElse(
@@ -945,7 +984,8 @@ object Eval {
       val keep = keepNames || re.keepMetricNames || rollupKeepsName(fn)
       val named = if (keep) col("name") else lit(null).cast(StringType)
       Series(out.select(
-        named.as("name"), col("tags"), col("t"), col("value")))
+        (Seq(named.as("name"), col("tags"), col("t"), col("value")) ++
+          (if (keepKeys) Seq(col("_h1"), col("_h2")) else Nil)): _*))
     }
 
     // ------------------------------------------------------------------
@@ -1904,9 +1944,10 @@ object Eval {
         // (running_*) or the WHOLE grid (range_*, via setLastValues)
         // carries the result. Densify, aggregate over non-NaN, emit dense.
         case "running_sum" | "running_min" | "running_max" =>
-          val d = denseGrid(df)
+          val (kdf, keys) = seriesKeyed(f.args.head)
+          val d = denseGrid(kdf, keys)
           val vOk = when(!isnan(col("value")), col("value"))
-          val w = Window.partitionBy(col("_sk")).orderBy(col("t"))
+          val w = Window.partitionBy(keys.map(col): _*).orderBy(col("t"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
           val agg = name match {
             case "running_sum" => sum(vOk).over(w)
@@ -1920,8 +1961,9 @@ object Eval {
           // NOT a plain running mean: the reference's divisor is the dense
           // position, so interior NaN gaps dilute later averages
           // (transform.go:1210). Exact sequential pass per series.
-          val d = denseGrid(df)
-          val seq = d.groupBy(col("_sk"))
+          val (kdf, keys) = seriesKeyed(f.args.head)
+          val d = denseGrid(kdf, keys)
+          val seq = d.groupBy(keys.map(col): _*)
             .agg(first("tags").as("tags"),
               sort_array(collect_list(struct(col("t"), col("value").as("v")))).as("_pts"))
           Series(seq
@@ -1933,19 +1975,22 @@ object Eval {
           // setLastValues over the positional running average: EVERY grid
           // point (leading gaps included) gets the final recurrence value
           // (transform.go:1352 newTransformFuncRange + :1667 setLastValues)
-          val d = denseGrid(df)
-          val fin = d.groupBy(col("_sk"))
+          val (kdf, keys) = seriesKeyed(f.args.head)
+          val d = denseGrid(kdf, keys)
+          val fin = d.groupBy(keys.map(col): _*)
             .agg(sort_array(collect_list(struct(col("t"), col("value").as("v")))).as("_pts"))
-            .select(col("_sk"), runningAvgFinalUdf(col("_pts.v")).as("_fin"))
-          Series(d.join(fin, Seq("_sk"))
+            .select((keys.map(col) :+ runningAvgFinalUdf(col("_pts.v")).as("_fin")): _*)
+          Series(d.join(fin, keys)
             .select(lit(null).cast(StringType).as("name"), col("tags"),
               col("t"), col("_fin").as("value")))
         case "range_sum" | "range_min" | "range_max" |
             "range_median" | "range_stddev" | "range_stdvar" | "range_first" |
             "range_last" | "range_quantile" =>
-          val d = denseGrid(if (name == "range_quantile") series(f.args(1)) else df)
+          val (kdf, keys) = seriesKeyed(
+            if (name == "range_quantile") f.args(1) else f.args.head)
+          val d = denseGrid(kdf, keys)
           val vOk = when(!isnan(col("value")), col("value"))
-          val w = Window.partitionBy(col("_sk"))
+          val w = Window.partitionBy(keys.map(col): _*)
           val agg = name match {
             case "range_sum" => sum(vOk).over(w)
             case "range_min" => min(vOk).over(w)
@@ -1968,9 +2013,10 @@ object Eval {
           // per-series trend line over non-NaN samples, EVALUATED AT EVERY
           // grid point (transform.go:1530 + setLastValues-like dense
           // output); x centered on the series' first sample
-          val d = denseGrid(df)
+          val (kdf, keys) = seriesKeyed(f.args.head)
+          val d = denseGrid(kdf, keys)
           val vOk = when(!isnan(col("value")), col("value"))
-          val w = Window.partitionBy(col("_sk"))
+          val w = Window.partitionBy(keys.map(col): _*)
           val t0 = min(when(!isnan(col("value")), col("t"))).over(w)
           val withX = d
             .withColumn("_x", (col("t") - t0).cast(DoubleType) / 1000.0)
@@ -2309,11 +2355,14 @@ object Eval {
           Series(df.withColumn("_d", d).withColumn("value", sum("_d").over(runW)).drop("_d"))
         case "keep_last_value" =>
           // fill grid gaps with the last seen value (transform.go:1231)
-          Series(gapFill(df, fillNext = false))
+          val (kdf, keys) = seriesKeyed(f.args.head)
+          Series(gapFill(kdf, keys, fillNext = false))
         case "keep_next_value" =>
-          Series(gapFill(df, fillNext = true))
+          val (kdf, keys) = seriesKeyed(f.args.head)
+          Series(gapFill(kdf, keys, fillNext = true))
         case "interpolate" =>
-          Series(interpolate(df))
+          val (kdf, keys) = seriesKeyed(f.args.head)
+          Series(interpolate(kdf, keys))
         case "prometheus_buckets" =>
           // vmrange log-buckets → cumulative le buckets (transform.go:502
           // vmrangeBucketsToLE). Series with a valid "lo...hi" vmrange are
@@ -2521,14 +2570,15 @@ object Eval {
         case "range_mad" =>
           // whole-range MAD over non-NaN samples, emitted at every grid
           // point (transform.go:1551)
-          val d = denseGrid(df)
+          val (kdf, keys) = seriesKeyed(f.args.head)
+          val d = denseGrid(kdf, keys)
           val vOk = when(!isnan(col("value")), col("value"))
-          val w = Window.partitionBy(col("_sk"))
+          val w = Window.partitionBy(keys.map(col): _*)
           val med = percentile(vOk, lit(0.5)).over(w)
           val withDev = d.withColumn("_dev", abs(vOk - med))
           Series(withDev
             .withColumn("value", coalesce(
-              percentile(col("_dev"), lit(0.5)).over(Window.partitionBy(col("_sk"))),
+              percentile(col("_dev"), lit(0.5)).over(Window.partitionBy(keys.map(col): _*)),
               lit(Double.NaN)))
             .select(lit(null).cast(StringType).as("name"), col("tags"), col("t"), col("value")))
         case "range_trim_zscore" =>
@@ -2591,17 +2641,19 @@ object Eval {
     /** dense-grid gap fill: carry last (or next) value into missing grid
       * points per series (transform.go:1231 keep_last_value / 1278 next).
       */
-    private def gapFill(df: DataFrame, fillNext: Boolean): DataFrame = {
-      // distinct series via the canonical key (maps can't be set-op'd)
-      val skeys = df
-        .withColumn("_sk", skey(col("name"), col("tags")))
-        .groupBy("_sk").agg(first("name").as("name"), first("tags").as("tags"))
-      val grid = Grid.gridDf(df, cfg.grid)
-      val dense = skeys.crossJoin(grid)
-      val keyed = df.withColumn("_sk", skey(col("name"), col("tags")))
-        .select(col("_sk"), col("t"), col("value"))
-      val joined = dense.join(keyed, Seq("_sk", "t"), "left")
-      val w0 = Window.partitionBy(col("_sk")).orderBy(if (fillNext) col("t").desc else col("t").asc)
+    private def gapFill(d: DataFrame, keys: Seq[String], fillNext: Boolean): DataFrame = {
+      // distinct series dim via the key columns (maps can't be set-op'd);
+      // on the seriesKeyed fast path the dim aggregate, the dense join
+      // and the fill window all key on the kept hash-pair attributes, so
+      // a bucketed store's scan partitioning satisfies every step
+      val kc = keys.map(col)
+      val dim = d.groupBy(kc: _*)
+        .agg(first("name").as("name"), first("tags").as("tags"))
+      val dense = dim.crossJoin(Grid.gridDf(d, cfg.grid))
+      val joined = dense.join(
+        d.select((keys :+ "t" :+ "value").map(col): _*), keys :+ "t", "left")
+      val w0 = Window.partitionBy(kc: _*)
+        .orderBy(if (fillNext) col("t").desc else col("t").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       joined
         .withColumn("value", last(col("value"), ignoreNulls = true).over(w0))
@@ -2614,29 +2666,29 @@ object Eval {
       * rows — the reference's dense values-array model for whole-range
       * transforms (running_ and range_ families, transform.go:1325).
       */
-    private def denseGrid(df: DataFrame): DataFrame = {
-      val withSk = df.withColumn("_sk", skey(col("name"), col("tags")))
-      val dim = withSk.groupBy("_sk")
+    private def denseGrid(d: DataFrame, keys: Seq[String]): DataFrame = {
+      val kc = keys.map(col)
+      val dim = d.groupBy(kc: _*)
         .agg(first("name").as("name"), first("tags").as("tags"))
-      dim.crossJoin(Grid.gridDf(df, cfg.grid))
-        .join(withSk.select(col("_sk"), col("t"), col("value")), Seq("_sk", "t"), "left")
-        .select(col("name"), col("tags"), col("_sk"), col("t"),
-          coalesce(col("value"), lit(Double.NaN)).as("value"))
+      dim.crossJoin(Grid.gridDf(d, cfg.grid))
+        .join(d.select((keys :+ "t" :+ "value").map(col): _*), keys :+ "t", "left")
+        .select((Seq(col("name"), col("tags")) ++ kc ++ Seq(col("t"),
+          coalesce(col("value"), lit(Double.NaN)).as("value"))): _*)
     }
 
-    private def interpolate(df: DataFrame): DataFrame = {
-      val skeys = df
-        .withColumn("_sk", skey(col("name"), col("tags")))
-        .groupBy("_sk").agg(first("name").as("name"), first("tags").as("tags"))
-      val grid = Grid.gridDf(df, cfg.grid)
-      val dense = skeys.crossJoin(grid)
-      val keyed = df.withColumn("_sk", skey(col("name"), col("tags")))
+    private def interpolate(d: DataFrame, keys: Seq[String]): DataFrame = {
+      val kc = keys.map(col)
+      val dim = d.groupBy(kc: _*)
+        .agg(first("name").as("name"), first("tags").as("tags"))
+      val dense = dim.crossJoin(Grid.gridDf(d, cfg.grid))
+      val keyed = d
         // NaN samples are gaps too (reference values arrays use NaN)
-        .select(col("_sk"), col("t"), when(!isnan(col("value")), col("value")).as("value"))
-      val joined = dense.join(keyed, Seq("_sk", "t"), "left")
-      val wb = Window.partitionBy(col("_sk")).orderBy(col("t").asc)
+        .select((kc :+ col("t") :+
+          when(!isnan(col("value")), col("value")).as("value")): _*)
+      val joined = dense.join(keyed, keys :+ "t", "left")
+      val wb = Window.partitionBy(kc: _*).orderBy(col("t").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wf = Window.partitionBy(col("_sk")).orderBy(col("t").desc)
+      val wf = Window.partitionBy(kc: _*).orderBy(col("t").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val pv = last(col("value"), ignoreNulls = true).over(wb)
       val pt = last(when(col("value").isNotNull, col("t")), ignoreNulls = true).over(wb)

@@ -84,6 +84,23 @@ object Multimodal {
       }
   }
 
+  /** Synthetic UNDECODABLE media: deterministic bytes derived from doc_id
+    * (length `100 + id%50`, byte j = `(7·id + 13·j) mod 256`) that no
+    * ImageIO reader claims — byte 1 never completes any JDK magic that
+    * byte 0 starts — so the STUB fallback's features are exact arithmetic
+    * a SQL oracle can state (the pngFixture trick for the stub path).
+    */
+  def stubFixtureFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    graft.core.Samples.table(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (100 + id % 50).toInt
+        val bytes = Array.tabulate(n)(j => ((7 * id + 13 * j) % 256).toByte)
+        MediaRow(id, "blob", bytes, Map("codec" -> "none"))
+      })
+  }
+
   /** real decode: PNG/JPEG/GIF/BMP via the JDK's ImageIO; None when the
     * payload is not a decodable image
     */

@@ -118,18 +118,24 @@ object ProtoFormats {
     }
   }
 
-  private val sampleSchema = StructType(Seq(
-    StructField("name", StringType),
-    StructField("tags", MapType(StringType, StringType)),
-    StructField("ts", LongType),
-    StructField("value", DoubleType)))
+  /** canonical decoded sample (the typed twin of the samples schema) */
+  final case class Sample(
+      name: String, tags: Map[String, String], ts: Long, value: Double)
 
+  /** Map-side payload decode as a TYPED flatMap — works on batch AND
+    * Structured Streaming frames (an RDD hop would reject streaming
+    * sources), which is what lets the landing-zone pipeline
+    * ([[graft.streaming.Ingest.binaryToStore]]) reuse these parsers
+    * unchanged for exactly-once protobuf ingest.
+    */
   private def toSamplesDf(payloads: DataFrame,
       decode: Array[Byte] => Iterator[Row]): DataFrame = {
     val spark = payloads.sparkSession
-    val rdd = payloads.select(col("payload")).rdd
-      .flatMap(r => decode(r.getAs[Array[Byte]](0)))
-    spark.createDataFrame(rdd, sampleSchema)
+    import spark.implicits._
+    payloads.select(col("payload")).as[Array[Byte]]
+      .flatMap(b => decode(b).map(r => Sample(
+        r.getString(0), r.getAs[Map[String, String]](1), r.getLong(2), r.getDouble(3))))
+      .toDF()
   }
 
   // ------------------------------------------------------------------

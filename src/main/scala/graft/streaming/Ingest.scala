@@ -59,6 +59,90 @@ object Ingest {
           "graphite, opentsdb, jsonl, csv:<format>)")
     }
 
+  /** parse a landing-zone binary `payload` frame per protocol — the
+    * reference's dominant WRITE protocols: Prometheus remote-write
+    * (snappy protobuf, app/vminsert/promremotewrite/request_handler.go:23),
+    * OTLP metrics (lib/protoparser/opentelemetry), DataDog sketches
+    * (lib/protoparser/datadogsketches). Timestamps ride the payloads, so
+    * no defaultTsMs is needed.
+    */
+  def parsePayloads(payloads: DataFrame, format: String): DataFrame =
+    format match {
+      case "remotewrite" | "promremotewrite" =>
+        graft.sources.ProtoFormats.remoteWrite(payloads)
+      case "otlp" | "opentelemetry" =>
+        graft.sources.ProtoFormats.otlp(payloads)
+      case "datadogsketches" =>
+        graft.sources.ProtoFormats.datadogSketches(payloads)
+      case other => throw new IllegalArgumentException(
+        s"unsupported binary ingest format: $other (supported: remotewrite, " +
+          "otlp, datadogsketches)")
+    }
+
+  /** Binary-payload landing zone → date-partitioned parquet store, the
+    * exactly-once twin of [[toStore]] for protobuf write protocols: a
+    * collector/load balancer lands each POST body (remote-write WriteRequest,
+    * OTLP ExportMetricsServiceRequest, DataDog SketchPayload) as ONE file;
+    * `binaryFile` streams whole files, the protoparser decodes map-side,
+    * and the file sink's manifest makes restarts exactly-once — the
+    * durable pipeline the reference's vminsert→vmstorage hop provides for
+    * its highest-volume protocols.
+    */
+  def binaryToStore(
+      spark: SparkSession,
+      landingDir: String,
+      storeDir: String,
+      checkpointDir: String,
+      format: String = "remotewrite",
+      relabelYaml: Option[String] = None,
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+    // file streaming sources demand an explicit schema; binaryFile's is
+    // fixed (path, modificationTime, length, content)
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val payloads = spark.readStream
+      .format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(landingDir)
+      .select(col("content").as("payload"))
+    val parsed = parsePayloads(payloads, format)
+    val relabeled = relabelYaml.fold(parsed) { yaml =>
+      graft.sources.Relabel.apply(parsed, graft.sources.Relabel.parseConfig(yaml))
+    }
+    val dated = relabeled.withColumn("date", to_date(timestamp_millis(col("ts"))))
+    val w = dated.writeStream
+      .format("parquet")
+      .option("path", storeDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("date")
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** land binary payload rows as one file each (what a collector does with
+    * POST bodies) — executor-side writes, so the landing dir must be a
+    * shared filesystem, exactly the [[binaryToStore]] contract
+    */
+  def writeBinaryLanding(payloads: DataFrame, dir: String,
+      suffix: String = ".bin"): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    payloads.select("payload").foreachPartition {
+      (it: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var i = 0
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, f"payload-$pid%05d-$i%05d$suffix"),
+            r.getAs[Array[Byte]](0))
+          i += 1
+        }
+    }
+  }
+
   /** Start (or drain, with `Trigger.AvailableNow`) a landing-zone
     * ingestion into a date-partitioned parquet store.
     *
@@ -112,6 +196,22 @@ object Ingest {
     * end) advances the watermark — the standard Structured Streaming
     * contract, and the streaming twin of the reference's
     * flush-on-interval tickers (streamaggr.go:344 flushLoop).
+    *
+    * BOUNDED-STATE CONTRACT (SCALEBENCH r9, enforced since r10):
+    * `maxFilesPerTrigger` is REQUIRED here (unlike the raw [[toStore]],
+    * where state is zero) because the safe value depends on the backlog's
+    * time-ordering, and a silently-large default OOMs executors:
+    *
+    *  - TIME-ORDERED landing files (collectors appending in arrival
+    *    order — the normal case): pass a SMALL value (2 measured 1.41M
+    *    rows/s at 100M rows); the watermark advances between
+    *    micro-batches and closed windows leave state continuously.
+    *  - UNORDERED backlog: event-time disorder across micro-batches
+    *    DROPS late rows once the watermark passes them, so the whole
+    *    backlog must drain in ONE batch (pass ≥ the landing file count)
+    *    — and then every window's state is open at once, which OOMed at
+    *    30M rows / 72M windows on an 8g executor. Use [[awaitBounded]]
+    *    to turn that into a clean rejection.
     */
   def toStoreAggregated(
       spark: SparkSession,
@@ -120,11 +220,11 @@ object Ingest {
       checkpointDir: String,
       defaultTsMs: Long,
       cfg: StreamAggr.Config,
+      maxFilesPerTrigger: Int,
       format: String = "prometheus",
       relabelYaml: Option[String] = None,
       watermarkDelay: String = "10 seconds",
-      availableNow: Boolean = true,
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      availableNow: Boolean = true): StreamingQuery = {
     val parsed = parsedStream(spark, landingDir, format, defaultTsMs,
       relabelYaml, maxFilesPerTrigger)
       .withColumn("eventTime", timestamp_millis(col("ts")))
@@ -171,6 +271,38 @@ object Ingest {
     toStore(spark, landingDir, storeDir, checkpointDir, defaultTsMs,
       format = "prometheus", relabelYaml = relabelYaml,
       availableNow = availableNow, maxFilesPerTrigger = maxFilesPerTrigger)
+
+  /** Await an ingest query while ENFORCING the bounded-state contract: if
+    * the streaming state (open aggregation windows) ever exceeds
+    * `maxStateRows`, the query is stopped and a clean error carrying the
+    * SCALEBENCH remedy is thrown — instead of the executor OOM the same
+    * overload produces unguarded (measured at 30M unordered rows, r9).
+    * The residual check after termination catches a drain whose FINAL
+    * batch left oversized un-flushed state (data stuck awaiting a
+    * watermark that will never come in this run).
+    */
+  def awaitBounded(query: StreamingQuery, maxStateRows: Long = 50000000L): Unit = {
+    def stateRows: Long = Option(query.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    def check(): Unit = if (stateRows > maxStateRows) {
+      query.stop()
+      throw new IllegalStateException(
+        s"aggregate-at-ingest state exceeded maxStateRows=$maxStateRows " +
+          s"(open-window rows: $stateRows). The landing backlog is draining " +
+          "in micro-batches too large for bounded state: over TIME-ORDERED " +
+          "landing files pass a small maxFilesPerTrigger (2 sustains 1.41M " +
+          "rows/s at 100M rows, SCALEBENCH.md); an UNORDERED backlog needs " +
+          "a one-batch drain, which requires state for every window at " +
+          "once — raise maxStateRows only if the cluster's executors can " +
+          "actually hold it")
+    }
+    while (query.isActive) {
+      check()
+      query.awaitTermination(200)
+    }
+    query.awaitTermination() // surface any stream-thread exception
+    check()
+  }
 
   /** read the streamed store back as the canonical samples frame */
   def readStore(spark: SparkSession, storeDir: String): DataFrame =

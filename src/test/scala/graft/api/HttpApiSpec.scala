@@ -225,6 +225,40 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("spillDir makes acked writes durable across a facade restart; buffer stays bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("httpspill").toString
+    val api = new HttpApi(spark, spillDir = Some(dir), spillMaxBufferedRows = 2)
+    val port = api.start()
+    try {
+      // 3 rows in one ack crosses the 2-row threshold → spilled to parquet
+      assert(post(port, "/api/v1/import/prometheus",
+        """m{job="api"} 10 60
+          |m{job="api"} 20 120
+          |m{job="api"} 35 180
+          |""".stripMargin) == 204)
+      assert(api.bufferedRows == 0, s"buffer not drained: ${api.bufferedRows}")
+      assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("date=")),
+        "spill must land as a date-partitioned store")
+      // spilled rows still serve on the SAME facade
+      val r = get(port, "/api/v1/query_range?query=m&start=60&end=180&step=60")
+      assert(r.contains("""[60.0,"10"]""") && r.contains("""[180.0,"35"]"""))
+      // a sub-threshold tail stays buffered (the hot tail)…
+      assert(post(port, "/api/v1/import/prometheus", "m{job=\"api\"} 50 240\n") == 204)
+      assert(api.bufferedRows == 1)
+      val r2 = get(port, "/api/v1/query?query=m&time=240")
+      assert(r2.contains(""""value":[240.0,"50"]"""))
+    } finally api.stop() // …and a clean shutdown drains it
+    // restart over the same spillDir: every acked row is still queryable —
+    // the property the unspilled facade (driver ArrayBuffer) cannot give
+    val api2 = new HttpApi(spark, spillDir = Some(dir))
+    val port2 = api2.start()
+    try {
+      val r = get(port2, "/api/v1/query_range?query=m&start=60&end=240&step=60")
+      assert(r.contains("""[60.0,"10"]""") && r.contains("""[180.0,"35"]""") &&
+        r.contains("""[240.0,"50"]"""), r)
+    } finally api2.stop()
+  }
+
   test("query_range rejects too-many-points and zero step upfront") {
     val api = new HttpApi(spark)
     val port = api.start()

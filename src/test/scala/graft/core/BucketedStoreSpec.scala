@@ -64,6 +64,26 @@ class BucketedStoreSpec extends SparkSpec {
       s"bucketed default_rollup must be exchange-free:\n${b.queryExecution.executedPlan}")
   }
 
+  test("whole-grid per-series transform reuses the bucket partitioning") {
+    // running_sum(click): the seriesKeyed fast path keeps _h1/_h2 through
+    // the default_rollup, so the dense-grid dim aggregate, the grid join
+    // and the running window all cluster on attributes the bucketed scan
+    // already provides — zero exchanges, vs ≥1 on the flat store
+    val q = "running_sum(click)"
+    val fa = graft.Engine.query(flat, q, grid, 2 * H)
+    val ba = graft.Engine.query(bucketed, q, grid, 2 * H)
+    assert(rows(ba) == rows(fa) && rows(fa).nonEmpty,
+      "bucketed running_sum diverged from flat")
+    assert(shuffles(fa) >= 1, "flat control should shuffle on the series key")
+    assert(shuffles(ba) == 0,
+      s"bucketed per-series transform must be exchange-free:\n${ba.queryExecution.executedPlan}")
+    // interpolate exercises the keyed gap-fill twin of the same path
+    val bi = graft.Engine.query(bucketed, "interpolate(click)", grid, 2 * H)
+    assert(rows(bi) == rows(graft.Engine.query(flat, "interpolate(click)", grid, 2 * H)))
+    assert(shuffles(bi) == 0,
+      s"bucketed interpolate must be exchange-free:\n${bi.queryExecution.executedPlan}")
+  }
+
   test("vector-matching binop: both rollup sides reuse the bucket partitioning") {
     // 24h windows (sf0.001 is too sparse for user-hour coincidences) on a
     // 6h grid: ratio 4 keeps the rollup on the explode path, so the whole

@@ -186,8 +186,10 @@ class IngestSpec extends SparkSpec {
       outputs = Seq("sum_samples", "count_samples", "max"),
       matchSelectors = Seq("""{__name__="m"}"""))
     def run(): Unit =
-      Ingest.toStoreAggregated(spark, landing, store, ckpt, 0L, cfg)
-        .awaitTermination()
+      // unordered single-dir backlog → one-batch drain (contract doc)
+      Ingest.awaitBounded(
+        Ingest.toStoreAggregated(spark, landing, store, ckpt, 0L, cfg,
+          maxFilesPerTrigger = 1000))
     // run 1: window1 [0,60s) complete, window2 [60s,120s) half-filled —
     // watermark reaches 90s-10s=80s, so ONLY window1 flushes to the store
     drop(landing, "a.txt",
@@ -225,5 +227,111 @@ class IngestSpec extends SparkSpec {
     // count=3 — proving state survived the restart and flushed once
     assert(stored.filter(col("ts") === 120000L && col("name").contains("max"))
       .head().getDouble(3) == 16.0)
+  }
+
+  test("remote-write binary landing zone: protobuf decode, exactly-once across restart") {
+    import spark.implicits._
+    val landing = tmp("rwlanding")
+    val store = tmp("rwstore")
+    val ckpt = tmp("rwckpt")
+    def samplesDf(rows: Seq[(String, String, Long, Double)]) =
+      rows.map { case (n, job, ts, v) => (n, Map("job" -> job), ts, v) }
+        .toDF("name", "tags", "ts", "value")
+    // land one WriteRequest payload (snappy protobuf POST body, the way a
+    // collector would persist it)
+    Ingest.writeBinaryLanding(
+      graft.sources.ProtoFormats.exportRemoteWrite(samplesDf(Seq(
+        ("m", "api", 1704067200000L, 1.0),
+        ("m", "api", 1704153600000L, 2.0),
+        ("n", "web", 1704067200000L, 5.0))).coalesce(1)),
+      landing)
+    Ingest.binaryToStore(spark, landing, store, ckpt, format = "remotewrite")
+      .awaitTermination()
+    val first = Ingest.readStore(spark, store)
+    assert(first.count() == 3)
+    assert(first.filter(col("name") === "m" &&
+      col("tags")("job") === "api").count() == 2)
+    // date partitioning carried through (the retention/pruning unit)
+    val parts = new java.io.File(store).listFiles()
+      .map(_.getName).filter(_.startsWith("date="))
+    assert(parts.toSet == Set("date=2024-01-01", "date=2024-01-02"))
+    // restart with the same checkpoint: committed payload not re-ingested
+    Ingest.writeBinaryLanding(
+      graft.sources.ProtoFormats.exportRemoteWrite(samplesDf(Seq(
+        ("m", "api", 1704240000000L, 4.0))).coalesce(1)),
+      landing, suffix = "-r2.bin")
+    Ingest.binaryToStore(spark, landing, store, ckpt, format = "remotewrite")
+      .awaitTermination()
+    val second = Ingest.readStore(spark, store)
+    assert(second.count() == 4, s"exactly-once violated: ${second.count()} rows")
+    assert(second.agg(sum("value")).head().getDouble(0) == 12.0)
+  }
+
+  test("OTLP binary landing zone parses through the same durable pipeline") {
+    import spark.implicits._
+    val landing = tmp("otlplanding")
+    val store = tmp("otlpstore")
+    val ckpt = tmp("otlpckpt")
+    val df = Seq(
+      ("req_total", Map("svc" -> "a"), 1704067200000L, 10.0),
+      ("req_total", Map("svc" -> "b"), 1704067260000L, 20.0))
+      .toDF("name", "tags", "ts", "value")
+    Ingest.writeBinaryLanding(
+      graft.sources.ProtoFormats.exportOtlp(df.coalesce(1)), landing)
+    Ingest.binaryToStore(spark, landing, store, ckpt, format = "otlp")
+      .awaitTermination()
+    val out = Ingest.readStore(spark, store)
+    assert(out.count() == 2)
+    assert(out.filter(col("name") === "req_total" &&
+      col("tags")("svc") === "b").head().getDouble(3) == 20.0)
+  }
+
+  test("aggregate-at-ingest over TIME-ORDERED files: small trigger, bounded state, exact output") {
+    // the bounded-state contract's good path: a collector appending in
+    // arrival order + maxFilesPerTrigger=1 drains a multi-window backlog
+    // with at most a couple of open windows in state at any moment —
+    // awaitBounded(maxStateRows=3) passing IS the bounded-state assertion
+    val landing = tmp("ordlanding")
+    val store = tmp("ordstore")
+    val ckpt = tmp("ordckpt")
+    val cfg = StreamAggr.Config(60000L, outputs = Seq("sum_samples"),
+      matchSelectors = Seq("""{__name__="m"}"""))
+    val base = System.currentTimeMillis()
+    def dropAt(name: String, body: String, mtimeOffsetMs: Long): Unit = {
+      drop(landing, name, body)
+      assert(Paths.get(landing, name).toFile.setLastModified(base + mtimeOffsetMs))
+    }
+    // one window per file, ascending both in event time and mtime
+    dropAt("a.txt", "m 1 10\nm 2 30\n", 0L) // window [0,60s) sum 3
+    dropAt("b.txt", "m 4 70\nm 8 80\n", 10000L) // [60,120s) sum 12
+    dropAt("c.txt", "m 16 130\n", 20000L) // [120,180s) sum 16
+    dropAt("d.txt", "m 0 600\n", 30000L) // heartbeat closes window 3
+    Ingest.awaitBounded(
+      Ingest.toStoreAggregated(spark, landing, store, ckpt, 0L, cfg,
+        maxFilesPerTrigger = 1),
+      maxStateRows = 3)
+    val out = Ingest.readStore(spark, store).filter(col("ts") <= 180000L)
+    val got = out.collect().map(r => (r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set((60000L, 3.0), (120000L, 12.0), (180000L, 16.0)), got)
+  }
+
+  test("awaitBounded rejects an over-state drain cleanly instead of OOMing") {
+    // ten 1s windows all within the 10s watermark delay of the max event
+    // time: none can close, so the drain terminates with 10 open windows
+    // in state — the guard must stop/throw with the SCALEBENCH remedy
+    val landing = tmp("guardlanding")
+    val store = tmp("guardstore")
+    val ckpt = tmp("guardckpt")
+    val cfg = StreamAggr.Config(1000L, outputs = Seq("sum_samples"),
+      matchSelectors = Seq("""{__name__="m"}"""))
+    drop(landing, "a.txt",
+      (100 to 109).map(s => s"m 1 $s").mkString("", "\n", "\n"))
+    val e = intercept[IllegalStateException](
+      Ingest.awaitBounded(
+        Ingest.toStoreAggregated(spark, landing, store, ckpt, 0L, cfg,
+          maxFilesPerTrigger = 1000),
+        maxStateRows = 2))
+    assert(e.getMessage.contains("maxStateRows=2"))
+    assert(e.getMessage.contains("maxFilesPerTrigger"))
   }
 }
