@@ -2620,6 +2620,32 @@ object SparkEntry {
         r6(sum("value")).as("sum_v")).orderBy("name")
     }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v " +
       "FROM events GROUP BY name ORDER BY name")),
+    Q("src_otlp_histsum", (s, dir) => {
+      // OTLP histogram/summary → prometheus-compat series expansion
+      // (pb.go pushSamples: _count/_sum/cumulative _bucket{le}, summary
+      // quantile rows) over an arithmetic per-doc fixture — every decoded
+      // row is exact integer math the oracle restates
+      val ids = Samples.table(s, dir, "documents").select(col("doc_id"))
+      graft.sources.ProtoFormats.otlp(
+          graft.sources.ProtoFormats.otlpHistSumFixture(ids))
+        .select(col("name"),
+          col("tags").getItem("doc").cast("bigint").as("doc"),
+          coalesce(col("tags").getItem("le"),
+            col("tags").getItem("quantile"), lit("")).as("lq"),
+          col("ts").as("t"), r6(col("value")).as("value"))
+        .orderBy("name", "doc", "lq")
+    }, Some("WITH d AS (SELECT doc_id AS id, doc_id % 3 AS b0, (doc_id // 3) % 3 AS b1, " +
+      "(doc_id // 9) % 3 AS b2, 1704067200000 + doc_id * 1000 AS t FROM documents), " +
+      "r AS (SELECT 'lat_count' AS name, id, '' AS lq, t, (b0+b1+b2)::DOUBLE AS value FROM d " +
+      "UNION ALL SELECT 'lat_sum', id, '', t, (id % 50)::DOUBLE FROM d WHERE id % 2 = 0 " +
+      "UNION ALL SELECT 'lat_bucket', id, '1', t, b0::DOUBLE FROM d " +
+      "UNION ALL SELECT 'lat_bucket', id, '2', t, (b0+b1)::DOUBLE FROM d " +
+      "UNION ALL SELECT 'lat_bucket', id, '+Inf', t, (b0+b1+b2)::DOUBLE FROM d " +
+      "UNION ALL SELECT 'q_count', id, '', t, (id % 7)::DOUBLE FROM d " +
+      "UNION ALL SELECT 'q_sum', id, '', t, (id % 30)::DOUBLE FROM d " +
+      "UNION ALL SELECT 'q', id, '0.5', t, (id % 9)::DOUBLE FROM d) " +
+      "SELECT name, id AS doc, lq, t, round(1e-9 + value, 6) AS value FROM r " +
+      "ORDER BY name, doc, lq")),
     Q("src_datadog_roundtrip", (s, dir) => {
       val samples = Samples.fromEvents(s, dir)
       val back = graft.sources.LineFormats.datadogV1(

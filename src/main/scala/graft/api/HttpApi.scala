@@ -151,10 +151,12 @@ final class HttpApi(
     val preds = deletedPredicates.synchronized { deletedPredicates.toList }
     val afterSel = dels.foldLeft(all)((df, sel) => df.filter(!Api.selectorPredicate(sel)))
     val afterDel = preds.foldLeft(afterSel)((df, p) => df.filter(!p))
-    val res =
-      if (retentionFilters.isEmpty) afterDel
-      else afterDel.filter(graft.core.SampleStore.retentionFilterPredicate(
-        retentionFilters, retentionPeriodMs, retentionNowMs()))
+    // inline per-row matchers for a handful of filters; per-series dim
+    // resolution above the threshold (an enterprise ~50-filter stack per
+    // row measured 200× scan cost — StoreScale)
+    val res = graft.core.SampleStore.applyRetentionFilterPredicate(
+      afterDel, retentionFilters, retentionPeriodMs,
+      if (retentionFilters.isEmpty) 0L else retentionNowMs())
     if (dedupMinScrapeIntervalMs <= 0) res
     else
       // the -dedup.minScrapeInterval select-time rule (dedup.go:30-70):

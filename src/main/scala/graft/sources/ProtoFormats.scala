@@ -59,6 +59,20 @@ object ProtoFormats {
       while (sub.hasNext) out += sub.readVarint()
       out.toSeq
     }
+    /** packed repeated fixed64 (wire type 2) */
+    def readPackedFixed64s(): Seq[Long] = {
+      val sub = readMessage()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (sub.hasNext) out += sub.readFixed64()
+      out.toSeq
+    }
+    /** packed repeated doubles (wire type 2) */
+    def readPackedDoubles(): Seq[Double] = {
+      val sub = readMessage()
+      val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (sub.hasNext) out += sub.readDouble()
+      out.toSeq
+    }
     /** length-delimited field → sub-reader */
     def readMessage(): Reader = {
       val len = readVarint().toInt
@@ -116,6 +130,17 @@ object ProtoFormats {
       tag(field, 2); varint(b.length); out.write(b, 0, b.length)
       this
     }
+    def packedFixed64s(field: Int, vs: Seq[Long]): Writer = {
+      tag(field, 2); varint(vs.length * 8L)
+      vs.foreach { v0 =>
+        var bits = v0
+        var i = 0
+        while (i < 8) { out.write((bits & 0xff).toInt); bits >>>= 8; i += 1 }
+      }
+      this
+    }
+    def packedDoubles(field: Int, vs: Seq[Double]): Writer =
+      packedFixed64s(field, vs.map(java.lang.Double.doubleToLongBits))
   }
 
   /** canonical decoded sample (the typed twin of the samples schema) */
@@ -258,12 +283,14 @@ object ProtoFormats {
   }
 
   /** NumberDataPoint{attributes=7, time_unix_nano=3 fixed64,
-    * as_double=4 double, as_int=6 sfixed64}
+    * as_double=4 double, as_int=6 sfixed64, flags=8}; flags bit 1 is
+    * NO_RECORDED_VALUE → staleness-marker NaN (streamparser.go:154)
     */
   private def decodeDataPoint(dp: Reader): (Map[String, String], Long, Double) = {
     val attrs = mutable.LinkedHashMap.empty[String, String]
     var tsNano = 0L
     var value = 0.0
+    var flags = 0L
     while (dp.hasNext) {
       val (f, w) = dp.readTag()
       (f, w) match {
@@ -271,10 +298,117 @@ object ProtoFormats {
         case (3, 1) => tsNano = dp.readFixed64()
         case (4, 1) => value = dp.readDouble()
         case (6, 1) => value = dp.readFixed64().toDouble
+        case (8, 0) => flags = dp.readVarint()
         case _ => dp.skip(w)
       }
     }
-    (attrs.toMap, tsNano / 1000000L, value)
+    (attrs.toMap, tsNano / 1000000L,
+      if ((flags & 1) != 0) Double.NaN else value)
+  }
+
+  /** Go %g label formatting for le/quantile values (the reference's
+    * fb.formatFloat; pb.go:1239 + summary pushSamples)
+    */
+  private def goLabel(d: Double): String =
+    if (d.isPosInfinity) "+Inf" else graft.graphite.GraphiteModel.goFmt(d)
+
+  /** HistogramDataPoint (pb.go:1097, metrics.proto L434) → the
+    * Prometheus-compat series the reference pushes (pb.go pushSamples):
+    * `<name>_count`, `<name>_sum` (only when present — sumless
+    * histograms omit it), and CUMULATIVE `<name>_bucket{le=...}` rows
+    * ending at `+Inf`. Data points with no buckets are skipped; a
+    * bucket/bound length mismatch skips the point like the reference's
+    * throttled warn.
+    */
+  private def decodeHistogramDataPoint(
+      dp: Reader, name: String,
+      emit: (String, Map[String, String], Long, Double) => Unit): Unit = {
+    val attrs = mutable.LinkedHashMap.empty[String, String]
+    var tsNano = 0L
+    var count = 0L
+    var sum = 0.0
+    var hasSum = false
+    var flags = 0L
+    val bucketCounts = mutable.ArrayBuffer.empty[Long]
+    val bounds = mutable.ArrayBuffer.empty[Double]
+    while (dp.hasNext) {
+      val (f, w) = dp.readTag()
+      (f, w) match {
+        case (9, 2) => decodeKeyValue(dp.readMessage()).foreach(kv => attrs(kv._1) = kv._2)
+        case (3, 1) => tsNano = dp.readFixed64()
+        case (4, 1) => count = dp.readFixed64()
+        case (5, 1) => sum = dp.readDouble(); hasSum = true
+        case (6, 2) => bucketCounts ++= dp.readPackedFixed64s()
+        case (6, 1) => bucketCounts += dp.readFixed64() // unpacked form
+        case (7, 2) => bounds ++= dp.readPackedDoubles()
+        case (7, 1) => bounds += dp.readDouble()
+        case (10, 0) => flags = dp.readVarint()
+        case _ => dp.skip(w)
+      }
+    }
+    if (bucketCounts.isEmpty || bucketCounts.size != bounds.size + 1) return
+    val tags = attrs.toMap
+    val tsMs = tsNano / 1000000L
+    val stale = (flags & 1) != 0
+    def v(x: Double) = if (stale) Double.NaN else x
+    emit(name + "_count", tags, tsMs, v(count.toDouble))
+    if (hasSum) emit(name + "_sum", tags, tsMs, v(sum))
+    var cumulative = 0L
+    bounds.zipWithIndex.foreach { case (bound, i) =>
+      cumulative += bucketCounts(i)
+      emit(name + "_bucket", tags + ("le" -> goLabel(bound)), tsMs,
+        v(cumulative.toDouble))
+    }
+    cumulative += bucketCounts.last
+    emit(name + "_bucket", tags + ("le" -> "+Inf"), tsMs, v(cumulative.toDouble))
+  }
+
+  /** SummaryDataPoint (pb.go:1591, metrics.proto L636) → `<name>_count`,
+    * `<name>_sum`, and one `<name>{quantile=...}` row per
+    * ValueAtQuantile{quantile=1, value=2}
+    */
+  private def decodeSummaryDataPoint(
+      dp: Reader, name: String,
+      emit: (String, Map[String, String], Long, Double) => Unit): Unit = {
+    val attrs = mutable.LinkedHashMap.empty[String, String]
+    var tsNano = 0L
+    var count = 0L
+    var sum = 0.0
+    var flags = 0L
+    val quantiles = mutable.ArrayBuffer.empty[(Double, Double)]
+    while (dp.hasNext) {
+      val (f, w) = dp.readTag()
+      (f, w) match {
+        case (7, 2) => decodeKeyValue(dp.readMessage()).foreach(kv => attrs(kv._1) = kv._2)
+        case (3, 1) => tsNano = dp.readFixed64()
+        case (4, 1) => count = dp.readFixed64()
+        case (5, 1) => sum = dp.readDouble()
+        case (6, 2) =>
+          val qv = dp.readMessage()
+          var q = 0.0
+          var v = 0.0
+          while (qv.hasNext) {
+            val (f2, w2) = qv.readTag()
+            (f2, w2) match {
+              case (1, 1) => q = qv.readDouble()
+              case (2, 1) => v = qv.readDouble()
+              case _ => qv.skip(w2)
+            }
+          }
+          quantiles += ((q, v))
+        case (8, 0) => flags = dp.readVarint()
+        case _ => dp.skip(w)
+      }
+    }
+    val tags = attrs.toMap
+    val tsMs = tsNano / 1000000L
+    val stale = (flags & 1) != 0
+    def v(x: Double) = if (stale) Double.NaN else x
+    emit(name + "_count", tags, tsMs, v(count.toDouble))
+    emit(name + "_sum", tags, tsMs, v(sum))
+    quantiles.foreach { case (q, x) =>
+      emit(name, tags + ("quantile" -> goLabel(q)), tsMs, v(x))
+    }
   }
 
   /** decode one ExportMetricsServiceRequest: gauge (5) and sum (7) data
@@ -312,6 +446,11 @@ object ProtoFormats {
               val metric = sm.readMessage()
               var name: String = null
               val dataPoints = mutable.ArrayBuffer.empty[(Map[String, String], Long, Double)]
+              // histogram (9) / summary (11) points expand into several
+              // named series, so buffer their sub-readers until the name
+              // is known (fields may arrive in any order)
+              val histPoints = mutable.ArrayBuffer.empty[Reader]
+              val summaryPoints = mutable.ArrayBuffer.empty[Reader]
               while (metric.hasNext) {
                 val (f4, w4) = metric.readTag()
                 if (f4 == 1 && w4 == 2) name = metric.readString()
@@ -322,11 +461,25 @@ object ProtoFormats {
                     if (f5 == 1 && w5 == 2) dataPoints += decodeDataPoint(g.readMessage())
                     else g.skip(w5)
                   }
+                } else if ((f4 == 9 || f4 == 11) && w4 == 2) { // Histogram | Summary
+                  val h = metric.readMessage()
+                  while (h.hasNext) {
+                    val (f5, w5) = h.readTag()
+                    if (f5 == 1 && w5 == 2)
+                      (if (f4 == 9) histPoints else summaryPoints) += h.readMessage()
+                    else h.skip(w5)
+                  }
                 } else metric.skip(w4)
               }
               dataPoints.foreach { case (attrs, tsMs, v) =>
                 rows += Row(name, resourceAttrs.toMap ++ attrs, tsMs, v)
               }
+              val emit = (n: String, tags: Map[String, String], tsMs: Long, v: Double) => {
+                rows += Row(n, resourceAttrs.toMap ++ tags, tsMs, v)
+                ()
+              }
+              histPoints.foreach(decodeHistogramDataPoint(_, name, emit))
+              summaryPoints.foreach(decodeSummaryDataPoint(_, name, emit))
             } else sm.skip(w3)
           }
         }
@@ -372,6 +525,52 @@ object ProtoFormats {
           Iterator.single(Row(req.bytes))
         }
       }
+    spark.createDataFrame(rdd, StructType(Seq(StructField("payload", BinaryType))))
+  }
+
+  /** Arithmetic OTLP histogram+summary payload fixture (gate support):
+    * one ExportMetricsServiceRequest per partition carrying, per doc id,
+    * a histogram `lat{doc=id}` (bounds [1,2], bucket counts
+    * [id%3, (id/3)%3, (id/9)%3], sum id%50 only on EVEN ids — the
+    * reference's sumless-histogram case) and a summary `q{doc=id}`
+    * (count id%7, sum id%30, quantile 0.5 → id%9) — every decoded row is
+    * exact integer arithmetic a SQL oracle can state.
+    */
+  def otlpHistSumFixture(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
+    val rdd = ids.select(col(ids.columns.head).cast("long")).rdd.mapPartitions { it =>
+      val sm = new Writer
+      var any = false
+      it.foreach { r =>
+        any = true
+        val id = r.getLong(0)
+        val tsNano = (1704067200000L + id * 1000L) * 1000000L
+        def attrs(dp: Writer, field: Int): Unit =
+          dp.message(field, new Writer().string(1, "doc")
+            .message(2, new Writer().string(1, id.toString)))
+        val h = new Writer
+        attrs(h, 9)
+        h.fixed64(3, tsNano)
+        val b = Seq(id % 3, (id / 3) % 3, (id / 9) % 3)
+        h.fixed64(4, b.sum)
+        if (id % 2 == 0) h.double(5, (id % 50).toDouble)
+        h.packedFixed64s(6, b)
+        h.packedDoubles(7, Seq(1.0, 2.0))
+        sm.message(2, new Writer().string(1, "lat")
+          .message(9, new Writer().message(1, h)))
+        val s = new Writer
+        attrs(s, 7)
+        s.fixed64(3, tsNano)
+        s.fixed64(4, id % 7)
+        s.double(5, (id % 30).toDouble)
+        s.message(6, new Writer().double(1, 0.5).double(2, (id % 9).toDouble))
+        sm.message(2, new Writer().string(1, "q")
+          .message(11, new Writer().message(1, s)))
+      }
+      if (!any) Iterator.empty
+      else Iterator.single(Row(
+        new Writer().message(1, new Writer().message(2, sm)).bytes))
+    }
     spark.createDataFrame(rdd, StructType(Seq(StructField("payload", BinaryType))))
   }
 

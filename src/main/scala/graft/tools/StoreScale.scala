@@ -72,22 +72,39 @@ object StoreScale {
           graft.core.SampleStore.RetentionFilter(
             s"""{user_id=~"${i % 10}[0-9]*"}""", 86400000L * (i % 29 + 1))
       }
-    def scanWith(n: Int): Double = {
+    def scanWith(n: Int, inline: Boolean): Double = {
       val base = graft.core.SampleStore.read(spark, store)
-      val df = if (n == 0) base else base.filter(
-        graft.core.SampleStore.retentionFilterPredicate(
-          mkFilters(n), spanMs + 86400000L, nowMs))
+      val df =
+        if (n == 0) base
+        else if (inline) base.filter(
+          graft.core.SampleStore.retentionFilterPredicate(
+            mkFilters(n), spanMs + 86400000L, nowMs))
+        else graft.core.SampleStore.applyRetentionFilterPredicate(
+          base, mkFilters(n), spanMs + 86400000L, nowMs)
       val t0 = System.nanoTime()
       df.agg(count(lit(1)), sum("value")).collect()
       math.round((System.nanoTime() - t0) / 1e6) / 1e3
     }
-    scanWith(0) // warm the scan + codegen once
-    println(f"${"filters"}%8s ${"scan_s"}%8s ${"us_per_row"}%11s (min of $passes)")
-    val rets = Seq(0, 5, 50).map { n =>
-      val s = (1 to passes).map(_ => scanWith(n)).min
-      println(f"$n%8d $s%8.3f ${s * 1e6 / rows}%11.3f")
-      (n, s)
+    scanWith(0, inline = true) // warm the scan + codegen once
+    // per-row inline predicate at 0/5/50 filters, then the per-series dim
+    // resolution (applyRetentionFilterPredicate's >threshold path) at 50 —
+    // the serving-path fix the inline numbers forced
+    println(f"${"variant"}%14s ${"scan_s"}%8s ${"us_per_row"}%11s (min of $passes)")
+    val variants = Seq((0, true, "0 inline"), (5, true, "5 inline"),
+      (50, true, "50 inline"), (50, false, "50 dim-resolve"))
+    val rets = variants.map { case (n, inline, label) =>
+      val s = (1 to passes).map(_ => scanWith(n, inline)).min
+      println(f"$label%14s $s%8.3f ${s * 1e6 / rows}%11.3f")
+      (label, s)
     }
+    // the two 50-filter strategies must agree row-for-row
+    val inl = graft.core.SampleStore.read(spark, store).filter(
+      graft.core.SampleStore.retentionFilterPredicate(
+        mkFilters(50), spanMs + 86400000L, nowMs)).count()
+    val dim = graft.core.SampleStore.applyRetentionFilterPredicate(
+      graft.core.SampleStore.read(spark, store), mkFilters(50),
+      spanMs + 86400000L, nowMs).count()
+    require(inl == dim, s"dim-resolved retention diverged: $dim != $inl")
 
     // ---- rung 2: snapshot create / restore (hard-link walk)
     def countFiles(p: String): Long = {
@@ -116,8 +133,8 @@ object StoreScale {
     require(after == rows, s"in-place restore lost rows: $after != $rows")
 
     println("\n| rung | value |\n|---|---|")
-    rets.foreach { case (n, s) =>
-      println(f"| retention-filter scan, $n filters | $s s (${s * 1e6 / rows}%.3f µs/row) |")
+    rets.foreach { case (label, s) =>
+      println(f"| retention-filter scan, $label | $s s (${s * 1e6 / rows}%.3f µs/row) |")
     }
     println(s"| snapshot create (hard-link, $nFiles files) | $tCreate s |")
     println(s"| snapshot restore → new root | $tRestoreNew s |")

@@ -39,6 +39,29 @@ class RetentionFilterSpec extends SparkSpec {
       ("n", "juniors", 2L))) // min(3d, 30d)=3d keeps 2, drops 25
   }
 
+  test("per-series dim resolution (>threshold stacks) matches the inline predicate") {
+    // pad with never-matching filters to cross DimResolveThreshold, so
+    // applyRetentionFilterPredicate takes the broadcast-join path — the
+    // kept set must be byte-identical to the per-row matcher stack
+    val pad = (0 until SampleStore.DimResolveThreshold + 1).map(i =>
+      SampleStore.RetentionFilter(s"""{team="nobody$i"}""", (i + 1) * D))
+    val stack = filters ++ pad
+    assert(stack.size > SampleStore.DimResolveThreshold)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("name"), col("tags")("team"), col("ts"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val inline = key(frame.filter(
+      SampleStore.retentionFilterPredicate(stack, 365 * D, now)))
+    val dim = key(SampleStore.applyRetentionFilterPredicate(
+      frame, stack, 365 * D, now))
+    assert(dim === inline && inline.nonEmpty)
+    // ≤ threshold keeps the inline plan (no join in the plan)
+    val small = SampleStore.applyRetentionFilterPredicate(frame, filters, 365 * D, now)
+    assert(!small.queryExecution.executedPlan.toString.contains("Join"))
+    assert(key(small) === key(frame.filter(
+      SampleStore.retentionFilterPredicate(filters, 365 * D, now))))
+  }
+
   test("flag parsing: braces guard commas; validation errors") {
     assert(filters.map(f => (f.selector, f.retentionMs / D)) === Seq(
       ("""{team="juniors",__name__=~"m|n"}""", 3L),

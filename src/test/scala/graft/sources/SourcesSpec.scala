@@ -181,6 +181,79 @@ class SourcesSpec extends SparkSpec {
       ("latency", Map.empty[String, String], 2500L, 0.125)))
   }
 
+  test("OTLP histogram and summary convert to prometheus-compat series") {
+    // ported vectors: reference streamparser_test.go:125-151 — a
+    // histogram (count 15, sum 30, bounds [0.1,0.5,1,5], buckets
+    // [0,5,10,0,0]), its sumless twin, and a summary (sum 32.5, count 5,
+    // quantiles .1/.5/1); resource attr job=vm merges into every series
+    import graft.sources.ProtoFormats.Writer
+    def kv(field: Int, k: String, v: String) =
+      new Writer().message(field,
+        new Writer().string(1, k).message(2, new Writer().string(1, v)))
+    def histMetric(name: String, hasSum: Boolean) = {
+      val dp = new Writer
+      dp.message(9, new Writer().string(1, "label2")
+        .message(2, new Writer().string(1, "value2")))
+      dp.fixed64(3, 30000000000L) // 30s in ns
+      dp.fixed64(4, 15L)
+      if (hasSum) dp.double(5, 30.0)
+      dp.packedFixed64s(6, Seq(0L, 5L, 10L, 0L, 0L))
+      dp.packedDoubles(7, Seq(0.1, 0.5, 1.0, 5.0))
+      new Writer().string(1, name).message(9, new Writer().message(1, dp))
+    }
+    def summaryMetric(name: String) = {
+      val dp = new Writer
+      dp.message(7, new Writer().string(1, "label6")
+        .message(2, new Writer().string(1, "value6")))
+      dp.fixed64(3, 35000000000L)
+      dp.fixed64(4, 5L)
+      dp.double(5, 32.5)
+      Seq((0.1, 7.5), (0.5, 10.0), (1.0, 15.0)).foreach { case (q, v) =>
+        dp.message(6, new Writer().double(1, q).double(2, v))
+      }
+      new Writer().string(1, name).message(11, new Writer().message(1, dp))
+    }
+    val sm = new Writer
+    sm.message(2, histMetric("my-histogram", hasSum = true))
+    sm.message(2, histMetric("my-sumless-histogram", hasSum = false))
+    sm.message(2, summaryMetric("my-summary"))
+    val resource = new Writer().message(1,
+      new Writer().string(1, "job").message(2, new Writer().string(1, "vm")))
+    val req = new Writer().message(1,
+      new Writer().message(1, resource).message(2, sm)).bytes
+    val out = ProtoFormats.decodeOtlp(req)
+      .map(r => (r.getString(0), r.getAs[Map[String, String]](1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val h2 = Map("job" -> "vm", "label2" -> "value2")
+    val s6 = Map("job" -> "vm", "label6" -> "value6")
+    assert(out == Set(
+      ("my-histogram_count", h2, 30000L, 15.0),
+      ("my-histogram_sum", h2, 30000L, 30.0),
+      ("my-histogram_bucket", h2 + ("le" -> "0.1"), 30000L, 0.0),
+      ("my-histogram_bucket", h2 + ("le" -> "0.5"), 30000L, 5.0),
+      ("my-histogram_bucket", h2 + ("le" -> "1"), 30000L, 15.0),
+      ("my-histogram_bucket", h2 + ("le" -> "5"), 30000L, 15.0),
+      ("my-histogram_bucket", h2 + ("le" -> "+Inf"), 30000L, 15.0),
+      ("my-sumless-histogram_count", h2, 30000L, 15.0),
+      ("my-sumless-histogram_bucket", h2 + ("le" -> "0.1"), 30000L, 0.0),
+      ("my-sumless-histogram_bucket", h2 + ("le" -> "0.5"), 30000L, 5.0),
+      ("my-sumless-histogram_bucket", h2 + ("le" -> "1"), 30000L, 15.0),
+      ("my-sumless-histogram_bucket", h2 + ("le" -> "5"), 30000L, 15.0),
+      ("my-sumless-histogram_bucket", h2 + ("le" -> "+Inf"), 30000L, 15.0),
+      ("my-summary_count", s6, 35000L, 5.0),
+      ("my-summary_sum", s6, 35000L, 32.5),
+      ("my-summary", s6 + ("quantile" -> "0.1"), 35000L, 7.5),
+      ("my-summary", s6 + ("quantile" -> "0.5"), 35000L, 10.0),
+      ("my-summary", s6 + ("quantile" -> "1"), 35000L, 15.0)), out)
+    // NO_RECORDED_VALUE flag (bit 1) → staleness-marker NaN on a gauge
+    val staleDp = new Writer().fixed64(3, 1000000000L).double(4, 5.0).int64(8, 1L)
+    val staleReq = new Writer().message(1, new Writer().message(2,
+      new Writer().message(2, new Writer().string(1, "g")
+        .message(5, new Writer().message(1, staleDp))))).bytes
+    val staleRows = ProtoFormats.decodeOtlp(staleReq).toList
+    assert(staleRows.size == 1 && staleRows.head.getDouble(3).isNaN)
+  }
+
   private def lines(ls: String*): DataFrame = {
     val s = spark
     import s.implicits._
