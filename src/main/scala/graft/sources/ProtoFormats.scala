@@ -363,6 +363,97 @@ object ProtoFormats {
     emit(name + "_bucket", tags + ("le" -> "+Inf"), tsMs, v(cumulative.toDouble))
   }
 
+  /** Go `strconv.AppendFloat(v, 'e', 3, 64)` — the vmrange bound format
+    * (pb/fmt_buffer.go:58 formatVmrange)
+    */
+  private def fmtVmrange(lo: Double, hi: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3e...%.3e",
+      Double.box(lo), Double.box(hi))
+
+  /** ExponentialHistogramDataPoint (pb.go exponential pushSamples,
+    * metrics.proto L521) → VictoriaMetrics-NATIVE histogram series:
+    * `<name>_count`, `<name>_sum` (optional), and one NON-cumulative
+    * `<name>_bucket{vmrange="lo...hi"}` row per non-zero bucket —
+    * base-2^(2^-scale) bounds, the zero bucket at
+    * [-zero_threshold...zero_threshold]. These integrate with the query
+    * layer's `prometheus_buckets()` vmrange→le conversion.
+    */
+  private def decodeExpHistogramDataPoint(
+      dp: Reader, name: String,
+      emit: (String, Map[String, String], Long, Double) => Unit): Unit = {
+    val attrs = mutable.LinkedHashMap.empty[String, String]
+    var tsNano = 0L
+    var count = 0L
+    var sum = 0.0
+    var hasSum = false
+    var scale = 0
+    var zeroCount = 0L
+    var zeroThreshold = 0.0
+    var flags = 0L
+    // Buckets{offset=1 sint32, bucket_counts=2 repeated uint64}
+    def readBuckets(b: Reader): (Int, Seq[Long]) = {
+      var offset = 0
+      val counts = mutable.ArrayBuffer.empty[Long]
+      while (b.hasNext) {
+        val (f2, w2) = b.readTag()
+        (f2, w2) match {
+          case (1, 0) =>
+            val z = b.readVarint()
+            offset = ((z >>> 1) ^ -(z & 1)).toInt
+          case (2, 0) => counts += b.readVarint()
+          case (2, 2) => counts ++= b.readPackedVarints()
+          case _ => b.skip(w2)
+        }
+      }
+      (offset, counts.toSeq)
+    }
+    var positive: (Int, Seq[Long]) = (0, Nil)
+    var negative: (Int, Seq[Long]) = (0, Nil)
+    while (dp.hasNext) {
+      val (f, w) = dp.readTag()
+      (f, w) match {
+        case (1, 2) => decodeKeyValue(dp.readMessage()).foreach(kv => attrs(kv._1) = kv._2)
+        case (3, 1) => tsNano = dp.readFixed64()
+        case (4, 1) => count = dp.readFixed64()
+        case (5, 1) => sum = dp.readDouble(); hasSum = true
+        case (6, 0) =>
+          val z = dp.readVarint()
+          scale = ((z >>> 1) ^ -(z & 1)).toInt
+        case (7, 1) => zeroCount = dp.readFixed64()
+        case (8, 2) => positive = readBuckets(dp.readMessage())
+        case (9, 2) => negative = readBuckets(dp.readMessage())
+        case (10, 0) => flags = dp.readVarint()
+        case (14, 1) => zeroThreshold = dp.readDouble()
+        case _ => dp.skip(w)
+      }
+    }
+    val tags = attrs.toMap
+    val tsMs = tsNano / 1000000L
+    val stale = (flags & 1) != 0
+    def v(x: Double) = if (stale) Double.NaN else x
+    emit(name + "_count", tags, tsMs, v(count.toDouble))
+    if (hasSum) emit(name + "_sum", tags, tsMs, v(sum))
+    if (zeroCount > 0)
+      emit(name + "_bucket",
+        tags + ("vmrange" -> fmtVmrange(-zeroThreshold, zeroThreshold)),
+        tsMs, v(zeroCount.toDouble))
+    val ratio = math.pow(2, -scale.toDouble)
+    val base = math.pow(2, ratio)
+    def emitBuckets(offsetCounts: (Int, Seq[Long]), neg: Boolean): Unit = {
+      val bound0 = math.pow(2, offsetCounts._1 * ratio)
+      offsetCounts._2.zipWithIndex.foreach { case (c, i) =>
+        if (c > 0) {
+          val lower = bound0 * math.pow(base, i.toDouble)
+          val upper = lower * base
+          val vr = if (neg) fmtVmrange(-upper, -lower) else fmtVmrange(lower, upper)
+          emit(name + "_bucket", tags + ("vmrange" -> vr), tsMs, v(c.toDouble))
+        }
+      }
+    }
+    emitBuckets(positive, neg = false)
+    emitBuckets(negative, neg = true)
+  }
+
   /** SummaryDataPoint (pb.go:1591, metrics.proto L636) → `<name>_count`,
     * `<name>_sum`, and one `<name>{quantile=...}` row per
     * ValueAtQuantile{quantile=1, value=2}
@@ -450,6 +541,7 @@ object ProtoFormats {
               // named series, so buffer their sub-readers until the name
               // is known (fields may arrive in any order)
               val histPoints = mutable.ArrayBuffer.empty[Reader]
+              val expHistPoints = mutable.ArrayBuffer.empty[Reader]
               val summaryPoints = mutable.ArrayBuffer.empty[Reader]
               while (metric.hasNext) {
                 val (f4, w4) = metric.readTag()
@@ -461,12 +553,15 @@ object ProtoFormats {
                     if (f5 == 1 && w5 == 2) dataPoints += decodeDataPoint(g.readMessage())
                     else g.skip(w5)
                   }
-                } else if ((f4 == 9 || f4 == 11) && w4 == 2) { // Histogram | Summary
+                } else if ((f4 == 9 || f4 == 10 || f4 == 11) && w4 == 2) {
+                  // Histogram | ExponentialHistogram | Summary
                   val h = metric.readMessage()
                   while (h.hasNext) {
                     val (f5, w5) = h.readTag()
                     if (f5 == 1 && w5 == 2)
-                      (if (f4 == 9) histPoints else summaryPoints) += h.readMessage()
+                      (if (f4 == 9) histPoints
+                       else if (f4 == 10) expHistPoints
+                       else summaryPoints) += h.readMessage()
                     else h.skip(w5)
                   }
                 } else metric.skip(w4)
@@ -479,6 +574,7 @@ object ProtoFormats {
                 ()
               }
               histPoints.foreach(decodeHistogramDataPoint(_, name, emit))
+              expHistPoints.foreach(decodeExpHistogramDataPoint(_, name, emit))
               summaryPoints.foreach(decodeSummaryDataPoint(_, name, emit))
             } else sm.skip(w3)
           }

@@ -245,6 +245,46 @@ class SourcesSpec extends SparkSpec {
       ("my-summary", s6 + ("quantile" -> "0.1"), 35000L, 7.5),
       ("my-summary", s6 + ("quantile" -> "0.5"), 35000L, 10.0),
       ("my-summary", s6 + ("quantile" -> "1"), 35000L, 15.0)), out)
+    // exponential histogram → VM-native vmrange buckets (ported vector:
+    // streamparser_test.go:594 generateExpHistogram / :369-378 expected —
+    // scale 0, positive offset 2 counts [1,2,3,4,5,0,0,1], negative
+    // offset 2 counts [1..5], count 31, sum 588; zero buckets skipped)
+    def zig(v: Int) = ((v << 1) ^ (v >> 31)).toLong
+    val ehDp = new Writer
+    ehDp.message(1, new Writer().string(1, "label1")
+      .message(2, new Writer().string(1, "value1")))
+    ehDp.fixed64(3, 15000000000L)
+    ehDp.fixed64(4, 31L)
+    ehDp.double(5, 588.0)
+    ehDp.int64(6, zig(0))
+    val pos = new Writer().int64(1, zig(2))
+    Seq(1L, 2L, 3L, 4L, 5L, 0L, 0L, 1L).foreach(pos.int64(2, _))
+    ehDp.message(8, pos)
+    val negB = new Writer().int64(1, zig(2))
+    Seq(1L, 2L, 3L, 4L, 5L).foreach(negB.int64(2, _))
+    ehDp.message(9, negB)
+    val ehReq = new Writer().message(1, new Writer().message(2,
+      new Writer().message(2, new Writer().string(1, "test-histogram")
+        .message(10, new Writer().message(1, ehDp))))).bytes
+    val ehOut = ProtoFormats.decodeOtlp(ehReq)
+      .map(r => (r.getString(0), r.getAs[Map[String, String]](1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val l1 = Map("label1" -> "value1")
+    def vr(s: String) = l1 + ("vmrange" -> s)
+    assert(ehOut == Set(
+      ("test-histogram_count", l1, 15000L, 31.0),
+      ("test-histogram_sum", l1, 15000L, 588.0),
+      ("test-histogram_bucket", vr("4.000e+00...8.000e+00"), 15000L, 1.0),
+      ("test-histogram_bucket", vr("8.000e+00...1.600e+01"), 15000L, 2.0),
+      ("test-histogram_bucket", vr("1.600e+01...3.200e+01"), 15000L, 3.0),
+      ("test-histogram_bucket", vr("3.200e+01...6.400e+01"), 15000L, 4.0),
+      ("test-histogram_bucket", vr("6.400e+01...1.280e+02"), 15000L, 5.0),
+      ("test-histogram_bucket", vr("5.120e+02...1.024e+03"), 15000L, 1.0),
+      ("test-histogram_bucket", vr("-8.000e+00...-4.000e+00"), 15000L, 1.0),
+      ("test-histogram_bucket", vr("-1.600e+01...-8.000e+00"), 15000L, 2.0),
+      ("test-histogram_bucket", vr("-3.200e+01...-1.600e+01"), 15000L, 3.0),
+      ("test-histogram_bucket", vr("-6.400e+01...-3.200e+01"), 15000L, 4.0),
+      ("test-histogram_bucket", vr("-1.280e+02...-6.400e+01"), 15000L, 5.0)), ehOut)
     // NO_RECORDED_VALUE flag (bit 1) → staleness-marker NaN on a gauge
     val staleDp = new Writer().fixed64(3, 1000000000L).double(4, 5.0).int64(8, 1L)
     val staleReq = new Writer().message(1, new Writer().message(2,
