@@ -2724,6 +2724,34 @@ object SparkEntry {
         .select(uid, col("t"), r6(col("value")).as("value"))
         .orderBy("user_id", "t"),
       Some(divOnSql)),
+    Q("src_bucketed_compact", (s, dir) => {
+      // incremental flat→bucketed compaction (the vmstorage background
+      // merge for the two-layout store): exactly-once flat landing stays
+      // the ingestion truth; changed date partitions re-bucketize via
+      // dynamic INSERT OVERWRITE. Two-phase write (clicks, then the
+      // rest landing LATE into the same dates) proves the re-bucketize
+      // preserves earlier content; the final engine query must match the
+      // same flat-store oracle as src_bucketed_increase
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val store = s"target/bucketed_compact$tag/store"
+      val tbl = s"bucketed_compact$tag"
+      val tpath = s"target/bucketed_compact$tag/table"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"target/bucketed_compact$tag"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"spark-warehouse/target/bucketed_compact$tag"))
+      val samples = Samples.fromEvents(s, dir)
+      graft.core.SampleStore.write(samples.filter(col("name") === "click"),
+        store, org.apache.spark.sql.SaveMode.Overwrite)
+      graft.core.SampleStore.bucketizeNewDates(s, store, tbl, tpath)
+      graft.core.SampleStore.write(samples.filter(col("name") =!= "click"), store)
+      graft.core.SampleStore.bucketizeNewDates(s, store, tbl, tpath)
+      Engine.query(graft.core.SampleStore.readBucketed(s, tbl),
+          "increase(click[12h])", GridSpec(START, START + 7 * D, 60000L), 2 * H)
+        .select(uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("user_id", "t")
+    }, Some(tsbsIncreaseSql)),
     Q("src_bucketed_transform", (s, dir) =>
       // whole-grid per-series transform (running_sum over a bare selector)
       // on the bucketed layout: the seriesKeyed fast path keeps the stored

@@ -192,6 +192,83 @@ object SampleStore {
       .saveAsTable(table)
   }
 
+  /** Incremental flat→bucketed compaction — the vmstorage background
+    * merge re-expressed for the two-layout store (in-memory/raw parts →
+    * indexed big parts, lib/storage/partition.go:535): every flat-store
+    * date partition whose data-file fingerprint changed since the last
+    * run is re-bucketized into the catalog table via dynamic-partition
+    * INSERT OVERWRITE, so the exactly-once FLAT landing zone (the
+    * streaming file sink's manifest) stays the ingestion truth and the
+    * bucketed zero-exchange read layout trails it by one compaction run.
+    * Idempotent per date — re-running overwrites a date with identical
+    * content; late arrivals re-bucketize just their date. Returns the
+    * dates (re)bucketized.
+    */
+  def bucketizeNewDates(spark: SparkSession, storePath: String,
+      table: String, tablePath: String, buckets: Int = 8): Seq[String] = {
+    import java.nio.file.{Files, Paths}
+    val root = new java.io.File(storePath)
+    val dateDirs = Option(root.listFiles())
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("date=")).toSeq)
+      .getOrElse(Nil)
+    // per-date fingerprint: sorted data-file (name, length) pairs hashed —
+    // append-only sinks only ever ADD files, so growth changes the print
+    def fingerprint(d: java.io.File): String = {
+      val fs = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .map(f => s"${f.getName}:${f.length}").sorted
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.orderedHash(fs.toSeq).toLong)
+    }
+    val current = dateDirs.map(d => d.getName.stripPrefix("date=") -> fingerprint(d)).toMap
+    // manifest lives BESIDE the table dir (a stray subdir inside it would
+    // break partition discovery, the r9 snapshots lesson)
+    val manifest = Paths.get(tablePath + "_manifest", "dates.tsv")
+    val previous: Map[String, String] =
+      if (!Files.exists(manifest)) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(manifest).asScala.flatMap { l =>
+          l.split('\t') match {
+            case Array(d, fp) => Some(d -> fp)
+            case _ => None
+          }
+        }.toMap
+      }
+    val changed = current.filter { case (d, fp) => !previous.get(d).contains(fp) }
+      .keys.toSeq.sorted
+    if (changed.nonEmpty) {
+      // filter on the PARTITION column so only the changed dates' files
+      // are read (pruned before footers)
+      migrateLegacySnapshots(storePath)
+      val fresh = spark.read.parquet(storePath)
+        .filter(col("date").isin(changed.map(java.sql.Date.valueOf): _*))
+        .drop("date")
+      if (!spark.catalog.tableExists(table)) {
+        writeBucketed(fresh, table, tablePath, buckets)
+      } else {
+        val entries = array_sort(map_entries(col("tags")))
+        val keyed = fresh
+          .withColumn("_h1", xxhash64(entries))
+          .withColumn("_h2", xxhash64(entries, lit(1)))
+          .withColumn("date", to_date(timestamp_millis(col("ts"))))
+        val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try
+          keyed.select(spark.table(table).columns.map(col): _*)
+            .write.mode(SaveMode.Overwrite).insertInto(table)
+        finally prevMode match {
+          case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+          case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      Files.createDirectories(manifest.getParent)
+      Files.writeString(manifest,
+        current.toSeq.sorted.map { case (d, fp) => s"$d\t$fp" }.mkString("", "\n", "\n"))
+    }
+    changed
+  }
+
   /** read a bucketed store — the scan reports HashPartitioning(_h1), so
     * per-series windows/aggregates downstream plan with no exchange;
     * [[graft.lang.Eval]] reuses the persisted hash columns verbatim

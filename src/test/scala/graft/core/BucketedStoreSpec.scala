@@ -124,6 +124,36 @@ class BucketedStoreSpec extends SparkSpec {
     assert(key(d) == key(flatD) && key(flatD).nonEmpty)
   }
 
+  test("incremental flat→bucketed compaction: only changed dates rewrite, late arrivals survive") {
+    val store = "target/bucketize_spec/store"
+    val tbl = "bucketize_spec_table"
+    val tpath = "target/bucketize_spec/table"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("target/bucketize_spec"))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("spark-warehouse/target/bucketize_spec/table"))
+    val clicks = flat.filter(col("name") === "click")
+    val rest = flat.filter(col("name") =!= "click")
+    SampleStore.write(clicks, store, org.apache.spark.sql.SaveMode.Overwrite)
+    val first = SampleStore.bucketizeNewDates(spark, store, tbl, tpath)
+    assert(first.nonEmpty, "initial run must bucketize every date")
+    // no new flat data → nothing to do (idempotence)
+    assert(SampleStore.bucketizeNewDates(spark, store, tbl, tpath).isEmpty)
+    // late arrivals append into EXISTING dates → those dates re-bucketize
+    SampleStore.write(rest, store)
+    val second = SampleStore.bucketizeNewDates(spark, store, tbl, tpath)
+    assert(second.nonEmpty)
+    val b = SampleStore.readBucketed(spark, tbl)
+    // full content parity with the flat store (clicks must survive the
+    // overwrite of their date partitions)
+    val q = "increase(click[12h])"
+    val a = rows(graft.Engine.query(flat, q, grid, 2 * H))
+    assert(rows(graft.Engine.query(b, q, grid, 2 * H)) == a && a.nonEmpty)
+    assert(b.count() == flat.count())
+    // and the compacted table still plans exchange-free
+    assert(shuffles(graft.Engine.query(b, "irate(click[12h])", grid, 2 * H)) == 0)
+  }
+
   test("bucketed store preserves the raw samples (roundtrip)") {
     val a = flat.filter(col("name") === "click").count()
     val b = bucketed.filter(col("name") === "click").count()
