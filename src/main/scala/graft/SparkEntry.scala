@@ -2964,6 +2964,30 @@ object SparkEntry {
           r6(sum("value")).as("sum_v")).orderBy("name")
     }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v " +
       "FROM events GROUP BY name ORDER BY name")),
+    Q("src_stream_ingest_ddsketch", (s, dir) => {
+      // the third binary landing-zone format end-to-end: DataDog sketch
+      // payloads (one POST body per file) through the same exactly-once
+      // binaryFile pipeline; 1-observation sketches make every quantile
+      // the observation, so the stored p99 reproduces the raw values
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val landing = s"target/stream_ingest_dds$tag/landing"
+      val store = s"target/stream_ingest_dds$tag/store"
+      val ckpt = s"target/stream_ingest_dds$tag/ckpt"
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"target/stream_ingest_dds$tag"))
+      graft.streaming.Ingest.writeBinaryLanding(
+        graft.sources.ProtoFormats.exportDatadogSketches(
+          Samples.fromEvents(s, dir).coalesce(4)),
+        landing)
+      graft.streaming.Ingest.binaryToStore(s, landing, store, ckpt,
+        format = "datadogsketches").awaitTermination()
+      graft.streaming.Ingest.readStore(s, store)
+        .filter(col("tags").getItem("quantile") === "0.99")
+        .groupBy("name").agg(
+          count(lit(1)).as("n"),
+          r6(sum("value")).as("sum_v")).orderBy("name")
+    }, Some("SELECT event_type AS name, count(*) AS n, round(1e-9 + sum(value), 6) AS sum_v " +
+      "FROM events GROUP BY name ORDER BY name")),
     Q("st_aggregate", (s, dir) => {
       val cfg = graft.streaming.StreamAggr.Config(
         6 * H, by = Seq("user_id"),

@@ -87,6 +87,15 @@ object Ingest {
     * and the file sink's manifest makes restarts exactly-once — the
     * durable pipeline the reference's vminsert→vmstorage hop provides for
     * its highest-volume protocols.
+    *
+    * `maxFilesPerTrigger` defaults LOW (64), unlike the text path's 1000:
+    * `binaryFile` materializes WHOLE bodies (content column), so one
+    * micro-batch holds ≈ files × bodySize × decode-amplification in
+    * memory at once — a 512-file batch of ~4.5 MB snappy WriteRequests
+    * OOMed an 8g/32-thread JVM, while 64-file batches drained 30M rows
+    * at 1.47M rows/s (IngestScale `rw` rung, SCALEBENCH r10). The sink is
+    * stateless so ANY bound is correct; size it to
+    * heap / (bodySize × ~6 × cores).
     */
   def binaryToStore(
       spark: SparkSession,
@@ -96,7 +105,7 @@ object Ingest {
       format: String = "remotewrite",
       relabelYaml: Option[String] = None,
       availableNow: Boolean = true,
-      maxFilesPerTrigger: Int = 1000): StreamingQuery = {
+      maxFilesPerTrigger: Int = 64): StreamingQuery = {
     // file streaming sources demand an explicit schema; binaryFile's is
     // fixed (path, modificationTime, length, content)
     val binarySchema = org.apache.spark.sql.types.StructType(Seq(

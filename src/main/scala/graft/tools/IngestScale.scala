@@ -77,8 +77,10 @@ object IngestScale {
       println(f"[ingestscale] $label BEST rate=${rows / best}%.0f rows/s (wall $best%.1fs)")
     }
 
-    val only = sys.env.get("INGESTSCALE_ONLY") // "store" | "aggr" | unset
-    if (!only.contains("aggr")) {
+    // INGESTSCALE_ONLY: comma list of store|aggr|rw (unset = all)
+    val only = sys.env.get("INGESTSCALE_ONLY")
+    def want(n: String) = only.forall(_.split(',').contains(n))
+    if (want("store")) {
       timed("store") { dir =>
         graft.streaming.Ingest.toStore(spark, landing, s"$dir/store", s"$dir/ckpt",
           0L, maxFilesPerTrigger = maxFiles).awaitTermination()
@@ -86,13 +88,37 @@ object IngestScale {
       val stored = graft.streaming.Ingest.readStore(spark, s"$root/store_1/store").count()
       require(stored == rows, s"lost rows: $stored != $rows")
     }
-    if (!only.contains("store")) {
+    if (want("aggr")) {
       val cfg = graft.streaming.StreamAggr.Config(3600000L,
         outputs = Seq("sum_samples", "count_samples"))
       timed("aggr") { dir =>
         graft.streaming.Ingest.toStoreAggregated(spark, landing, s"$dir/store",
           s"$dir/ckpt", 0L, cfg, maxFilesPerTrigger = maxFiles).awaitTermination()
       }
+    }
+    if (want("rw")) {
+      // remote-write rung: the same sample population as snappy-protobuf
+      // WriteRequest payload files (one landed POST body per partition),
+      // drained through the binary exactly-once pipeline — the protobuf
+      // twin of the text `store` rung
+      val rwLanding = s"$root/rwlanding"
+      val samples = spark.range(rows).select(
+        concat(lit("m"), pmod(col("id"), lit(5)).cast("string")).as("name"),
+        map(lit("user_id"),
+          pmod(xxhash64(col("id")), lit(20000)).cast("string")).as("tags"),
+        (lit(t0ms) + pmod(xxhash64(col("id"), lit(2)), lit(30L * 86400000L))).as("ts"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000000)) / 1000.0).as("value"))
+      graft.streaming.Ingest.writeBinaryLanding(
+        graft.sources.ProtoFormats.exportRemoteWrite(samples.repartition(files)),
+        rwLanding)
+      timed("remotewrite") { dir =>
+        graft.streaming.Ingest.binaryToStore(spark, rwLanding, s"$dir/store",
+          s"$dir/ckpt", format = "remotewrite",
+          maxFilesPerTrigger = maxFiles).awaitTermination()
+      }
+      val stored = graft.streaming.Ingest
+        .readStore(spark, s"$root/remotewrite_1/store").count()
+      require(stored == rows, s"remote-write lost rows: $stored != $rows")
     }
     spark.stop()
   }
