@@ -179,6 +179,7 @@ object ProtoFormats {
         var name: String = null
         val tags = mutable.LinkedHashMap.empty[String, String]
         val samples = mutable.ArrayBuffer.empty[(Long, Double)]
+        val histograms = mutable.ArrayBuffer.empty[Reader]
         while (ts.hasNext) {
           val (f2, w2) = ts.readTag()
           if (f2 == 1 && w2 == 2) { // Label{name=1, value=2}
@@ -204,13 +205,123 @@ object ProtoFormats {
               else sm.skip(w3)
             }
             samples += ((t, v))
+          } else if (f2 == 4 && w2 == 2) { // native Histogram
+            histograms += ts.readMessage()
           } else ts.skip(w2)
         }
         val tagMap = tags.toMap
         samples.foreach { case (t, v) => rows += Row(name, tagMap, t, v) }
+        // native histograms need a metric name to suffix (the reference
+        // skips nameless ones, write_request_unmarshaler.go:399)
+        if (name != null) histograms.foreach { h =>
+          decodeNativeHistogram(h, name, tagMap,
+            (n, tg, t, v) => { rows += Row(n, tg, t, v); () })
+        }
       } else req.skip(wt)
     }
     rows.iterator
+  }
+
+  /** prompb native Histogram (types.proto L57, the reference's
+    * write_request_unmarshaler.go:213 unmarshalHistogram +
+    * appendTimeSeries:381) → `_count`/`_sum` + per-non-zero-bucket
+    * `_bucket{vmrange="lo...hi"}` rows with base-2^(2^-schema) bounds —
+    * sparse span/delta encoding (integer histograms carry cumulative
+    * DELTAS, float histograms absolute counts), zero bucket at
+    * [-zero_threshold...zero_threshold]. Same VM-native model as the
+    * OTLP exponential-histogram conversion.
+    */
+  private def decodeNativeHistogram(
+      h: Reader, name: String, tags: Map[String, String],
+      emit: (String, Map[String, String], Long, Double) => Unit): Unit = {
+    final case class Span(offset: Int, length: Int)
+    def readSpan(b: Reader): Span = {
+      var off = 0
+      var len = 0
+      while (b.hasNext) {
+        val (f, w) = b.readTag()
+        (f, w) match {
+          case (1, 0) =>
+            val z = b.readVarint()
+            off = ((z >>> 1) ^ -(z & 1)).toInt
+          case (2, 0) => len = b.readVarint().toInt
+          case _ => b.skip(w)
+        }
+      }
+      Span(off, len)
+    }
+    def zig64(z: Long): Long = (z >>> 1) ^ -(z & 1)
+    var count = 0.0
+    var sum = 0.0
+    var schema = 0
+    var zeroThreshold = 0.0
+    var zeroCount = 0.0
+    var tsMs = 0L
+    val posSpans = mutable.ArrayBuffer.empty[Span]
+    val negSpans = mutable.ArrayBuffer.empty[Span]
+    val posDeltas = mutable.ArrayBuffer.empty[Long]
+    val negDeltas = mutable.ArrayBuffer.empty[Long]
+    val posCounts = mutable.ArrayBuffer.empty[Double]
+    val negCounts = mutable.ArrayBuffer.empty[Double]
+    while (h.hasNext) {
+      val (f, w) = h.readTag()
+      (f, w) match {
+        case (1, 0) => count = h.readVarint().toDouble
+        case (2, 1) => count = h.readDouble()
+        case (3, 1) => sum = h.readDouble()
+        case (4, 0) => schema = zig64(h.readVarint()).toInt
+        case (5, 1) => zeroThreshold = h.readDouble()
+        case (6, 0) => zeroCount = h.readVarint().toDouble
+        case (7, 1) => zeroCount = h.readDouble()
+        case (8, 2) => negSpans += readSpan(h.readMessage())
+        case (9, 2) => negDeltas ++= h.readPackedVarints().map(zig64)
+        case (9, 0) => negDeltas += zig64(h.readVarint())
+        case (10, 2) => negCounts ++= h.readPackedDoubles()
+        case (10, 1) => negCounts += h.readDouble()
+        case (11, 2) => posSpans += readSpan(h.readMessage())
+        case (12, 2) => posDeltas ++= h.readPackedVarints().map(zig64)
+        case (12, 0) => posDeltas += zig64(h.readVarint())
+        case (13, 2) => posCounts ++= h.readPackedDoubles()
+        case (13, 1) => posCounts += h.readDouble()
+        case (15, 0) => tsMs = h.readVarint()
+        case _ => h.skip(w)
+      }
+    }
+    emit(name + "_count", tags, tsMs, count)
+    emit(name + "_sum", tags, tsMs, sum)
+    if (zeroCount > 0)
+      emit(name + "_bucket",
+        tags + ("vmrange" -> fmtVmrange(-zeroThreshold, zeroThreshold)),
+        tsMs, zeroCount)
+    val base = math.pow(2, math.pow(2, -schema.toDouble))
+    def spanBuckets(spans: Seq[Span], deltas: Seq[Long], counts: Seq[Double],
+        negative: Boolean): Unit = {
+      val useFloat = counts.nonEmpty
+      var bucketIdx = 0
+      var i = 0
+      var cum = 0L
+      spans.foreach { span =>
+        bucketIdx += span.offset
+        var j = 0
+        while (j < span.length && i < (if (useFloat) counts.size else deltas.size)) {
+          val c =
+            if (useFloat) counts(i)
+            else { cum += deltas(i); cum.toDouble }
+          i += 1
+          if (c > 0) {
+            val upper = math.pow(base, bucketIdx.toDouble)
+            val lower = upper / base
+            val vr = if (negative) fmtVmrange(-upper, -lower)
+              else fmtVmrange(lower, upper)
+            emit(name + "_bucket", tags + ("vmrange" -> vr), tsMs, c)
+          }
+          bucketIdx += 1
+          j += 1
+        }
+      }
+    }
+    spanBuckets(posSpans.toSeq, posDeltas.toSeq, posCounts.toSeq, negative = false)
+    spanBuckets(negSpans.toSeq, negDeltas.toSeq, negCounts.toSeq, negative = true)
   }
 
   /** parse stage: binary `payload` rows → canonical samples frame */

@@ -143,6 +143,44 @@ class SourcesSpec extends SparkSpec {
     assert(tags("host") == "h1" && tags("env") == "prod")
   }
 
+  test("remote-write native histograms expand to vmrange bucket series") {
+    // prompb Histogram (types.proto L57) hand-marshaled: integer counts
+    // ride cumulative sint64 DELTAS, float histograms absolute counts
+    // (write_request_unmarshaler.go:430); schema 0 → base-2 buckets
+    import graft.sources.ProtoFormats.Writer
+    def zig(v: Long) = (v << 1) ^ (v >> 63)
+    val h = new Writer
+    h.int64(1, 10L) // count_int
+    h.double(3, 99.5) // sum
+    h.int64(4, zig(0)) // schema
+    h.double(5, 0.001) // zero_threshold
+    h.int64(6, 2L) // zero_count_int
+    h.message(11, new Writer().int64(1, zig(1)).int64(2, 2L)) // positive span
+    h.int64(12, zig(3)) // positive deltas: 3, then 3-1=2
+    h.int64(12, zig(-1))
+    h.message(8, new Writer().int64(1, zig(0)).int64(2, 1L)) // negative span
+    h.double(10, 1.5) // negative float count (absolute)
+    h.int64(15, 15000L) // timestamp ms
+    val ts = new Writer
+    ts.message(1, new Writer().string(1, "__name__").string(2, "nh"))
+    ts.message(1, new Writer().string(1, "job").string(2, "vm"))
+    ts.message(4, h)
+    val payload = org.xerial.snappy.Snappy.compress(
+      new Writer().message(1, ts).bytes)
+    val out = ProtoFormats.decodeWriteRequest(payload)
+      .map(r => (r.getString(0), r.getAs[Map[String, String]](1),
+        r.getLong(2), r.getDouble(3))).toSet
+    val jv = Map("job" -> "vm")
+    def vr(s: String) = jv + ("vmrange" -> s)
+    assert(out == Set(
+      ("nh_count", jv, 15000L, 10.0),
+      ("nh_sum", jv, 15000L, 99.5),
+      ("nh_bucket", vr("-1.000e-03...1.000e-03"), 15000L, 2.0),
+      ("nh_bucket", vr("1.000e+00...2.000e+00"), 15000L, 3.0),
+      ("nh_bucket", vr("2.000e+00...4.000e+00"), 15000L, 2.0),
+      ("nh_bucket", vr("-1.000e+00...-5.000e-01"), 15000L, 1.5)), out)
+  }
+
   test("remote-write protobuf round trip preserves series, tags and samples") {
     val s = spark
     import s.implicits._
