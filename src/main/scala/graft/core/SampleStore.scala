@@ -134,18 +134,26 @@ object SampleStore {
     else if (filters.size <= DimResolveThreshold)
       df.filter(retentionFilterPredicate(filters, retentionPeriodMs, nowMs))
     else {
-      val entries = array_sort(map_entries(col("tags")))
-      val h1 = xxhash64(col("name"), entries)
-      val h2 = xxhash64(col("name"), entries, lit(1))
-      val keyed = df.withColumn("_rh1", h1).withColumn("_rh2", h2)
+      // a bucketed frame already carries the persisted series hash pair —
+      // reuse it (the dim aggregate then clusters on the scan's bucket
+      // partitioning: no exchange at all); otherwise compute a local pair
+      val hasPair = df.columns.contains("_h1") && df.columns.contains("_h2")
+      val keyed =
+        if (hasPair) df
+        else {
+          val entries = array_sort(map_entries(col("tags")))
+          df.withColumn("_rh1", xxhash64(col("name"), entries))
+            .withColumn("_rh2", xxhash64(col("name"), entries, lit(1)))
+        }
+      val (k1, k2) = if (hasPair) ("_h1", "_h2") else ("_rh1", "_rh2")
       val dim = keyed
-        .select(col("_rh1"), col("_rh2"), col("name"), col("tags"))
-        .dropDuplicates("_rh1", "_rh2")
-        .select(col("_rh1"), col("_rh2"),
-          matchedRetentionMs(filters).as("_rt"))
-      keyed.join(broadcast(dim), Seq("_rh1", "_rh2"))
+        .select(col(k1), col(k2), col("name"), col("tags"))
+        .dropDuplicates(k1, k2)
+        .select(col(k1), col(k2), matchedRetentionMs(filters).as("_rt"))
+      val joined = keyed.join(broadcast(dim), Seq(k1, k2))
         .filter(col("ts") > lit(nowMs) - coalesce(col("_rt"), lit(retentionPeriodMs)))
-        .drop("_rh1", "_rh2", "_rt")
+        .drop("_rt")
+      if (hasPair) joined else joined.drop("_rh1", "_rh2")
     }
 
   /** retention rewrite honoring per-series filters (the background-merge

@@ -154,6 +154,24 @@ class BucketedStoreSpec extends SparkSpec {
     assert(shuffles(graft.Engine.query(b, "irate(click[12h])", grid, 2 * H)) == 0)
   }
 
+  test("large retention-filter stacks on a bucketed store resolve exchange-free") {
+    // the >threshold dim-resolve path reuses the persisted hash pair: the
+    // series dim clusters on the scan's bucket partitioning and the
+    // resolved retention joins back by broadcast — zero exchanges
+    val filters = (0 to SampleStore.DimResolveThreshold).map(i =>
+      SampleStore.RetentionFilter(s"""{user_id="$i"}""", (i + 1) * 3600000L)) :+
+      SampleStore.RetentionFilter("""{__name__="click"}""", 48 * 3600000L)
+    val nowMs = T0 + 49 * 3600000L
+    val out = SampleStore.applyRetentionFilterPredicate(
+      bucketed, filters, 365L * 86400000L, nowMs)
+    assert(shuffles(out) == 0,
+      s"bucketed retention dim-resolve must be exchange-free:\n${out.queryExecution.executedPlan}")
+    // parity with the per-row predicate on the same frame
+    val inline = bucketed.filter(
+      SampleStore.retentionFilterPredicate(filters, 365L * 86400000L, nowMs))
+    assert(out.count() == inline.count() && inline.count() > 0)
+  }
+
   test("bucketed store preserves the raw samples (roundtrip)") {
     val a = flat.filter(col("name") === "click").count()
     val b = bucketed.filter(col("name") === "click").count()
