@@ -93,6 +93,12 @@ object CardScale {
     timed("select-time HA dedup pass") {
       graft.pipeline.Dedup.dedupNamedSamples(df, 60000L).count()
     }
+    // the architectural tradeoff vs the reference: a selective series
+    // lookup is an index probe there (ms), a columnar scan here — the
+    // per-query floor a 1000-executor cluster divides but never removes
+    timed("single-series lookup (scan)") {
+      df.filter(col("tags").getItem("pod") === s"pod-${series / 2}").count()
+    }
     spark.stop()
   }
 }
