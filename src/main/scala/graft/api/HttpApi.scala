@@ -85,6 +85,12 @@ final class HttpApi(
   // read pins its file listing at creation time)
   @volatile private var spilled: Option[DataFrame] = readSpilled()
   private val spillLock = new Object
+  // guards the (spilled, buffer) TRANSITION so a concurrent query never
+  // observes the half-moved state — old spilled frame + drained buffer
+  // would LOSE the moved rows, new frame + undrained buffer would
+  // duplicate them. Held only for the swap and the read snapshot, never
+  // across the parquet write.
+  private val viewLock = new Object
 
   private def readSpilled(): Option[DataFrame] = spillDir.flatMap { d =>
     val f = new java.io.File(d)
@@ -108,12 +114,19 @@ final class HttpApi(
         graft.core.SampleStore.write(
           spark.createDataFrame(snapshot.asJava, sampleSchema), dir)
         // appends landed after the snapshot stay buffered (they're the
-        // suffix; the spilled rows are exactly the prefix we copied)
-        ingested.synchronized {
-          ingested.remove(0, snapshot.length)
-          storeVersion += 1
+        // suffix; the spilled rows are exactly the prefix we copied).
+        // Swap the serving view atomically: frame first, buffer drain in
+        // the same viewLock section, so a concurrent [[samples]] snapshot
+        // sees either (old frame, full buffer) or (new frame, drained
+        // buffer) — never the lost-rows or duplicated-rows interleavings.
+        val fresh = readSpilled()
+        viewLock.synchronized {
+          spilled = fresh
+          ingested.synchronized {
+            ingested.remove(0, snapshot.length)
+            storeVersion += 1
+          }
         }
-        spilled = readSpilled()
       }
     }
   }
@@ -125,7 +138,10 @@ final class HttpApi(
   def bufferedRows: Int = ingested.synchronized(ingested.length)
 
   def samples: DataFrame = {
-    val bufRows = ingested.synchronized { ingested.toList }
+    // snapshot (spilled frame, buffer) atomically vs the spill transition
+    val (sp, bufRows) = viewLock.synchronized {
+      (spilled, ingested.synchronized { ingested.toList })
+    }
     // A series-bucketed store (SampleStore.readBucketed) carries the
     // persisted _h1/_h2 hash pair; a read-only facade passes it through
     // UNCHANGED so downstream plans keep the scan's bucket partitioning
@@ -140,7 +156,7 @@ final class HttpApi(
           .withColumn("_h2", xxhash64(entries, lit(1)))
       case _ => df
     }
-    val extras = spilled.map(withHash).toList ++
+    val extras = sp.map(withHash).toList ++
       (if (bufRows.isEmpty) Nil
        else List(withHash(spark.createDataFrame(bufRows.asJava, sampleSchema))))
     val all = (base.toList ++ extras) match {
