@@ -211,6 +211,13 @@ object SampleStore {
     * Idempotent per date — re-running overwrites a date with identical
     * content; late arrivals re-bucketize just their date. Returns the
     * dates (re)bucketized.
+    *
+    * Catalog assumption: the bucket spec lives in the session catalog
+    * (like [[writeBucketed]]), so across JVMs this needs a shared
+    * metastore — the production default. Under the local in-memory
+    * catalog a fresh session that finds the manifest but not the table
+    * must recreate both (delete the manifest dir + DROP TABLE first,
+    * what the gates do).
     */
   def bucketizeNewDates(spark: SparkSession, storePath: String,
       table: String, tablePath: String, buckets: Int = 8): Seq[String] = {
