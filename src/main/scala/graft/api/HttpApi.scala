@@ -243,7 +243,11 @@ final class HttpApi(
   }
 
   def stop(): Unit = {
-    if (server != null) server.stop(0)
+    // stop(2): waits (up to 2 s, returns immediately when idle) for
+    // in-flight exchange handlers — an ingest mid-append could otherwise
+    // ack AFTER the final flush below and lose its rows on restart,
+    // breaking the spillDir durability contract
+    if (server != null) server.stop(2)
     // clean shutdown drains the hot tail into the spill store, so a
     // restarted facade over the same spillDir serves every acked row
     flushIngested()

@@ -136,23 +136,30 @@ object SampleStore {
     else {
       // a bucketed frame already carries the persisted series hash pair —
       // reuse it (the dim aggregate then clusters on the scan's bucket
-      // partitioning: no exchange at all); otherwise compute a local pair
+      // partitioning: no exchange at all); otherwise compute a local
+      // pair. The persisted pair hashes TAGS ONLY (writeBucketed), so the
+      // metric name must ride the dim key explicitly — name-matching
+      // filters would otherwise resolve from an arbitrary same-tags
+      // representative. `_rnm` is the null-safe twin (equi-joins drop
+      // null keys, and a projection preserves the bucket partitioning).
       val hasPair = df.columns.contains("_h1") && df.columns.contains("_h2")
-      val keyed =
+      val keyed0 =
         if (hasPair) df
         else {
           val entries = array_sort(map_entries(col("tags")))
           df.withColumn("_rh1", xxhash64(col("name"), entries))
             .withColumn("_rh2", xxhash64(col("name"), entries, lit(1)))
         }
+      val keyed = keyed0.withColumn("_rnm", coalesce(col("name"), lit("")))
       val (k1, k2) = if (hasPair) ("_h1", "_h2") else ("_rh1", "_rh2")
       val dim = keyed
-        .select(col(k1), col(k2), col("name"), col("tags"))
-        .dropDuplicates(k1, k2)
-        .select(col(k1), col(k2), matchedRetentionMs(filters).as("_rt"))
-      val joined = keyed.join(broadcast(dim), Seq(k1, k2))
+        .select(col(k1), col(k2), col("_rnm"), col("name"), col("tags"))
+        .dropDuplicates(k1, k2, "_rnm")
+        .select(col(k1), col(k2), col("_rnm"),
+          matchedRetentionMs(filters).as("_rt"))
+      val joined = keyed.join(broadcast(dim), Seq(k1, k2, "_rnm"))
         .filter(col("ts") > lit(nowMs) - coalesce(col("_rt"), lit(retentionPeriodMs)))
-        .drop("_rt")
+        .drop("_rt", "_rnm")
       if (hasPair) joined else joined.drop("_rh1", "_rh2")
     }
 
@@ -213,11 +220,11 @@ object SampleStore {
     * dates (re)bucketized.
     *
     * Catalog assumption: the bucket spec lives in the session catalog
-    * (like [[writeBucketed]]), so across JVMs this needs a shared
-    * metastore — the production default. Under the local in-memory
-    * catalog a fresh session that finds the manifest but not the table
-    * must recreate both (delete the manifest dir + DROP TABLE first,
-    * what the gates do).
+    * (like [[writeBucketed]]), so incremental runs across JVMs need a
+    * shared metastore — the production default. Under the local
+    * in-memory catalog a fresh session loses the table registration; a
+    * surviving manifest is then IGNORED and every date rebuilds, so the
+    * recreated table is complete (never just the changed dates).
     */
   def bucketizeNewDates(spark: SparkSession, storePath: String,
       table: String, tablePath: String, buckets: Int = 8): Seq[String] = {
@@ -250,8 +257,15 @@ object SampleStore {
           }
         }.toMap
       }
-    val changed = current.filter { case (d, fp) => !previous.get(d).contains(fp) }
-      .keys.toSeq.sorted
+    // a surviving manifest with a MISSING catalog table (in-memory catalog
+    // in a new JVM) must not create the table from only the changed dates
+    // — that would silently drop every unchanged date from the layout;
+    // rebuild everything instead
+    val tableExists = spark.catalog.tableExists(table)
+    val changed =
+      if (!tableExists) current.keys.toSeq.sorted
+      else current.filter { case (d, fp) => !previous.get(d).contains(fp) }
+        .keys.toSeq.sorted
     if (changed.nonEmpty) {
       // filter on the PARTITION column so only the changed dates' files
       // are read (pruned before footers)
@@ -259,7 +273,7 @@ object SampleStore {
       val fresh = spark.read.parquet(storePath)
         .filter(col("date").isin(changed.map(java.sql.Date.valueOf): _*))
         .drop("date")
-      if (!spark.catalog.tableExists(table)) {
+      if (!tableExists) {
         writeBucketed(fresh, table, tablePath, buckets)
       } else {
         val entries = array_sort(map_entries(col("tags")))
@@ -299,9 +313,13 @@ object SampleStore {
     // whole-range transforms key on (_nm,_h1,_h2,t) — a superset of the
     // bucket key, safe by construction (equal tuples share _h1, which is
     // a uniform series hash, so no skew) — and without the flag both
-    // data-scale sides reshuffle. Session-wide is intended: subset
-    // co-partitioning is only ever REACHED when a scan carries a real
-    // hash partitioning, and then it is what we want.
+    // data-scale sides reshuffle. Session-wide is deliberate (frames are
+    // lazy: the flag must be live whenever a downstream query PLANS, not
+    // just here) and correctness-neutral for every other join in the
+    // session — Spark still only elides an exchange when the partitioning
+    // satisfies the join's clustering; the residual risk is skew if an
+    // unrelated workload's join keys extend a low-cardinality
+    // partitioning, which a metrics-engine session does not run.
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     spark.table(table).drop("date")
   }

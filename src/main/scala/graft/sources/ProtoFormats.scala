@@ -684,9 +684,14 @@ object ProtoFormats {
                 rows += Row(n, resourceAttrs.toMap ++ tags, tsMs, v)
                 ()
               }
-              histPoints.foreach(decodeHistogramDataPoint(_, name, emit))
-              expHistPoints.foreach(decodeExpHistogramDataPoint(_, name, emit))
-              summaryPoints.foreach(decodeSummaryDataPoint(_, name, emit))
+              // suffix expansion needs a metric name — nameless series
+              // are skipped like the reference's native-histogram path
+              // (write_request_unmarshaler.go:399)
+              if (name != null) {
+                histPoints.foreach(decodeHistogramDataPoint(_, name, emit))
+                expHistPoints.foreach(decodeExpHistogramDataPoint(_, name, emit))
+                summaryPoints.foreach(decodeSummaryDataPoint(_, name, emit))
+              }
             } else sm.skip(w3)
           }
         }

@@ -281,6 +281,26 @@ object Ingest {
       format = "prometheus", relabelYaml = relabelYaml,
       availableNow = availableNow, maxFilesPerTrigger = maxFilesPerTrigger)
 
+  /** Pre-flight estimate of the open-window state a ONE-batch drain of
+    * the landing backlog would hold (distinct groups × windows): run it
+    * BEFORE an unordered-backlog drain and reject when it exceeds what
+    * the executors can hold — [[awaitBounded]] observes state only at
+    * micro-batch BOUNDARIES (`lastProgress`), so a single batch that
+    * materializes too much state mid-batch OOMs before any monitor can
+    * fire. This is the check that actually preempts the SCALEBENCH r9
+    * 30M-row failure; awaitBounded then guards the multi-batch growth
+    * and the un-flushed residue.
+    */
+  def estimateAggregatedStateRows(
+      spark: SparkSession,
+      landingDir: String,
+      defaultTsMs: Long,
+      cfg: StreamAggr.Config,
+      format: String = "prometheus"): Long =
+    StreamAggr.estimateStateRows(
+      parseLines(spark.read.text(landingDir).select(col("value").as("line")),
+        format, defaultTsMs), cfg)
+
   /** Await an ingest query while ENFORCING the bounded-state contract: if
     * the streaming state (open aggregation windows) ever exceeds
     * `maxStateRows`, the query is stopped and a clean error carrying the
@@ -288,7 +308,10 @@ object Ingest {
     * overload produces unguarded (measured at 30M unordered rows, r9).
     * The residual check after termination catches a drain whose FINAL
     * batch left oversized un-flushed state (data stuck awaiting a
-    * watermark that will never come in this run).
+    * watermark that will never come in this run); state that overshoots
+    * WITHIN one batch is only visible at the batch boundary — for
+    * unordered one-batch drains run [[estimateAggregatedStateRows]]
+    * FIRST, which sees it before any memory is committed.
     */
   def awaitBounded(query: StreamingQuery, maxStateRows: Long = 50000000L): Unit = {
     def stateRows: Long = Option(query.lastProgress)

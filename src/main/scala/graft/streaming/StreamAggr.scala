@@ -267,6 +267,27 @@ object StreamAggr {
     * out-of-order samples for the counter kernels (stateless outputs
     * never skip — min.go/count_samples.go pushSample has no ts check).
     */
+  /** Open-window state rows a ONE-batch drain of `samples` would hold:
+    * distinct (group name, group tags, window). The guard that matters
+    * must run BEFORE such a drain — Spark materializes the whole batch's
+    * aggregation state MID-batch, where no progress-based monitor
+    * ([[graft.streaming.Ingest.awaitBounded]]) can see it; this is the
+    * pre-flight twin that turns the measured 30M-row OOM (SCALEBENCH r9)
+    * into a clean rejection. Slight over-estimate when input relabeling
+    * would collapse groups — the safe direction for a guard.
+    */
+  def estimateStateRows(samples: DataFrame, cfg: Config): Long = {
+    val matched =
+      if (cfg.matchSelectors.isEmpty) samples
+      else samples.filter(
+        cfg.matchSelectors.map(graft.api.Api.selectorPredicate).reduce(_ || _))
+    matched
+      .select(groupName(cfg).as("_n"),
+        to_json(array_sort(map_entries(groupTags(cfg)))).as("_gt"),
+        expr(s"ts div ${cfg.intervalMs}L").as("_w"))
+      .distinct().count()
+  }
+
   private def keyedSamples(samples: DataFrame, cfg: Config,
       arrivalSkip: Boolean = false): DataFrame = {
     val k = dedupBatch(samples

@@ -315,6 +315,23 @@ class IngestSpec extends SparkSpec {
     assert(got === Set((60000L, 3.0), (120000L, 12.0), (180000L, 16.0)), got)
   }
 
+  test("pre-flight state estimate sees a one-batch overload BEFORE the drain") {
+    // awaitBounded observes state at batch boundaries only — the
+    // unordered one-batch drain must be rejected by the estimate, which
+    // counts distinct (group, window) in the backlog up front
+    val landing = tmp("estlanding")
+    val cfg = StreamAggr.Config(1000L, outputs = Seq("sum_samples"),
+      matchSelectors = Seq("""{__name__="m"}"""))
+    drop(landing, "a.txt",
+      (100 to 109).map(s => s"m 1 $s").mkString("", "\n", "\n")) // 10 windows
+    drop(landing, "b.txt", "other 1 100\n") // unmatched: not state
+    val est = Ingest.estimateAggregatedStateRows(spark, landing, 0L, cfg)
+    assert(est == 10L, s"estimate $est != 10 open windows")
+    // by-label grouping collapses the group dimension, not the windows
+    val cfgBy = cfg.copy(by = Seq("job"))
+    assert(Ingest.estimateAggregatedStateRows(spark, landing, 0L, cfgBy) == 10L)
+  }
+
   test("awaitBounded rejects an over-state drain cleanly instead of OOMing") {
     // ten 1s windows all within the 10s watermark delay of the max event
     // time: none can close, so the drain terminates with 10 open windows
