@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.{FileStatus, FileSystem, FileUtil, Path => HPath}
 
 /** The Parquet sample store (SURVEY §1.2): samples at rest are
   * date-partitioned Parquet — the reference's monthly LSM partitions
@@ -14,6 +15,46 @@ import org.apache.spark.sql.functions._
   * `-dedup.minScrapeInterval` expression from pipeline.Dedup.
   */
 object SampleStore {
+
+  // ---- filesystem access ----------------------------------------------
+  // Every maintenance utility (snapshots, compaction manifests, the
+  // flat→bucketed fingerprint walk) runs through the Hadoop FileSystem
+  // API, so the store works unchanged against s3a://, hdfs://, etc. —
+  // the query/ingest paths are pure Spark readers/writers and always
+  // were. Only the snapshot HARD-LINK fast path is scheme-conditional
+  // (object stores have no links; copy is the portable fallback).
+
+  private def hadoopConf(): org.apache.hadoop.conf.Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def fsFor(p: HPath): FileSystem = p.getFileSystem(hadoopConf())
+
+  /** `child`'s path relative to `root` (both qualified, same FileSystem) */
+  private def relativize(root: HPath, child: HPath): String =
+    root.toUri.relativize(child.toUri).getPath
+
+  private def isUnder(p: HPath, dir: HPath): Boolean =
+    p.toUri.getPath.startsWith(dir.toUri.getPath + "/")
+
+  /** Parquet data files are immutable once written, so a snapshot
+    * hard-links on a local filesystem (the reference's O(files) snapshot
+    * trick, lib/storage/storage.go MustCreateSnapshot) and falls back to
+    * a byte copy on filesystems without links (object stores) — still
+    * correct, just not O(1) per file.
+    */
+  private def linkOrCopy(fs: FileSystem, src: HPath, dst: HPath): Unit = {
+    if ("file" == fs.getUri.getScheme) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(src.toUri.getPath))
+        return
+      } catch { case _: Exception => () } // cross-device etc. → copy
+    }
+    FileUtil.copy(fs, src, fs, dst, false, true, fs.getConf)
+    ()
+  }
 
   /** write samples (name, tags, ts, value) date-partitioned */
   def write(samples: DataFrame, path: String, mode: SaveMode = SaveMode.Append): Unit =
@@ -117,6 +158,52 @@ object SampleStore {
     */
   val DimResolveThreshold = 8
 
+  /** Input-size bound above which the dim-resolve join is NOT
+    * force-broadcast: the dim carries one row per distinct series and
+    * series ≤ rows ≈ inputBytes/32, so past this bound the forced
+    * broadcast could exceed the driver (or Spark's 8 GB broadcast cap) at
+    * the series cardinalities this store targets (CardScale's 10M-series
+    * churn shape). Above it the join is left to the planner/AQE — on a
+    * bucketed store that costs one DIM-side exchange only (the data side
+    * keeps its bucket partitioning; the dim is series-scale, not
+    * row-scale). `private[graft] var` so specs can force the fallback.
+    */
+  private[graft] var DimBroadcastMaxInputBytes: BigInt = BigInt(1L) << 30
+
+  /** resolved directory sizes for [[estimatedInputBytes]] — one
+    * getContentSummary per distinct root, not one per query (staleness
+    * only loosens a safety bound, never correctness)
+    */
+  private val contentSizeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BigInt]()
+
+  /** Conservative input size for the broadcast guard. Plan statistics
+    * suffice for path reads and local relations; an unanalyzed CATALOG
+    * table reports defaultSizeInBytes (Long.MaxValue) — for those, one
+    * cached filesystem content summary of the table location gives the
+    * real number (Spark lists the same tree for the scan anyway).
+    */
+  private def estimatedInputBytes(df: DataFrame): BigInt = {
+    val unknown = BigInt(Long.MaxValue) / 4
+    df.queryExecution.optimizedPlan.collectLeaves().map { leaf =>
+      val s = leaf.stats.sizeInBytes
+      if (s < unknown) s
+      else leaf match {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fsRel: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fsRel.location.rootPaths.map { p =>
+                contentSizeCache.computeIfAbsent(p.toString, _ =>
+                  try BigInt(fsFor(p).getContentSummary(p).getLength)
+                  catch { case _: Exception => s })
+              }.sum
+            case _ => s
+          }
+        case _ => s
+      }
+    }.sum
+  }
+
   /** Apply retention filters choosing the cheaper strategy: the inline
     * per-row predicate for a handful of filters, or — for a large stack,
     * the enterprise shape (repeatable `-retentionFilter`) — a per-SERIES
@@ -157,7 +244,28 @@ object SampleStore {
         .dropDuplicates(k1, k2, "_rnm")
         .select(col(k1), col(k2), col("_rnm"),
           matchedRetentionMs(filters).as("_rt"))
-      val joined = keyed.join(broadcast(dim), Seq(k1, k2, "_rnm"))
+      // Force-broadcast only while a conservative bound on the series
+      // count holds (see DimBroadcastMaxInputBytes); a huge store falls
+      // back to a planner-chosen join rather than risking the driver.
+      val sizeOk =
+        try estimatedInputBytes(df) <= DimBroadcastMaxInputBytes
+        catch { case _: Exception => true }
+      // dim keys renamed so the self-derived join condition is
+      // unambiguous; NULL-SAFE `<=>` on the hash pair — a null KEY would
+      // silently drop the row from an equi-join on both sides, rows the
+      // inline predicate keeps, whatever xxhash64 makes of a null map.
+      val dimR = dim.select(col(k1).as("_dk1"), col(k2).as("_dk2"),
+        col("_rnm").as("_dnm"), col("_rt"))
+      val dimSide = if (sizeOk) broadcast(dimR) else dimR
+      // `<=>` only where the schema says the key CAN be null (the
+      // persisted parquet pair): plain equality keeps the join keys as
+      // bare attributes, which the bucket-partitioning subset rule can
+      // still satisfy on the non-broadcast fallback
+      def eq(a: String, b: String) =
+        if (keyed.schema(a).nullable) col(a) <=> col(b) else col(a) === col(b)
+      val joined = keyed.join(dimSide,
+          eq(k1, "_dk1") && eq(k2, "_dk2") && col("_rnm") === col("_dnm"))
+        .drop("_dk1", "_dk2", "_dnm")
         .filter(col("ts") > lit(nowMs) - coalesce(col("_rt"), lit(retentionPeriodMs)))
         .drop("_rt", "_rnm")
       if (hasPair) joined else joined.drop("_rh1", "_rh2")
@@ -228,29 +336,38 @@ object SampleStore {
     */
   def bucketizeNewDates(spark: SparkSession, storePath: String,
       table: String, tablePath: String, buckets: Int = 8): Seq[String] = {
-    import java.nio.file.{Files, Paths}
-    val root = new java.io.File(storePath)
-    val dateDirs = Option(root.listFiles())
-      .map(_.filter(f => f.isDirectory && f.getName.startsWith("date=")).toSeq)
-      .getOrElse(Nil)
+    val root = new HPath(storePath)
+    val rootFs = fsFor(root)
+    val dateDirs: Seq[FileStatus] =
+      if (!rootFs.exists(root)) Nil
+      else rootFs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("date=")).toSeq
     // per-date fingerprint: sorted data-file (name, length) pairs hashed —
     // append-only sinks only ever ADD files, so growth changes the print
-    def fingerprint(d: java.io.File): String = {
-      val fs = Option(d.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
-        .map(f => s"${f.getName}:${f.length}").sorted
+    def fingerprint(d: HPath): String = {
+      val fs = rootFs.listStatus(d)
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith(".") && !n.startsWith("_")
+        }
+        .map(st => s"${st.getPath.getName}:${st.getLen}").sorted
       java.lang.Long.toHexString(
         scala.util.hashing.MurmurHash3.orderedHash(fs.toSeq).toLong)
     }
-    val current = dateDirs.map(d => d.getName.stripPrefix("date=") -> fingerprint(d)).toMap
+    val current = dateDirs
+      .map(st => st.getPath.getName.stripPrefix("date=") -> fingerprint(st.getPath)).toMap
     // manifest lives BESIDE the table dir (a stray subdir inside it would
     // break partition discovery, the r9 snapshots lesson)
-    val manifest = Paths.get(tablePath + "_manifest", "dates.tsv")
+    val manifest = new HPath(tablePath + "_manifest", "dates.tsv")
+    val manifestFs = fsFor(manifest)
     val previous: Map[String, String] =
-      if (!Files.exists(manifest)) Map.empty
+      if (!manifestFs.exists(manifest)) Map.empty
       else {
-        import scala.jdk.CollectionConverters._
-        Files.readAllLines(manifest).asScala.flatMap { l =>
+        val in = manifestFs.open(manifest)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        lines.flatMap { l =>
           l.split('\t') match {
             case Array(d, fp) => Some(d -> fp)
             case _ => None
@@ -266,6 +383,25 @@ object SampleStore {
       if (!tableExists) current.keys.toSeq.sorted
       else current.filter { case (d, fp) => !previous.get(d).contains(fp) }
         .keys.toSeq.sorted
+    // dates that VANISHED from the flat store (an in-place retention/
+    // partition-drop rewrite) must leave the bucketed layout too, or it
+    // silently keeps serving expired rows the ingestion truth dropped.
+    // Partitions of a path-based datasource table are inferred from the
+    // directory listing, so deleting `date=<d>` IS the partition drop.
+    // (A missing table rebuilds from `current` alone — nothing to drop.)
+    val removed =
+      if (!tableExists) Nil
+      else (previous.keySet -- current.keySet).toSeq.sorted
+    if (removed.nonEmpty) {
+      // resolve the table's REAL location from the catalog — saveAsTable
+      // resolves a relative `path` option against the warehouse dir, so
+      // `tablePath` verbatim can point elsewhere
+      val tp = new HPath(spark.sessionState.catalog.getTableMetadata(
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+      val tfs = fsFor(tp)
+      removed.foreach { d => tfs.delete(new HPath(tp, s"date=$d"), true) }
+      spark.catalog.refreshTable(table)
+    }
     if (changed.nonEmpty) {
       // filter on the PARTITION column so only the changed dates' files
       // are read (pruned before footers)
@@ -291,9 +427,13 @@ object SampleStore {
           case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
         }
       }
-      Files.createDirectories(manifest.getParent)
-      Files.writeString(manifest,
-        current.toSeq.sorted.map { case (d, fp) => s"$d\t$fp" }.mkString("", "\n", "\n"))
+    }
+    if (changed.nonEmpty || removed.nonEmpty) {
+      val out = manifestFs.create(manifest, true)
+      try out.write(current.toSeq.sorted
+        .map { case (d, fp) => s"$d\t$fp" }.mkString("", "\n", "\n")
+        .getBytes("UTF-8"))
+      finally out.close()
     }
     changed
   }
@@ -303,6 +443,18 @@ object SampleStore {
     * [[graft.lang.Eval]] reuses the persisted hash columns verbatim
     * (recomputing them would sever the attribute the bucket
     * partitioning is keyed on).
+    *
+    * SESSION CONFIG CONTRACT: this reader requires (and sets, see below)
+    * `spark.sql.requireAllClusterKeysForCoPartition=false` for the
+    * session — treat it as part of the store's session configuration,
+    * like `spark.sql.shuffle.partitions`. A dedicated metrics session is
+    * unaffected; when EMBEDDING the engine in a session that runs
+    * unrelated workloads, set the flag at session construction and know
+    * that it applies to every join planned in that session (Spark still
+    * only elides an exchange when the existing partitioning satisfies
+    * the join's clustering, so results are unchanged; the residual risk
+    * is skew if an unrelated join's keys extend a low-cardinality
+    * partitioning).
     */
   def readBucketed(spark: SparkSession, table: String): DataFrame = {
     // The layout's whole point is that the scan's HashPartitioning(_h1)
@@ -376,8 +528,8 @@ object SampleStore {
   // a later read — a bare `snapshots/` dir makes every
   // spark.read.parquet(store) throw CONFLICTING_DIRECTORY_STRUCTURES
   // (caught by RetentionFilterSpec's create→mutate→restore case).
-  private def snapshotsRoot(path: String): java.nio.file.Path =
-    java.nio.file.Paths.get(path, "_snapshots")
+  private def snapshotsRoot(path: String): HPath =
+    new HPath(path, "_snapshots")
 
   /** Migrate a pre-r9 `snapshots/` dir (no underscore) to `_snapshots/`:
     * the legacy location breaks every read of the store root with
@@ -388,23 +540,19 @@ object SampleStore {
     * no-op (one isDirectory check) on already-migrated stores.
     */
   private def migrateLegacySnapshots(path: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    val legacy = Paths.get(path, "snapshots")
-    if (!Files.isDirectory(legacy)) return
+    val legacy = new HPath(path, "snapshots")
+    val fs = fsFor(legacy)
+    if (!fs.exists(legacy) || !fs.getFileStatus(legacy).isDirectory) return
     val root = snapshotsRoot(path)
-    if (!Files.exists(root)) { Files.move(legacy, root); () }
+    if (!fs.exists(root)) { fs.rename(legacy, root); () }
     else {
-      scala.util.Using.resource(Files.list(legacy)) {
-        _.forEach { child =>
-          val dst = root.resolve(child.getFileName)
-          if (!Files.exists(dst)) { Files.move(child, dst); () }
-        }
+      fs.listStatus(legacy).foreach { child =>
+        val dst = new HPath(root, child.getPath.getName)
+        if (!fs.exists(dst)) { fs.rename(child.getPath, dst); () }
       }
       // remove the legacy dir if drained (a clash leaves it, and the
       // caller's read would still fail loudly — better than silent loss)
-      scala.util.Using.resource(Files.list(legacy)) { s =>
-        if (!s.iterator().hasNext) { Files.delete(legacy); () }
-      }
+      if (fs.listStatus(legacy).isEmpty) { fs.delete(legacy, false); () }
     }
   }
 
@@ -417,37 +565,32 @@ object SampleStore {
 
   def createSnapshot(path: String,
       nowMs: Long = System.currentTimeMillis()): String = {
-    import java.nio.file.{Files, Paths}
     migrateLegacySnapshots(path)
     val name = snapshotName(nowMs)
-    val root = Paths.get(path)
-    val dst = snapshotsRoot(path).resolve(name)
-    Files.createDirectories(dst)
-    scala.util.Using.resource(Files.walk(root)) {
-      _.filter(p => Files.isRegularFile(p) &&
-        !p.startsWith(snapshotsRoot(path))).forEach { src =>
-        val target = dst.resolve(root.relativize(src))
-        Files.createDirectories(target.getParent)
-        try { Files.createLink(target, src); () }
-        catch { case _: Exception => Files.copy(src, target); () }
+    val fs = fsFor(new HPath(path))
+    val root = fs.makeQualified(new HPath(path))
+    val snapRoot = fs.makeQualified(snapshotsRoot(path))
+    val dst = new HPath(snapRoot, name)
+    fs.mkdirs(dst)
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val src = it.next().getPath
+      if (!isUnder(src, snapRoot)) {
+        val target = new HPath(dst, relativize(root, src))
+        fs.mkdirs(target.getParent)
+        linkOrCopy(fs, src, target)
       }
     }
     name
   }
 
   def listSnapshots(path: String): Seq[String] = {
-    import java.nio.file.Files
     migrateLegacySnapshots(path)
     val root = snapshotsRoot(path)
-    if (!Files.isDirectory(root)) Nil
-    else {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(Files.list(root)) {
-        _.iterator().asScala
-          .filter(Files.isDirectory(_))
-          .map(_.getFileName.toString).toSeq.sorted
-      }
-    }
+    val fs = fsFor(root)
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory) Nil
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq.sorted
   }
 
   /** vmrestore's core: materialize a snapshot back into a store root
@@ -459,41 +602,46 @@ object SampleStore {
     * back; the destination's `_snapshots/` directory is left untouched.
     */
   def restoreSnapshot(path: String, name: String, outPath: String): Boolean = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     if (name.isEmpty || name.contains('/') || name.contains("..")) return false
     migrateLegacySnapshots(path)
-    val src = snapshotsRoot(path).resolve(name)
-    if (!Files.isDirectory(src)) return false
-    val dst = Paths.get(outPath)
-    Files.createDirectories(dst)
-    scala.util.Using.resource(Files.walk(dst)) {
-      _.filter(p => Files.isRegularFile(p) &&
-        !p.startsWith(snapshotsRoot(outPath))).forEach(p => { Files.delete(p); () })
-    }
-    scala.util.Using.resource(Files.walk(src)) {
-      _.filter(Files.isRegularFile(_)).forEach { f =>
-        val target = dst.resolve(src.relativize(f))
-        Files.createDirectories(target.getParent)
-        try { Files.createLink(target, f); () }
-        catch { case _: Exception =>
-          Files.copy(f, target, StandardCopyOption.REPLACE_EXISTING); () }
+    val fs = fsFor(new HPath(path))
+    val src = fs.makeQualified(new HPath(snapshotsRoot(path), name))
+    if (!fs.exists(src) || !fs.getFileStatus(src).isDirectory) return false
+    val dst = fs.makeQualified(new HPath(outPath))
+    fs.mkdirs(dst)
+    val outSnapRoot = fs.makeQualified(snapshotsRoot(outPath))
+    // delete the destination's existing DATA files first (vmrestore
+    // semantics); buffer the listing — deleting under a live iterator is
+    // undefined on some filesystems
+    val stale = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[HPath]
+      val it = fs.listFiles(dst, true)
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (!isUnder(p, outSnapRoot)) buf += p
       }
+      buf.toSeq
+    }
+    stale.foreach(p => fs.delete(p, false))
+    val it = fs.listFiles(src, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val target = new HPath(dst, relativize(src, f))
+      fs.mkdirs(target.getParent)
+      if (fs.exists(target)) fs.delete(target, false)
+      linkOrCopy(fs, f, target)
     }
     true
   }
 
   def deleteSnapshot(path: String, name: String): Boolean = {
-    import java.nio.file.{Files, Path}
     // refuse names that escape the snapshots dir (the reference validates
     // against its snapshot-name regexp for the same reason)
     if (name.isEmpty || name.contains('/') || name.contains("..")) return false
     migrateLegacySnapshots(path)
-    val dir = snapshotsRoot(path).resolve(name)
-    if (!Files.isDirectory(dir)) return false
-    scala.util.Using.resource(Files.walk(dir)) {
-      _.sorted(java.util.Comparator.reverseOrder[Path]())
-        .forEach(p => { Files.delete(p); () })
-    }
-    true
+    val dir = new HPath(snapshotsRoot(path), name)
+    val fs = fsFor(dir)
+    if (!fs.exists(dir) || !fs.getFileStatus(dir).isDirectory) return false
+    fs.delete(dir, true)
   }
 }

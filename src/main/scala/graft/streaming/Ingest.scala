@@ -132,21 +132,42 @@ object Ingest {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** Hadoop Configuration is not Serializable; ship it to executors via
+    * its Writable form (the same trick Spark's internal wrapper uses)
+    */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** land binary payload rows as one file each (what a collector does with
-    * POST bodies) — executor-side writes, so the landing dir must be a
-    * shared filesystem, exactly the [[binaryToStore]] contract
+    * POST bodies) — executor-side writes through the Hadoop FileSystem
+    * API, so the landing dir can be any shared filesystem (file://, HDFS,
+    * s3a://…), exactly the [[binaryToStore]] contract
     */
   def writeBinaryLanding(payloads: DataFrame, dir: String,
       suffix: String = ".bin"): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = new SerializableHadoopConf(
+      payloads.sparkSession.sessionState.newHadoopConf())
+    new HPath(dir).getFileSystem(conf.value).mkdirs(new HPath(dir))
     payloads.select("payload").foreachPartition {
       (it: Iterator[org.apache.spark.sql.Row]) =>
+        val p = new HPath(dir)
+        val fs = p.getFileSystem(conf.value)
         val pid = org.apache.spark.TaskContext.getPartitionId()
         var i = 0
         it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, f"payload-$pid%05d-$i%05d$suffix"),
-            r.getAs[Array[Byte]](0))
+          val out = fs.create(new HPath(p, f"payload-$pid%05d-$i%05d$suffix"), true)
+          try out.write(r.getAs[Array[Byte]](0))
+          finally out.close()
           i += 1
         }
     }

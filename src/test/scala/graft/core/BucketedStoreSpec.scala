@@ -154,6 +154,43 @@ class BucketedStoreSpec extends SparkSpec {
     assert(shuffles(graft.Engine.query(b, "irate(click[12h])", grid, 2 * H)) == 0)
   }
 
+  test("dates dropped from the flat store leave the bucketed layout too") {
+    // an in-place retention rewrite removes whole date partitions from
+    // the flat store; the next compaction run must DROP those partitions
+    // from the bucketed table, not keep serving the expired rows
+    val store = "target/bucketize_drop_spec/store"
+    val tbl = "bucketize_drop_spec_table"
+    val tpath = "target/bucketize_drop_spec/table"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("target/bucketize_drop_spec"))
+    val clicks = flat.filter(col("name") === "click")
+    SampleStore.write(clicks, store, org.apache.spark.sql.SaveMode.Overwrite)
+    assert(SampleStore.bucketizeNewDates(spark, store, tbl, tpath).nonEmpty)
+    val allDates = spark.read.parquet(store).select(col("date").cast("string"))
+      .distinct().collect().map(_.getString(0)).sorted
+    assert(allDates.length >= 2, s"need ≥2 dates for a drop test, got $allDates")
+    val dropped = allDates.head
+    // retention rewrite IN PLACE: keep everything after the first date
+    val kept = spark.read.parquet(store)
+      .filter(col("date") > java.sql.Date.valueOf(dropped)).drop("date")
+    val keptRows = kept.collect()
+    SampleStore.write(
+      spark.createDataFrame(java.util.Arrays.asList(keptRows: _*), kept.schema),
+      store, org.apache.spark.sql.SaveMode.Overwrite)
+    // the rewrite changed every file, so surviving dates re-bucketize —
+    // and the VANISHED date must leave the bucketed layout
+    val second = SampleStore.bucketizeNewDates(spark, store, tbl, tpath)
+    assert(!second.contains(dropped), "the vanished date must not re-bucketize")
+    val b = SampleStore.readBucketed(spark, tbl)
+    assert(b.count() == keptRows.length,
+      "bucketed layout must stop serving the dropped date's rows")
+    assert(b.filter(to_date(timestamp_millis(col("ts"))) === java.sql.Date.valueOf(dropped))
+      .count() == 0)
+    // a second run stays idempotent
+    assert(SampleStore.bucketizeNewDates(spark, store, tbl, tpath).isEmpty)
+    assert(SampleStore.readBucketed(spark, tbl).count() == keptRows.length)
+  }
+
   test("large retention-filter stacks on a bucketed store resolve exchange-free") {
     // the >threshold dim-resolve path reuses the persisted hash pair: the
     // series dim clusters on the scan's bucket partitioning and the

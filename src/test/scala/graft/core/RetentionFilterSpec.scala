@@ -62,6 +62,45 @@ class RetentionFilterSpec extends SparkSpec {
       SampleStore.retentionFilterPredicate(filters, 365 * D, now))))
   }
 
+  test("dim resolution keeps null-tag rows and survives the broadcast fallback") {
+    import spark.implicits._
+    // a null tags map must resolve like the inline predicate (no filter
+    // matches → period retention), not vanish through a null join key
+    val withNull = frame.unionByName(
+      Seq(("m", 40L), ("m", 400L))
+        .map { case (n, age) => (n, null.asInstanceOf[Map[String, String]], now - age * D, 1.0) }
+        .toDF("name", "tags", "ts", "value"))
+    val pad = (0 until SampleStore.DimResolveThreshold + 1).map(i =>
+      SampleStore.RetentionFilter(s"""{team="nobody$i"}""", (i + 1) * D))
+    val stack = filters ++ pad
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("name"), col("tags")("team"), col("ts"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val inline = key(withNull.filter(
+      SampleStore.retentionFilterPredicate(stack, 365 * D, now)))
+    assert(inline.exists(_._2 == null), "inline must keep the young null-tag row")
+    assert(key(SampleStore.applyRetentionFilterPredicate(
+      withNull, stack, 365 * D, now)) === inline)
+    // past the size bound the forced broadcast is abandoned (planner's
+    // choice instead — no driver-side risk); the kept set is unchanged
+    // default bound: small input → the dim join carries the FORCED
+    // broadcast hint (the planner may also pick broadcast on its own —
+    // what the guard controls is the hint, i.e. the unbounded force)
+    val hinted = SampleStore.applyRetentionFilterPredicate(withNull, stack, 365 * D, now)
+    assert(hinted.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "under the bound the dim join must be hint-broadcast")
+    // past the size bound the forced hint is dropped (planner's choice
+    // instead — no unbounded driver-side build); the kept set is unchanged
+    val saved = SampleStore.DimBroadcastMaxInputBytes
+    SampleStore.DimBroadcastMaxInputBytes = BigInt(-1)
+    try {
+      val out = SampleStore.applyRetentionFilterPredicate(withNull, stack, 365 * D, now)
+      assert(!out.queryExecution.optimizedPlan.toString.contains("broadcast"),
+        "size-bound fallback must not carry the broadcast hint")
+      assert(key(out) === inline)
+    } finally SampleStore.DimBroadcastMaxInputBytes = saved
+  }
+
   test("flag parsing: braces guard commas; validation errors") {
     assert(filters.map(f => (f.selector, f.retentionMs / D)) === Seq(
       ("""{team="juniors",__name__=~"m|n"}""", 3L),
