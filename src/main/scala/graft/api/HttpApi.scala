@@ -71,6 +71,10 @@ final class HttpApi(
   // contain characters MetricsQL selectors cannot spell).
   private val deletedSelectors = mutable.ArrayBuffer.empty[String]
   private val deletedPredicates = mutable.ArrayBuffer.empty[org.apache.spark.sql.Column]
+  // graphite delSeries predicates are Columns (not serializable) — the
+  // RAW paths ride beside them so deletes can persist/reload with the
+  // spill store (a Column rebuilds deterministically from its path)
+  private val deletedGraphitePaths = mutable.ArrayBuffer.empty[String]
   private var server: HttpServer = _
   // self-telemetry for /metrics (lib/httpserver/httpserver.go:436 serves
   // the process' own counters; vm_http_requests_total per path)
@@ -85,6 +89,104 @@ final class HttpApi(
   // read pins its file listing at creation time)
   @volatile private var spilled: Option[DataFrame] = readSpilled()
   private val spillLock = new Object
+  // Size-triggered spills run on this single background thread so the
+  // ~500Kth ingest request is NOT charged a Parquet write + store re-read
+  // on its HTTP worker (the same stall shape as the System.gc() fix).
+  // Forced flushes (stop()) stay synchronous through maybeSpill.
+  private val spillExec = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => { val t = new Thread(r, "graft-spill"); t.setDaemon(true); t })
+  private val spillQueued = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // test hook: stretch the background spill so specs can assert the
+  // triggering ingest acked without waiting on it
+  private[api] var spillTestDelayMs: Long = 0L
+  /** block until the background spill thread has drained its queue */
+  def awaitSpillIdle(): Unit = { spillExec.submit(new Runnable { def run(): Unit = () }).get(); () }
+
+  private def scheduleSpill(): Unit = spillDir.foreach { _ =>
+    val over = ingested.synchronized(ingested.length) >= spillMaxBufferedRows
+    if (over && spillQueued.compareAndSet(false, true))
+      spillExec.submit(new Runnable {
+        def run(): Unit = {
+          // re-arm FIRST: rows landing while this spill runs can queue the
+          // next one instead of waiting for another threshold crossing
+          spillQueued.set(false)
+          try {
+            if (spillTestDelayMs > 0) Thread.sleep(spillTestDelayMs)
+            maybeSpill()
+            maybeCompactSpill()
+          } catch {
+            case e: Exception =>
+              // rows stay buffered and acked; the next trigger retries
+              System.err.println(s"[graft.HttpApi] background spill failed: $e")
+          }
+        }
+      })
+  }
+
+  /** Data files in the spill store grow by one-plus per spill; past this
+    * many the background thread compacts the store in place (bounding
+    * per-query listing cost on a long-running facade). The HTTP
+    * store-swap lock keeps requests out of the swap window; callers
+    * holding a [[samples]] frame OUTSIDE the HTTP surface should not run
+    * it concurrently with a compaction (single-node glue, like the
+    * facade itself).
+    */
+  private[api] var spillCompactFileThreshold: Int = 64
+
+  private[api] def spillDataFileCount(dir: String): Int = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) 0
+    else fs.listStatus(root).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("date=")).map { d =>
+      fs.listStatus(d.getPath).count { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith(".") && !n.startsWith("_")
+      }
+    }.sum
+  }
+
+  private def maybeCompactSpill(): Unit = spillDir.foreach { dir =>
+    import org.apache.hadoop.fs.{Path => HPath}
+    if (spillDataFileCount(dir) <= spillCompactFileThreshold) return
+    spillLock.synchronized {
+      val root = new HPath(dir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val tmp = new HPath(dir + "_compacting")
+      fs.delete(tmp, true)
+      // one file per date: the compaction target is listing cost, and a
+      // facade-scale date partition is small by construction
+      spark.read.parquet(dir)
+        .repartition(col("date"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy("date").parquet(tmp.toString)
+      // swap with no HTTP request mid-execution (write lock vs the
+      // handler wrapper's read lock), view refreshed atomically
+      storeSwapLock.writeLock().lock()
+      try viewLock.synchronized {
+        fs.listStatus(root).filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("date="))
+          .foreach(st => fs.delete(st.getPath, true))
+        fs.listStatus(tmp).filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("date="))
+          .foreach(st => fs.rename(st.getPath, new HPath(root, st.getPath.getName)))
+        spilled = readSpilled()
+        storeVersion += 1
+      } finally storeSwapLock.writeLock().unlock()
+      fs.delete(tmp, true)
+      ()
+    }
+  }
+
+  // handlers hold the read side for their whole exchange; the spill
+  // compactor takes the write side for its file swap, so a request never
+  // reads a store whose files are being replaced under it
+  private val storeSwapLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+
+  // restore acked deletes alongside the spilled rows (constructor order:
+  // after the delete buffers and spillDir-derived fields above)
+  loadDeletes()
   // guards the (spilled, buffer) TRANSITION so a concurrent query never
   // observes the half-moved state — old spilled frame + drained buffer
   // would LOSE the moved rows, new frame + undrained buffer would
@@ -97,6 +199,57 @@ final class HttpApi(
     val hasData = f.isDirectory &&
       Option(f.listFiles()).exists(_.exists(_.getName.startsWith("date=")))
     if (hasData) Some(graft.core.SampleStore.read(spark, d)) else None
+  }
+
+  // ---- durable deletes -------------------------------------------------
+  // spillDir makes acked INGESTS durable; acked delete_series/delSeries
+  // must be durable too, or a restart over the same spillDir resurrects
+  // rows acked as deleted (an asymmetry the memory-only facade, which
+  // loses both, never had). Tombstones persist as one Base64-lined file
+  // under `_deletes/` (underscore → invisible to partition discovery),
+  // rewritten whole on every mutation (deletes are rare and the file is
+  // tombstone-scale; append is not portable across FileSystems).
+
+  private def deletesFile: Option[org.apache.hadoop.fs.Path] =
+    spillDir.map(d => new org.apache.hadoop.fs.Path(d, "_deletes/deletes.tsv"))
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
+
+  private def persistDeletes(): Unit = deletesFile.foreach { f =>
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    val sels = deletedSelectors.synchronized(deletedSelectors.toList)
+    val paths = deletedPredicates.synchronized(deletedGraphitePaths.toList)
+    val tmp = new org.apache.hadoop.fs.Path(f.getParent, "deletes.tsv.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((sels.map(s => s"S\t${b64(s)}") ++ paths.map(p => s"G\t${b64(p)}"))
+      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(f, false)
+    fs.rename(tmp, f)
+    ()
+  }
+
+  private def loadDeletes(): Unit = deletesFile.foreach { f =>
+    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(f)) {
+      val in = fs.open(f)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.foreach {
+        _.split('\t') match {
+          case Array("S", v) => deletedSelectors += unb64(v)
+          case Array("G", v) =>
+            val p = unb64(v)
+            deletedGraphitePaths += p
+            deletedPredicates += graphiteDeletePredicate(p)
+          case _ => ()
+        }
+      }
+    }
   }
 
   /** spill the buffer into the Parquet store (size-triggered from
@@ -251,6 +404,19 @@ final class HttpApi(
     // clean shutdown drains the hot tail into the spill store, so a
     // restarted facade over the same spillDir serves every acked row
     flushIngested()
+    // the 2 s bound alone re-opens the race it exists to close: a
+    // straggler handler past the bound can still append-and-ack AFTER
+    // that flush — keep draining until the buffer stays empty (bounded;
+    // a handler stuck past it would not have acked, so nothing acked is
+    // lost). Without a spill store the buffer cannot drain — skip.
+    if (spillDir.nonEmpty) {
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (bufferedRows > 0 && System.nanoTime() < deadline) {
+        Thread.sleep(20)
+        flushIngested()
+      }
+    }
+    spillExec.shutdown()
   }
 
   // ---- helpers -------------------------------------------------------
@@ -319,6 +485,18 @@ final class HttpApi(
     val canonical = metric +
       tags.toSeq.sortBy(_._1).map { case (k, v) => s";$k=$v" }.mkString
     (metric, canonical, tags)
+  }
+
+  /** /tags/delSeries predicate for one graphite path: delete every series
+    * matching (metric, tags) — series carrying EXTRA tags still match,
+    * exactly the reference's TagFilter semantics (tags_api.go:33).
+    * Deterministic in the path, so persisted deletes rebuild it on load.
+    */
+  private def graphiteDeletePredicate(p: String): org.apache.spark.sql.Column = {
+    val (metric, _, tags) = parseGraphitePath(p)
+    tags.foldLeft(coalesce(col("name"), lit("")) === metric) {
+      case (acc, (k, v)) => acc && col("tags").getItem(k) === v
+    }
   }
 
   /** Prometheus time param: unix seconds, fractional allowed */
@@ -518,6 +696,11 @@ final class HttpApi(
       requestCounts.synchronized {
         requestCounts(route) = requestCounts.getOrElse(route, 0L) + 1L
       }
+      // hold the store-swap read lock for the whole exchange: the spill
+      // compactor's file swap (write side) never replaces parquet files a
+      // request is mid-way through reading
+      val rl = storeSwapLock.readLock()
+      rl.lock()
       try f(ex)
       catch {
         case e: Exception =>
@@ -528,7 +711,7 @@ final class HttpApi(
       // Spark's 30-min periodic GCs (ContextCleaner reaps on weak refs) —
       // at most one GC per CheckpointGc threshold, so checkpoint-free
       // request streams never pay one
-      finally graft.core.CheckpointGc.maybeGc()
+      finally { rl.unlock(); graft.core.CheckpointGc.maybeGc() }
     }
 
   /** request body, transparently inflating gzip/deflate Content-Encoding
@@ -645,7 +828,9 @@ final class HttpApi(
     }
     collected.iterator.map(_.getString(0)).distinct
       .foreach(MetricNamesStats.registerIngest)
-    maybeSpill() // size-triggered; bounds driver memory when spillDir is set
+    // size-triggered; bounds driver memory when spillDir is set — queued
+    // to the background thread so THIS request isn't charged the write
+    scheduleSpill()
     collected.length
   }
 
@@ -1177,6 +1362,7 @@ final class HttpApi(
       if (sels.isEmpty) throw new IllegalArgumentException("missing `match[]` arg")
       sels.foreach(Api.selectorPredicate) // validate before recording any
       deletedSelectors.synchronized { deletedSelectors ++= sels; storeVersion += 1 }
+      persistDeletes() // acked deletes must survive a spillDir restart
       reply(ex, 204, "", "text/plain")
     },
     "/api/v1/export/csv" -> handler { ex =>
@@ -1339,13 +1525,15 @@ final class HttpApi(
       val paths = multiParamsWithBody(ex, "path")
       var deleted = 0L
       paths.foreach { p =>
-        val (metric, _, tags) = parseGraphitePath(p)
-        val pred = tags.foldLeft(coalesce(col("name"), lit("")) === metric) {
-          case (acc, (k, v)) => acc && col("tags").getItem(k) === v
-        }
+        val pred = graphiteDeletePredicate(p)
         deleted += samples.filter(pred).count()
-        deletedPredicates.synchronized { deletedPredicates += pred; storeVersion += 1 }
+        deletedPredicates.synchronized {
+          deletedPredicates += pred
+          deletedGraphitePaths += p
+          storeVersion += 1
+        }
       }
+      persistDeletes() // acked deletes must survive a spillDir restart
       reply(ex, 200, if (deleted > 0) "true" else "false")
     },
     "/tags/autoComplete/tags" -> handler { ex =>

@@ -236,6 +236,7 @@ class HttpApiSpec extends SparkSpec {
           |m{job="api"} 20 120
           |m{job="api"} 35 180
           |""".stripMargin) == 204)
+      api.awaitSpillIdle() // spills run on the background thread now
       assert(api.bufferedRows == 0, s"buffer not drained: ${api.bufferedRows}")
       assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("date=")),
         "spill must land as a date-partitioned store")
@@ -256,6 +257,77 @@ class HttpApiSpec extends SparkSpec {
       val r = get(port2, "/api/v1/query_range?query=m&start=60&end=240&step=60")
       assert(r.contains("""[60.0,"10"]""") && r.contains("""[180.0,"35"]""") &&
         r.contains("""[240.0,"50"]"""), r)
+    } finally api2.stop()
+  }
+
+  test("size-triggered spills run off the request thread; file count stays bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("httpspill_bg").toString
+    val api = new HttpApi(spark, spillDir = Some(dir), spillMaxBufferedRows = 2)
+    api.spillTestDelayMs = 2000
+    api.spillCompactFileThreshold = 6
+    val port = api.start()
+    try {
+      // the POST crosses the threshold and acks while the (artificially
+      // slowed) spill still runs — a synchronous spill would have drained
+      // the buffer before the ack
+      assert(post(port, "/api/v1/import/prometheus",
+        """bg{job="a"} 1 60
+          |bg{job="a"} 2 120
+          |bg{job="a"} 3 180
+          |""".stripMargin) == 204)
+      assert(api.bufferedRows == 3,
+        "ingest must ack before the background spill drains the buffer")
+      api.spillTestDelayMs = 0
+      api.awaitSpillIdle()
+      assert(api.bufferedRows == 0, "background spill must eventually drain")
+      // many spills on one long-running facade: the background compactor
+      // keeps the spill store's data-file count bounded
+      for (i <- 1 to 12) {
+        assert(post(port, "/api/v1/import/prometheus",
+          s"""bg{job="a"} ${10 + i} ${200 + i * 60}
+             |bg{job="a"} ${20 + i} ${240 + i * 60}
+             |""".stripMargin) == 204)
+        api.awaitSpillIdle()
+      }
+      assert(api.spillDataFileCount(dir) <= api.spillCompactFileThreshold,
+        s"compaction must bound spill files, got ${api.spillDataFileCount(dir)}")
+      // nothing lost across spills + compactions
+      val r = get(port, "/api/v1/query?query=count_over_time(bg[2h])&time=7200")
+      assert(r.contains("\"27\""), r) // 3 + 12×2 samples
+    } finally api.stop()
+    // and a restart still serves everything acked
+    val api2 = new HttpApi(spark, spillDir = Some(dir))
+    val port2 = api2.start()
+    try {
+      val r = get(port2, "/api/v1/query?query=count_over_time(bg[2h])&time=7200")
+      assert(r.contains("\"27\""), r)
+    } finally api2.stop()
+  }
+
+  test("acked deletes survive a facade restart over the same spillDir") {
+    val dir = java.nio.file.Files.createTempDirectory("httpspill_del").toString
+    val api = new HttpApi(spark, spillDir = Some(dir), spillMaxBufferedRows = 2)
+    val port = api.start()
+    try {
+      assert(post(port, "/api/v1/import/prometheus",
+        """dm{job="x"} 1 60
+          |dn{job="x"} 2 60
+          |dg{job="x"} 3 60
+          |""".stripMargin) == 204)
+      api.awaitSpillIdle()
+      // prometheus delete_series + graphite delSeries, both acked
+      assert(post(port, "/api/v1/admin/tsdb/delete_series?match[]=dm", "") == 204)
+      assert(post(port, "/tags/delSeries?path=dg;job=x", "") == 200)
+      val r = get(port, "/api/v1/series?start=0&end=1000")
+      assert(!r.contains("\"dm\"") && !r.contains("\"dg\"") && r.contains("\"dn\""), r)
+    } finally api.stop()
+    // restart: the spilled rows come back, the tombstones must too — no
+    // resurrection of rows acked as deleted
+    val api2 = new HttpApi(spark, spillDir = Some(dir))
+    val port2 = api2.start()
+    try {
+      val r = get(port2, "/api/v1/series?start=0&end=1000")
+      assert(!r.contains("\"dm\"") && !r.contains("\"dg\"") && r.contains("\"dn\""), r)
     } finally api2.stop()
   }
 
