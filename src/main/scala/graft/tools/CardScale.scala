@@ -21,12 +21,22 @@ import org.apache.spark.sql.functions._
   *     reference's per-series block layout does not — the bucketed
   *     layout's sorted series hash recovers most of it via RLE)
   *
-  * Env: CARDSCALE_SERIES (default 10M), CARDSCALE_SAMPLES_PER (default 3).
+  * Round 11 adds the LOOKUP rung pair: the same single-series lookup
+  * against the name-sorted bucketed layout (writeBucketed sorts files by
+  * `(name, _h1, _h2, ts)`), where the pushed name predicate prunes
+  * parquet row groups/pages — the scan-vs-index tradeoff priced in r10
+  * (0.81 s/30M rows vs the reference's sub-ms probe,
+  * lib/storage/index_db.go:1673) gets its mitigation measured.
+  *
+  * Env: CARDSCALE_SERIES (default 10M), CARDSCALE_SAMPLES_PER (default 3),
+  * CARDSCALE_NAMES (default 100 — a realistic metric-name namespace;
+  * r10 ran the fixed 5 of the original churn shape).
   */
 object CardScale {
   def main(args: Array[String]): Unit = {
     val series = sys.env.getOrElse("CARDSCALE_SERIES", "10000000").toLong
     val perSeries = sys.env.getOrElse("CARDSCALE_SAMPLES_PER", "3").toInt
+    val nNames = sys.env.getOrElse("CARDSCALE_NAMES", "100").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,7 +59,7 @@ object CardScale {
     // series id must be integer `div`
     val sid = expr(s"id div $perSeries")
     val samples = spark.range(rows).select(
-      concat(lit("m"), pmod(sid, lit(5)).cast("string")).as("name"),
+      concat(lit("m"), pmod(sid, lit(nNames)).cast("string")).as("name"),
       map(
         lit("pod"), concat(lit("pod-"), sid.cast("string")),
         lit("node"), concat(lit("n"), pmod(sid, lit(1000)).cast("string"))
@@ -70,34 +80,71 @@ object CardScale {
     println(f"[cardscale] store size ${bytes / 1e6}%.1f MB = ${bytes.toDouble / rows}%.2f bytes/row")
 
     val df = graft.core.SampleStore.read(spark, store)
-    def timed(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val n = f
-      val s = (System.nanoTime() - t0) / 1e9
-      println(f"[cardscale] $label%-28s $s%8.3f s (result $n)")
+    def timedN(label: String, passes: Int)(f: => Long): Unit = {
+      // min-of-N for short jobs: the first pass pays codegen/janino, and
+      // the job-launch floor on this box is ~0.2 s — report the best
+      var best = Double.MaxValue
+      var n = 0L
+      for (_ <- 1 to passes) {
+        val t0 = System.nanoTime()
+        n = f
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      println(f"[cardscale] $label%-28s $best%8.3f s (result $n)")
     }
+    def timed(label: String)(f: => Long): Unit = timedN(label, 1)(f)
     // warm scan
     df.agg(count(lit(1))).collect()
-    timed("series count (distinct)") {
+    // CARDSCALE_LOOKUP_ONLY=1 skips the cardinality rungs (measured and
+    // recorded at 10M/50M in SCALEBENCH) to probe the lookup pair at row
+    // counts where the flat scan is well above the ~0.15 s job floor
+    val lookupOnly = sys.env.get("CARDSCALE_LOOKUP_ONLY").contains("1")
+    if (!lookupOnly) timed("series count (distinct)") {
       df.selectExpr("name", "cast(array_sort(map_entries(tags)) as string) AS sk")
         .distinct().count()
     }
-    timed("label values (pod)") {
+    if (!lookupOnly) timed("label values (pod)") {
       df.select(col("tags").getItem("pod")).distinct().count()
     }
-    timed("instant keep-last per series") {
+    if (!lookupOnly) timed("instant keep-last per series") {
       df.groupBy(col("name"),
           array_sort(map_entries(col("tags"))).cast("string").as("_sk"))
         .agg(max_by(col("value"), col("ts")).as("v")).count()
     }
-    timed("select-time HA dedup pass") {
+    if (!lookupOnly) timed("select-time HA dedup pass") {
       graft.pipeline.Dedup.dedupNamedSamples(df, 60000L).count()
     }
     // the architectural tradeoff vs the reference: a selective series
     // lookup is an index probe there (ms), a columnar scan here — the
     // per-query floor a 1000-executor cluster divides but never removes
-    timed("single-series lookup (scan)") {
+    timedN("single-series lookup (scan)", 3) {
       df.filter(col("tags").getItem("pod") === s"pod-${series / 2}").count()
+    }
+    // r11 mitigation: the dominant dashboard lookup CARRIES the metric
+    // name (`m42{pod="..."}`); on the name-sorted bucketed layout the
+    // pushed name predicate prunes row groups/pages via parquet min/max
+    // stats — flat control first, then the sorted layout
+    val targetName = s"m${(series / 2) % nNames}"
+    val targetPod = s"pod-${series / 2}"
+    timedN(s"name-selective lookup (flat)", 3) {
+      df.filter(col("name") === targetName &&
+        col("tags").getItem("pod") === targetPod).count()
+    }
+    println(s"[cardscale] building name-sorted bucketed layout …")
+    val table = "cardscale_bucketed"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val tb0 = System.nanoTime()
+    graft.core.SampleStore.writeBucketed(df, table, "target/cardscale/bucketed", buckets = 8)
+    println(f"[cardscale] bucketize took ${(System.nanoTime() - tb0) / 1e9}%.1f s")
+    val b = graft.core.SampleStore.readBucketed(spark, table)
+    b.agg(count(lit(1))).collect() // warm
+    timedN(s"name-selective lookup (sorted)", 3) {
+      b.filter(col("name") === targetName &&
+        col("tags").getItem("pod") === targetPod).count()
+    }
+    timedN("single-series lookup (sorted, no name)", 3) {
+      // no name → nothing to prune on; honest floor of the tag-only shape
+      b.filter(col("tags").getItem("pod") === targetPod).count()
     }
     spark.stop()
   }

@@ -209,6 +209,31 @@ class BucketedStoreSpec extends SparkSpec {
     assert(out.count() == inline.count() && inline.count() > 0)
   }
 
+  test("bucket files are name-sorted and the name filter reaches the scan") {
+    // the selective-lookup mitigation (r11): files sorted by (name, _h1,
+    // _h2, ts) let parquet row-group/page stats prune name-selective
+    // lookups (CardScale: 10.2× vs the flat scan at 270M rows). Pin both
+    // preconditions — physical sortedness and predicate pushdown.
+    bucketed.count() // force the table write
+    val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = fs.listStatus(loc).filter(_.getPath.getName.startsWith("date="))
+      .flatMap(d => fs.listStatus(d.getPath))
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    assert(dataFiles.nonEmpty)
+    dataFiles.take(4).foreach { st =>
+      val names = spark.read.parquet(st.getPath.toString)
+        .select("name").collect().map(_.getString(0))
+      assert(names.sameElements(names.sorted),
+        s"${st.getPath.getName} is not name-sorted")
+    }
+    val scan = bucketed.filter(col("name") === "click")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("EqualTo(name,click)"),
+      s"name predicate must reach the parquet scan:\n$scan")
+  }
+
   test("bucketed store preserves the raw samples (roundtrip)") {
     val a = flat.filter(col("name") === "click").count()
     val b = bucketed.filter(col("name") === "click").count()
