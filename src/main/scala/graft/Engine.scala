@@ -18,6 +18,40 @@ object Engine {
       lookbackMs: Long = 300000L): DataFrame =
     Eval.eval(samples, Parser.parse(q), Eval.EvalConfig(grid, lookbackMs))
 
+  /** Downsampling-aware query routing: evaluate against the COARSEST
+    * downsampled tier whose interval nests into the requested grid —
+    * `interval` divides `step` and the grid points are interval-aligned —
+    * falling back to full resolution otherwise. The Spark form of
+    * vmselect picking a per-query resolution over `-downsampling.period`
+    * data (docs/victoriametrics/README.md Downsampling: queries touching
+    * old ranges read the downsampled series the background merges left).
+    *
+    * Exactness: downsampling keeps the LAST sample per end-aligned
+    * interval ([[graft.pipeline.Dedup.downsample]]), so for the keep-last
+    * family (bare selectors / default_rollup / last_over_time) an ALIGNED
+    * coarse grid reads the same value the full-res store yields at every
+    * point — gated by `ev_downsample_routing`. Sample-consuming rollups
+    * (sum_over_time, …) see the tier's reduced sample set — the standard
+    * downsampling accuracy trade, identical to the reference where the
+    * merges REPLACED the raw samples.
+    *
+    * At 100 TB this is the scan reduction: a 30-day dashboard at 1h step
+    * reads the 1h tier (≈ interval/scrape-interval × fewer rows and
+    * bytes), not the raw store.
+    */
+  def queryRouted(
+      fullRes: DataFrame,
+      tiers: Map[Long, DataFrame],
+      q: String,
+      grid: GridSpec,
+      lookbackMs: Long = 300000L): DataFrame = {
+    val usable = tiers.filter { case (iv, _) =>
+      iv > 0 && iv <= grid.stepMs && grid.stepMs % iv == 0 && grid.startMs % iv == 0
+    }
+    val frame = usable.keys.toSeq.sorted.lastOption.map(usable).getOrElse(fullRes)
+    query(frame, q, grid, lookbackMs)
+  }
+
   /** O6 result memoization with TIME-SUFFIX FETCH
     * (rollup_result_cache.go:283 — a dashboard refresh repeats the same
     * expr with the end timestamp advanced; only the new suffix must be

@@ -1165,11 +1165,38 @@ object SparkEntry {
     // banded dedup. Measured 25/25 at sf0.01 and 256/256 at sf0.1;
     // banding theory floors P(candidate | J=0.6) at ~0.67 per pair, and
     // exact-verify passes every candidate at J>=threshold.
-    // the bare kept-set (headline bench entry; hash-function-dependent →
-    // rows-only, the recall law is gated by doc_minhash_dedup below)
-    Q("doc_minhash_kept", (s, dir) =>
-      graft.pipeline.Dedup.minhashDedup(docs(s, dir), 0.6).select("doc_id").orderBy("doc_id"),
-      None),
+    // The kept SET is hash-function-dependent (DuckDB cannot replay
+    // minhash), but the kept set's own LAWS are oracle-stateable from
+    // the documents table alone — no truth-pair frame, which would bill
+    // oracle work to this headline bench entry (r11, closing the last
+    // no_oracle gate): exact duplicates share the signature in EVERY
+    // band, so at most one doc per distinct text survives
+    // (kept count == kept distinct texts); the kept count is bounded by
+    // the distinct texts and ≥ 1; and the global min doc_id is always
+    // its union-find component's winner. The ≥80% near-dup recall law
+    // stays on doc_minhash_dedup below.
+    Q("doc_minhash_kept", (s, dir) => {
+      val d = docs(s, dir)
+      val kept = graft.pipeline.Dedup.minhashDedup(d, 0.6).select("doc_id")
+      val keptDocs = d.join(kept, Seq("doc_id"), "left_semi")
+      d.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_texts"),
+          min(col("doc_id")).as("_min_id"))
+        .crossJoin(keptDocs.agg(
+          count(lit(1)).as("_n_kept"),
+          countDistinct(col("text")).as("_n_kept_texts"),
+          min(col("doc_id")).as("_kept_min")))
+        .select(
+          col("n_docs"),
+          col("n_texts"),
+          (col("_n_kept") === col("_n_kept_texts")).cast("bigint").as("exact_collapsed_ok"),
+          (col("_n_kept") <= col("n_texts") && col("_n_kept") >= 1)
+            .cast("bigint").as("kept_bounds_ok"),
+          (col("_kept_min") === col("_min_id")).cast("bigint").as("min_doc_kept"))
+    }, Some("SELECT count(*)::BIGINT AS n_docs, " +
+      "count(DISTINCT text)::BIGINT AS n_texts, 1::BIGINT AS exact_collapsed_ok, " +
+      "1::BIGINT AS kept_bounds_ok, 1::BIGINT AS min_doc_kept FROM documents")),
     Q("doc_minhash_dedup", (s, dir) => {
       val d = docs(s, dir)
       val truthPairs = graft.pipeline.Dedup.ngramJaccardPairs(d, 0.6)
@@ -1660,6 +1687,69 @@ object SparkEntry {
         "SELECT nm AS name, user_id, t AS ts, value FROM r WHERE rn = 1 " +
         "ORDER BY name, user_id, ts"
     }),
+    // O7 instant-rollup delta updates (eval.go:1176-1535, Engine
+    // .queryInstantCached): prime a big-window instant sum at t0, ask
+    // again at t0+10min — the second answer is cached + tail − head (two
+    // 10-minute window evals instead of a 12h re-scan) and must
+    // hash-match DuckDB's full recompute at t1. delta_hit pins that the
+    // delta path (not a silent full re-eval) produced the rows.
+    Q("ev_instant_delta", (s, dir) => {
+      graft.Engine.clearCache() // deterministic: miss at t0, delta at t1
+      val full = Samples.fromEvents(s, dir)
+      val t0 = START + 24 * H
+      val t1 = t0 + 600000L
+      val q = "sum_over_time(click[12h])"
+      graft.Engine.queryInstantCached(full, q, GridSpec(t0, t0, H), 2 * H).count()
+      val before = graft.Engine.instantCacheStats
+      val delta = graft.Engine.queryInstantCached(full, q, GridSpec(t1, t1, H), 2 * H)
+      val hit = graft.Engine.instantCacheStats.deltaHits - before.deltaHits
+      delta.select(
+          col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("t"), r6(col("value")).as("value"),
+          lit(hit).cast("bigint").as("delta_hit"))
+        .orderBy("user_id")
+    }, Some {
+      val t1 = START + 24 * H + 600000L
+      s"SELECT user_id::BIGINT AS user_id, $t1 AS t, round(1e-9 + sum(value), 6) AS value, " +
+        "1::BIGINT AS delta_hit FROM events WHERE event_type = 'click' " +
+        s"AND epoch_ms(ts::TIMESTAMP) > ${t1 - 12 * H} " +
+        s"AND epoch_ms(ts::TIMESTAMP) <= $t1 GROUP BY user_id ORDER BY user_id"
+    }),
+    // Downsampling-aware query ROUTING (r11): a coarse-step query routes
+    // to the downsampled tier (Engine.queryRouted — the vmselect
+    // per-query resolution pick) and must read the SAME values the
+    // full-res store yields on an interval-aligned grid, because
+    // downsampling keeps the last sample per end-aligned interval and
+    // the keep-last family only ever reads that sample. Emitted as the
+    // full-res point count (DuckDB-replayable) plus the equality law.
+    Q("ev_downsample_routing", (s, dir) => {
+      val full = Samples.fromEvents(s, dir)
+      val tier = graft.pipeline.Dedup.downsample(full,
+        Seq(graft.pipeline.Dedup.DownsamplePeriod(None, 0L, 6 * H)),
+        nowMs = END + D)
+      val grid6 = GridSpec(START + 6 * H, START + 48 * H, 6 * H)
+      val routed = graft.Engine.queryRouted(
+        full.filter(col("name") === "click"), Map(6 * H -> tier.filter(col("name") === "click")),
+        "click", grid6, 2 * H)
+      val direct = graft.Engine.query(
+        full.filter(col("name") === "click"), "click", grid6, 2 * H)
+      def key(df: DataFrame) = df.select(
+        col("tags").getItem("user_id").as("uid"), col("t"),
+        r6(col("value")).as("v"))
+      val mism = key(routed).exceptAll(key(direct))
+        .unionByName(key(direct).exceptAll(key(routed)))
+        .agg(count(lit(1)).as("_m"))
+      key(direct).agg(count(lit(1)).as("n_points")).crossJoin(mism)
+        .select(col("n_points"),
+          (col("_m") === 0).cast("bigint").as("routing_ok"))
+    }, Some(s"SELECT count(*)::BIGINT AS n_points, 1::BIGINT AS routing_ok FROM (" +
+      s"SELECT DISTINCT e.user_id, g.t FROM (SELECT unnest(generate_series(" +
+      s"${START + 6 * H}, ${START + 48 * H}, ${6 * H})) AS t) g " +
+      "JOIN events e ON e.event_type = 'click' " +
+      // bare-selector window = max(step, lookback) = the 6h step
+      // (Eval: default_rollup widens its step window to the lookback)
+      s"AND epoch_ms(e.ts::TIMESTAMP) > g.t - ${6 * H} " +
+      "AND epoch_ms(e.ts::TIMESTAMP) <= g.t)")),
     // multimodal plumbing (stubbed decode) — rows-only
     // REAL decode gate: encode one PNG per document (dims + gray level
     // arithmetic in doc_id), decode with javax.imageio, and let the SQL
@@ -3286,9 +3376,12 @@ object SparkEntry {
     "h_quantile", // histogram bucket interpolation
     "tr_interpolate", // grid gap-fill
     "gr_group_by_node", // graphite render: fetch + node-key aggregation
-    // the OPERATOR, not the gate: doc_minhash_dedup's driver-checkable
-    // form also computes the exact-Jaccard truth frame, which would bill
-    // oracle work to the operator's headline number
+    // the zero-exchange bucketed layout's headline number (r11): pass 1
+    // pays the memoized table build, the recorded min is the pure query
+    "src_bucketed_increase",
+    // the OPERATOR's end-to-end pipeline plus docs-table law aggregates
+    // (no exact-Jaccard truth frame — that oracle work stays on the
+    // doc_minhash_dedup gate, off this headline number)
     "doc_minhash_kept", // MinHash+LSH near-dup pipeline
     "emb_topk") // brute-force cosine top-k
 

@@ -727,7 +727,8 @@ object Eval {
       val outTags =
         if (rollupTag.isDefined) col("tags")
         else map_concat(col("tags"), map(lit(label), col("rollup")))
-      Series(replicateAt(out.join(broadcast(tagsDim(keyed)), Seq("_h1", "_h2")), atMs)
+      Series(replicateAt(
+        out.join(broadcast(tagsDim(keyed, rollGrid, windowMs)), Seq("_h1", "_h2")), atMs)
         .filter(col("value").isNotNull) // no-pair windows = missing points
         .select(
           named.as("name"),
@@ -942,9 +943,29 @@ object Eval {
       (keyed, rollGrid, atMs, windowMs)
     }
 
-    /** distinct (hash → tags) dimension for restoring maps post-rollup */
-    private def tagsDim(keyed: DataFrame): DataFrame =
-      keyed.select(col("_h1"), col("_h2"), col("tags")).dropDuplicates("_h1", "_h2")
+    /** Distinct (hash → tags) dimension for restoring maps post-rollup,
+      * SCOPED to the leaf's processing span: every series that can appear
+      * in the rollup output has a sample in (start − window − lookback,
+      * end] — the prev-sample reach is capped at the staleness lookback
+      * (prevPass bounds _mpi by lookbackMs, and an auto-adjusted window
+      * is ≤ max(step, lookback)) — so the dim never needs the store's
+      * full history. Without the bound a ONE-MINUTE instant query
+      * against a 30-day store paid a full-store tags scan just to
+      * restore the maps (InstantScale r11: the O7 delta refresh read
+      * store-scale, not offset-scale). lookbackMs == 0 (no staleness
+      * cap, so prev reach is unbounded) keeps the unfiltered frame. The
+      * filter preserves the bucketed scan's partitioning, so the
+      * zero-exchange plans are unchanged (BucketedStoreSpec).
+      */
+    private def tagsDim(keyed: DataFrame, rollGrid: GridSpec, windowMs: Long): DataFrame = {
+      val src =
+        if (cfg.lookbackMs > 0)
+          keyed.filter(
+            col("ts") > lit(rollGrid.startMs - windowMs - cfg.lookbackMs) &&
+              col("ts") <= lit(rollGrid.endMs))
+        else keyed
+      src.select(col("_h1"), col("_h2"), col("tags")).dropDuplicates("_h1", "_h2")
+    }
 
     /** replicate @-pinned single-point results across the query grid */
     private def replicateAt(out: DataFrame, atMs: Option[Long]): DataFrame =
@@ -979,7 +1000,7 @@ object Eval {
           .rollup(keyed, Seq("name", "_h1", "_h2"), rollGrid, windowMs, kernel,
             lookbackMs = cfg.lookbackMs, autoAdjustWindow = autoAdjust)
           .filter(col("value").isNotNull)
-          .join(broadcast(tagsDim(keyed)), Seq("_h1", "_h2")),
+          .join(broadcast(tagsDim(keyed, rollGrid, windowMs)), Seq("_h1", "_h2")),
         atMs)
       val keep = keepNames || re.keepMetricNames || rollupKeepsName(fn)
       val named = if (keep) col("name") else lit(null).cast(StringType)
