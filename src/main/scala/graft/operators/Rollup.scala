@@ -440,6 +440,23 @@ object Rollup {
     val lo = start - windowMs - (if (fillFromLevel1) lookbackMs else 0L)
     val filtered = prepped
       .filter(col("ts") > lit(lo) && col("ts") <= lit(grid.endMs))
+      // NULLABILITY IS A CODEGEN BUDGET here (r11 BuckProf bisect): the
+      // merge aggregate below emits its result — the 4-struct edge array
+      // over ~38 buffer slots — as ONE unsplittable generated method
+      // (aggregate results read buffer variables, not an input row, so
+      // splitExpressions cannot cut it). A parquet scan reports EVERY
+      // column nullable; the extra null branches pushed that method past
+      // HotSpot's 8000-bytecode JIT ceiling (DontCompileHugeMethods), so
+      // on the bucketed store it ran INTERPRETED forever — 5.6 s vs the
+      // flat store's 1.7 s for identical rows. ts/value are non-null by
+      // the samples contract and the correction chain `_cv` derives from
+      // value; assert that into the schema (coalesce against a
+      // never-taken default) so both stores generate the same JIT-able
+      // method. The genuinely-optional neighbor fields (pv/pts/nv/…)
+      // stay nullable — they are nullable on every store.
+      .withColumn("ts", coalesce(col("ts"), lit(Long.MinValue)))
+      .withColumn("value", coalesce(col("value"), lit(Double.NaN)))
+      .withColumn("_cv", coalesce(col("_cv"), lit(Double.NaN)))
     val tb = expr(s"ts + pmod(${start}L - ts, ${s}L)") // see rollupTwoLevel
     // Per-field min_by/max_by keyed on the per-series row number `_rn`:
     // every aggregation buffer stays a fixed-width (value, ordinal) pair,
@@ -477,6 +494,16 @@ object Rollup {
     val level1 =
       if (fillFromLevel1)
         { graft.core.CheckpointGc.note(); level1Lazy.localCheckpoint(true) }
+          // Post-checkpoint the scan's bucket-partition attributes are
+          // already severed (the repartition below restores clustering on
+          // the NEW attributes), so the persisted-store key pair can be
+          // asserted non-null here — the last null branches that kept the
+          // bucketed variant's merge output method over the JIT bytecode
+          // ceiling (see the nullability note on `filtered` above; the
+          // flat store computes the pair, non-null by construction, and
+          // ran 3× faster on identical rows until this matched).
+          .transform(df => Seq("_h1", "_h2").filter(keys.contains)
+            .foldLeft(df)((d, k) => d.withColumn(k, coalesce(col(k), lit(0L)))))
           .repartition(prepped.sparkSession.sparkContext.defaultParallelism,
             keys.map(col): _*)
       else level1Lazy
