@@ -195,9 +195,12 @@ final class HttpApi(
   private val viewLock = new Object
 
   private def readSpilled(): Option[DataFrame] = spillDir.flatMap { d =>
-    val f = new java.io.File(d)
-    val hasData = f.isDirectory &&
-      Option(f.listFiles()).exists(_.exists(_.getName.startsWith("date=")))
+    // Hadoop FileSystem like the rest of the spill plumbing, so spillDir
+    // can live on any shared filesystem
+    val p = new org.apache.hadoop.fs.Path(d)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val hasData = fs.exists(p) && fs.getFileStatus(p).isDirectory &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("date="))
     if (hasData) Some(graft.core.SampleStore.read(spark, d)) else None
   }
 
