@@ -112,6 +112,11 @@ object Api {
             else coalesce(col("tags").getItem(f.label), lit(""))
           val pos =
             if (f.isRegexp) target.rlike("^(?:" + f.value + ")$")
+            else if (f.label == "__name__" && !f.isNegative && f.value.nonEmpty)
+              // pushable bare-attribute equality — same rule as
+              // Eval.filterPredicate (r11): lets the parquet scan prune
+              // on the name-sorted layout; a null name fails both forms
+              col("name") === f.value
             else target === f.value
           if (f.isNegative) !pos else pos
         }

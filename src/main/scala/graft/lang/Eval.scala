@@ -591,6 +591,16 @@ object Eval {
         val pos =
           if (f.label == "__graphite__") target.rlike(anchored(graphiteToRegex(f.value)))
           else if (f.isRegexp) target.rlike(anchored(f.value))
+          else if (f.label == "__name__" && !f.isNegative && f.value.nonEmpty)
+            // PUSHABLE form: for a POSITIVE non-empty literal,
+            // `name = v` ≡ `coalesce(name,'') = v` (a null name fails
+            // both), and the bare attribute reaches the parquet scan as
+            // EqualTo(name, v) — the predicate the name-sorted bucketed
+            // layout prunes row groups/pages with (r11; coalesce around
+            // the column disqualifies pushdown entirely). Negative and
+            // empty-value matchers keep the coalesce: they must KEEP
+            // null-name rows.
+            col("name") === f.value
           else target === f.value
         if (f.isNegative) !pos else pos
       }

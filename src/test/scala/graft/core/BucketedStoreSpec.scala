@@ -232,6 +232,13 @@ class BucketedStoreSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(scan.contains("EqualTo(name,click)"),
       s"name predicate must reach the parquet scan:\n$scan")
+    // and through the ENGINE's selector path too: a positive non-empty
+    // name matcher lowers to the bare-attribute equality (r11), not the
+    // unpushable coalesce form
+    val eng = graft.Engine.query(bucketed, "click", grid, 2 * H)
+      .queryExecution.executedPlan.toString
+    assert(eng.contains("EqualTo(name,click)"),
+      s"engine name matcher must reach the parquet scan:\n$eng")
   }
 
   test("bucketed store preserves the raw samples (roundtrip)") {
