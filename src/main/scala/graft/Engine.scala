@@ -15,8 +15,11 @@ object Engine {
       samples: DataFrame,
       q: String,
       grid: GridSpec,
-      lookbackMs: Long = 300000L): DataFrame =
-    Eval.eval(samples, Parser.parse(q), Eval.EvalConfig(grid, lookbackMs))
+      lookbackMs: Long = 300000L,
+      // tag→names index for nameless tag lookups (Eval.EvalConfig.tagIndex)
+      tagIndex: Option[DataFrame] = None): DataFrame =
+    Eval.eval(samples, Parser.parse(q),
+      Eval.EvalConfig(grid, lookbackMs, tagIndex = tagIndex))
 
   /** Downsampling-aware query routing: evaluate against the COARSEST
     * downsampled tier whose interval nests into the requested grid —
@@ -44,12 +47,34 @@ object Engine {
       tiers: Map[Long, DataFrame],
       q: String,
       grid: GridSpec,
-      lookbackMs: Long = 300000L): DataFrame = {
+      lookbackMs: Long = 300000L): DataFrame =
+    query(routeFrame(fullRes, tiers, grid), q, grid, lookbackMs)
+
+  /** the tier pick alone — the HTTP facade routes THEN runs its own
+    * (cached, decorated) evaluation over the chosen frame
+    */
+  def routeFrame(
+      fullRes: DataFrame,
+      tiers: Map[Long, DataFrame],
+      grid: GridSpec): DataFrame = {
     val usable = tiers.filter { case (iv, _) =>
       iv > 0 && iv <= grid.stepMs && grid.stepMs % iv == 0 && grid.startMs % iv == 0
     }
-    val frame = usable.keys.toSeq.sorted.lastOption.map(usable).getOrElse(fullRes)
-    query(frame, q, grid, lookbackMs)
+    usable.keys.toSeq.sorted.lastOption.map(usable).getOrElse(fullRes)
+  }
+
+  /** AdjustStartEnd (eval.go:77-101): round the grid to step-aligned
+    * timestamps KEEPING the point count, so repeated now-relative
+    * dashboard refreshes produce cacheable (and tier-routable — the
+    * routing precondition is `startMs % interval == 0`, which holds for
+    * any interval dividing the step once start is step-aligned) grids.
+    * The reference skips this under `nocache` for exact-time results;
+    * callers do the same.
+    */
+  def adjustStartEnd(startMs: Long, endMs: Long, stepMs: Long): (Long, Long) = {
+    val points = (endMs - startMs) / stepMs + 1
+    val aStart = startMs - math.floorMod(startMs, stepMs)
+    (aStart, aStart + (points - 1) * stepMs)
   }
 
   /** O6 result memoization with TIME-SUFFIX FETCH
@@ -248,26 +273,51 @@ object Engine {
   /** reference default -search.minWindowForInstantRollupOptimization = 3h */
   val DefaultInstantMinWindowMs: Long = 3L * 3600 * 1000
 
-  /** Instant-query entry point with the O7 delta optimization. Supports the
-    * bare shapes `fn(m[w])` and `avg_over_time(m[w])`; anything else (or a
-    * window below `minWindowMs`, or a non-instant grid) falls through to
-    * [[query]].
+  /** Instant-query entry point with the O7 delta optimization. Supports
+    * the bare shapes `fn(m[w])` and `avg_over_time(m[w])`, plus the
+    * aggregated dashboard shape `agg(fn(m[w])) [by|without (labels)]` for
+    * agg ∈ {sum, min, max} (the reference serves the same shapes through
+    * evalInstantRollup under the incremental-aggregation wrapper,
+    * eval.go:1176): the per-SERIES instant result comes from the delta
+    * cache — keyed on the INNER rollup text, so every aggregation of the
+    * same leaf shares one entry — and the aggregation runs on top of that
+    * series-scale frame (one row per series: a driver-light, shuffle-tiny
+    * job whatever the window). Anything else (or a window below
+    * `minWindowMs`, or a non-instant grid) falls through to [[query]].
+    *
+    * @param cacheTag extra key material for MUTABLE stores — same
+    *   contract as [[queryCached]]: a rebuilt LocalRelation (the facade's
+    *   ingest buffer) or a re-listed parquet directory canonicalizes to
+    *   the same plan text whatever its data, so callers owning a mutable
+    *   store MUST bump the tag on every write/delete (the HTTP facade
+    *   passes its store version) or a delta/exact hit serves stale rows.
     */
   def queryInstantCached(
       samples: DataFrame,
       q: String,
       grid: GridSpec,
       lookbackMs: Long = 300000L,
-      minWindowMs: Long = DefaultInstantMinWindowMs): DataFrame = {
+      minWindowMs: Long = DefaultInstantMinWindowMs,
+      cacheTag: String = ""): DataFrame = {
     import org.apache.spark.sql.functions._
     if (grid.startMs != grid.endMs) return query(samples, q, grid, lookbackMs)
     val ast = try Parser.parse(q) catch { case _: Exception => return query(samples, q, grid, lookbackMs) }
     ast match {
+      case AggrFuncExpr(agg, Seq(inner: FuncExpr), modifier, 0)
+          if Set("sum", "min", "max")(agg) && instantShape(inner) =>
+        // per-series delta-cached eval of the inner rollup, then the
+        // (series-scale) aggregation — the delta math commutes with
+        // sum/min/max over a per-series full_outer merge, but running the
+        // aggregation AFTER the per-series merge sidesteps the one case
+        // it wouldn't (min/max head-validity is a per-series property)
+        val per = queryInstantCached(samples, graft.lang.Render.render(inner),
+          grid, lookbackMs, minWindowMs, cacheTag)
+        aggregateInstant(per, agg, modifier)
       case FuncExpr("avg_over_time", Seq(re @ RollupExpr(_: MetricExpr, Some(_), None, None, None, _, _)), keep) =>
         // avg = sum/count, each side delta-cached (eval.go:1270)
-        val sumDf = queryInstantCached(samples, s"sum|$q", grid, lookbackMs, minWindowMs,
+        val sumDf = queryInstantCached(samples, s"sum|$q", grid, lookbackMs, minWindowMs, cacheTag,
           Some(FuncExpr("sum_over_time", Seq(re), keep)))
-        val cntDf = queryInstantCached(samples, s"count|$q", grid, lookbackMs, minWindowMs,
+        val cntDf = queryInstantCached(samples, s"count|$q", grid, lookbackMs, minWindowMs, cacheTag,
           Some(FuncExpr("count_over_time", Seq(re), keep)))
         val k = instantKeyCol _
         sumDf.select(k(sumDf).as("_k"), col("name"), col("tags"), col("t"), col("value").as("_s"))
@@ -275,9 +325,58 @@ object Engine {
           .select(col("name"), col("tags"), col("t"), (col("_s") / col("_c")).as("value"))
       case fe @ FuncExpr(fn, Seq(RollupExpr(_: MetricExpr, Some(_), None, None, None, _, _)), _)
           if additiveInstantFns(fn) || fn == "max_over_time" || fn == "min_over_time" =>
-        queryInstantCached(samples, q, grid, lookbackMs, minWindowMs, Some(fe))
+        queryInstantCached(samples, q, grid, lookbackMs, minWindowMs, cacheTag, Some(fe))
       case _ => query(samples, q, grid, lookbackMs)
     }
+  }
+
+  /** inner shapes the per-series delta path serves (the recursion above) */
+  private def instantShape(e: FuncExpr): Boolean = e match {
+    case FuncExpr(fn, Seq(RollupExpr(_: MetricExpr, Some(_), None, None, None, _, _)), _) =>
+      additiveInstantFns(fn) || fn == "max_over_time" || fn == "min_over_time" ||
+        fn == "avg_over_time"
+    case _ => false
+  }
+
+  /** `agg(per-series instant frame) [by|without (ls)]` with Eval's
+    * aggregate semantics (aggr.go:96 removeGroupTags): NaN points are
+    * absent, group tags filter per the modifier, the metric name survives
+    * only through an explicit `by (__name__)`. Group key is the SORTED
+    * tag entry array (maps aren't groupable); series count rows in, group
+    * count rows out — no data-scale work.
+    */
+  private def aggregateInstant(
+      per: DataFrame,
+      agg: String,
+      modifier: Option[graft.lang.AggrModifier]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.lang.{By, Without}
+    val byName = modifier match {
+      case Some(By(ls)) => ls.contains("__name__")
+      case _ => false
+    }
+    val gtags = modifier match {
+      case Some(By(ls)) => map_filter(col("tags"), (k, _) => k.isInCollection("" +: ls))
+      case Some(Without(ls)) => map_filter(col("tags"), (k, _) => !k.isInCollection(ls))
+      case None => map().cast("map<string,string>")
+    }
+    val nameKey = if (byName) coalesce(col("name"), lit("")) else lit("")
+    val aggExpr = agg match {
+      case "sum" => sum(col("value"))
+      case "min" => min(col("value"))
+      case "max" => max(col("value"))
+    }
+    per.filter(!isnan(col("value")))
+      .withColumn("_gk", sort_array(map_entries(coalesce(gtags, map()))))
+      .withColumn("_nk", nameKey)
+      .groupBy(col("_gk"), col("_nk"), col("t"))
+      .agg(aggExpr.as("value"))
+      .filter(col("value").isNotNull)
+      .select(
+        when(length(col("_nk")) > 0, col("_nk"))
+          .otherwise(lit(null).cast("string")).as("name"),
+        map_from_entries(col("_gk")).as("tags"),
+        col("t"), col("value"))
   }
 
   /** canonical joinable series key: maps aren't join keys, so use the
@@ -295,6 +394,7 @@ object Engine {
       grid: GridSpec,
       lookbackMs: Long,
       minWindowMs: Long,
+      cacheTag: String,
       feOpt: Option[FuncExpr]): DataFrame = instantCache.synchronized {
     import org.apache.spark.sql.functions._
     val fe = feOpt.get
@@ -314,7 +414,10 @@ object Engine {
       df
     }
     if (windowMs < minWindowMs) return evalAt(tMs, windowMs)
-    val planKey = samples.queryExecution.logical.canonicalized.toString
+    // cacheTag folded in for mutable stores whose canonicalized plan text
+    // doesn't change when their data does (see the public entry's doc)
+    val planKey =
+      samples.queryExecution.logical.canonicalized.toString + "|" + cacheTag
     val key = (planKey, cacheQ, lookbackMs)
     Option(instantCache.get(key)) match {
       case None => fullAndCache(key)

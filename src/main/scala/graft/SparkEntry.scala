@@ -1715,6 +1715,35 @@ object SparkEntry {
         s"AND epoch_ms(ts::TIMESTAMP) > ${t1 - 12 * H} " +
         s"AND epoch_ms(ts::TIMESTAMP) <= $t1 GROUP BY user_id ORDER BY user_id"
     }),
+    // O7 extended to the AGGREGATED dashboard shape (r12):
+    // `sum(fn(m[w])) by (labels)` is served from the same per-series delta
+    // cache (keyed on the INNER rollup, eval.go:1176 under the
+    // incremental-aggregation wrapper) with the series-scale aggregation
+    // on top — the refresh scans two 10-minute windows, not 12h, and must
+    // hash-match DuckDB's full recompute at t1; delta_hit pins the path.
+    Q("ev_instant_delta_agg", (s, dir) => {
+      graft.Engine.clearCache()
+      val full = Samples.fromEvents(s, dir)
+      val t0 = START + 24 * H
+      val t1 = t0 + 600000L
+      val q = "sum(count_over_time(click[12h])) by (user_id)"
+      graft.Engine.queryInstantCached(full, q, GridSpec(t0, t0, H), 2 * H).count()
+      val before = graft.Engine.instantCacheStats
+      val delta = graft.Engine.queryInstantCached(full, q, GridSpec(t1, t1, H), 2 * H)
+      val hit = graft.Engine.instantCacheStats.deltaHits - before.deltaHits
+      delta.select(
+          col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("t"), r6(col("value")).as("value"),
+          lit(hit).cast("bigint").as("delta_hit"))
+        .orderBy("user_id")
+    }, Some {
+      val t1 = START + 24 * H + 600000L
+      s"SELECT user_id::BIGINT AS user_id, $t1 AS t, " +
+        "round(1e-9 + count(*), 6) AS value, " +
+        "1::BIGINT AS delta_hit FROM events WHERE event_type = 'click' " +
+        s"AND epoch_ms(ts::TIMESTAMP) > ${t1 - 12 * H} " +
+        s"AND epoch_ms(ts::TIMESTAMP) <= $t1 GROUP BY user_id ORDER BY user_id"
+    }),
     // Downsampling-aware query ROUTING (r11): a coarse-step query routes
     // to the downsampled tier (Engine.queryRouted — the vmselect
     // per-query resolution pick) and must read the SAME values the
@@ -1935,9 +1964,19 @@ object SparkEntry {
       graft.core.SampleStore.writeBucketed(
         Samples.fromEvents(s, dir), s"bucketed_events$tag",
         s"target/bucketed_events$tag", buckets = 32)
+      // tag→names side index for the nameless-lookup gate (r12)
+      graft.core.SampleStore.buildTagIndex(Samples.fromEvents(s, dir),
+        graft.core.SampleStore.tagIndexPath(s"target/bucketed_events$tag"))
       s"bucketed_events$tag"
     })
     graft.core.SampleStore.readBucketed(s, table)
+  }
+
+  private def bucketedIndex(s: SparkSession, dir: String): DataFrame = {
+    bucketedStore(s, dir) // ensure built
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.core.SampleStore.readTagIndex(s,
+      graft.core.SampleStore.tagIndexPath(s"target/bucketed_events$tag"))
   }
 
   /** exact J≥0.6 n-gram pair CTE chain, shared by `doc_ngram_pairs` and
@@ -2870,6 +2909,39 @@ object SparkEntry {
         "FROM d) " +
         "SELECT user_id::BIGINT AS user_id, t, round(1e-9 + rv, 4) AS value " +
         "FROM rr WHERE nv >= 1 ORDER BY user_id, t")),
+    Q("src_bucketed_lookup", (s, dir) =>
+      // the shape the name-sorted layout was built for (r12 bench row):
+      // name + tag equality over the bucketed store — the name predicate
+      // lowers to a pushed EqualTo and parquet row-group/page stats skip
+      // everything outside the name's sorted run (SCALEBENCH r11: 10.2×
+      // at 270M rows); flat-store oracle
+      Engine.query(bucketedStore(s, dir), """click{user_id="7"}""", gridH, 2 * H)
+        .select(col("name"), uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t"),
+      Some(s"WITH g AS (SELECT unnest(generate_series($START, $END, $H)) AS t), " +
+        "b AS (SELECT event_type AS name, user_id, epoch_ms(ts::TIMESTAMP) AS tms, value " +
+        "FROM events WHERE event_type = 'click' AND user_id = 7), " +
+        s"j AS (SELECT name, user_id, t, tms, value FROM g JOIN b ON b.tms > g.t - ${2 * H} AND b.tms <= g.t) " +
+        "SELECT name, user_id::BIGINT AS user_id, t, round(1e-9 + last(value ORDER BY tms, value), 6) AS value FROM j " +
+        "GROUP BY name, user_id, t ORDER BY name, user_id, t")),
+    Q("src_bucketed_tagindex", (s, dir) =>
+      // NAMELESS tag lookup ({user_id="7"} — no metric name) through the
+      // tag→names index (SampleStore.tagIndexNamePredicate): candidate
+      // names resolve from the metadata-scale index and scan as a pushed
+      // `name IN (...)`, restoring the sorted layout's pruning the
+      // reference gets from its tag→metricIDs namespace
+      // (index_db.go:50-71). Results must equal the index-less scan —
+      // the oracle is the plain flat-store recompute over ALL names.
+      Engine.query(bucketedStore(s, dir), """{user_id="7"}""", gridH, 2 * H,
+          tagIndex = Some(bucketedIndex(s, dir)))
+        .select(col("name"), uid, col("t"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "t"),
+      Some(s"WITH g AS (SELECT unnest(generate_series($START, $END, $H)) AS t), " +
+        "b AS (SELECT event_type AS name, user_id, epoch_ms(ts::TIMESTAMP) AS tms, value " +
+        "FROM events WHERE user_id = 7), " +
+        s"j AS (SELECT name, user_id, t, tms, value FROM g JOIN b ON b.tms > g.t - ${2 * H} AND b.tms <= g.t) " +
+        "SELECT name, user_id::BIGINT AS user_id, t, round(1e-9 + last(value ORDER BY tms, value), 6) AS value FROM j " +
+        "GROUP BY name, user_id, t ORDER BY name, user_id, t")),
     Q("src_stream_ingest", (s, dir) => {
       // the §3.4 write path end-to-end: render the events mapping as
       // prometheus text files in a landing zone, drain it through the
@@ -3383,6 +3455,9 @@ object SparkEntry {
     // the zero-exchange bucketed layout's headline number (r11): pass 1
     // pays the memoized table build, the recorded min is the pure query
     "src_bucketed_increase",
+    // the selective-lookup shape the name-sorted layout exists for (r12):
+    // tracks the pushed-name pruning win round-over-round
+    "src_bucketed_lookup",
     // the OPERATOR's end-to-end pipeline plus docs-table law aggregates
     // (no exact-Jaccard truth frame — that oracle work stays on the
     // doc_minhash_dedup gate, off this headline number)

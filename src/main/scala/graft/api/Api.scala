@@ -94,8 +94,9 @@ object Api {
     * windows; non-eligible shapes fall through to a plain evaluation.
     */
   def query(samples: DataFrame, q: String, atMs: Long, stepMs: Long = 60000L,
-      lookbackMs: Long = 300000L): DataFrame =
-    Engine.queryInstantCached(samples, applySearchFlags(q), GridSpec(atMs, atMs, stepMs), lookbackMs)
+      lookbackMs: Long = 300000L, cacheTag: String = ""): DataFrame =
+    Engine.queryInstantCached(samples, applySearchFlags(q),
+      GridSpec(atMs, atMs, stepMs), lookbackMs, cacheTag = cacheTag)
 
   /** bare-selector row predicate over (name, tags) — public so the HTTP
     * facade's delete-series tombstones can exclude matching rows with
@@ -114,9 +115,14 @@ object Api {
             if (f.isRegexp) target.rlike("^(?:" + f.value + ")$")
             else if (f.label == "__name__" && !f.isNegative && f.value.nonEmpty)
               // pushable bare-attribute equality — same rule as
-              // Eval.filterPredicate (r11): lets the parquet scan prune
-              // on the name-sorted layout; a null name fails both forms
-              col("name") === f.value
+              // Eval.filterPredicate (r11). The isNotNull conjunct makes
+              // the predicate FALSE (not SQL NULL) on null-name rows:
+              // this Column is consumed NEGATED by the delete-tombstone
+              // filter (`!selectorPredicate`), where a bare `name = v`
+              // yields NULL for null names and the negation silently
+              // drops the row. IsNotNull and EqualTo are both pushable,
+              // so the name-sorted scan pruning is preserved.
+              col("name").isNotNull && col("name") === f.value
             else target === f.value
           if (f.isNegative) !pos else pos
         }

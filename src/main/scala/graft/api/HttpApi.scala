@@ -50,7 +50,22 @@ final class HttpApi(
     // still serves everything it acked. Without it the buffer is the
     // documented single-node glue: unbounded and lost on restart.
     spillDir: Option[String] = None,
-    spillMaxBufferedRows: Int = 500000) {
+    spillMaxBufferedRows: Int = 500000,
+    // -downsampling.period tier stores (docs/victoriametrics Downsampling):
+    // interval-ms → the downsampled frame a background
+    // pipeline.Dedup.downsample job maintains. query_range requests whose
+    // step nests a tier's interval are served FROM the tier
+    // (Engine.routeFrame) after AdjustStartEnd step-aligns the grid — the
+    // reference's transparent per-query resolution pick. Tier frames get
+    // the same read-path decorations (deletes/retention/dedup) as the
+    // full-res store; like the reference's background merges they lag
+    // ingestion, so rows still in the facade buffer are served only by
+    // full-resolution (fine-step) queries.
+    downsampleTiers: Map[Long, DataFrame] = Map.empty,
+    // staging dir for facade snapshot dumps (accessed via the Hadoop
+    // FileSystem API, so an s3a://... location works); default = a
+    // driver-local temp dir
+    snapshotStagingDir: Option[String] = None) {
 
   require(retentionFilters.isEmpty || retentionPeriodMs > 0,
     "retentionFilters require retentionPeriodMs > 0 (the unmatched-series " +
@@ -86,8 +101,12 @@ final class HttpApi(
   @volatile private var storeVersion = 0L
 
   // the spilled store's read frame, rebuilt after each spill (a Parquet
-  // read pins its file listing at creation time)
-  @volatile private var spilled: Option[DataFrame] = readSpilled()
+  // read pins its file listing at creation time); a crashed compaction's
+  // complete staging dir is folded back in FIRST — it may hold dates the
+  // interrupted swap had already removed from the live store
+  @volatile private var spilled: Option[DataFrame] = {
+    recoverSpillCompaction(); readSpilled()
+  }
   private val spillLock = new Object
   // Size-triggered spills run on this single background thread so the
   // ~500Kth ingest request is NOT charged a Parquet write + store re-read
@@ -147,6 +166,32 @@ final class HttpApi(
     }.sum
   }
 
+  /** Recover from a crash mid-compaction-swap: a COMPLETE `_compacting`
+    * staging dir (Spark's `_SUCCESS` marker present) holds every date's
+    * compacted data, so any date the per-date swap had deleted from the
+    * live store but not yet renamed in is restored from staging; an
+    * INCOMPLETE staging dir (crash during the write) is discarded — the
+    * live store was never touched in that phase. Runs before the first
+    * store read and before each compaction.
+    */
+  private def recoverSpillCompaction(): Unit = spillDir.foreach { dir =>
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = new HPath(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new HPath(dir + "_compacting")
+    if (!fs.exists(tmp)) return
+    if (fs.exists(new HPath(tmp, "_SUCCESS"))) {
+      fs.listStatus(tmp).filter(st =>
+        st.isDirectory && st.getPath.getName.startsWith("date="))
+        .foreach { st =>
+          val dst = new HPath(root, st.getPath.getName)
+          if (!fs.exists(dst)) { fs.rename(st.getPath, dst); () }
+        }
+    }
+    fs.delete(tmp, true)
+    ()
+  }
+
   private def maybeCompactSpill(): Unit = spillDir.foreach { dir =>
     import org.apache.hadoop.fs.{Path => HPath}
     if (spillDataFileCount(dir) <= spillCompactFileThreshold) return
@@ -154,7 +199,7 @@ final class HttpApi(
       val root = new HPath(dir)
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       val tmp = new HPath(dir + "_compacting")
-      fs.delete(tmp, true)
+      recoverSpillCompaction() // a leftover complete staging dir is DATA
       // one file per date: the compaction target is listing cost, and a
       // facade-scale date partition is small by construction
       spark.read.parquet(dir)
@@ -162,15 +207,21 @@ final class HttpApi(
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy("date").parquet(tmp.toString)
       // swap with no HTTP request mid-execution (write lock vs the
-      // handler wrapper's read lock), view refreshed atomically
+      // handler wrapper's read lock), view refreshed atomically.
+      // PER-DATE delete+rename (not delete-all-then-rename-all): a crash
+      // strands at most the in-flight date, and every date still in the
+      // staging dir is recovered on restart by recoverSpillCompaction —
+      // the batch form could leave the ENTIRE store empty with its data
+      // stranded in a dir the next run deletes.
       storeSwapLock.writeLock().lock()
       try viewLock.synchronized {
-        fs.listStatus(root).filter(st =>
-          st.isDirectory && st.getPath.getName.startsWith("date="))
-          .foreach(st => fs.delete(st.getPath, true))
         fs.listStatus(tmp).filter(st =>
           st.isDirectory && st.getPath.getName.startsWith("date="))
-          .foreach(st => fs.rename(st.getPath, new HPath(root, st.getPath.getName)))
+          .foreach { st =>
+            val dst = new HPath(root, st.getPath.getName)
+            fs.delete(dst, true)
+            fs.rename(st.getPath, dst)
+          }
         spilled = readSpilled()
         storeVersion += 1
       } finally storeSwapLock.writeLock().unlock()
@@ -221,22 +272,41 @@ final class HttpApi(
   private def unb64(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), StandardCharsets.UTF_8)
 
+  // serializes persistDeletes: two concurrent delete requests rewriting
+  // the SAME tmp file can interleave their delete+rename pairs so the
+  // final rename fails and NO deletes file survives — a restart would
+  // then resurrect rows acked as deleted
+  private val deletesWriteLock = new Object
+
   private def persistDeletes(): Unit = deletesFile.foreach { f =>
-    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
-    val sels = deletedSelectors.synchronized(deletedSelectors.toList)
-    val paths = deletedPredicates.synchronized(deletedGraphitePaths.toList)
-    val tmp = new org.apache.hadoop.fs.Path(f.getParent, "deletes.tsv.tmp")
-    val out = fs.create(tmp, true)
-    try out.write((sels.map(s => s"S\t${b64(s)}") ++ paths.map(p => s"G\t${b64(p)}"))
-      .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    fs.delete(f, false)
-    fs.rename(tmp, f)
-    ()
+    deletesWriteLock.synchronized {
+      val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+      val sels = deletedSelectors.synchronized(deletedSelectors.toList)
+      val paths = deletedPredicates.synchronized(deletedGraphitePaths.toList)
+      val tmp = new org.apache.hadoop.fs.Path(f.getParent, "deletes.tsv.tmp")
+      val out = fs.create(tmp, true)
+      try out.write((sels.map(s => s"S\t${b64(s)}") ++ paths.map(p => s"G\t${b64(p)}"))
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      // crash-safe swap: the tmp file holds the FULL tombstone state, so
+      // a crash between the delete and the rename is recoverable — load
+      // falls back to the tmp file when the primary is missing. (A
+      // rename-with-overwrite would close the window entirely, but
+      // FileSystem.rename won't clobber and FileContext isn't available
+      // on every store; the tmp fallback covers the same crash.)
+      fs.delete(f, false)
+      fs.rename(tmp, f)
+      ()
+    }
   }
 
-  private def loadDeletes(): Unit = deletesFile.foreach { f =>
-    val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+  private def loadDeletes(): Unit = deletesFile.foreach { f0 =>
+    val fs = f0.getFileSystem(spark.sessionState.newHadoopConf())
+    // recover from a crash mid-swap in persistDeletes: the primary was
+    // deleted but the (complete) tmp never renamed in
+    val tmp = new org.apache.hadoop.fs.Path(f0.getParent, "deletes.tsv.tmp")
+    if (!fs.exists(f0) && fs.exists(tmp)) { fs.rename(tmp, f0); () }
+    val f = f0
     if (fs.exists(f)) {
       val in = fs.open(f)
       val lines =
@@ -319,6 +389,16 @@ final class HttpApi(
       case Nil => spark.createDataFrame(List.empty[Row].asJava, sampleSchema)
       case frames => frames.reduce(_.unionByName(_, allowMissingColumns = true))
     }
+    decorate(all)
+  }
+
+  /** the read-path decorations every served frame gets — delete-series
+    * tombstones, retention filters, select-time dedup — applied to the
+    * buffer+base union ([[samples]]) AND to downsampled tier frames, so a
+    * tier-routed query honors the same deletes/retention the full-res
+    * path does
+    */
+  private def decorate(all: DataFrame): DataFrame = {
     val dels = deletedSelectors.synchronized { deletedSelectors.toList }
     val preds = deletedPredicates.synchronized { deletedPredicates.toList }
     val afterSel = dels.foldLeft(all)((df, sel) => df.filter(!Api.selectorPredicate(sel)))
@@ -604,34 +684,39 @@ final class HttpApi(
   }
 
   // snapshot storage for the facade: each create writes the full current
-  // state as one immutable parquet dir under a per-instance temp base
-  private lazy val snapshotBase =
-    java.nio.file.Files.createTempDirectory("graft-snapshots")
+  // state as one immutable parquet dir under the configured staging base
+  // (snapshotStagingDir — any Hadoop FileSystem URI), defaulting to a
+  // per-instance driver-local temp dir. All access runs through the
+  // FileSystem API like the rest of the store maintenance, so an
+  // s3a://... staging location needs no code change.
+  private lazy val snapshotBase: org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(snapshotStagingDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-snapshots").toString))
+
+  private def snapshotFs: org.apache.hadoop.fs.FileSystem =
+    snapshotBase.getFileSystem(spark.sessionState.newHadoopConf())
 
   private def writeSnapshot(): String = {
     val name = graft.core.SampleStore.snapshotName()
     graft.core.SampleStore.write(samples,
-      snapshotBase.resolve(name).toString,
+      new org.apache.hadoop.fs.Path(snapshotBase, name).toString,
       org.apache.spark.sql.SaveMode.Overwrite)
     name
   }
 
   private def listSnapshots(): Seq[String] = {
-    import scala.jdk.CollectionConverters._
-    if (!java.nio.file.Files.isDirectory(snapshotBase)) Nil
-    else java.nio.file.Files.list(snapshotBase).iterator().asScala
-      .filter(java.nio.file.Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+    val fs = snapshotFs
+    if (!fs.exists(snapshotBase) || !fs.getFileStatus(snapshotBase).isDirectory) Nil
+    else fs.listStatus(snapshotBase).filter(_.isDirectory)
+      .map(_.getPath.getName).toSeq.sorted
   }
 
   private def deleteSnapshot(name: String): Boolean = {
     if (name.isEmpty || name.contains('/') || name.contains("..")) return false
-    val dir = snapshotBase.resolve(name)
-    if (!java.nio.file.Files.isDirectory(dir)) return false
-    java.nio.file.Files.walk(dir)
-      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .forEach(p => { java.nio.file.Files.delete(p); () })
-    true
+    val dir = new org.apache.hadoop.fs.Path(snapshotBase, name)
+    val fs = snapshotFs
+    if (!fs.exists(dir) || !fs.getFileStatus(dir).isDirectory) return false
+    fs.delete(dir, true)
   }
 
   /** `timeout` arg → clamped per-request deadline (searchutil.go) */
@@ -911,7 +996,13 @@ final class HttpApi(
             }
           case None =>
             val df = graft.lang.Trace.child("build query plan")(
-              Api.query(samples, p("query"), at, step)) // parse/analyze errors throw here → 422
+              // parse/analyze errors throw here → 422; the store version
+              // rides the O7 cache key so an ingest between two identical
+              // instant queries invalidates the delta/exact hit (the
+              // buffer's rebuilt LocalRelation canonicalizes identically
+              // whatever its rows)
+              Api.query(samples, p("query"), at, step,
+                cacheTag = s"httpStore:$storeVersion"))
             enforceMaxResponseSeries(df)
             MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), at)
             QueryStats.track(p("query"), at, at, step,
@@ -932,8 +1023,26 @@ final class HttpApi(
     "/api/v1/query_range" -> handler { ex =>
       val p = params(ex)
       val step = stepMs(p)
-      val start = timeMs(p, "start", 0L)
-      val end = timeMs(p, "end", 0L)
+      val rawStart = timeMs(p, "start", 0L)
+      val rawEnd = timeMs(p, "end", 0L)
+      // AdjustStartEnd (eval.go:77, skipped under nocache like the
+      // reference): step-aligns the grid so repeated now-relative
+      // refreshes hit the O6 cache AND satisfy the tier-routing
+      // alignment precondition (startMs % interval == 0 holds for any
+      // interval dividing the step once start is step-aligned)
+      val nocache = boolParam(p, "nocache")
+      // step<=0 passes through so validateMaxPoints raises ITS error
+      val (start, end) =
+        if (nocache || step <= 0) (rawStart, rawEnd)
+        else graft.Engine.adjustStartEnd(rawStart, rawEnd, step)
+      // downsampling-aware routing: a coarse-step query whose step nests
+      // a configured tier's interval reads the (decorated) tier frame —
+      // the reference's transparent -downsampling.period resolution pick
+      val frame =
+        if (downsampleTiers.isEmpty) samples
+        else graft.Engine.routeFrame(samples,
+          downsampleTiers.map { case (iv, df) => iv -> decorate(df) },
+          graft.core.GridSpec(start, end, step))
       val t0 = System.nanoTime()
       val root =
         if (boolParam(p, "trace"))
@@ -942,8 +1051,8 @@ final class HttpApi(
         else None
       try QueryDeadline.run(spark, deadlineMs(p)) {
         val df = graft.lang.Trace.child("build query plan")(
-          Api.queryRange(samples, p("query"), start, end, step,
-            mayCache = !boolParam(p, "nocache"),
+          Api.queryRange(frame, p("query"), start, end, step,
+            mayCache = !nocache,
             cacheTag = s"httpStore:$storeVersion"))
         enforceMaxResponseSeries(df)
         MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), end)

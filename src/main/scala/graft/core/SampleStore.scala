@@ -171,19 +171,28 @@ object SampleStore {
   private[graft] var DimBroadcastMaxInputBytes: BigInt = BigInt(1L) << 30
 
   /** resolved directory sizes for [[estimatedInputBytes]] — one
-    * getContentSummary per distinct root, not one per query (staleness
-    * only loosens a safety bound, never correctness)
+    * getContentSummary per distinct root per TTL window, not one per
+    * query. The entries EXPIRE: the guard exists to stop force-broadcasts
+    * of a store that GREW past the bound, so a forever-cached
+    * below-the-bound measurement of a growing store is exactly the hazard
+    * the guard prevents — re-measuring every [[ContentSizeTtlMs]] keeps
+    * the bound honest at one cheap listing per window.
     */
   private val contentSizeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, BigInt]()
+    new java.util.concurrent.ConcurrentHashMap[String, (BigInt, Long)]()
+
+  /** re-measure cached directory sizes after this long (`private[graft]
+    * var` so specs can force expiry)
+    */
+  private[graft] var ContentSizeTtlMs: Long = 10 * 60 * 1000L
 
   /** Conservative input size for the broadcast guard. Plan statistics
     * suffice for path reads and local relations; an unanalyzed CATALOG
     * table reports defaultSizeInBytes (Long.MaxValue) — for those, one
-    * cached filesystem content summary of the table location gives the
-    * real number (Spark lists the same tree for the scan anyway).
+    * TTL-cached filesystem content summary of the table location gives
+    * the real number (Spark lists the same tree for the scan anyway).
     */
-  private def estimatedInputBytes(df: DataFrame): BigInt = {
+  private[graft] def estimatedInputBytes(df: DataFrame): BigInt = {
     val unknown = BigInt(Long.MaxValue) / 4
     df.queryExecution.optimizedPlan.collectLeaves().map { leaf =>
       val s = leaf.stats.sizeInBytes
@@ -193,15 +202,33 @@ object SampleStore {
           lr.relation match {
             case fsRel: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
               fsRel.location.rootPaths.map { p =>
-                contentSizeCache.computeIfAbsent(p.toString, _ =>
-                  try BigInt(fsFor(p).getContentSummary(p).getLength)
-                  catch { case _: Exception => s })
+                val now = System.currentTimeMillis()
+                contentSizeCache.compute(p.toString, (_, prev) =>
+                  if (prev != null && now - prev._2 < ContentSizeTtlMs) prev
+                  else (try BigInt(fsFor(p).getContentSummary(p).getLength)
+                    catch { case _: Exception => s }, now))._1
               }.sum
             case _ => s
           }
         case _ => s
       }
     }.sum
+  }
+
+  /** Shared dim-broadcast guard: force-broadcast `dim` only while the
+    * conservative input-size bound on `input` holds (series ≤ rows ≈
+    * inputBytes/32 — see [[DimBroadcastMaxInputBytes]]); past it, return
+    * the dim unhinted and let the planner/AQE pick the join — the forced
+    * hint bypasses autoBroadcastJoinThreshold and can OOM the driver or
+    * hit Spark's 8 GB broadcast cap at CardScale series cardinalities.
+    * Used by the retention dim resolve here and by Eval's tags-restore
+    * dim (the same structural join in every rollup leaf).
+    */
+  private[graft] def maybeBroadcastDim(input: DataFrame, dim: DataFrame): DataFrame = {
+    val sizeOk =
+      try estimatedInputBytes(input) <= DimBroadcastMaxInputBytes
+      catch { case _: Exception => true }
+    if (sizeOk) broadcast(dim) else dim
   }
 
   /** Apply retention filters choosing the cheaper strategy: the inline
@@ -244,19 +271,16 @@ object SampleStore {
         .dropDuplicates(k1, k2, "_rnm")
         .select(col(k1), col(k2), col("_rnm"),
           matchedRetentionMs(filters).as("_rt"))
-      // Force-broadcast only while a conservative bound on the series
-      // count holds (see DimBroadcastMaxInputBytes); a huge store falls
-      // back to a planner-chosen join rather than risking the driver.
-      val sizeOk =
-        try estimatedInputBytes(df) <= DimBroadcastMaxInputBytes
-        catch { case _: Exception => true }
       // dim keys renamed so the self-derived join condition is
       // unambiguous; NULL-SAFE `<=>` on the hash pair — a null KEY would
       // silently drop the row from an equi-join on both sides, rows the
       // inline predicate keeps, whatever xxhash64 makes of a null map.
+      // Force-broadcast only while the input-size bound holds
+      // ([[maybeBroadcastDim]]); a huge store falls back to a
+      // planner-chosen join rather than risking the driver.
       val dimR = dim.select(col(k1).as("_dk1"), col(k2).as("_dk2"),
         col("_rnm").as("_dnm"), col("_rt"))
-      val dimSide = if (sizeOk) broadcast(dimR) else dimR
+      val dimSide = maybeBroadcastDim(df, dimR)
       // `<=>` only where the schema says the key CAN be null (the
       // persisted parquet pair): plain equality keeps the join keys as
       // bare attributes, which the bucket-partitioning subset rule can
@@ -355,9 +379,21 @@ object SampleStore {
       table: String, tablePath: String, buckets: Int = 8): Seq[String] = {
     val root = new HPath(storePath)
     val rootFs = fsFor(root)
+    // a MISSING flat root with an existing bucketed table is a transient
+    // mount failure or a mis-pointed storePath, not a retention drop —
+    // treating it as current=empty would mark every manifest date
+    // "removed" and delete the entire bucketed layout. A root that EXISTS
+    // but has no date= dirs remains a legitimate full-retention drop.
+    if (!rootFs.exists(root)) {
+      if (spark.catalog.tableExists(table))
+        throw new IllegalStateException(
+          s"flat store root $storePath does not exist but bucketed table " +
+            s"$table does; refusing to drop every bucketed partition — " +
+            "restore the store (or delete the table first for a rebuild)")
+      return Nil
+    }
     val dateDirs: Seq[FileStatus] =
-      if (!rootFs.exists(root)) Nil
-      else rootFs.listStatus(root)
+      rootFs.listStatus(root)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("date=")).toSeq
     // per-date fingerprint: sorted data-file (name, length) pairs hashed —
     // append-only sinks only ever ADD files, so growth changes the print
@@ -409,6 +445,8 @@ object SampleStore {
     val removed =
       if (!tableExists) Nil
       else (previous.keySet -- current.keySet).toSeq.sorted
+    val idxPath = new HPath(tagIndexPath(tablePath))
+    val idxFs = fsFor(idxPath)
     if (removed.nonEmpty) {
       // resolve the table's REAL location from the catalog — saveAsTable
       // resolves a relative `path` option against the warehouse dir, so
@@ -418,6 +456,8 @@ object SampleStore {
       val tfs = fsFor(tp)
       removed.foreach { d => tfs.delete(new HPath(tp, s"date=$d"), true) }
       spark.catalog.refreshTable(table)
+      // the tag index trails the table: its vanished dates drop too
+      removed.foreach { d => idxFs.delete(new HPath(idxPath, s"date=$d"), true) }
     }
     if (changed.nonEmpty) {
       // filter on the PARTITION column so only the changed dates' files
@@ -426,6 +466,15 @@ object SampleStore {
       val fresh = spark.read.parquet(storePath)
         .filter(col("date").isin(changed.map(java.sql.Date.valueOf): _*))
         .drop("date")
+      // maintain the tag→names index per changed date (dynamic partition
+      // overwrite: only the changed dates' index partitions rewrite)
+      if (!tableExists || !idxFs.exists(idxPath))
+        buildTagIndex(fresh, idxPath.toString)
+      else
+        tagIndexRows(fresh)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("date").parquet(idxPath.toString)
       if (!tableExists) {
         writeBucketed(fresh, table, tablePath, buckets)
       } else {
@@ -494,6 +543,81 @@ object SampleStore {
     // partitioning, which a metrics-engine session does not run.
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     spark.table(table).drop("date")
+  }
+
+  // ---- tag → metric-names index (the nameless-lookup answer) ----------
+  // The reference answers `{pod="..."}` (no metric name) in sub-ms from
+  // its tag→metricIDs index namespace (lib/storage/index_db.go:50-71,
+  // probe searchMetricIDs index_db.go:1673); the name-sorted bucketed
+  // layout prunes nothing without a name predicate (SCALEBENCH r11's
+  // 3.96 s no-name control). The Spark approximation: a tiny
+  // date-partitioned parquet side table of DISTINCT (key, value, name)
+  // triples. A nameless tag-equality lookup first resolves its candidate
+  // METRIC NAMES from the index (metadata-scale), then scans with a
+  // pushed `name IN (...)` — riding the exact row-group/page pruning the
+  // name-sorted layout already provides. Completeness contract: the index
+  // trails the bucketed table exactly like the table trails the flat
+  // store (both maintained per changed date by [[bucketizeNewDates]]);
+  // [[buildTagIndex]] is the full (re)build.
+
+  /** distinct (date, key, value, name) triples of a sample frame; null
+    * names are omitted (the query-side filter keeps null-name rows via an
+    * IsNull disjunct instead)
+    */
+  private def tagIndexRows(samples: DataFrame): DataFrame =
+    samples
+      .filter(col("name").isNotNull)
+      .select(col("name"), to_date(timestamp_millis(col("ts"))).as("date"),
+        explode(coalesce(col("tags"), map().cast("map<string,string>")))
+          .as(Seq("key", "value")))
+      .dropDuplicates("date", "key", "value", "name")
+      // one (key,value)-SORTED file per date: the index probe's pushed
+      // EqualTo(key)/EqualTo(value) then skips row groups by min/max, so
+      // a probe reads index-pages-for-one-tag, not the whole index — the
+      // index can carry one row per (tag pair, name) at high-cardinality
+      // tags (the reference's tag→metricIDs entries scale the same way)
+      .repartition(col("date"))
+      .sortWithinPartitions("date", "key", "value", "name")
+
+  /** full (re)build of the tag index beside a store */
+  def buildTagIndex(samples: DataFrame, indexPath: String): Unit =
+    tagIndexRows(samples)
+      .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(indexPath)
+
+  def readTagIndex(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(indexPath).drop("date")
+
+  /** the index path [[bucketizeNewDates]] maintains beside a table path */
+  def tagIndexPath(tablePath: String): String = tablePath + "_tagindex"
+
+  /** Max candidate names a nameless lookup will inline as a pushed
+    * `name IN (...)`; past it the index is ignored (a tag spanning most
+    * metric names prunes nothing anyway — same as the reference's index
+    * returning most metricIDs). `private[graft] var` for specs.
+    */
+  private[graft] var TagIndexMaxNames: Int = 256
+
+  /** Candidate-name predicate for a NAMELESS tag-equality lookup: the
+    * intersection over all positive non-regex tag filters of each (key,
+    * value)'s name set, as a pushable `name IN (...) OR name IS NULL`
+    * Column — or None when the index can't help (no eligible filter, or
+    * more than [[TagIndexMaxNames]] candidates). The index job is
+    * metadata-scale (the index holds distinct triples, not samples).
+    */
+  def tagIndexNamePredicate(
+      index: DataFrame,
+      tagEquals: Seq[(String, String)]): Option[org.apache.spark.sql.Column] = {
+    val eligible = tagEquals.filter { case (_, v) => v.nonEmpty }
+    if (eligible.isEmpty) return None
+    val sets = eligible.map { case (k, v) =>
+      index.filter(col("key") === k && col("value") === v)
+        .select("name").distinct()
+    }
+    val names = sets.reduce(_.join(_, Seq("name"), "left_semi"))
+      .limit(TagIndexMaxNames + 1).collect().map(_.getString(0))
+    if (names.length > TagIndexMaxNames) None
+    else if (names.isEmpty) Some(col("name").isNull)
+    else Some(col("name").isNull || col("name").isInCollection(names.toSeq))
   }
 
   /** compaction job: retention filter + interval dedup (keep last, max on

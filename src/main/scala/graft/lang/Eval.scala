@@ -85,7 +85,15 @@ object Eval {
       grid: GridSpec,
       lookbackMs: Long = 300000L,
       pushdownCap: Int = 100,
-      preserveCmpNaN: Boolean = false)
+      preserveCmpNaN: Boolean = false,
+      // tag→names index (SampleStore.readTagIndex) for NAMELESS
+      // tag-equality selectors: candidate metric names resolve from the
+      // index and scan as a pushed `name IN (...)`, riding the
+      // name-sorted layout's pruning (index_db.go:50-71 semantics).
+      // Callers owning the store are responsible for the index trailing
+      // it no further than the layout itself (bucketizeNewDates maintains
+      // both per changed date).
+      tagIndex: Option[DataFrame] = None)
 
   /** An evaluated expression: a series set, a scalar, a per-timestamp
     * scalar (scalar()/time() results — matches ANY series per grid point,
@@ -593,19 +601,61 @@ object Eval {
           else if (f.isRegexp) target.rlike(anchored(f.value))
           else if (f.label == "__name__" && !f.isNegative && f.value.nonEmpty)
             // PUSHABLE form: for a POSITIVE non-empty literal,
-            // `name = v` ≡ `coalesce(name,'') = v` (a null name fails
-            // both), and the bare attribute reaches the parquet scan as
-            // EqualTo(name, v) — the predicate the name-sorted bucketed
-            // layout prunes row groups/pages with (r11; coalesce around
-            // the column disqualifies pushdown entirely). Negative and
-            // empty-value matchers keep the coalesce: they must KEEP
+            // `isnotnull(name) AND name = v` ≡ `coalesce(name,'') = v`
+            // under three-valued logic EVEN WHEN NEGATED (the conjunction
+            // is false — not SQL NULL — for null names, so `!pos` keeps
+            // null-name rows exactly like the coalesce form; a bare
+            // `name = v` alone would yield NULL there and a negating
+            // filter would drop the row). IsNotNull and EqualTo both
+            // reach the parquet scan — the predicates the name-sorted
+            // bucketed layout prunes row groups/pages with (r11; coalesce
+            // around the column disqualifies pushdown entirely). Negative
+            // and empty-value matchers keep the coalesce: they must KEEP
             // null-name rows.
-            col("name") === f.value
+            col("name").isNotNull && col("name") === f.value
           else target === f.value
         if (f.isNegative) !pos else pos
       }
       fss.map(_.map(one).reduceOption(_ && _).getOrElse(lit(true)))
         .reduceOption(_ || _).getOrElse(lit(true))
+    }
+
+    /** Selector fetch with optional tag-index name pruning: a NAMELESS
+      * tag-equality lookup (`{pod="..."}`) over a name-sorted store pays
+      * a full scan — nothing to prune on. With cfg.tagIndex configured,
+      * the candidate metric names resolve from the (metadata-scale) index
+      * and the scan adds a pushed `name IN (...) OR name IS NULL`
+      * conjunct, restoring the sorted layout's row-group pruning — the
+      * Spark form of the reference's tag→metricIDs probe
+      * (index_db.go:1673 searchMetricIDs). Strictly a narrowing: the
+      * index is complete over the store, so every row matching the
+      * selector carries a candidate name (or a null one, which the IsNull
+      * disjunct keeps) — results are identical with or without the index
+      * (BucketedStoreSpec pins both the equality and the pushed plan).
+      * Name-carrying, OR-form, and negative/regex selectors skip the
+      * probe — the name predicate (when present) already prunes.
+      */
+    private def indexedFetch(m: MetricExpr): DataFrame = {
+      val pred = filterPredicate(m.filterss)
+      val extra = cfg.tagIndex.flatMap { idx =>
+        if (m.filterss.size != 1) None
+        else {
+          val fs = m.filterss.head
+          if (fs.exists(f => f.label == "__name__" || f.label == "__graphite__")) None
+          else {
+            val eqs = fs.collect {
+              case f if !f.isNegative && !f.isRegexp && f.value.nonEmpty =>
+                (f.label, f.value)
+            }
+            if (eqs.isEmpty) None
+            else graft.core.SampleStore.tagIndexNamePredicate(idx, eqs)
+          }
+        }
+      }
+      extra match {
+        case Some(nameIn) => samples.filter(nameIn && pred)
+        case None => samples.filter(pred)
+      }
     }
 
     // ------------------------------------------------------------------
@@ -738,7 +788,7 @@ object Eval {
         if (rollupTag.isDefined) col("tags")
         else map_concat(col("tags"), map(lit(label), col("rollup")))
       Series(replicateAt(
-        out.join(broadcast(tagsDim(keyed, rollGrid, windowMs)), Seq("_h1", "_h2")), atMs)
+        out.join(tagsDimSide(keyed, rollGrid, windowMs), Seq("_h1", "_h2")), atMs)
         .filter(col("value").isNotNull) // no-pair windows = missing points
         .select(
           named.as("name"),
@@ -882,7 +932,7 @@ object Eval {
       // raw samples (selector leaf) or inner-grid rows (subquery)
       val raw: DataFrame = re.expr match {
         case m: MetricExpr =>
-          val fetched = samples.filter(filterPredicate(m.filterss))
+          val fetched = indexedFetch(m)
           // Prometheus staleness markers (stored NaN samples, SURVEY §1.2
           // NaN taxonomy) are dropped for every rollup EXCEPT
           // default_rollup — which needs them for staleness detection
@@ -977,6 +1027,21 @@ object Eval {
       src.select(col("_h1"), col("_h2"), col("tags")).dropDuplicates("_h1", "_h2")
     }
 
+    /** the tags dim as a JOIN SIDE: force-broadcast only while the
+      * store-size bound holds (SampleStore.maybeBroadcastDim — the same
+      * guard the retention dim resolve uses). The dim carries one row per
+      * distinct in-window series; at CardScale cardinalities (10M+ series
+      * in a wide window) an unconditional broadcast builds a 10M-row
+      * map-typed frame on the driver, bypassing
+      * autoBroadcastJoinThreshold — the OOM/8 GB-cap hazard class the r11
+      * retention-dim bound closed. Past the bound the planner/AQE picks
+      * the join; on a bucketed store the fallback costs one DIM-side
+      * exchange only (the data side keeps its bucket partitioning by the
+      * subset rule — BucketedStoreSpec pins the plans unchanged).
+      */
+    private def tagsDimSide(keyed: DataFrame, rollGrid: GridSpec, windowMs: Long): DataFrame =
+      graft.core.SampleStore.maybeBroadcastDim(keyed, tagsDim(keyed, rollGrid, windowMs))
+
     /** replicate @-pinned single-point results across the query grid */
     private def replicateAt(out: DataFrame, atMs: Option[Long]): DataFrame =
       atMs.map(_ => out.drop("t").crossJoin(Grid.gridDf(samples, cfg.grid))).getOrElse(out)
@@ -1010,7 +1075,7 @@ object Eval {
           .rollup(keyed, Seq("name", "_h1", "_h2"), rollGrid, windowMs, kernel,
             lookbackMs = cfg.lookbackMs, autoAdjustWindow = autoAdjust)
           .filter(col("value").isNotNull)
-          .join(broadcast(tagsDim(keyed, rollGrid, windowMs)), Seq("_h1", "_h2")),
+          .join(tagsDimSide(keyed, rollGrid, windowMs), Seq("_h1", "_h2")),
         atMs)
       val keep = keepNames || re.keepMetricNames || rollupKeepsName(fn)
       val named = if (keep) col("name") else lit(null).cast(StringType)

@@ -108,6 +108,23 @@ object BuckProf {
         .dropDuplicates("_h1", "_h2").count()
       println(f"[bp] dim-buck-nomap ${(System.nanoTime() - t0) / 1e9}%7.3f s ($n series)")
     }
+    // r12 residual isolation (VERDICT r11 "what's wrong" #2): is the
+    // ~1.2× bucketed-vs-flat residual on the counter shape the inline
+    // map-typed tags column's columnar decode? Same pruned scan, with and
+    // without forcing the tags column to decode.
+    def timeScan(label: String, forceTags: Boolean): Unit =
+      for (_ <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val base = b.filter(col("name") === "click" &&
+          col("ts") > lit(1704016800000L) && col("ts") <= lit(1704672000000L))
+        val agg =
+          if (forceTags) base.agg(count(lit(1)), sum(size(col("tags"))))
+          else base.agg(count(lit(1)), sum(col("value")))
+        agg.collect()
+        println(f"[bp] $label%-18s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      }
+    timeScan("scan-no-tags", forceTags = false)
+    timeScan("scan-with-tags", forceTags = true)
     // FINAL AQE plan dumps (post-execution: codegen markers visible)
     locally {
       val fp = graft.Engine.query(flat, q, grid, 7200000L).queryExecution.executedPlan

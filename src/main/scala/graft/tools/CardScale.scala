@@ -146,6 +146,31 @@ object CardScale {
       // no name → nothing to prune on; honest floor of the tag-only shape
       b.filter(col("tags").getItem("pod") === targetPod).count()
     }
+    // r12 mitigation for the NAMELESS shape: the tag→names side index
+    // (SampleStore.buildTagIndex) resolves the candidate metric names at
+    // metadata scale, and the scan runs with a pushed `name IN (...)` —
+    // riding the same name-sort pruning as the named lookup. Build cost
+    // disclosed (paid at compaction cadence, one distinct over exploded
+    // tag entries).
+    val idxPath = "target/cardscale/tagindex"
+    val ti0 = System.nanoTime()
+    graft.core.SampleStore.buildTagIndex(df, idxPath)
+    println(f"[cardscale] tag-index build took ${(System.nanoTime() - ti0) / 1e9}%.1f s" +
+      f" (${du(idxPath) / 1e6}%.1f MB)")
+    val idx = graft.core.SampleStore.readTagIndex(spark, idxPath)
+    timedN("nameless lookup (index probe)", 3) {
+      // the probe alone: candidate names for the churned tag value
+      graft.core.SampleStore.tagIndexNamePredicate(idx,
+        Seq("pod" -> targetPod)).size.toLong
+    }
+    timedN("nameless lookup (sorted + index)", 3) {
+      graft.core.SampleStore.tagIndexNamePredicate(idx, Seq("pod" -> targetPod)) match {
+        case Some(nameIn) =>
+          b.filter(nameIn && col("tags").getItem("pod") === targetPod).count()
+        case None =>
+          b.filter(col("tags").getItem("pod") === targetPod).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -78,6 +78,27 @@ object InstantScale {
     println(f"[instantscale] delta refresh  ${deltaTimes.map(t => f"$t%.2f").mkString(" ")} s (avg ${deltaTimes.sum / refreshes}%.2f)")
     println(s"[instantscale] cache stats: $st")
     println(f"[instantscale] refresh speedup ${fullTimes.sum / deltaTimes.sum}%.1f×")
+
+    // r12: the AGGREGATED dashboard shape — sum(fn(m[w])) by (label) —
+    // served from the same per-series delta cache plus a series-scale
+    // aggregation (the reference's evalInstantRollup under the
+    // incremental-aggregation wrapper, eval.go:1176)
+    val qa = "sum(sum_over_time(m[24h])) by (pod)"
+    graft.Engine.query(df, qa, instant(tEnd - 3600000L), 60000L).count()
+    val aggFullTimes = (1 to refreshes).map { i =>
+      time(graft.Engine.query(df, qa, instant(tEnd + i * 60000L), 60000L).count())
+    }
+    graft.Engine.clearCache()
+    val aggPrime = time(
+      graft.Engine.queryInstantCached(df, qa, instant(tEnd), 60000L).count())
+    val aggDeltaTimes = (1 to refreshes).map { i =>
+      time(graft.Engine.queryInstantCached(df, qa, instant(tEnd + i * 60000L), 60000L).count())
+    }
+    println(f"[instantscale] agg full       ${aggFullTimes.map(t => f"$t%.2f").mkString(" ")} s (avg ${aggFullTimes.sum / refreshes}%.2f)")
+    println(f"[instantscale] agg prime      $aggPrime%.2f s")
+    println(f"[instantscale] agg delta      ${aggDeltaTimes.map(t => f"$t%.2f").mkString(" ")} s (avg ${aggDeltaTimes.sum / refreshes}%.2f)")
+    println(f"[instantscale] agg speedup    ${aggFullTimes.sum / aggDeltaTimes.sum}%.1f×")
+    println(s"[instantscale] cache stats: ${graft.Engine.instantCacheStats}")
     spark.stop()
   }
 }

@@ -115,4 +115,62 @@ class InstantRollupSpec extends SparkSpec {
     one(Engine.queryInstantCached(clean, "sum_over_time(m[30m])", GridSpec(t0, t0, step)))
     assert(Engine.instantCacheStats === Engine.InstantStats(0, 0, 0, 0))
   }
+
+  // two-series frame for the aggregated dashboard shape
+  private def taggedFrame(values: (String, Long) => Double,
+      fromMs: Long, toMs: Long): DataFrame = {
+    val rows = new java.util.ArrayList[Row]()
+    var ts = fromMs
+    while (ts <= toMs) {
+      Seq("a", "b").foreach(p => rows.add(Row("m", Map("pod" -> p), ts, values(p, ts))))
+      ts += step
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("ts", LongType),
+      StructField("value", DoubleType))))
+  }
+
+  test("sum(fn(m[w])) by (labels) rides the per-series delta cache") {
+    Engine.clearCache()
+    val clean = taggedFrame((_, _) => 1.0, t0 - 4 * hour, t1)
+    val corrupted = taggedFrame(
+      (_, ts) => if (ts > t0 - 2 * hour && ts <= t0 - hour) 1000.0 else 1.0,
+      t0 - 4 * hour, t1)
+    val q = "sum(sum_over_time(m[3h])) by (pod)"
+
+    val r0 = Engine.queryInstantCached(clean, q, GridSpec(t0, t0, step)).collect()
+    assert(r0.length === 2 && r0.forall(_.getDouble(3) === 180.0))
+    assert(Engine.instantCacheStats.misses === 1)
+
+    // the refresh must (a) take the delta path — clean answer despite the
+    // corrupted middle — and (b) match Eval's own aggregation semantics
+    // exactly (name null, tags reduced to the by-list)
+    val r1 = Engine.queryInstantCached(corrupted, q, GridSpec(t1, t1, step))
+    val full = Engine.query(clean, q, GridSpec(t1, t1, step))
+    assert(r1.collect().toSet === full.collect().toSet)
+    assert(Engine.instantCacheStats.deltaHits === 1)
+
+    // a different aggregation of the SAME inner shares the cache entry
+    val r2 = Engine.queryInstantCached(corrupted, "max(sum_over_time(m[3h]))",
+      GridSpec(t1, t1, step)).collect()
+    assert(r2.length === 1 && r2.head.getDouble(3) === 180.0)
+    assert(Engine.instantCacheStats.deltaHits === 2)
+    assert(Engine.instantCacheStats.misses === 1)
+  }
+
+  test("cacheTag invalidates instant entries for mutable same-plan stores") {
+    Engine.clearCache()
+    val g = GridSpec(t0, t0, step)
+    // same schema → same canonicalized plan text for BOTH local relations
+    val v1 = frame(_ => 1.0, t0 - 3 * hour + step, t0)
+    val v2 = frame(_ => 2.0, t0 - 3 * hour + step, t0)
+    val a = one(Engine.queryInstantCached(v1, "sum_over_time(m[3h])", g, cacheTag = "v1"))
+    // without the tag this would be an exact hit serving v1's rows
+    val b = one(Engine.queryInstantCached(v2, "sum_over_time(m[3h])", g, cacheTag = "v2"))
+    assert(a === 180.0 && b === 360.0)
+    assert(Engine.instantCacheStats.misses === 2)
+    assert(Engine.instantCacheStats.exactHits === 0)
+  }
 }

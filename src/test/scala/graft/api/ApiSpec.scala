@@ -33,6 +33,25 @@ class ApiSpec extends SparkSpec {
     assert(top.head.getString(0) == "up" && top.head.getLong(1) == 3L)
   }
 
+  test("negated positive-name selector keeps null-name rows (tombstone filter)") {
+    val s = spark
+    import s.implicits._
+    // null-name rows are legal in the canonical frame (graphite delete
+    // predicates coalesce for the same reason); a delete_series tombstone
+    // for {__name__="up"} is applied NEGATED, and a bare `name = 'up'`
+    // yields SQL NULL there — `!NULL` is NULL and the filter would
+    // silently drop the row. The isNotNull conjunction keeps it.
+    val withNull = Seq(
+      (Option("up"), Map("job" -> "api"), 1000L, 1.0),
+      (Option.empty[String], Map("job" -> "api"), 1000L, 2.0))
+      .toDF("name", "tags", "ts", "value")
+    val kept = withNull.filter(!Api.selectorPredicate("""{__name__="up"}""")).collect()
+    assert(kept.length == 1 && kept.head.isNullAt(0),
+      "null-name row must survive a positive-name delete tombstone")
+    // and the positive form still matches only the named row
+    assert(withNull.filter(Api.selectorPredicate("""{__name__="up"}""")).count() == 1)
+  }
+
   test("instant query and raw range export") {
     val inst = Api.query(samples, """up{job="api"}""", 1000L)
     assert(inst.count() == 2)

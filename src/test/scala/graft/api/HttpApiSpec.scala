@@ -331,6 +331,123 @@ class HttpApiSpec extends SparkSpec {
     } finally api2.stop()
   }
 
+  test("deletes tombstone file recovers from a crash between delete and rename") {
+    val dir = java.nio.file.Files.createTempDirectory("httpspill_delcrash").toString
+    val api = new HttpApi(spark, spillDir = Some(dir), spillMaxBufferedRows = 2)
+    val port = api.start()
+    try {
+      assert(post(port, "/api/v1/import/prometheus",
+        """cm{job="x"} 1 60
+          |cn{job="x"} 2 60
+          |""".stripMargin) == 204)
+      api.awaitSpillIdle()
+      assert(post(port, "/api/v1/admin/tsdb/delete_series?match[]=cm", "") == 204)
+    } finally api.stop()
+    // simulate the persistDeletes crash window: the primary was deleted,
+    // the complete tmp never renamed in
+    val del = java.nio.file.Paths.get(dir, "_deletes", "deletes.tsv")
+    val tmp = java.nio.file.Paths.get(dir, "_deletes", "deletes.tsv.tmp")
+    java.nio.file.Files.move(del, tmp)
+    val api2 = new HttpApi(spark, spillDir = Some(dir))
+    val port2 = api2.start()
+    try {
+      val r = get(port2, "/api/v1/series?start=0&end=1000")
+      assert(!r.contains("\"cm\"") && r.contains("\"cn\""), r)
+    } finally api2.stop()
+  }
+
+  test("a crashed compaction swap recovers from the complete staging dir") {
+    val dir = java.nio.file.Files.createTempDirectory("httpspill_crash").toString
+    val api = new HttpApi(spark, spillDir = Some(dir), spillMaxBufferedRows = 2)
+    val port = api.start()
+    try {
+      assert(post(port, "/api/v1/import/prometheus",
+        """cr{job="x"} 7 60
+          |cr{job="x"} 8 120
+          |""".stripMargin) == 204)
+      api.awaitSpillIdle()
+    } finally api.stop()
+    // simulate the worst-case crash: the compacted staging dir is complete
+    // (_SUCCESS present), the live date dir already deleted, the rename
+    // never ran — the pre-fix batch swap left exactly this state
+    val root = new java.io.File(dir)
+    val dateDir = root.listFiles().filter(_.getName.startsWith("date=")).head
+    val tmp = java.nio.file.Paths.get(dir + "_compacting")
+    java.nio.file.Files.createDirectories(tmp)
+    java.nio.file.Files.move(dateDir.toPath, tmp.resolve(dateDir.getName))
+    java.nio.file.Files.createFile(tmp.resolve("_SUCCESS"))
+    val api2 = new HttpApi(spark, spillDir = Some(dir))
+    val port2 = api2.start()
+    try {
+      val r = get(port2, "/api/v1/query_range?query=cr&start=60&end=120&step=60")
+      assert(r.contains("\"7\"") && r.contains("\"8\""),
+        s"acked rows must be recovered from the staging dir: $r")
+      assert(!java.nio.file.Files.exists(tmp), "staging dir must be cleaned up")
+    } finally api2.stop()
+    // an INCOMPLETE staging dir (crash during the write) is discarded
+    val tmp2 = java.nio.file.Paths.get(dir + "_compacting")
+    java.nio.file.Files.createDirectories(tmp2.resolve("date=1970-01-01"))
+    val api3 = new HttpApi(spark, spillDir = Some(dir))
+    val port3 = api3.start()
+    try {
+      val r = get(port3, "/api/v1/query_range?query=cr&start=60&end=120&step=60")
+      assert(r.contains("\"7\"") && r.contains("\"8\""), r)
+      assert(!java.nio.file.Files.exists(tmp2), "incomplete staging dir must be discarded")
+    } finally api3.stop()
+  }
+
+  test("instant O7 cache reflects rows ingested between identical instant queries") {
+    val api = new HttpApi(spark)
+    val port = api.start()
+    try {
+      // window ≥ the 3h instant-rollup threshold so the O7 cache engages
+      assert(post(port, "/api/v1/import/prometheus", "o7m{job=\"a\"} 1 3600\n") == 204)
+      val q = "/api/v1/query?query=" +
+        java.net.URLEncoder.encode("count_over_time(o7m[4h])", "UTF-8") + "&time=7200"
+      assert(get(port, q).contains("\"1\""))
+      // the buffer's rebuilt LocalRelation canonicalizes to the same plan
+      // text — without the storeVersion cacheTag this would be a stale
+      // exact hit still answering "1"
+      assert(post(port, "/api/v1/import/prometheus", "o7m{job=\"a\"} 1 7000\n") == 204)
+      assert(get(port, q).contains("\"2\""), "instant cache must see the new row")
+    } finally api.stop()
+  }
+
+  test("downsampling tiers serve coarse-step query_range after start alignment") {
+    val s = spark
+    import s.implicits._
+    // full-res: one sample per minute (value 7); the 5m tier carries a
+    // SENTINEL value (42) at interval-aligned points, so a response
+    // containing 42 proves the tier frame — not the full-res store — was
+    // read (the reference's transparent -downsampling.period routing)
+    val full = Seq.tabulate(20)(i =>
+      ("m", Map("job" -> "a"), (i + 1) * 60000L, 7.0))
+      .toDF("name", "tags", "ts", "value")
+    val tier = Seq.tabulate(4)(i =>
+      ("m", Map("job" -> "a"), (i + 1) * 300000L, 42.0))
+      .toDF("name", "tags", "ts", "value")
+    val api = new HttpApi(spark, base = Some(full),
+      downsampleTiers = Map(300000L -> tier))
+    val port = api.start()
+    try {
+      // coarse step matching the tier, MISALIGNED start (307s): without
+      // AdjustStartEnd the alignment precondition fails and routing would
+      // silently never fire for now-relative dashboards
+      val coarse = get(port,
+        "/api/v1/query_range?query=m&start=307&end=1207&step=300")
+      assert(coarse.contains("\"42\"") && !coarse.contains("\"7\""),
+        s"coarse-step query must read the tier: $coarse")
+      // fine step: full resolution
+      val fine = get(port, "/api/v1/query_range?query=m&start=60&end=300&step=60")
+      assert(fine.contains("\"7\"") && !fine.contains("\"42\""), fine)
+      // nocache skips the alignment (reference semantics) → the
+      // misaligned start no longer routes; exact-time full-res answer
+      val raw = get(port,
+        "/api/v1/query_range?query=m&start=307&end=1207&step=300&nocache=1")
+      assert(raw.contains("\"7\"") && !raw.contains("\"42\""), raw)
+    } finally api.stop()
+  }
+
   test("query_range rejects too-many-points and zero step upfront") {
     val api = new HttpApi(spark)
     val port = api.start()

@@ -191,6 +191,58 @@ class BucketedStoreSpec extends SparkSpec {
     assert(SampleStore.readBucketed(spark, tbl).count() == keptRows.length)
   }
 
+  test("content-size cache expires so the broadcast guard tracks store growth") {
+    // the guard exists to stop force-broadcasts of a store that GREW past
+    // the bound — a forever-cached below-the-bound measurement defeats it
+    val tbl = "ttl_spec_table"
+    val tpath = "target/ttl_spec_table"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tpath))
+    val half = flat.filter(col("name") === "click")
+    SampleStore.writeBucketed(half, tbl, tpath, buckets = 2)
+    val savedTtl = SampleStore.ContentSizeTtlMs
+    try {
+      SampleStore.ContentSizeTtlMs = Long.MaxValue // pin the first measure
+      val a = SampleStore.estimatedInputBytes(SampleStore.readBucketed(spark, tbl))
+      assert(a > 0)
+      // the table location grows (an append lands more files)
+      SampleStore.writeBucketed(flat, tbl, tpath, buckets = 2,
+        mode = org.apache.spark.sql.SaveMode.Append)
+      val stale = SampleStore.estimatedInputBytes(SampleStore.readBucketed(spark, tbl))
+      assert(stale == a, "within the TTL the cached size serves")
+      SampleStore.ContentSizeTtlMs = 0 // force expiry
+      val fresh = SampleStore.estimatedInputBytes(SampleStore.readBucketed(spark, tbl))
+      assert(fresh > a, s"expired entry must re-measure the grown store ($fresh vs $a)")
+    } finally SampleStore.ContentSizeTtlMs = savedTtl
+  }
+
+  test("a MISSING flat root aborts instead of wiping the bucketed layout") {
+    // a transient mount failure / mis-pointed storePath makes the root
+    // unreachable — indistinguishable from "everything expired" to the
+    // listing, so the compaction must THROW, not mark every manifest date
+    // removed and delete the whole derived table
+    val store = "target/bucketize_missing_spec/store"
+    val tbl = "bucketize_missing_spec_table"
+    val tpath = "target/bucketize_missing_spec/table"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("target/bucketize_missing_spec"))
+    val clicks = flat.filter(col("name") === "click")
+    SampleStore.write(clicks, store, org.apache.spark.sql.SaveMode.Overwrite)
+    assert(SampleStore.bucketizeNewDates(spark, store, tbl, tpath).nonEmpty)
+    val n = SampleStore.readBucketed(spark, tbl).count()
+    assert(n > 0)
+    // simulate the mount failure: the flat root vanishes
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    intercept[IllegalStateException] {
+      SampleStore.bucketizeNewDates(spark, store, tbl, tpath)
+    }
+    assert(SampleStore.readBucketed(spark, tbl).count() == n,
+      "the bucketed layout must be untouched after the abort")
+    // a missing root WITHOUT a table is a legitimate no-op (fresh setup)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    assert(SampleStore.bucketizeNewDates(spark, store, tbl, tpath).isEmpty)
+  }
+
   test("large retention-filter stacks on a bucketed store resolve exchange-free") {
     // the >threshold dim-resolve path reuses the persisted hash pair: the
     // series dim clusters on the scan's bucket partitioning and the
@@ -239,6 +291,38 @@ class BucketedStoreSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(eng.contains("EqualTo(name,click)"),
       s"engine name matcher must reach the parquet scan:\n$eng")
+  }
+
+  test("tag index prunes nameless lookups: identical results, pushed name IN") {
+    bucketed.count() // force the table write
+    val idxPath = SampleStore.tagIndexPath(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+    SampleStore.buildTagIndex(flat, idxPath)
+    val idx = SampleStore.readTagIndex(spark, idxPath)
+    val q = """{user_id="7"}""" // NAMELESS: the sorted layout alone prunes nothing
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("name"), col("tags")("user_id"), col("t"), round(col("value"), 9))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val plain = key(graft.Engine.query(bucketed, q, grid, 2 * H))
+    assert(plain.nonEmpty)
+    val indexed = graft.Engine.query(bucketed, q, grid, 2 * H, tagIndex = Some(idx))
+    assert(key(indexed) === plain, "index pruning must be a pure narrowing")
+    // the candidate-name predicate must reach the parquet scan
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("In(name"),
+      s"candidate names must push to the scan as In(name, ...):\n$plan")
+    // candidate overflow (cap exceeded) falls back to the plain scan
+    val saved = SampleStore.TagIndexMaxNames
+    SampleStore.TagIndexMaxNames = 0
+    try {
+      val capped = graft.Engine.query(bucketed, q, grid, 2 * H, tagIndex = Some(idx))
+      assert(!capped.queryExecution.executedPlan.toString.contains("In(name"))
+      assert(key(capped) === plain)
+    } finally SampleStore.TagIndexMaxNames = saved
+    // a name-carrying selector skips the probe (the name already prunes)
+    val named = graft.Engine.query(bucketed, """click{user_id="7"}""",
+      grid, 2 * H, tagIndex = Some(idx))
+    assert(named.queryExecution.executedPlan.toString.contains("EqualTo(name,click)"))
   }
 
   test("bucketed store preserves the raw samples (roundtrip)") {

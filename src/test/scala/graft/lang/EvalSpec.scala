@@ -42,6 +42,30 @@ class EvalSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
       .toMap
 
+  test("tags-restore dim broadcast is bounded: fallback yields identical results") {
+    // the per-leaf tags dim is series-scale; at CardScale cardinalities a
+    // forced broadcast is the driver-OOM hazard the size guard exists for
+    // (same pattern as the retention dim, RetentionFilterSpec). Under the
+    // bound the hint must be present; past it, dropped — with the rollup
+    // results identical either way.
+    val hinted = Engine.query(samples, "sum_over_time(m[2m])", grid)
+    assert(hinted.queryExecution.optimizedPlan.toString.contains("broadcast"),
+      "under the bound the tags-dim join must be hint-broadcast")
+    val expect = run("sum_over_time(m[2m])")
+    val saved = graft.core.SampleStore.DimBroadcastMaxInputBytes
+    graft.core.SampleStore.DimBroadcastMaxInputBytes = BigInt(-1)
+    try {
+      val out = Engine.query(samples, "sum_over_time(m[2m])", grid)
+      assert(!out.queryExecution.optimizedPlan.toString.contains("broadcast"),
+        "past the bound the forced broadcast hint must be dropped")
+      assert(run("sum_over_time(m[2m])") === expect)
+      // the multi-output rollup path shares the same guarded dim join
+      val multi = Engine.query(samples, """rollup(m{inst="a"}[2m])""", grid)
+      assert(!multi.queryExecution.optimizedPlan.toString.contains("broadcast"))
+      assert(multi.count() > 0)
+    } finally graft.core.SampleStore.DimBroadcastMaxInputBytes = saved
+  }
+
   test("bare selector = default_rollup (last value in lookback)") {
     val r = run("""m{inst="a"}""")
     assert(r(("m|a", M)) == 1.0)
