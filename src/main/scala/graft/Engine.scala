@@ -304,12 +304,13 @@ object Engine {
     val ast = try Parser.parse(q) catch { case _: Exception => return query(samples, q, grid, lookbackMs) }
     ast match {
       case AggrFuncExpr(agg, Seq(inner: FuncExpr), modifier, 0)
-          if Set("sum", "min", "max")(agg) && instantShape(inner) =>
+          if instantAggFns(agg) && instantShape(inner) =>
         // per-series delta-cached eval of the inner rollup, then the
-        // (series-scale) aggregation — the delta math commutes with
-        // sum/min/max over a per-series full_outer merge, but running the
-        // aggregation AFTER the per-series merge sidesteps the one case
-        // it wouldn't (min/max head-validity is a per-series property)
+        // (series-scale) aggregation. Correct for EVERY simple grouped
+        // aggregate, not just additive ones: the delta machinery runs
+        // per series (with its own min/max head-validity aborts), so the
+        // merged frame IS fn(m[w]) @ t for every series — any
+        // aggregation of it equals the full recompute's.
         val per = queryInstantCached(samples, graft.lang.Render.render(inner),
           grid, lookbackMs, minWindowMs, cacheTag)
         aggregateInstant(per, agg, modifier)
@@ -338,6 +339,15 @@ object Engine {
     case _ => false
   }
 
+  /** the simple grouped aggregates [[aggregateInstant]] replicates with
+    * Eval's exact semantics (evalAggrCore's `grouped` family — one
+    * aggregation expression over the group, no extra args, no rank/window
+    * semantics)
+    */
+  private val instantAggFns = Set(
+    "sum", "min", "max", "avg", "count", "stddev", "stdvar", "sum2",
+    "geomean", "median")
+
   /** `agg(per-series instant frame) [by|without (ls)]` with Eval's
     * aggregate semantics (aggr.go:96 removeGroupTags): NaN points are
     * absent, group tags filter per the modifier, the metric name survives
@@ -361,10 +371,18 @@ object Engine {
       case None => map().cast("map<string,string>")
     }
     val nameKey = if (byName) coalesce(col("name"), lit("")) else lit("")
+    val v = col("value")
     val aggExpr = agg match {
-      case "sum" => sum(col("value"))
-      case "min" => min(col("value"))
-      case "max" => max(col("value"))
+      case "sum" => sum(v)
+      case "min" => min(v)
+      case "max" => max(v)
+      case "avg" => avg(v)
+      case "count" => count(v).cast("double")
+      case "stddev" => stddev_pop(v)
+      case "stdvar" => var_pop(v)
+      case "sum2" => sum(v * v)
+      case "geomean" => exp(avg(log(v)))
+      case "median" => percentile(v, lit(0.5))
     }
     per.filter(!isnan(col("value")))
       .withColumn("_gk", sort_array(map_entries(coalesce(gtags, map()))))

@@ -1028,8 +1028,8 @@ object Eval {
     }
 
     /** the tags dim as a JOIN SIDE: force-broadcast only while the
-      * store-size bound holds (SampleStore.maybeBroadcastDim — the same
-      * guard the retention dim resolve uses). The dim carries one row per
+      * store-size bound holds (the same guard the retention dim resolve
+      * uses, SampleStore.maybeBroadcastDim). The dim carries one row per
       * distinct in-window series; at CardScale cardinalities (10M+ series
       * in a wide window) an unconditional broadcast builds a 10M-row
       * map-typed frame on the driver, bypassing
@@ -1038,9 +1038,21 @@ object Eval {
       * the join; on a bucketed store the fallback costs one DIM-side
       * exchange only (the data side keeps its bucket partitioning by the
       * subset rule — BucketedStoreSpec pins the plans unchanged).
+      *
+      * The size estimate is computed ONCE PER EVALUATION (lazy val): the
+      * estimate optimizes a derived plan, a multi-ms cost a multi-leaf
+      * query must not pay per rollup leaf — and every leaf shares this
+      * evaluator's `samples` leaves anyway.
       */
-    private def tagsDimSide(keyed: DataFrame, rollGrid: GridSpec, windowMs: Long): DataFrame =
-      graft.core.SampleStore.maybeBroadcastDim(keyed, tagsDim(keyed, rollGrid, windowMs))
+    private lazy val dimBroadcastOk: Boolean =
+      try graft.core.SampleStore.estimatedInputBytes(samples) <=
+        graft.core.SampleStore.DimBroadcastMaxInputBytes
+      catch { case _: Exception => true }
+
+    private def tagsDimSide(keyed: DataFrame, rollGrid: GridSpec, windowMs: Long): DataFrame = {
+      val dim = tagsDim(keyed, rollGrid, windowMs)
+      if (dimBroadcastOk) broadcast(dim) else dim
+    }
 
     /** replicate @-pinned single-point results across the query grid */
     private def replicateAt(out: DataFrame, atMs: Option[Long]): DataFrame =

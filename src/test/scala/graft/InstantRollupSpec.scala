@@ -158,6 +158,17 @@ class InstantRollupSpec extends SparkSpec {
     assert(r2.length === 1 && r2.head.getDouble(3) === 180.0)
     assert(Engine.instantCacheStats.deltaHits === 2)
     assert(Engine.instantCacheStats.misses === 1)
+
+    // the whole grouped family is exact over the per-series merged frame
+    // — avg and count against Eval's own full evaluation on clean data
+    val qAvg = "avg(sum_over_time(m[3h])) by (pod)"
+    assert(Engine.queryInstantCached(corrupted, qAvg, GridSpec(t1, t1, step))
+      .collect().toSet ===
+      Engine.query(clean, qAvg, GridSpec(t1, t1, step)).collect().toSet)
+    val rCnt = Engine.queryInstantCached(corrupted, "count(sum_over_time(m[3h]))",
+      GridSpec(t1, t1, step)).collect()
+    assert(rCnt.length === 1 && rCnt.head.getDouble(3) === 2.0) // two series
+    assert(Engine.instantCacheStats.misses === 1, "all aggregations share one entry")
   }
 
   test("cacheTag invalidates instant entries for mutable same-plan stores") {
