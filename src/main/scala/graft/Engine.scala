@@ -56,12 +56,19 @@ object Engine {
   def routeFrame(
       fullRes: DataFrame,
       tiers: Map[Long, DataFrame],
-      grid: GridSpec): DataFrame = {
-    val usable = tiers.filter { case (iv, _) =>
+      grid: GridSpec): DataFrame =
+    routeInterval(tiers.keys, grid).map(tiers).getOrElse(fullRes)
+
+  /** the coarsest configured interval that nests into the grid (divides
+    * the step, start interval-aligned), or None for full resolution —
+    * separated so the facade can pick the tier BEFORE paying for its
+    * decorated read-path plan (decorating every tier per request would
+    * build N plans to discard N−1)
+    */
+  def routeInterval(intervals: Iterable[Long], grid: GridSpec): Option[Long] =
+    intervals.filter { iv =>
       iv > 0 && iv <= grid.stepMs && grid.stepMs % iv == 0 && grid.startMs % iv == 0
-    }
-    usable.keys.toSeq.sorted.lastOption.map(usable).getOrElse(fullRes)
-  }
+    }.toSeq.sorted.lastOption
 
   /** AdjustStartEnd (eval.go:77-101): round the grid to step-aligned
     * timestamps KEEPING the point count, so repeated now-relative
@@ -265,7 +272,16 @@ object Engine {
   @volatile private var instantStats = InstantStats(0, 0, 0, 0)
   def instantCacheStats: InstantStats = instantStats
 
-  /** additive instant rollups: rf(a+b windows) = rf(a) + rf(b) (eval.go:1466) */
+  /** additive instant rollups: rf(a+b windows) = rf(a) + rf(b)
+    * (eval.go:1466). Known reference-parity artifact: a series whose last
+    * sample left the window between refreshes stays in the delta result
+    * with value cached − head = 0 until tooBigOffset forces a full eval —
+    * the reference does exactly the same (getSumInstantValues keeps the
+    * union of cached+tail series and never drops a zeroed one,
+    * eval.go:1653-1696), so aggregations of the delta frame match the
+    * reference's own optimized path; a cold full recompute would omit the
+    * dead series for up to the tooBigOffset horizon, same as there.
+    */
   private val additiveInstantFns = Set(
     "count_over_time", "sum_over_time", "increase", "increase_pure",
     "count_eq_over_time", "count_gt_over_time", "count_le_over_time", "count_ne_over_time")
@@ -339,14 +355,11 @@ object Engine {
     case _ => false
   }
 
-  /** the simple grouped aggregates [[aggregateInstant]] replicates with
-    * Eval's exact semantics (evalAggrCore's `grouped` family — one
-    * aggregation expression over the group, no extra args, no rank/window
-    * semantics)
+  /** the simple grouped aggregates [[aggregateInstant]] serves — the
+    * SHARED mapping (Eval.simpleGroupedAgg) both paths dispatch through,
+    * so the O7 aggregation cannot drift from the full evaluator's
     */
-  private val instantAggFns = Set(
-    "sum", "min", "max", "avg", "count", "stddev", "stdvar", "sum2",
-    "geomean", "median")
+  private val instantAggFns = Eval.simpleGroupedAggNames
 
   /** `agg(per-series instant frame) [by|without (ls)]` with Eval's
     * aggregate semantics (aggr.go:96 removeGroupTags): NaN points are
@@ -371,21 +384,14 @@ object Engine {
       case None => map().cast("map<string,string>")
     }
     val nameKey = if (byName) coalesce(col("name"), lit("")) else lit("")
-    val v = col("value")
-    val aggExpr = agg match {
-      case "sum" => sum(v)
-      case "min" => min(v)
-      case "max" => max(v)
-      case "avg" => avg(v)
-      case "count" => count(v).cast("double")
-      case "stddev" => stddev_pop(v)
-      case "stdvar" => var_pop(v)
-      case "sum2" => sum(v * v)
-      case "geomean" => exp(avg(log(v)))
-      case "median" => percentile(v, lit(0.5))
-    }
+    val aggExpr = Eval.simpleGroupedAgg(agg, col("value")).getOrElse(
+      throw new IllegalStateException(s"not a simple grouped aggregate: $agg"))
+    // no coalesce around gtags: Eval's tagKey propagates a NULL tags map
+    // into a null group key and a null output map — sort_array/
+    // map_entries/map_from_entries do the same, so null-tag series group
+    // and render identically on both paths
     per.filter(!isnan(col("value")))
-      .withColumn("_gk", sort_array(map_entries(coalesce(gtags, map()))))
+      .withColumn("_gk", sort_array(map_entries(gtags)))
       .withColumn("_nk", nameKey)
       .groupBy(col("_gk"), col("_nk"), col("t"))
       .agg(aggExpr.as("value"))

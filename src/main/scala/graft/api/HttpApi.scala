@@ -179,17 +179,33 @@ final class HttpApi(
     val root = new HPath(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new HPath(dir + "_compacting")
-    if (!fs.exists(tmp)) return
-    if (fs.exists(new HPath(tmp, "_SUCCESS"))) {
-      fs.listStatus(tmp).filter(st =>
-        st.isDirectory && st.getPath.getName.startsWith("date="))
-        .foreach { st =>
-          val dst = new HPath(root, st.getPath.getName)
-          if (!fs.exists(dst)) { fs.rename(st.getPath, dst); () }
-        }
+    if (fs.exists(tmp)) {
+      if (fs.exists(new HPath(tmp, "_SUCCESS"))) {
+        fs.listStatus(tmp).filter(st =>
+          st.isDirectory && st.getPath.getName.startsWith("date="))
+          .foreach { st =>
+            val dst = new HPath(root, st.getPath.getName)
+            if (!fs.exists(dst)) { fs.rename(st.getPath, dst); () }
+          }
+      }
+      fs.delete(tmp, true)
     }
-    fs.delete(tmp, true)
-    ()
+    // sidelined originals from a crashed per-date swap (the swap RENAMES
+    // the live dir to a hidden `.date=<d>.old` before renaming the
+    // compacted dir in — rename is atomic per dir, so the live store is
+    // never partially deleted): restore any whose replacement never
+    // arrived, drop the rest
+    if (fs.exists(root)) {
+      fs.listStatus(root).filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.startsWith(".date=") && n.endsWith(".old")
+      }.foreach { st =>
+        val orig = st.getPath.getName.stripPrefix(".").stripSuffix(".old")
+        val dst = new HPath(root, orig)
+        if (!fs.exists(dst)) { fs.rename(st.getPath, dst); () }
+        else { fs.delete(st.getPath, true); () }
+      }
+    }
   }
 
   private def maybeCompactSpill(): Unit = spillDir.foreach { dir =>
@@ -208,19 +224,25 @@ final class HttpApi(
         .partitionBy("date").parquet(tmp.toString)
       // swap with no HTTP request mid-execution (write lock vs the
       // handler wrapper's read lock), view refreshed atomically.
-      // PER-DATE delete+rename (not delete-all-then-rename-all): a crash
-      // strands at most the in-flight date, and every date still in the
-      // staging dir is recovered on restart by recoverSpillCompaction —
-      // the batch form could leave the ENTIRE store empty with its data
-      // stranded in a dir the next run deletes.
+      // PER-DATE rename-aside + rename-in (not delete-all-then-rename-
+      // all, and not even a per-date recursive delete): dir renames are
+      // atomic on the filesystems this single-node facade targets, so a
+      // crash at ANY point leaves each date either live, sidelined under
+      // a hidden `.date=<d>.old` (restored by recoverSpillCompaction when
+      // its replacement never arrived), or already compacted — never
+      // partially deleted. The batch form could leave the ENTIRE store
+      // empty with its data stranded in a dir the next run deletes.
       storeSwapLock.writeLock().lock()
       try viewLock.synchronized {
         fs.listStatus(tmp).filter(st =>
           st.isDirectory && st.getPath.getName.startsWith("date="))
           .foreach { st =>
             val dst = new HPath(root, st.getPath.getName)
-            fs.delete(dst, true)
+            val old = new HPath(root, "." + st.getPath.getName + ".old")
+            fs.delete(old, true) // leftover from a prior crash
+            if (fs.exists(dst)) { fs.rename(dst, old); () }
             fs.rename(st.getPath, dst)
+            fs.delete(old, true)
           }
         spilled = readSpilled()
         storeVersion += 1
@@ -1037,12 +1059,20 @@ final class HttpApi(
         else graft.Engine.adjustStartEnd(rawStart, rawEnd, step)
       // downsampling-aware routing: a coarse-step query whose step nests
       // a configured tier's interval reads the (decorated) tier frame —
-      // the reference's transparent -downsampling.period resolution pick
+      // the reference's transparent -downsampling.period resolution
+      // pick. Pick by interval FIRST, decorate only the chosen frame.
+      // NOTE the O6-cache contract: an EXTERNAL rewrite of a tier store
+      // (the background downsample job) changes neither the plan text
+      // nor this facade's storeVersion — tier maintainers must hit
+      // /internal/resetRollupResultCache (or hand the facade fresh
+      // frames) after a rebuild, exactly like the reference drops its
+      // rollup cache on -downsampling.period changes.
       val frame =
         if (downsampleTiers.isEmpty) samples
-        else graft.Engine.routeFrame(samples,
-          downsampleTiers.map { case (iv, df) => iv -> decorate(df) },
-          graft.core.GridSpec(start, end, step))
+        else graft.Engine.routeInterval(downsampleTiers.keys,
+            graft.core.GridSpec(start, end, step))
+          .map(iv => decorate(downsampleTiers(iv)))
+          .getOrElse(samples)
       val t0 = System.nanoTime()
       val root =
         if (boolParam(p, "trace"))

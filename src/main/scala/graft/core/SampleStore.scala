@@ -224,12 +224,15 @@ object SampleStore {
     * Used by the retention dim resolve here and by Eval's tags-restore
     * dim (the same structural join in every rollup leaf).
     */
-  private[graft] def maybeBroadcastDim(input: DataFrame, dim: DataFrame): DataFrame = {
-    val sizeOk =
-      try estimatedInputBytes(input) <= DimBroadcastMaxInputBytes
-      catch { case _: Exception => true }
-    if (sizeOk) broadcast(dim) else dim
-  }
+  /** the guard alone — exposed so Eval can cache it per evaluation
+    * instead of re-optimizing a derived plan per rollup leaf
+    */
+  private[graft] def dimBroadcastOk(input: DataFrame): Boolean =
+    try estimatedInputBytes(input) <= DimBroadcastMaxInputBytes
+    catch { case _: Exception => true }
+
+  private[graft] def maybeBroadcastDim(input: DataFrame, dim: DataFrame): DataFrame =
+    if (dimBroadcastOk(input)) broadcast(dim) else dim
 
   /** Apply retention filters choosing the cheaper strategy: the inline
     * per-row predicate for a handful of filters, or — for a large stack,
@@ -467,9 +470,16 @@ object SampleStore {
         .filter(col("date").isin(changed.map(java.sql.Date.valueOf): _*))
         .drop("date")
       // maintain the tag→names index per changed date (dynamic partition
-      // overwrite: only the changed dates' index partitions rewrite)
-      if (!tableExists || !idxFs.exists(idxPath))
-        buildTagIndex(fresh, idxPath.toString)
+      // overwrite: only the changed dates' index partitions rewrite). A
+      // MISSING index with an EXISTING table (first run after an upgrade)
+      // must rebuild from the FULL flat store, not just the changed
+      // dates — a changed-dates-only index would silently exclude every
+      // unchanged date's names from the pushed `name IN (...)` and drop
+      // their rows from nameless lookups.
+      if (!tableExists)
+        buildTagIndex(fresh, idxPath.toString) // fresh == every date
+      else if (!idxFs.exists(idxPath))
+        buildTagIndex(spark.read.parquet(storePath).drop("date"), idxPath.toString)
       else
         tagIndexRows(fresh)
           .write.mode(SaveMode.Overwrite)

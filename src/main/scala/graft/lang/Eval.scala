@@ -122,6 +122,30 @@ object Eval {
   /** anchored regex, like the reference (lib/storage/tag_filters.go:160) */
   private def anchored(re: String): String = "^(?:" + re + ")$"
 
+  /** The SIMPLE grouped aggregations (one aggregation expression over the
+    * group, no extra args, no rank/window semantics) — the single source
+    * for BOTH the full evaluator (evalAggrCore's `grouped` family) and
+    * the O7 aggregated instant path (Engine.aggregateInstant), so the two
+    * paths cannot drift.
+    */
+  private[graft] def simpleGroupedAgg(name: String, v: Column): Option[Column] = name match {
+    case "sum" => Some(sum(v))
+    case "min" => Some(min(v))
+    case "max" => Some(max(v))
+    case "avg" => Some(avg(v))
+    case "count" => Some(count(v).cast(DoubleType))
+    case "stddev" => Some(stddev_pop(v))
+    case "stdvar" => Some(var_pop(v))
+    case "sum2" => Some(sum(v * v))
+    case "geomean" => Some(exp(avg(log(v))))
+    case "median" => Some(percentile(v, lit(0.5)))
+    case _ => None
+  }
+
+  private[graft] val simpleGroupedAggNames: Set[String] = Set(
+    "sum", "min", "max", "avg", "count", "stddev", "stdvar", "sum2",
+    "geomean", "median")
+
   /** Go strconv.FormatFloat(v, 'f', -1, 64): shortest round-trip decimal,
     * never exponent notation (count_values label values, aggr.go:611).
     */
@@ -1045,9 +1069,7 @@ object Eval {
       * evaluator's `samples` leaves anyway.
       */
     private lazy val dimBroadcastOk: Boolean =
-      try graft.core.SampleStore.estimatedInputBytes(samples) <=
-        graft.core.SampleStore.DimBroadcastMaxInputBytes
-      catch { case _: Exception => true }
+      graft.core.SampleStore.dimBroadcastOk(samples)
 
     private def tagsDimSide(keyed: DataFrame, rollGrid: GridSpec, windowMs: Long): DataFrame = {
       val dim = tagsDim(keyed, rollGrid, windowMs)
@@ -1163,7 +1185,10 @@ object Eval {
       }
 
       val v = col("value")
-      val result = evalAggrCore(a, gtags, grouped, ranked, v)
+      val result = Eval.simpleGroupedAgg(a.name, v) match {
+        case Some(aggExpr) => grouped(aggExpr)
+        case None => evalAggrCore(a, gtags, grouped, ranked, v)
+      }
       // `limit N` modifier: at most N aggregation GROUPS survive, in input
       // series order (aggr.go:121 aggrPrepareSeries skips series whose
       // group is new once len(m) >= maxSeries). Frames approximate input
@@ -1200,19 +1225,12 @@ object Eval {
         grouped: Column => Value,
         ranked: (Int, Column) => Value,
         v: Column): Value = {
+      // the simple grouped family (sum/min/max/avg/count/stddev/stdvar/
+      // sum2/geomean/median) dispatches through Eval.simpleGroupedAgg in
+      // evalAggr, shared with the O7 aggregated instant path
       def df: DataFrame = aggrSeriesInput(a)
       a.name match {
-        case "sum" => grouped(sum(v))
-        case "min" => grouped(min(v))
-        case "max" => grouped(max(v))
-        case "avg" => grouped(avg(v))
-        case "count" => grouped(count(v).cast(DoubleType))
-        case "stddev" => grouped(stddev_pop(v))
-        case "stdvar" => grouped(var_pop(v))
-        case "sum2" => grouped(sum(v * v))
-        case "geomean" => grouped(exp(avg(log(v))))
         case "distinct" => grouped(size(collect_set(v)).cast(DoubleType))
-        case "median" => grouped(percentile(v, lit(0.5)))
         case "quantile" =>
           // out-of-range phi short-circuits like the reference
           // (aggr.go:922 quantileSorted: <0 → -Inf, >1 → +Inf, NaN → NaN)

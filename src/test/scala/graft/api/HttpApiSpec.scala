@@ -394,6 +394,21 @@ class HttpApiSpec extends SparkSpec {
       assert(r.contains("\"7\"") && r.contains("\"8\""), r)
       assert(!java.nio.file.Files.exists(tmp2), "incomplete staging dir must be discarded")
     } finally api3.stop()
+    // a crash BETWEEN the rename-aside and the rename-in leaves the date
+    // sidelined as hidden `.date=<d>.old` with no replacement (the
+    // staging dir already consumed) — recovery must restore it
+    val dateDir2 = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("date=")).head
+    java.nio.file.Files.move(dateDir2.toPath,
+      java.nio.file.Paths.get(dir, "." + dateDir2.getName + ".old"))
+    val api4 = new HttpApi(spark, spillDir = Some(dir))
+    val port4 = api4.start()
+    try {
+      val r = get(port4, "/api/v1/query_range?query=cr&start=60&end=120&step=60")
+      assert(r.contains("\"7\"") && r.contains("\"8\""),
+        s"sidelined date must be restored when its replacement never arrived: $r")
+      assert(new java.io.File(dir, dateDir2.getName).isDirectory)
+    } finally api4.stop()
   }
 
   test("instant O7 cache reflects rows ingested between identical instant queries") {
