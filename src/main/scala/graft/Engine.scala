@@ -183,7 +183,11 @@ object Engine {
       q: String,
       grid: GridSpec,
       lookbackMs: Long = 300000L,
-      cacheTag: String = ""): DataFrame = cache.synchronized {
+      cacheTag: String = "",
+      // tag→names index for nameless lookups — a pure narrowing (results
+      // identical with or without it), so cache entries stay valid across
+      // indexed and unindexed evaluations of the same key
+      tagIndex: Option[DataFrame] = None): DataFrame = cache.synchronized {
     val planKey =
       samples.queryExecution.logical.canonicalized.toString + "|" + cacheTag
     val key = (planKey, q, grid.stepMs, lookbackMs, grid.startMs)
@@ -208,7 +212,7 @@ object Engine {
           (grid.endMs - end) % grid.stepMs == 0 &&
           (try pointwiseInTime(Parser.parse(q)) catch { case _: Exception => false }) =>
         val suffixGrid = GridSpec(end + grid.stepMs, grid.endMs, grid.stepMs)
-        val suffix = query(samples, q, suffixGrid, lookbackMs).persist()
+        val suffix = query(samples, q, suffixGrid, lookbackMs, tagIndex).persist()
         val merged = df.unionByName(suffix)
         stats = (stats._1, stats._2 + 1, stats._3)
         graft.lang.Trace.printf(
@@ -217,7 +221,7 @@ object Engine {
         merged
       case _ =>
         graft.lang.Trace.printf("rollup result cache: miss")
-        val df = query(samples, q, grid, lookbackMs).persist()
+        val df = query(samples, q, grid, lookbackMs, tagIndex).persist()
         stats = (stats._1, stats._2, stats._3 + 1)
         cache.put(key, Entry(grid.endMs, df, Seq(df)))
         df

@@ -76,15 +76,17 @@ object Api {
       startMs: Long, endMs: Long, stepMs: Long,
       lookbackMs: Long = 300000L,
       mayCache: Boolean = false,
-      cacheTag: String = ""): DataFrame = {
+      cacheTag: String = "",
+      tagIndex: Option[DataFrame] = None): DataFrame = {
     validateMaxPoints(startMs, endMs, stepMs)
     val q2 = applySearchFlags(q)
     // the HTTP path caches by default like the reference (prometheus.go
     // `nocache` + EvalConfig.MayCache); programmatic callers (gates,
     // bench) default to a raw evaluation so they measure the engine
     if (mayCache)
-      Engine.queryCached(samples, q2, GridSpec(startMs, endMs, stepMs), lookbackMs, cacheTag)
-    else Engine.query(samples, q2, GridSpec(startMs, endMs, stepMs), lookbackMs)
+      Engine.queryCached(samples, q2, GridSpec(startMs, endMs, stepMs), lookbackMs,
+        cacheTag, tagIndex)
+    else Engine.query(samples, q2, GridSpec(startMs, endMs, stepMs), lookbackMs, tagIndex)
   }
 
   /** /api/v1/query — instant evaluation at one timestamp

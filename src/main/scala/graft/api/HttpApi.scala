@@ -65,7 +65,17 @@ final class HttpApi(
     // staging dir for facade snapshot dumps (accessed via the Hadoop
     // FileSystem API, so an s3a://... location works); default = a
     // driver-local temp dir
-    snapshotStagingDir: Option[String] = None) {
+    snapshotStagingDir: Option[String] = None,
+    // tag→names index built beside the BASE store (SampleStore
+    // .buildTagIndex / the bucketizeNewDates-maintained one): nameless
+    // tag-equality lookups on /api/v1/query_range resolve candidate
+    // metric names from it and scan with a pushed `name IN (...)`.
+    // Consulted ONLY while this facade is serving the base read-only —
+    // the moment ingested or spilled rows exist, their names may be
+    // absent from the index and the pruning would silently drop them, so
+    // queries bypass the index (the read-only split-reader deployment,
+    // where writes land in object storage out-of-band, keeps it active).
+    tagIndex: Option[DataFrame] = None) {
 
   require(retentionFilters.isEmpty || retentionPeriodMs > 0,
     "retentionFilters require retentionPeriodMs > 0 (the unmatched-series " +
@@ -1079,11 +1089,17 @@ final class HttpApi(
           Some(graft.lang.Trace.begin(
             s"/api/v1/query_range: query=${p("query")}, start=$start, end=$end, step=$step"))
         else None
+      // the tag index only covers the BASE store: with ingested/spilled
+      // rows present their (possibly new) metric names could be pruned
+      // away, so the index is bypassed until the facade is read-only again
+      val idx = tagIndex.filter(_ =>
+        viewLock.synchronized { spilled.isEmpty && bufferedRows == 0 })
       try QueryDeadline.run(spark, deadlineMs(p)) {
         val df = graft.lang.Trace.child("build query plan")(
           Api.queryRange(frame, p("query"), start, end, step,
             mayCache = !nocache,
-            cacheTag = s"httpStore:$storeVersion"))
+            cacheTag = s"httpStore:$storeVersion",
+            tagIndex = idx))
         enforceMaxResponseSeries(df)
         MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), end)
         QueryStats.track(p("query"), start, end, step,

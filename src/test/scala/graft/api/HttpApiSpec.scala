@@ -1219,6 +1219,46 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("tag index serves nameless lookups read-only; ingest bypasses it") {
+    val flat = graft.core.Samples.fromEvents(spark, sfDir)
+    graft.core.SampleStore.writeBucketed(
+      flat, "bucketed_idx_spec", "target/bucketed_idx_spec", buckets = 4)
+    val bucketed = graft.core.SampleStore.readBucketed(spark, "bucketed_idx_spec")
+    val idxPath = "target/bucketed_idx_spec_tagindex"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+    graft.core.SampleStore.buildTagIndex(flat, idxPath)
+    val idx = graft.core.SampleStore.readTagIndex(spark, idxPath)
+    val api = new HttpApi(spark, base = Some(bucketed), tagIndex = Some(idx))
+    val port = api.start()
+    try {
+      val plain = new HttpApi(spark, base = Some(bucketed))
+      val plainPort = plain.start()
+      try {
+        // read-only: the indexed facade must serve the IDENTICAL nameless
+        // lookup response (index pruning is a pure narrowing)
+        def norm(s: String): String =
+          s.replaceAll("\"executionTimeMsec\":\\d+", "")
+        val sel = java.net.URLEncoder.encode("""{user_id="7"}""", "UTF-8")
+        val qr = s"/api/v1/query_range?query=$sel" +
+          "&start=1704067200&end=1704326400&step=21600"
+        val indexed = get(port, qr)
+        assert(indexed.contains("\"click\""), indexed) // non-empty
+        assert(norm(indexed) == norm(get(plainPort, qr)), indexed)
+      } finally plain.stop()
+      // ingest a NEW metric name matching the tag: the index does not
+      // know it, so the facade must BYPASS the index (an active index
+      // would prune the new name away and silently drop its rows)
+      assert(post(port, "/api/v1/import/prometheus",
+        "freshmetric{user_id=\"7\"} 5 1704067500\n") == 204)
+      val sel = java.net.URLEncoder.encode("""{user_id="7"}""", "UTF-8")
+      val qr2 = s"/api/v1/query_range?query=$sel" +
+        "&start=1704067200&end=1704326400&step=21600"
+      val after = get(port, qr2)
+      assert(after.contains("\"freshmetric\""),
+        s"ingested new-name rows must survive a nameless lookup: $after")
+    } finally api.stop()
+  }
+
   test("bucketed store as the facade base: identical responses, ingest unions") {
     val flat = graft.core.Samples.fromEvents(spark, sfDir)
     graft.core.SampleStore.writeBucketed(
