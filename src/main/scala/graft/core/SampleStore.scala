@@ -607,21 +607,45 @@ object SampleStore {
     */
   private[graft] var TagIndexMaxNames: Int = 256
 
-  /** Candidate-name predicate for a NAMELESS tag-equality lookup: the
-    * intersection over all positive non-regex tag filters of each (key,
-    * value)'s name set, as a pushable `name IN (...) OR name IS NULL`
-    * Column — or None when the index can't help (no eligible filter, or
-    * more than [[TagIndexMaxNames]] candidates). The index job is
-    * metadata-scale (the index holds distinct triples, not samples).
+  /** one positive tag matcher for the index probe: equality or an
+    * (anchored) regex over the tag value
+    */
+  final case class TagProbe(key: String, value: String, isRegexp: Boolean = false)
+
+  /** Candidate-name predicate for a NAMELESS tag lookup: the intersection
+    * over all positive tag matchers of each matcher's name set, as a
+    * pushable `name IN (...) OR name IS NULL` Column — or None when the
+    * index can't help (no eligible matcher, or more than
+    * [[TagIndexMaxNames]] candidates). Equality matchers prune the sorted
+    * index by parquet min/max; regex matchers rlike-scan it — still
+    * metadata-scale (the index holds distinct triples, not samples). The
+    * regex must arrive ANCHORED (the caller's selector semantics).
     */
   def tagIndexNamePredicate(
       index: DataFrame,
-      tagEquals: Seq[(String, String)]): Option[org.apache.spark.sql.Column] = {
-    val eligible = tagEquals.filter { case (_, v) => v.nonEmpty }
+      tagEquals: Seq[(String, String)]): Option[org.apache.spark.sql.Column] =
+    tagIndexNamePredicateP(index,
+      tagEquals.map { case (k, v) => TagProbe(k, v) })
+
+  def tagIndexNamePredicateP(
+      index: DataFrame,
+      probes: Seq[TagProbe]): Option[org.apache.spark.sql.Column] = {
+    // a matcher that accepts the EMPTY value also matches series WITHOUT
+    // the tag (absent tag == "" in selector semantics) — the index only
+    // records PRESENT tags, so such matchers cannot prune. For regexes
+    // that means the anchored pattern must NOT match "" (an invalid
+    // pattern is ineligible too: the main predicate will raise the same
+    // error either way, and the probe must not mask or duplicate it).
+    val eligible = probes.filter { p =>
+      p.value.nonEmpty &&
+        (!p.isRegexp || (try !"".matches(p.value) catch { case _: Exception => false }))
+    }
     if (eligible.isEmpty) return None
-    val sets = eligible.map { case (k, v) =>
-      index.filter(col("key") === k && col("value") === v)
-        .select("name").distinct()
+    val sets = eligible.map { p =>
+      val matched =
+        if (p.isRegexp) index.filter(col("key") === p.key && col("value").rlike(p.value))
+        else index.filter(col("key") === p.key && col("value") === p.value)
+      matched.select("name").distinct()
     }
     val names = sets.reduce(_.join(_, Seq("name"), "left_semi"))
       .limit(TagIndexMaxNames + 1).collect().map(_.getString(0))

@@ -667,12 +667,18 @@ object Eval {
           val fs = m.filterss.head
           if (fs.exists(f => f.label == "__name__" || f.label == "__graphite__")) None
           else {
-            val eqs = fs.collect {
+            // positive equality AND positive regex matchers both probe
+            // (the regex arrives anchored, matching filterPredicate's
+            // rlike semantics; empty-matching regexes are rejected inside
+            // the probe — they also match series WITHOUT the tag)
+            val probes = fs.collect {
               case f if !f.isNegative && !f.isRegexp && f.value.nonEmpty =>
-                (f.label, f.value)
+                graft.core.SampleStore.TagProbe(f.label, f.value)
+              case f if !f.isNegative && f.isRegexp =>
+                graft.core.SampleStore.TagProbe(f.label, anchored(f.value), isRegexp = true)
             }
-            if (eqs.isEmpty) None
-            else graft.core.SampleStore.tagIndexNamePredicate(idx, eqs)
+            if (probes.isEmpty) None
+            else graft.core.SampleStore.tagIndexNamePredicateP(idx, probes)
           }
         }
       }

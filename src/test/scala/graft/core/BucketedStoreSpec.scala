@@ -323,6 +323,19 @@ class BucketedStoreSpec extends SparkSpec {
     val named = graft.Engine.query(bucketed, """click{user_id="7"}""",
       grid, 2 * H, tagIndex = Some(idx))
     assert(named.queryExecution.executedPlan.toString.contains("EqualTo(name,click)"))
+    // positive REGEX matchers probe the index too (r12): identical rows,
+    // pushed candidate names
+    val rx = graft.Engine.query(bucketed, """{user_id=~"7|8"}""",
+      grid, 2 * H, tagIndex = Some(idx))
+    val rxPlain = graft.Engine.query(bucketed, """{user_id=~"7|8"}""", grid, 2 * H)
+    assert(key(rx) === key(rxPlain) && key(rx).nonEmpty)
+    assert(rx.queryExecution.executedPlan.toString.contains("In(name"))
+    // an EMPTY-MATCHING regex also matches series WITHOUT the tag — the
+    // index (present tags only) must not prune it
+    val any = graft.Engine.query(bucketed, """{user_id=~".*"}""",
+      grid, 2 * H, tagIndex = Some(idx))
+    assert(!any.queryExecution.executedPlan.toString.contains("In(name"))
+    assert(key(any) === key(graft.Engine.query(bucketed, """{user_id=~".*"}""", grid, 2 * H)))
   }
 
   test("bucketed store preserves the raw samples (roundtrip)") {
