@@ -629,7 +629,23 @@ object SampleStore {
 
   def tagIndexNamePredicateP(
       index: DataFrame,
-      probes: Seq[TagProbe]): Option[org.apache.spark.sql.Column] = {
+      probes: Seq[TagProbe]): Option[org.apache.spark.sql.Column] =
+    tagIndexCandidateNames(index, probes).map(namesPredicate)
+
+  /** the pushable form of a resolved candidate set: null-name rows ride
+    * along (the index records named series only)
+    */
+  def namesPredicate(names: Seq[String]): org.apache.spark.sql.Column =
+    if (names.isEmpty) col("name").isNull
+    else col("name").isNull || col("name").isInCollection(names)
+
+  /** candidate-name resolution alone — None = the index cannot help
+    * (no eligible probe or over the cap); Some(Nil) = NO named series
+    * matches (a valid, maximally-pruning answer)
+    */
+  def tagIndexCandidateNames(
+      index: DataFrame,
+      probes: Seq[TagProbe]): Option[Seq[String]] = {
     // a matcher that accepts the EMPTY value also matches series WITHOUT
     // the tag (absent tag == "" in selector semantics) — the index only
     // records PRESENT tags, so such matchers cannot prune. For regexes
@@ -649,9 +665,7 @@ object SampleStore {
     }
     val names = sets.reduce(_.join(_, Seq("name"), "left_semi"))
       .limit(TagIndexMaxNames + 1).collect().map(_.getString(0))
-    if (names.length > TagIndexMaxNames) None
-    else if (names.isEmpty) Some(col("name").isNull)
-    else Some(col("name").isNull || col("name").isInCollection(names.toSeq))
+    if (names.length > TagIndexMaxNames) None else Some(names.toSeq)
   }
 
   /** compaction job: retention filter + interval dedup (keep last, max on

@@ -336,6 +336,18 @@ class BucketedStoreSpec extends SparkSpec {
       grid, 2 * H, tagIndex = Some(idx))
     assert(!any.queryExecution.executedPlan.toString.contains("In(name"))
     assert(key(any) === key(graft.Engine.query(bucketed, """{user_id=~".*"}""", grid, 2 * H)))
+    // OR groups: the union of per-group candidates pushes as one In(name)
+    // — here one NAME-CAPPED group unioned with one tag-probed group
+    val orQ = """{__name__="purchase" or user_id="7"}"""
+    val orIdx = graft.Engine.query(bucketed, orQ, grid, 2 * H, tagIndex = Some(idx))
+    assert(key(orIdx) === key(graft.Engine.query(bucketed, orQ, grid, 2 * H)))
+    assert(key(orIdx).nonEmpty)
+    assert(orIdx.queryExecution.executedPlan.toString.contains("In(name"))
+    // an unboundable group (negative-only) disables the index for the
+    // whole selector
+    val mixed = graft.Engine.query(bucketed, """{user_id="7" or user_id!="x"}""",
+      grid, 2 * H, tagIndex = Some(idx))
+    assert(!mixed.queryExecution.executedPlan.toString.contains("In(name"))
   }
 
   test("bucketed store preserves the raw samples (roundtrip)") {
