@@ -318,10 +318,11 @@ object Engine {
       grid: GridSpec,
       lookbackMs: Long = 300000L,
       minWindowMs: Long = DefaultInstantMinWindowMs,
-      cacheTag: String = ""): DataFrame = {
+      cacheTag: String = "",
+      tagIndex: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions._
-    if (grid.startMs != grid.endMs) return query(samples, q, grid, lookbackMs)
-    val ast = try Parser.parse(q) catch { case _: Exception => return query(samples, q, grid, lookbackMs) }
+    if (grid.startMs != grid.endMs) return query(samples, q, grid, lookbackMs, tagIndex)
+    val ast = try Parser.parse(q) catch { case _: Exception => return query(samples, q, grid, lookbackMs, tagIndex) }
     ast match {
       case AggrFuncExpr(agg, Seq(inner: FuncExpr), modifier, 0)
           if instantAggFns(agg) && instantShape(inner) =>
@@ -332,22 +333,22 @@ object Engine {
         // merged frame IS fn(m[w]) @ t for every series — any
         // aggregation of it equals the full recompute's.
         val per = queryInstantCached(samples, graft.lang.Render.render(inner),
-          grid, lookbackMs, minWindowMs, cacheTag)
+          grid, lookbackMs, minWindowMs, cacheTag, tagIndex)
         aggregateInstant(per, agg, modifier)
       case FuncExpr("avg_over_time", Seq(re @ RollupExpr(_: MetricExpr, Some(_), None, None, None, _, _)), keep) =>
         // avg = sum/count, each side delta-cached (eval.go:1270)
-        val sumDf = queryInstantCached(samples, s"sum|$q", grid, lookbackMs, minWindowMs, cacheTag,
-          Some(FuncExpr("sum_over_time", Seq(re), keep)))
-        val cntDf = queryInstantCached(samples, s"count|$q", grid, lookbackMs, minWindowMs, cacheTag,
-          Some(FuncExpr("count_over_time", Seq(re), keep)))
+        val sumDf = queryInstantCached(samples, s"sum|$q", grid, lookbackMs, minWindowMs,
+          cacheTag, tagIndex, Some(FuncExpr("sum_over_time", Seq(re), keep)))
+        val cntDf = queryInstantCached(samples, s"count|$q", grid, lookbackMs, minWindowMs,
+          cacheTag, tagIndex, Some(FuncExpr("count_over_time", Seq(re), keep)))
         val k = instantKeyCol _
         sumDf.select(k(sumDf).as("_k"), col("name"), col("tags"), col("t"), col("value").as("_s"))
           .join(cntDf.select(k(cntDf).as("_k"), col("value").as("_c")), Seq("_k"), "inner")
           .select(col("name"), col("tags"), col("t"), (col("_s") / col("_c")).as("value"))
       case fe @ FuncExpr(fn, Seq(RollupExpr(_: MetricExpr, Some(_), None, None, None, _, _)), _)
           if additiveInstantFns(fn) || fn == "max_over_time" || fn == "min_over_time" =>
-        queryInstantCached(samples, q, grid, lookbackMs, minWindowMs, cacheTag, Some(fe))
-      case _ => query(samples, q, grid, lookbackMs)
+        queryInstantCached(samples, q, grid, lookbackMs, minWindowMs, cacheTag, tagIndex, Some(fe))
+      case _ => query(samples, q, grid, lookbackMs, tagIndex)
     }
   }
 
@@ -423,6 +424,7 @@ object Engine {
       lookbackMs: Long,
       minWindowMs: Long,
       cacheTag: String,
+      tagIndex: Option[DataFrame],
       feOpt: Option[FuncExpr]): DataFrame = instantCache.synchronized {
     import org.apache.spark.sql.functions._
     val fe = feOpt.get
@@ -432,7 +434,8 @@ object Engine {
     val windowMs = re.window.get.ms(grid.stepMs)
     def evalAt(ts: Long, winMs: Long): DataFrame = {
       val ast2 = fe.copy(args = Seq(re.copy(window = Some(graft.lang.Dur(winMs + "ms")))))
-      Eval.eval(samples, ast2, Eval.EvalConfig(GridSpec(ts, ts, grid.stepMs), lookbackMs))
+      Eval.eval(samples, ast2,
+        Eval.EvalConfig(GridSpec(ts, ts, grid.stepMs), lookbackMs, tagIndex = tagIndex))
     }
     def fullAndCache(key: (String, String, Long)): DataFrame = {
       val df = evalAt(tMs, windowMs).persist()

@@ -96,9 +96,11 @@ object Api {
     * windows; non-eligible shapes fall through to a plain evaluation.
     */
   def query(samples: DataFrame, q: String, atMs: Long, stepMs: Long = 60000L,
-      lookbackMs: Long = 300000L, cacheTag: String = ""): DataFrame =
+      lookbackMs: Long = 300000L, cacheTag: String = "",
+      tagIndex: Option[DataFrame] = None): DataFrame =
     Engine.queryInstantCached(samples, applySearchFlags(q),
-      GridSpec(atMs, atMs, stepMs), lookbackMs, cacheTag = cacheTag)
+      GridSpec(atMs, atMs, stepMs), lookbackMs, cacheTag = cacheTag,
+      tagIndex = tagIndex)
 
   /** bare-selector row predicate over (name, tags) — public so the HTTP
     * facade's delete-series tombstones can exclude matching rows with

@@ -707,12 +707,36 @@ final class HttpApi(
     * Falls back to the single parsed param for form-encoded POST bodies
     * (whose stream `params` already consumed).
     */
+  /** the tag index only covers the BASE store: with ingested/spilled rows
+    * present their (possibly new) metric names could be pruned away, so
+    * every read path consults the index only while the facade is
+    * read-only (the split-reader deployment keeps it permanently active)
+    */
+  private def readOnlyTagIndex: Option[DataFrame] =
+    tagIndex.filter(_ => viewLock.synchronized { spilled.isEmpty && bufferedRows == 0 })
+
   private def matchFiltered(ex: HttpExchange, p: Map[String, String]): DataFrame = {
     val multi = multiParams(ex, "match[]").filter(_.nonEmpty)
     val sels =
       if (multi.nonEmpty) multi else p.get("match[]").filter(_.nonEmpty).toSeq
     if (sels.isEmpty) samples
-    else samples.filter(sels.map(Api.selectorPredicate).reduce(_ || _))
+    else {
+      val pred = sels.map(Api.selectorPredicate).reduce(_ || _)
+      // nameless tag lookups on the metadata APIs (/series, /labels, …)
+      // ride the same index narrowing as query_range — single-selector
+      // only (multi-selector unions would need every selector boundable;
+      // conservative fallback keeps them on the plain scan)
+      val narrowed = readOnlyTagIndex.filter(_ => sels.size == 1).flatMap { idx =>
+        try graft.lang.Parser.parse(sels.head) match {
+          case m: graft.lang.MetricExpr => graft.lang.Eval.indexNamePredicate(m, idx)
+          case _ => None
+        } catch { case _: Exception => None }
+      }
+      narrowed match {
+        case Some(nameIn) => samples.filter(nameIn && pred)
+        case None => samples.filter(pred)
+      }
+    }
   }
 
   // snapshot storage for the facade: each create writes the full current
@@ -1034,7 +1058,8 @@ final class HttpApi(
               // buffer's rebuilt LocalRelation canonicalizes identically
               // whatever its rows)
               Api.query(samples, p("query"), at, step,
-                cacheTag = s"httpStore:$storeVersion"))
+                cacheTag = s"httpStore:$storeVersion",
+                tagIndex = readOnlyTagIndex))
             enforceMaxResponseSeries(df)
             MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), at)
             QueryStats.track(p("query"), at, at, step,
@@ -1089,11 +1114,7 @@ final class HttpApi(
           Some(graft.lang.Trace.begin(
             s"/api/v1/query_range: query=${p("query")}, start=$start, end=$end, step=$step"))
         else None
-      // the tag index only covers the BASE store: with ingested/spilled
-      // rows present their (possibly new) metric names could be pruned
-      // away, so the index is bypassed until the facade is read-only again
-      val idx = tagIndex.filter(_ =>
-        viewLock.synchronized { spilled.isEmpty && bufferedRows == 0 })
+      val idx = readOnlyTagIndex
       try QueryDeadline.run(spark, deadlineMs(p)) {
         val df = graft.lang.Trace.child("build query plan")(
           Api.queryRange(frame, p("query"), start, end, step,

@@ -146,6 +146,56 @@ object Eval {
     "sum", "min", "max", "avg", "count", "stddev", "stdvar", "sum2",
     "geomean", "median")
 
+  /** Candidate-name predicate over ALL of a selector's OR groups: a row
+    * matching ANY group carries one of the union of per-group candidate
+    * sets, so the union is pushable as one `name IN (...)`. Per group, a
+    * positive literal `__name__` matcher caps the group to that one name
+    * (no index work); otherwise the group's positive equality/regex tag
+    * matchers probe the index. A group with NEITHER (graphite,
+    * regex/negative name matchers, only negative/empty tag matchers) is
+    * unboundable — the whole selector falls back. A selector whose EVERY
+    * group is name-capped also skips (the pushed Or of name equalities
+    * already prunes). Object-level so the HTTP facade's match[] paths can
+    * reuse it for the metadata APIs.
+    */
+  private[graft] def indexNamePredicate(m: MetricExpr, idx: DataFrame): Option[Column] = {
+    import graft.core.SampleStore
+    val groups: Seq[Option[Either[String, Seq[SampleStore.TagProbe]]]] =
+      m.filterss.map { fs =>
+        if (fs.exists(_.label == "__graphite__")) None
+        else fs.collectFirst {
+          case f if f.label == "__name__" && !f.isNegative && !f.isRegexp &&
+            f.value.nonEmpty => f.value
+        } match {
+          case Some(v) => Some(Left(v))
+          case None if fs.exists(_.label == "__name__") => None // regex/negative name
+          case None =>
+            // positive equality AND positive regex matchers both probe
+            // (the regex arrives anchored, matching filterPredicate's
+            // rlike semantics; empty-matching regexes are rejected
+            // inside the probe — they also match series WITHOUT the tag)
+            val probes = fs.collect {
+              case f if !f.isNegative && !f.isRegexp && f.value.nonEmpty =>
+                SampleStore.TagProbe(f.label, f.value)
+              case f if !f.isNegative && f.isRegexp =>
+                SampleStore.TagProbe(f.label, anchored(f.value), isRegexp = true)
+            }
+            if (probes.isEmpty) None else Some(Right(probes))
+        }
+      }
+    if (groups.isEmpty || groups.exists(_.isEmpty)) return None
+    val gs = groups.flatten
+    if (!gs.exists(_.isRight)) return None // pure-name selector: already pruned
+    val resolved: Seq[Option[Seq[String]]] = gs.map {
+      case Left(v) => Some(Seq(v))
+      case Right(probes) => SampleStore.tagIndexCandidateNames(idx, probes)
+    }
+    if (resolved.exists(_.isEmpty)) return None
+    val union = resolved.flatten.flatten.distinct
+    if (union.size > SampleStore.TagIndexMaxNames) None
+    else Some(SampleStore.namesPredicate(union))
+  }
+
   /** Go strconv.FormatFloat(v, 'f', -1, 64): shortest round-trip decimal,
     * never exponent notation (count_values label values, aggr.go:611).
     */
@@ -661,59 +711,10 @@ object Eval {
       */
     private def indexedFetch(m: MetricExpr): DataFrame = {
       val pred = filterPredicate(m.filterss)
-      cfg.tagIndex.flatMap(indexNamePredicate(m, _)) match {
+      cfg.tagIndex.flatMap(Eval.indexNamePredicate(m, _)) match {
         case Some(nameIn) => samples.filter(nameIn && pred)
         case None => samples.filter(pred)
       }
-    }
-
-    /** Candidate-name predicate over ALL of the selector's OR groups: a
-      * row matching ANY group carries one of the union of per-group
-      * candidate sets, so the union is pushable as one `name IN (...)`.
-      * Per group, a positive literal `__name__` matcher caps the group to
-      * that one name (no index work); otherwise the group's positive
-      * equality/regex tag matchers probe the index. A group with NEITHER
-      * (graphite, regex/negative name matchers, only negative/empty tag
-      * matchers) is unboundable — the whole selector falls back. A
-      * selector whose EVERY group is name-capped also skips (the pushed
-      * Or of name equalities already prunes).
-      */
-    private def indexNamePredicate(m: MetricExpr, idx: DataFrame): Option[Column] = {
-      import graft.core.SampleStore
-      val groups: Seq[Option[Either[String, Seq[SampleStore.TagProbe]]]] =
-        m.filterss.map { fs =>
-          if (fs.exists(_.label == "__graphite__")) None
-          else fs.collectFirst {
-            case f if f.label == "__name__" && !f.isNegative && !f.isRegexp &&
-              f.value.nonEmpty => f.value
-          } match {
-            case Some(v) => Some(Left(v))
-            case None if fs.exists(_.label == "__name__") => None // regex/negative name
-            case None =>
-              // positive equality AND positive regex matchers both probe
-              // (the regex arrives anchored, matching filterPredicate's
-              // rlike semantics; empty-matching regexes are rejected
-              // inside the probe — they also match series WITHOUT the tag)
-              val probes = fs.collect {
-                case f if !f.isNegative && !f.isRegexp && f.value.nonEmpty =>
-                  SampleStore.TagProbe(f.label, f.value)
-                case f if !f.isNegative && f.isRegexp =>
-                  SampleStore.TagProbe(f.label, anchored(f.value), isRegexp = true)
-              }
-              if (probes.isEmpty) None else Some(Right(probes))
-          }
-        }
-      if (groups.isEmpty || groups.exists(_.isEmpty)) return None
-      val gs = groups.flatten
-      if (!gs.exists(_.isRight)) return None // pure-name selector: already pruned
-      val resolved: Seq[Option[Seq[String]]] = gs.map {
-        case Left(v) => Some(Seq(v))
-        case Right(probes) => SampleStore.tagIndexCandidateNames(idx, probes)
-      }
-      if (resolved.exists(_.isEmpty)) return None
-      val union = resolved.flatten.flatten.distinct
-      if (union.size > SampleStore.TagIndexMaxNames) None
-      else Some(SampleStore.namesPredicate(union))
     }
 
     // ------------------------------------------------------------------

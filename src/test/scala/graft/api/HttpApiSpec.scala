@@ -1244,6 +1244,9 @@ class HttpApiSpec extends SparkSpec {
         val indexed = get(port, qr)
         assert(indexed.contains("\"click\""), indexed) // non-empty
         assert(norm(indexed) == norm(get(plainPort, qr)), indexed)
+        // the metadata APIs ride the same narrowing (matchFiltered)
+        val series = s"/api/v1/series?match[]=$sel&start=0&end=99999999999"
+        assert(get(port, series) == get(plainPort, series))
       } finally plain.stop()
       // ingest a NEW metric name matching the tag: the index does not
       // know it, so the facade must BYPASS the index (an active index
