@@ -707,19 +707,16 @@ final class HttpApi(
     * Falls back to the single parsed param for form-encoded POST bodies
     * (whose stream `params` already consumed).
     */
-  /** the tag index only covers the BASE store: with ingested/spilled rows
-    * present their (possibly new) metric names could be pruned away, so
-    * every read path consults the index only while the facade is
-    * read-only (the split-reader deployment keeps it permanently active)
-    */
-  private def readOnlyTagIndex: Option[DataFrame] =
-    tagIndex.filter(_ => viewLock.synchronized { spilled.isEmpty && bufferedRows == 0 })
-
   private def matchFiltered(ex: HttpExchange, p: Map[String, String]): DataFrame = {
     val multi = multiParams(ex, "match[]").filter(_.nonEmpty)
     val sels =
       if (multi.nonEmpty) multi else p.get("match[]").filter(_.nonEmpty).toSeq
-    if (sels.isEmpty) samples
+    // snapshot the frame BEFORE consulting the read-only index check —
+    // the inverse order would let a concurrent ingest land between the
+    // check and the snapshot and have its rows pruned by a stale index
+    // (handlers are serial today, but the invariant must not depend on it)
+    val frame = samples
+    if (sels.isEmpty) frame
     else {
       val pred = sels.map(Api.selectorPredicate).reduce(_ || _)
       // nameless tag lookups on the metadata APIs (/series, /labels, …)
@@ -733,11 +730,19 @@ final class HttpApi(
         } catch { case _: Exception => None }
       }
       narrowed match {
-        case Some(nameIn) => samples.filter(nameIn && pred)
-        case None => samples.filter(pred)
+        case Some(nameIn) => frame.filter(nameIn && pred)
+        case None => frame.filter(pred)
       }
     }
   }
+
+  /** the tag index only covers the BASE store: with ingested/spilled rows
+    * present their (possibly new) metric names could be pruned away, so
+    * every read path consults the index only while the facade is
+    * read-only (the split-reader deployment keeps it permanently active)
+    */
+  private def readOnlyTagIndex: Option[DataFrame] =
+    tagIndex.filter(_ => viewLock.synchronized { spilled.isEmpty && bufferedRows == 0 })
 
   // snapshot storage for the facade: each create writes the full current
   // state as one immutable parquet dir under the configured staging base
@@ -1102,19 +1107,21 @@ final class HttpApi(
       // /internal/resetRollupResultCache (or hand the facade fresh
       // frames) after a rebuild, exactly like the reference drops its
       // rollup cache on -downsampling.period changes.
-      val frame =
-        if (downsampleTiers.isEmpty) samples
+      val routedIv =
+        if (downsampleTiers.isEmpty) None
         else graft.Engine.routeInterval(downsampleTiers.keys,
-            graft.core.GridSpec(start, end, step))
-          .map(iv => decorate(downsampleTiers(iv)))
-          .getOrElse(samples)
+          graft.core.GridSpec(start, end, step))
+      val frame = routedIv.map(iv => decorate(downsampleTiers(iv))).getOrElse(samples)
       val t0 = System.nanoTime()
       val root =
         if (boolParam(p, "trace"))
           Some(graft.lang.Trace.begin(
             s"/api/v1/query_range: query=${p("query")}, start=$start, end=$end, step=$step"))
         else None
-      val idx = readOnlyTagIndex
+      // the index covers the BASE store only — a tier can retain dates
+      // (and metric names) the base's retention already dropped from the
+      // index, so tier-routed queries never consult it
+      val idx = if (routedIv.isDefined) None else readOnlyTagIndex
       try QueryDeadline.run(spark, deadlineMs(p)) {
         val df = graft.lang.Trace.child("build query plan")(
           Api.queryRange(frame, p("query"), start, end, step,

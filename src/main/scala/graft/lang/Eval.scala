@@ -151,8 +151,10 @@ object Eval {
     * sets, so the union is pushable as one `name IN (...)`. Per group, a
     * positive literal `__name__` matcher caps the group to that one name
     * (no index work); otherwise the group's positive equality/regex tag
-    * matchers probe the index. A group with NEITHER (graphite,
-    * regex/negative name matchers, only negative/empty tag matchers) is
+    * matchers probe the index (a regex/negative name matcher alongside
+    * them only further restricts — the tag candidates stay a valid
+    * superset). A group with NEITHER a positive literal name NOR an
+    * eligible tag probe (graphite, or only negative/empty matchers) is
     * unboundable — the whole selector falls back. A selector whose EVERY
     * group is name-capped also skips (the pushed Or of name equalities
     * already prunes). Object-level so the HTTP facade's match[] paths can
@@ -168,16 +170,20 @@ object Eval {
             f.value.nonEmpty => f.value
         } match {
           case Some(v) => Some(Left(v))
-          case None if fs.exists(_.label == "__name__") => None // regex/negative name
           case None =>
-            // positive equality AND positive regex matchers both probe
-            // (the regex arrives anchored, matching filterPredicate's
-            // rlike semantics; empty-matching regexes are rejected
-            // inside the probe — they also match series WITHOUT the tag)
+            // positive equality AND positive regex TAG matchers both
+            // probe (the regex arrives anchored, matching
+            // filterPredicate's rlike semantics; empty-matching regexes
+            // are rejected inside the probe — they also match series
+            // WITHOUT the tag). A regex/negative __name__ matcher, if
+            // present, only further RESTRICTS matches — the tag probes'
+            // candidates stay a valid superset, so the group remains
+            // boundable as long as it has any eligible tag probe.
             val probes = fs.collect {
-              case f if !f.isNegative && !f.isRegexp && f.value.nonEmpty =>
+              case f if f.label != "__name__" && !f.isNegative && !f.isRegexp &&
+                f.value.nonEmpty =>
                 SampleStore.TagProbe(f.label, f.value)
-              case f if !f.isNegative && f.isRegexp =>
+              case f if f.label != "__name__" && !f.isNegative && f.isRegexp =>
                 SampleStore.TagProbe(f.label, anchored(f.value), isRegexp = true)
             }
             if (probes.isEmpty) None else Some(Right(probes))

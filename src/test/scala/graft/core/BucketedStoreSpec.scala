@@ -348,6 +348,14 @@ class BucketedStoreSpec extends SparkSpec {
     val mixed = graft.Engine.query(bucketed, """{user_id="7" or user_id!="x"}""",
       grid, 2 * H, tagIndex = Some(idx))
     assert(!mixed.queryExecution.executedPlan.toString.contains("In(name"))
+    // a REGEX name matcher beside a tag probe: the tag candidates still
+    // bound the scan (the name regex only further restricts). Regex wide
+    // enough that the sparse fixture has matching rows in-window.
+    val rxNameQ = """{__name__=~"click|view|purchase|signup|error", user_id="7"}"""
+    val rxName = graft.Engine.query(bucketed, rxNameQ, grid, 2 * H, tagIndex = Some(idx))
+    val rxNamePlain = graft.Engine.query(bucketed, rxNameQ, grid, 2 * H)
+    assert(key(rxName) === key(rxNamePlain) && key(rxName).nonEmpty)
+    assert(rxName.queryExecution.executedPlan.toString.contains("In(name"))
   }
 
   test("bucketed store preserves the raw samples (roundtrip)") {
