@@ -59,8 +59,9 @@ final class HttpApi(
     // reference's transparent per-query resolution pick. Tier frames get
     // the same read-path decorations (deletes/retention/dedup) as the
     // full-res store; like the reference's background merges they lag
-    // ingestion, so rows still in the facade buffer are served only by
-    // full-resolution (fine-step) queries.
+    // ingestion, so a routed query reads tier ∪ buffer ∪ spilled —
+    // facade-ingested rows the maintenance job hasn't seen yet serve as
+    // raw recent samples beside the downsampled old ones.
     downsampleTiers: Map[Long, DataFrame] = Map.empty,
     // staging dir for facade snapshot dumps (accessed via the Hadoop
     // FileSystem API, so an s3a://... location works); default = a
@@ -190,15 +191,26 @@ final class HttpApi(
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new HPath(dir + "_compacting")
     if (fs.exists(tmp)) {
+      // a rename can FAIL by returning false (permission hiccup, a
+      // half-materialized dst appearing between the exists check and the
+      // rename) — deleting the staging dir then destroys the only copy of
+      // that date's data. Track every restore; keep the staging dir when
+      // any failed, so the next recovery pass retries.
+      var allRestored = true
       if (fs.exists(new HPath(tmp, "_SUCCESS"))) {
         fs.listStatus(tmp).filter(st =>
           st.isDirectory && st.getPath.getName.startsWith("date="))
           .foreach { st =>
             val dst = new HPath(root, st.getPath.getName)
-            if (!fs.exists(dst)) { fs.rename(st.getPath, dst); () }
+            if (!fs.exists(dst) && !fs.rename(st.getPath, dst)) {
+              allRestored = false
+              System.err.println(
+                s"[graft.HttpApi] compaction recovery: rename ${st.getPath} -> $dst failed; " +
+                  "keeping staging dir for the next recovery pass")
+            }
           }
       }
-      fs.delete(tmp, true)
+      if (allRestored) fs.delete(tmp, true)
     }
     // sidelined originals from a crashed per-date swap (the swap RENAMES
     // the live dir to a hidden `.date=<d>.old` before renaming the
@@ -251,8 +263,16 @@ final class HttpApi(
             val old = new HPath(root, "." + st.getPath.getName + ".old")
             fs.delete(old, true) // leftover from a prior crash
             if (fs.exists(dst)) { fs.rename(dst, old); () }
-            fs.rename(st.getPath, dst)
-            fs.delete(old, true)
+            // a false-returning rename-in leaves this date's only copy
+            // sidelined under `old` — restore it instead of deleting it
+            // (the unconditional delete was the data-loss window)
+            if (fs.rename(st.getPath, dst)) fs.delete(old, true)
+            else {
+              if (fs.exists(old) && !fs.exists(dst)) { fs.rename(old, dst); () }
+              System.err.println(
+                s"[graft.HttpApi] compaction swap: rename ${st.getPath} -> $dst failed; " +
+                  "date left uncompacted")
+            }
           }
         spilled = readSpilled()
         storeVersion += 1
@@ -395,7 +415,17 @@ final class HttpApi(
   /** rows currently buffered on the driver (the hot tail when spilling) */
   def bufferedRows: Int = ingested.synchronized(ingested.length)
 
-  def samples: DataFrame = {
+  def samples: DataFrame = samplesOver(base)
+
+  /** The buffer+spilled union over an arbitrary root frame, decorated.
+    * `samples` passes the base store; the tier-routed query_range path
+    * passes the chosen tier frame — ingested/spilled rows must ride
+    * EVERY served frame (the reference's downsampling rewrites only old
+    * parts, so raw recent samples always serve alongside a tier; a
+    * tier-only read would silently drop acked rows while the facade
+    * holds buffered data).
+    */
+  private def samplesOver(root: Option[DataFrame]): DataFrame = {
     // snapshot (spilled frame, buffer) atomically vs the spill transition
     val (sp, bufRows) = viewLock.synchronized {
       (spilled, ingested.synchronized { ingested.toList })
@@ -407,7 +437,7 @@ final class HttpApi(
     // union severs that partitioning anyway — then the buffer (and the
     // spilled store) compute the same hash pair so per-series grouping
     // stays correct.
-    val withHash = (df: DataFrame) => base match {
+    val withHash = (df: DataFrame) => root match {
       case Some(b) if b.columns.contains("_h1") =>
         val entries = array_sort(map_entries(col("tags")))
         df.withColumn("_h1", xxhash64(entries))
@@ -417,7 +447,7 @@ final class HttpApi(
     val extras = sp.map(withHash).toList ++
       (if (bufRows.isEmpty) Nil
        else List(withHash(spark.createDataFrame(bufRows.asJava, sampleSchema))))
-    val all = (base.toList ++ extras) match {
+    val all = (root.toList ++ extras) match {
       case Nil => spark.createDataFrame(List.empty[Row].asJava, sampleSchema)
       case frames => frames.reduce(_.unionByName(_, allowMissingColumns = true))
     }
@@ -746,13 +776,21 @@ final class HttpApi(
 
   // snapshot storage for the facade: each create writes the full current
   // state as one immutable parquet dir under the configured staging base
-  // (snapshotStagingDir — any Hadoop FileSystem URI), defaulting to a
-  // per-instance driver-local temp dir. All access runs through the
-  // FileSystem API like the rest of the store maintenance, so an
-  // s3a://... staging location needs no code change.
+  // (snapshotStagingDir — any Hadoop FileSystem URI). When unset, a
+  // configured spillDir hosts them at `<spillDir>_snapshots` — already
+  // durable (possibly shared) storage, the reference's
+  // <storageDataPath>/snapshots layout as a SIBLING so the spill store's
+  // partition discovery never sees it; only a spill-less facade falls
+  // back to a per-instance driver-local temp dir. DEPLOYMENT NOTE: in any
+  // multi-node deployment point snapshotStagingDir (or spillDir) at
+  // shared storage — a driver-local default is invisible to other nodes.
+  // All access runs through the FileSystem API like the rest of the
+  // store maintenance, so an s3a://... staging location needs no code
+  // change.
   private lazy val snapshotBase: org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(snapshotStagingDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("graft-snapshots").toString))
+    new org.apache.hadoop.fs.Path(snapshotStagingDir
+      .orElse(spillDir.map(_ + "_snapshots"))
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft-snapshots").toString))
 
   private def snapshotFs: org.apache.hadoop.fs.FileSystem =
     snapshotBase.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1111,7 +1149,14 @@ final class HttpApi(
         if (downsampleTiers.isEmpty) None
         else graft.Engine.routeInterval(downsampleTiers.keys,
           graft.core.GridSpec(start, end, step))
-      val frame = routedIv.map(iv => decorate(downsampleTiers(iv))).getOrElse(samples)
+      // a routed query reads tier ∪ buffer ∪ spilled (samplesOver): the
+      // tier lags ingestion like the reference's background merges, so
+      // acked rows the maintenance job hasn't downsampled yet must still
+      // serve — raw recent samples beside downsampled old ones, exactly
+      // the reference's part mix. The frames are disjoint by construction
+      // (tiers derive from the BASE store; buffer/spill hold only
+      // facade-ingested rows), so the union introduces no duplicates.
+      val frame = routedIv.map(iv => samplesOver(Some(downsampleTiers(iv)))).getOrElse(samples)
       val t0 = System.nanoTime()
       val root =
         if (boolParam(p, "trace"))

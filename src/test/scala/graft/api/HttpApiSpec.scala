@@ -463,6 +463,31 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("tier-routed query_range still serves rows ingested after the tier was built") {
+    val s = spark
+    import s.implicits._
+    // the tier lags ingestion (background maintenance): a coarse-step
+    // query must read tier ∪ buffer, or acked rows silently vanish from
+    // dashboards the moment their step routes to a tier (r12 ADVICE).
+    // The reference serves raw recent samples beside downsampled old
+    // parts for the same reason.
+    val tier = Seq.tabulate(4)(i =>
+      ("m", Map("job" -> "a"), (i + 1) * 300000L, 42.0))
+      .toDF("name", "tags", "ts", "value")
+    val api = new HttpApi(spark, downsampleTiers = Map(300000L -> tier))
+    val port = api.start()
+    try {
+      // ingest a raw sample PAST the tier's coverage
+      assert(post(port, "/api/v1/import/prometheus",
+        "m{job=\"a\"} 99 1500\n") == 204)
+      val coarse = get(port,
+        "/api/v1/query_range?query=m&start=300&end=1500&step=300")
+      assert(coarse.contains("\"42\""), s"tier rows must serve: $coarse")
+      assert(coarse.contains("\"99\""),
+        s"buffered rows must ride the routed frame: $coarse")
+    } finally api.stop()
+  }
+
   test("query_range rejects too-many-points and zero step upfront") {
     val api = new HttpApi(spark)
     val port = api.start()
