@@ -232,8 +232,15 @@ object GraphiteHttp {
     val qd = quoteMeta(d)
     val prefixRe = segRes.mkString("(", qd, ")")
     val full = s"^$prefixRe($qd.*)?$$"
+    // literal query prefixes also push a name range (pure conjunct; the
+    // anchored matcher implies it) — the distinct runs over a pruned scan
+    val nameMatch = graft.core.SampleStore.namePrefixBounds(
+      graft.core.SampleStore.globLiteralPrefix(query)) match {
+      case Some(b) => b && col("name").rlike(full)
+      case None => col("name").rlike(full)
+    }
     val names = store.select(col("name")).distinct()
-      .filter(col("name").rlike(full))
+      .filter(nameMatch)
       .select(
         regexp_extract(col("name"), full, 1).as("p"),
         (regexp_extract(col("name"), full, 2) =!= "").as("deeper"))

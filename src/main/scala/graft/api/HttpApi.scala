@@ -71,12 +71,21 @@ final class HttpApi(
     // .buildTagIndex / the bucketizeNewDates-maintained one): nameless
     // tag-equality lookups on /api/v1/query_range resolve candidate
     // metric names from it and scan with a pushed `name IN (...)`.
-    // Consulted ONLY while this facade is serving the base read-only —
-    // the moment ingested or spilled rows exist, their names may be
-    // absent from the index and the pruning would silently drop them, so
-    // queries bypass the index (the read-only split-reader deployment,
-    // where writes land in object storage out-of-band, keeps it active).
-    tagIndex: Option[DataFrame] = None) {
+    // The index stays LIVE under writes: the facade sees every ingested
+    // row at ack time and maintains a metadata-scale side set of its
+    // (date, key, value, name) triples (persisted beside `_deletes/` when
+    // a spillDir is configured; rebuilt from the spill store otherwise),
+    // UNIONED into the candidate resolution — so a freshly-ingested
+    // metric name is never pruned away. The reference maintains its index
+    // ON ingest for the same reason (index_db.go createIndexes at TSID
+    // create).
+    tagIndex: Option[DataFrame] = None,
+    // the index's on-disk location, for [[refreshTagIndex]] (and, when
+    // `tagIndex` is empty, the initial read): after a bucketizeNewDates
+    // run rewrites index partitions, the facade's pinned frame serves the
+    // OLD listing — POST /internal/refreshTagIndex (or call
+    // refreshTagIndex()) re-reads it without a restart
+    tagIndexPath: Option[String] = None) {
 
   require(retentionFilters.isEmpty || retentionPeriodMs > 0,
     "retentionFilters require retentionPeriodMs > 0 (the unmatched-series " +
@@ -737,42 +746,209 @@ final class HttpApi(
     * Falls back to the single parsed param for form-encoded POST bodies
     * (whose stream `params` already consumed).
     */
-  private def matchFiltered(ex: HttpExchange, p: Map[String, String]): DataFrame = {
+  private def matchFiltered(ex: HttpExchange, p: Map[String, String],
+      fromMs: Long = Long.MinValue, toMs: Long = Long.MaxValue): DataFrame = {
     val multi = multiParams(ex, "match[]").filter(_.nonEmpty)
     val sels =
       if (multi.nonEmpty) multi else p.get("match[]").filter(_.nonEmpty).toSeq
-    // snapshot the frame BEFORE consulting the read-only index check —
-    // the inverse order would let a concurrent ingest land between the
-    // check and the snapshot and have its rows pruned by a stale index
-    // (handlers are serial today, but the invariant must not depend on it)
+    // snapshot the frame BEFORE consulting the index — the inverse order
+    // would let a concurrent ingest land between the index union and the
+    // snapshot and have its rows pruned by a stale candidate set
+    // (handlers are serial today, but the invariant must not depend on it;
+    // registerIndexTriples runs before the buffer append for the same
+    // reason)
     val frame = samples
     if (sels.isEmpty) frame
     else {
       val pred = sels.map(Api.selectorPredicate).reduce(_ || _)
       // nameless tag lookups on the metadata APIs (/series, /labels, …)
-      // ride the same index narrowing as query_range — single-selector
-      // only (multi-selector unions would need every selector boundable;
-      // conservative fallback keeps them on the plain scan)
-      val narrowed = readOnlyTagIndex.filter(_ => sels.size == 1).flatMap { idx =>
-        try graft.lang.Parser.parse(sels.head) match {
-          case m: graft.lang.MetricExpr => graft.lang.Eval.indexNamePredicate(m, idx)
-          case _ => None
-        } catch { case _: Exception => None }
-      }
-      narrowed match {
+      // ride the same index narrowing as query_range. Repeated match[]
+      // args union across selectors: when EVERY selector is boundable
+      // (name-capped or index-resolved) the union of candidate sets is
+      // pushable as one `name IN (...)` — any unboundable selector (or a
+      // union over the cap) falls back to the plain scan.
+      matchNarrowing(sels, fromMs, toMs) match {
         case Some(nameIn) => frame.filter(nameIn && pred)
         case None => frame.filter(pred)
       }
     }
   }
 
-  /** the tag index only covers the BASE store: with ingested/spilled rows
-    * present their (possibly new) metric names could be pruned away, so
-    * every read path consults the index only while the facade is
-    * read-only (the split-reader deployment keeps it permanently active)
+  /** the index narrowing for a match[] selector union — `private[api]` so
+    * the spec can pin the all-boundable/any-unboundable contract
     */
-  private def readOnlyTagIndex: Option[DataFrame] =
-    tagIndex.filter(_ => viewLock.synchronized { spilled.isEmpty && bufferedRows == 0 })
+  private[api] def matchNarrowing(sels: Seq[String],
+      fromMs: Long = Long.MinValue,
+      toMs: Long = Long.MaxValue): Option[org.apache.spark.sql.Column] =
+    activeTagIndex.flatMap { idx =>
+      val bounds = sels.map { s =>
+        try graft.lang.Parser.parse(s) match {
+          case m: graft.lang.MetricExpr =>
+            graft.lang.Eval.indexCandidateNames(m, idx, fromMs, toMs)
+          case _ => None
+        } catch { case _: Exception => None }
+      }
+      if (bounds.exists(_.isEmpty)) None
+      else {
+        val anyResolved = bounds.flatten.exists(_._1)
+        val union = bounds.flatten.flatMap(_._2).distinct
+        // all-name-capped selectors skip (their own predicates prune)
+        if (!anyResolved || union.size > graft.core.SampleStore.TagIndexMaxNames) None
+        else Some(graft.core.SampleStore.namesPredicate(union))
+      }
+    }
+
+  // ---- live tag index ---------------------------------------------------
+  // The base index covers the BASE store only; rows this facade acked may
+  // carry metric names the index has never seen, and pruning on a stale
+  // candidate set would silently drop them. Rather than going dark under
+  // writes (the r12 readOnlyTagIndex gate), the facade tracks the
+  // (epoch-day, key, value, name) triples of every acked row — a
+  // metadata-scale set (one entry per distinct series-tag per day, not
+  // per sample) — and UNIONS them into the index frame the probes see.
+  // Over-inclusion is safe by construction: candidates are a superset,
+  // the scan predicate still decides row membership.
+
+  private val sideTriples = mutable.LinkedHashSet.empty[(Long, String, String, String)]
+  @volatile private var sideVersion = 0L
+  private var sideFrameCache: (Long, Option[DataFrame]) = (-1L, None)
+
+  private val sideIndexSchema = StructType(Seq(
+    StructField("name", StringType),
+    StructField("date", DateType),
+    StructField("key", StringType),
+    StructField("value", StringType)))
+
+  /** record the index triples of rows about to be acked; persists (when a
+    * spillDir holds the tombstones) BEFORE the ack, so a restart over the
+    * same spillDir can never serve spilled rows the index side set does
+    * not know. Called from [[ingest]] and the graphite tag-write routes.
+    */
+  private def registerIndexTriples(rows: Iterable[Row]): Unit = {
+    val fresh = mutable.ArrayBuffer.empty[(Long, String, String, String)]
+    sideTriples.synchronized {
+      rows.foreach { r =>
+        val name = r.getString(0)
+        if (name != null) {
+          val day = Math.floorDiv(r.getLong(2), 86400000L)
+          val tags = Option(r.getMap[String, String](1)).map(_.toMap).getOrElse(Map.empty)
+          tags.foreach { case (k, v) =>
+            val t = (day, k, v, name)
+            if (sideTriples.add(t)) fresh += t
+          }
+        }
+      }
+      if (fresh.nonEmpty) sideVersion += 1
+    }
+    if (fresh.nonEmpty) persistSideTriples()
+  }
+
+  private def sideTriplesFile: Option[org.apache.hadoop.fs.Path] =
+    spillDir.map(d => new org.apache.hadoop.fs.Path(d, "_tagnames/names.tsv"))
+
+  private val sideTriplesWriteLock = new Object
+
+  /** rewrite-whole + tmp-fallback persistence, same crash contract as the
+    * delete tombstones (the set is metadata-scale; append isn't portable)
+    */
+  private def persistSideTriples(): Unit = sideTriplesFile.foreach { f =>
+    sideTriplesWriteLock.synchronized {
+      val fs = f.getFileSystem(spark.sessionState.newHadoopConf())
+      val snapshot = sideTriples.synchronized(sideTriples.toList)
+      val tmp = new org.apache.hadoop.fs.Path(f.getParent, "names.tsv.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(snapshot
+        .map { case (d, k, v, n) => s"$d\t${b64(k)}\t${b64(v)}\t${b64(n)}" }
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(f, false)
+      fs.rename(tmp, f)
+      ()
+    }
+  }
+
+  private def loadSideTriples(): Unit = spillDir.foreach { _ =>
+    sideTriplesFile.foreach { f0 =>
+      val fs = f0.getFileSystem(spark.sessionState.newHadoopConf())
+      val tmp = new org.apache.hadoop.fs.Path(f0.getParent, "names.tsv.tmp")
+      if (!fs.exists(f0) && fs.exists(tmp)) { fs.rename(tmp, f0); () }
+      if (fs.exists(f0)) {
+        val in = fs.open(f0)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          finally in.close()
+        sideTriples.synchronized {
+          lines.foreach(_.split('\t') match {
+            case Array(d, k, v, n) =>
+              sideTriples.add((d.toLong, unb64(k), unb64(v), unb64(n))); ()
+            case _ => ()
+          })
+          if (lines.nonEmpty) sideVersion += 1
+        }
+      } else if (spilled.nonEmpty && (tagIndex.nonEmpty || tagIndexPath.nonEmpty)) {
+        // a pre-existing spill store with no triples file (first start
+        // after an upgrade): rebuild the side set from the store — the
+        // distinct triples are metadata-scale, paid once at startup
+        spilled.foreach { sp =>
+          val rows = graft.core.SampleStore.tagIndexRows(
+            sp.select("name", "tags", "ts", "value")).collect()
+          sideTriples.synchronized {
+            rows.foreach { r =>
+              sideTriples.add((r.getDate(1).toLocalDate.toEpochDay,
+                r.getString(2), r.getString(3), r.getString(0)))
+            }
+            if (rows.nonEmpty) sideVersion += 1
+          }
+        }
+        persistSideTriples()
+      }
+    }
+  }
+
+  // restore (or rebuild from the spill store) the live index side set —
+  // field-order-sensitive: runs after the side-set buffers and the
+  // spillDir-derived fields above
+  loadSideTriples()
+
+  /** the side set as an index-schema frame, rebuilt only when the set
+    * grew — a stable frame identity keeps SampleStore's probe memo hot
+    * between ingests that add no new series-tag triples
+    */
+  private def sideIndexFrame: Option[DataFrame] = sideTriples.synchronized {
+    val v = sideVersion
+    if (sideFrameCache._1 != v) {
+      val rows: Seq[Row] = sideTriples.toSeq.map { case (day, k, vl, n) =>
+        Row(n, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(day)), k, vl)
+      }
+      sideFrameCache = (v,
+        if (rows.isEmpty) None
+        else Some(spark.createDataFrame(rows.asJava, sideIndexSchema)))
+    }
+    sideFrameCache._2
+  }
+
+  /** the base index frame — re-readable via [[refreshTagIndex]] */
+  @volatile private var tagIndexFrame: Option[DataFrame] =
+    tagIndex.orElse(tagIndexPath.map(p => graft.core.SampleStore.readTagIndex(spark, p)))
+
+  /** Re-read the tag index from [[tagIndexPath]] (no-op when the index was
+    * handed in as a frame with no path): a parquet read pins its file
+    * listing at creation, so after a bucketizeNewDates run rewrites index
+    * partitions the pinned frame serves the OLD listing (and may reference
+    * deleted files). Also exposed as POST /internal/refreshTagIndex.
+    */
+  def refreshTagIndex(): Unit = tagIndexPath.foreach { p =>
+    tagIndexFrame = Some(graft.core.SampleStore.readTagIndex(spark, p))
+  }
+
+  /** the index every probe consults: base ∪ the live side set.
+    * `private[api]` so specs can pin that it stays active under writes.
+    */
+  private[api] def activeTagIndex: Option[DataFrame] =
+    tagIndexFrame.map { idx =>
+      sideIndexFrame.fold(idx)(s =>
+        idx.unionByName(s, allowMissingColumns = true))
+    }
 
   // snapshot storage for the facade: each create writes the full current
   // state as one immutable parquet dir under the configured staging base
@@ -1008,6 +1184,9 @@ final class HttpApi(
 
   private def ingest(rows: DataFrame): Int = {
     val collected = rows.select("name", "tags", "ts", "value").collect()
+    // index side set BEFORE the buffer append/ack: a crash after the ack
+    // must never leave acked (spillable) rows the index does not know
+    registerIndexTriples(collected)
     ingested.synchronized {
       ingested ++= collected
       rowsInserted += collected.length
@@ -1102,7 +1281,7 @@ final class HttpApi(
               // whatever its rows)
               Api.query(samples, p("query"), at, step,
                 cacheTag = s"httpStore:$storeVersion",
-                tagIndex = readOnlyTagIndex))
+                tagIndex = activeTagIndex))
             enforceMaxResponseSeries(df)
             MetricNamesStats.registerQuery(graft.lang.Parser.parse(p("query")), at)
             QueryStats.track(p("query"), at, at, step,
@@ -1166,7 +1345,7 @@ final class HttpApi(
       // the index covers the BASE store only — a tier can retain dates
       // (and metric names) the base's retention already dropped from the
       // index, so tier-routed queries never consult it
-      val idx = if (routedIv.isDefined) None else readOnlyTagIndex
+      val idx = if (routedIv.isDefined) None else activeTagIndex
       try QueryDeadline.run(spark, deadlineMs(p)) {
         val df = graft.lang.Trace.child("build query plan")(
           Api.queryRange(frame, p("query"), start, end, step,
@@ -1191,8 +1370,9 @@ final class HttpApi(
     },
     "/api/v1/series" -> handler { ex =>
       val p = params(ex)
-      val df = Api.series(matchFiltered(ex, p), "",
-        timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2))
+      val from = timeMs(p, "start", 0L)
+      val to = timeMs(p, "end", Long.MaxValue / 2)
+      val df = Api.series(matchFiltered(ex, p, from, to), "", from, to)
       // `limit` truncates AFTER the sort (prometheus.go:650-677), so the
       // kept prefix is deterministic
       val sorted = df.orderBy(seriesKey(col("name"), col("tags")))
@@ -1213,8 +1393,9 @@ final class HttpApi(
     },
     "/api/v1/labels" -> handler { ex =>
       val p = params(ex)
-      val items = Api.labels(matchFiltered(ex, p), "",
-        timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2),
+      val from = timeMs(p, "start", 0L)
+      val to = timeMs(p, "end", Long.MaxValue / 2)
+      val items = Api.labels(matchFiltered(ex, p, from, to), "", from, to,
         p.get("limit").map(_.toInt).getOrElse(0))
         .collect().map(r => s""""${esc(r.getString(0))}"""")
       reply(ex, 200, ok(items.mkString("[", ",", "]"))) // label KEYS — metadata-scale, collect is fine
@@ -1224,9 +1405,10 @@ final class HttpApi(
       val path = ex.getRequestURI.getPath
       val label = HttpApi.unescapeLabelName(
         path.stripPrefix("/api/v1/label/").stripSuffix("/values"))
-      val it = Api.labelValues(matchFiltered(ex, p), label, "",
-        timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2),
-        p.get("limit").map(_.toInt).getOrElse(0)).toLocalIterator()
+      val from = timeMs(p, "start", 0L)
+      val to = timeMs(p, "end", Long.MaxValue / 2)
+      val it = Api.labelValues(matchFiltered(ex, p, from, to), label, "",
+        from, to, p.get("limit").map(_.toInt).getOrElse(0)).toLocalIterator()
       replyStream(ex) { w =>
         w.write("""{"status":"success","data":[""")
         var first = true
@@ -1240,10 +1422,10 @@ final class HttpApi(
     },
     "/api/v1/export" -> handler { ex =>
       val p = params(ex)
-      val matched = matchFiltered(ex, p)
-      val sel = ""
       val from = timeMs(p, "start", 0L)
       val to = timeMs(p, "end", Long.MaxValue / 2)
+      val matched = matchFiltered(ex, p, from, to)
+      val sel = ""
       // format/max_rows_per_line per exportHandler (prometheus.go:323):
       // default JSON-lines, `prometheus` text exposition, `promapi` the
       // query-API matrix envelope
@@ -1319,8 +1501,9 @@ final class HttpApi(
     },
     "/api/v1/export/native" -> handler { ex =>
       val p = params(ex)
-      val frame = Api.exportRaw(matchFiltered(ex, p), "",
-        timeMs(p, "start", 0L), timeMs(p, "end", Long.MaxValue / 2))
+      val from = timeMs(p, "start", 0L)
+      val to = timeMs(p, "end", Long.MaxValue / 2)
+      val frame = Api.exportRaw(matchFiltered(ex, p, from, to), "", from, to)
       replyBytes(ex, 200, graft.sources.NativeFormat.exportNative(frame),
         "application/octet-stream")
     },
@@ -1461,6 +1644,13 @@ final class HttpApi(
       graft.Engine.clearCache()
       reply(ex, 200, "", "text/plain")
     },
+    // re-read the tag index after a bucketizeNewDates run rewrote its
+    // partitions (the pinned frame serves the old listing until then);
+    // see [[refreshTagIndex]]
+    "/internal/refreshTagIndex" -> handler { ex =>
+      refreshTagIndex()
+      reply(ex, 200, "", "text/plain")
+    },
     // snapshots (app/vmstorage/main.go:295-380 + the Prometheus-compat
     // alias): the facade's buffer+base state is dumped as one
     // date-partitioned parquet snapshot per create — the engine-scale
@@ -1560,7 +1750,7 @@ final class HttpApi(
             .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
           (day, day + 86400000L - 1)
         }.getOrElse((0L, Long.MaxValue / 2))
-      reply(ex, 200, Api.tsdbStatusJson(matchFiltered(ex, p), topN,
+      reply(ex, 200, Api.tsdbStatusJson(matchFiltered(ex, p, fromMs, toMs), topN,
         p.getOrElse("focusLabel", ""), "", fromMs, toMs))
     },
     "/federate" -> handler { ex =>
@@ -1571,7 +1761,7 @@ final class HttpApi(
         .map(graft.lang.Lexer.durationMs(_, 300000L)).getOrElse(300000L)
       val end = timeMs(p, "end", System.currentTimeMillis())
       val start = timeMs(p, "start", end - lookbackMs)
-      val it = Api.federate(matchFiltered(ex, p), "", start, end)
+      val it = Api.federate(matchFiltered(ex, p, start, end), "", start, end)
         .orderBy("line").toLocalIterator()
       replyStream(ex, "text/plain; version=0.0.4; charset=utf-8") { w =>
         while (it.hasNext) { w.write(it.next().getString(0)); w.write("\n") }
@@ -1605,7 +1795,7 @@ final class HttpApi(
       val fields = format.split(',').toSeq
       val end = timeMs(p, "end", System.currentTimeMillis())
       val start = timeMs(p, "start", 0L)
-      val it = Api.exportCsv(matchFiltered(ex, p), "", start, end, fields)
+      val it = Api.exportCsv(matchFiltered(ex, p, start, end), "", start, end, fields)
         .orderBy(col("line")).toLocalIterator()
       replyStream(ex, "text/csv; charset=utf-8") { w =>
         w.write(fields.mkString(",")); w.write("\n")
@@ -1727,8 +1917,10 @@ final class HttpApi(
       val now = System.currentTimeMillis()
       val canon = paths.map { p =>
         val (metric, canonical, tags) = parseGraphitePath(p)
+        val row = Row(metric, tags, now, Double.NaN)
+        registerIndexTriples(Seq(row))
         ingested.synchronized {
-          ingested += Row(metric, tags, now, Double.NaN)
+          ingested += row
           storeVersion += 1
         }
         canonical
@@ -1741,8 +1933,10 @@ final class HttpApi(
       val now = System.currentTimeMillis()
       val canon = paths.map { p =>
         val (metric, canonical, tags) = parseGraphitePath(p)
+        val row = Row(metric, tags, now, Double.NaN)
+        registerIndexTriples(Seq(row))
         ingested.synchronized {
-          ingested += Row(metric, tags, now, Double.NaN)
+          ingested += row
           storeVersion += 1
         }
         canonical

@@ -572,9 +572,11 @@ object SampleStore {
 
   /** distinct (date, key, value, name) triples of a sample frame; null
     * names are omitted (the query-side filter keeps null-name rows via an
-    * IsNull disjunct instead)
+    * IsNull disjunct instead). `private[graft]` so the HTTP facade can
+    * derive the same triples from its spill store when rebuilding its
+    * live side index.
     */
-  private def tagIndexRows(samples: DataFrame): DataFrame =
+  private[graft] def tagIndexRows(samples: DataFrame): DataFrame =
     samples
       .filter(col("name").isNotNull)
       .select(col("name"), to_date(timestamp_millis(col("ts"))).as("date"),
@@ -594,8 +596,13 @@ object SampleStore {
     tagIndexRows(samples)
       .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(indexPath)
 
+  /** The index KEEPS its `date` partition column: probes scope their read
+    * to the query's time range ([[scopeIndexByDate]]) so the probe cost is
+    * flat in retention length — the reference probes a per-day index for
+    * the same reason (index_db.go:2169 per-date tag→metricIDs namespaces).
+    */
   def readTagIndex(spark: SparkSession, indexPath: String): DataFrame =
-    spark.read.parquet(indexPath).drop("date")
+    spark.read.parquet(indexPath)
 
   /** the index path [[bucketizeNewDates]] maintains beside a table path */
   def tagIndexPath(tablePath: String): String = tablePath + "_tagindex"
@@ -623,14 +630,18 @@ object SampleStore {
     */
   def tagIndexNamePredicate(
       index: DataFrame,
-      tagEquals: Seq[(String, String)]): Option[org.apache.spark.sql.Column] =
+      tagEquals: Seq[(String, String)],
+      fromMs: Long = Long.MinValue,
+      toMs: Long = Long.MaxValue): Option[org.apache.spark.sql.Column] =
     tagIndexNamePredicateP(index,
-      tagEquals.map { case (k, v) => TagProbe(k, v) })
+      tagEquals.map { case (k, v) => TagProbe(k, v) }, fromMs, toMs)
 
   def tagIndexNamePredicateP(
       index: DataFrame,
-      probes: Seq[TagProbe]): Option[org.apache.spark.sql.Column] =
-    tagIndexCandidateNames(index, probes).map(namesPredicate)
+      probes: Seq[TagProbe],
+      fromMs: Long = Long.MinValue,
+      toMs: Long = Long.MaxValue): Option[org.apache.spark.sql.Column] =
+    tagIndexCandidateNames(index, probes, fromMs, toMs).map(namesPredicate)
 
   /** the pushable form of a resolved candidate set: null-name rows ride
     * along (the index records named series only)
@@ -638,6 +649,35 @@ object SampleStore {
   def namesPredicate(names: Seq[String]): org.apache.spark.sql.Column =
     if (names.isEmpty) col("name").isNull
     else col("name").isNull || col("name").isInCollection(names)
+
+  /** Pushable name RANGE for a glob's literal prefix: every name an
+    * anchored glob regex can match starts with the prefix, so
+    * `isnotnull(name) AND name >= prefix AND name < next(prefix)` is
+    * implied by the match — a pure conjunct that rides the name-sorted
+    * bucketed layout's row-group/page min/max pruning, the Spark form of
+    * the reference index's prefix scans (index_db.go:1167
+    * getRegexpForGraphiteQuery over a sorted mergeset). Bounds keep only
+    * the ASCII run of the prefix so the char-increment upper bound stays
+    * correct under UTF8String's byte-wise comparison (a truncated prefix
+    * only widens the range — still a superset of the matches). None for
+    * an empty/uneligible prefix (glob starts with a wildcard).
+    */
+  def namePrefixBounds(prefix0: String): Option[org.apache.spark.sql.Column] = {
+    val prefix = prefix0.takeWhile(c => c >= 0x20 && c < 0x7f)
+    if (prefix.isEmpty) None
+    else {
+      val hi = prefix.substring(0, prefix.length - 1) + (prefix.last + 1).toChar
+      Some(col("name").isNotNull && col("name") >= prefix && col("name") < hi)
+    }
+  }
+
+  /** the literal prefix of a glob — characters before the first wildcard
+    * metacharacter; the `?` and `[` stops are conservative supersets for
+    * dialects that treat them literally (a shorter prefix only widens
+    * [[namePrefixBounds]], never wrongly narrows it)
+    */
+  def globLiteralPrefix(glob: String): String =
+    glob.takeWhile(c => "*?{[".indexOf(c.toInt) < 0)
 
   /** Per-index-frame memo of resolved probes: a parquet-read DataFrame
     * pins its file listing at creation, so for a FIXED frame object the
@@ -650,26 +690,66 @@ object SampleStore {
     */
   private val probeMemo =
     new java.util.WeakHashMap[DataFrame,
-      java.util.concurrent.ConcurrentHashMap[(Int, Seq[TagProbe]), Option[Seq[String]]]]()
+      java.util.concurrent.ConcurrentHashMap[(Int, Seq[TagProbe], Long, Long), Option[Seq[String]]]]()
+
+  /** one day in milliseconds — the index's partition granularity */
+  private val DayMs = 86400000L
+
+  /** Scope an index frame to the UTC days overlapping [fromMs, toMs],
+    * widened by one day on each side (the store's `to_date` partitioning
+    * follows the session timezone; the slack keeps the pruning correct
+    * whatever it is). The `date` comparisons land as PARTITION filters —
+    * the probe reads index-partitions-for-the-query-range, so its cost is
+    * flat in retention length (index rows ≈ dates × churn otherwise).
+    * Sentinel bounds (Long.MinValue/MaxValue) and date-less frames pass
+    * through unscoped.
+    */
+  private[graft] def scopeIndexByDate(
+      index: DataFrame, fromMs: Long, toMs: Long): DataFrame = {
+    if (!index.columns.contains("date")) return index
+    var scoped = index
+    if (fromMs != Long.MinValue)
+      scoped = scoped.filter(col("date") >=
+        to_date(timestamp_millis(lit(math.max(fromMs - DayMs, -MaxTsMs)))))
+    if (toMs != Long.MaxValue)
+      scoped = scoped.filter(col("date") <=
+        to_date(timestamp_millis(lit(math.min(toMs + DayMs, MaxTsMs)))))
+    scoped
+  }
 
   /** candidate-name resolution alone — None = the index cannot help
     * (no eligible probe or over the cap); Some(Nil) = NO named series
-    * matches (a valid, maximally-pruning answer)
+    * matches (a valid, maximally-pruning answer). [fromMs, toMs] scopes
+    * the probe to the query's time range (day-rounded in the memo key so
+    * intra-day dashboard refreshes keep hitting the memo).
     */
   def tagIndexCandidateNames(
       index: DataFrame,
-      probes: Seq[TagProbe]): Option[Seq[String]] = {
+      probes: Seq[TagProbe],
+      fromMs: Long = Long.MinValue,
+      toMs: Long = Long.MaxValue): Option[Seq[String]] = {
     val perFrame = probeMemo.synchronized {
       var m = probeMemo.get(index)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[(Int, Seq[TagProbe]), Option[Seq[String]]]()
+        m = new java.util.concurrent.ConcurrentHashMap[(Int, Seq[TagProbe], Long, Long), Option[Seq[String]]]()
         probeMemo.put(index, m)
       }
       m
     }
+    // day-round the range for the memo key (the scope filter is
+    // day-granular anyway) so a refresh that advances `end` by minutes
+    // re-uses the resolved probe instead of re-running the Spark job
+    val fromDay =
+      if (fromMs == Long.MinValue) Long.MinValue else Math.floorDiv(fromMs, DayMs)
+    val toDay =
+      if (toMs == Long.MaxValue) Long.MaxValue else Math.floorDiv(toMs, DayMs)
     // the cap rides the key: a changed TagIndexMaxNames must re-resolve
-    perFrame.computeIfAbsent((TagIndexMaxNames, probes.toList),
-      _ => resolveCandidateNames(index, probes))
+    perFrame.computeIfAbsent((TagIndexMaxNames, probes.toList, fromDay, toDay),
+      _ => resolveCandidateNames(
+        scopeIndexByDate(index,
+          if (fromDay == Long.MinValue) Long.MinValue else fromDay * DayMs,
+          if (toDay == Long.MaxValue) Long.MaxValue else toDay * DayMs + DayMs - 1),
+        probes))
   }
 
   private def resolveCandidateNames(

@@ -149,10 +149,18 @@ object GraphiteModel {
     */
   def fetch(ctx: GraphiteCtx, query: String): SeriesSet = {
     val re = globToRegex(query)
+    // a glob with a literal prefix also pushes a name range (implied by
+    // the anchored regex) — parquet row-group pruning on the name-sorted
+    // layout, where the rlike alone prunes nothing
+    val nameMatch = graft.core.SampleStore.namePrefixBounds(
+      graft.core.SampleStore.globLiteralPrefix(query)) match {
+      case Some(b) => b && col("name").rlike(re)
+      case None => col("name").rlike(re)
+    }
     // the glob matches the metric NAME (MetricGroup); tags only
     // distinguish series identity (canonical sid)
     val raw = ctx.store
-      .filter(col("name").rlike(re))
+      .filter(nameMatch)
       .withColumn("sid", canonicalPath(col("name"), col("tags")))
       .filter(col("ts") >= ctx.startMs && col("ts") <= ctx.endMs)
       .select(

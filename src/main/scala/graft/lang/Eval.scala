@@ -93,7 +93,14 @@ object Eval {
       // Callers owning the store are responsible for the index trailing
       // it no further than the layout itself (bucketizeNewDates maintains
       // both per changed date).
-      tagIndex: Option[DataFrame] = None)
+      tagIndex: Option[DataFrame] = None,
+      // index-probe time scope: [[eval]] derives it from the query's grid
+      // and a conservative AST reach ([[indexProbeRange]]) so the probe
+      // reads only the query's index date partitions — flat in retention
+      // length, like the reference's per-day index (index_db.go:2169).
+      // Unbounded sentinels = scan the whole index (correct, just wider).
+      indexProbeFromMs: Long = Long.MinValue,
+      indexProbeToMs: Long = Long.MaxValue)
 
   /** An evaluated expression: a series set, a scalar, a per-timestamp
     * scalar (scalar()/time() results — matches ANY series per grid point,
@@ -160,7 +167,30 @@ object Eval {
     * already prunes). Object-level so the HTTP facade's match[] paths can
     * reuse it for the metadata APIs.
     */
-  private[graft] def indexNamePredicate(m: MetricExpr, idx: DataFrame): Option[Column] = {
+  private[graft] def indexNamePredicate(
+      m: MetricExpr, idx: DataFrame,
+      fromMs: Long = Long.MinValue, toMs: Long = Long.MaxValue): Option[Column] =
+    indexCandidateNames(m, idx, fromMs, toMs) match {
+      // a selector whose EVERY group is name-capped skips: the pushed Or
+      // of name equalities already prunes — redundant IN only adds noise
+      case Some((anyResolved, names)) if anyResolved =>
+        Some(graft.core.SampleStore.namesPredicate(names))
+      case _ => None
+    }
+
+  /** Candidate-name RESOLUTION for one selector: Some((anyIndexResolved,
+    * names)) when every OR group is boundable — either capped by a
+    * positive literal `__name__` (contributes that one name;
+    * anyIndexResolved stays false for it) or resolved through the index's
+    * tag probes. The names-level form exists so the HTTP facade can union
+    * candidates ACROSS repeated match[] selectors into one pushed
+    * `name IN (...)` — an all-boundable union prunes exactly like the
+    * OR-group case within one selector.
+    */
+  private[graft] def indexCandidateNames(
+      m: MetricExpr, idx: DataFrame,
+      fromMs: Long = Long.MinValue,
+      toMs: Long = Long.MaxValue): Option[(Boolean, Seq[String])] = {
     import graft.core.SampleStore
     val groups: Seq[Option[Either[String, Seq[SampleStore.TagProbe]]]] =
       m.filterss.map { fs =>
@@ -191,15 +221,62 @@ object Eval {
       }
     if (groups.isEmpty || groups.exists(_.isEmpty)) return None
     val gs = groups.flatten
-    if (!gs.exists(_.isRight)) return None // pure-name selector: already pruned
     val resolved: Seq[Option[Seq[String]]] = gs.map {
       case Left(v) => Some(Seq(v))
-      case Right(probes) => SampleStore.tagIndexCandidateNames(idx, probes)
+      case Right(probes) =>
+        SampleStore.tagIndexCandidateNames(idx, probes, fromMs, toMs)
     }
     if (resolved.exists(_.isEmpty)) return None
     val union = resolved.flatten.flatten.distinct
     if (union.size > SampleStore.TagIndexMaxNames) None
-    else Some(SampleStore.namesPredicate(union))
+    else Some((gs.exists(_.isRight), union))
+  }
+
+  /** Conservative lookback/lookahead reach of an expression: how far
+    * before grid start (and after grid end) its selector fetches can
+    * read, for scoping the tag-index probe. SUMS every window, subquery
+    * step, and offset magnitude across the whole tree — a deliberate
+    * over-approximation (branches don't really add, nested reaches do);
+    * over-width only widens the probe's date scope, never narrows it.
+    * None when an `@` modifier pins evaluation to an arbitrary instant
+    * (unboundable without evaluating the @ expression).
+    */
+  private[graft] def indexProbeReach(e: Expr, stepMs: Long): Option[(Long, Long)] = {
+    def add(a: (Long, Long), b: (Long, Long)): (Long, Long) = {
+      def sat(x: Long, y: Long) = { val s = x + y; if (s < 0) Long.MaxValue / 4 else s }
+      (sat(a._1, b._1), sat(a._2, b._2))
+    }
+    def walk(e: Expr): Option[(Long, Long)] = e match {
+      case RollupExpr(inner, window, sqStep, offset, at, _, _) =>
+        if (at.isDefined) None
+        else {
+          val w = window.map(_.ms(stepMs)).getOrElse(0L)
+          val sq = sqStep.map(_.ms(stepMs)).getOrElse(0L)
+          val off = offset.map(_.ms(stepMs)).getOrElse(0L)
+          walk(inner).map(add(_, (math.max(w, 0L) + math.max(sq, 0L) +
+            math.max(off, 0L), math.max(-off, 0L))))
+        }
+      case FuncExpr(_, args, _) =>
+        args.map(walk).foldLeft(Option((0L, 0L))) {
+          case (Some(acc), Some(r)) => Some(add(acc, r))
+          case _ => None
+        }
+      case AggrFuncExpr(_, args, _, _) =>
+        args.map(walk).foldLeft(Option((0L, 0L))) {
+          case (Some(acc), Some(r)) => Some(add(acc, r))
+          case _ => None
+        }
+      case BinaryOpExpr(_, l, r, _, _, _, _, _, _) =>
+        for (a <- walk(l); b <- walk(r)) yield add(a, b)
+      case ParensExpr(es) =>
+        es.map(walk).foldLeft(Option((0L, 0L))) {
+          case (Some(acc), Some(r)) => Some(add(acc, r))
+          case _ => None
+        }
+      case _: MetricExpr | _: NumberExpr | _: StringExpr => Some((0L, 0L))
+      case _ => None
+    }
+    walk(e)
   }
 
   /** Go strconv.FormatFloat(v, 'f', -1, 64): shortest round-trip decimal,
@@ -475,7 +552,26 @@ object Eval {
     * frame (name, tags, t, value).
     */
   def eval(samples: DataFrame, expr: Expr, cfg: EvalConfig): DataFrame = {
-    val ev = new Ev(samples, cfg)
+    // scope the tag-index probe to the query's time range (plus the AST's
+    // conservative reach and the staleness lookback) — a free partition
+    // pruning that keeps the probe flat in retention length. Callers that
+    // pre-set an explicit scope keep it.
+    val cfgScoped =
+      if (cfg.tagIndex.isEmpty || cfg.indexProbeFromMs != Long.MinValue ||
+        cfg.indexProbeToMs != Long.MaxValue) cfg
+      else indexProbeReach(expr, cfg.grid.stepMs) match {
+        case Some((back, fwd)) =>
+          def minus(a: Long, b: Long) =
+            try math.subtractExact(a, b) catch { case _: ArithmeticException => Long.MinValue }
+          def plus(a: Long, b: Long) =
+            try math.addExact(a, b) catch { case _: ArithmeticException => Long.MaxValue }
+          cfg.copy(
+            indexProbeFromMs =
+              minus(cfg.grid.startMs, back + cfg.lookbackMs + cfg.grid.stepMs),
+            indexProbeToMs = plus(cfg.grid.endMs, fwd))
+        case None => cfg
+      }
+    val ev = new Ev(samples, cfgScoped)
     // run ALL selector-leaf pre-counts as ONE Spark job (a union of
     // 1-row aggregates) — a multi-selector query with limits on must not
     // pay N sequential driver round-trips. Construction paths that do
@@ -677,7 +773,20 @@ object Eval {
             coalesce(col("name"), lit(""))
           else coalesce(col("tags").getItem(f.label), lit(""))
         val pos =
-          if (f.label == "__graphite__") target.rlike(anchored(graphiteToRegex(f.value)))
+          if (f.label == "__graphite__") {
+            // a glob with a literal prefix additionally pushes a name
+            // RANGE (pure conjunct — the anchored regex implies it), so
+            // the name-sorted layout prunes row groups the rlike alone
+            // never could. Equivalence holds under negation too: a null
+            // name makes both forms false (not NULL), and the coalesced
+            // "" can't match a regex with a non-empty literal prefix.
+            val rl = target.rlike(anchored(graphiteToRegex(f.value)))
+            graft.core.SampleStore.namePrefixBounds(
+              graft.core.SampleStore.globLiteralPrefix(f.value)) match {
+              case Some(b) => b && rl
+              case None => rl
+            }
+          }
           else if (f.isRegexp) target.rlike(anchored(f.value))
           else if (f.label == "__name__" && !f.isNegative && f.value.nonEmpty)
             // PUSHABLE form: for a POSITIVE non-empty literal,
@@ -717,7 +826,8 @@ object Eval {
       */
     private def indexedFetch(m: MetricExpr): DataFrame = {
       val pred = filterPredicate(m.filterss)
-      cfg.tagIndex.flatMap(Eval.indexNamePredicate(m, _)) match {
+      cfg.tagIndex.flatMap(Eval.indexNamePredicate(m, _,
+        cfg.indexProbeFromMs, cfg.indexProbeToMs)) match {
         case Some(nameIn) => samples.filter(nameIn && pred)
         case None => samples.filter(pred)
       }

@@ -171,6 +171,42 @@ object CardScale {
           b.filter(col("tags").getItem("pod") === targetPod).count()
       }
     }
+    // r13 retention rung (CARDSCALE_RETENTION_DATES=D): index rows scale
+    // with dates × churn — an UNSCOPED probe is linear in retention
+    // length, the date-scoped probe (SampleStore.scopeIndexByDate, driven
+    // by the query's grid) reads only the range's partitions and stays
+    // flat. Synthetic per-day churn: every series re-appears each day, so
+    // the index carries series × D rows across D partitions.
+    val retDates = sys.env.getOrElse("CARDSCALE_RETENTION_DATES", "0").toInt
+    if (retDates > 0) {
+      val retIdx = "target/cardscale/tagindex_ret"
+      val retSeries = series
+      val rsid = expr(s"id % $retSeries")
+      val ret = spark.range(retSeries * retDates).select(
+        concat(lit("m"), pmod(rsid, lit(nNames)).cast("string")).as("name"),
+        map(lit("pod"), concat(lit("pod-"), rsid.cast("string"))).as("tags"),
+        (lit(T0) + expr(s"id div $retSeries") * 86400000L + lit(60000L)).as("ts"),
+        lit(1.0).as("value"))
+      val tr0 = System.nanoTime()
+      graft.core.SampleStore.buildTagIndex(ret, retIdx)
+      println(f"[cardscale] retention index ($retDates dates) build took " +
+        f"${(System.nanoTime() - tr0) / 1e9}%.1f s (${du(retIdx) / 1e6}%.1f MB)")
+      val ridx = graft.core.SampleStore.readTagIndex(spark, retIdx)
+      // vary the probed value per pass: the probe memo would otherwise
+      // serve passes 2-3 from the driver map and hide the real job cost
+      var pass = 0L
+      timedN(s"probe unscoped ($retDates dates)", 3) {
+        pass += 1
+        graft.core.SampleStore.tagIndexNamePredicate(ridx,
+          Seq("pod" -> s"pod-${series / 2 + pass}")).size.toLong
+      }
+      timedN("probe date-scoped (1 day)", 3) {
+        pass += 1
+        graft.core.SampleStore.tagIndexNamePredicate(ridx,
+          Seq("pod" -> s"pod-${series / 2 + pass}"),
+          fromMs = T0, toMs = T0 + 86400000L).size.toLong
+      }
+    }
     spark.stop()
   }
 }

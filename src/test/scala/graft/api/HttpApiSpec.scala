@@ -1273,9 +1273,11 @@ class HttpApiSpec extends SparkSpec {
         val series = s"/api/v1/series?match[]=$sel&start=0&end=99999999999"
         assert(get(port, series) == get(plainPort, series))
       } finally plain.stop()
-      // ingest a NEW metric name matching the tag: the index does not
-      // know it, so the facade must BYPASS the index (an active index
-      // would prune the new name away and silently drop its rows)
+      // ingest a NEW metric name matching the tag: the facade's live side
+      // set (registered at ack time) unions into the index, so the
+      // nameless lookup stays INDEX-NARROWED and still serves the new
+      // rows (r12 went dark here — readOnlyTagIndex bypassed the index
+      // the moment any buffered rows existed)
       assert(post(port, "/api/v1/import/prometheus",
         "freshmetric{user_id=\"7\"} 5 1704067500\n") == 204)
       val sel = java.net.URLEncoder.encode("""{user_id="7"}""", "UTF-8")
@@ -1284,6 +1286,130 @@ class HttpApiSpec extends SparkSpec {
       val after = get(port, qr2)
       assert(after.contains("\"freshmetric\""),
         s"ingested new-name rows must survive a nameless lookup: $after")
+      // the index is still ACTIVE (not bypassed): the candidate set
+      // resolves, includes the fresh name, and still prunes (a bypass
+      // would return None here)
+      val live = api.activeTagIndex
+      assert(live.nonEmpty)
+      val cands = graft.lang.Eval.indexCandidateNames(
+        graft.lang.Parser.parse("""{user_id="7"}""")
+          .asInstanceOf[graft.lang.MetricExpr], live.get)
+      assert(cands.nonEmpty, "index must stay consulted under writes")
+      assert(cands.get._2.contains("freshmetric"),
+        s"side set must contribute the fresh name: ${cands.get._2}")
+    } finally api.stop()
+  }
+
+  test("live index side set survives a restart (triples file) and rebuilds from the spill store") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(("click", Map("user_id" -> "7"), 1704067200000L, 1.0))
+      .toDF("name", "tags", "ts", "value")
+    val idxPath = "target/http_side_tagindex"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+    graft.core.SampleStore.buildTagIndex(base, idxPath)
+    val idx = graft.core.SampleStore.readTagIndex(spark, idxPath)
+    val dir = java.nio.file.Files.createTempDirectory("httpspill_idx").toString
+    def candsOf(api: HttpApi): Seq[String] = graft.lang.Eval.indexCandidateNames(
+      graft.lang.Parser.parse("""{user_id="7"}""")
+        .asInstanceOf[graft.lang.MetricExpr], api.activeTagIndex.get).get._2
+    val api = new HttpApi(spark, base = Some(base), spillDir = Some(dir),
+      spillMaxBufferedRows = 1, tagIndex = Some(idx))
+    val port = api.start()
+    try {
+      // new-name rows ingest AND spill; their triples register at ack
+      assert(post(port, "/api/v1/import/prometheus",
+        "spilledname{user_id=\"7\"} 5 1704067500\nspilledname{user_id=\"7\"} 6 1704067560\n") == 204)
+      api.awaitSpillIdle()
+      assert(api.bufferedRows == 0)
+      assert(candsOf(api).contains("spilledname"))
+    } finally api.stop()
+    // restart over the same spillDir: the persisted triples file keeps
+    // the (stale) base index live for the spilled rows
+    val api2 = new HttpApi(spark, base = Some(base), spillDir = Some(dir),
+      tagIndex = Some(idx))
+    val port2 = api2.start()
+    try {
+      assert(candsOf(api2).contains("spilledname"),
+        "restart must reload the side set from the triples file")
+      val sel = java.net.URLEncoder.encode("""{user_id="7"}""", "UTF-8")
+      val r = get(port2, s"/api/v1/query_range?query=$sel" +
+        "&start=1704067200&end=1704070800&step=300")
+      assert(r.contains("\"spilledname\"") && r.contains("\"click\""), r)
+    } finally api2.stop()
+    // delete the triples file: a facade over the same spill store must
+    // REBUILD the side set from the store (first start after an upgrade)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir, "_tagnames"))
+    val api3 = new HttpApi(spark, base = Some(base), spillDir = Some(dir),
+      tagIndex = Some(idx))
+    try assert(candsOf(api3).contains("spilledname"),
+      "missing triples file must rebuild from the spill store")
+    finally api3.stop()
+  }
+
+  test("repeated match[] selectors union into one pushed index narrowing") {
+    val flat = graft.core.Samples.fromEvents(spark, sfDir)
+    val idxPath = "target/http_match_tagindex"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+    graft.core.SampleStore.buildTagIndex(flat, idxPath)
+    val idx = graft.core.SampleStore.readTagIndex(spark, idxPath)
+    val api = new HttpApi(spark, base = Some(flat), tagIndex = Some(idx))
+    val port = api.start()
+    try {
+      // two nameless selectors, both index-boundable → ONE pushed union
+      val n2 = api.matchNarrowing(Seq("""{user_id="7"}""", """{user_id="8"}"""))
+      assert(n2.nonEmpty, "all-boundable match[] union must narrow")
+      // a name-capped selector beside a tag-probed one stays boundable
+      // (the literal name contributes itself to the union)
+      assert(api.matchNarrowing(Seq("click", """{user_id="7"}""")).nonEmpty)
+      // any unboundable selector (negative-only matchers) → fallback
+      assert(api.matchNarrowing(
+        Seq("""{user_id="7"}""", """{user_id!="x"}""")).isEmpty)
+      // ALL name-capped → skip (their own predicates already prune)
+      assert(api.matchNarrowing(Seq("click", "view")).isEmpty)
+      // e2e: the narrowed /series response equals the plain facade's
+      val plain = new HttpApi(spark, base = Some(flat))
+      val plainPort = plain.start()
+      try {
+        val q = "/api/v1/series?match[]=" +
+          java.net.URLEncoder.encode("""{user_id="7"}""", "UTF-8") +
+          "&match[]=" + java.net.URLEncoder.encode("""{user_id="8"}""", "UTF-8") +
+          "&start=0&end=99999999999"
+        val got = get(port, q)
+        assert(got.contains("\"user_id\":\"7\"") && got.contains("\"user_id\":\"8\""))
+        assert(got == get(plainPort, q))
+      } finally plain.stop()
+    } finally api.stop()
+  }
+
+  test("tag index refresh hook re-reads a rebuilt index without restart") {
+    val s = spark
+    import s.implicits._
+    val store = Seq(
+      ("click", Map("user_id" -> "7"), 1704067200000L, 1.0),
+      ("view", Map("user_id" -> "8"), 1704067260000L, 2.0))
+      .toDF("name", "tags", "ts", "value")
+    val idxPath = "target/http_refresh_tagindex"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+    graft.core.SampleStore.buildTagIndex(store, idxPath)
+    val api = new HttpApi(spark, base = Some(store), tagIndexPath = Some(idxPath))
+    val port = api.start()
+    try {
+      def cands(): Seq[String] = graft.lang.Eval.indexCandidateNames(
+        graft.lang.Parser.parse("""{user_id="7"}""")
+          .asInstanceOf[graft.lang.MetricExpr], api.activeTagIndex.get).get._2
+      assert(cands() == Seq("click"))
+      // a maintenance job rebuilds the index with a new name out-of-band
+      // (bucketizeNewDates after new dates landed in the base store): the
+      // facade's pinned frame serves the OLD listing until the hook fires
+      val grown = store.unionByName(Seq(
+        ("newname", Map("user_id" -> "7"), 1704070200000L, 3.0))
+        .toDF("name", "tags", "ts", "value"))
+      graft.core.SampleStore.buildTagIndex(grown, idxPath)
+      assert(get(port, "/internal/refreshTagIndex") == "")
+      assert(cands().sorted == Seq("click", "newname"),
+        s"refreshed index must serve the rebuilt listing: ${cands()}")
     } finally api.stop()
   }
 

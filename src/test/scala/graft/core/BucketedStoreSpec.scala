@@ -358,6 +358,75 @@ class BucketedStoreSpec extends SparkSpec {
     assert(rxName.queryExecution.executedPlan.toString.contains("In(name"))
   }
 
+  test("index probe is date-scoped: partition filters prune, results unchanged") {
+    bucketed.count()
+    val idxPath = SampleStore.tagIndexPath(path)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxPath))
+    SampleStore.buildTagIndex(flat, idxPath)
+    val idx = SampleStore.readTagIndex(spark, idxPath)
+    // r13: the index keeps its date partition column for probe scoping
+    assert(idx.columns.contains("date"))
+    // the date scope lands as a PARTITION filter on the probe's scan —
+    // the probe reads index-partitions-for-the-range, so its cost is flat
+    // in retention length (the reference's per-day index, index_db.go:2169)
+    val scoped = SampleStore.scopeIndexByDate(idx, T0, T0 + 48 * H)
+      .filter(col("key") === "user_id" && col("value") === "7")
+    scoped.collect()
+    val plan = scoped.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(date"),
+      s"date scope must prune index partitions:\n$plan")
+    val probes = Seq(SampleStore.TagProbe("user_id", "7"))
+    // in-range scope resolves the same candidates as an unbounded probe
+    val unbounded = SampleStore.tagIndexCandidateNames(idx, probes)
+    val inRange = SampleStore.tagIndexCandidateNames(idx, probes, T0, T0 + 72 * H)
+    assert(unbounded.nonEmpty && unbounded.get.nonEmpty)
+    assert(inRange.map(_.toSet) == unbounded.map(_.toSet))
+    // a range entirely past the store's dates resolves to NO candidates
+    // (a valid, maximally-pruning answer — those dates hold no samples)
+    val future = SampleStore.tagIndexCandidateNames(idx, probes,
+      T0 + 3650L * 86400000L, T0 + 3660L * 86400000L)
+    assert(future == Some(Nil), s"out-of-range probe must prune everything: $future")
+    // end-to-end through the evaluator: the probe scope derives from the
+    // grid + AST reach, and the result stays a pure narrowing
+    val q = """{user_id="7"}"""
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("name"), col("tags")("user_id"), col("t"), round(col("value"), 9))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val indexed = graft.Engine.query(bucketed, q, grid, 2 * H, tagIndex = Some(idx))
+    assert(key(indexed) === key(graft.Engine.query(bucketed, q, grid, 2 * H)))
+    assert(indexed.queryExecution.executedPlan.toString.contains("In(name"))
+    // an @-pinned query cannot bound its reach — the probe falls back to
+    // the unscoped index (still correct, just wider), never to a wrong
+    // narrow scope: rows pinned far from the grid must survive
+    val at = graft.Engine.query(bucketed, """{user_id="7"} @ 1704124000""",
+      GridSpec(T0 + 3650L * 86400000L, T0 + 3650L * 86400000L, H), 2 * H,
+      tagIndex = Some(idx))
+    assert(key(at).nonEmpty, "@-pinned rows must survive the probe scope")
+  }
+
+  test("graphite glob with a literal prefix pushes name range bounds") {
+    // `{__graphite__="cli*"}`: the rlike alone reaches no parquet stats;
+    // the implied prefix range (name >= 'cli' && name < 'clj') does —
+    // riding the name sort exactly like a literal name equality
+    val q = """{__graphite__="cli*"}"""
+    val df = graft.Engine.query(bucketed, q, grid, 2 * H)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(name,cli)") &&
+      plan.contains("LessThan(name,clj)"),
+      s"glob prefix must push name range bounds:\n$plan")
+    // pure narrowing: identical rows to the flat store's rlike-only scan
+    val flatRows = rows(graft.Engine.query(flat, q, grid, 2 * H))
+    assert(flatRows.nonEmpty && rows(df) == flatRows)
+    // a glob STARTING with a wildcard pushes nothing (no literal prefix)
+    val wild = graft.Engine.query(bucketed, """{__graphite__="*ick"}""", grid, 2 * H)
+    assert(!wild.queryExecution.executedPlan.toString.contains("GreaterThanOrEqual(name"))
+    // negated glob keeps null-name and non-matching rows (equivalence
+    // under negation — the bounds ride INSIDE the positive form)
+    val negQ = """{user_id="7", __graphite__!="cli*"}"""
+    assert(rows(graft.Engine.query(bucketed, negQ, grid, 2 * H)) ==
+      rows(graft.Engine.query(flat, negQ, grid, 2 * H)))
+  }
+
   test("bucketed store preserves the raw samples (roundtrip)") {
     val a = flat.filter(col("name") === "click").count()
     val b = bucketed.filter(col("name") === "click").count()
