@@ -3458,6 +3458,10 @@ object SparkEntry {
     // the selective-lookup shape the name-sorted layout exists for (r12):
     // tracks the pushed-name pruning win round-over-round
     "src_bucketed_lookup",
+    // the O7-agg delta refresh (r13): tracks the aggregated instant
+    // path's latency — and any regression in its cache keying — like
+    // src_bucketed_lookup tracks the name pruning
+    "ev_instant_delta_agg",
     // the OPERATOR's end-to-end pipeline plus docs-table law aggregates
     // (no exact-Jaccard truth frame — that oracle work stays on the
     // doc_minhash_dedup gate, off this headline number)

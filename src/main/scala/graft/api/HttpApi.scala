@@ -63,6 +63,14 @@ final class HttpApi(
     // facade-ingested rows the maintenance job hasn't seen yet serve as
     // raw recent samples beside the downsampled old ones.
     downsampleTiers: Map[Long, DataFrame] = Map.empty,
+    // PATH-configured tiers (interval-ms → a SampleStore root a
+    // background SampleStore.downsampleNewDates job maintains): the
+    // facade reads these itself and AUTO-REFRESHES — each routed request
+    // checks the tier's manifest generation (one getFileStatus) and on
+    // change re-reads the frame and bumps the store version, so a tier
+    // rebuild invalidates the O6/O7 caches without the manual
+    // /internal/resetRollupResultCache the frame-configured form needs
+    downsampleTierPaths: Map[Long, String] = Map.empty,
     // staging dir for facade snapshot dumps (accessed via the Hadoop
     // FileSystem API, so an s3a://... location works); default = a
     // driver-local temp dir
@@ -462,6 +470,42 @@ final class HttpApi(
     }
     decorate(all)
   }
+
+  // ---- downsample tiers ---------------------------------------------
+  // path-configured tiers cache (interval → (manifest generation, frame));
+  // the generation is the manifest file's (mtime, length) — rewritten by
+  // every downsampleNewDates run that changed anything
+  private val tierState =
+    new java.util.concurrent.ConcurrentHashMap[Long, (String, DataFrame)]()
+
+  private def tierGeneration(path: String): String = {
+    val m = new org.apache.hadoop.fs.Path(path + "_manifest", "dates.tsv")
+    try {
+      val st = m.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(m)
+      s"${st.getModificationTime}:${st.getLen}"
+    } catch { case _: Exception => "absent" }
+  }
+
+  /** the tier frame for a routed interval: frame-configured tiers pass
+    * through (their rebuild contract stays the manual cache reset); a
+    * path-configured tier re-reads when its maintenance manifest changed
+    * — one driver-side getFileStatus per routed request — and bumps the
+    * store version so the O6/O7 caches can never serve rows of the
+    * replaced tier files
+    */
+  private def tierFrame(iv: Long): DataFrame =
+    downsampleTiers.getOrElse(iv, {
+      val path = downsampleTierPaths(iv)
+      val gen = tierGeneration(path)
+      val cur = tierState.get(iv)
+      if (cur != null && cur._1 == gen) cur._2
+      else {
+        val f = graft.core.SampleStore.read(spark, path)
+        tierState.put(iv, (gen, f))
+        ingested.synchronized { storeVersion += 1 }
+        f
+      }
+    })
 
   /** the read-path decorations every served frame gets — delete-series
     * tombstones, retention filters, select-time dedup — applied to the
@@ -1318,15 +1362,17 @@ final class HttpApi(
       // a configured tier's interval reads the (decorated) tier frame —
       // the reference's transparent -downsampling.period resolution
       // pick. Pick by interval FIRST, decorate only the chosen frame.
-      // NOTE the O6-cache contract: an EXTERNAL rewrite of a tier store
-      // (the background downsample job) changes neither the plan text
-      // nor this facade's storeVersion — tier maintainers must hit
+      // O6-cache contract: PATH-configured tiers auto-refresh (tierFrame
+      // watches the maintenance manifest and bumps storeVersion on
+      // change); FRAME-configured tiers' external rewrites change neither
+      // the plan text nor storeVersion — those maintainers must hit
       // /internal/resetRollupResultCache (or hand the facade fresh
       // frames) after a rebuild, exactly like the reference drops its
       // rollup cache on -downsampling.period changes.
       val routedIv =
-        if (downsampleTiers.isEmpty) None
-        else graft.Engine.routeInterval(downsampleTiers.keys,
+        if (downsampleTiers.isEmpty && downsampleTierPaths.isEmpty) None
+        else graft.Engine.routeInterval(
+          downsampleTiers.keys ++ downsampleTierPaths.keys,
           graft.core.GridSpec(start, end, step))
       // a routed query reads tier ∪ buffer ∪ spilled (samplesOver): the
       // tier lags ingestion like the reference's background merges, so
@@ -1335,7 +1381,7 @@ final class HttpApi(
       // the reference's part mix. The frames are disjoint by construction
       // (tiers derive from the BASE store; buffer/spill hold only
       // facade-ingested rows), so the union introduces no duplicates.
-      val frame = routedIv.map(iv => samplesOver(Some(downsampleTiers(iv)))).getOrElse(samples)
+      val frame = routedIv.map(iv => samplesOver(Some(tierFrame(iv)))).getOrElse(samples)
       val t0 = System.nanoTime()
       val root =
         if (boolParam(p, "trace"))

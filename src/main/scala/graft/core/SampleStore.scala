@@ -395,41 +395,11 @@ object SampleStore {
             "restore the store (or delete the table first for a rebuild)")
       return Nil
     }
-    val dateDirs: Seq[FileStatus] =
-      rootFs.listStatus(root)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("date=")).toSeq
-    // per-date fingerprint: sorted data-file (name, length) pairs hashed —
-    // append-only sinks only ever ADD files, so growth changes the print
-    def fingerprint(d: HPath): String = {
-      val fs = rootFs.listStatus(d)
-        .filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith(".") && !n.startsWith("_")
-        }
-        .map(st => s"${st.getPath.getName}:${st.getLen}").sorted
-      java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.orderedHash(fs.toSeq).toLong)
-    }
-    val current = dateDirs
-      .map(st => st.getPath.getName.stripPrefix("date=") -> fingerprint(st.getPath)).toMap
+    val current = dateFingerprints(rootFs, root)
     // manifest lives BESIDE the table dir (a stray subdir inside it would
     // break partition discovery, the r9 snapshots lesson)
     val manifest = new HPath(tablePath + "_manifest", "dates.tsv")
-    val manifestFs = fsFor(manifest)
-    val previous: Map[String, String] =
-      if (!manifestFs.exists(manifest)) Map.empty
-      else {
-        val in = manifestFs.open(manifest)
-        val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
-          finally in.close()
-        lines.flatMap { l =>
-          l.split('\t') match {
-            case Array(d, fp) => Some(d -> fp)
-            case _ => None
-          }
-        }.toMap
-      }
+    val previous = readDateManifest(manifest)
     // a surviving manifest with a MISSING catalog table (in-memory catalog
     // in a new JVM) must not create the table from only the changed dates
     // — that would silently drop every unchanged date from the layout;
@@ -507,13 +477,131 @@ object SampleStore {
         }
       }
     }
-    if (changed.nonEmpty || removed.nonEmpty) {
-      val out = manifestFs.create(manifest, true)
-      try out.write(current.toSeq.sorted
-        .map { case (d, fp) => s"$d\t$fp" }.mkString("", "\n", "\n")
-        .getBytes("UTF-8"))
-      finally out.close()
+    if (changed.nonEmpty || removed.nonEmpty) writeDateManifest(manifest, current)
+    changed
+  }
+
+  // ---- shared changed-date bookkeeping (bucketize + downsample tiers) --
+
+  /** per-date fingerprint: sorted data-file (name, length) pairs hashed —
+    * append-only sinks only ever ADD files, so growth changes the print
+    */
+  private def dateFingerprints(rootFs: FileSystem, root: HPath): Map[String, String] = {
+    def fingerprint(d: HPath): String = {
+      val fs = rootFs.listStatus(d)
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith(".") && !n.startsWith("_")
+        }
+        .map(st => s"${st.getPath.getName}:${st.getLen}").sorted
+      java.lang.Long.toHexString(
+        scala.util.hashing.MurmurHash3.orderedHash(fs.toSeq).toLong)
     }
+    rootFs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("date="))
+      .map(st => st.getPath.getName.stripPrefix("date=") -> fingerprint(st.getPath))
+      .toMap
+  }
+
+  private def readDateManifest(manifest: HPath): Map[String, String] = {
+    val fs = fsFor(manifest)
+    if (!fs.exists(manifest)) Map.empty
+    else {
+      val in = fs.open(manifest)
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      lines.flatMap {
+        _.split('\t') match {
+          case Array(d, fp) => Some(d -> fp)
+          case _ => None
+        }
+      }.toMap
+    }
+  }
+
+  private def writeDateManifest(manifest: HPath, m: Map[String, String]): Unit = {
+    val out = fsFor(manifest).create(manifest, true)
+    try out.write(m.toSeq.sorted
+      .map { case (d, fp) => s"$d\t$fp" }.mkString("", "\n", "\n")
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Incremental tier maintenance — the downsampling sibling of
+    * [[bucketizeNewDates]] (the reference's enterprise downsampling runs
+    * inside background merges: lib/storage/partition.go:535 +
+    * `-downsampling.period`): every flat-store date partition whose
+    * data-file fingerprint changed since the last run is re-downsampled
+    * into the tier store (keep-last per end-aligned `intervalMs` bucket,
+    * [[graft.pipeline.Dedup.downsample]]) via dynamic-partition
+    * overwrite; dates that vanished from the flat store (retention) drop
+    * from the tier too. Idempotent per date; late arrivals re-do just
+    * their date. Returns the dates (re)built.
+    *
+    * `intervalMs` must divide one day so dates downsample independently
+    * (every bucket then nests inside one date partition). The single
+    * cross-date artifact: a sample EXACTLY on a date boundary shares its
+    * bucket with the previous date's tail, so that tail's keep-last
+    * survives in the previous date — one extra OLDER row per series per
+    * boundary, masked at query time by the keep-last read (both rows
+    * share any window containing the boundary, and the newer wins), and
+    * within the documented accuracy trade for sample-consuming rollups.
+    *
+    * The facade auto-refreshes path-configured tiers by watching this
+    * manifest ([[graft.api.HttpApi]] downsampleTierPaths), so a rebuild
+    * invalidates its rollup caches without a manual
+    * /internal/resetRollupResultCache.
+    */
+  def downsampleNewDates(spark: SparkSession, storePath: String,
+      tierPath: String, intervalMs: Long): Seq[String] = {
+    require(intervalMs > 0 && 86400000L % intervalMs == 0,
+      s"tier interval must divide one day (got $intervalMs ms) so date " +
+        "partitions downsample independently")
+    val root = new HPath(storePath)
+    val rootFs = fsFor(root)
+    val tierRoot = new HPath(tierPath)
+    val tierFs = fsFor(tierRoot)
+    // same abort contract as bucketizeNewDates: a missing flat root with
+    // an existing tier is a transient mount failure, not a retention drop
+    if (!rootFs.exists(root)) {
+      if (tierFs.exists(tierRoot))
+        throw new IllegalStateException(
+          s"flat store root $storePath does not exist but tier $tierPath " +
+            "does; refusing to drop every tier partition — restore the " +
+            "store (or delete the tier first for a rebuild)")
+      return Nil
+    }
+    val current = dateFingerprints(rootFs, root)
+    val manifest = new HPath(tierPath + "_manifest", "dates.tsv")
+    val previous = readDateManifest(manifest)
+    val tierExists = tierFs.exists(tierRoot)
+    val changed =
+      if (!tierExists) current.keys.toSeq.sorted
+      else current.filter { case (d, fp) => !previous.get(d).contains(fp) }
+        .keys.toSeq.sorted
+    val removed =
+      if (!tierExists) Nil
+      else (previous.keySet -- current.keySet).toSeq.sorted
+    removed.foreach { d => tierFs.delete(new HPath(tierRoot, s"date=$d"), true) }
+    if (changed.nonEmpty) {
+      migrateLegacySnapshots(storePath)
+      val fresh = spark.read.parquet(storePath)
+        .filter(col("date").isin(changed.map(java.sql.Date.valueOf): _*))
+        .drop("date")
+      // offset 0 + a far-future `now`: every sample lands in the tier
+      // (tier stores are whole-range frames the router picks by interval)
+      val tiered = graft.pipeline.Dedup.downsample(fresh,
+        Seq(graft.pipeline.Dedup.DownsamplePeriod(None, 0L, intervalMs)),
+        nowMs = MaxTsMs)
+      tiered
+        .withColumn("date", to_date(timestamp_millis(col("ts"))))
+        .repartition(col("date"))
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date").parquet(tierPath)
+    }
+    if (changed.nonEmpty || removed.nonEmpty) writeDateManifest(manifest, current)
     changed
   }
 

@@ -171,6 +171,48 @@ class InstantRollupSpec extends SparkSpec {
     assert(Engine.instantCacheStats.misses === 1, "all aggregations share one entry")
   }
 
+  test("a fully-aged-out series stays at 0 in the delta frame (reference parity)") {
+    Engine.clearCache()
+    // pod b's samples live ONLY in the first 2 minutes of the t0 window:
+    // by t1 they have all aged out. The additive delta keeps b in the
+    // per-series frame with cached − head = 0 — exactly the reference's
+    // getSumInstantValues (eval.go:1653-1696 keeps the union of
+    // cached+tail series and never drops a zeroed one) — so non-sum outer
+    // aggregates (count/min/avg) see the dead series until tooBigOffset
+    // forces a cold re-eval. This pins the DOCUMENTED parity behavior:
+    // the delta count is 2, a cold recompute would say 1.
+    val rows = new java.util.ArrayList[Row]()
+    var ts = t0 - 3 * hour + step
+    while (ts <= t1) {
+      rows.add(Row("m", Map("pod" -> "a"), ts, 1.0))
+      if (ts <= t0 - 3 * hour + 2 * step) rows.add(Row("m", Map("pod" -> "b"), ts, 1.0))
+      ts += step
+    }
+    val df = spark.createDataFrame(rows, StructType(Seq(
+      StructField("name", StringType),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("ts", LongType),
+      StructField("value", DoubleType))))
+    val q = "count(sum_over_time(m[3h]))"
+    val r0 = Engine.queryInstantCached(df, q, GridSpec(t0, t0, step)).collect()
+    assert(r0.length === 1 && r0.head.getDouble(3) === 2.0) // both alive at t0
+    assert(Engine.instantCacheStats.misses === 1)
+    // refresh at t1: b aged out; a cold recompute counts 1
+    val cold = Engine.query(df, q, GridSpec(t1, t1, step)).collect()
+    assert(cold.head.getDouble(3) === 1.0)
+    // the delta path keeps b at 0 → count 2 (parity with evalInstantRollup)
+    val delta = Engine.queryInstantCached(df, q, GridSpec(t1, t1, step)).collect()
+    assert(Engine.instantCacheStats.deltaHits === 1, "must take the delta path")
+    assert(delta.head.getDouble(3) === 2.0,
+      "additive delta keeps the zeroed dead series — documented reference parity")
+    // sum is unaffected by the phantom (0 contributes nothing)
+    val sumDelta = Engine.queryInstantCached(df, "sum(sum_over_time(m[3h]))",
+      GridSpec(t1, t1, step)).collect()
+    assert(sumDelta.head.getDouble(3) ===
+      Engine.query(df, "sum(sum_over_time(m[3h]))", GridSpec(t1, t1, step))
+        .collect().head.getDouble(3))
+  }
+
   test("cacheTag invalidates instant entries for mutable same-plan stores") {
     Engine.clearCache()
     val g = GridSpec(t0, t0, step)

@@ -488,6 +488,38 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("path-configured tiers auto-refresh after a downsampleNewDates rebuild") {
+    val s = spark
+    import s.implicits._
+    val store = "target/dstier_http/store"
+    val tier = "target/dstier_http/tier"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("target/dstier_http"))
+    // one sample per 5m bucket (2 min in, so a later arrival can win it)
+    graft.core.SampleStore.write(Seq.tabulate(4)(i =>
+      ("m", Map("job" -> "a"), i * 300000L + 120000L, (i + 1).toDouble))
+      .toDF("name", "tags", "ts", "value"), store)
+    assert(graft.core.SampleStore.downsampleNewDates(spark, store, tier, 300000L)
+      == Seq("1970-01-01"))
+    val api = new HttpApi(spark, downsampleTierPaths = Map(300000L -> tier))
+    val port = api.start()
+    try {
+      val url = "/api/v1/query_range?query=m&start=300&end=1200&step=300"
+      val r1 = get(port, url)
+      assert(r1.contains("\"4\""), s"coarse step must route to the tier: $r1")
+      // a background maintenance run rewrites the tier (late arrival into
+      // the first bucket): the SAME query — cached by O6 under the old
+      // store version — must serve the rebuilt tier WITHOUT any manual
+      // /internal/resetRollupResultCache (the r12 stale-cache trap)
+      graft.core.SampleStore.write(Seq(
+        ("m", Map("job" -> "a"), 290000L, 42.0)).toDF("name", "tags", "ts", "value"), store)
+      assert(graft.core.SampleStore.downsampleNewDates(spark, store, tier, 300000L)
+        == Seq("1970-01-01"))
+      val r2 = get(port, url)
+      assert(r2.contains("\"42\""),
+        s"tier rebuild must auto-invalidate the routed cache: $r2")
+    } finally api.stop()
+  }
+
   test("query_range rejects too-many-points and zero step upfront") {
     val api = new HttpApi(spark)
     val port = api.start()
