@@ -478,34 +478,42 @@ final class HttpApi(
   private val tierState =
     new java.util.concurrent.ConcurrentHashMap[Long, (String, DataFrame)]()
 
-  private def tierGeneration(path: String): String = {
-    val m = new org.apache.hadoop.fs.Path(path + "_manifest", "dates.tsv")
-    try {
-      val st = m.getFileSystem(spark.sessionState.newHadoopConf()).getFileStatus(m)
-      s"${st.getModificationTime}:${st.getLen}"
-    } catch { case _: Exception => "absent" }
-  }
+  private def tierGeneration(path: String): String =
+    graft.core.SampleStore.manifestGeneration(
+      new org.apache.hadoop.fs.Path(path + "_manifest", "dates.tsv"))
 
-  /** the tier frame for a routed interval: frame-configured tiers pass
-    * through (their rebuild contract stays the manual cache reset); a
-    * path-configured tier re-reads when its maintenance manifest changed
-    * — one driver-side getFileStatus per routed request — and bumps the
-    * store version so the O6/O7 caches can never serve rows of the
-    * replaced tier files
+  /** The tier frame for a routed interval, or None when a path-configured
+    * tier does not exist yet (the maintenance job hasn't run / the dir
+    * was wiped for a rebuild) — the caller falls back to full resolution
+    * instead of failing every coarse-step query. Frame-configured tiers
+    * pass through (their rebuild contract stays the manual cache reset);
+    * a path-configured tier re-reads when its maintenance manifest's
+    * generation changed — one driver-side read of the manifest head per
+    * routed request — and bumps the store version so the O6/O7 caches can
+    * never serve rows of the replaced tier files. A query racing the
+    * maintenance rewrite itself can fail transiently (dynamic partition
+    * overwrite is not atomic); the post-rewrite manifest bumps the
+    * generation, so the next request re-reads and self-heals.
     */
-  private def tierFrame(iv: Long): DataFrame =
-    downsampleTiers.getOrElse(iv, {
-      val path = downsampleTierPaths(iv)
-      val gen = tierGeneration(path)
-      val cur = tierState.get(iv)
-      if (cur != null && cur._1 == gen) cur._2
-      else {
-        val f = graft.core.SampleStore.read(spark, path)
-        tierState.put(iv, (gen, f))
-        ingested.synchronized { storeVersion += 1 }
-        f
+  private def tierFrame(iv: Long): Option[DataFrame] =
+    downsampleTiers.get(iv).orElse {
+      downsampleTierPaths.get(iv).flatMap { path =>
+        val gen = tierGeneration(path)
+        val cur = tierState.get(iv)
+        if (cur != null && cur._1 == gen) Some(cur._2)
+        else
+          try {
+            val f = graft.core.SampleStore.read(spark, path)
+            tierState.put(iv, (gen, f))
+            ingested.synchronized { storeVersion += 1 }
+            Some(f)
+          } catch {
+            // missing/empty tier root: serve full resolution (do NOT
+            // cache the miss — the first maintenance run makes it appear)
+            case _: org.apache.spark.sql.AnalysisException => None
+          }
       }
-    })
+    }
 
   /** the read-path decorations every served frame gets — delete-series
     * tombstones, retention filters, select-time dedup — applied to the
@@ -882,9 +890,27 @@ final class HttpApi(
           }
         }
       }
-      if (fresh.nonEmpty) sideVersion += 1
+      if (fresh.nonEmpty) {
+        pruneSideTriples() // piggybacked: only runs when the set changed
+        sideVersion += 1
+      }
     }
     if (fresh.nonEmpty) persistSideTriples()
+  }
+
+  /** Drop side triples older than the retention horizon (their rows are
+    * filtered out of every read anyway) — with a retention period the set
+    * stays bounded at retention-days × churn instead of growing for the
+    * facade's lifetime. Without one there is nothing to bound it against:
+    * the set grows one entry per distinct (day, series-tag) like the
+    * reference's per-day index namespaces do before their retention drop.
+    * Caller holds the sideTriples monitor.
+    */
+  private def pruneSideTriples(): Unit = {
+    if (retentionPeriodMs <= 0) return
+    val minDay = Math.floorDiv(retentionNowMs() - retentionPeriodMs, 86400000L)
+    sideTriples.filterInPlace(_._1 >= minDay)
+    ()
   }
 
   private def sideTriplesFile: Option[org.apache.hadoop.fs.Path] =
@@ -927,6 +953,7 @@ final class HttpApi(
               sideTriples.add((d.toLong, unb64(k), unb64(v), unb64(n))); ()
             case _ => ()
           })
+          pruneSideTriples()
           if (lines.nonEmpty) sideVersion += 1
         }
       } else if (spilled.nonEmpty && (tagIndex.nonEmpty || tagIndexPath.nonEmpty)) {
@@ -985,13 +1012,27 @@ final class HttpApi(
     tagIndexFrame = Some(graft.core.SampleStore.readTagIndex(spark, p))
   }
 
+  // memoized (base frame identity, side version) → union frame: the probe
+  // memo (SampleStore.probeMemo) keys on FRAME IDENTITY, so a fresh union
+  // per request would re-run the ~0.2 s resolution job every time — the
+  // union must be as stable as its inputs
+  private var unionIndexCache: (AnyRef, Long, DataFrame) = null
+
   /** the index every probe consults: base ∪ the live side set.
     * `private[api]` so specs can pin that it stays active under writes.
     */
   private[api] def activeTagIndex: Option[DataFrame] =
     tagIndexFrame.map { idx =>
-      sideIndexFrame.fold(idx)(s =>
-        idx.unionByName(s, allowMissingColumns = true))
+      sideTriples.synchronized {
+        val v = sideVersion
+        if (unionIndexCache == null || !(unionIndexCache._1 eq idx) ||
+          unionIndexCache._2 != v) {
+          val u = sideIndexFrame.fold(idx)(s =>
+            idx.unionByName(s, allowMissingColumns = true))
+          unionIndexCache = (idx, v, u)
+        }
+        unionIndexCache._3
+      }
     }
 
   // snapshot storage for the facade: each create writes the full current
@@ -1381,7 +1422,10 @@ final class HttpApi(
       // the reference's part mix. The frames are disjoint by construction
       // (tiers derive from the BASE store; buffer/spill hold only
       // facade-ingested rows), so the union introduces no duplicates.
-      val frame = routedIv.map(iv => samplesOver(Some(tierFrame(iv)))).getOrElse(samples)
+      // a path-configured tier that doesn't exist yet (maintenance job
+      // never ran) falls back to full resolution rather than erroring
+      val routedFrame = routedIv.flatMap(tierFrame)
+      val frame = routedFrame.map(f => samplesOver(Some(f))).getOrElse(samples)
       val t0 = System.nanoTime()
       val root =
         if (boolParam(p, "trace"))
@@ -1390,8 +1434,9 @@ final class HttpApi(
         else None
       // the index covers the BASE store only — a tier can retain dates
       // (and metric names) the base's retention already dropped from the
-      // index, so tier-routed queries never consult it
-      val idx = if (routedIv.isDefined) None else activeTagIndex
+      // index, so tier-routed queries never consult it (a missing-tier
+      // fallback serves the base and keeps it)
+      val idx = if (routedFrame.isDefined) None else activeTagIndex
       try QueryDeadline.run(spark, deadlineMs(p)) {
         val df = graft.lang.Trace.child("build query plan")(
           Api.queryRange(frame, p("query"), start, end, step,
@@ -1860,6 +1905,23 @@ final class HttpApi(
     }) ++
     graphiteRoutes
 
+  /** shared tagSeries/tagMultiSeries body: parse the `metric;k=v;…`
+    * paths, register the series (a staleness-NaN buffer row + the index
+    * side triples, ONE batch — not a whole-file rewrite per path), return
+    * canonical paths
+    */
+  private def registerGraphitePaths(paths: Seq[String]): Seq[String] = {
+    val now = System.currentTimeMillis()
+    val parsed = paths.map(parseGraphitePath)
+    val rows = parsed.map { case (metric, _, tags) => Row(metric, tags, now, Double.NaN) }
+    registerIndexTriples(rows)
+    ingested.synchronized {
+      ingested ++= rows
+      storeVersion += 1
+    }
+    parsed.map(_._2)
+  }
+
   // ---- Graphite Render + metadata APIs (app/vmselect/main.go:290-386,
   // graphite/{render,metrics,tags}_api.go) ----------------------------
 
@@ -1959,34 +2021,12 @@ final class HttpApi(
     // stripped before every window), mirroring the reference's
     // RegisterMetricNames index-only write.
     "/tags/tagSeries" -> handler { ex =>
-      val paths = multiParamsWithBody(ex, "path")
-      val now = System.currentTimeMillis()
-      val canon = paths.map { p =>
-        val (metric, canonical, tags) = parseGraphitePath(p)
-        val row = Row(metric, tags, now, Double.NaN)
-        registerIndexTriples(Seq(row))
-        ingested.synchronized {
-          ingested += row
-          storeVersion += 1
-        }
-        canonical
-      }
+      val canon = registerGraphitePaths(multiParamsWithBody(ex, "path"))
       reply(ex, 200, canon.map(c => s""""${esc(c)}"""").mkString(","),
         "text/plain; charset=utf-8")
     },
     "/tags/tagMultiSeries" -> handler { ex =>
-      val paths = multiParamsWithBody(ex, "path")
-      val now = System.currentTimeMillis()
-      val canon = paths.map { p =>
-        val (metric, canonical, tags) = parseGraphitePath(p)
-        val row = Row(metric, tags, now, Double.NaN)
-        registerIndexTriples(Seq(row))
-        ingested.synchronized {
-          ingested += row
-          storeVersion += 1
-        }
-        canonical
-      }
+      val canon = registerGraphitePaths(multiParamsWithBody(ex, "path"))
       reply(ex, 200, canon.map(c => s""""${esc(c)}"""").mkString("[", ",", "]"))
     },
     "/tags/delSeries" -> handler { ex =>

@@ -511,7 +511,7 @@ object SampleStore {
       val lines =
         try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
         finally in.close()
-      lines.flatMap {
+      lines.filterNot(_.startsWith("#")).flatMap {
         _.split('\t') match {
           case Array(d, fp) => Some(d -> fp)
           case _ => None
@@ -520,12 +520,40 @@ object SampleStore {
     }
   }
 
+  private val manifestGenSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def writeDateManifest(manifest: HPath, m: Map[String, String]): Unit = {
+    // the #gen header is a unique run token: consumers that cache derived
+    // frames (the facade's path-configured tiers) key their refresh on it
+    // — (mtime, length) alone collides on second-granularity stores when
+    // two runs write same-length content within one second
+    val gen = s"#gen\t${System.currentTimeMillis()}-${manifestGenSeq.incrementAndGet()}-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val out = fsFor(manifest).create(manifest, true)
-    try out.write(m.toSeq.sorted
-      .map { case (d, fp) => s"$d\t$fp" }.mkString("", "\n", "\n")
+    try out.write((gen +: m.toSeq.sorted.map { case (d, fp) => s"$d\t$fp" })
+      .mkString("", "\n", "\n")
       .getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** the manifest's #gen run token (falling back to the file's
+    * (mtime, length) for pre-r13 manifests; "absent" when missing) —
+    * the facade's tier-refresh key
+    */
+  private[graft] def manifestGeneration(manifest: HPath): String = {
+    val fs = fsFor(manifest)
+    try {
+      val in = fs.open(manifest)
+      val first =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .nextOption().getOrElse("")
+        finally in.close()
+      if (first.startsWith("#gen\t")) first.stripPrefix("#gen\t")
+      else {
+        val st = fs.getFileStatus(manifest)
+        s"${st.getModificationTime}:${st.getLen}"
+      }
+    } catch { case _: Exception => "absent" }
   }
 
   /** Incremental tier maintenance — the downsampling sibling of
@@ -795,12 +823,18 @@ object SampleStore {
   private[graft] def scopeIndexByDate(
       index: DataFrame, fromMs: Long, toMs: Long): DataFrame = {
     if (!index.columns.contains("date")) return index
+    // NULL dates survive the scope: a frame unioned from a date-less
+    // source (a pre-r13 index handed to the facade beside its live side
+    // set) carries null dates for those rows, and pruning them would
+    // silently drop every base candidate — an undatable row can't be
+    // scoped, only kept. Partition values are never null, so the isNull
+    // disjunct costs partition pruning nothing.
     var scoped = index
     if (fromMs != Long.MinValue)
-      scoped = scoped.filter(col("date") >=
+      scoped = scoped.filter(col("date").isNull || col("date") >=
         to_date(timestamp_millis(lit(math.max(fromMs - DayMs, -MaxTsMs)))))
     if (toMs != Long.MaxValue)
-      scoped = scoped.filter(col("date") <=
+      scoped = scoped.filter(col("date").isNull || col("date") <=
         to_date(timestamp_millis(lit(math.min(toMs + DayMs, MaxTsMs)))))
     scoped
   }
@@ -840,19 +874,23 @@ object SampleStore {
         probes))
   }
 
+  /** A matcher that accepts the EMPTY value also matches series WITHOUT
+    * the tag (absent tag == "" in selector semantics) — the index only
+    * records PRESENT tags, so such matchers cannot prune. For regexes
+    * that means the anchored pattern must NOT match "" (an invalid
+    * pattern is ineligible too: the main predicate will raise the same
+    * error either way, and the probe must not mask or duplicate it).
+    * STATIC — no Spark work — so callers can pre-check boundability
+    * before paying for any resolution job.
+    */
+  private[graft] def probeEligible(p: TagProbe): Boolean =
+    p.value.nonEmpty &&
+      (!p.isRegexp || (try !"".matches(p.value) catch { case _: Exception => false }))
+
   private def resolveCandidateNames(
       index: DataFrame,
       probes: Seq[TagProbe]): Option[Seq[String]] = {
-    // a matcher that accepts the EMPTY value also matches series WITHOUT
-    // the tag (absent tag == "" in selector semantics) — the index only
-    // records PRESENT tags, so such matchers cannot prune. For regexes
-    // that means the anchored pattern must NOT match "" (an invalid
-    // pattern is ineligible too: the main predicate will raise the same
-    // error either way, and the probe must not mask or duplicate it).
-    val eligible = probes.filter { p =>
-      p.value.nonEmpty &&
-        (!p.isRegexp || (try !"".matches(p.value) catch { case _: Exception => false }))
-    }
+    val eligible = probes.filter(probeEligible)
     if (eligible.isEmpty) return None
     val sets = eligible.map { p =>
       val matched =

@@ -192,6 +192,35 @@ object Eval {
       fromMs: Long = Long.MinValue,
       toMs: Long = Long.MaxValue): Option[(Boolean, Seq[String])] = {
     import graft.core.SampleStore
+    boundableGroups(m).flatMap { gs =>
+      val resolved: Seq[Option[Seq[String]]] = gs.map {
+        case Left(v) => Some(Seq(v))
+        case Right(probes) =>
+          SampleStore.tagIndexCandidateNames(idx, probes, fromMs, toMs)
+      }
+      if (resolved.exists(_.isEmpty)) None
+      else {
+        val union = resolved.flatten.flatten.distinct
+        if (union.size > SampleStore.TagIndexMaxNames) None
+        else Some((gs.exists(_.isRight), union))
+      }
+    }
+  }
+
+  /** STATIC boundability — true iff [[indexCandidateNames]] could resolve
+    * (modulo the candidate cap): no Spark work, so multi-selector callers
+    * can reject an unboundable union before paying for any probe job
+    */
+  private[graft] def indexBoundable(m: MetricExpr): Boolean =
+    boundableGroups(m).isDefined
+
+  /** the per-OR-group bound structure, or None when any group is
+    * statically unboundable (graphite matcher, no positive literal name
+    * and no ELIGIBLE tag probe)
+    */
+  private def boundableGroups(m: MetricExpr)
+      : Option[Seq[Either[String, Seq[graft.core.SampleStore.TagProbe]]]] = {
+    import graft.core.SampleStore
     val groups: Seq[Option[Either[String, Seq[SampleStore.TagProbe]]]] =
       m.filterss.map { fs =>
         if (fs.exists(_.label == "__graphite__")) None
@@ -221,15 +250,14 @@ object Eval {
       }
     if (groups.isEmpty || groups.exists(_.isEmpty)) return None
     val gs = groups.flatten
-    val resolved: Seq[Option[Seq[String]]] = gs.map {
-      case Left(v) => Some(Seq(v))
-      case Right(probes) =>
-        SampleStore.tagIndexCandidateNames(idx, probes, fromMs, toMs)
-    }
-    if (resolved.exists(_.isEmpty)) return None
-    val union = resolved.flatten.flatten.distinct
-    if (union.size > SampleStore.TagIndexMaxNames) None
-    else Some((gs.exists(_.isRight), union))
+    // a probed group with NO eligible probe (all empty-matching) can never
+    // resolve — statically unboundable, checked here so indexBoundable
+    // answers without a Spark job
+    if (gs.exists {
+      case Right(ps) => !ps.exists(SampleStore.probeEligible)
+      case _ => false
+    }) None
+    else Some(gs)
   }
 
   /** Conservative lookback/lookahead reach of an expression: how far

@@ -518,6 +518,19 @@ class HttpApiSpec extends SparkSpec {
       assert(r2.contains("\"42\""),
         s"tier rebuild must auto-invalidate the routed cache: $r2")
     } finally api.stop()
+    // a path-configured tier that does NOT exist yet (maintenance job
+    // never ran) must fall back to full resolution, not 422 every
+    // coarse-step query
+    val cold = new HttpApi(spark,
+      base = Some(graft.core.SampleStore.read(spark, store)),
+      downsampleTierPaths = Map(300000L -> "target/dstier_http/never_built"))
+    val coldPort = cold.start()
+    try {
+      val r = get(coldPort,
+        "/api/v1/query_range?query=m&start=300&end=1200&step=300")
+      assert(r.contains(""""status":"success"""") && r.contains("\"m\""),
+        s"missing tier must serve full resolution: $r")
+    } finally cold.stop()
   }
 
   test("query_range rejects too-many-points and zero step upfront") {

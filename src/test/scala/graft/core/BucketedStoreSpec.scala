@@ -373,8 +373,21 @@ class BucketedStoreSpec extends SparkSpec {
       .filter(col("key") === "user_id" && col("value") === "7")
     scoped.collect()
     val plan = scoped.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [isnotnull(date"),
+    // the scope keeps NULL dates (a date-less union source can't be
+    // scoped, only kept) — partition values are never null, so the
+    // isnull-OR form still prunes partitions
+    assert(plan.contains("PartitionFilters: [(isnull(date"),
       s"date scope must prune index partitions:\n$plan")
+    // a date-less frame (pre-r13 index shape) passes through unscoped —
+    // and a union carrying null dates keeps those rows under any scope
+    val dateless = idx.drop("date")
+    assert(SampleStore.scopeIndexByDate(dateless, T0, T0 + H).count() == dateless.count())
+    val mixed = idx.unionByName(
+      dateless.withColumn("date", lit(null).cast("date")))
+    val farScope = SampleStore.scopeIndexByDate(mixed,
+      T0 + 3650L * 86400000L, T0 + 3651L * 86400000L)
+    assert(farScope.count() == dateless.count(),
+      "null-date rows must survive any probe scope")
     val probes = Seq(SampleStore.TagProbe("user_id", "7"))
     // in-range scope resolves the same candidates as an unbounded probe
     val unbounded = SampleStore.tagIndexCandidateNames(idx, probes)
