@@ -26,6 +26,19 @@ import org.apache.spark.sql.types._
 final class HttpApi(
     spark: SparkSession,
     base: Option[DataFrame] = None,
+    // PATH-configured base store (a SampleStore root): the facade reads
+    // it itself and re-checks the root's date-partition listing every
+    // baseRefreshTtlMs — out-of-band writers (the split-reader
+    // deployment: ingestion lands in shared/object storage, this facade
+    // only reads) become visible WITHOUT a restart, and each refresh
+    // bumps the store version so the O6/O7 caches can't serve the
+    // replaced listing. The generation is the (name, mtime) set of the
+    // root's `date=` dirs — file-level changes bump a dir's mtime on
+    // POSIX/HDFS; object stores without real directory mtimes should
+    // lower the TTL to taste or POST /internal/refreshBaseStore after
+    // writes. Ignored when `base` is set.
+    baseStorePath: Option[String] = None,
+    baseRefreshTtlMs: Long = 10000L,
     ruleGroups: Seq[graft.alerting.Rules.RuleGroup] = Nil,
     scheduler: Option[graft.alerting.Scheduler] = None,
     // -dedup.minScrapeInterval (lib/storage/dedup.go:30 isDedupEnabled;
@@ -432,7 +445,59 @@ final class HttpApi(
   /** rows currently buffered on the driver (the hot tail when spilling) */
   def bufferedRows: Int = ingested.synchronized(ingested.length)
 
-  def samples: DataFrame = samplesOver(base)
+  def samples: DataFrame = samplesOver(baseFrame)
+
+  // ---- path-configured base store -------------------------------------
+  // (generation, frame, last checked) — generation re-checked at most
+  // once per TTL window (one root listStatus), frame re-read on change
+  @volatile private var baseState: (String, Option[DataFrame], Long) = null
+
+  private def baseGeneration(path: String): String = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    try {
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(root)) "absent"
+      else fs.listStatus(root)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("date="))
+        .map(st => s"${st.getPath.getName}:${st.getModificationTime}")
+        .sorted.mkString("|")
+    } catch { case _: Exception => "absent" }
+  }
+
+  /** the base frame every read path unions under — a handed-in frame
+    * verbatim, or the TTL-refreshed read of [[baseStorePath]]
+    */
+  private def baseFrame: Option[DataFrame] = base.orElse {
+    baseStorePath.flatMap { p =>
+      val now = System.currentTimeMillis()
+      val cur = baseState
+      if (cur != null && now - cur._3 < baseRefreshTtlMs) cur._2
+      else synchronized {
+        val cur2 = baseState
+        if (cur2 != null && now - cur2._3 < baseRefreshTtlMs) cur2._2
+        else {
+          val gen = baseGeneration(p)
+          if (cur2 != null && cur2._1 == gen) {
+            baseState = (gen, cur2._2, now)
+            cur2._2
+          } else {
+            val f =
+              if (gen == "absent" || gen.isEmpty) None
+              else Some(graft.core.SampleStore.read(spark, p))
+            baseState = (gen, f, now)
+            ingested.synchronized { storeVersion += 1 }
+            f
+          }
+        }
+      }
+    }
+  }
+
+  /** force the next read to re-list [[baseStorePath]] — for object stores
+    * whose directory mtimes don't reflect file-level writes. Also exposed
+    * as POST /internal/refreshBaseStore.
+    */
+  def refreshBaseStore(): Unit = baseState = null
 
   /** The buffer+spilled union over an arbitrary root frame, decorated.
     * `samples` passes the base store; the tier-routed query_range path
@@ -1740,6 +1805,12 @@ final class HttpApi(
     // see [[refreshTagIndex]]
     "/internal/refreshTagIndex" -> handler { ex =>
       refreshTagIndex()
+      reply(ex, 200, "", "text/plain")
+    },
+    // force a re-list of the path-configured base store (object stores
+    // whose dir mtimes miss file-level writes); see [[refreshBaseStore]]
+    "/internal/refreshBaseStore" -> handler { ex =>
+      refreshBaseStore()
       reply(ex, 200, "", "text/plain")
     },
     // snapshots (app/vmstorage/main.go:295-380 + the Prometheus-compat

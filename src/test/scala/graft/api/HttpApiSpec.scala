@@ -533,6 +533,37 @@ class HttpApiSpec extends SparkSpec {
     } finally cold.stop()
   }
 
+  test("path-configured base store: out-of-band writes become visible without restart") {
+    val s = spark
+    import s.implicits._
+    val store = "target/httpbase/store"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("target/httpbase"))
+    graft.core.SampleStore.write(Seq(
+      ("m", Map("job" -> "a"), 60000L, 10.0)).toDF("name", "tags", "ts", "value"), store)
+    // TTL 0: every request re-checks the root listing (the prod default
+    // is 10 s — one listStatus per window)
+    val api = new HttpApi(spark, baseStorePath = Some(store), baseRefreshTtlMs = 0L)
+    val port = api.start()
+    try {
+      val url = "/api/v1/query_range?query=m&start=60&end=120&step=60"
+      assert(get(port, url).contains("\"10\""))
+      // an OUT-OF-BAND writer (another process in the split-reader
+      // deployment) appends: the facade must serve it without restart,
+      // and the O6 cache must not serve the stale listing
+      graft.core.SampleStore.write(Seq(
+        ("m", Map("job" -> "a"), 120000L, 20.0)).toDF("name", "tags", "ts", "value"), store)
+      val after = get(port, url)
+      assert(after.contains("\"20\""),
+        s"out-of-band writes must become visible: $after")
+      // a missing store root serves the empty frame (no 422s)
+      val none = new HttpApi(spark,
+        baseStorePath = Some("target/httpbase/never_written"), baseRefreshTtlMs = 0L)
+      val nonePort = none.start()
+      try assert(get(nonePort, url).contains(""""result":[]"""))
+      finally none.stop()
+    } finally api.stop()
+  }
+
   test("query_range rejects too-many-points and zero step upfront") {
     val api = new HttpApi(spark)
     val port = api.start()
