@@ -1779,6 +1779,41 @@ object SparkEntry {
       // (Eval: default_rollup widens its step window to the lookback)
       s"AND epoch_ms(e.ts::TIMESTAMP) > g.t - ${6 * H} " +
       "AND epoch_ms(e.ts::TIMESTAMP) <= g.t)")),
+    // INCREMENTAL tier maintenance (r13, SampleStore.downsampleNewDates —
+    // the downsampling sibling of bucketizeNewDates, the reference's
+    // background-merge downsampling at partition.go:535): two-phase write
+    // (clicks, then every other metric landing LATE into the same dates)
+    // with a maintenance run after each — the changed-date rebuilds must
+    // produce EXACTLY the full keep-last-per-6h-bucket semantics DuckDB
+    // recomputes from scratch (max-ts sample per series per end-aligned
+    // bucket, max value on ts ties).
+    Q("ev_downsample_incremental", (s, dir) => {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val root = s"target/ds_incr$tag"
+      val store = s"$root/store"
+      val tier = s"$root/tier"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val samples = Samples.fromEvents(s, dir)
+      graft.core.SampleStore.write(samples.filter(col("name") === "click"),
+        store, org.apache.spark.sql.SaveMode.Overwrite)
+      graft.core.SampleStore.downsampleNewDates(s, store, tier, 6 * H)
+      graft.core.SampleStore.write(samples.filter(col("name") =!= "click"), store)
+      graft.core.SampleStore.downsampleNewDates(s, store, tier, 6 * H)
+      graft.core.SampleStore.read(s, tier)
+        .select(col("name"),
+          col("tags").getItem("user_id").cast("bigint").as("user_id"),
+          col("ts"), r6(col("value")).as("value"))
+        .orderBy("name", "user_id", "ts")
+    }, Some {
+      val iv = 6 * H
+      "WITH b AS (SELECT event_type AS name, user_id, " +
+        "epoch_ms(ts::TIMESTAMP) AS tms, value FROM events), " +
+        s"k AS (SELECT name, user_id, ((tms + $iv - 1) // $iv) * $iv AS bkt, " +
+        "max(tms) AS ts, last(value ORDER BY tms, value) AS value " +
+        "FROM b GROUP BY name, user_id, bkt) " +
+        "SELECT name, user_id::BIGINT AS user_id, ts, " +
+        "round(1e-9 + value, 6) AS value FROM k ORDER BY name, user_id, ts"
+    }),
     // multimodal plumbing (stubbed decode) — rows-only
     // REAL decode gate: encode one PNG per document (dims + gray level
     // arithmetic in doc_id), decode with javax.imageio, and let the SQL
