@@ -27,16 +27,17 @@ final class HttpApi(
     spark: SparkSession,
     base: Option[DataFrame] = None,
     // PATH-configured base store (a SampleStore root): the facade reads
-    // it itself and re-checks the root's date-partition listing every
+    // it itself and re-checks the root's content generation every
     // baseRefreshTtlMs — out-of-band writers (the split-reader
     // deployment: ingestion lands in shared/object storage, this facade
     // only reads) become visible WITHOUT a restart, and each refresh
     // bumps the store version so the O6/O7 caches can't serve the
-    // replaced listing. The generation is the (name, mtime) set of the
-    // root's `date=` dirs — file-level changes bump a dir's mtime on
-    // POSIX/HDFS; object stores without real directory mtimes should
-    // lower the TTL to taste or POST /internal/refreshBaseStore after
-    // writes. Ignored when `base` is set.
+    // replaced listing. The generation is the per-date data-file
+    // (name, length) fingerprint set (SampleStore.storeGeneration — the
+    // same change detector the maintenance jobs key on), so file-level
+    // writes are seen even on object stores whose pseudo-dirs carry no
+    // mtime; POST /internal/refreshBaseStore remains as a belt for
+    // eventually-consistent listings. Ignored when `base` is set.
     baseStorePath: Option[String] = None,
     baseRefreshTtlMs: Long = 10000L,
     ruleGroups: Seq[graft.alerting.Rules.RuleGroup] = Nil,
@@ -452,18 +453,6 @@ final class HttpApi(
   // once per TTL window (one root listStatus), frame re-read on change
   @volatile private var baseState: (String, Option[DataFrame], Long) = null
 
-  private def baseGeneration(path: String): String = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    try {
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      if (!fs.exists(root)) "absent"
-      else fs.listStatus(root)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("date="))
-        .map(st => s"${st.getPath.getName}:${st.getModificationTime}")
-        .sorted.mkString("|")
-    } catch { case _: Exception => "absent" }
-  }
-
   /** the base frame every read path unions under — a handed-in frame
     * verbatim, or the TTL-refreshed read of [[baseStorePath]]
     */
@@ -476,7 +465,13 @@ final class HttpApi(
         val cur2 = baseState
         if (cur2 != null && now - cur2._3 < baseRefreshTtlMs) cur2._2
         else {
-          val gen = baseGeneration(p)
+          // A transient listing failure (object-store throttle, NameNode
+          // failover) must NOT serve the store as vanished-but-200: keep
+          // the cached frame and restamp so the next TTL window retries.
+          // With no cached state yet the request fails loudly instead.
+          val gen =
+            try graft.core.SampleStore.storeGeneration(spark, p)
+            catch { case _: Exception if cur2 != null => cur2._1 }
           if (cur2 != null && cur2._1 == gen) {
             baseState = (gen, cur2._2, now)
             cur2._2
@@ -493,11 +488,14 @@ final class HttpApi(
     }
   }
 
-  /** force the next read to re-list [[baseStorePath]] — for object stores
-    * whose directory mtimes don't reflect file-level writes. Also exposed
-    * as POST /internal/refreshBaseStore.
+  /** force the next read to re-list [[baseStorePath]] — a belt for
+    * eventually-consistent object-store listings (the generation itself
+    * is file-level fingerprints, so ordinary writes are seen by the TTL
+    * poll). Takes the swap-in monitor so a racing in-flight refresh
+    * can't overwrite the reset with its stale frame. Also exposed as
+    * POST /internal/refreshBaseStore.
     */
-  def refreshBaseStore(): Unit = baseState = null
+  def refreshBaseStore(): Unit = synchronized { baseState = null }
 
   /** The buffer+spilled union over an arbitrary root frame, decorated.
     * `samples` passes the base store; the tier-routed query_range path

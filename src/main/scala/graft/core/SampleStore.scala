@@ -483,6 +483,24 @@ object SampleStore {
 
   // ---- shared changed-date bookkeeping (bucketize + downsample tiers) --
 
+  /** A content generation for a date-partitioned store root: the per-date
+    * data-file (name, length) fingerprints — the same change detector
+    * `bucketizeNewDates`/`downsampleNewDates` key on — digested to one
+    * token. Unlike directory mtimes this survives object stores (a
+    * file-level write changes the file set; S3-style pseudo-dirs report
+    * no useful mtime), so a TTL'd poller keyed on it sees every
+    * out-of-band write. "absent" when the root does not exist; "" for an
+    * existing root with no date partitions (an empty store). Cost: one
+    * listStatus per date dir — callers gate it behind a TTL.
+    */
+  def storeGeneration(spark: SparkSession, path: String): String = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) "absent"
+    else dateFingerprints(fs, root).toSeq.sorted
+      .map { case (d, fp) => s"$d:$fp" }.mkString("|")
+  }
+
   /** per-date fingerprint: sorted data-file (name, length) pairs hashed —
     * append-only sinks only ever ADD files, so growth changes the print
     */

@@ -38,11 +38,14 @@ object TierScale {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File("target/tierscale"))
     println(s"[tierscale] writing $rows rows / $series series / $days days …")
     // samples spread uniformly: series id cycles, ts walks the day range
-    val perDay = rows / days
+    // (perDay floors, so clamp the day index — remainder ids otherwise
+    // land on a day PAST the advertised range, and days > rows would
+    // divide by zero under ANSI mode)
+    val perDay = math.max(1L, rows / days)
     val samples = spark.range(rows).select(
       concat(lit("m"), pmod(col("id"), lit(100)).cast("string")).as("name"),
       map(lit("pod"), concat(lit("pod-"), pmod(col("id"), lit(series)).cast("string"))).as("tags"),
-      (lit(T0) + expr(s"id div $perDay") * D +
+      (lit(T0) + least(expr(s"id div $perDay"), lit((days - 1).toLong)) * D +
         pmod(col("id") * 61357L, lit(D))).as("ts"),
       (pmod(abs(xxhash64(col("id"))), lit(10000)) / 100.0).as("value"))
     graft.core.SampleStore.write(samples, store,

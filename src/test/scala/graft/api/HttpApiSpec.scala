@@ -561,6 +561,59 @@ class HttpApiSpec extends SparkSpec {
       val nonePort = none.start()
       try assert(get(nonePort, url).contains(""""result":[]"""))
       finally none.stop()
+      // the generation-unchanged reuse branch (TTL expired, store NOT
+      // touched) must keep the cached frame AND its cache validity: the
+      // repeat of the same query may not bump the store version, so the
+      // O6 rollup cache serves it as a hit, not a miss
+      graft.Engine.clearCache()
+      graft.Engine.resetCacheStats()
+      assert(get(port, url).contains("\"20\""))
+      val (h0, s0, m0) = graft.Engine.cacheStats
+      assert(get(port, url).contains("\"20\""))
+      val (h1, s1, m1) = graft.Engine.cacheStats
+      assert(m1 == m0 && h1 + s1 > h0 + s0,
+        s"gen-unchanged refresh must not invalidate the rollup cache: " +
+          s"hits ${(h0, s0)}->${(h1, s1)}, misses $m0->$m1")
+    } finally api.stop()
+  }
+
+  test("POST /internal/refreshBaseStore forces a re-read inside the TTL window") {
+    val s = spark
+    import s.implicits._
+    val store = "target/httpbase_refresh/store"
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("target/httpbase_refresh"))
+    graft.core.SampleStore.write(Seq(
+      ("m", Map("job" -> "a"), 60000L, 10.0)).toDF("name", "tags", "ts", "value"), store)
+    // TTL = 1h: the poll can't see the out-of-band write; only the
+    // manual refresh endpoint (the eventually-consistent-listing belt)
+    // can make it visible
+    val api = new HttpApi(spark,
+      baseStorePath = Some(store), baseRefreshTtlMs = 3600000L)
+    val port = api.start()
+    try {
+      val url = "/api/v1/query_range?query=m&start=60&end=120&step=60"
+      assert(get(port, url).contains("\"10\""))
+      // a TRUE out-of-band write: stage the batch in a side store and
+      // move its data file in at the filesystem level. A same-session
+      // SampleStore.write would defeat the test — Spark's insert command
+      // runs refreshByPath, which re-lists the shared InMemoryFileIndex
+      // under any O6-persisted plan, making the cached frame see the new
+      // file with no TTL expiry (exactly what a foreign writer can't do)
+      val side = "target/httpbase_refresh/side"
+      graft.core.SampleStore.write(Seq(
+        ("m", Map("job" -> "a"), 120000L, 20.0)).toDF("name", "tags", "ts", "value"), side)
+      val dateDir = new java.io.File(store, "date=1970-01-01")
+      val part = new java.io.File(side, "date=1970-01-01").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(dateDir, "part-oob-" + part.getName).toPath)
+      assert(!get(port, url).contains("\"20\""),
+        "inside the TTL window the cached frame serves")
+      assert(post(port, "/internal/refreshBaseStore", "") == 200)
+      val after = get(port, url)
+      assert(after.contains("\"20\""),
+        s"manual refresh must surface the write without TTL expiry: $after")
     } finally api.stop()
   }
 
