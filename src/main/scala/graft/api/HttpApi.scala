@@ -107,11 +107,33 @@ final class HttpApi(
     // run rewrites index partitions, the facade's pinned frame serves the
     // OLD listing — POST /internal/refreshTagIndex (or call
     // refreshTagIndex()) re-reads it without a restart
-    tagIndexPath: Option[String] = None) {
+    tagIndexPath: Option[String] = None,
+    // > 0 (and baseStorePath set): the facade runs its OWN background
+    // maintenance rounds every maintenancePeriodMs — retention
+    // partition-drop (retentionPeriodMs, same injectable clock as the
+    // select-time predicate) then each downsampleTierPaths tier trails
+    // the base store, the reference's retention watcher + in-merge
+    // downsampling (table.go:446, partition.go:535). The auto-refresh
+    // layers serve each round's output with no manual resets;
+    // GET /internal/maintenance reports the last round. 0 = the caller
+    // schedules core.Maintenance (or the jobs directly) itself.
+    maintenancePeriodMs: Long = 0L) {
 
   require(retentionFilters.isEmpty || retentionPeriodMs > 0,
     "retentionFilters require retentionPeriodMs > 0 (the unmatched-series " +
       "retention); period 0 would silently drop every unmatched series")
+  require(maintenancePeriodMs <= 0 || baseStorePath.nonEmpty,
+    "maintenancePeriodMs needs a baseStorePath to maintain (the rounds " +
+      "drop retention partitions from it and trail its downsample tiers)")
+
+  /** facade-owned background maintenance; public so deployment glue (and
+    * tests) can run a round synchronously via `maintenance.get.step()`
+    */
+  val maintenance: Option[graft.core.Maintenance] =
+    if (maintenancePeriodMs <= 0) None
+    else baseStorePath.map(p => new graft.core.Maintenance(
+      spark, p, maintenancePeriodMs, downsampleTierPaths,
+      retentionPeriodMs, retentionNowMs))
 
   private val sampleSchema = StructType(Seq(
     StructField("name", StringType),
@@ -616,6 +638,7 @@ final class HttpApi(
     server.createContext("/", rewriteHandler(rs))
     server.setExecutor(null) // serial — queries hold the SparkSession anyway
     server.start()
+    maintenance.foreach(_.start())
     server.getAddress.getPort
   }
 
@@ -665,6 +688,7 @@ final class HttpApi(
   }
 
   def stop(): Unit = {
+    maintenance.foreach(_.stop())
     // stop(2): waits (up to 2 s, returns immediately when idle) for
     // in-flight exchange handlers — an ingest mid-append could otherwise
     // ack AFTER the final flush below and lose its rows on restart,
@@ -1810,6 +1834,24 @@ final class HttpApi(
     "/internal/refreshBaseStore" -> handler { ex =>
       refreshBaseStore()
       reply(ex, 200, "", "text/plain")
+    },
+    // last background-maintenance round (null before the first): dropped
+    // retention dates, re-downsampled dates per tier, job failures
+    "/internal/maintenance" -> handler { ex =>
+      val body = maintenance.flatMap(_.lastReport) match {
+        case None => """{"status":"success","data":null}"""
+        case Some(r) =>
+          val ds = r.downsampled.toSeq.sortBy(_._1).map { case (iv, dates) =>
+            s""""$iv":[${dates.map(Json.str).mkString(",")}]"""
+          }.mkString(",")
+          val errs = r.errors.map { case (job, m) =>
+            s"""{"job":${Json.str(job)},"error":${Json.str(m)}}"""
+          }.mkString(",")
+          s"""{"status":"success","data":{"atMs":${r.atMs},""" +
+            s""""droppedDates":[${r.droppedDates.map(Json.str).mkString(",")}],""" +
+            s""""downsampled":{$ds},"errors":[$errs]}}"""
+      }
+      reply(ex, 200, body)
     },
     // snapshots (app/vmstorage/main.go:295-380 + the Prometheus-compat
     // alias): the facade's buffer+base state is dumped as one

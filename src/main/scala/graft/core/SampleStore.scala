@@ -93,6 +93,36 @@ object SampleStore {
   def applyRetention(spark: SparkSession, path: String, outPath: String, keepFromMs: Long): Unit =
     write(readRange(spark, path, keepFromMs, MaxTsMs), outPath, SaveMode.Overwrite)
 
+  /** In-place retention enforcement by PARTITION DROP: delete every
+    * `date=` partition whose whole day lies before the deadline — the
+    * reference's retentionWatcher dropping partitions with
+    * `MaxTimestamp < now - retention` (`lib/storage/table.go:446-485`),
+    * and the production-correct form (O(expired dirs), no rewrite; the
+    * serving path's select-time retention predicate hides the partial
+    * edge day until its partition ages out whole). Returns the dropped
+    * dates. Flat roots only: for a bucketed/tiered layout drop from the
+    * FLAT store and let `bucketizeNewDates`/`downsampleNewDates`
+    * propagate the vanished dates to their derived partitions.
+    */
+  def dropExpiredDates(spark: SparkSession, path: String, keepFromMs: Long): Seq[String] = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("date="))
+      .map(_.getPath)
+      .flatMap { p =>
+        val d = p.getName.stripPrefix("date=")
+        scala.util.Try(java.time.LocalDate.parse(d)).toOption.collect {
+          case day if day.plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
+            .toInstant.toEpochMilli <= keepFromMs => (d, p)
+        }
+      }
+      .sortBy(_._1)
+      .map { case (d, p) => fs.delete(p, true); d }
+      .toSeq
+  }
+
   // ---- retention filters (enterprise `-retentionFilter`) ---------------
   // docs/victoriametrics/README.md:1594-1626: `filter:duration` options;
   // a series matching several filters gets the SMALLEST retention, a

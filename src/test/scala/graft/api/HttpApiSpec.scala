@@ -488,6 +488,40 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("facade-owned maintenance: the background round builds the tier it then serves") {
+    val s = spark
+    import s.implicits._
+    val root = "target/httpmaint"
+    val store = s"$root/store"
+    val tier = s"$root/tier"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    graft.core.SampleStore.write(Seq.tabulate(4)(i =>
+      ("m", Map("job" -> "a"), i * 300000L + 120000L, (i + 1).toDouble))
+      .toDF("name", "tags", "ts", "value"), store)
+    // period = 1h: exactly ONE round runs (immediately at start), so the
+    // test is deterministic — the facade itself must build the tier the
+    // routed read then serves, no manual downsampleNewDates anywhere
+    val api = new HttpApi(spark,
+      baseStorePath = Some(store), baseRefreshTtlMs = 0L,
+      downsampleTierPaths = Map(300000L -> tier),
+      maintenancePeriodMs = 3600000L)
+    val port = api.start()
+    try {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (api.maintenance.get.lastReport.isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(20)
+      val rep = api.maintenance.get.lastReport
+      assert(rep.nonEmpty && rep.get.errors.isEmpty, rep.toString)
+      assert(rep.get.downsampled(300000L) == Seq("1970-01-01"))
+      val r = get(port,
+        "/api/v1/query_range?query=m&start=300&end=1200&step=300")
+      assert(r.contains("\"4\""), s"coarse step must serve the maintained tier: $r")
+      val mrep = get(port, "/internal/maintenance")
+      assert(mrep.contains("\"downsampled\"") && mrep.contains("1970-01-01"),
+        s"maintenance report must surface the round: $mrep")
+    } finally api.stop()
+  }
+
   test("path-configured tiers auto-refresh after a downsampleNewDates rebuild") {
     val s = spark
     import s.implicits._
