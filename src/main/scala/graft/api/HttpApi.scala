@@ -111,12 +111,14 @@ final class HttpApi(
     // > 0 (and baseStorePath set): the facade runs its OWN background
     // maintenance rounds every maintenancePeriodMs — retention
     // partition-drop (retentionPeriodMs, same injectable clock as the
-    // select-time predicate) then each downsampleTierPaths tier trails
-    // the base store, the reference's retention watcher + in-merge
-    // downsampling (table.go:446, partition.go:535). The auto-refresh
-    // layers serve each round's output with no manual resets;
-    // GET /internal/maintenance reports the last round. 0 = the caller
-    // schedules core.Maintenance (or the jobs directly) itself.
+    // select-time predicate), then the tagIndexPath index and each
+    // downsampleTierPaths tier trail the base store — the reference's
+    // retention watcher + in-merge downsampling + on-ingest indexing
+    // (table.go:446, partition.go:535, index_db.go createIndexes). The
+    // auto-refresh layers serve each round's output with no manual
+    // resets (the pinned index frame re-reads after a round that rewrote
+    // it); GET /internal/maintenance reports the last round. 0 = the
+    // caller schedules core.Maintenance (or the jobs directly) itself.
     maintenancePeriodMs: Long = 0L) {
 
   require(retentionFilters.isEmpty || retentionPeriodMs > 0,
@@ -133,7 +135,14 @@ final class HttpApi(
     if (maintenancePeriodMs <= 0) None
     else baseStorePath.map(p => new graft.core.Maintenance(
       spark, p, maintenancePeriodMs, downsampleTierPaths,
-      retentionPeriodMs, retentionNowMs))
+      retentionPeriodMs, retentionNowMs,
+      // the facade's flat-store index trails the base store; after a
+      // round that rewrote (or retention-dropped) index partitions the
+      // pinned frame re-reads, so probes serve the new listing without
+      // the manual /internal/refreshTagIndex
+      tagIndexPath = tagIndexPath,
+      afterRound = r =>
+        if (r.indexed.nonEmpty || r.droppedDates.nonEmpty) refreshTagIndex()))
 
   private val sampleSchema = StructType(Seq(
     StructField("name", StringType),
@@ -1086,17 +1095,29 @@ final class HttpApi(
   }
 
   /** the base index frame — re-readable via [[refreshTagIndex]] */
+  /** a path-configured index that does not exist YET (the first
+    * maintenance round hasn't run) is "no index", not a construction
+    * failure — probes fall back to the unpruned scan until a round (or a
+    * manual refresh) makes it appear
+    */
+  private def readTagIndexIfPresent(p: String): Option[DataFrame] = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(hp)) Some(graft.core.SampleStore.readTagIndex(spark, p)) else None
+  }
+
   @volatile private var tagIndexFrame: Option[DataFrame] =
-    tagIndex.orElse(tagIndexPath.map(p => graft.core.SampleStore.readTagIndex(spark, p)))
+    tagIndex.orElse(tagIndexPath.flatMap(readTagIndexIfPresent))
 
   /** Re-read the tag index from [[tagIndexPath]] (no-op when the index was
     * handed in as a frame with no path): a parquet read pins its file
-    * listing at creation, so after a bucketizeNewDates run rewrites index
-    * partitions the pinned frame serves the OLD listing (and may reference
-    * deleted files). Also exposed as POST /internal/refreshTagIndex.
+    * listing at creation, so after a bucketizeNewDates/indexNewDates run
+    * rewrites index partitions the pinned frame serves the OLD listing
+    * (and may reference deleted files). Also exposed as
+    * POST /internal/refreshTagIndex.
     */
   def refreshTagIndex(): Unit = tagIndexPath.foreach { p =>
-    tagIndexFrame = Some(graft.core.SampleStore.readTagIndex(spark, p))
+    tagIndexFrame = readTagIndexIfPresent(p)
   }
 
   // memoized (base frame identity, side version) → union frame: the probe
@@ -1849,6 +1870,8 @@ final class HttpApi(
           }.mkString(",")
           s"""{"status":"success","data":{"atMs":${r.atMs},""" +
             s""""droppedDates":[${r.droppedDates.map(Json.str).mkString(",")}],""" +
+            s""""indexed":[${r.indexed.map(Json.str).mkString(",")}],""" +
+            s""""bucketized":[${r.bucketized.map(Json.str).mkString(",")}],""" +
             s""""downsampled":{$ds},"errors":[$errs]}}"""
       }
       reply(ex, 200, body)

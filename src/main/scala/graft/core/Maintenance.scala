@@ -8,10 +8,12 @@ import org.apache.spark.sql.SparkSession
   * (`lib/storage/table.go:446-485`) and downsampling runs inside
   * background merges (`lib/storage/partition.go:535` +
   * `-downsampling.period`). Here one round is `step()` — retention
-  * partition-drop first, then each downsample tier trails the flat store
-  * (`SampleStore.downsampleNewDates`), so a date dropped by retention
-  * propagates OUT of its tiers in the same round (the tier job removes
-  * partitions for vanished source dates).
+  * partition-drop first, then every derivation trails the flat store:
+  * the tag index (`SampleStore.indexNewDates`), the bucketized layout
+  * (`bucketizeNewDates`, which carries its own index), and each
+  * downsample tier (`downsampleNewDates`) — so a date dropped by
+  * retention propagates OUT of all of them in the same round (each
+  * trailing job removes partitions for vanished source dates).
   *
   * `step()` never throws: each job's failure lands in the report's
   * `errors` and the next round retries (the fingerprint diff makes every
@@ -33,7 +35,18 @@ final class Maintenance(
     periodMs: Long = 60000L,
     downsampleTiers: Map[Long, String] = Map.empty,
     retentionPeriodMs: Long = 0L,
-    nowMs: () => Long = () => System.currentTimeMillis()) {
+    nowMs: () => Long = () => System.currentTimeMillis(),
+    // flat-store tag index to trail per changed date
+    // (SampleStore.indexNewDates; the bucketized layout's index rides
+    // the bucketize job instead)
+    tagIndexPath: Option[String] = None,
+    // bucketized layout to trail (table name, table path, bucket count)
+    // — bucketizeNewDates also maintains ITS tag index and sheds
+    // retention-dropped dates
+    bucketize: Option[Maintenance.BucketizeTarget] = None,
+    // called after every round with its report — the facade hooks its
+    // frame refreshes here (e.g. re-read the tag index the round rewrote)
+    afterRound: Maintenance.Report => Unit = _ => ()) {
   require(periodMs > 0, s"maintenance period must be positive (got $periodMs)")
 
   import Maintenance.Report
@@ -46,7 +59,11 @@ final class Maintenance(
   private def msg(e: Exception): String =
     Option(e.getMessage).getOrElse(e.getClass.getName)
 
-  /** run one maintenance round synchronously; never throws */
+  /** run one maintenance round synchronously; never throws. Order:
+    * retention drop first, then every derivation trails the store —
+    * index, bucketized layout, downsample tiers — so a dropped date
+    * propagates out of all of them in the same round.
+    */
   def step(): Report = {
     val errs = Seq.newBuilder[(String, String)]
     val dropped =
@@ -54,13 +71,23 @@ final class Maintenance(
       else
         try SampleStore.dropExpiredDates(spark, storePath, nowMs() - retentionPeriodMs)
         catch { case e: Exception => errs += ("retention" -> msg(e)); Nil }
+    val indexed = tagIndexPath.toSeq.flatMap { p =>
+      try SampleStore.indexNewDates(spark, storePath, p)
+      catch { case e: Exception => errs += ("tagindex" -> msg(e)); Nil }
+    }
+    val bucketized = bucketize.toSeq.flatMap { b =>
+      try SampleStore.bucketizeNewDates(spark, storePath, b.table, b.tablePath, b.buckets)
+      catch { case e: Exception => errs += ("bucketize" -> msg(e)); Nil }
+    }
     val ds = downsampleTiers.toSeq.sortBy(_._1).map { case (iv, tier) =>
       iv -> (
         try SampleStore.downsampleNewDates(spark, storePath, tier, iv)
         catch { case e: Exception => errs += (s"downsample:$iv" -> msg(e)); Nil })
     }.toMap
-    val r = Report(nowMs(), dropped, ds, errs.result())
+    val r = Report(nowMs(), dropped, indexed, bucketized, ds, errs.result())
     last = Some(r)
+    try afterRound(r)
+    catch { case _: Exception => () } // observer hook: never kills the loop
     r
   }
 
@@ -95,12 +122,18 @@ final class Maintenance(
 }
 
 object Maintenance {
-  /** one round's outcome: dropped retention dates, re-downsampled dates
-    * per tier interval, and (job → message) failures
+  /** one round's outcome: dropped retention dates, re-indexed and
+    * re-bucketized dates, re-downsampled dates per tier interval, and
+    * (job → message) failures
     */
   final case class Report(
       atMs: Long,
       droppedDates: Seq[String],
+      indexed: Seq[String],
+      bucketized: Seq[String],
       downsampled: Map[Long, Seq[String]],
       errors: Seq[(String, String)])
+
+  /** a bucketized layout for the round to trail */
+  final case class BucketizeTarget(table: String, tablePath: String, buckets: Int = 8)
 }

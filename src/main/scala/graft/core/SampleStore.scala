@@ -760,6 +760,58 @@ object SampleStore {
     tagIndexRows(samples)
       .write.mode(SaveMode.Overwrite).partitionBy("date").parquet(indexPath)
 
+  /** Incremental tag-index maintenance for a FLAT store (the bucketized
+    * layout gets the same from [[bucketizeNewDates]]): changed-date
+    * fingerprints → only those dates' index partitions rewrite (dynamic
+    * partition overwrite), vanished dates drop, re-runs are idempotent —
+    * the reference maintains its per-day tag→metricIDs entries on ingest
+    * (`index_db.go` createIndexes), here the index trails the store at
+    * maintenance cadence. Same abort contract as the other trailing
+    * jobs: a missing flat root with an existing index is a transient
+    * mount failure, not a retention drop. Returns the re-indexed dates.
+    */
+  def indexNewDates(spark: SparkSession, storePath: String,
+      indexPath: String): Seq[String] = {
+    val root = new HPath(storePath)
+    val rootFs = fsFor(root)
+    val idxPath = new HPath(indexPath)
+    val idxFs = fsFor(idxPath)
+    if (!rootFs.exists(root)) {
+      if (idxFs.exists(idxPath))
+        throw new IllegalStateException(
+          s"flat store root $storePath does not exist but tag index " +
+            s"$indexPath does; refusing to drop every index partition — " +
+            "restore the store (or delete the index first for a rebuild)")
+      return Nil
+    }
+    val current = dateFingerprints(rootFs, root)
+    val manifest = new HPath(indexPath + "_manifest", "dates.tsv")
+    val previous = readDateManifest(manifest)
+    val idxExists = idxFs.exists(idxPath)
+    val changed =
+      if (!idxExists) current.keys.toSeq.sorted
+      else current.filter { case (d, fp) => !previous.get(d).contains(fp) }
+        .keys.toSeq.sorted
+    val removed =
+      if (!idxExists) Nil
+      else (previous.keySet -- current.keySet).toSeq.sorted
+    removed.foreach { d => idxFs.delete(new HPath(idxPath, s"date=$d"), true) }
+    if (changed.nonEmpty) {
+      migrateLegacySnapshots(storePath)
+      val fresh = spark.read.parquet(storePath)
+        .filter(col("date").isin(changed.map(java.sql.Date.valueOf): _*))
+        .drop("date")
+      if (!idxExists) buildTagIndex(fresh, indexPath) // fresh == every date
+      else
+        tagIndexRows(fresh)
+          .write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("date").parquet(indexPath)
+    }
+    if (changed.nonEmpty || removed.nonEmpty) writeDateManifest(manifest, current)
+    changed
+  }
+
   /** The index KEEPS its `date` partition column: probes scope their read
     * to the query's time range ([[scopeIndexByDate]]) so the probe cost is
     * flat in retention length — the reference probes a per-day index for

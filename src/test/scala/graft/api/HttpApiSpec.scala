@@ -499,11 +499,13 @@ class HttpApiSpec extends SparkSpec {
       ("m", Map("job" -> "a"), i * 300000L + 120000L, (i + 1).toDouble))
       .toDF("name", "tags", "ts", "value"), store)
     // period = 1h: exactly ONE round runs (immediately at start), so the
-    // test is deterministic — the facade itself must build the tier the
-    // routed read then serves, no manual downsampleNewDates anywhere
+    // test is deterministic — the facade itself must build the tier AND
+    // the tag index it then serves, no manual maintenance call anywhere
+    // (the index path does not exist yet: construction must tolerate it)
     val api = new HttpApi(spark,
       baseStorePath = Some(store), baseRefreshTtlMs = 0L,
       downsampleTierPaths = Map(300000L -> tier),
+      tagIndexPath = Some(s"$root/index"),
       maintenancePeriodMs = 3600000L)
     val port = api.start()
     try {
@@ -513,11 +515,20 @@ class HttpApiSpec extends SparkSpec {
       val rep = api.maintenance.get.lastReport
       assert(rep.nonEmpty && rep.get.errors.isEmpty, rep.toString)
       assert(rep.get.downsampled(300000L) == Seq("1970-01-01"))
+      assert(rep.get.indexed == Seq("1970-01-01"),
+        "the round must have built the flat-store index")
       val r = get(port,
         "/api/v1/query_range?query=m&start=300&end=1200&step=300")
       assert(r.contains("\"4\""), s"coarse step must serve the maintained tier: $r")
+      // the round's afterRound hook re-read the index frame: a nameless
+      // tag lookup resolves through the index the facade just built
+      val nameless = get(port,
+        "/api/v1/query_range?query=%7Bjob%3D%22a%22%7D&start=60&end=1200&step=60")
+      assert(nameless.contains("\"m\""),
+        s"nameless lookup must serve through the maintained index: $nameless")
       val mrep = get(port, "/internal/maintenance")
-      assert(mrep.contains("\"downsampled\"") && mrep.contains("1970-01-01"),
+      assert(mrep.contains("\"downsampled\"") && mrep.contains("1970-01-01") &&
+        mrep.contains("\"indexed\""),
         s"maintenance report must surface the round: $mrep")
     } finally api.stop()
   }

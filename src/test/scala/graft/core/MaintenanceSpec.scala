@@ -87,6 +87,70 @@ class MaintenanceSpec extends SparkSpec {
     assert(r4.errors.isEmpty)
   }
 
+  test("indexNewDates: incremental per-date index maintenance on a flat store") {
+    val root = "target/maint_idx"
+    val store = s"$root/store"
+    val idx = s"$root/index"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    SampleStore.write(mkRows(Seq(
+      ("a_metric", Map("job" -> "x"), D1 + H, 1.0),
+      ("b_metric", Map("job" -> "y"), D2 + H, 2.0))), store)
+    assert(SampleStore.indexNewDates(spark, store, idx) ==
+      Seq("2024-01-01", "2024-01-02"))
+    assert(SampleStore.indexNewDates(spark, store, idx).isEmpty, "idempotent")
+    def names(): Set[String] = SampleStore.readTagIndex(spark, idx)
+      .select(col("name")).collect().map(_.getString(0)).toSet
+    assert(names() == Set("a_metric", "b_metric"))
+    // a late arrival re-indexes just its date; the new name appears
+    SampleStore.write(mkRows(Seq(
+      ("c_metric", Map("job" -> "x"), D1 + 2 * H, 3.0))), store)
+    assert(SampleStore.indexNewDates(spark, store, idx) == Seq("2024-01-01"))
+    assert(names() == Set("a_metric", "b_metric", "c_metric"))
+    // a retention drop propagates: day 1's names leave the index
+    assert(SampleStore.dropExpiredDates(spark, store, D2) == Seq("2024-01-01"))
+    assert(SampleStore.indexNewDates(spark, store, idx).isEmpty)
+    assert(dates(idx) == Seq("2024-01-02"))
+    assert(names() == Set("b_metric"))
+    // a missing flat root with an existing index aborts, not wipes
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+    intercept[IllegalStateException] {
+      SampleStore.indexNewDates(spark, store, idx)
+    }
+  }
+
+  test("step: the tag index and the bucketized layout trail the store too") {
+    val root = "target/maint_full"
+    val store = s"$root/store"
+    val tbl = "maint_full_table"
+    val tpath = s"$root/table"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    SampleStore.write(mkRows(Seq(
+      ("m", Map("job" -> "a"), D1 + H, 1.0),
+      ("m", Map("job" -> "a"), D2 + H, 2.0))), store)
+    var now = D3
+    var rounds = 0
+    val m = new Maintenance(spark, store, periodMs = 60000L,
+      retentionPeriodMs = 2 * D,
+      tagIndexPath = Some(s"$root/index"),
+      bucketize = Some(Maintenance.BucketizeTarget(tbl, tpath, buckets = 2)),
+      nowMs = () => now,
+      afterRound = _ => rounds += 1)
+    val r1 = m.step()
+    assert(r1.errors.isEmpty, r1.toString)
+    assert(r1.indexed == Seq("2024-01-01", "2024-01-02"))
+    assert(r1.bucketized == Seq("2024-01-01", "2024-01-02"))
+    assert(rounds == 1, "afterRound must fire")
+    assert(SampleStore.readBucketed(spark, tbl).count() == 2)
+    // clock past day 1's retention: store, index and bucketed layout all
+    // shed the date in one round
+    now = D1 + 3 * D
+    val r2 = m.step()
+    assert(r2.droppedDates == Seq("2024-01-01") && r2.errors.isEmpty, r2.toString)
+    assert(dates(s"$root/index") == Seq("2024-01-02"))
+    assert(SampleStore.readBucketed(spark, tbl).count() == 1)
+  }
+
   test("step: a failing job lands in the report, the round survives") {
     val root = "target/maint_err"
     val store = s"$root/store"
