@@ -141,8 +141,24 @@ final class HttpApi(
       // pinned frame re-reads, so probes serve the new listing without
       // the manual /internal/refreshTagIndex
       tagIndexPath = tagIndexPath,
-      afterRound = r =>
-        if (r.indexed.nonEmpty || r.droppedDates.nonEmpty) refreshTagIndex()))
+      afterRound = r => {
+        // the round just deleted base partitions the pinned frame's file
+        // listing still references: re-list NOW instead of serving
+        // FileNotFoundException until the TTL recheck
+        if (r.droppedDates.nonEmpty) refreshBaseStore()
+        // index refresh keyed on the index maintenance manifest's #gen —
+        // indexNewDates returns only CHANGED dates, so a removed-only
+        // round (external retention upstream) must still re-read the
+        // pinned frame off deleted files
+        tagIndexPath.foreach { p =>
+          val gen = graft.core.SampleStore.manifestGeneration(
+            new org.apache.hadoop.fs.Path(p + "_manifest", "dates.tsv"))
+          if (gen != maintIndexGen) { maintIndexGen = gen; refreshTagIndex() }
+        }
+      }))
+
+  // last index-manifest generation the maintenance hook refreshed on
+  @volatile private var maintIndexGen: String = null
 
   private val sampleSchema = StructType(Seq(
     StructField("name", StringType),
@@ -1103,7 +1119,12 @@ final class HttpApi(
   private def readTagIndexIfPresent(p: String): Option[DataFrame] = {
     val hp = new org.apache.hadoop.fs.Path(p)
     val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(hp)) Some(graft.core.SampleStore.readTagIndex(spark, p)) else None
+    // an index root that exists but has NO date partitions left (every
+    // store date aged out; only _SUCCESS remains) is also "no index" —
+    // spark.read.parquet on it would throw unable-to-infer-schema
+    val hasPartitions = fs.exists(hp) && fs.listStatus(hp)
+      .exists(st => st.isDirectory && st.getPath.getName.startsWith("date="))
+    if (hasPartitions) Some(graft.core.SampleStore.readTagIndex(spark, p)) else None
   }
 
   @volatile private var tagIndexFrame: Option[DataFrame] =

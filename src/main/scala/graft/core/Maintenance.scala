@@ -71,17 +71,26 @@ final class Maintenance(
       else
         try SampleStore.dropExpiredDates(spark, storePath, nowMs() - retentionPeriodMs)
         catch { case e: Exception => errs += ("retention" -> msg(e)); Nil }
+    // one fingerprint walk per round (computed AFTER the retention drop
+    // so every trailing job sees the post-drop truth) — each job would
+    // otherwise re-list every date dir, the round's dominant request
+    // cost on an object store
+    val prints =
+      try Some(SampleStore.storeDateFingerprints(spark, storePath))
+      catch { case e: Exception => errs += ("fingerprints" -> msg(e)); None }
     val indexed = tagIndexPath.toSeq.flatMap { p =>
-      try SampleStore.indexNewDates(spark, storePath, p)
+      try SampleStore.indexNewDates(spark, storePath, p, fingerprints = prints)
       catch { case e: Exception => errs += ("tagindex" -> msg(e)); Nil }
     }
     val bucketized = bucketize.toSeq.flatMap { b =>
-      try SampleStore.bucketizeNewDates(spark, storePath, b.table, b.tablePath, b.buckets)
+      try SampleStore.bucketizeNewDates(spark, storePath, b.table, b.tablePath,
+        b.buckets, fingerprints = prints)
       catch { case e: Exception => errs += ("bucketize" -> msg(e)); Nil }
     }
     val ds = downsampleTiers.toSeq.sortBy(_._1).map { case (iv, tier) =>
       iv -> (
-        try SampleStore.downsampleNewDates(spark, storePath, tier, iv)
+        try SampleStore.downsampleNewDates(spark, storePath, tier, iv,
+          fingerprints = prints)
         catch { case e: Exception => errs += (s"downsample:$iv" -> msg(e)); Nil })
     }.toMap
     val r = Report(nowMs(), dropped, indexed, bucketized, ds, errs.result())
@@ -91,18 +100,33 @@ final class Maintenance(
     r
   }
 
-  private val stopFlag = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // Each start() gets its OWN stop flag, captured by that run's closure:
+  // a stop() whose 30 s join timed out on a long Spark round must not
+  // leave a zombie that resumes when a later start() resets a SHARED
+  // flag — two concurrent loops would clobber each other's manifests.
+  @volatile private var stopFlag: java.util.concurrent.atomic.AtomicBoolean = null
   @volatile private var thread: Thread = null
 
-  /** start the periodic rounds (idempotent); daemon thread, errors stay
-    * in the reports
+  /** start the periodic rounds (idempotent); daemon thread. A round that
+    * dies on a non-Exception Throwable (driver OOM, linkage error) is
+    * surfaced as a synthetic error report and the loop CONTINUES — a
+    * silently-dead maintenance thread under a healthy-looking
+    * /internal/maintenance is worse than a retried round.
     */
   def start(): Unit = synchronized {
     if (thread != null) return
-    stopFlag.set(false)
+    val flag = new java.util.concurrent.atomic.AtomicBoolean(false)
+    stopFlag = flag
     thread = new Thread(() => {
-      while (!stopFlag.get()) {
-        step()
+      while (!flag.get()) {
+        try step()
+        catch {
+          case t: Throwable =>
+            last = Some(Report(
+              try nowMs() catch { case _: Exception => 0L },
+              Nil, Nil, Nil, Map.empty,
+              Seq("round" -> Option(t.getMessage).getOrElse(t.getClass.getName))))
+        }
         try Thread.sleep(periodMs)
         catch { case _: InterruptedException => () }
       }

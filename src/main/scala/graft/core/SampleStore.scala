@@ -97,30 +97,48 @@ object SampleStore {
     * `date=` partition whose whole day lies before the deadline — the
     * reference's retentionWatcher dropping partitions with
     * `MaxTimestamp < now - retention` (`lib/storage/table.go:446-485`),
-    * and the production-correct form (O(expired dirs), no rewrite; the
-    * serving path's select-time retention predicate hides the partial
-    * edge day until its partition ages out whole). Returns the dropped
-    * dates. Flat roots only: for a bucketed/tiered layout drop from the
-    * FLAT store and let `bucketizeNewDates`/`downsampleNewDates`
-    * propagate the vanished dates to their derived partitions.
+    * and the production-correct form (O(expired dirs), no rewrite).
+    * Like the reference, retention is EVENTUAL: the expired head of the
+    * newest not-yet-droppable day keeps serving until its partition ages
+    * out whole (VictoriaMetrics likewise returns data older than
+    * `-retentionPeriod` until the background deletion catches up; the
+    * optional per-series `retentionFilters` predicate is the only
+    * select-time cutoff). Returns the dropped dates. Flat roots only:
+    * for a bucketed/tiered layout drop from the FLAT store and let
+    * `bucketizeNewDates`/`downsampleNewDates` propagate the vanished
+    * dates to their derived partitions.
+    *
+    * Day boundaries use the SESSION timezone — the same zone
+    * `write`'s `to_date(timestamp_millis(ts))` derived the partition
+    * values in — so a non-UTC session never drops a partition whose tail
+    * is still inside retention. A delete the filesystem declines (false)
+    * keeps that date out of the returned list and raises after the
+    * sweep, so callers see both the partial progress and the failure.
     */
   def dropExpiredDates(spark: SparkSession, path: String, keepFromMs: Long): Seq[String] = {
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Nil
-    fs.listStatus(root)
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val expired = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("date="))
       .map(_.getPath)
       .flatMap { p =>
         val d = p.getName.stripPrefix("date=")
         scala.util.Try(java.time.LocalDate.parse(d)).toOption.collect {
-          case day if day.plusDays(1).atStartOfDay(java.time.ZoneOffset.UTC)
+          case day if day.plusDays(1).atStartOfDay(zone)
             .toInstant.toEpochMilli <= keepFromMs => (d, p)
         }
       }
       .sortBy(_._1)
-      .map { case (d, p) => fs.delete(p, true); d }
-      .toSeq
+    val (dropped, failed) = expired.partition { case (_, p) => fs.delete(p, true) }
+    if (failed.nonEmpty)
+      throw new java.io.IOException(
+        s"retention drop: filesystem declined delete for " +
+          s"[${failed.map(_._1).mkString(", ")}] under $path" +
+          (if (dropped.nonEmpty) s" (dropped [${dropped.map(_._1).mkString(", ")}])"
+           else ""))
+    dropped.map(_._1).toSeq
   }
 
   // ---- retention filters (enterprise `-retentionFilter`) ---------------
@@ -409,7 +427,8 @@ object SampleStore {
     * recreated table is complete (never just the changed dates).
     */
   def bucketizeNewDates(spark: SparkSession, storePath: String,
-      table: String, tablePath: String, buckets: Int = 8): Seq[String] = {
+      table: String, tablePath: String, buckets: Int = 8,
+      fingerprints: Option[Map[String, String]] = None): Seq[String] = {
     val root = new HPath(storePath)
     val rootFs = fsFor(root)
     // a MISSING flat root with an existing bucketed table is a transient
@@ -425,7 +444,7 @@ object SampleStore {
             "restore the store (or delete the table first for a rebuild)")
       return Nil
     }
-    val current = dateFingerprints(rootFs, root)
+    val current = fingerprints.getOrElse(dateFingerprints(rootFs, root))
     // manifest lives BESIDE the table dir (a stray subdir inside it would
     // break partition discovery, the r9 snapshots lesson)
     val manifest = new HPath(tablePath + "_manifest", "dates.tsv")
@@ -523,6 +542,19 @@ object SampleStore {
     * existing root with no date partitions (an empty store). Cost: one
     * listStatus per date dir — callers gate it behind a TTL.
     */
+  /** The per-date content fingerprints of a store root (empty when the
+    * root is missing): one listStatus per date dir. A maintenance round
+    * computes this ONCE and hands it to every trailing job
+    * (`indexNewDates`/`bucketizeNewDates`/`downsampleNewDates`) instead
+    * of each job re-walking the same partitions — on an object store the
+    * listing is the round's dominant request cost.
+    */
+  def storeDateFingerprints(spark: SparkSession, path: String): Map[String, String] = {
+    val root = new HPath(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) Map.empty else dateFingerprints(fs, root)
+  }
+
   def storeGeneration(spark: SparkSession, path: String): String = {
     val root = new HPath(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -532,7 +564,11 @@ object SampleStore {
   }
 
   /** per-date fingerprint: sorted data-file (name, length) pairs hashed —
-    * append-only sinks only ever ADD files, so growth changes the print
+    * append-only sinks only ever ADD files, so growth changes the print.
+    * Only ISO `date=YYYY-MM-DD` dirs count: a stray
+    * `date=__HIVE_DEFAULT_PARTITION__` (a null-ts row) would otherwise
+    * land in every consumer's changed set and kill each maintenance
+    * round at `Date.valueOf` — forever, since the dir never goes away.
     */
   private def dateFingerprints(rootFs: FileSystem, root: HPath): Map[String, String] = {
     def fingerprint(d: HPath): String = {
@@ -547,7 +583,11 @@ object SampleStore {
     }
     rootFs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("date="))
-      .map(st => st.getPath.getName.stripPrefix("date=") -> fingerprint(st.getPath))
+      .map(st => st.getPath.getName.stripPrefix("date=") -> st.getPath)
+      .filter { case (d, _) =>
+        scala.util.Try(java.time.LocalDate.parse(d)).isSuccess
+      }
+      .map { case (d, p) => d -> fingerprint(p) }
       .toMap
   }
 
@@ -630,7 +670,8 @@ object SampleStore {
     * /internal/resetRollupResultCache.
     */
   def downsampleNewDates(spark: SparkSession, storePath: String,
-      tierPath: String, intervalMs: Long): Seq[String] = {
+      tierPath: String, intervalMs: Long,
+      fingerprints: Option[Map[String, String]] = None): Seq[String] = {
     require(intervalMs > 0 && 86400000L % intervalMs == 0,
       s"tier interval must divide one day (got $intervalMs ms) so date " +
         "partitions downsample independently")
@@ -648,7 +689,7 @@ object SampleStore {
             "store (or delete the tier first for a rebuild)")
       return Nil
     }
-    val current = dateFingerprints(rootFs, root)
+    val current = fingerprints.getOrElse(dateFingerprints(rootFs, root))
     val manifest = new HPath(tierPath + "_manifest", "dates.tsv")
     val previous = readDateManifest(manifest)
     val tierExists = tierFs.exists(tierRoot)
@@ -771,7 +812,8 @@ object SampleStore {
     * mount failure, not a retention drop. Returns the re-indexed dates.
     */
   def indexNewDates(spark: SparkSession, storePath: String,
-      indexPath: String): Seq[String] = {
+      indexPath: String,
+      fingerprints: Option[Map[String, String]] = None): Seq[String] = {
     val root = new HPath(storePath)
     val rootFs = fsFor(root)
     val idxPath = new HPath(indexPath)
@@ -784,7 +826,7 @@ object SampleStore {
             "restore the store (or delete the index first for a rebuild)")
       return Nil
     }
-    val current = dateFingerprints(rootFs, root)
+    val current = fingerprints.getOrElse(dateFingerprints(rootFs, root))
     val manifest = new HPath(indexPath + "_manifest", "dates.tsv")
     val previous = readDateManifest(manifest)
     val idxExists = idxFs.exists(idxPath)

@@ -533,6 +533,21 @@ class HttpApiSpec extends SparkSpec {
     } finally api.stop()
   }
 
+  test("a tag-index path with no partitions left is no-index, not a failure") {
+    val dir = new java.io.File("target/httpidx_empty")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    dir.mkdirs()
+    new java.io.File(dir, "_SUCCESS").createNewFile()
+    // every store date aged out: the index root survives with only
+    // _SUCCESS — construction and refresh must read it as "no index"
+    // (spark.read.parquet would throw unable-to-infer-schema)
+    val api = new HttpApi(spark, tagIndexPath = Some(dir.getPath))
+    api.refreshTagIndex()
+    val missing = new HttpApi(spark,
+      tagIndexPath = Some("target/httpidx_empty/never_built"))
+    missing.refreshTagIndex()
+  }
+
   test("path-configured tiers auto-refresh after a downsampleNewDates rebuild") {
     val s = spark
     import s.implicits._

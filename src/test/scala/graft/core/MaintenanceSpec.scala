@@ -40,8 +40,10 @@ class MaintenanceSpec extends SparkSpec {
       ("m", Map("job" -> "a"), D2 + H, 2.0),
       ("m", Map("job" -> "a"), D3 + H, 3.0))), store)
     // deadline mid day-2: day 1 is wholly expired, day 2 only partially —
-    // the partial day stays (the select-time retention predicate hides
-    // its expired head until the partition ages out whole)
+    // the partial day stays and its expired head keeps serving until the
+    // partition ages out whole (the reference's EVENTUAL retention: data
+    // older than -retentionPeriod shows in queries until the background
+    // deletion catches up)
     assert(SampleStore.dropExpiredDates(spark, store, D2 + 12 * H) ==
       Seq("2024-01-01"))
     assert(dates(store) == Seq("2024-01-02", "2024-01-03"))
@@ -111,6 +113,11 @@ class MaintenanceSpec extends SparkSpec {
     assert(SampleStore.indexNewDates(spark, store, idx).isEmpty)
     assert(dates(idx) == Seq("2024-01-02"))
     assert(names() == Set("b_metric"))
+    // a stray non-ISO partition dir (a null-ts row's
+    // date=__HIVE_DEFAULT_PARTITION__) must be IGNORED, not kill every
+    // future round at Date.valueOf
+    new java.io.File(store, "date=__HIVE_DEFAULT_PARTITION__").mkdirs()
+    assert(SampleStore.indexNewDates(spark, store, idx).isEmpty)
     // a missing flat root with an existing index aborts, not wipes
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
     intercept[IllegalStateException] {
