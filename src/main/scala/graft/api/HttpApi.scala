@@ -1938,6 +1938,12 @@ final class HttpApi(
       b.append(s"vm_rollup_result_cache_partial_hits_total $partialHits\n")
       b.append(s"vm_rollup_result_cache_miss_total $misses\n")
       b.append(s"""vm_cache_entries{type="promql/rollup_result"} ${graft.Engine.cacheEntryCount}""").append('\n')
+      maintenance.foreach { m =>
+        b.append(s"vm_maintenance_rounds_total ${m.roundsRun}\n")
+        b.append(s"vm_maintenance_job_errors_total ${m.errorCount}\n")
+        m.lastReport.foreach(r =>
+          b.append(s"vm_maintenance_last_run_timestamp ${r.atMs / 1000}\n"))
+      }
       b.append(s"vm_app_start_timestamp ${startedAtMs / 1000}\n")
       b.append(s"vm_app_uptime_seconds ${(System.currentTimeMillis() - startedAtMs) / 1000}\n")
       reply(ex, 200, b.toString, "text/plain; charset=utf-8")

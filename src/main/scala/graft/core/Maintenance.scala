@@ -52,9 +52,17 @@ final class Maintenance(
   import Maintenance.Report
 
   @volatile private var last: Option[Report] = None
+  @volatile private var rounds: Long = 0L
+  @volatile private var errorsTotal: Long = 0L
 
   /** the most recent round's report (None before the first round) */
   def lastReport: Option[Report] = last
+
+  /** rounds completed since construction (the /metrics counter) */
+  def roundsRun: Long = rounds
+
+  /** cumulative failed-job count across all rounds */
+  def errorCount: Long = errorsTotal
 
   private def msg(e: Exception): String =
     Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -95,6 +103,8 @@ final class Maintenance(
     }.toMap
     val r = Report(nowMs(), dropped, indexed, bucketized, ds, errs.result())
     last = Some(r)
+    rounds += 1
+    errorsTotal += r.errors.length
     try afterRound(r)
     catch { case _: Exception => () } // observer hook: never kills the loop
     r

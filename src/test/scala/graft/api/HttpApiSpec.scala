@@ -530,6 +530,10 @@ class HttpApiSpec extends SparkSpec {
       assert(mrep.contains("\"downsampled\"") && mrep.contains("1970-01-01") &&
         mrep.contains("\"indexed\""),
         s"maintenance report must surface the round: $mrep")
+      val metrics = get(port, "/metrics")
+      assert(metrics.contains("vm_maintenance_rounds_total 1") &&
+        metrics.contains("vm_maintenance_job_errors_total 0"),
+        s"maintenance telemetry must ride /metrics: $metrics")
     } finally api.stop()
   }
 
