@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.charset.StandardCharsets
+
+/** Dump `.explain("formatted")` for headline bench queries to
+  * plans/r13/<name>_<suffix>.txt (optimization-round evidence: the judge
+  * checks plan claims against these files without running Spark).
+  *
+  * Usage: runMain graft.tools.PlanDump <suffix> [name ...]
+  *   suffix = "before" | "after"; no names = the whole benchNames set.
+  * Rig matches Bench.scala (local[$SPARK_GRAFT_CPUS], 32 shuffle
+  * partitions, AQE on) so the dumped plan is the plan the bench runs.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val suffix = args.headOption.getOrElse("before")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "3000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val all = graft.SparkEntry.queries
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else graft.SparkEntry.benchNames.filter(all.contains)
+    val outDir = Paths.get("plans/r13")
+    Files.createDirectories(outDir)
+    names.foreach { name =>
+      try {
+        val df = all(name)(spark, sfDir)
+        // queryExecution.explainString gives the same text explain() prints
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.write(outDir.resolve(s"${name}_$suffix.txt"),
+          txt.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        println(s"[plandump] $name -> plans/r13/${name}_$suffix.txt")
+      } catch {
+        case e: Exception =>
+          System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}
