@@ -151,7 +151,9 @@ object Api {
     selectorFilter(selector)(
       samples.filter(col("ts") >= fromMs && col("ts") <= toMs))
       .withColumn("_sk", skey)
-      .groupBy("_sk").agg(first("name").as("name"), first("tags").as("tags"))
+      // HashAggregate dedup: first(name)/first(tags) buffers (string/map)
+      // would force SortAggregate over the data-scale scan (opt r13)
+      .transform(graft.core.Exemplar.distinctWith(_, Seq("_sk"), Seq("name", "tags")))
       .select("name", "tags")
 
   /** /api/v1/labels — distinct label names (prometheus.go:643); the
@@ -220,10 +222,8 @@ object Api {
       else samples.filter(col("ts") >= fromMs && col("ts") <= toMs)
     val scoped =
       if (selector.isEmpty) timed else selectorFilter(selector)(timed)
-    val keyed = scoped
-      .withColumn("_sk", skey)
-      .select("_sk", "name", "tags")
-      .dropDuplicates("_sk")
+    val keyed = graft.core.Exemplar.distinctWith( // HashAggregate dedup
+        scoped.withColumn("_sk", skey), Seq("_sk"), Seq("name", "tags"))
       .persist()
     try {
       val pairs = keyed.select(col("_sk"), explode(map_concat(

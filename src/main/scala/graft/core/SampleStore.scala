@@ -317,9 +317,10 @@ object SampleStore {
         }
       val keyed = keyed0.withColumn("_rnm", coalesce(col("name"), lit("")))
       val (k1, k2) = if (hasPair) ("_h1", "_h2") else ("_rh1", "_rh2")
-      val dim = keyed
-        .select(col(k1), col(k2), col("_rnm"), col("name"), col("tags"))
-        .dropDuplicates(k1, k2, "_rnm")
+      // Exemplar.distinctWith, not dropDuplicates: the carried map payload
+      // would put the dedup into SortAggregate (data-scale sort, opt r13)
+      val dim = Exemplar
+        .distinctWith(keyed, Seq(k1, k2, "_rnm"), Seq("name", "tags"))
         .select(col(k1), col(k2), col("_rnm"),
           matchedRetentionMs(filters).as("_rt"))
       // dim keys renamed so the self-derived join condition is

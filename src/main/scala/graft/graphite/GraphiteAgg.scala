@@ -87,7 +87,13 @@ object GraphiteAgg {
       .filter(!isnan(col("value")))
       .join(broadcast(sidKeys.select(col("sid"), col("_key"), col("ord"))), Seq("sid"))
     val aggs = helperAggsFor(Some(fn), col("value"), col("ord"))
+    // keyMeta is consumed three times (keyGrid, nPerKey, named) — without
+    // materialization each consumer re-plans the aggregation over sidKeys
+    // as its own exchange+broadcast job (opt r13: 3 stages → 1 on the
+    // gr_group_by_node plan). Key-scale: one row per output series.
     val meta = keyMeta(sidKeys, fn, sortPaths = keyed || !serialFns(fn))
+      .localCheckpoint(true)
+    graft.core.CheckpointGc.note()
     val nPerKey = meta.select(col("_key"), col("_n").as("_nSer"))
     val sparseVals = df
       .groupBy(col("_key"), col("t"))
@@ -332,12 +338,9 @@ object GraphiteAgg {
       out.copy(df = out.df.drop("_stat"))
     } else {
       val mid = (ctx.endMs + ctx.startMs) / 2
-      val meta = withStat
-        .groupBy(col("sid"))
-        .agg(first(col("ord")).as("ord"), first(col("name")).as("name"),
-          first(col("tags")).as("tags"), first(col("consol")).as("consol"),
-          first(col("xff")).as("xff"), first(col("step")).as("step"),
-          first(col("_stat")).as("_stat"))
+      val meta = graft.core.Exemplar.distinctWith( // HashAggregate dedup
+        withStat, Seq("sid"),
+        Seq("ord", "name", "tags", "consol", "xff", "step", "_stat"))
       val out = meta
         .withColumn("t", explode(array(lit(ctx.startMs), lit(mid), lit(ctx.endMs))))
         .withColumn("name",
@@ -767,10 +770,9 @@ object GraphiteAgg {
       } else {
         // misaligned window: explicit range join against the output grid
         val outN = (ecc.endMs - (ecc.startMs + windowSize)) / step + 1
-        val meta = inner.df.groupBy(col("sid")).agg(
-          first(col("ord")).as("ord"), first(col("name")).as("name"),
-          first(col("tags")).as("tags"), first(col("pathExpr")).as("pathExpr"),
-          first(col("consol")).as("consol"), first(col("xff")).as("xff"))
+        val meta = graft.core.Exemplar.distinctWith( // HashAggregate dedup
+          inner.df, Seq("sid"),
+          Seq("ord", "name", "tags", "pathExpr", "consol", "xff"))
         val outGrid = meta.withColumn("t",
           explode(sequence(lit(ecc.startMs + windowSize),
             lit(ecc.startMs + windowSize + (outN - 1).max(0) * step), lit(step))))
@@ -783,9 +785,9 @@ object GraphiteAgg {
           "left").drop("_psid")
         val pv = col("_pv")
         def needs(fns: String*): Boolean = fns.contains(fn) || fn.startsWith("p")
-        val metaAggs = Seq(first(col("ord")).as("ord"), first(col("name")).as("name"),
-          first(col("tags")).as("tags"), first(col("pathExpr")).as("pathExpr"),
-          first(col("consol")).as("consol"), first(col("xff")).as("xff"))
+        // payload rides the group key (Exemplar.groupByWith below): the
+        // old first(name)/first(tags) buffers forced SortAggregate over
+        // the range-joined series×grid×window frame (opt r13)
         // _rows counts non-null joined rows (incl. NaN values) = samples
         // in the window; the left join leaves null _pv for empty windows
         val valAggs = Seq(
@@ -801,9 +803,8 @@ object GraphiteAgg {
             Seq(array_sort(collect_list(when(!isnan(pv),
               struct(col("_pt").as("o"), pv.as("v"))))).as("_ordered"))
           else Nil)
-        val allAggs = metaAggs ++ valAggs
-        joined.groupBy(col("sid"), col("t"))
-          .agg(allAggs.head, allAggs.tail: _*)
+        graft.core.Exemplar.groupByWith(joined, Seq(col("sid"), col("t")),
+            Seq("ord", "name", "tags", "pathExpr", "consol", "xff"))(valAggs)
           .withColumn("step", lit(step))
       }
     val valued = df.withColumn("_mv", bucketGate(fn, lit(xff)))
@@ -969,12 +970,12 @@ object GraphiteAgg {
     val carry = when(
       col("_lt").isNotNull && col("_lt") < bstart && !isnan(col("_lv")),
       col("_lv") * (col("t") - bstart).cast(DoubleType) / 1000.0).otherwise(lit(0.0))
-    val sums = withPrev
-      .groupBy(col("sid"), col("_b"))
-      .agg(sum(base + carry).as("_hc"),
-        first(col("ord")).as("ord"), first(col("name")).as("name"),
-        first(col("tags")).as("tags"), first(col("pathExpr")).as("pathExpr"),
-        first(col("consol")).as("consol"), first(col("xff")).as("xff"))
+    // payload rides the group key (first(map/string) buffers would force
+    // SortAggregate over the grid-dense frame — opt r13)
+    val sums = graft.core.Exemplar.groupByWith(
+        withPrev, Seq(col("sid"), col("_b")),
+        Seq("ord", "name", "tags", "pathExpr", "consol", "xff"))(
+        Seq(sum(base + carry).as("_hc")))
       .withColumn("t", lit(s) + col("_b") * interval)
       .withColumn("value", when(col("_hc") === 0.0, Double.NaN).otherwise(col("_hc")))
     val suffix =

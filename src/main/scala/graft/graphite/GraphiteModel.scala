@@ -235,11 +235,18 @@ object GraphiteModel {
     val bucketed = raw
       .withColumn("_b", ((col("ts") - ctx.startMs) / step).cast("long"))
       .filter(col("_b") >= 0 && col("_b") < n)
+    // per-field last-sample aggregates, NOT max_by over a (ts, value)
+    // struct: a struct aggregation buffer is not UnsafeRow-mutable, so
+    // the struct form planned the whole bucket aggregate as SortAggregate
+    // — a data-scale sort per fetch (opt r13). max(ts) + max_by(value, ts)
+    // keep every buffer fixed-width (HashAggregate) and pick the same
+    // (arbitrary-on-ts-tie) last sample.
     val perBucket = bucketed
       .groupBy(col("sid"), col("_b"))
       .agg(
         avg(nn(col("value"))).as("_avg"),
-        max_by(struct(col("ts"), col("value")), col("ts")).as("_lastS"))
+        max(col("ts")).as("_lastTs"),
+        max_by(col("value"), col("ts")).as("_lastV"))
     // Ingestion-jitter adoption, computed SPARSELY: an empty bucket b'
     // adopts the last earlier sample when that sample lies within 2 s of
     // b's start. The donor is always the latest-filled bucket before b'
@@ -257,7 +264,7 @@ object GraphiteModel {
       .withColumn("_nextB", lead(col("_b"), 1).over(wNext))
       .withColumn("_maxB",
         least(
-          floor((col("_lastS").getField("ts") + 2000L - ctx.startMs) / step).cast("long"),
+          floor((col("_lastTs") + 2000L - ctx.startMs) / step).cast("long"),
           coalesce(col("_nextB") - 1, lit(n - 1)),
           lit(n - 1)))
       .select(col("sid"),
@@ -265,15 +272,11 @@ object GraphiteModel {
           array(struct(col("_b").as("b"), coalesce(col("_avg"), nanLit).as("v"))),
           when(col("_maxB") >= col("_b") + 1,
             transform(sequence(col("_b") + 1, col("_maxB"), lit(1L)),
-              b2 => struct(b2.as("b"), col("_lastS").getField("value").as("v"))))
+              b2 => struct(b2.as("b"), col("_lastV").as("v"))))
             .otherwise(array().cast("array<struct<b:bigint,v:double>>")))).as("_e"))
       .select(col("sid"), col("_e.b").as("_b"), col("_e.v").as("_v"))
-    val meta = raw
-      .groupBy(col("sid"))
-      .agg(
-        first(col("name")).as("name"),
-        first(col("tags")).as("tags"),
-        first(col("pathExpr")).as("pathExpr"))
+    val meta = graft.core.Exemplar // HashAggregate dedup (sid ⟹ payload)
+      .distinctWith(raw, Seq("sid"), Seq("name", "tags", "pathExpr"))
       .withColumn("ord", dense_rank().over(Window.orderBy(col("sid"))).cast("long")) // series-meta scale: one row per series, bounded by maxSeries
     val dense = meta.withColumn(
       "_b",
@@ -478,15 +481,19 @@ object GraphiteModel {
       .withColumn("_b",
         greatest(lit(0L), floor((col("t") - start).cast(DoubleType) / step).cast("long")))
       .filter(col("_b") < n)
+    // Per-field last-sample aggregates + payload riding the GROUP KEY
+    // (Exemplar.groupByWith): the old max_by(struct)/first(map)/first
+    // (string) buffers forced the whole bucket aggregate into
+    // SortAggregate — a grid-scale sort per summarize (opt r13). sid ⟹
+    // every payload column by construction, so grouping by them changes
+    // nothing; all remaining buffers are fixed-width (or collect_list →
+    // ObjectHashAggregate), so no sort either way.
     val aggs = helperAggsFor(fixedAggr, col("value"), col("t")) ++ Seq(
-      max_by(struct(col("t").as("ts"), col("value").as("v")), col("t")).as("_lastS"),
-      first(col("name")).as("name"),
-      first(col("tags")).as("tags"),
-      first(col("pathExpr")).as("pathExpr"),
-      first(col("consol")).as("consol"),
-      first(col("xff")).as("xff"),
-      first(col("ord")).as("ord"))
-    val perBucket = src.groupBy(col("sid"), col("_b")).agg(aggs.head, aggs.tail: _*)
+      max(col("t")).as("_lastTs"),
+      max_by(col("value"), col("t")).as("_lastV"))
+    val payload = Seq("name", "tags", "pathExpr", "consol", "xff", "ord")
+    val perBucket = graft.core.Exemplar.groupByWith(
+      src, Seq(col("sid"), col("_b")), payload)(aggs)
     val gated = fixedAggr match {
       case Some(fn) => bucketGate(normalizeAggrName(fn), xffC)
       case None =>
@@ -497,20 +504,15 @@ object GraphiteModel {
         }.otherwise(bucketGate("avg", xffC))
     }
     val withVal = perBucket.withColumn("_bv", gated)
-    val meta = withVal.groupBy(col("sid")).agg(
-      first(col("name")).as("name"),
-      first(col("tags")).as("tags"),
-      first(col("pathExpr")).as("pathExpr"),
-      first(col("consol")).as("consol"),
-      first(col("xff")).as("xff"),
-      first(col("ord")).as("ord"))
+    val meta = graft.core.Exemplar.distinctWith( // HashAggregate dedup
+      withVal, Seq("sid"), payload)
     val dense = meta.withColumn("_b", explode(sequence(lit(0L), lit(n - 1), lit(1L))))
     val w = Window.partitionBy(col("sid")).orderBy(col("_b"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val singleFn = fixedAggr.map(normalizeAggrName)
     val jitterVal = {
       // aggr over the single adopted sample (eval.go:125-133)
-      val v = col("_prevLast").getField("v")
+      val v = col("_prevLastV")
       val c1 = when(!isnan(v), lit(1)).otherwise(lit(0))
       def single(fn: String): Column = fn match {
         case "count" => c1.cast(DoubleType)
@@ -531,10 +533,14 @@ object GraphiteModel {
       }
       when(gate, body).otherwise(nanLit)
     }
+    // two ignoreNulls windows pick the SAME donor row: _lastTs/_lastV are
+    // null exactly together (both come from the same left-join miss)
     val j = dense
-      .join(withVal.select(col("sid"), col("_b"), col("_bv"), col("_lastS")),
+      .join(withVal.select(col("sid"), col("_b"), col("_bv"),
+          col("_lastTs"), col("_lastV")),
         Seq("sid", "_b"), "left")
-      .withColumn("_prevLast", last(col("_lastS"), ignoreNulls = true).over(w))
+      .withColumn("_prevLastTs", last(col("_lastTs"), ignoreNulls = true).over(w))
+      .withColumn("_prevLastV", last(col("_lastV"), ignoreNulls = true).over(w))
       .withColumn("t", lit(start) + col("_b") * step)
     SeriesSet(
       j.select(
@@ -549,8 +555,8 @@ object GraphiteModel {
         col("t"),
         when(col("_bv").isNotNull, col("_bv"))
           .when(
-            col("_prevLast").isNotNull &&
-              col("t") - col("_prevLast").getField("ts") <= 2000,
+            col("_prevLastTs").isNotNull &&
+              col("t") - col("_prevLastTs") <= 2000,
             jitterVal)
           .otherwise(nanLit)
           .as("value")),

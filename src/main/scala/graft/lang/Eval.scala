@@ -1227,7 +1227,10 @@ object Eval {
             col("ts") > lit(rollGrid.startMs - windowMs - cfg.lookbackMs) &&
               col("ts") <= lit(rollGrid.endMs))
         else keyed
-      src.select(col("_h1"), col("_h2"), col("tags")).dropDuplicates("_h1", "_h2")
+      // Exemplar.distinctWith, not dropDuplicates: a map payload in the
+      // dedup's aggregation buffer forces SortAggregate — a data-scale
+      // sort per leaf where a hash-distinct was meant (opt r13)
+      graft.core.Exemplar.distinctWith(src, Seq("_h1", "_h2"), Seq("tags"))
     }
 
     /** the tags dim as a JOIN SIDE: force-broadcast only while the
@@ -1797,8 +1800,8 @@ object Eval {
       // scalar-default-scalar)
       def densify(d: DataFrame): DataFrame = {
         val withSk = d.withColumn("_sk", skey(col("name"), col("tags")))
-        val dim = withSk.select(col("_sk"), col("name"), col("tags"))
-          .dropDuplicates("_sk")
+        val dim = // HashAggregate dedup (map payload would force SortAggregate)
+          graft.core.Exemplar.distinctWith(withSk, Seq("_sk"), Seq("name", "tags"))
         val dense = dim.crossJoin(Grid.gridDf(samples, cfg.grid))
         dense.join(withSk.select(col("_sk"), col("t"), col("value")), Seq("_sk", "t"), "left")
           .select(col("name"), col("tags"), col("t"),
@@ -2020,8 +2023,8 @@ object Eval {
               // produce values), then add synthetic key-only series for
               // match keys present only on the one side
               val withSk = m.withColumn("_sk2", skey(col("name"), col("tags")))
-              val dim = withSk.select(col("_sk2"), col("_mk"), col("name"), col("tags"))
-                .dropDuplicates("_sk2")
+              val dim = graft.core.Exemplar.distinctWith( // HashAggregate dedup
+                withSk, Seq("_sk2"), Seq("_mk", "name", "tags"))
               val dense = dim.crossJoin(Grid.gridDf(samples, cfg.grid))
                 .join(withSk.select(col("_sk2"), col("t"), col("value")),
                   Seq("_sk2", "t"), "left")
@@ -2619,7 +2622,8 @@ object Eval {
           // distributed sort+limit (TakeOrderedAndProject); only the
           // bounded result — query-parameter scale, not data scale —
           // passes through the no-partition rank window
-          val dims = q.groupBy(col("_sk")).agg(first(col("tags")).as("tags"))
+          val dims = // HashAggregate dedup (first(map) would force SortAggregate)
+            graft.core.Exemplar.distinctWith(q, Seq("_sk"), Seq("tags"))
           val wins = dims
             .orderBy(orderCols(Nil): _*).limit(math.max(offset + limit, 0))
             .withColumn("_rn", row_number().over(Window.orderBy(orderCols(Nil): _*)))
@@ -2808,9 +2812,9 @@ object Eval {
           // scale, not series scale).
           val total = " __total__"
           val dcDf = f.args.map(series(_)).reduce(_ unionByName _)
-          val perSeries = dcDf
-            .withColumn("_sk", skey(col("name"), col("tags")))
-            .groupBy("_sk").agg(first(col("tags")).as("tags")) // _sk ⟹ tags
+          val perSeries = graft.core.Exemplar.distinctWith( // _sk ⟹ tags
+            dcDf.withColumn("_sk", skey(col("name"), col("tags"))),
+            Seq("_sk"), Seq("tags"))
           val exploded = perSeries
             .select(col("_sk"), explode_outer(col("tags")).as(Seq("_dck", "_dcv")))
           val prof = exploded
@@ -2952,8 +2956,8 @@ object Eval {
       // and the fill window all key on the kept hash-pair attributes, so
       // a bucketed store's scan partitioning satisfies every step
       val kc = keys.map(col)
-      val dim = d.groupBy(kc: _*)
-        .agg(first("name").as("name"), first("tags").as("tags"))
+      val dim = // HashAggregate dedup (string/map payload would force SortAggregate)
+        graft.core.Exemplar.distinctWith(d, keys, Seq("name", "tags"))
       val dense = dim.crossJoin(Grid.gridDf(d, cfg.grid))
       val joined = dense.join(
         d.select((keys :+ "t" :+ "value").map(col): _*), keys :+ "t", "left")
@@ -2973,8 +2977,8 @@ object Eval {
       */
     private def denseGrid(d: DataFrame, keys: Seq[String]): DataFrame = {
       val kc = keys.map(col)
-      val dim = d.groupBy(kc: _*)
-        .agg(first("name").as("name"), first("tags").as("tags"))
+      val dim = // HashAggregate dedup (string/map payload would force SortAggregate)
+        graft.core.Exemplar.distinctWith(d, keys, Seq("name", "tags"))
       dim.crossJoin(Grid.gridDf(d, cfg.grid))
         .join(d.select((keys :+ "t" :+ "value").map(col): _*), keys :+ "t", "left")
         .select((Seq(col("name"), col("tags")) ++ kc ++ Seq(col("t"),
@@ -2983,8 +2987,8 @@ object Eval {
 
     private def interpolate(d: DataFrame, keys: Seq[String]): DataFrame = {
       val kc = keys.map(col)
-      val dim = d.groupBy(kc: _*)
-        .agg(first("name").as("name"), first("tags").as("tags"))
+      val dim = // HashAggregate dedup (string/map payload would force SortAggregate)
+        graft.core.Exemplar.distinctWith(d, keys, Seq("name", "tags"))
       val dense = dim.crossJoin(Grid.gridDf(d, cfg.grid))
       val keyed = d
         // NaN samples are gaps too (reference values arrays use NaN)

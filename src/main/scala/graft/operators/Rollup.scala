@@ -46,7 +46,7 @@ object Rollup {
     // conservative switch point.
     val ratio = windowMs / grid.stepMs
     if (!autoAdjustWindow && ratio >= 8 && windowMs % grid.stepMs == 0) {
-      val alg = kernels.collect { case (n, Algebraic(_, Some(tl))) => n -> tl }
+      val alg = kernels.collect { case (n, Algebraic(_, Some(tl), _)) => n -> tl }
       if (alg.size == kernels.size)
         return rollupTwoLevel(samples, keys, grid, windowMs, alg)
       val edge = kernels.collect { case (n, k @ OverArrayPrev(_, true, _)) => n -> k }
@@ -64,6 +64,39 @@ object Rollup {
     val b =
       if (needPrev) Grid.bucketizeCol(src, grid, col("_win"))
       else Grid.bucketize(src, grid, windowMs)
+    // ts-level two-phase for struct-buffered kernels (see Algebraic.tsSplit
+    // scaladoc): engage only when some kernel REQUIRES it (first/last) and
+    // every co-scheduled kernel decomposes — otherwise the single shared
+    // aggregate below stays the plan.
+    if (!needPrev) {
+      val splits = kernels.map {
+        case (n, Algebraic(_, tl, tsS)) => n -> tsS.orElse(tl)
+        case (n, _) => n -> None
+      }
+      val required = kernels.exists {
+        case (_, Algebraic(_, _, Some(_))) => true
+        case _ => false
+      }
+      if (required && splits.forall(_._2.isDefined)) {
+        val pcols = splits.zipWithIndex.flatMap { case ((_, tl), i) =>
+          tl.get.partials.map { case (pn, raw, mrg) => (s"_t${i}_$pn", raw, mrg) }
+        }
+        val l1 = b
+          .groupBy((keys.map(col) :+ col("t") :+ col("ts")): _*)
+          .agg(pcols.head._2.as(pcols.head._1),
+            pcols.tail.map(p => p._2.as(p._1)): _*)
+        val merged = l1
+          .groupBy((keys.map(col) :+ col("t")): _*)
+          .agg(pcols.head._3(col(pcols.head._1)).as(pcols.head._1),
+            pcols.tail.map(p => p._3(col(p._1)).as(p._1)): _*)
+        return merged.select((keys.map(col) :+ col("t")) ++
+          splits.zipWithIndex.map { case ((n, tl), i) =>
+            tl.get.finish(tl.get.partials.map { case (pn, _, _) =>
+              pn -> col(s"_t${i}_$pn")
+            }.toMap).as(n)
+          }: _*)
+      }
+    }
     val needArr = kernels.exists(k =>
       k._2.isInstanceOf[OverArray] || k._2.isInstanceOf[OverArrayPrev])
     val arrStruct =
@@ -74,7 +107,7 @@ object Rollup {
       else struct(col("ts").as("ts"), col("value").as("v"))
     val arrExpr = array_sort(collect_list(arrStruct)).as("_arr")
     val aggExprs: Seq[Column] =
-      kernels.collect { case (n, Algebraic(e, _)) => e.as(n) } ++
+      kernels.collect { case (n, Algebraic(e, _, _)) => e.as(n) } ++
         (if (needArr) Seq(arrExpr) else Nil) ++
         (if (needPrev) Seq(max(col("_win")).as("_win"), max(col("_mpi")).as("_mpi")) else Nil)
     var out = b

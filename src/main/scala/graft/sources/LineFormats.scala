@@ -1293,12 +1293,17 @@ object LineFormats {
   def federate(samples: DataFrame): DataFrame = {
     val keyed = samples.withColumn("_sk",
       concat(coalesce(col("name"), lit("")), to_json(array_sort(map_entries(col("tags"))))))
-    val latest = keyed
-      .groupBy("_sk")
-      .agg(
-        first("name").as("name"), first("tags").as("tags"),
-        max(struct(col("ts"), col("value"))).as("_w"))
-      .select(col("name"), col("tags"), col("_w.ts").as("ts"), col("_w.value").as("value"))
+    // Two HashAggregate passes instead of one max(struct)+first(map)
+    // aggregate: struct/map aggregation buffers are not UnsafeRow-mutable,
+    // so the one-pass form ran as SortAggregate — a full sort of the
+    // scan (opt r13). Pass 1 finds each series' max ts; pass 2 keeps the
+    // max value among that ts's rows — exactly max(struct(ts, value)).
+    val maxTs = keyed.groupBy("_sk").agg(max(col("ts")).as("ts"))
+    val latest = graft.core.Exemplar.groupByWith(
+        keyed.join(maxTs, Seq("_sk", "ts")),
+        Seq(col("_sk"), col("ts")), Seq("name", "tags"))(
+        Seq(max(col("value")).as("value")))
+      .select(col("name"), col("tags"), col("ts"), col("value"))
     exportPromText(latest)
   }
 }
