@@ -177,6 +177,45 @@ class PlanSpec extends SparkSpec {
       s"unbounded no-partition window(s) at: ${offenders.mkString(", ")}")
   }
 
+  test("last-kernel rollup plans SortAggregate-free with identical rows (opt r13)") {
+    // the tsSplit two-phase (per-ts pre-agg + min_by/max_by merge) must
+    // replace the max(struct(ts,value)) SortAggregate AND pick the exact
+    // same (ts, value)-lexicographic sample on ties
+    val grid = GridSpec(1704067200000L, 1704153600000L, 3600000L)
+    val src = Samples.eventsFlat(spark, sfDir)
+    val df = Rollup.rollup(src, Seq("name"), grid, 2 * 3600000L, Kernels.last)
+    df.count() // finalize AQE before reading the executed plan
+    assert(!plan(df).contains("SortAggregate"),
+      s"last kernel must stay HashAggregate-only:\n${plan(df)}")
+    val b = graft.core.Grid.bucketize(src, grid, 2 * 3600000L)
+    val structForm = b.groupBy(col("name"), col("t"))
+      .agg(max(struct(col("ts"), col("value"))).getField("value").as("value"))
+    assert(df.exceptAll(structForm).count() == 0 &&
+      structForm.exceptAll(df).count() == 0,
+      "two-phase last diverged from the struct-max form")
+  }
+
+  test("exemplar dedup with a map payload plans SortAggregate-free (opt r13)") {
+    // key must functionally determine the payload (as at every
+    // production site): the canonical series key, not a single label
+    val src = Samples.fromEvents(spark, sfDir)
+      .withColumn("_k", concat(coalesce(col("name"), lit("")),
+        to_json(array_sort(map_entries(col("tags"))))))
+    val dd = graft.core.Exemplar.distinctWith(src, Seq("_k"), Seq("name", "tags"))
+    dd.count()
+    assert(!plan(dd).contains("SortAggregate"),
+      s"exemplar dedup must stay HashAggregate-only:\n${plan(dd)}")
+    // content parity with the first()-based dedup it replaced (one row
+    // per key; same name; same tag CONTENT — entry order is sorted now)
+    val old = src.select(col("_k"), col("name"), col("tags")).dropDuplicates("_k")
+    def norm(d: org.apache.spark.sql.DataFrame): Set[(String, String, String)] = d
+      .select(col("_k"), col("name"),
+        to_json(array_sort(map_entries(col("tags")))).as("_tj"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(norm(dd) == norm(old),
+      "exemplar dedup content diverged from dropDuplicates")
+  }
+
   test("no persisted frames pinned in the cache manager after eval") {
     spark.sharedState.cacheManager.clearCache()
     val grid = GridSpec(1704067200000L, 1704153600000L, 3600000L)
