@@ -28,9 +28,14 @@ object QueryDeadline {
     val group = "graft-deadline-" + java.util.UUID.randomUUID()
     sc.setJobGroup(group, s"query deadline ${timeoutMs}ms", interruptOnCancel = true)
     val timer = new java.util.Timer("graft-query-deadline", true)
-    timer.schedule(new java.util.TimerTask {
+    // Re-fire the cancel until the request finishes: a single cancel can
+    // race job submission on a loaded driver (observed: the cancel event
+    // processed between two AQE stage jobs left the next stage running to
+    // completion), and cancelJobGroupAndFutureJobs is idempotent, so the
+    // next tick reaps anything that slipped through.
+    timer.scheduleAtFixedRate(new java.util.TimerTask {
       def run(): Unit = sc.cancelJobGroupAndFutureJobs(group)
-    }, timeoutMs)
+    }, timeoutMs, 250L)
     try body
     finally {
       timer.cancel()

@@ -88,7 +88,8 @@ class GraphiteGoldenSpec extends SparkSpec {
   test("ported TestExecExprSuccess corpus passes (minus pinned gaps)") {
     val active = GraphiteGolden.entries.filterNot(e => knownGaps(e.nm))
     assert(active.size >= 200, s"corpus shrank to ${active.size}")
-    val failures = active.flatMap(e => check(e).map(m => s"${e.nm} ${e.q}: $m"))
+    val failures = graft.TestPar.flatMapPar(active, 4)(e =>
+      check(e).map(m => s"${e.nm} ${e.q}: $m"))
     assert(failures.isEmpty,
       s"${failures.size} golden subtests failed:\n${failures.take(15).mkString("\n")}")
   }
@@ -104,14 +105,13 @@ class GraphiteGoldenSpec extends SparkSpec {
     "holtWintersAberration(none.exist.metric)")
 
   test("ported TestExecExprFailure corpus is rejected") {
-    val accepted = GraphiteGolden.errQueries
-      .filterNot(errEnvOnly)
-      .filter { q =>
+    val accepted = graft.TestPar.flatMapPar(
+      GraphiteGolden.errQueries.filterNot(errEnvOnly), 4) { q =>
       try {
         // errors may surface at parse, plan, or execution time
         GraphiteEval.exec(ctx, q).df.collect()
-        true
-      } catch { case _: Exception => false }
+        Some(q)
+      } catch { case _: Exception => None }
     }
     assert(accepted.isEmpty,
       s"${accepted.size} queries should error but ran:\n${accepted.take(15).mkString("\n")}")

@@ -22,7 +22,8 @@ class GoldenCorpusSpec extends SparkSpec {
   test("ported exec_test.go corpus passes (minus pinned known gaps)") {
     val active = GoldenTriage.entries.filterNot(e => knownGaps(e.nm))
     assert(active.size >= 579, s"golden corpus shrank to ${active.size}")
-    val failures = active.flatMap(e => GoldenTriage.check(spark, e).map(m => s"${e.nm}: $m"))
+    val failures = graft.TestPar.flatMapPar(active, 4)(e =>
+      GoldenTriage.check(spark, e).map(m => s"${e.nm}: $m"))
     assert(failures.isEmpty,
       s"${failures.size} golden subtests failed:\n${failures.take(10).mkString("\n")}")
   }
