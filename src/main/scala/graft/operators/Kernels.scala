@@ -74,7 +74,18 @@ final case class OverArrayPrev(post: (Column, Column, Column) => Column,
   */
 final case class TwoLevel(
     partials: Seq[(String, Column, Column => Column)],
-    finish: Map[String, Column] => Column)
+    finish: Map[String, Column] => Column,
+    /** Optional per-partial WINDOW-level merge for the 3-level plan
+      * ([[Rollup.rollupTwoLevel]] with a ts pre-aggregation): when a
+      * kernel's tsSplit decomposition runs at (keys, ts) and (keys,
+      * bucket) levels, merging bucket partials across the window may need
+      * a different aggregate than the ts-level merge (first/last order by
+      * the BUCKET timestamp `_bt` there — buckets partition time, so the
+      * bucket order is the sample order). Aligned with `partials`; None
+      * reuses each partial's merge (valid for all plain combine
+      * aggregates: sum/min/max/count-as-sum/collect).
+      */
+    remerge: Option[Seq[Column => Column]] = None)
 
 object Kernels {
   private val v = col("value")
@@ -164,12 +175,20 @@ object Kernels {
   // first/last with deterministic tie-breaks via lexicographic struct
   // order; the tsSplit form picks the identical sample hash-only (per-ts
   // min/max of value, then min_by/max_by over the now-unique ts)
+  // The remerge (window level of the ratio≥8 3-level plan) orders by the
+  // bucket timestamp `_bt`: within one series the step buckets partition
+  // time, so min/max bucket == the bucket holding the window's first/last
+  // sample, and bucket timestamps are unique per merge group — fully
+  // deterministic. The isNotNull guard skips the dense-window path's
+  // empty-bucket rows (null partials joined onto the dense grid).
   val first: Kernel = Algebraic(min_(struct(ts, v)).getField("value"), // rollup.go:2375
     tl1(min_(struct(ts, v)), min_, _.getField("value")),
-    Some(TwoLevel(Seq(("fv", min_(v), c => min_by(c, col("ts")))), m => m("fv"))))
+    Some(TwoLevel(Seq(("fv", min_(v), c => min_by(c, col("ts")))), m => m("fv"),
+      remerge = Some(Seq(c => min_by(c, when(c.isNotNull, col("_bt"))))))))
   val last: Kernel = Algebraic(max_(struct(ts, v)).getField("value"), // rollup.go:2383
     tl1(max_(struct(ts, v)), max_, _.getField("value")),
-    Some(TwoLevel(Seq(("lv", max_(v), c => max_by(c, col("ts")))), m => m("lv"))))
+    Some(TwoLevel(Seq(("lv", max_(v), c => max_by(c, col("ts")))), m => m("lv"),
+      remerge = Some(Seq(c => max_by(c, when(c.isNotNull, col("_bt"))))))))
   val tfirst: Kernel = // rollup.go:1596 (seconds)
     Algebraic(min_(ts).cast(D) / 1000.0, tl1(min_(ts), min_, _.cast(D) / 1000.0))
   val tlast: Kernel = // rollup.go:1652

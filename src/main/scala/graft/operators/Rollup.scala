@@ -46,7 +46,7 @@ object Rollup {
     // conservative switch point.
     val ratio = windowMs / grid.stepMs
     if (!autoAdjustWindow && ratio >= 8 && windowMs % grid.stepMs == 0) {
-      val alg = kernels.collect { case (n, Algebraic(_, Some(tl), _)) => n -> tl }
+      val alg = kernels.collect { case (n, Algebraic(_, Some(tl), tsS)) => (n, tl, tsS) }
       if (alg.size == kernels.size)
         return rollupTwoLevel(samples, keys, grid, windowMs, alg)
       val edge = kernels.collect { case (n, k @ OverArrayPrev(_, true, _)) => n -> k }
@@ -298,7 +298,7 @@ object Rollup {
       keys: Seq[String],
       grid: GridSpec,
       windowMs: Long,
-      kernels: Seq[(String, TwoLevel)]): DataFrame = {
+      kernels: Seq[(String, TwoLevel, Option[TwoLevel])]): DataFrame = {
     val s = grid.stepMs
     val start = grid.startMs
     val filtered = samples
@@ -309,15 +309,44 @@ object Rollup {
     // pre-start buckets one step late (caught by the exec_test.go golden
     // slice: every lookback frame absorbed one stale sample).
     val tb = expr(s"ts + pmod(${start}L - ts, ${s}L)")
+    // 3-level mode (opt r14): a kernel whose window TwoLevel aggregates a
+    // (ts, value) STRUCT (first/last) would plan BOTH levels as
+    // SortAggregate — the struct buffer is not UnsafeRow-mutable. When any
+    // co-scheduled kernel declares a tsSplit, pre-aggregate per (keys, ts)
+    // first (tsSplit raw partials; other kernels' window partials are
+    // per-ts-valid combine aggregates), merge per bucket with the tsSplit
+    // merge (ts unique ⟹ fixed-width min_by/max_by), and merge buckets
+    // across the window with `remerge` ordered by the bucket timestamp.
+    // Every level is a codegen HashAggregate; no sort anywhere.
+    val useTs = kernels.exists(_._3.isDefined)
+    val effK: Seq[(String, TwoLevel)] =
+      kernels.map { case (n, tl, tsS) => n -> (if (useTs) tsS.getOrElse(tl) else tl) }
     // partial columns, uniquely named per kernel; a shared row count drives
     // the empty-window filter of the dense-window merge (explode-merge only
-    // ever sees non-empty windows)
+    // ever sees non-empty windows). Tuple: (name, bucket-level aggregate,
+    // window-level merge).
     val partialCols: Seq[(String, Column, Column => Column)] =
-      kernels.zipWithIndex.flatMap { case ((_, tl), i) =>
-        tl.partials.map { case (pn, raw, mrg) => (s"_p${i}_$pn", raw, mrg) }
-      } :+ (("_prows", count(lit(1)), (c: Column) => sum(c)))
+      effK.zipWithIndex.flatMap { case ((_, tl), i) =>
+        tl.partials.zipWithIndex.map { case ((pn, raw, mrg), j) =>
+          val nm = s"_p${i}_$pn"
+          if (!useTs) (nm, raw, mrg)
+          else (nm, mrg(col(nm)), tl.remerge.map(_(j)).getOrElse(mrg))
+        }
+      } :+ (("_prows",
+        if (useTs) sum(col("_prows")) else count(lit(1)),
+        (c: Column) => sum(c)))
     graft.core.StorageLimits.flushPending() // reject BEFORE the eager level-1 pass
-    val level1 = filtered
+    val base =
+      if (!useTs) filtered
+      else {
+        val l0 = effK.zipWithIndex.flatMap { case ((_, tl), i) =>
+          tl.partials.map { case (pn, raw, _) => raw.as(s"_p${i}_$pn") }
+        } :+ count(lit(1)).as("_prows")
+        filtered
+          .groupBy((keys.map(col) :+ col("ts")): _*)
+          .agg(l0.head, l0.tail: _*)
+      }
+    val level1 = base
       .withColumn("t", tb)
       .groupBy((keys.map(col) :+ col("t")): _*)
       .agg(partialCols.head._2.as(partialCols.head._1),
@@ -330,7 +359,7 @@ object Rollup {
     val buckets = level1.count()
     val ratio = windowMs / s
     val finishCols = (merged: String => Column) =>
-      kernels.zipWithIndex.map { case ((kn, tl), i) =>
+      effK.zipWithIndex.map { case ((kn, tl), i) =>
         tl.finish(tl.partials.map { case (pn, _, _) =>
           pn -> merged(s"_p${i}_$pn")
         }.toMap).as(kn)
@@ -351,6 +380,10 @@ object Rollup {
       .select((keys.map(k => col(s"d.$k").as(k)) :+ col("d.t").as("t")) ++
         partialCols.map(p => col(s"g.${p._1}").as(p._1)): _*)
       .unionByName(level1.filter(col("t") < start))
+      // each row's t IS its bucket timestamp here (the join is on d.t ===
+      // g.t; pre-start buckets carry their own t) — expose it under the
+      // name the remerge aggregates order by
+      .withColumn("_bt", col("t"))
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col("t"))
       .rangeBetween(-(windowMs - s), 0)
     val merged = partialCols.map { case (pn, _, mrg) => pn -> mrg(col(pn)).over(w) }.toMap
@@ -386,9 +419,13 @@ object Rollup {
   /** Merge-row budget for the explode-merge strategy: buckets × ratio rows
     * stream through one partial+final HashAggregate (~0.1 µs/row measured),
     * so 200 M rows ≈ a few seconds at local[32]; past that the dense-window
-    * merge's series × gridPoints × ~1 µs/row buffering wins.
+    * merge's series × gridPoints × ~1 µs/row buffering wins. Parameterised
+    * (-Dgraft.explodeMergeLimit=N) so cluster deployments can rescale the
+    * crossover to their core count and tests can force the dense path.
     */
-  private val ExplodeMergeLimit = 200L * 1000 * 1000
+  private def ExplodeMergeLimit: Long =
+    sys.props.get("graft.explodeMergeLimit").map(_.toLong)
+      .getOrElse(200L * 1000 * 1000)
 
   /** Explode-merge: fan each bucket partial out to the grid-aligned
     * windows it contributes to — sequence(t, t+window-step, step) — and
@@ -412,7 +449,9 @@ object Rollup {
       .withColumn("_wt",
         explode(expr(s"sequence(t, t + ${windowMs - s}L, ${s}L)")))
       .filter(col("_wt") >= lit(grid.startMs) && col("_wt") <= lit(grid.endMs))
-      .drop("t").withColumnRenamed("_wt", "t")
+      // keep the bucket timestamp: the 3-level remerge aggregates (first/
+      // last) order by it; unused merges leave it for Catalyst to prune
+      .withColumnRenamed("t", "_bt").withColumnRenamed("_wt", "t")
     val aggs = partialCols.map { case (pn, _, mrg) => mrg(col(pn)).as(pn) }
     val merged = exploded
       .groupBy((keys.map(col) :+ col("t")): _*)

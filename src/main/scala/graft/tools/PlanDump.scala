@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 import java.nio.charset.StandardCharsets
 
 /** Dump `.explain("formatted")` for headline bench queries to
-  * plans/r13/<name>_<suffix>.txt (optimization-round evidence: the judge
+  * plans/r14/<name>_<suffix>.txt (optimization-round evidence: the judge
   * checks plan claims against these files without running Spark).
   *
   * Usage: runMain graft.tools.PlanDump <suffix> [name ...]
@@ -34,18 +34,28 @@ object PlanDump {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else graft.SparkEntry.benchNames.filter(all.contains)
-    val outDir = Paths.get("plans/r13")
+    val outDir = Paths.get(sys.env.getOrElse("SPARK_GRAFT_PLANDIR", "plans/r14"))
     Files.createDirectories(outDir)
     names.foreach { name =>
       try {
-        val df = all(name)(spark, sfDir)
+        val df =
+          if (name == "probe_first_last_ratio8") {
+            // ratio>=8 two-level first/last probe (not a bench query):
+            // the declared first_over_time/last_over_time window>>step path
+            val grid = graft.core.GridSpec(1704067200000L, 1706659200000L, 3600000L)
+            graft.operators.Rollup.rollupMulti(
+              graft.core.Samples.eventsFlat(spark, sfDir), Seq("name"), grid,
+              8 * 3600000L, Seq(
+                "open" -> graft.operators.Kernels.first,
+                "close" -> graft.operators.Kernels.last))
+          } else all(name)(spark, sfDir)
         // queryExecution.explainString gives the same text explain() prints
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.write(outDir.resolve(s"${name}_$suffix.txt"),
           txt.getBytes(StandardCharsets.UTF_8),
           StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-        println(s"[plandump] $name -> plans/r13/${name}_$suffix.txt")
+        println(s"[plandump] $name -> $outDir/${name}_$suffix.txt")
       } catch {
         case e: Exception =>
           System.err.println(s"[plandump] $name FAILED: ${e.getMessage}")

@@ -216,6 +216,56 @@ class PlanSpec extends SparkSpec {
       "exemplar dedup content diverged from dropDuplicates")
   }
 
+  test("ratio>=8 first/last rolls up SortAggregate-free, rows identical (opt r14)") {
+    // window >> step routes through rollupTwoLevel; first/last there used
+    // min/max(struct(ts,value)) bucket partials whose struct buffers
+    // demote BOTH aggregation levels to SortAggregate. The 3-level plan
+    // (per-ts pre-agg -> min_by/max_by per bucket -> remerge ordered by
+    // the bucket timestamp) must be HashAggregate-only AND pick the exact
+    // (ts, value)-lexicographic sample on ties.
+    val grid = GridSpec(1704067200000L, 1704153600000L, 3600000L)
+    val src = Samples.eventsFlat(spark, sfDir)
+    val win = 8 * 3600000L // ratio 8: the two-level gate's threshold
+    val multi = Rollup.rollupMulti(src, Seq("name"), grid, win, Seq(
+      "open" -> Kernels.first, "close" -> Kernels.last,
+      "low" -> Kernels.min, "high" -> Kernels.max))
+    multi.count() // finalize AQE before reading the executed plan
+    assert(!plan(multi).contains("SortAggregate"),
+      s"two-level first/last must stay HashAggregate-only:\n${plan(multi)}")
+    val b = graft.core.Grid.bucketize(src, grid, win)
+    val structForm = b.groupBy(col("name"), col("t")).agg(
+      min(struct(col("ts"), col("value"))).getField("value").as("open"),
+      max(struct(col("ts"), col("value"))).getField("value").as("close"),
+      min(col("value")).as("low"),
+      max(col("value")).as("high"))
+    assert(multi.exceptAll(structForm).count() == 0 &&
+      structForm.exceptAll(multi).count() == 0,
+      "3-level first/last diverged from the struct-min/max form")
+  }
+
+  test("ratio>=8 first/last dense-window merge strategy stays row-identical") {
+    // force the dense-window merge (the big-buckets fallback) by zeroing
+    // the explode-merge budget: the remerge aggregates (min_by/max_by
+    // ordered by bucket timestamp) must hold row parity over the
+    // range-framed window too, including the null partials the dense
+    // grid left-join introduces
+    val grid = GridSpec(1704067200000L, 1704153600000L, 3600000L)
+    val src = Samples.eventsFlat(spark, sfDir)
+    val win = 8 * 3600000L
+    System.setProperty("graft.explodeMergeLimit", "0")
+    try {
+      val df = Rollup.rollupMulti(src, Seq("name"), grid, win,
+        Seq("first" -> Kernels.first, "last" -> Kernels.last))
+      val b = graft.core.Grid.bucketize(src, grid, win)
+      val structForm = b.groupBy(col("name"), col("t")).agg(
+        min(struct(col("ts"), col("value"))).getField("value").as("first"),
+        max(struct(col("ts"), col("value"))).getField("value").as("last"))
+      assert(df.exceptAll(structForm).count() == 0 &&
+        structForm.exceptAll(df).count() == 0,
+        "dense-window first/last diverged from the struct form")
+    } finally System.clearProperty("graft.explodeMergeLimit")
+  }
+
   test("no persisted frames pinned in the cache manager after eval") {
     spark.sharedState.cacheManager.clearCache()
     val grid = GridSpec(1704067200000L, 1704153600000L, 3600000L)
