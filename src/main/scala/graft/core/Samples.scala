@@ -22,6 +22,9 @@ object Samples {
     // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects unless
     // read as raw int64 nanos; tsMs() normalizes either representation.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ts-range predicates on the derived ms column push to the raw nanos
+    // scan column (guide §6); every reader of this store benefits
+    TsPushdown.install(spark)
     spark.read.parquet(s"$dir/$name.parquet")
   }
 

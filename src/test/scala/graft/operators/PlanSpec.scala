@@ -266,6 +266,38 @@ class PlanSpec extends SparkSpec {
     } finally System.clearProperty("graft.explodeMergeLimit")
   }
 
+  test("ts-range predicates push to the raw timestamp scan column (opt r14)") {
+    // the canonical ts (epoch ms) is derived from the file's timestamp
+    // micros, so range filters never reached PushedFilters (guide §6) —
+    // TsPushdown adds the implied raw bound beside each derived-ms
+    // comparison. Assert (a) the scan carries pushed ts bounds and (b) the
+    // row set is EXACTLY the derived-ms semantics at ±2ms boundaries
+    // (the raw bounds are deliberately 1-2ms slack-widened, the original
+    // predicate must still trim them).
+    val dir = java.nio.file.Files.createTempDirectory("tspush").toString
+    val micros = Seq( // around the exclusive lower bound 1704067200000 ms
+      1704067199999000L, 1704067199999999L, 1704067200000000L,
+      1704067200000001L, 1704067200001000L, 1704067201000000L,
+      // around the inclusive upper bound 1704067202000 ms
+      1704067202000999L, 1704067202001000L, 1704067203000000L)
+    import spark.implicits._
+    micros.toDF("us")
+      .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"),
+        lit(1.0).as("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = Samples.table(spark, dir, "events")
+    val df = e.select(Samples.tsMs(e, "ts").as("ts"))
+      .filter(col("ts") > 1704067200000L && col("ts") <= 1704067202000L)
+    df.count()
+    val p = plan(df)
+    assert(p.contains("GreaterThan(ts,") && p.contains("LessThan(ts,"),
+      s"expected pushed raw ts bounds in:\n$p")
+    val got = df.collect().map(_.getLong(0)).sorted
+    val want = micros.map(_ / 1000L).filter(ms =>
+      ms > 1704067200000L && ms <= 1704067202000L).sorted
+    assert(got.toSeq == want, s"rule changed filter semantics: $got vs $want")
+  }
+
   test("no persisted frames pinned in the cache manager after eval") {
     spark.sharedState.cacheManager.clearCache()
     val grid = GridSpec(1704067200000L, 1704153600000L, 3600000L)
