@@ -65,10 +65,12 @@ object Rollup {
       if (needPrev) Grid.bucketizeCol(src, grid, col("_win"))
       else Grid.bucketize(src, grid, windowMs)
     // ts-level two-phase for struct-buffered kernels (see Algebraic.tsSplit
-    // scaladoc): engage only when some kernel REQUIRES it (first/last) and
-    // every co-scheduled kernel decomposes — otherwise the single shared
-    // aggregate below stays the plan.
-    if (!needPrev) {
+    // scaladoc): engage only when some kernel REQUIRES it (first/last),
+    // every co-scheduled kernel decomposes, AND the scan's persisted
+    // bucket partitioning makes both split levels exchange-free
+    // ([[bucketSatisfies]]) — otherwise the single shared aggregate below
+    // stays the plan.
+    if (!needPrev && bucketSatisfies(samples, keys)) {
       val splits = kernels.map {
         case (n, Algebraic(_, tl, tsS)) => n -> tsS.orElse(tl)
         case (n, _) => n -> None
@@ -312,13 +314,17 @@ object Rollup {
     // 3-level mode (opt r14): a kernel whose window TwoLevel aggregates a
     // (ts, value) STRUCT (first/last) would plan BOTH levels as
     // SortAggregate — the struct buffer is not UnsafeRow-mutable. When any
-    // co-scheduled kernel declares a tsSplit, pre-aggregate per (keys, ts)
-    // first (tsSplit raw partials; other kernels' window partials are
-    // per-ts-valid combine aggregates), merge per bucket with the tsSplit
-    // merge (ts unique ⟹ fixed-width min_by/max_by), and merge buckets
-    // across the window with `remerge` ordered by the bucket timestamp.
-    // Every level is a codegen HashAggregate; no sort anywhere.
-    val useTs = kernels.exists(_._3.isDefined)
+    // co-scheduled kernel declares a tsSplit AND the scan's bucket
+    // partitioning makes the extra level exchange-free (bucketSatisfies —
+    // on a flat store the per-ts pre-agg re-shuffles ~the whole data and
+    // measures slower than the struct form's partial SortAggregate),
+    // pre-aggregate per (keys, ts) first (tsSplit raw partials; other
+    // kernels' window partials are per-ts-valid combine aggregates),
+    // merge per bucket with the tsSplit merge (ts unique ⟹ fixed-width
+    // min_by/max_by), and merge buckets across the window with `remerge`
+    // ordered by the bucket timestamp. Every level is then a codegen
+    // HashAggregate; no sort anywhere.
+    val useTs = kernels.exists(_._3.isDefined) && bucketSatisfies(samples, keys)
     val effK: Seq[(String, TwoLevel)] =
       kernels.map { case (n, tl, tsS) => n -> (if (useTs) tsS.getOrElse(tl) else tl) }
     // partial columns, uniquely named per kernel; a shared row count drives
@@ -394,6 +400,32 @@ object Rollup {
       .drop("_rows")
       .select((keys.map(col) :+ col("t")) ++ kernels.map(k => col(k._1)): _*)
   }
+
+  /** Should a ts-level pre-aggregation (tsSplit / the 3-level window plan)
+    * replace a struct-buffered SortAggregate for this frame? Yes ONLY when
+    * the extra aggregation level is exchange-free: the scan persists the
+    * series-hash bucket column (`_h1` exists at a LEAF of the plan — only
+    * [[graft.core.SampleStore.writeBucketed]] stores it) and the grouping
+    * keys contain it, so HashPartitioning(_h1) satisfies every split
+    * level by the subset rule.
+    *
+    * On a flat store the split's first level groups by (keys, ts) — a
+    * second data-scale exchange (the per-ts pre-agg barely reduces scrape
+    * data). Interleaved A/B on this box (opt r14, LastProf, min of 4,
+    * quiet machine, 3 runs): struct-SortAggregate 0.68-0.70 s vs split
+    * 0.89-1.02 s at the sf0.1 shape, and 1.5-2.1 s vs 1.9-2.7 s at 20×
+    * rows — the struct form's partial SortAggregate shuffles only bucket
+    * partials (guide §2.3 "aggregate before you shuffle") while the split
+    * re-shuffles ~the full data, and the local sort is cheaper than that
+    * exchange at every scale measured. (The r13 measurement landed the
+    * other way on a hypervisor-contended hour; this gate keeps the
+    * bucketed-store win — 8 SortAggregate → 0 with exchange count
+    * unchanged — and reverts the flat store to the lighter-shuffle plan.)
+    */
+  private def bucketSatisfies(samples: DataFrame, keys: Seq[String]): Boolean =
+    keys.contains("_h1") &&
+      samples.queryExecution.analyzed.collectLeaves()
+        .exists(_.output.exists(_.name == "_h1"))
 
   /** Hot-series note (SURVEY §7.4.6, SCALEBENCH rounds 7-8): prevPass's
     * per-series windows leave the data hash(series)-partitioned, so ONE

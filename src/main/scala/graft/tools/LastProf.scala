@@ -22,9 +22,11 @@ object LastProf {
     spark.sparkContext.setLogLevel("ERROR")
     val ev = graft.core.Samples.fromEvents(spark, sfDir)
     val grid = graft.core.GridSpec(1704067200000L, 1706659200000L, 3600000L)
-    // scale the input up ~20x by unioning shifted copies so the agg cost
-    // dominates scheduling overhead
-    val big = (0 until 20).map(i =>
+    // scale the input by unioning shifted copies (COPIES=20 makes the agg
+    // cost dominate scheduling overhead; COPIES=1 is the raw sf shape —
+    // the flat-store crossover probe)
+    val copies = sys.env.getOrElse("SPARK_GRAFT_LASTPROF_COPIES", "20").toInt
+    val big = (0 until copies).map(i =>
       ev.withColumn("ts", col("ts") + lit(i * 7L)))
       .reduce(_ unionByName _)
     val b = graft.core.Grid.bucketize(big, grid, 7200000L)

@@ -39,7 +39,20 @@ object PlanDump {
     names.foreach { name =>
       try {
         val df =
-          if (name == "probe_first_last_ratio8") {
+          if (name == "probe_first_last_ratio8_bucketed") {
+            // same probe over the bucket-persisted store: the split levels
+            // reuse HashPartitioning(_h1), so the 3-level plan engages
+            val grid = graft.core.GridSpec(1704067200000L, 1706659200000L, 3600000L)
+            graft.core.SampleStore.writeBucketed(
+              graft.core.Samples.fromEvents(spark, sfDir),
+              "bucketed_plandump_probe", "target/bucketed_plandump_probe",
+              buckets = 32)
+            graft.operators.Rollup.rollupMulti(
+              graft.core.SampleStore.readBucketed(spark, "bucketed_plandump_probe"),
+              Seq("name", "_h1", "_h2"), grid, 8 * 3600000L, Seq(
+                "open" -> graft.operators.Kernels.first,
+                "close" -> graft.operators.Kernels.last))
+          } else if (name == "probe_first_last_ratio8") {
             // ratio>=8 two-level first/last probe (not a bench query):
             // the declared first_over_time/last_over_time window>>step path
             val grid = graft.core.GridSpec(1704067200000L, 1706659200000L, 3600000L)

@@ -177,22 +177,43 @@ class PlanSpec extends SparkSpec {
       s"unbounded no-partition window(s) at: ${offenders.mkString(", ")}")
   }
 
-  test("last-kernel rollup plans SortAggregate-free with identical rows (opt r13)") {
-    // the tsSplit two-phase (per-ts pre-agg + min_by/max_by merge) must
-    // replace the max(struct(ts,value)) SortAggregate AND pick the exact
-    // same (ts, value)-lexicographic sample on ties
+  // bucketed fixture for the tsSplit gate tests: only a scan that
+  // PERSISTS the series-hash pair lets the split levels reuse the bucket
+  // partitioning (exchange-free); the flat store measures faster on the
+  // struct form (see Rollup.bucketSatisfies)
+  private lazy val bucketedKeyed: DataFrame = {
+    graft.core.SampleStore.writeBucketed(
+      Samples.fromEvents(spark, sfDir),
+      "bucketed_planspec", "target/bucketed_planspec", buckets = 4)
+    graft.core.SampleStore.readBucketed(spark, "bucketed_planspec")
+  }
+  private val bKeys = Seq("name", "_h1", "_h2")
+
+  test("last-kernel rollup: bucketed split SortAggregate-free; flat keeps struct (opt r13/r14)") {
+    // the tsSplit two-phase (per-ts pre-agg + min_by/max_by merge)
+    // replaces the max(struct(ts,value)) SortAggregate WHERE the bucket
+    // partitioning makes it exchange-free, and must pick the exact same
+    // (ts, value)-lexicographic sample on ties
     val grid = GridSpec(1704067200000L, 1704153600000L, 3600000L)
-    val src = Samples.eventsFlat(spark, sfDir)
-    val df = Rollup.rollup(src, Seq("name"), grid, 2 * 3600000L, Kernels.last)
+    val df = Rollup.rollup(bucketedKeyed, bKeys, grid, 2 * 3600000L, Kernels.last)
     df.count() // finalize AQE before reading the executed plan
     assert(!plan(df).contains("SortAggregate"),
-      s"last kernel must stay HashAggregate-only:\n${plan(df)}")
-    val b = graft.core.Grid.bucketize(src, grid, 2 * 3600000L)
-    val structForm = b.groupBy(col("name"), col("t"))
-      .agg(max(struct(col("ts"), col("value"))).getField("value").as("value"))
-    assert(df.exceptAll(structForm).count() == 0 &&
-      structForm.exceptAll(df).count() == 0,
+      s"bucketed last kernel must stay HashAggregate-only:\n${plan(df)}")
+    def structForm(src: DataFrame, keys: Seq[String]) =
+      graft.core.Grid.bucketize(src, grid, 2 * 3600000L)
+        .groupBy((keys.map(col) :+ col("t")): _*)
+        .agg(max(struct(col("ts"), col("value"))).getField("value").as("value"))
+    val sb = structForm(bucketedKeyed, bKeys)
+    assert(df.exceptAll(sb).count() == 0 && sb.exceptAll(df).count() == 0,
       "two-phase last diverged from the struct-max form")
+    // the flat store keeps the struct plan: its partial SortAggregate
+    // shuffles only bucket partials, measured faster than the split's
+    // second data-scale exchange at sf0.1 AND 20x (opt r14 LastProf A/B)
+    val flat = Rollup.rollup(
+      Samples.eventsFlat(spark, sfDir), Seq("name"), grid, 2 * 3600000L, Kernels.last)
+    flat.count()
+    assert(plan(flat).contains("SortAggregate"),
+      "flat-store last should keep the lighter-shuffle struct form (gate)")
   }
 
   test("exemplar dedup with a map payload plans SortAggregate-free (opt r13)") {
@@ -224,23 +245,32 @@ class PlanSpec extends SparkSpec {
     // the bucket timestamp) must be HashAggregate-only AND pick the exact
     // (ts, value)-lexicographic sample on ties.
     val grid = GridSpec(1704067200000L, 1704153600000L, 3600000L)
-    val src = Samples.eventsFlat(spark, sfDir)
     val win = 8 * 3600000L // ratio 8: the two-level gate's threshold
-    val multi = Rollup.rollupMulti(src, Seq("name"), grid, win, Seq(
+    val multi = Rollup.rollupMulti(bucketedKeyed, bKeys, grid, win, Seq(
       "open" -> Kernels.first, "close" -> Kernels.last,
       "low" -> Kernels.min, "high" -> Kernels.max))
     multi.count() // finalize AQE before reading the executed plan
     assert(!plan(multi).contains("SortAggregate"),
       s"two-level first/last must stay HashAggregate-only:\n${plan(multi)}")
-    val b = graft.core.Grid.bucketize(src, grid, win)
-    val structForm = b.groupBy(col("name"), col("t")).agg(
-      min(struct(col("ts"), col("value"))).getField("value").as("open"),
-      max(struct(col("ts"), col("value"))).getField("value").as("close"),
-      min(col("value")).as("low"),
-      max(col("value")).as("high"))
-    assert(multi.exceptAll(structForm).count() == 0 &&
-      structForm.exceptAll(multi).count() == 0,
+    def structForm(src: DataFrame, keys: Seq[String]) =
+      graft.core.Grid.bucketize(src, grid, win)
+        .groupBy((keys.map(col) :+ col("t")): _*).agg(
+          min(struct(col("ts"), col("value"))).getField("value").as("open"),
+          max(struct(col("ts"), col("value"))).getField("value").as("close"),
+          min(col("value")).as("low"),
+          max(col("value")).as("high"))
+    val sb = structForm(bucketedKeyed, bKeys)
+    assert(multi.exceptAll(sb).count() == 0 && sb.exceptAll(multi).count() == 0,
       "3-level first/last diverged from the struct-min/max form")
+    // flat store: the gate keeps the struct two-level (lighter shuffle);
+    // rows must still match the reference form exactly
+    val flat = Rollup.rollupMulti(Samples.eventsFlat(spark, sfDir),
+      Seq("name"), grid, win, Seq(
+        "open" -> Kernels.first, "close" -> Kernels.last,
+        "low" -> Kernels.min, "high" -> Kernels.max))
+    val sf = structForm(Samples.eventsFlat(spark, sfDir), Seq("name"))
+    assert(flat.exceptAll(sf).count() == 0 && sf.exceptAll(flat).count() == 0,
+      "flat two-level first/last diverged from the struct-min/max form")
   }
 
   test("ratio>=8 first/last dense-window merge strategy stays row-identical") {
@@ -250,14 +280,13 @@ class PlanSpec extends SparkSpec {
     // range-framed window too, including the null partials the dense
     // grid left-join introduces
     val grid = GridSpec(1704067200000L, 1704153600000L, 3600000L)
-    val src = Samples.eventsFlat(spark, sfDir)
     val win = 8 * 3600000L
     System.setProperty("graft.explodeMergeLimit", "0")
     try {
-      val df = Rollup.rollupMulti(src, Seq("name"), grid, win,
+      val df = Rollup.rollupMulti(bucketedKeyed, bKeys, grid, win,
         Seq("first" -> Kernels.first, "last" -> Kernels.last))
-      val b = graft.core.Grid.bucketize(src, grid, win)
-      val structForm = b.groupBy(col("name"), col("t")).agg(
+      val b = graft.core.Grid.bucketize(bucketedKeyed, grid, win)
+      val structForm = b.groupBy((bKeys.map(col) :+ col("t")): _*).agg(
         min(struct(col("ts"), col("value"))).getField("value").as("first"),
         max(struct(col("ts"), col("value"))).getField("value").as("last"))
       assert(df.exceptAll(structForm).count() == 0 &&
