@@ -87,31 +87,13 @@ object GraphiteAgg {
       .filter(!isnan(col("value")))
       .join(broadcast(sidKeys.select(col("sid"), col("_key"), col("ord"))), Seq("sid"))
     val aggs = helperAggsFor(Some(fn), col("value"), col("ord"))
-    // keyMeta is consumed three times (keyGrid, nPerKey, named) — without
-    // materialization each consumer re-plans the aggregation over sidKeys
-    // as its own exchange+broadcast job (opt r13: 3 stages → 1 on the
-    // gr_group_by_node plan). Key-scale: one row per output series.
+    // keyMeta stays LAZY over the checkpointed sidKeys: its single
+    // consumer is the key dim below (opt r14 — the r13 shape checkpointed
+    // it and broadcast THREE key-scale derivations (nPerKey, keyGrid,
+    // named), paying an eager job plus two extra broadcast builds per
+    // aggregation; one dim carrying naming AND the seriesTotal does the
+    // same work with one broadcast).
     val meta = keyMeta(sidKeys, fn, sortPaths = keyed || !serialFns(fn))
-      .localCheckpoint(true)
-    graft.core.CheckpointGc.note()
-    val nPerKey = meta.select(col("_key"), col("_n").as("_nSer"))
-    val sparseVals = df
-      .groupBy(col("_key"), col("t"))
-      .agg(aggs.head, aggs.tail: _*)
-      .join(broadcast(nPerKey), Seq("_key"))
-      .withColumn("_rows", col("_nSer")) // seriesTotal per aggrState
-      .select(col("_key"), col("t"), stateGate(fn, lit(ctx.xff)).as("value"))
-    // dense output grid per key
-    val n = ctx.pointsLen(ss.step)
-    val keyGrid = nPerKey.select(col("_key"))
-      .withColumn("t",
-        explode(sequence(lit(ctx.startMs),
-          lit(ctx.startMs + (n - 1).max(0) * ss.step), lit(ss.step))))
-    val vals =
-      if (n <= 0) sparseVals
-      else keyGrid.join(sparseVals, Seq("_key", "t"), "left")
-        .select(col("_key"), col("t"),
-          coalesce(col("value"), lit(Double.NaN)).as("value"))
     val named = meta
       .withColumn("_aggName",
         concat(lit(fn + "Series("), array_join(col("_paths"), ","), lit(")")))
@@ -127,10 +109,37 @@ object GraphiteAgg {
       .withColumn("pathExpr",
         capPath(if (keyed) col("_nameTag") else col("_aggName")))
     val ordW = Window.orderBy(col("_key")) // series-meta scale: one row per series, bounded by maxSeries
-    val out = vals.join(
-      broadcast(named.select(col("_key"), col("name"), col("_tags").as("tags"),
-        col("pathExpr"), dense_rank().over(ordW).cast("long").as("ord"))),
-      Seq("_key"))
+    val dim = named.select(col("_key"), col("name"), col("_tags").as("tags"),
+      col("pathExpr"), dense_rank().over(ordW).cast("long").as("ord"),
+      col("_n").as("_nSer"))
+    val sparse = df
+      .groupBy(col("_key"), col("t"))
+      .agg(aggs.head, aggs.tail: _*)
+    // state gate AFTER attaching the dim: _rows becomes the per-key series
+    // count (aggrState seriesTotal); grid points with no non-NaN samples
+    // have null helper columns and must stay NaN (the _cnt guard keeps
+    // avg_zero — whose gate-free path would emit 0.0 — on the reference's
+    // empty-bucket NaN)
+    val gated = when(col("_cnt").isNotNull, stateGate(fn, lit(ctx.xff)))
+      .otherwise(lit(Double.NaN))
+    val n = ctx.pointsLen(ss.step)
+    val out =
+      if (n <= 0)
+        sparse.join(broadcast(dim), Seq("_key"))
+          .withColumn("_rows", col("_nSer"))
+          .withColumn("value", gated)
+      else
+        // dense output grid (key dim × grid points) left-joined with the
+        // sparse aggregates; both sides are output-scale, AQE picks the
+        // join strategy (a broadcast hint is illegal on a left join's
+        // left side)
+        dim
+          .withColumn("t",
+            explode(sequence(lit(ctx.startMs),
+              lit(ctx.startMs + (n - 1).max(0) * ss.step), lit(ss.step))))
+          .join(sparse, Seq("_key", "t"), "left")
+          .withColumn("_rows", col("_nSer"))
+          .withColumn("value", gated)
     SeriesSet(
       out.select(
         col("_key").as("sid"),

@@ -29,7 +29,11 @@ object Similarity {
     * (same finding as the SimHash voting loop). Sequential summation
     * order matches the expression form, so results are bit-identical.
     */
-  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+  private val dotUdf = udf { (a: Array[Double], b: Array[Double]) =>
+    // Array args deserialize via UnsafeArrayData.toDoubleArray (one
+    // memcpy); the previous Seq[Double] signature built a boxed wrapper
+    // per call — measurable at n·queries pair counts. Same arithmetic,
+    // same sequential order.
     if (a == null || b == null) None // null rows propagate, like zip_with did
     else {
       var s = 0.0
@@ -62,6 +66,20 @@ object Similarity {
       .otherwise(transform(vec, x => x.cast(DoubleType) * 0.0))
   }
 
+  /** Spread a narrow corpus scan across the cluster before the CPU-heavy
+    * pair stage (opt r14): the embeddings file is small in BYTES (one scan
+    * partition), but the work per row downstream is n·dim dot products —
+    * the whole normalize+dot+partial-top-k stage inherited the scan's
+    * single task (measured: 0.77 s single-task stage = 65% of emb_topk).
+    * One cheap round-robin exchange of the raw vectors fixes the width;
+    * scans that are already at least core-parallel are left untouched
+    * (re-shuffling a 100 TB corpus's payload would be the §8 anti-pattern).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding self-matches by id). Queries are broadcast; the
     * corpus is scanned once. Rank window partitioned per query.
@@ -73,7 +91,7 @@ object Similarity {
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(col(idCol).as("q_id"), normalized(col(vecCol)).as("q_vec")))
-    val c = corpus.select(col(idCol).as("c_id"), normalized(col(vecCol)).as("c_vec"))
+    val c = spread(corpus).select(col(idCol).as("c_id"), normalized(col(vecCol)).as("c_vec"))
     q.crossJoin(c)
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cosine", dot(col("q_vec"), col("c_vec")))
@@ -454,7 +472,7 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(quantizeInt8(queries, idCol, vecCol)
       .select(col("id").as("q_id"), col("code").as("q_code"), col("scale").as("q_scale")))
-    val c = quantizeInt8(corpus, idCol, vecCol)
+    val c = quantizeInt8(spread(corpus), idCol, vecCol)
       .select(col("id").as("c_id"), col("code").as("c_code"), col("scale").as("c_scale"))
     q.crossJoin(c)
       .filter(col("q_id") =!= col("c_id") &&
