@@ -323,6 +323,15 @@ object SampleStore {
         .distinctWith(keyed, Seq(k1, k2, "_rnm"), Seq("name", "tags"))
         .select(col(k1), col(k2), col("_rnm"),
           matchedRetentionMs(filters).as("_rt"))
+        // The persisted pair hashes TAGS ONLY, so a null-name and an
+        // empty-name series with identical tags share (k1,k2,_rnm) while
+        // differing in the lifted payload — distinctWith then emits two
+        // dim rows for one join key and the sample join fans out
+        // (ADVICE r13). Re-dedup on the bare key: the frame is
+        // series-scale and payload-free here (all fixed-width columns),
+        // so this stays a HashAggregate and keeps the old
+        // one-arbitrary-row-per-key guarantee.
+        .dropDuplicates(k1, k2, "_rnm")
       // dim keys renamed so the self-derived join condition is
       // unambiguous; NULL-SAFE `<=>` on the hash pair — a null KEY would
       // silently drop the row from an equi-join on both sides, rows the

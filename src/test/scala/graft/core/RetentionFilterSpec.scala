@@ -62,6 +62,29 @@ class RetentionFilterSpec extends SparkSpec {
       SampleStore.retentionFilterPredicate(filters, 365 * D, now))))
   }
 
+  test("tags-only hash pair: null-name + empty-name series don't fan out (opt r14)") {
+    import spark.implicits._
+    // A bucketed frame's persisted pair hashes TAGS ONLY, so a null-name
+    // and an empty-name series with identical tags share (h1, h2, _rnm)
+    // while differing in the dedup payload — the dim used to emit two
+    // rows for one join key and duplicate every matching sample row
+    // (ADVICE r13). Both rows match the 30d team filter and are 2d old,
+    // so exactly the two input rows must survive.
+    val entries = array_sort(map_entries(col("tags")))
+    val df = Seq(
+      (Some(""), Map("team" -> "juniors"), now - 2 * D, 1.0),
+      (Option.empty[String], Map("team" -> "juniors"), now - 2 * D, 2.0))
+      .toDF("name", "tags", "ts", "value")
+      .withColumn("_h1", xxhash64(entries))
+      .withColumn("_h2", xxhash64(entries, lit(1)))
+    val pad = (0 until SampleStore.DimResolveThreshold + 1).map(i =>
+      SampleStore.RetentionFilter(s"""{team="nobody$i"}""", (i + 1) * D))
+    val out = SampleStore.applyRetentionFilterPredicate(
+      df, filters ++ pad, 365 * D, now)
+    assert(out.count() == 2,
+      s"dim join duplicated same-key series: ${out.collect().mkString(", ")}")
+  }
+
   test("dim resolution keeps null-tag rows and survives the broadcast fallback") {
     import spark.implicits._
     // a null tags map must resolve like the inline predicate (no filter
